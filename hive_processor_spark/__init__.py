@@ -1,0 +1,55 @@
+"""hive_processor_spark — a PySpark-native analytics engine.
+
+A ground-up rebuild of the capabilities of the reference
+``titan/hive-processor`` (an RPC worker that delegates all query processing
+to PostgreSQL/Redis — see ``/root/reference/src/processor.ts``), re-centered
+*inside* the engine: queries run as Spark DataFrame/SQL plans over Parquet,
+the KV/cache plane is Spark caching + broadcast, and the handler registry
+(``Processor.call``/``run``, reference ``src/processor.ts:57-89``) becomes a
+declarative query registry (:mod:`hive_processor_spark.engine`).
+
+Layout:
+
+- ``engine``     — SparkSession factory, session-conf discipline, query registry
+- ``sources``    — table loading (ns-timestamp handling), CSV/JSON/Parquet round-trips
+- ``operators``  — joins (incl. as-of/range), aggregates, windows, set ops,
+                   sorts/limits, dedup, similarity/ANN, text ops, cache plane
+- ``functions``  — scalar function families + higher-order vector math
+- ``streaming``  — event-time windows (batch-checkable) + true streaming smokes
+- ``plans``      — physical-plan assertion helpers (explain-based)
+
+Importing this package populates the query registry; ``__spark_entry__.py``
+at the repo root re-exports it for the verification driver.
+"""
+
+from hive_processor_spark.engine import (  # noqa: F401
+    get_spark,
+    oracles,
+    queries,
+    register,
+)
+
+
+def _load_all() -> None:
+    """Import every query module so registration decorators run."""
+    from hive_processor_spark import functions, operators, sources, streaming  # noqa: F401
+    from hive_processor_spark.functions import scalar, vector  # noqa: F401
+    from hive_processor_spark.operators import (  # noqa: F401
+        aggregates,
+        cache_plane,
+        dedup,
+        filters,
+        joins,
+        multimodal,
+        setops,
+        similarity,
+        sorts_limits,
+        textops,
+        udfs,
+        windows,
+    )
+    from hive_processor_spark.sources import roundtrip, scans  # noqa: F401
+    from hive_processor_spark.streaming import eventtime, smoke  # noqa: F401
+
+
+_load_all()

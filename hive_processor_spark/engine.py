@@ -1,0 +1,145 @@
+"""Engine core: session factory, session-conf discipline, query registry.
+
+The reference's extension surface is a handler registry —
+``Processor.call(cmd, impl)`` inserting into a ``Map<string, ModuleFunction>``
+and ``Processor.run()`` dispatching msgpack job packets to it
+(reference ``src/processor.ts:30,57-89``). Here the registry is a plain dict
+of named query callables ``(spark, sf_dir) -> DataFrame`` plus a parallel
+dict of DuckDB oracle SQL strings used by the differential test harness.
+
+Determinism discipline (applies to every hash-checked query; see SURVEY.md
+§2.3):
+
+* **Money/metric sums are exact.** ``SUM(double)`` is summation-order
+  dependent, and order differs between engines and across partition counts.
+  Every sum whose value feeds a hashed output goes through
+  ``CAST(x AS DECIMAL(18,4))`` → exact decimal sum → ``CAST(... AS DOUBLE)``.
+  Both Spark and DuckDB then produce bit-identical doubles regardless of
+  parallelism. Averages are expressed as exact-sum / count. This also scales:
+  decimal aggregation stays in Tungsten codegen and is partition-order
+  independent on a 1000-executor cluster by construction.
+* **Timestamps**: session timezone pinned to UTC; the ns-precision
+  ``events.ts`` is ingested via ``nanosAsLong`` + integer division (see
+  :mod:`hive_processor_spark.sources.tables`); queries emit epoch seconds or
+  second-grain truncations, never raw ns timestamps.
+* **Total order** for LIMIT/top-k queries always includes a provably-unique
+  key chain.
+* **Types**: outputs aligned to Spark's natural types; oracles cast DuckDB's
+  wider defaults (BIGINT ``year()``, HUGEINT ``SUM(int)``) down to match.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: Tables the driver materializes per scale factor (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+#: Session confs every query needs, settable at runtime even on a
+#: driver-provided session. Mirrors the "engine defaults" of SURVEY.md §4.2.
+_RUNTIME_CONFS = {
+    # DuckDB timestamps are naive/UTC; parity requires UTC on the Spark side.
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses outright
+    # (PARQUET_TYPE_ILLEGAL) without this; yields epoch-nano bigints instead.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Idempotently pin runtime confs required for correctness parity.
+
+    Safe on any session (including the verification driver's): these are
+    runtime-settable SQL confs, and setting them repeatedly is a no-op.
+    """
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - static conf on exotic builds
+            pass
+
+
+def get_spark(
+    app_name: str = "hive-processor-spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    The reference pooled its scarce resources explicitly (pg Pool min 1 /
+    max 2, reference ``src/processor.ts:47-49``); in Spark the session *is*
+    the pooled resource. Defaults are tuned for the local bench harness but
+    the same declarative plans run unchanged on a real cluster — AQE picks
+    runtime partition counts there.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    spark = builder.getOrCreate()
+    ensure_session_confs(spark)
+    return spark
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query (idiomatic heir of ``Processor.call``,
+    reference ``src/processor.ts:57-59``; last registration wins there and
+    here).
+
+    ``oracle`` is the equivalent DuckDB SQL for the differential harness;
+    omit it for Tier-R (rows-only) operators whose semantics DuckDB cannot
+    reproduce exactly (approximate sketches, true streaming, ML-seeded LSH).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        fn.query_name = name  # type: ignore[attr-defined]
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    """All registered queries, name → callable(spark, sf_dir) -> DataFrame."""
+    return dict(_QUERIES)
+
+
+def oracles() -> dict[str, str]:
+    """DuckDB oracle SQL for every hash-checked (Tier-H) query."""
+    return dict(_ORACLES)

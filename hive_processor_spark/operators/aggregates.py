@@ -1,0 +1,353 @@
+"""Aggregation operators (SURVEY.md §2.2-D).
+
+The reference delegates all aggregation to PostgreSQL through the handler's
+``db`` client (reference ``src/processor.ts:26,68``); here every shape runs
+natively as a Catalyst hash aggregate. Spark plans these as partial→final
+two-phase aggregates automatically (map-side combine before the shuffle), so
+group-by traffic at 100 TB is proportional to group cardinality, not input
+rows. Exact-decimal sums (see :mod:`hive_processor_spark.functions.exact`)
+keep results bit-stable under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_processor_spark.engine import register
+from hive_processor_spark.functions.exact import dsum, sql_dsum
+from hive_processor_spark.sources.tables import load_table, register_views
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the flagship query.
+
+    Scan → filter → project → grouped aggregate → sort. At scale the filter
+    and the 7-column projection are pushed into the Parquet scan; the
+    aggregate is partial/final with only (3 flags × 2 statuses) groups
+    crossing the shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            F.round(dsum("l_quantity") / n, 4).alias("avg_qty"),
+            F.round(dsum("l_extendedprice") / n, 4).alias("avg_price"),
+            F.round(dsum("l_discount", 6) / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       ROUND({sql_dsum('l_quantity')} / COUNT(*), 4) AS avg_qty,
+       ROUND({sql_dsum('l_extendedprice')} / COUNT(*), 4) AS avg_price,
+       ROUND({sql_dsum('l_discount', 6)} / COUNT(*), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+register("agg_groupby", PRICING_SUMMARY_SQL)(pricing_summary)
+
+
+@register(
+    "agg_global",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           ROUND({sql_dsum('l_quantity')} / COUNT(*), 4) AS avg_qty
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    return li.agg(
+        n.alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(dsum("l_quantity") / n, 4).alias("avg_qty"),
+    )
+
+
+@register(
+    "agg_having",
+    """
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "agg_distinct",
+    """
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_multi_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_filter_clause",
+    f"""
+    SELECT l_returnflag,
+           (CAST(SUM(CAST(FLOOR(l_extendedprice * 10000.0) AS DECIMAL(28,0)))
+                 FILTER (WHERE l_quantity > 25) AS DOUBLE) / 10000.0) AS sum_hi_qty_price,
+           CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_hi_disc,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-aggregate FILTER clause — expressed as conditional aggregation,
+    which Spark evaluates map-side inside the same hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dsum(F.when(F.col("l_quantity") > 25, F.col("l_extendedprice"))).alias(
+            "sum_hi_qty_price"
+        ),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_hi_disc"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_rollup",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register(
+    "agg_cube",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+_GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("agg_grouping_sets", _GROUPING_SETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via Spark SQL over registered temp views —
+    also exercises the catalog path (same SQL text runs on both engines)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@register(
+    "agg_stats",
+    """
+    SELECT l_linestatus,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+           ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+           ROUND(CORR(l_extendedprice, l_quantity), 4) AS corr_price_qty,
+           ROUND(COVAR_SAMP(l_quantity, l_discount), 4) AS cov_qty_disc
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qty_disc"),
+    )
+
+
+@register(
+    "agg_percentile",
+    """
+    SELECT o_orderstatus,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.5), 2) AS p50_price,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.9), 2) AS p90_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
+    )
+
+
+@register(
+    "agg_minmax_by",
+    """
+    SELECT o_orderstatus,
+           ARG_MAX(o_orderkey, o_totalprice) AS max_price_orderkey,
+           ARG_MIN(o_orderkey, o_totalprice) AS min_price_orderkey,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("max_price_orderkey"),
+        F.min_by("o_orderkey", "o_totalprice").alias("min_price_orderkey"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+@register(
+    "agg_collect",
+    """
+    SELECT c_mktsegment,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT CAST(c_nationkey AS VARCHAR))), ',')
+               AS nations
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sorted → joined to one string, so the hash never sees
+    Spark's nondeterministic array order."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.array_join(
+            F.sort_array(F.collect_set(F.col("c_nationkey").cast("string"))), ","
+        ).alias("nations")
+    )
+
+
+@register("agg_approx_distinct")  # Tier R: HLL sketch differs from DuckDB's
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@register("agg_approx_quantile")  # Tier R: approx sketches differ by design
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_p50"
+        ),
+        F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000)).alias(
+            "approx_p90"
+        ),
+    )
+
+
+@register(
+    "agg_partial_final",
+    f"""
+    SELECT l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_partial_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (partial→final) aggregation is Spark's default physical
+    strategy; tests assert the plan shows both HashAggregate phases
+    (map-side combine is what keeps 100 TB group-bys shuffle-light)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )

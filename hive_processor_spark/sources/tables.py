@@ -1,0 +1,38 @@
+"""Table loading: Parquet scans with the ns-timestamp ingestion rule.
+
+The reference's storage plane is a delegated PostgreSQL client handed to
+every handler (reference ``src/processor.ts:26,68``); our storage plane is
+Parquet read through Spark's vectorized reader, which additionally buys
+column pruning and predicate pushdown for free.
+
+The one genuinely sharp edge is ``events.ts``: the fixture Parquet stores
+TIMESTAMP(NANOS), which Spark 4 refuses to read. With
+``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as an
+epoch-nanosecond bigint; we convert with *integer* division (``ts div
+1000`` — a double division would lose precision above 2^53 ≈ 104 days of
+epoch-nanos) into a microsecond timestamp. No query ever sees the raw
+bigint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_processor_spark.engine import TABLES, ensure_session_confs
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; normalizes ``events.ts`` to a µs timestamp."""
+    ensure_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (names match the DuckDB
+    oracle's pre-registered views, FIXTURES.md §Oracle registration)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,1 +1,283 @@
-"""(being filled in)"""
+"""Join operators (SURVEY.md §2.2-C): all 13 forms.
+
+Physical strategy is Catalyst's call (broadcast vs shuffle-hash vs
+sort-merge vs BNL, with AQE runtime demotion and skew-split);
+``join_broadcast`` pins the broadcast path explicitly via hint — the pattern
+every dimension-table join here uses, since region/nation/supplier/customer
+dims stay broadcast-able long after lineitem hits 100 TB. The childless
+orders in the fixtures (257 at sf0.01) make the outer/semi/anti results
+non-trivial.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_processor_spark.engine import register
+from hive_processor_spark.functions.exact import dsum, sql_dsum
+from hive_processor_spark.operators.asof import asof_join
+from hive_processor_spark.sources.tables import load_table
+
+
+@register(
+    "join_inner",
+    """
+    SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice"
+    )
+
+
+@register(
+    "join_left",
+    """
+    SELECT o_orderkey, l_linenumber, l_quantity
+    FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "left").select(
+        "o_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "join_right",
+    """
+    SELECT o_orderkey, l_linenumber, l_quantity
+    FROM lineitem RIGHT JOIN orders ON o_orderkey = l_orderkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.join(orders, orders.o_orderkey == li.l_orderkey, "right").select(
+        "o_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "join_full",
+    """
+    SELECT o.o_orderkey, l.l_orderkey, l.l_linenumber
+    FROM (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+    FULL JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-only rows: childless 'F' orders; right-only rows: lineitems of
+    non-'F' orders — both sides of the full join are exercised."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "full").select(
+        "o_orderkey", "l_orderkey", "l_linenumber"
+    )
+
+
+@register(
+    "join_semi",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 49.0)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    hi = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49.0)
+    return orders.join(hi, orders.o_orderkey == hi.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_anti",
+    """
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+@register(
+    "join_cross",
+    "SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+@register(
+    "join_theta",
+    """
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b, a.s_nationkey
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality join (supplier pairs within a nation). The equi part
+    hash-partitions; the inequality evaluates as a post-join residual."""
+    a = load_table(spark, sf_dir, "supplier").alias("a")
+    b = load_table(spark, sf_dir, "supplier").alias("b")
+    cond = (F.col("a.s_nationkey") == F.col("b.s_nationkey")) & (
+        F.col("a.s_suppkey") < F.col("b.s_suppkey")
+    )
+    return a.join(b, cond).select(
+        F.col("a.s_suppkey").alias("supp_a"),
+        F.col("b.s_suppkey").alias("supp_b"),
+        F.col("a.s_nationkey").alias("s_nationkey"),
+    )
+
+
+@register(
+    "join_range",
+    """
+    SELECT c_custkey, s_suppkey
+    FROM customer JOIN supplier
+      ON c_acctbal BETWEEN s_acctbal - 5.0 AND s_acctbal + 5.0
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval-predicate join (no equi key). Planned as broadcast
+    nested-loop with the small side broadcast; at 100 TB per side you'd
+    band-bucket both inputs (floor(acctbal/width)) to recover an equi key
+    and check the predicate as a residual — same plan shape as join_theta."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    cond = F.col("c_acctbal").between(
+        F.col("s_acctbal") - 5.0, F.col("s_acctbal") + 5.0
+    )
+    return cust.join(F.broadcast(supp), cond).select("c_custkey", "s_suppkey")
+
+
+@register(
+    "join_asof",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, c.event_id AS asof_click_id
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase ↔ latest prior click of the same user, via the
+    union+window as-of operator (operators/asof.py)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", "ts")
+    )
+    out = asof_join(
+        purchases, clicks, keys=["user_id"], ts="ts", payload=["click_id"]
+    )
+    return out.select("event_id", "user_id", F.col("asof_click_id"))
+
+
+@register(
+    "join_multiway",
+    f"""
+    SELECT l_orderkey,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-table chain + aggregate + top-k. The customer dim
+    filter is broadcast into the orders scan; lineitem joins shuffle-side."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1997-01-01"))
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "join_broadcast",
+    """
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hint for the dimension join — the physical plan is
+    asserted in tests (BroadcastHashJoin, no shuffle of the fact side)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "join_self",
+    """
+    SELECT a.event_id AS signup_id, b.event_id AS later_purchase_id, a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_type = 'signup'
+     AND b.event_type = 'purchase' AND b.ts > a.ts
+    """,
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "signup").alias("a")
+    b = ev.filter(F.col("event_type") == "purchase").alias("b")
+    cond = (F.col("a.user_id") == F.col("b.user_id")) & (
+        F.col("b.ts") > F.col("a.ts")
+    )
+    return a.join(b, cond).select(
+        F.col("a.event_id").alias("signup_id"),
+        F.col("b.event_id").alias("later_purchase_id"),
+        F.col("a.user_id").alias("user_id"),
+    )

@@ -1,1 +1,101 @@
-"""(being filled in)"""
+"""Set operations (SURVEY.md §2.2-G).
+
+Output column names follow the left input (both engines agree), so oracles
+alias the right side only where needed. ``set_except``/``set_intersect``
+use customers-without-orders — non-trivial by fixture construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_processor_spark.engine import register
+from hive_processor_spark.sources.tables import load_table
+
+
+@register(
+    "set_union_all",
+    """
+    SELECT c_nationkey AS nkey FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nkey FROM supplier
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nkey")
+    )
+    return cust.unionByName(supp)
+
+
+@register(
+    "set_union",
+    """
+    SELECT c_nationkey AS nkey FROM customer
+    UNION
+    SELECT s_nationkey AS nkey FROM supplier
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nkey")
+    )
+    return cust.unionByName(supp).distinct()
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT c_custkey FROM customer
+    INTERSECT
+    SELECT o_custkey FROM orders
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.intersect(orders)
+
+
+@register(
+    "set_except",
+    """
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordering customers outside the BUILDING segment (EXCEPT DISTINCT)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    building = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return orders.subtract(building)
+
+
+@register(
+    "dedup_distinct",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus, CAST(YEAR(l_shipdate) AS INT) AS ship_year
+    FROM lineitem
+    """,
+)
+def dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+    ).distinct()

@@ -1,1 +1,360 @@
-"""(being filled in)"""
+"""Scalar function families (SURVEY.md §2.2-H) — one registered query per
+family, all built-in ``pyspark.sql.functions`` (JVM-side, inside
+whole-stage codegen; no Python UDFs anywhere on this path).
+
+Oracle discipline (§2.3.6): stick to the Spark∩DuckDB-agreeing subset —
+``element_at``/1-indexed lists, no bare ``log``, no ``dayofweek``, explicit
+casts where DuckDB's return types are wider (BIGINT ``year()``/``length()``,
+DOUBLE ``ceil()``), floor-quantization instead of tie-ambiguous rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_processor_spark.engine import register
+from hive_processor_spark.sources.tables import load_table
+
+
+@register(
+    "fn_string",
+    """
+    SELECT p_partkey,
+           p_name || '|' || p_brand AS tagged,
+           UPPER(p_name) AS up_name,
+           LOWER(p_brand) AS low_brand,
+           SUBSTRING(p_name, 1, 4) AS name4,
+           TRIM('  ' || p_name || ' ') AS trimmed,
+           CAST(LENGTH(p_name) AS INT) AS name_len,
+           REPLACE(p_name, ' ', '_') AS snake,
+           LPAD(p_brand, 10, '*') AS padded,
+           REVERSE(p_name) AS rev_name,
+           STRING_SPLIT(p_name, ' ')[1] AS first_word
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.concat(F.col("p_name"), F.lit("|"), F.col("p_brand")).alias("tagged"),
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_brand").alias("low_brand"),
+        F.substring("p_name", 1, 4).alias("name4"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.lpad("p_brand", 10, "*").alias("padded"),
+        F.reverse("p_name").alias("rev_name"),
+        F.element_at(F.split("p_name", " "), 1).alias("first_word"),
+    )
+
+
+@register(
+    "fn_regex",
+    """
+    SELECT c_custkey,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
+           REGEXP_REPLACE(c_name, '[0-9]+', '#') AS masked,
+           REGEXP_EXTRACT(c_name, '^([A-Za-z]+)', 1) AS word
+    FROM customer
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patterns stay in the Java∩RE2 subset (classes, groups, quantifiers —
+    no backrefs/lookaround), where both engines agree."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("masked"),
+        F.regexp_extract("c_name", "^([A-Za-z]+)", 1).alias("word"),
+    )
+
+
+@register(
+    "fn_date",
+    """
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS yr,
+           CAST(MONTH(o_orderdate) AS INT) AS mo,
+           CAST(DAY(o_orderdate) AS INT) AS dy,
+           STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           STRFTIME(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+           CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INT) AS days_to_99,
+           STRFTIME(LAST_DAY(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avoids dayofweek/weekofyear (engine numbering differs, §2.3.6)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus30"),
+        F.datediff(F.lit("1999-01-01").cast("date"), d).alias("days_to_99"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@register(
+    "fn_timestamp",
+    """
+    SELECT event_id,
+           CAST(HOUR(ts) AS INT) AS hr,
+           CAST(MINUTE(ts) AS INT) AS mi,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS epoch_s,
+           STRFTIME(TO_TIMESTAMP(CAST(FLOOR(EPOCH(ts)) AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS ts_s,
+           STRFTIME(MAKE_TIMESTAMP(2024, 2, 1, 12, 30, 0), '%Y-%m-%d %H:%M:%S') AS fixed_ts
+    FROM events
+    """,
+)
+def fn_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session TZ is UTC (engine conf) — DuckDB timestamps are naive, so
+    parity only holds in UTC. Epochs floor to whole seconds (ns vs µs
+    precision difference is below the emitted grain)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.hour("ts").alias("hr"),
+        F.minute("ts").alias("mi"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.date_format(
+            F.timestamp_seconds(F.unix_timestamp("ts")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("ts_s"),
+        F.date_format(
+            F.make_timestamp(
+                F.lit(2024), F.lit(2), F.lit(1), F.lit(12), F.lit(30), F.lit(0)
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("fixed_ts"),
+    )
+
+
+@register(
+    "fn_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           (FLOOR(ABS(l_extendedprice - 30000.0) * 100.0) / 100.0) AS abs_spread,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           ROUND(SQRT(l_quantity), 4) AS qty_sqrt,
+           ROUND(EXP(l_discount), 6) AS disc_exp,
+           ROUND(LN(l_extendedprice), 6) AS price_ln,
+           ROUND(LOG10(l_extendedprice), 6) AS price_log10,
+           (FLOOR(POWER(l_quantity, 2.0) * 100.0) / 100.0) AS qty_sq,
+           l_orderkey % 97 AS bucket,
+           CAST(SIGN(l_extendedprice - 30000.0) AS INT) AS side
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ln``/``log10`` by unambiguous name (bare ``log`` is ln in Spark,
+    log10 in DuckDB — §2.3.6); transcendentals rounded (libm last-ulp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.abs(F.col("l_extendedprice") - 30000.0) * 100.0) / 100.0).alias(
+            "abs_spread"
+        ),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        (F.floor(F.pow("l_quantity", 2.0) * 100.0) / 100.0).alias("qty_sq"),
+        (F.col("l_orderkey") % 97).alias("bucket"),
+        F.signum(F.col("l_extendedprice") - 30000.0).cast("int").alias("side"),
+    )
+
+
+@register(
+    "fn_cond",
+    """
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(none)') AS seg,
+           GREATEST(c_acctbal, 0.0) AS bal_pos,
+           LEAST(c_acctbal, 1000.0) AS bal_cap,
+           CASE WHEN c_acctbal < 0.0 THEN 'neg' ELSE 'pos' END AS bal_side
+    FROM customer
+    """,
+)
+def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("(none)")).alias(
+            "seg"
+        ),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_pos"),
+        F.least("c_acctbal", F.lit(1000.0)).alias("bal_cap"),
+        F.when(F.col("c_acctbal") < 0.0, "neg").otherwise("pos").alias("bal_side"),
+    )
+
+
+@register(
+    "fn_hash",
+    """
+    SELECT n_nationkey, MD5(n_name) AS name_md5, SHA256(n_name) AS name_sha256
+    FROM nation
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        F.md5("n_name").alias("name_md5"),
+        F.sha2("n_name", 256).alias("name_sha256"),
+    )
+
+
+_VSUM = (
+    "CAST(LIST_AGGREGATE(LIST_TRANSFORM({v}, x -> "
+    "CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)), 'sum') AS DOUBLE) / 1000000.0"
+)
+
+
+@register(
+    "fn_array",
+    f"""
+    SELECT vec_id,
+           CAST(LEN(embedding) AS INT) AS dim,
+           ROUND(CAST(embedding[2] AS DOUBLE), 4) AS e2,
+           {_VSUM.format(v='embedding')} AS vsum,
+           {_VSUM.format(v='embedding[1:8]')} AS head_sum,
+           ROUND(CAST(LIST_AGGREGATE(embedding, 'min') AS DOUBLE), 4) AS vmin,
+           ROUND(CAST(LIST_AGGREGATE(embedding, 'max') AS DOUBLE), 4) AS vmax
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over 64-dim float vectors via higher-order functions —
+    stays in codegen, no UDF. Element sums are floor-quantized to integer
+    units so fold order can't matter."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def vsum(col: F.Column) -> F.Column:
+        q = F.transform(
+            col, lambda x: F.floor(x.cast("double") * F.lit(1e6)).cast("long")
+        )
+        return (
+            F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x).cast("double")
+            / F.lit(1e6)
+        )
+
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 2).cast("double"), 4).alias("e2"),
+        vsum(F.col("embedding")).alias("vsum"),
+        vsum(F.slice("embedding", 1, 8)).alias("head_sum"),
+        F.round(F.array_min("embedding").cast("double"), 4).alias("vmin"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("vmax"),
+    )
+
+
+@register(
+    "fn_array_explode",
+    """
+    SELECT doc_id,
+           CAST(UNNEST(RANGE(1, LEN(STRING_SPLIT(text, ' ')) + 1)) AS INT) AS pos,
+           UNNEST(STRING_SPLIT(text, ' ')) AS word,
+           LIST_CONTAINS(STRING_SPLIT(text, ' '), 'data') AS has_data
+    FROM documents
+    """,
+)
+def fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (1-based ordinal to match the DuckDB zip-unnest oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(words).alias("pos0", "word"),
+            F.array_contains(words, "data").alias("has_data"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            "word",
+            "has_data",
+        )
+    )
+
+
+@register(
+    "fn_map",
+    """
+    SELECT n_name,
+           MAP_EXTRACT(MAP {'nat': n_nationkey, 'reg': n_regionkey}, 'nat')[1] AS nat_v,
+           MAP_EXTRACT(MAP {'nat': n_nationkey, 'reg': n_regionkey}, 'reg')[1] AS reg_v
+    FROM nation
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("nat"), F.col("n_nationkey"), F.lit("reg"), F.col("n_regionkey")
+    )
+    return nation.select(
+        "n_name",
+        F.element_at(m, "nat").alias("nat_v"),
+        F.element_at(m, "reg").alias("reg_v"),
+    )
+
+
+@register(
+    "fn_struct",
+    """
+    SELECT s_suppkey,
+           STRUCT_PACK(nm := s_name, bal := s_acctbal).nm AS nm,
+           STRUCT_PACK(nm := s_name, bal := s_acctbal).bal AS bal
+    FROM supplier
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    st = F.struct(F.col("s_name").alias("nm"), F.col("s_acctbal").alias("bal"))
+    return supp.select(
+        "s_suppkey",
+        st.getField("nm").alias("nm"),
+        st.getField("bal").alias("bal"),
+    )
+
+
+@register(
+    "fn_json",
+    """
+    SELECT event_id, CAST(props->>'$.k' AS INT) AS k
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+@register(
+    "fn_json_parse",
+    """
+    SELECT event_id, CAST(props->>'$.k' AS INT) AS k
+    FROM events
+    """,
+)
+def fn_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.from_json("props", "k INT").getField("k").alias("k")
+    )

@@ -1,1 +1,264 @@
-"""(being filled in)"""
+"""Window functions (SURVEY.md §2.2-E).
+
+Every window orders by a key chain that is unique within its partition
+(events.ts is ns-unique per user; elsewhere a pk tiebreaker is appended), so
+results are deterministic. Where ties are the *point* (rank vs dense_rank,
+percent_rank), the order key is deliberately coarsened (floor of acctbal) so
+peers exist — peer rows share the rank value, keeping output deterministic.
+
+Windowed sums use the floor-quantized exact accumulator from
+functions/exact.py: frame aggregation order is engine-internal (sliding
+accumulate vs segment trees), so double sums would drift.
+
+Scale posture: a window = one shuffle on partitionBy keys + an in-partition
+sort; the partition key must be high-cardinality relative to executor count
+(user_id, nationkey). No driver-side state anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_processor_spark.engine import register
+from hive_processor_spark.sources.tables import load_table
+
+_Q = 10000.0  # value quantization factor for exact windowed sums
+
+
+def _qsum(col: str, w) -> F.Column:
+    return F.sum(F.floor(F.col(col) * F.lit(_Q)).cast("decimal(28,0)")).over(w).cast(
+        "double"
+    ) / F.lit(_Q)
+
+
+def _sql_qsum(expr: str, over: str) -> str:
+    return (
+        f"(CAST(SUM(CAST(FLOOR(({expr}) * 10000.0) AS DECIMAL(28,0))) OVER {over}"
+        f" AS DOUBLE) / 10000.0)"
+    )
+
+
+@register(
+    "win_row_number",
+    """
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+    FROM orders
+    """,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select("o_orderkey", F.row_number().over(w).alias("rn"))
+
+
+@register(
+    "win_rank_dense",
+    """
+    SELECT c_custkey,
+           CAST(RANK() OVER w AS INT) AS rk,
+           CAST(DENSE_RANK() OVER w AS INT) AS drk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY FLOOR(c_acctbal / 100.0) DESC)
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order key coarsened to create ties — peers share rank values, so the
+    rank/dense_rank gap is actually exercised."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc(F.floor(F.col("c_acctbal") / 100.0))
+    )
+    return cust.select(
+        "c_custkey",
+        F.rank().over(w).cast("int").alias("rk"),
+        F.dense_rank().over(w).cast("int").alias("drk"),
+    )
+
+
+@register(
+    "win_ntile",
+    """
+    SELECT o_orderkey,
+           CAST(NTILE(4) OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+    FROM orders
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+
+
+@register(
+    "win_percent",
+    """
+    SELECT c_custkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST() OVER w, 6) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY FLOOR(c_acctbal / 100.0))
+    """,
+)
+def win_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.floor(F.col("c_acctbal") / 100.0))
+    return cust.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
+    "win_lead_lag",
+    """
+    SELECT event_id,
+           LAG(value, 1, -1.0) OVER w AS prev_v,
+           LEAD(value, 1, -1.0) OVER w AS next_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return ev.select(
+        "event_id",
+        F.lag("value", 1, -1.0).over(w).alias("prev_v"),
+        F.lead("value", 1, -1.0).over(w).alias("next_v"),
+    )
+
+
+@register(
+    "win_running",
+    f"""
+    SELECT event_id,
+           {_sql_qsum('value', '(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)')} AS running_v
+    FROM events
+    """,
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select("event_id", _qsum("value", w).alias("running_v"))
+
+
+@register(
+    "win_sliding_rows",
+    f"""
+    SELECT event_id,
+           {_sql_qsum('value', '(PARTITION BY user_id ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)')} AS sum3_v,
+           (FLOOR({_sql_qsum('value', '(PARTITION BY user_id ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)')}
+                 / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 10000.0) / 10000.0) AS avg3_v
+    FROM events
+    """,
+)
+def win_sliding_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-2, 0)
+    s = _qsum("value", w)
+    avg = F.floor(s / F.count(F.lit(1)).over(w) * F.lit(_Q)) / F.lit(_Q)
+    return ev.select("event_id", s.alias("sum3_v"), avg.alias("avg3_v"))
+
+
+@register(
+    "win_range_frame",
+    f"""
+    SELECT o_orderkey,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_in_range,
+           {_sql_qsum('o_totalprice', 'w')} AS sum_in_range
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)
+                 RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric order key (price in integer cents; a
+    $1000.00 trailing band). The frame is defined by value distance, so peer
+    rows get identical aggregates — deterministic even where prices tie.
+    Integer cents because both engines define integral RANGE offsets
+    identically (and PySpark's rangeBetween only accepts them)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0).cast("long")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(cents)
+        .rangeBetween(-100000, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_in_range"),
+        _qsum("o_totalprice", w).alias("sum_in_range"),
+    )
+
+
+@register(
+    "win_first_last",
+    """
+    SELECT event_id,
+           FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_v,
+           LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_v
+    FROM events
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_first = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_last = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        F.first("value").over(w_first).alias("first_v"),
+        F.last("value").over(w_last).alias("last_v"),
+    )
+
+
+@register(
+    "win_topk_group",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal, rn
+    FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                       ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
+        FROM customer
+    ) t
+    WHERE rn <= 3
+    """,
+)
+def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per nation (QUALIFY shape): window rank + filter —
+    the distributed form of per-group top-k (no per-group collect)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )

@@ -1,1 +1,55 @@
-"""(being filled in)"""
+"""Caching / serving plane (SURVEY.md §2.2-L) — the Redis analog.
+
+The reference hands every handler a per-request Redis client for KV caching
+(reference ``src/processor.ts:69``, ``return_buffers: true``). In-engine,
+the hot-dataset role is played by ``df.cache()`` (in-memory columnar, zero
+serialization boundary) and the small-dimension KV-lookup role by broadcast
+hash joins (the dim table ships once to every executor — O(dim) memory,
+zero shuffle of the probe side, exactly a distributed HGET).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_processor_spark.engine import register
+from hive_processor_spark.functions.exact import dsum, sql_dsum
+from hive_processor_spark.sources.tables import load_table
+
+
+@register(
+    "cache_table",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a cached input; cached results must equal uncached
+    (the oracle runs the uncached equivalent)."""
+    li = load_table(spark, sf_dir, "lineitem").cache()
+    li.count()  # materialize the cache before the measured aggregate
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@register(
+    "cache_broadcast_lookup",
+    """
+    SELECT c_custkey, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def cache_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dimension KV lookup as a broadcast join (Redis HGET analog)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "n_name")

@@ -1,1 +1,167 @@
-"""(being filled in)"""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.2-J).
+
+The reference's entire extension API is ``ModuleFunction(db, cache, done,
+...args)`` — arbitrary user code handed the data planes (reference
+``src/processor.ts:25-27``). Spark's equivalents, in preference order:
+registered SQL expressions, Arrow-vectorized pandas UDFs, grouped
+``applyInPandas``, Python UDTFs, and (last) row-at-a-time Python UDFs.
+
+These exist to *prove the surface*; the performance guidance stands: none
+of the engine's built-in operators use Python in the hot path, and the
+pandas variants here move data via Arrow batches, not per-row pickling.
+
+Determinism note for grouped pandas UDAFs: the row order within a group
+(and partition assembly) is nondeterministic, so kernels must be
+order-independent — integer-quantized sums here, mirroring
+functions/exact.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+
+from hive_processor_spark.engine import register
+from hive_processor_spark.sources.tables import load_table, register_views
+
+
+def _disc_band(disc: float) -> str:
+    if disc < 0.03:
+        return "lo"
+    if disc < 0.07:
+        return "mid"
+    return "hi"
+
+
+@register(
+    "udf_python",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount < 0.03 THEN 'lo'
+                WHEN l_discount < 0.07 THEN 'mid'
+                ELSE 'hi' END AS band
+    FROM lineitem
+    """,
+)
+def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the slow path, kept off built-in operators)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    band = udf(_disc_band, "string")  # built per-call: type parsing needs a session
+    return li.select("l_orderkey", "l_linenumber", band("l_discount").alias("band"))
+
+
+def _net_price_kernel(price: pd.Series, disc: pd.Series) -> pd.Series:
+    return price * (1.0 - disc)
+
+
+@register(
+    "udf_pandas",
+    """
+    SELECT l_orderkey, l_linenumber,
+           (FLOOR(l_extendedprice * (1 - l_discount) * 100.0) / 100.0) AS net
+    FROM lineitem
+    """,
+)
+def udf_pandas_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar UDF; quantization happens outside the UDF in
+    JVM expressions (numpy would use a different rounding mode)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    net_price = pandas_udf(_net_price_kernel, "double")
+    net = net_price(F.col("l_extendedprice"), F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(net * 100.0) / 100.0).alias("net"),
+    )
+
+
+def _weighted_avg(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Integer-unit sums → order-independent (group row order is arbitrary).
+    num = np.floor(pdf["l_extendedprice"].values * pdf["l_quantity"].values * 100.0).astype(
+        "int64"
+    ).sum()
+    den = np.floor(pdf["l_quantity"].values * 100.0).astype("int64").sum()
+    wavg = float(np.floor(num / den * 10000.0) / 10000.0)
+    return pd.DataFrame({"l_returnflag": [pdf["l_returnflag"].iloc[0]], "wavg_price": [wavg]})
+
+
+@register(
+    "udaf_grouped",
+    """
+    SELECT l_returnflag,
+           FLOOR(CAST(SUM(CAST(FLOOR(l_extendedprice * l_quantity * 100.0) AS BIGINT)) AS DOUBLE)
+                 / CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) AS DOUBLE)
+                 * 10000.0) / 10000.0 AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregate (quantity-weighted average price) via
+    applyInPandas — the UDAF shape for logic Spark aggregates can't express."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").applyInPandas(
+        _weighted_avg, schema="l_returnflag string, wavg_price double"
+    )
+
+
+class _SplitWords:
+    def eval(self, text: str):  # noqa: ANN001
+        for i, w in enumerate(text.split(" ")):
+            if w:
+                yield i + 1, w
+
+
+@register(
+    "udtf_python",
+    """
+    SELECT doc_id,
+           CAST(UNNEST(RANGE(1, LEN(STRING_SPLIT(text, ' ')) + 1)) AS INT) AS pos,
+           UNNEST(STRING_SPLIT(text, ' ')) AS word
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (1 row → n rows) applied via LATERAL join."""
+    register_views(spark, sf_dir)
+    spark.udtf.register("split_words", udtf(_SplitWords, returnType="pos: int, word: string"))
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.word
+        FROM documents d, LATERAL split_words(d.text) s
+        WHERE d.doc_id < 100
+        """
+    )
+
+
+@register(
+    "udf_registered_sql",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 100000.0 THEN 'S'
+                WHEN o_totalprice < 300000.0 THEN 'M'
+                ELSE 'L' END AS size_band
+    FROM orders
+    """,
+)
+def udf_registered_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF registered into the session catalog and called from SQL text —
+    the direct heir of Processor.call + handler dispatch."""
+    register_views(spark, sf_dir)
+
+    def band(total: float) -> str:
+        if total < 100000.0:
+            return "S"
+        if total < 300000.0:
+            return "M"
+        return "L"
+
+    spark.udf.register("order_size_band", band, "string")
+    return spark.sql(
+        "SELECT o_orderkey, order_size_band(o_totalprice) AS size_band FROM orders"
+    )

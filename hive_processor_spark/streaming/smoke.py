@@ -1,1 +1,167 @@
-"""(being filled in)"""
+"""True Structured Streaming smokes (SURVEY.md §2.2-I, Tier R).
+
+The reference's one genuinely streaming-shaped feature is its unbounded
+nanomsg job-pull loop (reference ``src/processor.ts:61-89``); the Spark
+analog is ``readStream → transform → writeStream`` with ``foreachBatch`` as
+the dispatch hook. These queries replay the ``events`` fixture through a
+file stream (``maxFilesPerTrigger=1`` so multiple micro-batches actually
+happen), exercising watermarks, late-data drop, and arbitrary stateful
+processing; each returns its final state as a static DataFrame (rows-only
+checked — a stream has no SQL oracle).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from hive_processor_spark.engine import register
+from hive_processor_spark.sources.roundtrip import _scratch
+from hive_processor_spark.sources.tables import load_table
+
+
+def _replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> tuple[str, DataFrame]:
+    """Split events into n time-ordered parquet files with increasing mtimes
+    so the file stream replays them in event-time order."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = _scratch("stream")
+    chunk = ev.withColumn("chunk", F.ntile(n_chunks).over(Window.orderBy("ts")))
+    for i in range(1, n_chunks + 1):
+        part = f"{path}/{i:03d}.parquet"
+        chunk.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        now = time.time() + i  # strictly increasing mtimes → replay order
+        for root, _dirs, files in os.walk(part):
+            for f in files:
+                os.utime(os.path.join(root, f), (now, now))
+    return path, ev
+
+
+@register("stream_micro_batch")  # Tier R: the driver can't oracle a stream
+def stream_micro_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental tumbling-window count with a 1-hour watermark, replayed
+    file-by-file; final (complete-mode) state must equal the batch answer —
+    asserted in tests/test_streaming.py."""
+    path, ev = _replay_dir(spark, sf_dir)
+    schema = ev.schema
+    name = f"mb_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{path}/*.parquet")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_timestamp("w.start").alias("bucket_start"), "n_events")
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register("stream_late_data")  # Tier R
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark drop semantics: four hourly batches, then a final batch
+    containing one row arriving hours late into the hour-0 window. With a
+    1-hour watermark + append mode that window has long been closed and
+    emitted — the late row must be dropped, so hour-0 stays at n=5
+    (asserted in tests). Note Spark filters late input against the
+    *previous* batch's watermark (one batch of lag, observed empirically),
+    hence the spacer batch between the on-time data and the late row.
+    Output: (bucket_start, n_events) per closed window."""
+    path = _scratch("late")
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    batches = [
+        [(i * 10 + j, base + i * 3600 + j * 60) for j in range(5)] for i in range(4)
+    ]
+    batches.append([(999, base + 30 * 60)])  # late row into the hour-0 window
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows, columns=["event_id", "epoch_s"])
+        df = spark.createDataFrame(pdf).select(
+            "event_id", F.timestamp_seconds("epoch_s").alias("ts")
+        )
+        part = f"{path}/{i:03d}.parquet"
+        df.coalesce(1).write.mode("overwrite").parquet(part)
+        now = time.time() + i
+        for root, _dirs, files in os.walk(part):
+            for f in files:
+                os.utime(os.path.join(root, f), (now, now))
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.schema("event_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{path}/*.parquet")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_timestamp("w.start").alias("bucket_start"), "n_events")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def _running_count(key, pdf_iter, state: GroupState):
+    """Stateful per-user running count (the applyInPandasWithState kernel)."""
+    n = state.get[0] if state.exists else 0
+    for pdf in pdf_iter:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+
+@register("stream_stateful")  # Tier R
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming (applyInPandasWithState): per-user event
+    counts accumulated across micro-batches, collected via foreachBatch
+    (last emission per user wins = final count)."""
+    path, ev = _replay_dir(spark, sf_dir)
+    schema = ev.schema
+    final: dict[int, int] = {}
+
+    def sink(batch_df: DataFrame, _bid: int) -> None:
+        for row in batch_df.collect():
+            final[row["user_id"]] = row["n_events"]
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{path}/*.parquet")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_count,
+            outputStructType="user_id BIGINT, n_events BIGINT",
+            stateStructType="n BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    pdf = pd.DataFrame(
+        sorted(final.items()), columns=["user_id", "n_events"]
+    )
+    return spark.createDataFrame(pdf)

@@ -1,1 +1,223 @@
-"""(being filled in)"""
+"""Document deduplication (SURVEY.md §2.2-K): exact, normalized, SimHash,
+n-gram Jaccard, and MinHash-LSH.
+
+The at-scale shapes:
+
+- exact/normalized — one hash-groupBy; shuffle traffic ∝ distinct hashes.
+- SimHash — per-doc 64-bit signature via bit-majority over token hashes
+  (here 60 bits to stay in BIGINT for the oracle); near-dups then pair on
+  small Hamming distance within signature buckets. Fully expression-based.
+- n-gram Jaccard — shingle → explode → self-join on shingle → count
+  overlap; the candidate join is bounded by shingle collision counts, the
+  distributed form of suffix blocking.
+- MinHash-LSH — ``pyspark.ml`` banded minhash with pinned seed; the
+  approxSimilarityJoin replaces the quadratic pair scan at corpus scale.
+
+The fixture corpus has zero exact duplicates (measured — FIXTURES.md), so
+``dedup_exact``'s correct answer is the empty set; tests assert that rather
+than assuming dups exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_processor_spark.engine import register
+from hive_processor_spark.sources.tables import load_table
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT MD5(text) AS text_md5, CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY MD5(text)
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@register(
+    "dedup_norm",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')))
+                AS BIGINT) AS n_distinct_norm
+    FROM documents
+    """,
+)
+def dedup_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization (lower + trim + whitespace collapse) before hashing —
+    the first rung of near-dup removal."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(norm)).alias("n_distinct_norm"),
+    )
+
+
+_N_BITS = 60  # stay within BIGINT so the DuckDB oracle can mirror the math
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id, ('0x' || SUBSTRING(MD5(word), 1, 15))::BIGINT AS h
+        FROM tok
+    ), bits AS (
+        SELECT doc_id, CAST(UNNEST(RANGE(0, {_N_BITS})) AS INT) AS bit, h
+        FROM hashed
+    ), votes AS (
+        SELECT doc_id, bit,
+               SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM bits GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN CAST(POWER(2, bit) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures: per-bit majority vote over (distinct) token
+    hashes. 60 bits of the tokens' md5 prefix; near-dup candidates at scale
+    are pairs with small Hamming distance, found by banding the signature."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).distinct()
+    hashed = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    bits = hashed.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(_N_BITS - 1))).alias("bit"), "h"
+    )
+    votes = bits.withColumn(
+        "one", F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
+    ).groupBy("doc_id", "bit").agg(F.sum("one").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+        SELECT DISTINCT doc_id, UNNEST(shingles) AS shingle
+        FROM (
+            SELECT doc_id,
+                   [ARRAY_TO_STRING(w[i:i+2], ' ') FOR i IN RANGE(1, LEN(w) - 1)] AS shingles
+            FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents) t
+        ) s
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           (FLOOR(CAST(c AS DOUBLE) / (sa.n + sb.n - c) * 10000.0) / 10000.0) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE (FLOOR(CAST(c AS DOUBLE) / (sa.n + sb.n - c) * 10000.0) / 10000.0) >= 0.08
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-trigram Jaccard similarity via shingle self-join — candidate
+    pairs only materialize where shingles collide (the exact-computation
+    counterpart of MinHash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    shingles = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2),"
+        " i -> array_join(slice(split(text, ' '), i, 3), ' '))"
+    )
+    sh = (
+        docs.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.floor(
+        F.col("c").cast("double")
+        / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+        * 10000.0
+    ) / 10000.0
+    return (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.08)
+    )
+
+
+@register("dedup_minhash")  # Tier R: seeded ML minhash, not SQL-expressible
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (shingle → binary vector → banded
+    minhash → bucket join), seed pinned for determinism. At corpus scale
+    this replaces the quadratic shingle self-join with an O(candidates)
+    bucket join."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingles = F.expr(
+        "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),"
+        " i -> array_join(slice(split(text, ' '), i, 3), ' ')))"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingles.alias("tokens")
+    )
+    tf = HashingTF(inputCol="tokens", outputCol="vec", numFeatures=1 << 16, binary=True)
+    vecs = tf.transform(docs)
+    model = MinHashLSH(inputCol="vec", outputCol="hashes", numHashTables=8, seed=42).fit(
+        vecs
+    )
+    # Trigram-shingle jaccard (the same feature space as dedup_ngram_jaccard,
+    # whose exact pairs this candidate set should cover).
+    pairs = model.approxSimilarityJoin(vecs, vecs, 0.93, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            (F.floor((1.0 - F.col("jaccard_dist")) * 10000.0) / 10000.0).alias(
+                "jaccard_sim"
+            ),
+        )
+        .orderBy(F.desc("jaccard_sim"), F.asc("doc_a"), F.asc("doc_b"))
+    )

@@ -1,1 +1,266 @@
-"""(being filled in)"""
+"""Embedding similarity search (SURVEY.md §2.2-K): exact brute-force
+baselines, an IVF-style probe, and seeded LSH for the approximate path.
+
+Scale ladder (the shapes a 100 TB embedding corpus needs):
+
+1. ``sim_knn_query`` — one query vs corpus: broadcast the query, scan once;
+   compute-bound, embarrassingly parallel.
+2. ``sim_cosine_pairs`` / ``embed_neardup`` — all-pairs: O(n²) only works
+   in-cluster; the scale path is #3/#4.
+3. ``sim_ann_ivf`` — probe the nearest coarse cell, search only within it
+   (here the fixture's label plays the trained coarse quantizer; in
+   production the assignment comes from k-means and the per-cell search is
+   a partition-pruned scan of a cell-partitioned table).
+4. ``sim_ann_lsh`` — BucketedRandomProjectionLSH (seeded): candidate pairs
+   only where buckets collide; the bucket-join replaces the cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_processor_spark.engine import register
+from hive_processor_spark.functions.vector import (
+    SQL_SQ_NORM_Q,
+    cosine_q,
+    sq_norm_q,
+    sql_cosine_q,
+)
+from hive_processor_spark.sources.tables import load_table
+
+
+@register(
+    "sim_cosine_pairs",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({sql_cosine_q('a.embedding', 'b.embedding')}, 4) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY sim DESC, vec_a, vec_b
+    LIMIT 10
+    """,
+)
+def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine top-10 — the brute-force baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = F.round(cosine_q(F.col("a.embedding"), F.col("b.embedding")), 4)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(10)
+    )
+
+
+@register(
+    "sim_knn_query",
+    f"""
+    SELECT e.vec_id,
+           ROUND({sql_cosine_q('e.embedding', 'q.embedding')}, 4) AS sim
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN of one query vector: broadcast the query row, single scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    e = emb.filter(F.col("vec_id") != 0)
+    sim = F.round(cosine_q(F.col("embedding"), F.col("q_emb")), 4)
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+_CENTROID_CTE = """
+    WITH ex AS (
+        SELECT label,
+               CAST(UNNEST(RANGE(1, LEN(embedding) + 1)) AS INT) AS pos,
+               CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        FROM embeddings
+    ), cent AS (
+        SELECT label, pos,
+               CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0 AS m
+        FROM ex GROUP BY label, pos
+    )
+"""
+
+
+@register(
+    "sim_centroid",
+    _CENTROID_CTE
+    + """
+    SELECT label,
+           ROUND(SQRT(CAST(SUM(CAST(FLOOR(m * m * 1e12) AS BIGINT)) AS DOUBLE) / 1e12), 4)
+               AS centroid_norm,
+           CAST(COUNT(*) AS BIGINT) AS dim
+    FROM cent GROUP BY label
+    """,
+)
+def sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid L2 norms: posexplode → per-(label,dim) mean →
+    re-aggregate. Both reductions are integer-quantized (shuffle-order
+    independent)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.floor(F.col("x").cast("double") * F.lit(1e6)).cast("long").alias("q"),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        (F.sum("q").cast("double") / F.count(F.lit(1)) / F.lit(1e6)).alias("m")
+    )
+    return cent.groupBy("label").agg(
+        F.round(
+            F.sqrt(
+                F.sum(F.floor(F.col("m") * F.col("m") * F.lit(1e12)).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(1e12)
+            ),
+            4,
+        ).alias("centroid_norm"),
+        F.count(F.lit(1)).alias("dim"),
+    )
+
+
+@register(
+    "embed_norm",
+    f"""
+    SELECT vec_id, ROUND(SQRT({SQL_SQ_NORM_Q.format(v='embedding')}), 4) AS l2
+    FROM embeddings
+    """,
+)
+def embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.round(F.sqrt(sq_norm_q(F.col("embedding"))), 4).alias("l2")
+    )
+
+
+@register(
+    "embed_neardup",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({sql_cosine_q('a.embedding', 'b.embedding')}, 4) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND({sql_cosine_q('a.embedding', 'b.embedding')}, 4) >= 0.4
+    """,
+)
+def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, thresholded) — the
+    oracle-checkable core of embedding dedup; the LSH variant below is the
+    at-scale candidate generator."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = F.round(cosine_q(F.col("a.embedding"), F.col("b.embedding")), 4)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.4)
+    )
+
+
+@register(
+    "sim_ann_ivf",
+    _CENTROID_CTE
+    + f"""
+    , cvec AS (
+        SELECT label, LIST(m ORDER BY pos) AS centroid FROM cent GROUP BY label
+    ), q AS (
+        SELECT embedding FROM embeddings WHERE vec_id = 0
+    ), probe AS (
+        SELECT c.label
+        FROM cvec c CROSS JOIN q
+        ORDER BY ROUND({sql_cosine_q('q.embedding', 'c.centroid')}, 4) DESC, c.label
+        LIMIT 1
+    )
+    SELECT e.vec_id, e.label,
+           ROUND({sql_cosine_q('e.embedding', 'q.embedding')}, 4) AS sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.label = (SELECT label FROM probe) AND e.vec_id <> 0
+    ORDER BY sim DESC, e.vec_id
+    LIMIT 5
+    """,
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN probe: pick the nearest coarse cell by centroid cosine,
+    brute-force only inside that cell. The fixture's ``label`` stands in for
+    a trained coarse quantizer; at scale the table is partitioned by cell id
+    so the inner search is a partition-pruned scan (1/k of the data per
+    probe), and ``nprobe`` generalizes to the top-n cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+
+    ex = emb.select("label", F.posexplode("embedding").alias("pos0", "x")).select(
+        "label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.floor(F.col("x").cast("double") * F.lit(1e6)).cast("long").alias("q"),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        (F.sum("q").cast("double") / F.count(F.lit(1)) / F.lit(1e6)).alias("m")
+    )
+    cvec = cent.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("m")))
+        ).getField("m").alias("centroid")
+    )
+    probe = (
+        cvec.crossJoin(F.broadcast(q))
+        .select(
+            "label",
+            F.round(cosine_q(F.col("q_emb"), F.col("centroid")), 4).alias("csim"),
+        )
+        .orderBy(F.desc("csim"), F.asc("label"))
+        .limit(1)
+        .select("label")
+    )
+    sim = F.round(cosine_q(F.col("embedding"), F.col("q_emb")), 4)
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .join(F.broadcast(probe), "label")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+@register("sim_ann_lsh")  # Tier R: hash-bucket candidates, seeded but not SQL
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH (seeded): top-10 bucket-join
+    neighbors of vec 0 by Euclidean distance."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("vec")
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+    ).fit(emb)
+    key = emb.filter(F.col("vec_id") == 0).head()["vec"]
+    out = model.approxNearestNeighbors(emb.filter(F.col("vec_id") != 0), key, 10)
+    return out.select(
+        "vec_id", F.round(F.col("distCol").cast("double"), 4).alias("dist")
+    )

@@ -1,1 +1,208 @@
-"""(being filled in)"""
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.2-K
+plus the quality/token/fingerprint/language-ID set a 100 TB document corpus
+needs). Everything is built-in expression work over ``split(text, ' ')`` —
+per-document, embarrassingly parallel, no shuffles except the final small
+aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_processor_spark.engine import register
+from hive_processor_spark.sources.tables import load_table
+
+def _words() -> Column:
+    """Token array (built lazily — Column construction needs a live session)."""
+    return F.split(F.trim(F.col("text")), " ")
+
+
+@register(
+    "text_wordcount",
+    """
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS word FROM documents) t
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_words()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_stats",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           (FLOOR(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) * 100.0) / 100.0) AS avg_chars,
+           (FLOOR(CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS DOUBLE) / COUNT(*) * 100.0) / 100.0) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    return docs.groupBy("lang").agg(
+        n.alias("n_docs"),
+        (F.floor(F.sum("n_chars").cast("double") / n * 100.0) / 100.0).alias(
+            "avg_chars"
+        ),
+        (F.floor(F.sum(F.size(_words())).cast("double") / n * 100.0) / 100.0).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+@register(
+    "text_lang_filter",
+    """
+    SELECT doc_id, lang, source FROM documents WHERE lang IN ('en', 'de')
+    """,
+)
+def text_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("lang").isin("en", "de")).select(
+        "doc_id", "lang", "source"
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
+           (FLOOR((CAST(n_chars AS DOUBLE) - LEN(STRING_SPLIT(text, ' ')) + 1)
+                  / LEN(STRING_SPLIT(text, ' ')) * 10000.0) / 10000.0) AS avg_token_len,
+           (FLOOR(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                       x -> x IN {_STOPWORDS!r})) AS DOUBLE)
+                  / LEN(STRING_SPLIT(text, ' ')) * 10000.0) / 10000.0) AS stopword_ratio,
+           (FLOOR(CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                  / LEN(STRING_SPLIT(text, ' ')) * 10000.0) / 10000.0) AS distinct_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token count, mean token length,
+    stopword ratio, type-token (distinct) ratio — the standard cheap
+    filters before expensive dedup/training stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_words()).cast("double")
+    stop = F.size(F.filter(_words(), lambda x: x.isin(*_STOPWORDS))).cast("double")
+    uniq = F.size(F.array_distinct(_words())).cast("double")
+    avg_len = (F.col("n_chars").cast("double") - n_tok + 1) / n_tok
+    fq = lambda c: F.floor(c * 10000.0) / 10000.0  # noqa: E731
+    return docs.select(
+        "doc_id",
+        F.size(_words()).alias("n_tokens"),
+        fq(avg_len).alias("avg_token_len"),
+        fq(stop / n_tok).alias("stopword_ratio"),
+        fq(uniq / n_tok).alias("distinct_ratio"),
+    )
+
+
+@register(
+    "text_tokens",
+    """
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_ws_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z0-9]+')) AS INT) AS n_re_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[aeiou]')) AS INT) AS n_vowels
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex pass
+    (alnum runs), plus a character-class count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z0-9]+")).alias("n_re_tokens"),
+        F.regexp_count("text", F.lit("[aeiou]")).alias("n_vowels"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           MD5(ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:8], ' ')) AS head_fp,
+           MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' '))
+               AS vocab_fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: head-of-doc hash (prefix dedup) and a sorted
+    vocabulary hash (bag-of-words identity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(w, 1, 8), " ")).alias("head_fp"),
+        F.md5(F.array_join(F.sort_array(F.array_distinct(w)), " ")).alias("vocab_fp"),
+    )
+
+
+#: Marker tokens per language for the n-gram/keyword language-ID heuristic.
+#: The fixture corpus shares one vocabulary across langs, so this exercises
+#: the machinery (argmax over per-language evidence scores with a
+#: deterministic tiebreak), not linguistic accuracy.
+_LANG_MARKERS = {
+    "de": ("der", "und", "nicht", "das"),
+    "en": ("the", "a", "and", "fast"),
+    "es": ("el", "la", "que", "de"),
+    "fr": ("le", "la", "et", "est"),
+    "zh": ("de", "shi", "bu", "le"),
+}
+
+
+def _score(lang: str) -> Column:
+    return F.size(F.filter(_words(), lambda x: x.isin(*_LANG_MARKERS[lang])))
+
+
+@register(
+    "text_langid",
+    f"""
+    SELECT doc_id, lang,
+           LIST_AGGREGATE([
+               {{'s': LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '), x -> x IN {_LANG_MARKERS['de']!r})), 'l': 'de'}},
+               {{'s': LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '), x -> x IN {_LANG_MARKERS['en']!r})), 'l': 'en'}},
+               {{'s': LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '), x -> x IN {_LANG_MARKERS['es']!r})), 'l': 'es'}},
+               {{'s': LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '), x -> x IN {_LANG_MARKERS['fr']!r})), 'l': 'fr'}},
+               {{'s': LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '), x -> x IN {_LANG_MARKERS['zh']!r})), 'l': 'zh'}}
+           ], 'max').l AS pred_lang
+    FROM documents
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-evidence language ID: score each candidate language by marker
+    overlap, argmax with deterministic tiebreak (struct max: score, then
+    language code). Swap the marker lists for real per-language n-gram
+    tables in production; the plan shape is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    candidates = F.array(
+        *[
+            F.struct(_score(lang).alias("s"), F.lit(lang).alias("l"))
+            for lang in sorted(_LANG_MARKERS)
+        ]
+    )
+    return docs.select(
+        "doc_id", "lang", F.array_max(candidates).getField("l").alias("pred_lang")
+    )

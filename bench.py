@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Protocol (BASELINE.md notes): one shared SparkSession amortizes the ~6 s
+startup; every query runs twice and the steady-state (second) time is
+reported — first runs carry codegen/JIT warmup that a long-lived cluster
+never pays. Failures are skipped, not fatal (the reference's own
+``async_serial_ignore`` pattern, src/processor.ts:149-161).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+import traceback
+
+from hive_processor_spark import get_spark, queries
+
+#: Headline set: the BASELINE.md shapes plus one representative per
+#: operator family that matters at scale.
+HEADLINE = [
+    "agg_groupby",        # Q1 scan+group agg
+    "join_multiway",      # Q3 3-way join + topk
+    "win_topk_group",     # window top-k per group
+    "stream_tumbling",    # event-time rollup (ns ingestion incl.)
+    "sim_cosine_pairs",   # all-pairs cosine top-10
+    "join_asof",          # union+window as-of join
+    "stream_session",     # session windows
+    "dedup_ngram_jaccard",  # shingle self-join dedup
+    "text_wordcount",     # explode+count
+    "fn_math",            # wide scalar projection
+    "join_broadcast",     # broadcast dim join
+    "agg_rollup",         # grouping-set aggregate
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(app_name="hive-processor-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        try:
+            qs[name](spark, sf_dir).collect()  # warmup: codegen + JIT
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            per_query[name] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            continue
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_steady_state",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

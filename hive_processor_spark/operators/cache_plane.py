@@ -29,10 +29,18 @@ from hive_processor_spark.sources.tables import load_table
     """,
 )
 def cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregate over a cached input; cached results must equal uncached
-    (the oracle runs the uncached equivalent)."""
-    li = load_table(spark, sf_dir, "lineitem").cache()
-    li.count()  # materialize the cache before the measured aggregate
+    """Aggregate over a materialized hot copy; cached results must equal
+    uncached (the oracle runs the uncached equivalent).
+
+    ``localCheckpoint`` rather than ``cache()``: a plain ``cache()`` enters
+    the session-wide CacheManager, which then silently substitutes the
+    InMemoryRelation into *every* later plan scanning the same path —
+    defeating parquet filter pushdown engine-wide and, at 100 TB, pinning a
+    whole fact table in executor memory as a side effect of one query.
+    ``localCheckpoint`` materializes to executor storage for this lineage
+    only (the per-request Redis client of the reference, not a global one).
+    """
+    li = load_table(spark, sf_dir, "lineitem").localCheckpoint(eager=True)
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
         dsum("l_quantity").alias("sum_qty"),

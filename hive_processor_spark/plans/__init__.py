@@ -1,1 +1,1 @@
-"""(being filled in)"""
+from hive_processor_spark.plans.asserts import plan_string  # noqa: F401

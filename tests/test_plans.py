@@ -1,0 +1,52 @@
+"""Physical-plan assertions (SURVEY.md §5.2.5): the plan properties that
+keep these operators viable at 100 TB, pinned so regressions surface at
+sf0.01."""
+
+from __future__ import annotations
+
+from hive_processor_spark import queries
+from hive_processor_spark.plans import plan_string
+from tests.conftest import SF_DIR
+
+_QUERIES = queries()
+
+
+def test_broadcast_join_is_broadcast(spark):
+    plan = plan_string(_QUERIES["join_broadcast"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    plan = plan_string(_QUERIES["scan_filter_pushdown"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_projection_prunes_scan_schema(spark):
+    plan = plan_string(_QUERIES["scan_projection"](spark, SF_DIR))
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema
+    # the scan must not read the 8 unprojected lineitem columns
+    assert "l_extendedprice" not in read_schema
+    assert "l_shipdate" not in read_schema
+
+
+def test_aggregate_is_partial_final(spark):
+    plan = plan_string(_QUERIES["agg_partial_final"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2  # partial + final phases
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = plan_string(_QUERIES["topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_broadcasts_query_vector(spark):
+    plan = plan_string(_QUERIES["sim_knn_query"](spark, SF_DIR))
+    assert "Broadcast" in plan
+
+
+def test_no_cartesian_in_equi_joins(spark):
+    for name in ("join_inner", "join_multiway", "join_broadcast"):
+        plan = plan_string(_QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name

@@ -1,0 +1,109 @@
+"""Metamorphic / property checks (SURVEY.md §5.2.4) — cheap invariants that
+hold regardless of fixture content, guarding operator semantics from a
+direction the oracle diff can't (the oracle could be wrong the same way)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_processor_spark import queries
+from hive_processor_spark.operators.asof import asof_join
+from hive_processor_spark.sources import load_table
+from tests.conftest import SF_DIR, SF_SMALL
+
+_QUERIES = queries()
+
+
+def test_semi_anti_partition_left(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    semi = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi").count()
+    anti = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti").count()
+    assert semi + anti == orders.count()
+
+
+def test_union_all_count_is_sum(spark):
+    cust = load_table(spark, SF_DIR, "customer")
+    supp = load_table(spark, SF_DIR, "supplier")
+    u = _QUERIES["set_union_all"](spark, SF_DIR)
+    assert u.count() == cust.count() + supp.count()
+
+
+def test_join_cardinality_bound(spark):
+    region = load_table(spark, SF_DIR, "region")
+    nation = load_table(spark, SF_DIR, "nation")
+    joined = region.crossJoin(nation)
+    assert joined.count() == region.count() * nation.count()
+
+
+def test_distinct_idempotent(spark):
+    d1 = _QUERIES["dedup_distinct"](spark, SF_DIR)
+    assert d1.distinct().count() == d1.count()
+
+
+def test_cross_sf_monotonicity(spark):
+    small = load_table(spark, SF_SMALL, "lineitem").count()
+    big = load_table(spark, SF_DIR, "lineitem").count()
+    assert 5 * small <= big <= 20 * small  # ≈10× scaling
+
+
+def test_asof_preserves_left_rows(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    out = asof_join(purchases, clicks, keys=["user_id"], ts="ts", payload=["click_id"])
+    assert out.count() == purchases.count()
+
+
+def test_asof_match_is_prior_same_user(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    out = _QUERIES["join_asof"](spark, SF_DIR).filter(
+        F.col("asof_click_id").isNotNull()
+    )
+    clicks = ev.select(
+        F.col("event_id").alias("asof_click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purch = ev.select(F.col("event_id"), F.col("ts").alias("p_ts"))
+    j = out.join(clicks, "asof_click_id").join(purch, "event_id")
+    bad = j.filter(
+        (F.col("c_user") != F.col("user_id")) | (F.col("c_ts") > F.col("p_ts"))
+    )
+    assert bad.count() == 0
+
+
+def test_window_rank_within_partition_size(spark):
+    out = _QUERIES["win_topk_group"](spark, SF_DIR)
+    bounds = out.agg(F.min("rn"), F.max("rn")).head()
+    assert bounds[0] >= 1 and bounds[1] <= 3
+
+
+def test_cosine_self_similarity_is_one(spark):
+    from hive_processor_spark.functions.vector import cosine_q
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    mm = emb.select(
+        F.round(cosine_q(F.col("embedding"), F.col("embedding")), 6).alias("s")
+    ).agg(F.min("s"), F.max("s")).head()
+    assert mm[0] == 1.0 and mm[1] == 1.0
+
+
+def test_exact_dedup_empty_on_unique_corpus(spark):
+    # FIXTURES.md: zero exact duplicates, measured — assert, don't assume.
+    assert _QUERIES["dedup_exact"](spark, SF_DIR).count() == 0
+
+
+def test_minhash_candidates_cover_exact_pairs(spark):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in _QUERIES["dedup_ngram_jaccard"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b) for r in _QUERIES["dedup_minhash"](spark, SF_DIR).collect()
+    }
+    assert exact <= approx

@@ -1,0 +1,51 @@
+"""Streaming harness checks (SURVEY.md §5.2.6): final incremental state must
+equal the batch answer; late data beyond the watermark must be dropped."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_processor_spark import queries
+from hive_processor_spark.sources import load_table
+from tests.conftest import SF_SMALL
+
+_QUERIES = queries()
+
+
+def test_micro_batch_equals_batch(spark):
+    stream = {
+        r.bucket_start: r.n_events
+        for r in _QUERIES["stream_micro_batch"](spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events")
+    batch = {
+        r.b: r.n
+        for r in ev.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("b"), "n")
+        .collect()
+    }
+    assert stream == batch
+
+
+def test_stateful_equals_batch_counts(spark):
+    stream = {
+        r.user_id: r.n_events
+        for r in _QUERIES["stream_stateful"](spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events")
+    batch = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert stream == batch
+
+
+def test_late_row_dropped(spark):
+    rows = {
+        r.bucket_start: r.n_events
+        for r in _QUERIES["stream_late_data"](spark, SF_SMALL).collect()
+    }
+    # hour-0 window closed with its 5 on-time rows; the late row (which
+    # would make it 6) must have been dropped by the watermark.
+    assert rows[1704067200] == 5

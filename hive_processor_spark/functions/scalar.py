@@ -358,3 +358,30 @@ def fn_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.from_json("props", "k INT").getField("k").alias("k")
     )
+
+
+@register(
+    "fn_bitwise",
+    """
+    SELECT o_orderkey,
+           o_orderkey & 255 AS b_and,
+           o_orderkey | 4096 AS b_or,
+           XOR(o_orderkey, 1365) AS b_xor,
+           o_orderkey << 2 AS b_shl,
+           o_orderkey >> 3 AS b_shr
+    FROM orders
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family — two's-complement semantics agree across engines for
+    non-negative keys; shifts stay within 64-bit range by construction."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("b_and"),
+        k.bitwiseOR(F.lit(4096)).alias("b_or"),
+        k.bitwiseXOR(F.lit(1365)).alias("b_xor"),
+        F.shiftleft(k, 2).alias("b_shl"),
+        F.shiftright(k, 3).alias("b_shr"),
+    )

@@ -351,3 +351,107 @@ def agg_partial_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum("l_extendedprice").alias("sum_price"),
     )
+
+
+@register(
+    "agg_salted_skew",
+    f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed group keys: phase 1 groups by
+    ``(key, salt)`` — spreading a hot key over 32 reducers — phase 2 merges
+    the partials per key. count/sum re-aggregate losslessly (the decimal-sum
+    discipline keeps the merge order-independent), so the result equals the
+    direct groupBy the oracle runs.
+
+    events.event_type has ~5 distinct values over the whole table — the
+    canonical skew shape where a plain hash aggregate leaves all but a
+    handful of reducers idle. (Spark's partial aggregation already combines
+    map-side; explicit salting is the pattern for when partials themselves
+    skew, e.g. under high-cardinality distincts per hot key.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(32)).cast("int")
+    )
+    quantized = F.floor(F.col("value") * F.lit(1e4)).cast("decimal(28,0)")
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("n_partial"),
+        F.sum(quantized).alias("sum_partial"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("n_partial").alias("n_events"),
+        (F.sum("sum_partial").cast("double") / F.lit(1e4)).alias("sum_value"),
+    )
+
+
+@register(
+    "agg_pivot",
+    """
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS st_f,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS st_o,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS st_p
+    FROM orders GROUP BY CAST(YEAR(o_orderdate) AS INT)
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long→wide with an explicit value list. Pinning the pivot
+    values keeps the plan a single pass (no extra distinct-values job) and
+    the output schema static — both required at scale and for hash parity.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return wide.select(
+        "order_year",
+        F.coalesce(F.col("F"), F.lit(0)).alias("st_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("st_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("st_p"),
+    )
+
+
+@register(
+    "agg_unpivot",
+    """
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS val FROM part
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide→long, the inverse reshape (narrow scans stay
+    possible because unpivot is a zero-shuffle projection)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "metric", "val")
+
+
+@register(
+    "agg_count_if_bool",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT_IF(l_quantity > 25.0) AS BIGINT) AS n_big,
+           BOOL_AND(l_extendedprice > 0.0) AS all_positive,
+           BOOL_OR(l_discount > 0.09) AS any_deep_discount
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_if_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate aggregates: count_if / bool_and (every) / bool_or (any)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25.0).alias("n_big"),
+        F.bool_and(F.col("l_extendedprice") > 0.0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+    )

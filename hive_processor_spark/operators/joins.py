@@ -281,3 +281,40 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.event_id").alias("later_purchase_id"),
         F.col("a.user_id").alias("user_id"),
     )
+
+
+@register(
+    "join_salted",
+    """
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join by key salting: the probe side adds a salt in
+    [0, 16), the (small, skewed-key) build side is replicated once per salt
+    value, and the join runs on ``(key, salt)`` — a hot key's rows now land
+    on 16 reducers instead of one. Result is identical to the plain join by
+    construction (the oracle runs the unsalted equivalent).
+
+    At 100 TB this is the manual fallback when AQE's skew-join split cannot
+    help (e.g. the skew is in a broadcast-ineligible build side); the salt
+    fan-out trades `salt×` replication of the small side for even reducer
+    occupancy on the large side.
+    """
+    n_salt = 16
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "salt", F.pmod(F.xxhash64("c_custkey"), F.lit(n_salt)).cast("int")
+    )
+    nation = load_table(spark, sf_dir, "nation").crossJoin(
+        spark.range(n_salt).select(F.col("id").cast("int").alias("salt"))
+    )
+    return (
+        cust.join(
+            nation,
+            (cust.c_nationkey == nation.n_nationkey) & (cust.salt == nation.salt),
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

@@ -72,3 +72,76 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             " fake_width int, fake_height int"
         ),
     )
+
+
+@register(
+    "mm_resize_stub",
+    """
+    SELECT doc_id,
+           CAST(64 + LENGTH(text) % 256 AS INT) AS src_w,
+           CAST(64 + (LENGTH(text) // 7) % 256 AS INT) AS src_h,
+           CAST(224 AS INT) AS dst_w,
+           CAST(FLOOR((64 + (LENGTH(text) // 7) % 256) * 224.0
+                      / (64 + LENGTH(text) % 256)) AS INT) AS dst_h
+    FROM documents
+    """,
+)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning stage: aspect-preserving target dims for each decoded
+    image (width pinned to 224). The arithmetic is the real operator; the
+    pixel resample itself would live in the same mapInPandas as the decoder
+    (one Arrow pass for decode→resize→re-encode, not three)."""
+    decoded = mm_decode_stub(spark, sf_dir)
+    return decoded.select(
+        "doc_id",
+        F.col("fake_width").alias("src_w"),
+        F.col("fake_height").alias("src_h"),
+        F.lit(224).cast("int").alias("dst_w"),
+        F.floor(F.col("fake_height") * 224.0 / F.col("fake_width"))
+        .cast("int")
+        .alias("dst_h"),
+    )
+
+
+def _frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fake frame sampler: every 50th "frame" of a payload whose frame count
+    is derived from its byte length (1 frame per 16 bytes). One input row
+    fans out to n rows — the shape of real video frame extraction."""
+    for pdf in batches:
+        out_doc, out_idx, out_off = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = len(payload) // 16
+            for idx in range(0, n_frames, 50):
+                out_doc.append(doc_id)
+                out_idx.append(idx)
+                out_off.append(idx * 16)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int32"),
+                "byte_offset": pd.Series(out_off, dtype="int64"),
+            }
+        )
+
+
+@register(
+    "mm_frame_sample",
+    """
+    SELECT doc_id,
+           CAST(UNNEST(RANGE(0, LENGTH(text) // 16, 50)) AS INT) AS frame_idx,
+           CAST(UNNEST(RANGE(0, LENGTH(text) // 16, 50)) * 16 AS BIGINT) AS byte_offset
+    FROM documents
+    WHERE LENGTH(text) >= 16
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: 1 payload row → n frame rows through the
+    same Arrow-batched kernel a real demuxer would use (payload bytes stand
+    in for the container; frame count derives deterministically from byte
+    length so the oracle is exact)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return docs.mapInPandas(
+        _frame_sample, schema="doc_id bigint, frame_idx int, byte_offset bigint"
+    )

@@ -206,3 +206,31 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", F.array_max(candidates).getField("l").alias("pred_lang")
     )
+
+
+@register(
+    "sample_hash_split",
+    """
+    SELECT doc_id,
+           CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+                THEN 'holdout' ELSE 'train' END AS split,
+           lang
+    FROM documents
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/holdout split by content-free key hash — the
+    training-pipeline sampler. ``rand(seed)`` is partition-layout dependent
+    (same seed, different cluster → different sample); hashing the primary
+    key gives a split that is stable across engines, partitionings, and
+    reruns, and assigns new rows consistently as the corpus grows. First
+    hex nibble in {0,1} ≈ a 12.5% holdout."""
+    docs = load_table(spark, sf_dir, "documents")
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return docs.select(
+        "doc_id",
+        F.when(nibble.isin("0", "1"), F.lit("holdout"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+        "lang",
+    )

@@ -262,3 +262,26 @@ def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "win_nth_value",
+    """
+    SELECT event_id,
+           NTH_VALUE(event_id, 3) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_event
+    FROM events
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value with an explicit cumulative frame (the default frame stops
+    at CURRENT ROW in both engines, but pinning it removes the ambiguity)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", F.nth_value("event_id", 3).over(w).alias("third_event")
+    )

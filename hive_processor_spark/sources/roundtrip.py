@@ -59,6 +59,57 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+@register("scan_orc_roundtrip", "SELECT * FROM part")
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink — the other columnar format Spark reads natively
+    (vectorized, predicate pushdown), so a reference user with ORC data
+    switches without a conversion pass."""
+    src = load_table(spark, sf_dir, "part")
+    path = _scratch("orc")
+    src.write.mode("overwrite").orc(path)
+    return spark.read.schema(src.schema).orc(path)
+
+
+@register(
+    "sink_bucketed",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 450000.0
+    """,
+)
+def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed tables + co-located join — the shuffle-avoidance layout.
+
+    Both sides are written ``bucketBy`` the join key into the session
+    warehouse; Spark then plans the join with zero Exchange on either side
+    (asserted in tests/test_plans.py). At 100 TB this is the difference
+    between a full network shuffle of the fact table on every join and a
+    local merge per bucket — the layout cost is paid once at write time.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 450000.0
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    spark.sql("CREATE DATABASE IF NOT EXISTS hs_bucketed")
+    orders.write.mode("overwrite").option("path", _scratch("bkt_o")).bucketBy(
+        8, "o_custkey"
+    ).sortBy("o_custkey").saveAsTable("hs_bucketed.orders_b")
+    cust.write.mode("overwrite").option("path", _scratch("bkt_c")).bucketBy(
+        8, "c_custkey"
+    ).sortBy("c_custkey").saveAsTable("hs_bucketed.customer_b")
+    ob = spark.table("hs_bucketed.orders_b")
+    cb = spark.table("hs_bucketed.customer_b")
+    # merge hint: without it the small side broadcasts at test scale and the
+    # bucketed layout is never exercised; with buckets + sort files the SMJ
+    # plans with no Exchange on either side.
+    return (
+        ob.hint("merge")
+        .join(cb, ob.o_custkey == cb.c_custkey)
+        .select("o_orderkey", "o_totalprice", "c_name")
+    )
+
+
 @register(
     "sink_partitioned",
     """
@@ -77,4 +128,36 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         back.groupBy(F.col("o_orderstatus").cast("string").alias("o_orderstatus"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "scan_merge_schema",
+    """
+    SELECT n_nationkey, n_name, NULL AS n_extra FROM nation WHERE n_nationkey < 10
+    UNION ALL
+    SELECT n_nationkey, n_name, CAST(n_regionkey AS INT) AS n_extra
+    FROM nation WHERE n_nationkey >= 10
+    """,
+)
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches written at different
+    'schema versions' (the second adds a column), unified by ``mergeSchema``
+    — old files surface the new column as NULL. This is the append-only
+    evolution path a long-lived 100 TB table actually takes; merge cost is
+    footer-only (per-file metadata), not data."""
+    nation = load_table(spark, sf_dir, "nation")
+    path = _scratch("evolve")
+    nation.filter(F.col("n_nationkey") < 10).select(
+        "n_nationkey", "n_name"
+    ).write.mode("overwrite").parquet(f"{path}/v1")
+    nation.filter(F.col("n_nationkey") >= 10).select(
+        "n_nationkey",
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_extra"),
+    ).write.mode("overwrite").parquet(f"{path}/v2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{path}/v1", f"{path}/v2")
+        .select("n_nationkey", "n_name", "n_extra")
     )

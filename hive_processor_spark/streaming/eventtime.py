@@ -128,3 +128,66 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique_users"))
     )
+
+
+@register(
+    "stream_gapfill",
+    """
+    WITH b AS (
+        SELECT DATE_TRUNC('hour', MIN(ts)) AS lo, DATE_TRUNC('hour', MAX(ts)) AS hi
+        FROM events
+    ), hours AS (
+        SELECT UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 HOUR)) AS h FROM b
+    ), grid AS (
+        SELECT CAST(EPOCH(h) AS BIGINT) AS bucket_start, event_type
+        FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    ), counts AS (
+        SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS bucket_start,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.bucket_start, g.event_type,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM grid g LEFT JOIN counts c
+      ON g.bucket_start = c.bucket_start AND g.event_type = c.event_type
+    """,
+)
+def stream_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup with gap filling: hourly counts per event
+    type over the *dense* hour grid — empty buckets appear as zeros instead
+    of silently missing (what a time-series store calls ``time_bucket`` +
+    gapfill).
+
+    Fully declarative: the bounds row is a 1-row aggregate cross-joined and
+    exploded into the grid (no driver-side collect), the grid side is tiny
+    and broadcast into the left join against the real per-hour counts. At
+    scale the counts side shuffles once on (hour, type) — the same shuffle
+    the plain rollup already needs — and the grid stays O(hours × types).
+    """
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    ).select(F.unix_timestamp("h").alias("bucket_start"))
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    counts = (
+        ev.select(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("bucket_start"),
+            "event_type",
+        )
+        .groupBy("bucket_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return F.broadcast(grid).join(
+        counts, ["bucket_start", "event_type"], "left"
+    ).select(
+        "bucket_start",
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+    )

@@ -18,7 +18,7 @@ import uuid
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -34,7 +34,23 @@ def _replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> tuple[st
         "event_id", "ts", "user_id", "event_type", "value"
     )
     path = _scratch("stream")
-    chunk = ev.withColumn("chunk", F.ntile(n_chunks).over(Window.orderBy("ts")))
+    # Time-range buckets, not ntile over a global Window.orderBy: an
+    # unpartitioned window funnels the whole table through one task —
+    # exactly the single-partition sort this engine bans elsewhere. Replay
+    # chunks only need to be time-ordered, not equal-sized.
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = max((hi - lo).total_seconds() + 1.0, 1.0)
+    chunk = ev.withColumn(
+        "chunk",
+        F.least(
+            (
+                (F.unix_timestamp("ts") - F.lit(int(lo.timestamp())))
+                / F.lit(span / n_chunks)
+            ).cast("int")
+            + 1,
+            F.lit(n_chunks),
+        ),
+    )
     for i in range(1, n_chunks + 1):
         part = f"{path}/{i:03d}.parquet"
         chunk.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(

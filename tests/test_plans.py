@@ -46,6 +46,13 @@ def test_knn_broadcasts_query_vector(spark):
     assert "Broadcast" in plan
 
 
+def test_bucketed_join_has_no_shuffle(spark):
+    plan = plan_string(_QUERIES["sink_bucketed"](spark, SF_DIR))
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # co-located by bucket
+    assert "SelectedBucketsCount" in plan
+
+
 def test_no_cartesian_in_equi_joins(spark):
     for name in ("join_inner", "join_multiway", "join_broadcast"):
         plan = plan_string(_QUERIES[name](spark, SF_DIR))

@@ -44,7 +44,13 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    spark = get_spark(app_name="hive-processor-spark-bench")
+    # BASELINE.md bench guidance: 8 shuffle partitions at sf<=0.1 — the
+    # fixtures fit in L3 and per-task overhead dominates; larger sf keeps
+    # the engine default (AQE re-coalesces at runtime either way).
+    shuffle = 8 if (sf is not None and sf <= 0.1) else None
+    spark = get_spark(
+        app_name="hive-processor-spark-bench", shuffle_partitions=shuffle
+    )
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
 

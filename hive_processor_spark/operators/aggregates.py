@@ -455,3 +455,28 @@ def agg_count_if_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("l_extendedprice") > 0.0).alias("all_positive"),
         F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
     )
+
+
+@register(
+    "agg_histogram",
+    """
+    SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+                     WHEN o_totalprice >= 600000.0 THEN 13
+                     ELSE FLOOR(o_totalprice / 50000.0) + 1 END AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket — the single-pass distribution
+    profile. DuckDB 1.0.0 has no width_bucket, so the oracle spells out the
+    same [lower, upper) bucket arithmetic (edge values fall upward)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

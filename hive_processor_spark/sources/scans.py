@@ -65,3 +65,51 @@ def catalog_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     issuing SQL strings to Postgres, reference src/processor.ts:26)."""
     register_views(spark, sf_dir)
     return spark.sql(_CATALOG_SQL)
+
+
+_SQL_SURFACE = {
+    # Scalar subquery → Catalyst rewrites to a broadcast of the 1-row agg.
+    "sql_subquery_scalar": """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders)
+    """,
+    # IN-subquery → left semi join.
+    "sql_subquery_in": """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+    """,
+    # Correlated EXISTS → decorrelated into a semi join (no per-row rescan).
+    "sql_exists_correlated": """
+    SELECT c_custkey
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)
+    """,
+    # Non-recursive CTE, referenced once more downstream.
+    "sql_cte": """
+    WITH big AS (
+        SELECT o_custkey, COUNT(*) AS n
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+    )
+    SELECT n, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM big GROUP BY n
+    """,
+}
+
+
+def _sql_surface_query(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+for _name, _sql in _SQL_SURFACE.items():
+    # One SQL text, two engines: Catalyst decorrelates/rewrites these into
+    # the same join shapes §2.2-C tests directly; registering them through
+    # spark.sql pins the SQL-entry surface a reference user actually types.
+    _sql_surface_query.__doc__ = None
+    register(_name, _sql)(_sql_surface_query(_sql))

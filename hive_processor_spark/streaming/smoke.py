@@ -181,3 +181,46 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(final.items()), columns=["user_id", "n_events"]
     )
     return spark.createDataFrame(pdf)
+
+
+@register("stream_dispatch")  # Tier R: a job stream has no SQL oracle
+def stream_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's worker loop, Spark-native: a stream of job packets
+    ``{job_id, cmd}`` dispatched per micro-batch through the Processor
+    registry (``readStream → foreachBatch(dispatch)`` standing in for
+    nanomsg pull → msgpack decode → registry lookup, reference
+    ``src/processor.ts:61-89``). Each job runs its registered query; the
+    final state records the result cardinality per command."""
+    from hive_processor_spark.processor import Processor
+
+    proc = Processor(spark, sf_dir)
+    cmds = ["filter_in", "agg_global", "scan_projection", "fn_cond"]
+    path = _scratch("dispatch")
+    for i, cmd in enumerate(cmds):
+        pdf = pd.DataFrame({"job_id": [i], "cmd": [cmd]})
+        part = f"{path}/{i:03d}.parquet"
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(part)
+        now = time.time() + i
+        for root, _dirs, files in os.walk(part):
+            for f in files:
+                os.utime(os.path.join(root, f), (now, now))
+
+    results: dict[str, int] = {}
+
+    def dispatch(batch_df: DataFrame, _bid: int) -> None:
+        for row in batch_df.collect():  # job packets: O(jobs), not data rows
+            results[row["cmd"]] = proc.run_job(row["cmd"]).count()
+
+    q = (
+        spark.readStream.schema("job_id BIGINT, cmd STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{path}/*.parquet")
+        .writeStream.foreachBatch(dispatch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    pdf = pd.DataFrame(
+        sorted(results.items()), columns=["cmd", "n_result_rows"]
+    )
+    return spark.createDataFrame(pdf)

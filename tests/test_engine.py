@@ -37,3 +37,12 @@ def test_queries_are_sf_parametric(spark):
     q = queries()["agg_groupby"]
     assert q(spark, SF_SMALL).count() == 6
     assert q(spark, SF_DIR).count() == 6
+
+
+def test_cluster_conf_is_well_formed():
+    from hive_processor_spark.engine import CLUSTER_CONF_100TB
+
+    assert all(isinstance(v, str) for v in CLUSTER_CONF_100TB.values())
+    # determinism guards must match the local session's values
+    assert CLUSTER_CONF_100TB["spark.sql.session.timeZone"] == "UTC"
+    assert CLUSTER_CONF_100TB["spark.sql.legacy.parquet.nanosAsLong"] == "true"

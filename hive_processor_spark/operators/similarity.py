@@ -328,3 +328,75 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", F.round(F.col("distCol").cast("double"), 4).alias("dist")
     )
+
+
+@register(
+    "sim_ann_ivf_pruned",
+    _CENTROID_CTE
+    + f"""
+    , cvec AS (
+        SELECT label, LIST(m ORDER BY pos) AS centroid FROM cent GROUP BY label
+    ), q AS (
+        SELECT embedding FROM embeddings WHERE vec_id = 0
+    ), probe AS (
+        SELECT c.label
+        FROM cvec c CROSS JOIN q
+        ORDER BY ROUND({sql_cosine_q('q.embedding', 'c.centroid')}, 4) DESC, c.label
+        LIMIT 1
+    )
+    SELECT e.vec_id, e.label,
+           ROUND({sql_cosine_q('e.embedding', 'q.embedding')}, 4) AS sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.label = (SELECT label FROM probe) AND e.vec_id <> 0
+    ORDER BY sim DESC, e.vec_id
+    LIMIT 5
+    """,
+)
+def sim_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF probe against a *cell-partitioned physical layout*: the
+    embedding table is stored ``partitionBy(label)`` (in production the
+    k-means cell id), and the probe arrives as a join against the 1-row
+    probe cell — Spark's dynamic partition pruning then reads only that
+    cell's files (asserted on the plan in tests). Same answer as
+    ``sim_ann_ivf``; the difference is I/O: 1/k of the corpus per probe
+    instead of a full scan + filter."""
+    from hive_processor_spark.sources.roundtrip import _scratch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _scratch("ivf")
+    emb.write.mode("overwrite").partitionBy("label").parquet(path)
+    cell_part = spark.read.parquet(path)
+
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    ex = emb.select("label", F.posexplode("embedding").alias("pos0", "x")).select(
+        "label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.floor(F.col("x").cast("double") * F.lit(1e6)).cast("long").alias("q"),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        (F.sum("q").cast("double") / F.count(F.lit(1)) / F.lit(1e6)).alias("m")
+    )
+    cvec = cent.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("m"))))
+        .getField("m")
+        .alias("centroid")
+    )
+    probe = (
+        cvec.crossJoin(F.broadcast(q))
+        .select(
+            "label",
+            F.round(cosine_q(F.col("q_emb"), F.col("centroid")), 4).alias("csim"),
+        )
+        .orderBy(F.desc("csim"), F.asc("label"))
+        .limit(1)
+        .select("label")
+    )
+    sim = F.round(cosine_q(F.col("embedding"), F.col("q_emb")), 4)
+    return (
+        cell_part.join(F.broadcast(probe), "label")  # → dynamic partition pruning
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.col("label").cast("int").alias("label"), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(5)
+    )

@@ -224,3 +224,48 @@ def stream_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(results.items()), columns=["cmd", "n_result_rows"]
     )
     return spark.createDataFrame(pdf)
+
+
+@register("stream_stream_join")  # Tier R: streaming joins have no SQL oracle
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: click stream ⋈ purchase stream on
+    user_id with the purchase within 1 hour after the click. Both sides
+    carry watermarks so Spark can bound the join state (without them the
+    buffers grow forever — the thing that actually kills a production
+    stream). Final row count must equal the equivalent batch range join
+    (asserted in tests/test_streaming.py)."""
+    path, ev = _replay_dir(spark, sf_dir)
+    schema = ev.schema
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+
+    def side(event_type: str, alias: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{path}/*.parquet")
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "2 hours")
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("c_id", "p_id", F.col("c_user").alias("user_id"))
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -53,6 +53,14 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert "SelectedBucketsCount" in plan
 
 
+def test_ivf_probe_prunes_partitions(spark):
+    plan = plan_string(_QUERIES["sim_ann_ivf_pruned"](spark, SF_DIR))
+    # the cell-partitioned scan must carry a dynamic pruning predicate on
+    # the partition column, not read all cells
+    assert "PartitionFilters" in plan
+    assert "dynamicpruning" in plan.lower()
+
+
 def test_no_cartesian_in_equi_joins(spark):
     for name in ("join_inner", "join_multiway", "join_broadcast"):
         plan = plan_string(_QUERIES[name](spark, SF_DIR))

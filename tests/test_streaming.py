@@ -49,3 +49,28 @@ def test_late_row_dropped(spark):
     # hour-0 window closed with its 5 on-time rows; the late row (which
     # would make it 6) must have been dropped by the watermark.
     assert rows[1704067200] == 5
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from hive_processor_spark import queries
+    from hive_processor_spark.sources import load_table
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    out = queries()["stream_stream_join"](spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    assert out.count() == batch.count()

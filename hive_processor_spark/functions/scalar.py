@@ -385,3 +385,32 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).alias("b_shl"),
         F.shiftright(k, 3).alias("b_shr"),
     )
+
+
+@register(
+    "fn_trig",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SIN(l_discount), 6) AS s,
+           ROUND(COS(l_discount), 6) AS c,
+           ROUND(TAN(l_discount), 6) AS t,
+           ROUND(ATAN2(l_discount, l_tax + 0.01), 6) AS a2,
+           ROUND(DEGREES(l_discount), 6) AS deg,
+           ROUND(RADIANS(l_quantity), 6) AS rad
+    FROM lineitem
+    """,
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric family — libm on both engines; 6-dp rounding absorbs
+    any last-ULP divergence (same discipline as exp/ln in fn_math)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin("l_discount"), 6).alias("s"),
+        F.round(F.cos("l_discount"), 6).alias("c"),
+        F.round(F.tan("l_discount"), 6).alias("t"),
+        F.round(F.atan2(F.col("l_discount"), F.col("l_tax") + 0.01), 6).alias("a2"),
+        F.round(F.degrees("l_discount"), 6).alias("deg"),
+        F.round(F.radians("l_quantity"), 6).alias("rad"),
+    )

@@ -99,3 +99,37 @@ def dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linestatus",
         F.year("l_shipdate").cast("int").alias("ship_year"),
     ).distinct()
+
+
+@register(
+    "set_except_all",
+    """
+    SELECT o_custkey FROM orders
+    EXCEPT ALL
+    SELECT c_custkey AS o_custkey FROM customer
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL: multiplicities subtract instead of the
+    distinct set difference (a customer with 12 orders keeps 11 rows)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return orders.exceptAll(cust)
+
+
+@register(
+    "set_intersect_all",
+    """
+    SELECT l_suppkey AS k FROM lineitem WHERE l_linenumber = 1
+    INTERSECT ALL
+    SELECT l_suppkey AS k FROM lineitem WHERE l_linenumber = 2
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL: min multiplicity per value survives."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") == 1).select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_linenumber") == 2).select(F.col("l_suppkey").alias("k"))
+    return a.intersectAll(b)

@@ -480,3 +480,21 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@register(
+    "agg_string_agg",
+    """
+    SELECT n_regionkey,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP). The explicit
+    ORDER BY inside the aggregate is what makes the result hashable —
+    unordered listagg is partition-order nondeterministic by definition."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )

@@ -35,67 +35,109 @@ def _pair_sims_block(
     emb: DataFrame,
     *,
     raw_min_sim: float | None = None,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """All-pairs quantized cosine as a broadcast block kernel.
+    """All-pairs quantized cosine as a block-partitioned pair kernel.
 
     The naive formulation (theta self-join + per-pair HOF fold) evaluates
     interpreted array lambdas 3×dim times per pair — ~60 s for 2000 vectors
-    at sf0.1. Here the probe side streams through ``mapInPandas`` while the
-    build side ships once per executor as a broadcast numpy matrix (exactly
-    a broadcast nested-loop join, but with the inner loop vectorized in C);
-    per Arrow batch the pair terms are computed block-wise.
+    at sf0.1. Here the corpus is bucketed into ``B`` blocks by
+    ``pmod(vec_id, B)``; each row is replicated to the B block-pair tasks
+    it participates in (task key ``(p, q) = (least, greatest)`` of the two
+    block ids), the tasks are shuffled by key, and a vectorized numpy
+    kernel computes the block×block pair terms per task via
+    ``applyInPandas``. Every unordered vector pair lands in exactly one
+    task (same-block pairs in ``(b, b)``, cross-block in ``(min, max)``),
+    so no dedup pass is needed.
+
+    Nothing is ever materialized on the driver: the only costs are a B×
+    row replication (8-byte id + the vector) and one shuffle — the
+    standard distributed block nested-loop shape. At 100 TB, B grows so a
+    block pair fits executor memory; the kernel is unchanged. The previous
+    revision collected the corpus to the driver and broadcast it, which
+    caps the operator at driver RAM — this formulation removes that cap.
 
     Arithmetic is bit-identical to :func:`cosine_q`: per-element float64
-    products floor-quantized to int64, integer-summed (order-free), then the
-    same double divisions — so results hash-match the HOF formulation and
-    the DuckDB oracle. Rounding stays Spark-side (JVM half-up).
-
-    Scale path: at 100 TB the build side no longer fits a broadcast; the
-    same kernel then runs over a block-partitioned cross of (probe block ×
-    build block) — the blocking changes, the kernel does not. ``raw_min_sim``
-    pushes a conservative threshold into the kernel so near-dup jobs emit
-    candidates, not the full O(n²) pair set.
+    products floor-quantized to int64, integer-summed (order-free), then
+    the same double divisions — so results hash-match the HOF formulation
+    and the DuckDB oracle; products and the norm-product are symmetric, so
+    emitting pairs as (min_id, max_id) is exact. Rounding stays Spark-side
+    (JVM half-up). ``raw_min_sim`` pushes a conservative threshold into
+    the kernel so near-dup jobs emit candidates, not the full O(n²) set.
     """
     import numpy as np
     import pandas as pd
 
-    rows = emb.select("vec_id", "embedding").collect()  # build side (dim×n floats)
-    ids_b = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat_b = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    qn_b = np.floor(mat_b * mat_b * 1e12).astype(np.int64).sum(axis=1) / 1e12
-    bc = spark.sparkContext.broadcast((ids_b, mat_b, qn_b))
+    # B(B+1)/2 tasks; sized to keep every core busy at default parallelism.
+    B = n_blocks or max(2, min(32, int((2 * spark.sparkContext.defaultParallelism) ** 0.5) + 1))
 
-    def gen(batches):  # pragma: no cover - executed on executors
-        b_ids, b_mat, b_qn = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(np.int64)
-            a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            a_qn = np.floor(a_mat * a_mat * 1e12).astype(np.int64).sum(axis=1) / 1e12
-            chunk = max(1, 8_000_000 // (max(len(b_ids), 1) * a_mat.shape[1]))
-            for s in range(0, len(a_ids), chunk):
-                blk = slice(s, s + chunk)
-                terms = np.floor(
-                    (a_mat[blk][:, None, :] * b_mat[None, :, :]) * 1e12
-                ).astype(np.int64)
-                sim = (terms.sum(axis=2) / 1e12) / np.sqrt(
-                    a_qn[blk][:, None] * b_qn[None, :]
-                )
-                mask = a_ids[blk][:, None] < b_ids[None, :]
-                if raw_min_sim is not None:
-                    mask &= sim >= raw_min_sim
-                ai, bi = np.nonzero(mask)
-                yield pd.DataFrame(
+    tagged = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("blk"),
+    )
+    tasks = tagged.select(
+        "vec_id",
+        "embedding",
+        "blk",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {B - 1}),"
+                " j -> struct(least(blk, j) AS p, greatest(blk, j) AS q))"
+            )
+        ).alias("t"),
+    ).select("vec_id", "embedding", "blk", "t.p", "t.q")
+
+    def _mat(pdf_slice):  # pragma: no cover - executed on executors
+        ids = pdf_slice["vec_id"].to_numpy(np.int64)
+        mat = np.array(list(pdf_slice["embedding"]), dtype=np.float64)
+        qn = np.floor(mat * mat * 1e12).astype(np.int64).sum(axis=1) / 1e12
+        return ids, mat, qn
+
+    def kernel(key, pdf):  # pragma: no cover - executed on executors
+        p, q = key
+        if p == q:
+            a_ids, a_mat, a_qn = _mat(pdf)
+            b_ids, b_mat, b_qn = a_ids, a_mat, a_qn
+        else:
+            a_ids, a_mat, a_qn = _mat(pdf[pdf["blk"] == p])
+            b_ids, b_mat, b_qn = _mat(pdf[pdf["blk"] == q])
+        if len(a_ids) == 0 or len(b_ids) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim_raw": []}).astype(
+                {"vec_a": np.int64, "vec_b": np.int64, "sim_raw": np.float64}
+            )
+        out = []
+        chunk = max(1, 8_000_000 // (max(len(b_ids), 1) * a_mat.shape[1]))
+        for s in range(0, len(a_ids), chunk):
+            blk = slice(s, s + chunk)
+            terms = np.floor(
+                (a_mat[blk][:, None, :] * b_mat[None, :, :]) * 1e12
+            ).astype(np.int64)
+            sim = (terms.sum(axis=2) / 1e12) / np.sqrt(
+                a_qn[blk][:, None] * b_qn[None, :]
+            )
+            # Cross-block ids never collide (disjoint pmod classes); the
+            # strict < also halves the same-block task.
+            lo = np.minimum(a_ids[blk][:, None], b_ids[None, :])
+            hi = np.maximum(a_ids[blk][:, None], b_ids[None, :])
+            mask = a_ids[blk][:, None] < b_ids[None, :] if p == q else lo < hi
+            if raw_min_sim is not None:
+                mask &= sim >= raw_min_sim
+            ai, bi = np.nonzero(mask)
+            out.append(
+                pd.DataFrame(
                     {
-                        "vec_a": a_ids[blk][ai],
-                        "vec_b": b_ids[bi],
+                        "vec_a": lo[ai, bi],
+                        "vec_b": hi[ai, bi],
                         "sim_raw": sim[ai, bi],
                     }
                 )
+            )
+        return pd.concat(out, ignore_index=True)
 
-    probe = emb.select("vec_id", "embedding").repartition(
-        spark.sparkContext.defaultParallelism
+    return tasks.groupBy("p", "q").applyInPandas(
+        kernel, "vec_a bigint, vec_b bigint, sim_raw double"
     )
-    return probe.mapInPandas(gen, "vec_a bigint, vec_b bigint, sim_raw double")
 
 
 @register(

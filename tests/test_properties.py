@@ -98,6 +98,30 @@ def test_exact_dedup_empty_on_unique_corpus(spark):
     assert _QUERIES["dedup_exact"](spark, SF_DIR).count() == 0
 
 
+def test_shingle_df_cap_does_not_bind(spark):
+    """The MAX_SHINGLE_DF candidate cap in dedup_ngram_jaccard must sit
+    above the fixture's hottest shingle, so the capped plan provably
+    computes the exact (uncapped) answer the oracle checks."""
+    from hive_processor_spark.operators.dedup import MAX_SHINGLE_DF
+
+    docs = load_table(spark, SF_DIR, "documents")
+    shingles = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, size(w) - 2),"
+            " i -> array_join(slice(w, i, 3), ' '))"
+        )
+    )
+    sh = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode_outer(shingles).alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
+    max_df = (
+        sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).agg(F.max("df")).head()[0]
+    )
+    assert max_df < MAX_SHINGLE_DF
+
+
 def test_minhash_candidates_cover_exact_pairs(spark):
     exact = {
         (r.doc_a, r.doc_b)

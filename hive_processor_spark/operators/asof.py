@@ -36,6 +36,12 @@ def asof_join(
 
     ``left`` and ``right`` must both contain ``keys`` and ``ts``; ``payload``
     names right-side columns carried over (emitted as ``{prefix}{name}``).
+
+    Tie rule: if several right rows share the same ``(keys, ts)``, the one
+    with the greatest payload tuple (column order, NULLs lowest) is carried
+    — an arbitrary but deterministic choice an oracle must mirror on tied
+    fixtures (DuckDB's ASOF tie choice is unspecified; the shipped fixtures
+    have unique ``(key, ts)`` on the right side, verified in tests).
     """
     keys = list(keys)
     payload = list(payload)
@@ -58,10 +64,19 @@ def asof_join(
     )
 
     # Right rows sort before left rows at equal ts (__side 0 < 1), making the
-    # as-of inclusive on ties.
+    # as-of inclusive on ties. Two RIGHT rows tied on (key, ts) would leave
+    # the carried payload shuffle-order dependent, so the payload columns
+    # themselves complete the ordering: the greatest payload tuple wins —
+    # deterministic at any parallelism, and the documented tie rule an
+    # oracle must share. (Only right-row order matters here: left rows'
+    # payload slots are NULL and `last(ignorenulls)` skips them.)
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .orderBy(
+            F.col(ts).asc(),
+            F.col("__side").asc(),
+            *[F.col(o).asc_nulls_first() for o in out_payload],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = tagged_left.unionByName(tagged_right).select(

@@ -110,6 +110,9 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 class _SplitWords:
+    # Skips empty tokens but keeps the original 1-based position; the oracle
+    # applies the same `word <> ''` filter post-unnest so both sides agree by
+    # construction even on consecutive/leading/trailing spaces.
     def eval(self, text: str):  # noqa: ANN001
         for i, w in enumerate(text.split(" ")):
             if w:
@@ -119,11 +122,13 @@ class _SplitWords:
 @register(
     "udtf_python",
     """
-    SELECT doc_id,
-           CAST(UNNEST(RANGE(1, LEN(STRING_SPLIT(text, ' ')) + 1)) AS INT) AS pos,
-           UNNEST(STRING_SPLIT(text, ' ')) AS word
-    FROM documents
-    WHERE doc_id < 100
+    SELECT doc_id, pos, word FROM (
+        SELECT doc_id,
+               CAST(UNNEST(RANGE(1, LEN(STRING_SPLIT(text, ' ')) + 1)) AS INT) AS pos,
+               UNNEST(STRING_SPLIT(text, ' ')) AS word
+        FROM documents
+        WHERE doc_id < 100
+    ) t WHERE word <> ''
     """,
 )
 def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:

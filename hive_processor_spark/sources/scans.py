@@ -69,10 +69,18 @@ def catalog_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SURFACE = {
     # Scalar subquery → Catalyst rewrites to a broadcast of the 1-row agg.
+    # The threshold goes through the exact-sum discipline (functions/exact.py):
+    # this SQL text runs verbatim on BOTH engines, and a plain AVG(double)
+    # would sum in engine-specific order — a boundary row could then flip
+    # between Spark and the oracle. FLOOR-quantize + DECIMAL sum is
+    # bit-identical everywhere.
     "sql_subquery_scalar": """
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders)
+    WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0) AS DECIMAL(28,0))) AS DOUBLE)
+               / 10000.0 / COUNT(*) * 1.8
+        FROM orders)
     """,
     # IN-subquery → left semi join.
     "sql_subquery_in": """

@@ -372,6 +372,80 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_ann_join")  # Tier R: seeded LSH bucket join, not SQL-expressible
+def sim_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus×corpus approximate near-dup join: L2-normalize, then a seeded
+    ``BucketedRandomProjectionLSH.approxSimilarityJoin`` of the embedding
+    set against itself. On unit vectors ``d² = 2 − 2·cos``, so the cosine
+    0.4 near-dup threshold becomes Euclidean ``sqrt(1.2)`` — the join emits
+    exactly the pairs LSH recalls from ``embed_neardup``'s answer set
+    (recall ≥ 0.9 asserted against the exact kernel in tests).
+
+    This is the 100 TB shape for embedding dedup: candidates only where
+    hash buckets collide — O(candidates), not O(n²) — and every stage
+    (normalize, hash, bucket-join) is a narrow map or one shuffle."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    unit = emb.select(
+        "vec_id",
+        array_to_vector(
+            F.expr(
+                "transform(embedding, x -> CAST(x AS DOUBLE)"
+                " / sqrt(aggregate(transform(embedding,"
+                " y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " CAST(0.0 AS DOUBLE), (acc, y) -> acc + y)))"
+            )
+        ).alias("vec"),
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", bucketLength=1.0, numHashTables=6, seed=42
+    ).fit(unit)
+    thresh = (2.0 - 2.0 * 0.4) ** 0.5 + 1e-6
+    pairs = model.approxSimilarityJoin(unit, unit, thresh, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 4).alias("cos_approx"),
+        )
+    )
+
+
+#: sf_dir → prepared cell-partitioned layout path (process-local memo; the
+#: on-disk _SUCCESS marker makes the layout reusable across processes too).
+_IVF_LAYOUT_CACHE: dict[str, str] = {}
+
+
+def ivf_prepare(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the cell-partitioned physical layout IVF probes read.
+
+    This is the index-build half of IVF, separated from the probe path: at
+    100 TB the partitioned rewrite is a one-time batch job (hours), while
+    probes are interactive — an operator that rebuilds the layout per query
+    would be wrong by construction. Keyed by ``sf_dir``; the ``_SUCCESS``
+    marker short-circuits rebuilds across sessions sharing the scratch dir.
+    """
+    import hashlib
+    import os
+
+    from hive_processor_spark.sources.roundtrip import _SCRATCH_ROOT
+
+    path = _IVF_LAYOUT_CACHE.get(sf_dir)
+    if path is None:
+        os.makedirs(_SCRATCH_ROOT, exist_ok=True)
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        path = os.path.join(_SCRATCH_ROOT, f"ivf-layout-{digest}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            load_table(spark, sf_dir, "embeddings").write.mode(
+                "overwrite"
+            ).partitionBy("label").parquet(path)
+        _IVF_LAYOUT_CACHE[sf_dir] = path
+    return path
+
+
 @register(
     "sim_ann_ivf_pruned",
     _CENTROID_CTE
@@ -397,17 +471,14 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF probe against a *cell-partitioned physical layout*: the
     embedding table is stored ``partitionBy(label)`` (in production the
-    k-means cell id), and the probe arrives as a join against the 1-row
-    probe cell — Spark's dynamic partition pruning then reads only that
-    cell's files (asserted on the plan in tests). Same answer as
-    ``sim_ann_ivf``; the difference is I/O: 1/k of the corpus per probe
-    instead of a full scan + filter."""
-    from hive_processor_spark.sources.roundtrip import _scratch
-
+    k-means cell id) by :func:`ivf_prepare` — a one-time build, NOT part
+    of the probe path — and the probe arrives as a join against the 1-row
+    probe cell; Spark's dynamic partition pruning then reads only that
+    cell's files (asserted on the plan in tests, as is the second-probe
+    no-write behavior). Same answer as ``sim_ann_ivf``; the difference is
+    I/O: 1/k of the corpus per probe instead of a full scan + filter."""
     emb = load_table(spark, sf_dir, "embeddings")
-    path = _scratch("ivf")
-    emb.write.mode("overwrite").partitionBy("label").parquet(path)
-    cell_part = spark.read.parquet(path)
+    cell_part = spark.read.parquet(ivf_prepare(spark, sf_dir))
 
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     ex = emb.select("label", F.posexplode("embedding").alias("pos0", "x")).select(

@@ -61,6 +61,20 @@ def test_ivf_probe_prunes_partitions(spark):
     assert "dynamicpruning" in plan.lower()
 
 
+def test_ivf_layout_prepared_once(spark):
+    """The partitioned layout is index-build, not probe work: a second
+    probe must reuse the prepared files without rewriting them."""
+    import os
+
+    from hive_processor_spark.operators.similarity import ivf_prepare
+
+    path = ivf_prepare(spark, SF_DIR)
+    marker = os.path.join(path, "_SUCCESS")
+    mtime = os.path.getmtime(marker)
+    _QUERIES["sim_ann_ivf_pruned"](spark, SF_DIR).collect()
+    assert os.path.getmtime(marker) == mtime
+
+
 def test_no_cartesian_in_equi_joins(spark):
     for name in ("join_inner", "join_multiway", "join_broadcast"):
         plan = plan_string(_QUERIES[name](spark, SF_DIR))

@@ -133,6 +133,38 @@ def test_minhash_candidates_cover_exact_pairs(spark):
     assert exact <= approx
 
 
+def test_ann_join_recall_vs_exact(spark):
+    """The seeded LSH corpus×corpus join must recover ≥90% of the exact
+    cosine-0.4 near-dup pairs (fixture recall is 1.0; the bound leaves
+    headroom for LSH seed/bucket sensitivity across SFs, not correctness)."""
+    exact = {
+        (r.vec_a, r.vec_b) for r in _QUERIES["embed_neardup"](spark, SF_DIR).collect()
+    }
+    ann = {
+        (r.vec_a, r.vec_b) for r in _QUERIES["sim_ann_join"](spark, SF_DIR).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs"
+    assert len(ann & exact) / len(exact) >= 0.9
+
+
+def test_simhash_banding_is_exact(spark):
+    """Pigeonhole: 6 bands × 10 bits guarantees every pair within Hamming
+    distance 5 shares a band, so the banded join equals brute force."""
+    sigs = {r.doc_id: r.simhash for r in _QUERIES["dedup_simhash"](spark, SF_DIR).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 5
+    }
+    banded = {
+        (r.doc_a, r.doc_b)
+        for r in _QUERIES["dedup_simhash_pairs"](spark, SF_DIR).collect()
+    }
+    assert banded == brute
+
+
 def test_pivot_row_sums_equal_total(spark):
     orders = load_table(spark, SF_DIR, "orders")
     wide = _QUERIES["agg_pivot"](spark, SF_DIR)

@@ -28,21 +28,77 @@ from hive_processor_spark.engine import register
 from hive_processor_spark.sources.tables import load_table
 
 
+def _image_codec():
+    """Optional real image codec: PIL if importable, else None (this
+    container ships no image libraries — the deterministic fallback below
+    keeps the pipeline oracle-checkable either way)."""
+    try:  # pragma: no cover - PIL absent in the test container
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _audio_codec():
+    """Optional real audio codec: soundfile if importable, else None."""
+    try:  # pragma: no cover - soundfile absent in the test container
+        import soundfile
+
+        return soundfile
+    except ImportError:
+        return None
+
+
+def _image_dims(payload: bytes) -> tuple[int, int] | None:
+    """Real (width, height) when PIL is importable AND the payload is a
+    decodable image; None otherwise. Import is resolved per executor
+    process (cheap — cached by Python), so the same code runs with or
+    without the library installed."""
+    image_mod = _image_codec()
+    if image_mod is None:
+        return None
+    import io
+
+    try:  # pragma: no cover - real codec path needs PIL + image payloads
+        with image_mod.open(io.BytesIO(payload)) as img:
+            return int(img.width), int(img.height)
+    except Exception:
+        return None
+
+
 def _decode_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic fake decoder. A real implementation would
-    ``import PIL.Image``/``soundfile`` here and raise
-    ``NotImplementedError`` if absent; the fake derives "decoded" metadata
-    purely from the payload bytes so the oracle can reproduce it."""
+    """Image decode kernel: try the real codec per payload, fall back to
+    deterministic byte-derived metadata. On the shipped fixtures (utf-8
+    text bytes, never a valid image) every row takes the fallback, so the
+    oracle rows are identical whether or not PIL is installed; pointed at
+    real image payloads with PIL present, the same query returns true
+    decoded dimensions."""
+    has_codec = _image_codec() is not None
     for pdf in batches:
         payload = pdf["payload"]
         n_bytes = payload.map(len)
+        fake_w = (64 + n_bytes % 256).astype("int32")
+        fake_h = (64 + (n_bytes // 7) % 256).astype("int32")
+        if has_codec:  # pragma: no cover - PIL absent in the test container
+            real = payload.map(_image_dims)
+            fake_w = (
+                real.map(lambda d: d[0] if d else None)
+                .combine_first(fake_w)
+                .astype("int32")
+            )
+            fake_h = (
+                real.map(lambda d: d[1] if d else None)
+                .combine_first(fake_h)
+                .astype("int32")
+            )
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "n_bytes": n_bytes.astype("int32"),
                 "content_md5": payload.map(lambda b: hashlib.md5(b).hexdigest()),
-                "fake_width": (64 + n_bytes % 256).astype("int32"),
-                "fake_height": (64 + (n_bytes // 7) % 256).astype("int32"),
+                "fake_width": fake_w,
+                "fake_height": fake_h,
             }
         )
 
@@ -100,6 +156,73 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("fake_height") * 224.0 / F.col("fake_width"))
         .cast("int")
         .alias("dst_h"),
+    )
+
+
+def _audio_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Audio metadata kernel: soundfile when importable and decodable,
+    else deterministic PCM-style metadata from the byte length (16-bit
+    mono at a byte-derived sample rate) — same fallback contract as the
+    image decoder."""
+    sf_mod = _audio_codec()
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len)
+        n_samples = (n_bytes // 2).astype("int64")
+        rate = (8000 + (n_bytes % 4) * 8000).astype("int32")
+        if sf_mod is not None:  # pragma: no cover - soundfile absent here
+            import io
+
+            def _real(b):
+                try:
+                    info = sf_mod.info(io.BytesIO(b))
+                    return int(info.frames), int(info.samplerate)
+                except Exception:
+                    return None
+
+            real = pdf["payload"].map(_real)
+            n_samples = (
+                real.map(lambda r: r[0] if r else None)
+                .combine_first(n_samples)
+                .astype("int64")
+            )
+            rate = (
+                real.map(lambda r: r[1] if r else None)
+                .combine_first(rate)
+                .astype("int32")
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_samples": n_samples,
+                "sample_rate": rate,
+                "duration_ms": (n_samples * 1000 // rate).astype("int64"),
+            }
+        )
+
+
+@register(
+    "mm_audio_meta",
+    """
+    SELECT doc_id,
+           CAST(LENGTH(text) // 2 AS BIGINT) AS n_samples,
+           CAST(8000 + (LENGTH(text) % 4) * 8000 AS INT) AS sample_rate,
+           CAST((LENGTH(text) // 2) * 1000 // (8000 + (LENGTH(text) % 4) * 8000)
+                AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-payload metadata extraction through the same Arrow-batched
+    binary-column pipeline as the image decoder: real ``soundfile`` probe
+    when the library is present and the payload is decodable audio,
+    deterministic byte-derived PCM metadata otherwise (always, on these
+    text-byte fixtures — which keeps the oracle exact)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return docs.mapInPandas(
+        _audio_meta,
+        schema="doc_id bigint, n_samples bigint, sample_rate int, duration_ms bigint",
     )
 
 

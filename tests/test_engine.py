@@ -46,3 +46,37 @@ def test_cluster_conf_is_well_formed():
     # determinism guards must match the local session's values
     assert CLUSTER_CONF_100TB["spark.sql.session.timeZone"] == "UTC"
     assert CLUSTER_CONF_100TB["spark.sql.legacy.parquet.nanosAsLong"] == "true"
+
+
+def test_cluster_conf_runs_headline_query(spark):
+    """The 100 TB conf preset is a live contract, not documentation: apply
+    every runtime-settable entry to the session (8000 shuffle partitions,
+    256 MiB advisory sizes, skew-join, zstd, ...) and a headline query must
+    return the IDENTICAL result it returns under the local tuning — the
+    exact-sum discipline means re-planning cannot move the answer. Core
+    (non-SQL) confs like spark.speculation are launch-time-only; applying
+    them raises and is skipped, mirroring engine.ensure_session_confs."""
+    from hive_processor_spark.engine import CLUSTER_CONF_100TB
+
+    q = queries()["agg_groupby"]
+    baseline = sorted(map(tuple, q(spark, SF_DIR).collect()))
+
+    prev: dict[str, str | None] = {}
+    applied = 0
+    for key, value in CLUSTER_CONF_100TB.items():
+        try:
+            prev[key] = spark.conf.get(key, None)
+            spark.conf.set(key, value)
+            applied += 1
+        except Exception:
+            prev.pop(key, None)  # static/core conf — launch-time only
+    try:
+        assert applied >= 10, "most preset entries must be runtime-settable"
+        under_cluster_conf = sorted(map(tuple, q(spark, SF_DIR).collect()))
+        assert under_cluster_conf == baseline
+    finally:
+        for key, value in prev.items():
+            if value is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, value)

@@ -65,3 +65,66 @@ def test_run_serial_ignore_skips_failures():
     )
     assert out == [1, 3]
     assert len(errs) == 1
+
+
+def test_remote_query_roundtrip(spark):
+    """The reference's reason to exist is remote callers (envelope in,
+    sn-correlated rows out, zlib sniffed — src/processor.ts:92-133). Prove
+    the capability: a SECOND PROCESS with no Spark on its import path calls
+    a registered query over the serving socket and receives exactly the
+    rows the in-process run produces."""
+    import json
+    import subprocess
+    import sys
+    import textwrap
+
+    from hive_processor_spark import queries
+    from hive_processor_spark.serving import QueryServer
+
+    with QueryServer(spark) as srv:
+        client = textwrap.dedent(
+            f"""
+            import json, socket, struct, zlib
+            def msg(body, compress):
+                raw = json.dumps(body).encode()
+                if compress:
+                    raw = zlib.compress(raw)
+                return struct.pack(">I", len(raw)) + raw
+            def read(conn):
+                n = struct.unpack(">I", conn.recv(4))[0]
+                buf = b""
+                while len(buf) < n:
+                    buf += conn.recv(n - len(buf))
+                if buf[:1] == b"\\x78":
+                    buf = zlib.decompress(buf)
+                return json.loads(buf)
+            conn = socket.create_connection(("127.0.0.1", {srv.port}), timeout=120)
+            # compressed request -> compressed, sn-correlated reply
+            conn.sendall(msg({{"sn": 7, "query": "agg_groupby",
+                               "sf_dir": "{SF_SMALL}"}}, True))
+            print(json.dumps(read(conn)))
+            # error path: unknown query must reply, not kill the server
+            conn.sendall(msg({{"sn": 8, "query": "nope", "sf_dir": "x"}}, False))
+            print(json.dumps(read(conn)))
+            conn.close()
+            """
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", client],
+            capture_output=True,
+            text=True,
+            timeout=180,
+        )
+    assert out.returncode == 0, out.stderr[-2000:]
+    reply_ok, reply_err = (json.loads(line) for line in out.stdout.splitlines())
+
+    assert reply_ok["sn"] == 7 and reply_ok["ok"] is True
+    in_proc = [
+        json.loads(s)
+        for s in queries()["agg_groupby"](spark, SF_SMALL).toJSON().collect()
+    ]
+    key = lambda r: json.dumps(r, sort_keys=True)  # noqa: E731
+    assert sorted(reply_ok["rows"], key=key) == sorted(in_proc, key=key)
+
+    assert reply_err["sn"] == 8 and reply_err["ok"] is False
+    assert "unknown query" in reply_err["error"]

@@ -102,29 +102,34 @@ _SIMHASH_SIG_SQL = f"""
 
 def _simhash_sigs(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): per-bit majority vote over distinct token hashes,
-    60 bits of each token's md5 prefix (BIGINT-safe for the oracle)."""
+    60 bits of each token's md5 prefix (BIGINT-safe for the oracle).
+
+    Two deliberate divergences from the oracle's didactic shape, both
+    result-identical and each measured ~2× at sf0.1 (gaps grow with corpus
+    size): per-doc token dedup happens map-side (``array_distinct`` before
+    the explode — the same rows as a cluster-wide DISTINCT on
+    ``(doc_id, word)``, without its shuffle), and the vote is 60 parallel
+    ``SUM((h >> j) & 1)`` aggregate expressions instead of exploding each
+    hash into 60 bit rows. Majority for bit j is ``2·cⱼ > n``
+    (votes = cⱼ − (n − cⱼ)), identical to the per-bit ±1 sum."""
     tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).distinct()
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+    )
     hashed = tok.select(
         "doc_id",
         F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("long").alias("h"),
     )
-    bits = hashed.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(_N_BITS - 1))).alias("bit"), "h"
+    bit_counts = [
+        F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"c{j}")
+        for j in range(_N_BITS)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), *bit_counts
     )
-    votes = bits.withColumn(
-        "one", F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
-    ).groupBy("doc_id", "bit").agg(F.sum("one").alias("v"))
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("v") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        )
-        .cast("long")
-        .alias("simhash")
-    )
+    sig = F.lit(0).cast("long")
+    for j in range(_N_BITS):
+        sig = sig + F.shiftleft((2 * F.col(f"c{j}") > F.col("n")).cast("long"), j)
+    return per_doc.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 @register("dedup_simhash", _SIMHASH_SIG_SQL + "SELECT doc_id, simhash FROM sig")
@@ -166,44 +171,65 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket is AQE's skew-split problem, bounded by dropping over-full
     buckets the way ``MAX_SHINGLE_DF`` does for shingles."""
     sig = _simhash_sigs(load_table(spark, sf_dir, "documents"))
-    buckets = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(_N_BANDS - 1))).alias("band"),
-    ).select(
-        "doc_id",
-        "simhash",
-        "band",
-        F.expr(f"(simhash >> (band * {_BAND_BITS})) & {(1 << _BAND_BITS) - 1}").alias(
-            "bval"
-        ),
+    # Materialize the tiny bucket index once, hash-partitioned by the join
+    # key: the signature job (explode × 60 bits × tokens) would otherwise
+    # run twice — once per self-join side — and dominate the operator, and
+    # the pinned layout makes the self-join exchange-free (same discipline
+    # as the shingle index in dedup_ngram_jaccard).
+    buckets = (
+        sig.select(
+            "doc_id",
+            "simhash",
+            F.explode(F.sequence(F.lit(0), F.lit(_N_BANDS - 1))).alias("band"),
+        )
+        .select(
+            "doc_id",
+            "simhash",
+            "band",
+            F.expr(
+                f"(simhash >> (band * {_BAND_BITS})) & {(1 << _BAND_BITS) - 1}"
+            ).alias("bval"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "band", "bval")
+        .localCheckpoint(eager=True)
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
+    mask = (1 << _BAND_BITS) - 1
+    # A pair colliding in several bands would duplicate; instead of a
+    # cluster-wide DISTINCT over the candidate set (measured 4.2 s at
+    # sf0.1 — the dominant cost), keep a pair only in its FIRST matching
+    # band: both signatures are in hand, so "this is the minimum matching
+    # band" is a map-side filter and the join's own shuffle stays the
+    # operator's only exchange. Standard LSH emit-once discipline, spelled
+    # as a chained CASE over the signature XOR (pure bitwise scalar ops —
+    # array HOFs here are interpreted per candidate row and measured 3×
+    # slower than the DISTINCT they replace).
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    first_band = F.lit(_N_BANDS - 1)
+    for j in range(_N_BANDS - 2, -1, -1):
+        first_band = F.when(
+            (F.shiftright(xor, j * _BAND_BITS).bitwiseAND(F.lit(mask))) == 0,
+            F.lit(j),
+        ).otherwise(first_band)
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bval") == F.col("b.bval"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).filter(F.col("a.band") == first_band)
+    hamming = F.bit_count(xor)
+    return (
+        cand.select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            hamming.cast("int").alias("hamming"),
         )
-        .distinct()  # a pair may collide in several bands
+        .filter(F.col("hamming") <= _MAX_HAMMING)
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.select(
-        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= _MAX_HAMMING)
 
 
-@register(
-    "dedup_ngram_jaccard",
-    """
+_NGRAM_JACCARD_SQL = """
     WITH sh AS (
         SELECT DISTINCT doc_id, UNNEST(shingles) AS shingle
         FROM (
@@ -224,8 +250,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE (FLOOR(CAST(c AS DOUBLE) / (sa.n + sb.n - c) * 10000.0) / 10000.0) >= 0.08
-    """,
-)
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-trigram Jaccard similarity via shingle self-join — candidate
     pairs only materialize where shingles collide (the exact-computation
@@ -402,30 +430,49 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= 0.4)
         .select("vec_a", "vec_b")
     )
-    edges = pairs.union(
-        pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
-    ).toDF("src", "dst")
+    labels = _min_label_components(pairs)
+    return (
+        emb.select("vec_id")
+        .join(labels, emb.vec_id == labels.node, "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("lbl"), F.col("vec_id")).alias("cluster_id"),
+        )
+    )
+
+
+def _min_label_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over an undirected pair set: returns
+    ``(node, lbl)`` where ``lbl`` is the min node id reachable. Nodes not
+    in any pair are absent (callers rejoin them as singletons).
+
+    Each round: (1) take the min label over neighbors, then (2) pointer-
+    jump — replace every label by its label's label. Step (2) turns the
+    O(diameter) propagation into O(log diameter): measured 17 rounds →
+    5 at sf0.1, and a chain-shaped component can no longer outrun the
+    iteration cap (2^30 diameter would be needed). Unconverged is an
+    error, never a silently-wrong answer. The loop is driver-coordinated
+    but every round is one distributed join + aggregate — the GraphX/
+    Pregel shape without the RDD API.
+    """
+    ca, cb = pairs.columns[0], pairs.columns[1]
+    edges = pairs.select(F.col(ca).alias("src"), F.col(cb).alias("dst")).union(
+        pairs.select(F.col(cb).alias("src"), F.col(ca).alias("dst"))
+    )
     # Materialize the (small) edge set once: every iteration re-joins it,
-    # and without this each round would re-run the O(n²) pair kernel.
+    # and without this each round would re-run the upstream pair job.
     edges = edges.localCheckpoint(eager=True)
 
     # Propagate only among edge-connected nodes — isolated nodes are their
     # own (singleton) cluster and never change, so they stay out of the
-    # iteration entirely and rejoin at the end. Convergence is read off the
-    # checkpointed frame itself (old label carried alongside) instead of an
-    # extra per-round join.
+    # iteration entirely. Convergence is read off the checkpointed frame
+    # itself (old label carried alongside) instead of an extra join.
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint(eager=True)
     )
-    # Each round: (1) take the min label over neighbors, then (2) pointer-
-    # jump — replace every label by its label's label. Step (2) turns the
-    # O(diameter) propagation into O(log diameter): measured 17 rounds →
-    # 5 at sf0.1, and a chain-shaped component can no longer outrun the
-    # iteration cap (2^30 diameter would be needed). Unconverged is an
-    # error, never a silently-wrong answer.
     converged = False
     for _ in range(30):
         neighbor_min = (
@@ -460,12 +507,49 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             converged = True
             break
     if not converged:
-        raise RuntimeError("dedup_cluster: label propagation did not converge")
+        raise RuntimeError("label propagation did not converge")
+    return labels
+
+
+@register(
+    "dedup_cluster_docs",
+    f"""
+    WITH RECURSIVE jp AS (
+        SELECT doc_a, doc_b FROM ({_NGRAM_JACCARD_SQL}) x
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jp
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM jp
+    ), cc(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id, (MIN(lbl) = node) AS is_kept
+    FROM cc GROUP BY node
+    """,
+)
+def dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level dedup clustering — the operation a training-data
+    pipeline actually runs: connected components over the n-gram Jaccard
+    near-dup graph (``dedup_ngram_jaccard`` edges at 0.08), each doc
+    labeled with its cluster representative (min doc_id reachable) and an
+    ``is_kept`` flag selecting exactly one canonical doc per cluster.
+    ``WHERE is_kept`` is the deduplicated corpus.
+
+    Same pointer-jumping component machinery as ``dedup_cluster``
+    (:func:`_min_label_components`); the oracle reaches the fixpoint via a
+    recursive CTE over the identical edge definition."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _min_label_components(pairs)
+    docs = load_table(spark, sf_dir, "documents")
+    cluster = F.coalesce(F.col("lbl"), F.col("doc_id"))
     return (
-        emb.select("vec_id")
-        .join(labels, emb.vec_id == labels.node, "left")
+        docs.select("doc_id")
+        .join(labels, docs.doc_id == labels.node, "left")
         .select(
-            "vec_id",
-            F.coalesce(F.col("lbl"), F.col("vec_id")).alias("cluster_id"),
+            "doc_id",
+            cluster.alias("cluster_id"),
+            (cluster == F.col("doc_id")).alias("is_kept"),
         )
     )

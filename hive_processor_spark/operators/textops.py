@@ -286,3 +286,86 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tfidf"), F.asc("doc_id"), F.asc("term"))
         .limit(50)
     )
+
+
+@register(
+    "pipeline_clean_corpus",
+    f"""
+    WITH q AS (
+        SELECT doc_id, lang, source,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
+               (FLOOR(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                           x -> x IN {_STOPWORDS!r})) AS DOUBLE)
+                      / LEN(STRING_SPLIT(text, ' ')) * 10000.0) / 10000.0) AS stop_r,
+               (FLOOR(CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                      / LEN(STRING_SPLIT(text, ' ')) * 10000.0) / 10000.0) AS uniq_r,
+               MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' '))
+                   AS vocab_fp
+        FROM documents
+    ), filtered AS (
+        SELECT * FROM q
+        WHERE n_tokens >= 20 AND stop_r <= 0.5 AND uniq_r >= 0.2
+    ), kept AS (
+        SELECT f.* FROM filtered f
+        JOIN (SELECT vocab_fp, MIN(doc_id) AS keep_id FROM filtered GROUP BY vocab_fp) k
+          ON f.vocab_fp = k.vocab_fp AND f.doc_id = k.keep_id
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           (FLOOR(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) * 10000.0) / 10000.0)
+               AS avg_tokens
+    FROM kept GROUP BY lang, source
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning in ONE declarative plan — the composed
+    shape a training-data pipeline runs nightly: quality gate (token count,
+    stopword ratio, type-token ratio) → bag-of-words fingerprint dedup
+    (keep min doc_id per vocabulary fingerprint) → per-(lang, source)
+    acceptance stats. Because every stage is an expression or a hash
+    aggregation, Catalyst fuses the gate into the scan and the whole
+    pipeline is two shuffles (fingerprint group, final group) regardless of
+    corpus size; avg_tokens divides an exact integer sum, so the hash gate
+    holds at any parallelism."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_words()).cast("double")
+    stop = F.size(F.filter(_words(), lambda x: x.isin(*_STOPWORDS))).cast("double")
+    uniq = F.size(F.array_distinct(_words())).cast("double")
+    fq = lambda c: F.floor(c * 10000.0) / 10000.0  # noqa: E731
+    q = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(_words()).alias("n_tokens"),
+        fq(stop / n_tok).alias("stop_r"),
+        fq(uniq / n_tok).alias("uniq_r"),
+        F.md5(
+            F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " ")
+        ).alias("vocab_fp"),
+    )
+    filtered = q.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("stop_r") <= 0.5)
+        & (F.col("uniq_r") >= 0.2)
+    )
+    keepers = filtered.groupBy("vocab_fp").agg(F.min("doc_id").alias("keep_id"))
+    # Aliased keeper columns: the keeper frame derives from `filtered`, and
+    # an unaliased vocab_fp == vocab_fp would resolve both sides to the
+    # same lineage (Spark degrades it to a trivially-true predicate).
+    keepers = keepers.select(
+        F.col("vocab_fp").alias("keep_fp"), F.col("keep_id")
+    )
+    kept = filtered.join(
+        keepers,
+        (filtered.vocab_fp == keepers.keep_fp)
+        & (filtered.doc_id == keepers.keep_id),
+    )
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.floor(
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1)) * 10000.0
+            )
+            / 10000.0
+        ).alias("avg_tokens"),
+    )

@@ -37,6 +37,10 @@ HEADLINE = [
     "agg_rollup",         # grouping-set aggregate
     "stream_gapfill",     # dense-grid time-series rollup
     "agg_salted_skew",    # two-phase salted aggregation
+    "dedup_simhash_pairs",  # banded simhash candidate join
+    "pipeline_clean_corpus",  # composed quality->dedup->stats pipeline
+    "embed_quantize",     # int8 embedding quantization scan
+    "events_funnel",      # per-user funnel aggregation
 ]
 
 

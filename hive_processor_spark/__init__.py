@@ -38,6 +38,7 @@ def _load_all() -> None:
         aggregates,
         cache_plane,
         dedup,
+        events,
         filters,
         joins,
         multimodal,

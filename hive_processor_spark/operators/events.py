@@ -1,0 +1,130 @@
+"""Batch event-log analytics (retention, funnel, modal behavior) — the
+product-analytics queries every event pipeline serves alongside the
+streaming operators in ``streaming/eventtime.py``.
+
+Scale posture: everything reduces to hash aggregations and one equi-join
+on ``(user_id, day)`` — per-user event counts are bounded, so there is no
+skew hazard beyond what AQE's skew-join handles, and every aggregate ships
+map-side partials. At 100 TB the event table would be date-partitioned;
+all three queries prune to the days they touch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_processor_spark.engine import register
+from hive_processor_spark.sources.tables import load_table
+
+
+@register(
+    "events_retention",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    )
+    SELECT STRFTIME(a.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS retained_next_day
+    FROM du a
+    LEFT JOIN du b ON b.user_id = a.user_id AND b.d = a.d + 1
+    GROUP BY a.d
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day retention per calendar day: of the users active on day d,
+    how many were also active on d+1. The (user, day) de-dup happens
+    before the self-join, so join input is bounded by DAU, not raw
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    b = du.select(F.col("user_id").alias("u2"), F.col("d").alias("d2"))
+    joined = du.join(
+        b, (du.user_id == b.u2) & (b.d2 == F.date_add(du.d, 1)), "left"
+    )
+    return joined.groupBy(
+        F.date_format("d", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.countDistinct("u2").alias("retained_next_day"),
+    )
+
+
+@register(
+    "events_funnel",
+    """
+    WITH t AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS BIGINT)
+               AS viewed,
+           CAST(COUNT(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+               AS clicked_after_view,
+           CAST(COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click
+                      THEN 1 END) AS BIGINT) AS purchased_after_click
+    FROM t
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase on first-touch
+    timestamps: one hash aggregation builds the per-user stage times, one
+    global aggregation counts survivors at each stage (NULL comparisons
+    are unknown → not counted, in both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    stage = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    t = ev.groupBy("user_id").agg(
+        stage("view").alias("t_view"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "clicked_after_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("purchased_after_click"),
+    )
+
+
+@register(
+    "agg_mode",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type
+    ), r AS (
+        SELECT user_id, event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rn
+        FROM c
+    )
+    SELECT user_id, event_type AS modal_type, n AS n_events
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type (the MODE aggregate, which Spark lacks
+    natively): count per (user, value), keep the top row per user with a
+    deterministic tiebreak (count desc, then value asc) — both engines
+    walk the identical window, so ties cannot diverge."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), F.col("n").alias("n_events"))
+    )

@@ -369,3 +369,38 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("avg_tokens"),
     )
+
+
+@register(
+    "text_ngrams",
+    """
+    SELECT bg, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT UNNEST([ARRAY_TO_STRING(w[i:i+1], ' ')
+                       FOR i IN RANGE(1, LEN(w))]) AS bg
+        FROM (SELECT STRING_SPLIT(text, ' ') AS w FROM documents) t
+    ) s
+    GROUP BY bg
+    ORDER BY n DESC, bg
+    LIMIT 20
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequencies (top-20): the n-gram statistics pass
+    behind language modeling, collocation mining, and contamination checks.
+    Bigram construction is one pre-split token array per doc (same
+    single-split discipline as the shingle operators); the count is a hash
+    aggregate and the top-k compiles to TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' '))"
+    )
+    return (
+        docs.select(F.split("text", " ").alias("w"))
+        .select(F.explode_outer(bigrams).alias("bg"))
+        .filter(F.col("bg").isNotNull())
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bg"))
+        .limit(20)
+    )

@@ -224,3 +224,20 @@ def test_cluster_labels_consistent(spark):
     # labels are component minima, so never above the member id
     assert labels.filter(F.col("cluster_id") > F.col("vec_id")).count() == 0
     labels.unpersist()
+
+
+def test_funnel_is_monotone(spark):
+    r = _QUERIES["events_funnel"](spark, SF_DIR).head()
+    assert r.n_users >= r.viewed >= r.clicked_after_view >= r.purchased_after_click
+    assert r.purchased_after_click > 0  # fixture has full-funnel users
+
+
+def test_retention_bounded_by_dau(spark):
+    rows = _QUERIES["events_retention"](spark, SF_DIR).collect()
+    assert rows and all(0 <= r.retained_next_day <= r.dau for r in rows)
+
+
+def test_mode_one_row_per_user(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    modal = _QUERIES["agg_mode"](spark, SF_DIR)
+    assert modal.count() == ev.select("user_id").distinct().count()

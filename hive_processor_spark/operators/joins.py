@@ -318,3 +318,55 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@register(
+    "join_star_schema",
+    f"""
+    SELECT n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def join_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: a 6-table star — fact chain (orders ⋈ lineitem)
+    with four dimensions folded in. Join strategy is the 100 TB story:
+    region→nation is collapsed to a broadcast filter BEFORE touching the
+    facts (Catalyst pushes r_name='ASIA' through the join so only ~1/5 of
+    nations survive), supplier and customer ship as broadcasts into the
+    fact scans, and the only repartition-scale shuffle left is
+    lineitem ⋈ orders on orderkey — the floor for this query. The
+    local-supplier predicate (c_nationkey = s_nationkey) rides the
+    broadcast joins for free."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(asia_nations), supp.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )

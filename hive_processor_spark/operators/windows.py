@@ -285,3 +285,41 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.nth_value("event_id", 3).over(w).alias("third_event")
     )
+
+
+@register(
+    "win_time_range",
+    """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) OVER w AS BIGINT)
+               AS qsum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+                 RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per user, count and (quantized) sum of
+    events in the trailing hour of each event — the rolling-window feature
+    every behavioral pipeline computes. The frame bound is integer epoch-µs
+    on both engines (an hour minus 1 µs, closed on both ends — identical to
+    ``RANGE INTERVAL 1 HOUR PRECEDING`` at µs resolution), and the summed
+    value is floor-quantized so the windowed sum is an exact integer — the
+    hash gate holds at any parallelism. One shuffle on user_id; the sort is
+    per-partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3599999999, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.floor(F.col("value") * 100.0).cast("long"))
+        .over(w)
+        .cast("long")
+        .alias("qsum_last_hour"),
+    )

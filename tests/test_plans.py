@@ -79,3 +79,28 @@ def test_no_cartesian_in_equi_joins(spark):
     for name in ("join_inner", "join_multiway", "join_broadcast"):
         plan = plan_string(_QUERIES[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
+
+
+def test_star_schema_broadcasts_dims(spark):
+    """Q5 shape: every dimension (region-filtered nations, supplier,
+    customer) must ride a broadcast join — a dim that falls back to a
+    shuffle join multiplies the fact shuffle at cluster scale."""
+    plan = plan_string(_QUERIES["join_star_schema"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_pairs_emit_once_no_distinct(spark):
+    """The banded candidate join dedups pairs via the first-matching-band
+    filter, not a DISTINCT: the plan downstream of the materialized bucket
+    index must contain NO aggregate at all (a HashAggregate here means the
+    O(candidates) DISTINCT shuffle crept back in)."""
+    plan = plan_string(_QUERIES["dedup_simhash_pairs"](spark, SF_DIR))
+    assert "HashAggregate" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_clean_corpus_pipeline_broadcasts_keepers(spark):
+    plan = plan_string(_QUERIES["pipeline_clean_corpus"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

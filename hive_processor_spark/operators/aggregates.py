@@ -498,3 +498,28 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation.groupBy("n_regionkey").agg(
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
     )
+
+
+@register(
+    "agg_decimal_exact",
+    """
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal-typed money aggregation: cast once at the scan, sum in the
+    exact DECIMAL plane (no floating accumulation anywhere), emit as a
+    string so both engines compare digits, not binary doubles. This is the
+    type discipline a financial rollup uses instead of the quantize-helper
+    route the double columns need."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("string")
+        .alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )

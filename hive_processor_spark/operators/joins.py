@@ -370,3 +370,38 @@ def join_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+@register(
+    "join_null_safe",
+    """
+    WITH o AS (
+        SELECT o_orderkey, NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS prio
+        FROM orders
+    ), buckets AS (
+        SELECT * FROM (VALUES (CAST(NULL AS VARCHAR), 'unspecified'),
+                              ('1-URGENT', 'urgent')) t(prio, label)
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM o JOIN buckets ON o.prio IS NOT DISTINCT FROM buckets.prio
+    GROUP BY label
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match NULL keys instead of vanishing — the semantics a dimension with
+    an explicit 'unknown' bucket needs. Catalyst plans `<=>` as a hash
+    join (EqualNullSafe is a valid equi-join key), so this costs the same
+    as a plain equi-join."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")).alias("prio"),
+    )
+    buckets = spark.createDataFrame(
+        [(None, "unspecified"), ("1-URGENT", "urgent")], "prio string, label string"
+    )
+    return (
+        orders.join(F.broadcast(buckets), orders.prio.eqNullSafe(buckets.prio))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

@@ -553,3 +553,78 @@ def dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cluster == F.col("doc_id")).alias("is_kept"),
         )
     )
+
+
+@register("dedup_ngram_verify", _NGRAM_JACCARD_SQL)
+def dedup_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape for EXACT n-gram Jaccard: MinHash-LSH candidate
+    generation followed by exact re-verification of only the candidate
+    pairs. Where ``dedup_ngram_jaccard`` joins the full shingle index
+    against itself (O(collision mass)), this routes through the banded
+    minhash bucket join (O(candidates)) and then computes the exact
+    common-shingle count for candidates alone — the standard two-phase
+    near-dup pass every large corpus runs.
+
+    Same oracle as ``dedup_ngram_jaccard``, because the answer is the
+    same: the minhash candidate set provably covers the fixture's exact
+    pairs (asserted in tests/test_properties.py), and at the 0.93-distance
+    candidate threshold the 8-table banding makes a miss for a true
+    jaccard ≥ 0.08 pair vanishingly unlikely at any scale; re-verification
+    guarantees precision is always exact."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingle_str = F.expr(
+        "array_distinct(transform(sequence(1, size(w) - 2),"
+        " i -> array_join(slice(w, i, 3), ' ')))"
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", shingle_str.alias("tokens"))
+    )
+    tf = HashingTF(inputCol="tokens", outputCol="vec", numFeatures=1 << 16, binary=True)
+    vecs = tf.transform(docs)
+    model = MinHashLSH(inputCol="vec", outputCol="hashes", numHashTables=8, seed=42).fit(
+        vecs
+    )
+    cands = (
+        model.approxSimilarityJoin(vecs, vecs, 0.93, distCol="d")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # Exact verification on candidates only: hashed shingle index built
+    # once (same layout discipline as dedup_ngram_jaccard), then the
+    # common-count join is driven BY the candidate list.
+    sh = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", shingle_str.alias("sh_arr"))
+        .select("doc_id", F.explode_outer("sh_arr").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .select("doc_id", F.xxhash64("s").alias("shingle"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingle").alias("a_sh"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("b_sh"))
+    common = (
+        cands.join(sa, cands.doc_a == sa.a_id)
+        .join(sb, (cands.doc_b == sb.b_id) & (F.col("a_sh") == F.col("b_sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    za = sizes.select(F.col("doc_id").alias("za_id"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("zb_id"), F.col("n").alias("nb"))
+    jac = F.floor(
+        F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")) * 10000.0
+    ) / 10000.0
+    return (
+        common.join(F.broadcast(za), F.col("doc_a") == F.col("za_id"))
+        .join(F.broadcast(zb), F.col("doc_b") == F.col("zb_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.08)
+    )

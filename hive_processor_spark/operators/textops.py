@@ -404,3 +404,82 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bg"))
         .limit(20)
     )
+
+
+@register(
+    "sample_stratified",
+    """
+    SELECT lang, doc_id
+    FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY MD5(text), doc_id)
+                   AS rn
+        FROM documents
+    ) t
+    WHERE rn <= 20
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly k docs per language,
+    chosen by content-hash order — reproducible across runs, engines, and
+    partitionings (the property uniform random sampling can't give a
+    differential gate). One shuffle on the stratum key; at corpus scale
+    the same plan takes top-k per stratum without materializing the rest
+    (rank + filter prunes inside the window exec)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), F.asc("doc_id"))
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id")
+    )
+
+
+@register(
+    "text_editdist_neardup",
+    """
+    WITH cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.text AS ta, b.text AS tb
+        FROM documents a
+        JOIN documents b
+          ON MD5(ARRAY_TO_STRING(STRING_SPLIT(a.text, ' ')[1:8], ' ')) =
+             MD5(ARRAY_TO_STRING(STRING_SPLIT(b.text, ' ')[1:8], ' '))
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(LEVENSHTEIN(SUBSTRING(ta, 1, 80), SUBSTRING(tb, 1, 80)) AS INT)
+               AS prefix_dist
+    FROM cand
+    """,
+)
+def text_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification over blocked candidates: docs sharing an
+    8-token head fingerprint (the ``text_fingerprint`` blocking key) get
+    their 80-char prefixes Levenshtein-compared. The blocking join keeps
+    the O(len²) distance kernel off the full pair space — the same
+    candidates→verify shape as the minhash path, with edit distance as
+    the verifier."""
+    docs = load_table(spark, sf_dir, "documents")
+    head = F.md5(F.array_join(F.slice(F.split("text", " "), 1, 8), " "))
+    t = docs.select("doc_id", "text", head.alias("head_fp"))
+    a = t.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("ta"),
+        F.col("head_fp").alias("fa"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("tb"),
+        F.col("head_fp").alias("fb"),
+    )
+    cand = a.join(b, (F.col("fa") == F.col("fb")) & (F.col("doc_a") < F.col("doc_b")))
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.levenshtein(F.substring("ta", 1, 80), F.substring("tb", 1, 80))
+        .cast("int")
+        .alias("prefix_dist"),
+    )

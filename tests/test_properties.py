@@ -241,3 +241,29 @@ def test_mode_one_row_per_user(spark):
     ev = load_table(spark, SF_DIR, "events")
     modal = _QUERIES["agg_mode"](spark, SF_DIR)
     assert modal.count() == ev.select("user_id").distinct().count()
+
+
+def test_minhash_verify_equals_exact_jaccard(spark):
+    """The two-phase (minhash candidates -> exact verify) pass must produce
+    the identical answer to the direct shingle self-join — candidate
+    generation may only affect cost, never the result."""
+    direct = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in _QUERIES["dedup_ngram_jaccard"](spark, SF_DIR).collect()
+    }
+    two_phase = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in _QUERIES["dedup_ngram_verify"](spark, SF_DIR).collect()
+    }
+    assert two_phase == direct
+
+
+def test_stratified_sample_exact_counts(spark):
+    s = _QUERIES["sample_stratified"](spark, SF_DIR)
+    per = {r.lang: r.n for r in s.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    docs = load_table(spark, SF_DIR, "documents")
+    avail = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {k: min(20, v) for k, v in avail.items()}
+    # deterministic across invocations
+    s2 = _QUERIES["sample_stratified"](spark, SF_DIR)
+    assert s.exceptAll(s2).count() == 0

@@ -161,3 +161,131 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{path}/v1", f"{path}/v2")
         .select("n_nationkey", "n_name", "n_extra")
     )
+
+
+@register(
+    "sink_merge_upsert",
+    """
+    WITH changes AS (
+        SELECT o_orderkey,
+               o_totalprice * 1.1 AS o_totalprice,
+               'U' AS op
+        FROM orders WHERE o_orderkey % 100 = 0
+        UNION ALL
+        SELECT 10000000 + n_nationkey AS o_orderkey,
+               1000.0 + n_nationkey AS o_totalprice,
+               'I' AS op
+        FROM nation
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN src = 'merged' THEN 1 END) AS BIGINT) AS n_updated,
+           CAST(COUNT(CASE WHEN src = 'inserted' THEN 1 END) AS BIGINT) AS n_inserted,
+           CAST(FLOOR(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(28,0)))) AS VARCHAR)
+               AS qsum_price
+    FROM (
+        SELECT o.o_orderkey,
+               COALESCE(c.o_totalprice, o.o_totalprice) AS o_totalprice,
+               CASE WHEN c.o_orderkey IS NOT NULL THEN 'merged' ELSE 'kept' END AS src
+        FROM orders o LEFT JOIN changes c ON o.o_orderkey = c.o_orderkey
+        UNION ALL
+        SELECT c.o_orderkey, c.o_totalprice, 'inserted' AS src
+        FROM changes c LEFT JOIN orders o ON o.o_orderkey = c.o_orderkey
+        WHERE o.o_orderkey IS NULL
+    ) merged
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain parquet (no table format): a change
+    set (updates for existing keys + inserts for new keys) is applied to
+    the base table as matched-update / not-matched-insert, the merged
+    result is WRITTEN to a parquet sink and read back, and the returned
+    row is an audit summary (counts + quantized total) over the sink —
+    proving the persisted result, not just the plan.
+
+    At 100 TB this exact shape runs partition-wise (join on the upsert
+    key, write only affected partitions); table formats (Delta/Iceberg)
+    add transactionality around the same join-and-rewrite core."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    nation = load_table(spark, sf_dir, "nation")
+    updates = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") * 1.1).alias("c_price")
+    )
+    inserts = nation.select(
+        (F.lit(10000000) + F.col("n_nationkey")).alias("o_orderkey"),
+        (F.lit(1000.0) + F.col("n_nationkey")).alias("c_price"),
+    )
+    changes = updates.unionByName(inserts)
+    matched = (
+        orders.join(changes, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("c_price"), F.col("o_totalprice")).alias("o_totalprice"),
+            F.when(F.col("c_price").isNotNull(), F.lit("merged"))
+            .otherwise(F.lit("kept"))
+            .alias("src"),
+        )
+    )
+    new_rows = (
+        changes.join(orders, "o_orderkey", "left_anti")
+        .select(
+            "o_orderkey",
+            F.col("c_price").alias("o_totalprice"),
+            F.lit("inserted").alias("src"),
+        )
+    )
+    path = _scratch("merge")
+    matched.unionByName(new_rows).write.mode("overwrite").parquet(path)
+    sink = spark.read.parquet(path)
+    return sink.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("src") == "merged", 1)).alias("n_updated"),
+        F.count(F.when(F.col("src") == "inserted", 1)).alias("n_inserted"),
+        F.floor(
+            F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("decimal(28,0)"))
+        )
+        .cast("string")
+        .alias("qsum_price"),
+    )
+
+
+@register(
+    "sink_incremental_agg",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(28,0))) AS VARCHAR)
+               AS qsum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation: persist PARTIAL aggregates (count +
+    quantized sum per group) for the 'historical' slice, aggregate only
+    the 'new' slice, and merge the two partial states — the answer must
+    equal a from-scratch aggregation over everything, which is exactly
+    what the oracle computes. This is how a 100 TB nightly rollup avoids
+    rescanning history: partial states are reusable because count and
+    quantized-decimal sum are commutative monoids (doubles summed in
+    arbitrary order are not — the reason the quantize-first discipline
+    exists)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.to_timestamp(F.lit("1997-01-01"))
+    qsum = F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("decimal(28,0)"))
+    hist = (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), qsum.alias("qs"))
+    )
+    path = _scratch("incr")
+    hist.write.mode("overwrite").parquet(path)  # the persisted partial state
+    new = (
+        orders.filter(F.col("o_orderdate") >= cutoff)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), qsum.alias("qs"))
+    )
+    merged = spark.read.parquet(path).unionByName(new)
+    return merged.groupBy("o_orderstatus").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("qs").cast("decimal(28,0)").cast("string").alias("qsum"),
+    )

@@ -414,3 +414,34 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.degrees("l_discount"), 6).alias("deg"),
         F.round(F.radians("l_quantity"), 6).alias("rad"),
     )
+
+
+@register(
+    "fn_string_format",
+    """
+    SELECT n_nationkey,
+           LPAD(n_name, 20, '.') AS padded,
+           RPAD(CAST(n_nationkey AS VARCHAR), 4, '0') AS key_padded,
+           CONCAT_WS('-', n_name, CAST(n_regionkey AS VARCHAR)) AS joined,
+           TRANSLATE(n_name, 'AEIOU', 'aeiou') AS vowels_lower,
+           REVERSE(n_name) AS reversed,
+           REPEAT(LEFT(n_name, 2), 3) AS stutter
+    FROM nation
+    """,
+)
+def fn_string_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting family: pad / multi-arg join / character
+    translation / reverse / repeat — the second tier of string functions
+    after the core fn_string set, all codegen expressions."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        F.lpad("n_name", 20, ".").alias("padded"),
+        F.rpad(F.col("n_nationkey").cast("string"), 4, "0").alias("key_padded"),
+        F.concat_ws(
+            "-", F.col("n_name"), F.col("n_regionkey").cast("string")
+        ).alias("joined"),
+        F.translate("n_name", "AEIOU", "aeiou").alias("vowels_lower"),
+        F.reverse("n_name").alias("reversed"),
+        F.repeat(F.substring("n_name", 1, 2), 3).alias("stutter"),
+    )

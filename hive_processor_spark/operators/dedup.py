@@ -628,3 +628,43 @@ def dedup_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.08)
     )
+
+
+@register(
+    "graph_triangles",
+    _SIMHASH_SIG_SQL
+    + f"""
+    , e AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {_MAX_HAMMING}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the simhash near-dup graph — the structural
+    signal dedup pipelines use to tell clique-like duplicate clusters
+    (high triangle density → same underlying document) from chain-like
+    false-positive bridges. Pure relational form: edges as (u < v) pairs,
+    triangles as the canonical two-join wedge-close (e1=(u,v1), e2=(u,v2>
+    v1), closed by (v1,v2)); each triangle counted exactly once. At scale
+    the edge list is hash-partitioned on u and the wedge join is the
+    standard distributed triangle algorithm; degree-based orientation
+    (point edges low→high degree) bounds wedge fan-out under skew."""
+    edges = (
+        dedup_simhash_pairs(spark, sf_dir)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("a2"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("b3"), F.col("v").alias("c3"))
+    wedges = e1.join(e2, (F.col("a2") == F.col("a")) & (F.col("c") > F.col("b")))
+    tri = wedges.join(
+        e3, (F.col("b3") == F.col("b")) & (F.col("c3") == F.col("c"))
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -267,3 +267,36 @@ def test_stratified_sample_exact_counts(spark):
     # deterministic across invocations
     s2 = _QUERIES["sample_stratified"](spark, SF_DIR)
     assert s.exceptAll(s2).count() == 0
+
+
+def test_operators_survive_empty_input(spark, tmp_path):
+    """Empty partitions are a fact of life at 100 TB (a filter can drain
+    any subset); operators must return empty results, not crash. Build an
+    empty mirror of the fixture tables and run one representative of each
+    heavy family."""
+    import os
+
+    empty_dir = str(tmp_path / "sf_empty")
+    os.makedirs(empty_dir, exist_ok=True)
+    from hive_processor_spark.engine import TABLES
+
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).limit(0).write.mode("overwrite").parquet(
+            f"{empty_dir}/{t}.parquet"
+        )
+    for name in (
+        "agg_groupby",
+        "win_topk_group",
+        "dedup_ngram_jaccard",
+        "dedup_simhash_pairs",
+        "sim_cosine_pairs",
+        "dedup_cluster",
+        "pipeline_clean_corpus",
+        "events_funnel",
+        "join_star_schema",
+    ):
+        rows = _QUERIES[name](spark, empty_dir).collect()
+        if name == "events_funnel":  # global agg: one all-zero row
+            assert len(rows) == 1 and rows[0].n_users == 0
+        else:
+            assert rows == [], name

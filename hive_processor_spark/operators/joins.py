@@ -405,3 +405,63 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@register(
+    "join_time_proximity",
+    """
+    SELECT a.event_id AS ev_a, b.event_id AS ev_b,
+           CAST(ABS(EPOCH_US(a.ts) - EPOCH_US(b.ts)) // 1000 AS BIGINT) AS gap_ms
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND ABS(EPOCH_US(a.ts) - EPOCH_US(b.ts)) <= 1800000000
+    """,
+)
+def join_time_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: pairs of same-user events within 30 minutes of
+    each other. The oracle states it as a theta join; the Spark plan is
+    the scalable BANDED form — bucket event time into 30-minute cells,
+    replicate one side to its cell and both neighbors, equi-join on
+    (user, cell), then apply the exact µs predicate. Every qualifying
+    pair lands in exactly one (replica, original) cell match, the
+    equi-join shuffles instead of nested-looping, and the replication
+    factor is a constant 3 — the same banding that made the shingle and
+    simhash joins scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    width = 1800 * 1000 * 1000  # 30 min in µs
+    a = (
+        ev.select(
+            F.col("event_id").alias("ev_a"),
+            F.col("user_id").alias("ua"),
+            F.col("us").alias("us_a"),
+            F.explode(
+                F.array(
+                    (F.col("us") / width).cast("long") - 1,
+                    (F.col("us") / width).cast("long"),
+                    (F.col("us") / width).cast("long") + 1,
+                )
+            ).alias("cell"),
+        )
+    )
+    b = ev.select(
+        F.col("event_id").alias("ev_b"),
+        F.col("user_id").alias("ub"),
+        F.col("us").alias("us_b"),
+        (F.col("us") / width).cast("long").alias("cell_b"),
+    )
+    return (
+        a.join(b, (F.col("ua") == F.col("ub")) & (F.col("cell") == F.col("cell_b")))
+        .filter(
+            (F.col("ev_a") < F.col("ev_b"))
+            & (F.abs(F.col("us_a") - F.col("us_b")) <= width)
+        )
+        .select(
+            "ev_a",
+            "ev_b",
+            (F.abs(F.col("us_a") - F.col("us_b")) / 1000).cast("long").alias("gap_ms"),
+        )
+    )

@@ -269,3 +269,86 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+def _have_protobuf() -> bool:
+    """transformWithStateInPandas speaks protobuf to its state server;
+    the library is absent/broken in this container, so the v2 operator
+    registers only where the dependency actually works (import-try gate,
+    per the environment contract)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_stateful_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming on the Spark 4 `transformWithState`
+    API (the successor to applyInPandasWithState): per-user ValueState
+    holding (count, running max value), updated per micro-batch. Same
+    replay harness and last-emission-wins collection as
+    ``stream_stateful`` — the two operators pin both generations of the
+    arbitrary-state API surface. Registered only when protobuf (the
+    state-server wire dependency) is importable."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    path, ev = _replay_dir(spark, sf_dir)
+    schema = ev.schema
+
+    class _CountMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, mx DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            if self._agg.exists():
+                n, mx = self._agg.get()
+            else:
+                n, mx = 0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            self._agg.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    final: dict[int, tuple[int, float]] = {}
+
+    def sink(batch_df: DataFrame, _bid: int) -> None:
+        for row in batch_df.collect():
+            final[row["user_id"]] = (row["n_events"], row["max_value"])
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{path}/*.parquet")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _CountMax(),
+            outputStructType="user_id BIGINT, n_events BIGINT, max_value DOUBLE",
+            outputMode="Update",
+            timeMode="None",
+        )
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    pdf = pd.DataFrame(
+        [(u, n, mx) for u, (n, mx) in sorted(final.items())],
+        columns=["user_id", "n_events", "max_value"],
+    )
+    return spark.createDataFrame(pdf)
+
+
+if _have_protobuf():  # pragma: no cover - protobuf absent in this container
+    register("stream_stateful_v2")(stream_stateful_v2)

@@ -641,3 +641,69 @@ def sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+@register(
+    "sim_knn_classify",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10
+    ), corpus AS (
+        SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 10
+    ), scored AS (
+        SELECT q.q_id, c.label,
+               ROUND({sql_cosine_q('c.embedding', 'q.q_emb')}, 4) AS sim,
+               c.vec_id
+        FROM q CROSS JOIN corpus c
+    ), topk AS (
+        SELECT q_id, label,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM scored
+    ), votes AS (
+        SELECT q_id, label, COUNT(*) AS n
+        FROM topk WHERE rn <= 5 GROUP BY q_id, label
+    )
+    SELECT q_id, label AS pred_label
+    FROM (SELECT q_id, label,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY n DESC, label) AS vr
+          FROM votes) v
+    WHERE vr = 1
+    """,
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label classification — the composed similarity op behind
+    weak labeling / label propagation: each query vector (vec_id < 10)
+    takes the majority label of its 5 nearest corpus neighbors by
+    quantized cosine, ties broken deterministically (count desc, label
+    asc; neighbor rank ties by vec_id). The query side broadcasts; the
+    corpus is scanned once per plan, and both ranking windows partition
+    by query id — at scale this is one broadcast-nested-loop score pass
+    plus two narrow windows over k·|queries| rows."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "label",
+        "vec_id",
+        F.round(cosine_q(F.col("embedding"), F.col("q_emb")), 4).alias("sim"),
+    )
+    rank_w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    votes = (
+        scored.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("q_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vote_w = Window.partitionBy("q_id").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(vote_w))
+        .filter(F.col("vr") == 1)
+        .select("q_id", F.col("label").alias("pred_label"))
+    )

@@ -445,3 +445,32 @@ def fn_string_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse("n_name").alias("reversed"),
         F.repeat(F.substring("n_name", 1, 2), 3).alias("stutter"),
     )
+
+
+@register(
+    "fn_try_cast",
+    """
+    SELECT doc_id,
+           TRY_CAST(SUBSTRING(text, 1, 3) AS INTEGER) AS head_int,
+           TRY_CAST(lang AS INTEGER) AS lang_int,
+           TRY_CAST(CAST(n_chars AS VARCHAR) AS INTEGER) AS chars_int,
+           TRY_CAST(SUBSTRING(text, 1, 10) AS DATE) IS NOT NULL AS head_is_date
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe casting (TRY_CAST): malformed input becomes NULL instead
+    of failing the job — the ingestion posture a 100 TB pipeline needs,
+    where one bad row must not kill a stage. Both engines share TRY_CAST
+    semantics for string→int and string→date."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.expr("TRY_CAST(SUBSTRING(text, 1, 3) AS INT)").alias("head_int"),
+        F.expr("TRY_CAST(lang AS INT)").alias("lang_int"),
+        F.expr("TRY_CAST(CAST(n_chars AS STRING) AS INT)").alias("chars_int"),
+        F.expr("TRY_CAST(SUBSTRING(text, 1, 10) AS DATE)").isNotNull().alias(
+            "head_is_date"
+        ),
+    )

@@ -668,3 +668,42 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         e3, (F.col("b3") == F.col("b")) & (F.col("c3") == F.col("c"))
     )
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@register(
+    "dedup_stage_funnel",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT MD5(text)) AS BIGINT) AS after_exact,
+           CAST(COUNT(DISTINCT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')))
+                AS BIGINT) AS after_norm,
+           CAST(COUNT(DISTINCT MD5(ARRAY_TO_STRING(
+                LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' ')))
+                AS BIGINT) AS after_vocab_fp,
+           CAST(COUNT(DISTINCT MD5(ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:8], ' ')))
+                AS BIGINT) AS after_head_fp
+    FROM documents
+    """,
+)
+def dedup_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-stage observability: surviving-document counts under each
+    successively coarser identity (raw hash → normalized → sorted-vocab
+    fingerprint → 8-token head fingerprint), in one scan. This one-row
+    funnel is what a pipeline dashboard tracks per snapshot to catch a
+    dedup stage suddenly over- or under-firing; each stage is a distinct
+    aggregate over the same pass, so the cost is one scan + one shuffle
+    regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("after_exact"),
+        F.countDistinct(F.md5(norm)).alias("after_norm"),
+        F.countDistinct(
+            F.md5(F.array_join(F.sort_array(F.array_distinct(w)), " "))
+        ).alias("after_vocab_fp"),
+        F.countDistinct(F.md5(F.array_join(F.slice(w, 1, 8), " "))).alias(
+            "after_head_fp"
+        ),
+    )

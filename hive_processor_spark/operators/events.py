@@ -128,3 +128,53 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("modal_type"), F.col("n").alias("n_events"))
     )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH e AS (
+        SELECT event_id, user_id, EPOCH_US(ts) AS us FROM events
+    ), flagged AS (
+        SELECT event_id, user_id, us,
+               CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_no
+    FROM flagged
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT session assignment (gaps-and-islands): every event gets
+    its user-local session ordinal under the 30-minute-gap rule — the
+    feature-generation output shape, complementing ``stream_session``'s
+    per-session aggregates. Two stacked windows over one (user) shuffle;
+    event_id breaks timestamp ties so the numbering is deterministic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) >= 1800000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("new_session").over(run).cast("long").alias("session_no"),
+    )

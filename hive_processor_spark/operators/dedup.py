@@ -16,6 +16,15 @@ The at-scale shapes:
 The fixture corpus has zero exact duplicates (measured — FIXTURES.md), so
 ``dedup_exact``'s correct answer is the empty set; tests assert that rather
 than assuming dups exist.
+
+Public literature these operators implement: Broder, "On the resemblance
+and containment of documents" (1997) — shingling + resemblance (the
+n-gram Jaccard and MinHash family); Charikar, "Similarity estimation
+techniques from rounding algorithms" (STOC 2002) — SimHash; the banded
+LSH candidate scheme follows Leskovec/Rajaraman/Ullman, *Mining of
+Massive Datasets* ch. 3; connected-components-by-label-propagation with
+pointer jumping is the classic Shiloach–Vishkin (1982) shape adapted to
+joins (as in CC-MR / GraphFrames).
 """
 
 from __future__ import annotations

@@ -13,6 +13,14 @@ Scale ladder (the shapes a 100 TB embedding corpus needs):
    a partition-pruned scan of a cell-partitioned table).
 4. ``sim_ann_lsh`` — BucketedRandomProjectionLSH (seeded): candidate pairs
    only where buckets collide; the bucket-join replaces the cross join.
+
+Public literature: the IVF (inverted-file coarse quantizer) probe follows
+Jégou/Douze/Schmid, "Product quantization for nearest neighbor search"
+(TPAMI 2011) §IV.A; random-projection LSH for Euclidean distance is
+Datar/Immorlica/Indyk/Mirrokni (SoCG 2004); the block-partitioned
+all-pairs kernel is the standard distributed block nested-loop / "block
+matrix" similarity-join decomposition (e.g. the V-SMART-Join / MapReduce
+set-similarity line of work).
 """
 
 from __future__ import annotations
@@ -68,8 +76,14 @@ def _pair_sims_block(
     import numpy as np
     import pandas as pd
 
-    # B(B+1)/2 tasks; sized to keep every core busy at default parallelism.
-    B = n_blocks or max(2, min(32, int((2 * spark.sparkContext.defaultParallelism) ** 0.5) + 1))
+    # B(B+1)/2 tasks, sized to ~2 tasks per core: measured at sf0.1/32
+    # cores, B=12 (78 tasks) runs 1.3 s vs 8-12 s for B≤6 — undersized B
+    # starves cores AND balloons the per-task numpy temporaries. At real
+    # scale B instead grows until one block PAIR fits executor memory
+    # (callers override via n_blocks); replication cost is B× the corpus.
+    B = n_blocks or max(
+        2, min(64, int((4 * spark.sparkContext.defaultParallelism) ** 0.5) + 1)
+    )
 
     tagged = emb.select(
         "vec_id",

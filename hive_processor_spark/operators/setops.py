@@ -133,3 +133,35 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.filter(F.col("l_linenumber") == 1).select(F.col("l_suppkey").alias("k"))
     b = li.filter(F.col("l_linenumber") == 2).select(F.col("l_suppkey").alias("k"))
     return a.intersectAll(b)
+
+
+@register(
+    "set_union_evolved",
+    """
+    SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
+           c_mktsegment AS mktsegment
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey AS id, s_name AS name, s_acctbal AS acctbal,
+           NULL AS mktsegment
+    FROM supplier
+    """,
+)
+def set_union_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union across evolved schemas: the supplier side lacks mktsegment,
+    so ``unionByName(allowMissingColumns=True)`` aligns by NAME and
+    NULL-fills the gap — the append path when a long-lived table grew a
+    column and old extracts haven't. (Positional UNION would silently
+    misalign; the oracle spells the NULL fill explicitly.)"""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return cust.unionByName(supp, allowMissingColumns=True)

@@ -121,3 +121,54 @@ for _name, _sql in _SQL_SURFACE.items():
     # spark.sql pins the SQL-entry surface a reference user actually types.
     _sql_surface_query.__doc__ = None
     register(_name, _sql)(_sql_surface_query(_sql))
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+         LATERAL (
+             SELECT o_orderkey, o_totalprice
+             FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             LIMIT 2
+         ) t
+    WHERE c.c_custkey < 50
+"""
+
+
+@register("sql_lateral", _LATERAL_SQL)
+def sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery join — top-2 orders per customer as a
+    per-row dependent subquery, the same SQL text on both engines. Spark
+    plans the correlated LIMIT as a ranked window under the hood (no
+    per-row rescan), which is exactly the decorrelation a 100 TB run
+    needs."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+_DISJUNCTIVE_SQL = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0)
+                    AS DECIMAL(28,0))) AS STRING) AS qrevenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 40)
+"""
+
+
+@register("join_disjunctive", _DISJUNCTIVE_SQL)
+def join_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an equi-join whose residual predicate is an
+    OR-of-ANDs across both sides. The optimizer test is predicate
+    decomposition: the join key stays an equi-join (hash/broadcast, no
+    cartesian), the common `p_brand IN (...)` implied filter is inferred
+    and pushed to the part scan, and only the residual disjunction runs
+    post-join. Same SQL text on both engines; revenue exact-quantized."""
+    register_views(spark, sf_dir)
+    return spark.sql(_DISJUNCTIVE_SQL)

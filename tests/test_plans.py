@@ -104,3 +104,15 @@ def test_clean_corpus_pipeline_broadcasts_keepers(spark):
     plan = plan_string(_QUERIES["pipeline_clean_corpus"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_disjunctive_join_pushes_both_sides(spark):
+    """Q19 shape: the OR-of-ANDs residual must not block pushdown — each
+    side's disjunction of its own conjuncts reaches its parquet scan, and
+    the join stays a (broadcast) hash join."""
+    plan = plan_string(_QUERIES["join_disjunctive"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    import re
+
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    assert "p_brand" in pushed and "l_quantity" in pushed

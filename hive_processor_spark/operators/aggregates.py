@@ -523,3 +523,38 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_grouping_flags",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() flags over a rollup: the indicator that separates a real
+    NULL group key from a super-aggregate row — required the moment a
+    rollup feeds a report (COALESCE alone is ambiguous if the column can
+    be NULL). Identical spelling on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n",
+        )
+    )

@@ -289,3 +289,35 @@ def sink_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n"),
         F.sum("qs").cast("decimal(28,0)").cast("string").alias("qsum"),
     )
+
+
+@register(
+    "scan_partition_prune",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 400000.0
+    """,
+)
+def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static partition pruning: orders laid out partitionBy(status), read
+    back with a literal partition predicate — the scan must touch only the
+    'F' directory (PartitionFilters in the plan, asserted in tests), with
+    the price predicate pushed separately into the surviving files' row
+    groups. Partition-column pruning is THE first-order I/O lever on a
+    100 TB date/tenant-partitioned table. Layout build is prepare-once
+    (keyed marker, same discipline as ivf_prepare)."""
+    import hashlib
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(_SCRATCH_ROOT, f"part-orders-{digest}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        os.makedirs(_SCRATCH_ROOT, exist_ok=True)
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).parquet(path)
+    return (
+        spark.read.parquet(path)
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 400000.0))
+        .select("o_orderkey", "o_totalprice")
+    )

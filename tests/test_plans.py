@@ -116,3 +116,14 @@ def test_disjunctive_join_pushes_both_sides(spark):
 
     pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
     assert "p_brand" in pushed and "l_quantity" in pushed
+
+
+def test_static_partition_prune(spark):
+    """The literal status predicate must prune partitions at planning
+    time — the scan's PartitionFilters carries o_orderstatus while the
+    price predicate pushes into the surviving files."""
+    plan = plan_string(_QUERIES["scan_partition_prune"](spark, SF_DIR))
+    assert "PartitionFilters" in plan
+    part_f = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "o_orderstatus" in part_f
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1].splitlines()[0]

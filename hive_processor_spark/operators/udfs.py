@@ -18,6 +18,8 @@ functions/exact.py.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
 
@@ -170,3 +172,82 @@ def udf_registered_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT o_orderkey, order_size_band(o_totalprice) AS size_band FROM orders"
     )
+
+
+@register(
+    "udf_pandas_iter",
+    """
+    SELECT doc_id,
+           CAST(LENGTH(text) * 2 + 7 AS BIGINT) AS score
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF — THE shape for ML inference over a
+    100 TB corpus: the expensive resource (a model) loads ONCE per task
+    before the batch loop, then every Arrow batch reuses it. The 'model'
+    here is a deterministic stand-in (weights (2, 7)) so the oracle is
+    exact; swapping in a real tokenizer/classifier changes one line, not
+    the plan. Contrast with the plain Series→Series UDF, which has
+    nowhere to hang per-task init."""
+    @pandas_udf("long")
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        w, b = 2, 7  # "model load" — once per task, amortized over batches
+        for texts in batches:
+            yield texts.str.len() * w + b
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select("doc_id", score("text").alias("score"))
+
+
+@register(
+    "udaf_window_pandas",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) OVER
+                (PARTITION BY l_orderkey) AS BIGINT) AS qtotal
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def udaf_window_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas GROUPED_AGG UDAF applied OVER A WINDOW: every line of an
+    order carries the order's quantized price total without collapsing
+    rows — custom vectorized aggregation composing with the window
+    machinery. Kernel is an integer sum, so group order cannot matter."""
+
+    @pandas_udf("long")
+    def qsum(price: pd.Series) -> int:
+        return int(np.floor(price.to_numpy(np.float64) * 100.0).astype(np.int64).sum())
+
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    w = Window.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey", "l_linenumber", qsum("l_extendedprice").over(w).alias("qtotal")
+    )
+
+
+@register(
+    "udf_arrow_map",
+    """
+    SELECT event_id,
+           CAST(event_id * 3 + 1 AS BIGINT) AS mapped
+    FROM events WHERE event_id < 500
+    """,
+)
+def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy end of the Python surface — batches
+    arrive as pyarrow RecordBatches with no pandas conversion at all, the
+    right lane for columnar-native kernels (tokenizers, codecs) that
+    speak Arrow directly."""
+    import pyarrow as pa
+
+    def triple(batches):
+        for batch in batches:
+            ids = batch.column("event_id")
+            out = pa.compute.add(pa.compute.multiply(ids, pa.scalar(3)), pa.scalar(1))
+            yield pa.RecordBatch.from_arrays([ids, out], ["event_id", "mapped"])
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return ev.select("event_id").mapInArrow(triple, "event_id bigint, mapped bigint")

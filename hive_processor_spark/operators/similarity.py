@@ -32,6 +32,7 @@ from hive_processor_spark.engine import register
 from hive_processor_spark.functions.vector import (
     SQL_SQ_NORM_Q,
     cosine_q,
+    dot_q,
     sq_norm_q,
     sql_cosine_q,
 )
@@ -721,3 +722,48 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vr") == 1)
         .select("q_id", F.col("label").alias("pred_label"))
     )
+
+
+@register("embed_pca_top")  # Tier R: eigensolve has no SQL closed form
+def embed_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding Gram matrix — the
+    tall-skinny PCA decomposition every embedding pipeline uses: the
+    O(n·dim²) Gram accumulation G = Σ xᵢxᵢᵀ runs DISTRIBUTED (double
+    posexplode → per-(p,q) quantized sums, so the reduction is
+    bit-deterministic at any parallelism), and only the dim×dim matrix —
+    4096 doubles, independent of corpus size — reaches the driver for the
+    eigensolve. At 100 TB the same plan holds: the collect is O(dim²),
+    never O(n). Returns the unit top eigenvector (sign convention: first
+    nonzero component positive) with its eigenvalue."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    dim = emb.select(F.size("embedding")).head()[0]
+    ex = emb.select(
+        F.posexplode("embedding").alias("p", "xp"), F.col("embedding")
+    ).select("p", F.col("xp").cast("double").alias("xp"), "embedding")
+    ex2 = ex.select(
+        "p", "xp", F.posexplode("embedding").alias("q", "xq")
+    ).select("p", "q", (F.col("xp") * F.col("xq").cast("double")).alias("prod"))
+    g_rows = (
+        ex2.groupBy("p", "q")
+        .agg(
+            (
+                F.sum(F.floor(F.col("prod") * F.lit(1e9)).cast("decimal(28,0)"))
+                .cast("double")
+                / F.lit(1e9)
+            ).alias("g")
+        )
+        .collect()
+    )
+    G = np.zeros((dim, dim))
+    for r in g_rows:
+        G[r["p"], r["q"]] = r["g"]
+    vals, vecs = np.linalg.eigh((G + G.T) / 2.0)
+    v = vecs[:, -1]
+    lam = float(vals[-1])
+    nz = v[np.abs(v) > 1e-12]
+    if len(nz) and nz[0] < 0:
+        v = -v
+    rows = [(i + 1, round(float(c), 6), round(lam, 4)) for i, c in enumerate(v)]
+    return spark.createDataFrame(rows, "pos int, component double, eigenvalue double")

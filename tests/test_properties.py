@@ -300,3 +300,29 @@ def test_operators_survive_empty_input(spark, tmp_path):
             assert len(rows) == 1 and rows[0].n_users == 0
         else:
             assert rows == [], name
+
+
+def test_pca_top_is_eigenvector(spark):
+    """The returned direction must satisfy A v ≈ λ v for the Gram matrix
+    A = Σ xᵢxᵢᵀ — checked directly in numpy against the raw embeddings,
+    plus unit norm and the sign convention. (The distributed part under
+    test is the quantized Gram accumulation; the eigensolve is local.)"""
+    import numpy as np
+
+    rows = _QUERIES["embed_pca_top"](spark, SF_DIR).collect()
+    v = np.array([r.component for r in sorted(rows, key=lambda r: r.pos)])
+    lam = rows[0].eigenvalue
+    X = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, SF_DIR, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+    Av = X.T @ (X @ v)
+    assert np.linalg.norm(Av - lam * v) / lam < 1e-4
+    first_nz = v[np.abs(v) > 1e-12][0]
+    assert first_nz > 0

@@ -37,6 +37,7 @@ def _load_all() -> None:
     from hive_processor_spark.operators import (  # noqa: F401
         aggregates,
         cache_plane,
+        corpus,
         dedup,
         events,
         filters,

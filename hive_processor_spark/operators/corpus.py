@@ -1,0 +1,409 @@
+"""Corpus-preparation operators for LLM training-data pipelines (round-2
+extension of the SURVEY.md §2.2-K text family): benchmark-contamination
+check, repetition scoring, sequence packing, deterministic global shuffle,
+overlapping chunking, PII scrubbing, and URL parsing.
+
+Everything stays in built-in expressions (whole-stage codegen); the only
+shuffles are the ones the semantics force (the contamination join — with
+the benchmark side broadcast — the packing window, and the global-shuffle
+sort). Per-document work is embarrassingly parallel and survives a 100 TB
+corpus unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_processor_spark.engine import register
+from hive_processor_spark.sources.tables import load_table
+
+
+def _tokens() -> Column:
+    """Whitespace token array over trimmed ``text`` (single-split discipline,
+    shared with :mod:`textops`)."""
+    return F.split(F.trim(F.col("text")), " ")
+
+
+# --------------------------------------------------------------------------
+# Repetition scoring — the Gopher-style "fraction of duplicate n-grams"
+# quality signal. Pure per-document array math: no shuffle at all.
+# --------------------------------------------------------------------------
+@register(
+    "text_repetition",
+    """
+    WITH t AS (
+        SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS w FROM documents
+    ), b AS (
+        SELECT doc_id, w,
+               [ARRAY_TO_STRING(w[i:i+1], ' ') FOR i IN RANGE(1, LEN(w))] AS bg
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(LEN(w) AS BIGINT) AS n_tokens,
+           ROUND((LEN(w) - LEN(LIST_DISTINCT(w))) / CAST(LEN(w) AS DOUBLE), 6)
+               AS dup_word_ratio,
+           ROUND((LEN(bg) - LEN(LIST_DISTINCT(bg))) / CAST(LEN(bg) AS DOUBLE), 6)
+               AS dup_bigram_ratio
+    FROM b
+    ORDER BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-word and duplicate-bigram ratios per document — the
+    repetition filter every corpus-cleaning recipe applies before training.
+    One projection, zero shuffles beyond the output sort; at 100 TB this is
+    a map-only pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' '))"
+    )
+    return (
+        docs.select("doc_id", _tokens().alias("w"))
+        .select("doc_id", "w", bigrams.alias("bg"))
+        .select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("n_tokens"),
+            F.round(
+                (F.size("w") - F.size(F.array_distinct("w")))
+                / F.size("w").cast("double"),
+                6,
+            ).alias("dup_word_ratio"),
+            F.round(
+                (F.size("bg") - F.size(F.array_distinct("bg")))
+                / F.size("bg").cast("double"),
+                6,
+            ).alias("dup_bigram_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark contamination — shared-shingle count between each corpus doc
+# and a held-out benchmark set. The benchmark shingle set is tiny relative
+# to the corpus, so it broadcasts; the corpus side is a map-side hash join,
+# never a corpus-wide shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "text_contamination",
+    """
+    WITH t AS (
+        SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS w FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, s
+        FROM (
+            SELECT doc_id,
+                   UNNEST([ARRAY_TO_STRING(w[i:i+4], ' ')
+                           FOR i IN RANGE(1, LEN(w) - 3)]) AS s
+            FROM t
+        )
+    ), bench AS (
+        SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0
+    ), hits AS (
+        SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM sh JOIN bench ON sh.s = bench.s
+        WHERE sh.doc_id % 50 <> 0
+        GROUP BY sh.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_shared, 0) AS n_shared,
+           COALESCE(h.n_shared, 0) >= 1 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 50 <> 0
+    ORDER BY d.doc_id
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: count 5-gram shingles each corpus
+    document shares with a held-out benchmark set (here: every 50th doc,
+    standing in for an eval suite). The benchmark shingle set is broadcast —
+    at 100 TB the corpus side stays a map-only scan + partial aggregate;
+    only the per-doc hit counts shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = F.expr(
+        "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))"
+    )
+    sh = (
+        docs.select("doc_id", _tokens().alias("w"))
+        .select("doc_id", F.explode(shingles).alias("s"))
+        .distinct()
+    )
+    bench = sh.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
+    hits = (
+        sh.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= 1).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing — contiguous greedy packing of documents into
+# fixed-token-budget bins, partitioned by source so every partition packs
+# independently (the shape a 1000-executor packing job needs; a single
+# global ordering would serialize).
+# --------------------------------------------------------------------------
+@register(
+    "pipeline_pack_sequences",
+    """
+    WITH t AS (
+        SELECT source, doc_id,
+               CAST(LEN(STRING_SPLIT(TRIM(text), ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT source, doc_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM t
+    )
+    SELECT source,
+           CAST((cum - n_tokens) // 256 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM c
+    GROUP BY source, bin
+    ORDER BY source, bin
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into 256-token training bins with contiguous greedy
+    packing, independently per source. The window partitions by ``source``
+    so packing parallelizes across the cluster — no global sort, one
+    shuffle on the partition key, then per-bin stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = docs.select(
+        "source", "doc_id", F.size(_tokens()).cast("bigint").alias("n_tokens")
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.select(
+            "source",
+            F.expr("(cum - n_tokens) div 256").alias("bin"),
+            "n_tokens",
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic global shuffle — seeded hash ordering + round-robin shard
+# assignment, the "shuffle the corpus once, reproducibly" step before
+# training-shard export.
+# --------------------------------------------------------------------------
+@register(
+    "sample_global_shuffle",
+    """
+    SELECT doc_id,
+           CAST((ROW_NUMBER() OVER (
+               ORDER BY MD5('r2:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1) % 8 AS BIGINT) AS shard
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic corpus shuffle: order by ``md5(seed || doc_id)``
+    and deal docs round-robin into 8 shards. Reproducible across runs and
+    engines (the hash is the order key, not a RNG). At 100 TB the sort is a
+    range-partitioned exchange — the one shuffle the semantics require;
+    shard files would then be written with ``partitionBy(shard)``."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit("r2:"), F.col("doc_id").cast("string")))
+    w = Window.orderBy(key, "doc_id")
+    return (
+        docs.select("doc_id")
+        .withColumn(
+            "shard", ((F.row_number().over(w) - 1) % 8).cast("bigint")
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Overlapping chunking — fixed window / stride token chunks, the context-
+# window packing step for long-document training. Map-only fan-out.
+# --------------------------------------------------------------------------
+@register(
+    "text_chunk_overlap",
+    """
+    WITH t AS (
+        SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS w FROM documents
+    ), s AS (
+        SELECT doc_id, w, UNNEST(RANGE(1, LEN(w) + 1, 24)) AS i FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS start,
+           CAST(LEN(w[i:i+31]) AS BIGINT) AS n_chunk_tokens,
+           ARRAY_TO_STRING(w[i:i+31], ' ') AS chunk
+    FROM s
+    ORDER BY doc_id, start
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunks (window 32, stride 24) per document — the
+    chunking pass before tokenize-and-pack. One ``sequence`` + ``explode``
+    projection per doc; trailing partial chunks are kept (clamped slice),
+    matching streaming chunker behavior. Map-only at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    starts = F.expr("sequence(1, size(w), 24)")
+    return (
+        docs.select("doc_id", _tokens().alias("w"))
+        .select("doc_id", F.explode(starts).alias("start"), "w")
+        .select(
+            "doc_id",
+            F.col("start").cast("bigint").alias("start"),
+            F.size(F.slice("w", F.col("start"), 32))
+            .cast("bigint")
+            .alias("n_chunk_tokens"),
+            F.array_join(F.slice("w", F.col("start"), 32), " ").alias("chunk"),
+        )
+        .orderBy("doc_id", "start")
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing — regex redaction over a contact-bearing string. The
+# fixture text carries no PII, so the operator synthesizes a deterministic
+# contact suffix per doc, then proves the redaction path end-to-end.
+# --------------------------------------------------------------------------
+_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.org or +1-555-0' || CAST(doc_id % 1000 AS VARCHAR)
+                    || REPEAT('0', 3 - LEN(CAST(doc_id % 1000 AS VARCHAR))) AS msg
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(msg, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(msg, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           SUBSTR(REGEXP_REPLACE(REGEXP_REPLACE(msg, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                 '{_PHONE_RE}', '<PHONE>', 'g'),
+                  GREATEST(LEN(msg) - 79, 1), 80) AS scrubbed_tail
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (emails, phone numbers) with per-doc redaction
+    counts. The fixture corpus is synthetic, so a deterministic contact
+    suffix is appended first; the scrub itself is exactly what a real
+    corpus pass runs — two ``regexp_replace`` over codegen, map-only.
+    Patterns stay in the regex subset Java and RE2 share."""
+    docs = load_table(spark, sf_dir, "documents")
+    msg = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org or +1-555-0"),
+        (F.col("doc_id") % 1000).cast("string"),
+        F.expr(
+            "repeat('0', 3 - length(cast(doc_id % 1000 as string)))"
+        ),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(msg, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return (
+        docs.select("doc_id", msg.alias("msg"))
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all("msg", F.lit(_EMAIL_RE), 0))
+            .cast("bigint")
+            .alias("n_emails"),
+            F.size(F.regexp_extract_all("msg", F.lit(_PHONE_RE), 0))
+            .cast("bigint")
+            .alias("n_phones"),
+            F.substring(
+                F.regexp_replace(
+                    F.regexp_replace("msg", _EMAIL_RE, "<EMAIL>"),
+                    _PHONE_RE,
+                    "<PHONE>",
+                ),
+                F.greatest(F.length("msg") - 79, F.lit(1)),
+                80,
+            ).alias("scrubbed_tail"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# URL parsing — Spark's parse_url against a regex oracle. The fixture has
+# no URL column, so one is synthesized deterministically; the point is the
+# engine-side parse_url machinery a web-corpus pipeline leans on.
+# --------------------------------------------------------------------------
+@register(
+    "fn_url",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/'
+                   || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           REGEXP_EXTRACT(url, 'https://([^/]+)/', 1) AS host,
+           REGEXP_EXTRACT(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+           REGEXP_EXTRACT(url, 'lang=([a-z]+)', 1) AS lang_param
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition via ``parse_url`` (host / path / query param) — the
+    per-document URL normalization step of a web-crawl pipeline. Built-in
+    JVM expression, map-only; the DuckDB oracle mirrors it with regexes."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return (
+        docs.select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        )
+        .orderBy("doc_id")
+    )

@@ -558,3 +558,135 @@ def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "agg_weighted",
+    f"""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           ROUND({sql_dsum('l_extendedprice * l_quantity')}
+                 / SUM(CAST(l_quantity AS BIGINT)), 4) AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag — the weighted-mean
+    aggregate (SUM(x·w)/SUM(w)) behind every sampling-weight / importance-
+    weight reduction. The product is quantized before summation (exact.py
+    discipline) so the ratio is bit-stable at any parallelism; one
+    map-side-combinable hash aggregate, no joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(qty).alias("total_qty"),
+            F.round(
+                dsum(F.col("l_extendedprice") * F.col("l_quantity"))
+                / F.sum(qty),
+                4,
+            ).alias("wavg_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("agg_hll_merge")  # Tier-R: sketch estimates have no DuckDB twin
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via Spark 4 built-ins):
+    build one `hll_sketch_agg` per order-priority group, then `hll_union_agg`
+    the partial sketches into a corpus-wide distinct-customer estimate —
+    exactly how a 1000-executor job merges per-partition state without a
+    re-shuffle of raw keys. Tier-R (estimates are engine-specific);
+    tests/test_engine.py bounds the estimates against exact counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_group = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+    )
+    return (
+        per_group.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_estimate"),
+            F.sum("exact_distinct").alias("sum_groupwise_exact"),
+        )
+    )
+
+
+#: Count-min sketch geometry: d=4 integer hash rows ((a·k + b) mod p mod w),
+#: identical arithmetic on both engines — no engine hash function involved.
+_CMS_P = 2147483647
+_CMS_W = 512
+_CMS_PARAMS = [(0, 2654435761, 97), (1, 2246822519, 193), (2, 3266489917, 389), (3, 668265263, 769)]
+_CMS_VALUES = ", ".join(f"({i}, {a}, {b})" for i, a, b in _CMS_PARAMS)
+
+
+@register(
+    "sketch_countmin",
+    f"""
+    WITH params(i, a, b) AS (VALUES {_CMS_VALUES}),
+    counters AS (
+        SELECT i, ((a * l_partkey + b) % {_CMS_P}) % {_CMS_W} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem CROSS JOIN params
+        GROUP BY i, bucket
+    ), top_keys AS (
+        SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS true_n
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY true_n DESC, k LIMIT 20
+    )
+    SELECT t.k AS l_partkey, t.true_n, MIN(c.c) AS est_n
+    FROM top_keys t
+    JOIN params p ON TRUE
+    JOIN counters c
+      ON c.i = p.i AND c.bucket = ((p.a * t.k + p.b) % {_CMS_P}) % {_CMS_W}
+    GROUP BY t.k, t.true_n
+    ORDER BY t.true_n DESC, t.k
+    """,
+)
+def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built distributed: each row fans out to d=4 (row,
+    bucket) cells via pure-integer hashing, one map-side-combinable
+    aggregate produces the d×w counter table (2 KiB — broadcastable state,
+    the point of the sketch), and point queries take the min over the d
+    cells. Frequencies of the top-20 true keys are estimated and returned
+    beside the truth; CMS guarantees est ≥ true (property-tested). At
+    100 TB the counter table is the only state that crosses the wire —
+    per-partition partial counters merge by addition, like the HLL union."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def cms_cells(key: str) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    (((F.lit(a) * F.col(key) + b) % _CMS_P) % _CMS_W).alias(
+                        "bucket"
+                    ),
+                )
+                for i, a, b in _CMS_PARAMS
+            ]
+        )
+
+    counters = (
+        li.select(F.explode(cms_cells("l_partkey")).alias("cell"))
+        .groupBy("cell.i", "cell.bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        li.groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("k"))
+        .limit(20)
+    )
+    probes = top.select(
+        "k", "true_n", F.explode(cms_cells("k")).alias("cell")
+    ).select("k", "true_n", "cell.i", "cell.bucket")
+    return (
+        probes.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy(F.col("k").alias("l_partkey"), "true_n")
+        .agg(F.min("c").alias("est_n"))
+        .orderBy(F.desc("true_n"), F.asc("l_partkey"))
+    )

@@ -407,3 +407,41 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Domain-level dedup — keep one canonical document per source/domain, the
+# coarse "one page per URL-normal-form" pass that precedes content dedup.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_domain",
+    """
+    SELECT source, doc_id, n_chars
+    FROM (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn = 1
+    ORDER BY source
+    """,
+)
+def dedup_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-per-domain dedup: the longest document (ties → lowest id)
+    per source. One window over the domain key — partition-parallel, and at
+    100 TB the rank-over-partition shape AQE-handles skewed domains;
+    alternatively `max_by` when only the winner (not the rank) is needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select(
+            "source", "doc_id", "n_chars", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source")
+    )

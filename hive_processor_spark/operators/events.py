@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
+from hive_processor_spark.functions.exact import dsum, sql_dsum
 from hive_processor_spark.sources.tables import load_table
 
 
@@ -178,3 +179,58 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum("new_session").over(run).cast("long").alias("session_no"),
     )
+
+
+@register(
+    "events_anomaly",
+    f"""
+    WITH st AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               {sql_dsum('value')} AS s1,
+               {sql_dsum('value * value')} AS s2
+        FROM events
+        GROUP BY event_type
+    ), z AS (
+        SELECT e.event_id, e.event_type, e.value,
+               (e.value - s.s1 / s.n)
+                   / SQRT((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS zval
+        FROM events e JOIN st s ON e.event_type = s.event_type
+    )
+    SELECT event_id, event_type, ROUND(value, 2) AS value, ROUND(zval, 4) AS z
+    FROM z
+    WHERE ABS(zval) > 3.0
+    ORDER BY event_id
+    """,
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection on event values, per event type: one
+    hash-aggregate pass for per-type (n, Σx, Σx²) — quantized exact sums, so
+    the mean/std are bit-identical at any parallelism — then a broadcast
+    join of the 5-row stats table back onto the stream and a codegen filter
+    on |z| > 3. At 100 TB this is one map-side-combinable aggregate plus a
+    map-only pass; the stats side never grows past the type cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("s1"),
+        dsum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    z = (
+        ev.join(F.broadcast(st), "event_type")
+        .withColumn(
+            "zval",
+            (F.col("value") - F.col("s1") / F.col("n"))
+            / F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+        )
+        .filter(F.abs("zval") > 3.0)
+    )
+    return z.select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.round("zval", 4).alias("z"),
+    ).orderBy("event_id")

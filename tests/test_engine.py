@@ -80,3 +80,16 @@ def test_cluster_conf_runs_headline_query(spark):
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, value)
+
+
+def test_hll_merge_estimate_within_bounds(spark, duck):
+    """The merged HLL estimate (agg_hll_merge, Tier-R) must land within 5%
+    of the exact corpus-wide distinct count — the bound that makes partial
+    sketches a safe substitute for a raw-key re-shuffle at 100 TB."""
+    row = queries()["agg_hll_merge"](spark, SF_DIR).collect()[0]
+    exact = duck.execute(
+        "SELECT COUNT(DISTINCT o_custkey) FROM orders"
+    ).fetchone()[0]
+    assert abs(row["merged_estimate"] - exact) / exact < 0.05
+    # groupwise-exact sum >= global distinct (a customer can span groups)
+    assert row["sum_groupwise_exact"] >= exact

@@ -127,3 +127,41 @@ def test_static_partition_prune(spark):
     part_f = plan.split("PartitionFilters")[1].splitlines()[0]
     assert "o_orderstatus" in part_f
     assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_runtime_bloom_filter_join(spark):
+    """Runtime row-level filtering: with the bloom-filter optimizer enabled
+    (thresholds floored so the sf0.01 fixture qualifies), a selective
+    dim-side predicate must inject a bloom `might_contain` filter on the
+    fact side — the 100 TB lever that prunes shuffle input before the
+    exchange, not after."""
+    from pyspark.sql import functions as F
+
+    from hive_processor_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_DIR, "lineitem")
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        plan = plan_string(joined)
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -326,3 +326,15 @@ def test_pca_top_is_eigenvector(spark):
     assert np.linalg.norm(Av - lam * v) / lam < 1e-4
     first_nz = v[np.abs(v) > 1e-12][0]
     assert first_nz > 0
+
+
+def test_countmin_never_underestimates(spark):
+    """CMS guarantee: min-over-rows estimate >= true frequency for every
+    probed key, with the standard (e, delta) error bound well clear at
+    fixture scale (w=512 buckets, n=60k increments)."""
+    rows = queries()["sketch_countmin"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.est_n >= r.true_n
+        # e*n with e = 2.718/512 ~ 320 at sf0.01; generous factor-2 slack
+        assert r.est_n - r.true_n <= 640

@@ -474,3 +474,34 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "head_is_date"
         ),
     )
+
+
+@register(
+    "fn_variant",
+    """
+    SELECT event_id,
+           CAST(props->>'$.k' AS INT) AS k,
+           CAST(props->>'$.k' AS INT) % 10 AS k_mod
+    FROM events
+    ORDER BY event_id
+    LIMIT 2000
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion: ``parse_json`` once into a binary variant,
+    then typed ``variant_get`` extractions — the semi-structured fast path
+    that replaces per-access string re-parsing (`get_json_object`) with a
+    parse-once columnar encoding; at 100 TB the difference is one JSON
+    parse per row instead of one per extraction. Oracle mirrors with
+    DuckDB's JSON operators."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            "event_id",
+            F.try_variant_get(v, "$.k", "int").alias("k"),
+            (F.try_variant_get(v, "$.k", "int") % 10).alias("k_mod"),
+        )
+        .orderBy("event_id")
+        .limit(2000)
+    )

@@ -716,3 +716,101 @@ def dedup_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "after_head_fp"
         ),
     )
+
+
+def _sql_qsum9(expr: str) -> str:
+    """Oracle fragment: order-independent sum of ``expr`` quantized at 1e9
+    (exact.py discipline, scale 9 for PageRank-sized probabilities)."""
+    return (
+        f"(CAST(SUM(CAST(FLOOR(({expr}) * 1000000000.0) AS DECIMAL(28,0)))"
+        f" AS DOUBLE) / 1000000000.0)"
+    )
+
+
+@register(
+    "graph_pagerank",
+    _SIMHASH_SIG_SQL
+    + f"""
+    , pairs AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {_MAX_HAMMING}
+    ), edges AS (
+        SELECT u AS src, v AS dst FROM pairs
+        UNION ALL
+        SELECT v AS src, u AS dst FROM pairs
+    ), deg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), pr0 AS (
+        SELECT doc_id, 1.0 / n.n AS pr FROM documents, n
+    ), in1 AS (
+        SELECT e.dst AS doc_id, {_sql_qsum9('p.pr / g.d')} AS s
+        FROM edges e
+        JOIN pr0 p ON p.doc_id = e.src
+        JOIN deg g ON g.src = e.src
+        GROUP BY e.dst
+    ), pr1 AS (
+        SELECT d.doc_id, 0.15 / n.n + 0.85 * COALESCE(i.s, 0.0) AS pr
+        FROM documents d CROSS JOIN n LEFT JOIN in1 i ON i.doc_id = d.doc_id
+    ), in2 AS (
+        SELECT e.dst AS doc_id, {_sql_qsum9('p.pr / g.d')} AS s
+        FROM edges e
+        JOIN pr1 p ON p.doc_id = e.src
+        JOIN deg g ON g.src = e.src
+        GROUP BY e.dst
+    ), pr2 AS (
+        SELECT d.doc_id, 0.15 / n.n + 0.85 * COALESCE(i.s, 0.0) AS pr
+        FROM documents d CROSS JOIN n LEFT JOIN in2 i ON i.doc_id = d.doc_id
+    )
+    SELECT doc_id, ROUND(pr, 9) AS pagerank
+    FROM pr2
+    ORDER BY pagerank DESC, doc_id
+    LIMIT 50
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (2 unrolled iterations, d=0.85) over the simhash near-dup
+    graph — the iterative join→aggregate→join loop behind link-graph
+    quality weighting, spelled as a deterministic dataflow. Per-iteration
+    neighbor sums are quantized at 1e9 (exact.py discipline) so the rank
+    vector is bit-identical at any parallelism; dangling mass is kept, not
+    redistributed (spec'd identically in the oracle). At 100 TB each
+    iteration is one shuffle on dst; the rank/degree sides co-partition
+    with the edge list after the first iteration, and convergence-many
+    iterations would checkpoint lineage every few rounds exactly like
+    dedup_cluster's pointer-jumping loop."""
+    from hive_processor_spark.functions.exact import dsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n = docs.count()  # one scalar aggregate; the rank vector stays distributed
+    pr = docs.select("doc_id", F.lit(1.0 / n).alias("pr"))
+    for _ in range(2):
+        inflow = (
+            edges.join(pr.withColumnRenamed("doc_id", "src"), "src")
+            .join(deg, "src")
+            .select("dst", (F.col("pr") / F.col("d")).alias("c"))
+            .groupBy("dst")
+            .agg(dsum("c", scale=9).alias("s"))
+        )
+        pr = (
+            docs.select("doc_id")
+            .join(inflow.withColumnRenamed("dst", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(0.15 / n) + F.lit(0.85) * F.coalesce("s", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.select("doc_id", F.round("pr", 9).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), F.asc("doc_id"))
+        .limit(50)
+    )

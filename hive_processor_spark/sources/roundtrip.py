@@ -321,3 +321,32 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 400000.0))
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "scan_text_roundtrip",
+    """
+    SELECT CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM documents
+    GROUP BY LENGTH(text)
+    ORDER BY n_chars
+    """,
+)
+def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source: write one document per line, read back with the
+    line-oriented text reader (the raw-corpus ingestion format), aggregate
+    a line-length histogram. The fixture text is newline-free so the
+    round-trip is lossless; the oracle aggregates the original column. At
+    scale text splits by line blocks — the same scan parallelism as any
+    splittable format (when compressed, prefer zstd-seekable or chunked
+    files: a single gzip text file is one task)."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch("text")
+    docs.select("text").write.mode("overwrite").text(path)
+    lines = spark.read.text(path)  # column: value
+    return (
+        lines.groupBy(F.length("value").cast("bigint").alias("n_chars"))
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("n_chars")
+    )

@@ -172,3 +172,42 @@ def join_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-join. Same SQL text on both engines; revenue exact-quantized."""
     register_views(spark, sf_dir)
     return spark.sql(_DISJUNCTIVE_SQL)
+
+
+@register(
+    "sql_recursive",
+    """
+    WITH RECURSIVE chain AS (
+        SELECT n_nationkey AS root, n_nationkey AS node, n_name AS name,
+               0 AS depth
+        FROM nation WHERE n_nationkey < 5
+        UNION ALL
+        SELECT c.root, n.n_nationkey, n.n_name, c.depth + 1
+        FROM nation n JOIN chain c ON n.n_nationkey = c.node + 5
+    )
+    SELECT root, node, name, depth FROM chain ORDER BY root, depth
+    """,
+)
+def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): walk 5 synthetic parent chains through the
+    nation table (parent = key - 5), re-joining the base table at every
+    step — the hierarchy/transitive-closure surface (org charts, BOM
+    explosions, graph reachability). Spark executes each recursion level
+    as a fresh join stage; depth is bounded by
+    ``spark.sql.cteRecursionLevelLimit`` — at scale prefer the
+    pointer-jumping O(log n) formulation used by ``dedup_cluster`` when
+    depth is data-dependent."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+            SELECT n_nationkey AS root, n_nationkey AS node, n_name AS name,
+                   0 AS depth
+            FROM nation WHERE n_nationkey < 5
+            UNION ALL
+            SELECT c.root, n.n_nationkey, n.n_name, c.depth + 1
+            FROM nation n JOIN chain c ON n.n_nationkey = c.node + 5
+        )
+        SELECT root, node, name, depth FROM chain ORDER BY root, depth
+        """
+    )

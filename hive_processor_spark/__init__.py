@@ -37,6 +37,7 @@ def _load_all() -> None:
     from hive_processor_spark.operators import (  # noqa: F401
         aggregates,
         cache_plane,
+        clustering,
         corpus,
         dedup,
         events,
@@ -50,7 +51,7 @@ def _load_all() -> None:
         udfs,
         windows,
     )
-    from hive_processor_spark.sources import roundtrip, scans  # noqa: F401
+    from hive_processor_spark.sources import pysource, roundtrip, scans  # noqa: F401
     from hive_processor_spark.streaming import eventtime, smoke  # noqa: F401
 
 

@@ -1,0 +1,150 @@
+"""Embedding clustering (k-means) — the semantic-clustering pass behind
+topic bucketing, cluster-balanced sampling, and semantic dedup at corpus
+scale.
+
+Spelled as pure DataFrame ops: assignment is a broadcast cross join against
+the k-row centroid table + a rank window (k·n score rows, never n²);
+re-estimation is a per-dimension quantized sum (exact.py discipline applied
+per array slot), so the centroids — and therefore the final assignment —
+are bit-identical at any parallelism, which is what makes a 2-iteration
+unrolled DuckDB oracle hash-match (Tier-H, rare for an ML operator).
+
+At 100 TB: per iteration one broadcast join (centroids are KiB) + one
+shuffle on (cluster, dim) bounded by k·dims groups — the standard
+distributed Lloyd step. More iterations = a driver loop over the same two
+stages with lineage checkpoints every few rounds (dedup_cluster's
+discipline); k grows past broadcast size → IVF-style cell partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_processor_spark.engine import register
+from hive_processor_spark.functions.vector import (
+    SQL_DOT_Q,
+    SQL_SQ_NORM_Q,
+    dot_q,
+    sq_norm_q,
+)
+from hive_processor_spark.sources.tables import load_table
+
+_K = 4
+_MEAN_SCALE = 1e9  # per-dimension quantization for centroid re-estimation
+
+
+def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cluster): nearest centroid by squared L2
+    distance, |v|² dropped (constant per vector), ties → lowest cluster id."""
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cluster",
+        (
+            -2.0 * dot_q(F.col("embedding"), F.col("centroid"))
+            + sq_norm_q(F.col("centroid"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("score", "cluster")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cluster")
+    )
+
+
+def _recenter(assigned: DataFrame) -> DataFrame:
+    """(cluster, centroid): per-dimension quantized mean of the members."""
+    per_dim = (
+        assigned.select(
+            "cluster", F.posexplode("embedding").alias("pos", "val")
+        )
+        .groupBy("cluster", "pos")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("val").cast("double") * _MEAN_SCALE).cast(
+                        "decimal(28,0)"
+                    )
+                ).cast("double")
+                / (_MEAN_SCALE * F.count(F.lit(1)))
+            ).alias("m")
+        )
+    )
+    return per_dim.groupBy("cluster").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+        ).alias("centroid")
+    )
+
+
+_SQL_ASSIGN = f"""
+        SELECT vec_id, embedding, cluster FROM (
+            SELECT e.vec_id, e.embedding, c.cluster,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY -2.0 * {SQL_DOT_Q.format(a='e.embedding', b='c.centroid')}
+                                + {SQL_SQ_NORM_Q.format(v='c.centroid')},
+                                c.cluster
+                   ) AS rn
+            FROM embeddings e CROSS JOIN {{cents}} c
+        ) WHERE rn = 1
+"""
+
+# RANGE(1, 65): the fixture embeddings are 64-dimensional (TESTDATA.md).
+_SQL_RECENTER = f"""
+        SELECT cluster, LIST(m ORDER BY i) AS centroid FROM (
+            SELECT cluster, i,
+                   CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_MEAN_SCALE!r})
+                                 AS DECIMAL(28,0))) AS DOUBLE)
+                       / ({_MEAN_SCALE!r} * COUNT(*)) AS m
+            FROM {{assigned}}, (SELECT UNNEST(RANGE(1, 65)) AS i)
+            GROUP BY cluster, i
+        ) GROUP BY cluster
+"""
+
+
+@register(
+    "embed_kmeans",
+    f"""
+    WITH cent0 AS (
+        SELECT CAST(vec_id AS INT) AS cluster,
+               LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+        FROM embeddings WHERE vec_id < {_K}
+    ), assign1 AS ({_SQL_ASSIGN.format(cents='cent0')}
+    ), cent1 AS ({_SQL_RECENTER.format(assigned='assign1')}
+    ), assign2 AS ({_SQL_ASSIGN.format(cents='cent1')}
+    )
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(vec_id) AS BIGINT) AS min_member
+    FROM assign2
+    GROUP BY cluster
+    ORDER BY cluster
+    """,
+)
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means (k=4, 2 unrolled Lloyd iterations) over the embedding corpus:
+    seeds are the first k vectors, assignment is broadcast-join + rank
+    window, re-estimation is a per-dimension quantized mean. Returns
+    per-cluster membership stats; bit-stable, so the DuckDB twin of the
+    whole two-round dance hash-matches."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.col("embedding").alias("centroid"),
+    )
+    assigned = _assign(emb, cents)
+    cents = _recenter(assigned)
+    assigned = _assign(emb, cents)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("min_member"),
+        )
+        .orderBy("cluster")
+    )

@@ -1,0 +1,105 @@
+"""Custom Python data source (Spark 4 DataSource API) — the extension
+surface for bringing a new storage system into the engine without JVM code.
+
+The reference's only ingress is rows delegated from Postgres (reference
+``src/processor.ts:26,68``); Spark's equivalent extension point for "a
+source the engine doesn't ship" is this API: the driver plans
+``InputPartition``s, each executor materializes its partition's rows in a
+Python worker (Arrow-batched back to the JVM). Here the source is a
+deterministic synthetic-document generator — the shape used to scale-test
+pipelines without staging input data; a real connector would replace
+``read`` with client fetches and keep the partition planning identical.
+
+At 100 TB the partition count is the parallelism contract: ``partitions()``
+should split by the remote system's natural shards (files, key ranges,
+topic partitions) so each ``read`` streams one shard, and pushdown-capable
+sources additionally implement filter/column pruning hooks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from hive_processor_spark.engine import register
+
+#: Generator geometry (mirrored literally in the oracle SQL).
+_N_ROWS = 5000
+_N_PARTS = 16
+_VOCAB = 97
+
+
+class SynthDocsReader(DataSourceReader):
+    """Plans even row-ranges; each partition generates its range locally."""
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", _N_ROWS))
+        self.parts = int(options.get("parts", _N_PARTS))
+
+    def partitions(self) -> list[InputPartition]:
+        step = (self.n + self.parts - 1) // self.parts
+        return [
+            InputPartition((i * step, min((i + 1) * step, self.n)))
+            for i in range(self.parts)
+        ]
+
+    def read(self, partition: InputPartition):
+        lo, hi = partition.value
+        for i in range(lo, hi):
+            # Deterministic content: token id and a length that varies by row.
+            yield (i, f"w{i % _VOCAB}", (i * 37) % 256)
+
+
+class SynthDocsSource(DataSource):
+    """``spark.read.format("synthdocs")`` — registered per session."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocs"
+
+    def schema(self) -> str:
+        return "doc_id bigint, token string, n_bytes bigint"
+
+    def reader(self, schema) -> SynthDocsReader:
+        return SynthDocsReader(self.options)
+
+
+@register(
+    "scan_python_datasource",
+    f"""
+    WITH g AS (
+        SELECT i AS doc_id, 'w' || CAST(i % {_VOCAB} AS VARCHAR) AS token,
+               (i * 37) % 256 AS n_bytes
+        FROM (SELECT UNNEST(RANGE(0, {_N_ROWS})) AS i)
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes
+    FROM g
+    GROUP BY token
+    ORDER BY token
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through the registered Python data source (16 planned
+    partitions, Arrow-batched rows from Python workers) and aggregate per
+    token — proving partition planning, distributed generation, and the
+    full read path. The oracle regenerates the same rows from a range."""
+    spark.dataSource.register(SynthDocsSource)
+    df = (
+        spark.read.format("synthdocs")
+        .option("n", str(_N_ROWS))
+        .option("parts", str(_N_PARTS))
+        .load()
+    )
+    return (
+        df.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum("n_bytes").alias("sum_bytes"),
+        )
+        .orderBy("token")
+    )

@@ -350,3 +350,87 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_lines"))
         .orderBy("n_chars")
     )
+
+
+def _zvalue_spark(bx, by):
+    """16-bit × 16-bit Morton interleave as a codegen integer expression."""
+    z = F.lit(0).cast("long")
+    for j in range(16):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(bx, j).bitwiseAND(F.lit(1)), 2 * j)
+            + F.shiftleft(F.shiftright(by, j).bitwiseAND(F.lit(1)), 2 * j + 1)
+        )
+    return z
+
+
+def _zvalue_sql(bx: str, by: str) -> str:
+    terms = []
+    for j in range(16):
+        terms.append(f"((({bx} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({by} >> {j}) & 1) << {2 * j + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZORDER_SQL_BUCKETS = """
+    WITH ext AS (
+        SELECT MIN(l_partkey) AS pmn, MAX(l_partkey) AS pmx,
+               MIN(l_suppkey) AS smn, MAX(l_suppkey) AS smx
+        FROM lineitem
+    ), b AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               CAST(((l_partkey - pmn) * 65536) // (pmx - pmn + 1) AS BIGINT) AS bx,
+               CAST(((l_suppkey - smn) * 65536) // (smx - smn + 1) AS BIGINT) AS by
+        FROM lineitem, ext
+    )
+"""
+
+
+@register(
+    "sink_zorder",
+    _ZORDER_SQL_BUCKETS
+    + f"""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           {_zvalue_sql('bx', 'by')} AS zvalue
+    FROM b
+    ORDER BY zvalue, l_orderkey, l_linenumber
+    LIMIT 50
+    """,
+)
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey): each
+    dimension is linearly bucketed to 16 bits from its min/max (integer
+    math, engine-identical), then bit-interleaved — the multi-dimensional
+    sort key that lets a range-partitioned Parquet layout serve *both*
+    "partkey BETWEEN" and "suppkey BETWEEN" scans with file skipping, where
+    a single-column sort only serves one. The layout effect (a box query
+    touches a fraction of z-sorted files vs all natural-layout files) is
+    asserted in tests/test_plans.py; this query pins the key computation.
+    At 100 TB the write is `repartitionByRange(zvalue)` + sortWithinPartitions
+    — one range exchange, amortized over every scan thereafter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ext = li.agg(
+        F.min("l_partkey").alias("pmn"),
+        F.max("l_partkey").alias("pmx"),
+        F.min("l_suppkey").alias("smn"),
+        F.max("l_suppkey").alias("smx"),
+    )
+    b = li.crossJoin(F.broadcast(ext)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.expr("((l_partkey - pmn) * 65536L) div (pmx - pmn + 1)").alias("bx"),
+        F.expr("((l_suppkey - smn) * 65536L) div (smx - smn + 1)").alias("by"),
+    )
+    return (
+        b.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            _zvalue_spark(F.col("bx"), F.col("by")).alias("zvalue"),
+        )
+        .orderBy("zvalue", "l_orderkey", "l_linenumber")
+        .limit(50)
+    )

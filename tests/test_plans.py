@@ -165,3 +165,57 @@ def test_runtime_bloom_filter_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_layout_skips_files(spark, tmp_path):
+    """A z-ordered range-partitioned layout must serve a 2-D box predicate
+    from fewer files than the natural (orderkey-ordered) layout — the
+    file-skipping payoff that justifies the one-time layout exchange."""
+    from pyspark.sql import functions as F
+
+    from hive_processor_spark.sources.roundtrip import (
+        _zvalue_spark,
+    )
+    from hive_processor_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    ext = li.agg(
+        F.min("l_partkey").alias("pmn"),
+        F.max("l_partkey").alias("pmx"),
+        F.min("l_suppkey").alias("smn"),
+        F.max("l_suppkey").alias("smx"),
+    )
+    keyed = li.crossJoin(F.broadcast(ext)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr("((l_partkey - pmn) * 65536L) div (pmx - pmn + 1)").alias("bx"),
+        F.expr("((l_suppkey - smn) * 65536L) div (smx - smn + 1)").alias("by"),
+    )
+    z = keyed.select(
+        "l_partkey", "l_suppkey", _zvalue_spark(F.col("bx"), F.col("by")).alias("z")
+    )
+    n_files = 16
+    zpath, npath = str(tmp_path / "zorder"), str(tmp_path / "natural")
+    z.repartitionByRange(n_files, "z").write.mode("overwrite").parquet(zpath)
+    li.select("l_partkey", "l_suppkey").repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(npath)
+
+    pmx, smx = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    box = (
+        (F.col("l_partkey") <= pmx / 8) & (F.col("l_suppkey") <= smx / 8)
+    )
+
+    def files_touched(path: str) -> int:
+        return (
+            spark.read.parquet(path)
+            .filter(box)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    z_files, n_files_touched = files_touched(zpath), files_touched(npath)
+    # natural layout scatters the box everywhere; z-order confines it
+    assert n_files_touched >= n_files - 2
+    assert z_files <= n_files_touched // 2

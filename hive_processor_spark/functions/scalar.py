@@ -505,3 +505,39 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(2000)
     )
+
+
+@register(
+    "fn_collation",
+    """
+    WITH mixed AS (
+        SELECT c_mktsegment AS seg FROM customer
+        UNION ALL
+        SELECT UPPER(SUBSTR(c_mktsegment, 1, 1)) || LOWER(SUBSTR(c_mktsegment, 2))
+        FROM customer
+    )
+    SELECT LOWER(seg) AS seg_ci, CAST(COUNT(*) AS BIGINT) AS n
+    FROM mixed
+    GROUP BY LOWER(seg)
+    ORDER BY seg_ci
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4): mixed-case keys grouped under
+    UTF8_LCASE collation — the engine-native path for case-insensitive
+    semantics that previously forced LOWER() wrappers everywhere (and lost
+    index/stats usefulness). Oracle normalizes with LOWER, which for the
+    ASCII fixture keys is the same equivalence relation."""
+    cust = load_table(spark, sf_dir, "customer")
+    mixed = cust.select(F.col("c_mktsegment").alias("seg")).unionAll(
+        cust.select(F.initcap(F.lower("c_mktsegment")).alias("seg"))
+    )
+    return (
+        mixed.groupBy(F.collate("seg", "UTF8_LCASE").alias("k"))
+        .agg(
+            F.min(F.lower("seg")).alias("seg_ci"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("seg_ci", "n")
+        .orderBy("seg_ci")
+    )

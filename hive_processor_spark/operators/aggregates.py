@@ -690,3 +690,25 @@ def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("est_n"))
         .orderBy(F.desc("true_n"), F.asc("l_partkey"))
     )
+
+
+@register("agg_approx_topk")  # Tier-R: tie handling inside the sketch is
+# engine-specific; exactness at fixture scale is property-tested instead.
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via approx_top_k (Spark 4 built-in frequent-items
+    sketch): top-10 part keys by line count, tracking map sized above the
+    fixture's distinct count so the result is provably exact there
+    (tests/test_properties.py checks set-equality against the exact
+    aggregate). At 100 TB the tracking map is bounded state that merges
+    map-side — the whole point versus an exact groupBy+sort."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT t.item AS l_partkey, t.count AS n
+        FROM (
+            SELECT EXPLODE(approx_top_k(l_partkey, 10, 1000000)) AS t
+            FROM lineitem
+        )
+        ORDER BY n DESC, l_partkey
+        """
+    )

@@ -338,3 +338,26 @@ def test_countmin_never_underestimates(spark):
         assert r.est_n >= r.true_n
         # e*n with e = 2.718/512 ~ 320 at sf0.01; generous factor-2 slack
         assert r.est_n - r.true_n <= 640
+
+
+def test_approx_topk_exact_at_fixture_scale(spark, duck):
+    """With maxItemsTracked far above the fixture's distinct-key count the
+    approx_top_k sketch degenerates to exact counting; its (item, count)
+    set must equal the exact top-10 (comparing as a set-of-counts to stay
+    agnostic to tie order inside the sketch)."""
+    got = {
+        (r.l_partkey, r.n)
+        for r in queries()["agg_approx_topk"](spark, SF_DIR).collect()
+    }
+    exact = duck.execute(
+        """
+        SELECT l_partkey, COUNT(*) AS n FROM lineitem
+        GROUP BY l_partkey ORDER BY n DESC LIMIT 10
+        """
+    ).fetchall()
+    # counts multiset must match even if tied items at the boundary differ
+    assert sorted(n for _, n in got) == sorted(n for _, n in exact)
+    boundary = min(n for _, n in exact)
+    assert {i for i, n in got if n > boundary} == {
+        i for i, n in exact if n > boundary
+    }

@@ -785,8 +785,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
-        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    # The edge list feeds deg + one join per iteration + the final count;
+    # without pinning, every consumer would re-run the signature job and
+    # banded join (~4x). Same materialize-the-index-once discipline as the
+    # bucket index above; at cluster scale this is a checkpoint to storage.
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     n = docs.count()  # one scalar aggregate; the rank vector stays distributed

@@ -41,6 +41,10 @@ HEADLINE = [
     "pipeline_clean_corpus",  # composed quality->dedup->stats pipeline
     "embed_quantize",     # int8 embedding quantization scan
     "events_funnel",      # per-user funnel aggregation
+    "text_contamination",  # benchmark n-gram overlap (broadcast bench side)
+    "events_anomaly",     # z-score outliers (stats broadcast back)
+    "sketch_countmin",    # distributed count-min sketch build + probe
+    "embed_kmeans",       # bit-stable 2-iteration Lloyd clustering
 ]
 
 

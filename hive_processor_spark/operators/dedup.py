@@ -795,7 +795,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    n = docs.count()  # one scalar aggregate; the rank vector stays distributed
+    # One scalar aggregate; the rank vector stays distributed. max(n, 1)
+    # keeps the teleport term defined on an empty corpus (result is empty
+    # either way — there are no doc_ids to rank).
+    n = max(docs.count(), 1)
     pr = docs.select("doc_id", F.lit(1.0 / n).alias("pr"))
     for _ in range(2):
         inflow = (

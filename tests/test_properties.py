@@ -294,6 +294,13 @@ def test_operators_survive_empty_input(spark, tmp_path):
         "pipeline_clean_corpus",
         "events_funnel",
         "join_star_schema",
+        "text_contamination",
+        "pipeline_pack_sequences",
+        "sample_global_shuffle",
+        "events_anomaly",
+        "sketch_countmin",
+        "embed_kmeans",
+        "graph_pagerank",
     ):
         rows = _QUERIES[name](spark, empty_dir).collect()
         if name == "events_funnel":  # global agg: one all-zero row

@@ -148,3 +148,153 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — the memory side of the 100 TB ANN stack (IVF
+# partitions the corpus, PQ compresses it: 64 float32 dims → 8 nibble
+# codes ≈ 64× smaller residency for the scan phase).
+# ---------------------------------------------------------------------------
+_PQ_SUBS = 8  # subspaces
+_PQ_SUBDIM = 8  # dims per subspace (8 × 8 = 64-dim fixture vectors)
+_PQ_K = 16  # codebook entries per subspace
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, s, sub): the 8-dim slice of each vector per subspace."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice("embedding", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("sub"),
+            )
+            for s in range(_PQ_SUBS)
+        ]
+    )
+    return emb.select("vec_id", F.explode(subs).alias("x")).select(
+        "vec_id", "x.s", "x.sub"
+    )
+
+
+def _pq_sqdist(a: Column, b: Column) -> Column:
+    """Quantized squared L2 between two subvectors (order-independent)."""
+    q = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(
+            (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+            * F.lit(1e12)
+        ).cast("long"),
+    )
+    return (
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x).cast("double")
+        / F.lit(1e12)
+    )
+
+
+def _pq_codebooks(sub: DataFrame) -> DataFrame:
+    """(s, k, centroid): per-subspace 16-entry codebook — seeds are the
+    first 16 vectors' subvectors, refined by one quantized Lloyd step."""
+    seeds = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "s", F.col("vec_id").cast("int").alias("k"), F.col("sub").alias("centroid")
+    )
+    scored = sub.join(F.broadcast(seeds), "s").select(
+        "vec_id", "s", "sub", "k", _pq_sqdist(F.col("sub"), F.col("centroid")).alias("d")
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("d", "k")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "sub", "k")
+    )
+    per_dim = (
+        assigned.select("s", "k", F.posexplode("sub").alias("pos", "val"))
+        .groupBy("s", "k", "pos")
+        .agg(
+            (
+                F.sum(F.floor(F.col("val").cast("double") * 1e9).cast("decimal(28,0)"))
+                .cast("double")
+                / (1e9 * F.count(F.lit(1)))
+            ).alias("m")
+        )
+    )
+    return per_dim.groupBy("s", "k").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda x: x.m
+        ).alias("centroid")
+    )
+
+
+@register("sim_ann_pq")  # Tier-R: fully deterministic (re-run equality and
+# recall vs the exact kernel are pinned in tests), but a 2-level unrolled
+# per-subspace-k-means oracle is out of SQL's practical reach.
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search with exact rerank: train 8×16 sub-codebooks (one quantized
+    Lloyd step from fixed seeds), encode every vector as 8 codes, shortlist
+    the ADC top-50 for query vec 0 by summing 128 precomputed
+    subdistances, then rerank the shortlist with the exact quantized L2 —
+    the standard two-stage production shape (compressed scan → exact
+    rerank of a small candidate set). All math uses the quantized kernels,
+    so results are bit-stable at any parallelism. At 100 TB the codebooks +
+    ADC table are KiB-sized broadcasts, encoded vectors are ~64× smaller
+    than raw floats, the scan is a map-side lookup-sum per row, and only
+    the 50-row shortlist ever touches full-precision vectors again
+    (composes with sim_ann_ivf's cell pruning for the full stack)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    sub = _pq_subvectors(emb)
+    books = _pq_codebooks(sub).localCheckpoint(eager=True)
+
+    # Encode: nearest codebook entry per (vector, subspace).
+    scored = sub.join(F.broadcast(books), "s").select(
+        "vec_id", "s", "k", _pq_sqdist(F.col("sub"), F.col("centroid")).alias("d")
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("d", "k")
+    codes = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "k")
+    )
+
+    # ADC table for query vec 0: distance from each of its subvectors to
+    # every codebook entry (8 × 16 rows, broadcast).
+    qsub = sub.filter(F.col("vec_id") == 0).select("s", F.col("sub").alias("qsub"))
+    adc = (
+        books.join(qsub, "s")
+        .select("s", "k", _pq_sqdist(F.col("qsub"), F.col("centroid")).alias("qd"))
+    )
+    shortlist = (
+        codes.join(F.broadcast(adc), ["s", "k"])
+        .groupBy("vec_id")
+        .agg(
+            (
+                F.sum(F.floor(F.col("qd") * 1e9).cast("decimal(28,0)")).cast(
+                    "double"
+                )
+                / 1e9
+            ).alias("approx_dist")
+        )
+        .filter(F.col("vec_id") != 0)
+        .orderBy("approx_dist", "vec_id")
+        .limit(50)
+    )
+    # Exact rerank of the 50-row shortlist against the full-precision query.
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    return (
+        shortlist.join(emb, "vec_id")
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            F.round(_pq_sqdist(F.col("embedding"), F.col("qvec")), 6).alias(
+                "exact_dist"
+            ),
+            F.round("approx_dist", 6).alias("approx_dist"),
+        )
+        .orderBy("exact_dist", "vec_id")
+        .limit(10)
+    )

@@ -368,3 +368,31 @@ def test_approx_topk_exact_at_fixture_scale(spark, duck):
     assert {i for i, n in got if n > boundary} == {
         i for i, n in exact if n > boundary
     }
+
+
+def test_pq_rerank_recall_and_determinism(spark):
+    """sim_ann_pq: exact-rerank-over-ADC-shortlist must (a) be bit-identical
+    across runs (quantized kernels), (b) put the true nearest neighbor
+    first, and (c) recall >= 0.6 of the exact top-10 — the fixture's
+    uniform-random vectors are PQ's distance-concentration worst case, so
+    this bound is conservative headroom, not a target."""
+    import numpy as np
+
+    rows = queries()["sim_ann_pq"](spark, SF_DIR).collect()
+    rows2 = queries()["sim_ann_pq"](spark, SF_DIR).collect()
+    assert rows == rows2
+    got = [r.vec_id for r in rows]
+    X = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, SF_DIR, "embeddings")
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    d = ((X - X[0]) ** 2).sum(axis=1)
+    exact = [int(i) for i in np.lexsort((np.arange(len(d)), d)) if i != 0][:10]
+    assert got[0] == exact[0]
+    assert len(set(got) & set(exact)) >= 6

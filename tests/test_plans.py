@@ -219,3 +219,43 @@ def test_zorder_layout_skips_files(spark, tmp_path):
     # natural layout scatters the box everywhere; z-order confines it
     assert n_files_touched >= n_files - 2
     assert z_files <= n_files_touched // 2
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The 100 TB skew story must actually fire: on a 90%-hot-key join with
+    skew thresholds scaled to fixture bytes, AQE's final adaptive plan must
+    mark the sort-merge join skew-handled (`skew=true`) — runtime partition
+    splitting, complementing the manual salting operators."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 200000).select(
+            F.when(F.col("id") % 10 < 9, 7)
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = fact.join(dim, "k").groupBy().count()
+        assert j.collect()[0]["count"] == 200000
+        plan = plan_string(j)  # same QueryExecution → final adaptive plan
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -74,3 +74,53 @@ def test_stream_stream_join_matches_batch(spark):
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
     )
     assert out.count() == batch.count()
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Kill-and-restart against the same checkpoint must (a) resume from
+    the recorded offset — the first half is NOT reprocessed — and (b) end
+    with counts equal to the one-shot batch answer. This is the recovery
+    contract that lets a 100 TB streaming job survive executor/driver loss
+    without double counting."""
+    import os
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from hive_processor_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "event_type")
+    half = ev.count() // 2
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    first = ev.filter(F.col("event_id") < half)
+    second = ev.filter(F.col("event_id") >= half)
+    first.coalesce(1).write.mode("overwrite").parquet(f"{src}/001.parquet")
+
+    seen: list[int] = []
+
+    def run_until_idle() -> None:
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*.parquet")
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(lambda bdf, bid: seen.append(bdf.count()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_until_idle()  # run 1: first half only, then the query terminates
+    processed_run1 = sum(seen)
+    assert processed_run1 == first.count()
+
+    now = _t.time() + 10
+    second.coalesce(1).write.mode("overwrite").parquet(f"{src}/002.parquet")
+    for root, _dirs, files in os.walk(f"{src}/002.parquet"):
+        for f in files:
+            os.utime(os.path.join(root, f), (now, now))
+
+    run_until_idle()  # run 2: same checkpoint → only the new file
+    assert sum(seen) == ev.count(), "restart must not reprocess run-1 rows"

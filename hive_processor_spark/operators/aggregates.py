@@ -712,3 +712,40 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n DESC, l_partkey
         """
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via mergeable bitmaps: per (group, bucket)
+    partial bitmaps built map-side (`bitmap_construct_agg` over the key's
+    bit position), OR-merged per group, popcounted. Unlike COUNT(DISTINCT)
+    — which shuffles every raw key — bitmap partials are fixed-size (4 KiB
+    per 32k-key bucket) and merge associatively, so at 100 TB the exchange
+    carries bitmaps, not keys, with zero approximation. Positions are
+    bucket-relative: `bitmap_or_agg` merges partials of the SAME bucket
+    (e.g. from different shards); across buckets the counts add. The
+    oracle is the plain COUNT(DISTINCT) the bitmaps must equal."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(SUM(bitmap_count(b)) AS BIGINT) AS n_distinct_cust
+        FROM (
+            SELECT o_orderpriority,
+                   bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS b
+            FROM orders
+            GROUP BY o_orderpriority, bitmap_bucket_number(o_custkey)
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )

@@ -396,3 +396,61 @@ def test_pq_rerank_recall_and_determinism(spark):
     exact = [int(i) for i in np.lexsort((np.arange(len(d)), d)) if i != 0][:10]
     assert got[0] == exact[0]
     assert len(set(got) & set(exact)) >= 6
+
+
+def test_pack_bins_respect_budget(spark):
+    """Contiguous packing invariant: a bin holds docs whose start offsets
+    fall in one 256-token stripe, so its total can exceed 256 only by the
+    tail of its last (straddling) document: total - max_doc < 256 + max_doc
+    ⇒ total - 256 < max_doc. Checked per (source, bin)."""
+    out = _QUERIES["pipeline_pack_sequences"](spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", F.size(F.split(F.trim("text"), " ")).alias("n_tokens")
+    )
+    max_doc = docs.groupBy("source").agg(F.max("n_tokens").alias("mx"))
+    bad = (
+        out.join(max_doc, "source")
+        .filter(F.col("total_tokens") - 256 >= F.col("mx"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_global_shuffle_shards_balanced(spark):
+    """Round-robin dealing over the hash order ⇒ shard sizes differ by at
+    most one document."""
+    sizes = [
+        r.n
+        for r in _QUERIES["sample_global_shuffle"](spark, SF_DIR)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == 8
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_chunk_overlap_covers_every_token(spark):
+    """Stride-24 windows starting at 1 cover offsets exhaustively: per doc,
+    the union of [start, start+n_chunk) intervals equals [1, n_tokens]."""
+    chunks = _QUERIES["text_chunk_overlap"](spark, SF_DIR)
+    cover = chunks.groupBy("doc_id").agg(
+        F.min("start").alias("first"),
+        F.max(F.col("start") + F.col("n_chunk_tokens") - 1).alias("last"),
+    )
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(F.split(F.trim("text"), " ")).alias("n_tokens")
+    )
+    bad = (
+        cover.join(docs, "doc_id")
+        .filter((F.col("first") != 1) | (F.col("last") != F.col("n_tokens")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_contamination_excludes_benchmark_docs(spark):
+    out = _QUERIES["text_contamination"](spark, SF_DIR)
+    assert out.filter(F.col("doc_id") % 50 == 0).count() == 0
+    # the fixture's planted near-dups of benchmark docs must be flagged
+    assert out.filter(F.col("contaminated")).count() >= 1

@@ -541,3 +541,43 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("seg_ci", "n")
         .orderBy("seg_ci")
     )
+
+
+@register(
+    "fn_hof",
+    """
+    WITH t AS (
+        SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           LIST_CONTAINS(w, 'spark') AS has_spark,
+           CAST(LEN(LIST_FILTER(w, x -> LEN(x) > 4)) AS INT) AS n_long,
+           LEN(LIST_FILTER(w, x -> LEN(x) = 0)) = 0 AS all_nonempty,
+           CAST(LIST_AGGREGATE(LIST_TRANSFORM(w, x -> LEN(x)), 'sum') AS BIGINT)
+               AS total_chars
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def fn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a family: exists / filter / forall /
+    transform+aggregate over the token array — the codegen'd lambda surface
+    that keeps per-row array logic out of Python UDFs. Integer fold, so no
+    quantization is needed for order independence."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            F.exists("w", lambda x: x == "spark").alias("has_spark"),
+            F.size(F.filter("w", lambda x: F.length(x) > 4)).alias("n_long"),
+            F.forall("w", lambda x: F.length(x) > 0).alias("all_nonempty"),
+            F.aggregate(
+                F.transform("w", lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("total_chars"),
+        )
+        .orderBy("doc_id")
+    )

@@ -251,3 +251,68 @@ def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     return ev.select("event_id").mapInArrow(triple, "event_id bigint, mapped bigint")
+
+
+@register(
+    "udf_cogrouped",
+    """
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    u AS (SELECT user_id FROM p UNION SELECT user_id FROM c),
+    fc AS (SELECT user_id, MIN(ts) AS first_click FROM c GROUP BY user_id),
+    fp AS (
+        SELECT p.user_id, MIN(p.ts) AS first_purch_after
+        FROM p JOIN fc ON fc.user_id = p.user_id AND p.ts >= fc.first_click
+        GROUP BY p.user_id
+    )
+    SELECT u.user_id,
+           CAST(COALESCE((SELECT COUNT(*) FROM p WHERE p.user_id = u.user_id), 0)
+                AS BIGINT) AS n_purchases,
+           CAST(COALESCE((SELECT COUNT(*) FROM c WHERE c.user_id = u.user_id), 0)
+                AS BIGINT) AS n_clicks,
+           EPOCH_US(fp.first_purch_after) - EPOCH_US(fc.first_click)
+               AS click_to_purchase_us
+    FROM u
+    LEFT JOIN fc ON fc.user_id = u.user_id
+    LEFT JOIN fp ON fp.user_id = u.user_id
+    ORDER BY u.user_id
+    """,
+)
+def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas``: purchases and clicks cogrouped by user,
+    each group pair merged in one Arrow-batched pandas function (counts +
+    first-click→first-purchase latency in µs) — the two-sided custom-merge
+    surface for logic a join can't express cleanly (per-key sequence
+    alignment, custom as-of semantics, per-entity reconciliation). At
+    100 TB both sides shuffle once on the key, groups stream through
+    Python workers in Arrow batches, and per-user group sizes are bounded,
+    so there is no skew hazard beyond AQE's usual handling."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        uid = (left["user_id"].iloc[0] if len(left) else right["user_id"].iloc[0])
+        lat = None
+        if len(right):
+            first_click = right["ts"].min()
+            after = left.loc[left["ts"] >= first_click, "ts"]
+            if len(after):
+                lat = int(
+                    (after.min() - first_click) // pd.Timedelta(microseconds=1)
+                )
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_purchases": [len(left)],
+                "n_clicks": [len(right)],
+                "click_to_purchase_us": [lat],
+            }
+        )
+
+    out = purch.groupBy("user_id").cogroup(clicks.groupBy("user_id")).applyInPandas(
+        merge,
+        "user_id bigint, n_purchases bigint, n_clicks bigint, "
+        "click_to_purchase_us bigint",
+    )
+    return out.orderBy("user_id")

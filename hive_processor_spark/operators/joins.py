@@ -465,3 +465,115 @@ def join_time_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("us_a") - F.col("us_b")) / 1000).cast("long").alias("gap_ms"),
         )
     )
+
+
+@register(
+    "join_custdist",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '5-LOW'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def join_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer distribution, with the
+    defining trick — the priority predicate lives in the LEFT JOIN's ON
+    clause, so customers whose orders are all filtered still appear with
+    count 0 (a WHERE would silently drop them). Two hash aggregates; the
+    second groups on a tiny domain, so the heavy shuffle is only the
+    first."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "join_promo_revenue",
+    f"""
+    SELECT ROUND(
+        100.0 * (CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN
+                     CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000.0)
+                          AS DECIMAL(28,0)) ELSE 0 END) AS DOUBLE) / 10000.0)
+              / (CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000.0)
+                          AS DECIMAL(28,0))) AS DOUBLE) / 10000.0),
+        4) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+)
+def join_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of discounted revenue from promo parts in a
+    time slice — conditional aggregation over a broadcast dim join, both
+    sums quantized so the ratio is bit-stable. The date filter pushes to
+    the lineitem scan; part broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-07-01")))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            100.0
+            * dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+            / dsum(rev),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "join_priority_classes",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def join_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → returnflag on this fixture): line counts
+    split by order-priority class after a fact-fact equi-join with a
+    pushed-down date slice — conditional counts evaluate map-side inside
+    one hash aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(hi.cast("long")).alias("high_line_count"),
+            F.sum((~hi).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )

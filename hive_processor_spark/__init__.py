@@ -48,6 +48,7 @@ def _load_all() -> None:
         similarity,
         sorts_limits,
         textops,
+        tpch,
         udfs,
         windows,
     )

@@ -445,3 +445,113 @@ def dedup_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_chars")
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Capstone: full training-data export in ONE declarative plan —
+# quality gate → benchmark-contamination filter → fingerprint dedup →
+# seeded shard assignment → per-shard manifest.
+# --------------------------------------------------------------------------
+@register(
+    "pipeline_train_export",
+    """
+    WITH t AS (
+        SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS w FROM documents
+    ), q AS (
+        SELECT doc_id, w, CAST(LEN(w) AS BIGINT) AS n_tokens
+        FROM t
+        WHERE LEN(w) >= 20
+          AND (LEN(w) - LEN(LIST_DISTINCT(w))) / CAST(LEN(w) AS DOUBLE) <= 0.8
+    ), sh AS (
+        SELECT DISTINCT doc_id, s
+        FROM (
+            SELECT doc_id,
+                   UNNEST([ARRAY_TO_STRING(w[i:i+4], ' ')
+                           FOR i IN RANGE(1, LEN(w) - 3)]) AS s
+            FROM t
+        )
+    ), bench AS (
+        SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0
+    ), dirty AS (
+        SELECT DISTINCT sh.doc_id FROM sh JOIN bench ON sh.s = bench.s
+    ), clean AS (
+        SELECT q.* FROM q
+        LEFT JOIN dirty d ON d.doc_id = q.doc_id
+        WHERE d.doc_id IS NULL AND q.doc_id % 50 <> 0
+    ), fp AS (
+        SELECT doc_id, n_tokens,
+               MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(w)), ' ')) AS vocab_fp
+        FROM clean
+    ), kept AS (
+        SELECT f.doc_id, f.n_tokens FROM fp f
+        JOIN (SELECT vocab_fp, MIN(doc_id) AS keep_id FROM fp GROUP BY vocab_fp) k
+          ON f.vocab_fp = k.vocab_fp AND f.doc_id = k.keep_id
+    )
+    SELECT CAST((ROW_NUMBER() OVER (
+               ORDER BY MD5('exp:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1) % 4 AS BIGINT) AS shard,
+           CAST(COUNT(*) OVER (PARTITION BY 1) AS BIGINT) AS n_total,
+           doc_id, n_tokens
+    FROM kept
+    ORDER BY doc_id
+    """,
+)
+def pipeline_train_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the nightly training-data export as one
+    Catalyst plan: repetition/length quality gate (map-only) →
+    benchmark-contamination exclusion (broadcast shingle anti-join) →
+    vocabulary-fingerprint dedup (keep min id) → seeded deterministic
+    shard deal. Each stage is individually oracle-verified elsewhere
+    (text_repetition, text_contamination, pipeline_clean_corpus,
+    sample_global_shuffle); this query pins their composition. Shuffle
+    count stays fixed (fingerprint group, shard sort) at any corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    t = docs.select("doc_id", _tokens().alias("w"))
+    q = t.select(
+        "doc_id", "w", F.size("w").cast("bigint").alias("n_tokens")
+    ).filter(
+        (F.size("w") >= 20)
+        & (
+            (F.size("w") - F.size(F.array_distinct("w")))
+            / F.size("w").cast("double")
+            <= 0.8
+        )
+    )
+    shingles = F.expr(
+        "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))"
+    )
+    sh = t.select("doc_id", F.explode(shingles).alias("s")).distinct()
+    bench = sh.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
+    dirty = (
+        sh.join(F.broadcast(bench), "s").select("doc_id").distinct()
+    )
+    clean = (
+        q.join(dirty, "doc_id", "left_anti")
+        .filter(F.col("doc_id") % 50 != 0)
+    )
+    fp = clean.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.array_join(F.sort_array(F.array_distinct("w")), " ")).alias(
+            "vocab_fp"
+        ),
+    )
+    keepers = fp.groupBy("vocab_fp").agg(F.min("doc_id").alias("keep_id"))
+    kept = fp.join(
+        keepers,
+        (fp.vocab_fp == keepers.vocab_fp) & (fp.doc_id == keepers.keep_id),
+    ).select("doc_id", "n_tokens")
+    w = Window.orderBy(
+        F.md5(F.concat(F.lit("exp:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    return (
+        kept.withColumn("shard", ((F.row_number().over(w) - 1) % 4).cast("bigint"))
+        .withColumn(
+            "n_total", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).cast("bigint")
+        )
+        .select("shard", "n_total", "doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )

@@ -234,3 +234,46 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         F.round("zval", 4).alias("z"),
     ).orderBy("event_id")
+
+
+@register(
+    "events_cohort",
+    """
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_day FROM events
+    )
+    SELECT STRFTIME(f.cohort_day, '%Y-%m-%d') AS cohort,
+           CAST(a.act_day - f.cohort_day AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM first_seen f JOIN activity a ON a.user_id = f.user_id
+    GROUP BY f.cohort_day, day_offset
+    ORDER BY cohort, day_offset
+    """,
+)
+def events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen day, counted
+    distinct per (cohort day, day offset). The first-seen aggregate and
+    the (user, day) de-dup both shrink to user-cardinality before the
+    join, so the matrix join never touches raw events twice — the
+    standard shape at any scale; the matrix itself is tiny (days²)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("act_day")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy("cohort_day", F.datediff("act_day", "cohort_day").alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.col("day_offset").cast("bigint").alias("day_offset"),
+            "n_active",
+        )
+        .orderBy("cohort", "day_offset")
+    )

@@ -127,8 +127,19 @@ class QueryServer:
                 continue
             except OSError:
                 break
-            with conn:
-                self._serve_conn(conn)
+            # Thread-per-connection: concurrent remote callers each get a
+            # handler; Spark sessions run concurrent actions safely (the
+            # scheduler interleaves jobs), so two clients' queries overlap
+            # instead of queueing behind one socket. The reference's worker
+            # pooling (src/processor.ts:36-55) solved the same problem with
+            # processes.
+            threading.Thread(
+                target=self._serve_conn_closing, args=(conn,), daemon=True
+            ).start()
+
+    def _serve_conn_closing(self, conn: socket.socket) -> None:
+        with conn:
+            self._serve_conn(conn)
 
     def _serve_conn(self, conn: socket.socket) -> None:
         while not self._stop.is_set():

@@ -128,3 +128,36 @@ def test_remote_query_roundtrip(spark):
 
     assert reply_err["sn"] == 8 and reply_err["ok"] is False
     assert "unknown query" in reply_err["error"]
+
+
+def test_remote_concurrent_clients(spark):
+    """Two clients connected at once must both get correct, sn-correlated
+    answers — thread-per-connection serving, with Spark scheduling the
+    overlapping jobs (the reference solved this with a worker pool,
+    src/processor.ts:36-55)."""
+    import json
+    import threading
+
+    from hive_processor_spark.serving import QueryServer, request_once
+
+    results: dict[int, dict] = {}
+
+    with QueryServer(spark) as srv:
+        def call(sn: int) -> None:
+            results[sn] = request_once(
+                "127.0.0.1",
+                srv.port,
+                {"sn": sn, "query": "agg_global", "sf_dir": SF_SMALL},
+                compress=sn % 2 == 0,
+            )
+
+        threads = [threading.Thread(target=call, args=(sn,)) for sn in (1, 2, 3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+    assert set(results) == {1, 2, 3}
+    for sn, reply in results.items():
+        assert reply["ok"] and reply["sn"] == sn
+        assert reply["rows"][0]["n_rows"] > 0
+    assert len({json.dumps(r["rows"]) for r in results.values()}) == 1

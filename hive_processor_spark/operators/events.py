@@ -277,3 +277,50 @@ def events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "day_offset")
     )
+
+
+@register(
+    "events_streaks",
+    """
+    WITH du AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), isl AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY d
+               ) AS INT) AS anchor
+        FROM du
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS streak_days,
+           STRFTIME(MIN(d), '%Y-%m-%d') AS streak_start
+    FROM isl
+    GROUP BY user_id, anchor
+    ORDER BY streak_days DESC, user_id, streak_start
+    LIMIT 50
+    """,
+)
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-active-day streaks per user.
+    The classic `date - row_number()` anchor turns consecutive runs into
+    equal group keys — one window over (user, day) after a user-bounded
+    de-dup, then a hash aggregate; no self-join, no recursion, and the
+    window partitions by user so it parallelizes across the cluster."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    du = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = du.withColumn(
+        "anchor", F.date_sub("d", F.row_number().over(w))
+    )
+    return (
+        isl.groupBy("user_id", "anchor")
+        .agg(
+            F.count(F.lit(1)).alias("streak_days"),
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+        )
+        .select("user_id", "streak_days", "streak_start")
+        .orderBy(F.desc("streak_days"), "user_id", "streak_start")
+        .limit(50)
+    )

@@ -434,3 +434,39 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zvalue", "l_orderkey", "l_linenumber")
         .limit(50)
     )
+
+
+@register(
+    "scan_csv_malformed",
+    """
+    SELECT CAST(1 AS BIGINT) AS id, 'alpha' AS name, 10 AS qty
+    UNION ALL SELECT 2, 'beta', 20
+    UNION ALL SELECT 4, 'delta', 40
+    ORDER BY id
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input robustness: a CSV with rows that cannot satisfy the
+    schema (non-numeric qty, wrong arity) read under DROPMALFORMED — the
+    engine keeps the parseable rows and drops the rest, instead of failing
+    the job or nulling silently. The oracle enumerates the survivors. At
+    100 TB this is the difference between one bad crawl file killing a
+    pipeline and a metric counting what was dropped (PERMISSIVE +
+    `_corrupt_record` when you need the quarantine instead)."""
+    path = _scratch("badcsv")
+    with open(os.path.join(path, "part-0.csv"), "w", encoding="utf-8") as f:
+        f.write(
+            "id,name,qty\n"
+            "1,alpha,10\n"
+            "2,beta,20\n"
+            "3,gamma,notanumber\n"  # type violation -> dropped
+            "4,delta,40\n"
+            "5,epsilon\n"  # missing column -> dropped
+        )
+    return (
+        spark.read.option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .schema("id bigint, name string, qty int")
+        .csv(path)
+        .orderBy("id")
+    )

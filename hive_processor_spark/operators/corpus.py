@@ -555,3 +555,60 @@ def pipeline_train_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shard", "n_total", "doc_id", "n_tokens")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Mixture weighting — deterministic per-source downsampling to a target
+# mixture, the "how much of each source goes in the batch" knob of a
+# pretraining data recipe.
+# --------------------------------------------------------------------------
+@register(
+    "pipeline_mixture_weights",
+    """
+    WITH w(source_band, wt) AS (VALUES ('low', 0.25), ('high', 0.75)),
+    t AS (
+        SELECT doc_id, source,
+               CASE WHEN CAST(SUBSTR(source, 4) AS INT) < 10
+                    THEN 'high' ELSE 'low' END AS source_band,
+               CAST(('0x' || SUBSTR(MD5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS u
+        FROM documents
+    )
+    SELECT t.source_band, w.wt,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN t.u < w.wt THEN 1 END) AS BIGINT) AS n_kept
+    FROM t JOIN w ON w.source_band = t.source_band
+    GROUP BY t.source_band, w.wt
+    ORDER BY t.source_band
+    """,
+)
+def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted sampling: each source band gets a target keep rate,
+    applied by thresholding a seeded per-doc hash fraction — deterministic,
+    reproducible, and exact-in-expectation (the standard pretraining-recipe
+    mechanism; E[kept] = wt·n, no RNG state to coordinate across
+    executors). Map-only except the per-band count; at 100 TB the weight
+    table is a broadcast literal and re-weighting a recipe is a new
+    threshold, not a new shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    band = F.when(
+        F.substring("source", 4, 10).cast("int") < 10, "high"
+    ).otherwise("low")
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long") / F.lit(4294967296.0)
+    weights = spark.createDataFrame(
+        [("low", 0.25), ("high", 0.75)], "source_band string, wt double"
+    )
+    t = docs.select("doc_id", band.alias("source_band"), u.alias("u"))
+    return (
+        t.join(F.broadcast(weights), "source_band")
+        .groupBy("source_band", "wt")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("u") < F.col("wt"), 1)).alias("n_kept"),
+        )
+        .orderBy("source_band")
+    )

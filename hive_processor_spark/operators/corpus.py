@@ -612,3 +612,66 @@ def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_band")
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram surprisal — the perplexity-filter proxy: score documents by the
+# average information content of their tokens under the corpus unigram
+# model. Per-word surprisal is rounded once (per DISTINCT word) before the
+# quantized per-doc sum, so the score is bit-stable at any parallelism.
+# --------------------------------------------------------------------------
+@register(
+    "text_surprisal",
+    """
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS w
+        FROM documents
+    ), freq AS (
+        SELECT w, ROUND(-LOG2(COUNT(*) / CAST((SELECT COUNT(*) FROM tok) AS DOUBLE)), 6)
+                   AS surprisal
+        FROM tok GROUP BY w
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND((CAST(SUM(CAST(FLOOR(f.surprisal * 1000000.0) AS DECIMAL(28,0)))
+                       AS DOUBLE) / 1000000.0) / COUNT(*), 4) AS avg_surprisal
+    FROM tok t JOIN freq f ON f.w = t.w
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average unigram surprisal per document — the cheap stand-in for the
+    LM-perplexity quality filter in corpus-curation recipes (documents of
+    all-common tokens score low; rare-token soup scores high). The unigram
+    model is one tiny aggregate (vocabulary rows) broadcast back over the
+    token stream; per-word surprisal is rounded once per distinct word and
+    the per-doc reduction uses the quantized-sum discipline, so the score
+    survives any re-partitioning. A real recipe swaps the broadcast unigram
+    table for a KenLM scorer behind the same join shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("w"))
+    n_total = tok.count()  # one scalar: the unigram model's denominator
+    freq = tok.groupBy("w").agg(
+        F.round(
+            -F.log2(F.count(F.lit(1)) / F.lit(float(n_total))), 6
+        ).alias("surprisal")
+    )
+    return (
+        tok.join(F.broadcast(freq), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                (
+                    F.sum(
+                        F.floor(F.col("surprisal") * 1e6).cast("decimal(28,0)")
+                    ).cast("double")
+                    / 1e6
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )

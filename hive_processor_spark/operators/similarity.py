@@ -767,3 +767,33 @@ def embed_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = -v
     rows = [(i + 1, round(float(c), 6), round(lam, 4)) for i, c in enumerate(v)]
     return spark.createDataFrame(rows, "pos int, component double, eigenvalue double")
+
+
+@register(
+    "sim_range_query",
+    f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, ROUND({sql_cosine_q('e.embedding', 'q.q_emb')}, 4) AS sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+      AND ROUND({sql_cosine_q('e.embedding', 'q.q_emb')}, 4) >= 0.28
+    ORDER BY sim DESC, e.vec_id
+    """,
+)
+def sim_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search — the other ANN query semantics: ALL vectors within a
+    similarity radius of the query, not a fixed top-k (the dedup / recall
+    use case, where result size is data-dependent). Same broadcast-query
+    single-scan plan as sim_knn_query with a codegen filter instead of
+    TakeOrdered; the quantized kernel makes the radius cut identical on
+    both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    e = emb.filter(F.col("vec_id") != 0)
+    sim = F.round(cosine_q(F.col("embedding"), F.col("q_emb")), 4)
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select("vec_id", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.28)
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+    )

@@ -259,3 +259,14 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_corpus_family_broadcasts_small_sides(spark):
+    """The corpus-prep operators' scale posture is 'small side broadcasts':
+    contamination's benchmark shingles, surprisal's unigram model, and the
+    mixture weight table must all plan as BroadcastHashJoin — a shuffled
+    hash join on any of them would shuffle the full corpus at 100 TB."""
+    for name in ("text_contamination", "text_surprisal", "pipeline_mixture_weights"):
+        plan = plan_string(_QUERIES[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name

@@ -324,3 +324,51 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("streak_days"), "user_id", "streak_start")
         .limit(50)
     )
+
+
+@register(
+    "events_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ), c AS (
+        SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    )
+    SELECT event_type, next_type, n,
+           ROUND(n / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+               AS p
+    FROM c
+    ORDER BY event_type, next_type
+    """,
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over per-user event sequences — the
+    Markov estimate behind next-action prediction and anomalous-flow
+    detection. One LEAD window partitioned by user (ties broken by
+    event_id so the sequence is total-ordered), a hash aggregate to the
+    type×type matrix, and a window normalization over the 25-cell result.
+    The heavy window parallelizes per user; the matrix is O(types²)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    wn = Window.partitionBy("event_type")
+    return (
+        c.select(
+            "event_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(wn).cast("double"), 6).alias("p"),
+        )
+        .orderBy("event_type", "next_type")
+    )

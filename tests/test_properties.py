@@ -454,3 +454,54 @@ def test_contamination_excludes_benchmark_docs(spark):
     assert out.filter(F.col("doc_id") % 50 == 0).count() == 0
     # the fixture's planted near-dups of benchmark docs must be flagged
     assert out.filter(F.col("contaminated")).count() >= 1
+
+
+def test_zvalue_is_per_coordinate_monotonic(spark):
+    """Morton interleave must preserve order within each coordinate when
+    the other is fixed — the property that makes one z-sorted layout serve
+    range predicates on either dimension."""
+    from hive_processor_spark.sources.roundtrip import _zvalue_spark
+
+    rows = spark.range(0, 1000).select(
+        (F.col("id") % 100).alias("bx"), (F.col("id") * 37 % 97).alias("by")
+    )
+    z = rows.select(
+        "bx", "by", _zvalue_spark(F.col("bx"), F.col("by")).alias("z")
+    )
+    a, b = z.alias("a"), z.alias("b")
+    violations = (
+        a.join(b, (F.col("a.by") == F.col("b.by")) & (F.col("a.bx") < F.col("b.bx")))
+        .filter(F.col("a.z") >= F.col("b.z"))
+        .count()
+    )
+    assert violations == 0
+    violations_y = (
+        a.join(b, (F.col("a.bx") == F.col("b.bx")) & (F.col("a.by") < F.col("b.by")))
+        .filter(F.col("a.z") >= F.col("b.z"))
+        .count()
+    )
+    assert violations_y == 0
+
+
+def test_pq_sqdist_metric_axioms(spark):
+    """The quantized squared-L2 kernel behind PQ: symmetric, non-negative,
+    and ~zero on identical vectors (within quantization)."""
+    import numpy as np
+
+    from hive_processor_spark.operators.clustering import _pq_sqdist
+
+    rng = np.random.default_rng(7)
+    data = [
+        (i, [float(x) for x in rng.normal(size=8)], [float(x) for x in rng.normal(size=8)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(data, "i int, a array<double>, b array<double>")
+    out = df.select(
+        _pq_sqdist(F.col("a"), F.col("b")).alias("ab"),
+        _pq_sqdist(F.col("b"), F.col("a")).alias("ba"),
+        _pq_sqdist(F.col("a"), F.col("a")).alias("aa"),
+    ).collect()
+    for r in out:
+        assert r.ab == r.ba  # bit-identical symmetry (same quantized terms)
+        assert r.ab >= 0.0
+        assert 0.0 <= r.aa < 1e-10

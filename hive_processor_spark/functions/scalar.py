@@ -581,3 +581,39 @@ def fn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "fn_try_arith",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice / NULLIF(l_discount, 0.0), 4) AS price_per_disc,
+           TRY_CAST(CASE WHEN l_linenumber % 3 = 0 THEN 'x' || CAST(l_quantity AS VARCHAR)
+                         ELSE CAST(l_quantity AS VARCHAR) END AS DOUBLE) AS parsed_qty
+    FROM lineitem
+    WHERE l_orderkey < 400
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic: ``try_divide`` yields NULL on zero divisors
+    (instead of Inf or a job-killing ANSI error) and ``try_to_number``-style
+    parsing yields NULL on malformed numerics — the per-row error policy
+    that keeps a 100 TB job from dying on one bad record while staying
+    ANSI-strict elsewhere. Oracle mirrors with NULLIF and TRY_CAST."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
+    qty_str = F.when(
+        F.col("l_linenumber") % 3 == 0,
+        F.concat(F.lit("x"), F.col("l_quantity").cast("string")),
+    ).otherwise(F.col("l_quantity").cast("string"))
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.try_divide("l_extendedprice", "l_discount"), 4).alias(
+                "price_per_disc"
+            ),
+            qty_str.try_cast("double").alias("parsed_qty"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

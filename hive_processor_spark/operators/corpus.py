@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
+from hive_processor_spark.functions.vector import cosine_q, sql_cosine_q
 from hive_processor_spark.sources.tables import load_table
 
 
@@ -674,4 +675,85 @@ def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_surprisal"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hashed bag-of-words featurization — HashingTF expressed relationally:
+# token → stable hash dimension, per-doc count vector, cosine retrieval.
+# The bridge from the text plane to the embedding plane without any ML
+# library state.
+# --------------------------------------------------------------------------
+_BOW_DIMS = 32
+
+
+@register(
+    "text_hash_features",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS w FROM documents
+    ), hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || SUBSTR(MD5(w), 1, 8)) AS BIGINT) % {_BOW_DIMS} AS dim
+        FROM tok
+    ), counts AS (
+        SELECT doc_id, dim, CAST(COUNT(*) AS DOUBLE) AS n
+        FROM hashed GROUP BY doc_id, dim
+    ), grid AS (
+        SELECT d.doc_id, g.dim, COALESCE(c.n, 0.0) AS n
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        CROSS JOIN (SELECT UNNEST(RANGE(0, {_BOW_DIMS})) AS dim) g
+        LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.dim = g.dim
+    ), vecs AS (
+        SELECT doc_id, LIST(n ORDER BY dim) AS v FROM grid GROUP BY doc_id
+    ), q AS (
+        SELECT v AS qv FROM vecs WHERE doc_id = 0
+    )
+    SELECT e.doc_id,
+           ROUND({sql_cosine_q('e.v', 'q.qv')}, 4) AS sim
+    FROM vecs e, q
+    WHERE e.doc_id <> 0
+    ORDER BY sim DESC, e.doc_id
+    LIMIT 10
+    """,
+)
+def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words features (HashingTF relationally): every token
+    maps to a stable md5-derived dimension, per-doc counts become a dense
+    32-dim vector, and retrieval is quantized cosine against doc 0 — the
+    text→vector bridge with zero ML-library state, so the featurizer is
+    reproducible across engines and runs. At 100 TB keep the SPARSE
+    (doc, dim, n) form and only densify per block; integer counts make the
+    cosine exactly deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("w"))
+    hashed = tok.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % _BOW_DIMS
+        ).alias("dim"),
+    )
+    counts = hashed.groupBy("doc_id", "dim").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    grid = (
+        docs.select("doc_id")
+        .crossJoin(spark.range(_BOW_DIMS).select(F.col("id").alias("dim")))
+        .join(counts, ["doc_id", "dim"], "left")
+        .select("doc_id", "dim", F.coalesce("n", F.lit(0.0)).alias("n"))
+    )
+    vecs = grid.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "n"))), lambda s: s.n
+        ).alias("v")
+    )
+    q = vecs.filter(F.col("doc_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        vecs.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id", F.round(cosine_q(F.col("v"), F.col("qv")), 4).alias("sim")
+        )
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(10)
     )

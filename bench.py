@@ -45,6 +45,8 @@ HEADLINE = [
     "events_anomaly",     # z-score outliers (stats broadcast back)
     "sketch_countmin",    # distributed count-min sketch build + probe
     "embed_kmeans",       # bit-stable 2-iteration Lloyd clustering
+    "tpch_q21_waiting_supplier",  # multi-probe decision-support composite
+    "ml_linreg",          # sufficient-stats OLS fit
 ]
 
 

@@ -44,6 +44,7 @@ def _load_all() -> None:
         filters,
         joins,
         multimodal,
+        regression,
         setops,
         similarity,
         sorts_limits,

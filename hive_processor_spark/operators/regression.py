@@ -1,0 +1,119 @@
+"""Closed-form regression operators — the "fit a cheap model inside the
+engine" family (mirrors the analytics surface the reference exposes through
+its SQL plane; reference ``src/processor.ts:57-89`` dispatches any such
+registered computation, it implements none natively).
+
+Ordinary least squares over grouped data has an exact closed form in the
+five sufficient statistics (n, Σx, Σy, Σxy, Σx²) — all of them sums, so the
+whole fit is ONE partial→final aggregation: map-side combine on every
+executor, a |groups|-row shuffle, and a handful of scalar divisions after.
+No iteration, no driver math, no collect. At 100 TB this is the textbook
+"sufficient statistics, not data movement" pattern; the same shape extends
+to covariance/correlation matrices and Welford-style moments.
+
+Every sum goes through the ``functions/exact.py`` quantized discipline, so
+the derived slope/intercept/r² are bit-identical across engines and at any
+parallelism — an ML fit that hash-matches its DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_processor_spark.engine import register
+from hive_processor_spark.functions.exact import dsum, sql_dsum
+from hive_processor_spark.sources.tables import load_table
+
+
+@register(
+    "ml_linreg",
+    f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               {sql_dsum('l_quantity')} AS sx,
+               {sql_dsum('l_extendedprice')} AS sy,
+               {sql_dsum('l_quantity * l_extendedprice')} AS sxy,
+               {sql_dsum('l_quantity * l_quantity')} AS sxx,
+               {sql_dsum('l_extendedprice * l_extendedprice')} AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def ml_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS fit of extended price on quantity, one model per return
+    flag: slope, intercept, and r² from the five quantized sufficient sums.
+    The aggregation is the only distributed stage (partial→final, map-side
+    combined); the algebra is post-aggregate scalar expressions over a
+    3-row frame. Identical quantized sums on both engines make the derived
+    doubles bit-equal — the differential hash proves the rewrite."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    cov_n = n * sxy - sx * sy  # n²·cov(x,y)
+    var_x = n * sxx - sx * sx  # n²·var(x)
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "ml_covariance",
+    f"""
+    WITH s AS (
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               {sql_dsum('c_acctbal')} AS sx,
+               {sql_dsum('CAST(c_nationkey AS DOUBLE)')} AS sy,
+               {sql_dsum('c_acctbal * CAST(c_nationkey AS DOUBLE)')} AS sxy
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment,
+           CAST(n AS BIGINT) AS n,
+           ROUND((sxy - sx * sy / n) / (n - 1), 6) AS cov_sample
+    FROM s ORDER BY c_mktsegment
+    """,
+)
+def ml_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped sample covariance from quantized sufficient sums — the same
+    one-aggregation shape as :func:`ml_linreg` (Spark's built-in
+    ``covar_samp`` is order-dependent on doubles, which is exactly what the
+    exact-sum discipline exists to avoid)."""
+    cust = load_table(spark, sf_dir, "customer")
+    x = F.col("c_acctbal")
+    y = F.col("c_nationkey").cast("double")
+    s = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+    )
+    n, sx, sy, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxy"))
+    return s.select(
+        "c_mktsegment",
+        n.cast("bigint").alias("n"),
+        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("cov_sample"),
+    ).orderBy("c_mktsegment")

@@ -194,3 +194,317 @@ def tpch_q22_inactive_wealthy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "tpch_q03_shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           ROUND({sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}, 4) AS revenue,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: unshipped high-revenue orders for one market segment.
+    The segment filter reduces customer to a broadcastable dim before the
+    orders join; lineitem is date-filtered at the scan (pushdown) so the
+    only big shuffle is the l_orderkey aggregation, and the top-10 compiles
+    to TakeOrderedAndProject — no global sort at 100 TB either."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q04_priority_count",
+    """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def tpch_q04_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: orders with at least one late line (shipped > 30 days
+    after the order date; the fixture has no commit/receipt dates, so
+    lateness is defined against o_orderdate), counted by priority. The
+    correlated EXISTS compiles to a LEFT SEMI join on l_orderkey with the
+    lateness predicate in the join condition — one existence probe per
+    order, no fan-out, which is the shape that survives a 100 TB lineitem."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late_sem = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        orders.join(li, late_sem, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q07_volume_shipping",
+    f"""
+    WITH volume AS (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    )
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND({sql_dsum('volume')}, 4) AS revenue
+    FROM volume
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bilateral shipping volume between two nations by year.
+    supplier, customer, and nation are all broadcast dims; the nation-pair
+    disjunction is applied after both nation names are attached (Catalyst
+    pushes each half to its side where possible). lineitem→orders is the
+    one real shuffle; everything else rides it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+    )
+    return (
+        vol.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(dsum("volume"), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           ROUND({sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}, 4) AS revenue,
+           ROUND(c.c_acctbal, 2) AS acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: customers ranked by revenue lost to returns in a window.
+    Both filters (return flag, date range) reach the scans; the customer/
+    nation decoration happens AFTER the per-customer aggregate so the wide
+    string columns never enter the big shuffle — at 100 TB the aggregate
+    output is |customers| rows, and the dims broadcast into it."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-07-01")))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q16_supplier_variety",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    LIMIT 30
+    """,
+)
+def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier variety per part class, excluding
+    deficit suppliers (the fixture has no partsupp, so lineitem is the
+    part↔supplier relation). The NOT IN exclusion is a left-anti join
+    against a tiny broadcast side (never a per-row subquery); the distinct
+    count is the only shuffle and is keyed by the grouping columns."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(30)
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    """
+    WITH waiting AS (
+        SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+        FROM lineitem l1 JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM waiting w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers who were the SOLE late supplier on finalized
+    multi-supplier orders (late = shipped > 30 days after order date; one
+    waiting event per (supplier, order)).
+
+    The textbook formulation is EXISTS + correlated NOT EXISTS — the oracle
+    keeps that spelling as an independent derivation. At scale the two
+    correlated probes over a 100 TB lineitem are better expressed as ONE
+    per-order aggregation: n_supp = distinct suppliers, n_late = distinct
+    late suppliers; a line's supplier "kept the order waiting" iff it is
+    late, n_supp > 1, and n_late = 1 (sole-late ⇒ that supplier is the late
+    one). One shuffle on l_orderkey replaces both subquery probes, and the
+    rewrite is provably equivalent — the differential hash IS that proof."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+    )
+    stats = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    waiting = (
+        lo.filter(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            stats.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )

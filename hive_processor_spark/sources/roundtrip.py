@@ -470,3 +470,36 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(path)
         .orderBy("id")
     )
+
+
+@register(
+    "scan_json_malformed",
+    """
+    SELECT CAST(1 AS BIGINT) AS id, 'alpha' AS name, CAST(1.5 AS DOUBLE) AS score
+    UNION ALL SELECT 3, 'gamma', 3.5
+    ORDER BY id
+    """,
+)
+def scan_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-JSON robustness, the sibling of ``scan_csv_malformed``:
+    a JSONL file containing syntax errors and schema-violating rows read
+    under DROPMALFORMED keeps only the rows that parse AND satisfy the
+    schema. Web-crawl sidecar metadata is overwhelmingly JSONL, and at
+    100 TB a per-file failure mode is operationally unacceptable — the
+    oracle enumerates the survivors so the drop behavior itself is part of
+    the differential contract."""
+    path = _scratch("badjson")
+    with open(os.path.join(path, "part-0.json"), "w", encoding="utf-8") as f:
+        f.write(
+            '{"id": 1, "name": "alpha", "score": 1.5}\n'
+            '{"id": 2, "name": "beta", "score": }\n'  # syntax error -> dropped
+            '{"id": 3, "name": "gamma", "score": 3.5}\n'
+            'not json at all\n'  # -> dropped
+            '{"id": "five", "name": "epsilon", "score": 5.5}\n'  # type violation -> dropped
+        )
+    return (
+        spark.read.option("mode", "DROPMALFORMED")
+        .schema("id bigint, name string, score double")
+        .json(path)
+        .orderBy("id")
+    )

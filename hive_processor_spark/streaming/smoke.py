@@ -352,3 +352,45 @@ def stream_stateful_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 if _have_protobuf():  # pragma: no cover - protobuf absent in this container
     register("stream_stateful_v2")(stream_stateful_v2)
+
+
+@register("stream_static_join")  # Tier R: a stream has no SQL oracle
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the dimension-lookup shape of every
+    streaming ETL pipeline: the unbounded events stream joins the bounded
+    customer table on user_id = c_custkey, then aggregates per market
+    segment. Spark plans the static side as a broadcast into each
+    micro-batch (no state store involvement for the join itself, unlike
+    stream-stream), so at scale this costs one broadcast per batch and the
+    aggregation state is bounded by |segments|. Final complete-mode state
+    must equal the batch join — asserted in tests/test_streaming.py."""
+    path, ev = _replay_dir(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{path}/*.parquet")
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 10000.0).cast("decimal(28,0)")).alias(
+                "value_q"
+            ),
+        )
+        .select(
+            "c_mktsegment",
+            "n_events",
+            (F.col("value_q").cast("double") / 10000.0).alias("sum_value"),
+        )
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

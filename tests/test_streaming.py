@@ -124,3 +124,27 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
 
     run_until_idle()  # run 2: same checkpoint → only the new file
     assert sum(seen) == ev.count(), "restart must not reprocess run-1 rows"
+
+
+def test_stream_static_join_matches_batch(spark):
+    stream = {
+        r.c_mktsegment: (r.n_events, r.sum_value)
+        for r in _QUERIES["stream_static_join"](spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events")
+    cust = load_table(spark, SF_SMALL, "customer").select("c_custkey", "c_mktsegment")
+    batch = {
+        r.c_mktsegment: (r.n, r.sv)
+        for r in ev.join(cust, F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.floor(F.col("value") * 10000.0).cast("decimal(28,0)"))
+                .cast("double")
+                / 10000.0
+            ).alias("sv"),
+        )
+        .collect()
+    }
+    assert stream == batch

@@ -757,3 +757,44 @@ def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sim"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    """
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '), x -> x <> '')))
+                AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT MD5(text)) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics — the per-(lang, source) summary table every
+    released training corpus ships: document counts, token and character
+    totals, exact-duplicate counts, and short-document counts, in ONE scan.
+    Every measure is an integer (counts, distinct hashes), so the card is
+    bit-stable by construction; the distinct-hash count is the only
+    aggregate that shuffles more than the group keys, and it shuffles
+    16-byte digests, not documents. At 100 TB this query IS the nightly
+    corpus-health snapshot — one pass, |lang × source| result rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.trim(F.col("text")), " "), lambda x: x != "")
+    )
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks.cast("bigint")).alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct(F.md5("text")).alias("n_unique"),
+            F.sum((F.col("n_chars") < 100).cast("bigint")).alias("n_short"),
+        )
+        .orderBy("lang", "source")
+    )

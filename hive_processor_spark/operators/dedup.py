@@ -830,3 +830,133 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pagerank"), F.asc("doc_id"))
         .limit(50)
     )
+
+
+@register(
+    "dedup_containment",
+    """
+    WITH sh AS (
+        SELECT DISTINCT doc_id, UNNEST(shingles) AS shingle
+        FROM (
+            SELECT doc_id,
+                   [ARRAY_TO_STRING(w[i:i+2], ' ') FOR i IN RANGE(1, LEN(w) - 1)] AS shingles
+            FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents) t
+        ) s
+    ), sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ), ov AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT o.doc_a, o.doc_b,
+           (FLOOR(CAST(o.c AS DOUBLE) / s.n * 10000.0) / 10000.0) AS containment
+    FROM ov o JOIN sizes s ON s.doc_id = o.doc_a
+    WHERE o.c * 2 >= s.n
+    ORDER BY containment DESC, o.doc_a, o.doc_b
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment |A∩B| / |A| — the asymmetric
+    near-dup measure Jaccard misses: a short document quoted wholesale
+    inside a long one scores near 1.0 here but near 0 on Jaccard (the
+    union is dominated by the long side). Standard in training-data
+    pipelines for quote/boilerplate/sub-document dedup.
+
+    Same scale discipline as ``dedup_ngram_jaccard`` (one shingle-hash
+    index shuffled by shingle once, map-side per-doc dedup, hot-shingle
+    df cap with the provably-unbinding fixture bound, 8-byte xxhash64
+    shingle ids); the threshold predicate ``2·overlap ≥ |A|`` is pure
+    integer arithmetic, so both engines cut the identical boundary. The
+    pair set is emitted in both directions (A⊂B and B⊂A are different
+    claims); overlap counts are computed once per unordered pair and
+    mirrored, not recomputed."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, size(w) - 2),"
+            " i -> array_join(slice(w, i, 3), ' '))"
+        )
+    )
+    base = docs.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id", shingles.alias("sh_arr")
+    )
+    sh = (
+        base.select("doc_id", F.explode_outer("sh_arr").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .select("doc_id", F.xxhash64("s").alias("shingle"))
+        .repartition(spark.sparkContext.defaultParallelism, "shingle")
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    shf = sh.join(hot, "shingle", "left_anti")
+    a = shf.alias("a")
+    b = shf.hint("SHUFFLE_HASH").alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ov = half.select("u", "v", "c").union(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"), "c")
+    )
+    s = sizes.alias("s")
+    cont = F.floor(F.col("c").cast("double") / F.col("s.n") * 10000.0) / 10000.0
+    return (
+        ov.join(F.broadcast(s), F.col("s.doc_id") == F.col("u"))
+        .filter(F.col("c") * 2 >= F.col("s.n"))
+        .select(
+            F.col("u").alias("doc_a"),
+            F.col("v").alias("doc_b"),
+            cont.alias("containment"),
+        )
+        .orderBy(F.desc("containment"), F.asc("doc_a"), F.asc("doc_b"))
+    )
+
+
+@register(
+    "graph_degree",
+    _SIMHASH_SIG_SQL
+    + f"""
+    , pairs AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {_MAX_HAMMING}
+    ), edges AS (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+    ), deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY node
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the simhash near-dup graph — the first
+    diagnostic run on any dedup graph before clustering: a heavy tail
+    here means a template/boilerplate hub that will glue unrelated
+    documents into one connected component. Reuses the banded candidate
+    join (one emit per pair), then two integer aggregations; at corpus
+    scale the histogram is |distinct degrees| rows — trivially small —
+    and the only real cost is the banded join it shares with
+    ``dedup_simhash_pairs``."""
+    pairs = dedup_simhash_pairs(spark, sf_dir)
+    nodes = pairs.select(F.col("doc_a").alias("node")).union(
+        pairs.select(F.col("doc_b").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )

@@ -372,3 +372,81 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "next_type")
     )
+
+
+@register(
+    "events_rfm",
+    """
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    pu AS (
+        SELECT user_id,
+               DATE_DIFF('day', CAST(MAX(ts) AS DATE),
+                         CAST((SELECT m FROM mx) AS DATE)) AS rec,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               (CAST(SUM(CAST(FLOOR(value * 10000.0) AS DECIMAL(28,0))) AS DOUBLE)
+                / 10000.0) AS mon
+        FROM events GROUP BY user_id
+    )
+    SELECT CASE WHEN rec = 0 AND freq >= 67 THEN 'champion'
+                WHEN rec = 0 THEN 'active'
+                WHEN freq >= 67 THEN 'frequent_lapsing'
+                ELSE 'at_risk' END AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(freq) AS BIGINT) AS total_events,
+           ROUND(CAST(SUM(CAST(FLOOR(mon * 10000.0) AS DECIMAL(28,0))) AS DOUBLE)
+                 / 10000.0, 4) AS total_value
+    FROM pu GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation — the
+    canonical activation analysis over an event log. Per-user stats are one
+    partial→final aggregation on user_id; the corpus-wide max timestamp is
+    a 1-row broadcast scalar (never a correlated subquery); segment
+    assignment is a codegen CASE; the final rollup is |segments| rows.
+    Recency is an integer day-diff and the monetary sums are quantized, so
+    the segment boundaries cut identically in both engines. The fixed
+    thresholds stand in for the quantile cuts production would compute in a
+    prior calibration pass (quantiles over doubles are engine-divergent;
+    thresholds-as-config is also what real RFM dashboards do)."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("freq"),
+            (
+                F.sum(F.floor(F.col("value") * 10000.0).cast("decimal(28,0)"))
+                .cast("double")
+                / 10000.0
+            ).alias("mon"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff(F.to_date("m"), F.to_date("last_ts")).alias("rec"),
+            "freq",
+            "mon",
+        )
+    )
+    segment = (
+        F.when((F.col("rec") == 0) & (F.col("freq") >= 67), "champion")
+        .when(F.col("rec") == 0, "active")
+        .when(F.col("freq") >= 67, "frequent_lapsing")
+        .otherwise("at_risk")
+    )
+    return (
+        pu.select(segment.alias("segment"), "freq", "mon")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("freq").alias("total_events"),
+            F.round(
+                F.sum(F.floor(F.col("mon") * 10000.0).cast("decimal(28,0)"))
+                .cast("double")
+                / 10000.0,
+                4,
+            ).alias("total_value"),
+        )
+        .orderBy("segment")
+    )

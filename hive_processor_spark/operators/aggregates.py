@@ -11,7 +11,7 @@ keep results bit-stable under any partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
@@ -748,4 +748,82 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
         """
+    )
+
+
+@register(
+    "agg_exact_median",
+    """
+    WITH hist AS (
+        SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ), cum AS (
+        SELECT l_returnflag, l_quantity, cnt,
+               SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cum_hi,
+               SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) - cnt AS cum_lo,
+               SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+        FROM hist
+    )
+    SELECT l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity * (
+               LEAST(cum_hi, CAST(FLOOR((n + 2) / 2.0) AS BIGINT))
+             - GREATEST(cum_lo, CAST(FLOOR((n + 1) / 2.0) AS BIGINT) - 1)))
+             / (CAST(FLOOR((MAX(n) + 2) / 2.0) AS BIGINT)
+                - CAST(FLOOR((MAX(n) + 1) / 2.0) AS BIGINT) + 1), 4) AS median
+    FROM cum
+    WHERE cum_hi >= CAST(FLOOR((n + 1) / 2.0) AS BIGINT) - 1 + 1
+      AND cum_lo < CAST(FLOOR((n + 2) / 2.0) AS BIGINT)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median via a value histogram — the scalable exact
+    form when the value domain is bounded (quantities, prices in cents,
+    token counts): aggregate to (group, value) counts FIRST, then find the
+    middle order statistics with a cumulative sum over the tiny histogram.
+    No per-group total sort of raw rows ever happens — the window runs over
+    |group|×|distinct values| rows (3×50 here, still small at 100 TB since
+    the domain, not the data, bounds it). The even-n median averages the
+    two middle order stats; all selection is integer arithmetic on counts,
+    so both engines pick identical values (the one division at the end is
+    over at-most-2 identical doubles). For unbounded continuous domains the
+    engine's approx_percentile (see ``agg_approx_quantile``) is the 100 TB
+    answer; this operator is the exact counterpart where exactness is
+    achievable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_ord = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    w_all = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "l_quantity",
+        "cnt",
+        F.sum("cnt").over(w_ord).alias("cum_hi"),
+        (F.sum("cnt").over(w_ord) - F.col("cnt")).alias("cum_lo"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    # middle order-statistic positions (1-based): lo = floor((n+1)/2),
+    # hi = floor((n+2)/2); odd n → lo == hi, even n → the two middles.
+    lo_pos = F.floor((F.col("n") + 1) / 2.0).cast("long")
+    hi_pos = F.floor((F.col("n") + 2) / 2.0).cast("long")
+    # how many of this value's occurrences fall inside [lo_pos, hi_pos]
+    take = F.least(F.col("cum_hi"), hi_pos) - F.greatest(
+        F.col("cum_lo"), lo_pos - 1
+    )
+    return (
+        cum.filter((F.col("cum_hi") >= lo_pos) & (F.col("cum_lo") < hi_pos))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.round(
+                F.sum(F.col("l_quantity") * take)
+                / (F.max(hi_pos) - F.max(lo_pos) + 1),
+                4,
+            ).alias("median"),
+        )
+        .orderBy("l_returnflag")
     )

@@ -450,3 +450,38 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "events_rolling_active",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    fan AS (SELECT user_id, d + INTERVAL (i) DAY AS d2 FROM ud, RANGE(0, 3) t(i)),
+    dedup AS (SELECT DISTINCT user_id, CAST(d2 AS DATE) AS d2 FROM fan)
+    SELECT STRFTIME(d2, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS active_3d
+    FROM dedup GROUP BY d2 ORDER BY d2
+    """,
+)
+def events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-day active users per day (the WAU/MAU rollup shape).
+    COUNT(DISTINCT user) OVER a sliding window isn't expressible as a
+    window function in either engine; the scalable rewrite is the standard
+    fan-out: dedup to (user, day), replicate each row to the k days it
+    keeps the user "active" for, dedup again, count per day. Cost is a k×
+    fan-out of the *per-day distinct users* (already ≪ events) and two
+    hash shuffles — linear in users·k, never quadratic, and no per-day
+    self-join against a date grid. k generalizes to 7/30 for WAU/MAU."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    fan = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("i"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("i")).alias("d2"))
+    return (
+        fan.distinct()
+        .groupBy("d2")
+        .agg(F.count(F.lit(1)).alias("active_3d"))
+        .select(F.date_format("d2", "yyyy-MM-dd").alias("day"), "active_3d")
+        .orderBy("day")
+    )

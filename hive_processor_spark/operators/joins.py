@@ -577,3 +577,47 @@ def join_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "join_asof_tolerance",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           CASE WHEN c.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL 1 HOUR
+                THEN c.event_id END AS asof_click_id
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (pandas ``merge_asof``'s
+    ``tolerance=``): each purchase takes the latest prior click of the same
+    user only if it happened within the last hour — older matches are
+    nulled, not carried. The attribution-window semantics every click→
+    conversion pipeline needs: without the bound, a user's click from last
+    month "explains" today's purchase.
+
+    Implementation rides the same single-shuffle union+window as-of
+    operator (operators/asof.py) with the right timestamp carried as an
+    extra payload column; the tolerance is then one codegen filter — no
+    second join, no extra shuffle over plain as-of."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    out = asof_join(
+        purchases, clicks, keys=["user_id"], ts="ts", payload=["click_id", "click_ts"]
+    )
+    fresh = (
+        F.col("asof_click_ts").isNotNull()
+        & (F.unix_timestamp("ts") - F.unix_timestamp("asof_click_ts") <= 3600)
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.col("asof_click_id")).alias("asof_click_id"),
+    )

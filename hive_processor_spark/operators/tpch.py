@@ -1,7 +1,8 @@
-"""Decision-support query shapes (TPC-H Q15/Q17/Q18/Q22 adapted to the
-fixture's column subset) — the correlated-aggregate / having / anti-join
-composites that stress-test optimizer behavior beyond single-operator
-queries.
+"""Decision-support query shapes (TPC-H adapted to the fixture's column
+subset; with Q1/Q5/Q12/Q13/Q14/Q19 living in other modules this file
+completes the 22-query deck) — the correlated-aggregate / having /
+anti-join composites that stress-test optimizer behavior beyond
+single-operator queries.
 
 Scale posture: every per-key aggregate here is partial→final; the
 correlated comparisons (Q17's per-part average, Q15's max revenue, Q22's
@@ -507,4 +508,347 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
+    )
+
+
+@register(
+    "tpch_q06_forecast_revenue",
+    f"""
+    SELECT ROUND({sql_dsum('l_extendedprice * l_discount')}, 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24.0
+    """,
+)
+def tpch_q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: revenue delta from dropping a discount band — a pure
+    scan-filter-sum. The whole query is one map-side pass: every predicate
+    (date range, discount band, quantity cap) reaches the parquet scan as a
+    pushed filter, the quantized partial sums combine map-side, and a
+    single scalar crosses the network. This is the floor case any engine
+    must execute as a full-scan-speed aggregate at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return li.agg(
+        F.round(dsum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "tpch_q02_min_cost_supplier",
+    """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), euro AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ), pc AS (
+        SELECT c.l_partkey, c.unit_cost, e.s_name, e.s_acctbal, e.n_name
+        FROM cost c JOIN euro e ON c.l_suppkey = e.s_suppkey
+    )
+    SELECT ROUND(pc.s_acctbal, 2) AS s_acctbal, pc.s_name, pc.n_name,
+           p.p_partkey, p.p_type,
+           FLOOR(pc.unit_cost * 10000.0) / 10000.0 AS unit_cost
+    FROM part p JOIN pc ON pc.l_partkey = p.p_partkey
+    WHERE p.p_type = 'SMALL'
+      AND pc.unit_cost = (SELECT MIN(pc2.unit_cost) FROM pc pc2
+                          WHERE pc2.l_partkey = p.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: cheapest EUROPE supplier per part (the fixture has no
+    partsupp, so per-(part, supplier) unit cost is derived from lineitem:
+    MIN(l_extendedprice / l_quantity), a deterministic IEEE quotient-min in
+    both engines). The correlated "= MIN per part" subquery becomes a
+    per-part aggregate joined back — one extra shuffle over the already
+    aggregated (part, supplier) grain, never a per-row probe. The region
+    chain (region → nation → supplier) collapses to a broadcast before
+    touching the big cost aggregate; output unit_cost is floor-quantized
+    rather than ROUNDed so an arbitrary quotient can't land on a rounding
+    tie. Sort key (s_acctbal, n_name, s_name, p_partkey) is total because
+    s_name is unique per supplier, so LIMIT 100 is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pc = cost.join(F.broadcast(euro), cost.l_suppkey == euro.s_suppkey).select(
+        "l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name"
+    )
+    mn = pc.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    return (
+        pc.join(F.broadcast(mn), pc.l_partkey == mn.mk)
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            (F.floor(F.col("unit_cost") * 10000.0) / 10000.0).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q08_market_share",
+    f"""
+    WITH v AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n1.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        JOIN region r ON n2.n_regionkey = r.r_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           FLOOR({sql_dsum("CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0.0 END")}
+                 / {sql_dsum('volume')} * 1000000.0) / 1000000.0 AS mkt_share
+    FROM v GROUP BY o_year ORDER BY o_year
+    """,
+)
+def tpch_q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of ECONOMY-part volume sold into the
+    AMERICA region, by order year. The share is a ratio of two quantized
+    exact sums over the same grouped rows — one conditional, one total — so
+    a single aggregation pass produces both and the division is an IEEE op
+    on bit-identical inputs in both engines (then floor-quantized, not
+    rounded, to keep an arbitrary quotient off rounding ties). All five
+    dimension joins broadcast; the only repartition-scale shuffles are
+    lineitem ⋈ orders and the final tiny per-year aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n2 = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("n2_key"))
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    v = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    num = dsum(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(0.0)
+    )
+    return (
+        v.groupBy("o_year")
+        .agg((F.floor(num / dsum("volume") * 1000000.0) / 1000000.0).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q09_product_profit",
+    f"""
+    WITH profit AS (
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount)
+                 - 0.1 * p.p_retailprice * l.l_quantity AS amount
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT nation, o_year, ROUND({sql_dsum('amount')}, 4) AS sum_profit
+    FROM profit GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit on one product line by supplier nation and year
+    (no partsupp in the fixture, so unit cost is proxied as 10% of
+    p_retailprice — the join/aggregation topology is unchanged). Amounts
+    can be negative; the floor-quantized exact sum is sign-consistent in
+    both engines (floor toward -inf), so mixed-sign groups still hash
+    identically. part (pre-filtered by the LIKE), supplier, and nation all
+    broadcast; lineitem ⋈ orders is the one big shuffle, and the final
+    (nation, year) grid is tiny."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+    )
+    return (
+        profit.groupBy("nation", "o_year")
+        .agg(F.round(dsum("amount"), 4).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    f"""
+    WITH val AS (
+        SELECT l.l_partkey AS partkey,
+               {sql_dsum('l.l_extendedprice')} AS value
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY l.l_partkey
+    )
+    SELECT partkey, ROUND(value, 4) AS value
+    FROM val
+    WHERE value > 0.001 * (SELECT {sql_dsum('value')} FROM val)
+    ORDER BY value DESC, partkey
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose shipped value through one nation's suppliers
+    exceeds a fraction of that nation's total (lineitem stands in for
+    partsupp as the part↔supplier relation). The correlated "fraction of
+    global total" is a broadcast scalar built by re-quantizing the per-part
+    exact sums — both engines floor the same doubles, so the threshold
+    multiply and the > comparison are bit-identical and no part can
+    straddle the cut. One shuffle on l_partkey; the supplier/nation slice
+    broadcasts ahead of it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    val = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(dsum("l_extendedprice").alias("value"))
+    )
+    total = val.agg(dsum("value").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > 0.001 * F.col("total"))
+        .select("partkey", F.round("value", 4).alias("value"))
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+@register(
+    "tpch_q20_promotion_suppliers",
+    f"""
+    WITH heavy AS (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'small%'
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING {sql_dsum('l.l_quantity')} > 30.0
+    )
+    SELECT s.s_name, ROUND(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+    ORDER BY s.s_name
+    """,
+)
+def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers in one region who moved a promotion-worthy
+    volume of a part family in a year (no partsupp availability in the
+    fixture, so "excess stock" becomes a shipped-quantity threshold on the
+    same (supplier, part) grain). The nested IN compiles to a LEFT SEMI
+    join against the aggregated heavy set — existence only, no fan-out —
+    and the part-family LIKE prunes lineitem via the broadcast part dim
+    before the aggregate. Supplier-side region chain broadcasts; the only
+    full shuffle is the (suppkey, partkey) aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 30.0)
+        .select("l_suppkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(heavy, F.col("s_suppkey") == heavy.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
     )

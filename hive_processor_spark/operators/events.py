@@ -485,3 +485,107 @@ def events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("d2", "yyyy-MM-dd").alias("day"), "active_3d")
         .orderBy("day")
     )
+
+
+@register(
+    "events_concurrency",
+    """
+    WITH iv AS (
+        SELECT ts AS s, ts + INTERVAL 30 MINUTE AS e,
+               CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY AS mid
+        FROM events
+    ), seg AS (
+        SELECT CAST(s AS DATE) AS day, s, LEAST(e, mid) AS e FROM iv
+        UNION ALL
+        SELECT CAST(mid AS DATE) AS day, mid AS s, e FROM iv WHERE e > mid
+    ), pts AS (
+        SELECT day, s AS t, 1 AS delta FROM seg
+        UNION ALL
+        SELECT day, e AS t, -1 AS delta FROM seg
+    ), run AS (
+        SELECT day,
+               SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS cur
+        FROM pts
+    )
+    SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+           CAST(MAX(cur) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY day ORDER BY day
+    """,
+)
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day via a sweep line: treat each event as a
+    half-open 30-minute activity interval, clip it at day boundaries (at
+    most 2 segments per event — never a per-minute fan-out), emit +1/-1
+    endpoint deltas, and take the max running sum within each day. The
+    window partitions by day, so days sweep in parallel and no global sort
+    exists; at 100 TB the hazard is one hot day, which AQE skew-split
+    handles since every day is independent. Ordering ties (equal t) don't
+    affect the max: -1s sort first and a run of same-sign deltas reaches
+    its extremum at the run's end regardless of intra-run order."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+        (F.to_date("ts").cast("timestamp") + F.expr("INTERVAL 1 DAY")).alias("mid"),
+    )
+    seg1 = iv.select(
+        F.to_date("s").alias("day"), "s", F.least("e", "mid").alias("e")
+    )
+    seg2 = iv.filter(F.col("e") > F.col("mid")).select(
+        F.to_date("mid").alias("day"), F.col("mid").alias("s"), "e"
+    )
+    seg = seg1.unionAll(seg2)
+    pts = seg.select("day", F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
+        seg.select("day", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("day", F.sum("delta").over(w).alias("cur"))
+    return (
+        run.groupBy("day")
+        .agg(F.max("cur").cast("long").alias("max_concurrent"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "max_concurrent")
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_cumulative_unique",
+    """
+    WITH first_day AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+    ), per_day AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_day GROUP BY d
+    )
+    SELECT STRFTIME(d, '%Y-%m-%d') AS day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM per_day ORDER BY day
+    """,
+)
+def events_cumulative_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth-curve query. A naive
+    COUNT(DISTINCT) per day over an expanding window rescans history per
+    day; the linear rewrite is first-seen attribution: each user counts
+    exactly once, on their first-activity day (one groupBy user), then
+    per-day new-user counts accumulate with a running sum over the tiny
+    day-grain series. The only full-data shuffle is keyed by user_id; the
+    unpartitioned window runs over |days| rows (thousands), which is the
+    deliberate, bounded exception to the no-global-window rule."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    per_day = first_day.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per_day.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "new_users",
+            F.sum("new_users").over(w).cast("long").alias("cum_users"),
+        )
+        .orderBy("day")
+    )

@@ -483,3 +483,61 @@ def text_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("prefix_dist"),
     )
+
+
+@register(
+    "text_bigram_lm",
+    """
+    WITH bg AS (
+        SELECT UNNEST([ARRAY_TO_STRING(w[i:i+1], ' ')
+                       FOR i IN RANGE(1, LEN(w))]) AS b
+        FROM (SELECT STRING_SPLIT(text, ' ') AS w FROM documents) t
+    ), cnt AS (
+        SELECT SPLIT_PART(b, ' ', 1) AS w1, SPLIT_PART(b, ' ', 2) AS w2,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM bg GROUP BY 1, 2
+    )
+    SELECT w1, w2, n,
+           FLOOR(n * 1000000.0 / SUM(n) OVER (PARTITION BY w1)) / 1000000.0 AS p
+    FROM cnt
+    ORDER BY n DESC, w1, w2 LIMIT 25
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model estimation: P(w2 | w1) = count(w1 w2) /
+    count(w1 ·) — the statistic behind perplexity filters and next-token
+    baselines (``text_surprisal`` is the unigram sibling). The conditional
+    totals come from a window over the already-aggregated bigram table
+    partitioned by w1 — no second scan of the corpus and no join; at
+    100 TB the window input is |vocabulary²-observed| rows, data-bounded
+    not corpus-bounded. Both factors of the probability are exact integer
+    counts, so the quotient is one deterministic IEEE division,
+    floor-quantized to keep it off rounding ties."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' '))"
+    )
+    cnt = (
+        docs.select(F.split("text", " ").alias("w"))
+        .select(F.explode_outer(bigrams).alias("b"))
+        .filter(F.col("b").isNotNull())
+        .select(
+            F.expr("split_part(b, ' ', 1)").alias("w1"),
+            F.expr("split_part(b, ' ', 2)").alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    tot = F.sum("n").over(Window.partitionBy("w1"))
+    return (
+        cnt.select(
+            "w1",
+            "w2",
+            "n",
+            (F.floor(F.col("n") * 1000000.0 / tot) / 1000000.0).alias("p"),
+        )
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(25)
+    )

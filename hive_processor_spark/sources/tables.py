@@ -5,13 +5,20 @@ every handler (reference ``src/processor.ts:26,68``); our storage plane is
 Parquet read through Spark's vectorized reader, which additionally buys
 column pruning and predicate pushdown for free.
 
-The one genuinely sharp edge is ``events.ts``: the fixture Parquet stores
-TIMESTAMP(NANOS), which Spark 4 refuses to read. With
-``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as an
-epoch-nanosecond bigint; we convert with *integer* division (``ts div
-1000`` — a double division would lose precision above 2^53 ≈ 104 days of
-epoch-nanos) into a microsecond timestamp. No query ever sees the raw
-bigint.
+The one genuinely sharp edge is ``events.ts``, whose physical type has
+varied across fixture generations:
+
+* TIMESTAMP(NANOS), which Spark 4 refuses to read. With
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as an
+  epoch-nanosecond bigint; we convert with *integer* division (``ts div
+  1000`` — a double division would lose precision above 2^53 ≈ 104 days of
+  epoch-nanos) into a microsecond timestamp.
+* TIMESTAMP(MICROS) with ``isAdjustedToUTC=false``, which arrives as
+  ``timestamp_ntz``; the session timezone is pinned to UTC so a plain cast
+  to ``timestamp`` is value-preserving.
+
+Either way no query ever sees the raw physical type: downstream operators
+always get a µs-precision TIMESTAMP in a UTC session.
 """
 
 from __future__ import annotations
@@ -28,6 +35,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Fixture generations that store TIMESTAMP(MICROS) with
+    # isAdjustedToUTC=false arrive as NTZ; the session timezone is pinned
+    # to UTC (engine._RUNTIME_CONFS), so casting to TIMESTAMP is
+    # value-preserving and keeps every downstream epoch/extract/compare
+    # expression on the single type the operators were written against.
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 

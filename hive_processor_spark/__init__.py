@@ -43,6 +43,7 @@ def _load_all() -> None:
         events,
         filters,
         joins,
+        market,
         multimodal,
         profiling,
         regression,

@@ -798,3 +798,107 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval scoring — the classic sparse-retrieval ranking function,
+# here as a batch scoring pass for a fixed two-term query. The corpus-side
+# statistics (N, avgdl, per-term df) are tiny aggregates broadcast back
+# onto the per-document term frequencies; the per-document work is one
+# tokenize + filter, embarrassingly parallel at 100 TB.
+#
+# Determinism: tf/dl/df/N are exact integers; avgdl is an exact-integer
+# ratio; idf and the saturation term are evaluated with an identical
+# parenthesization on both engines, and the two per-term contributions are
+# combined with a single commutative double addition (IEEE a+b == b+a), so
+# the final score is bit-stable at any parallelism.
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("join", "hash")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "text_bm25",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS word
+        FROM documents
+    ), tok2 AS (
+        SELECT doc_id, word FROM tok WHERE word <> ''
+    ), dl AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(t.n, 0) AS BIGINT) AS dl
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM tok2 GROUP BY doc_id) t
+          ON d.doc_id = t.doc_id
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok2 WHERE word IN ('join', 'hash')
+        GROUP BY doc_id, word
+    ), dfreq AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word
+    ), contrib AS (
+        SELECT tf.doc_id,
+               LN((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0!r})
+               / (CAST(tf AS DOUBLE)
+                  + {_BM25_K1!r} * (1.0 - {_BM25_B!r}
+                                    + {_BM25_B!r} * CAST(dl AS DOUBLE) / avgdl))
+                   AS c
+        FROM tf
+        JOIN dfreq USING (word)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+    )
+    SELECT doc_id, ROUND(SUM(c), 4) AS bm25
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 (k1=1.2, b=0.75) for the fixed query
+    ``join hash``. Corpus stats are broadcast scalars; per-doc scoring is a
+    map-only pass over the tokenized corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(_tokens(), lambda x: x != F.lit(""))
+    dl = docs.select("doc_id", F.size(words).cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(words).alias("word"))
+        .filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    idf = F.log(
+        (d("n_docs") - d("df") + F.lit(0.5)) / (d("df") + F.lit(0.5)) + F.lit(1.0)
+    )
+    saturation = (d("tf") * F.lit(_BM25_K1 + 1.0)) / (
+        d("tf")
+        + F.lit(_BM25_K1)
+        * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * d("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * saturation).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )

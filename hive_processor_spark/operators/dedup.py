@@ -29,7 +29,7 @@ joins (as in CC-MR / GraphFrames).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
@@ -959,4 +959,56 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.groupBy("degree")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("degree")
+    )
+
+
+@register(
+    "dedup_incremental",
+    """
+    WITH hashed AS (
+        SELECT doc_id,
+               MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS h,
+               doc_id % 10 AS shard
+        FROM documents
+    ), seen AS (
+        SELECT DISTINCT h FROM hashed WHERE shard >= 2
+    ), fresh AS (
+        SELECT doc_id, h FROM hashed WHERE shard < 2
+    )
+    SELECT doc_id, h AS text_md5
+    FROM (
+        SELECT f.doc_id, f.h,
+               ROW_NUMBER() OVER (PARTITION BY f.h ORDER BY f.doc_id) AS rn
+        FROM fresh f
+        WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.h = f.h)
+    )
+    WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup — the shape every continuously
+    ingested training corpus needs: a new batch (here: doc_id % 10 < 2) is
+    deduped against the already-ingested corpus (the other 80%) by
+    normalized content hash, then within itself (first doc_id wins).
+
+    Plan: the new batch anti-joins the seen-hash set on the 16-byte hash —
+    at 100 TB that is a shuffle hash join keyed on the hash with the
+    (small) new batch as the streamed side, and a Bloom filter over the
+    batch's hashes can pre-prune the corpus scan; the within-batch
+    first-wins pick is a window over the surviving handful of rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    hashed = docs.select(
+        "doc_id", F.md5(norm).alias("h"), (F.col("doc_id") % 10).alias("shard")
+    )
+    seen = hashed.filter(F.col("shard") >= 2).select("h").distinct()
+    fresh = hashed.filter(F.col("shard") < 2).select("doc_id", "h")
+    survivors = fresh.join(seen, "h", "left_anti")
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        survivors.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("h").alias("text_md5"))
+        .orderBy("doc_id")
     )

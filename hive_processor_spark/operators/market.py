@@ -1,0 +1,185 @@
+"""Market/affinity analytics: basket co-occurrence (association rules) and
+Pareto/ABC classification — the merchandising queries a retail-shaped star
+schema answers daily, and classic OLAP shapes the reference's SQL plane
+serves (reference ``src/processor.ts:68`` delegates them to Postgres; here
+they are native Spark plans).
+
+Scale posture: the basket self-join shuffles once on the order key and its
+fan-out is bounded by C(brands-per-order, 2) — brand cardinality is small
+and fixed, so per-order work is O(1) even when the fact table is 100 TB.
+The dimension (part→brand) and the per-brand totals are broadcast. The ABC
+window runs over one row per brand (25 rows) — a single-partition window
+over an already-aggregated frame, not over the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_processor_spark.engine import register
+from hive_processor_spark.sources.tables import load_table
+
+
+def _order_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (order, brand) pairs: lineitem joined to the broadcast part
+    dim, then deduped — the 'basket' relation both queries below share."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(pt), li.l_orderkey.isNotNull() & (li.l_partkey == pt.p_partkey))
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+
+
+@register(
+    "basket_pairs",
+    """
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand AS brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), tot AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob
+    ), sing AS (
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS n FROM ob GROUP BY brand
+    ), pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+        GROUP BY a.brand, b.brand
+    )
+    SELECT brand_a, brand_b, n_both,
+           ROUND(CAST(n_both AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS support,
+           ROUND(CAST(n_both AS DOUBLE) / CAST(sa.n AS DOUBLE), 6) AS confidence,
+           ROUND((CAST(n_both AS DOUBLE) * CAST(n_orders AS DOUBLE))
+                 / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)), 6) AS lift
+    FROM pairs
+    JOIN sing sa ON sa.brand = brand_a
+    JOIN sing sb ON sb.brand = brand_b
+    CROSS JOIN tot
+    ORDER BY n_both DESC, brand_a, brand_b
+    LIMIT 50
+    """,
+)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets at the brand grain:
+    support / confidence / lift for every co-occurring brand pair.
+
+    Plan shape: one shuffle of the distinct (order, brand) relation on the
+    order key for the self-join; per-basket pair fan-out is C(b, 2) with b
+    bounded by brand cardinality. The per-brand counts and the scalar order
+    total are broadcast back onto the 300-row pair frame. All three metrics
+    are ratios of exact integer counts, so they hash-match at any
+    parallelism."""
+    ob = _order_brands(spark, sf_dir)
+    tot = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    sing = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        pairs.join(
+            F.broadcast(sing.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(sing.select(F.col("brand").alias("brand_b"), F.col("n").alias("n_b"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            F.round(d("n_both") / d("n_orders"), 6).alias("support"),
+            F.round(d("n_both") / d("n_a"), 6).alias("confidence"),
+            F.round((d("n_both") * d("n_orders")) / (d("n_a") * d("n_b")), 6).alias(
+                "lift"
+            ),
+        )
+        .orderBy(F.desc("n_both"), "brand_a", "brand_b")
+        .limit(50)
+    )
+
+
+@register(
+    "pareto_abc",
+    """
+    WITH rev AS (
+        SELECT p_brand,
+               SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0)
+                        AS DECIMAL(28,0))) AS revq
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    ), ranked AS (
+        SELECT p_brand, revq,
+               SUM(revq) OVER (ORDER BY revq DESC, p_brand
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumq,
+               SUM(revq) OVER () AS totq
+        FROM rev
+    )
+    SELECT p_brand,
+           CAST(revq AS DOUBLE) / 10000.0 AS revenue,
+           ROUND(CAST(cumq AS DOUBLE) / CAST(totq AS DOUBLE), 6) AS cum_share,
+           CASE WHEN CAST(cumq AS DOUBLE) / CAST(totq AS DOUBLE) <= 0.7 THEN 'A'
+                WHEN CAST(cumq AS DOUBLE) / CAST(totq AS DOUBLE) <= 0.9 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    ORDER BY revq DESC, p_brand
+    """,
+)
+def pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of brands by revenue share: cumulative
+    revenue ranking, A = first 70% of revenue, B = to 90%, C = tail.
+
+    The fact-table aggregation is the only large-data stage (partial→final
+    decimal sums, broadcast part dim); the windows run over one row per
+    brand, so the unpartitioned ORDER BY window is a 25-row frame, not a
+    single-partition pass over the fact table. The quantized-decimal
+    accumulator makes cum/total bit-stable, so the 0.7/0.9 class boundaries
+    cannot flip with parallelism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    revq_addend = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000.0
+    ).cast("decimal(28,0)")
+    rev = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(revq_addend).alias("revq"))
+    )
+    w_cum = Window.orderBy(F.desc("revq"), F.asc("p_brand")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy()
+    share = F.col("cumq").cast("double") / F.col("totq").cast("double")
+    return (
+        rev.select(
+            "p_brand",
+            "revq",
+            F.sum("revq").over(w_cum).alias("cumq"),
+            F.sum("revq").over(w_tot).alias("totq"),
+        )
+        .select(
+            "p_brand",
+            (F.col("revq").cast("double") / 10000.0).alias("revenue"),
+            F.round(share, 6).alias("cum_share"),
+            F.when(share <= 0.7, "A").when(share <= 0.9, "B").otherwise("C").alias(
+                "abc_class"
+            ),
+        )
+        .orderBy(F.desc("revq"), "p_brand")
+    )

@@ -323,3 +323,35 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("qsum_last_hour"),
     )
+
+
+@register(
+    "win_ratio_to_report",
+    """
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           ROUND(CAST(CAST(FLOOR(c_acctbal * 10000.0) AS DECIMAL(28,0)) AS DOUBLE)
+                 / CAST(SUM(CAST(FLOOR(c_acctbal * 10000.0) AS DECIMAL(28,0)))
+                        OVER (PARTITION BY c_nationkey) AS DOUBLE), 6)
+               AS acct_share
+    FROM customer
+    """,
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each customer's share of its nation's total account
+    balance — the percent-of-total window every BI layer ships. One shuffle
+    on the partition key; the denominator is a windowed sum of
+    floor-quantized decimals, so numerator and denominator are both exact
+    and the share is bit-stable at any parallelism (negative balances
+    included — floor quantization is direction-consistent on both engines).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    q = F.floor(F.col("c_acctbal") * 10000.0).cast("decimal(28,0)")
+    w = Window.partitionBy("c_nationkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.round(q.cast("double") / F.sum(q).over(w).cast("double"), 6).alias(
+            "acct_share"
+        ),
+    )

@@ -589,3 +589,78 @@ def events_cumulative_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+#: EWMA weights 2^(K-j) for lag j in 0..K — exact integer weights for
+#: alpha = 1/2 (each day's weight halves), spelled as a CASE ladder so
+#: neither engine goes near float pow().
+_EWMA_K = 8
+_EWMA_W = {j: 1 << (_EWMA_K - j) for j in range(_EWMA_K + 1)}
+
+
+@register(
+    "ts_ewma",
+    f"""
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ), j AS (
+        SELECT a.day, a.n,
+               DATE_DIFF('day', b.day, a.day) AS lag, b.n AS nb
+        FROM daily a JOIN daily b
+          ON b.day <= a.day AND b.day >= a.day - INTERVAL 8 DAY
+    )
+    SELECT day, n,
+           ROUND(CAST(SUM(nb * CASE lag {' '.join(f'WHEN {j} THEN {w}' for j, w in _EWMA_W.items())} END) AS DOUBLE)
+                 / CAST(SUM(CASE lag {' '.join(f'WHEN {j} THEN {w}' for j, w in _EWMA_W.items())} END) AS DOUBLE), 6)
+               AS ewma
+    FROM j
+    GROUP BY day, n
+    ORDER BY day
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 1/2, 8-day lookback)
+    of the daily event count — the smoothed-traffic series every
+    monitoring/forecast pipeline derives first.
+
+    Exactness: with alpha = 1/2 the truncated-window EWMA is a ratio of two
+    integer sums (weights 2^(K-j)), so the only float op is the final
+    division — bit-stable at any parallelism. The spine self-join is a
+    bounded range join over one row per day (at 100 TB: still one row per
+    day — the daily rollup is the heavy stage, and it's a partial-final
+    count); windows at the head of the series renormalize over the
+    available days, so no warm-up rows are dropped."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    lag = F.datediff(F.col("a.day").cast("date"), F.col("b.day").cast("date"))
+    weight = F.lit(None)
+    for j, wgt in _EWMA_W.items():
+        weight = F.when(lag == j, F.lit(wgt)) if j == 0 else weight.when(
+            lag == j, F.lit(wgt)
+        )
+    joined = a.join(
+        b,
+        (F.col("b.day") <= F.col("a.day"))
+        & (F.col("b.day") >= F.col("a.day") - F.expr(f"INTERVAL {_EWMA_K} DAYS")),
+    )
+    return (
+        joined.select(
+            F.col("a.day").alias("day"),
+            F.col("a.n").alias("n"),
+            (F.col("b.n") * weight).alias("wn"),
+            weight.alias("w"),
+        )
+        .groupBy("day", "n")
+        .agg(
+            F.round(
+                F.sum("wn").cast("double") / F.sum("w").cast("double"), 6
+            ).alias("ewma")
+        )
+        .orderBy("day")
+    )

@@ -125,3 +125,215 @@ def scd_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "profile_benford",
+    """
+    WITH d AS (
+        SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ), g AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+    )
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE), 6) AS share,
+           ROUND(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_p
+    FROM g
+    ORDER BY digit
+    """,
+)
+def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs the Benford
+    expectation — the classic fabricated-data / corrupted-feed smell test.
+    The digit is taken from the decimal string of the floor-quantized cents
+    value (string-of-integer formatting is engine-independent, unlike
+    double formatting or log10-based digit math at power-of-ten
+    boundaries). One map-side-combined aggregation to 9 rows; the window
+    runs over those 9 rows only."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice") * 100.0).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    g = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "digit",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6
+        ).alias("share"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit").cast("double")), 6).alias(
+            "benford_p"
+        ),
+    ).orderBy("digit")
+
+
+@register(
+    "agg_equidepth_hist",
+    """
+    WITH b AS (
+        SELECT o_totalprice,
+               CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                    AS INTEGER) AS bucket
+        FROM orders
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) 10-bucket histogram of order totals — the
+    statistics pass an optimizer or drift monitor runs, complementing the
+    equi-width ``agg_histogram``. NTILE over a provably-unique total order
+    (value, key) is deterministic on both engines. The global sort behind
+    NTILE is a range shuffle (TeraSort shape) — scalable, but at 100 TB the
+    approx-percentile sketch (``agg_approx_quantile``) is the cheaper
+    answer when exact bucket boundaries aren't required."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _sql_med2(src: str, out: str) -> str:
+    """Oracle CTE block computing per-group TWICE-the-median (``med2``, an
+    exact integer) of an integer column, from a source CTE ``src`` shaped
+    (g, v). Mirrors :func:`_med2` below; shared by the MAD query."""
+    return f"""
+    {out}_hist AS (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM {src} GROUP BY g, v
+    ), {out}_cum AS (
+        SELECT g, v, cnt,
+               SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS cum_hi,
+               SUM(cnt) OVER (PARTITION BY g ORDER BY v) - cnt AS cum_lo,
+               SUM(cnt) OVER (PARTITION BY g) AS n
+        FROM {out}_hist
+    ), {out} AS (
+        SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(CASE WHEN MAX(n) % 2 = 1
+                         THEN 2 * SUM(v * (LEAST(cum_hi, CAST(FLOOR((n + 2) / 2.0) AS BIGINT))
+                                  - GREATEST(cum_lo, CAST(FLOOR((n + 1) / 2.0) AS BIGINT) - 1)))
+                         ELSE SUM(v * (LEAST(cum_hi, CAST(FLOOR((n + 2) / 2.0) AS BIGINT))
+                                  - GREATEST(cum_lo, CAST(FLOOR((n + 1) / 2.0) AS BIGINT) - 1)))
+                    END AS BIGINT) AS med2
+        FROM {out}_cum
+        WHERE cum_hi >= CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+          AND cum_lo < CAST(FLOOR((n + 2) / 2.0) AS BIGINT)
+        GROUP BY g
+    )"""
+
+
+def _med2(df: DataFrame, vcol: str = "v") -> DataFrame:
+    """(g, n, med2): per-group exact twice-the-median of integer column
+    ``vcol`` via the value-histogram + middle-order-statistics trick (see
+    ``agg_exact_median`` for the full rationale) — doubling keeps the
+    even-n average of the two middle values an exact integer, so the
+    downstream MAD arithmetic never touches a float until the final
+    ratio."""
+    hist = df.groupBy("g", vcol).agg(F.count(F.lit(1)).alias("cnt"))
+    w_ord = Window.partitionBy("g").orderBy(vcol)
+    w_all = Window.partitionBy("g")
+    cum = hist.select(
+        "g",
+        vcol,
+        "cnt",
+        F.sum("cnt").over(w_ord).alias("cum_hi"),
+        (F.sum("cnt").over(w_ord) - F.col("cnt")).alias("cum_lo"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    lo_pos = F.floor((F.col("n") + 1) / 2.0).cast("long")
+    hi_pos = F.floor((F.col("n") + 2) / 2.0).cast("long")
+    take = F.least(F.col("cum_hi"), hi_pos) - F.greatest(F.col("cum_lo"), lo_pos - 1)
+    mid_sum = F.sum(F.col(vcol) * take)
+    return (
+        cum.filter((F.col("cum_hi") >= lo_pos) & (F.col("cum_lo") < hi_pos))
+        .groupBy("g")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.when(F.max("n") % 2 == 1, 2 * mid_sum)
+            .otherwise(mid_sum)
+            .cast("long")
+            .alias("med2"),
+        )
+    )
+
+
+@register(
+    "stats_mad_outliers",
+    f"""
+    WITH ev AS (
+        SELECT event_type AS g, CAST(FLOOR(value * 100.0) AS BIGINT) AS v
+        FROM events
+    ), {_sql_med2('ev', 'med')},
+    dev AS (
+        SELECT e.g, ABS(2 * e.v - m.med2) AS v
+        FROM ev e JOIN med m USING (g)
+    ), {_sql_med2('dev', 'mad')}
+    SELECT d.g AS event_type,
+           mad.n,
+           CAST(med.med2 AS DOUBLE) / 200.0 AS median,
+           CAST(mad.med2 AS DOUBLE) / 400.0 AS mad,
+           CAST(SUM(CASE WHEN 2.0 * CAST(d.v AS DOUBLE)
+                              > 3.5 * (1.4826 * CAST(mad.med2 AS DOUBLE))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad USING (g) JOIN med USING (g)
+    GROUP BY d.g, mad.n, med.med2, mad.med2
+    ORDER BY event_type
+    """,
+)
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier counts via median / MAD (the
+    median-absolute-deviation robust z-score, cutoff 3.5) — the outlier
+    filter that survives the heavy tails a mean/stddev z-score chokes on.
+
+    Everything until the final ratio is exact integer arithmetic on
+    cent-quantized values: ``med2`` is twice the median (so the even-n
+    midpoint stays integral), deviations ``|2v - med2|`` are integers, and
+    their own ``med2`` is twice-twice the MAD. Both median passes run over
+    per-group value histograms (shuffle ∝ distinct values, not rows) — the
+    same bounded-domain exact-median shape as ``agg_exact_median``, applied
+    twice. The robust z comparison ``2d > 3.5·1.4826·mad2`` is one double
+    multiply/compare of identical integers on both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 100.0).cast("long").alias("v"),
+    )
+    med = _med2(ev).select("g", F.col("med2").alias("vmed2"))
+    dev = ev.join(F.broadcast(med), "g").select(
+        "g", F.abs(2 * F.col("v") - F.col("vmed2")).alias("v")
+    )
+    mad = _med2(dev).select("g", "n", F.col("med2").alias("dmad2"))
+    is_out = (
+        2.0 * F.col("v").cast("double")
+        > 3.5 * (1.4826 * F.col("dmad2").cast("double"))
+    ).cast("int")
+    return (
+        dev.join(F.broadcast(mad), "g")
+        .join(F.broadcast(med), "g")
+        .groupBy(F.col("g").alias("event_type"), "n", "vmed2", "dmad2")
+        .agg(F.sum(is_out).cast("bigint").alias("n_outliers"))
+        .select(
+            "event_type",
+            "n",
+            (F.col("vmed2").cast("double") / 200.0).alias("median"),
+            (F.col("dmad2").cast("double") / 400.0).alias("mad"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )

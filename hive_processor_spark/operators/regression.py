@@ -18,7 +18,7 @@ parallelism — an ML fit that hash-matches its DuckDB twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
@@ -117,3 +117,73 @@ def ml_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n"),
         F.round((sxy - sx * sy / n) / (n - 1), 6).alias("cov_sample"),
     ).orderBy("c_mktsegment")
+
+
+@register(
+    "ml_autocorr",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0) AS HUGEINT)) AS HUGEINT)
+                   AS x
+        FROM orders GROUP BY 1
+    ), pairs AS (
+        SELECT x, LAG(x) OVER (ORDER BY day) AS y FROM daily
+    ), s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM pairs WHERE y IS NOT NULL
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS autocorr_lag1
+    FROM s
+    """,
+)
+def ml_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily revenue series — the first
+    diagnostic of any forecasting pipeline (is tomorrow like today?).
+
+    Exactness: daily revenue is a quantized integer; every Pearson moment
+    (Σx, Σy, Σxy, Σx², Σy²) is summed exactly — 128-bit HUGEINT on the
+    oracle, DECIMAL(38,0) in Spark, identical integers either way — and
+    only the final correlation ratio touches doubles, with one fixed
+    parenthesization on both engines. The lag pairing is a window over one
+    row per day (the daily rollup is the only fact-table stage; the window
+    frame is |days| rows, which stays tiny at any corpus scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 10000.0).cast("decimal(38,0)")
+            ).alias("x")
+        )
+    )
+    w = Window.orderBy("day")
+    pairs = daily.select("x", F.lag("x").over(w).alias("y")).filter(
+        F.col("y").isNotNull()
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        n.cast("bigint").alias("n_pairs"),
+        F.round(
+            (n * sxy - sx * sy).cast("double")
+            / F.sqrt(
+                (n * sxx - sx * sx).cast("double")
+                * (n * syy - sy * sy).cast("double")
+            ),
+            6,
+        ).alias("autocorr_lag1"),
+    )

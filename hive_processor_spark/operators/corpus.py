@@ -12,7 +12,7 @@ corpus unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
@@ -902,3 +902,96 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "pipeline_shard_balance",
+    """
+    WITH h AS (
+        SELECT doc_id, n_chars, MD5(CAST(doc_id AS VARCHAR)) AS hk
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_chars, hk,
+               SUM(n_chars) OVER (ORDER BY hk, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_chars AS start_off
+        FROM h
+    )
+    SELECT CAST(FLOOR(CAST(start_off AS DOUBLE) / 5000.0) AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM c
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def pipeline_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced shard assignment: documents are laid out in a
+    deterministic hash order (so co-sourced documents scatter), then cut
+    into ~5000-char shards by cumulative start offset — the bin-packing
+    pass that turns a cleaned corpus into training shards of near-equal
+    byte size regardless of per-document skew.
+
+    The cumulative sum is a global ordered window — at 100 TB this becomes
+    a two-pass range-partitioned prefix sum (per-partition totals collected
+    once, offsets broadcast back), which is exactly how Spark executes an
+    unpartitioned running window after a range shuffle; everything is
+    integer arithmetic, so shard cuts are bit-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "n_chars", F.md5(F.col("doc_id").cast("string")).alias("hk")
+    )
+    w = Window.orderBy("hk", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = h.select(
+        "doc_id",
+        "n_chars",
+        (F.sum("n_chars").over(w) - F.col("n_chars")).alias("start_off"),
+    )
+    shard = F.floor(F.col("start_off").cast("double") / 5000.0).cast("bigint")
+    return (
+        c.groupBy(shard.alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("shard")
+    )
+
+
+# Tier R: zlib is not expressible in the DuckDB oracle; semantic guarantees
+# (ratio bounds, repetition ordering) live in tests/test_properties.py.
+@register("text_compress_ratio")
+def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: deflate(level 6) bytes over raw
+    bytes per document — highly repetitive/boilerplate text compresses far
+    below ~0.4, near-random text sits close to 1.0; corpus-cleaning recipes
+    cut both tails. zlib is pure CPU with no cross-row state, so this runs
+    as an Arrow-batched ``mapInPandas`` pass — embarrassingly parallel,
+    no shuffle, scan-bound at 100 TB."""
+    import pandas as pd  # local import keeps the module import-light
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def score(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].fillna("").str.encode("utf-8")
+            n_bytes = raw.str.len().astype("int64")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6))).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "compress_ratio": (
+                        comp / n_bytes.clip(lower=1)
+                    ).round(4),
+                }
+            )
+
+    out = docs.mapInPandas(
+        score, "doc_id bigint, n_bytes bigint, compress_ratio double"
+    )
+    return out.orderBy("doc_id")

@@ -187,3 +187,63 @@ def ml_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("autocorr_lag1"),
     )
+
+
+@register(
+    "ml_logistic_score",
+    """
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '),
+                                    w -> w <> '')) AS BIGINT) AS n_tokens,
+               n_chars
+        FROM documents
+    ), z AS (
+        SELECT doc_id, n_tokens,
+               -3.0 + 0.9 * LN(1.0 + CAST(n_tokens AS DOUBLE))
+                    - 0.2 * (CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                   AS z
+        FROM feats WHERE n_tokens > 0
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + EXP(-z)), 4) AS quality_score,
+           CAST(CASE WHEN 1.0 / (1.0 + EXP(-z)) >= 0.5 THEN 1 ELSE 0 END
+                AS INTEGER) AS keep
+    FROM z
+    ORDER BY doc_id
+    """,
+)
+def ml_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight logistic quality classifier over cheap document
+    features (log token count, chars-per-token) — the shape of every
+    fasttext-style quality filter in an LLM data pipeline: train offline,
+    score at corpus scale as a pure map-only expression pass.
+
+    The linear term is a fixed left-associated chain over deterministic
+    feature doubles, so both engines see the same z; the sigmoid's EXP may
+    differ in the last ulp between libms, which the 4-decimal round
+    absorbs (and the 0.5 keep-threshold sits far from any fixture score).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), " "), lambda w: w != F.lit(""))
+    feats = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        "n_chars",
+    ).filter(F.col("n_tokens") > 0)
+    z = (
+        F.lit(-3.0)
+        + F.lit(0.9) * F.log(F.lit(1.0) + F.col("n_tokens").cast("double"))
+        - F.lit(0.2)
+        * (F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"))
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
+    return (
+        feats.select("doc_id", z.alias("z"))
+        .select(
+            "doc_id",
+            F.round(p, 4).alias("quality_score"),
+            F.when(p >= 0.5, 1).otherwise(0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -95,6 +95,26 @@ _SQL_SURFACE = {
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)
     """,
+    # Inline VALUES dim — the "small lookup table typed into the query"
+    # surface. Both engines parse the same text; the join side is a 5-row
+    # constant relation (Spark: LocalRelation, broadcast for free), and the
+    # revenue sums go through the exact-sum discipline so the weighted
+    # metric hash-matches at any parallelism.
+    "sql_values_inline": """
+    SELECT w.weight, o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 10000.0) AS DECIMAL(28,0)))
+                AS DOUBLE) / 10000.0 AS revenue,
+           ROUND(w.weight
+                 * (CAST(SUM(CAST(FLOOR(o.o_totalprice * 10000.0) AS DECIMAL(28,0)))
+                         AS DOUBLE) / 10000.0), 4) AS weighted_revenue
+    FROM orders o
+    JOIN (VALUES ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
+                 ('4-NOT SPECIFIED', 2), ('5-LOW', 1)) AS w(prio, weight)
+      ON o.o_orderpriority = w.prio
+    GROUP BY w.weight, o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
     # Non-recursive CTE, referenced once more downstream.
     "sql_cte": """
     WITH big AS (

@@ -505,3 +505,23 @@ def test_pq_sqdist_metric_axioms(spark):
         assert r.ab == r.ba  # bit-identical symmetry (same quantized terms)
         assert r.ab >= 0.0
         assert 0.0 <= r.aa < 1e-10
+
+
+def test_compress_ratio_semantics(spark):
+    """text_compress_ratio (Tier R): ratios are bounded, and repetitive
+    text compresses strictly better than high-entropy text."""
+    from hive_processor_spark.operators.corpus import text_compress_ratio
+    from tests.conftest import SF_DIR
+
+    out = text_compress_ratio(spark, SF_DIR).toPandas()
+    assert len(out) == 500
+    nonempty = out[out.n_bytes > 0]
+    assert (nonempty.compress_ratio > 0).all()
+    # deflate overhead caps out quickly; nothing should blow past ~2x
+    assert (nonempty.compress_ratio < 2.0).all()
+    # synthetic check: a pure-repetition doc must compress far better than
+    # the corpus median (the signal the quality filter cuts on)
+    import zlib
+
+    rep = len(zlib.compress(b"spam " * 200, 6)) / 1000.0
+    assert rep < nonempty.compress_ratio.median() / 2

@@ -664,3 +664,71 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_attribution",
+    """
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT event_id, user_id, ts, event_type FROM events
+        WHERE event_type IN ('click', 'view', 'signup')
+    ), j AS (
+        SELECT p.event_id,
+               t.event_type,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                  ORDER BY t.ts DESC, t.event_id DESC) AS rn
+        FROM p JOIN t
+          ON t.user_id = p.user_id
+         AND t.ts <= p.ts
+         AND t.ts >= p.ts - INTERVAL 7 DAY
+    ), last AS (
+        SELECT event_id, event_type FROM j WHERE rn = 1
+    )
+    SELECT COALESCE(l.event_type, 'none') AS touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM p LEFT JOIN last l ON p.event_id = l.event_id
+    GROUP BY touch
+    ORDER BY touch
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's most
+    recent click/view/signup in the preceding 7 days (or 'none') — the
+    marketing query behind every conversion dashboard.
+
+    The join is an equi-join on user_id with the time window as a residual
+    predicate — at scale a shuffle join keyed on the user, with per-user
+    fan-out bounded by activity × window. The winner-pick is a window over
+    each purchase's candidate set with a total (ts, event_id) order, so the
+    credited touch is deterministic even with tied timestamps."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view", "signup")).select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        "event_type",
+    )
+    j = p.join(
+        t,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    w = Window.partitionBy("p_id").orderBy(F.desc("t_ts"), F.desc("t_id"))
+    last = (
+        j.select("p_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("p_id", "event_type")
+    )
+    return (
+        p.join(last, "p_id", "left")
+        .select(F.coalesce("event_type", F.lit("none")).alias("touch"))
+        .groupBy("touch")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("touch")
+    )

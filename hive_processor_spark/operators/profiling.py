@@ -337,3 +337,65 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "cdc_latest_wins",
+    """
+    WITH cdc AS (
+        SELECT user_id,
+               ts, event_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               CAST(FLOOR(value * 100.0) AS BIGINT) AS v
+        FROM events
+    ), ranked AS (
+        SELECT user_id, op, v,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        FROM cdc
+    )
+    SELECT user_id,
+           CAST(v AS DOUBLE) / 100.0 AS final_value,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM ranked
+    WHERE rn = 1 AND op = 'U'
+    ORDER BY user_id
+    """,
+)
+def cdc_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change application (MERGE latest-wins with delete tombstones):
+    the event stream is read as a change log keyed by user — 'error' rows
+    are deletes, everything else upserts — and the materialized state is
+    each key's latest surviving change. This is the batch core of a
+    lakehouse CDC sink: one shuffle on the key, one window with a total
+    (ts, event_id) order so concurrent same-timestamp changes resolve
+    deterministically, and keys whose final change is a tombstone drop out.
+    At scale the window is per-key (parallel across keys), and a real sink
+    would feed it pre-compacted per-partition maxima."""
+    ev = load_table(spark, sf_dir, "events")
+    cdc = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.floor(F.col("value") * 100.0).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wc = Window.partitionBy("user_id")
+    return (
+        cdc.select(
+            "user_id",
+            "op",
+            "v",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_changes"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            (F.col("v").cast("double") / 100.0).alias("final_value"),
+            F.col("n_changes").cast("long").alias("n_changes"),
+        )
+        .orderBy("user_id")
+    )

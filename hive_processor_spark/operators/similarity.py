@@ -25,7 +25,7 @@ set-similarity line of work).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
@@ -796,4 +796,74 @@ def sim_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", sim.alias("sim"))
         .filter(F.col("sim") >= 0.28)
         .orderBy(F.desc("sim"), F.asc("vec_id"))
+    )
+
+
+@register(
+    "embed_outliers",
+    _CENTROID_CTE
+    + """
+    , d AS (
+        SELECT e.vec_id, e.label,
+               CAST(FLOOR((e.x - c.m) * (e.x - c.m) * 1e12) AS BIGINT) AS term
+        FROM (
+            SELECT vec_id, label,
+                   CAST(UNNEST(RANGE(1, LEN(embedding) + 1)) AS INT) AS pos,
+                   CAST(UNNEST(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ) e
+        JOIN cent c ON e.label = c.label AND e.pos = c.pos
+    ), s AS (
+        SELECT vec_id, label, SUM(term) AS sq FROM d GROUP BY vec_id, label
+    ), r AS (
+        SELECT label, vec_id,
+               ROUND(SQRT(CAST(sq AS DOUBLE) / 1e12), 4) AS dist,
+               CAST(ROW_NUMBER() OVER (PARTITION BY label
+                                       ORDER BY sq DESC, vec_id) AS INTEGER) AS rk
+        FROM s
+    )
+    SELECT label, vec_id, dist, rk FROM r WHERE rk <= 3
+    ORDER BY label, rk
+    """,
+)
+def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier mining: the 3 vectors farthest from their own
+    label's centroid — the "mislabeled / out-of-distribution sample" sweep a
+    training-data pipeline runs over every embedded shard.
+
+    Shape: posexplode → per-(label, dim) quantized centroid (broadcast back:
+    |labels|×dim rows), per-vector quantized squared distance, then a
+    per-label top-3 window. The ranking key is the exact integer distance
+    accumulator, so ordering cannot flip with parallelism; only the
+    displayed distance touches doubles. At 100 TB the explode/re-aggregate
+    is the only fact-scale stage and it is a partial-final integer sum."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "label", "pos", F.col("xf").cast("double").alias("x"))
+    cent = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.floor(F.col("x") * 1000000.0).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 1000000.0
+        ).alias("m")
+    )
+    d = ex.join(F.broadcast(cent), ["label", "pos"]).select(
+        "vec_id",
+        "label",
+        F.floor((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")) * 1e12)
+        .cast("long")
+        .alias("term"),
+    )
+    s = d.groupBy("vec_id", "label").agg(F.sum("term").alias("sq"))
+    w = Window.partitionBy("label").orderBy(F.desc("sq"), F.asc("vec_id"))
+    return (
+        s.select(
+            "label",
+            "vec_id",
+            F.round(F.sqrt(F.col("sq").cast("double") / 1e12), 4).alias("dist"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("label", "rk")
     )

@@ -541,3 +541,101 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "w1", "w2")
         .limit(25)
     )
+
+
+@register(
+    "text_pmi_bigrams",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT(TRIM(text), ' '), x -> x <> '') AS w
+        FROM documents
+    ), uni AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM (SELECT UNNEST(w) AS word FROM w) GROUP BY word
+    ), bi AS (
+        SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM (
+            SELECT UNNEST([ARRAY_TO_STRING(w[i:i+1], ' ')
+                           FOR i IN RANGE(1, LEN(w))]) AS bg
+            FROM w
+        ) GROUP BY bg
+    ), tot AS (
+        SELECT (SELECT SUM(c1) FROM uni) AS tu,
+               (SELECT SUM(c12) FROM bi) AS tb
+    )
+    SELECT STRING_SPLIT(bg, ' ')[1] AS w1,
+           STRING_SPLIT(bg, ' ')[2] AS w2,
+           c12,
+           ROUND(LN((CAST(c12 AS DOUBLE) * CAST(tu AS DOUBLE) * CAST(tu AS DOUBLE))
+                    / ((CAST(u1.c1 AS DOUBLE) * CAST(u2.c1 AS DOUBLE))
+                       * CAST(tb AS DOUBLE))), 4) AS pmi
+    FROM bi
+    JOIN uni u1 ON u1.word = STRING_SPLIT(bg, ' ')[1]
+    JOIN uni u2 ON u2.word = STRING_SPLIT(bg, ' ')[2]
+    CROSS JOIN tot
+    WHERE c12 >= 25
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top bigrams by pointwise mutual information
+    ln(p(xy) / (p(x)·p(y))) with a min-count floor — the phrase detector
+    (word2vec-style) run before tokenizer/vocab training.
+
+    Unigram and bigram counts are exact integer aggregations over one
+    tokenize pass each; the totals and unigram counts are broadcast back
+    onto the (small) surviving bigram set, and PMI is one LN over a ratio
+    of identically-parenthesized exact integers, rounded to absorb libm
+    ulp skew. Per-doc work is embarrassingly parallel; the count shuffles
+    are ∝ vocabulary, not corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        F.filter(F.split(F.trim(F.col("text")), " "), lambda x: x != F.lit("")).alias(
+            "w"
+        )
+    )
+    uni = (
+        w.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' '))"
+    )
+    bi_all = (
+        w.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    bi = bi_all.filter(F.col("c12") >= 25)
+    # totals are over the WHOLE distribution (the filter only prunes which
+    # bigrams get reported, not the probability space)
+    tot = uni.agg(F.sum("c1").alias("tu")).crossJoin(
+        bi_all.agg(F.sum("c12").alias("tb"))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    split_1 = F.split(F.col("bg"), " ").getItem(0)
+    split_2 = F.split(F.col("bg"), " ").getItem(1)
+    pmi = F.round(
+        F.log(
+            (d("c12") * d("tu") * d("tu")) / ((d("c1_1") * d("c1_2")) * d("tb"))
+        ),
+        4,
+    )
+    return (
+        bi.select(split_1.alias("w1"), split_2.alias("w2"), "c12")
+        .join(
+            F.broadcast(uni.select(F.col("word").alias("w1"), F.col("c1").alias("c1_1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("word").alias("w2"), F.col("c1").alias("c1_2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )

@@ -399,3 +399,150 @@ def cdc_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "profile_drift_kl",
+    """
+    WITH binned AS (
+        SELECT o_orderkey % 2 AS half,
+               LEAST(19, CAST(FLOOR(o_totalprice / 30000.0) AS BIGINT)) AS bin
+        FROM orders
+    ), h AS (
+        SELECT half, bin, CAST(COUNT(*) AS BIGINT) AS n FROM binned
+        GROUP BY half, bin
+    ), tot AS (
+        SELECT half, SUM(n) AS t FROM h GROUP BY half
+    ), pq AS (
+        SELECT a.bin,
+               CAST(a.n AS DOUBLE) / CAST(ta.t AS DOUBLE) AS p,
+               CAST(b.n AS DOUBLE) / CAST(tb.t AS DOUBLE) AS q
+        FROM h a JOIN h b ON a.bin = b.bin AND a.half = 0 AND b.half = 1
+        JOIN tot ta ON ta.half = 0
+        JOIN tot tb ON tb.half = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins_common,
+           ROUND(CAST(SUM(CAST(FLOOR(p * LN(p / q) * 1e9) AS BIGINT)) AS DOUBLE)
+                 / 1e9, 6) AS kl_pq,
+           ROUND(CAST(SUM(CAST(FLOOR(q * LN(q / p) * 1e9) AS BIGINT)) AS DOUBLE)
+                 / 1e9, 6) AS kl_qp
+    FROM pq
+    """,
+)
+def profile_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift check: symmetric pair of KL divergences between
+    the order-total histograms of two data halves (even/odd order keys —
+    the null case a drift monitor alarms against). 20 fixed equal-width
+    bins; probabilities are exact count ratios, and each p·ln(p/q) term is
+    floor-quantized to 1e-9 units before the sum so partial-aggregation
+    order cannot move the result (a single-ulp libm skew flips at most one
+    quantum, absorbed by the 6-decimal round). Two scans' worth of counts
+    in ONE aggregation pass; everything after is a 20-row join."""
+    orders = load_table(spark, sf_dir, "orders")
+    binned = orders.select(
+        (F.col("o_orderkey") % 2).alias("half"),
+        F.least(
+            F.lit(19), F.floor(F.col("o_totalprice") / 30000.0).cast("long")
+        ).alias("bin"),
+    )
+    h = binned.groupBy("half", "bin").agg(F.count(F.lit(1)).alias("n"))
+    tot = h.groupBy("half").agg(F.sum("n").alias("t"))
+    a = h.filter(F.col("half") == 0).select("bin", F.col("n").alias("na"))
+    b = h.filter(F.col("half") == 1).select("bin", F.col("n").alias("nb"))
+    ta = tot.filter(F.col("half") == 0).select(F.col("t").alias("ta"))
+    tb = tot.filter(F.col("half") == 1).select(F.col("t").alias("tb"))
+    pq = (
+        a.join(b, "bin")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            (F.col("na").cast("double") / F.col("ta").cast("double")).alias("p"),
+            (F.col("nb").cast("double") / F.col("tb").cast("double")).alias("q"),
+        )
+    )
+    qterm = lambda x, y: F.floor(  # noqa: E731
+        F.col(x) * F.log(F.col(x) / F.col(y)) * 1e9
+    ).cast("long")
+    return pq.agg(
+        F.count(F.lit(1)).alias("n_bins_common"),
+        F.round(F.sum(qterm("p", "q")).cast("double") / 1e9, 6).alias("kl_pq"),
+        F.round(F.sum(qterm("q", "p")).cast("double") / 1e9, 6).alias("kl_qp"),
+    )
+
+
+@register(
+    "profile_fk_violations",
+    """
+    WITH cust AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0
+    ), pt AS (
+        SELECT p_partkey FROM part WHERE p_partkey % 11 <> 0
+    ), o AS (
+        SELECT 'orders.o_custkey -> customer' AS fk,
+               CAST(COUNT(*) AS BIGINT) AS n_child,
+               CAST(COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT)
+                   AS n_orphans
+        FROM orders LEFT JOIN cust c ON o_custkey = c.c_custkey
+    ), l AS (
+        SELECT 'lineitem.l_partkey -> part' AS fk,
+               CAST(COUNT(*) AS BIGINT) AS n_child,
+               CAST(COUNT(CASE WHEN p.p_partkey IS NULL THEN 1 END) AS BIGINT)
+                   AS n_orphans
+        FROM lineitem LEFT JOIN pt p ON l_partkey = p.p_partkey
+    )
+    SELECT fk, n_child, n_orphans,
+           ROUND(CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE), 6)
+               AS orphan_rate
+    FROM (SELECT * FROM o UNION ALL SELECT * FROM l)
+    ORDER BY fk
+    """,
+)
+def profile_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for two fact→dim foreign
+    keys against deliberately thinned parent sets (every 7th customer /
+    11th part withheld, simulating late or lost dimension loads) — the
+    data-contract check run before promoting a snapshot.
+
+    Each relationship is one broadcast left join (dim side pruned to the
+    key column) counted in a single pass; fact tables are never
+    materialized wide. At 100 TB the orphan probe is the cheap direction —
+    fact × broadcast(dim-keys) — and both relationships could share one
+    scan via a union of keys if the dims outgrew broadcast."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 != 0)
+        .select("c_custkey")
+    )
+    pt = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 11 != 0)
+        .select("p_partkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+
+    def audit(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, fk: str):
+        return (
+            child.join(
+                F.broadcast(parent), child[ckey] == parent[pkey], "left"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.count(F.when(F.col(pkey).isNull(), 1)).alias("n_orphans"),
+            )
+            .select(F.lit(fk).alias("fk"), "n_child", "n_orphans")
+        )
+
+    out = audit(
+        orders, "o_custkey", cust, "c_custkey", "orders.o_custkey -> customer"
+    ).unionByName(
+        audit(li, "l_partkey", pt, "p_partkey", "lineitem.l_partkey -> part")
+    )
+    return out.select(
+        "fk",
+        "n_child",
+        "n_orphans",
+        F.round(
+            F.col("n_orphans").cast("double") / F.col("n_child").cast("double"), 6
+        ).alias("orphan_rate"),
+    ).orderBy("fk")

@@ -7,7 +7,7 @@ aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
@@ -638,4 +638,65 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", "c12", pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(20)
+    )
+
+
+@register(
+    "text_vocab_coverage",
+    """
+    WITH uni AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS word FROM documents) t
+        WHERE word <> ''
+        GROUP BY word
+    ), ranked AS (
+        SELECT word, c,
+               CAST(ROW_NUMBER() OVER (ORDER BY c DESC, word) AS INTEGER) AS rk,
+               SUM(c) OVER (ORDER BY c DESC, word
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(c) OVER () AS tot
+        FROM uni
+    )
+    SELECT rk AS vocab_size, word AS last_word,
+           ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS coverage
+    FROM ranked
+    WHERE rk IN (5, 10, 15, 20, 25, 30)
+    ORDER BY rk
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage curve: the fraction of all corpus tokens covered
+    by the top-k most frequent words, reported at k = 5..30 — the sizing
+    curve a tokenizer/vocab build reads before committing to a vocab size.
+
+    The frequency table is one exact count aggregation (shuffle ∝ vocab);
+    the ranking windows then run over |vocab| rows, not the corpus — at
+    100 TB the curve costs the same as a word count. Coverage is a ratio
+    of exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(_words()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_ord = Window.orderBy(F.desc("c"), F.asc("word"))
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        uni.select(
+            "word",
+            "c",
+            F.row_number().over(w_ord).alias("rk"),
+            F.sum("c").over(w_cum).alias("cum"),
+            F.sum("c").over(Window.partitionBy()).alias("tot"),
+        )
+        .filter(F.col("rk").isin(5, 10, 15, 20, 25, 30))
+        .select(
+            F.col("rk").alias("vocab_size"),
+            F.col("word").alias("last_word"),
+            F.round(
+                F.col("cum").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("vocab_size")
     )

@@ -503,3 +503,51 @@ def scan_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(path)
         .orderBy("id")
     )
+
+
+# Tier R: file counts are an engine-side artifact the SQL oracle cannot
+# see; row preservation and the compaction guarantee are asserted in
+# tests/test_properties.py::test_compaction_preserves_rows.
+@register("sink_compact_small_files")
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every long-lived
+    lake table needs: a fragmented write (64 tiny files here, standing in
+    for months of streaming micro-batch commits) is rewritten into
+    size-targeted files, and the operator reports both layouts.
+
+    The compacted file count comes from the actual bytes on disk over a
+    128 MiB target (floored at 1), not a guess — the same sizing rule a
+    real OPTIMIZE job applies per partition. Compaction is a pure rewrite:
+    a coalesce() with no shuffle; at 100 TB it runs per-partition so
+    parallelism is preserved across partitions while files within one
+    partition merge."""
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    frag_path = _scratch("fragmented")
+    src.repartition(64).write.mode("overwrite").parquet(frag_path)
+
+    def _stats(path: str):
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        return len(files), sum(os.path.getsize(f) for f in files)
+
+    n_before, bytes_before = _stats(frag_path)
+    target = 128 * 1024 * 1024
+    n_target = max(1, (bytes_before + target - 1) // target)
+    compact_path = _scratch("compacted")
+    frag = spark.read.parquet(frag_path)
+    frag.coalesce(int(n_target)).write.mode("overwrite").parquet(compact_path)
+    n_after, _ = _stats(compact_path)
+    rows_before = frag.count()
+    rows_after = spark.read.parquet(compact_path).count()
+    return spark.createDataFrame(
+        [
+            ("before", n_before, rows_before),
+            ("after", n_after, rows_after),
+        ],
+        "phase string, n_files int, n_rows bigint",
+    ).orderBy("phase")

@@ -525,3 +525,17 @@ def test_compress_ratio_semantics(spark):
 
     rep = len(zlib.compress(b"spam " * 200, 6)) / 1000.0
     assert rep < nonempty.compress_ratio.median() / 2
+
+
+def test_compaction_preserves_rows(spark):
+    """sink_compact_small_files (Tier R): compaction must reduce the file
+    count to the byte-target number while preserving every row."""
+    from hive_processor_spark.sources.roundtrip import sink_compact_small_files
+    from tests.conftest import SF_DIR
+
+    out = {
+        r["phase"]: r for r in sink_compact_small_files(spark, SF_DIR).collect()
+    }
+    assert out["before"]["n_files"] == 64
+    assert out["after"]["n_files"] < out["before"]["n_files"]
+    assert out["after"]["n_rows"] == out["before"]["n_rows"] > 0

@@ -47,6 +47,10 @@ HEADLINE = [
     "embed_kmeans",       # bit-stable 2-iteration Lloyd clustering
     "tpch_q21_waiting_supplier",  # multi-probe decision-support composite
     "ml_linreg",          # sufficient-stats OLS fit
+    "basket_pairs",       # order-basket self-join association rules
+    "stats_mad_outliers",  # two-pass exact median/MAD robust outliers
+    "embed_outliers",     # centroid-distance embedding outlier sweep
+    "text_bm25",          # BM25 retrieval scoring over the corpus
 ]
 
 

@@ -732,3 +732,100 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_purchases"))
         .orderBy("touch")
     )
+
+
+@register(
+    "events_path_analysis",
+    """
+    WITH seq AS (
+        SELECT event_type AS e1,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq
+    WHERE e3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+)
+def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: the 10 most common 3-step event paths over each
+    user's time-ordered stream — the navigation-flow query behind every
+    product-analytics "paths" view. One shuffle on user_id for the LEAD
+    windows (per-user frames, parallel across users), then an exact count
+    over path trigrams; ties broken lexicographically so the LIMIT is
+    deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
+
+
+@register(
+    "ts_rolling_median",
+    """
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), framed AS (
+        SELECT day, x,
+               LIST_SORT(LIST(x) OVER (ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        FROM daily
+    )
+    SELECT day,
+           CAST(LEN(arr) AS INTEGER) AS n_days,
+           CAST(arr[CAST(FLOOR((LEN(arr) + 1) / 2.0) AS BIGINT)]
+                + arr[CAST(FLOOR((LEN(arr) + 2) / 2.0) AS BIGINT)] AS DOUBLE)
+               / 200.0 AS rolling_median
+    FROM framed
+    ORDER BY day
+    """,
+)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling MEDIAN of the daily event-value total — the
+    robust smoother dashboards prefer over rolling means when spikes are
+    real but rare.
+
+    The frame is collected per row (≤ 7 integers), sorted, and the two
+    middle order statistics averaged — sorting makes the collection order
+    irrelevant, so the windowed collect is deterministic on both engines,
+    and the math stays integral until the final /200. The window runs over
+    one row per day; the daily rollup below it is the only fact-scale
+    stage (partial→final integer sum)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100.0).cast("long")).cast("long").alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    framed = daily.select(
+        "day", F.array_sort(F.collect_list("x").over(w)).alias("arr")
+    )
+    n = F.size("arr")
+    lo = F.floor((n + 1) / 2.0).cast("int")
+    hi = F.floor((n + 2) / 2.0).cast("int")
+    return framed.select(
+        "day",
+        n.alias("n_days"),
+        (
+            (F.element_at("arr", lo) + F.element_at("arr", hi)).cast("double")
+            / 200.0
+        ).alias("rolling_median"),
+    ).orderBy("day")

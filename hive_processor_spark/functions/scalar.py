@@ -617,3 +617,37 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@register(
+    "fn_interval",
+    """
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 3 MONTH AS plus_3mo,
+           o_orderdate + INTERVAL 45 DAY AS plus_45d,
+           CAST(LAST_DAY(o_orderdate) AS TIMESTAMP) AS month_end,
+           CAST(DATE_TRUNC('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start
+    FROM orders
+    WHERE o_orderkey <= 5000
+    ORDER BY o_orderkey
+    """,
+)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic family: month addition (with the
+    end-of-month clamp both engines apply), day addition, month-end, and
+    quarter truncation — the date-spine toolkit of every fiscal rollup.
+    Pure codegen projections; the WHERE is a pushed-down key filter."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") <= 5000)
+        .select(
+            "o_orderkey",
+            F.add_months("o_orderdate", 3).cast("timestamp").alias("plus_3mo"),
+            F.date_add(F.col("o_orderdate").cast("date"), 45)
+            .cast("timestamp")
+            .alias("plus_45d"),
+            F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+            F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -829,3 +829,53 @@ def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 200.0
         ).alias("rolling_median"),
     ).orderBy("day")
+
+
+@register(
+    "events_pattern_match",
+    """
+    WITH seq AS (
+        SELECT user_id,
+               STRING_AGG(SUBSTR(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(CASE WHEN REGEXP_MATCHES(s, 'v.*c.*p') THEN 1 END)
+                AS BIGINT) AS n_matched,
+           ROUND(CAST(COUNT(CASE WHEN REGEXP_MATCHES(s, 'v.*c.*p') THEN 1 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS match_rate
+    FROM seq
+    """,
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching (the MATCH_RECOGNIZE shape): users whose
+    event history contains view → … → click → … → purchase in order. Each
+    user's history is folded to a compact initial-string — built from a
+    sorted struct collection so the order is total (ts, event_id) on both
+    engines — and the pattern is one regex per user. At scale this is a
+    single user-keyed aggregation; per-user strings are bounded by
+    activity, and the regex scan is map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    item = F.struct(
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("eid"),
+        F.substring("event_type", 1, 1).alias("c"),
+    )
+    seq = (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(item)).alias("arr"))
+        .select(
+            F.array_join(
+                F.transform(F.col("arr"), lambda x: x.getField("c")), ""
+            ).alias("s")
+        )
+    )
+    matched = F.count(F.when(F.col("s").rlike("v.*c.*p"), 1))
+    return seq.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        matched.alias("n_matched"),
+        F.round(
+            matched.cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("match_rate"),
+    )

@@ -20,7 +20,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from hive_processor_spark.engine import register
 
@@ -102,4 +107,100 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").alias("sum_bytes"),
         )
         .orderBy("token")
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming side of the DataSource API: a custom micro-batch source with
+# explicit offset bookkeeping — the extension point for "tail a system
+# Spark has no connector for" (a queue, a vendor API, a scan cursor).
+# --------------------------------------------------------------------------
+_STREAM_ROWS_PER_BATCH = 500
+_STREAM_MAX_ROWS = 1000
+
+
+class SynthStreamReader(DataSourceStreamReader):
+    """Offset = rows emitted so far. Each poll advances by one fixed batch
+    until the (test-bounded) high-water mark; partitions split the offset
+    range so executors generate their slices independently — the same
+    contract a Kafka-like source satisfies with (topic, partition, offset).
+    """
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        # In a real tailing source this asks the upstream system; here the
+        # high-water mark advances deterministically per poll.
+        if not hasattr(self, "_hwm"):
+            self._hwm = 0
+        self._hwm = min(self._hwm + _STREAM_ROWS_PER_BATCH, _STREAM_MAX_ROWS)
+        return {"pos": self._hwm}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        lo, hi = start["pos"], end["pos"]
+        mid = (lo + hi) // 2
+        return [InputPartition((lo, mid)), InputPartition((mid, hi))]
+
+    def read(self, partition: InputPartition):
+        lo, hi = partition.value
+        for i in range(lo, hi):
+            yield (i, i % 7, float(i % 100) / 10.0)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SynthStreamSource(DataSource):
+    """``spark.readStream.format("synthstream")`` — registered per session."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthstream"
+
+    def schema(self) -> str:
+        return "seq bigint, k int, v double"
+
+    def streamReader(self, schema) -> SynthStreamReader:
+        return SynthStreamReader()
+
+
+# Tier R: the micro-batch ingestion path isn't SQL-visible; equality with
+# the batch-generated frame is asserted in tests/test_streaming.py.
+@register("stream_python_datasource")
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the custom STREAMING Python data source to completion with
+    availableNow-style polling (2 micro-batches × 500 rows), collecting
+    every batch through foreachBatch into a memory buffer, then aggregate
+    per key — proving offset planning, partition splitting, incremental
+    reads, and commit hooks on the Python streaming extension surface.
+    At scale the per-batch partition count comes from the upstream shard
+    layout and each executor tails its own shard slice."""
+    spark.dataSource.register(SynthStreamSource)
+    acc: list = []
+    q = (
+        spark.readStream.format("synthstream")
+        .load()
+        .writeStream.foreachBatch(
+            lambda bdf, _bid: acc.extend(bdf.collect())
+        )
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        import time as _time
+
+        deadline = _time.time() + 60
+        while len(acc) < _STREAM_MAX_ROWS and _time.time() < deadline:
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    out = spark.createDataFrame(acc, "seq bigint, k int, v double")
+    return (
+        out.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("seq").cast("long").alias("sum_seq"),
+        )
+        .orderBy("k")
     )

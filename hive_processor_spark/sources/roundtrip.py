@@ -551,3 +551,24 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "phase string, n_files int, n_rows bigint",
     ).orderBy("phase")
+
+
+@register("scan_corrupt_files", "SELECT * FROM nation")
+def scan_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-input resilience: a directory containing one garbage
+    ``.parquet`` file among good ones is read with
+    ``ignoreCorruptFiles`` — the posture a 100 TB ingest needs when a
+    writer died mid-file or an object store returned a truncated body.
+    The oracle is the intact table: resilience must mean "skip the bad
+    file", never "perturb the good rows". (The flag is per-read here, not
+    session-wide, so strict pipelines still fail fast by default.)"""
+    src = load_table(spark, sf_dir, "nation")
+    path = _scratch("corrupt")
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "part-junk.parquet"), "wb") as fh:
+        fh.write(b"PAR1 this is not a real parquet footer")
+    return (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .schema(src.schema)
+        .parquet(path)
+    )

@@ -148,3 +148,23 @@ def test_stream_static_join_matches_batch(spark):
         .collect()
     }
     assert stream == batch
+
+
+def test_stream_python_datasource_matches_batch(spark):
+    """The custom streaming Python source must deliver exactly the rows a
+    batch generation of the same range produces — no loss, no dupes across
+    micro-batch boundaries."""
+    from hive_processor_spark.sources.pysource import (
+        _STREAM_MAX_ROWS,
+        stream_python_datasource,
+    )
+    from tests.conftest import SF_DIR
+
+    got = {
+        r["k"]: (r["n"], r["sum_seq"])
+        for r in stream_python_datasource(spark, SF_DIR).collect()
+    }
+    want: dict[int, list[int]] = {}
+    for i in range(_STREAM_MAX_ROWS):
+        want.setdefault(i % 7, []).append(i)
+    assert got == {k: (len(v), sum(v)) for k, v in want.items()}

@@ -827,3 +827,63 @@ def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_skew_kurtosis",
+    f"""
+    WITH s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               {sql_dsum('value')} AS s1,
+               {sql_dsum('value * value')} AS s2,
+               {sql_dsum('value * value * value', 2)} AS s3,
+               {sql_dsum('value * value * value * value', 2)} AS s4
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           ROUND((s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / POWER(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+           ROUND((s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                  + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))
+                 - 3.0, 6) AS excess_kurtosis
+    FROM s ORDER BY event_type
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per event type from the
+    first four quantized power sums — the distribution-shape profile that
+    decides whether a z-score or a robust (MAD) filter is appropriate.
+    Spark's built-in ``skewness``/``kurtosis`` accumulate doubles in
+    partition order (nondeterministic at any parallelism), so this follows
+    the house sufficient-statistics discipline instead: one partial→final
+    aggregation of exact sums (cubes/quartics at scale 2 to bound the
+    DECIMAL accumulator), then identical scalar algebra on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("s1"),
+        dsum(x * x).alias("s2"),
+        dsum(x * x * x, 2).alias("s3"),
+        dsum(x * x * x * x, 2).alias("s4"),
+    )
+    n = F.col("n")
+    m = F.col("s1") / n
+    m2 = F.col("s2") / n
+    m3 = F.col("s3") / n
+    m4 = F.col("s4") / n
+    var = m2 - m * m
+    skew = (m3 - 3.0 * m * m2 + 2.0 * m * m * m) / F.pow(var, 1.5)
+    kurt = (m4 - 4.0 * m * m3 + 6.0 * m * m * m2 - 3.0 * m * m * m * m) / (
+        var * var
+    ) - 3.0
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    ).orderBy("event_type")

@@ -1012,3 +1012,159 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("h").alias("text_md5"))
         .orderBy("doc_id")
     )
+
+
+#: MinHash permutation constants: h_i(x) = (a_i·x + b_i) mod p over the
+#: 31-bit Mersenne prime — integer math only, mirrored verbatim in the
+#: oracle, so the signatures (not just the candidate sets) hash-match.
+_MH_P = 2147483647
+_MH_PERMS = (
+    (2971, 577),
+    (4021, 131),
+    (5701, 919),
+    (7919, 293),
+    (9973, 653),
+    (12007, 47),
+    (15131, 811),
+    (17389, 389),
+)
+_MH_BANDS = 4  # 2 rows per band over the 8 perms
+
+
+def _minhash_sql() -> str:
+    mins = ",\n               ".join(
+        f"MIN(({a} * h31 + {b}) % {_MH_P}) AS m{i}"
+        for i, (a, b) in enumerate(_MH_PERMS)
+    )
+    band_v1 = " ".join(f"WHEN {j} THEN m{2 * j}" for j in range(_MH_BANDS))
+    band_v2 = " ".join(f"WHEN {j} THEN m{2 * j + 1}" for j in range(_MH_BANDS))
+    first_band = " ".join(
+        f"WHEN a.m{2 * j} = b.m{2 * j} AND a.m{2 * j + 1} = b.m{2 * j + 1} THEN {j}"
+        for j in range(_MH_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+        for i in range(len(_MH_PERMS))
+    )
+    return f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   UNNEST([ARRAY_TO_STRING(w[i:i+1], ' ')
+                           FOR i IN RANGE(1, LEN(w))]) AS shingle
+            FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents) t
+        ) s
+    ), hashed AS (
+        SELECT doc_id,
+               (('0x' || SUBSTRING(MD5(shingle), 1, 15))::BIGINT) % {_MH_P}
+                   AS h31
+        FROM sh
+    ), sig AS (
+        SELECT doc_id, {mins}
+        FROM hashed GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7,
+               CAST(UNNEST(RANGE(0, {_MH_BANDS})) AS INT) AS band
+        FROM sig
+    ), banded AS (
+        SELECT *,
+               CASE band {band_v1} END AS v1,
+               CASE band {band_v2} END AS v2
+        FROM bands
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({agree} AS INT) AS n_agree
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+         AND a.doc_id < b.doc_id
+    WHERE a.band = (CASE {first_band} END)
+      AND ({agree}) >= 4
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("dedup_minhash_sql", _minhash_sql())
+def dedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH in pure integer expressions — the Tier-H twin of the
+    ML-library ``dedup_minhash``: 8 universal-hash permutations over the
+    31-bit Mersenne prime, banded 4×2, candidates verified by signature
+    agreement (≥ 4 of 8 matching mins ≈ Jaccard ≳ 0.5).
+
+    Every value down to the signatures themselves is engine-mirrorable
+    integer math, so the oracle checks the SIGNATURES, not just the pair
+    set. Same scale posture as ``dedup_simhash_pairs``: per-doc signature
+    build is one aggregation over the shingle stream (distinct shingle
+    hashes computed once and broadcast back); the banded self-join touches
+    only colliding buckets, with the emit-once first-band filter in place
+    of a cluster-wide DISTINCT."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    shingles = F.expr(
+        "transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' '))"
+    )
+    sh = (
+        docs.select("doc_id", w.alias("w"))
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+    vocab = sh.select("shingle").distinct().select(
+        "shingle",
+        (F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+         % _MH_P).alias("h31"),
+    )
+    hashed = sh.join(F.broadcast(vocab), "shingle").select("doc_id", "h31")
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h31") + F.lit(b)) % _MH_P).alias(f"m{i}")
+            for i, (a, b) in enumerate(_MH_PERMS)
+        ]
+    )
+    bands = sig.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(_MH_BANDS - 1))).alias("band")
+    )
+    v1 = F.lit(None)
+    v2 = F.lit(None)
+    for j in range(_MH_BANDS):
+        cond = F.col("band") == j
+        v1 = F.when(cond, F.col(f"m{2 * j}")) if j == 0 else v1.when(
+            cond, F.col(f"m{2 * j}")
+        )
+        v2 = F.when(cond, F.col(f"m{2 * j + 1}")) if j == 0 else v2.when(
+            cond, F.col(f"m{2 * j + 1}")
+        )
+    banded = (
+        bands.select("*", v1.alias("v1"), v2.alias("v2"))
+        .repartition(spark.sparkContext.defaultParallelism, "band", "v1", "v2")
+        .localCheckpoint(eager=True)
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    first_band = F.lit(None)
+    for j in range(_MH_BANDS):
+        match_j = (F.col(f"a.m{2 * j}") == F.col(f"b.m{2 * j}")) & (
+            F.col(f"a.m{2 * j + 1}") == F.col(f"b.m{2 * j + 1}")
+        )
+        first_band = (
+            F.when(match_j, F.lit(j)) if j == 0 else first_band.when(match_j, F.lit(j))
+        )
+    # re-evaluate first-band on the wide row (both signatures in hand)
+    agree = sum(
+        (F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("int")
+        for i in range(len(_MH_PERMS))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v1") == F.col("b.v1"))
+            & (F.col("a.v2") == F.col("b.v2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.col("a.band") == first_band)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            agree.cast("int").alias("n_agree"),
+        )
+        .filter(F.col("n_agree") >= 4)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -879,3 +879,56 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             matched.cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("match_rate"),
     )
+
+
+@register(
+    "events_cohort_ltv",
+    """
+    WITH first AS (
+        SELECT o_custkey,
+               MIN(YEAR(o_orderdate) * 12 + (MONTH(o_orderdate) - 1)) AS first_mo
+        FROM orders GROUP BY o_custkey
+    ), facts AS (
+        SELECT CAST(FLOOR(f.first_mo / 12.0) AS BIGINT) AS cohort_year,
+               (YEAR(o.o_orderdate) * 12 + (MONTH(o.o_orderdate) - 1)) - f.first_mo
+                   AS age_months,
+               o.o_custkey,
+               CAST(FLOOR(o.o_totalprice * 10000.0) AS DECIMAL(28,0)) AS revq
+        FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+    )
+    SELECT cohort_year,
+           CAST(age_months AS INTEGER) AS age_months,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(revq) AS DOUBLE) / 10000.0 AS revenue
+    FROM facts
+    WHERE age_months <= 24
+    GROUP BY cohort_year, age_months
+    ORDER BY cohort_year, age_months
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: customers grouped by first-purchase cohort
+    year, revenue tracked by account age in months (first two years) — the
+    LTV curve every growth team draws. Month arithmetic is pure integers
+    (year·12+month), so cohort/age bucketing cannot drift between engines;
+    revenue rides the quantized-decimal plane. Two fact-table passes (first
+    purchase, then the age join — at scale the first-purchase dim is tiny
+    and broadcasts back onto the fact shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    mo = F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)
+    first = orders.groupBy("o_custkey").agg(F.min(mo).alias("first_mo"))
+    facts = orders.join(F.broadcast(first), "o_custkey").select(
+        F.floor(F.col("first_mo") / 12.0).cast("long").alias("cohort_year"),
+        (mo - F.col("first_mo")).cast("int").alias("age_months"),
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 10000.0).cast("decimal(28,0)").alias("revq"),
+    )
+    return (
+        facts.filter(F.col("age_months") <= 24)
+        .groupBy("cohort_year", "age_months")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            (F.sum("revq").cast("double") / 10000.0).alias("revenue"),
+        )
+        .orderBy("cohort_year", "age_months")
+    )

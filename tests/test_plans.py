@@ -270,3 +270,35 @@ def test_corpus_family_broadcasts_small_sides(spark):
         plan = plan_string(_QUERIES[name](spark, SF_DIR))
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_basket_pairs_broadcasts_small_sides(spark):
+    """basket_pairs: the part dim, per-brand counts, and the scalar order
+    total must all broadcast — the self-join on the order key is the only
+    allowed shuffle join."""
+    plan = plan_string(_QUERIES["basket_pairs"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total crossJoin
+
+
+def test_fk_audit_broadcasts_dim_keys(spark):
+    """profile_fk_violations: both parent key sets ride broadcast left
+    joins; the fact tables are never shuffled."""
+    plan = plan_string(_QUERIES["profile_fk_violations"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_fn_interval_pushes_key_filter(spark):
+    """fn_interval: the o_orderkey predicate must reach the parquet scan."""
+    plan = plan_string(_QUERIES["fn_interval"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    assert "o_orderkey" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_bm25_broadcasts_corpus_stats(spark):
+    """text_bm25: df table and corpus stats are broadcast; per-doc scoring
+    never shuffles the token stream a second time."""
+    plan = plan_string(_QUERIES["text_bm25"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row (n_docs, avgdl)

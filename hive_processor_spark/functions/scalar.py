@@ -651,3 +651,33 @@ def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "fn_binary",
+    """
+    SELECT n_nationkey,
+           TO_BASE64(ENCODE(n_name)) AS b64,
+           DECODE(FROM_BASE64(TO_BASE64(ENCODE(n_name)))) AS roundtrip,
+           LOWER(TO_HEX(ENCODE(SUBSTR(n_name, 1, 4)))) AS hex4,
+           CAST(OCTET_LENGTH(ENCODE(n_name)) AS INTEGER) AS n_bytes
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary transport family: base64/hex encode-decode round-trips over
+    utf-8 payload bytes — the envelope codecs of every wire format (the
+    reference's own transport sniffs zlib/base64 envelopes, reference
+    src/processor.ts:97-110). Pure codegen projections."""
+    nation = load_table(spark, sf_dir, "nation")
+    payload = F.encode(F.col("n_name"), "utf-8")
+    return nation.select(
+        "n_nationkey",
+        F.base64(payload).alias("b64"),
+        F.decode(F.unbase64(F.base64(payload)), "utf-8").alias("roundtrip"),
+        F.lower(F.hex(F.encode(F.substring("n_name", 1, 4), "utf-8"))).alias(
+            "hex4"
+        ),
+        F.octet_length("n_name").alias("n_bytes"),
+    ).orderBy("n_nationkey")

@@ -887,3 +887,32 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("excess_kurtosis"),
     ).orderBy("event_type")
+
+
+@register(
+    "agg_bitops",
+    """
+    SELECT l_returnflag,
+           CAST(BIT_AND(l_linenumber) AS INTEGER) AS band,
+           CAST(BIT_OR(l_linenumber) AS INTEGER) AS bor,
+           CAST(BIT_XOR(l_linenumber) AS INTEGER) AS bxor
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (AND/OR/XOR) — flag-mask folding for
+    permission/feature-bit rollups. All three are commutative/associative
+    integer folds, so they are partial→final map-side-combinable and
+    order-independent by construction (no quantization needed)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bit_and("l_linenumber").cast("int").alias("band"),
+            F.bit_or("l_linenumber").cast("int").alias("bor"),
+            F.bit_xor("l_linenumber").cast("int").alias("bxor"),
+        )
+        .orderBy("l_returnflag")
+    )

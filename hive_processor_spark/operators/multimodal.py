@@ -268,3 +268,75 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         _frame_sample, schema="doc_id bigint, frame_idx int, byte_offset bigint"
     )
+
+
+@register(
+    "mm_shard_manifest",
+    """
+    WITH sized AS (
+        SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+               MD5(CAST(doc_id AS VARCHAR)) AS hk
+        FROM documents
+    ), placed AS (
+        SELECT doc_id, n_bytes,
+               SUM(n_bytes) OVER (ORDER BY hk, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_bytes AS start_off
+        FROM sized
+    ), sharded AS (
+        SELECT doc_id, n_bytes, start_off,
+               CAST(FLOOR(CAST(start_off AS DOUBLE) / 4096.0) AS BIGINT) AS shard
+        FROM placed
+    )
+    SELECT shard, doc_id,
+           CAST(start_off - MIN(start_off) OVER (PARTITION BY shard) AS BIGINT)
+               AS offset_in_shard,
+           CAST(n_bytes AS BIGINT) AS n_bytes
+    FROM sharded
+    ORDER BY shard, offset_in_shard, doc_id
+    """,
+)
+def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest for binary training payloads: lay
+    documents out in deterministic hash order, cut ~4 KiB shards by byte
+    offset, and emit each sample's (shard, offset, length) — the index a
+    dataloader seeks with, built before any bytes move.
+
+    Byte sizes come straight off the payload column (OCTET_LENGTH — the
+    Parquet-pruned metadata path; the blob itself is never read). The
+    global prefix sum is the same two-pass range-partitioned window as
+    ``pipeline_shard_balance``; everything is integer arithmetic, so shard
+    cuts and offsets are bit-stable at any parallelism."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    sized = docs.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.md5(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    w = Window.orderBy("hk", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    placed = sized.select(
+        "doc_id",
+        "n_bytes",
+        (F.sum("n_bytes").over(w) - F.col("n_bytes")).alias("start_off"),
+    )
+    sharded = placed.select(
+        "doc_id",
+        "n_bytes",
+        "start_off",
+        F.floor(F.col("start_off").cast("double") / 4096.0)
+        .cast("long")
+        .alias("shard"),
+    )
+    ws = Window.partitionBy("shard")
+    return sharded.select(
+        "shard",
+        "doc_id",
+        (F.col("start_off") - F.min("start_off").over(ws))
+        .cast("long")
+        .alias("offset_in_shard"),
+        F.col("n_bytes").cast("long"),
+    ).orderBy("shard", "offset_in_shard", "doc_id")

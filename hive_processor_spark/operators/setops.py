@@ -165,3 +165,39 @@ def set_union_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal").alias("acctbal"),
     )
     return cust.unionByName(supp, allowMissingColumns=True)
+
+
+@register(
+    "set_symmetric_diff",
+    """
+    WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+         b AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        (SELECT DISTINCT k FROM a EXCEPT SELECT DISTINCT k FROM b)
+        UNION ALL
+        (SELECT DISTINCT k FROM b EXCEPT SELECT DISTINCT k FROM a)
+    )
+    GROUP BY k
+    ORDER BY k
+    """,
+)
+def set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference (customers with only-finished XOR only-open
+    orders): both EXCEPT directions unioned — the membership-drift query
+    between two snapshots. Each EXCEPT is a hash anti-join on the key;
+    the final count is a formality (symmetric difference is dup-free) that
+    pins bag semantics in the oracle comparison."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    sym = a.distinct().exceptAll(b.distinct()).unionAll(
+        b.distinct().exceptAll(a.distinct())
+    )
+    return (
+        sym.groupBy("k").agg(F.count(F.lit(1)).alias("n")).orderBy("k")
+    )

@@ -932,3 +932,110 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_year", "age_months")
     )
+
+
+@register(
+    "ts_mom_growth",
+    """
+    WITH monthly AS (
+        SELECT YEAR(o_orderdate) * 12 + (MONTH(o_orderdate) - 1) AS mo,
+               SUM(CAST(FLOOR(o_totalprice * 10000.0) AS DECIMAL(28,0))) AS revq
+        FROM orders GROUP BY 1
+    ), g AS (
+        SELECT mo, revq,
+               LAG(revq, 1) OVER (ORDER BY mo) AS prev_mo,
+               LAG(revq, 12) OVER (ORDER BY mo) AS prev_yr
+        FROM monthly
+    )
+    SELECT CAST(FLOOR(mo / 12.0) AS BIGINT) AS year,
+           CAST(mo % 12 + 1 AS INTEGER) AS month,
+           CAST(revq AS DOUBLE) / 10000.0 AS revenue,
+           ROUND(CAST(revq - prev_mo AS DOUBLE) / CAST(prev_mo AS DOUBLE), 6)
+               AS mom_growth,
+           ROUND(CAST(revq - prev_yr AS DOUBLE) / CAST(prev_yr AS DOUBLE), 6)
+               AS yoy_growth
+    FROM g
+    ORDER BY mo
+    """,
+)
+def ts_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth — the
+    period-comparison query on every executive dashboard. Months are pure
+    integers (y·12+m-1) so LAG(1)/LAG(12) offsets are calendar-exact;
+    revenue rides the quantized-decimal plane and the growth ratios are
+    single double divisions of exact integers (NULL for the first
+    month/year, identically on both engines). Fact-scale work is one
+    monthly rollup; the windows run over |months| rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    mo = F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)
+    monthly = orders.groupBy(mo.alias("mo")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 10000.0).cast("decimal(28,0)")
+        ).alias("revq")
+    )
+    w = Window.orderBy("mo")
+    g = monthly.select(
+        "mo",
+        "revq",
+        F.lag("revq", 1).over(w).alias("prev_mo"),
+        F.lag("revq", 12).over(w).alias("prev_yr"),
+    )
+    ratio = lambda cur, prev: F.round(  # noqa: E731
+        (F.col(cur) - F.col(prev)).cast("double") / F.col(prev).cast("double"), 6
+    )
+    return g.select(
+        F.floor(F.col("mo") / 12.0).cast("long").alias("year"),
+        (F.col("mo") % 12 + 1).cast("int").alias("month"),
+        (F.col("revq").cast("double") / 10000.0).alias("revenue"),
+        ratio("revq", "prev_mo").alias("mom_growth"),
+        ratio("revq", "prev_yr").alias("yoy_growth"),
+    ).orderBy("year", "month")
+
+
+@register(
+    "ts_seasonality",
+    """
+    WITH d AS (
+        SELECT CAST(DAYOFWEEK(ts) + 1 AS INTEGER) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT SUM(n) AS tn, SUM(n_days) AS td FROM d
+    )
+    SELECT dow, n, n_days,
+           ROUND(CAST(n AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS per_day,
+           ROUND((CAST(n AS DOUBLE) / CAST(n_days AS DOUBLE))
+                 / (CAST(tn AS DOUBLE) / CAST(td AS DOUBLE)), 6)
+               AS seasonal_index
+    FROM d CROSS JOIN tot
+    ORDER BY dow
+    """,
+)
+def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: events per active day by weekday,
+    indexed against the overall daily rate (1.0 = flat) — the first
+    decomposition a traffic forecaster makes. Exact integer counts; the
+    index is a ratio of identically-parenthesized double divisions.
+    Spark's DAYOFWEEK is Sunday=1 while DuckDB's is Sunday=0, so the
+    oracle shifts by one. One aggregation pass; the
+    7-row join is a broadcast formality."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.dayofweek("ts").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+    )
+    tot = d.agg(F.sum("n").alias("tn"), F.sum("n_days").alias("td"))
+    per_day = F.col("n").cast("double") / F.col("n_days").cast("double")
+    overall = F.col("tn").cast("double") / F.col("td").cast("double")
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n",
+            "n_days",
+            F.round(per_day, 6).alias("per_day"),
+            F.round(per_day / overall, 6).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )

@@ -572,3 +572,40 @@ def scan_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema(src.schema)
         .parquet(path)
     )
+
+
+@register(
+    "scan_multi_format_union",
+    """
+    SELECT n_nationkey, n_name, n_regionkey, fmt
+    FROM (
+        SELECT *, 'csv' AS fmt FROM nation
+        UNION ALL SELECT *, 'json' AS fmt FROM nation
+        UNION ALL SELECT *, 'parquet' AS fmt FROM nation
+    )
+    ORDER BY n_nationkey, fmt
+    """,
+)
+def scan_multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated-format ingestion: the same table written to CSV, JSON and
+    Parquet, read back through three different readers, and unioned with a
+    provenance column — the "merge the legacy feeds" shape. The oracle pins
+    that all three format round-trips are lossless for this schema; at
+    scale each leg scans in parallel and the union is plan-level (no
+    shuffle)."""
+    src = load_table(spark, sf_dir, "nation")
+    base = _scratch("multifmt")
+    csv_p, json_p, pq_p = f"{base}/c", f"{base}/j", f"{base}/p"
+    src.write.mode("overwrite").option("header", "true").csv(csv_p)
+    src.write.mode("overwrite").json(json_p)
+    src.write.mode("overwrite").parquet(pq_p)
+    legs = [
+        spark.read.option("header", "true").schema(src.schema).csv(csv_p)
+        .withColumn("fmt", F.lit("csv")),
+        spark.read.schema(src.schema).json(json_p).withColumn(
+            "fmt", F.lit("json")
+        ),
+        spark.read.parquet(pq_p).withColumn("fmt", F.lit("parquet")),
+    ]
+    out = legs[0].unionByName(legs[1]).unionByName(legs[2])
+    return out.orderBy("n_nationkey", "fmt")

@@ -1039,3 +1039,45 @@ def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+@register(
+    "events_abandonment",
+    """
+    WITH s AS (
+        SELECT user_id,
+               CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS INTEGER) AS clicked,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS INTEGER) AS purchased
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(clicked) AS BIGINT) AS n_clickers,
+           CAST(SUM(CASE WHEN clicked = 1 AND purchased = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_abandoned,
+           ROUND(CAST(SUM(CASE WHEN clicked = 1 AND purchased = 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(SUM(clicked) AS DOUBLE), 6)
+               AS abandonment_rate
+    FROM s
+    """,
+)
+def events_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abandonment: users who clicked but never purchased, as count and
+    rate — the funnel's complement, the number the growth team actually
+    stares at. One user-keyed aggregation pass (boolean MAX flags), one
+    scalar reduce; exact integers until the final ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("clicked"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("purchased"),
+    )
+    abandoned = F.sum(
+        ((F.col("clicked") == 1) & (F.col("purchased") == 0)).cast("int")
+    )
+    return s.agg(
+        F.sum("clicked").cast("long").alias("n_clickers"),
+        abandoned.cast("long").alias("n_abandoned"),
+        F.round(
+            abandoned.cast("double") / F.sum("clicked").cast("double"), 6
+        ).alias("abandonment_rate"),
+    )

@@ -621,3 +621,30 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.when(fresh, F.col("asof_click_id")).alias("asof_click_id"),
     )
+
+
+@register(
+    "join_hash_hinted",
+    """
+    SELECT o_orderkey, o_totalprice, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 450000.0
+    ORDER BY o_orderkey
+    """,
+)
+def join_hash_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy steering: the SHUFFLE_HASH hint forces a shuffled hash
+    join where the planner would default to sort-merge — the right call
+    when one side is modest (skip both sorts) but too big to broadcast.
+    Same rows as the unhinted join by definition; the plan shape is
+    asserted in tests/test_plans.py. At 100 TB this hint is the knob for
+    mid-size dimension joins in the broadcast/SMJ gap."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 450000.0
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "o_totalprice", "c_name")
+        .orderBy("o_orderkey")
+    )

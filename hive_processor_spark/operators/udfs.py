@@ -18,6 +18,7 @@ functions/exact.py.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -316,3 +317,63 @@ def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_to_purchase_us bigint",
     )
     return out.orderBy("user_id")
+
+
+class _UserStats:
+    """Partition-consuming UDTF: accumulates quantized value cents per
+    user partition, emits one summary row at partition end."""
+
+    def __init__(self) -> None:
+        self._key = None
+        self._n = 0
+        self._cents = 0
+
+    def eval(self, row):  # noqa: ANN001
+        self._key = row["user_id"]
+        self._n += 1
+        self._cents += int(math.floor(row["value"] * 100.0))
+
+    def terminate(self):
+        if self._key is not None:
+            yield self._key, self._n, float(self._cents) / 100.0
+
+
+@register(
+    "udtf_table_partition",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value
+    FROM events
+    WHERE user_id <= 200
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def udtf_table_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 UDTF with a TABLE argument and PARTITION BY — the
+    "process each key's rows as a stream in Python" extension surface
+    (windowless sessionization, custom CDC folds, model-per-key scoring).
+    The engine shuffles by the partition key, feeds each partition's rows
+    through ``eval`` and calls ``terminate`` once per key; the UDTF here
+    folds a quantized per-user total so the oracle (a plain GROUP BY)
+    hash-matches. At scale this is one shuffle with Python-worker
+    streaming — the row-at-a-time cost is the price of the arbitrary-state
+    contract; aggregations expressible as SQL should stay in
+    ``agg_*``."""
+    register_views(spark, sf_dir)
+    spark.udtf.register(
+        "user_stats",
+        udtf(_UserStats, returnType="user_id: bigint, n: bigint, total_value: double"),
+    )
+    return spark.sql(
+        """
+        SELECT s.user_id, s.n, s.total_value
+        FROM user_stats(
+            TABLE(SELECT user_id, value FROM events WHERE user_id <= 200)
+            PARTITION BY user_id
+        ) s
+        ORDER BY s.user_id
+        """
+    )

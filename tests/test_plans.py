@@ -302,3 +302,11 @@ def test_bm25_broadcasts_corpus_stats(spark):
     plan = plan_string(_QUERIES["text_bm25"](spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" in plan  # 1-row (n_docs, avgdl)
+
+
+def test_hash_hint_forces_shuffled_hash_join(spark):
+    """join_hash_hinted must plan a ShuffledHashJoin (not SortMergeJoin) —
+    the hint is the point of the operator."""
+    plan = plan_string(_QUERIES["join_hash_hinted"](spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -995,3 +995,59 @@ def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         score, "doc_id bigint, n_bytes bigint, compress_ratio double"
     )
     return out.orderBy("doc_id")
+
+
+@register(
+    "pipeline_tokenize_budget",
+    """
+    WITH per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '),
+                                        w -> w <> ''))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), ranked AS (
+        SELECT source, n_docs, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM per_source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(CASE WHEN cum_tokens <= 20000 THEN 1 ELSE 0 END AS INTEGER)
+               AS in_budget
+    FROM ranked
+    ORDER BY n_tokens DESC, source
+    """,
+)
+def pipeline_tokenize_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget planning: per-source token totals ranked and
+    cumulatively summed against a 20k-token training budget — the "which
+    sources fit this run" allocation every pretraining mix starts from.
+    Token counts are one tokenize+count pass (map-only per doc, partial→
+    final per source); the budget window runs over |sources| rows. All
+    integers, so the in/out budget cut cannot flip."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.trim(F.col("text")), " "), lambda x: x != F.lit(""))
+    )
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+    )
+    w = Window.orderBy(F.desc("n_tokens"), F.asc("source")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_source.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        )
+        .select(
+            "*",
+            F.when(F.col("cum_tokens") <= 20000, 1).otherwise(0).alias("in_budget"),
+        )
+        .orderBy(F.desc("n_tokens"), "source")
+    )

@@ -1081,3 +1081,58 @@ def events_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
             abandoned.cast("double") / F.sum("clicked").cast("double"), 6
         ).alias("abandonment_rate"),
     )
+
+
+@register(
+    "events_feature_vector",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+               AS n_click,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+               AS n_view,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+               AS n_purchase,
+           CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT)
+               AS n_signup,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+               AS n_error,
+           CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value,
+           ROUND(CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS DOUBLE)
+                 / 100.0 / COUNT(*), 6) AS mean_value,
+           CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS last_seen_epoch
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ML feature assembly — the feature-store materialization
+    every behavioral model trains on: per-type activity counts, exact
+    value totals/means, and recency, one wide row per user in ONE
+    aggregation pass (conditional counts compile to a single
+    partial→final hash aggregate; no pivot shuffle, no multiple scans).
+    At 100 TB this is the canonical "wide-agg feature build" — map-side
+    combine does most of the work before the user-keyed shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = lambda t: F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")  # noqa: E731
+    vq = F.sum(F.floor(F.col("value") * 100.0).cast("long"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            cnt("click"),
+            cnt("view"),
+            cnt("purchase"),
+            cnt("signup"),
+            cnt("error"),
+            (vq.cast("double") / 100.0).alias("total_value"),
+            F.round(vq.cast("double") / 100.0 / F.count(F.lit(1)), 6).alias(
+                "mean_value"
+            ),
+            F.unix_timestamp(F.max("ts")).cast("long").alias("last_seen_epoch"),
+        )
+        .orderBy("user_id")
+    )

@@ -867,3 +867,41 @@ def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("label", "rk")
     )
+
+
+@register(
+    "embed_sim_histogram",
+    f"""
+    WITH pairs AS (
+        SELECT {sql_cosine_q('a.embedding', 'b.embedding')} AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(FLOOR(sim * 20.0) AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def embed_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-similarity distribution (0.05-wide buckets over the full
+    corpus×corpus cosine) — the calibration histogram read before choosing
+    a near-dup threshold: where does the dup mode separate from the bulk?
+
+    Runs on the block-partitioned pair kernel (no threshold — every pair
+    is binned), so the histogram is exact and the corpus never visits the
+    driver; the oracle brute-forces the same quantized cosine. Bucket
+    edges are floors of bit-identical quantized sims, so boundary pairs
+    cannot straddle engines. At 100 TB you'd sample blocks instead of
+    sweeping all of them — the kernel's block structure is the sampling
+    unit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = _pair_sims_block(spark, emb)
+    return (
+        pairs.select(
+            F.floor(F.col("sim_raw") * 20.0).cast("int").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("bucket")
+    )

@@ -916,3 +916,82 @@ def agg_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_t_test",
+    f"""
+    WITH s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               {sql_dsum('value')} AS s1,
+               {sql_dsum('value * value')} AS s2
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type
+    ), w AS (
+        SELECT
+            MAX(CASE WHEN event_type = 'click' THEN n END) AS na,
+            MAX(CASE WHEN event_type = 'click' THEN s1 END) AS sa1,
+            MAX(CASE WHEN event_type = 'click' THEN s2 END) AS sa2,
+            MAX(CASE WHEN event_type = 'purchase' THEN n END) AS nb,
+            MAX(CASE WHEN event_type = 'purchase' THEN s1 END) AS sb1,
+            MAX(CASE WHEN event_type = 'purchase' THEN s2 END) AS sb2
+        FROM s
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(sa1 / na - sb1 / nb, 6) AS mean_diff,
+           ROUND((sa1 / na - sb1 / nb)
+                 / SQRT(((sa2 - sa1 * sa1 / na) / (na - 1)) / na
+                        + ((sb2 - sb1 * sb1 / nb) / (nb - 1)) / nb), 6)
+               AS t_welch,
+           ROUND(POWER(((sa2 - sa1 * sa1 / na) / (na - 1)) / na
+                       + ((sb2 - sb1 * sb1 / nb) / (nb - 1)) / nb, 2.0)
+                 / (POWER(((sa2 - sa1 * sa1 / na) / (na - 1)) / na, 2.0) / (na - 1)
+                    + POWER(((sb2 - sb1 * sb1 / nb) / (nb - 1)) / nb, 2.0) / (nb - 1)),
+                 2) AS df_welch
+    FROM w
+    """,
+)
+def agg_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch t-statistic (click vs purchase event values) with
+    Welch–Satterthwaite degrees of freedom — the A/B-test primitive,
+    computed entirely from the quantized sufficient sums (n, Σx, Σx²) of
+    each arm in ONE aggregation pass. Both engines evaluate the identical
+    scalar algebra over identical exact sums, so even this deeply derived
+    statistic hash-matches. (The p-value lookup is a client-side table —
+    deliberately out of engine scope.)"""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    x = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("s1"),
+        dsum(x * x).alias("s2"),
+    )
+    pick = lambda t, c: F.max(F.when(F.col("event_type") == t, F.col(c)))  # noqa: E731
+    w = s.agg(
+        pick("click", "n").alias("na"),
+        pick("click", "s1").alias("sa1"),
+        pick("click", "s2").alias("sa2"),
+        pick("purchase", "n").alias("nb"),
+        pick("purchase", "s1").alias("sb1"),
+        pick("purchase", "s2").alias("sb2"),
+    )
+    na, sa1, sa2 = F.col("na"), F.col("sa1"), F.col("sa2")
+    nb, sb1, sb2 = F.col("nb"), F.col("sb1"), F.col("sb2")
+    sea = ((sa2 - sa1 * sa1 / na) / (na - 1)) / na  # se²/n of arm A
+    seb = ((sb2 - sb1 * sb1 / nb) / (nb - 1)) / nb
+    mean_diff = sa1 / na - sb1 / nb
+    return w.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(mean_diff, 6).alias("mean_diff"),
+        F.round(mean_diff / F.sqrt(sea + seb), 6).alias("t_welch"),
+        F.round(
+            F.pow(sea + seb, 2.0)
+            / (F.pow(sea, 2.0) / (na - 1) + F.pow(seb, 2.0) / (nb - 1)),
+            2,
+        ).alias("df_welch"),
+    )

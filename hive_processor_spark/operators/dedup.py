@@ -1168,3 +1168,56 @@ def dedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_agree") >= 4)
         .orderBy("doc_a", "doc_b")
     )
+
+
+
+
+
+@register(
+    "dedup_recall_report",
+    f"""
+    WITH truth AS (
+        SELECT doc_a, doc_b FROM ({_NGRAM_JACCARD_SQL}) t WHERE jaccard >= 0.5
+    ), cand AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()}) c
+    ), hit AS (
+        SELECT t.doc_a FROM truth t JOIN cand c
+          ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+           ROUND((SELECT CAST(COUNT(*) AS DOUBLE) FROM hit)
+                 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM truth), 6) AS recall,
+           ROUND((SELECT CAST(COUNT(*) AS DOUBLE) FROM hit)
+                 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM cand), 6) AS precision
+    """,
+)
+def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH evaluation harness as a query: recall and precision of the
+    MinHash candidate pairs (``dedup_minhash_sql``) against the exact
+    n-gram Jaccard ≥ 0.5 truth set — the measurement that decides whether
+    a banded sketch may replace the exact join in production. Both inputs
+    are themselves deterministic Tier-H operators, so even this meta-query
+    hash-matches. At 100 TB you run it on a sampled stratum; the shape is
+    identical."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.5
+    ).select("doc_a", "doc_b")
+    cand = dedup_minhash_sql(spark, sf_dir).select("doc_a", "doc_b")
+    hit = truth.join(cand, ["doc_a", "doc_b"])
+    nt = truth.count()
+    nc = cand.count()
+    nh = hit.count()
+    return spark.createDataFrame(
+        [
+            (
+                nt,
+                nc,
+                nh,
+                round(nh / nt, 6) if nt else None,
+                round(nh / nc, 6) if nc else None,
+            )
+        ],
+        "n_truth bigint, n_candidates bigint, n_hit bigint, recall double, precision double",
+    )

@@ -905,3 +905,84 @@ def embed_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "join_spatial_grid",
+    """
+    WITH pts AS (
+        SELECT vec_id,
+               CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000.0) AS BIGINT)
+                   AS xq,
+               CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000000.0) AS BIGINT)
+                   AS yq
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(ABS(a.xq - b.xq) AS BIGINT) AS dxq,
+           CAST(ABS(a.yq - b.yq) AS BIGINT) AS dyq
+    FROM pts a JOIN pts b
+      ON a.vec_id < b.vec_id
+     AND ABS(a.xq - b.xq) <= 100000 AND ABS(a.yq - b.yq) <= 100000
+    ORDER BY vec_a, vec_b
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial proximity join on a grid index: points (first two embedding
+    dims as coordinates, µ-quantized) are bucketed into r-sized cells;
+    candidate pairs come from each point's 3×3 neighbor cells, then the
+    exact L∞ < r predicate filters — the geohash/grid pattern every
+    spatial engine uses to avoid the quadratic cross join. The oracle
+    brute-forces the same quantized predicate, proving the grid stage
+    loses nothing (cell size = radius ⇒ any qualifying pair shares or
+    neighbors a cell). At scale the join shuffles on cell id; skewed
+    hotspots are AQE's skew-split case."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    r = 100000  # radius in µ-units
+    pts = emb.select(
+        "vec_id",
+        F.floor(F.col("embedding").getItem(0).cast("double") * 1000000.0)
+        .cast("long")
+        .alias("xq"),
+        F.floor(F.col("embedding").getItem(1).cast("double") * 1000000.0)
+        .cast("long")
+        .alias("yq"),
+    ).withColumns(
+        {
+            "cx": F.floor(F.col("xq") / float(r)).cast("long"),
+            "cy": F.floor(F.col("yq") / float(r)).cast("long"),
+        }
+    )
+    # replicate each LEFT point to its 3x3 neighborhood; join on exact cell
+    offsets = F.expr(
+        "explode(transform(sequence(0, 8), i -> struct(i div 3 - 1 as dx, i % 3 - 1 as dy)))"
+    )
+    lhs = pts.select("*", offsets.alias("o")).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("xq").alias("ax"),
+        F.col("yq").alias("ay"),
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+    )
+    rhs = pts.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("xq").alias("bx"),
+        F.col("yq").alias("by"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    return (
+        lhs.join(rhs, ["jx", "jy"])
+        .filter(
+            (F.col("vec_a") < F.col("vec_b"))
+            & (F.abs(F.col("ax") - F.col("bx")) <= r)
+            & (F.abs(F.col("ay") - F.col("by")) <= r)
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.abs(F.col("ax") - F.col("bx")).cast("long").alias("dxq"),
+            F.abs(F.col("ay") - F.col("by")).cast("long").alias("dyq"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

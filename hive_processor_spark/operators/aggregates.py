@@ -995,3 +995,74 @@ def agg_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("df_welch"),
     )
+
+
+@register(
+    "agg_chi_square",
+    """
+    WITH obs AS (
+        SELECT event_type, CAST(DAYOFWEEK(ts) + 1 AS INTEGER) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY event_type, dow
+    ), margins AS (
+        SELECT event_type, dow, o,
+               SUM(o) OVER (PARTITION BY event_type) AS row_n,
+               SUM(o) OVER (PARTITION BY dow) AS col_n,
+               SUM(o) OVER () AS total
+        FROM obs
+    ), terms AS (
+        SELECT CAST(FLOOR(
+            (CAST(o AS DOUBLE)
+             - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(total AS DOUBLE))
+            * (CAST(o AS DOUBLE)
+               - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(total AS DOUBLE))
+            / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(total AS DOUBLE))
+            * 1e9) AS BIGINT) AS tq
+        FROM margins
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT event_type) FROM obs) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(DISTINCT dow) FROM obs) AS BIGINT) AS n_cols,
+           ROUND(CAST(SUM(tq) AS DOUBLE) / 1e9, 6) AS chi_square
+    FROM terms
+    """,
+)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence statistic for the event-type × weekday
+    contingency table — "does traffic mix shift by weekday", the
+    categorical drift test. Observed and marginal counts are exact
+    integers; each (o−e)²/e term is floor-quantized to 1e-9 units before
+    the sum (same discipline as the KL monitor) so partial-agg order
+    cannot move the statistic. The contingency table is |types|×|days|
+    rows — window margins are over that tiny frame, and the single
+    fact-scale stage is the count aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.dayofweek("ts")).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("dow")
+    wt = Window.partitionBy()
+    margins = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(wr).alias("row_n"),
+        F.sum("o").over(wc).alias("col_n"),
+        F.sum("o").over(wt).alias("total"),
+    )
+    e = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("total").cast("double")
+    )
+    tq = F.floor(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e * 1e9
+    ).cast("long")
+    dims = obs.agg(
+        F.countDistinct("event_type").alias("n_rows"),
+        F.countDistinct("dow").alias("n_cols"),
+    )
+    stat = margins.select(tq.alias("tq")).agg(
+        F.round(F.sum("tq").cast("double") / 1e9, 6).alias("chi_square")
+    )
+    return dims.crossJoin(stat)

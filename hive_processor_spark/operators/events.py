@@ -1136,3 +1136,49 @@ def events_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_inter_arrival",
+    """
+    WITH g AS (
+        SELECT event_type,
+               EPOCH_US(ts) - LAG(EPOCH_US(ts))
+                   OVER (PARTITION BY user_id ORDER BY EPOCH_US(ts), event_id)
+                   AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           ROUND(CAST(SUM(gap_us) AS DOUBLE) / 1e6 / COUNT(gap_us), 6)
+               AS mean_gap_s,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM g
+    WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics per event type (gap = time since the
+    user's previous event of any type) — the cadence profile behind
+    session-timeout choices and bot detection. Gaps are integer epoch-µs
+    differences from a totally-ordered per-user window; sums/max are exact
+    integers, the mean is one double division. One user-keyed shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), F.col("event_id"))
+    g = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.round(
+                F.sum("gap_us").cast("double") / 1e6 / F.count("gap_us"), 6
+            ).alias("mean_gap_s"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )

@@ -355,3 +355,51 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acct_share"
         ),
     )
+
+
+@register(
+    "win_loo_target_encode",
+    """
+    WITH q AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT) AS xq,
+               SUM(CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT))
+                   OVER (PARTITION BY o_orderpriority) AS sq,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(CAST(sq - xq AS DOUBLE) / 10000.0 / CAST(n - 1 AS DOUBLE), 6)
+               AS loo_mean_price
+    FROM q
+    ORDER BY o_orderkey
+    """,
+)
+def win_loo_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each order's category (priority)
+    encoded as the mean total price of the OTHER orders in that category —
+    the leakage-safe categorical encoding trick, spelled as windowed
+    (sum − self)/(n − 1). Both the group sum and the subtracted self are
+    exact quantized integers, so the encoding is bit-stable; the EXCLUDE
+    CURRENT ROW frame Spark lacks is emulated exactly. One shuffle on the
+    category; per-row work is scalar."""
+    orders = load_table(spark, sf_dir, "orders")
+    xq = F.floor(F.col("o_totalprice") * 10000.0).cast("long")
+    w = Window.partitionBy("o_orderpriority")
+    q = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        xq.alias("xq"),
+        F.sum(xq).over(w).alias("sq"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return q.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(
+            (F.col("sq") - F.col("xq")).cast("double")
+            / 10000.0
+            / (F.col("n") - 1).cast("double"),
+            6,
+        ).alias("loo_mean_price"),
+    ).orderBy("o_orderkey")

@@ -1066,3 +1066,59 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("tq").cast("double") / 1e9, 6).alias("chi_square")
     )
     return dims.crossJoin(stat)
+
+
+@register(
+    "agg_gini",
+    """
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT)) AS xq
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT xq,
+               ROW_NUMBER() OVER (ORDER BY xq, o_custkey) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(xq) OVER () AS total
+        FROM rev
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM((2 * i - n - 1) * xq) AS DOUBLE)
+                 / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(total) AS DOUBLE)), 6)
+               AS gini
+    FROM ranked
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration (0 = equal,
+    →1 = concentrated) via the sorted-rank identity
+    Σ(2i−n−1)·xᵢ / (n·Σx) — the inequality number behind "top 1% of
+    customers" narratives, complementing ``pareto_abc``. Ranks come from a
+    provably-unique total order on quantized integers, the weighted sum is
+    exact 128-bit integer arithmetic, and one double division lands the
+    coefficient. The global sort is a range shuffle over one row per
+    customer (already aggregated)."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 10000.0).cast("long")).alias("xq")
+    )
+    w = Window.orderBy("xq", "o_custkey")
+    wt = Window.partitionBy()
+    ranked = rev.select(
+        "xq",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum("xq").over(wt).alias("total"),
+    )
+    weighted = F.sum(
+        (2 * F.col("i") - F.col("n") - 1).cast("decimal(38,0)")
+        * F.col("xq").cast("decimal(38,0)")
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(
+            weighted.cast("double")
+            / (F.max("n").cast("double") * F.max("total").cast("double")),
+            6,
+        ).alias("gini"),
+    )

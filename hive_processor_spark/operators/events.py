@@ -1182,3 +1182,52 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_dau_stickiness",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), dau AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY d
+    ), mau AS (
+        SELECT YEAR(d) * 12 + (MONTH(d) - 1) AS mo,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+        FROM du GROUP BY 1
+    )
+    SELECT mau.mo AS month_index,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(dau.dau) AS DOUBLE) / COUNT(*), 6) AS avg_dau,
+           MAX(mau.mau) AS mau,
+           ROUND((CAST(SUM(dau.dau) AS DOUBLE) / COUNT(*))
+                 / CAST(MAX(mau.mau) AS DOUBLE), 6) AS stickiness
+    FROM dau JOIN mau ON YEAR(dau.d) * 12 + (MONTH(dau.d) - 1) = mau.mo
+    GROUP BY mau.mo
+    ORDER BY month_index
+    """,
+)
+def agg_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the engagement ratio product teams
+    track weekly. One (user, day) de-dup feeds both the daily and monthly
+    distinct counts; months are integer-encoded. Exact integer counts;
+    two double divisions at the end with fixed parenthesization."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    mo = F.year("d") * 12 + (F.month("d") - 1)
+    mau = du.groupBy(mo.alias("mo")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    joined = dau.join(F.broadcast(mau), mo.alias("mo2") == F.col("mo"))
+    avg_dau = F.sum("dau").cast("double") / F.count(F.lit(1))
+    return (
+        joined.groupBy(F.col("mo").cast("long").alias("month_index"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(avg_dau, 6).alias("avg_dau"),
+            F.max("mau").alias("mau"),
+            F.round(avg_dau / F.max("mau").cast("double"), 6).alias("stickiness"),
+        )
+        .orderBy("month_index")
+    )

@@ -648,3 +648,49 @@ def join_hash_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice", "c_name")
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "join_sla_breach",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN 1 END) AS BIGINT) AS n_breaches,
+           ROUND(CAST(COUNT(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                            THEN 1 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS breach_rate
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def join_sla_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-SLA breach rate per priority: line items shipped more than
+    60 days after order placement — the operations metric behind every
+    fulfillment dashboard. One fact-fact equi-join on the order key (at
+    scale: co-partitioned/bucketed on l_orderkey=o_orderkey so the join is
+    exchange-light), then exact conditional counts; the date comparison is
+    calendar-exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    breach = F.count(
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+            1,
+        )
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            breach.cast("long").alias("n_breaches"),
+            F.round(breach.cast("double") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "breach_rate"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1231,3 +1231,47 @@ def agg_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_index")
     )
+
+
+@register(
+    "events_forecast_naive",
+    """
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ), f AS (
+        SELECT day, n,
+               LAG(n, 7) OVER (ORDER BY day) AS forecast
+        FROM daily
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           ROUND(CAST(SUM(ABS(n - forecast)) AS DOUBLE) / COUNT(*), 6) AS mae,
+           ROUND(CAST(SUM(ABS(n - forecast)) AS DOUBLE)
+                 / CAST(SUM(n) AS DOUBLE), 6) AS wape
+    FROM f WHERE forecast IS NOT NULL
+    """,
+)
+def events_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's event count
+    with the value 7 days earlier, score MAE and WAPE — the baseline every
+    forecasting system must beat, and the shape of a backtest harness
+    (lag-as-forecast + error aggregation). Errors are exact integer
+    absolute differences; the two error ratios are single double
+    divisions. Window runs over one row per day."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day")
+    f = daily.select(
+        "n", F.lag("n", 7).over(w).alias("forecast")
+    ).filter(F.col("forecast").isNotNull())
+    abs_err = F.sum(F.abs(F.col("n") - F.col("forecast")))
+    return f.agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        F.round(abs_err.cast("double") / F.count(F.lit(1)), 6).alias("mae"),
+        F.round(abs_err.cast("double") / F.sum("n").cast("double"), 6).alias(
+            "wape"
+        ),
+    )

@@ -11,7 +11,7 @@ non-trivial.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
@@ -694,3 +694,64 @@ def join_sla_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "join_duplicate_payments",
+    """
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents,
+               o_orderdate
+        FROM orders
+    ), flagged AS (
+        SELECT o_orderkey, o_custkey, cents, o_orderdate,
+               LAG(o_orderdate) OVER (PARTITION BY o_custkey, cents
+                                      ORDER BY o_orderdate, o_orderkey)
+                   AS prev_date
+        FROM o
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST(cents AS DOUBLE) / 100.0 AS amount,
+           CAST(DATE_DIFF('day', prev_date, o_orderdate) AS BIGINT)
+               AS days_since_prev
+    FROM flagged
+    WHERE prev_date IS NOT NULL
+      AND o_orderdate <= prev_date + INTERVAL 3 DAY
+    ORDER BY o_orderkey
+    """,
+)
+def join_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detection: orders by the same customer for the
+    identical amount within 3 days of the previous one — the fraud/
+    double-charge sweep every billing system runs. Spelled as a window
+    (LAG over (customer, cents)) rather than a self-join, so the fact
+    table shuffles once on the composite key and each group's scan is
+    linear — no quadratic pair explosion even for customers with many
+    same-amount orders. Cent quantization makes amount equality exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+        "o_orderdate",
+    )
+    w = Window.partitionBy("o_custkey", "cents").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    flagged = o.select(
+        "*", F.lag("o_orderdate").over(w).alias("prev_date")
+    ).filter(
+        F.col("prev_date").isNotNull()
+        & (F.col("o_orderdate") <= F.col("prev_date") + F.expr("INTERVAL 3 DAYS"))
+    )
+    return flagged.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("cents").cast("double") / 100.0).alias("amount"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.col("prev_date").cast("date")
+        )
+        .cast("long")
+        .alias("days_since_prev"),
+    ).orderBy("o_orderkey")

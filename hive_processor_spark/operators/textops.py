@@ -700,3 +700,61 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_size")
     )
+
+
+@register(
+    "text_entropy",
+    """
+    WITH tok AS (
+        SELECT source, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS word
+        FROM documents
+    ), counts AS (
+        SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok WHERE word <> '' GROUP BY source, word
+    ), probs AS (
+        SELECT source, c,
+               SUM(c) OVER (PARTITION BY source) AS t
+        FROM counts
+    )
+    SELECT source,
+           CAST(MAX(t) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           ROUND(CAST(SUM(CAST(FLOOR(
+               -(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+               * LN(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1e9) AS BIGINT))
+               AS DOUBLE) / 1e9, 6) AS entropy_nats
+    FROM probs
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution Shannon entropy — the lexical-
+    diversity signal that separates template/boilerplate sources (low
+    entropy) from natural prose before mixing a training corpus. Counts
+    are exact; each −p·ln(p) term is floor-quantized to 1e-9 units before
+    the sum (KL-monitor discipline) so partial-agg order cannot move the
+    result; the per-source windows run over vocabulary rows, not the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(_words()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source")
+    probs = counts.select(
+        "source", "c", F.sum("c").over(w).alias("t")
+    )
+    p = F.col("c").cast("double") / F.col("t").cast("double")
+    tq = F.floor(-p * F.log(p) * 1e9).cast("long")
+    return (
+        probs.groupBy("source")
+        .agg(
+            F.max("t").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.round(F.sum(tq).cast("double") / 1e9, 6).alias("entropy_nats"),
+        )
+        .orderBy("source")
+    )

@@ -1051,3 +1051,83 @@ def pipeline_tokenize_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_tokens"), "source")
     )
+
+
+@register(
+    "text_augment_dropout",
+    """
+    WITH tok AS (
+        SELECT doc_id, word,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                    AS BIGINT) AS pos
+        FROM (
+            SELECT doc_id, UNNEST(w) AS word,
+                   GENERATE_SUBSCRIPTS(w, 1) AS pos
+            FROM (SELECT doc_id,
+                         LIST_FILTER(STRING_SPLIT(TRIM(text), ' '),
+                                     x -> x <> '') AS w
+                  FROM documents) t
+        )
+    ), kept AS (
+        SELECT doc_id, word, pos
+        FROM tok
+        WHERE ('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || ':'
+                                     || CAST(pos AS VARCHAR)), 1, 8))::BIGINT
+              % 10 <> 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           MD5(STRING_AGG(word, ' ' ORDER BY pos)) AS aug_md5
+    FROM kept
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_augment_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic word-dropout augmentation: each token is dropped when
+    hash(doc, position) ≡ 0 (mod 10) — the seeded 10% token-dropout pass a
+    training pipeline applies for robustness, REPRODUCIBLE across reruns
+    and engines because the randomness is a content-addressed hash, not an
+    RNG. The augmented text is emitted as an order-preserving md5 so the
+    oracle verifies the exact surviving sequence. Map-only per document;
+    the only shuffle is the per-doc regroup."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), " "), lambda x: x != F.lit(""))
+    tok = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos0", "word")
+    ).select("doc_id", "word", (F.col("pos0") + 1).cast("long").alias("pos"))
+    slot = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("pos").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    kept = tok.filter(slot != 0)
+    item = F.struct(F.col("pos"), F.col("word"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(item)), lambda x: x.getField("word")
+                    ),
+                    " ",
+                )
+            ).alias("aug_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -986,3 +986,55 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+@register(
+    "sim_knn_batch",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id IN (3, 57, 111, 230, 404)
+    ), scored AS (
+        SELECT q.q_id, e.vec_id,
+               ROUND({sql_cosine_q('e.embedding', 'q.q_emb')}, 4) AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.q_id
+    ), ranked AS (
+        SELECT q_id, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, vec_id) AS rk
+        FROM scored
+    )
+    SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, sim
+    FROM ranked WHERE rk <= 3
+    ORDER BY q_id, rk
+    """,
+)
+def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched k-NN: top-3 neighbors for a 5-query batch in ONE corpus
+    scan — the serving shape when queries arrive in micro-batches (one
+    scan amortized over the batch, versus one scan per query). The query
+    block is broadcast; scoring stays in codegen HOF math; ranking is a
+    per-query window over the scored frame. Ties break on vec_id, and the
+    rank key is the rounded quantized cosine, identical on both
+    engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(3, 57, 111, 230, 404)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine_q(F.col("embedding"), F.col("q_emb")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.select("q_id", "vec_id", "sim", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", "rk", "vec_id", "sim")
+        .orderBy("q_id", "rk")
+    )

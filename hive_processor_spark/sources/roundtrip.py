@@ -609,3 +609,58 @@ def scan_multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = legs[0].unionByName(legs[1]).unionByName(legs[2])
     return out.orderBy("n_nationkey", "fmt")
+
+
+@register(
+    "scan_insert_overwrite_partition",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_orderkey < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rewritten
+    FROM orders
+    WHERE o_orderpriority <> '1-URGENT'
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT '1-URGENT' AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_rewritten
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    ORDER BY o_orderpriority
+    """,
+)
+def scan_insert_overwrite_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: a partitioned table has exactly ONE
+    partition rewritten in place (negated keys mark the rewrite) while
+    every other partition's bytes are untouched — INSERT OVERWRITE
+    semantics with ``partitionOverwriteMode=dynamic``, the idempotent
+    backfill primitive of every partitioned lake table. The oracle states
+    the contract: untouched partitions keep original rows, the rewritten
+    partition is fully replaced. The overwrite writes only the one
+    partition's data (no table-wide rewrite)."""
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    path = _scratch("dynoverwrite")
+    src.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    rewritten = (
+        src.filter(F.col("o_orderpriority") == "1-URGENT")
+        .withColumn("o_orderkey", -F.col("o_orderkey"))
+    )
+    (
+        rewritten.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderpriority")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("o_orderkey") < 0).cast("int")).cast("long").alias(
+                "n_rewritten"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

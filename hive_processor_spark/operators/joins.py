@@ -755,3 +755,59 @@ def join_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_since_prev"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "join_fulfillment_latency",
+    """
+    WITH first_ship AS (
+        SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+        FROM lineitem GROUP BY l_orderkey
+    ), lat AS (
+        SELECT o_orderpriority,
+               DATE_DIFF('day', o_orderdate, first_ship) AS days
+        FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(days) AS DOUBLE) / COUNT(*), 6) AS mean_days,
+           CAST(MIN(days) AS BIGINT) AS min_days,
+           CAST(MAX(days) AS BIGINT) AS max_days
+    FROM lat
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def join_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment latency per priority — the fulfillment
+    cycle-time metric. The per-order MIN(shipdate) is a partial→final
+    aggregate on the fact table; the join back to orders is key-to-key
+    (at scale: bucketed co-location). Day differences are exact calendar
+    integers; only the mean divides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = orders.join(
+        first_ship, orders.o_orderkey == first_ship.l_orderkey
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("first_ship").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days"),
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("days").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_days"
+            ),
+            F.min("days").cast("long").alias("min_days"),
+            F.max("days").cast("long").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -231,3 +231,35 @@ def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT root, node, name, depth FROM chain ORDER BY root, depth
         """
     )
+
+
+@register(
+    "sql_parameterized",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_totalprice > 350000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named-parameter binding): the statement
+    text carries ``:min_price`` / ``:status`` placeholders and values bind
+    at execution — the injection-safe serving surface a query service
+    exposes (the reference dispatches handler args the same way,
+    ``pkt.args`` spreading, src/processor.ts:71-75). The oracle runs the
+    equivalent with literals inlined; Catalyst folds the bound constants
+    so the physical plan — including the pushed filter — is identical to
+    the literal form."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"min_price": 350000.0, "status": "F"},
+    )

@@ -681,3 +681,36 @@ def fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.octet_length("n_name").alias("n_bytes"),
     ).orderBy("n_nationkey")
+
+
+@register(
+    "fn_date_format",
+    """
+    SELECT o_orderkey,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS iso_day,
+           STRFTIME(o_orderdate, '%d/%m/%Y') AS eu_day,
+           STRFTIME(o_orderdate, '%Y-%m') AS year_month,
+           CAST(STRFTIME(o_orderdate, '%j') AS INTEGER) AS day_of_year
+    FROM orders
+    WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey
+    """,
+)
+def fn_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp→string formatting family (ISO day, locale-style day,
+    year-month, zero-padded day-of-year) — the presentation codecs of
+    every export job. Spark's java.time patterns and DuckDB's strftime
+    spell the same outputs; the oracle proves the mapping. Codegen
+    projections over a pushed key filter."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+            F.date_format("o_orderdate", "dd/MM/yyyy").alias("eu_day"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+            F.date_format("o_orderdate", "D").cast("int").alias("day_of_year"),
+        )
+        .orderBy("o_orderkey")
+    )

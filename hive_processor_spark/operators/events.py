@@ -1275,3 +1275,45 @@ def events_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wape"
         ),
     )
+
+
+@register(
+    "events_slo_burn",
+    """
+    WITH d AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+                   AS n_err
+        FROM events GROUP BY 1
+    )
+    SELECT day, n, n_err,
+           ROUND(CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE), 6) AS error_rate,
+           CAST(CASE WHEN CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE) > 0.25
+                     THEN 1 ELSE 0 END AS INTEGER) AS slo_breach,
+           ROUND((CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE)) / 0.25, 6)
+               AS burn_rate
+    FROM d
+    ORDER BY day
+    """,
+)
+def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error-rate SLI against a 25% error-budget SLO with burn rate
+    (rate/budget — >1 means the budget depletes early) — the SRE alerting
+    query. One conditional aggregation pass; exact counts until the two
+    final divisions, identically parenthesized; the breach flag compares
+    a bit-stable ratio so it cannot flip between engines."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_err"),
+    )
+    rate = F.col("n_err").cast("double") / F.col("n").cast("double")
+    return d.select(
+        "day",
+        "n",
+        "n_err",
+        F.round(rate, 6).alias("error_rate"),
+        F.when(rate > 0.25, 1).otherwise(0).alias("slo_breach"),
+        F.round(rate / 0.25, 6).alias("burn_rate"),
+    ).orderBy("day")

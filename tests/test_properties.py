@@ -301,6 +301,25 @@ def test_operators_survive_empty_input(spark, tmp_path):
         "sketch_countmin",
         "embed_kmeans",
         "graph_pagerank",
+        # continuation-wave representatives
+        "basket_pairs",
+        "pareto_abc",
+        "stats_mad_outliers",
+        "dedup_minhash_sql",
+        "dedup_incremental",
+        "embed_outliers",
+        "embed_sim_histogram",
+        "events_path_analysis",
+        "events_feature_vector",
+        "cdc_latest_wins",
+        "text_bm25",
+        "text_pmi_bigrams",
+        "text_entropy",
+        "mm_shard_manifest",
+        "ts_rolling_median",
+        "join_spatial_grid",
+        "join_duplicate_payments",
+        "win_loo_target_encode",
     ):
         rows = _QUERIES[name](spark, empty_dir).collect()
         if name == "events_funnel":  # global agg: one all-zero row

@@ -714,3 +714,43 @@ def fn_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "fn_array_sets",
+    """
+    WITH t AS (
+        SELECT n_nationkey, n_regionkey,
+               [n_nationkey, n_regionkey, n_nationkey % 5] AS a,
+               [n_regionkey, n_nationkey % 3, 7] AS b
+        FROM nation
+    )
+    SELECT n_nationkey,
+           LIST_SORT(LIST_DISTINCT(a || b)) AS u,
+           LIST_SORT(LIST_INTERSECT(a, b)) AS i,
+           LIST_SORT(LIST_DISTINCT(LIST_FILTER(a, x -> NOT LIST_CONTAINS(b, x))))
+               AS d,
+           LIST_CONTAINS(a, n_regionkey) AS has_region
+    FROM t
+    ORDER BY n_nationkey
+    """,
+)
+def fn_array_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-algebra family: union, intersection, difference,
+    membership — the collection operators behind tag/feature-set
+    manipulation. Results are sorted so set semantics (not construction
+    order) are what both engines compare; all codegen HOFs/builtins, no
+    shuffle. (Spark's array_union/array_intersect/array_except
+    de-duplicate; the oracle mirrors with LIST_DISTINCT.)"""
+    nation = load_table(spark, sf_dir, "nation")
+    a = F.array(
+        F.col("n_nationkey"), F.col("n_regionkey"), F.col("n_nationkey") % 5
+    )
+    b = F.array(F.col("n_regionkey"), F.col("n_nationkey") % 3, F.lit(7))
+    return nation.select(
+        "n_nationkey",
+        F.array_sort(F.array_union(a, b)).alias("u"),
+        F.array_sort(F.array_intersect(a, b)).alias("i"),
+        F.array_sort(F.array_except(a, b)).alias("d"),
+        F.array_contains(a, F.col("n_regionkey")).alias("has_region"),
+    ).orderBy("n_nationkey")

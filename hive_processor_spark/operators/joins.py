@@ -811,3 +811,61 @@ def join_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "join_reconcile",
+    """
+    WITH a AS (
+        SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS v
+        FROM orders WHERE o_orderkey % 31 <> 0
+    ), b AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 97 = 0
+                    THEN CAST(FLOOR(o_totalprice) AS BIGINT) * 100
+                    ELSE CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) END AS v
+        FROM orders WHERE o_orderkey % 37 <> 0
+    )
+    SELECT CAST(COUNT(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                            AND a.v = b.v THEN 1 END) AS BIGINT) AS matched,
+           CAST(COUNT(CASE WHEN b.k IS NULL THEN 1 END) AS BIGINT) AS only_a,
+           CAST(COUNT(CASE WHEN a.k IS NULL THEN 1 END) AS BIGINT) AS only_b,
+           CAST(COUNT(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                            AND a.v <> b.v THEN 1 END) AS BIGINT) AS value_diff
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    """,
+)
+def join_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-source reconciliation: FULL OUTER join of two snapshots of the
+    same table (each with synthetic drop-outs, one with a value
+    perturbation) classifying every key as matched / only-left /
+    only-right / value-mismatch — THE validation query of every migration
+    and every dual-write rollout. One shuffle join on the key; the
+    classification is a single conditional-count pass over the joined
+    stream. Cent quantization makes value equality exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0).cast("long")
+    a = orders.filter(F.col("o_orderkey") % 31 != 0).select(
+        F.col("o_orderkey").alias("ka"), cents.alias("va")
+    )
+    b = orders.filter(F.col("o_orderkey") % 37 != 0).select(
+        F.col("o_orderkey").alias("kb"),
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            F.floor(F.col("o_totalprice")).cast("long") * 100,
+        )
+        .otherwise(cents)
+        .alias("vb"),
+    )
+    j = a.join(b, a.ka == b.kb, "full_outer")
+    both = F.col("ka").isNotNull() & F.col("kb").isNotNull()
+    return j.agg(
+        F.count(F.when(both & (F.col("va") == F.col("vb")), 1))
+        .cast("long")
+        .alias("matched"),
+        F.count(F.when(F.col("kb").isNull(), 1)).cast("long").alias("only_a"),
+        F.count(F.when(F.col("ka").isNull(), 1)).cast("long").alias("only_b"),
+        F.count(F.when(both & (F.col("va") != F.col("vb")), 1))
+        .cast("long")
+        .alias("value_diff"),
+    )

@@ -754,3 +754,37 @@ def fn_array_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.array_except(a, b)).alias("d"),
         F.array_contains(a, F.col("n_regionkey")).alias("has_region"),
     ).orderBy("n_nationkey")
+
+
+@register(
+    "fn_struct_mutate",
+    """
+    SELECT n_nationkey,
+           {'nation': n_name, 'region': n_regionkey,
+            'tier': CASE WHEN n_regionkey < 2 THEN 'east' ELSE 'west' END}
+               AS enriched,
+           {'nation': n_name, 'region': n_regionkey + 100} AS rekeyed
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def fn_struct_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct surgery: build a struct, add a derived field with
+    ``withField``, rewrite one with another ``withField`` and drop the
+    added one with ``dropFields`` — the nested-column evolution API a
+    denormalized event schema needs (no full rebuild of the struct). The
+    oracle constructs the equivalent literals; field order matters and
+    matches."""
+    nation = load_table(spark, sf_dir, "nation")
+    base = F.struct(
+        F.col("n_name").alias("nation"), F.col("n_regionkey").alias("region")
+    )
+    enriched = base.withField(
+        "tier", F.when(F.col("n_regionkey") < 2, "east").otherwise("west")
+    )
+    rekeyed = enriched.withField(
+        "region", F.col("n_regionkey") + 100
+    ).dropFields("tier")
+    return nation.select(
+        "n_nationkey", enriched.alias("enriched"), rekeyed.alias("rekeyed")
+    ).orderBy("n_nationkey")

@@ -394,3 +394,61 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@register("stream_cdc_apply")  # Tier R: streaming ingestion isn't SQL-visible
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC materialization: the event change-log is replayed
+    file-by-file and folded into per-key latest-wins state via
+    ``foreachBatch`` merging each micro-batch into an accumulator keyed by
+    user — the streaming twin of the batch ``cdc_latest_wins`` operator,
+    and tests assert the final states are IDENTICAL (stream/batch
+    equivalence, the lambda-architecture guarantee). Each merge keeps the
+    per-key max (ts, event_id) change, so the fold is associative and
+    order-insensitive across micro-batches; tombstones ('error' rows)
+    survive the fold and drop keys only at the final projection. (The
+    driver-side dict is the smoke's stand-in for the merge target; a
+    production sink MERGEs each micro-batch into a keyed table with the
+    same associative rule — per-batch traffic, never the corpus.)"""
+    path, ev = _replay_dir(spark, sf_dir)
+    schema = ev.schema
+    state: dict = {}
+
+    def merge(bdf, _bid):
+        rows = (
+            bdf.select(
+                "user_id",
+                F.unix_micros("ts").alias("us"),
+                "event_id",
+                F.when(F.col("event_type") == "error", "D")
+                .otherwise("U")
+                .alias("op"),
+                F.floor(F.col("value") * 100.0).cast("long").alias("v"),
+            )
+        ).collect()
+        for r in rows:
+            cur = state.get(r.user_id)
+            key = (r.us, r.event_id)
+            n = (cur[2] + 1) if cur else 1
+            if cur is None or key > cur[0]:
+                state[r.user_id] = (key, (r.op, r.v), n)
+            else:
+                state[r.user_id] = (cur[0], cur[1], n)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{path}/*.parquet")
+        .writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    final = [
+        (uid, float(val) / 100.0, n)
+        for uid, (_key, (op, val), n) in sorted(state.items())
+        if op == "U"
+    ]
+    return spark.createDataFrame(
+        final, "user_id bigint, final_value double, n_changes bigint"
+    ).orderBy("user_id")

@@ -168,3 +168,15 @@ def test_stream_python_datasource_matches_batch(spark):
     for i in range(_STREAM_MAX_ROWS):
         want.setdefault(i % 7, []).append(i)
     assert got == {k: (len(v), sum(v)) for k, v in want.items()}
+
+
+def test_stream_cdc_apply_equals_batch(spark):
+    """Lambda-architecture guarantee: the streaming CDC fold must land on
+    exactly the state the batch operator computes."""
+    from hive_processor_spark.operators.profiling import cdc_latest_wins
+    from hive_processor_spark.streaming.smoke import stream_cdc_apply
+    from tests.conftest import SF_DIR
+
+    got = stream_cdc_apply(spark, SF_DIR).collect()
+    want = cdc_latest_wins(spark, SF_DIR).collect()
+    assert got == want

@@ -1122,3 +1122,65 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    """
+    WITH h AS (
+        SELECT l_returnflag AS g,
+               CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS v,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+        FROM lineitem GROUP BY g, v
+    ), cum AS (
+        SELECT g, v, wt,
+               SUM(wt) OVER (PARTITION BY g ORDER BY v) AS cum_hi,
+               SUM(wt) OVER (PARTITION BY g ORDER BY v) - wt AS cum_lo,
+               SUM(wt) OVER (PARTITION BY g) AS n
+        FROM h
+    )
+    SELECT g AS l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS total_weight,
+           CAST(MIN(v) AS DOUBLE) / 100.0 AS weighted_median
+    FROM cum
+    WHERE 2 * cum_hi >= n AND 2 * cum_lo < n
+    GROUP BY g
+    ORDER BY g
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (lower) of extended price with quantity weights per
+    return flag — "the price at which half the UNITS sell below" — via the
+    same value-histogram order-statistics shape as ``agg_exact_median``:
+    aggregate to (group, value, total-weight) first, then pick the first
+    value whose cumulative weight crosses half the total. Integer weights
+    and cent-quantized values make the crossing exact; the window runs
+    over the histogram, not the fact rows. MIN(v) resolves the (single)
+    crossing bucket identically on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("v"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("wt"))
+    w_ord = Window.partitionBy("g").orderBy("v")
+    w_all = Window.partitionBy("g")
+    cum = h.select(
+        "g",
+        "v",
+        "wt",
+        F.sum("wt").over(w_ord).alias("cum_hi"),
+        (F.sum("wt").over(w_ord) - F.col("wt")).alias("cum_lo"),
+        F.sum("wt").over(w_all).alias("n"),
+    )
+    return (
+        cum.filter((2 * F.col("cum_hi") >= F.col("n")) & (2 * F.col("cum_lo") < F.col("n")))
+        .groupBy("g")
+        .agg(
+            F.max("n").cast("long").alias("total_weight"),
+            (F.min("v").cast("double") / 100.0).alias("weighted_median"),
+        )
+        .select(
+            F.col("g").alias("l_returnflag"), "total_weight", "weighted_median"
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1317,3 +1317,76 @@ def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(rate > 0.25, 1).otherwise(0).alias("slo_breach"),
         F.round(rate / 0.25, 6).alias("burn_rate"),
     ).orderBy("day")
+
+
+@register(
+    "events_funnel_constrained",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT v.user_id, MIN(e.ts) AS t_click
+        FROM v JOIN events e
+          ON e.user_id = v.user_id AND e.event_type = 'click'
+         AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 24 HOUR
+        GROUP BY v.user_id
+    ), p AS (
+        SELECT c.user_id
+        FROM c JOIN events e
+          ON e.user_id = c.user_id AND e.event_type = 'purchase'
+         AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 24 HOUR
+        GROUP BY c.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS viewed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS clicked_24h,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS purchased_24h
+    """,
+)
+def events_funnel_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel: first view → first click WITHIN 24 h of it
+    → purchase within 24 h of that click — the conversion-window semantics
+    real funnels use (an unconstrained MIN would credit clicks weeks
+    later). Each stage is an aggregate-then-join against the event stream
+    keyed on the user (at scale: the per-user stage frames are tiny and
+    broadcast back); stage times are exact timestamps, so stage counts
+    cannot drift."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 24 HOURS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    e2 = ev.select(
+        F.col("user_id").alias("u2"), F.col("event_type").alias("et2"),
+        F.col("ts").alias("ts2"),
+    )
+    c = (
+        v.join(
+            e2,
+            (F.col("u2") == F.col("user_id"))
+            & (F.col("et2") == "click")
+            & (F.col("ts2") > F.col("t_view"))
+            & (F.col("ts2") <= F.col("t_view") + day),
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts2").alias("t_click"))
+    )
+    p = (
+        c.join(
+            e2,
+            (F.col("u2") == F.col("user_id"))
+            & (F.col("et2") == "purchase")
+            & (F.col("ts2") > F.col("t_click"))
+            & (F.col("ts2") <= F.col("t_click") + day),
+        )
+        .select("user_id")
+        .distinct()
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("clicked_24h")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("purchased_24h")))
+    )
+    return counts

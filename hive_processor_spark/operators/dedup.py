@@ -1221,3 +1221,65 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_truth bigint, n_candidates bigint, n_hit bigint, recall double, precision double",
     )
+
+
+@register(
+    "graph_link_predict",
+    _SIMHASH_SIG_SQL
+    + f"""
+    , edges AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {_MAX_HAMMING}
+    ), und AS (
+        SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ), wedge AS (
+        SELECT a.u AS x, b.v AS y, a.v AS via
+        FROM und a JOIN und b ON a.v = b.u AND a.u < b.v
+    ), scored AS (
+        SELECT x, y, CAST(COUNT(DISTINCT via) AS BIGINT) AS common_neighbors
+        FROM wedge
+        WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = x AND e.v = y)
+        GROUP BY x, y
+    )
+    SELECT x AS doc_a, y AS doc_b, common_neighbors
+    FROM scored
+    WHERE common_neighbors >= 2
+    ORDER BY common_neighbors DESC, doc_a, doc_b
+    LIMIT 25
+    """,
+)
+def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the simhash near-dup graph: non-adjacent document
+    pairs ranked by common-neighbor count — "these two never matched any
+    band, but share ≥2 near-dup neighbors, so look again". The classic
+    cheap predictor (Liben-Nowell/Kleinberg) as two joins: wedge
+    enumeration over the undirected edge list, then an anti-join against
+    existing edges. Edge lists at corpus scale are ∝ near-dup mass (tiny
+    vs the corpus), so the wedge join is small; hub documents are the
+    skew case, bounded the same way the banded joins bound hot buckets."""
+    pairs = dedup_simhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).localCheckpoint(eager=True)
+    und = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    a, b = und.alias("a"), und.alias("b")
+    wedge = a.join(
+        b, (F.col("a.v") == F.col("b.u")) & (F.col("a.u") < F.col("b.v"))
+    ).select(
+        F.col("a.u").alias("x"), F.col("b.v").alias("y"), F.col("a.v").alias("via")
+    )
+    non_edge = wedge.join(
+        pairs,
+        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+        "left_anti",
+    )
+    return (
+        non_edge.groupBy("x", "y")
+        .agg(F.countDistinct("via").alias("common_neighbors"))
+        .filter(F.col("common_neighbors") >= 2)
+        .select(
+            F.col("x").alias("doc_a"), F.col("y").alias("doc_b"), "common_neighbors"
+        )
+        .orderBy(F.desc("common_neighbors"), "doc_a", "doc_b")
+        .limit(25)
+    )

@@ -1390,3 +1390,116 @@ def events_funnel_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(p.agg(F.count(F.lit(1)).alias("purchased_24h")))
     )
     return counts
+
+
+@register(
+    "agg_runs_test",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT)) AS x
+        FROM orders GROUP BY 1
+    ), moves AS (
+        SELECT day,
+               CASE WHEN x > LAG(x) OVER (ORDER BY day) THEN 1 ELSE 0 END AS up,
+               LAG(x) OVER (ORDER BY day) AS prev
+        FROM daily
+    ), m AS (
+        SELECT up,
+               CASE WHEN up <> LAG(up) OVER (ORDER BY day) THEN 1 ELSE 0 END
+                   AS new_run
+        FROM moves WHERE prev IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_moves,
+           CAST(SUM(up) AS BIGINT) AS n_up,
+           CAST(SUM(new_run) + 1 AS BIGINT) AS n_runs
+    FROM m
+    """,
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs count over the daily-revenue up/down sequence —
+    the randomness diagnostic (too few runs = trending, too many =
+    oscillating). Moves come from exact integer comparisons over the
+    day-ordered window; run boundaries are LAG inequalities. Everything is
+    integer, so the run count is bit-stable. (The z-score against the
+    expected-runs formula is client-side arithmetic on these three
+    integers.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 10000.0).cast("long")).alias("x")
+    )
+    w = Window.orderBy("day")
+    m = (
+        daily.select(
+            "day",
+            F.when(F.col("x") > F.lag("x").over(w), 1).otherwise(0).alias("up"),
+            F.lag("x").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "up",
+            F.when(F.col("up") != F.lag("up").over(Window.orderBy("day")), 1)
+            .otherwise(0)
+            .alias("new_run"),
+        )
+    )
+    return m.agg(
+        F.count(F.lit(1)).alias("n_moves"),
+        F.sum("up").cast("long").alias("n_up"),
+        (F.sum("new_run") + 1).cast("long").alias("n_runs"),
+    )
+
+
+@register(
+    "ts_max_drawdown",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT)) AS x
+        FROM orders GROUP BY 1
+    ), cum AS (
+        SELECT day,
+               SUM(x) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS c
+        FROM daily
+    ), dd AS (
+        SELECT day, c,
+               MAX(c) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS peak
+        FROM cum
+    )
+    SELECT CAST(MAX(peak - c) AS DOUBLE) / 10000.0 AS max_drawdown,
+           ROUND(CAST(MAX(CAST(peak - c AS DOUBLE)
+                          / CAST(peak AS DOUBLE)) AS DOUBLE), 6)
+               AS max_drawdown_pct
+    FROM dd
+    """,
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative-revenue curve (largest
+    peak-to-trough fall, absolute and relative) — the risk metric of any
+    cumulative series. Two stacked running windows (prefix sum, running
+    max) over one row per day; peak−trough stays an exact integer, and
+    the relative form divides exact integers per row before the max.
+    Deterministic because every window has the total day order."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 10000.0).cast("long")).alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.select("day", F.sum("x").over(w).alias("c"))
+    dd = cum.select("day", "c", F.max("c").over(w).alias("peak"))
+    return dd.agg(
+        ((F.max(F.col("peak") - F.col("c"))).cast("double") / 10000.0).alias(
+            "max_drawdown"
+        ),
+        F.round(
+            F.max(
+                (F.col("peak") - F.col("c")).cast("double")
+                / F.col("peak").cast("double")
+            ),
+            6,
+        ).alias("max_drawdown_pct"),
+    )

@@ -1184,3 +1184,149 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+#: Bootstrap geometry: B resamples; each row's multiplicity in resample j
+#: is a deterministic 3-point distribution (0, 1, 2) with mean 1 drawn
+#: from hash(row, j) — a content-addressed stand-in for Poisson(1)
+#: bootstrap weights that both engines reproduce bit-identically.
+_BOOT_B = 20
+
+
+@register(
+    "agg_bootstrap_ci",
+    f"""
+    WITH draws AS (
+        SELECT j,
+               CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents,
+               (('0x' || SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR) || ':'
+                                       || CAST(j AS VARCHAR)), 1, 8))::BIGINT)
+                   % 4 AS slot
+        FROM orders
+        CROSS JOIN (SELECT UNNEST(RANGE(0, {_BOOT_B})) AS j) b
+    ), means AS (
+        SELECT j,
+               CAST(SUM(CASE slot WHEN 0 THEN 0 WHEN 1 THEN 2
+                                  ELSE 1 END * cents) AS DOUBLE)
+               / CAST(SUM(CASE slot WHEN 0 THEN 0 WHEN 1 THEN 2
+                                    ELSE 1 END) AS DOUBLE) / 100.0 AS m
+        FROM draws GROUP BY j
+    ), ranked AS (
+        SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS r FROM means
+    )
+    SELECT CAST({_BOOT_B} AS BIGINT) AS n_resamples,
+           ROUND((SELECT m FROM ranked WHERE r = 2), 6) AS ci_lo,
+           ROUND((SELECT m FROM ranked WHERE r = {_BOOT_B - 1}), 6) AS ci_hi
+    """,
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean order total — 20
+    resamples whose per-row multiplicities (0/1/2, mean 1) come from a
+    content-addressed hash of (row, resample) instead of an RNG, so the
+    'randomness' is reproducible across engines, reruns, and partitionings
+    (the only way a resampling procedure can be hash-gated). The CI is the
+    2nd/19th order statistic of the resample means (~90%). One fan-out of
+    B weight columns per row — at scale this is the Poisson-bootstrap
+    pattern: a single pass, B counters per group, no data duplication (the
+    CROSS JOIN spelling here is the oracle-readable form; weights ride the
+    same scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    draws = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("j"),
+    ).select(
+        "j",
+        "cents",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("o_orderkey").cast("string"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4
+        ).alias("slot"),
+    )
+    mult = F.when(F.col("slot") == 0, 0).when(F.col("slot") == 1, 2).otherwise(1)
+    means = draws.groupBy("j").agg(
+        (
+            F.sum(mult * F.col("cents")).cast("double")
+            / F.sum(mult).cast("double")
+            / 100.0
+        ).alias("m")
+    )
+    w = Window.orderBy("m")
+    ranked = means.select("m", F.row_number().over(w).alias("r"))
+    lo = ranked.filter(F.col("r") == 2).select(F.round("m", 6).alias("ci_lo"))
+    hi = ranked.filter(F.col("r") == _BOOT_B - 1).select(
+        F.round("m", 6).alias("ci_hi")
+    )
+    return (
+        ranked.agg(F.count(F.lit(1)).cast("long").alias("n_resamples"))
+        .crossJoin(lo)
+        .crossJoin(hi)
+    )
+
+
+@register(
+    "agg_top_percent_share",
+    """
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT)) AS xq
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT xq,
+               ROW_NUMBER() OVER (ORDER BY xq DESC, o_custkey) AS r,
+               COUNT(*) OVER () AS n,
+               SUM(xq) OVER () AS total
+        FROM rev
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(CAST(CEIL(MAX(n) / 100.0) AS BIGINT) AS BIGINT) AS top_k,
+           ROUND(CAST(SUM(CASE WHEN r <= CAST(CEIL(n / 100.0) AS BIGINT)
+                               THEN xq ELSE 0 END) AS DOUBLE)
+                 / CAST(MAX(total) AS DOUBLE), 6) AS top1pct_share
+    FROM ranked
+    """,
+)
+def agg_top_percent_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of total revenue held by the top 1% of customers — the
+    concentration headline number (the Gini's narrative companion).
+    Ranking over one row per customer with a unique total order; the
+    top-k cut uses integer ceil so the boundary cannot drift; sums exact
+    until the final share division."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 10000.0).cast("long")).alias("xq")
+    )
+    w = Window.orderBy(F.desc("xq"), F.asc("o_custkey"))
+    wt = Window.partitionBy()
+    ranked = rev.select(
+        "xq",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum("xq").over(wt).alias("total"),
+    )
+    top_k = F.ceil(F.col("n") / 100.0).cast("long")
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.ceil(F.max("n") / 100.0).cast("long").alias("top_k"),
+        F.round(
+            F.sum(F.when(F.col("r") <= top_k, F.col("xq")).otherwise(0)).cast(
+                "double"
+            )
+            / F.max("total").cast("double"),
+            6,
+        ).alias("top1pct_share"),
+    )

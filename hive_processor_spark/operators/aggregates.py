@@ -1330,3 +1330,36 @@ def agg_top_percent_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top1pct_share"),
     )
+
+
+@register(
+    "agg_geometric_mean",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(EXP(CAST(SUM(CAST(FLOOR(LN(o_totalprice) * 1e9) AS BIGINT))
+                          AS DOUBLE) / 1e9 / COUNT(*)), 4) AS geo_mean
+    FROM orders
+    WHERE o_totalprice > 0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean of order totals per priority — the right average for
+    multiplicative quantities (growth factors, latencies). exp(mean(ln x))
+    with each ln term floor-quantized to 1e-9 before the exact sum, so the
+    exponent is bit-stable at any parallelism and the one EXP ulp is
+    absorbed by the 4-decimal round. Single partial→final pass."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    lnq = F.floor(F.log(F.col("o_totalprice")) * 1e9).cast("long")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.exp(F.sum(lnq).cast("double") / 1e9 / F.count(F.lit(1))), 4
+            ).alias("geo_mean"),
+        )
+        .orderBy("o_orderpriority")
+    )

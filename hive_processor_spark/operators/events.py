@@ -1503,3 +1503,67 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("max_drawdown_pct"),
     )
+
+
+@register(
+    "events_alert_suppress",
+    """
+    WITH e AS (
+        SELECT event_id, user_id, EPOCH_US(ts) AS us FROM events
+        WHERE event_type = 'error'
+    ), flagged AS (
+        SELECT event_id, user_id, us,
+               CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w >= 3600000000
+                    THEN 1 ELSE 0 END AS new_burst
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), bursts AS (
+        SELECT event_id, user_id, us, new_burst,
+               SUM(new_burst) OVER (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst_no
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_errors,
+           CAST(SUM(new_burst) AS BIGINT) AS n_alerts,
+           CAST(COUNT(*) - SUM(new_burst) AS BIGINT) AS n_suppressed
+    FROM bursts
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_alert_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert de-duplication with a 1-hour suppression window: per user,
+    an error opens a burst and subsequent errors within an hour OF THE
+    PREVIOUS error extend it silently — gap-based suppression (the
+    PagerDuty grouping rule), spelled as gaps-and-islands so it stays one
+    window pass instead of an iterative fold. Emitted-alert and
+    suppressed counts per user; totally-ordered windows make burst
+    boundaries deterministic."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    e = ev.select("event_id", "user_id", F.unix_micros("ts").alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = e.select(
+        "user_id",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) >= 3600000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_burst"),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_errors"),
+            F.sum("new_burst").cast("long").alias("n_alerts"),
+            (F.count(F.lit(1)) - F.sum("new_burst")).cast("long").alias(
+                "n_suppressed"
+            ),
+        )
+        .orderBy("user_id")
+    )

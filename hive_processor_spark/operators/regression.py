@@ -247,3 +247,76 @@ def ml_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "ml_cohens_kappa",
+    """
+    WITH labeled AS (
+        SELECT CASE WHEN (('0x' || SUBSTRING(MD5('a' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          % 100) < 55 + (CASE WHEN n_chars >= 300 THEN 20 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS ra,
+               CASE WHEN (('0x' || SUBSTRING(MD5('b' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          % 100) < 50 + (CASE WHEN n_chars >= 300 THEN 25 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS rb
+        FROM documents
+    ), c AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS DOUBLE) AS agree,
+               CAST(SUM(ra) AS DOUBLE) AS pa1,
+               CAST(SUM(rb) AS DOUBLE) AS pb1
+        FROM labeled
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           ROUND(agree / n, 6) AS observed_agreement,
+           ROUND((agree / n - ((pa1 / n) * (pb1 / n)
+                               + (1.0 - pa1 / n) * (1.0 - pb1 / n)))
+                 / (1.0 - ((pa1 / n) * (pb1 / n)
+                           + (1.0 - pa1 / n) * (1.0 - pb1 / n))), 6) AS kappa
+    FROM c
+    """,
+)
+def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (Cohen's κ) between two simulated binary
+    labelers — the labeling-QA gate every human-feedback pipeline computes
+    before trusting annotations. The labelers are hash-derived with a
+    shared signal (document length), so agreement exceeds chance and κ is
+    meaningfully positive; everything is exact counts feeding one
+    identically-parenthesized κ expression. One aggregation pass; at
+    corpus scale this extends to per-annotator-pair grouping unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def labeler(tag: str, base: int, boost: int):
+        slot = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(tag), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+        thresh = F.lit(base) + F.when(F.col("n_chars") >= 300, boost).otherwise(0)
+        return F.when(slot < thresh, 1).otherwise(0)
+
+    labeled = docs.select(
+        labeler("a", 55, 20).alias("ra"), labeler("b", 50, 25).alias("rb")
+    )
+    c = labeled.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum((F.col("ra") == F.col("rb")).cast("int")).cast("double").alias(
+            "agree"
+        ),
+        F.sum("ra").cast("double").alias("pa1"),
+        F.sum("rb").cast("double").alias("pb1"),
+    )
+    n, agree, pa1, pb1 = (F.col(c_) for c_ in ("n", "agree", "pa1", "pb1"))
+    pe = (pa1 / n) * (pb1 / n) + (1.0 - pa1 / n) * (1.0 - pb1 / n)
+    return c.select(
+        n.cast("bigint").alias("n_docs"),
+        F.round(agree / n, 6).alias("observed_agreement"),
+        F.round((agree / n - pe) / (1.0 - pe), 6).alias("kappa"),
+    )

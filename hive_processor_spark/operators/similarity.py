@@ -1038,3 +1038,72 @@ def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "rk", "vec_id", "sim")
         .orderBy("q_id", "rk")
     )
+
+
+@register(
+    "embed_drift",
+    """
+    WITH ex AS (
+        SELECT vec_id % 2 AS half, label,
+               CAST(UNNEST(RANGE(1, LEN(embedding) + 1)) AS INT) AS pos,
+               CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0) AS BIGINT)
+                   AS q
+        FROM embeddings
+    ), cent AS (
+        SELECT half, label, pos,
+               CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0 AS m
+        FROM ex GROUP BY half, label, pos
+    ), diff AS (
+        SELECT a.label,
+               CAST(FLOOR((a.m - b.m) * (a.m - b.m) * 1e12) AS BIGINT) AS term
+        FROM cent a JOIN cent b
+          ON a.label = b.label AND a.pos = b.pos
+         AND a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           ROUND(SQRT(CAST(SUM(term) AS DOUBLE) / 1e12), 6) AS centroid_shift
+    FROM diff
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift: per-label L2 distance between the
+    centroids of two data halves (even/odd vec_ids — the null case an
+    embedding monitor alarms against when a model or upstream corpus
+    changes). Both centroids come from one posexplode pass (quantized
+    per-dimension means); the shift is a quantized integer reduction per
+    label. The numeric twin of ``profile_drift_kl`` for vector columns."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        "label",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "half", "label", "pos",
+        F.floor(F.col("xf").cast("double") * 1000000.0).cast("long").alias("q"),
+    )
+    cent = ex.groupBy("half", "label", "pos").agg(
+        (F.sum("q").cast("double") / F.count(F.lit(1)) / 1000000.0).alias("m")
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("m").alias("ma")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("m").alias("mb")
+    )
+    diff = a.join(b, ["label", "pos"]).select(
+        "label",
+        F.floor((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")) * 1e12)
+        .cast("long")
+        .alias("term"),
+    )
+    return (
+        diff.groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum("term").cast("double") / 1e12), 6).alias(
+                "centroid_shift"
+            )
+        )
+        .orderBy("label")
+    )

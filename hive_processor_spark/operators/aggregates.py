@@ -1363,3 +1363,38 @@ def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_harmonic_mean",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (CAST(SUM(CAST(FLOOR(1e9 / o_totalprice) AS BIGINT)) AS DOUBLE)
+                    / 1e9), 4) AS harmonic_mean
+    FROM orders
+    WHERE o_totalprice > 0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_harmonic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic mean of order totals per priority (the rate-averaging
+    mean — completes the arithmetic/geometric/harmonic family). Each
+    reciprocal is floor-quantized to 1e-9 units before the exact sum, so
+    n / Σ(1/x) is bit-stable at any parallelism."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    rq = F.floor(F.lit(1e9) / F.col("o_totalprice")).cast("long")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.count(F.lit(1)).cast("double")
+                / (F.sum(rq).cast("double") / 1e9),
+                4,
+            ).alias("harmonic_mean"),
+        )
+        .orderBy("o_orderpriority")
+    )

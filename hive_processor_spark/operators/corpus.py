@@ -1131,3 +1131,64 @@ def text_augment_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "pipeline_dataset_hash",
+    """
+    WITH h AS (
+        SELECT 'documents' AS tbl,
+               ('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || '|' || text
+                                      || '|' || lang || '|' || source), 1, 15))::BIGINT
+                   AS rh
+        FROM documents
+        UNION ALL
+        SELECT 'nation' AS tbl,
+               ('0x' || SUBSTRING(MD5(CAST(n_nationkey AS VARCHAR) || '|' || n_name
+                                      || '|' || CAST(n_regionkey AS VARCHAR)), 1, 15))::BIGINT
+        FROM nation
+    )
+    SELECT tbl,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(rh) % 9223372036854775807 AS BIGINT) AS content_hash
+    FROM h
+    GROUP BY tbl
+    ORDER BY tbl
+    """,
+)
+def pipeline_dataset_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset content fingerprint: an order-insensitive per-table hash
+    (sum of per-row md5-prefix integers, mod a large prime bound) plus row
+    count — the provenance primitive that answers "is this exactly the
+    dataset the model trained on?" without sorting or moving data. The
+    commutative sum makes it partition-order free by construction, so the
+    fingerprint is stable on any cluster layout; at 100 TB it's one
+    map-side-combined pass per table. Two tables here demonstrate the
+    cross-table manifest shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def fp(df: DataFrame, tbl: str, concat) -> DataFrame:
+        rh = F.conv(F.substring(F.md5(concat), 1, 15), 16, 10).cast("long")
+        # 60-bit row hashes summed over millions of rows overflow int64;
+        # accumulate in DECIMAL(38,0) (the oracle's HUGEINT twin), then
+        # reduce mod 2^63-1 back into BIGINT range.
+        return df.select(rh.cast("decimal(38,0)").alias("rh")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum("rh") % F.lit(9223372036854775807).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("content_hash"),
+        ).select(F.lit(tbl).alias("tbl"), "n_rows", "content_hash")
+
+    doc_cat = F.concat_ws(
+        "|", F.col("doc_id").cast("string"), "text", "lang", "source"
+    )
+    nat_cat = F.concat_ws(
+        "|",
+        F.col("n_nationkey").cast("string"),
+        "n_name",
+        F.col("n_regionkey").cast("string"),
+    )
+    return fp(docs, "documents", doc_cat).unionByName(
+        fp(nation, "nation", nat_cat)
+    ).orderBy("tbl")

@@ -1567,3 +1567,83 @@ def events_alert_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_interval_union",
+    """
+    WITH iv AS (
+        SELECT user_id, EPOCH_US(ts) AS s, EPOCH_US(ts) + 900000000 AS e
+        FROM events
+    ), flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         OR MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ), islands AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+    ), merged AS (
+        SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(me - ms) AS BIGINT) AS total_active_us
+    FROM merged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (coverage): each event opens a 15-minute activity
+    interval; overlapping intervals merge, and the operator reports each
+    user's merged-interval count and total covered time — the interval
+    algebra behind billing for concurrent usage and SLA uptime stitching.
+    The merge is gaps-and-islands on a running MAX(end) (an interval
+    starts a new island iff it begins after everything before it ended) —
+    one window pass per user, no self-join. All epoch-µs integers."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 900000000).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max = F.max("e").over(w_prev)
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island")
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.col("me") - F.col("ms")).cast("long").alias("total_active_us"),
+        )
+        .orderBy("user_id")
+    )

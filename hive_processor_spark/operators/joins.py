@@ -869,3 +869,62 @@ def join_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("value_diff"),
     )
+
+
+@register(
+    "join_asof_nearest",
+    """
+    WITH p AS (
+        SELECT event_id AS p_id, user_id, EPOCH_US(ts) AS p_us
+        FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT event_id AS c_id, user_id, EPOCH_US(ts) AS c_us
+        FROM events WHERE event_type = 'click'
+    ), cand AS (
+        SELECT p.p_id, c.c_id,
+               ABS(p.p_us - c.c_us) AS dist_us,
+               ROW_NUMBER() OVER (PARTITION BY p.p_id
+                                  ORDER BY ABS(p.p_us - c.c_us), c.c_id) AS rn
+        FROM p JOIN c ON p.user_id = c.user_id
+         AND c.c_us BETWEEN p.p_us - 86400000000 AND p.p_us + 86400000000
+    )
+    SELECT p_id, c_id AS nearest_click, CAST(dist_us AS BIGINT) AS dist_us
+    FROM cand WHERE rn = 1
+    ORDER BY p_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join (both directions): each purchase pairs
+    with the user's temporally CLOSEST click within ±24 h — completing the
+    as-of family (backward `join_asof`, tolerance-bounded
+    `join_asof_tolerance`, and now nearest-in-either-direction, the
+    sensor-alignment semantics). The band bounds the candidate join; the
+    winner window breaks |Δt| ties on click id so the match is
+    deterministic. Integer epoch-µs distances only."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    day_us = 86400000000
+    cand = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_us") >= F.col("p_us") - day_us)
+        & (F.col("c_us") <= F.col("p_us") + day_us),
+    ).select(
+        "p_id", "c_id", F.abs(F.col("p_us") - F.col("c_us")).alias("dist_us")
+    )
+    w = Window.partitionBy("p_id").orderBy("dist_us", "c_id")
+    return (
+        cand.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("p_id", F.col("c_id").alias("nearest_click"), F.col("dist_us").cast("long"))
+        .orderBy("p_id")
+    )

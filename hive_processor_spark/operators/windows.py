@@ -403,3 +403,53 @@ def win_loo_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("loo_mean_price"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "win_forward_fill",
+    """
+    WITH s AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'error' THEN NULL
+                    ELSE CAST(FLOOR(value * 100.0) AS BIGINT) END AS v
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(LAST_VALUE(v IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100.0 AS filled_value
+    FROM s
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill imputation (LOCF): error rows lose their reading and
+    inherit the user's most recent valid value — the gap-filling pass
+    every sensor/metrics series needs before feature building. LAST_VALUE
+    IGNORE NULLS over a totally-ordered running frame; heads of series
+    stay NULL identically on both engines. One user-keyed shuffle;
+    cent-quantized values keep the fill exact."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(
+        F.col("event_type") != "error",
+        F.floor(F.col("value") * 100.0).cast("long"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select("event_id", "user_id", "ts", v.alias("v"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            (F.last("v", ignorenulls=True).over(w).cast("double") / 100.0).alias(
+                "filled_value"
+            ),
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .drop("ts")
+    )

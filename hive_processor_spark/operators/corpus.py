@@ -1192,3 +1192,55 @@ def pipeline_dataset_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp(docs, "documents", doc_cat).unionByName(
         fp(nation, "nation", nat_cat)
     ).orderBy("tbl")
+
+
+@register(
+    "pipeline_rejection_sample",
+    """
+    WITH scored AS (
+        SELECT doc_id,
+               LEAST(900000, n_chars * 2000) AS accept_millionths,
+               (('0x' || SUBSTRING(MD5('rs' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT)
+                   % 1000000 AS draw
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN draw < accept_millionths THEN 1 END) AS BIGINT)
+               AS n_accepted,
+           ROUND(CAST(COUNT(CASE WHEN draw < accept_millionths THEN 1 END)
+                      AS DOUBLE) / COUNT(*), 6) AS accept_rate,
+           ROUND(CAST(SUM(accept_millionths) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+               AS expected_rate
+    FROM scored
+    """,
+)
+def pipeline_rejection_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional rejection sampling: each document is accepted
+    with probability ∝ its quality proxy (length-capped), decided by a
+    content-addressed hash draw instead of an RNG — the deterministic
+    acceptance pass a data-mixing recipe uses so reruns and engines agree
+    document-by-document. Reports realized vs expected acceptance (they
+    should be close — the hash is uniform). Map-only; one global
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    accept = F.least(F.lit(900000), F.col("n_chars") * 2000)
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rs"), F.col("doc_id").cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    scored = docs.select(accept.alias("am"), draw.alias("draw"))
+    acc = F.count(F.when(F.col("draw") < F.col("am"), 1))
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        acc.cast("long").alias("n_accepted"),
+        F.round(acc.cast("double") / F.count(F.lit(1)), 6).alias("accept_rate"),
+        F.round(
+            F.sum("am").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
+        ).alias("expected_rate"),
+    )

@@ -453,3 +453,80 @@ def win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "ts", "event_id")
         .drop("ts")
     )
+
+
+@register(
+    "win_rank_movers",
+    """
+    WITH rev AS (
+        SELECT p_brand,
+               YEAR(o_orderdate) AS yr,
+               SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0)
+                        AS DECIMAL(28,0))) AS revq
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE YEAR(o_orderdate) IN (1997, 1998)
+        GROUP BY p_brand, yr
+    ), ranked AS (
+        SELECT p_brand, yr,
+               CAST(ROW_NUMBER() OVER (PARTITION BY yr
+                                       ORDER BY revq DESC, p_brand) AS INTEGER)
+                   AS rk
+        FROM rev
+    )
+    SELECT a.p_brand,
+           a.rk AS rank_1997,
+           b.rk AS rank_1998,
+           CAST(a.rk - b.rk AS INTEGER) AS places_moved
+    FROM ranked a JOIN ranked b
+      ON a.p_brand = b.p_brand AND a.yr = 1997 AND b.yr = 1998
+    ORDER BY ABS(a.rk - b.rk) DESC, a.p_brand
+    LIMIT 10
+    """,
+)
+def win_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Movers-and-shakers: brand revenue rank in 1997 vs 1998 and places
+    moved, biggest movers first — the period-over-period ranking report.
+    Two per-year ranks from one aggregated frame (windows over 25 rows per
+    year), self-joined on brand; rank keys are exact quantized decimals so
+    rank flips cannot come from float noise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .filter(F.year("o_orderdate").isin(1997, 1998))
+        .groupBy("p_brand", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * 10000.0
+                ).cast("decimal(28,0)")
+            ).alias("revq")
+        )
+    )
+    w = Window.partitionBy("yr").orderBy(F.desc("revq"), F.asc("p_brand"))
+    ranked = rev.select("p_brand", "yr", F.row_number().over(w).alias("rk"))
+    a = ranked.filter(F.col("yr") == 1997).select(
+        "p_brand", F.col("rk").alias("rank_1997")
+    )
+    b = ranked.filter(F.col("yr") == 1998).select(
+        F.col("p_brand").alias("pb2"), F.col("rk").alias("rank_1998")
+    )
+    return (
+        a.join(b, a.p_brand == b.pb2)
+        .select(
+            "p_brand",
+            "rank_1997",
+            "rank_1998",
+            (F.col("rank_1997") - F.col("rank_1998")).alias("places_moved"),
+        )
+        .orderBy(F.abs(F.col("places_moved")).desc(), "p_brand")
+        .limit(10)
+    )

@@ -664,3 +664,44 @@ def scan_insert_overwrite_partition(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "scan_csv_quotes",
+    """
+    SELECT n_nationkey,
+           n_name || ',' || CHR(10) || '"' || n_name || '"' AS gnarly,
+           CAST(LENGTH(n_name || ',' || CHR(10) || '"' || n_name || '"')
+                AS INTEGER) AS n_chars
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def scan_csv_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV quoting torture: values containing the delimiter, embedded
+    newlines, AND double quotes are written to CSV and must survive the
+    round-trip byte-for-byte (RFC 4180 quoting + escaping + multiLine
+    read). The oracle recomputes the gnarly value from the source table,
+    so any quoting loss — the classic silent CSV corruption — breaks the
+    hash."""
+    nation = load_table(spark, sf_dir, "nation")
+    gnarly = F.concat(
+        F.col("n_name"), F.lit(",\n\""), F.col("n_name"), F.lit("\"")
+    )
+    src = nation.select(
+        "n_nationkey",
+        gnarly.alias("gnarly"),
+        F.length(gnarly).alias("n_chars"),
+    )
+    path = _scratch("csvquotes")
+    src.write.mode("overwrite").option("header", "true").option(
+        "escape", '"'
+    ).csv(path)
+    return (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .schema(src.schema)
+        .csv(path)
+        .orderBy("n_nationkey")
+    )

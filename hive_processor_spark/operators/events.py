@@ -1647,3 +1647,43 @@ def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ts_rebase_index",
+    """
+    WITH monthly AS (
+        SELECT YEAR(o_orderdate) * 12 + (MONTH(o_orderdate) - 1) AS mo,
+               SUM(CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT)) AS revq
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(FLOOR(mo / 12.0) AS BIGINT) AS year,
+           CAST(mo % 12 + 1 AS INTEGER) AS month,
+           ROUND(100.0 * CAST(revq AS DOUBLE)
+                 / CAST(FIRST_VALUE(revq) OVER (ORDER BY mo) AS DOUBLE), 6)
+               AS index_base100
+    FROM monthly
+    ORDER BY mo
+    """,
+)
+def ts_rebase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebased index series: monthly revenue expressed as an index with
+    the first month = 100 — the normalization every comparison chart
+    applies before overlaying series. FIRST_VALUE over the month-ordered
+    window of exact integers; one double ratio per row."""
+    orders = load_table(spark, sf_dir, "orders")
+    mo = F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)
+    monthly = orders.groupBy(mo.alias("mo")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 10000.0).cast("long")).alias("revq")
+    )
+    w = Window.orderBy("mo")
+    return monthly.select(
+        F.floor(F.col("mo") / 12.0).cast("long").alias("year"),
+        (F.col("mo") % 12 + 1).cast("int").alias("month"),
+        F.round(
+            F.lit(100.0)
+            * F.col("revq").cast("double")
+            / F.first("revq").over(w).cast("double"),
+            6,
+        ).alias("index_base100"),
+    ).orderBy("year", "month")

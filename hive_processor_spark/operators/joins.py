@@ -928,3 +928,59 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_id", F.col("c_id").alias("nearest_click"), F.col("dist_us").cast("long"))
         .orderBy("p_id")
     )
+
+
+@register(
+    "join_allocation",
+    """
+    WITH q AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(FLOOR(l_quantity * 100.0) AS BIGINT) AS qq,
+               SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT))
+                   OVER (PARTITION BY l_orderkey) AS tot_q
+        FROM lineitem
+    )
+    SELECT q.l_orderkey, q.l_linenumber,
+           FLOOR(o_totalprice * (CAST(qq AS DOUBLE) / CAST(tot_q AS DOUBLE))
+                 * 10000.0) / 10000.0 AS allocated_price
+    FROM q JOIN orders ON q.l_orderkey = o_orderkey
+    ORDER BY q.l_orderkey, q.l_linenumber
+    """,
+)
+def join_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional allocation: spread each order's header total across
+    its lines by quantity share — the finance allocation every
+    header/detail schema eventually needs (freight, discounts, overhead).
+    The share denominator is a windowed sum of quantized integers
+    (exact), the allocation one identically-parenthesized double
+    multiply floor-quantized off rounding ties (half-up vs half-even
+    divergence is exactly what ROUND on a tie invites); per-order windows shuffle once on the order key and the
+    header join is key-to-key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    qq = F.floor(F.col("l_quantity") * 100.0).cast("long")
+    w = Window.partitionBy("l_orderkey")
+    q = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        qq.alias("qq"),
+        F.sum(qq).over(w).alias("tot_q"),
+    )
+    return (
+        q.join(orders, q.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (
+                F.floor(
+                    F.col("o_totalprice")
+                    * (F.col("qq").cast("double") / F.col("tot_q").cast("double"))
+                    * 10000.0
+                )
+                / 10000.0
+            ).alias("allocated_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

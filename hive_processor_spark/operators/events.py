@@ -1687,3 +1687,53 @@ def ts_rebase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("index_base100"),
     ).orderBy("year", "month")
+
+
+@register(
+    "ts_seasonal_anomaly",
+    """
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               CAST(DAYOFWEEK(ts) + 1 AS INTEGER) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), base AS (
+        SELECT dow,
+               CAST(COUNT(*) AS DOUBLE) AS k,
+               CAST(SUM(n) AS DOUBLE) AS s1,
+               CAST(SUM(n * n) AS DOUBLE) AS s2
+        FROM daily GROUP BY dow
+    )
+    SELECT day, d.dow, n,
+           ROUND((CAST(n AS DOUBLE) - s1 / k)
+                 / SQRT((s2 - s1 * s1 / k) / (k - 1)), 6) AS seasonal_z
+    FROM daily d JOIN base USING (dow)
+    ORDER BY day
+    """,
+)
+def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly score: each day's event count z-scored
+    against ITS OWN WEEKDAY's distribution (Mondays vs Mondays) — the
+    adjustment that stops weekly rhythm from drowning real anomalies.
+    Weekday baselines are exact integer moments broadcast back onto the
+    daily frame; the z is one identically-parenthesized expression.
+    Everything runs over |days| rows after one fact-scale rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.dayofweek("ts").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n").cast("double").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("s2"),
+    )
+    k, s1, s2 = F.col("k"), F.col("s1"), F.col("s2")
+    z = (F.col("n").cast("double") - s1 / k) / F.sqrt(
+        (s2 - s1 * s1 / k) / (k - 1)
+    )
+    return (
+        daily.join(F.broadcast(base), "dow")
+        .select("day", "dow", "n", F.round(z, 6).alias("seasonal_z"))
+        .orderBy("day")
+    )

@@ -1107,3 +1107,86 @@ def embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "sim_triplet_mining",
+    f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS va, a.label AS la, b.vec_id AS vb, b.label AS lb,
+               ROUND({sql_cosine_q('a.embedding', 'b.embedding')}, 4) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id <= 50
+    ), pos AS (
+        SELECT va, vb, sim,
+               ROW_NUMBER() OVER (PARTITION BY va ORDER BY sim, vb) AS rn
+        FROM pairs WHERE la = lb
+    ), neg AS (
+        SELECT va, vb, sim,
+               ROW_NUMBER() OVER (PARTITION BY va ORDER BY sim DESC, vb) AS rn
+        FROM pairs WHERE la <> lb
+    )
+    SELECT p.va AS anchor,
+           p.vb AS hardest_positive, p.sim AS pos_sim,
+           n.vb AS hardest_negative, n.sim AS neg_sim,
+           ROUND(n.sim - p.sim, 4) AS violation_margin
+    FROM pos p JOIN neg n ON p.va = n.va AND p.rn = 1 AND n.rn = 1
+    ORDER BY anchor
+    """,
+)
+def sim_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-triplet mining for metric learning: for each anchor (first 50
+    vectors), the hardest positive (same label, LOWEST cosine) and hardest
+    negative (different label, HIGHEST cosine), plus the triplet-loss
+    violation margin — the batch-mining pass contrastive embedding
+    training runs every epoch. The anchor set scans the corpus once
+    (broadcast anchors at scale); ranking keys are rounded quantized
+    cosines with id tie-breaks, so mined triplets are bit-deterministic.
+    At 100 TB anchors are mini-batches and the corpus side is the
+    IVF/LSH-pruned candidate set — same plan shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") <= 50).select(
+        F.col("vec_id").alias("va"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("va"))
+        .select(
+            "va",
+            "la",
+            F.col("vec_id").alias("vb"),
+            F.col("label").alias("lb"),
+            F.round(cosine_q(F.col("embedding"), F.col("ea")), 4).alias("sim"),
+        )
+    )
+    wp = Window.partitionBy("va").orderBy(F.asc("sim"), F.asc("vb"))
+    wn = Window.partitionBy("va").orderBy(F.desc("sim"), F.asc("vb"))
+    pos = (
+        pairs.filter(F.col("la") == F.col("lb"))
+        .select("va", "vb", "sim", F.row_number().over(wp).alias("rn"))
+        .filter(F.col("rn") == 1)
+    )
+    neg = (
+        pairs.filter(F.col("la") != F.col("lb"))
+        .select(
+            F.col("va").alias("nva"),
+            F.col("vb").alias("nvb"),
+            F.col("sim").alias("nsim"),
+            F.row_number().over(wn).alias("nrn"),
+        )
+        .filter(F.col("nrn") == 1)
+    )
+    return (
+        pos.join(neg, pos.va == neg.nva)
+        .select(
+            F.col("va").alias("anchor"),
+            F.col("vb").alias("hardest_positive"),
+            F.col("sim").alias("pos_sim"),
+            F.col("nvb").alias("hardest_negative"),
+            F.col("nsim").alias("neg_sim"),
+            F.round(F.col("nsim") - F.col("sim"), 4).alias("violation_margin"),
+        )
+        .orderBy("anchor")
+    )

@@ -320,3 +320,80 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(agree / n, 6).alias("observed_agreement"),
         F.round((agree / n - pe) / (1.0 - pe), 6).alias("kappa"),
     )
+
+
+@register(
+    "ml_calibration_error",
+    """
+    WITH feats AS (
+        SELECT doc_id, n_chars,
+               CAST(LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '),
+                                    w -> w <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), z AS (
+        SELECT doc_id, n_chars,
+               -3.0 + 0.9 * LN(1.0 + CAST(n_tokens AS DOUBLE))
+                    - 0.2 * (CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                   AS z
+        FROM feats WHERE n_tokens > 0
+    ), scored AS (
+        SELECT ROUND(1.0 / (1.0 + EXP(-z)), 4) AS p,
+               CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS y
+        FROM z
+    ), binned AS (
+        SELECT LEAST(9, CAST(FLOOR(p * 10.0) AS INTEGER)) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(CAST(FLOOR(p * 10000.0) AS BIGINT)) AS BIGINT) AS pq
+        FROM scored GROUP BY bin
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(SUM(ABS(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                         - CAST(pq AS DOUBLE) / 10000.0 / CAST(n AS DOUBLE))
+                     * CAST(n AS DOUBLE))
+                 / CAST(SUM(n) AS DOUBLE), 6) AS ece
+    FROM binned
+    """,
+)
+def ml_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error of the logistic quality scorer against a
+    length-derived pseudo-label: scores bucketed into 10 confidence bins,
+    ECE = Σ |accuracy − mean-confidence|·(n/N) — the model-eval pass that
+    decides whether scores can gate data by threshold. Per-bin confidence
+    sums are floor-quantized; accuracies are exact ratios; ECE is one
+    weighted fold over ≤10 bins. Mirrors ``ml_logistic_score``'s features
+    so the two operators form a train-score-evaluate chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), " "), lambda w: w != F.lit(""))
+    feats = docs.select(
+        "doc_id", "n_chars", F.size(toks).cast("bigint").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    z = (
+        F.lit(-3.0)
+        + F.lit(0.9) * F.log(F.lit(1.0) + F.col("n_tokens").cast("double"))
+        - F.lit(0.2)
+        * (F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"))
+    )
+    scored = feats.select(
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("p"),
+        F.when(F.col("n_chars") >= 250, 1).otherwise(0).alias("y"),
+    )
+    binned = scored.groupBy(
+        F.least(F.lit(9), F.floor(F.col("p") * 10.0).cast("int")).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(F.floor(F.col("p") * 10000.0).cast("long")).cast("long").alias("pq"),
+    )
+    acc = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    conf = F.col("pq").cast("double") / 10000.0 / F.col("n").cast("double")
+    return binned.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(
+            F.sum(F.abs(acc - conf) * F.col("n").cast("double"))
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("ece"),
+    )

@@ -530,3 +530,58 @@ def win_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("places_moved")).desc(), "p_brand")
         .limit(10)
     )
+
+
+@register(
+    "win_decile_migration",
+    """
+    WITH rev AS (
+        SELECT o_custkey, YEAR(o_orderdate) AS yr,
+               SUM(CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT)) AS revq
+        FROM orders
+        WHERE YEAR(o_orderdate) IN (1997, 1998)
+        GROUP BY o_custkey, yr
+    ), dec AS (
+        SELECT o_custkey, yr,
+               CAST(NTILE(5) OVER (PARTITION BY yr ORDER BY revq, o_custkey)
+                    AS INTEGER) AS band
+        FROM rev
+    )
+    SELECT a.band AS band_1997, b.band AS band_1998,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM dec a JOIN dec b
+      ON a.o_custkey = b.o_custkey AND a.yr = 1997 AND b.yr = 1998
+    GROUP BY band_1997, band_1998
+    ORDER BY band_1997, band_1998
+    """,
+)
+def win_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quintile migration matrix: customers banded by revenue within 1997
+    and within 1998, cross-tabulated — the mobility analysis behind
+    "are low-value customers moving up?". NTILE over a provably-unique
+    order per year; the matrix is an exact count crosstab. Two windows
+    over per-(year, customer) rollups, one self-join on the customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        orders.filter(F.year("o_orderdate").isin(1997, 1998))
+        .groupBy("o_custkey", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 10000.0).cast("long")).alias(
+                "revq"
+            )
+        )
+    )
+    w = Window.partitionBy("yr").orderBy("revq", "o_custkey")
+    dec = rev.select("o_custkey", "yr", F.ntile(5).over(w).alias("band"))
+    a = dec.filter(F.col("yr") == 1997).select(
+        "o_custkey", F.col("band").alias("band_1997")
+    )
+    b = dec.filter(F.col("yr") == 1998).select(
+        F.col("o_custkey").alias("ck2"), F.col("band").alias("band_1998")
+    )
+    return (
+        a.join(b, a.o_custkey == b.ck2)
+        .groupBy("band_1997", "band_1998")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("band_1997", "band_1998")
+    )

@@ -1398,3 +1398,126 @@ def agg_harmonic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_aging_buckets",
+    """
+    WITH aged AS (
+        SELECT o_orderkey, o_totalprice,
+               DATE_DIFF('day', o_orderdate, TIMESTAMP '1998-08-02 00:00:00')
+                   AS age_days
+        FROM orders
+        WHERE o_orderstatus = 'O'
+          AND o_orderdate <= TIMESTAMP '1998-08-02 00:00:00'
+    )
+    SELECT CASE WHEN age_days <= 30 THEN '0-30'
+                WHEN age_days <= 60 THEN '31-60'
+                WHEN age_days <= 90 THEN '61-90'
+                ELSE '90+' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0) AS DECIMAL(28,0)))
+                AS DOUBLE) / 10000.0 AS open_value
+    FROM aged
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def agg_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Receivables aging: open orders bucketed by days outstanding at a
+    reference date (0-30/31-60/61-90/90+) with open value per bucket —
+    the finance-ops report every ERP prints nightly. Ages are exact
+    calendar-day integers, bucket edges integer comparisons, value sums
+    quantized decimals; one filtered scan + 4-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    ref = F.to_timestamp(F.lit("1998-08-02 00:00:00"))
+    aged = orders.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_orderdate") <= ref)
+    ).select(
+        "o_totalprice",
+        F.datediff(ref.cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "age_days"
+        ),
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 60, "31-60")
+        .when(F.col("age_days") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return (
+        aged.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 10000.0).cast("decimal(28,0)")
+                ).cast("double")
+                / 10000.0
+            ).alias("open_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "agg_trimmed_mean",
+    """
+    WITH q AS (
+        SELECT l_returnflag AS g,
+               CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS v,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey,
+                                           l_linenumber) AS r,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT g AS l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CASE WHEN r > CAST(FLOOR(n * 0.1) AS BIGINT)
+                                AND r <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
+                               THEN v ELSE 0 END) AS DOUBLE) / 100.0
+                 / CAST(SUM(CASE WHEN r > CAST(FLOOR(n * 0.1) AS BIGINT)
+                                  AND r <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
+                                 THEN 1 ELSE 0 END) AS DOUBLE), 6)
+               AS trimmed_mean
+    FROM q
+    GROUP BY g
+    ORDER BY g
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean of extended price per return flag — the
+    robust average that survives fat tails without going full median.
+    Ranks come from a provably-unique total order; the trim boundaries
+    are integer floors of n·0.1, the kept sum is exact cents, and one
+    division lands the mean. The rank window shuffles once per group —
+    at 100 TB the histogram-based trim (sketch the tails, subtract) is
+    the cheaper form; this is the exact reference."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w_ord = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    q = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("v"),
+        F.row_number().over(w_ord).alias("r"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    k = F.floor(F.col("n") * 0.1).cast("long")
+    keep = (F.col("r") > k) & (F.col("r") <= F.col("n") - k)
+    return (
+        q.groupBy("g")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.round(
+                F.sum(F.when(keep, F.col("v")).otherwise(0)).cast("double")
+                / 100.0
+                / F.sum(keep.cast("int")).cast("double"),
+                6,
+            ).alias("trimmed_mean"),
+        )
+        .select(F.col("g").alias("l_returnflag"), "n", "trimmed_mean")
+        .orderBy("l_returnflag")
+    )

@@ -115,6 +115,26 @@ _SQL_SURFACE = {
     GROUP BY w.weight, o.o_orderpriority
     ORDER BY o.o_orderpriority
     """,
+    # Named WINDOW clause reused by several window functions — the SQL
+    # surface that keeps one frame definition authoritative (Spark does
+    # not allow refining a named window inline, so the framed sum gets its
+    # own named window). Same text on both engines; Spark plans ONE
+    # Window operator for all four functions because the specs share the
+    # (partition, order) pair.
+    "sql_named_window": """
+    SELECT o_orderkey, o_custkey,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+           CAST(RANK() OVER w AS INTEGER) AS rk,
+           LAG(o_orderkey) OVER w AS prev_key,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0) AS DECIMAL(28,0)))
+                    OVER w2 AS DOUBLE) / 10000.0 AS running_total
+    FROM orders
+    WHERE o_custkey <= 40
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, rn
+    """,
     # Non-recursive CTE, referenced once more downstream.
     "sql_cte": """
     WITH big AS (

@@ -1737,3 +1737,41 @@ def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "dow", "n", F.round(z, 6).alias("seasonal_z"))
         .orderBy("day")
     )
+
+
+@register(
+    "events_power_law_fit",
+    """
+    WITH activity AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k
+        FROM events GROUP BY user_id
+    ), tail AS (
+        SELECT k FROM activity WHERE k >= 10
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+           ROUND(1.0 + CAST(COUNT(*) AS DOUBLE)
+                 / (CAST(SUM(CAST(FLOOR(LN(CAST(k AS DOUBLE) / 9.5) * 1e9)
+                                  AS BIGINT)) AS DOUBLE) / 1e9), 6)
+               AS alpha_hat
+    FROM tail
+    """,
+)
+def events_power_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law tail exponent of user activity via the discrete Hill/MLE
+    estimator α̂ = 1 + n / Σ ln(k / (kmin − ½)) over users with ≥ kmin
+    events — the "how heavy is the whale tail" fit behind capacity
+    planning and bot thresholds (Clauset–Shalizi–Newman form). Each log
+    term is 1e-9-quantized before the exact sum; one rollup plus one
+    scalar aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("k"))
+    tail = activity.filter(F.col("k") >= 10)
+    lnq = F.floor(F.log(F.col("k").cast("double") / 9.5) * 1e9).cast("long")
+    return tail.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.round(
+            F.lit(1.0)
+            + F.count(F.lit(1)).cast("double") / (F.sum(lnq).cast("double") / 1e9),
+            6,
+        ).alias("alpha_hat"),
+    )

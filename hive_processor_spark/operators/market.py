@@ -190,3 +190,57 @@ def pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revq"), "p_brand")
     )
+
+
+@register(
+    "agg_hhi_concentration",
+    """
+    WITH rev AS (
+        SELECT p_brand,
+               SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0)
+                        AS DECIMAL(28,0))) AS revq
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    ), tot AS (
+        SELECT SUM(revq) AS t FROM rev
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_brands,
+           ROUND(SUM(CAST(FLOOR(
+               (CAST(revq AS DOUBLE) / CAST(t AS DOUBLE))
+               * (CAST(revq AS DOUBLE) / CAST(t AS DOUBLE)) * 1e12) AS BIGINT))
+               / 1e12, 6) AS hhi
+    FROM rev CROSS JOIN tot
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of brand revenue concentration (Σ of
+    squared market shares; 1/n = perfectly even, →1 = monopoly) — the
+    antitrust-style companion to ``agg_gini``/``pareto_abc``. Shares are
+    ratios of exact decimals; each squared share is 1e-12-quantized before
+    the sum, so the index is parallelism-stable. Windows/joins touch only
+    the 25-row brand rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * 10000.0
+                ).cast("decimal(28,0)")
+            ).alias("revq")
+        )
+    )
+    tot = rev.agg(F.sum("revq").alias("t"))
+    share = F.col("revq").cast("double") / F.col("t").cast("double")
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select(F.floor(share * share * 1e12).cast("long").alias("sq"))
+        .agg(
+            F.count(F.lit(1)).alias("n_brands"),
+            F.round(F.sum("sq") / 1e12, 6).alias("hhi"),
+        )
+    )

@@ -1190,3 +1190,55 @@ def sim_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor")
     )
+
+
+@register(
+    "embed_cell_sample",
+    """
+    WITH pts AS (
+        SELECT vec_id, label,
+               CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 10.0) AS BIGINT) AS cx,
+               CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 10.0) AS BIGINT) AS cy
+        FROM embeddings
+    ), ranked AS (
+        SELECT vec_id, label, cx, cy,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cx, cy
+                   ORDER BY ('0x' || SUBSTRING(MD5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                            vec_id) AS rn
+        FROM pts
+    )
+    SELECT cx, cy, vec_id, label
+    FROM ranked WHERE rn = 1
+    ORDER BY cx, cy
+    """,
+)
+def embed_cell_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-preserving coreset: one representative per grid cell of
+    embedding space (hash-ranked within the cell so the pick is unbiased
+    and deterministic) — the cheap "cover the space, don't oversample the
+    modes" selection pass used before expensive labeling or distillation.
+    Cell assignment is a map-only projection; the per-cell pick is one
+    rank window partitioned by cell. At scale cells come from the IVF
+    coarse quantizer instead of a fixed grid — same plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        "label",
+        F.floor(F.col("embedding").getItem(0).cast("double") * 10.0)
+        .cast("long")
+        .alias("cx"),
+        F.floor(F.col("embedding").getItem(1).cast("double") * 10.0)
+        .cast("long")
+        .alias("cy"),
+    )
+    hk = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("cx", "cy").orderBy(hk, F.col("vec_id"))
+    return (
+        pts.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("cx", "cy", "vec_id", "label")
+        .orderBy("cx", "cy")
+    )

@@ -1521,3 +1521,58 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("g").alias("l_returnflag"), "n", "trimmed_mean")
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_lorenz_curve",
+    """
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT)) AS xq
+        FROM orders GROUP BY o_custkey
+    ), banded AS (
+        SELECT xq,
+               CAST(NTILE(10) OVER (ORDER BY xq, o_custkey) AS INTEGER)
+                   AS decile
+        FROM rev
+    ), per AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               SUM(xq) AS dq
+        FROM banded GROUP BY decile
+    )
+    SELECT decile, n_customers,
+           ROUND(CAST(SUM(dq) OVER (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST(SUM(dq) OVER () AS DOUBLE), 6) AS cum_revenue_share
+    FROM per
+    ORDER BY decile
+    """,
+)
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve sample points: cumulative revenue share of customer
+    deciles ordered poorest-first — the plotted companion of ``agg_gini``
+    (the curve whose gap to the diagonal IS the Gini). NTILE over a
+    unique order, exact decimal cumulative sums, windows over 10 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 10000.0).cast("long")).alias("xq")
+    )
+    w = Window.orderBy("xq", "o_custkey")
+    banded = rev.select("xq", F.ntile(10).over(w).alias("decile"))
+    per = banded.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("xq").alias("dq"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy()
+    return per.select(
+        "decile",
+        "n_customers",
+        F.round(
+            F.sum("dq").over(w_cum).cast("double")
+            / F.sum("dq").over(w_tot).cast("double"),
+            6,
+        ).alias("cum_revenue_share"),
+    ).orderBy("decile")

@@ -397,3 +397,123 @@ def ml_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ece"),
     )
+
+
+@register(
+    "ml_survival_km",
+    """
+    WITH spans AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+               MAX(ts) AS t_last
+        FROM events GROUP BY user_id
+    ), conv AS (
+        SELECT s.user_id,
+               DATE_DIFF('day', s.t0,
+                   COALESCE(p.tp, s.t_last)) AS dur,
+               CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM spans s
+        LEFT JOIN (
+            SELECT e.user_id, MIN(e.ts) AS tp
+            FROM events e JOIN spans s2
+              ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+             AND e.ts > s2.t0
+            GROUP BY e.user_id
+        ) p ON p.user_id = s.user_id
+        WHERE s.t0 IS NOT NULL
+    ), times AS (
+        SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS leaving
+        FROM conv GROUP BY dur
+    ), risk AS (
+        SELECT dur, d,
+               SUM(leaving) OVER (ORDER BY dur DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        FROM times
+    )
+    SELECT CAST(dur AS INTEGER) AS day, CAST(n_risk AS BIGINT) AS at_risk, d AS n_events,
+           ROUND(EXP(SUM(CASE WHEN d > 0 THEN
+                   CAST(FLOOR(LN(GREATEST(1.0 - CAST(d AS DOUBLE)
+                                          / CAST(n_risk AS DOUBLE), 1e-12))
+                              * 1e9) AS BIGINT) ELSE 0 END)
+               OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / 1e9), 6) AS survival
+    FROM risk
+    WHERE d > 0
+    ORDER BY day
+    """,
+)
+def ml_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-purchase after first
+    view (users without a purchase are right-censored at their last
+    event) — the churn/conversion-lag analysis that respects censoring
+    instead of dropping non-converters. The at-risk counts come from a
+    reverse cumulative sum over the (tiny) distinct-duration frame; the
+    product-limit estimator is exp of a running sum of 1e-9-quantized
+    ln(max(1 − d/n, 1e-12)) terms (the clamp keeps the terminal
+    everyone-converts step finite; it rounds to 0.0), so the curve is
+    parallelism-stable. The only
+    fact-scale stages are two per-user aggregations."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t0"),
+        F.max("ts").alias("t_last"),
+    ).filter(F.col("t0").isNotNull())
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(
+            spans.select(F.col("user_id").alias("u2"), F.col("t0").alias("s_t0")),
+            (F.col("user_id") == F.col("u2")) & (F.col("ts") > F.col("s_t0")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    conv = spans.join(purch, "user_id", "left").select(
+        F.datediff(
+            F.coalesce(F.col("tp"), F.col("t_last")).cast("date"),
+            F.col("t0").cast("date"),
+        ).alias("dur"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    times = conv.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+    )
+    w_rev = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = times.select(
+        "dur", "d", F.sum("leaving").over(w_rev).alias("n_risk")
+    )
+    term = F.when(
+        F.col("d") > 0,
+        F.floor(
+            F.log(
+                F.greatest(
+                    F.lit(1.0)
+                    - F.col("d").cast("double") / F.col("n_risk").cast("double"),
+                    F.lit(1e-12),
+                )
+            )
+            * 1e9
+        ).cast("long"),
+    ).otherwise(0)
+    w_fwd = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        risk.select(
+            "dur",
+            "d",
+            "n_risk",
+            F.round(F.exp(F.sum(term).over(w_fwd) / 1e9), 6).alias("survival"),
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("dur").alias("day"),
+            F.col("n_risk").alias("at_risk"),
+            F.col("d").alias("n_events"),
+            "survival",
+        )
+        .orderBy("day")
+    )

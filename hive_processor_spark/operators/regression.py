@@ -517,3 +517,82 @@ def ml_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "ml_auc_roc",
+    """
+    WITH feats AS (
+        SELECT doc_id, n_chars,
+               CAST(LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '),
+                                    w -> w <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), scored AS (
+        SELECT doc_id,
+               ROUND(1.0 / (1.0 + EXP(-(-3.0
+                   + 0.9 * LN(1.0 + CAST(n_tokens AS DOUBLE))
+                   - 0.2 * (CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE))))), 4)
+                   AS p,
+               CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS y
+        FROM feats WHERE n_tokens > 0
+    ), ranked AS (
+        SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY p, doc_id) AS BIGINT) AS r
+        FROM scored
+    ), s AS (
+        SELECT CAST(SUM(y) AS BIGINT) AS np,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn,
+               CAST(SUM(CASE WHEN y = 1 THEN r ELSE 0 END) AS BIGINT) AS rp
+        FROM ranked
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           ROUND(CAST(rp - np * (np + 1) / 2 AS DOUBLE)
+                 / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS auc
+    FROM s
+    """,
+)
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC-ROC of the logistic quality scorer against the length
+    pseudo-label via the Mann–Whitney rank identity
+    (Σ pos-ranks − n₊(n₊+1)/2) / (n₊·n₋) — with score ties broken by
+    doc_id so the rank sum (and therefore the AUC) is exactly
+    deterministic on both engines (a documented tie-broken variant of the
+    midrank AUC). Completes the eval family with ``ml_calibration_error``;
+    one global rank window over the scored frame, integer arithmetic to
+    the final division."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), " "), lambda w: w != F.lit(""))
+    feats = docs.select(
+        "doc_id", "n_chars", F.size(toks).cast("bigint").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    z = (
+        F.lit(-3.0)
+        + F.lit(0.9) * F.log(F.lit(1.0) + F.col("n_tokens").cast("double"))
+        - F.lit(0.2)
+        * (F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"))
+    )
+    scored = feats.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("p"),
+        F.when(F.col("n_chars") >= 250, 1).otherwise(0).alias("y"),
+    )
+    w = Window.orderBy("p", "doc_id")
+    ranked = scored.select(
+        "y", F.row_number().over(w).cast("long").alias("r")
+    )
+    s = ranked.agg(
+        F.sum("y").cast("long").alias("np"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("nn"),
+        F.sum(F.when(F.col("y") == 1, F.col("r")).otherwise(0))
+        .cast("long")
+        .alias("rp"),
+    )
+    np_, nn_, rp_ = F.col("np"), F.col("nn"), F.col("rp")
+    return s.select(
+        np_.alias("n_pos"),
+        nn_.alias("n_neg"),
+        F.round(
+            (rp_ - np_ * (np_ + 1) / 2).cast("double")
+            / (np_.cast("double") * nn_.cast("double")),
+            6,
+        ).alias("auc"),
+    )

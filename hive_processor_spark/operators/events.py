@@ -1775,3 +1775,37 @@ def events_power_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("alpha_hat"),
     )
+
+
+@register(
+    "events_heatmap",
+    """
+    SELECT CAST(DAYOFWEEK(ts) + 1 AS INTEGER) AS dow,
+           CAST(HOUR(ts) AS INTEGER) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM events
+    GROUP BY dow, hr
+    ORDER BY dow, hr
+    """,
+)
+def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour × weekday activity heatmap with a purchase overlay — the
+    when-are-users-here grid behind every scheduling decision (campaign
+    sends, maintenance windows). One exact aggregation to a ≤168-row
+    grid; UTC-pinned session keeps hour buckets identical on both
+    engines (DuckDB's 0-based DAYOFWEEK shifted to match Spark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hr")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("long")
+            .alias("n_purchases"),
+        )
+        .orderBy("dow", "hr")
+    )

@@ -596,3 +596,82 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+_COV_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+@register(
+    "ml_cov_matrix",
+    f"""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               {sql_dsum('l_quantity')} AS s_0,
+               {sql_dsum('l_extendedprice')} AS s_1,
+               {sql_dsum('l_discount')} AS s_2,
+               {sql_dsum('l_quantity * l_quantity')} AS p_0_0,
+               {sql_dsum('l_quantity * l_extendedprice')} AS p_0_1,
+               {sql_dsum('l_quantity * l_discount')} AS p_0_2,
+               {sql_dsum('l_extendedprice * l_extendedprice')} AS p_1_1,
+               {sql_dsum('l_extendedprice * l_discount')} AS p_1_2,
+               {sql_dsum('l_discount * l_discount')} AS p_2_2
+        FROM lineitem
+    )
+    SELECT x, y, ROUND((pxy - sx * sy / n) / (n - 1), 6) AS cov
+    FROM s, (
+        VALUES ('l_quantity', 'l_quantity'), ('l_quantity', 'l_extendedprice'),
+               ('l_quantity', 'l_discount'),
+               ('l_extendedprice', 'l_extendedprice'),
+               ('l_extendedprice', 'l_discount'), ('l_discount', 'l_discount')
+    ) AS v(x, y),
+    LATERAL (
+        SELECT CASE x WHEN 'l_quantity' THEN s_0
+                      WHEN 'l_extendedprice' THEN s_1 ELSE s_2 END AS sx,
+               CASE y WHEN 'l_quantity' THEN s_0
+                      WHEN 'l_extendedprice' THEN s_1 ELSE s_2 END AS sy,
+               CASE WHEN x = 'l_quantity' AND y = 'l_quantity' THEN p_0_0
+                    WHEN x = 'l_quantity' AND y = 'l_extendedprice' THEN p_0_1
+                    WHEN x = 'l_quantity' AND y = 'l_discount' THEN p_0_2
+                    WHEN x = 'l_extendedprice' AND y = 'l_extendedprice' THEN p_1_1
+                    WHEN x = 'l_extendedprice' AND y = 'l_discount' THEN p_1_2
+                    ELSE p_2_2 END AS pxy
+    ) m
+    ORDER BY x, y
+    """,
+)
+def ml_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sample-covariance matrix of three lineitem measures in ONE
+    aggregation pass (upper triangle in long form) — the feature-
+    preprocessing statistic (whitening, PCA input) computed the
+    sufficient-statistics way: 3 sums + 6 product sums, all quantized, a
+    constant-size reshape after. The matrix never touches the fact table
+    twice; at 100 TB this is one partial→final pass regardless of how
+    many measure pairs are requested."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = {c: F.col(c) for c in _COV_COLS}
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for i, ci in enumerate(_COV_COLS):
+        aggs.append(dsum(cols[ci]).alias(f"s_{i}"))
+    for i, ci in enumerate(_COV_COLS):
+        for j, cj in enumerate(_COV_COLS):
+            if j >= i:
+                aggs.append(dsum(cols[ci] * cols[cj]).alias(f"p_{i}_{j}"))
+    s = li.agg(*aggs)
+    rows = []
+    for i, ci in enumerate(_COV_COLS):
+        for j, cj in enumerate(_COV_COLS):
+            if j >= i:
+                cov = F.round(
+                    (F.col(f"p_{i}_{j}") - F.col(f"s_{i}") * F.col(f"s_{j}") / F.col("n"))
+                    / (F.col("n") - 1),
+                    6,
+                )
+                rows.append(
+                    s.select(
+                        F.lit(ci).alias("x"), F.lit(cj).alias("y"), cov.alias("cov")
+                    )
+                )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("x", "y")

@@ -758,3 +758,85 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_js_divergence",
+    """
+    WITH tok AS (
+        SELECT source, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS word
+        FROM documents WHERE source IN ('src1', 'src4')
+    ), counts AS (
+        SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok WHERE word <> '' GROUP BY source, word
+    ), pq AS (
+        SELECT word,
+               CAST(COALESCE(MAX(CASE WHEN source = 'src1' THEN c END), 0) AS DOUBLE)
+                   / (SELECT SUM(c) FROM counts WHERE source = 'src1') AS p,
+               CAST(COALESCE(MAX(CASE WHEN source = 'src4' THEN c END), 0) AS DOUBLE)
+                   / (SELECT SUM(c) FROM counts WHERE source = 'src4') AS q
+        FROM counts GROUP BY word
+    ), terms AS (
+        SELECT CAST(FLOOR((CASE WHEN p > 0.0
+                     THEN 0.5 * p * LN(p / (0.5 * (p + q))) ELSE 0.0 END
+                   + CASE WHEN q > 0.0
+                     THEN 0.5 * q * LN(q / (0.5 * (p + q))) ELSE 0.0 END) * 1e9)
+                   AS BIGINT) AS tq
+        FROM pq
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(CAST(SUM(tq) AS DOUBLE) / 1e9, 6) AS js_divergence
+    FROM terms
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between two sources' token distributions
+    — the symmetric, bounded distribution distance used to compare corpus
+    slices (and the metric behind mixture-balance dashboards). Each
+    ½·p·ln(p/m) + ½·q·ln(q/m) term over the union vocabulary is
+    floor-quantized to 1e-9 before the exact sum (zero-probability sides
+    contribute 0 exactly); probabilities are exact count ratios. One
+    tokenize pass; windows/joins touch only the vocabulary."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src1", "src4")
+    )
+    counts = (
+        docs.select("source", F.explode(_words()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    t1 = tot.filter(F.col("source") == "src1").select(F.col("t").alias("t1"))
+    t4 = tot.filter(F.col("source") == "src4").select(F.col("t").alias("t4"))
+    pivoted = counts.groupBy("word").agg(
+        F.max(F.when(F.col("source") == "src1", F.col("c"))).alias("c1"),
+        F.max(F.when(F.col("source") == "src4", F.col("c"))).alias("c4"),
+    )
+    pq = (
+        pivoted.crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t4))
+        .select(
+            (
+                F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+                / F.col("t1").cast("double")
+            ).alias("p"),
+            (
+                F.coalesce(F.col("c4"), F.lit(0)).cast("double")
+                / F.col("t4").cast("double")
+            ).alias("q"),
+        )
+    )
+    m = 0.5 * (F.col("p") + F.col("q"))
+    term = (
+        F.when(F.col("p") > 0.0, 0.5 * F.col("p") * F.log(F.col("p") / m)).otherwise(
+            0.0
+        )
+        + F.when(F.col("q") > 0.0, 0.5 * F.col("q") * F.log(F.col("q") / m)).otherwise(
+            0.0
+        )
+    )
+    return pq.select(F.floor(term * 1e9).cast("long").alias("tq")).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.sum("tq").cast("double") / 1e9, 6).alias("js_divergence"),
+    )

@@ -3,10 +3,12 @@
 on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
 Protocol (BASELINE.md notes): one shared SparkSession amortizes the ~6 s
-startup; every query runs twice and the steady-state (second) time is
-reported — first runs carry codegen/JIT warmup that a long-lived cluster
-never pays. Failures are skipped, not fatal (the reference's own
-``async_serial_ignore`` pattern, src/processor.ts:149-161).
+startup; every query runs once for codegen/JIT warmup and then BEST-OF-3
+steady-state is reported — single steady-state runs swung ±15-40% with VM
+timing noise (round-2 verdict #4), which masked real regressions; the
+minimum of three is the stable engine-cost estimator. Failures are
+skipped, not fatal (the reference's own ``async_serial_ignore`` pattern,
+src/processor.ts:149-161).
 """
 
 from __future__ import annotations
@@ -78,9 +80,12 @@ def main() -> int:
     for name in HEADLINE:
         try:
             run(name)  # warmup: codegen + JIT
-            t0 = time.perf_counter()
-            run(name)
-            per_query[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run(name)
+                best = min(best, time.perf_counter() - t0)
+            per_query[name] = round(best, 3)
         except Exception:
             traceback.print_exc(file=sys.stderr)
             continue

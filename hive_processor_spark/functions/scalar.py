@@ -726,9 +726,11 @@ def fn_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nation
     )
     SELECT n_nationkey,
-           LIST_SORT(LIST_DISTINCT(a || b)) AS u,
-           LIST_SORT(LIST_INTERSECT(a, b)) AS i,
-           LIST_SORT(LIST_DISTINCT(LIST_FILTER(a, x -> NOT LIST_CONTAINS(b, x))))
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(a || b)), ',') AS u,
+           ARRAY_TO_STRING(LIST_SORT(LIST_INTERSECT(a, b)), ',') AS i,
+           COALESCE(ARRAY_TO_STRING(
+               LIST_SORT(LIST_DISTINCT(
+                   LIST_FILTER(a, x -> NOT LIST_CONTAINS(b, x)))), ','), '')
                AS d,
            LIST_CONTAINS(a, n_regionkey) AS has_region
     FROM t
@@ -738,8 +740,10 @@ def fn_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_array_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set-algebra family: union, intersection, difference,
     membership — the collection operators behind tag/feature-set
-    manipulation. Results are sorted so set semantics (not construction
-    order) are what both engines compare; all codegen HOFs/builtins, no
+    manipulation. The set algebra stays in codegen array builtins; each
+    result is then serialized ``array_join(array_sort(...), ',')`` to a
+    canonical scalar string per the §2.3 hashing discipline (the external
+    canonicalizer sorts rows via pandas and cannot hash raw lists). No
     shuffle. (Spark's array_union/array_intersect/array_except
     de-duplicate; the oracle mirrors with LIST_DISTINCT.)"""
     nation = load_table(spark, sf_dir, "nation")
@@ -747,11 +751,17 @@ def fn_array_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey"), F.col("n_regionkey"), F.col("n_nationkey") % 5
     )
     b = F.array(F.col("n_regionkey"), F.col("n_nationkey") % 3, F.lit(7))
+
+    def joined(arr):
+        return F.array_join(
+            F.transform(F.array_sort(arr), lambda x: x.cast("string")), ","
+        )
+
     return nation.select(
         "n_nationkey",
-        F.array_sort(F.array_union(a, b)).alias("u"),
-        F.array_sort(F.array_intersect(a, b)).alias("i"),
-        F.array_sort(F.array_except(a, b)).alias("d"),
+        joined(F.array_union(a, b)).alias("u"),
+        joined(F.array_intersect(a, b)).alias("i"),
+        joined(F.array_except(a, b)).alias("d"),
         F.array_contains(a, F.col("n_regionkey")).alias("has_region"),
     ).orderBy("n_nationkey")
 
@@ -759,12 +769,21 @@ def fn_array_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_struct_mutate",
     """
+    WITH t AS (
+        SELECT n_nationkey,
+               {'nation': n_name, 'region': n_regionkey,
+                'tier': CASE WHEN n_regionkey < 2 THEN 'east' ELSE 'west' END}
+                   AS enriched,
+               {'nation': n_name, 'region': n_regionkey + 100} AS rekeyed
+        FROM nation
+    )
     SELECT n_nationkey,
-           {'nation': n_name, 'region': n_regionkey,
-            'tier': CASE WHEN n_regionkey < 2 THEN 'east' ELSE 'west' END}
-               AS enriched,
-           {'nation': n_name, 'region': n_regionkey + 100} AS rekeyed
-    FROM nation
+           enriched.nation AS enriched_nation,
+           enriched.region AS enriched_region,
+           enriched.tier AS enriched_tier,
+           rekeyed.nation AS rekeyed_nation,
+           rekeyed.region AS rekeyed_region
+    FROM t
     ORDER BY n_nationkey
     """,
 )
@@ -773,8 +792,10 @@ def fn_struct_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``withField``, rewrite one with another ``withField`` and drop the
     added one with ``dropFields`` — the nested-column evolution API a
     denormalized event schema needs (no full rebuild of the struct). The
-    oracle constructs the equivalent literals; field order matters and
-    matches."""
+    mutated structs are projected back to scalar fields for the output
+    (§2.3 hashing discipline — the external canonicalizer cannot hash raw
+    dicts); the withField/dropFields surgery stays in the plan, which is
+    what the query exists to prove."""
     nation = load_table(spark, sf_dir, "nation")
     base = F.struct(
         F.col("n_name").alias("nation"), F.col("n_regionkey").alias("region")
@@ -785,6 +806,17 @@ def fn_struct_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rekeyed = enriched.withField(
         "region", F.col("n_regionkey") + 100
     ).dropFields("tier")
-    return nation.select(
-        "n_nationkey", enriched.alias("enriched"), rekeyed.alias("rekeyed")
-    ).orderBy("n_nationkey")
+    return (
+        nation.select(
+            "n_nationkey", enriched.alias("enriched"), rekeyed.alias("rekeyed")
+        )
+        .select(
+            "n_nationkey",
+            F.col("enriched.nation").alias("enriched_nation"),
+            F.col("enriched.region").alias("enriched_region"),
+            F.col("enriched.tier").alias("enriched_tier"),
+            F.col("rekeyed.nation").alias("rekeyed_nation"),
+            F.col("rekeyed.region").alias("rekeyed_region"),
+        )
+        .orderBy("n_nationkey")
+    )

@@ -275,6 +275,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs only materialize where shingles collide (the exact-computation
     counterpart of MinHash).
 
+    AT SCALE, THIS IS THE VERIFICATION TOOL, NOT THE DEFAULT. Wall time
+    tracks collision mass and therefore grows quadratically with shingle
+    skew (measured 28× at 10× docs, SCALING.md); the df-cap bounds the
+    worst case but not the growth. For a 100 TB corpus use
+    ``dedup_ngram_verify`` (two-phase: banded candidates → exact verify on
+    the survivors — provably equal output, property-tested on a 10×-replica
+    skew corpus) or ``dedup_minhash_sql`` as the default path, and reserve
+    this direct join for small corpora and for auditing the approximate
+    paths' recall.
+
     Shuffle discipline (this is the operator's whole cost at corpus scale):
 
     * per-doc shingle dedup happens map-side via ``array_distinct`` instead

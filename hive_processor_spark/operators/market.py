@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from hive_processor_spark.engine import register
 from hive_processor_spark.sources.tables import load_table
@@ -67,14 +68,18 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match at any parallelism."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    # per-order sorted distinct brand array; localCheckpoint so the three
-    # consumers below (pairs, per-brand counts, order total) reuse one
-    # build instead of re-running the join+groupBy
+    # per-order sorted distinct brand array; persist (NOT localCheckpoint —
+    # checkpoint blocks truncate lineage and die with their executor, while
+    # persisted blocks recompute from lineage on loss, which is what a
+    # 1000-executor run needs) so the three consumers below (pairs,
+    # per-brand counts, order total) reuse one build instead of re-running
+    # the join+groupBy. Spark evicts LRU; no explicit unpersist since the
+    # returned frame is consumed lazily by the caller.
     ob = (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tot = ob.agg(F.count(F.lit(1)).alias("n_orders"))
     sing = (

@@ -132,6 +132,12 @@ class SynthStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         # In a real tailing source this asks the upstream system; here the
         # high-water mark advances deterministically per poll.
+        # CAVEAT (checkpointed restarts): _hwm is per-instance state, so a
+        # fresh reader after a restart would report an offset BEHIND the
+        # checkpointed position until it re-advances. A production source
+        # must derive the mark from the upstream system (or round-trip it
+        # through initialOffset), never from reader-instance state. Fine
+        # here: the smoke test runs checkpoint-free to completion.
         if not hasattr(self, "_hwm"):
             self._hwm = 0
         self._hwm = min(self._hwm + _STREAM_ROWS_PER_BATCH, _STREAM_MAX_ROWS)
@@ -195,6 +201,13 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             _time.sleep(0.2)
     finally:
         q.stop()
+    if len(acc) < _STREAM_MAX_ROWS:
+        # Fail loudly: a silent truncation here would surface downstream as
+        # a confusing equality-diff instead of the real problem (timeout).
+        raise TimeoutError(
+            f"synthstream collected {len(acc)}/{_STREAM_MAX_ROWS} rows "
+            "before the 60s deadline — slow machine or stalled stream"
+        )
     out = spark.createDataFrame(acc, "seq bigint, k int, v double")
     return (
         out.groupBy("k")

@@ -429,11 +429,15 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in rows:
             cur = state.get(r.user_id)
             key = (r.us, r.event_id)
-            n = (cur[2] + 1) if cur else 1
-            if cur is None or key > cur[0]:
-                state[r.user_id] = (key, (r.op, r.v), n)
+            # n_changes = count of DISTINCT change keys, so a replayed /
+            # retried micro-batch re-adds the same keys and the counter is
+            # idempotent (a per-delivery increment would double-count).
+            if cur is None:
+                state[r.user_id] = (key, (r.op, r.v), {key})
             else:
-                state[r.user_id] = (cur[0], cur[1], n)
+                cur[2].add(key)
+                if key > cur[0]:
+                    state[r.user_id] = (key, (r.op, r.v), cur[2])
 
     q = (
         spark.readStream.schema(schema)
@@ -445,8 +449,8 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     final = [
-        (uid, float(val) / 100.0, n)
-        for uid, (_key, (op, val), n) in sorted(state.items())
+        (uid, float(val) / 100.0, len(seen))
+        for uid, (_key, (op, val), seen) in sorted(state.items())
         if op == "U"
     ]
     return spark.createDataFrame(

@@ -33,8 +33,30 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def reject_nonscalar(df: pd.DataFrame) -> None:
+    """Fail loudly on list/dict/ndarray cell values.
+
+    The external driver's canonicalizer sorts rows with pandas
+    ``sort_values``-style machinery, which raises ``TypeError: unhashable
+    type`` on ARRAY/MAP/STRUCT outputs — so any query emitting them is a
+    guaranteed driver FAIL even though naive stringification compares fine
+    locally. Mirror the driver: refuse them here too (round-2 verdict #2/#3).
+    """
+    for c in df.columns:
+        if df[c].dtype == object and len(df):
+            sample = df[c].head(50)
+            for v in sample:
+                if isinstance(v, (list, dict, set, np.ndarray)):
+                    raise TypeError(
+                        f"non-scalar output column {c!r}: {type(v).__name__} "
+                        "values would crash the driver canonicalizer — "
+                        "serialize to a sorted string (§2.3 discipline)"
+                    )
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     """Canonical form: columns sorted by name, datetimes at µs, rows sorted."""
+    reject_nonscalar(df)
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
@@ -121,7 +143,10 @@ def main() -> int:
             print(f"FAIL {name}: oracle raised\n{traceback.format_exc()}")
             n_fail += 1
             continue
-        problems = compare(sdf, odf)
+        try:
+            problems = compare(sdf, odf)
+        except TypeError as e:
+            problems = [f"canonicalizer rejected output: {e}"]
         if problems:
             print(f"FAIL {name} [{time.time()-t0:.1f}s]")
             for p in problems[:6]:

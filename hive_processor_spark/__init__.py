@@ -44,6 +44,7 @@ def _load_all() -> None:
         filters,
         joins,
         market,
+        metrics,
         multimodal,
         profiling,
         regression,

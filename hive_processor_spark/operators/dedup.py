@@ -1293,3 +1293,68 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("common_neighbors"), "doc_a", "doc_b")
         .limit(25)
     )
+
+@register(
+    "graph_cc_size_dist",
+    f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND({{cos}}, 4) >= 0.4
+    ), edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM pairs
+        UNION ALL
+        SELECT vec_b AS src, vec_a AS dst FROM pairs
+    ), cc(node, lbl) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.node
+    ), labeled AS (
+        SELECT node, MIN(lbl) AS cluster_id FROM cc GROUP BY node
+    ), sizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM labeled GROUP BY cluster_id
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """.format(cos=sql_cosine_q("a.embedding", "b.embedding")),
+)
+def graph_cc_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how many near-dup components
+    of each size the corpus contains, and how many documents they absorb —
+    the first chart every dedup report shows (a heavy tail here means
+    boilerplate farms; all-singletons means the threshold is too tight).
+    Reuses the pointer-jumping connected-components labeling of
+    ``dedup_cluster`` (same 0.4-cosine graph), then two tiny aggregations
+    over the |nodes|-row label frame. At 100 TB the label frame is one row
+    per document — the histogram costs two reduced shuffles."""
+    from hive_processor_spark.operators.similarity import _pair_sims_block
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = (
+        _pair_sims_block(spark, emb, raw_min_sim=0.4 - 1e-4)
+        .select("vec_a", "vec_b", F.round(F.col("sim_raw"), 4).alias("sim"))
+        .filter(F.col("sim") >= 0.4)
+        .select("vec_a", "vec_b")
+    )
+    labels = _min_label_components(pairs)
+    labeled = (
+        emb.select("vec_id")
+        .join(labels, emb.vec_id == labels.node, "left")
+        .select(F.coalesce(F.col("lbl"), F.col("vec_id")).alias("cluster_id"))
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

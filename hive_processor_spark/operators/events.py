@@ -1809,3 +1809,78 @@ def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hr")
     )
+
+@register(
+    "ts_changepoint",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, day, x,
+               SUM(x) OVER (PARTITION BY event_type ORDER BY day) AS c,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS d,
+               SUM(x) OVER (PARTITION BY event_type) AS s,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ), scored AS (
+        SELECT event_type, day,
+               n * c - d * s AS t,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ABS(n * c - d * s) DESC, day) AS rk,
+               n, s
+        FROM cum
+    )
+    SELECT event_type, day AS change_day,
+           ROUND(CAST(ABS(t) AS DOUBLE) / (n * s), 6) AS cusum_stat
+    FROM scored WHERE rk = 1
+    ORDER BY event_type
+    """,
+)
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily event-count series, one
+    change day per event type: the day d maximizing |n·cum_d − d·total| —
+    the integer-scaled cumulative deviation from a constant rate (the
+    classic offline CUSUM argmax). Every intermediate is an exact integer
+    (counts, cumulative counts, row indexes), so the argmax and the
+    normalized statistic are deterministic at any parallelism; ties break
+    to the earliest day by the ranked window. Scale shape: the raw table
+    reduces to one row per (type, day) first; the windows run over that
+    reduced frame, partitioned by type."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w_cum = Window.partitionBy("event_type").orderBy("day")
+    w_all = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.sum("x").over(w_cum).alias("c"),
+        F.row_number().over(w_cum).alias("d"),
+        F.sum("x").over(w_all).alias("s"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    t = F.col("n") * F.col("c") - F.col("d") * F.col("s")
+    scored = cum.select(
+        "event_type",
+        "day",
+        t.alias("t"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(F.abs(t).desc(), "day"))
+        .alias("rk"),
+        "n",
+        "s",
+    )
+    return (
+        scored.filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.round(
+                F.abs(F.col("t")).cast("double") / (F.col("n") * F.col("s")), 6
+            ).alias("cusum_stat"),
+        )
+        .orderBy("event_type")
+    )

@@ -984,3 +984,102 @@ def join_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+_BLOOM_BITS = 1 << 16  # 8 KiB bitmap: ~0.4% fp rate at 3k keys / 3 hashes
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_SEEDS = (1, 2, 3)
+
+
+@register(
+    "join_bloom_prefilter",
+    f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice', 2)} AS total_price
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction, built entirely from codegen
+    expressions: hash the build side's keys into an 8 KiB bitmap
+    (3 × xxhash64 positions OR-ed into 64-bit words), broadcast the ONE-ROW
+    bitmap to the probe side, drop every fact row whose 3 probe bits are
+    not all set, and only then run the exact (shuffled) semi-join to kill
+    the ~0.4% false positives. The final answer is provably the plain
+    semi-join's (the bloom can only pass extra rows, never drop true ones
+    — one-sided error), which is what the oracle checks.
+
+    Why it matters at 100 TB: when the dim side is too big to broadcast,
+    the shuffle ships the FULL fact table; an 8 KiB bitmap (vs the key
+    set itself) prefilters the fact rows before the exchange, shrinking
+    the shuffle to ~selectivity × fact. This is the rewrite Spark's own
+    runtime row-level filtering performs — spelled out as an explicit,
+    engine-visible plan so the mechanics are testable."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    keys = cust.select("c_custkey")
+
+    # Build: key -> 3 bit positions -> per-word OR -> dense 1024-long array.
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("c_custkey", F.lit(s)), F.lit(_BLOOM_BITS))
+                    for s in _BLOOM_SEEDS
+                ]
+            )
+        ).alias("p")
+    )
+    words = pos.groupBy((F.col("p") / 64).cast("int").alias("w")).agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")).alias(
+            "word"
+        )
+    )
+    dense = (
+        spark.range(_BLOOM_WORDS)
+        .select(F.col("id").cast("int").alias("w"))
+        .join(F.broadcast(words), "w", "left")
+        .select("w", F.coalesce("word", F.lit(0).cast("bigint")).alias("word"))
+    )
+    bloom = dense.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("w", "word"))), lambda x: x.word
+        ).alias("bloom")
+    )
+
+    # Probe: all 3 bits set -> candidate; exact semi-join cleans up after.
+    def bit_hit(seed: int):
+        return F.expr(
+            f"(element_at(bloom, CAST(pmod(xxhash64(o_custkey, {seed}),"
+            f" {_BLOOM_BITS}) / 64 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(pmod(xxhash64(o_custkey, {seed}), {_BLOOM_BITS}) % 64 AS INT)))"
+            " != 0"
+        )
+
+    candidates = (
+        orders.crossJoin(F.broadcast(bloom))
+        .filter(bit_hit(1) & bit_hit(2) & bit_hit(3))
+        .drop("bloom")
+    )
+    # hint on the BUILD (right) side: a left-semi join can only build right
+    exact = candidates.join(
+        keys.hint("shuffle_hash"), candidates.o_custkey == keys.c_custkey,
+        "left_semi",
+    )
+    return (
+        exact.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

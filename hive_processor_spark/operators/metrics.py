@@ -1,0 +1,565 @@
+"""Model-quality metrics and nonparametric statistical tests — the
+"evaluate a model / compare two populations inside the engine" family
+(dispatched through the same registry surface the reference exposes via
+``Processor.call``, reference ``src/processor.ts:57-89``; the reference
+implements none of these natively — its SQL plane would run them in
+Postgres, here they are native Spark plans).
+
+Every metric reduces to counting and closed-form algebra over one or two
+aggregation passes, so the distributed shape is always partial→final
+aggregation (map-side combined) with at most a tiny broadcast join back —
+no iteration, no driver math. Determinism discipline: counts and ranks are
+exact integers; every data-dependent double sum goes through the
+``functions/exact.py`` floor-quantization so results hash-match DuckDB at
+any parallelism (the precision/recall/NDCG/KS numbers you publish must not
+change when AQE re-plans the shuffle).
+
+Label convention on the synthetic ``events`` table: a ``purchase`` row is a
+positive outcome, ``value`` (scaled) is the model score — the fixture's
+stand-in for a scored eval set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_processor_spark.engine import register
+from hive_processor_spark.functions.exact import dsum, sql_dsum
+from hive_processor_spark.sources.tables import load_table
+
+
+@register(
+    "ml_confusion_matrix",
+    """
+    WITH s AS (
+        SELECT (event_type = 'purchase') AS y,
+               (value >= 100.0) AS pred
+        FROM events
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE y AND pred) AS BIGINT) AS tp,
+           CAST(COUNT(*) FILTER (WHERE NOT y AND pred) AS BIGINT) AS fp,
+           CAST(COUNT(*) FILTER (WHERE y AND NOT pred) AS BIGINT) AS fn,
+           CAST(COUNT(*) FILTER (WHERE NOT y AND NOT pred) AS BIGINT) AS tn,
+           ROUND(CAST(COUNT(*) FILTER (WHERE y AND pred) AS DOUBLE)
+                 / NULLIF(COUNT(*) FILTER (WHERE pred), 0), 6) AS precision,
+           ROUND(CAST(COUNT(*) FILTER (WHERE y AND pred) AS DOUBLE)
+                 / NULLIF(COUNT(*) FILTER (WHERE y), 0), 6) AS recall,
+           ROUND(CAST(2 * COUNT(*) FILTER (WHERE y AND pred) AS DOUBLE)
+                 / NULLIF(2 * COUNT(*) FILTER (WHERE y AND pred)
+                          + COUNT(*) FILTER (WHERE NOT y AND pred)
+                          + COUNT(*) FILTER (WHERE y AND NOT pred), 0), 6)
+               AS f1,
+           ROUND(CAST(COUNT(*) FILTER (WHERE y = pred) AS DOUBLE)
+                 / COUNT(*), 6) AS accuracy
+    FROM s
+    """,
+)
+def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classifier confusion matrix + derived metrics in ONE
+    conditional-count aggregation (y = purchase, decision threshold
+    value ≥ 100): tp/fp/fn/tn, precision, recall, F1, accuracy. All eight
+    outputs are ratios of exact integer counts — bit-stable anywhere. At
+    100 TB this is a single partial→final count pass over the eval set;
+    nothing shuffles but eight longs per partition."""
+    ev = load_table(spark, sf_dir, "events")
+    y = F.col("event_type") == "purchase"
+    pred = F.col("value") >= 100.0
+    cnt = lambda c: F.count_if(c)  # noqa: E731
+    s = ev.agg(
+        cnt(y & pred).alias("tp"),
+        cnt(~y & pred).alias("fp"),
+        cnt(y & ~pred).alias("fn"),
+        cnt(~y & ~pred).alias("tn"),
+        cnt(y == pred).alias("ok"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    d = lambda c: c.cast("double")  # noqa: E731
+    return s.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(d(tp) / F.nullif(d(tp + fp), F.lit(0.0)), 6).alias("precision"),
+        F.round(d(tp) / F.nullif(d(tp + fn), F.lit(0.0)), 6).alias("recall"),
+        F.round(
+            d(F.lit(2) * tp) / F.nullif(d(F.lit(2) * tp + fp + fn), F.lit(0.0)), 6
+        ).alias("f1"),
+        F.round(d(F.col("ok")) / d(F.col("n")), 6).alias("accuracy"),
+    )
+
+
+@register(
+    "ml_pr_curve",
+    """
+    WITH b AS (
+        SELECT LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bucket,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                   AS pos,
+               CAST(COUNT(*) FILTER (WHERE event_type <> 'purchase') AS BIGINT)
+                   AS neg
+        FROM events GROUP BY 1
+    ), spine AS (
+        SELECT UNNEST(RANGE(0, 10)) AS bucket
+    ), dense AS (
+        SELECT s.bucket, COALESCE(b.pos, 0) AS pos, COALESCE(b.neg, 0) AS neg
+        FROM spine s LEFT JOIN b ON b.bucket = s.bucket
+    ), cum AS (
+        SELECT bucket,
+               SUM(pos) OVER (ORDER BY bucket DESC) AS tp,
+               SUM(neg) OVER (ORDER BY bucket DESC) AS fp,
+               SUM(pos) OVER () AS all_pos
+        FROM dense
+    )
+    SELECT CAST(bucket * 50 AS DOUBLE) AS threshold,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS precision,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(all_pos, 0), 6) AS recall
+    FROM cum ORDER BY threshold
+    """,
+)
+def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall curve at ten score thresholds (0, 50, … 450).
+    The heavy stage is ONE bucketed conditional count (10-row result);
+    the curve itself is a descending cumulative window over that 10-row
+    frame joined to a dense threshold spine — at 100 TB the window costs
+    nothing because it runs after the reduction, the standard way to get a
+    full PR curve in one pass instead of re-scanning per threshold."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50.0).cast("bigint"), F.lit(9))
+    b = ev.groupBy(bucket.alias("bucket")).agg(
+        F.count_if(F.col("event_type") == "purchase").alias("pos"),
+        F.count_if(F.col("event_type") != "purchase").alias("neg"),
+    )
+    spine = spark.range(10).select(F.col("id").alias("bucket"))
+    dense = (
+        spine.join(F.broadcast(b), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("pos", F.lit(0)).alias("pos"),
+            F.coalesce("neg", F.lit(0)).alias("neg"),
+        )
+    )
+    w = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = dense.select(
+        "bucket",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("neg").over(w).alias("fp"),
+        F.sum("pos").over(wall).alias("all_pos"),
+    )
+    tp, fp = F.col("tp"), F.col("fp")
+    return cum.select(
+        (F.col("bucket") * 50).cast("double").alias("threshold"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        F.round(
+            tp.cast("double") / F.nullif((tp + fp).cast("double"), F.lit(0.0)), 6
+        ).alias("precision"),
+        F.round(
+            tp.cast("double") / F.nullif(F.col("all_pos").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("recall"),
+    ).orderBy("threshold")
+
+
+@register(
+    "ml_ndcg",
+    f"""
+    WITH rel AS (
+        SELECT user_id, event_id, value,
+               CASE event_type WHEN 'purchase' THEN 3 WHEN 'click' THEN 2
+                    WHEN 'view' THEN 1 ELSE 0 END AS rel
+        FROM events
+    ), ranked AS (
+        SELECT user_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS pos,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY rel DESC, event_id) AS ideal_pos
+        FROM rel
+    ), terms AS (
+        SELECT user_id,
+               SUM(CASE WHEN pos <= 10 THEN CAST(FLOOR(1000000.0 *
+                   (POW(2.0, rel) - 1.0) / LOG2(CAST(pos + 1 AS DOUBLE)))
+                   AS BIGINT) ELSE 0 END) AS dcg_q,
+               SUM(CASE WHEN ideal_pos <= 10 THEN CAST(FLOOR(1000000.0 *
+                   (POW(2.0, rel) - 1.0) / LOG2(CAST(ideal_pos + 1 AS DOUBLE)))
+                   AS BIGINT) ELSE 0 END) AS idcg_q
+        FROM ranked GROUP BY user_id
+    ), per_user AS (
+        SELECT user_id,
+               ROUND(CAST(dcg_q AS DOUBLE) / idcg_q, 6) AS ndcg
+        FROM terms WHERE idcg_q > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND({sql_dsum('ndcg', 6)} / COUNT(*), 6) AS avg_ndcg_at_10
+    FROM per_user
+    """,
+)
+def ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the score-ranked event list per user (relevance grades:
+    purchase 3 > click 2 > view 1 > other 0), averaged over users.
+
+    Exactness: each DCG term ``(2^rel − 1)/log2(pos+1)`` is
+    floor-quantized to integer millionths BEFORE the per-user sum, so the
+    user's DCG/IDCG are exact integers and their ratio is one deterministic
+    double division; the corpus average then runs through the same
+    quantized-sum discipline. Two windows + one groupBy, all partitioned by
+    user — the natural key distribution, no skew, no driver math."""
+    ev = load_table(spark, sf_dir, "events")
+    rel = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "view", 1)
+        .otherwise(0)
+        .alias("rel"),
+    )
+    w_pred = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    w_ideal = Window.partitionBy("user_id").orderBy(F.desc("rel"), "event_id")
+    ranked = rel.select(
+        "user_id",
+        "rel",
+        F.row_number().over(w_pred).alias("pos"),
+        F.row_number().over(w_ideal).alias("ideal_pos"),
+    )
+
+    def term_q(pos_col: str):
+        gain = F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0)
+        disc = F.log2((F.col(pos_col) + 1).cast("double"))
+        return F.when(
+            F.col(pos_col) <= 10,
+            F.floor(F.lit(1000000.0) * gain / disc).cast("bigint"),
+        ).otherwise(F.lit(0))
+
+    terms = ranked.groupBy("user_id").agg(
+        F.sum(term_q("pos")).alias("dcg_q"),
+        F.sum(term_q("ideal_pos")).alias("idcg_q"),
+    )
+    per_user = terms.filter(F.col("idcg_q") > 0).select(
+        "user_id",
+        F.round(F.col("dcg_q").cast("double") / F.col("idcg_q"), 6).alias("ndcg"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(dsum("ndcg", 6) / F.count(F.lit(1)), 6).alias("avg_ndcg_at_10"),
+    )
+
+
+@register(
+    "stats_ks_test",
+    """
+    WITH pts AS (
+        SELECT value,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS na,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS nb
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY value
+    ), cum AS (
+        SELECT SUM(na) OVER (ORDER BY value) AS ca,
+               SUM(nb) OVER (ORDER BY value) AS cb,
+               SUM(na) OVER () AS ta, SUM(nb) OVER () AS tb
+        FROM pts
+    )
+    SELECT CAST(MAX(ta) AS BIGINT) AS n_a,
+           CAST(MAX(tb) AS BIGINT) AS n_b,
+           ROUND(MAX(ABS(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)), 6)
+               AS ks_d,
+           ROUND(MAX(ABS(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb))
+                 * SQRT(CAST(MAX(ta) * MAX(tb) AS DOUBLE)
+                        / (MAX(ta) + MAX(tb))), 6) AS ks_stat
+    FROM cum
+    """,
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the ``click`` and
+    ``view`` value distributions: D = max |F̂_a(x) − F̂_b(x)| over the
+    pooled support, plus the scaled statistic D·√(n_a·n_b/(n_a+n_b)).
+
+    Shape: group once BY VALUE (shuffle ∝ distinct values, the same
+    integer-histogram trick as the exact-median operators), one ordered
+    cumulative window over that reduced frame, one max. Every ECDF value
+    is an exact integer ratio, so D is deterministic to the last bit."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    pts = ev.groupBy("value").agg(
+        F.count_if(F.col("event_type") == "click").alias("na"),
+        F.count_if(F.col("event_type") == "view").alias("nb"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = pts.select(
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+        F.sum("na").over(wall).alias("ta"),
+        F.sum("nb").over(wall).alias("tb"),
+    )
+    diff = F.abs(
+        F.col("ca").cast("double") / F.col("ta")
+        - F.col("cb").cast("double") / F.col("tb")
+    )
+    return cum.agg(
+        F.max("ta").alias("n_a"),
+        F.max("tb").alias("n_b"),
+        F.round(F.max(diff), 6).alias("ks_d"),
+        F.round(
+            F.max(diff)
+            * F.sqrt(
+                (F.max("ta") * F.max("tb")).cast("double")
+                / (F.max("ta") + F.max("tb"))
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+@register(
+    "stats_mann_whitney",
+    """
+    WITH pts AS (
+        SELECT value,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                   AS na,
+               CAST(COUNT(*) AS BIGINT) AS t
+        FROM events WHERE event_type IN ('purchase', 'view')
+        GROUP BY value
+    ), rk AS (
+        SELECT na, t,
+               COALESCE(SUM(t) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        FROM pts
+    ), s AS (
+        SELECT SUM(na * (below + (t + 1) / 2.0)) AS r1,
+               SUM(na) AS n1, SUM(t) - SUM(na) AS n2, SUM(t) AS n,
+               SUM(t * t * t - t) AS tie3
+        FROM rk
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a,
+           CAST(n2 AS BIGINT) AS n_b,
+           ROUND(r1 - n1 * (n1 + 1) / 2.0, 1) AS u_stat,
+           ROUND(((r1 - n1 * (n1 + 1) / 2.0) - n1 * n2 / 2.0)
+                 / SQRT(CAST(n1 AS DOUBLE) * n2 / 12.0
+                        * ((n + 1) - CAST(tie3 AS DOUBLE) / (n * (n - 1)))), 6)
+               AS z_score
+    FROM s
+    """,
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum) test comparing ``purchase`` vs ``view``
+    values, with the tie-corrected normal approximation z-score.
+
+    Average ranks come from the grouped-by-value layout: rank(v) =
+    (#smaller) + (ties+1)/2 — half-integers, exact in doubles — so R₁, U,
+    and the tie term Σ(t³−t) are all exact; the only irrational op is the
+    final √ of the variance. Same scale shape as the KS test: one shuffle
+    ∝ distinct values, then windows over the reduced frame."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    pts = ev.groupBy("value").agg(
+        F.count_if(F.col("event_type") == "purchase").alias("na"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    rk = pts.select(
+        "na",
+        "t",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).alias("below"),
+    )
+    s = rk.agg(
+        F.sum(
+            F.col("na") * (F.col("below") + (F.col("t") + 1) / F.lit(2.0))
+        ).alias("r1"),
+        F.sum("na").alias("n1"),
+        (F.sum("t") - F.sum("na")).alias("n2"),
+        F.sum("t").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+    )
+    n1, n2, n = F.col("n1"), F.col("n2"), F.col("n")
+    u = F.col("r1") - n1 * (n1 + 1) / F.lit(2.0)
+    sigma = F.sqrt(
+        n1.cast("double") * n2 / F.lit(12.0)
+        * ((n + 1) - F.col("tie3").cast("double") / (n * (n - 1)))
+    )
+    return s.select(
+        n1.cast("bigint").alias("n_a"),
+        n2.cast("bigint").alias("n_b"),
+        F.round(u, 1).alias("u_stat"),
+        F.round((u - n1 * n2 / F.lit(2.0)) / sigma, 6).alias("z_score"),
+    )
+
+
+@register(
+    "agg_winsorized_mean",
+    f"""
+    WITH q AS (
+        SELECT c_mktsegment,
+               QUANTILE_CONT(c_acctbal, 0.05) AS lo,
+               QUANTILE_CONT(c_acctbal, 0.95) AS hi
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND({sql_dsum('LEAST(GREATEST(c_acctbal, lo), hi)')} / COUNT(*), 4)
+               AS winsorized_mean,
+           ROUND({sql_dsum('c_acctbal')} / COUNT(*), 4) AS raw_mean
+    FROM customer c JOIN q ON q.c_mktsegment = c.c_mktsegment
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (clip at the 5th/95th percentile, then average) per
+    market segment, next to the raw mean — the robust-location estimator
+    that, unlike the trimmed mean, keeps n constant by clamping outliers
+    instead of dropping them. Two passes: an exact-percentile aggregate
+    per segment (5 rows, broadcast back) and one quantized-sum average of
+    the clipped column. At 100 TB the percentile pass is the same
+    distributed exact-percentile machinery as ``agg_percentile``; the
+    clip+mean pass is map-only before its final aggregation."""
+    cust = load_table(spark, sf_dir, "customer")
+    q = cust.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", F.lit(0.05)).alias("lo"),
+        F.percentile("c_acctbal", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi"))
+    return (
+        cust.join(F.broadcast(q), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(dsum(clipped) / F.count(F.lit(1)), 4).alias("winsorized_mean"),
+            F.round(dsum("c_acctbal") / F.count(F.lit(1)), 4).alias("raw_mean"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "agg_theil_index",
+    f"""
+    WITH mu AS (
+        SELECT c_mktsegment,
+               {sql_dsum('c_acctbal')} / COUNT(*) AS mean_bal,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment
+    )
+    SELECT c.c_mktsegment, n,
+           ROUND(CAST(SUM(CAST(FLOOR(1000000.0 * (c_acctbal / mean_bal)
+                     * LN(c_acctbal / mean_bal)) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 / n, 6) AS theil_t
+    FROM customer c JOIN mu ON mu.c_mktsegment = c.c_mktsegment
+    WHERE c_acctbal > 0
+    GROUP BY c.c_mktsegment, n
+    ORDER BY c.c_mktsegment
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of positive account balances per segment:
+    T = (1/n)·Σ (x/μ)·ln(x/μ) — the entropy-based complement to the Gini
+    coefficient already in the registry (``agg_gini``), decomposable
+    across subgroups, which is why large-corpus audits prefer it. Two
+    aggregation passes (exact mean, then quantized term sum against the
+    broadcast means); per-row terms are floor-quantized to millionths so
+    the Σ is order-independent."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    mu = cust.groupBy("c_mktsegment").agg(
+        (dsum("c_acctbal") / F.count(F.lit(1))).alias("mean_bal"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ratio = F.col("c_acctbal") / F.col("mean_bal")
+    term_q = F.floor(F.lit(1000000.0) * ratio * F.log(ratio)).cast("bigint")
+    return (
+        cust.join(F.broadcast(mu), "c_mktsegment")
+        .groupBy("c_mktsegment", "n")
+        .agg(
+            F.round(
+                F.sum(term_q).cast("double") / F.lit(1000000.0) / F.col("n").cast("double"),
+                6,
+            ).alias("theil_t")
+        )
+        .select("c_mktsegment", "n", "theil_t")
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "ts_cross_correlation",
+    """
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS c,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS p
+        FROM events GROUP BY 1
+    ), lags AS (
+        SELECT UNNEST(RANGE(0, 8)) AS lag
+    ), j AS (
+        SELECT lag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(a.c) AS DOUBLE) AS sx, CAST(SUM(b.p) AS DOUBLE) AS sy,
+               CAST(SUM(a.c * b.p) AS DOUBLE) AS sxy,
+               CAST(SUM(a.c * a.c) AS DOUBLE) AS sxx,
+               CAST(SUM(b.p * b.p) AS DOUBLE) AS syy
+        FROM lags
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.day = a.day + CAST(lag AS INTEGER)
+        GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_days,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r
+    FROM j ORDER BY lag
+    """,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily click series and the
+    daily purchase series (does click volume lead purchases?): Pearson r
+    of (clicks on day d, purchases on day d+lag) for lags 0…7.
+
+    The events table reduces to ONE row per day first (partial→final
+    conditional counts — the only stage that sees the raw data), and the
+    lag scan is a broadcast-joined 8×|days| self-join over that daily
+    frame with r computed from exact integer sufficient sums. The same
+    plan at 100 TB still shuffles only the daily rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.count_if(F.col("event_type") == "click").alias("c"),
+        F.count_if(F.col("event_type") == "purchase").alias("p"),
+    )
+    lags = spark.range(8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.alias("a").crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("day").alias("b_day"), F.col("p").alias("b_p")
+    ).alias("b")
+    j = (
+        a.join(b, F.col("b_day") == F.date_add(F.col("a.day"), F.col("lag")))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("a.c").cast("double").alias("sx"),
+            F.sum("b_p").cast("double").alias("sy"),
+            F.sum(F.col("a.c") * F.col("b_p")).cast("double").alias("sxy"),
+            F.sum(F.col("a.c") * F.col("a.c")).cast("double").alias("sxx"),
+            F.sum(F.col("b_p") * F.col("b_p")).cast("double").alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return j.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        n.cast("bigint").alias("n_days"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r"),
+    ).orderBy("lag")

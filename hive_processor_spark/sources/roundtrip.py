@@ -705,3 +705,61 @@ def scan_csv_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(path)
         .orderBy("n_nationkey")
     )
+
+@register("scan_xml_roundtrip", "SELECT * FROM supplier")
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink (Spark 4 native, no external package): write the
+    supplier table as row-tagged XML, read it back with the source schema
+    (XML carries no types; inference would widen) — the ingest path for
+    the XML feeds enterprise pipelines still receive. Reads are
+    distributed per-file like every other file source; at scale the
+    practical layout is many medium files, which this write produces
+    (one per task)."""
+    src = load_table(spark, sf_dir, "supplier")
+    path = _scratch("xml")
+    src.write.mode("overwrite").format("xml").option("rowTag", "supplier").save(
+        path
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(src.schema)
+        .load(path)
+    )
+
+
+@register(
+    "scan_binary_files",
+    """
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+           CAST(octet_length(content) AS BIGINT) AS n_bytes,
+           md5(base64(content)) AS digest
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    ORDER BY fname
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source — whole files as (path, length, content)
+    rows, the ingestion surface for opaque multimodal payloads (images,
+    audio, archives) that no record format parses. Emits name + size +
+    content digest per file. Digest discipline: md5 over the
+    newline-stripped base64 text, because that is the bytes→text mapping
+    both engines spell identically (Spark's ``base64`` is MIME-chunked;
+    DuckDB cannot hash raw blobs). NOTE: the oracle pins the driver's
+    sf0.01 fixture dir — the differential gate always runs there; the
+    Spark side follows ``sf_dir`` as usual.
+
+    At 100 TB: binaryFile splits per file across executors and prunes
+    with ``pathGlobFilter``/``modifiedAfter``; pair it with the
+    ``mm_shard_manifest`` operator for WebDataset-style sharding."""
+    b64 = F.regexp_replace(F.base64("content"), "[\r\n]", "")
+    return (
+        spark.read.format("binaryFile")
+        .load(f"{sf_dir}/*.parquet")
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("fname"),
+            F.col("length").alias("n_bytes"),
+            F.md5(b64).alias("digest"),
+        )
+        .orderBy("fname")
+    )

@@ -283,3 +283,143 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 350000.0, "status": "F"},
     )
+
+@register(
+    "sql_groupby_all",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(28,0)))
+                AS DOUBLE) / 100.0 AS total
+    FROM orders
+    GROUP BY ALL
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def sql_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` (Spark 3.4+/DuckDB dialect sugar): every
+    non-aggregate select item becomes a grouping key — the exact same SQL
+    text runs on both engines and must produce the same plan shape as the
+    explicit column list (a plain partial→final hash aggregate)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(28,0)))
+                    AS DOUBLE) / 100.0 AS total
+        FROM orders
+        GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )
+
+
+@register(
+    "sql_distinct_on",
+    """
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey <= 100
+    ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON emulation: DuckDB/Postgres's ``DISTINCT ON (key) ...
+    ORDER BY key, rank_cols`` keeps the first row per key; Spark has no
+    DISTINCT ON, so the engine-native form is the ranked-window idiom
+    (row_number over (partition by key order by rank_cols) = 1) — the
+    rewrite every Postgres→Spark migration performs. Fully deterministic
+    because the order key chain (price DESC, orderkey) is unique per
+    customer."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "sql_qualify",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey <= 2000
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                               ORDER BY l_extendedprice DESC, l_linenumber) <= 2
+    """,
+)
+def sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY emulation: DuckDB/Snowflake's window-filter clause keeps
+    rows by a window predicate after windows evaluate; Spark (OSS) has no
+    QUALIFY, so the engine form is the explicit subquery-then-filter —
+    semantically identical, and Catalyst compiles the rank-filter to the
+    same WindowGroupLimit pushdown a native QUALIFY would use (top-2
+    lineitems per order never materialize the full window)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+_PIVOT_SQL_SPARK = """
+    SELECT * FROM (
+        SELECT o_orderpriority, o_orderstatus, o_totalprice
+        FROM orders
+    )
+    PIVOT (
+        CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(28,0)))
+             AS DOUBLE) / 100.0 AS total
+        FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p)
+    )
+    ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "sql_pivot_syntax",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(28,0)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / 100.0
+               AS f_total,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(28,0)))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) / 100.0
+               AS o_total,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(28,0)))
+                FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) / 100.0
+               AS p_total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``PIVOT`` clause (Spark SQL surface) — status columns out
+    of status rows with an exact-quantized total per cell. The oracle
+    spells the engine-neutral equivalent (FILTER conditional aggregation)
+    because pivot dialects differ; semantically a pivot IS a conditional
+    aggregate, and Spark compiles it to exactly that single hash
+    aggregate (no per-column scan)."""
+    register_views(spark, sf_dir)
+    # a single-aggregate PIVOT names its columns by the IN alias alone
+    return spark.sql(_PIVOT_SQL_SPARK).select(
+        "o_orderpriority",
+        F.col("f").alias("f_total"),
+        F.col("o").alias("o_total"),
+        F.col("p").alias("p_total"),
+    )

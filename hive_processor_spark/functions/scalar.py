@@ -820,3 +820,38 @@ def fn_struct_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_nationkey")
     )
+
+@register(
+    "fn_surrogate_key",
+    """
+    SELECT n_nationkey,
+           concat(substr(h, 1, 8), '-', substr(h, 9, 4), '-',
+                  substr(h, 13, 4), '-', substr(h, 17, 4), '-',
+                  substr(h, 21, 12)) AS sk
+    FROM (
+        SELECT n_nationkey,
+               md5(concat_ws('|', 'nation', n_nationkey, n_name)) AS h
+        FROM nation
+    ) t
+    ORDER BY n_nationkey
+    """,
+)
+def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic UUID-shaped surrogate keys: md5 over a namespaced
+    natural-key string, formatted 8-4-4-4-12 — the reproducible
+    alternative to ``uuid()``/``monotonically_increasing_id()`` (both
+    nondeterministic across retries/re-plans, which poisons incremental
+    joins at scale; a content-derived key is stable under replay,
+    speculative re-execution, and backfills). Pure codegen string ops,
+    no shuffle; identical text on both engines."""
+    nation = load_table(spark, sf_dir, "nation")
+    h = F.md5(F.concat_ws("|", F.lit("nation"), F.col("n_nationkey"), F.col("n_name")))
+    sk = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    return nation.select("n_nationkey", sk.alias("sk")).orderBy("n_nationkey")

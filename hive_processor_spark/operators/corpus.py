@@ -1244,3 +1244,83 @@ def pipeline_rejection_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("am").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
         ).alias("expected_rate"),
     )
+
+_DIFF_FP_SQL = (
+    "md5(concat_ws('|', o_custkey, o_orderstatus,"
+    " CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)))"
+)
+
+
+@register(
+    "pipeline_dataset_diff",
+    f"""
+    WITH old AS (
+        SELECT o_orderkey, {_DIFF_FP_SQL} AS fp FROM orders
+    ), new AS (
+        SELECT o_orderkey,
+               md5(concat_ws('|', o_custkey, o_orderstatus,
+                   CAST(FLOOR((o_totalprice
+                       + CASE WHEN o_orderkey % 89 = 0 THEN 10.0 ELSE 0.0 END)
+                       * 100.0) AS BIGINT))) AS fp
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, {_DIFF_FP_SQL}
+        FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE old.o_orderkey IS NULL) AS BIGINT)
+               AS n_added,
+           CAST(COUNT(*) FILTER (WHERE new.o_orderkey IS NULL) AS BIGINT)
+               AS n_removed,
+           CAST(COUNT(*) FILTER (WHERE old.o_orderkey IS NOT NULL
+                AND new.o_orderkey IS NOT NULL AND old.fp <> new.fp) AS BIGINT)
+               AS n_changed,
+           CAST(COUNT(*) FILTER (WHERE old.o_orderkey IS NOT NULL
+                AND new.o_orderkey IS NOT NULL AND old.fp = new.fp) AS BIGINT)
+               AS n_unchanged
+    FROM old FULL JOIN new ON old.o_orderkey = new.o_orderkey
+    """,
+)
+def pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff — the audit every training-data release runs:
+    count rows added / removed / changed / unchanged between two versions,
+    detected by key presence and a row content fingerprint. The "new"
+    version is derived deterministically from the fixture (drop keys
+    ≡0 mod 97, reprice keys ≡0 mod 89, append re-keyed clones of keys
+    ≡0 mod 101), so both engines diff the same pair.
+
+    Shape: one full outer join keyed by the primary key, fingerprints
+    compared post-join — shuffle ∝ |old|+|new| on the key, the minimal
+    cost of an exact diff. The fingerprint hashes only engine-stable
+    scalars (ints, strings, quantized money), per §2.3."""
+    orders = load_table(spark, sf_dir, "orders")
+    fp_of = lambda price: F.md5(  # noqa: E731
+        F.concat_ws(
+            "|",
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            F.floor(price * 100.0).cast("bigint"),
+        )
+    )
+    old = orders.select("o_orderkey", fp_of(F.col("o_totalprice")).alias("fp"))
+    changed_price = F.col("o_totalprice") + F.when(
+        F.col("o_orderkey") % 89 == 0, 10.0
+    ).otherwise(0.0)
+    new = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .select("o_orderkey", fp_of(changed_price).alias("fp"))
+        .unionAll(
+            orders.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                fp_of(F.col("o_totalprice")).alias("fp"),
+            )
+        )
+    )
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full")
+    both = F.col("o.o_orderkey").isNotNull() & F.col("n.o_orderkey").isNotNull()
+    return j.agg(
+        F.count_if(F.col("o.o_orderkey").isNull()).alias("n_added"),
+        F.count_if(F.col("n.o_orderkey").isNull()).alias("n_removed"),
+        F.count_if(both & (F.col("o.fp") != F.col("n.fp"))).alias("n_changed"),
+        F.count_if(both & (F.col("o.fp") == F.col("n.fp"))).alias("n_unchanged"),
+    )

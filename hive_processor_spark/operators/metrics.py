@@ -563,3 +563,128 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r"),
     ).orderBy("lag")
+
+@register(
+    "stats_anova_oneway",
+    f"""
+    WITH g AS (
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS DOUBLE) AS ni,
+               {sql_dsum('c_acctbal')} AS si,
+               {sql_dsum('c_acctbal * c_acctbal')} AS ssi
+        FROM customer GROUP BY c_mktsegment
+    ), t AS (
+        SELECT COUNT(*) AS k, SUM(ni) AS n, SUM(si) AS s, SUM(ssi) AS ss,
+               SUM(ssi - si * si / ni) AS ssw
+        FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(n AS BIGINT) AS n,
+           ROUND((ss - s * s / n) - ssw, 4) AS ss_between,
+           ROUND(ssw, 4) AS ss_within,
+           ROUND((((ss - s * s / n) - ssw) / (k - 1)) / (ssw / (n - k)), 6)
+               AS f_stat
+    FROM t
+    """,
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic for account balance across market
+    segments — does the group mean differ anywhere? Completes the
+    engine's hypothesis-test family (t-test, χ², KS, Mann–Whitney, runs
+    test already registered). Sufficient-statistics shape: one grouped
+    pass collects (nᵢ, Σx, Σx²) per segment through the quantized-sum
+    discipline; SSB/SSW/F are scalar algebra over the k-row frame. At
+    100 TB: one partial→final aggregate, five rows shuffled."""
+    cust = load_table(spark, sf_dir, "customer")
+    x = F.col("c_acctbal")
+    g = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("ni"),
+        dsum(x).alias("si"),
+        dsum(x * x).alias("ssi"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ni").alias("n"),
+        F.sum("si").alias("s"),
+        F.sum("ssi").alias("ss"),
+        F.sum(F.col("ssi") - F.col("si") * F.col("si") / F.col("ni")).alias("ssw"),
+    )
+    k, n, s, ss, ssw = (F.col(c) for c in ("k", "n", "s", "ss", "ssw"))
+    sst = ss - s * s / n
+    return t.select(
+        k.cast("bigint").alias("k_groups"),
+        n.cast("bigint").alias("n"),
+        F.round(sst - ssw, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round(((sst - ssw) / (k - 1)) / (ssw / (n - k)), 6).alias("f_stat"),
+    )
+
+
+@register(
+    "ml_lift_deciles",
+    """
+    WITH scored AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               NTILE(10) OVER (ORDER BY value DESC, event_id) AS decile
+        FROM events
+    ), d AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS conv
+        FROM scored GROUP BY decile
+    ), c AS (
+        SELECT decile, n, conv,
+               SUM(conv) OVER (ORDER BY decile) AS cum_conv,
+               SUM(n) OVER (ORDER BY decile) AS cum_n,
+               SUM(conv) OVER () AS tot_conv, SUM(n) OVER () AS tot_n
+        FROM d
+    )
+    SELECT decile, n, conv,
+           ROUND(CAST(conv AS DOUBLE) / n, 6) AS conv_rate,
+           ROUND(CAST(cum_conv AS DOUBLE) / tot_conv, 6) AS cum_gain,
+           ROUND((CAST(conv AS DOUBLE) / n)
+                 / (CAST(tot_conv AS DOUBLE) / tot_n), 6) AS lift
+    FROM c ORDER BY decile
+    """,
+)
+def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift/gains table by score decile — the model-evaluation report a
+    targeting campaign reads: conversion rate, cumulative gain, and lift
+    vs the base rate for each tenth of the score-ranked population. NTILE
+    is deterministic because the order chain (value DESC, event_id) is
+    unique; all metrics are ratios of exact counts. The global NTILE is
+    one total-order sort at scale — the same cost class as `topk`; the
+    per-decile rollup after it is ten rows."""
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("value"), "event_id"))
+        .cast("bigint")
+        .alias("decile"),
+    )
+    d = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("conv")
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    c = d.select(
+        "decile",
+        "n",
+        "conv",
+        F.sum("conv").over(w_cum).alias("cum_conv"),
+        F.sum("conv").over(w_all).alias("tot_conv"),
+        F.sum("n").over(w_all).alias("tot_n"),
+    )
+    conv_rate = F.col("conv").cast("double") / F.col("n")
+    base_rate = F.col("tot_conv").cast("double") / F.col("tot_n")
+    return c.select(
+        "decile",
+        "n",
+        "conv",
+        F.round(conv_rate, 6).alias("conv_rate"),
+        F.round(F.col("cum_conv").cast("double") / F.col("tot_conv"), 6).alias(
+            "cum_gain"
+        ),
+        F.round(conv_rate / base_rate, 6).alias("lift"),
+    ).orderBy("decile")

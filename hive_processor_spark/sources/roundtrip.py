@@ -763,3 +763,19 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fname")
     )
+
+@register("scan_csv_gzip_roundtrip", "SELECT * FROM customer")
+def scan_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-text ingestion: write the customer table as gzip CSV,
+    read it back with the source schema. Gzip text files are
+    NON-SPLITTABLE — one file = one task regardless of size — so the
+    write-side file count (here: the write parallelism) IS the read-side
+    parallelism; at scale keep compressed text shards ≤ ~256 MB or use a
+    splittable codec. The round-trip hash proves no loss through the
+    codec + CSV serialization."""
+    src = load_table(spark, sf_dir, "customer")
+    path = _scratch("csvgz")
+    src.write.mode("overwrite").option("header", "true").option(
+        "compression", "gzip"
+    ).csv(path)
+    return spark.read.option("header", "true").schema(src.schema).csv(path)

@@ -62,6 +62,12 @@ _RUNTIME_CONFS = {
     # events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses outright
     # (PARQUET_TYPE_ILLEGAL) without this; yields epoch-nano bigints instead.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Dynamic partition pruning: decide by plan shape (filtered dim joined
+    # on a partition column), not file-size stats — at the 100 TB design
+    # point the fact side is always large enough to benefit, while the
+    # sf≤0.1 fixtures' tiny files make the stats heuristic reject pruning
+    # and hide the plan regression tests would catch.
+    "spark.sql.optimizer.dynamicPartitionPruning.useStats": "false",
 }
 
 

@@ -546,3 +546,51 @@ def profile_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_orphans").cast("double") / F.col("n_child").cast("double"), 6
         ).alias("orphan_rate"),
     ).orderBy("fk")
+
+@register(
+    "cdc_scd2_build",
+    """
+    WITH chg AS (
+        SELECT user_id,
+               CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS valid_from,
+               event_id,
+               (FLOOR(value * 100.0) / 100.0) AS value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to,
+           value,
+           (LEAD(valid_from) OVER (PARTITION BY user_id
+                                   ORDER BY valid_from, event_id) IS NULL)
+               AS is_current
+    FROM chg
+    ORDER BY user_id, valid_from, event_id
+    """,
+)
+def cdc_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build an SCD Type-2 dimension from a change stream: each purchase
+    event opens a version interval [valid_from, valid_to) per user,
+    closed by the next change via LEAD, open-ended (NULL + is_current)
+    for the latest — the complement of ``scd_point_in_time``, which
+    queries such a table. One window partitioned by the natural key; at
+    100 TB this is the standard one-shuffle history rebuild (and the
+    incremental variant merges only keys present in the new batch).
+    Epoch-second grain keeps both engines' timestamp arithmetic exact."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    chg = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("valid_from"),
+        "event_id",
+        (F.floor(F.col("value") * 100.0) / 100.0).alias("value"),
+    )
+    w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return chg.select(
+        "user_id",
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+        "value",
+        F.lead("valid_from").over(w).isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from", "event_id")

@@ -1242,3 +1242,138 @@ def embed_cell_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cx", "cy", "vec_id", "label")
         .orderBy("cx", "cy")
     )
+
+_BSIG_SQL = """
+    WITH bsig AS (
+        SELECT vec_id,
+               BIT_OR(CASE WHEN i < 32 AND embedding[i + 1] > 0
+                      THEN (1::BIGINT << i) ELSE 0 END) AS lo,
+               BIT_OR(CASE WHEN i >= 32 AND embedding[i + 1] > 0
+                      THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS hi
+        FROM (SELECT vec_id, embedding, CAST(UNNEST(RANGE(0, 64)) AS INT) AS i
+              FROM embeddings) t
+        GROUP BY vec_id
+    )
+"""
+
+
+@register(
+    "embed_binary_quantize",
+    _BSIG_SQL
+    + """
+    SELECT b.vec_id,
+           CAST(bit_count(xor(b.lo, q.lo)) + bit_count(xor(b.hi, q.hi)) AS INT)
+               AS hamming
+    FROM bsig b, (SELECT lo, hi FROM bsig WHERE vec_id = 0) q
+    WHERE b.vec_id <> 0
+    ORDER BY hamming, b.vec_id
+    LIMIT 10
+    """,
+)
+def embed_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit embedding quantization + Hamming retrieval: pack each
+    64-dim vector's sign bits into two 32-bit words (two BIGINTs — both
+    engines reject a 1<<63 shift), then rank the corpus against a query
+    vector by Hamming distance — 32× smaller than float32 and the
+    distance is two XOR+popcounts, the memory-bound regime modern
+    binary-embedding search runs in. The packing is a zero-shuffle
+    per-row projection (same discipline as the simhash signatures);
+    ranking broadcasts the 2-word query. Ties break by vec_id for a
+    deterministic top-10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bsig = emb.select(
+        "vec_id",
+        F.expr(
+            "aggregate(sequence(0, 31), 0L, (acc, i) -> acc | "
+            "CASE WHEN element_at(embedding, CAST(i + 1 AS INT)) > 0 "
+            "THEN shiftleft(1L, CAST(i AS INT)) ELSE 0L END)"
+        ).alias("lo"),
+        F.expr(
+            "aggregate(sequence(32, 63), 0L, (acc, i) -> acc | "
+            "CASE WHEN element_at(embedding, CAST(i + 1 AS INT)) > 0 "
+            "THEN shiftleft(1L, CAST(i - 32 AS INT)) ELSE 0L END)"
+        ).alias("hi"),
+    )
+    q = bsig.filter(F.col("vec_id") == 0).select(
+        F.col("lo").alias("q_lo"), F.col("hi").alias("q_hi")
+    )
+    hamming = F.bit_count(
+        F.col("lo").bitwiseXOR(F.col("q_lo"))
+    ) + F.bit_count(F.col("hi").bitwiseXOR(F.col("q_hi")))
+    return (
+        bsig.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", hamming.cast("int").alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "sim_matryoshka_recall",
+    f"""
+    WITH full_top AS (
+        SELECT b.vec_id
+        FROM embeddings b, (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) qq
+        WHERE b.vec_id <> 0
+        ORDER BY ROUND({sql_cosine_q('b.embedding', 'qq.q')}, 4) DESC, b.vec_id
+        LIMIT 10
+    ), prefix_top AS (
+        SELECT b.vec_id
+        FROM embeddings b, (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) qq
+        WHERE b.vec_id <> 0
+        ORDER BY ROUND({sql_cosine_q('b.embedding[1:16]', 'qq.q[1:16]')}, 4) DESC,
+                 b.vec_id
+        LIMIT 10
+    )
+    SELECT CAST((SELECT COUNT(*) FROM prefix_top p
+                 JOIN full_top f ON f.vec_id = p.vec_id) AS BIGINT) AS n_overlap,
+           ROUND((SELECT COUNT(*) FROM prefix_top p
+                  JOIN full_top f ON f.vec_id = p.vec_id) / 10.0, 4) AS recall_at_10
+    """,
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: how much of the exact top-10
+    (full 64-dim cosine) the first-16-dims prefix ranking recovers —
+    the measurement that decides whether a cheap prefix pass can front a
+    full-precision rerank (the standard two-stage retrieval at scale:
+    prefix scan everywhere, full-dim rerank on the shortlist). Both
+    rankings broadcast the query and scan once; the overlap join is two
+    10-row sides. Deterministic: quantized cosine, rounded, vec_id
+    tiebreak."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    base = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    full_top = (
+        base.select(
+            "vec_id",
+            F.round(cosine_q(F.col("embedding"), F.col("q_emb")), 4).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    prefix_top = (
+        base.select(
+            "vec_id",
+            F.round(
+                cosine_q(
+                    F.slice(F.col("embedding"), 1, 16),
+                    F.slice(F.col("q_emb"), 1, 16),
+                ),
+                4,
+            ).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    overlap = prefix_top.join(full_top, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return overlap.select(
+        "n_overlap",
+        F.round(F.col("n_overlap") / 10.0, 4).alias("recall_at_10"),
+    )

@@ -779,3 +779,104 @@ def scan_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "compression", "gzip"
     ).csv(path)
     return spark.read.option("header", "true").schema(src.schema).csv(path)
+
+@register(
+    "scan_file_lineage",
+    """
+    SELECT o_orderstatus AS part_value,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS n_files
+    FROM orders GROUP BY o_orderstatus ORDER BY part_value
+    """,
+)
+def scan_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level lineage via ``input_file_name()``: write orders
+    partitioned by status (repartitioned so each partition is exactly one
+    file), read back, and account every row to its physical file — the
+    primitive behind incremental reprocessing ("which files fed this
+    result?") and per-file audit counts. The oracle states the invariant
+    the layout guarantees: per-partition-value counts with one file each.
+    At scale the same groupBy(input_file_name) audits million-file tables
+    without any metadata service."""
+    src = load_table(spark, sf_dir, "orders")
+    path = _scratch("lineage")
+    src.repartition("o_orderstatus").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    per_file = back.groupBy(
+        F.col("o_orderstatus").cast("string").alias("part_value"),
+        F.input_file_name().alias("file"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_file.groupBy("part_value")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.countDistinct("file").alias("n_files"),
+        )
+        .orderBy("part_value")
+    )
+
+@register(
+    "join_dpp_runtime",
+    """
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(e.value * 100.0) AS DECIMAL(28,0))) AS DOUBLE)
+               / 100.0 AS total_value
+    FROM events e
+    JOIN (VALUES ('click', 1), ('view', 0), ('purchase', 1),
+                 ('signup', 0), ('error', 0))
+         AS dim(event_type, wanted)
+      ON dim.event_type = e.event_type
+    WHERE dim.wanted = 1
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def join_dpp_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out partitioned
+    by event_type; the dim side's filter (wanted = true) is only known at
+    plan time through the join, so Spark injects a runtime subquery that
+    prunes fact PARTITIONS before the scan — at 100 TB the scan reads 2/5
+    of the directory tree instead of all of it, without the query author
+    naming the partitions. (Static pruning is `scan_partition_prune`;
+    this is its join-driven twin, plan-asserted in tests/test_plans.py.)
+    The oracle states the equivalent explicit filter join."""
+    ev = load_table(spark, sf_dir, "events")
+    path = _scratch("dpp")
+    ev.repartition("event_type").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    # the dim must be a FILE source: a local relation's filter constant-
+    # folds away before the DPP rule looks for a selective predicate
+    dim_path = _scratch("dpp_dim")
+    spark.createDataFrame(
+        [
+            ("click", 1),
+            ("view", 0),
+            ("purchase", 1),
+            ("signup", 0),
+            ("error", 0),
+        ],
+        "event_type string, wanted int",
+    ).write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+    return (
+        # an INT flag compared with =, not a boolean column: Catalyst's
+        # BooleanSimplification folds `bool = true` back to the bare
+        # attribute, which the DPP rule's isLikelySelective() rejects
+        fact.join(F.broadcast(dim.filter(F.col("wanted") == 1)), "event_type")
+        .groupBy(F.col("event_type").cast("string").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.floor(F.col("value") * 100.0).cast("decimal(28,0)")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -310,3 +310,22 @@ def test_hash_hint_forces_shuffled_hash_join(spark):
     plan = plan_string(_QUERIES["join_hash_hinted"](spark, SF_DIR))
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+def test_dpp_runtime_prunes_fact_partitions(spark):
+    """join_dpp_runtime: the dim filter must reach the fact scan as a
+    runtime partition-pruning subquery (the 100 TB directory-skip)."""
+    plan = plan_string(_QUERIES["join_dpp_runtime"](spark, SF_DIR))
+    assert "dynamicpruning" in plan.lower()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_prefilter_before_exchange(spark):
+    """join_bloom_prefilter: the bitmap probe must run BEFORE the
+    semi-join's shuffle — a Filter containing the bloom probe under the
+    Exchange, so the prefiltered fact is what ships."""
+    plan = plan_string(_QUERIES["join_bloom_prefilter"](spark, SF_DIR))
+    shuffled_join = plan.split("ShuffledHashJoin")
+    assert len(shuffled_join) >= 2, "exact semi-join must stay shuffled"
+    # the bloom probe (element_at over the broadcast bitmap) appears in a
+    # Filter on the streamed side of the plan
+    assert "element_at" in plan

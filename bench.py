@@ -53,6 +53,11 @@ HEADLINE = [
     "stats_mad_outliers",  # two-pass exact median/MAD robust outliers
     "embed_outliers",     # centroid-distance embedding outlier sweep
     "text_bm25",          # BM25 retrieval scoring over the corpus
+    # round-3 additions
+    "join_bloom_prefilter",  # codegen bloom bitmap semi-join reduction
+    "embed_binary_quantize",  # 1-bit pack + Hamming retrieval
+    "ml_ndcg",            # quantized NDCG@10 ranking metric
+    "events_retention_curve",  # cohort retention triangle
 ]
 
 

@@ -1884,3 +1884,209 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+_DS_CASE = " ".join(f"WHEN {j} THEN {w}" for j, w in _EWMA_W.items())
+
+
+@register(
+    "ts_double_smoothing",
+    f"""
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ), s1 AS (
+        SELECT a.day, a.n,
+               ROUND(CAST(SUM(b.n * CASE DATE_DIFF('day', b.day, a.day)
+                               {_DS_CASE} END) AS DOUBLE)
+                     / CAST(SUM(CASE DATE_DIFF('day', b.day, a.day)
+                               {_DS_CASE} END) AS DOUBLE), 6) AS s1
+        FROM daily a JOIN daily b
+          ON b.day <= a.day AND b.day >= a.day - INTERVAL {_EWMA_K} DAY
+        GROUP BY a.day, a.n
+    ), s2 AS (
+        SELECT a.day, a.n, a.s1,
+               ROUND(CAST(SUM(CAST(FLOOR(1000000.0 * b.s1
+                               * (CASE DATE_DIFF('day', b.day, a.day)
+                                  {_DS_CASE} END)) AS BIGINT)) AS DOUBLE)
+                     / 1000000.0
+                     / CAST(SUM(CASE DATE_DIFF('day', b.day, a.day)
+                               {_DS_CASE} END) AS DOUBLE), 6) AS s2
+        FROM s1 a JOIN s1 b
+          ON b.day <= a.day AND b.day >= a.day - INTERVAL {_EWMA_K} DAY
+        GROUP BY a.day, a.n, a.s1
+    )
+    SELECT day, n, s1, s2, ROUND(2.0 * s1 - s2, 6) AS forecast_next
+    FROM s2 ORDER BY day
+    """,
+)
+def ts_double_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing of the daily event count —
+    level (s1), double-smoothed level (s2), and the one-step trend-aware
+    forecast 2·s1 − s2. Built as the EWMA operator applied twice: two
+    bounded-range self-joins over the ONE-ROW-PER-DAY spine, with
+    integer 2^(K−j) weights (exact first stage) and floor-quantized
+    second-stage terms so both engines sum identically. At 100 TB only
+    the daily rollup touches raw data; the smoothing joins cost
+    |days|·(K+1) rows regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+    def weight(lag):
+        w = None
+        for j, wgt in _EWMA_W.items():
+            w = F.when(lag == j, F.lit(wgt)) if w is None else w.when(
+                lag == j, F.lit(wgt)
+            )
+        return w
+
+    def smooth(frame: DataFrame, col: str, quantized: bool) -> DataFrame:
+        a, b = frame.alias("a"), frame.alias("b")
+        lag = F.datediff(F.col("a.day").cast("date"), F.col("b.day").cast("date"))
+        # broadcast the lookback side: one row per day by construction at
+        # any corpus scale, and without it the pure range condition plans
+        # as a CartesianProduct (caught by tools/plan_lint)
+        j = a.join(
+            F.broadcast(b),
+            (F.col("b.day") <= F.col("a.day"))
+            & (
+                F.col("b.day")
+                >= F.col("a.day") - F.expr(f"INTERVAL {_EWMA_K} DAYS")
+            ),
+        )
+        w = weight(lag)
+        if quantized:
+            num = F.sum(
+                F.floor(F.lit(1000000.0) * F.col(f"b.{col}") * w).cast("bigint")
+            ).cast("double") / F.lit(1000000.0)
+        else:
+            num = F.sum(F.col(f"b.{col}") * w).cast("double")
+        keep = [F.col(f"a.{c}").alias(c) for c in frame.columns]
+        return (
+            j.groupBy(*keep)
+            .agg(F.round(num / F.sum(w).cast("double"), 6).alias("sm"))
+        )
+
+    s1 = smooth(daily, "n", quantized=False).withColumnRenamed("sm", "s1")
+    s2 = smooth(s1, "s1", quantized=True).withColumnRenamed("sm", "s2")
+    return s2.select(
+        "day",
+        "n",
+        "s1",
+        "s2",
+        F.round(2.0 * F.col("s1") - F.col("s2"), 6).alias("forecast_next"),
+    ).orderBy("day")
+
+@register(
+    "events_retention_curve",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)) AS cohort_day
+        FROM events GROUP BY user_id
+    ), active AS (
+        SELECT DISTINCT user_id,
+               CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day
+        FROM events
+    ), cohort_sizes AS (
+        SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM firsts GROUP BY cohort_day
+    ), offsets AS (
+        SELECT f.cohort_day,
+               DATE_DIFF('day', f.cohort_day, a.day) AS day_offset,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+        FROM firsts f JOIN active a ON a.user_id = f.user_id
+        WHERE DATE_DIFF('day', f.cohort_day, a.day) BETWEEN 0 AND 7
+        GROUP BY 1, 2
+    )
+    SELECT o.cohort_day, CAST(o.day_offset AS INT) AS day_offset,
+           o.n_active, s.n_users,
+           ROUND(CAST(o.n_active AS DOUBLE) / s.n_users, 6) AS retention
+    FROM offsets o JOIN cohort_sizes s ON s.cohort_day = o.cohort_day
+    ORDER BY o.cohort_day, day_offset
+    """,
+)
+def events_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full retention triangle: for each signup cohort (first-seen
+    day), the fraction of users active at day offsets 0…7 — the curve
+    behind every "D1/D7 retention" dashboard, where ``events_retention``
+    reports only the next-day point. Three reduced frames (first-seen per
+    user, distinct user-days, cohort sizes) joined on the user key; the
+    raw table is touched twice, both times collapsing straight into
+    partial→final aggregates, and the triangle itself is
+    |cohorts|×8 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    active = ev.select("user_id", day.alias("day")).distinct()
+    sizes = firsts.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("n_users"))
+    off = F.datediff(F.col("day").cast("date"), F.col("cohort_day").cast("date"))
+    offsets = (
+        firsts.join(active, "user_id")
+        .select("cohort_day", off.alias("day_offset"), "user_id")
+        .filter((F.col("day_offset") >= 0) & (F.col("day_offset") <= 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        offsets.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            F.col("day_offset").cast("int").alias("day_offset"),
+            "n_active",
+            "n_users",
+            F.round(
+                F.col("n_active").cast("double") / F.col("n_users"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
+    "events_velocity_flags",
+    """
+    WITH w AS (
+        SELECT user_id, ts, event_id,
+               CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                   - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT), 2)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS span3
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE span3 IS NOT NULL AND span3 <= 3600)
+                AS BIGINT) AS n_bursts,
+           CAST(MIN(span3) AS BIGINT) AS tightest_span_s
+    FROM w
+    GROUP BY user_id
+    HAVING COUNT(*) FILTER (WHERE span3 IS NOT NULL AND span3 <= 3600) > 0
+    ORDER BY user_id
+    """,
+)
+def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity / rapid-fire detection: users with 3 events inside any
+    one-hour span (the sliding trigger behind rate limits and fraud
+    rules; the window is a tuning knob — fixture traffic is ~1 event/40
+    min/user, so an hour is the "suspiciously fast" grain here), counted
+    exactly with a 2-back LAG — the span of events
+    (i−2, i−1, i) is one subtraction per row, no interval self-join.
+    One window partitioned by the natural key; at 100 TB the per-user
+    ordering is the same shuffle every sessionization already pays."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    span3 = epoch - F.lag(epoch, 2).over(w)
+    flagged = ev.select("user_id", span3.alias("span3"))
+    burst = F.col("span3").isNotNull() & (F.col("span3") <= 3600)
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count_if(burst).alias("n_bursts"),
+            F.min("span3").alias("tightest_span_s"),
+        )
+        .filter(F.col("n_bursts") > 0)
+        .orderBy("user_id")
+    )

@@ -688,3 +688,87 @@ def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(conv_rate / base_rate, 6).alias("lift"),
     ).orderBy("decile")
+
+@register(
+    "ml_psi_stability",
+    """
+    WITH b AS (
+        SELECT LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bucket,
+               CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS na,
+               CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS nb
+        FROM events GROUP BY 1
+    ), p AS (
+        SELECT bucket,
+               GREATEST(CAST(na AS DOUBLE) / SUM(na) OVER (), 1e-6) AS pa,
+               GREATEST(CAST(nb AS DOUBLE) / SUM(nb) OVER (), 1e-6) AS pb
+        FROM b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           ROUND(CAST(SUM(CAST(FLOOR(1000000000.0 * (pa - pb) * LN(pa / pb))
+                     AS BIGINT)) AS DOUBLE) / 1000000000.0, 6) AS psi
+    FROM p
+    """,
+)
+def ml_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the score distributions of two
+    user cohorts (even vs odd user_id — the fixture's stand-in for
+    reference vs current window): Σ (p_a − p_b)·ln(p_a/p_b) over ten
+    fixed score buckets, the drift gate every deployed-model monitor
+    evaluates (PSI > 0.25 → investigate). One bucketed conditional count
+    is the only stage that sees data; zero-share buckets floor at 1e-6 on
+    both engines and each term is nano-quantized before the 10-term
+    sum."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50.0).cast("bigint"), F.lit(9))
+    b = ev.groupBy(bucket.alias("bucket")).agg(
+        F.count_if(F.col("user_id") % 2 == 0).alias("na"),
+        F.count_if(F.col("user_id") % 2 == 1).alias("nb"),
+    )
+    wall = Window.partitionBy()
+    p = b.select(
+        "bucket",
+        F.greatest(
+            F.col("na").cast("double") / F.sum("na").over(wall), F.lit(1e-6)
+        ).alias("pa"),
+        F.greatest(
+            F.col("nb").cast("double") / F.sum("nb").over(wall), F.lit(1e-6)
+        ).alias("pb"),
+    )
+    term = F.floor(
+        F.lit(1000000000.0)
+        * (F.col("pa") - F.col("pb"))
+        * F.log(F.col("pa") / F.col("pb"))
+    ).cast("bigint")
+    return p.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(F.sum(term).cast("double") / F.lit(1000000000.0), 6).alias("psi"),
+    )
+
+
+@register(
+    "ml_brier_score",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND({sql_dsum(
+               "(LEAST(value / 500.0, 1.0) - "
+               "CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) * "
+               "(LEAST(value / 500.0, 1.0) - "
+               "CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)", 6)}
+               / COUNT(*), 6) AS brier
+    FROM events
+    """,
+)
+def ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the value-derived probability forecast (p =
+    value/500 clipped to 1) against the purchase outcome — the proper
+    scoring rule that complements the calibration-error operator. One
+    quantized-sum pass; the squared errors are floor-quantized to
+    micros, so the corpus mean is bit-stable at any parallelism."""
+    ev = load_table(spark, sf_dir, "events")
+    p = F.least(F.col("value") / 500.0, F.lit(1.0))
+    y = F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+    err2 = (p - y) * (p - y)
+    return ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(dsum(err2, 6) / F.count(F.lit(1)), 6).alias("brier"),
+    )

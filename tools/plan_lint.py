@@ -1,0 +1,91 @@
+"""Registry-wide physical-plan lint: catch scale anti-patterns at sf0.001.
+
+Rules (each with an explicit allowlist — an entry there is a *reviewed*
+exception, not a pass):
+
+- ``CartesianProduct``: an unconstrained n×m join is never the plan you
+  want at 100 TB. Allowed only where the operator's semantics are a true
+  cross join (``join_cross``) — broadcast nested-loop joins (bounded build
+  side) do NOT trigger this rule.
+- ``BatchEvalPython`` (row-at-a-time Python UDF): the slow path; allowed
+  only in the queries that exist to prove that surface.
+- ``InMemoryTableScan`` outside the cache-plane queries: caching inside an
+  operator hides its real cost from the bench and can pin executor memory
+  at scale. (``localCheckpoint``/persist produce RDD scans, not
+  InMemoryTableScan, so layout pinning stays allowed.)
+
+Usage:
+    python -m tools.plan_lint            # lint every oracle-backed query
+    python -m tools.plan_lint name ...   # lint specific queries
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from hive_processor_spark import get_spark, oracles, queries
+from hive_processor_spark.plans import plan_string
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+#: query -> reviewed reason
+CARTESIAN_OK = {
+    "join_cross": "the operator IS a cross join (bounded 25x5 dims)",
+}
+PY_UDF_OK = {
+    "udf_python": "exists to prove the row-at-a-time UDF surface",
+    "udf_registered_sql": "SQL-registered Python UDF surface",
+    "udtf_python": "Python UDTF surface",
+    "udtf_table_partition": "partitioned UDTF surface",
+}
+CACHE_SCAN_OK = {
+    "cache_table": "the operator proves the cache plane",
+    "cache_broadcast_lookup": "the operator proves the cache plane",
+    "basket_pairs": (
+        "deliberate persist(): one basket build reused by three consumers;"
+        " lineage-backed (round-2 verdict item 6), LRU-evictable"
+    ),
+}
+
+RULES = (
+    ("CartesianProduct", CARTESIAN_OK),
+    ("BatchEvalPython", PY_UDF_OK),
+    ("InMemoryTableScan", CACHE_SCAN_OK),
+)
+
+
+def lint(names: list[str] | None = None) -> dict[str, list[str]]:
+    qs, ors = queries(), oracles()
+    targets = names or sorted(ors)
+    spark = get_spark(shuffle_partitions=4)
+    bad: dict[str, list[str]] = {}
+    for name in targets:
+        try:
+            plan = plan_string(qs[name](spark, SF_SMALL))
+        except Exception as e:  # building the frame failed outright
+            bad[name] = [f"plan construction raised: {e!r:.120}"]
+            continue
+        hits = [
+            marker
+            for marker, allow in RULES
+            if marker in plan and name not in allow
+        ]
+        if hits:
+            bad[name] = hits
+    return bad
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+    bad = lint(args.names or None)
+    for name, hits in sorted(bad.items()):
+        print(f"LINT {name}: {', '.join(hits)}")
+    print(f"== {len(bad)} queries flagged ==")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1355,3 +1355,53 @@ def graph_cc_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+@register("graph_kcore")  # Tier R: iterative peeling fixpoint has no SQL twin
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=2) of the simhash near-dup graph by
+    iterative peeling: repeatedly drop nodes with degree < k until the
+    fixpoint — the subgraph where every surviving node keeps ≥ k
+    surviving neighbors. Dedup pipelines read the core as the
+    "dense duplication nucleus" (template farms, mirrored boilerplate)
+    vs the peelable fringe of incidental matches.
+
+    Each round is one distributed degree aggregate + one semi-join that
+    shrinks the edge list; the loop is driver-coordinated with a
+    convergence count, exactly the dedup_cluster/pagerank shape, and the
+    edge list re-pins (localCheckpoint) every round so lineage stays
+    O(1) deep. Peeling is confluent — the fixpoint is unique regardless
+    of removal order — so the result is deterministic at any parallelism
+    (the equality with a single-machine reference peeler is pinned in
+    tests/test_properties.py). Bounded by O(peeling rounds) ≤ degeneracy
+    ordering depth; 20-round cap raises rather than silently truncates.
+    """
+    k = 2
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    for _ in range(20):
+        if n_edges == 0:
+            break
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("src")
+        pruned = (
+            edges.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n_pruned = pruned.count()
+        if n_pruned == n_edges:
+            break
+        edges, n_edges = pruned, n_pruned
+    else:  # pragma: no cover - fixture converges in < 20 rounds
+        raise RuntimeError("k-core peeling did not converge in 20 rounds")
+    return (
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("doc_id")
+    )

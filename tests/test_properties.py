@@ -613,3 +613,31 @@ def test_compaction_preserves_rows(spark):
     assert out["before"]["n_files"] == 64
     assert out["after"]["n_files"] < out["before"]["n_files"]
     assert out["after"]["n_rows"] == out["before"]["n_rows"] > 0
+
+def test_kcore_equals_reference_peeler(spark):
+    """graph_kcore must equal a single-machine reference peeling of the
+    same edge set (peeling is confluent → unique fixpoint), and every
+    surviving node must keep >= k surviving neighbors."""
+    k = 2
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in _QUERIES["dedup_simhash_pairs"](spark, SF_DIR).collect()
+    ]
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    expected = {n: len(nb) for n, nb in adj.items()}
+    got = {
+        r.doc_id: r.core_degree
+        for r in _QUERIES["graph_kcore"](spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert all(d >= k for d in got.values())

@@ -1283,14 +1283,17 @@ def embed_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     bsig = emb.select(
         "vec_id",
+        # try_element_at, not element_at: ANSI element_at throws on an
+        # out-of-bounds index, where DuckDB list indexing yields NULL —
+        # try_element_at matches the oracle if the fixture dim ever shrinks
         F.expr(
             "aggregate(sequence(0, 31), 0L, (acc, i) -> acc | "
-            "CASE WHEN element_at(embedding, CAST(i + 1 AS INT)) > 0 "
+            "CASE WHEN try_element_at(embedding, CAST(i + 1 AS INT)) > 0 "
             "THEN shiftleft(1L, CAST(i AS INT)) ELSE 0L END)"
         ).alias("lo"),
         F.expr(
             "aggregate(sequence(32, 63), 0L, (acc, i) -> acc | "
-            "CASE WHEN element_at(embedding, CAST(i + 1 AS INT)) > 0 "
+            "CASE WHEN try_element_at(embedding, CAST(i + 1 AS INT)) > 0 "
             "THEN shiftleft(1L, CAST(i - 32 AS INT)) ELSE 0L END)"
         ).alias("hi"),
     )

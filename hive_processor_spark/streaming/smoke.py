@@ -456,3 +456,45 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         final, "user_id bigint, final_value double, n_changes bigint"
     ).orderBy("user_id")
+
+@register("stream_session_window")  # Tier R: true-stream session windows
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` on a TRUE stream: per-user sessions with a
+    30-minute gap, built incrementally across file-by-file replay with a
+    watermark — the streaming twin of the batch ``stream_session``
+    operator (eventtime.py), which the equality test in
+    tests/test_streaming.py compares it against. Session state merges
+    across micro-batches (windows extend/fuse as rows arrive), which is
+    exactly the stateful machinery a batch backfill never exercises.
+    Output: per-user session count + total sessionized events."""
+    path, ev = _replay_dir(spark, sf_dir)
+    schema = ev.schema
+    name = f"sw_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{path}/*.parquet")
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            F.col("user_id"),
+            F.session_window("ts", "30 minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

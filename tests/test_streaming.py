@@ -203,3 +203,21 @@ def test_stream_cdc_apply_equals_batch(spark):
     got = stream_cdc_apply(spark, SF_DIR).collect()
     want = cdc_latest_wins(spark, SF_DIR).collect()
     assert got == want
+
+def test_stream_session_window_equals_batch(spark):
+    """True-stream session_window final state must equal the batch
+    sessionization (same 30-min gap) — the lambda-architecture proof for
+    native session windows."""
+    got = {
+        (r.user_id, r.n_sessions, r.n_events)
+        for r in _QUERIES["stream_session_window"](spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events")
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n").alias("n_events"))
+    )
+    want = {(r.user_id, r.n_sessions, r.n_events) for r in batch.collect()}
+    assert got == want

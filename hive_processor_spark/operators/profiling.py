@@ -594,3 +594,68 @@ def cdc_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.lead("valid_from").over(w).isNull().alias("is_current"),
     ).orderBy("user_id", "valid_from", "event_id")
+
+@register(
+    "profile_join_skew",
+    """
+    WITH keys AS (
+        SELECT 'l_orderkey' AS key_col, l_orderkey AS k FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey', l_partkey FROM lineitem
+        UNION ALL
+        SELECT 'l_suppkey', l_suppkey FROM lineitem
+    ), freq AS (
+        SELECT key_col, k, CAST(COUNT(*) AS BIGINT) AS n
+        FROM keys GROUP BY key_col, k
+    )
+    SELECT key_col,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(n) AS BIGINT) AS max_freq,
+           CAST(QUANTILE_DISC(n, 0.99) AS BIGINT) AS p99_freq,
+           ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 4) AS mean_freq,
+           ROUND(CAST(MAX(n) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) / COUNT(*)), 4)
+               AS skew_ratio
+    FROM freq GROUP BY key_col ORDER BY key_col
+    """,
+)
+def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report for the fact table's three join keys — the
+    diagnostic you run BEFORE deciding between a plain shuffle join,
+    AQE skew splitting, or an explicit salted join (`join_salted`):
+    distinct-key count, hottest-key frequency, p99 frequency, mean, and
+    the max/mean skew ratio. One stacked scan (the three key columns
+    unpivoted map-side) + one (col, key) count + a 3-group rollup; at
+    100 TB the per-key count is the same shuffle the join itself would
+    pay, so run it once and cache the decision, not the data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("l_orderkey").alias("key_col"),
+                    F.col("l_orderkey").alias("k"),
+                ),
+                F.struct(
+                    F.lit("l_partkey").alias("key_col"),
+                    F.col("l_partkey").alias("k"),
+                ),
+                F.struct(
+                    F.lit("l_suppkey").alias("key_col"),
+                    F.col("l_suppkey").alias("k"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.key_col", "e.k")
+    freq = keys.groupBy("key_col", "k").agg(F.count(F.lit(1)).alias("n"))
+    mean = F.sum("n").cast("double") / F.count(F.lit(1))
+    return (
+        freq.groupBy("key_col")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("n").alias("max_freq"),
+            F.percentile_approx("n", 0.99, 2147483647).alias("p99_freq"),
+            F.round(mean, 4).alias("mean_freq"),
+            F.round(F.max("n").cast("double") / mean, 4).alias("skew_ratio"),
+        )
+        .orderBy("key_col")
+    )

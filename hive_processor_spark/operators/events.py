@@ -2090,3 +2090,177 @@ def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_bursts") > 0)
         .orderBy("user_id")
     )
+
+@register(
+    "events_lifecycle_stages",
+    """
+    WITH weekly AS (
+        SELECT DISTINCT user_id,
+               CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS wk
+        FROM events
+    ), firsts AS (
+        SELECT user_id, MIN(wk) AS first_wk FROM weekly GROUP BY user_id
+    ), staged AS (
+        SELECT w.wk, w.user_id,
+               CASE
+                 WHEN w.wk = f.first_wk THEN 'new'
+                 WHEN LAG(w.wk) OVER (PARTITION BY w.user_id ORDER BY w.wk)
+                      = w.wk - INTERVAL 7 DAY THEN 'retained'
+                 ELSE 'resurrected'
+               END AS stage
+        FROM weekly w JOIN firsts f ON f.user_id = w.user_id
+    ), churned AS (
+        SELECT wk + INTERVAL 7 DAY AS wk, CAST(COUNT(*) AS BIGINT) AS n
+        FROM weekly w1
+        WHERE NOT EXISTS (
+            SELECT 1 FROM weekly w2
+            WHERE w2.user_id = w1.user_id AND w2.wk = w1.wk + INTERVAL 7 DAY
+        )
+        AND wk + INTERVAL 7 DAY <= (SELECT MAX(wk) FROM weekly)
+        GROUP BY 1
+    )
+    SELECT s.wk,
+           CAST(COUNT(*) FILTER (WHERE stage = 'new') AS BIGINT) AS n_new,
+           CAST(COUNT(*) FILTER (WHERE stage = 'retained') AS BIGINT)
+               AS n_retained,
+           CAST(COUNT(*) FILTER (WHERE stage = 'resurrected') AS BIGINT)
+               AS n_resurrected,
+           COALESCE(MAX(c.n), 0) AS n_churned
+    FROM staged s LEFT JOIN churned c ON c.wk = s.wk
+    GROUP BY s.wk
+    ORDER BY s.wk
+    """,
+)
+def events_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: every (user, week) classified as new (first
+    week ever), retained (also active the prior week), or resurrected
+    (returning after a gap), plus the churned count (active last week,
+    absent this week) — the weekly DAU-accounting identity every growth
+    team reports (new + retained + resurrected = WAU; churn closes the
+    ledger). One distinct (user, week) reduction, a per-user LAG, and an
+    anti-join for churn — all shuffles keyed by user or week at
+    |users|·|weeks| scale, far below the raw event count."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    firsts = weekly.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    w = Window.partitionBy("user_id").orderBy("wk")
+    staged = (
+        weekly.join(firsts, "user_id")
+        .select(
+            "wk",
+            "user_id",
+            F.when(F.col("wk") == F.col("first_wk"), "new")
+            .when(
+                F.lag("wk").over(w) == F.col("wk") - F.expr("INTERVAL 7 DAYS"),
+                "retained",
+            )
+            .otherwise("resurrected")
+            .alias("stage"),
+        )
+    )
+    max_wk = weekly.agg(F.max("wk").alias("max_wk"))
+    nxt = weekly.select(
+        "user_id", (F.col("wk") + F.expr("INTERVAL 7 DAYS")).alias("wk")
+    )
+    churned = (
+        nxt.join(weekly, ["user_id", "wk"], "left_anti")
+        .crossJoin(F.broadcast(max_wk))
+        .filter(F.col("wk") <= F.col("max_wk"))
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("n_churned_raw"))
+    )
+    return (
+        staged.groupBy("wk")
+        .agg(
+            F.count_if(F.col("stage") == "new").alias("n_new"),
+            F.count_if(F.col("stage") == "retained").alias("n_retained"),
+            F.count_if(F.col("stage") == "resurrected").alias("n_resurrected"),
+        )
+        .join(F.broadcast(churned), "wk", "left")
+        .select(
+            "wk",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned_raw", F.lit(0)).alias("n_churned"),
+        )
+        .orderBy("wk")
+    )
+
+@register(
+    "ts_stl_lite",
+    """
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               DAYOFWEEK(ts) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), tr AS (
+        SELECT day, dow, n,
+               ROUND(CAST(SUM(n) OVER w AS DOUBLE)
+                     / COUNT(*) OVER w, 6) AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), se AS (
+        SELECT day, n, trend,
+               ROUND(CAST(SUM(CAST(FLOOR(1000000.0 * (n - trend)) AS BIGINT))
+                          OVER (PARTITION BY dow) AS DOUBLE)
+                     / COUNT(*) OVER (PARTITION BY dow) / 1000000.0, 6)
+                   AS seasonal
+        FROM tr
+    )
+    SELECT day, n, trend, seasonal,
+           ROUND(n - trend - seasonal, 6) AS residual
+    FROM se ORDER BY day
+    """,
+)
+def ts_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style additive decomposition of the daily event series:
+    trend = centered 7-day moving mean, seasonal = per-weekday mean of
+    the detrended series, residual = the rest — the one-pass
+    approximation of Cleveland's STL that a monitoring pipeline uses
+    before alerting on residuals (the loess loops of full STL buy little
+    on integer count series). Both windows run over the one-row-per-day
+    frame; detrended terms are micro-quantized before the per-weekday
+    mean so the decomposition is bit-stable. The weekday key is computed
+    per-engine (numbering differs) but never emitted."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.dayofweek("ts").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "dow",
+        "n",
+        F.round(
+            F.sum("n").over(w).cast("double") / F.count(F.lit(1)).over(w), 6
+        ).alias("trend"),
+    )
+    wd = Window.partitionBy("dow")
+    det_q = F.floor(F.lit(1000000.0) * (F.col("n") - F.col("trend"))).cast(
+        "bigint"
+    )
+    se = tr.select(
+        "day",
+        "n",
+        "trend",
+        F.round(
+            F.sum(det_q).over(wd).cast("double")
+            / F.count(F.lit(1)).over(wd)
+            / F.lit(1000000.0),
+            6,
+        ).alias("seasonal"),
+    )
+    return se.select(
+        "day",
+        "n",
+        "trend",
+        "seasonal",
+        F.round(F.col("n") - F.col("trend") - F.col("seasonal"), 6).alias(
+            "residual"
+        ),
+    ).orderBy("day")

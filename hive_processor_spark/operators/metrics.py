@@ -772,3 +772,66 @@ def ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(dsum(err2, 6) / F.count(F.lit(1)), 6).alias("brier"),
     )
+
+@register(
+    "ml_information_value",
+    """
+    WITH b AS (
+        SELECT LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bucket,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                   AS good,
+               CAST(COUNT(*) FILTER (WHERE event_type <> 'purchase') AS BIGINT)
+                   AS bad
+        FROM events GROUP BY 1
+    ), p AS (
+        SELECT bucket,
+               GREATEST(CAST(good AS DOUBLE) / SUM(good) OVER (), 1e-6) AS pg,
+               GREATEST(CAST(bad AS DOUBLE) / SUM(bad) OVER (), 1e-6) AS pb
+        FROM b
+    )
+    SELECT bucket,
+           ROUND(CAST(FLOOR(1000000000.0 * LN(pg / pb)) AS BIGINT)
+                 / 1000000000.0, 6) AS woe,
+           ROUND(CAST(FLOOR(1000000000.0 * (pg - pb) * LN(pg / pb)) AS BIGINT)
+                 / 1000000000.0, 6) AS iv_term,
+           ROUND(SUM(CAST(FLOOR(1000000000.0 * (pg - pb) * LN(pg / pb))
+                 AS BIGINT)) OVER () / 1000000000.0, 6) AS iv_total
+    FROM p ORDER BY bucket
+    """,
+)
+def ml_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence and information value of the score feature
+    against the purchase outcome, per bucket plus the IV total — the
+    credit-scoring feature-screening standard (IV < 0.02 useless,
+    > 0.3 strong). Same single-pass bucketed-count shape as the PSI
+    operator; WoE/IV terms nano-quantized so the windowed total is
+    order-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50.0).cast("bigint"), F.lit(9))
+    b = ev.groupBy(bucket.alias("bucket")).agg(
+        F.count_if(F.col("event_type") == "purchase").alias("good"),
+        F.count_if(F.col("event_type") != "purchase").alias("bad"),
+    )
+    wall = Window.partitionBy()
+    p = b.select(
+        "bucket",
+        F.greatest(
+            F.col("good").cast("double") / F.sum("good").over(wall), F.lit(1e-6)
+        ).alias("pg"),
+        F.greatest(
+            F.col("bad").cast("double") / F.sum("bad").over(wall), F.lit(1e-6)
+        ).alias("pb"),
+    )
+    woe = F.log(F.col("pg") / F.col("pb"))
+    term_q = F.floor(F.lit(1000000000.0) * (F.col("pg") - F.col("pb")) * woe).cast(
+        "bigint"
+    )
+    woe_q = F.floor(F.lit(1000000000.0) * woe).cast("bigint")
+    return p.select(
+        "bucket",
+        F.round(woe_q / F.lit(1000000000.0), 6).alias("woe"),
+        F.round(term_q / F.lit(1000000000.0), 6).alias("iv_term"),
+        F.round(
+            F.sum(term_q).over(wall) / F.lit(1000000000.0), 6
+        ).alias("iv_total"),
+    ).orderBy("bucket")

@@ -1083,3 +1083,92 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+@register(
+    "join_temporal_dim",
+    """
+    WITH scd AS (
+        SELECT user_id,
+               CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS valid_from,
+               LEAD(CAST(FLOOR(EPOCH(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+               (FLOOR(value * 100.0) / 100.0) AS version_value
+        FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), matched AS (
+        SELECT c.user_id, c.click_ts, s.version_value
+        FROM clicks c JOIN scd s
+          ON s.user_id = c.user_id
+         AND c.click_ts >= s.valid_from
+         AND (s.valid_to IS NULL OR c.click_ts < s.valid_to)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM clicks) AS BIGINT) AS n_clicks,
+           CAST((SELECT COUNT(*) FROM matched) AS BIGINT) AS n_matched,
+           CAST((SELECT COUNT(*) FROM clicks) -
+                (SELECT COUNT(*) FROM matched) AS BIGINT) AS n_before_first,
+           CAST((SELECT SUM(CAST(FLOOR(version_value * 100.0) AS DECIMAL(28,0)))
+                 FROM matched) AS DOUBLE) / 100.0 AS sum_version_value
+    """,
+)
+def join_temporal_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (AS OF event time) dimension join: every click row joins
+    the SCD-2 purchase-version interval that was valid when the click
+    happened — the lakehouse pattern for joining facts to slowly changing
+    dimensions without leaking future attribute values into the past
+    (the batch twin of a point-in-time feature-store lookup).
+
+    Shape: the version table comes from one LEAD window
+    (``cdc_scd2_build``'s construction); the interval match is an
+    equi-join ON THE NATURAL KEY with a residual range predicate, so the
+    shuffle is user-keyed (never quadratic — each click scans only its
+    own user's few versions). Clicks before a user's first version are
+    counted, not dropped, closing the audit identity
+    n_clicks = n_matched + n_before_first."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    scd = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").alias("valid_from"),
+            "event_id",
+            "ts",
+            (F.floor(F.col("value") * 100.0) / 100.0).alias("version_value"),
+        )
+        .select(
+            "user_id",
+            "valid_from",
+            F.lead("valid_from").over(w).alias("valid_to"),
+            "version_value",
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.unix_timestamp("ts").alias("click_ts")
+    )
+    matched = clicks.join(
+        scd,
+        (F.col("c_user") == scd.user_id)
+        & (F.col("click_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("click_ts") < F.col("valid_to"))),
+    )
+    n_clicks = clicks.agg(F.count(F.lit(1)).alias("n_clicks"))
+    agg = matched.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        (
+            F.sum(
+                F.floor(F.col("version_value") * 100.0).cast("decimal(28,0)")
+            ).cast("double")
+            / 100.0
+        ).alias("sum_version_value"),
+    )
+    return (
+        n_clicks.crossJoin(agg)
+        .select(
+            "n_clicks",
+            "n_matched",
+            (F.col("n_clicks") - F.col("n_matched")).alias("n_before_first"),
+            "sum_version_value",
+        )
+    )

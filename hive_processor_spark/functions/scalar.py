@@ -855,3 +855,60 @@ def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(h, 21, 12),
     )
     return nation.select("n_nationkey", sk.alias("sk")).orderBy("n_nationkey")
+
+@register(
+    "fn_haversine",
+    """
+    WITH pts AS (
+        SELECT s_suppkey,
+               (CAST(s_suppkey * 7919 % 18000 AS DOUBLE) / 100.0 - 90.0) AS lat,
+               (CAST(s_suppkey * 104729 % 36000 AS DOUBLE) / 100.0 - 180.0) AS lon
+        FROM supplier
+    )
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+           ROUND(2.0 * 6371.0088 * ASIN(SQRT(
+               POW(SIN(RADIANS(b.lat - a.lat) / 2.0), 2)
+               + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                 * POW(SIN(RADIANS(b.lon - a.lon) / 2.0), 2))), 3) AS dist_km
+    FROM pts a JOIN pts b ON b.s_suppkey = a.s_suppkey + 1
+    ORDER BY supp_a
+    """,
+)
+def fn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle (haversine) distance between consecutive synthetic
+    supplier coordinates — the geo-distance scalar family (radians, sin,
+    cos, asin, sqrt composed identically on both engines, rounded to
+    meters). Coordinates derive deterministically from the key so the
+    fixture needs no geo columns; the join is a key-shifted equi-join.
+    At scale geo joins bucket by geohash cell first (`join_spatial_grid`)
+    and evaluate this formula only within candidate cells."""
+    supp = load_table(spark, sf_dir, "supplier")
+    pts = supp.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 7919 % 18000).cast("double") / 100.0 - 90.0).alias(
+            "lat"
+        ),
+        (
+            (F.col("s_suppkey") * 104729 % 36000).cast("double") / 100.0 - 180.0
+        ).alias("lon"),
+    )
+    a = pts.alias("a")
+    b = pts.select(
+        F.col("s_suppkey").alias("b_key"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+    )
+    dlat = F.radians(F.col("b_lat") - F.col("lat")) / 2.0
+    dlon = F.radians(F.col("b_lon") - F.col("lon")) / 2.0
+    h = F.pow(F.sin(dlat), 2) + F.cos(F.radians(F.col("lat"))) * F.cos(
+        F.radians(F.col("b_lat"))
+    ) * F.pow(F.sin(dlon), 2)
+    return (
+        a.join(b, F.col("b_key") == F.col("s_suppkey") + 1)
+        .select(
+            F.col("s_suppkey").alias("supp_a"),
+            F.col("b_key").alias("supp_b"),
+            F.round(2.0 * 6371.0088 * F.asin(F.sqrt(h)), 3).alias("dist_km"),
+        )
+        .orderBy("supp_a")
+    )

@@ -835,3 +835,56 @@ def ml_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term_q).over(wall) / F.lit(1000000000.0), 6
         ).alias("iv_total"),
     ).orderBy("bucket")
+
+@register(
+    "stats_two_proportion_z",
+    """
+    WITH g AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_a,
+               CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0
+                    AND event_type = 'purchase') AS BIGINT) AS x_a,
+               CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS n_b,
+               CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1
+                    AND event_type = 'purchase') AS BIGINT) AS x_b
+        FROM events
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           ROUND(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a,
+           ROUND(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
+           ROUND((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                 / SQRT((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+    FROM g
+    """,
+)
+def stats_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on conversion rate between the two user
+    cohorts (even vs odd user_id — the fixture's A/B split): pooled
+    standard error, one-pass conditional counts — the experiment-readout
+    companion to the Welch t (means), χ² (categorical), Mann-Whitney
+    (ranks), and KS (distributions) tests already registered. Every
+    input to the z formula is an exact integer, so the statistic is one
+    deterministic expression over a single aggregate row."""
+    ev = load_table(spark, sf_dir, "events")
+    even, odd = F.col("user_id") % 2 == 0, F.col("user_id") % 2 == 1
+    y = F.col("event_type") == "purchase"
+    g = ev.agg(
+        F.count_if(even).alias("n_a"),
+        F.count_if(even & y).alias("x_a"),
+        F.count_if(odd).alias("n_b"),
+        F.count_if(odd & y).alias("x_b"),
+    )
+    n_a, x_a = F.col("n_a").cast("double"), F.col("x_a").cast("double")
+    n_b, x_b = F.col("n_b").cast("double"), F.col("x_b").cast("double")
+    pooled = (x_a + x_b) / (n_a + n_b)
+    se = F.sqrt(pooled * (1.0 - pooled) * (1.0 / n_a + 1.0 / n_b))
+    return g.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(x_a / n_a, 6).alias("rate_a"),
+        F.round(x_b / n_b, 6).alias("rate_b"),
+        F.round((x_a / n_a - x_b / n_b) / se, 6).alias("z_score"),
+    )

@@ -1324,3 +1324,56 @@ def pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(both & (F.col("o.fp") != F.col("n.fp"))).alias("n_changed"),
         F.count_if(both & (F.col("o.fp") == F.col("n.fp"))).alias("n_unchanged"),
     )
+
+@register(
+    "pipeline_temperature_weights",
+    """
+    WITH s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY source
+    ), w AS (
+        SELECT source, n_docs, n_chars,
+               CAST(FLOOR(1000000000.0 * POW(CAST(n_chars AS DOUBLE), 0.7))
+                    AS BIGINT) AS wq
+        FROM s
+    )
+    SELECT source, n_docs, n_chars,
+           ROUND(CAST(n_chars AS DOUBLE) / SUM(n_chars) OVER (), 6)
+               AS natural_share,
+           ROUND(CAST(wq AS DOUBLE) / SUM(wq) OVER (), 6) AS temp_share,
+           ROUND((CAST(wq AS DOUBLE) / SUM(wq) OVER ())
+                 / (CAST(n_chars AS DOUBLE) / SUM(n_chars) OVER ()), 4)
+               AS upsample_factor
+    FROM w ORDER BY source
+    """,
+)
+def pipeline_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (α = 0.7) per corpus source:
+    sampling share ∝ size^α — the standard multilingual/multi-source
+    pretraining recipe that upsamples small sources without letting any
+    source dominate (α=1 is natural sampling, α=0 uniform). Reports the
+    natural share, the temperature share, and the implied up/downsampling
+    factor per source. One partial→final aggregate; the pow/normalize
+    algebra runs over one row per source, with pow outputs
+    nano-quantized so the normalized shares are bit-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    wq = F.floor(
+        F.lit(1000000000.0) * F.pow(F.col("n_chars").cast("double"), 0.7)
+    ).cast("bigint")
+    w = s.select("source", "n_docs", "n_chars", wq.alias("wq"))
+    wall = Window.partitionBy()
+    nat = F.col("n_chars").cast("double") / F.sum("n_chars").over(wall)
+    tmp = F.col("wq").cast("double") / F.sum("wq").over(wall)
+    return w.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(nat, 6).alias("natural_share"),
+        F.round(tmp, 6).alias("temp_share"),
+        F.round(tmp / nat, 4).alias("upsample_factor"),
+    ).orderBy("source")

@@ -41,13 +41,16 @@ def _load_all() -> None:
         corpus,
         dedup,
         events,
+        experiments,
         filters,
+        graphs,
         joins,
         market,
         metrics,
         multimodal,
         profiling,
         regression,
+        retrieval,
         setops,
         similarity,
         sorts_limits,

@@ -298,3 +298,138 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("exact_dist", "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "ml_nearest_centroid",
+    """
+    WITH e AS (
+        SELECT vec_id, label, i - 1 AS dim,
+               CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, (SELECT UNNEST(RANGE(1, 65)) AS i) g
+    ), cent AS (
+        SELECT label AS clabel, dim,
+               CAST(SUM(CAST(FLOOR(x * 1e9) AS DECIMAL(28,0))) AS DOUBLE)
+                   / 1e9 / COUNT(*) AS cx
+        FROM e GROUP BY label, dim
+    ), cnorm AS (
+        SELECT clabel,
+               CAST(SUM(CAST(FLOOR(cx * cx * 1e12) AS DECIMAL(28,0))) AS DOUBLE)
+                   / 1e12 AS nrm
+        FROM cent GROUP BY clabel
+    ), score AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               CAST(SUM(CAST(FLOOR(e.x * c.cx * 1e12) AS DECIMAL(28,0)))
+                    AS DOUBLE) / 1e12 AS dot
+        FROM e JOIN cent c ON c.dim = e.dim
+        GROUP BY e.vec_id, e.label, c.clabel
+    ), ranked AS (
+        SELECT s.vec_id, s.label, s.clabel,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                  ORDER BY s.dot / SQRT(n.nrm) DESC, s.clabel)
+                   AS rn
+        FROM score s JOIN cnorm n ON n.clabel = s.clabel
+    ), pred AS (
+        SELECT vec_id, label AS truth, clabel AS guess
+        FROM ranked WHERE rn = 1
+    ), conf AS (
+        SELECT CAST(k.c AS INT) AS label,
+               COUNT(*) FILTER (WHERE pred.truth = k.c) AS support,
+               COUNT(*) FILTER (WHERE pred.guess = k.c) AS predicted_n,
+               COUNT(*) FILTER (WHERE pred.truth = k.c AND pred.guess = k.c)
+                   AS tp
+        FROM pred, (SELECT UNNEST(RANGE(0, 10)) AS c) k
+        GROUP BY k.c
+    )
+    SELECT label,
+           CAST(support AS BIGINT) AS support,
+           CAST(predicted_n AS BIGINT) AS predicted_n,
+           CAST(tp AS BIGINT) AS tp,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(predicted_n, 0), 6) AS precision,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(support, 0), 6) AS recall,
+           ROUND(CAST(2 * tp AS DOUBLE) / NULLIF(predicted_n + support, 0), 6)
+               AS f1
+    FROM conf ORDER BY label
+    """,
+)
+def ml_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification with resubstitution
+    scoring: per-label centroids from quantized per-dimension means,
+    cosine-argmax prediction, per-class precision/recall/F1 — the
+    embarrassingly-aggregable baseline classifier an engine can fit and
+    grade without any ML runtime. Everything is exploded (vec, dim)
+    aggregation: centroids shuffle O(labels × dims), scores come from a
+    dim-keyed join against the 640-row broadcast centroid frame and reduce
+    to O(vecs × labels) — no pairwise vector math, which is what lets the
+    same plan classify a 100 TB corpus in one pass. The cosine argmax
+    tie-breaks on label, and all sums are floor-quantized, so predictions
+    are bit-stable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "label", "dim", F.col("xf").cast("double").alias("x"))
+    cent = e.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        (
+            F.sum(F.floor(F.col("x") * 1e9).cast("decimal(28,0)")).cast("double")
+            / 1e9
+            / F.count(F.lit(1))
+        ).alias("cx")
+    )
+    cnorm = cent.groupBy("clabel").agg(
+        (
+            F.sum(
+                F.floor(F.col("cx") * F.col("cx") * 1e12).cast("decimal(28,0)")
+            ).cast("double")
+            / 1e12
+        ).alias("nrm")
+    )
+    score = (
+        e.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("x") * F.col("cx") * 1e12).cast("decimal(28,0)")
+                ).cast("double")
+                / 1e12
+            ).alias("dot")
+        )
+    )
+    sim = F.col("dot") / F.sqrt(F.col("nrm"))
+    w = Window.partitionBy("vec_id").orderBy(sim.desc(), F.col("clabel"))
+    pred = (
+        score.join(F.broadcast(cnorm), "clabel")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("clabel").alias("pred"))
+    )
+    classes = spark.range(10).select(F.col("id").cast("int").alias("c"))
+    conf = (
+        pred.crossJoin(F.broadcast(classes))
+        .groupBy("c")
+        .agg(
+            F.count_if(F.col("label") == F.col("c")).alias("support"),
+            F.count_if(F.col("pred") == F.col("c")).alias("predicted_n"),
+            F.count_if(
+                (F.col("label") == F.col("c")) & (F.col("pred") == F.col("c"))
+            ).alias("tp"),
+        )
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    return conf.select(
+        F.col("c").alias("label"),
+        F.col("support").cast("bigint").alias("support"),
+        F.col("predicted_n").cast("bigint").alias("predicted_n"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.round(
+            d(F.col("tp")) / F.nullif(d(F.col("predicted_n")), F.lit(0.0)), 6
+        ).alias("precision"),
+        F.round(d(F.col("tp")) / F.nullif(d(F.col("support")), F.lit(0.0)), 6).alias(
+            "recall"
+        ),
+        F.round(
+            d(2 * F.col("tp"))
+            / F.nullif(d(F.col("predicted_n") + F.col("support")), F.lit(0.0)),
+            6,
+        ).alias("f1"),
+    ).orderBy("label")

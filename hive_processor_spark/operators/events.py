@@ -2264,3 +2264,70 @@ def ts_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual"
         ),
     ).orderBy("day")
+
+
+@register(
+    "events_type_overlap",
+    """
+    WITH d AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), sizes AS (
+        SELECT event_type, COUNT(*) AS n FROM d GROUP BY event_type
+    ), inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS overlap
+        FROM d a JOIN d b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b,
+           CAST(sa.n AS BIGINT) AS users_a,
+           CAST(sb.n AS BIGINT) AS users_b,
+           CAST(i.overlap AS BIGINT) AS overlap,
+           ROUND(CAST(i.overlap AS DOUBLE) / (sa.n + sb.n - i.overlap), 6)
+               AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def events_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity of the user sets behind
+    every pair of event types — the segmentation question ("do purchasers
+    also error?") answered with exact set algebra, no sketches. Plan:
+    distinct (type, user) once (one shuffle ∝ distinct pairs, map-side
+    combined), self-join keyed on user (co-grouped, never all-pairs), then
+    a 10-row join against the per-type sizes. At 100 TB the user-keyed
+    self-join is the standard audience-intersection shape; HLL sketches
+    (`agg_hll_merge`) are the documented approximate sibling."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id").distinct()
+    sizes = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = d.select(F.col("event_type").alias("type_a"), "user_id")
+    b = d.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("users_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("users_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("users_a").cast("bigint").alias("users_a"),
+            F.col("users_b").cast("bigint").alias("users_b"),
+            F.col("overlap").cast("bigint").alias("overlap"),
+            F.round(
+                F.col("overlap").cast("double")
+                / (F.col("users_a") + F.col("users_b") - F.col("overlap")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

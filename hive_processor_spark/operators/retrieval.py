@@ -1,0 +1,386 @@
+"""Retrieval-evaluation operators: the "is my embedding index any good"
+family — labelled precision@k, mean reciprocal rank, rank fusion, and
+embedding-space diagnostics (dispatched through the registry surface the
+reference exposes via ``Processor.call``, reference ``src/processor.ts:57-89``).
+
+These close the loop on the ANN stack (similarity.py): the IVF/LSH/PQ
+operators *retrieve*, these *grade the retrieval* against labels, which is
+how a training-data pipeline decides whether its near-dup / dedup /
+curation retrieval layer is trustworthy.
+
+Scale shape: every operator broadcasts the (small) query side against the
+corpus scan and reduces per query — the canonical broadcast-join +
+window-top-k plan that survives any corpus size. The fixture's exhaustive
+pair frames (50×450, 500²) stand in for what a 100 TB deployment would
+run through the IVF-pruned candidate generator first; the *grading* math
+is identical either way. All similarity math is the floor-quantized HOF
+kernel from functions/vector.py — codegen'd JVM expressions, bit-stable at
+any parallelism, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_processor_spark.engine import register
+from hive_processor_spark.functions.vector import cosine_q, sql_cosine_q
+from hive_processor_spark.sources.tables import load_table
+
+#: Query/corpus split: first 50 vectors probe the remaining 450.
+_Q_MAX = 50
+
+_SQL_PAIRS = f"""
+        SELECT q.vec_id AS qid, q.label AS qlabel,
+               c.vec_id AS cid, c.label AS clabel,
+               {sql_cosine_q('q.embedding', 'c.embedding')} AS sim
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < {_Q_MAX} AND c.vec_id >= {_Q_MAX}
+"""
+
+
+def _ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, qlabel, cid, clabel, sim, rn) — corpus ranked per query by
+    quantized cosine, vec_id tie-break. Broadcast the 50-row query side;
+    the corpus scan is the only data-sized stage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _Q_MAX).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.filter(F.col("vec_id") >= _Q_MAX).select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("cv"),
+    )
+    pairs = c.join(F.broadcast(q)).select(
+        "qid", "qlabel", "cid", "clabel", cosine_q(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return pairs.withColumn("rn", F.row_number().over(w))
+
+
+@register(
+    "sim_precision_at_k",
+    f"""
+    WITH p AS ({_SQL_PAIRS}
+    ), r AS (
+        SELECT qid, qlabel, clabel,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        FROM p
+    ), perq AS (
+        SELECT qid, qlabel,
+               CAST(COUNT(*) FILTER (WHERE clabel = qlabel) AS DOUBLE) / 10
+                   AS p10
+        FROM r WHERE rn <= 10 GROUP BY qid, qlabel
+    )
+    SELECT CAST(qlabel AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(AVG(p10), 6) AS precision_at_10
+    FROM perq GROUP BY qlabel ORDER BY label
+    """,
+)
+def sim_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labelled precision@10 per class: rank the corpus for each probe by
+    quantized cosine, count same-label hits in the top 10 — the standard
+    supervised grade for an embedding space (and for the ANN index built
+    on it). Per-query precision is an exact count/10; the per-label mean
+    averages ≤50 such ratios, so rounding at 6dp is stable. Plan:
+    broadcast probes, one corpus scan, per-query window top-k, two tiny
+    reductions."""
+    r = _ranked_pairs(spark, sf_dir)
+    perq = (
+        r.filter(F.col("rn") <= 10)
+        .groupBy("qid", "qlabel")
+        .agg(
+            (F.count_if(F.col("clabel") == F.col("qlabel")).cast("double") / 10)
+            .alias("p10")
+        )
+    )
+    return (
+        perq.groupBy(F.col("qlabel").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.round(F.avg("p10"), 6).alias("precision_at_10"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "sim_mrr",
+    f"""
+    WITH p AS ({_SQL_PAIRS}
+    ), r AS (
+        SELECT qid, qlabel, clabel,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        FROM p
+    ), firsts AS (
+        SELECT qid, MIN(rn) AS first_hit
+        FROM r WHERE clabel = qlabel GROUP BY qid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(CAST(SUM(CAST(FLOOR(1e9 / first_hit) AS BIGINT)) AS DOUBLE)
+                 / 1e9 / COUNT(*), 6) AS mrr,
+           CAST(MIN(first_hit) AS BIGINT) AS best_first_hit,
+           CAST(MAX(first_hit) AS BIGINT) AS worst_first_hit
+    FROM firsts
+    """,
+)
+def sim_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the first same-label neighbor over the full
+    corpus ranking — the single-number retrieval grade that punishes a
+    relevant result slipping down the list. Reciprocal ranks are
+    floor-quantized at 1e-9 before summation (integer ranks → identical
+    quantized terms in both engines), so the mean is order-independent.
+    Same broadcast + window plan as precision@k; the extra MIN-per-query
+    reduction is free after the rank window."""
+    r = _ranked_pairs(spark, sf_dir)
+    firsts = (
+        r.filter(F.col("clabel") == F.col("qlabel"))
+        .groupBy("qid")
+        .agg(F.min("rn").alias("first_hit"))
+    )
+    rq = F.floor(F.lit(1e9) / F.col("first_hit")).cast("bigint")
+    return firsts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.round(F.sum(rq).cast("double") / 1e9 / F.count(F.lit(1)), 6).alias("mrr"),
+        F.min("first_hit").cast("bigint").alias("best_first_hit"),
+        F.max("first_hit").cast("bigint").alias("worst_first_hit"),
+    )
+
+
+def _hamming(a: Column, b: Column) -> Column:
+    """Sign-bit Hamming distance between two float vectors (exact int)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: ((x >= 0) != (y >= 0)).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+_SQL_HAMMING = (
+    "LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, LEN({a}) + 1), i -> "
+    "CASE WHEN ({a}[i] >= 0) <> ({b}[i] >= 0) THEN 1 ELSE 0 END), 'sum')"
+)
+
+
+@register(
+    "sim_rrf_fusion",
+    f"""
+    WITH s AS (
+        SELECT c.vec_id,
+               {sql_cosine_q('q.embedding', 'c.embedding')} AS sim,
+               {_SQL_HAMMING.format(a='q.embedding', b='c.embedding')} AS ham
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> 0
+        WHERE q.vec_id = 0
+    ), r AS (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS r_cos,
+               ROW_NUMBER() OVER (ORDER BY ham ASC, vec_id) AS r_ham
+        FROM s
+    ), f AS (
+        SELECT vec_id, r_cos, r_ham,
+               1.0 / (60 + r_cos) + 1.0 / (60 + r_ham) AS rrf
+        FROM r
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, vec_id) AS INT) AS rank,
+           vec_id, CAST(r_cos AS INT) AS r_cos, CAST(r_ham AS INT) AS r_ham,
+           ROUND(rrf, 6) AS rrf
+    FROM f ORDER BY rrf DESC, vec_id LIMIT 10
+    """,
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two retrieval
+    channels for one probe: exact quantized cosine and 1-bit sign-Hamming
+    (the binary-quantized fast path from ``embed_binary_quantize``). RRF =
+    Σ 1/(60+rank) needs only ranks, so channels with incomparable scores
+    fuse cleanly — the standard trick for hybrid dense+sparse retrieval.
+    Ranks are exact ints (vec_id tie-break), the fused score is identical
+    rational arithmetic in both engines. One corpus scan, two rank
+    windows over the (tiny) scored frame, top-10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    s = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            cosine_q(F.col("qv"), F.col("embedding")).alias("sim"),
+            _hamming(F.col("qv"), F.col("embedding")).alias("ham"),
+        )
+    )
+    r = s.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("sim").desc(), F.col("vec_id")))
+        .alias("r_cos"),
+        F.row_number()
+        .over(Window.orderBy(F.col("ham").asc(), F.col("vec_id")))
+        .alias("r_ham"),
+    )
+    f = r.withColumn(
+        "rrf", 1.0 / (60 + F.col("r_cos")) + 1.0 / (60 + F.col("r_ham"))
+    )
+    return (
+        f.select(
+            F.row_number()
+            .over(Window.orderBy(F.col("rrf").desc(), F.col("vec_id")))
+            .cast("int")
+            .alias("rank"),
+            "vec_id",
+            F.col("r_cos").cast("int").alias("r_cos"),
+            F.col("r_ham").cast("int").alias("r_ham"),
+            F.round("rrf", 6).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "embed_dim_variance",
+    """
+    WITH e AS (
+        SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, (SELECT UNNEST(RANGE(1, 65)) AS i) g
+    ), m AS (
+        SELECT dim,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(FLOOR(x * 1e8) AS DECIMAL(28,0))) AS DOUBLE) / 1e8
+                   AS sx,
+               CAST(SUM(CAST(FLOOR(x * x * 1e12) AS DECIMAL(28,0))) AS DOUBLE)
+                   / 1e12 AS sxx
+        FROM e GROUP BY dim
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           ROUND(sx / n, 6) AS mean,
+           ROUND((sxx - sx * sx / n) / (n - 1), 8) AS variance
+    FROM m ORDER BY variance DESC, dim LIMIT 10
+    """,
+)
+def embed_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance profile of the embedding space, top-10
+    dims by variance — the screening pass behind dimension pruning and
+    Matryoshka-style truncation (low-variance dims carry no retrieval
+    signal). posexplode → one partial→final aggregation keyed on the 64
+    dims; at 100 TB the explode multiplies rows ×64 but every term
+    combines map-side into 64 accumulators, so the shuffle is O(dims),
+    not O(corpus). Moments floor-quantized (1e-8 values, 1e-12 squares)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.posexplode("embedding").alias("dim", "xf")
+    ).select("dim", F.col("xf").cast("double").alias("x"))
+    m = e.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (
+            F.sum(F.floor(F.col("x") * 1e8).cast("decimal(28,0)")).cast("double")
+            / 1e8
+        ).alias("sx"),
+        (
+            F.sum(
+                F.floor(F.col("x") * F.col("x") * 1e12).cast("decimal(28,0)")
+            ).cast("double")
+            / 1e12
+        ).alias("sxx"),
+    )
+    return (
+        m.select(
+            F.col("dim").cast("int").alias("dim"),
+            F.round(F.col("sx") / F.col("n"), 6).alias("mean"),
+            F.round(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                / (F.col("n") - 1),
+                8,
+            ).alias("variance"),
+        )
+        .orderBy(F.col("variance").desc(), "dim")
+        .limit(10)
+    )
+
+
+@register(
+    "embed_label_margin",
+    f"""
+    WITH p AS (
+        SELECT a.label AS la, b.label AS lb,
+               {sql_cosine_q('a.embedding', 'b.embedding')} AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ), sides AS (
+        SELECT la AS label, (la = lb) AS intra, sim FROM p
+        UNION ALL
+        SELECT lb AS label, (la = lb) AS intra, sim FROM p WHERE la <> lb
+    ), agg AS (
+        SELECT label,
+               CAST(SUM(CASE WHEN intra THEN CAST(FLOOR(sim * 1e9) AS BIGINT)
+                             END) AS DOUBLE) / 1e9
+                   / COUNT(*) FILTER (WHERE intra) AS intra_mean,
+               CAST(SUM(CASE WHEN NOT intra THEN CAST(FLOOR(sim * 1e9) AS BIGINT)
+                             END) AS DOUBLE) / 1e9
+                   / COUNT(*) FILTER (WHERE NOT intra) AS inter_mean
+        FROM sides GROUP BY label
+    )
+    SELECT CAST(label AS INT) AS label,
+           ROUND(intra_mean, 6) AS intra_mean,
+           ROUND(inter_mean, 6) AS inter_mean,
+           ROUND(intra_mean - inter_mean, 6) AS margin
+    FROM agg ORDER BY label
+    """,
+)
+def embed_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class separation audit: mean intra-class vs inter-class cosine
+    and their margin — the one-table answer to "do my embeddings cluster
+    by label at all". A class whose margin ≈ 0 will poison both k-NN
+    labelling and dedup thresholds. Intra pairs count once; inter pairs
+    contribute to both classes' averages (each class grades against its
+    own outside world). The exhaustive i<j pair frame stands in for the
+    block-partitioned kernel (`sim_cosine_pairs`) a 100 TB corpus would
+    use — the aggregation shape downstream is identical. Per-term 1e-9
+    floor quantization keeps both engines' sums bit-equal."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("ida"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("idb"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("vb"),
+    )
+    p = a.join(b, F.col("ida") < F.col("idb")).select(
+        "la", "lb", cosine_q(F.col("va"), F.col("vb")).alias("sim")
+    )
+    sides = p.select(
+        F.col("la").alias("label"), (F.col("la") == F.col("lb")).alias("intra"), "sim"
+    ).unionAll(
+        p.filter(F.col("la") != F.col("lb")).select(
+            F.col("lb").alias("label"),
+            (F.col("la") == F.col("lb")).alias("intra"),
+            "sim",
+        )
+    )
+    qsim = F.floor(F.col("sim") * 1e9).cast("bigint")
+    agg = sides.groupBy("label").agg(
+        (
+            F.sum(F.when(F.col("intra"), qsim)).cast("double")
+            / 1e9
+            / F.count_if(F.col("intra"))
+        ).alias("intra_mean"),
+        (
+            F.sum(F.when(~F.col("intra"), qsim)).cast("double")
+            / 1e9
+            / F.count_if(~F.col("intra"))
+        ).alias("inter_mean"),
+    )
+    return agg.select(
+        F.col("label").cast("int").alias("label"),
+        F.round("intra_mean", 6).alias("intra_mean"),
+        F.round("inter_mean", 6).alias("inter_mean"),
+        F.round(F.col("intra_mean") - F.col("inter_mean"), 6).alias("margin"),
+    ).orderBy("label")

@@ -840,3 +840,70 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms"),
         F.round(F.sum("tq").cast("double") / 1e9, 6).alias("js_divergence"),
     )
+
+
+@register(
+    "text_vocab_growth",
+    """
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+        FROM documents
+    ), firsts AS (
+        SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY token
+    ), new_types AS (
+        SELECT first_doc AS doc_id, COUNT(*) AS new_types
+        FROM firsts GROUP BY first_doc
+    ), per_doc AS (
+        SELECT d.doc_id,
+               LEN(STRING_SPLIT(d.text, ' ')) AS n_tok,
+               COALESCE(nt.new_types, 0) AS new_types
+        FROM documents d LEFT JOIN new_types nt ON nt.doc_id = d.doc_id
+    ), curve AS (
+        SELECT doc_id,
+               SUM(n_tok) OVER (ORDER BY doc_id) AS cum_tokens,
+               SUM(new_types) OVER (ORDER BY doc_id) AS vocab
+        FROM per_doc
+    )
+    SELECT doc_id,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(vocab AS BIGINT) AS vocab,
+           ROUND(CAST(vocab AS DOUBLE) / cum_tokens, 6) AS type_token_ratio
+    FROM curve WHERE doc_id % 50 = 49 ORDER BY doc_id
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps'-law) curve: cumulative distinct types vs
+    cumulative tokens in doc_id order, sampled every 50 documents — the
+    corpus-size diagnostic behind "is more data still adding vocabulary".
+    The trick that scales: a token's contribution to the curve is fully
+    determined by its FIRST document (min doc_id per token — one shuffle
+    keyed on token, ∝ vocabulary not corpus), after which the cumulative
+    window runs over per-doc counts (∝ documents). No per-prefix rescans.
+    All outputs are exact integers plus one rounded ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    new_types = (
+        tok.groupBy("token")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    per_doc = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    ).join(new_types, "doc_id", "left").fillna({"new_types": 0})
+    w = Window.orderBy("doc_id")
+    curve = per_doc.select(
+        "doc_id",
+        F.sum("n_tok").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum("new_types").over(w).cast("bigint").alias("vocab"),
+    )
+    return curve.filter(F.col("doc_id") % 50 == 49).select(
+        "doc_id",
+        "cum_tokens",
+        "vocab",
+        F.round(F.col("vocab").cast("double") / F.col("cum_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+    ).orderBy("doc_id")

@@ -1377,3 +1377,58 @@ def pipeline_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tmp, 6).alias("temp_share"),
         F.round(tmp / nat, 4).alias("upsample_factor"),
     ).orderBy("source")
+
+
+@register(
+    "pipeline_interleave_sources",
+    """
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY MD5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rank_in_source
+        FROM documents
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rank_in_source, source, doc_id)
+                AS BIGINT) AS position,
+           doc_id, source,
+           CAST(rank_in_source AS INT) AS rank_in_source
+    FROM ranked
+    ORDER BY position LIMIT 30
+    """,
+)
+def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-interleaved training order: shuffle each source
+    internally by key hash (replay-stable, unlike rand()), then emit
+    round-robin across sources — the curriculum layout that stops a
+    source-sorted corpus from feeding a model hour-long single-domain
+    streams. Plan: one rank window per source (shuffle keyed on source)
+    and a global order by (rank, source) — at 100 TB the final total
+    order is exactly the sort a training-shard writer performs anyway,
+    and the hash ranking is embarrassingly parallel. First 30 positions
+    emitted for the gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        )
+        .alias("rank_in_source"),
+    )
+    return (
+        ranked.select(
+            F.row_number()
+            .over(Window.orderBy("rank_in_source", "source", "doc_id"))
+            .cast("bigint")
+            .alias("position"),
+            "doc_id",
+            "source",
+            F.col("rank_in_source").cast("int").alias("rank_in_source"),
+        )
+        .orderBy("position")
+        .limit(30)
+    )

@@ -2331,3 +2331,89 @@ def events_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "events_conversion_lag",
+    """
+    WITH s AS (
+        SELECT user_id, MIN(EPOCH_US(ts)) AS s_us
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+        SELECT e.user_id, MIN(EPOCH_US(e.ts)) - MAX(s.s_us) AS lag_us
+        FROM events e JOIN s ON s.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND EPOCH_US(e.ts) > s.s_us
+        GROUP BY e.user_id
+    ), r AS (
+        SELECT lag_us, ROW_NUMBER() OVER (ORDER BY lag_us, user_id) AS rn,
+               COUNT(*) OVER () AS cnt
+        FROM p
+    )
+    SELECT CAST(MAX(cnt) AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(CAST(lag_us AS DECIMAL(28,0))) AS DOUBLE)
+                 / MAX(cnt) / 3.6e9, 4) AS avg_lag_hours,
+           ROUND(MAX(CASE WHEN rn = (cnt + 1) // 2 THEN lag_us END) / 3.6e9, 4)
+               AS p50_lag_hours,
+           ROUND(MAX(CASE WHEN rn = CAST(CEIL(0.9 * cnt) AS BIGINT)
+                          THEN lag_us END) / 3.6e9, 4) AS p90_lag_hours
+    FROM r
+    """,
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion lag distribution: per user, microseconds
+    between the first signup and the first purchase after it; reported as
+    converted-user count, mean, and explicit-order-statistic p50/p90 (no
+    engine interpolation — both engines pick the same ranked element, the
+    house exact-median discipline). Two keyed aggregations (signup mins,
+    then purchase mins over a user-keyed join) and one rank window over
+    the per-user frame — at 100 TB the event scans partial-aggregate
+    map-side and only per-user rows shuffle. Lags are exact integer µs
+    until the final divide."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("s_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(us > F.col("s_us"))
+        .groupBy("user_id")
+        .agg((F.min(us) - F.max("s_us")).alias("lag_us"))
+    )
+    r = p.select(
+        "lag_us",
+        F.row_number().over(Window.orderBy("lag_us", "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("cnt"),
+    )
+    cnt = F.max("cnt")
+    return r.agg(
+        cnt.cast("bigint").alias("n_converted"),
+        F.round(
+            F.sum(F.col("lag_us").cast("decimal(28,0)")).cast("double")
+            / cnt
+            / 3.6e9,
+            4,
+        ).alias("avg_lag_hours"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("rn") == F.floor((F.col("cnt") + 1) / 2), F.col("lag_us")
+                )
+            )
+            / 3.6e9,
+            4,
+        ).alias("p50_lag_hours"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(0.9 * F.col("cnt")).cast("bigint"),
+                    F.col("lag_us"),
+                )
+            )
+            / 3.6e9,
+            4,
+        ).alias("p90_lag_hours"),
+    )

@@ -1172,3 +1172,75 @@ def join_temporal_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_version_value",
         )
     )
+
+
+@register(
+    "join_range_binned",
+    """
+    WITH pairs AS (
+        SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+               CAST(FLOOR(a.p_retailprice) AS BIGINT) AS bucket,
+               ABS(a.p_retailprice - b.p_retailprice) AS gap
+        FROM part a JOIN part b
+          ON a.p_partkey < b.p_partkey
+         AND ABS(a.p_retailprice - b.p_retailprice) <= 0.5
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(FLOOR(gap * 10000.0) AS DECIMAL(28,0))) AS DOUBLE)
+               / 10000.0 AS sum_gap
+    FROM pairs
+    GROUP BY bucket ORDER BY n_pairs DESC, bucket LIMIT 20
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) self-join via the binning idiom: pairs of parts whose
+    retail prices are within ±0.50 of each other. The naive plan is an
+    O(n²) inequality join; binning each row to ``floor(price)`` and
+    expanding the probe side to its 3 adjacent bins turns it into an
+    EQUI-join (shuffle co-partitioned on bucket) with a cheap exact
+    residual filter — the canonical rewrite that makes band joins viable
+    at 100 TB (3× probe fanout instead of n² comparisons). The DuckDB
+    oracle runs the naive inequality join, proving the rewrite exact.
+    Per-bucket pair counts + quantized gap sums."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("pa"),
+        F.col("p_retailprice").alias("price_a"),
+        F.floor("p_retailprice").cast("bigint").alias("bucket"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("pb"),
+        F.col("p_retailprice").alias("price_b"),
+        F.explode(
+            F.array(
+                F.floor("p_retailprice").cast("bigint") - 1,
+                F.floor("p_retailprice").cast("bigint"),
+                F.floor("p_retailprice").cast("bigint") + 1,
+            )
+        ).alias("bucket"),
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("pa") < F.col("pb"))
+            & (F.abs(F.col("price_a") - F.col("price_b")) <= 0.5)
+        )
+        .select(
+            "bucket", F.abs(F.col("price_a") - F.col("price_b")).alias("gap")
+        )
+    )
+    return (
+        pairs.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            (
+                F.sum(F.floor(F.col("gap") * 10000.0).cast("decimal(28,0)")).cast(
+                    "double"
+                )
+                / 10000.0
+            ).alias("sum_gap"),
+        )
+        .orderBy(F.col("n_pairs").desc(), "bucket")
+        .limit(20)
+    )

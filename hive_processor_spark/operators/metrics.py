@@ -888,3 +888,118 @@ def stats_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(x_b / n_b, 6).alias("rate_b"),
         F.round((x_a / n_a - x_b / n_b) / se, 6).alias("z_score"),
     )
+
+
+#: Abramowitz & Stegun 7.1.26 tail constants for the normal CDF.
+_BH_Q = 0.10
+
+
+@register(
+    "stats_bh_fdr",
+    f"""
+    WITH pernation AS (
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(COUNT(*) FILTER (WHERE c_acctbal > 5000) AS DOUBLE) AS conv
+        FROM customer GROUP BY c_nationkey
+    ), gstats AS (
+        SELECT SUM(conv) / SUM(n) AS p0 FROM pernation
+    ), z AS (
+        SELECT c_nationkey, n, conv,
+               (conv / n - p0) / SQRT(p0 * (1 - p0) / n) AS z
+        FROM pernation, gstats
+    ), pv AS (
+        SELECT c_nationkey, n, conv, z,
+               ROUND(2 * (EXP(-ABS(z) * ABS(z) / 2) * 0.3989422804014327)
+                     * ((1 / (1 + 0.2316419 * ABS(z)))
+                        * (0.319381530 + (1 / (1 + 0.2316419 * ABS(z)))
+                          * (-0.356563782 + (1 / (1 + 0.2316419 * ABS(z)))
+                            * (1.781477937 + (1 / (1 + 0.2316419 * ABS(z)))
+                              * (-1.821255978 + (1 / (1 + 0.2316419 * ABS(z)))
+                                * 1.330274429))))), 9) AS p_value
+        FROM z
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY p_value, c_nationkey) AS rank,
+               COUNT(*) OVER () AS m
+        FROM pv
+    ), thresh AS (
+        SELECT COALESCE(MAX(CASE WHEN p_value <= rank * {_BH_Q} / m
+                                 THEN rank END), 0) AS k
+        FROM ranked
+    )
+    SELECT CAST(c_nationkey AS INT) AS nation,
+           CAST(n AS BIGINT) AS n,
+           CAST(conv AS BIGINT) AS high_balance,
+           ROUND(z, 6) AS z,
+           p_value,
+           CAST(rank AS INT) AS rank,
+           (rank <= k) AS rejected
+    FROM ranked, thresh
+    ORDER BY rank
+    """,
+)
+def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction across 25 simultaneous two-sided
+    z-tests (per-nation high-balance rate vs the global rate) — the
+    multiple-comparisons discipline any per-segment metric scan needs
+    before declaring "nation X is different". Normal tail via the
+    Abramowitz-Stegun 7.1.26 polynomial (identical literal arithmetic in
+    both engines, p rounded to 9dp BEFORE the step-up comparison so both
+    engines make identical reject decisions). Plan: one grouped count
+    pass, a 25-row rank window, and the step-up cutoff as a 1-row max —
+    at 100 TB only the first aggregation touches data. q = 0.10."""
+    cust = load_table(spark, sf_dir, "customer")
+    pern = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count_if(F.col("c_acctbal") > 5000).cast("double").alias("conv"),
+    )
+    glob = pern.agg((F.sum("conv") / F.sum("n")).alias("p0"))
+    p0 = F.col("p0")
+    z = pern.crossJoin(F.broadcast(glob)).select(
+        "c_nationkey",
+        "n",
+        "conv",
+        (
+            (F.col("conv") / F.col("n") - p0)
+            / F.sqrt(p0 * (1 - p0) / F.col("n"))
+        ).alias("z"),
+    )
+    az = F.abs(F.col("z"))
+    t = 1 / (1 + 0.2316419 * az)
+    poly = t * (
+        0.319381530
+        + t * (-0.356563782 + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429)))
+    )
+    pdf = F.exp(-az * az / 2) * 0.3989422804014327
+    pv = z.withColumn("p_value", F.round(2 * pdf * poly, 9))
+    ranked = pv.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy("p_value", "c_nationkey"))
+        .alias("rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    thresh = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_value") <= F.col("rank") * _BH_Q / F.col("m"),
+                    F.col("rank"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(thresh))
+        .select(
+            F.col("c_nationkey").cast("int").alias("nation"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("conv").cast("bigint").alias("high_balance"),
+            F.round("z", 6).alias("z"),
+            "p_value",
+            F.col("rank").cast("int").alias("rank"),
+            (F.col("rank") <= F.col("k")).alias("rejected"),
+        )
+        .orderBy("rank")
+    )

@@ -907,3 +907,62 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_token_ratio"
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_langid_confusion",
+    f"""
+    WITH pred AS (
+        SELECT lang,
+               LIST_AGGREGATE([
+                   {{'s': LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '), x -> x IN {_LANG_MARKERS['de']!r})), 'l': 'de'}},
+                   {{'s': LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '), x -> x IN {_LANG_MARKERS['en']!r})), 'l': 'en'}},
+                   {{'s': LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '), x -> x IN {_LANG_MARKERS['es']!r})), 'l': 'es'}},
+                   {{'s': LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '), x -> x IN {_LANG_MARKERS['fr']!r})), 'l': 'fr'}},
+                   {{'s': LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '), x -> x IN {_LANG_MARKERS['zh']!r})), 'l': 'zh'}}
+               ], 'max').l AS pred_lang
+        FROM documents
+    ), cell AS (
+        SELECT lang, pred_lang, COUNT(*) AS n FROM pred GROUP BY 1, 2
+    ), tot AS (
+        SELECT lang, SUM(n) AS lang_n FROM cell GROUP BY lang
+    )
+    SELECT c.lang, c.pred_lang,
+           CAST(c.n AS BIGINT) AS n,
+           ROUND(CAST(c.n AS DOUBLE) / t.lang_n, 6) AS share_of_lang
+    FROM cell c JOIN tot t ON t.lang = c.lang
+    ORDER BY c.lang, c.pred_lang
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality audit: confusion cells (true lang × predicted
+    lang) with each cell's share of its true language — the evaluation
+    counterpart of `text_langid`, and the gate a corpus pipeline checks
+    before trusting per-language routing/filters downstream. One scoring
+    projection (no shuffle) then a cells-sized aggregation; the per-lang
+    normalizer joins back on the ≤25-row cell frame. Exact counts +
+    count ratios only."""
+    docs = load_table(spark, sf_dir, "documents")
+    candidates = F.array(
+        *[
+            F.struct(_score(lang).alias("s"), F.lit(lang).alias("l"))
+            for lang in sorted(_LANG_MARKERS)
+        ]
+    )
+    pred = docs.select(
+        "lang", F.array_max(candidates).getField("l").alias("pred_lang")
+    )
+    cell = pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = cell.groupBy("lang").agg(F.sum("n").alias("lang_n"))
+    return (
+        cell.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("lang_n"), 6).alias(
+                "share_of_lang"
+            ),
+        )
+        .orderBy("lang", "pred_lang")
+    )

@@ -58,6 +58,10 @@ HEADLINE = [
     "embed_binary_quantize",  # 1-bit pack + Hamming retrieval
     "ml_ndcg",            # quantized NDCG@10 ranking metric
     "events_retention_curve",  # cohort retention triangle
+    "ab_cuped_adjust",    # CUPED variance reduction (user-keyed + broadcast theta)
+    "sim_precision_at_k",  # broadcast-probe retrieval grading (window top-k)
+    "ml_nearest_centroid",  # exploded-dim Rocchio classifier + F1
+    "join_range_binned",  # band join via bin+residual equi-join rewrite
 ]
 
 

@@ -912,3 +912,56 @@ def fn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_a")
     )
+
+
+@register(
+    "fn_humanize",
+    """
+    SELECT o_orderkey,
+           CONCAT(CAST(CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS VARCHAR),
+                  'K') AS price_kilo,
+           CAST(CAST(CAST(FLOOR(o_totalprice / 100) AS DECIMAL(18,0)) / 10
+                     AS DECIMAL(18,1)) AS VARCHAR) AS price_compact,
+           LPAD(CAST(o_orderkey AS VARCHAR), 10, '0') AS padded_key,
+           CONCAT(CAST(CAST(FLOOR(o_totalprice * 100 /
+                       (SELECT MAX(o_totalprice) FROM orders)) AS BIGINT)
+                       AS VARCHAR), '%') AS pct_of_max
+    FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey
+    """,
+)
+def fn_humanize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Humanized number formatting family: compact thousands ('123K'),
+    one-decimal compact via exact floor arithmetic (no engine ROUND whose
+    half-up/half-even tie rules diverge — SURVEY §2.3), zero-padded fixed
+    keys, and percent-of-max labels — the presentation scalars every
+    export/report job ends with. Pure codegen projections over a pushed
+    key filter; the MAX subquery broadcasts one scalar."""
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_totalprice").alias("mx"))
+    return (
+        orders.filter(F.col("o_orderkey") <= 2000)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_orderkey",
+            F.concat(
+                F.floor(F.col("o_totalprice") / 1000).cast("bigint").cast("string"),
+                F.lit("K"),
+            ).alias("price_kilo"),
+            (
+                F.floor(F.col("o_totalprice") / 100).cast("decimal(18,0)") / 10
+            )
+            .cast("decimal(18,1)")
+            .cast("string")
+            .alias("price_compact"),
+            F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias(
+                "padded_key"
+            ),
+            F.concat(
+                F.floor(F.col("o_totalprice") * 100 / F.col("mx"))
+                .cast("bigint")
+                .cast("string"),
+                F.lit("%"),
+            ).alias("pct_of_max"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -1576,3 +1576,52 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_revenue_share"),
     ).orderBy("decile")
+
+
+@register(
+    "agg_log2_histogram",
+    """
+    WITH b AS (
+        SELECT LENGTH(BIN(CAST(l_extendedprice AS BIGINT))) AS bucket,
+               l_extendedprice AS x
+        FROM lineitem
+    )
+    SELECT CAST(bucket AS INT) AS log2_bucket,
+           CAST(POWER(2, bucket - 1) AS BIGINT) AS bucket_floor,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(x * 100.0) AS DECIMAL(28,0))) AS DOUBLE) / 100.0
+               AS sum_value
+    FROM b GROUP BY bucket ORDER BY log2_bucket
+    """,
+)
+def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-scale histogram for heavy-tailed metrics: bucket = bit length
+    of the integer part (LENGTH(BIN(x)) — exact integer arithmetic in
+    both engines, no floating log whose last-ulp could flip a boundary).
+    The right default for value distributions spanning orders of
+    magnitude, where linear buckets (`agg_histogram`) put 99% of mass in
+    one bin. One partial→final count pass; ~17 output rows regardless of
+    input size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.length(F.bin(F.col("l_extendedprice").cast("bigint")))
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100.0).cast("decimal(28,0)")
+                ).cast("double")
+                / 100.0
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("log2_bucket"),
+            F.pow(F.lit(2.0), F.col("bucket") - 1).cast("bigint").alias(
+                "bucket_floor"
+            ),
+            "n",
+            "sum_value",
+        )
+        .orderBy("log2_bucket")
+    )

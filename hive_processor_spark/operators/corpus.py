@@ -1432,3 +1432,98 @@ def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("position")
         .limit(30)
     )
+
+
+@register(
+    "pipeline_fair_allocation",
+    """
+    WITH demand AS (
+        SELECT source,
+               CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ), budget AS (
+        SELECT CAST(FLOOR(0.5 * SUM(tokens)) AS BIGINT) AS b,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM demand
+    ), ranked AS (
+        SELECT source, tokens,
+               ROW_NUMBER() OVER (ORDER BY tokens, source) AS rn,
+               SUM(tokens) OVER (ORDER BY tokens, source) AS prefix
+        FROM demand
+    ), sat AS (
+        -- a source is fully satisfiable iff granting every source up to
+        -- its demand level still fits the budget (water-filling)
+        SELECT r.*, b.b, b.n,
+               (r.prefix + r.tokens * (b.n - r.rn) <= b.b) AS is_full
+        FROM ranked r, budget b
+    ), lvl AS (
+        SELECT MAX(CASE WHEN is_full THEN rn ELSE 0 END) AS j,
+               MAX(CASE WHEN is_full THEN prefix ELSE 0 END) AS pj,
+               MAX(b) AS b, MAX(n) AS n
+        FROM sat
+    )
+    SELECT s.source,
+           CAST(s.tokens AS BIGINT) AS demand,
+           CAST(CASE WHEN s.is_full THEN s.tokens
+                     ELSE FLOOR((l.b - l.pj) / (l.n - l.j)) END AS BIGINT)
+               AS allocation,
+           s.is_full AS fully_satisfied
+    FROM sat s, lvl l
+    ORDER BY s.source
+    """,
+)
+def pipeline_fair_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair (water-filling) token allocation: give every source as
+    much of a 50%-of-corpus token budget as possible without any source
+    gaining while a poorer one is capped — the sampling-budget allocator
+    for mixture building when small sources must not be drowned out.
+    Closed form, no iteration: sort demands ascending, a source is fully
+    satisfiable iff prefix + demand×(remaining sources) fits the budget;
+    everyone else gets the common water level (B − prefix_j)/(n − j).
+    Plan: one token-count aggregation (shuffle ∝ sources), one rank/prefix
+    window over the ~20-row demand frame, exact integer arithmetic
+    throughout — floor of identical doubles for the final level."""
+    docs = load_table(spark, sf_dir, "documents")
+    demand = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("tokens")
+    )
+    budget = demand.agg(
+        F.floor(0.5 * F.sum("tokens")).cast("bigint").alias("b"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = Window.orderBy("tokens", "source")
+    ranked = demand.select(
+        "source",
+        "tokens",
+        F.row_number().over(w).alias("rn"),
+        F.sum("tokens").over(w).alias("prefix"),
+    )
+    sat = ranked.crossJoin(F.broadcast(budget)).withColumn(
+        "full",
+        F.col("prefix") + F.col("tokens") * (F.col("n") - F.col("rn"))
+        <= F.col("b"),
+    )
+    lvl = sat.agg(
+        F.max(F.when(F.col("full"), F.col("rn")).otherwise(0)).alias("j"),
+        F.max(F.when(F.col("full"), F.col("prefix")).otherwise(0)).alias("pj"),
+        F.max("b").alias("lvl_b"),
+        F.max("n").alias("lvl_n"),
+    )
+    return (
+        sat.crossJoin(F.broadcast(lvl))
+        .select(
+            "source",
+            F.col("tokens").cast("bigint").alias("demand"),
+            F.when(F.col("full"), F.col("tokens"))
+            .otherwise(
+                F.floor(
+                    (F.col("lvl_b") - F.col("pj"))
+                    / (F.col("lvl_n") - F.col("j"))
+                )
+            )
+            .cast("bigint")
+            .alias("allocation"),
+            F.col("full").alias("fully_satisfied"),
+        )
+        .orderBy("source")
+    )

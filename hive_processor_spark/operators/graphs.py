@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
-from hive_processor_spark.functions.vector import cosine_q, sql_cosine_q
+from hive_processor_spark.functions.vector import dot_q, sq_norm_q, sql_cosine_q
 from hive_processor_spark.sources.tables import load_table
 
 #: Graph over the first 200 vectors; BFS from node 0, ≤ 6 hops.
@@ -41,10 +41,28 @@ _SQL_EDGES = f"""
 def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetrized 3-NN edge list over the first _N embeddings."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _N)
-    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, F.col("src") != F.col("dst")).select(
-        "src", "dst", cosine_q(F.col("va"), F.col("vb")).alias("sim")
+    a = (
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("vec_id").alias("src"),
+            F.col("embedding").alias("va"),
+            sq_norm_q(F.col("embedding")).alias("na"),
+        )
+    )
+    b = emb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("vb"),
+        sq_norm_q(F.col("embedding")).alias("nb"),
+    )
+    # norms once per row + probe side spread across cores (single-file
+    # fixture: the nested-loop pair fan-out would otherwise be one task)
+    pairs = a.join(F.broadcast(b), F.col("src") != F.col("dst")).select(
+        "src",
+        "dst",
+        (
+            dot_q(F.col("va"), F.col("vb"))
+            / F.sqrt(F.col("na") * F.col("nb"))
+        ).alias("sim"),
     )
     w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst"))
     knn = pairs.withColumn("rn", F.row_number().over(w)).filter(

@@ -659,3 +659,92 @@ def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_col")
     )
+
+
+@register(
+    "profile_sentinel_scan",
+    """
+    SELECT 'docs_empty_text' AS check_name,
+           CAST(COUNT(*) FILTER (WHERE TRIM(text) = '') AS BIGINT) AS n_bad,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM documents
+    UNION ALL
+    SELECT 'docs_nchars_mismatch',
+           CAST(COUNT(*) FILTER (WHERE n_chars <> LEN(text)) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'events_zero_value',
+           CAST(COUNT(*) FILTER (WHERE value = 0) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'events_props_missing_k',
+           CAST(COUNT(*) FILTER (WHERE json_extract(props, '$.k') IS NULL)
+                AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'customer_negative_balance',
+           CAST(COUNT(*) FILTER (WHERE c_acctbal < 0) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'orders_unknown_status',
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P'))
+                AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    ORDER BY check_name
+    """,
+)
+def profile_sentinel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentinel/garbage-value sweep: one conditional count per data-quality
+    rule (empty text, metadata/content mismatch, zero metrics, missing
+    JSON keys, negative balances, out-of-domain enums) unioned into a
+    rule-per-row report — the cheap always-on guardrail a pipeline runs
+    before every load. Each branch is a single partial→final conditional
+    count over its table; nothing shuffles but one row per rule. The
+    fixture is measured-clean on most rules (FIXTURES.md), making this
+    the regression tripwire for future fixture generations."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def check(df: DataFrame, name: str, bad) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count_if(bad).cast("bigint").alias("n_bad"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        )
+
+    out = (
+        check(docs, "docs_empty_text", F.trim(F.col("text")) == "")
+        .unionAll(
+            check(
+                docs,
+                "docs_nchars_mismatch",
+                F.col("n_chars") != F.length("text"),
+            )
+        )
+        .unionAll(check(ev, "events_zero_value", F.col("value") == 0))
+        .unionAll(
+            check(
+                ev,
+                "events_props_missing_k",
+                F.get_json_object("props", "$.k").isNull(),
+            )
+        )
+        .unionAll(
+            check(cust, "customer_negative_balance", F.col("c_acctbal") < 0)
+        )
+        .unionAll(
+            check(
+                orders,
+                "orders_unknown_status",
+                ~F.col("o_orderstatus").isin("F", "O", "P"),
+            )
+        )
+    )
+    return out.orderBy("check_name")

@@ -24,7 +24,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
-from hive_processor_spark.functions.vector import cosine_q, sql_cosine_q
+from hive_processor_spark.functions.vector import (
+    cosine_q,
+    dot_q,
+    sq_norm_q,
+    sql_cosine_q,
+)
 from hive_processor_spark.sources.tables import load_table
 
 #: Query/corpus split: first 50 vectors probe the remaining 450.
@@ -42,20 +47,37 @@ _SQL_PAIRS = f"""
 def _ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(qid, qlabel, cid, clabel, sim, rn) — corpus ranked per query by
     quantized cosine, vec_id tie-break. Broadcast the 50-row query side;
-    the corpus scan is the only data-sized stage."""
+    the corpus scan is the only data-sized stage. Each side's squared norm
+    is computed ONCE per row before the pair fan-out (the quantized values
+    are identical, so results don't change) and the corpus side is
+    repartitioned — the fixture is a single parquet file, and without the
+    spread every pair's interpreted HOF cosine would run on one core."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _Q_MAX).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("qv"),
+        sq_norm_q(F.col("embedding")).alias("qn"),
     )
-    c = emb.filter(F.col("vec_id") >= _Q_MAX).select(
-        F.col("vec_id").alias("cid"),
-        F.col("label").alias("clabel"),
-        F.col("embedding").alias("cv"),
+    c = (
+        emb.filter(F.col("vec_id") >= _Q_MAX)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clabel"),
+            F.col("embedding").alias("cv"),
+            sq_norm_q(F.col("embedding")).alias("cn"),
+        )
     )
     pairs = c.join(F.broadcast(q)).select(
-        "qid", "qlabel", "cid", "clabel", cosine_q(F.col("qv"), F.col("cv")).alias("sim")
+        "qid",
+        "qlabel",
+        "cid",
+        "clabel",
+        (
+            dot_q(F.col("qv"), F.col("cv"))
+            / F.sqrt(F.col("qn") * F.col("cn"))
+        ).alias("sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
     return pairs.withColumn("rn", F.row_number().over(w))
@@ -353,8 +375,20 @@ def embed_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("lb"),
         F.col("embedding").alias("vb"),
     )
-    p = a.join(b, F.col("ida") < F.col("idb")).select(
-        "la", "lb", cosine_q(F.col("va"), F.col("vb")).alias("sim")
+    a = a.withColumn("na", sq_norm_q(F.col("va")))
+    b = (
+        b.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("nb", sq_norm_q(F.col("vb")))
+    )
+    # norms precomputed per row, pairs spread across cores (single-file
+    # fixture would otherwise run every interpreted HOF cosine on one core)
+    p = b.join(F.broadcast(a), F.col("ida") < F.col("idb")).select(
+        "la",
+        "lb",
+        (
+            dot_q(F.col("va"), F.col("vb"))
+            / F.sqrt(F.col("na") * F.col("nb"))
+        ).alias("sim"),
     )
     sides = p.select(
         F.col("la").alias("label"), (F.col("la") == F.col("lb")).alias("intra"), "sim"

@@ -966,3 +966,155 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "pred_lang")
     )
+
+
+@register(
+    "text_boilerplate_shingles",
+    """
+    WITH sh AS (
+        SELECT DISTINCT doc_id, UNNEST(shingles) AS shingle
+        FROM (
+            SELECT doc_id,
+                   [ARRAY_TO_STRING(w[i:i+4], ' ')
+                    FOR i IN RANGE(1, LEN(w) - 3)] AS shingles
+            FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w
+                  FROM documents) t
+        ) s
+    ), df AS (
+        SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+    ), per_doc AS (
+        SELECT sh.doc_id,
+               COUNT(*) AS n_shingles,
+               COUNT(*) FILTER (WHERE df.df >= 3) AS n_common
+        FROM sh JOIN df ON df.shingle = sh.shingle
+        GROUP BY sh.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_common AS BIGINT) AS n_common,
+           ROUND(CAST(n_common AS DOUBLE) / n_shingles, 6) AS boilerplate_ratio
+    FROM per_doc
+    ORDER BY boilerplate_ratio DESC, doc_id LIMIT 20
+    """,
+)
+def text_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection à la CCNet: the fraction of a document's
+    distinct 5-gram shingles that recur across ≥3 documents — the signal
+    that flags templated headers/footers/navigation for removal before
+    training. Plan: one shingle explode (distinct map-side via
+    array_distinct), a document-frequency aggregate shuffled BY SHINGLE,
+    and a join back on the same layout — the identical first stage as the
+    shingle-dedup family, so at 100 TB the shingle index is built once and
+    shared. Exact counts + one count ratio; top-20 worst documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, size(w) - 4),"
+            " i -> array_join(slice(w, i, 5), ' '))"
+        )
+    )
+    sh = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", shingles.alias("sh_arr"))
+        .select("doc_id", F.explode_outer("sh_arr").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count_if(F.col("df") >= 3).alias("n_common"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double") / F.col("n_shingles"), 6
+            ).alias("boilerplate_ratio"),
+        )
+        .orderBy(F.col("boilerplate_ratio").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    """
+    WITH split AS (
+        SELECT doc_id, text,
+               CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+                    THEN 'test' ELSE 'train' END AS part
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT part, UNNEST(shingles) AS g
+        FROM (
+            SELECT part,
+                   [ARRAY_TO_STRING(w[i:i+3], ' ')
+                    FOR i IN RANGE(1, LEN(w) - 2)] AS shingles
+            FROM (SELECT part, STRING_SPLIT(text, ' ') AS w FROM split) t
+        ) s
+    ), test_g AS (
+        SELECT g FROM sh WHERE part = 'test'
+    ), train_g AS (
+        SELECT g FROM sh WHERE part = 'train'
+    )
+    SELECT CAST((SELECT COUNT(*) FROM split WHERE part = 'test') AS BIGINT)
+               AS n_test_docs,
+           CAST(COUNT(*) AS BIGINT) AS test_ngrams,
+           CAST(COUNT(*) FILTER (WHERE tr.g IS NULL) AS BIGINT) AS novel_ngrams,
+           ROUND(CAST(COUNT(*) FILTER (WHERE tr.g IS NULL) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty_ratio
+    FROM test_g te LEFT JOIN train_g tr ON tr.g = te.g
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test 4-gram novelty: the fraction of the holdout split's
+    distinct token 4-grams never seen in the training split — the
+    memorization-vs-generalization audit run before trusting a held-out
+    perplexity number (a near-zero novelty ratio means the test set is
+    effectively contaminated). Splits are hash-assigned (replay-stable,
+    same discipline as `sample_hash_split`); distinct n-grams per split
+    shuffle BY N-GRAM once and the novelty check is one anti-join on the
+    same layout. Exact counts + one ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = docs.select(
+        F.when(nibble.isin("0", "1"), F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("part"),
+        F.split("text", " ").alias("w"),
+    )
+    shingles = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, size(w) - 3),"
+            " i -> array_join(slice(w, i, 4), ' '))"
+        )
+    )
+    sh = (
+        split.select("part", shingles.alias("sh_arr"))
+        .select("part", F.explode_outer("sh_arr").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    test_g = sh.filter(F.col("part") == "test").select("g")
+    train_g = sh.filter(F.col("part") == "train").select(
+        F.col("g").alias("tg")
+    )
+    joined = test_g.join(train_g, test_g["g"] == train_g["tg"], "left")
+    ndocs = docs.filter(nibble.isin("0", "1")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_docs")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("test_ngrams"),
+        F.count_if(F.col("tg").isNull()).cast("bigint").alias("novel_ngrams"),
+        F.round(
+            F.count_if(F.col("tg").isNull()).cast("double") / F.count(F.lit(1)), 6
+        ).alias("novelty_ratio"),
+    ).crossJoin(F.broadcast(ndocs)).select(
+        "n_test_docs", "test_ngrams", "novel_ngrams", "novelty_ratio"
+    )

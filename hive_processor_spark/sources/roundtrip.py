@@ -880,3 +880,45 @@ def join_dpp_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "sink_partition_stats_manifest",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS DECIMAL(28,0)))
+                AS DOUBLE) / 100.0 AS sum_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sink_partition_stats_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse manifest statistics: write the fact table partitioned,
+    re-read it, and derive per-partition min/max/count/sum — the zone-map
+    stats a table format (Iceberg/Delta manifest) records so scans can
+    prune partitions and row groups without opening them. The oracle
+    computes the same stats straight off the source table, proving the
+    partitioned write→read roundtrip is lossless AND the manifest numbers
+    are exactly the data's. At 100 TB this per-partition aggregation runs
+    partition-local (no shuffle before the final ~3-row collect)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    path = _scratch("manifest")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("l_returnflag").cast("string").alias("l_returnflag"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("l_orderkey").cast("bigint").alias("min_orderkey"),
+            F.max("l_orderkey").cast("bigint").alias("max_orderkey"),
+            (
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100.0).cast("decimal(28,0)")
+                ).cast("double")
+                / 100.0
+            ).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -329,3 +329,26 @@ def test_bloom_prefilter_before_exchange(spark):
     # the bloom probe (element_at over the broadcast bitmap) appears in a
     # Filter on the streamed side of the plan
     assert "element_at" in plan
+
+
+def test_range_binned_is_equi_join(spark):
+    # the band join must compile to a hash equi-join on the bucket key —
+    # a CartesianProduct or nested-loop here means the rewrite regressed
+    plan = plan_string(_QUERIES["join_range_binned"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan  # broadcast or shuffled hash equi-join
+
+
+def test_precision_at_k_broadcasts_probes(spark):
+    # the query side must broadcast; the corpus scan is the only data-
+    # sized input (broadcast nested-loop is fine: build side is 50 rows)
+    plan = plan_string(_QUERIES["sim_precision_at_k"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+
+
+def test_nearest_centroid_broadcasts_centroids(spark):
+    # scores come from a dim-keyed join against the broadcast 640-row
+    # centroid frame — a shuffled join would re-exchange the exploded fact
+    plan = plan_string(_QUERIES["ml_nearest_centroid"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan

@@ -2417,3 +2417,54 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("p90_lag_hours"),
     )
+
+
+@register(
+    "events_user_entropy",
+    """
+    WITH counts AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id, event_type
+    ), probs AS (
+        SELECT user_id, c, SUM(c) OVER (PARTITION BY user_id) AS t
+        FROM counts
+    ), ent AS (
+        SELECT user_id,
+               CAST(MAX(t) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS INT) AS n_types,
+               ROUND(CAST(SUM(CAST(FLOOR(
+                   -(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                   * LN(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1e9)
+                   AS BIGINT)) AS DOUBLE) / 1e9, 6) AS entropy_nats
+        FROM probs GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types, entropy_nats
+    FROM ent ORDER BY entropy_nats DESC, user_id LIMIT 20
+    """,
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity score: Shannon entropy (nats) of each user's
+    event-type mix, top-20 most diverse users — the segmentation feature
+    that separates single-purpose visitors from engaged explorers, and
+    the same aggregation shape used for bot detection (too-uniform mixes
+    score suspiciously high). One (user, type) count pass, a per-user
+    window total, then per-term 1e-9 floor quantization before the
+    entropy sum (same LN-parity discipline as `text_entropy`). Shuffle ∝
+    distinct (user, type) pairs; everything after is per-user-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    probs = counts.select(
+        "user_id",
+        "c",
+        F.sum("c").over(Window.partitionBy("user_id")).alias("t"),
+    )
+    p = F.col("c").cast("double") / F.col("t").cast("double")
+    term = F.floor(-p * F.log(p) * 1e9).cast("bigint")
+    ent = probs.groupBy("user_id").agg(
+        F.max("t").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("int").alias("n_types"),
+        F.round(F.sum(term).cast("double") / 1e9, 6).alias("entropy_nats"),
+    )
+    return ent.orderBy(F.col("entropy_nats").desc(), "user_id").limit(20)

@@ -1244,3 +1244,61 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_pairs").desc(), "bucket")
         .limit(20)
     )
+
+
+@register(
+    "join_not_in_null_aware",
+    """
+    WITH p_cust AS (
+        SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+                   AS k
+        FROM orders WHERE o_orderstatus = 'P'
+    )
+    SELECT
+        CAST((SELECT COUNT(*) FROM customer
+              WHERE c_custkey NOT IN (SELECT k FROM p_cust WHERE k IS NOT NULL))
+             AS BIGINT) AS not_in_clean,
+        CAST((SELECT COUNT(*) FROM customer
+              WHERE c_custkey NOT IN (SELECT k FROM p_cust))
+             AS BIGINT) AS not_in_with_null,
+        CAST((SELECT COUNT(*) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM p_cust p
+                                WHERE p.k = c.c_custkey))
+             AS BIGINT) AS not_exists
+    """,
+)
+def join_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN vs NOT EXISTS null semantics, side by side: with even one
+    NULL in the subquery list, SQL's three-valued logic makes every
+    ``x NOT IN (...)`` UNKNOWN — zero rows survive — while NOT EXISTS is
+    null-immune. The classic silent-wrong-answer trap in anti-join
+    rewrites; Spark compiles the NULL-bearing variant to a null-aware
+    anti join (NAAJ) rather than a plain LeftAnti precisely because of
+    this. One row, three counts: clean NOT IN, NULL-poisoned NOT IN
+    (provably 0 here — the synthesized list contains NULLs), and
+    NOT EXISTS. Both engines agree on all three, proving the engine's
+    anti-join family implements the standard's semantics."""
+    from hive_processor_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH p_cust AS (
+            SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+                       AS k
+            FROM orders WHERE o_orderstatus = 'P'
+        )
+        SELECT
+            CAST((SELECT COUNT(*) FROM customer
+                  WHERE c_custkey NOT IN
+                        (SELECT k FROM p_cust WHERE k IS NOT NULL))
+                 AS BIGINT) AS not_in_clean,
+            CAST((SELECT COUNT(*) FROM customer
+                  WHERE c_custkey NOT IN (SELECT k FROM p_cust))
+                 AS BIGINT) AS not_in_with_null,
+            CAST((SELECT COUNT(*) FROM customer c
+                  WHERE NOT EXISTS (SELECT 1 FROM p_cust p
+                                    WHERE p.k = c.c_custkey))
+                 AS BIGINT) AS not_exists
+        """
+    )

@@ -1380,3 +1380,96 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overlap",
         F.round(F.col("n_overlap") / 10.0, 4).alias("recall_at_10"),
     )
+
+
+@register(
+    "sim_ivf_cell_stats",
+    _CENTROID_CTE
+    + """
+    , cvec AS (
+        SELECT label, LIST(m ORDER BY pos) AS centroid FROM cent GROUP BY label
+    ), scored AS (
+        SELECT e.label,
+               (CAST(LIST_AGGREGATE(LIST_TRANSFORM(
+                    RANGE(1, LEN(e.embedding) + 1),
+                    i -> CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE)
+                              * c.centroid[i] * 1e12) AS BIGINT)), 'sum')
+                 AS DOUBLE) / 1e12)
+               / SQRT((CAST(LIST_AGGREGATE(LIST_TRANSFORM(
+                    RANGE(1, LEN(e.embedding) + 1),
+                    i -> CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE)
+                              * CAST(e.embedding[i] AS DOUBLE) * 1e12)
+                         AS BIGINT)), 'sum') AS DOUBLE) / 1e12)
+                  * (CAST(LIST_AGGREGATE(LIST_TRANSFORM(
+                    RANGE(1, LEN(c.centroid) + 1),
+                    i -> CAST(FLOOR(c.centroid[i] * c.centroid[i] * 1e12)
+                         AS BIGINT)), 'sum') AS DOUBLE) / 1e12))
+               AS sim
+        FROM embeddings e JOIN cvec c ON c.label = e.label
+    ), cells AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(FLOOR(sim * 1e9) AS BIGINT)) AS DOUBLE)
+                     / 1e9 / COUNT(*), 4) AS mean_sim_to_centroid
+        FROM scored GROUP BY label
+    ), tot AS (SELECT SUM(n) AS t, MAX(n) AS mx, COUNT(*) AS k FROM cells)
+    SELECT CAST(label AS INT) AS cell,
+           n AS n_vectors,
+           ROUND(CAST(n AS DOUBLE) / t, 6) AS share,
+           mean_sim_to_centroid,
+           ROUND(CAST(mx AS DOUBLE) * k / t, 4) AS imbalance_factor
+    FROM cells, tot ORDER BY cell
+    """,
+)
+def sim_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health report: per-cell population, share, and mean
+    cosine-to-own-centroid (cell coherence), plus the global imbalance
+    factor max/avg — the numbers that decide whether an IVF layout needs
+    re-training before it ships (a hot cell caps probe pruning at
+    1/imbalance, and a low-coherence cell answers probes badly). Reuses
+    the quantized centroid construction of the ANN family; one exploded
+    aggregation for centroids, a label-keyed broadcast join to score
+    members, and a cells-sized rollup. The probe-side math is identical
+    to `sim_ann_ivf`, so these stats describe exactly the index that
+    operator searches."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos0", "x")).select(
+        "label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.floor(F.col("x").cast("double") * F.lit(1e6)).cast("long").alias("q"),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        (F.sum("q").cast("double") / F.count(F.lit(1)) / F.lit(1e6)).alias("m")
+    )
+    cvec = cent.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("m"))))
+        .getField("m")
+        .alias("centroid")
+    )
+    scored = emb.join(F.broadcast(cvec), "label").select(
+        "label", cosine_q(F.col("embedding"), F.col("centroid")).alias("sim")
+    )
+    cells = scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.floor(F.col("sim") * 1e9).cast("bigint")).cast("double")
+            / 1e9
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_sim_to_centroid"),
+    )
+    tot = cells.agg(
+        F.sum("n").alias("t"), F.max("n").alias("mx"), F.count(F.lit(1)).alias("k")
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("label").cast("int").alias("cell"),
+            F.col("n").alias("n_vectors"),
+            F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
+            "mean_sim_to_centroid",
+            F.round(F.col("mx").cast("double") * F.col("k") / F.col("t"), 4).alias(
+                "imbalance_factor"
+            ),
+        )
+        .orderBy("cell")
+    )

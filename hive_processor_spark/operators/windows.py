@@ -585,3 +585,76 @@ def win_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("band_1997", "band_1998")
     )
+
+
+@register(
+    "win_rolling_slope",
+    """
+    WITH daily AS (
+        SELECT CAST(FLOOR(EPOCH(o_orderdate) / 86400) AS BIGINT) AS d,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(28,0)))
+                    AS BIGINT) AS yc
+        FROM orders GROUP BY 1
+    ), w AS (
+        SELECT d, yc,
+               COUNT(*) OVER fr AS n,
+               SUM(d) OVER fr AS sx,
+               SUM(yc) OVER fr AS sy,
+               SUM(d * yc) OVER fr AS sxy,
+               SUM(d * d) OVER fr AS sxx
+        FROM daily
+        WINDOW fr AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d AS epoch_day,
+           ROUND(CAST(yc AS DOUBLE) / 100.0, 2) AS revenue,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 / 100.0, 6) AS slope_per_day
+    FROM w WHERE n = 7 ORDER BY epoch_day LIMIT 50
+    """,
+)
+def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day OLS trend slope of daily revenue — regression-as-a-
+    window: the frame keeps the five sufficient sums (n, Σx, Σy, Σxy,
+    Σx²) and the slope is post-frame scalar algebra, so a full rolling
+    regression costs exactly one window pass instead of per-day refits.
+    Every frame sum is *integer* (epoch-day × revenue-cents as bigint) —
+    order- and slide-optimization-independent in both engines, no
+    floating accumulation inside the frame. At 100 TB the daily rollup is
+    the only data-sized stage; the window runs over ~2400 aggregated
+    rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.floor(F.unix_timestamp("o_orderdate") / 86400)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("decimal(28,0)"))
+        .cast("bigint")
+        .alias("yc")
+    )
+    fr = Window.orderBy("d").rowsBetween(-6, 0)
+    w = daily.select(
+        "d",
+        "yc",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum("d").over(fr).alias("sx"),
+        F.sum("yc").over(fr).alias("sy"),
+        F.sum(F.col("d") * F.col("yc")).over(fr).alias("sxy"),
+        F.sum(F.col("d") * F.col("d")).over(fr).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    dd = lambda c: c.cast("double")  # noqa: E731
+    return (
+        w.filter(n == 7)
+        .select(
+            F.col("d").alias("epoch_day"),
+            F.round(dd(F.col("yc")) / 100.0, 2).alias("revenue"),
+            F.round(
+                (dd(n) * sxy - dd(sx) * sy) / (dd(n) * sxx - dd(sx) * sx) / 100.0,
+                6,
+            ).alias("slope_per_day"),
+        )
+        .orderBy("epoch_day")
+        .limit(50)
+    )

@@ -2468,3 +2468,90 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(term).cast("double") / 1e9, 6).alias("entropy_nats"),
     )
     return ent.orderBy(F.col("entropy_nats").desc(), "user_id").limit(20)
+
+
+@register(
+    "events_markov_stationary",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY EPOCH_US(ts), event_id)
+                   AS nxt
+        FROM events
+    ), trans AS (
+        SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), p AS (
+        SELECT src, dst, c / SUM(c) OVER (PARTITION BY src) AS pr
+        FROM trans
+    ), types AS (
+        SELECT DISTINCT event_type AS t, 1.0 / 5 AS v FROM events
+    ), v1 AS (
+        SELECT p.dst AS t,
+               CAST(SUM(CAST(FLOOR(ty.v * p.pr * 1e12) AS BIGINT)) AS DOUBLE)
+                   / 1e12 AS v
+        FROM p JOIN types ty ON ty.t = p.src GROUP BY p.dst
+    ), v2 AS (
+        SELECT p.dst AS t,
+               CAST(SUM(CAST(FLOOR(v1.v * p.pr * 1e12) AS BIGINT)) AS DOUBLE)
+                   / 1e12 AS v
+        FROM p JOIN v1 ON v1.t = p.src GROUP BY p.dst
+    )
+    SELECT t AS event_type, ROUND(v, 6) AS stationary_share
+    FROM v2 ORDER BY event_type
+    """,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary behavior mix: two power-iteration steps of the
+    event-type Markov chain (uniform start, vᵀP per step) — the long-run
+    "where do user journeys spend their time" estimate that a raw count
+    histogram biases toward entry events. Linear algebra as joins: the
+    25-cell transition matrix broadcasts, each step is a src-keyed join +
+    1e-12-quantized sum — at 100 TB only the LEAD sequencing pass
+    (user-keyed window over the event stream) touches data; the iteration
+    is constant-sized. Deterministic to the bit at any parallelism."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.unix_micros(F.col("ts")), "event_id"
+            )
+        )
+        .alias("nxt"),
+    )
+    trans = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    p = trans.select(
+        "src",
+        "dst",
+        (F.col("c") / F.sum("c").over(Window.partitionBy("src"))).alias("pr"),
+    )
+    types = ev.select(F.col("event_type").alias("t")).distinct().withColumn(
+        "v", F.lit(1.0 / 5)
+    )
+
+    def step(vec: DataFrame) -> DataFrame:
+        return (
+            p.join(F.broadcast(vec), p["src"] == vec["t"])
+            .groupBy(F.col("dst").alias("t"))
+            .agg(
+                (
+                    F.sum(
+                        F.floor(F.col("v") * F.col("pr") * 1e12).cast("bigint")
+                    ).cast("double")
+                    / 1e12
+                ).alias("v")
+            )
+        )
+
+    v2 = step(step(types))
+    return v2.select(
+        F.col("t").alias("event_type"),
+        F.round("v", 6).alias("stationary_share"),
+    ).orderBy("event_type")

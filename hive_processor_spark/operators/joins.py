@@ -1302,3 +1302,73 @@ def join_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS BIGINT) AS not_exists
         """
     )
+
+
+@register(
+    "join_temporal_overlap_pairs",
+    """
+    WITH iv AS (
+        SELECT o_custkey, o_orderkey, o_orderdate AS s,
+               o_orderdate + INTERVAL 7 DAY AS e
+        FROM orders
+    ), pairs AS (
+        SELECT a.o_custkey,
+               a.o_orderkey AS key_a, b.o_orderkey AS key_b
+        FROM iv a JOIN iv b
+          ON a.o_custkey = b.o_custkey
+         AND a.o_orderkey < b.o_orderkey
+         AND a.s < b.e AND b.s < a.e
+    )
+    SELECT o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS overlapping_pairs,
+           CAST(MIN(key_a) AS BIGINT) AS first_key
+    FROM pairs
+    GROUP BY o_custkey
+    ORDER BY overlapping_pairs DESC, custkey LIMIT 20
+    """,
+)
+def join_temporal_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key interval-overlap self-join: pairs of a customer's orders
+    whose 7-day fulfillment windows overlap — the workload-collision /
+    double-booking primitive (meeting conflicts, session overlap,
+    concurrent SLAs all share this shape). The join key is the CUSTOMER,
+    so Spark co-partitions both sides on custkey and the quadratic
+    interval predicate only runs within each key's small group — never
+    across the table. Top-20 customers by overlap count. At 100 TB the
+    per-key group size bounds the fan-out exactly like the dedup family's
+    shingle cap; a hot key would be salted the same way."""
+    orders = load_table(spark, sf_dir, "orders")
+    iv = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("e"),
+    )
+    a = iv.select(
+        F.col("o_custkey"),
+        F.col("o_orderkey").alias("key_a"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+    )
+    b = iv.select(
+        F.col("o_custkey").alias("ck_b"),
+        F.col("o_orderkey").alias("key_b"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("o_custkey") == F.col("ck_b"))
+        & (F.col("key_a") < F.col("key_b"))
+        & (F.col("sa") < F.col("eb"))
+        & (F.col("sb") < F.col("ea")),
+    )
+    return (
+        pairs.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("overlapping_pairs"),
+            F.min("key_a").cast("bigint").alias("first_key"),
+        )
+        .orderBy(F.col("overlapping_pairs").desc(), "custkey")
+        .limit(20)
+    )

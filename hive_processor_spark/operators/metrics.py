@@ -1003,3 +1003,78 @@ def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@register(
+    "ml_threshold_sweep_cost",
+    """
+    WITH b AS (
+        SELECT LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bucket,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                   AS pos,
+               CAST(COUNT(*) FILTER (WHERE event_type <> 'purchase') AS BIGINT)
+                   AS neg
+        FROM events GROUP BY 1
+    ), spine AS (SELECT UNNEST(RANGE(0, 10)) AS bucket), dense AS (
+        SELECT s.bucket, COALESCE(b.pos, 0) AS pos, COALESCE(b.neg, 0) AS neg
+        FROM spine s LEFT JOIN b ON b.bucket = s.bucket
+    ), cum AS (
+        SELECT bucket,
+               SUM(pos) OVER (ORDER BY bucket DESC) AS tp,
+               SUM(neg) OVER (ORDER BY bucket DESC) AS fp,
+               SUM(pos) OVER () AS all_pos
+        FROM dense
+    ), cost AS (
+        SELECT CAST(bucket * 50 AS DOUBLE) AS threshold,
+               CAST(fp AS BIGINT) AS fp,
+               CAST(all_pos - tp AS BIGINT) AS fn,
+               CAST(1 * fp + 10 * (all_pos - tp) AS BIGINT) AS total_cost
+        FROM cum
+    )
+    SELECT threshold, fp, fn, total_cost,
+           (total_cost = (SELECT MIN(total_cost) FROM cost)) AS is_optimal
+    FROM cost ORDER BY threshold
+    """,
+)
+def ml_threshold_sweep_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-sensitive decision-threshold sweep: expected cost
+    1·FP + 10·FN at ten score thresholds, optimum flagged — how a
+    classifier threshold is actually chosen when misses cost 10× false
+    alarms (fraud, abuse, contamination gates), rather than maximizing
+    F1. Same one-pass bucketed-count shape as `ml_pr_curve` (the heavy
+    stage is a 10-row conditional count), with the cost frontier and
+    argmin as post-aggregate window algebra. Exact integer costs."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50.0).cast("bigint"), F.lit(9))
+    b = ev.groupBy(bucket.alias("bucket")).agg(
+        F.count_if(F.col("event_type") == "purchase").alias("pos"),
+        F.count_if(F.col("event_type") != "purchase").alias("neg"),
+    )
+    spine = spark.range(10).select(F.col("id").alias("bucket"))
+    dense = spine.join(F.broadcast(b), "bucket", "left").select(
+        "bucket",
+        F.coalesce("pos", F.lit(0)).alias("pos"),
+        F.coalesce("neg", F.lit(0)).alias("neg"),
+    )
+    wdesc = Window.orderBy(F.col("bucket").desc())
+    cum = dense.select(
+        "bucket",
+        F.sum("pos").over(wdesc).alias("tp"),
+        F.sum("neg").over(wdesc).alias("fp"),
+        F.sum("pos").over(Window.partitionBy()).alias("all_pos"),
+    )
+    cost = cum.select(
+        (F.col("bucket") * 50).cast("double").alias("threshold"),
+        F.col("fp").cast("bigint").alias("fp"),
+        (F.col("all_pos") - F.col("tp")).cast("bigint").alias("fn"),
+        (1 * F.col("fp") + 10 * (F.col("all_pos") - F.col("tp")))
+        .cast("bigint")
+        .alias("total_cost"),
+    )
+    return cost.select(
+        "*",
+        (
+            F.col("total_cost")
+            == F.min("total_cost").over(Window.partitionBy())
+        ).alias("is_optimal"),
+    ).orderBy("threshold")

@@ -1582,7 +1582,7 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_log2_histogram",
     """
     WITH b AS (
-        SELECT LENGTH(BIN(CAST(l_extendedprice AS BIGINT))) AS bucket,
+        SELECT LENGTH(BIN(CAST(FLOOR(l_extendedprice) AS BIGINT))) AS bucket,
                l_extendedprice AS x
         FROM lineitem
     )
@@ -1603,7 +1603,11 @@ def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     one bin. One partial→final count pass; ~17 output rows regardless of
     input size."""
     li = load_table(spark, sf_dir, "lineitem")
-    bucket = F.length(F.bin(F.col("l_extendedprice").cast("bigint")))
+    # explicit FLOOR before the bigint cast: Spark's double->bigint cast
+    # truncates while DuckDB's rounds half-even — at 2^k boundaries the
+    # same row would land in different buckets without it (caught by the
+    # sf0.1 sweep)
+    bucket = F.length(F.bin(F.floor(F.col("l_extendedprice")).cast("bigint")))
     return (
         li.groupBy(bucket.alias("bucket"))
         .agg(
@@ -1624,4 +1628,54 @@ def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
         .orderBy("log2_bucket")
+    )
+
+
+@register(
+    "agg_percentile_disc_cont",
+    """
+    SELECT l_returnflag,
+           ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_quantity), 6)
+               AS p25_cont,
+           ROUND(PERCENTILE_CONT(0.50) WITHIN GROUP (ORDER BY l_quantity), 6)
+               AS p50_cont,
+           ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY l_quantity), 6)
+               AS p75_cont,
+           PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_disc,
+           PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY l_quantity) AS p50_disc,
+           PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_percentile_disc_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_CONT vs PERCENTILE_DISC side by side (ANSI WITHIN GROUP
+    syntax on both engines): the continuous form interpolates between
+    order statistics, the discrete form returns an actual data value —
+    the difference every SLA/percentile report has to choose about, and a
+    place where engines silently disagree if either deviates from the
+    standard. CONT outputs rounded at 6dp (interpolation arithmetic is
+    the same a+(b-a)*f in both engines); DISC outputs are exact data
+    values needing no rounding. Per-group sort-based aggregate — at
+    100 TB this is the one operator family where a sketch
+    (`agg_approx_quantile`) replaces the exact sort."""
+    from hive_processor_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_quantity), 6)
+                   AS p25_cont,
+               ROUND(PERCENTILE_CONT(0.50) WITHIN GROUP (ORDER BY l_quantity), 6)
+                   AS p50_cont,
+               ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY l_quantity), 6)
+                   AS p75_cont,
+               PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY l_quantity)
+                   AS p25_disc,
+               PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY l_quantity)
+                   AS p50_disc,
+               PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY l_quantity)
+                   AS p75_disc
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
     )

@@ -628,14 +628,17 @@ def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS w
         FROM documents
     ), freq AS (
-        SELECT w, ROUND(-LOG2(COUNT(*) / CAST((SELECT COUNT(*) FROM tok) AS DOUBLE)), 6)
-                   AS surprisal
+        -- per-word surprisal floor-quantized to integer micro-bits: engine
+        -- ROUND tie rules (half-up vs half-even) diverged on sf0.1 vocab
+        SELECT w, CAST(FLOOR(-LOG2(COUNT(*)
+                   / CAST((SELECT COUNT(*) FROM tok) AS DOUBLE)) * 1000000.0)
+                   AS BIGINT) AS qsurprisal
         FROM tok GROUP BY w
     )
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND((CAST(SUM(CAST(FLOOR(f.surprisal * 1000000.0) AS DECIMAL(28,0)))
-                       AS DOUBLE) / 1000000.0) / COUNT(*), 4) AS avg_surprisal
+           ROUND((CAST(SUM(f.qsurprisal) AS DOUBLE) / 1000000.0) / COUNT(*), 4)
+               AS avg_surprisal
     FROM tok t JOIN freq f ON f.w = t.w
     GROUP BY t.doc_id
     ORDER BY t.doc_id
@@ -653,10 +656,16 @@ def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_tokens()).alias("w"))
     n_total = tok.count()  # one scalar: the unigram model's denominator
+    # integer micro-bit surprisal per DISTINCT word (floor, never ROUND:
+    # engine rounding tie rules diverge — caught by the sf0.1 sweep), the
+    # integer carried through the per-doc sum so no re-quantization ever
+    # re-tests a grid boundary
     freq = tok.groupBy("w").agg(
-        F.round(
-            -F.log2(F.count(F.lit(1)) / F.lit(float(n_total))), 6
-        ).alias("surprisal")
+        F.floor(
+            -F.log2(F.count(F.lit(1)) / F.lit(float(n_total))) * 1e6
+        )
+        .cast("long")
+        .alias("qsurprisal")
     )
     return (
         tok.join(F.broadcast(freq), "w")
@@ -664,13 +673,7 @@ def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(
-                (
-                    F.sum(
-                        F.floor(F.col("surprisal") * 1e6).cast("decimal(28,0)")
-                    ).cast("double")
-                    / 1e6
-                )
-                / F.count(F.lit(1)),
+                (F.sum("qsurprisal").cast("double") / 1e6) / F.count(F.lit(1)),
                 4,
             ).alias("avg_surprisal"),
         )

@@ -580,22 +580,25 @@ def dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_ngram_verify", _NGRAM_JACCARD_SQL)
 def dedup_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB shape for EXACT n-gram Jaccard: MinHash-LSH candidate
-    generation followed by exact re-verification of only the candidate
-    pairs. Where ``dedup_ngram_jaccard`` joins the full shingle index
-    against itself (O(collision mass)), this routes through the banded
-    minhash bucket join (O(candidates)) and then computes the exact
-    common-shingle count for candidates alone — the standard two-phase
-    near-dup pass every large corpus runs.
+    """The 100 TB shape for EXACT n-gram Jaccard: prefix-filter candidate
+    generation (Chaudhuri et al. SSJoin '06; Bayardo et al. AllPairs
+    WWW'07) followed by exact re-verification of only the candidate
+    pairs. A pair with J(A,B) >= t MUST collide inside either set's
+    prefix — the first |X| - ceil(t*|X|) + 1 shingle hashes in the global
+    hash order — so recall is GUARANTEED by pigeonhole, not probability:
+    candidate generation may only affect cost, never the result (the
+    property tests assert set equality with the direct join, and the
+    round-3 sf0.1 sweep is why this matters: the previous seeded
+    MinHash-LSH candidate stage missed ~4% of true pairs at 5000 docs — a
+    probabilistic OR of 8 hash tables carries ~(1-j)^8 miss odds at low
+    jaccard, fine for a recall target, wrong for an EXACT operator; that
+    path remains available as ``dedup_minhash``/``dedup_minhash_sql``).
 
-    Same oracle as ``dedup_ngram_jaccard``, because the answer is the
-    same: the minhash candidate set provably covers the fixture's exact
-    pairs (asserted in tests/test_properties.py), and at the 0.93-distance
-    candidate threshold the 8-table banding makes a miss for a true
-    jaccard ≥ 0.08 pair vanishingly unlikely at any scale; re-verification
-    guarantees precision is always exact."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
+    The prefix shrinks as the threshold rises (20%+1 of each set at the
+    common 0.8 near-dup bar); at this operator's permissive t=0.08 it
+    prunes modestly — the structure, not the constant, is the point.
+    Same oracle as ``dedup_ngram_jaccard``, because the answer is
+    provably the same."""
     shingle_str = F.expr(
         "array_distinct(transform(sequence(1, size(w) - 2),"
         " i -> array_join(slice(w, i, 3), ' ')))"
@@ -605,18 +608,27 @@ def dedup_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.split("text", " ").alias("w"))
         .select("doc_id", shingle_str.alias("tokens"))
     )
-    tf = HashingTF(inputCol="tokens", outputCol="vec", numFeatures=1 << 16, binary=True)
-    vecs = tf.transform(docs)
-    model = MinHashLSH(inputCol="vec", outputCol="hashes", numHashTables=8, seed=42).fit(
-        vecs
+    # global canonical order = ascending xxhash64; prefix length
+    # |X| - ceil(t|X|) + 1 guarantees any J >= t pair collides in-prefix
+    hashes = F.array_sort(F.expr("transform(tokens, s -> xxhash64(s))"))
+    prefix_len = (
+        F.size("tokens")
+        - F.ceil(F.size("tokens") * F.lit(_VERIFY_T)).cast("int")
+        + 1
     )
+    prefixed = (
+        docs.select("doc_id", F.slice(hashes, 1, prefix_len).alias("prefix"))
+        .select("doc_id", F.explode_outer("prefix").alias("ph"))
+        .filter(F.col("ph").isNotNull())
+    )
+    p_a = prefixed.select(F.col("doc_id").alias("doc_a"), F.col("ph").alias("ha"))
+    p_b = prefixed.select(F.col("doc_id").alias("doc_b"), F.col("ph").alias("hb"))
     cands = (
-        model.approxSimilarityJoin(vecs, vecs, 0.93, distCol="d")
-        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
+        p_a.join(
+            p_b, (F.col("ha") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b"))
         )
+        .select("doc_a", "doc_b")
+        .distinct()
         .localCheckpoint(eager=True)
     )
     # Exact verification on candidates only: hashed shingle index built
@@ -1036,6 +1048,9 @@ _MH_PERMS = (
     (17389, 389),
 )
 _MH_BANDS = 4  # 2 rows per band over the 8 perms
+
+#: dedup_ngram_verify's jaccard threshold (shared by plan + prefix rule).
+_VERIFY_T = 0.08
 
 
 def _minhash_sql() -> str:

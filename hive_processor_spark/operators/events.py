@@ -2555,3 +2555,87 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("event_type"),
         F.round("v", 6).alias("stationary_share"),
     ).orderBy("event_type")
+
+
+@register(
+    "events_bounce_rate",
+    """
+    WITH seq AS (
+        SELECT user_id, EPOCH_US(ts) AS us,
+               LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY EPOCH_US(ts), event_id)
+                   AS prev_us
+        FROM events
+    ), marked AS (
+        SELECT user_id, us,
+               CASE WHEN prev_us IS NULL
+                         OR us - prev_us > 1800000000 THEN 1 ELSE 0 END
+                   AS new_session
+        FROM seq
+    ), sessions AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY us
+                                      ROWS UNBOUNDED PRECEDING) AS session_no,
+               us
+        FROM marked
+    ), sized AS (
+        SELECT user_id, session_no,
+               COUNT(*) AS n_events,
+               CAST(FLOOR(MIN(us) / 86400000000) AS BIGINT) AS epoch_day
+        FROM sessions GROUP BY user_id, session_no
+    )
+    SELECT epoch_day,
+           CAST(COUNT(*) AS BIGINT) AS sessions,
+           CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT) AS bounces,
+           ROUND(CAST(COUNT(*) FILTER (WHERE n_events = 1) AS DOUBLE)
+                 / COUNT(*), 6) AS bounce_rate
+    FROM sized GROUP BY epoch_day ORDER BY epoch_day
+    """,
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of 30-minute-gap sessions containing
+    exactly one event, keyed by the day the session started — the
+    engagement KPI that catches landing-page regressions a raw event
+    count hides. Same user-keyed gap sessionization as
+    `events_sessionize` (one window pass over the per-user stream), one
+    per-session rollup, one per-day reduction; everything after the first
+    window is session-sized. Exact integer µs and counts."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    marked = ev.select(
+        "user_id",
+        us.alias("us"),
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1800000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = marked.select(
+        "user_id", "us", F.sum("new_session").over(run).alias("session_no")
+    )
+    sized = sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(F.min("us") / 86400000000).cast("bigint").alias("epoch_day"),
+    )
+    return (
+        sized.groupBy("epoch_day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("sessions"),
+            F.count_if(F.col("n_events") == 1).cast("bigint").alias("bounces"),
+            F.round(
+                F.count_if(F.col("n_events") == 1).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("bounce_rate"),
+        )
+        .orderBy("epoch_day")
+    )

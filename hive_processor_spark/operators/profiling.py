@@ -748,3 +748,44 @@ def profile_sentinel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("check_name")
+
+
+@register(
+    "profile_freshness",
+    """
+    WITH per_type AS (
+        SELECT event_type, MAX(EPOCH_US(ts)) AS last_us, COUNT(*) AS n
+        FROM events GROUP BY event_type
+    ), freshest AS (SELECT MAX(last_us) AS head_us FROM per_type)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           CAST((head_us - last_us) // 60000000 AS BIGINT) AS lag_minutes,
+           ((head_us - last_us) > 43200000000) AS stale_12h
+    FROM per_type, freshest
+    ORDER BY event_type
+    """,
+)
+def profile_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA report: per event stream, minutes since its last
+    event relative to the newest event anywhere, with a 12-hour staleness
+    flag — the first page of every pipeline-health dashboard (a stream
+    whose tail lags the head means an ingestion partition died). One
+    max/count aggregation (partial-combined map-side) and a broadcast of
+    the single head-of-stream scalar; integer µs arithmetic throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.max(F.unix_micros(F.col("ts"))).alias("last_us"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    head = per.agg(F.max("last_us").alias("head_us"))
+    lag = F.col("head_us") - F.col("last_us")
+    return (
+        per.crossJoin(F.broadcast(head))
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.floor(lag / 60000000).cast("bigint").alias("lag_minutes"),
+            (lag > 43200000000).alias("stale_12h"),
+        )
+        .orderBy("event_type")
+    )

@@ -423,3 +423,54 @@ def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o").alias("o_total"),
         F.col("p").alias("p_total"),
     )
+
+
+@register(
+    "sql_any_all_quantifiers",
+    """
+    SELECT
+        CAST((SELECT COUNT(*) FROM customer
+              WHERE c_acctbal > ALL (SELECT s_acctbal FROM supplier))
+             AS BIGINT) AS richer_than_all_suppliers,
+        CAST((SELECT COUNT(*) FROM customer
+              WHERE c_acctbal > ANY (SELECT s_acctbal FROM supplier))
+             AS BIGINT) AS richer_than_some_supplier,
+        CAST((SELECT COUNT(*) FROM customer
+              WHERE c_nationkey = ANY (SELECT s_nationkey FROM supplier))
+             AS BIGINT) AS shares_nation_with_supplier
+    """,
+)
+def sql_any_all_quantifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANY/ALL quantified comparisons and their engine rewrites: DuckDB
+    evaluates the quantifiers natively; Spark SQL has no > ALL/> ANY
+    syntax, so the engine applies the standard scalar rewrite — > ALL ≡
+    > MAX(...), > ANY ≡ > MIN(...), = ANY ≡ IN — which is exactly what a
+    planner does internally (valid here because the subquery side is
+    non-empty and null-free; `join_not_in_null_aware` documents what
+    NULLs would do). The rewrite turns a quantified comparison into one
+    broadcast scalar + a conditional count: one pass at any scale."""
+    from hive_processor_spark.sources.tables import load_table as _lt
+
+    cust = _lt(spark, sf_dir, "customer")
+    supp = _lt(spark, sf_dir, "supplier")
+    bounds = supp.agg(
+        F.max("s_acctbal").alias("mx"), F.min("s_acctbal").alias("mn")
+    )
+    nations = supp.select("s_nationkey").distinct()
+    richer = cust.crossJoin(F.broadcast(bounds)).agg(
+        F.count_if(F.col("c_acctbal") > F.col("mx"))
+        .cast("bigint")
+        .alias("richer_than_all_suppliers"),
+        F.count_if(F.col("c_acctbal") > F.col("mn"))
+        .cast("bigint")
+        .alias("richer_than_some_supplier"),
+    )
+    shares = (
+        cust.join(
+            F.broadcast(nations),
+            cust["c_nationkey"] == nations["s_nationkey"],
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shares_nation_with_supplier"))
+    )
+    return richer.crossJoin(shares)

@@ -658,3 +658,101 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("epoch_day")
         .limit(50)
     )
+
+
+@register(
+    "win_alert_hysteresis",
+    """
+    WITH daily AS (
+        SELECT CAST(FLOOR(EPOCH(o_orderdate) / 86400) AS BIGINT) AS d,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(28,0)))
+                    AS DOUBLE) / 100.0 AS rev
+        FROM orders GROUP BY 1
+    ), stats AS (
+        SELECT CAST(SUM(CAST(FLOOR(rev * 100.0) AS DECIMAL(28,0))) AS DOUBLE)
+                   / 100.0 / COUNT(*) AS mu
+        FROM daily
+    ), marked AS (
+        SELECT d, rev,
+               CASE WHEN rev > 1.2 * mu THEN 1
+                    WHEN rev < 0.9 * mu THEN 0 END AS boundary
+        FROM daily, stats
+    ), filled AS (
+        SELECT d, rev,
+               COALESCE(LAST_VALUE(boundary IGNORE NULLS)
+                        OVER (ORDER BY d ROWS UNBOUNDED PRECEDING), 0)
+                   AS alert_on
+        FROM marked
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE alert_on = 1) AS BIGINT)
+               AS days_in_alert,
+           CAST(COUNT(*) AS BIGINT) AS days_total,
+           CAST(SUM(CASE WHEN alert_on = 1 AND COALESCE(prev, 0) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS alert_episodes
+    FROM (
+        SELECT alert_on,
+               LAG(alert_on) OVER (ORDER BY d) AS prev
+        FROM filled
+    ) t
+    """,
+)
+def win_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-threshold (hysteresis) alerting over the daily revenue series:
+    the alert turns ON crossing 120% of mean and only turns OFF dropping
+    below 90% — the debounce every production monitor needs so a metric
+    oscillating around one threshold doesn't page forever. The state
+    machine is NOT a recursion: mark up/down boundary crossings, then the
+    alert state at any day is the last non-null boundary — a forward-fill
+    window (`win_forward_fill`'s idiom). Episodes are OFF→ON transitions
+    counted with one lag. All data-sized work is the daily rollup; the
+    window runs over ~2400 aggregated rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint").alias("d")
+    ).agg(
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("decimal(28,0)"))
+            .cast("double")
+            / 100.0
+        ).alias("rev")
+    )
+    stats = daily.agg(
+        (
+            F.sum(F.floor(F.col("rev") * 100.0).cast("decimal(28,0)")).cast(
+                "double"
+            )
+            / 100.0
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    marked = daily.crossJoin(F.broadcast(stats)).select(
+        "d",
+        "rev",
+        F.when(F.col("rev") > 1.2 * F.col("mu"), 1)
+        .when(F.col("rev") < 0.9 * F.col("mu"), 0)
+        .alias("boundary"),
+    )
+    fill = (
+        Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = marked.select(
+        "d",
+        F.coalesce(
+            F.last("boundary", ignorenulls=True).over(fill), F.lit(0)
+        ).alias("alert_on"),
+    )
+    t = filled.select(
+        "alert_on", F.lag("alert_on").over(Window.orderBy("d")).alias("prev")
+    )
+    return t.agg(
+        F.count_if(F.col("alert_on") == 1).cast("bigint").alias("days_in_alert"),
+        F.count(F.lit(1)).cast("bigint").alias("days_total"),
+        F.sum(
+            F.when(
+                (F.col("alert_on") == 1) & (F.coalesce(F.col("prev"), F.lit(0)) == 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alert_episodes"),
+    )

@@ -1530,3 +1530,53 @@ def pipeline_fair_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "sample_bottom_k",
+    """
+    WITH h AS (
+        SELECT source, doc_id,
+               (doc_id * 2654435761) % 4294967296 AS bucket_hash
+        FROM documents
+    ),
+    r AS (
+        SELECT source, doc_id, bucket_hash,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY bucket_hash, doc_id
+               ) AS sample_rank
+        FROM h
+    )
+    SELECT source, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id,
+           CAST(bucket_hash AS BIGINT) AS bucket_hash
+    FROM r WHERE sample_rank <= 3
+    ORDER BY source, sample_rank
+    """,
+)
+def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bottom-k-by-hash sample per source — the distributed
+    reservoir: the k docs with the smallest Knuth multiplicative hash are
+    a uniform random-looking sample that is REPRODUCIBLE across runs,
+    engines, and partitionings (no RNG state), mergeable across shards
+    (union then re-take bottom-k), and stable under corpus appends except
+    where a new doc genuinely displaces one. Arithmetic hash
+    ``(doc_id * 2654435761) mod 2^32`` keeps both engines bit-identical
+    where murmur seeds would diverge. One shuffle on source; map-side
+    partial top-k applies since bottom-k is an order statistic."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "source",
+        "doc_id",
+        ((F.col("doc_id") * 2654435761) % 4294967296).alias("bucket_hash"),
+    )
+    w = Window.partitionBy("source").orderBy("bucket_hash", "doc_id")
+    return (
+        h.select(
+            "source",
+            F.row_number().over(w).cast("bigint").alias("sample_rank"),
+            "doc_id",
+            F.col("bucket_hash").cast("bigint"),
+        )
+        .filter(F.col("sample_rank") <= 3)
+        .orderBy("source", "sample_rank")
+    )

@@ -2639,3 +2639,75 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch_day")
     )
+
+
+@register(
+    "events_burstiness",
+    """
+    WITH g AS (
+        SELECT user_id,
+               (EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (
+                    PARTITION BY user_id ORDER BY EPOCH_US(ts), event_id))
+                   // 1000 AS gap_ms
+        FROM events
+    ),
+    s AS (
+        SELECT user_id,
+               CAST(COUNT(gap_ms) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap_ms) AS DOUBLE) AS sum_ms,
+               CAST(SUM(CAST(gap_ms AS DECIMAL(19,0)) * gap_ms) AS DOUBLE)
+                   AS sumsq_ms
+        FROM g
+        WHERE gap_ms IS NOT NULL
+        GROUP BY user_id
+        HAVING COUNT(gap_ms) >= 5
+    )
+    SELECT user_id, n_gaps,
+           ROUND(sum_ms / n_gaps / 1000.0, 6) AS mean_gap_s,
+           ROUND(
+               (SQRT(sumsq_ms / n_gaps - (sum_ms/n_gaps)*(sum_ms/n_gaps))
+                    - sum_ms / n_gaps)
+               / (SQRT(sumsq_ms / n_gaps - (sum_ms/n_gaps)*(sum_ms/n_gaps))
+                    + sum_ms / n_gaps), 6) AS burstiness
+    FROM s
+    ORDER BY user_id
+    """,
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness coefficient B = (sigma - mu) / (sigma + mu) over
+    inter-arrival gaps (Goh & Barabasi 2008): B -> -1 for metronomic
+    traffic, 0 for Poisson, +1 for extreme bursts — the bot/automation
+    signal behind the velocity flags. Gaps are integer epoch-ms from a
+    totally-ordered per-user window; n/sum/sum-of-squares are exact
+    integers (squares summed in DECIMAL(38,0) — a 1e25 headroom), so the
+    final sqrt/divide runs on bit-identical operands in both engines. One
+    user-keyed shuffle, sufficient-statistics reduction."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    g = ev.select(
+        "user_id",
+        F.floor(
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)) / 1000
+        ).alias("gap_ms"),
+    ).filter(F.col("gap_ms").isNotNull())
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap_ms").cast("bigint").alias("n_gaps"),
+            F.sum("gap_ms").cast("double").alias("sum_ms"),
+            F.sum(F.col("gap_ms").cast("decimal(19,0)") * F.col("gap_ms"))
+            .cast("double")
+            .alias("sumsq_ms"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+    mean = F.col("sum_ms") / F.col("n_gaps")
+    std = F.sqrt(F.col("sumsq_ms") / F.col("n_gaps") - mean * mean)
+    return s.select(
+        "user_id",
+        "n_gaps",
+        F.round(mean / 1000.0, 6).alias("mean_gap_s"),
+        F.round((std - mean) / (std + mean), 6).alias("burstiness"),
+    ).orderBy("user_id")

@@ -769,3 +769,101 @@ def ml_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - F.col("s_sq") / (F.col("syy") - F.col("sy") * F.col("sy") / nn), 6
         ).alias("r2"),
     )
+
+
+@register(
+    "ml_spearman",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(28,0)))
+                   AS spend_q
+        FROM orders GROUP BY o_custkey
+    ),
+    base AS (
+        SELECT c.c_nationkey AS nation, c.c_acctbal, s.spend_q
+        FROM customer c JOIN spend s ON s.o_custkey = c.c_custkey
+    ),
+    r AS (
+        SELECT nation,
+               2 * RANK() OVER (PARTITION BY nation ORDER BY c_acctbal)
+                   + COUNT(*) OVER (PARTITION BY nation, c_acctbal) - 1
+                   AS rx2,
+               2 * RANK() OVER (PARTITION BY nation ORDER BY spend_q)
+                   + COUNT(*) OVER (PARTITION BY nation, spend_q) - 1
+                   AS ry2,
+               COUNT(*) OVER (PARTITION BY nation) AS n
+        FROM base
+    ),
+    s AS (
+        SELECT nation, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(rx2) AS DOUBLE) AS sx,
+               CAST(SUM(ry2) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(rx2 AS DECIMAL(19,0)) * ry2) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(rx2 AS DECIMAL(19,0)) * rx2) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(ry2 AS DECIMAL(19,0)) * ry2) AS DOUBLE) AS syy
+        FROM r GROUP BY nation
+    )
+    SELECT nation, n,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS rho_spearman
+    FROM s
+    WHERE n >= 10
+    ORDER BY nation
+    """,
+)
+def ml_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Spearman rank correlation between a customer's account
+    balance and their lifetime spend — Pearson on tie-averaged ranks, the
+    robust monotone-association measure that survives heavy tails where
+    raw Pearson saturates. Ranks are computed with PARTITIONED windows
+    (nation), so the sort never degenerates to a single partition at
+    scale; the tie-average rank is carried as the INTEGER 2*avg_rank =
+    2*min_rank + tie_size - 1, making every sufficient statistic an exact
+    integer sum (cross products in DECIMAL(19,0)*x for overflow headroom).
+    Spend is floor-quantized cents so ranking never depends on double
+    summation order. Two shuffles: the spend aggregate and the rank
+    window."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0).cast("decimal(28,0)")
+        ).alias("spend_q")
+    )
+    base = cust.join(
+        spend, cust.c_custkey == spend.o_custkey, "inner"
+    ).select(F.col("c_nationkey").alias("nation"), "c_acctbal", "spend_q")
+
+    def rank2(col: str):
+        wr = Window.partitionBy("nation").orderBy(col)
+        wt = Window.partitionBy("nation", col)
+        return (
+            2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
+        )
+
+    r = base.select(
+        "nation",
+        rank2("c_acctbal").alias("rx2"),
+        rank2("spend_q").alias("ry2"),
+        F.count(F.lit(1)).over(Window.partitionBy("nation")).alias("n"),
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")
+    s = r.groupBy("nation").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("rx2").cast("double").alias("sx"),
+        F.sum("ry2").cast("double").alias("sy"),
+        F.sum(d19("rx2") * F.col("ry2")).cast("double").alias("sxy"),
+        F.sum(d19("rx2") * F.col("rx2")).cast("double").alias("sxx"),
+        F.sum(d19("ry2") * F.col("ry2")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    rho = (n * F.col("sxy") - sx * sy) / F.sqrt(
+        (n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)
+    )
+    return (
+        s.filter(n >= 10)
+        .select("nation", "n", F.round(rho, 6).alias("rho_spearman"))
+        .orderBy("nation")
+    )

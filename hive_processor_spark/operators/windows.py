@@ -756,3 +756,52 @@ def win_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alert_episodes"),
     )
+
+
+@register(
+    "win_gaps_islands",
+    """
+    WITH du AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    m AS (
+        SELECT user_id, d,
+               (d - DATE '2024-01-01')
+                   - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                   AS grp
+        FROM du
+    )
+    SELECT user_id,
+           STRFTIME(MIN(d), '%Y-%m-%d') AS start_day,
+           STRFTIME(MAX(d), '%Y-%m-%d') AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS days
+    FROM m
+    GROUP BY user_id, grp
+    ORDER BY user_id, start_day
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active days per user,
+    via the classic ``day_number - row_number()`` constant-within-island
+    key. The (user, day) de-dup bounds window input by DAU; the window
+    partitions on user_id (high cardinality), so this is one shuffle and
+    an in-partition sort at any corpus size — the streak/uptime/coverage
+    primitive. The '2024-01-01' anchor only offsets the island key, so
+    correctness is date-range independent."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dayn = F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    m = du.select(
+        "user_id", "d", (dayn - F.row_number().over(w)).alias("grp")
+    )
+    return (
+        m.groupBy("user_id", "grp")
+        .agg(
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("start_day"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("end_day"),
+            F.count(F.lit(1)).cast("bigint").alias("days"),
+        )
+        .drop("grp")
+        .orderBy("user_id", "start_day")
+    )

@@ -1679,3 +1679,54 @@ def agg_percentile_disc_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """
     )
+
+
+@register(
+    "agg_ratio_of_sums",
+    """
+    SELECT l_returnflag,
+           ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100.0)
+                               AS DECIMAL(28,0))) AS DOUBLE)
+                 / CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0)
+                                 AS DECIMAL(28,0))) AS DOUBLE), 6)
+               AS ratio_of_sums,
+           ROUND(CAST(SUM(CAST(FLOOR(l_discount * 1000000.0)
+                               AS DECIMAL(28,0))) AS DOUBLE)
+                 / 1000000.0 / COUNT(*), 6) AS avg_of_ratios,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_ratio_of_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-of-sums vs average-of-ratios — the classic aggregation
+    pitfall made explicit: the revenue-weighted effective discount
+    (sum of discount dollars over sum of dollars) versus the unweighted
+    mean discount rate. The two diverge whenever rate correlates with
+    size, and dashboards that mix them up mis-state the business. Both
+    forms are floor-quantized integer sums (the IEEE product
+    price*discount is bit-identical in both engines before the floor),
+    one partial->final aggregate, three rows out."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def q(col, scale):
+        return F.sum(
+            F.floor(col * F.lit(float(scale))).cast("decimal(28,0)")
+        ).cast("double")
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                q(F.col("l_extendedprice") * F.col("l_discount"), 100)
+                / q(F.col("l_extendedprice"), 100),
+                6,
+            ).alias("ratio_of_sums"),
+            F.round(
+                q(F.col("l_discount"), 1000000) / 1e6 / F.count(F.lit(1)), 6
+            ).alias("avg_of_ratios"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

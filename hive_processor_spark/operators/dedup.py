@@ -1420,3 +1420,77 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .orderBy("doc_id")
     )
+
+
+_PARA_W = 8  # tokens per span; fixture texts have no newlines, so fixed
+             # 8-token spans stand in for paragraphs
+
+
+@register(
+    "dedup_paragraph",
+    f"""
+    WITH ch AS (
+        SELECT doc_id, j,
+               ARRAY_TO_STRING(w[j*{_PARA_W}+1 : j*{_PARA_W}+{_PARA_W}], ' ')
+                   AS chunk
+        FROM (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS w
+              FROM documents) t,
+             RANGE(0, 400) r(j)
+        WHERE LEN(w[j*{_PARA_W}+1 : j*{_PARA_W}+{_PARA_W}]) = {_PARA_W}
+    ),
+    ranked AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, j)
+                   AS occ
+        FROM ch
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(*) FILTER (WHERE occ > 1) AS BIGINT) AS removed_spans,
+           ROUND(CAST(COUNT(*) FILTER (WHERE occ > 1) AS DOUBLE)
+                 / COUNT(*), 4) AS removed_frac
+    FROM ranked
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (paragraph) exact dedup, Dolma-style: split every doc
+    into fixed 8-token spans, and across the WHOLE corpus keep only the
+    first occurrence of each span (ordered by doc_id, then position);
+    later occurrences are marked removed. This is the intra-corpus
+    boilerplate killer that document-level dedup cannot see — repeated
+    headers/footers/navigation survive doc-level MinHash because the
+    surrounding text differs. Plan: one explode to spans (map-side), one
+    span-keyed window for first-occurrence ranking, one doc-keyed
+    re-aggregation — shuffle is bounded by span count, and a hot span
+    (classic boilerplate) is exactly what AQE skew-split handles. The
+    fixture texts carry no newlines, so fixed-width token spans stand in
+    for real paragraph boundaries; the plan is boundary-agnostic."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "filter(transform(sequence(0, CAST(size(split(trim(text),"
+                f" ' ')) / {_PARA_W} AS INT)), j -> array_join(slice("
+                f"split(trim(text), ' '), j * {_PARA_W} + 1, {_PARA_W}),"
+                f" ' ')), c -> size(split(c, ' ')) = {_PARA_W})"
+            )
+        ).alias("j", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "j")
+    ranked = spans.select("doc_id", F.row_number().over(w).alias("occ"))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.count_if(F.col("occ") > 1).cast("bigint").alias("removed_spans"),
+            F.round(
+                F.count_if(F.col("occ") > 1).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("removed_frac"),
+        )
+        .orderBy("doc_id")
+    )

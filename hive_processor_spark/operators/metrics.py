@@ -1078,3 +1078,132 @@ def ml_threshold_sweep_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.min("total_cost").over(Window.partitionBy())
         ).alias("is_optimal"),
     ).orderBy("threshold")
+
+
+@register(
+    "stats_levene",
+    """
+    WITH q AS (
+        SELECT l_returnflag AS flag,
+               CAST(FLOOR(l_quantity * 100.0) AS BIGINT) AS q100
+        FROM lineitem
+    ), hist AS (
+        SELECT flag, q100, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM q GROUP BY flag, q100
+    ), cum AS (
+        SELECT flag, q100, cnt,
+               SUM(cnt) OVER (PARTITION BY flag ORDER BY q100) AS cum_hi,
+               SUM(cnt) OVER (PARTITION BY flag ORDER BY q100) - cnt AS cum_lo,
+               SUM(cnt) OVER (PARTITION BY flag) AS n
+        FROM hist
+    ), med AS (
+        SELECT flag,
+               CAST(SUM(q100 * (
+                   LEAST(cum_hi, CAST(FLOOR((n + 2) / 2.0) AS BIGINT))
+                 - GREATEST(cum_lo, CAST(FLOOR((n + 1) / 2.0) AS BIGINT) - 1)))
+                 * 2 / (CAST(FLOOR((MAX(n) + 2) / 2.0) AS BIGINT)
+                        - CAST(FLOOR((MAX(n) + 1) / 2.0) AS BIGINT) + 1)
+                 AS BIGINT) AS med2
+        FROM cum
+        WHERE cum_hi >= CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+          AND cum_lo < CAST(FLOOR((n + 2) / 2.0) AS BIGINT)
+        GROUP BY flag
+    ), z AS (
+        SELECT q.flag, ABS(2 * q.q100 - m.med2) AS z2
+        FROM q JOIN med m ON m.flag = q.flag
+    ), piv AS (
+        SELECT
+            CAST(COUNT(*) FILTER (WHERE flag = 'A') AS BIGINT) AS na,
+            CAST(COUNT(*) FILTER (WHERE flag = 'N') AS BIGINT) AS nn,
+            CAST(COUNT(*) FILTER (WHERE flag = 'R') AS BIGINT) AS nr,
+            CAST(SUM(z2) FILTER (WHERE flag = 'A') AS DOUBLE) AS sa,
+            CAST(SUM(z2) FILTER (WHERE flag = 'N') AS DOUBLE) AS sn,
+            CAST(SUM(z2) FILTER (WHERE flag = 'R') AS DOUBLE) AS sr,
+            CAST(SUM(z2 * z2) FILTER (WHERE flag = 'A') AS DOUBLE) AS qa,
+            CAST(SUM(z2 * z2) FILTER (WHERE flag = 'N') AS DOUBLE) AS qn,
+            CAST(SUM(z2 * z2) FILTER (WHERE flag = 'R') AS DOUBLE) AS qr
+        FROM z
+    )
+    SELECT CAST(3 AS BIGINT) AS k_groups,
+           na + nn + nr AS n,
+           ROUND((((qa + qn + qr)
+                   - ((sa + sn + sr) * (sa + sn + sr) / (na + nn + nr))
+                   - ((qa - sa * sa / na) + (qn - sn * sn / nn)
+                      + (qr - sr * sr / nr)))
+                  / (3 - 1))
+                 / (((qa - sa * sa / na) + (qn - sn * sn / nn)
+                     + (qr - sr * sr / nr)) / (na + nn + nr - 3)),
+                 6) AS f_stat
+    FROM piv
+    """,
+)
+def stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variant of Levene's test: is quantity SPREAD equal
+    across return flags? One-way ANOVA on |x - group median| — the
+    median-centered form that stays robust under skew (Brown & Forsythe
+    1974). Group medians come from the bounded-domain value histogram
+    (the ``agg_exact_median`` discipline, in exact 2x-cents integers so
+    the even-n midpoint stays integral), broadcast back; every sufficient
+    statistic is then PIVOTED into one row with FILTER aggregates over
+    the three known flags, so F is scalar algebra over exact integers —
+    no cross-row double accumulation anywhere. Two shuffles: the
+    histogram and the global pivot."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_quantity") * 100.0).cast("long").alias("q100"),
+    )
+    hist = q.groupBy("flag", "q100").agg(F.count(F.lit(1)).alias("cnt"))
+    w_ord = Window.partitionBy("flag").orderBy("q100")
+    w_all = Window.partitionBy("flag")
+    cum = hist.select(
+        "flag",
+        "q100",
+        "cnt",
+        F.sum("cnt").over(w_ord).alias("cum_hi"),
+        (F.sum("cnt").over(w_ord) - F.col("cnt")).alias("cum_lo"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    lo_pos = F.floor((F.col("n") + 1) / 2.0).cast("long")
+    hi_pos = F.floor((F.col("n") + 2) / 2.0).cast("long")
+    take = F.least(F.col("cum_hi"), hi_pos) - F.greatest(
+        F.col("cum_lo"), lo_pos - 1
+    )
+    med = (
+        cum.filter((F.col("cum_hi") >= lo_pos) & (F.col("cum_lo") < hi_pos))
+        .groupBy("flag")
+        .agg(
+            (F.sum(F.col("q100") * take) * 2 / (F.max(hi_pos) - F.max(lo_pos) + 1))
+            .cast("long")
+            .alias("med2")
+        )
+    )
+    z = q.join(F.broadcast(med), "flag").select(
+        "flag", F.abs(2 * F.col("q100") - F.col("med2")).alias("z2")
+    )
+
+    def fsum(col, flag):
+        return F.sum(F.when(F.col("flag") == flag, col))
+
+    piv = z.agg(
+        fsum(F.lit(1), "A").cast("bigint").alias("na"),
+        fsum(F.lit(1), "N").cast("bigint").alias("nn"),
+        fsum(F.lit(1), "R").cast("bigint").alias("nr"),
+        fsum(F.col("z2"), "A").cast("double").alias("sa"),
+        fsum(F.col("z2"), "N").cast("double").alias("sn"),
+        fsum(F.col("z2"), "R").cast("double").alias("sr"),
+        fsum(F.col("z2") * F.col("z2"), "A").cast("double").alias("qa"),
+        fsum(F.col("z2") * F.col("z2"), "N").cast("double").alias("qn"),
+        fsum(F.col("z2") * F.col("z2"), "R").cast("double").alias("qr"),
+    )
+    na, nn, nr = F.col("na"), F.col("nn"), F.col("nr")
+    sa, sn, sr = F.col("sa"), F.col("sn"), F.col("sr")
+    qa, qn, qr = F.col("qa"), F.col("qn"), F.col("qr")
+    n = na + nn + nr
+    ssw = (qa - sa * sa / na) + (qn - sn * sn / nn) + (qr - sr * sr / nr)
+    sst = (qa + qn + qr) - ((sa + sn + sr) * (sa + sn + sr) / n)
+    return piv.select(
+        F.lit(3).cast("bigint").alias("k_groups"),
+        n.alias("n"),
+        F.round(((sst - ssw) / (3 - 1)) / (ssw / (n - 3)), 6).alias("f_stat"),
+    )

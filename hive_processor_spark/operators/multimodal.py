@@ -340,3 +340,129 @@ def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("offset_in_shard"),
         F.col("n_bytes").cast("long"),
     ).orderBy("shard", "offset_in_shard", "doc_id")
+
+
+_PHASH_BANDS = 8
+_PHASH_BAND_BITS = 8
+_PHASH_MAX_HAMMING = _PHASH_BANDS - 1  # pigeonhole-exact banding bound
+
+_PHASH_BAND_COLS = ",\n               ".join(
+    f"CAST(list_sum([CASE WHEN 64*px[i+{b * _PHASH_BAND_BITS + 1}] > total"
+    f" THEN (1::BIGINT<<i) ELSE 0 END FOR i IN RANGE(0,{_PHASH_BAND_BITS})])"
+    f" AS BIGINT) AS b{b}"
+    for b in range(_PHASH_BANDS)
+)
+_PHASH_HAMMING = " + ".join(
+    f"bit_count(xor(a.b{b}, b.b{b}))" for b in range(_PHASH_BANDS)
+)
+
+
+@register(
+    "mm_phash_neardup",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               [ascii(substr(text, 1 + (i * length(text)) // 64, 1))
+                FOR i IN RANGE(0, 64)] AS px
+        FROM documents
+    ), t AS (
+        SELECT doc_id, px, CAST(list_sum(px) AS BIGINT) AS total FROM s
+    ), sig AS (
+        SELECT doc_id,
+               {_PHASH_BAND_COLS}
+        FROM t
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({_PHASH_HAMMING} AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE {_PHASH_HAMMING} <= {_PHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for binary payloads — the
+    image-dedup stage of a multimodal training pipeline. A 64-bit
+    average-hash is computed from 64 evenly-sampled payload bytes
+    (utf-8 text bytes stand in for decoded luminance, per the family's
+    deterministic-codec discipline; a real pipeline runs the DCT inside
+    the same Arrow decode pass as ``mm_decode_stub``): bit i is
+    "sample i above the payload mean", compared in exact integer form
+    ``64*px > total`` so no engine ever divides. Retrieval is LSH-banded
+    exactly like ``dedup_simhash_pairs``: 8 bands x 8 bits; Hamming <= 7
+    implies at least one band matches (pigeonhole), so the banded join
+    provably returns the same pairs as the O(n^2) oracle while touching
+    only colliding buckets at corpus scale. Emit-once first-matching-band
+    filter keeps the join's shuffle the only exchange.
+
+    The signature frame is persisted before the self-join: without the
+    materialization boundary Catalyst's project-collapse inlines the
+    64-sample ``px``/``total`` HOF chain into every per-bit lambda on both
+    join sides (an O(64x64) interpreted re-evaluation per row, measured
+    30 s vs 1 s at 500 docs). ``persist`` (not ``localCheckpoint``) keeps
+    lineage, so a lost executor recomputes instead of failing the job."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = (
+        docs.select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, 63), i -> ascii(substring("
+                "text, 1 + CAST((i * length(text)) DIV 64 AS INT), 1)))"
+            ).alias("px"),
+        )
+        .select(
+            "doc_id",
+            "px",
+            F.expr("aggregate(px, 0L, (acc, x) -> acc + x)").alias("total"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, {_PHASH_BANDS - 1}), b -> "
+                f"aggregate(sequence(0, {_PHASH_BAND_BITS - 1}), 0L, "
+                "(acc, i) -> acc + IF("
+                f"64 * element_at(px, CAST(b * {_PHASH_BAND_BITS} + i + 1"
+                " AS INT)) > total, shiftleft(1L, i), 0L)))"
+            ).alias("bands"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    buckets = sig.select(
+        "doc_id",
+        "bands",
+        F.posexplode(F.col("bands")).alias("band", "bval"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    first_band = F.lit(_PHASH_BANDS - 1)
+    for j in range(_PHASH_BANDS - 2, -1, -1):
+        first_band = F.when(
+            F.element_at(F.col("a.bands"), j + 1)
+            == F.element_at(F.col("b.bands"), j + 1),
+            F.lit(j),
+        ).otherwise(first_band)
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("a.bands"),
+            F.col("b.bands"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.col("a.band") == first_band)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -46,6 +46,11 @@ CACHE_SCAN_OK = {
         "deliberate persist(): one basket build reused by three consumers;"
         " lineage-backed (round-2 verdict item 6), LRU-evictable"
     ),
+    "mm_phash_neardup": (
+        "deliberate persist(): materialization boundary stops Catalyst"
+        " inlining the 64-sample HOF signature into both self-join sides"
+        " (measured 30x); lineage-backed, LRU-evictable"
+    ),
 }
 
 RULES = (

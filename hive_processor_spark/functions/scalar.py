@@ -965,3 +965,62 @@ def fn_humanize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "fn_luhn",
+    """
+    WITH acct AS (
+        SELECT o_orderkey,
+               LPAD(CAST((o_orderkey * 7919) % 1000000000000 AS VARCHAR),
+                    12, '0') AS acct_no
+        FROM orders WHERE o_orderkey <= 2000
+    ),
+    s AS (
+        SELECT o_orderkey, acct_no,
+               CAST(list_sum([
+                   CASE WHEN (12 - i) % 2 = 1 THEN
+                       CASE WHEN 2 * CAST(SUBSTR(acct_no, i, 1) AS INT) > 9
+                            THEN 2 * CAST(SUBSTR(acct_no, i, 1) AS INT) - 9
+                            ELSE 2 * CAST(SUBSTR(acct_no, i, 1) AS INT) END
+                   ELSE CAST(SUBSTR(acct_no, i, 1) AS INT) END
+                   FOR i IN RANGE(1, 13)]) AS BIGINT) AS luhn_sum
+        FROM acct
+    )
+    SELECT o_orderkey, acct_no,
+           CAST(luhn_sum % 10 AS INT) AS luhn_mod,
+           luhn_sum % 10 = 0 AS is_valid
+    FROM s
+    ORDER BY o_orderkey
+    """,
+)
+def fn_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn mod-10 checksum validation (ISO/IEC 7812, the card/IMEI/account
+    check digit) over synthetic 12-digit account numbers — the
+    data-quality scrub every ingest of identifier-bearing columns runs.
+    Digits are walked with one ``aggregate`` HOF (position parity from the
+    right selects doubling; doubled digits >9 fold back by -9), entirely
+    in codegen scalar ops — no UDF, no explode. Map-only at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    acct = orders.filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.lpad(
+            ((F.col("o_orderkey") * 7919) % 1000000000000).cast("string"),
+            12,
+            "0",
+        ).alias("acct_no"),
+    )
+    luhn_sum = F.expr(
+        "aggregate(sequence(1, 12), 0L, (acc, i) -> acc + "
+        "CASE WHEN (12 - i) % 2 = 1 THEN "
+        "  CASE WHEN 2 * CAST(substring(acct_no, i, 1) AS INT) > 9 "
+        "       THEN 2 * CAST(substring(acct_no, i, 1) AS INT) - 9 "
+        "       ELSE 2 * CAST(substring(acct_no, i, 1) AS INT) END "
+        "ELSE CAST(substring(acct_no, i, 1) AS INT) END)"
+    )
+    return acct.select(
+        "o_orderkey",
+        "acct_no",
+        (luhn_sum % 10).cast("int").alias("luhn_mod"),
+        (luhn_sum % 10 == 0).alias("is_valid"),
+    ).orderBy("o_orderkey")

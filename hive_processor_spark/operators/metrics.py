@@ -1207,3 +1207,101 @@ def stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n"),
         F.round(((sst - ssw) / (3 - 1)) / (ssw / (n - 3)), 6).alias("f_stat"),
     )
+
+
+@register(
+    "stats_permutation_test",
+    """
+    WITH u AS (
+        SELECT user_id,
+               CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT)
+                   AS vq
+        FROM events GROUP BY user_id
+    ),
+    perms AS (
+        SELECT u.user_id, u.vq, r.p,
+               CAST(((u.user_id + r.p * 1000003) * 2654435761)
+                    % 4294967296 % 2 AS INT) AS arm
+        FROM u, RANGE(0, 200) r(p)
+    ),
+    g AS (
+        SELECT p,
+               CAST(SUM(vq) FILTER (WHERE arm = 1) AS DOUBLE)
+                   / COUNT(*) FILTER (WHERE arm = 1)
+               - CAST(SUM(vq) FILTER (WHERE arm = 0) AS DOUBLE)
+                   / COUNT(*) FILTER (WHERE arm = 0) AS diff
+        FROM perms GROUP BY p
+    ),
+    obs AS (SELECT ABS(diff) AS obs_stat, diff AS obs_diff FROM g WHERE p = 0)
+    SELECT ROUND(obs.obs_diff / 100.0, 6) AS observed_diff,
+           CAST(199 AS BIGINT) AS n_perms,
+           CAST(COUNT(*) FILTER (WHERE p > 0 AND ABS(diff) >= obs.obs_stat)
+                AS BIGINT) AS n_extreme,
+           ROUND((1.0 + COUNT(*) FILTER (
+                      WHERE p > 0 AND ABS(diff) >= obs.obs_stat))
+                 / 200.0, 6) AS p_value
+    FROM g, obs
+    GROUP BY obs.obs_stat, obs.obs_diff
+    """,
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test on the per-user spend difference between two
+    arms — the assumption-free significance check that works when t-test
+    normality fails. The permutation distribution is DETERMINISTIC: the
+    p-th relabeling assigns arm ``hash(user_id + p*1000003)`` (the Knuth
+    multiplicative hash family, p=0 being the engine's standard arm
+    split), so every engine, run, and partitioning sees the same 199
+    relabelings — reproducible p-values with no RNG state, and each
+    relabeling is a hash-split the way the real assignment is. Shape:
+    the 200-way explode happens on the per-USER aggregate (|users| rows),
+    never the raw events, so the fan-out input is the small frame; one
+    grouped pass computes every permutation's arm means in a single
+    shuffle. p-value uses the add-one (phipson-smyth) correction."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100.0).cast("long"))
+        .cast("long")
+        .alias("vq")
+    )
+    perms = u.select(
+        "user_id",
+        "vq",
+        F.explode(F.sequence(F.lit(0), F.lit(199))).alias("p"),
+    ).select(
+        "vq",
+        "p",
+        (
+            ((F.col("user_id") + F.col("p") * 1000003) * 2654435761)
+            % 4294967296
+            % 2
+        )
+        .cast("int")
+        .alias("arm"),
+    )
+
+    def fsum(col, arm):
+        return F.sum(F.when(F.col("arm") == arm, col))
+
+    g = perms.groupBy("p").agg(
+        (
+            fsum(F.col("vq"), 1).cast("double") / fsum(F.lit(1), 1)
+            - fsum(F.col("vq"), 0).cast("double") / fsum(F.lit(1), 0)
+        ).alias("diff")
+    )
+    obs = g.filter(F.col("p") == 0).select(
+        F.abs(F.col("diff")).alias("obs_stat"), F.col("diff").alias("obs_diff")
+    )
+    n_extreme = F.count_if(
+        (F.col("p") > 0) & (F.abs(F.col("diff")) >= F.col("obs_stat"))
+    )
+    return (
+        g.crossJoin(F.broadcast(obs))
+        .groupBy("obs_stat", "obs_diff")
+        .agg(
+            F.round(F.max("obs_diff") / 100.0, 6).alias("observed_diff"),
+            F.lit(199).cast("bigint").alias("n_perms"),
+            n_extreme.cast("bigint").alias("n_extreme"),
+            F.round((1.0 + n_extreme) / 200.0, 6).alias("p_value"),
+        )
+        .drop("obs_stat", "obs_diff")
+    )

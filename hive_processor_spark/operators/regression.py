@@ -867,3 +867,104 @@ def ml_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nation", "n", F.round(rho, 6).alias("rho_spearman"))
         .orderBy("nation")
     )
+
+
+@register(
+    "ts_ljung_box",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS HUGEINT))
+                    AS HUGEINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    st AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s FROM idx
+    ),
+    dev AS (
+        SELECT rn, st.n AS n, (st.n * x - st.s) AS d FROM idx, st
+    ),
+    den AS (
+        SELECT SUM(d * d) AS dd, MAX(n) AS n FROM dev
+    ),
+    num AS (
+        SELECT k.k, SUM(a.d * b.d) AS nk
+        FROM RANGE(1, 11) k(k)
+        JOIN dev a ON TRUE
+        JOIN dev b ON b.rn = a.rn - k.k
+        GROUP BY k.k
+    ),
+    terms AS (
+        SELECT num.k,
+               CAST(FLOOR(
+                   (CAST(nk AS DOUBLE) / CAST(dd AS DOUBLE))
+                   * (CAST(nk AS DOUBLE) / CAST(dd AS DOUBLE))
+                   / (CAST(den.n AS DOUBLE) - num.k) * 1e12) AS BIGINT)
+                   AS tq
+        FROM num, den
+    )
+    SELECT CAST(MAX(den.n) AS BIGINT) AS n_days,
+           CAST(10 AS INT) AS n_lags,
+           ROUND(CAST(MAX(den.n) AS DOUBLE)
+                 * (CAST(MAX(den.n) AS DOUBLE) + 2.0)
+                 * SUM(tq) / 1e12, 4) AS q_stat
+    FROM terms, den
+    """,
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau statistic Q = n(n+2) * sum_k r_k^2/(n-k) over
+    lags 1..10 of the daily revenue series — the standard "is there ANY
+    serial structure left" white-noise test run on forecast residuals.
+    Exactness discipline: with integer daily revenue x and S = sum(x),
+    the lag-k autocorrelation numerator and denominator are computed on
+    n*x_t - S (an INTEGER deviation — no rational mean ever touches the
+    accumulators), so every moment is an exact 128-bit sum; each double
+    term r_k^2/(n-k) is then floor-quantized at 1e-12 before the 10-term
+    sum so cross-row double accumulation order cannot flip a bit. The
+    lag pairing is one equi-join of the |days|-row deviation frame on
+    rn-k = rn (10 lags exploded join-side); everything upstream is the
+    daily rollup aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("decimal(38,0)"))
+        .alias("x")
+    )
+    idx = daily.select(
+        "x", F.row_number().over(Window.orderBy("day")).alias("rn")
+    )
+    st = idx.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("s"),
+    )
+    dev = idx.crossJoin(F.broadcast(st)).select(
+        "rn", "n", (F.col("n") * F.col("x") - F.col("s")).alias("d")
+    )
+    den = dev.agg(
+        F.sum(F.col("d") * F.col("d")).alias("dd"), F.max("n").alias("n")
+    )
+    a = dev.select(F.col("rn").alias("arn"), F.col("d").alias("ad"))
+    b = dev.select(F.col("rn").alias("brn"), F.col("d").alias("bd"))
+    ks = spark.range(1, 11).select(F.col("id").cast("int").alias("k"))
+    num = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, F.col("brn") == F.col("arn") - F.col("k"))
+        .groupBy("k")
+        .agg(F.sum(F.col("ad") * F.col("bd")).alias("nk"))
+    )
+    rk = F.col("nk").cast("double") / F.col("dd").cast("double")
+    terms = num.crossJoin(F.broadcast(den)).select(
+        "k",
+        F.floor(rk * rk / (F.col("n").cast("double") - F.col("k")) * 1e12)
+        .cast("long")
+        .alias("tq"),
+        F.col("n"),
+    )
+    nd = F.max("n").cast("double")
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.lit(10).cast("int").alias("n_lags"),
+        F.round(nd * (nd + 2.0) * F.sum("tq") / 1e12, 4).alias("q_stat"),
+    )

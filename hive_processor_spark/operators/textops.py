@@ -1118,3 +1118,105 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(ndocs)).select(
         "n_test_docs", "test_ngrams", "novel_ngrams", "novelty_ratio"
     )
+
+
+@register(
+    "text_bigram_perplexity",
+    """
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS w FROM documents
+    ),
+    uni AS (
+        SELECT UNNEST(w) AS tok, doc_id FROM toks
+    ),
+    uc AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM uni GROUP BY tok
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM uni),
+    bg AS (
+        SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM toks, RANGE(1, 1000) r(i)
+        WHERE i < LEN(w)
+    ),
+    bc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+        FROM bg GROUP BY w1, w2
+    ),
+    sc AS (
+        SELECT w1, CAST(SUM(cb) AS BIGINT) AS cs FROM bc GROUP BY w1
+    ),
+    scored AS (
+        SELECT bg.doc_id,
+               CAST(FLOOR(-LOG2(
+                   0.75 * CAST(bc.cb AS DOUBLE) / sc.cs
+                 + 0.25 * CAST(uc.cu AS DOUBLE) / tot.t) * 1000000.0)
+                 AS BIGINT) AS microbits
+        FROM bg
+        JOIN bc ON bc.w1 = bg.w1 AND bc.w2 = bg.w2
+        JOIN sc ON sc.w1 = bg.w1
+        JOIN uc ON uc.tok = bg.w2
+        CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(microbits) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+               AS avg_bits
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy (bits/bigram) under an INTERPOLATED
+    bigram model, P = 0.75*P_bigram + 0.25*P_unigram — the
+    Jelinek-Mercer-smoothed perplexity filter of CCNet-style corpus
+    curation (``text_surprisal`` is the unigram-only sibling;
+    ``text_bigram_lm`` estimates the table this op consumes). The model
+    tables (bigram counts, bigram-start totals, unigram counts, corpus
+    total) are tiny aggregates joined back onto the bigram stream —
+    data-bounded, broadcastable at corpus scale; a production recipe
+    swaps them for a trained KenLM behind the same join shape. Each
+    bigram's bits are floor-quantized at 1e-6 BEFORE the per-doc sum
+    (the ``text_surprisal`` integer micro-bits discipline), so document
+    scores are independent of partitioning and engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.trim(F.col("text")), " ").alias("w"))
+    uni = toks.select("doc_id", F.explode("w").alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    tot = uni.agg(F.count(F.lit(1)).alias("t"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(element_at(w, i) AS w1,"
+                " element_at(w, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    sc = bc.groupBy("w1").agg(F.sum("cb").alias("cs"))
+    p = (
+        0.75 * F.col("cb").cast("double") / F.col("cs")
+        + 0.25 * F.col("cu").cast("double") / F.col("t")
+    )
+    scored = (
+        bg.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(sc), "w1")
+        .join(F.broadcast(uc.withColumnRenamed("tok", "w2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.floor(-F.log2(p) * 1000000.0).cast("long").alias("microbits"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum("microbits").cast("double") / F.count(F.lit(1)) / 1e6, 6
+            ).alias("avg_bits"),
+        )
+        .orderBy("doc_id")
+    )

@@ -922,3 +922,113 @@ def sink_partition_stats_manifest(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "scan_manifest_prune",
+    """
+    WITH tagged AS (
+        SELECT STRFTIME(l_shipdate, '%Y-%m') AS file_time,
+               CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS file_value,
+               l_extendedprice AS price
+        FROM lineitem
+    ),
+    layouts AS (
+        SELECT 'time-partitioned' AS layout, file_time AS file_id, price
+        FROM tagged
+        UNION ALL
+        SELECT 'value-clustered', CAST(file_value AS VARCHAR), price
+        FROM tagged
+    ),
+    files AS (
+        SELECT layout, file_id,
+               MIN(price) AS mn, MAX(price) AS mx,
+               CAST(COUNT(*) AS BIGINT) AS rows_in_file,
+               CAST(COUNT(*) FILTER (WHERE price BETWEEN 30000 AND 33000)
+                    AS BIGINT) AS hit_rows
+        FROM layouts GROUP BY layout, file_id
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS files_total,
+           CAST(COUNT(*) FILTER (WHERE mn <= 33000 AND mx >= 30000)
+                AS BIGINT) AS files_scanned,
+           CAST(COUNT(*) FILTER (WHERE hit_rows > 0) AS BIGINT)
+               AS files_fruitful,
+           CAST(COALESCE(SUM(rows_in_file)
+                    FILTER (WHERE mn <= 33000 AND mx >= 30000), 0) AS BIGINT)
+               AS rows_scanned,
+           CAST(COALESCE(SUM(hit_rows), 0) AS BIGINT) AS rows_hit,
+           ROUND(CAST(COALESCE(SUM(hit_rows), 0) AS DOUBLE)
+                 / COALESCE(SUM(rows_in_file)
+                       FILTER (WHERE mn <= 33000 AND mx >= 30000), 1), 6)
+               AS scan_efficiency
+    FROM files
+    GROUP BY layout
+    ORDER BY layout
+    """,
+)
+def scan_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning simulation: how many "files" must a scan open for
+    ``price BETWEEN 30000 AND 33000`` under two physical layouts — the
+    natural time-partitioned one (every month's file spans the whole
+    price domain, so min/max zone maps prune NOTHING) versus a
+    value-clustered one (the post-``sink_zorder`` layout, where the
+    predicate touches ~1 bucket). files_scanned counts files whose
+    [min,max] overlaps the predicate — exactly the decision an
+    Iceberg/Delta manifest or a Parquet row-group footer drives — and
+    scan_efficiency is the fraction of fetched rows that qualify. The
+    whole audit is two grouped aggregates over the fact table; at 100 TB
+    it runs off the real manifest instead, but the arithmetic — and the
+    lesson that clustering, not partitioning, makes zone maps bite on
+    value predicates — is this query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    tagged = li.select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("file_time"),
+        F.floor(F.col("l_extendedprice") / 5000.0)
+        .cast("bigint")
+        .alias("file_value"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    layouts = tagged.select(
+        F.lit("time-partitioned").alias("layout"),
+        F.col("file_time").alias("file_id"),
+        "price",
+    ).unionAll(
+        tagged.select(
+            F.lit("value-clustered").alias("layout"),
+            F.col("file_value").cast("string").alias("file_id"),
+            "price",
+        )
+    )
+    in_range = F.col("price").between(30000, 33000)
+    files = layouts.groupBy("layout", "file_id").agg(
+        F.min("price").alias("mn"),
+        F.max("price").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("rows_in_file"),
+        F.count_if(in_range).cast("bigint").alias("hit_rows"),
+    )
+    scanned = (F.col("mn") <= 33000) & (F.col("mx") >= 30000)
+    return (
+        files.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("files_total"),
+            F.count_if(scanned).cast("bigint").alias("files_scanned"),
+            F.count_if(F.col("hit_rows") > 0)
+            .cast("bigint")
+            .alias("files_fruitful"),
+            F.coalesce(F.sum(F.when(scanned, F.col("rows_in_file"))), F.lit(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.coalesce(F.sum("hit_rows"), F.lit(0))
+            .cast("bigint")
+            .alias("rows_hit"),
+            F.round(
+                F.coalesce(F.sum("hit_rows"), F.lit(0)).cast("double")
+                / F.coalesce(
+                    F.sum(F.when(scanned, F.col("rows_in_file"))), F.lit(1)
+                ),
+                6,
+            ).alias("scan_efficiency"),
+        )
+        .orderBy("layout")
+    )

@@ -1024,3 +1024,90 @@ def fn_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (luhn_sum % 10).cast("int").alias("luhn_mod"),
         (luhn_sum % 10 == 0).alias("is_valid"),
     ).orderBy("o_orderkey")
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+@register(
+    "fn_geohash",
+    f"""
+    WITH pts AS (
+        SELECT s_suppkey,
+               s_suppkey * 7919 % 18000 AS lat100,
+               s_suppkey * 104729 % 36000 AS lon100
+        FROM supplier
+    ),
+    scaled AS (
+        SELECT s_suppkey, lat100, lon100,
+               (lat100 * 1048576) // 18000 AS lat20,
+               (lon100 * 1048576) // 36000 AS lon20
+        FROM pts
+    ),
+    iv AS (
+        SELECT s_suppkey, lat100, lon100,
+               CAST(list_sum([
+                   ((lon20 >> (19 - i)) & 1) * (1::BIGINT << (39 - 2*i))
+                 + ((lat20 >> (19 - i)) & 1) * (1::BIGINT << (38 - 2*i))
+                   FOR i IN RANGE(0, 20)]) AS BIGINT) AS v
+        FROM scaled
+    )
+    SELECT s_suppkey,
+           ROUND(CAST(lat100 AS DOUBLE) / 100.0 - 90.0, 2) AS lat,
+           ROUND(CAST(lon100 AS DOUBLE) / 100.0 - 180.0, 2) AS lon,
+           ARRAY_TO_STRING([SUBSTR('{_GEOHASH32}',
+               CAST(((v >> (35 - 5*k)) & 31) AS INT) + 1, 1)
+               FOR k IN RANGE(0, 8)], '') AS geohash8
+    FROM iv
+    ORDER BY s_suppkey
+    """,
+)
+def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash-8 encoding (Niemeyer base-32 interleave) of synthetic
+    supplier coordinates — the spatial bucketing key behind
+    ``join_spatial_grid``-style geo joins and map-tile rollups. The
+    encode is EXACT integer arithmetic end to end: coordinates are
+    synthesized as integer hundredths (the ``fn_haversine`` fixture
+    convention), scaled to 20-bit cell indices with integer division —
+    identical to the textbook bisection's floor of the binary fraction —
+    MSB-interleaved (even bits longitude, odd latitude) into a 40-bit
+    cell id, and emitted as 8 base-32 chars. No floating point touches
+    the hash, so prefixes nest perfectly: geohash4 of a point is
+    char-prefix of geohash8, which is what makes prefix-range scans the
+    spatial index. Map-only at any scale."""
+    sup = load_table(spark, sf_dir, "supplier")
+    pts = sup.select(
+        "s_suppkey",
+        (F.col("s_suppkey") * 7919 % 18000).alias("lat100"),
+        (F.col("s_suppkey") * 104729 % 36000).alias("lon100"),
+    ).select(
+        "s_suppkey",
+        "lat100",
+        "lon100",
+        F.expr("(lat100 * 1048576) DIV 18000").alias("lat20"),
+        F.expr("(lon100 * 1048576) DIV 36000").alias("lon20"),
+    )
+    v = F.expr(
+        "aggregate(sequence(0, 19), 0L, (acc, i) -> acc"
+        " + shiftleft(shiftright(lon20, 19 - i) & 1, 39 - 2*i)"
+        " + shiftleft(shiftright(lat20, 19 - i) & 1, 38 - 2*i))"
+    )
+    gh = F.expr(
+        "aggregate(sequence(0, 7), '', (acc, k) -> concat(acc,"
+        f" substring('{_GEOHASH32}',"
+        " CAST((shiftright(v, 35 - 5*k) & 31) AS INT) + 1, 1)))"
+    )
+    return (
+        pts.select(
+            "s_suppkey",
+            F.round(F.col("lat100").cast("double") / 100.0 - 90.0, 2).alias(
+                "lat"
+            ),
+            F.round(F.col("lon100").cast("double") / 100.0 - 180.0, 2).alias(
+                "lon"
+            ),
+            v.alias("v"),
+        )
+        .select("s_suppkey", "lat", "lon", gh.alias("geohash8"))
+        .orderBy("s_suppkey")
+    )

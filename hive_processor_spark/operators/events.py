@@ -2711,3 +2711,72 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean / 1000.0, 6).alias("mean_gap_s"),
         F.round((std - mean) / (std + mean), 6).alias("burstiness"),
     ).orderBy("user_id")
+
+
+@register(
+    "events_next_event_accuracy",
+    """
+    WITH tr AS (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY EPOCH_US(ts), event_id
+               ) AS nxt
+        FROM events
+    ),
+    c AS (
+        SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tr WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    r AS (
+        SELECT cur, nxt, cnt,
+               ROW_NUMBER() OVER (PARTITION BY cur
+                                  ORDER BY cnt DESC, nxt) AS rk,
+               SUM(cnt) OVER (PARTITION BY cur) AS tot
+        FROM c
+    )
+    SELECT cur AS from_type, nxt AS predicted_next,
+           CAST(tot AS BIGINT) AS n_transitions,
+           ROUND(CAST(cnt AS DOUBLE) / tot, 6) AS top1_accuracy
+    FROM r WHERE rk = 1
+    ORDER BY from_type
+    """,
+)
+def events_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax next-event predictor evaluated in-engine: from the Markov
+    transition counts (``events_transitions``' shape), predict the modal
+    next event type per current type and report its top-1 hit rate — the
+    "how predictable is the journey" baseline every sequence model must
+    beat before it earns GPUs. Ties break lexicographically so the
+    prediction is deterministic. One per-user LEAD window feeds a
+    |types|^2-row aggregate; the ranking window runs over that tiny
+    frame, never the raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    tr = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = tr.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("cnt"))
+    wr = Window.partitionBy("cur").orderBy(F.desc("cnt"), F.asc("nxt"))
+    wt = Window.partitionBy("cur")
+    r = c.select(
+        "cur",
+        "nxt",
+        "cnt",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("cnt").over(wt).alias("tot"),
+    )
+    return (
+        r.filter(F.col("rk") == 1)
+        .select(
+            F.col("cur").alias("from_type"),
+            F.col("nxt").alias("predicted_next"),
+            F.col("tot").cast("bigint").alias("n_transitions"),
+            F.round(F.col("cnt").cast("double") / F.col("tot"), 6).alias(
+                "top1_accuracy"
+            ),
+        )
+        .orderBy("from_type")
+    )

@@ -495,3 +495,120 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cnt").cast("bigint").alias("n_walsh"),
         F.round(F.avg("walsh"), 4).alias("hl_location"),
     )
+
+
+@register(
+    "ml_ipw_ate",
+    """
+    WITH u AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(CASE WHEN COUNT(*) FILTER (WHERE event_type = 'error')
+                              >= 14 THEN 1 ELSE 0 END AS INT) AS t,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(FLOOR(value * 100.0) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    strat AS (
+        SELECT t, y, LEAST(n_events // 20, 4) AS s FROM u
+    ),
+    g AS (
+        SELECT s,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE t = 1) AS BIGINT) AS n1,
+               CAST(COUNT(*) FILTER (WHERE t = 0) AS BIGINT) AS n0,
+               CAST(SUM(y) FILTER (WHERE t = 1) AS BIGINT) AS y1,
+               CAST(SUM(y) FILTER (WHERE t = 0) AS BIGINT) AS y0
+        FROM strat GROUP BY s
+        HAVING COUNT(*) FILTER (WHERE t = 1) > 0
+           AND COUNT(*) FILTER (WHERE t = 0) > 0
+    ),
+    terms AS (
+        SELECT n, n1, n0, y1, y0,
+               CAST(FLOOR((CAST(y1 AS DOUBLE) * n / n1
+                           - CAST(y0 AS DOUBLE) * n / n0) * 10.0)
+                    AS BIGINT) AS tq
+        FROM g
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_users,
+           ROUND((CAST(SUM(y1) AS DOUBLE) / SUM(n1)
+                  - CAST(SUM(y0) AS DOUBLE) / SUM(n0)) / 100.0, 4)
+               AS naive_diff,
+           ROUND(CAST(SUM(tq) AS DOUBLE) / 10.0 / SUM(n) / 100.0, 4)
+               AS ipw_ate
+    FROM terms
+    """,
+)
+def ml_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect — the
+    observational-causal sibling of the A/B family (``ab_cuped_adjust``,
+    ``ab_diff_in_diff``): treatment = "error-prone user" (>= 14 error
+    events — a behavior, not an assignment), outcome =
+    purchase spend, confounder = activity level (event-count strata, the
+    thing that drives both signing up and spending). Within-stratum
+    propensity e_s = n1_s/n_s makes the Horvitz-Thompson estimate
+    sum_s(y1_s/e_s - y0_s/(1-e_s))/N, computed as exact integer stratum
+    aggregates with each stratum's double term floor-quantized before
+    the cross-stratum sum (the ``ts_ljung_box`` discipline — no
+    order-dependent double accumulation). Strata missing either arm are
+    dropped (positivity violation), matching the estimator's support
+    requirement. Shape: two grouped passes over the per-user frame; the
+    naive difference is reported beside the adjusted one to expose the
+    confounding gap."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.when(
+            F.count_if(F.col("event_type") == "error") >= 14, 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("t"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100.0).cast("long"),
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    strat = u.select(
+        "t", "y", F.least(F.floor(F.col("n_events") / 20), F.lit(4)).alias("s")
+    )
+
+    def fsum(col, t):
+        return F.sum(F.when(F.col("t") == t, col))
+
+    g = (
+        strat.groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fsum(F.lit(1), 1).alias("n1"),
+            fsum(F.lit(1), 0).alias("n0"),
+            fsum(F.col("y"), 1).alias("y1"),
+            fsum(F.col("y"), 0).alias("y0"),
+        )
+        .filter((F.col("n1") > 0) & (F.col("n0") > 0))
+    )
+    term = (
+        F.col("y1").cast("double") * F.col("n") / F.col("n1")
+        - F.col("y0").cast("double") * F.col("n") / F.col("n0")
+    )
+    terms = g.select(
+        "n", "n1", "n0", "y1", "y0",
+        F.floor(term * 10.0).cast("long").alias("tq"),
+    )
+    return terms.agg(
+        F.sum("n").cast("bigint").alias("n_users"),
+        F.round(
+            (
+                F.sum("y1").cast("double") / F.sum("n1")
+                - F.sum("y0").cast("double") / F.sum("n0")
+            )
+            / 100.0,
+            4,
+        ).alias("naive_diff"),
+        F.round(
+            F.sum("tq").cast("double") / 10.0 / F.sum("n") / 100.0, 4
+        ).alias("ipw_ate"),
+    )

@@ -1580,3 +1580,129 @@ def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= 3)
         .orderBy("source", "sample_rank")
     )
+
+
+@register(
+    "sample_weighted_bottom_k",
+    """
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               CAST(FLOOR(
+                   -LN(((doc_id * 2654435761) % 4294967296 + 0.5)
+                       / 4294967296.0)
+                   / CAST(n_chars AS DOUBLE) * 1e12) AS BIGINT) AS key_q
+        FROM documents
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY key_q, doc_id) AS INT) AS rank,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS weight,
+           ROUND(key_q / 1e12, 6) AS key
+    FROM keyed
+    ORDER BY key_q, doc_id LIMIT 50
+    """,
+)
+def sample_weighted_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement as a DETERMINISTIC bottom-k:
+    the Efraimidis–Spirakis exponential-race scheme (each doc draws
+    key = −ln(u)/w; the k smallest keys are a weight-proportional sample
+    without replacement). The uniform u is derived from a Knuth
+    multiplicative hash of doc_id — no RNG state, so every engine, run,
+    and partitioning selects the SAME 50 docs (weight = n_chars: longer
+    docs proportionally likelier, the classic token-budget sampler).
+    Keys are floor-quantized to integer picounits so ordering and
+    tie-breaks are exact-integer comparisons. Scale shape: pure map +
+    ORDER BY LIMIT k, which Spark compiles to TakeOrderedAndProject —
+    per-partition k-heaps, only k rows ever reach the driver-side merge;
+    no global sort, no shuffle of the corpus. This is how you sample a
+    weighted 10M-doc subset from a 100 TB corpus in one pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) + 0.5
+    ) / 4294967296.0
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.floor(-F.ln(u) / F.col("n_chars").cast("double") * 1e12)
+        .cast("bigint")
+        .alias("key_q"),
+    )
+    w = Window.orderBy("key_q", "doc_id")
+    return (
+        keyed.orderBy("key_q", "doc_id")
+        .limit(50)
+        .select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_chars").cast("bigint").alias("weight"),
+            F.round(F.col("key_q") / 1e12, 6).alias("key"),
+        )
+    )
+
+
+@register(
+    "pipeline_dp_noise",
+    """
+    WITH g AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_true,
+               ASCII(SUBSTR(lang, 1, 1)) * 256 + ASCII(SUBSTR(lang, 2, 1))
+                   AS key
+        FROM documents GROUP BY 1
+    ), u AS (
+        SELECT lang, n_true,
+               ((key * 2654435761) % 4294967296 + 0.5) / 4294967296.0 AS uu
+        FROM g
+    ), noise AS (
+        SELECT lang, n_true,
+               -1.0 * (CASE WHEN uu >= 0.5 THEN 1.0 ELSE -1.0 END)
+                    * LN(1.0 - 2.0 * ABS(uu - 0.5)) AS eps_noise
+        FROM u
+    )
+    SELECT lang, n_true,
+           CAST(1.0 AS DOUBLE) AS epsilon,
+           ROUND(eps_noise, 6) AS noise,
+           CAST(GREATEST(0, CAST(ROUND(n_true + eps_noise, 0) AS BIGINT))
+                AS BIGINT) AS n_released
+    FROM noise ORDER BY lang
+    """,
+)
+def pipeline_dp_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release per language (ε = 1, Laplace
+    mechanism, sensitivity 1 — one document changes each count by at most
+    1): the privacy-preserving aggregate release a data pipeline publishes
+    instead of raw counts. The Laplace draw is DETERMINISTIC — the
+    uniform comes from a Knuth multiplicative hash of the group key and
+    is inverted through the Laplace CDF (sign·ln(1−2|u−½|)) — so the
+    release is reproducible across engines, runs, and partitionings (a
+    seeded release; a production system would key the hash with a secret
+    per-release salt, same plan). Shape: one grouped count, then pure
+    per-row algebra on the tiny group frame; at 100 TB the count pass is
+    the whole cost and the released frame never exceeds the group
+    cardinality."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    key = F.ascii(F.substring("lang", 1, 1)) * 256 + F.ascii(
+        F.substring("lang", 2, 1)
+    )
+    uu = ((key * F.lit(2654435761)) % F.lit(4294967296) + 0.5) / 4294967296.0
+    eps_noise = (
+        -1.0
+        * F.when(uu >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.ln(1.0 - 2.0 * F.abs(uu - 0.5))
+    )
+    return (
+        g.select(
+            "lang",
+            "n_true",
+            F.lit(1.0).cast("double").alias("epsilon"),
+            F.round(eps_noise, 6).alias("noise"),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.round(F.col("n_true") + eps_noise, 0).cast("bigint"),
+            )
+            .cast("bigint")
+            .alias("n_released"),
+        )
+        .orderBy("lang")
+    )

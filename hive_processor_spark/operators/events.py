@@ -2780,3 +2780,425 @@ def events_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type")
     )
+
+
+@register(
+    "ts_bollinger",
+    """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1
+    ), d2 AS (
+        SELECT day, cents, CAST(FLOOR(cents / 100.0) AS BIGINT) AS dollars
+        FROM daily
+    ), w AS (
+        SELECT day, cents,
+               COUNT(*) OVER win AS n,
+               SUM(dollars) OVER win AS s,
+               SUM(dollars * dollars) OVER win AS ss,
+               SUM(cents) OVER win AS sc
+        FROM d2
+        WINDOW win AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), b AS (
+        SELECT day, cents,
+               CAST(sc AS DOUBLE) / 2000.0 AS ma_raw,
+               SQRT(CAST(20 * ss - s * s AS DOUBLE) / 380.0) AS sd_raw
+        FROM w WHERE n = 20
+    )
+    SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+           ROUND(cents / 100.0, 2) AS revenue,
+           ROUND(ma_raw, 4) AS ma20,
+           ROUND(sd_raw, 4) AS sd20,
+           ROUND(ma_raw + 2.0 * sd_raw, 4) AS upper_band,
+           ROUND(ma_raw - 2.0 * sd_raw, 4) AS lower_band,
+           CAST(CASE WHEN cents / 100.0 > ma_raw + 2.0 * sd_raw THEN 1
+                     WHEN cents / 100.0 < ma_raw - 2.0 * sd_raw THEN -1
+                     ELSE 0 END AS INT) AS breach
+    FROM b ORDER BY day
+    """,
+)
+def ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the daily revenue series: 20-day rolling mean
+    ± 2 rolling standard deviations, plus a breach flag (+1 above the
+    upper band, −1 below the lower) — the volatility-envelope anomaly
+    primitive for any KPI series. Determinism discipline: the daily sum
+    is floor-quantized cents (exact integers), the rolling mean divides
+    the exact cents sum once, and the rolling variance is the exact
+    integer ``20·Σx² − (Σx)²`` over whole-dollar quantities divided by
+    380 — no order-dependent double accumulation anywhere, so bands are
+    bit-identical at any parallelism (at petabyte day-counts the
+    integer sums ride in DECIMAL(38,0) instead of BIGINT; same plan).
+    Scale shape: one grouped sum over the fact table shuffles ∝ distinct
+    days; the window pass runs on the tiny daily frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .withColumn("dollars", F.floor(F.col("cents") / 100.0).cast("long"))
+    )
+    win = Window.orderBy("day").rowsBetween(-19, 0)
+    w = daily.select(
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("dollars").over(win).alias("s"),
+        F.sum(F.col("dollars") * F.col("dollars")).over(win).alias("ss"),
+        F.sum("cents").over(win).alias("sc"),
+    ).filter(F.col("n") == 20)
+    b = w.select(
+        "day",
+        "cents",
+        (F.col("sc").cast("double") / 2000.0).alias("ma_raw"),
+        F.sqrt(
+            (20 * F.col("ss") - F.col("s") * F.col("s")).cast("double") / 380.0
+        ).alias("sd_raw"),
+    )
+    rev = F.col("cents") / 100.0
+    up = F.col("ma_raw") + 2.0 * F.col("sd_raw")
+    lo = F.col("ma_raw") - 2.0 * F.col("sd_raw")
+    return b.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(rev, 2).alias("revenue"),
+        F.round("ma_raw", 4).alias("ma20"),
+        F.round("sd_raw", 4).alias("sd20"),
+        F.round(up, 4).alias("upper_band"),
+        F.round(lo, 4).alias("lower_band"),
+        F.when(rev > up, F.lit(1))
+        .when(rev < lo, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("breach"),
+    ).orderBy("day")
+
+
+@register(
+    "ts_hurst",
+    """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(FLOOR(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                          / 100.0) AS BIGINT) AS x
+        FROM lineitem GROUP BY 1
+    ), idx AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY day) - 1 AS rn FROM daily
+    ), sized AS (
+        SELECT m.m, CAST(FLOOR(rn / m.m) AS BIGINT) AS blk,
+               rn % m.m AS t, x
+        FROM idx CROSS JOIN (SELECT UNNEST([8, 16, 32, 64]) AS m) m
+    ), cum AS (
+        SELECT m, blk, t, x,
+               SUM(x) OVER (PARTITION BY m, blk ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cs,
+               SUM(x) OVER (PARTITION BY m, blk) AS bs
+        FROM sized
+    ), blkagg AS (
+        SELECT m, blk,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(x * x) AS BIGINT) AS ss,
+               CAST(MAX(m * cs - (t + 1) * bs) AS BIGINT) AS zmax,
+               CAST(MIN(m * cs - (t + 1) * bs) AS BIGINT) AS zmin
+        FROM cum GROUP BY m, blk
+    ), rs AS (
+        SELECT m,
+               CAST(SUM(CAST(FLOOR(
+                   CAST(zmax - zmin AS DOUBLE)
+                   / SQRT(CAST(m * ss - s * s AS DOUBLE)) * 1e6)
+                   AS BIGINT)) AS BIGINT) AS rs_q,
+               CAST(COUNT(*) AS BIGINT) AS nb
+        FROM blkagg
+        WHERE n = m AND m * ss - s * s > 0
+        GROUP BY m
+    ), pts AS (
+        SELECT MAX(CASE WHEN m = 8 THEN CAST(rs_q AS DOUBLE) / 1e6 / nb END)
+                   AS r8,
+               MAX(CASE WHEN m = 16 THEN CAST(rs_q AS DOUBLE) / 1e6 / nb END)
+                   AS r16,
+               MAX(CASE WHEN m = 32 THEN CAST(rs_q AS DOUBLE) / 1e6 / nb END)
+                   AS r32,
+               MAX(CASE WHEN m = 64 THEN CAST(rs_q AS DOUBLE) / 1e6 / nb END)
+                   AS r64
+        FROM rs
+    )
+    SELECT ROUND(r8, 4) AS rs_8, ROUND(r16, 4) AS rs_16,
+           ROUND(r32, 4) AS rs_32, ROUND(r64, 4) AS rs_64,
+           ROUND((4.0 * (LN(8.0) * LN(r8) + LN(16.0) * LN(r16)
+                         + LN(32.0) * LN(r32) + LN(64.0) * LN(r64))
+                  - (LN(8.0) + LN(16.0) + LN(32.0) + LN(64.0))
+                    * (LN(r8) + LN(r16) + LN(r32) + LN(r64)))
+                 / (4.0 * (LN(8.0) * LN(8.0) + LN(16.0) * LN(16.0)
+                           + LN(32.0) * LN(32.0) + LN(64.0) * LN(64.0))
+                    - (LN(8.0) + LN(16.0) + LN(32.0) + LN(64.0))
+                      * (LN(8.0) + LN(16.0) + LN(32.0) + LN(64.0))), 4)
+               AS hurst
+    FROM pts
+    """,
+)
+def ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily revenue series by classic rescaled-range
+    (R/S) analysis: split the series into blocks of 8/16/32/64 days,
+    compute each block's range-of-cumulative-deviations over its std,
+    average per size, and fit the log-log slope — H≈0.5 says random walk,
+    H>0.5 long-range persistence (seasonality/trend memory the forecast
+    operators should exploit). Exactness discipline: block deviations use
+    the integer identity ``m·cumsum − t·blocksum`` (no mean subtraction in
+    doubles), the R/S ratio is the ONLY double op and is floor-quantized
+    before the per-size average, and the 4-point OLS slope is a
+    fixed-form closed expression on one pivoted row — bit-stable at any
+    parallelism. Shape: one grouped sum to the daily frame, a 4× explode
+    of THAT small frame, window cumsums inside (size, block) keys — at
+    100 TB only the first pass touches the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+                / 100.0
+            )
+            .cast("long")
+            .alias("x")
+        )
+    )
+    idx = daily.select(
+        "x", (F.row_number().over(Window.orderBy("day")) - 1).alias("rn")
+    )
+    sizes = spark.range(0).sparkSession.createDataFrame(
+        [(8,), (16,), (32,), (64,)], "m: int"
+    )
+    sized = idx.crossJoin(F.broadcast(sizes)).select(
+        "m",
+        F.floor(F.col("rn") / F.col("m")).cast("bigint").alias("blk"),
+        (F.col("rn") % F.col("m")).alias("t"),
+        "x",
+    )
+    wcum = (
+        Window.partitionBy("m", "blk")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("m", "blk")
+    cum = sized.select(
+        "m",
+        "blk",
+        "t",
+        "x",
+        F.sum("x").over(wcum).alias("cs"),
+        F.sum("x").over(wall).alias("bs"),
+    )
+    z = (F.col("m") * F.col("cs") - (F.col("t") + 1) * F.col("bs")).cast(
+        "bigint"
+    )
+    blkagg = cum.groupBy("m", "blk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss"),
+        F.max(z).cast("bigint").alias("zmax"),
+        F.min(z).cast("bigint").alias("zmin"),
+    )
+    var_n = (F.col("m") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+    rs = (
+        blkagg.filter(
+            (F.col("n") == F.col("m"))
+            & (F.col("m") * F.col("ss") - F.col("s") * F.col("s") > 0)
+        )
+        .groupBy("m")
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("zmax") - F.col("zmin")).cast("double")
+                    / F.sqrt(var_n)
+                    * 1e6
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rs_q"),
+            F.count(F.lit(1)).cast("bigint").alias("nb"),
+        )
+    )
+
+    def pick(m: int):
+        return F.max(
+            F.when(
+                F.col("m") == m, F.col("rs_q").cast("double") / 1e6 / F.col("nb")
+            )
+        )
+
+    pts = rs.agg(
+        pick(8).alias("r8"),
+        pick(16).alias("r16"),
+        pick(32).alias("r32"),
+        pick(64).alias("r64"),
+    )
+    import math
+
+    lns = [math.log(m) for m in (8, 16, 32, 64)]
+    sx = sum(lns)
+    sxx = sum(v * v for v in lns)
+    ly = [F.ln(F.col(c)) for c in ("r8", "r16", "r32", "r64")]
+    sxy = (
+        F.lit(lns[0]) * ly[0]
+        + F.lit(lns[1]) * ly[1]
+        + F.lit(lns[2]) * ly[2]
+        + F.lit(lns[3]) * ly[3]
+    )
+    sy = ly[0] + ly[1] + ly[2] + ly[3]
+    slope = (4.0 * sxy - F.lit(sx) * sy) / F.lit(4.0 * sxx - sx * sx)
+    return pts.select(
+        F.round("r8", 4).alias("rs_8"),
+        F.round("r16", 4).alias("rs_16"),
+        F.round("r32", 4).alias("rs_32"),
+        F.round("r64", 4).alias("rs_64"),
+        F.round(slope, 4).alias("hurst"),
+    )
+
+
+@register(
+    "ts_rsi",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), diffs AS (
+        SELECT day, cents,
+               cents - LAG(cents) OVER (ORDER BY day) AS d
+        FROM daily
+    ), gl AS (
+        SELECT day, cents,
+               GREATEST(d, 0) AS gain, GREATEST(-d, 0) AS loss,
+               COUNT(d) OVER win AS n,
+               SUM(GREATEST(d, 0)) OVER win AS sg,
+               SUM(GREATEST(-d, 0)) OVER win AS sl
+        FROM diffs
+        WINDOW win AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+           ROUND(cents / 100.0, 2) AS revenue,
+           ROUND(100.0 * sg / (sg + sl), 4) AS rsi,
+           CASE WHEN 100.0 * sg / (sg + sl) > 70.0 THEN 'overbought'
+                WHEN 100.0 * sg / (sg + sl) < 30.0 THEN 'oversold'
+                ELSE 'neutral' END AS signal
+    FROM gl WHERE n = 14 AND sg + sl > 0
+    ORDER BY day
+    """,
+)
+def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index (Cutler's 14-day SMA variant) over the
+    daily order-revenue series, with overbought/oversold signals — the
+    momentum-oscillator anomaly primitive, stated window-functionally
+    (the SMA variant, unlike Wilder's recursive EMA, is a pure sliding
+    window — the form you want distributed). Exact throughout: daily
+    closes are integer cents, day-over-day gains/losses are integer
+    differences, the 14-day sums are exact, and RSI = 100·Σgain/(Σgain+
+    Σloss) is one final division — bit-stable at any parallelism.
+    Shape: one grouped sum over the fact table (shuffle ∝ distinct
+    days), then lag + sliding window on the tiny daily frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    wlag = Window.orderBy("day")
+    diffs = daily.select(
+        "day", "cents", (F.col("cents") - F.lag("cents").over(wlag)).alias("d")
+    )
+    win = Window.orderBy("day").rowsBetween(-13, 0)
+    gain = F.greatest(F.col("d"), F.lit(0))
+    loss = F.greatest(-F.col("d"), F.lit(0))
+    gl = diffs.select(
+        "day",
+        "cents",
+        F.count("d").over(win).alias("n"),
+        F.sum(gain).over(win).alias("sg"),
+        F.sum(loss).over(win).alias("sl"),
+    ).filter((F.col("n") == 14) & (F.col("sg") + F.col("sl") > 0))
+    rsi = 100.0 * F.col("sg") / (F.col("sg") + F.col("sl"))
+    return gl.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(rsi, 4).alias("rsi"),
+        F.when(rsi > 70.0, F.lit("overbought"))
+        .when(rsi < 30.0, F.lit("oversold"))
+        .otherwise(F.lit("neutral"))
+        .alias("signal"),
+    ).orderBy("day")
+
+
+@register(
+    "events_peak_detection",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ), w AS (
+        SELECT day, cnt,
+               LAG(cnt) OVER (ORDER BY day) AS prv,
+               LEAD(cnt) OVER (ORDER BY day) AS nxt,
+               COUNT(*) OVER win AS n,
+               SUM(cnt) OVER win AS s
+        FROM daily
+        WINDOW win AS (ORDER BY day ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+    )
+    SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+           cnt,
+           ROUND(CAST(s AS DOUBLE) / 11.0, 2) AS local_mean,
+           ROUND(CAST(11 * cnt AS DOUBLE) / s, 4) AS prominence
+    FROM w
+    WHERE n = 11 AND cnt > prv AND cnt > nxt AND 100 * 11 * cnt > 105 * s
+    ORDER BY day
+    """,
+)
+def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak detection on the daily event-count series: a day is a peak
+    iff it strictly exceeds both neighbors AND rises >5% above its
+    centered 11-day local mean (the fixture's ~uniform arrivals make
+    large bursts rare; the threshold is a parameter) — the burst-day
+    detector behind incident review and campaign attribution. The
+    prominence threshold is evaluated as the pure INTEGER inequality
+    ``1100·cnt > 105·Σwindow``
+    (no double compare can flip on a boundary tie), and the local mean
+    is only materialized for display — results are bit-identical at any
+    parallelism. One grouped count (shuffle ∝ distinct days), then
+    lag/lead + one sliding window over the daily frame; full-window
+    days only, so edges never fake a peak."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wo = Window.orderBy("day")
+    win = Window.orderBy("day").rowsBetween(-5, 5)
+    w = daily.select(
+        "day",
+        "cnt",
+        F.lag("cnt").over(wo).alias("prv"),
+        F.lead("cnt").over(wo).alias("nxt"),
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("cnt").over(win).alias("s"),
+    )
+    return (
+        w.filter(
+            (F.col("n") == 11)
+            & (F.col("cnt") > F.col("prv"))
+            & (F.col("cnt") > F.col("nxt"))
+            & (100 * 11 * F.col("cnt") > 105 * F.col("s"))
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cnt",
+            F.round(F.col("s").cast("double") / 11.0, 2).alias("local_mean"),
+            F.round((11 * F.col("cnt")).cast("double") / F.col("s"), 4).alias(
+                "prominence"
+            ),
+        )
+        .orderBy("day")
+    )

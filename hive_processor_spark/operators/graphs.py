@@ -147,3 +147,90 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+@register(
+    "graph_clustering_coeff",
+    f"""
+    WITH p AS ({_SQL_EDGES}
+    ), knn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY sim DESC, dst) AS rn
+            FROM p
+        ) t WHERE rn <= {_K}
+    ), e AS (
+        SELECT src, dst FROM knn
+        UNION
+        SELECT dst AS src, src AS dst FROM knn
+    ), deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM e GROUP BY 1
+    ), wedge AS (
+        SELECT e1.src AS node, e1.dst AS b, e2.dst AS c
+        FROM e e1 JOIN e e2
+          ON e1.src = e2.src AND e1.dst < e2.dst
+    ), closed AS (
+        SELECT w.node, CAST(COUNT(*) AS BIGINT) AS tri
+        FROM wedge w JOIN e ON e.src = w.b AND e.dst = w.c
+        GROUP BY 1
+    )
+    SELECT CAST(d.node AS BIGINT) AS node, d.degree,
+           CAST(COALESCE(cl.tri, 0) AS BIGINT) AS triangles,
+           ROUND(CASE WHEN d.degree >= 2
+                      THEN 2.0 * COALESCE(cl.tri, 0)
+                           / (d.degree * (d.degree - 1))
+                      ELSE 0.0 END, 6) AS clustering_coeff
+    FROM deg d LEFT JOIN closed cl ON cl.node = d.node
+    ORDER BY node
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the 3-NN similarity
+    graph: closed wedges / possible wedges — "do my nearest neighbors
+    also neighbor each other", the transitivity signal that separates a
+    tight duplicate cluster from a hub that merely touches many loose
+    docs. Shape: wedge enumeration is an edge⋈edge self-join keyed on
+    the center node (shuffle on node id, wedge count bounded by
+    Σ deg²), closure is one more hash join probing the edge set — the
+    standard distributed triangle-count plan, no driver graph. Counts
+    are exact integers; the coefficient is one final ratio. At 100 TB
+    the same plan runs with degree-capped adjacency (drop hubs past a
+    df-cap, exactly like the shingle df-cap in dedup) to bound Σ deg²."""
+    edges = _knn_edges(spark, sf_dir).persist()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    e1 = edges.select(F.col("src").alias("node"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("node2"), F.col("dst").alias("c"))
+    wedge = e1.join(
+        e2, (F.col("node") == F.col("node2")) & (F.col("b") < F.col("c"))
+    ).select("node", "b", "c")
+    probe = edges.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    closed = (
+        wedge.join(probe, ["b", "c"])
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tri"))
+    )
+    out = (
+        deg.join(closed, "node", "left")
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            "degree",
+            F.coalesce(F.col("tri"), F.lit(0)).cast("bigint").alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0
+                    * F.coalesce(F.col("tri"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(0.0),
+                6,
+            ).alias("clustering_coeff"),
+        )
+        .orderBy("node")
+    )
+    return out

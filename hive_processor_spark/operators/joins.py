@@ -1372,3 +1372,64 @@ def join_temporal_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("overlapping_pairs").desc(), "custkey")
         .limit(20)
     )
+
+
+@register(
+    "join_skyline",
+    """
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+           ROUND(p_retailprice, 2) AS price,
+           CAST(p_size AS INT) AS size
+    FROM part b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part a
+        WHERE a.p_retailprice <= b.p_retailprice
+          AND a.p_size >= b.p_size
+          AND (a.p_retailprice < b.p_retailprice OR a.p_size > b.p_size)
+    )
+    ORDER BY price, p_partkey
+    """,
+)
+def join_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of parts: every part for which no other
+    part is simultaneously cheaper-or-equal AND larger-or-equal with at
+    least one strict — the multi-criteria shortlist operator ("best
+    price/size trade-offs"). The DuckDB oracle states the textbook O(n²)
+    NOT EXISTS; the Spark plan is the O(n log n) SWEEP instead: group
+    rows by price, compute each price-group's max size, running-max that
+    over price order, and a row is dominated iff a strictly-cheaper
+    group reaches its size (m1 ≥ size) or any cheaper-or-equal point
+    strictly exceeds it (m2 > size). No self-join, no pair blowup: one
+    groupBy(price) shuffle + one window over the GROUPED frame (distinct
+    prices, orders of magnitude smaller than rows) + a broadcast-back.
+    At 100 TB the window runs range-partitioned on price; the shape is
+    unchanged — this is the skyline plan you want when the anti-join
+    would be quadratic."""
+    part = load_table(spark, sf_dir, "part")
+    g = part.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    g2 = g.select(
+        "p_retailprice",
+        "gmax",
+        F.max("gmax").over(w).alias("m1"),
+    ).select(
+        "p_retailprice",
+        F.coalesce(F.col("m1"), F.lit(-(2**31))).alias("m1"),
+        F.greatest(F.coalesce(F.col("m1"), F.lit(-(2**31))), F.col("gmax")).alias(
+            "m2"
+        ),
+    )
+    return (
+        part.join(F.broadcast(g2), "p_retailprice")
+        .filter(
+            ~((F.col("m1") >= F.col("p_size")) | (F.col("m2") > F.col("p_size")))
+        )
+        .select(
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            F.round("p_retailprice", 2).alias("price"),
+            F.col("p_size").cast("int").alias("size"),
+        )
+        .orderBy("price", "p_partkey")
+    )

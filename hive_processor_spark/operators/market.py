@@ -249,3 +249,74 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("sq") / 1e12, 6).alias("hhi"),
         )
     )
+
+
+@register(
+    "agg_atkinson",
+    """
+    WITH spend AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ), g AS (
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(SUM(CAST(FLOOR(SQRT(cents / 100.0) * 1e6) AS BIGINT))
+                    AS BIGINT) AS sqrt_q
+        FROM spend GROUP BY 1
+    )
+    SELECT segment, n,
+           ROUND(CAST(total_cents AS DOUBLE) / 100.0 / n, 2) AS mean_spend,
+           ROUND(1.0 - POW(CAST(sqrt_q AS DOUBLE) / 1e6 / n, 2.0)
+                     / (CAST(total_cents AS DOUBLE) / 100.0 / n), 6)
+               AS atkinson
+    FROM g ORDER BY segment
+    """,
+)
+def agg_atkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index (ε = ½) of per-customer spend within
+    each market segment: 1 − (mean of √x)²/mean(x) — the
+    welfare-theoretic companion to the Gini/Theil operators, with an
+    explicit inequality-aversion parameter. Exactness: per-customer
+    spend is an exact integer cents sum; each √spend term is
+    floor-quantized to micro-units and integer-summed, so both moments
+    are order-independent and the index is one fixed-form final
+    expression — hash-stable at any parallelism. Shape: one join +
+    grouped sum to the per-customer frame (shuffle ∝ customers), one
+    more grouped reduction to |segments| rows; at 100 TB both passes
+    are partial→final map-combined aggregations."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    g = spend.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(
+            F.floor(F.sqrt(F.col("cents") / 100.0) * 1e6).cast("long")
+        )
+        .cast("bigint")
+        .alias("sqrt_q"),
+    )
+    mean = F.col("total_cents").cast("double") / 100.0 / F.col("n")
+    return g.select(
+        "segment",
+        "n",
+        F.round(mean, 2).alias("mean_spend"),
+        F.round(
+            1.0
+            - F.pow(F.col("sqrt_q").cast("double") / 1e6 / F.col("n"), 2.0)
+            / mean,
+            6,
+        ).alias("atkinson"),
+    ).orderBy("segment")

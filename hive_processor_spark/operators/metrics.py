@@ -1305,3 +1305,332 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("obs_stat", "obs_diff")
     )
+
+
+@register(
+    "stats_kendall_tau",
+    """
+    WITH oc AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), cx AS (
+        SELECT c_custkey, c_nationkey, c_acctbal AS x, COALESCE(oc.y, 0) AS y
+        FROM customer LEFT JOIN oc ON oc.o_custkey = c_custkey
+    ), p AS (
+        SELECT a.c_nationkey AS nk,
+               CAST(COUNT(*) AS BIGINT) AS n0,
+               CAST(COUNT(*) FILTER (
+                   WHERE (a.x < b.x AND a.y < b.y)
+                      OR (a.x > b.x AND a.y > b.y)) AS BIGINT) AS c,
+               CAST(COUNT(*) FILTER (
+                   WHERE (a.x < b.x AND a.y > b.y)
+                      OR (a.x > b.x AND a.y < b.y)) AS BIGINT) AS d,
+               CAST(COUNT(*) FILTER (WHERE a.x = b.x) AS BIGINT) AS tx,
+               CAST(COUNT(*) FILTER (WHERE a.y = b.y) AS BIGINT) AS ty
+        FROM cx a JOIN cx b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        GROUP BY 1
+    )
+    SELECT n.n_name,
+           CAST(g.cnt AS BIGINT) AS n_customers,
+           p.c AS concordant, p.d AS discordant,
+           ROUND(CAST(p.c - p.d AS DOUBLE)
+                 / SQRT(CAST(p.n0 - p.tx AS DOUBLE)
+                        * CAST(p.n0 - p.ty AS DOUBLE)), 6) AS tau_b
+    FROM p
+    JOIN nation n ON n.n_nationkey = p.nk
+    JOIN (SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY 1) g
+      ON g.c_nationkey = p.nk
+    ORDER BY n.n_name
+    """,
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Kendall tau-b rank correlation between a customer's
+    account balance and their order count — the tie-robust, outlier-proof
+    alternative to Pearson/Spearman for "does wealth rank-order with
+    activity". Counts concordant/discordant/tied pairs with a self-join
+    CONFINED inside the nation equi-key (the quadratic never crosses
+    groups, so the shuffle is one hash exchange on nationkey and each
+    task does its own group's pair scan). Everything up to the final
+    tau-b ratio is exact integer counting — bit-stable at any
+    parallelism. At 100 TB-scale group sizes the per-group pair scan is
+    swapped for Knight's O(n log n) merge-count inside ``applyInPandas``
+    per nation; the surrounding plan (one exchange, final ratio) is
+    unchanged."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    oc = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    cx = (
+        cust.join(oc, cust["c_custkey"] == oc["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.col("c_acctbal").alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    a = cx.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("ka"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = cx.select(
+        F.col("c_nationkey").alias("nkb"),
+        F.col("c_custkey").alias("kb"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    xa, xb, ya, yb = (F.col(c) for c in ("xa", "xb", "ya", "yb"))
+    p = (
+        a.join(b, (F.col("nk") == F.col("nkb")) & (F.col("ka") < F.col("kb")))
+        .groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n0"),
+            F.count_if(((xa < xb) & (ya < yb)) | ((xa > xb) & (ya > yb)))
+            .cast("bigint")
+            .alias("c"),
+            F.count_if(((xa < xb) & (ya > yb)) | ((xa > xb) & (ya < yb)))
+            .cast("bigint")
+            .alias("d"),
+            F.count_if(xa == xb).cast("bigint").alias("tx"),
+            F.count_if(ya == yb).cast("bigint").alias("ty"),
+        )
+    )
+    g = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        p.join(F.broadcast(nat), F.col("nk") == F.col("n_nationkey"))
+        .join(F.broadcast(g), F.col("nk") == g["c_nationkey"])
+        .select(
+            "n_name",
+            F.col("cnt").cast("bigint").alias("n_customers"),
+            F.col("c").alias("concordant"),
+            F.col("d").alias("discordant"),
+            F.round(
+                (F.col("c") - F.col("d")).cast("double")
+                / F.sqrt(
+                    (F.col("n0") - F.col("tx")).cast("double")
+                    * (F.col("n0") - F.col("ty")).cast("double")
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "stats_cramers_v",
+    """
+    WITH c AS (
+        SELECT o_orderpriority AS pr, o_orderstatus AS st,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM orders GROUP BY 1, 2
+    ), rm AS (SELECT pr, SUM(obs) AS rn FROM c GROUP BY 1),
+    cm AS (SELECT st, SUM(obs) AS cn FROM c GROUP BY 1),
+    tot AS (SELECT SUM(obs) AS t FROM c),
+    grid AS (
+        SELECT rm.pr, cm.st, rm.rn, cm.cn, tot.t, COALESCE(c.obs, 0) AS obs
+        FROM rm CROSS JOIN cm CROSS JOIN tot
+        LEFT JOIN c ON c.pr = rm.pr AND c.st = cm.st
+    ), cell AS (
+        SELECT t,
+               CAST(obs * t - rn * cn AS BIGINT) AS dev,
+               CAST(rn * cn AS BIGINT) AS e_num
+        FROM grid
+    ), chi AS (
+        SELECT MAX(t) AS t,
+               CAST(SUM(CAST(FLOOR(
+                   CAST(dev * dev AS DOUBLE) / CAST(e_num AS DOUBLE)
+                   / CAST(t AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT)
+                   AS chi_q
+        FROM cell
+    ), dims AS (
+        SELECT (SELECT COUNT(*) FROM rm) AS r, (SELECT COUNT(*) FROM cm) AS c
+    )
+    SELECT CAST(chi.t AS BIGINT) AS n,
+           CAST(dims.r AS INT) AS n_rows,
+           CAST(dims.c AS INT) AS n_cols,
+           CAST((dims.r - 1) * (dims.c - 1) AS INT) AS dof,
+           ROUND(CAST(chi_q AS DOUBLE) / 1000000.0, 6) AS chi2,
+           ROUND(SQRT(CAST(chi_q AS DOUBLE) / 1000000.0
+                      / (CAST(chi.t AS DOUBLE)
+                         * (LEAST(dims.r, dims.c) - 1))), 6) AS cramers_v
+    FROM chi CROSS JOIN dims
+    """,
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength between two categoricals
+    (order priority × order status): the chi-square statistic normalized
+    to [0, 1] so "how entangled are these two columns" is comparable
+    across tables — the profiling primitive behind correlated-column
+    detection. The contingency grid is rebuilt DENSE (marginals
+    cross-joined, zero-observed cells kept — they still carry expected
+    mass); per-cell terms use the exact integer deviation
+    ``obs·t − rowtot·coltot`` so the only doubles are one division chain
+    per cell, floor-quantized to micro-units and summed exactly — the
+    statistic hash-matches at any partitioning. Scale shape: one grouped
+    count of the fact table, then all grid algebra happens on an
+    r×c-row frame (here 15 rows) — the 100 TB cost is the single count
+    pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("pr"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    )
+    rm = c.groupBy("pr").agg(F.sum("obs").alias("rn"))
+    cm = c.groupBy("st").agg(F.sum("obs").alias("cn"))
+    tot = c.agg(F.sum("obs").alias("t"))
+    grid = (
+        rm.crossJoin(F.broadcast(cm))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(c), ["pr", "st"], "left")
+        .select(
+            "t",
+            "rn",
+            "cn",
+            F.coalesce(F.col("obs"), F.lit(0)).cast("bigint").alias("obs"),
+        )
+    )
+    cell = grid.select(
+        "t",
+        (F.col("obs") * F.col("t") - F.col("rn") * F.col("cn"))
+        .cast("bigint")
+        .alias("dev"),
+        (F.col("rn") * F.col("cn")).cast("bigint").alias("e_num"),
+    )
+    chi = cell.agg(
+        F.max("t").alias("t"),
+        F.sum(
+            F.floor(
+                (F.col("dev") * F.col("dev")).cast("double")
+                / F.col("e_num").cast("double")
+                / F.col("t").cast("double")
+                * 1000000.0
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("chi_q"),
+    )
+    dims = rm.agg(F.count(F.lit(1)).alias("r")).crossJoin(
+        cm.agg(F.count(F.lit(1)).alias("c"))
+    )
+    return chi.crossJoin(F.broadcast(dims)).select(
+        F.col("t").cast("bigint").alias("n"),
+        F.col("r").cast("int").alias("n_rows"),
+        F.col("c").cast("int").alias("n_cols"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("int").alias("dof"),
+        F.round(F.col("chi_q").cast("double") / 1000000.0, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi_q").cast("double")
+                / 1000000.0
+                / (
+                    F.col("t").cast("double")
+                    * (F.least(F.col("r"), F.col("c")) - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "stats_jarque_bera",
+    """
+    WITH m1 AS (
+        SELECT o_orderstatus AS st,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), dev AS (
+        SELECT o.o_orderstatus AS st, m1.n,
+               o_totalprice - CAST(m1.cents AS DOUBLE) / 100.0 / m1.n AS d
+        FROM orders o JOIN m1 ON m1.st = o.o_orderstatus
+    ), cm AS (
+        SELECT st, MAX(n) AS n,
+               CAST(SUM(CAST(FLOOR(d * d * 100.0) AS HUGEINT)) AS DOUBLE)
+                   / 100.0 AS s2,
+               CAST(SUM(CAST(FLOOR(d * d * d * 0.01) AS HUGEINT)) AS DOUBLE)
+                   * 100.0 AS s3,
+               CAST(SUM(CAST(FLOOR(d * d * d * d * 0.0001) AS HUGEINT))
+                    AS DOUBLE) * 10000.0 AS s4
+        FROM dev GROUP BY st
+    )
+    SELECT st AS status, CAST(n AS BIGINT) AS n,
+           ROUND((s3 / n) / POW(s2 / n, 1.5), 6) AS skewness,
+           ROUND((s4 / n) / POW(s2 / n, 2.0), 6) AS kurtosis,
+           ROUND(n / 6.0 * (POW((s3 / n) / POW(s2 / n, 1.5), 2.0)
+                 + POW((s4 / n) / POW(s2 / n, 2.0) - 3.0, 2.0) / 4.0), 4)
+               AS jarque_bera
+    FROM cm ORDER BY status
+    """,
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test per order status: skewness and excess
+    kurtosis folded into the JB statistic (χ²₂ under normality) — the
+    screening test that decides whether downstream t-tests/CIs can trust
+    the distributional assumption. Two-pass exact shape: pass 1 computes
+    each group's mean from an exact integer cents sum; pass 2 joins the
+    (3-row) mean table back broadcast and sums floor-quantized central
+    moment terms in integer units (d² at 1e-2, d³ at 1e2, d⁴ at 1e4 per
+    unit — coarser scales where magnitudes grow, all in 128-bit-safe
+    accumulators) so every moment is order-independent. The only
+    unquantized doubles are the final fixed-form ratios. At 100 TB: two
+    partial→final aggregation passes and a 3-row broadcast, nothing
+    else."""
+    orders = load_table(spark, sf_dir, "orders")
+    m1 = orders.groupBy(F.col("o_orderstatus").alias("st")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    dev = orders.join(
+        F.broadcast(m1), orders["o_orderstatus"] == m1["st"]
+    ).select(
+        "st",
+        "n",
+        (
+            F.col("o_totalprice")
+            - F.col("cents").cast("double") / 100.0 / F.col("n")
+        ).alias("d"),
+    )
+    d = F.col("d")
+    cm = dev.groupBy("st").agg(
+        F.max("n").alias("n"),
+        (
+            F.sum(F.floor(d * d * 100.0).cast("decimal(38,0)")).cast("double")
+            / 100.0
+        ).alias("s2"),
+        (
+            F.sum(F.floor(d * d * d * 0.01).cast("decimal(38,0)")).cast("double")
+            * 100.0
+        ).alias("s3"),
+        (
+            F.sum(F.floor(d * d * d * d * 0.0001).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            * 10000.0
+        ).alias("s4"),
+    )
+    n = F.col("n")
+    skew = (F.col("s3") / n) / F.pow(F.col("s2") / n, 1.5)
+    kurt = (F.col("s4") / n) / F.pow(F.col("s2") / n, 2.0)
+    return cm.select(
+        F.col("st").alias("status"),
+        n.cast("bigint").alias("n"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis"),
+        F.round(
+            n / 6.0 * (F.pow(skew, 2.0) + F.pow(kurt - 3.0, 2.0) / 4.0), 4
+        ).alias("jarque_bera"),
+    ).orderBy("status")

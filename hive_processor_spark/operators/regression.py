@@ -968,3 +968,259 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(10).cast("int").alias("n_lags"),
         F.round(nd * (nd + 2.0) * F.sum("tq") / 1e12, 4).alias("q_stat"),
     )
+
+
+@register(
+    "ml_decision_stump",
+    """
+    WITH b AS (
+        SELECT CAST(FLOOR(value) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                    AS BIGINT) AS pos
+        FROM events GROUP BY 1
+    ), c AS (
+        SELECT v, n, pos,
+               SUM(n) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS nl,
+               SUM(pos) OVER (ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pl,
+               SUM(n) OVER () AS nt, SUM(pos) OVER () AS pt
+        FROM b
+    ), cand AS (
+        -- split: predict positive when value >= v (left = below threshold)
+        SELECT v AS threshold, COALESCE(nl, 0) AS nl, COALESCE(pl, 0) AS pl,
+               nt, pt, nt - COALESCE(nl, 0) AS nr, pt - COALESCE(pl, 0) AS pr
+        FROM c WHERE COALESCE(nl, 0) > 0 AND nt - COALESCE(nl, 0) > 0
+    ), scored AS (
+        SELECT threshold, nl, nr, pl, pr, nt,
+               CAST(FLOOR((
+                   (CAST(nl AS DOUBLE)
+                    - (CAST(pl * pl AS DOUBLE)
+                       + CAST((nl - pl) * (nl - pl) AS DOUBLE))
+                      / CAST(nl AS DOUBLE))
+                 + (CAST(nr AS DOUBLE)
+                    - (CAST(pr * pr AS DOUBLE)
+                       + CAST((nr - pr) * (nr - pr) AS DOUBLE))
+                      / CAST(nr AS DOUBLE))
+               ) / CAST(nt AS DOUBLE) * 1000000000.0) AS BIGINT) AS gini_q
+        FROM cand
+    )
+    SELECT CAST(threshold AS DOUBLE) AS best_threshold,
+           ROUND(gini_q / 1000000000.0, 6) AS gini,
+           CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           ROUND(CAST((nl - pl) + pr AS DOUBLE) / nt, 6) AS accuracy
+    FROM scored ORDER BY gini_q, threshold LIMIT 1
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single-feature decision stump: the threshold on ``value``
+    minimizing weighted Gini impurity for predicting a purchase event —
+    the depth-1 tree fit, and the candidate-split kernel every
+    distributed tree learner (XGBoost/LightGBM-style histogram split
+    finding) evaluates per feature. Shape: ONE grouped count compresses
+    the fact table to integer-valued histogram bins (shuffle ∝ distinct
+    bins, never rows — exactly the histogram trick GBDT systems use),
+    then cumulative window sums turn each bin boundary into a candidate
+    split with exact integer left/right class counts; the Gini score is
+    a fixed-form double quantized to nano-units so the argmin is an
+    integer ORDER BY — bit-stable tie-breaking at any parallelism.
+    The window runs on the tiny bin frame; at 100 TB only the first
+    grouped count touches the data."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(F.floor("value").cast("bigint").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(F.col("event_type") == "purchase").cast("bigint").alias("pos"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = b.select(
+        "v",
+        F.coalesce(F.sum("n").over(wcum), F.lit(0)).alias("nl"),
+        F.coalesce(F.sum("pos").over(wcum), F.lit(0)).alias("pl"),
+        F.sum("n").over(wall).alias("nt"),
+        F.sum("pos").over(wall).alias("pt"),
+    )
+    cand = c.filter((F.col("nl") > 0) & (F.col("nt") - F.col("nl") > 0)).select(
+        F.col("v").alias("threshold"),
+        "nl",
+        "pl",
+        "nt",
+        (F.col("nt") - F.col("nl")).alias("nr"),
+        (F.col("pt") - F.col("pl")).alias("pr"),
+    )
+    d = lambda col: col.cast("double")  # noqa: E731
+    nl, pl, nr, pr, nt = (F.col(x) for x in ("nl", "pl", "nr", "pr", "nt"))
+    gini = (
+        (d(nl) - (d(pl * pl) + d((nl - pl) * (nl - pl))) / d(nl))
+        + (d(nr) - (d(pr * pr) + d((nr - pr) * (nr - pr))) / d(nr))
+    ) / d(nt)
+    scored = cand.select(
+        "threshold",
+        "nl",
+        "nr",
+        "pl",
+        "pr",
+        "nt",
+        F.floor(gini * 1000000000.0).cast("bigint").alias("gini_q"),
+    )
+    return (
+        scored.orderBy("gini_q", "threshold")
+        .limit(1)
+        .select(
+            F.col("threshold").cast("double").alias("best_threshold"),
+            F.round(F.col("gini_q") / 1000000000.0, 6).alias("gini"),
+            F.col("nl").cast("bigint").alias("n_left"),
+            F.col("nr").cast("bigint").alias("n_right"),
+            F.round(d((nl - pl) + pr) / nt, 6).alias("accuracy"),
+        )
+    )
+
+
+@register(
+    "ml_naive_bayes",
+    """
+    WITH train AS (
+        SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0
+    ), test AS (
+        SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1
+    ), ttok AS (
+        SELECT lang AS cls, UNNEST(STR_SPLIT(text, ' ')) AS tok FROM train
+    ), counts AS (
+        SELECT cls, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ttok GROUP BY 1, 2
+    ), ctot AS (
+        SELECT cls, CAST(SUM(cnt) AS BIGINT) AS tot FROM counts GROUP BY 1
+    ), vocab AS (
+        SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM ttok
+    ), prior AS (
+        SELECT lang AS cls,
+               CAST(FLOOR(LN(CAST(COUNT(*) AS DOUBLE)
+                             / (SELECT COUNT(*) FROM train)) * 1e6)
+                    AS BIGINT) AS prior_q
+        FROM train GROUP BY 1
+    ), stok AS (
+        SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS tok FROM test
+    ), scoredtok AS (
+        SELECT s.doc_id, ct.cls,
+               CAST(FLOOR(LN(CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE)
+                             / (ct.tot + vocab.v)) * 1e6) AS BIGINT) AS lp_q
+        FROM stok s
+        CROSS JOIN ctot ct CROSS JOIN vocab
+        LEFT JOIN counts c ON c.cls = ct.cls AND c.tok = s.tok
+    ), docscore AS (
+        SELECT sc.doc_id, sc.cls,
+               SUM(sc.lp_q) + MAX(p.prior_q) AS score_q
+        FROM scoredtok sc JOIN prior p ON p.cls = sc.cls
+        GROUP BY 1, 2
+    ), pred AS (
+        SELECT doc_id, cls AS predicted
+        FROM (SELECT doc_id, cls,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score_q DESC, cls) AS rn
+              FROM docscore) t
+        WHERE rn = 1
+    )
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(COUNT(*) FILTER (WHERE p.predicted = t.lang) AS BIGINT)
+               AS n_correct,
+           ROUND(CAST(COUNT(*) FILTER (WHERE p.predicted = t.lang) AS DOUBLE)
+                 / COUNT(*), 6) AS accuracy
+    FROM test t JOIN pred p ON p.doc_id = t.doc_id
+    GROUP BY 1 ORDER BY t.lang
+    """,
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier trained AND evaluated
+    inside the engine: fit token likelihoods (+1 Laplace smoothing) and
+    class priors on even doc_ids, classify the odd half, report per-class
+    accuracy — train and inference as two aggregation passes, the way
+    NB actually scales (the "model" is a counts table, never a driver
+    object). Determinism: every log-probability is floor-quantized to
+    integer micro-nats BEFORE the per-document sum, so scores are exact
+    integers and the argmax (with class-name tie-break) is stable at any
+    parallelism. Scale shape: the model build shuffles ∝ distinct
+    (class, token); inference is test-tokens × |classes| (a 5× fan-out)
+    joined against the counts table — hash join on token, broadcastable
+    whenever the vocabulary fits, and the per-doc reduce is one grouped
+    sum. OOV tokens smooth to 1/(tot+V) per class, the textbook rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    ttok = train.select(
+        F.col("lang").alias("cls"), F.explode(F.split("text", " ")).alias("tok")
+    )
+    counts = ttok.groupBy("cls", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    ctot = counts.groupBy("cls").agg(F.sum("cnt").cast("bigint").alias("tot"))
+    vocab = ttok.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    n_train = train.count()
+    prior = train.groupBy(F.col("lang").alias("cls")).agg(
+        F.floor(
+            F.ln(F.count(F.lit(1)).cast("double") / F.lit(n_train)) * 1e6
+        )
+        .cast("bigint")
+        .alias("prior_q")
+    )
+    stok = test.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    scoredtok = (
+        stok.crossJoin(F.broadcast(ctot))
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            counts.withColumnRenamed("cls", "ccls").withColumnRenamed(
+                "tok", "ctok"
+            ),
+            (F.col("ccls") == F.col("cls")) & (F.col("ctok") == F.col("tok")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "cls",
+            F.floor(
+                F.ln(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tot") + F.col("v"))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("lp_q"),
+        )
+    )
+    docscore = (
+        scoredtok.join(F.broadcast(prior), "cls")
+        .groupBy("doc_id", "cls")
+        .agg((F.sum("lp_q") + F.max("prior_q")).alias("score_q"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_q").desc(), F.col("cls")
+    )
+    pred = (
+        docscore.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cls").alias("predicted"))
+    )
+    return (
+        test.join(pred, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.count_if(F.col("predicted") == F.col("lang"))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.round(
+                F.count_if(F.col("predicted") == F.col("lang")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("lang")
+    )

@@ -1220,3 +1220,197 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_readability",
+    """
+    WITH tok AS (
+        SELECT doc_id, t,
+               LENGTH(REGEXP_REPLACE(t, '[aeiouy]+', '#', 'g'))
+               - LENGTH(REPLACE(REGEXP_REPLACE(t, '[aeiouy]+', '#', 'g'),
+                                '#', '')) AS syl
+        FROM (SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS t
+              FROM documents)
+    ), d AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS words,
+               CAST(SUM(GREATEST(syl, 1)) AS BIGINT) AS syllables,
+               CAST(COUNT(*) FILTER (WHERE syl >= 3) AS BIGINT) AS poly
+        FROM tok GROUP BY 1
+    )
+    SELECT doc_id, words, syllables, poly,
+           GREATEST(1, CAST(FLOOR(words / 15.0) AS BIGINT)) AS sentences,
+           ROUND(206.835
+                 - 1.015 * (CAST(words AS DOUBLE)
+                            / GREATEST(1, CAST(FLOOR(words / 15.0) AS BIGINT)))
+                 - 84.6 * (CAST(syllables AS DOUBLE) / words), 4)
+               AS flesch,
+           ROUND(CAST(poly AS DOUBLE) / words, 6) AS poly_ratio
+    FROM d ORDER BY doc_id
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring per document: vowel-group syllable heuristic
+    (maximal [aeiouy]+ runs, min 1 per word), polysyllabic-word ratio,
+    and a Flesch-reading-ease variant (the corpus is unpunctuated token
+    text, so "sentences" is the standard words/15 proxy — documented,
+    deterministic). This is the classic cheap quality gate in LLM data
+    pipelines: prose scores mid-range, boilerplate/code-like text falls
+    off both ends. Shape: explode→count is one shuffle keyed on doc_id;
+    counts are exact integers and the Flesch formula is a fixed-form
+    expression over them — hash-stable anywhere. At 100 TB this is the
+    same map+agg; the syllable regex runs in codegen, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).select(
+        "doc_id",
+        (
+            F.length(F.regexp_replace("t", "[aeiouy]+", "#"))
+            - F.length(
+                F.replace(
+                    F.regexp_replace("t", "[aeiouy]+", "#"), F.lit("#"), F.lit("")
+                )
+            )
+        ).alias("syl"),
+    )
+    d = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("words"),
+        F.sum(F.greatest(F.col("syl"), F.lit(1))).cast("bigint").alias("syllables"),
+        F.count_if(F.col("syl") >= 3).cast("bigint").alias("poly"),
+    )
+    sentences = F.greatest(
+        F.lit(1).cast("bigint"), F.floor(F.col("words") / 15.0).cast("bigint")
+    )
+    return d.select(
+        "doc_id",
+        "words",
+        "syllables",
+        "poly",
+        sentences.alias("sentences"),
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (F.col("words").cast("double") / sentences)
+            - 84.6 * (F.col("syllables").cast("double") / F.col("words")),
+            4,
+        ).alias("flesch"),
+        F.round(F.col("poly").cast("double") / F.col("words"), 6).alias(
+            "poly_ratio"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_rouge_overlap",
+    """
+    WITH pairs AS (
+        SELECT CAST(FLOOR(doc_id / 2) AS BIGINT) AS pair_id,
+               doc_id, doc_id % 2 AS side, text
+        FROM documents
+    ), tok AS (
+        SELECT pair_id, side, t, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT pair_id, side, UNNEST(STR_SPLIT(text, ' ')) AS t
+              FROM pairs)
+        GROUP BY 1, 2, 3
+    ), ref AS (SELECT pair_id, t, cnt FROM tok WHERE side = 0),
+    cand AS (SELECT pair_id, t, cnt FROM tok WHERE side = 1),
+    lens AS (
+        SELECT pair_id,
+               CAST(SUM(CASE WHEN side = 0 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS ref_len,
+               CAST(SUM(CASE WHEN side = 1 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS cand_len
+        FROM tok GROUP BY 1
+    ), ov AS (
+        SELECT r.pair_id,
+               CAST(SUM(LEAST(r.cnt, c.cnt)) AS BIGINT) AS overlap
+        FROM ref r JOIN cand c ON c.pair_id = r.pair_id AND c.t = r.t
+        GROUP BY 1
+    )
+    SELECT l.pair_id, COALESCE(o.overlap, 0) AS overlap,
+           l.cand_len, l.ref_len,
+           ROUND(CAST(COALESCE(o.overlap, 0) AS DOUBLE) / l.cand_len, 6)
+               AS rouge1_precision,
+           ROUND(CAST(COALESCE(o.overlap, 0) AS DOUBLE) / l.ref_len, 6)
+               AS rouge1_recall,
+           ROUND(CAST(2 * COALESCE(o.overlap, 0) AS DOUBLE)
+                 / (l.cand_len + l.ref_len), 6) AS rouge1_f1
+    FROM lens l LEFT JOIN ov o ON o.pair_id = l.pair_id
+    WHERE l.ref_len > 0 AND l.cand_len > 0
+    ORDER BY l.pair_id
+    """,
+)
+def text_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 overlap scoring between paired documents (doc 2k as
+    reference, doc 2k+1 as candidate): clipped unigram overlap
+    Σ min(count_cand, count_ref) and the derived precision/recall/F1 —
+    the summarization/generation eval metric, run as a set-similarity
+    join (and exactly the clipped-counts shape BLEU-1 shares). Shape:
+    explode→grouped token counts (one shuffle keyed on (pair, side,
+    token)), then a pair+token equi-join between the two sides — the
+    same co-grouped join a 100 TB reference-vs-candidate eval would
+    run, partitioned by pair_id with zero driver state. All counts
+    exact integers; the three ratios are final-form divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.floor(F.col("doc_id") / 2).cast("bigint").alias("pair_id"),
+        (F.col("doc_id") % 2).alias("side"),
+        "text",
+    )
+    tok = (
+        pairs.select(
+            "pair_id", "side", F.explode(F.split("text", " ")).alias("t")
+        )
+        .groupBy("pair_id", "side", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    lens = tok.groupBy("pair_id").agg(
+        F.sum(F.when(F.col("side") == 0, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("ref_len"),
+        F.sum(F.when(F.col("side") == 1, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("cand_len"),
+    )
+    ref = tok.filter(F.col("side") == 0).select(
+        "pair_id", "t", F.col("cnt").alias("rcnt")
+    )
+    cand = tok.filter(F.col("side") == 1).select(
+        F.col("pair_id").alias("cpair"), F.col("t").alias("ct"),
+        F.col("cnt").alias("ccnt"),
+    )
+    ov = (
+        ref.join(
+            cand,
+            (F.col("cpair") == F.col("pair_id")) & (F.col("ct") == F.col("t")),
+        )
+        .groupBy("pair_id")
+        .agg(
+            F.sum(F.least(F.col("rcnt"), F.col("ccnt")))
+            .cast("bigint")
+            .alias("overlap")
+        )
+    )
+    o = F.coalesce(F.col("overlap"), F.lit(0)).cast("bigint")
+    return (
+        lens.join(ov, "pair_id", "left")
+        .filter((F.col("ref_len") > 0) & (F.col("cand_len") > 0))
+        .select(
+            "pair_id",
+            o.alias("overlap"),
+            "cand_len",
+            "ref_len",
+            F.round(o.cast("double") / F.col("cand_len"), 6).alias(
+                "rouge1_precision"
+            ),
+            F.round(o.cast("double") / F.col("ref_len"), 6).alias(
+                "rouge1_recall"
+            ),
+            F.round(
+                (2 * o).cast("double") / (F.col("cand_len") + F.col("ref_len")),
+                6,
+            ).alias("rouge1_f1"),
+        )
+        .orderBy("pair_id")
+    )

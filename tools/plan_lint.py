@@ -46,6 +46,10 @@ CACHE_SCAN_OK = {
         "deliberate persist(): one basket build reused by three consumers;"
         " lineage-backed (round-2 verdict item 6), LRU-evictable"
     ),
+    "graph_clustering_coeff": (
+        "deliberate persist(): one derived 3-NN edge list reused by the"
+        " degree, wedge, and closure consumers; lineage-backed, LRU-evictable"
+    ),
     "mm_phash_neardup": (
         "deliberate persist(): materialization boundary stops Catalyst"
         " inlining the 64-sample HOF signature into both self-join sides"

@@ -1111,3 +1111,86 @@ def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "lat", "lon", gh.alias("geohash8"))
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "fn_ipv4_subnets",
+    """
+    WITH ips AS (
+        SELECT event_id,
+               CAST((event_id * 2654435761) % 4294967296 AS BIGINT) AS ip
+        FROM events
+    ), quads AS (
+        SELECT event_id, ip,
+               CAST(FLOOR(ip / 16777216) % 256 AS BIGINT) AS o1,
+               CAST(FLOOR(ip / 65536) % 256 AS BIGINT) AS o2,
+               CAST(FLOOR(ip / 256) % 256 AS BIGINT) AS o3,
+               CAST(ip % 256 AS BIGINT) AS o4
+        FROM ips
+    ), g AS (
+        SELECT o1, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT FLOOR(ip / 65536)) AS BIGINT)
+                   AS distinct_slash16,
+               MIN(ip) AS min_ip
+        FROM quads GROUP BY 1
+    )
+    SELECT CONCAT(CAST(o1 AS VARCHAR), '.0.0.0/8') AS subnet,
+           n, distinct_slash16,
+           CONCAT(CAST(CAST(FLOOR(min_ip / 16777216) % 256 AS BIGINT)
+                       AS VARCHAR), '.',
+                  CAST(CAST(FLOOR(min_ip / 65536) % 256 AS BIGINT)
+                       AS VARCHAR), '.',
+                  CAST(CAST(FLOOR(min_ip / 256) % 256 AS BIGINT)
+                       AS VARCHAR), '.',
+                  CAST(CAST(min_ip % 256 AS BIGINT) AS VARCHAR))
+               AS lowest_ip
+    FROM g ORDER BY o1
+    """,
+)
+def fn_ipv4_subnets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 rendering and subnet rollup from integer addresses (the
+    fixture derives a deterministic synthetic 32-bit address per event
+    via the Knuth hash — in production this is a real int-encoded client
+    IP column): dotted-quad formatting by pure integer div/mod octet
+    extraction, /8 aggregation with per-subnet counts and distinct-/16
+    cardinality — the network-analytics slice of the scalar function
+    surface (INET-style types without an INET extension on either
+    engine). Everything is exact integer arithmetic + string concat, so
+    the result is trivially hash-stable. Shape: map + one grouped count;
+    shuffle ∝ 256 subnets."""
+    ev = load_table(spark, sf_dir, "events")
+    ips = ev.select(
+        "event_id",
+        ((F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296))
+        .cast("bigint")
+        .alias("ip"),
+    )
+    ip = F.col("ip")
+    g = ips.select(
+        "ip",
+        (F.floor(ip / 16777216) % 256).cast("bigint").alias("o1"),
+        F.floor(ip / 65536).alias("s16"),
+    ).groupBy("o1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("s16").cast("bigint").alias("distinct_slash16"),
+        F.min("ip").alias("min_ip"),
+    )
+    m = F.col("min_ip")
+
+    def octet(expr):
+        return expr.cast("bigint").cast("string")
+
+    return g.select(
+        F.concat(F.col("o1").cast("string"), F.lit(".0.0.0/8")).alias(
+            "subnet"
+        ),
+        "n",
+        "distinct_slash16",
+        F.concat_ws(
+            ".",
+            octet(F.floor(m / 16777216) % 256),
+            octet(F.floor(m / 65536) % 256),
+            octet(F.floor(m / 256) % 256),
+            octet(m % 256),
+        ).alias("lowest_ip"),
+    ).orderBy("o1").drop("o1")

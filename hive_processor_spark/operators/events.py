@@ -3202,3 +3202,84 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_dow_effect",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(ISODOW(CAST(ts AS DATE)) AS INT) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), g AS (
+        SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(cnt) AS BIGINT) AS total
+        FROM daily GROUP BY 1
+    ), o AS (
+        SELECT CAST(SUM(total) AS BIGINT) AS grand,
+               CAST(SUM(n_days) AS BIGINT) AS all_days
+        FROM g
+    )
+    SELECT g.dow,
+           g.n_days, g.total,
+           ROUND(CAST(g.total AS DOUBLE) / g.n_days, 2) AS mean_per_day,
+           ROUND((CAST(g.total AS DOUBLE) / g.n_days)
+                 / (CAST(o.grand AS DOUBLE) / o.all_days), 4) AS lift,
+           ROUND((CAST(g.total AS DOUBLE)
+                  - CAST(g.n_days AS DOUBLE) * o.grand / o.all_days)
+                 / SQRT(CAST(g.n_days AS DOUBLE) * o.grand / o.all_days), 4)
+               AS z_poisson
+    FROM g CROSS JOIN o ORDER BY g.dow
+    """,
+)
+def events_dow_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week effect on event volume: per-ISO-weekday mean daily
+    count, lift vs the all-days mean, and a Poisson z-score for whether
+    the weekday's total deviates from its expected share — the
+    calendar-seasonality screen run before any forecasting operator.
+    Counts are exact integers end-to-end; lift and z are fixed-form
+    final expressions over one 7-row frame joined to one 1-row frame —
+    bit-stable at any parallelism. Shape: one grouped count (shuffle ∝
+    distinct days), one 7-row rollup; at 100 TB only the first count
+    touches the data."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.dayofweek(F.to_date("ts")).alias("dow_sun1"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # Spark dayofweek: Sunday=1; ISO dow: Monday=1..Sunday=7
+    daily = daily.withColumn(
+        "dow",
+        F.when(F.col("dow_sun1") == 1, F.lit(7)).otherwise(
+            F.col("dow_sun1") - 1
+        ).cast("int"),
+    )
+    g = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cnt").cast("bigint").alias("total"),
+    )
+    o = g.agg(
+        F.sum("total").cast("bigint").alias("grand"),
+        F.sum("n_days").cast("bigint").alias("all_days"),
+    )
+    mean = F.col("total").cast("double") / F.col("n_days")
+    expect = (
+        F.col("n_days").cast("double") * F.col("grand") / F.col("all_days")
+    )
+    return (
+        g.crossJoin(F.broadcast(o))
+        .select(
+            "dow",
+            "n_days",
+            "total",
+            F.round(mean, 2).alias("mean_per_day"),
+            F.round(
+                mean / (F.col("grand").cast("double") / F.col("all_days")), 4
+            ).alias("lift"),
+            F.round(
+                (F.col("total").cast("double") - expect) / F.sqrt(expect), 4
+            ).alias("z_poisson"),
+        )
+        .orderBy("dow")
+    )

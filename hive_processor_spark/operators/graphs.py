@@ -234,3 +234,142 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("node")
     )
     return out
+
+
+@register(
+    "graph_label_propagation",
+    f"""
+    WITH p AS ({_SQL_EDGES}
+    ), knn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY sim DESC, dst) AS rn
+            FROM p
+        ) t WHERE rn <= {_K}
+    ), e AS (
+        SELECT src, dst FROM knn
+        UNION
+        SELECT dst AS src, src AS dst FROM knn
+    ), nodes AS (
+        SELECT vec_id AS node, label FROM embeddings WHERE vec_id < {_N}
+    ), l0 AS (
+        SELECT node,
+               CASE WHEN node % 2 = 0 THEN label ELSE -1 END AS lbl
+        FROM nodes
+    ), v1 AS (
+        SELECT e.src AS node, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e JOIN l0 l ON l.node = e.dst AND l.lbl >= 0
+        GROUP BY 1, 2
+    ), b1 AS (
+        SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lbl) AS rn
+            FROM v1
+        ) t WHERE rn = 1
+    ), l1 AS (
+        SELECT l0.node,
+               CASE WHEN l0.lbl >= 0 THEN l0.lbl
+                    ELSE COALESCE(b1.lbl, -1) END AS lbl
+        FROM l0 LEFT JOIN b1 ON b1.node = l0.node
+    ), v2 AS (
+        SELECT e.src AS node, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e JOIN l1 l ON l.node = e.dst AND l.lbl >= 0
+        GROUP BY 1, 2
+    ), b2 AS (
+        SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lbl) AS rn
+            FROM v2
+        ) t WHERE rn = 1
+    ), l2 AS (
+        SELECT l1.node,
+               CASE WHEN l1.lbl >= 0 THEN l1.lbl
+                    ELSE COALESCE(b2.lbl, -1) END AS lbl
+        FROM l1 LEFT JOIN b2 ON b2.node = l1.node
+    )
+    SELECT CAST(l2.node AS BIGINT) AS node,
+           CAST(l2.lbl AS INT) AS label,
+           CASE WHEN l0.lbl >= 0 THEN 'seed'
+                WHEN l1.lbl >= 0 THEN 'round1'
+                WHEN l2.lbl >= 0 THEN 'round2'
+                ELSE 'unlabeled' END AS origin
+    FROM l2 JOIN l1 ON l1.node = l2.node JOIN l0 ON l0.node = l2.node
+    ORDER BY node
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the 3-NN similarity graph:
+    even vec_ids are seeds (keep their true class), odd nodes adopt the
+    majority label among their LABELED neighbors, two synchronous
+    rounds, seeds clamped — the cheap transductive classifier that
+    labels a mostly-unlabeled corpus from a small seeded subset (and
+    the per-round shape of community detection). Each round is one
+    frontier-style hash join (edges ⋈ current labels) + a grouped vote
+    + a per-node argmax window with the deterministic (count DESC,
+    label ASC) tie-break — the Pregel BSP step as declarative ops, no
+    driver graph. Votes are exact integer counts; at 100 TB each round
+    shuffles ∝ edges, exactly like the connected-components and BFS
+    siblings."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _N)
+    edges = _knn_edges(spark, sf_dir).localCheckpoint(eager=True)
+    cur = emb.select(
+        F.col("vec_id").alias("node"),
+        F.when(F.col("vec_id") % 2 == 0, F.col("label"))
+        .otherwise(F.lit(-1))
+        .cast("int")
+        .alias("lbl"),
+    )
+    origin = F.when(F.col("lbl") >= 0, F.lit("seed")).otherwise(
+        F.lit("unlabeled")
+    )
+    snap = [cur]
+    for _round in (1, 2):
+        labeled = snap[-1].filter(F.col("lbl") >= 0).select(
+            F.col("node").alias("lnode"), F.col("lbl").alias("nlbl")
+        )
+        votes = (
+            edges.join(labeled, edges["dst"] == F.col("lnode"))
+            .groupBy(F.col("src").alias("node"), F.col("nlbl"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("nlbl")
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("nlbl").alias("blbl"))
+        )
+        nxt = (
+            snap[-1]
+            .join(best, "node", "left")
+            .select(
+                "node",
+                F.when(F.col("lbl") >= 0, F.col("lbl"))
+                .otherwise(F.coalesce(F.col("blbl"), F.lit(-1)))
+                .cast("int")
+                .alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        snap.append(nxt)
+    l0, l1, l2 = (
+        s.withColumnRenamed("lbl", f"lbl{i}") for i, s in enumerate(snap)
+    )
+    return (
+        l2.join(l1, "node")
+        .join(l0, "node")
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("lbl2").cast("int").alias("label"),
+            F.when(F.col("lbl0") >= 0, F.lit("seed"))
+            .when(F.col("lbl1") >= 0, F.lit("round1"))
+            .when(F.col("lbl2") >= 0, F.lit("round2"))
+            .otherwise(F.lit("unlabeled"))
+            .alias("origin"),
+        )
+        .orderBy("node")
+    )

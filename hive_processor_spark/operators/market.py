@@ -320,3 +320,80 @@ def agg_atkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("atkinson"),
     ).orderBy("segment")
+
+
+@register(
+    "market_elasticity",
+    """
+    WITH t AS (
+        SELECT p.p_brand AS brand,
+               LN(l_extendedprice / l_quantity) AS x,
+               LN(l_quantity) AS y
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), s AS (
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sx,
+               CAST(SUM(CAST(FLOOR(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sy,
+               CAST(SUM(CAST(FLOOR(x * y * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+                   AS sxy,
+               CAST(SUM(CAST(FLOOR(x * x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+                   AS sxx,
+               CAST(SUM(CAST(FLOOR(y * y * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+                   AS syy
+        FROM t GROUP BY 1
+    )
+    SELECT brand, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS elasticity,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+               AS intercept,
+           ROUND(POW(n * sxy - sx * sy, 2.0)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s ORDER BY brand
+    """,
+)
+def market_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand: OLS slope of ln(quantity) on
+    ln(unit price) — the log-log regression whose coefficient IS the
+    elasticity, run for every brand in one grouped pass (elasticity < 0
+    means demand falls as price rises; |e| > 1 is elastic). All five
+    sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) are floor-quantized to
+    micro-units and integer-summed — order-independent, so the fitted
+    coefficients hash-match at any parallelism; the slope/intercept/R²
+    are fixed-form final expressions. Shape: fact⋈dim broadcast join +
+    one partial→final aggregation, shuffle ∝ brands — the same plan at
+    100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    t = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        F.ln(F.col("l_extendedprice") / F.col("l_quantity")).alias("x"),
+        F.ln("l_quantity").alias("y"),
+    )
+
+    def q6(c):
+        return F.sum(F.floor(c * 1e6).cast("long")).cast("double") / 1e6
+
+    x, y = F.col("x"), F.col("y")
+    s = t.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        q6(x).alias("sx"),
+        q6(y).alias("sy"),
+        q6(x * y).alias("sxy"),
+        q6(x * x).alias("sxx"),
+        q6(y * y).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "brand",
+        "n",
+        F.round(slope, 4).alias("elasticity"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, 2.0)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    ).orderBy("brand")

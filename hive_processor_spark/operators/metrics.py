@@ -1634,3 +1634,215 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
             n / 6.0 * (F.pow(skew, 2.0) + F.pow(kurt - 3.0, 2.0) / 4.0), 4
         ).alias("jarque_bera"),
     ).orderBy("status")
+
+
+@register(
+    "stats_grubbs",
+    """
+    WITH m1 AS (
+        SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM customer GROUP BY 1
+    ), dev AS (
+        SELECT c.c_nationkey AS nk, c.c_custkey, m1.n,
+               c_acctbal - CAST(m1.cents AS DOUBLE) / 100.0 / m1.n AS d
+        FROM customer c JOIN m1 ON m1.nk = c.c_nationkey
+    ), s2 AS (
+        SELECT nk, MAX(n) AS n,
+               CAST(SUM(CAST(FLOOR(d * d * 100.0) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS ss
+        FROM dev GROUP BY 1
+    ), top AS (
+        SELECT nk, c_custkey, d FROM (
+            SELECT nk, c_custkey, d,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY nk
+                       ORDER BY CAST(FLOOR(ABS(d) * 1000000.0) AS BIGINT) DESC,
+                                c_custkey) AS rn
+            FROM dev
+        ) t WHERE rn = 1
+    )
+    SELECT nn.n_name, s2.n AS n_customers,
+           CAST(top.c_custkey AS BIGINT) AS suspect_custkey,
+           ROUND(top.d, 2) AS deviation,
+           ROUND(ABS(top.d) / SQRT(s2.ss / (s2.n - 1)), 4) AS grubbs_g
+    FROM s2 JOIN top ON top.nk = s2.nk
+    JOIN nation nn ON nn.n_nationkey = s2.nk
+    ORDER BY nn.n_name
+    """,
+)
+def stats_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' outlier statistic per nation on customer balances:
+    G = max|x − mean| / s, plus the suspect row itself — the
+    single-most-extreme-value screen that feeds manual review queues.
+    Two-pass exact shape: pass 1 integer-cents means, pass 2 quantized
+    squared deviations (order-independent s²) and an argmax by the
+    INTEGER-quantized |deviation| with a custkey tie-break, so the
+    flagged row is identical at any parallelism. Both passes are
+    partial→final aggregations plus a 25-row broadcast; the argmax is a
+    per-group top-1 window (WindowGroupLimit pushes the rank filter
+    down). At 100 TB nothing changes but partition counts."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    m1 = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("c_acctbal") * 100.0).cast("long"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    dev = cust.join(F.broadcast(m1), cust["c_nationkey"] == m1["nk"]).select(
+        "nk",
+        "c_custkey",
+        "n",
+        (
+            F.col("c_acctbal")
+            - F.col("cents").cast("double") / 100.0 / F.col("n")
+        ).alias("d"),
+    )
+    s2 = dev.groupBy("nk").agg(
+        F.max("n").alias("n"),
+        (
+            F.sum(F.floor(F.col("d") * F.col("d") * 100.0).cast("long")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("ss"),
+    )
+    w = Window.partitionBy("nk").orderBy(
+        F.floor(F.abs(F.col("d")) * 1000000.0).cast("bigint").desc(),
+        F.col("c_custkey"),
+    )
+    top = (
+        dev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("nk", "c_custkey", "d")
+    )
+    return (
+        s2.join(top, "nk")
+        .join(F.broadcast(nat), F.col("nk") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.col("n").alias("n_customers"),
+            F.col("c_custkey").cast("bigint").alias("suspect_custkey"),
+            F.round("d", 2).alias("deviation"),
+            F.round(
+                F.abs(F.col("d"))
+                / F.sqrt(F.col("ss") / (F.col("n") - 1)),
+                4,
+            ).alias("grubbs_g"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "stats_wilcoxon_signed_rank",
+    """
+    WITH halves AS (
+        SELECT user_id,
+               CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT))
+                    FILTER (WHERE EXTRACT(DAY FROM ts) <= 15) AS BIGINT)
+                   AS c1,
+               CAST(COUNT(*) FILTER (WHERE EXTRACT(DAY FROM ts) <= 15)
+                    AS BIGINT) AS n1,
+               CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT))
+                    FILTER (WHERE EXTRACT(DAY FROM ts) > 15) AS BIGINT)
+                   AS c2,
+               CAST(COUNT(*) FILTER (WHERE EXTRACT(DAY FROM ts) > 15)
+                    AS BIGINT) AS n2
+        FROM events GROUP BY 1
+        HAVING n1 > 0 AND n2 > 0
+    ), diffs AS (
+        -- paired difference of per-half mean spend, micro-quantized
+        SELECT user_id,
+               CAST(FLOOR((CAST(c1 AS DOUBLE) / n1
+                           - CAST(c2 AS DOUBLE) / n2) * 10000.0) AS BIGINT)
+                   AS dq
+        FROM halves
+    ), nz AS (
+        SELECT user_id, dq, ABS(dq) AS adq FROM diffs WHERE dq <> 0
+    ), ranked AS (
+        SELECT dq,
+               2 * RANK() OVER (ORDER BY adq)
+               + COUNT(*) OVER (PARTITION BY adq) - 1 AS r2
+        FROM nz
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN dq > 0 THEN r2 ELSE 0 END) AS DOUBLE) / 2.0
+               AS w_plus,
+           CAST(SUM(CASE WHEN dq < 0 THEN r2 ELSE 0 END) AS DOUBLE) / 2.0
+               AS w_minus,
+           ROUND((CAST(SUM(CASE WHEN dq > 0 THEN r2 ELSE 0 END) AS DOUBLE)
+                  / 2.0
+                  - COUNT(*) * (COUNT(*) + 1) / 4.0)
+                 / SQRT(COUNT(*) * (COUNT(*) + 1.0)
+                        * (2.0 * COUNT(*) + 1.0) / 24.0), 4) AS z
+    FROM ranked
+    """,
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on paired per-user spend: first half of
+    the month vs second half — the nonparametric paired-difference test
+    that works when the t-test's normality assumption fails. Exactness:
+    per-half means come from integer cents sums, the paired difference is
+    floor-quantized before ranking (so rank order is an integer compare),
+    ties carry the tie-averaged rank as the exact integer
+    ``2·avg_rank = 2·min_rank + tie_size − 1`` (the ml_spearman trick),
+    and W± are exact half-integers — the z-statistic is one fixed-form
+    expression. Shape: one grouped pass over events (shuffle ∝ users),
+    then rank windows on the per-user frame. Zero-differences are
+    dropped per the standard procedure."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.dayofmonth("ts")
+    cents = F.floor(F.col("value") * 100.0).cast("long")
+    halves = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(day <= 15, cents)).cast("bigint").alias("c1"),
+            F.count_if(day <= 15).cast("bigint").alias("n1"),
+            F.sum(F.when(day > 15, cents)).cast("bigint").alias("c2"),
+            F.count_if(day > 15).cast("bigint").alias("n2"),
+        )
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+    )
+    diffs = halves.select(
+        "user_id",
+        F.floor(
+            (
+                F.col("c1").cast("double") / F.col("n1")
+                - F.col("c2").cast("double") / F.col("n2")
+            )
+            * 10000.0
+        )
+        .cast("bigint")
+        .alias("dq"),
+    )
+    nz = diffs.filter(F.col("dq") != 0).select(
+        "dq", F.abs(F.col("dq")).alias("adq")
+    )
+    wr = Window.orderBy("adq")
+    wt = Window.partitionBy("adq")
+    ranked = nz.select(
+        "dq",
+        (
+            2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
+        ).alias("r2"),
+    )
+    wp = F.sum(F.when(F.col("dq") > 0, F.col("r2")).otherwise(0)).cast(
+        "double"
+    ) / 2.0
+    wm = F.sum(F.when(F.col("dq") < 0, F.col("r2")).otherwise(0)).cast(
+        "double"
+    ) / 2.0
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.cast("bigint").alias("n"),
+        wp.alias("w_plus"),
+        wm.alias("w_minus"),
+        F.round(
+            (wp - n * (n + 1) / 4.0)
+            / F.sqrt(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0),
+            4,
+        ).alias("z"),
+    )

@@ -1414,3 +1414,78 @@ def text_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pair_id")
     )
+
+
+@register(
+    "text_keyphrase",
+    """
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok WHERE term <> '' GROUP BY 1, 2
+    ), df AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tf GROUP BY 1
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(FLOOR(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df) * 1e6)
+                    AS BIGINT) AS score_q
+        FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+    ), ranked AS (
+        SELECT doc_id, term, score_q,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score_q DESC, term) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, CAST(rnk AS INT) AS rnk, term,
+           ROUND(score_q / 1e6, 4) AS tfidf
+    FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """,
+)
+def text_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyphrase extraction: the top-3 TF-IDF terms PER DOCUMENT (where
+    text_tfidf reports the corpus-global top matrix entries, this is the
+    per-doc summarizer — the "what is this document about" tags a
+    curation UI shows). Scores are floor-quantized to micro-units before
+    ranking so the per-doc top-3 and its term tie-break are exact
+    integer comparisons — stable at any parallelism. Shape: tf and df
+    are two grouped counts, the score join is term-keyed (broadcastable
+    df table), and the per-doc top-3 compiles to WindowGroupLimit — the
+    rank filter prunes inside each partition before any row moves, so
+    the shuffle carries ≤3 rows per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.floor(
+            F.col("tf") * F.ln(F.lit(float(n_docs)) / F.col("df")) * 1e6
+        )
+        .cast("bigint")
+        .alias("score_q"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_q").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "term",
+            F.round(F.col("score_q") / 1e6, 4).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rnk")
+    )

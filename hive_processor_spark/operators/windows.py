@@ -805,3 +805,72 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("grp")
         .orderBy("user_id", "start_day")
     )
+
+
+@register(
+    "win_exchange_reuse",
+    """
+    WITH w AS (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS seq,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    OVER (PARTITION BY o_custkey) AS BIGINT) AS tot_cents,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS run_cents,
+               RANK() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(FLOOR(o_totalprice * 100.0)
+                                          AS BIGINT) DESC,
+                                     o_orderkey) AS size_rank
+        FROM orders
+    )
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(seq AS INT) AS seq,
+           ROUND(run_cents / 100.0, 2) AS running_spend,
+           ROUND(CAST(run_cents AS DOUBLE) / tot_cents, 6) AS spend_frac,
+           CAST(size_rank AS INT) AS size_rank
+    FROM w WHERE seq <= 3 ORDER BY o_custkey, seq
+    """,
+)
+def win_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four window computations — order sequence number, customer total,
+    running total, and size rank — all declared over the SAME partition
+    key (o_custkey) so Catalyst plans exactly ONE hash exchange and
+    chains the Window operators behind it (different ORDER BYs only add
+    in-partition sorts, never a reshuffle). This is the window-batching
+    idiom that matters at 100 TB: five metrics for the price of one
+    shuffle, vs the naive five-queries-five-shuffles shape.
+    test_plans asserts the single-Exchange property. All money values
+    are integer cents; ranks break ties on the unique orderkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0).cast("long")
+    part = Window.partitionBy("o_custkey")
+    seq_w = part.orderBy("o_orderdate", "o_orderkey")
+    run_w = seq_w.rowsBetween(Window.unboundedPreceding, 0)
+    rank_w = part.orderBy(cents.desc(), "o_orderkey")
+    w = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(seq_w).alias("seq"),
+        F.sum(cents).over(part).cast("bigint").alias("tot_cents"),
+        F.sum(cents).over(run_w).cast("bigint").alias("run_cents"),
+        F.rank().over(rank_w).alias("size_rank"),
+    )
+    return (
+        w.filter(F.col("seq") <= 3)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.col("seq").cast("int").alias("seq"),
+            F.round(F.col("run_cents") / 100.0, 2).alias("running_spend"),
+            F.round(
+                F.col("run_cents").cast("double") / F.col("tot_cents"), 6
+            ).alias("spend_frac"),
+            F.col("size_rank").cast("int").alias("size_rank"),
+        )
+        .orderBy("o_custkey", "seq")
+    )

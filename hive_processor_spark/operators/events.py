@@ -3283,3 +3283,86 @@ def events_dow_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+@register(
+    "ts_sma_crossover",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), w AS (
+        SELECT day, cents,
+               COUNT(*) OVER w50 AS n50,
+               SUM(cents) OVER w20 AS s20,
+               SUM(cents) OVER w50 AS s50
+        FROM daily
+        WINDOW w20 AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+               w50 AS (ORDER BY day ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+    ), s AS (
+        SELECT day, s20, s50,
+               CASE WHEN 5 * s20 > 2 * s50 THEN 1
+                    WHEN 5 * s20 < 2 * s50 THEN -1 ELSE 0 END AS sgn
+        FROM w WHERE n50 = 50
+    ), x AS (
+        SELECT day, s20, s50, sgn,
+               LAG(sgn) OVER (ORDER BY day) AS prev_sgn
+        FROM s
+    )
+    SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+           ROUND(s20 / 20.0 / 100.0, 2) AS sma20,
+           ROUND(s50 / 50.0 / 100.0, 2) AS sma50,
+           CASE WHEN sgn > prev_sgn THEN 'golden_cross'
+                ELSE 'death_cross' END AS signal
+    FROM x WHERE prev_sgn IS NOT NULL AND sgn <> prev_sgn AND sgn <> 0
+    ORDER BY day
+    """,
+)
+def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover detector on daily revenue: days where the
+    20-day SMA crosses the 50-day SMA (golden cross up, death cross
+    down) — the regime-change signal primitive. The comparison never
+    touches a double: SMA20 > SMA50 ⇔ 5·Σ20 > 2·Σ50 over exact integer
+    cents (common denominator 100), so the crossing days are
+    bit-identical at any parallelism; the displayed SMAs are final-form
+    divisions. One grouped sum (shuffle ∝ distinct days), two frame
+    sizes over one ordered window pass, one lag."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w20 = Window.orderBy("day").rowsBetween(-19, 0)
+    w50 = Window.orderBy("day").rowsBetween(-49, 0)
+    w = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w50).alias("n50"),
+        F.sum("cents").over(w20).alias("s20"),
+        F.sum("cents").over(w50).alias("s50"),
+    ).filter(F.col("n50") == 50)
+    sgn = (
+        F.when(5 * F.col("s20") > 2 * F.col("s50"), F.lit(1))
+        .when(5 * F.col("s20") < 2 * F.col("s50"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    s = w.select("day", "s20", "s50", sgn.alias("sgn"))
+    x = s.withColumn("prev_sgn", F.lag("sgn").over(Window.orderBy("day")))
+    return (
+        x.filter(
+            F.col("prev_sgn").isNotNull()
+            & (F.col("sgn") != F.col("prev_sgn"))
+            & (F.col("sgn") != 0)
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("s20") / 20.0 / 100.0, 2).alias("sma20"),
+            F.round(F.col("s50") / 50.0 / 100.0, 2).alias("sma50"),
+            F.when(F.col("sgn") > F.col("prev_sgn"), F.lit("golden_cross"))
+            .otherwise(F.lit("death_cross"))
+            .alias("signal"),
+        )
+        .orderBy("day")
+    )

@@ -1846,3 +1846,141 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z"),
     )
+
+
+@register(
+    "stats_meta_analysis",
+    """
+    WITH m1 AS (
+        SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM customer GROUP BY 1
+    ), dev AS (
+        SELECT c.c_nationkey AS nk, m1.n,
+               c_acctbal - CAST(m1.cents AS DOUBLE) / 100.0 / m1.n AS d
+        FROM customer c JOIN m1 ON m1.nk = c.c_nationkey
+    ), grp AS (
+        SELECT dev.nk, MAX(dev.n) AS n,
+               MAX(CAST(m1.cents AS DOUBLE) / 100.0 / m1.n) AS mean,
+               CAST(SUM(CAST(FLOOR(d * d * 100.0) AS BIGINT)) AS DOUBLE)
+                   / 100.0 / (MAX(dev.n) - 1) AS var
+        FROM dev JOIN m1 ON m1.nk = dev.nk
+        GROUP BY dev.nk
+    ), terms AS (
+        SELECT nk, n, mean, var,
+               CAST(FLOOR(n / var * 1e15) AS BIGINT) AS w_q,
+               CAST(FLOOR(n / var * mean * 1e12) AS BIGINT) AS wm_q
+        FROM grp
+    ), pool AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(w_q) AS BIGINT) AS sw_q,
+               CAST(SUM(wm_q) AS BIGINT) AS swm_q
+        FROM terms
+    ), est AS (
+        SELECT k, sw_q,
+               (CAST(swm_q AS DOUBLE) / 1e12)
+               / (CAST(sw_q AS DOUBLE) / 1e15) AS pooled
+        FROM pool
+    ), qstat AS (
+        SELECT MAX(est.k) AS k, MAX(est.pooled) AS pooled,
+               CAST(SUM(CAST(FLOOR(
+                   (CAST(t.w_q AS DOUBLE) / 1e15)
+                   * (t.mean - est.pooled) * (t.mean - est.pooled)
+                   * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS q
+        FROM terms t CROSS JOIN est
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           ROUND(pooled, 4) AS pooled_mean,
+           ROUND(q, 4) AS cochran_q,
+           ROUND(GREATEST(0.0, (q - (k - 1)) / NULLIF(q, 0.0)), 6)
+               AS i_squared
+    FROM qstat
+    """,
+)
+def stats_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-effect meta-analysis across the 25 per-nation mean customer
+    balances: inverse-variance pooling (wᵢ = nᵢ/s²ᵢ), Cochran's Q
+    heterogeneity statistic, and I² — "is the effect consistent across
+    strata, and what is the precision-weighted pooled estimate", the
+    standard cross-cohort synthesis tool. Per-group means and variances
+    come from the two-pass exact pipeline (integer cents, quantized
+    squared deviations); the cross-group sums Σw, Σw·m, and the Q terms
+    are each floor-quantized to fixed scales and INTEGER-summed so the
+    25-way reduction is order-independent — the pooled estimate
+    hash-matches at any parallelism. Shape: two aggregation passes over
+    the fact table, then all meta-analysis algebra on a 25-row frame
+    with a 1-row broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    m1 = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("c_acctbal") * 100.0).cast("long"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    mean = F.col("cents").cast("double") / 100.0 / F.col("n")
+    dev = cust.join(F.broadcast(m1), cust["c_nationkey"] == m1["nk"]).select(
+        "nk", "n", mean.alias("mean"), (F.col("c_acctbal") - mean).alias("d")
+    )
+    grp = dev.groupBy("nk").agg(
+        F.max("n").alias("n"),
+        F.max("mean").alias("mean"),
+        (
+            F.sum(F.floor(F.col("d") * F.col("d") * 100.0).cast("long")).cast(
+                "double"
+            )
+            / 100.0
+            / (F.max("n") - 1)
+        ).alias("var"),
+    )
+    terms = grp.select(
+        "nk",
+        "n",
+        "mean",
+        "var",
+        F.floor(F.col("n") / F.col("var") * 1e15).cast("bigint").alias("w_q"),
+        F.floor(F.col("n") / F.col("var") * F.col("mean") * 1e12)
+        .cast("bigint")
+        .alias("wm_q"),
+    )
+    pool = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("w_q").cast("bigint").alias("sw_q"),
+        F.sum("wm_q").cast("bigint").alias("swm_q"),
+    )
+    est = pool.select(
+        "k",
+        "sw_q",
+        (
+            (F.col("swm_q").cast("double") / 1e12)
+            / (F.col("sw_q").cast("double") / 1e15)
+        ).alias("pooled"),
+    )
+    qstat = terms.crossJoin(F.broadcast(est)).agg(
+        F.max("k").alias("k"),
+        F.max("pooled").alias("pooled"),
+        (
+            F.sum(
+                F.floor(
+                    (F.col("w_q").cast("double") / 1e15)
+                    * (F.col("mean") - F.col("pooled"))
+                    * (F.col("mean") - F.col("pooled"))
+                    * 1e6
+                ).cast("long")
+            ).cast("double")
+            / 1e6
+        ).alias("q"),
+    )
+    return qstat.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.round("pooled", 4).alias("pooled_mean"),
+        F.round("q", 4).alias("cochran_q"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                (F.col("q") - (F.col("k") - 1))
+                / F.nullif(F.col("q"), F.lit(0.0)),
+            ),
+            6,
+        ).alias("i_squared"),
+    )

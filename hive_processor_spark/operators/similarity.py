@@ -1473,3 +1473,105 @@ def sim_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@register(
+    "join_spatial_dbscan",
+    """
+    WITH pts AS (
+        SELECT s_suppkey AS id,
+               CAST(s_suppkey * 7919 % 18000 AS BIGINT) AS y,
+               CAST(s_suppkey * 104729 % 36000 AS BIGINT) AS x
+        FROM supplier
+    ), nbr AS (
+        SELECT a.id, CAST(COUNT(*) AS BIGINT) AS n_eps
+        FROM pts a JOIN pts b
+          ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             <= 3000 * 3000
+        GROUP BY 1
+    ), core AS (
+        SELECT id FROM nbr WHERE n_eps >= 4
+    ), border AS (
+        SELECT DISTINCT a.id
+        FROM pts a JOIN pts b
+          ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             <= 3000 * 3000 AND a.id <> b.id
+        JOIN core c ON c.id = b.id
+        WHERE a.id NOT IN (SELECT id FROM core)
+    )
+    SELECT nbr.id AS s_suppkey, nbr.n_eps,
+           CASE WHEN nbr.id IN (SELECT id FROM core) THEN 'core'
+                WHEN nbr.id IN (SELECT id FROM border) THEN 'border'
+                ELSE 'noise' END AS point_type
+    FROM nbr ORDER BY s_suppkey
+    """,
+)
+def join_spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN core/border/noise classification over the synthetic
+    supplier geography (ε = 30°, minPts = 4, planar centi-degree metric —
+    the same deterministic lat/lon derivation as fn_geohash): the
+    density-based spatial clustering primitive. The oracle states the
+    O(n²) all-pairs definition; the Spark plan is the GRID-PARTITIONED
+    shape — each point is exploded into its 3×3 neighborhood of ε-sized
+    cells, the candidate join is an EQUI-join on cell id (never a cross
+    product), and the exact ε test is the pure-integer inequality
+    dx²+dy² ≤ ε² inside the cell match. Candidate mass is bounded by
+    points-per-cell² per cell — the standard distributed spatial-join
+    plan that survives 100 TB where all-pairs cannot. Border detection
+    is one more semi-join of non-core ε-neighbors against the core
+    set."""
+    sup = load_table(spark, sf_dir, "supplier")
+    pts = sup.select(
+        F.col("s_suppkey").alias("id"),
+        (F.col("s_suppkey") * 7919 % 18000).cast("bigint").alias("y"),
+        (F.col("s_suppkey") * 104729 % 36000).cast("bigint").alias("x"),
+    )
+    eps = 3000
+    # build side: each point sits in its own cell
+    build = pts.select(
+        "id",
+        "x",
+        "y",
+        F.floor(F.col("x") / eps).cast("bigint").alias("cx"),
+        F.floor(F.col("y") / eps).cast("bigint").alias("cy"),
+    )
+    # probe side: each point replicated into the 3x3 neighbor cells
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx: int, dy: int"
+    )
+    probe = build.crossJoin(F.broadcast(offsets)).select(
+        F.col("id").alias("pid"),
+        F.col("x").alias("px"),
+        F.col("y").alias("py"),
+        (F.col("cx") + F.col("dx")).alias("cx"),
+        (F.col("cy") + F.col("dy")).alias("cy"),
+    )
+    pairs = probe.join(build, ["cx", "cy"]).filter(
+        (F.col("px") - F.col("x")) * (F.col("px") - F.col("x"))
+        + (F.col("py") - F.col("y")) * (F.col("py") - F.col("y"))
+        <= eps * eps
+    )
+    nbr = pairs.groupBy(F.col("pid").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eps")
+    )
+    core = nbr.filter(F.col("n_eps") >= 4).select("id")
+    near_core = (
+        pairs.filter(F.col("pid") != F.col("id"))
+        .join(core.withColumnRenamed("id", "cid"), F.col("id") == F.col("cid"))
+        .select(F.col("pid").alias("id"))
+        .distinct()
+    )
+    border = near_core.join(core, "id", "left_anti")
+    return (
+        nbr.join(core.withColumn("is_core", F.lit(1)), "id", "left")
+        .join(border.withColumn("is_border", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias("s_suppkey"),
+            "n_eps",
+            F.when(F.col("is_core") == 1, F.lit("core"))
+            .when(F.col("is_border") == 1, F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("point_type"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -1194,3 +1194,64 @@ def fn_ipv4_subnets(spark: SparkSession, sf_dir: str) -> DataFrame:
             octet(m % 256),
         ).alias("lowest_ip"),
     ).orderBy("o1").drop("o1")
+
+
+@register(
+    "fn_time_bucket",
+    """
+    WITH b AS (
+        SELECT CAST(FLOOR(epoch_us(ts) / 1e6 / 14400.0) AS BIGINT) AS bk,
+               value, event_type
+        FROM events
+    )
+    SELECT STRFTIME(TO_TIMESTAMP(bk * 14400), '%Y-%m-%d %H:%M:%S')
+               AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS purchases,
+           ROUND(CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS total_value
+    FROM b GROUP BY bk ORDER BY bk
+    """,
+)
+def fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-interval time bucketing (TimescaleDB ``time_bucket`` /
+    hypertable-rollup semantics): 4-hour epoch-aligned buckets computed
+    by pure integer floor-division of epoch seconds — not limited to
+    calendar units like date_trunc, and origin-stable regardless of
+    timezone or session settings. The bucket id is an exact integer on
+    both engines (epoch-µs → seconds → ÷14400 floor), counts are exact,
+    and the value sum is quantized cents — hash-stable anywhere. Shape:
+    map + one grouped aggregation, shuffle ∝ buckets; this is the
+    continuous-aggregate primitive a time-series store materializes
+    incrementally, and the GROUP BY key a 100 TB stream rollup
+    partitions on."""
+    ev = load_table(spark, sf_dir, "events")
+    bk = F.floor(F.unix_micros(F.col("ts")) / 1e6 / 14400.0).cast("bigint")
+    b = ev.select(bk.alias("bk"), "value", "event_type")
+    return (
+        b.groupBy("bk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count_if(F.col("event_type") == "purchase")
+            .cast("bigint")
+            .alias("purchases"),
+            F.round(
+                F.sum(F.floor(F.col("value") * 100.0).cast("long")).cast(
+                    "double"
+                )
+                / 100.0,
+                2,
+            ).alias("total_value"),
+        )
+        .select(
+            F.date_format(
+                F.timestamp_seconds(F.col("bk") * 14400),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("bucket_start"),
+            "n",
+            "purchases",
+            "total_value",
+        )
+        .orderBy("bucket_start")
+    )

@@ -1730,3 +1730,83 @@ def agg_ratio_of_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_share_of_parent",
+    """
+    WITH c AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer cu ON cu.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = cu.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2
+    ), w AS (
+        SELECT region, nation, cents,
+               SUM(cents) OVER (PARTITION BY region) AS region_cents,
+               SUM(cents) OVER () AS grand_cents
+        FROM c
+    )
+    SELECT region, nation,
+           ROUND(cents / 100.0, 2) AS revenue,
+           ROUND(CAST(cents AS DOUBLE) / region_cents, 6)
+               AS share_of_region,
+           ROUND(CAST(region_cents AS DOUBLE) / grand_cents, 6)
+               AS region_share_of_total,
+           ROUND(CAST(cents AS DOUBLE) / grand_cents, 6) AS share_of_total
+    FROM w ORDER BY region, nation
+    """,
+)
+def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent rollup: nation revenue as a share of
+    its region, region as a share of the grand total, and the product
+    path — the drill-down ratio column every OLAP hierarchy report
+    carries. One grouped exact-cents sum to the (region, nation) grain,
+    then two window sums over THAT 25-row frame supply both parent
+    levels without re-aggregating the fact table (the two-level window
+    trick — at 100 TB the fact table is read once, and the share math
+    happens on a frame the size of the hierarchy). Shares are
+    final-form divisions of exact integers — hash-stable anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    c = (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wr = Window.partitionBy("region")
+    wg = Window.partitionBy()
+    w = c.select(
+        "region",
+        "nation",
+        "cents",
+        F.sum("cents").over(wr).alias("region_cents"),
+        F.sum("cents").over(wg).alias("grand_cents"),
+    )
+    return w.select(
+        "region",
+        "nation",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(
+            F.col("cents").cast("double") / F.col("region_cents"), 6
+        ).alias("share_of_region"),
+        F.round(
+            F.col("region_cents").cast("double") / F.col("grand_cents"), 6
+        ).alias("region_share_of_total"),
+        F.round(
+            F.col("cents").cast("double") / F.col("grand_cents"), 6
+        ).alias("share_of_total"),
+    ).orderBy("region", "nation")

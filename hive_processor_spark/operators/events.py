@@ -3366,3 +3366,111 @@ def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_bot_detection",
+    """
+    WITH u AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+               CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT)
+                   AS span_us
+        FROM events GROUP BY 1
+    ), tc AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), dom AS (
+        SELECT user_id, CAST(MAX(c) AS BIGINT) AS top_cnt FROM tc GROUP BY 1
+    ), flags AS (
+        SELECT u.user_id, u.n_events,
+               ROUND(CAST(u.n_events AS DOUBLE) / u.n_days, 4)
+                   AS events_per_day,
+               ROUND(CAST(dom.top_cnt AS DOUBLE) / u.n_events, 4)
+                   AS top_type_share,
+               ROUND(CAST(u.span_us AS DOUBLE) / (u.n_events - 1) / 1e6, 2)
+                   AS mean_gap_s,
+               CAST(CASE WHEN 10 * u.n_events > 28 * u.n_days
+                         THEN 1 ELSE 0 END AS INT) AS f_velocity,
+               CAST(CASE WHEN 100 * dom.top_cnt > 28 * u.n_events
+                         THEN 1 ELSE 0 END AS INT) AS f_monotone,
+               CAST(CASE WHEN u.span_us < 33000000000 * (u.n_events - 1)
+                         THEN 1 ELSE 0 END AS INT) AS f_rapid
+        FROM u JOIN dom ON dom.user_id = u.user_id
+        WHERE u.n_events > 1
+    )
+    SELECT user_id, n_events, events_per_day, top_type_share, mean_gap_s,
+           f_velocity, f_monotone, f_rapid,
+           CAST(f_velocity + f_monotone + f_rapid AS INT) AS bot_score
+    FROM flags
+    WHERE f_velocity + f_monotone + f_rapid >= 1
+    ORDER BY bot_score DESC, user_id
+    """,
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based bot scoring per user: three independent flags — daily
+    velocity above 2.8 events/day, one event type above a 28% dominance
+    share, mean inter-event gap under 33000 s — summed into a ranked
+    bot score, the abuse-triage pass that runs before any model. Every
+    flag is a PURE INTEGER inequality (10n > 28d; 100·top > 28n;
+    span_µs < 33e9·(n−1)) so no boundary tie can flip with summation
+    order — results are bit-identical at any parallelism; the displayed
+    rates are final-form divisions. Shape: two grouped passes over
+    events (per-user and per-(user, type), both shuffle ∝ users) joined
+    on user_id; the flag filter keeps the output to the suspicious tail
+    at any scale. Thresholds are fixture-calibrated parameters of the
+    rule engine, not constants of the operator."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct(F.to_date("ts")).cast("bigint").alias("n_days"),
+        (F.max(us) - F.min(us)).cast("bigint").alias("span_us"),
+    )
+    dom = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .groupBy("user_id")
+        .agg(F.max("c").cast("bigint").alias("top_cnt"))
+    )
+    j = u.join(dom, "user_id").filter(F.col("n_events") > 1)
+    f_velocity = (
+        F.when(10 * F.col("n_events") > 28 * F.col("n_days"), 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    f_monotone = (
+        F.when(100 * F.col("top_cnt") > 28 * F.col("n_events"), 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    f_rapid = (
+        F.when(
+            F.col("span_us") < F.lit(33000000000) * (F.col("n_events") - 1), 1
+        )
+        .otherwise(0)
+        .cast("int")
+    )
+    flags = j.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("n_events").cast("double") / F.col("n_days"), 4).alias(
+            "events_per_day"
+        ),
+        F.round(
+            F.col("top_cnt").cast("double") / F.col("n_events"), 4
+        ).alias("top_type_share"),
+        F.round(
+            F.col("span_us").cast("double") / (F.col("n_events") - 1) / 1e6, 2
+        ).alias("mean_gap_s"),
+        f_velocity.alias("f_velocity"),
+        f_monotone.alias("f_monotone"),
+        f_rapid.alias("f_rapid"),
+    )
+    score = F.col("f_velocity") + F.col("f_monotone") + F.col("f_rapid")
+    return (
+        flags.withColumn("bot_score", score.cast("int"))
+        .filter(F.col("bot_score") >= 1)
+        .orderBy(F.col("bot_score").desc(), "user_id")
+    )

@@ -1984,3 +1984,104 @@ def stats_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("i_squared"),
     )
+
+
+@register(
+    "stats_cohens_d",
+    """
+    WITH g AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 'purchase'
+                    ELSE 'other' END AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1
+    ), dev AS (
+        SELECT CASE WHEN e.event_type = 'purchase' THEN 'purchase'
+                    ELSE 'other' END AS grp, g.n,
+               e.value - CAST(g.cents AS DOUBLE) / 100.0 / g.n AS d
+        FROM events e JOIN g
+          ON g.grp = CASE WHEN e.event_type = 'purchase' THEN 'purchase'
+                          ELSE 'other' END
+    ), s AS (
+        SELECT grp, MAX(n) AS n,
+               CAST(SUM(CAST(FLOOR(d * d * 100.0) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS ss
+        FROM dev GROUP BY 1
+    ), wide AS (
+        SELECT MAX(CASE WHEN grp = 'purchase' THEN n END) AS n1,
+               MAX(CASE WHEN grp = 'other' THEN n END) AS n2,
+               MAX(CASE WHEN grp = 'purchase' THEN ss END) AS ss1,
+               MAX(CASE WHEN grp = 'other' THEN ss END) AS ss2
+        FROM s
+    ), m AS (
+        SELECT g1.cents1, g2.cents2, w.* FROM wide w
+        CROSS JOIN (SELECT cents AS cents1 FROM g WHERE grp = 'purchase') g1
+        CROSS JOIN (SELECT cents AS cents2 FROM g WHERE grp = 'other') g2
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_purchase,
+           CAST(n2 AS BIGINT) AS n_other,
+           ROUND(CAST(cents1 AS DOUBLE) / 100.0 / n1
+                 - CAST(cents2 AS DOUBLE) / 100.0 / n2, 4) AS mean_diff,
+           ROUND(SQRT((ss1 + ss2) / (n1 + n2 - 2)), 4) AS pooled_sd,
+           ROUND((CAST(cents1 AS DOUBLE) / 100.0 / n1
+                  - CAST(cents2 AS DOUBLE) / 100.0 / n2)
+                 / SQRT((ss1 + ss2) / (n1 + n2 - 2)), 6) AS cohens_d
+    FROM m
+    """,
+)
+def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized effect size between purchase-event values
+    and all other events: mean difference over the pooled standard
+    deviation — the effect-size companion the t-test family reports so
+    "significant" can be distinguished from "large". Two-pass exact
+    shape (integer-cents means, quantized squared deviations summed
+    order-independently), then the d statistic is one fixed-form
+    expression over a pivoted 1-row frame. At 100 TB: two partial→final
+    passes, a 2-row broadcast, nothing else."""
+    ev = load_table(spark, sf_dir, "events")
+    grp = F.when(F.col("event_type") == "purchase", F.lit("purchase")).otherwise(
+        F.lit("other")
+    )
+    g = ev.groupBy(grp.alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("value") * 100.0).cast("long"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    dev = ev.select(grp.alias("grp"), "value").join(F.broadcast(g), "grp").select(
+        "grp",
+        "n",
+        (
+            F.col("value") - F.col("cents").cast("double") / 100.0 / F.col("n")
+        ).alias("d"),
+    )
+    s = dev.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        (
+            F.sum(F.floor(F.col("d") * F.col("d") * 100.0).cast("long")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("ss"),
+    )
+    wide = s.join(F.broadcast(g.select("grp", "cents")), "grp").agg(
+        F.max(F.when(F.col("grp") == "purchase", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == "other", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == "purchase", F.col("ss"))).alias("ss1"),
+        F.max(F.when(F.col("grp") == "other", F.col("ss"))).alias("ss2"),
+        F.max(F.when(F.col("grp") == "purchase", F.col("cents"))).alias(
+            "cents1"
+        ),
+        F.max(F.when(F.col("grp") == "other", F.col("cents"))).alias("cents2"),
+    )
+    m1 = F.col("cents1").cast("double") / 100.0 / F.col("n1")
+    m2 = F.col("cents2").cast("double") / 100.0 / F.col("n2")
+    psd = F.sqrt((F.col("ss1") + F.col("ss2")) / (F.col("n1") + F.col("n2") - 2))
+    return wide.select(
+        F.col("n1").cast("bigint").alias("n_purchase"),
+        F.col("n2").cast("bigint").alias("n_other"),
+        F.round(m1 - m2, 4).alias("mean_diff"),
+        F.round(psd, 4).alias("pooled_sd"),
+        F.round((m1 - m2) / psd, 6).alias("cohens_d"),
+    )

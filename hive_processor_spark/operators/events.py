@@ -3474,3 +3474,79 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bot_score") >= 1)
         .orderBy(F.col("bot_score").desc(), "user_id")
     )
+
+
+@register(
+    "events_conversion_windows",
+    """
+    WITH s AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS conv_us
+        FROM events e JOIN s ON s.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.signup_us
+        GROUP BY 1
+    ), lagt AS (
+        SELECT s.user_id,
+               p.conv_us - s.signup_us AS lag_us
+        FROM s LEFT JOIN p ON p.user_id = s.user_id
+    ), wins AS (SELECT UNNEST([1, 3, 7]) AS w_days)
+    SELECT w.w_days,
+           CAST(COUNT(*) AS BIGINT) AS n_signup_users,
+           CAST(COUNT(*) FILTER (
+               WHERE lag_us IS NOT NULL
+                 AND lag_us <= w.w_days * 86400000000) AS BIGINT)
+               AS n_converted,
+           ROUND(CAST(COUNT(*) FILTER (
+               WHERE lag_us IS NOT NULL
+                 AND lag_us <= w.w_days * 86400000000) AS DOUBLE)
+                 / COUNT(*), 6) AS conversion_rate
+    FROM lagt CROSS JOIN wins w
+    GROUP BY w.w_days ORDER BY w.w_days
+    """,
+)
+def events_conversion_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window sensitivity for the signup→purchase funnel:
+    the conversion rate under 1-, 3-, and 7-day windows computed in ONE
+    pass — the analysis that tells you how much of "conversion" is just
+    window definition. Per-user first-signup and first-subsequent-
+    purchase are exact epoch-µs minima; the per-window test is a pure
+    integer comparison against W·86400·10⁶, fanned out by a 3-row
+    cross join on the per-USER frame (never the raw events) — the same
+    explode-the-aggregate trick as the permutation test. At 100 TB:
+    two grouped passes over events, then a 3× fan-out of the small
+    frame."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("signup_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(us >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("conv_us"))
+    )
+    lagt = s.join(p, "user_id", "left").select(
+        "user_id", (F.col("conv_us") - F.col("signup_us")).alias("lag_us")
+    )
+    wins = spark.createDataFrame([(1,), (3,), (7,)], "w_days: int")
+    conv = F.col("lag_us").isNotNull() & (
+        F.col("lag_us") <= F.col("w_days").cast("bigint") * F.lit(86400000000)
+    )
+    return (
+        lagt.crossJoin(F.broadcast(wins))
+        .groupBy("w_days")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_signup_users"),
+            F.count_if(conv).cast("bigint").alias("n_converted"),
+            F.round(
+                F.count_if(conv).cast("double") / F.count(F.lit(1)), 6
+            ).alias("conversion_rate"),
+        )
+        .orderBy("w_days")
+    )

@@ -789,3 +789,105 @@ def profile_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "sample_estimator_audit",
+    """
+    WITH base AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents,
+               ((o_orderkey * 2654435761) % 4294967296) % 10 = 0 AS in_sample
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), truth AS (
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS big_n,
+               CAST(SUM(cents) AS BIGINT) AS true_cents
+        FROM base GROUP BY 1
+    ), samp AS (
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s_cents,
+               CAST(SUM(cents * cents) AS HUGEINT) AS s_cents2
+        FROM base WHERE in_sample GROUP BY 1
+    )
+    SELECT t.segment, t.big_n, s.n,
+           ROUND(t.true_cents / 100.0, 2) AS true_total,
+           ROUND(CAST(t.big_n AS DOUBLE) * s.s_cents / s.n / 100.0, 2)
+               AS estimated_total,
+           ROUND(CAST(t.big_n AS DOUBLE) * s.s_cents / s.n
+                 / t.true_cents - 1.0, 6) AS rel_error,
+           ROUND(CAST(t.big_n AS DOUBLE) * t.big_n
+                 * (1.0 - CAST(s.n AS DOUBLE) / t.big_n)
+                 * ((CAST(s.s_cents2 AS DOUBLE)
+                     - CAST(s.s_cents AS DOUBLE) * s.s_cents / s.n)
+                    / (s.n - 1))
+                 / s.n / 1e4, 2) AS variance_est,
+           ROUND(1.96 * SQRT(CAST(t.big_n AS DOUBLE) * t.big_n
+                 * (1.0 - CAST(s.n AS DOUBLE) / t.big_n)
+                 * ((CAST(s.s_cents2 AS DOUBLE)
+                     - CAST(s.s_cents AS DOUBLE) * s.s_cents / s.n)
+                    / (s.n - 1))
+                 / s.n) / 100.0, 2) AS ci95_halfwidth
+    FROM truth t JOIN samp s ON s.segment = t.segment
+    ORDER BY t.segment
+    """,
+)
+def sample_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey-sampling estimator audit per market segment: a
+    deterministic 10% hash sample of orders, the Horvitz–Thompson
+    expansion estimate N·x̄ of each segment's revenue total, its
+    finite-population-corrected variance N²(1−f)s²/n, a 95% CI
+    half-width — and, because the fixture lets us, the TRUE total and
+    realized relative error alongside. This is the estimate-don't-scan
+    pattern a 100 TB warehouse uses for approximate dashboards, with
+    the hash sample making the estimate reproducible (no RNG) and the
+    audit columns quantifying exactly what the 10× read saving costs in
+    accuracy. Exact integer sums throughout (cents and squared cents in
+    128-bit-safe accumulators); the estimator algebra is final-form.
+    One pass computes truth and sample together here; in production the
+    sample pass runs alone."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    base = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+        (
+            ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296))
+            % 10
+            == 0
+        ).alias("in_sample"),
+    )
+    truth = base.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("big_n"),
+        F.sum("cents").cast("bigint").alias("true_cents"),
+    )
+    samp = (
+        base.filter(F.col("in_sample"))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("s_cents"),
+            F.sum(
+                (F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+            ).alias("s_cents2"),
+        )
+    )
+    j = truth.join(samp, "segment")
+    bN = F.col("big_n").cast("double")
+    est_cents = bN * F.col("s_cents") / F.col("n")
+    s2 = (
+        F.col("s_cents2").cast("double")
+        - F.col("s_cents").cast("double") * F.col("s_cents") / F.col("n")
+    ) / (F.col("n") - 1)
+    var_est = bN * bN * (1.0 - F.col("n").cast("double") / bN) * s2 / F.col("n")
+    return j.select(
+        "segment",
+        "big_n",
+        "n",
+        F.round(F.col("true_cents") / 100.0, 2).alias("true_total"),
+        F.round(est_cents / 100.0, 2).alias("estimated_total"),
+        F.round(est_cents / F.col("true_cents") - 1.0, 6).alias("rel_error"),
+        F.round(var_est / 1e4, 2).alias("variance_est"),
+        F.round(1.96 * F.sqrt(var_est) / 100.0, 2).alias("ci95_halfwidth"),
+    ).orderBy("segment")

@@ -1575,3 +1575,109 @@ def join_spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+def _mmr_greedy(pdf):
+    """Greedy maximal-marginal-relevance rerank inside one query group.
+
+    Sequential by nature (each pick conditions the next on the selected
+    set) — the legitimate applyInPandas case. All scores are
+    floor-quantized to integer micro-units before comparison and ties
+    break on vec_id, so the selection is deterministic for any
+    partitioning or batch order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    qid = int(pdf["query_id"].iloc[0])
+    vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    rel_q = pdf["rel_q"].to_numpy().astype(np.int64)
+    ids = pdf["vec_id"].to_numpy().astype(np.int64)
+    norms = np.sqrt(np.floor(vecs * vecs * 1e12).sum(axis=1) / 1e12)
+    k = min(10, len(ids))
+    selected: list[int] = []
+    rows = []
+    remaining = list(range(len(ids)))
+    max_sim_q = np.zeros(len(ids), dtype=np.int64)
+    for rank in range(1, k + 1):
+        # score_q = 0.7*rel_q - 0.3*max_sim_q in integer micro-units
+        best_i, best_key = None, None
+        for i in remaining:
+            score_q = int(np.floor(0.7 * rel_q[i] - 0.3 * max_sim_q[i]))
+            key = (-score_q, ids[i])
+            if best_key is None or key < best_key:
+                best_i, best_key = i, key
+        selected.append(best_i)
+        remaining.remove(best_i)
+        rows.append(
+            {
+                "query_id": qid,
+                "rank": rank,
+                "vec_id": int(ids[best_i]),
+                "rel": round(rel_q[best_i] / 1e6, 6),
+                "mmr_score_q": int(-best_key[0]),
+            }
+        )
+        # update diversity penalty: quantized cosine to the new pick
+        dots = np.floor(vecs[best_i] * vecs * 1e12).sum(axis=1) / 1e12
+        sims_q = np.floor(dots / (norms[best_i] * norms) * 1e6).astype(
+            np.int64
+        )
+        max_sim_q = np.maximum(max_sim_q, sims_q)
+    out = pd.DataFrame(rows)
+    out["mmr_score"] = (out.pop("mmr_score_q") / 1e6).round(6)
+    return out
+
+
+@register("sim_mmr_rerank")  # Tier-R: greedy selection is not SQL-expressible
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance reranking: for each of 5 query vectors,
+    shortlist the top-50 candidates by quantized cosine relevance
+    (pure DataFrame window top-k), then greedily pick 10 results
+    maximizing 0.7·relevance − 0.3·max-similarity-to-already-picked —
+    the diversity-aware rerank every retrieval stack runs after ANN.
+    The shortlist stage is the distributed heavy lift (broadcast
+    queries × corpus scan, WindowGroupLimit top-k); the greedy stage is
+    inherently sequential per query, so it runs in ``applyInPandas``
+    over query groups — 50 rows each, the textbook "small sequential
+    tail after a distributed shortlist" split. Integer-quantized scores
+    + vec_id tie-breaks make the selection deterministic at any
+    parallelism (pinned by the equivalence test; no SQL oracle — greedy
+    set-dependence is not expressible in DuckDB)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cands = emb.filter(F.col("vec_id") >= 10).select(
+        "vec_id", "embedding"
+    )
+    pairs = cands.crossJoin(F.broadcast(queries_df)).select(
+        "query_id",
+        "vec_id",
+        "embedding",
+        F.floor(
+            (
+                dot_q(F.col("embedding"), F.col("qv"))
+                / F.sqrt(
+                    sq_norm_q(F.col("embedding")) * sq_norm_q(F.col("qv"))
+                )
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("rel_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel_q").desc(), F.col("vec_id")
+    )
+    shortlist = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 50
+    )
+    return shortlist.groupBy("query_id").applyInPandas(
+        _mmr_greedy,
+        schema=(
+            "query_id bigint, rank int, vec_id bigint, rel double,"
+            " mmr_score double"
+        ),
+    ).orderBy("query_id", "rank")

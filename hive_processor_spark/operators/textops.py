@@ -1489,3 +1489,101 @@ def text_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rnk")
     )
+
+
+@register(
+    "profile_column_entropy",
+    """
+    WITH vals AS (
+        SELECT 'orders.o_orderpriority' AS col, o_orderpriority AS v
+        FROM orders
+        UNION ALL
+        SELECT 'orders.o_orderstatus', o_orderstatus FROM orders
+        UNION ALL
+        SELECT 'lineitem.l_returnflag', l_returnflag FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.l_linestatus', l_linestatus FROM lineitem
+        UNION ALL
+        SELECT 'customer.c_mktsegment', c_mktsegment FROM customer
+    ), c AS (
+        SELECT col, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY 1, 2
+    ), c2 AS (
+        SELECT col, cnt,
+               SUM(cnt) OVER (PARTITION BY col) AS coltot
+        FROM c
+    ), t AS (
+        SELECT col, CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS ndv,
+               CAST(SUM(CAST(FLOOR(
+                   -1.0 * (CAST(cnt AS DOUBLE) / coltot)
+                   * LN(CAST(cnt AS DOUBLE) / coltot)
+                   / LN(2.0) * 1e9) AS BIGINT)) AS BIGINT) AS h_q
+        FROM c2 GROUP BY col
+    )
+    SELECT col, n, ndv,
+           ROUND(h_q / 1e9, 6) AS entropy_bits,
+           ROUND((h_q / 1e9) / (LN(ndv) / LN(2.0)), 6) AS normalized
+    FROM t ORDER BY col
+    """,
+)
+def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level Shannon entropy profile across five categorical
+    columns from three tables — the data-profiling signal that ranks
+    columns by information content (near-zero entropy → constant-ish
+    column; entropy ≈ log₂(ndv) → uniform). Each per-value term
+    −p·log₂p is floor-quantized to nano-bits and integer-summed so the
+    per-column entropy is order-independent; counts and NDVs are exact.
+    Shape: one union of projections (column pruning keeps each scan to
+    a single column), one grouped count, then windowed normalization on
+    the value-frequency frame — shuffle ∝ distinct (column, value)
+    pairs, which is what a 100 TB profiler shuffles too."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    vals = (
+        orders.select(
+            F.lit("orders.o_orderpriority").alias("col"),
+            F.col("o_orderpriority").alias("v"),
+        )
+        .unionAll(
+            orders.select(
+                F.lit("orders.o_orderstatus"), F.col("o_orderstatus")
+            )
+        )
+        .unionAll(
+            li.select(F.lit("lineitem.l_returnflag"), F.col("l_returnflag"))
+        )
+        .unionAll(
+            li.select(F.lit("lineitem.l_linestatus"), F.col("l_linestatus"))
+        )
+        .unionAll(
+            cust.select(F.lit("customer.c_mktsegment"), F.col("c_mktsegment"))
+        )
+    )
+    c = vals.groupBy("col", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wcol = Window.partitionBy("col")
+    p = F.col("cnt").cast("double") / F.sum("cnt").over(wcol)
+    c2 = c.select(
+        "col",
+        "cnt",
+        F.floor(-1.0 * p * F.ln(p) / F.ln(F.lit(2.0)) * 1e9)
+        .cast("bigint")
+        .alias("term_q"),
+    )
+    t = c2.groupBy("col").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("ndv"),
+        F.sum("term_q").cast("bigint").alias("h_q"),
+    )
+    return t.select(
+        "col",
+        "n",
+        "ndv",
+        F.round(F.col("h_q") / 1e9, 6).alias("entropy_bits"),
+        F.round(
+            (F.col("h_q") / 1e9) / (F.ln(F.col("ndv")) / F.ln(F.lit(2.0))),
+            6,
+        ).alias("normalized"),
+    ).orderBy("col")

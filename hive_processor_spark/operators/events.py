@@ -3550,3 +3550,185 @@ def events_conversion_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w_days")
     )
+
+
+@register(
+    "ts_periodogram",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ), idx AS (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t,
+               AVG(cnt) OVER () AS mu
+        FROM daily
+    ), p AS (
+        SELECT per.p,
+               CAST(SUM(CAST(FLOOR((cnt - mu)
+                   * COS(2 * PI() * t / per.p) * 1e6) AS BIGINT)) AS BIGINT)
+                   AS c_q,
+               CAST(SUM(CAST(FLOOR((cnt - mu)
+                   * SIN(2 * PI() * t / per.p) * 1e6) AS BIGINT)) AS BIGINT)
+                   AS s_q,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM idx CROSS JOIN (SELECT UNNEST([7, 14, 30]) AS p) per
+        GROUP BY per.p
+    )
+    SELECT p AS period_days,
+           ROUND((POW(c_q / 1e6, 2.0) + POW(s_q / 1e6, 2.0)) / n, 4)
+               AS power,
+           n AS n_days
+    FROM p ORDER BY period_days
+    """,
+)
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram probe of the daily event-count series at candidate
+    periods 7/14/30 days: spectral power |Σ(x−μ)e^{−2πit/p}|²/n — the
+    Fourier test for "is there weekly seasonality", complementing the
+    groupBy-shaped seasonality operators with the spectral view. Each
+    cos/sin projection term is floor-quantized to micro-units and
+    integer-summed (order-independent); the power is a fixed-form final
+    expression. The 3× period fan-out happens on the DAILY frame, not
+    the raw events — one grouped count, one tiny cross join, one more
+    grouped sum. μ is the windowed full-frame average of exact integer
+    counts, identical on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wall = Window.partitionBy()
+    idx = daily.select(
+        "cnt",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
+        F.avg("cnt").over(wall).alias("mu"),
+    )
+    pers = spark.createDataFrame([(7,), (14,), (30,)], "p: int")
+    import math as _math
+
+    ang = 2 * _math.pi * F.col("t") / F.col("p")
+    p = (
+        idx.crossJoin(F.broadcast(pers))
+        .groupBy("p")
+        .agg(
+            F.sum(
+                F.floor((F.col("cnt") - F.col("mu")) * F.cos(ang) * 1e6).cast(
+                    "long"
+                )
+            )
+            .cast("bigint")
+            .alias("c_q"),
+            F.sum(
+                F.floor((F.col("cnt") - F.col("mu")) * F.sin(ang) * 1e6).cast(
+                    "long"
+                )
+            )
+            .cast("bigint")
+            .alias("s_q"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    return p.select(
+        F.col("p").alias("period_days"),
+        F.round(
+            (
+                F.pow(F.col("c_q") / 1e6, 2.0)
+                + F.pow(F.col("s_q") / 1e6, 2.0)
+            )
+            / F.col("n"),
+            4,
+        ).alias("power"),
+        F.col("n").alias("n_days"),
+    ).orderBy("period_days")
+
+
+@register(
+    "events_order_violations",
+    """
+    WITH s AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+               epoch_us(ts) AS us
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ), m AS (
+        SELECT user_id, day,
+               MIN(CASE WHEN event_type = 'view' THEN us END) AS first_view,
+               MIN(CASE WHEN event_type = 'click' THEN us END) AS first_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN us END)
+                   AS first_purchase
+        FROM s GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) FILTER (WHERE first_click IS NOT NULL
+                                   AND (first_view IS NULL
+                                        OR first_click < first_view))
+                AS BIGINT) AS click_before_view,
+           CAST(COUNT(*) FILTER (WHERE first_purchase IS NOT NULL
+                                   AND (first_click IS NULL
+                                        OR first_purchase < first_click))
+                AS BIGINT) AS purchase_before_click,
+           CAST(COUNT(*) FILTER (WHERE first_purchase IS NOT NULL
+                                   AND (first_view IS NULL
+                                        OR first_purchase < first_view))
+                AS BIGINT) AS purchase_before_view,
+           ROUND(CAST(COUNT(*) FILTER (
+                     WHERE (first_click IS NOT NULL
+                            AND (first_view IS NULL
+                                 OR first_click < first_view))
+                        OR (first_purchase IS NOT NULL
+                            AND (first_click IS NULL
+                                 OR first_purchase < first_click))) AS DOUBLE)
+                 / COUNT(*), 6) AS violation_rate
+    FROM m
+    """,
+)
+def events_order_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-order contract validation per user-day session: a healthy
+    funnel sees view → click → purchase; this counts sessions where the
+    first click precedes any view, or the first purchase precedes any
+    click/view — the data-quality check that catches instrumentation
+    bugs (mis-clocked SDKs, replayed batches) before they poison funnel
+    metrics. First-occurrence timestamps are exact epoch-µs minima per
+    (user, day); every violation test is an integer comparison. One
+    grouped pass (shuffle ∝ sessions) + one global conditional-count
+    reduction — the same two-stage shape at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    m = s.groupBy("user_id", "day").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("us"))).alias(
+            "first_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).alias(
+            "first_purchase"
+        ),
+    )
+    cbv = F.col("first_click").isNotNull() & (
+        F.col("first_view").isNull()
+        | (F.col("first_click") < F.col("first_view"))
+    )
+    pbc = F.col("first_purchase").isNotNull() & (
+        F.col("first_click").isNull()
+        | (F.col("first_purchase") < F.col("first_click"))
+    )
+    pbv = F.col("first_purchase").isNotNull() & (
+        F.col("first_view").isNull()
+        | (F.col("first_purchase") < F.col("first_view"))
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.count_if(cbv).cast("bigint").alias("click_before_view"),
+        F.count_if(pbc).cast("bigint").alias("purchase_before_click"),
+        F.count_if(pbv).cast("bigint").alias("purchase_before_view"),
+        F.round(
+            F.count_if(cbv | pbc).cast("double") / F.count(F.lit(1)), 6
+        ).alias("violation_rate"),
+    )

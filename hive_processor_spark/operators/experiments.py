@@ -612,3 +612,85 @@ def ml_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tq").cast("double") / 10.0 / F.sum("n") / 100.0, 4
         ).alias("ipw_ate"),
     )
+
+
+@register(
+    "ab_power_analysis",
+    """
+    WITH m1 AS (
+        SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM customer GROUP BY 1
+    ), dev AS (
+        SELECT c.c_mktsegment AS segment, m1.n, m1.cents,
+               c_acctbal - CAST(m1.cents AS DOUBLE) / 100.0 / m1.n AS d
+        FROM customer c JOIN m1 ON m1.segment = c.c_mktsegment
+    ), s AS (
+        SELECT segment, MAX(n) AS n, MAX(cents) AS cents,
+               CAST(SUM(CAST(FLOOR(d * d * 100.0) AS BIGINT)) AS DOUBLE)
+                   / 100.0 / (MAX(n) - 1) AS var
+        FROM dev GROUP BY 1
+    )
+    SELECT segment, CAST(n AS BIGINT) AS n_current,
+           ROUND(CAST(cents AS DOUBLE) / 100.0 / n, 2) AS mean,
+           ROUND(SQRT(var), 2) AS sd,
+           ROUND(ABS(CAST(cents AS DOUBLE) / 100.0 / n) * 0.01, 4) AS mde_abs,
+           CAST(CEIL(2.0 * POW(1.959964 + 0.841621, 2.0) * var
+                     / POW(ABS(CAST(cents AS DOUBLE) / 100.0 / n) * 0.01, 2.0))
+                AS BIGINT) AS n_required_per_arm,
+           ROUND(CAST(CEIL(2.0 * POW(1.959964 + 0.841621, 2.0) * var
+                     / POW(ABS(CAST(cents AS DOUBLE) / 100.0 / n) * 0.01,
+                           2.0)) AS DOUBLE) / n, 2) AS multiple_of_current
+    FROM s ORDER BY segment
+    """,
+)
+def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test power analysis per market segment: the per-arm sample
+    size needed to detect a 1% relative shift in mean balance at
+    α = 0.05 (two-sided) with 80% power — n = 2(z_{α/2}+z_β)²σ²/Δ² —
+    plus how many multiples of the current population that is. The
+    experiment-design operator every platform runs BEFORE assignment;
+    z constants are fixed literals (1.959964, 0.841621), σ² comes from
+    the two-pass exact pipeline (integer cents mean, quantized squared
+    deviations), and the sizing formula is one fixed-form expression —
+    hash-stable anywhere. Shape: two partial→final passes + 5-row
+    algebra."""
+    cust = load_table(spark, sf_dir, "customer")
+    m1 = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("c_acctbal") * 100.0).cast("long"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    mean = F.col("cents").cast("double") / 100.0 / F.col("n")
+    dev = cust.join(
+        F.broadcast(m1), cust["c_mktsegment"] == m1["segment"]
+    ).select("segment", "n", "cents", (F.col("c_acctbal") - mean).alias("d"))
+    s = dev.groupBy("segment").agg(
+        F.max("n").alias("n"),
+        F.max("cents").alias("cents"),
+        (
+            F.sum(F.floor(F.col("d") * F.col("d") * 100.0).cast("long")).cast(
+                "double"
+            )
+            / 100.0
+            / (F.max("n") - 1)
+        ).alias("var"),
+    )
+    mde = F.abs(mean) * 0.01
+    zsum2 = F.pow(F.lit(1.959964) + F.lit(0.841621), 2.0)
+    n_req = F.ceil(2.0 * zsum2 * F.col("var") / F.pow(mde, 2.0)).cast(
+        "bigint"
+    )
+    return s.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n_current"),
+        F.round(mean, 2).alias("mean"),
+        F.round(F.sqrt("var"), 2).alias("sd"),
+        F.round(mde, 4).alias("mde_abs"),
+        n_req.alias("n_required_per_arm"),
+        F.round(n_req.cast("double") / F.col("n"), 2).alias(
+            "multiple_of_current"
+        ),
+    ).orderBy("segment")

@@ -1587,3 +1587,79 @@ def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("normalized"),
     ).orderBy("col")
+
+
+@register(
+    "text_stem_vocab",
+    """
+    WITH tok AS (
+        SELECT UNNEST(STR_SPLIT(text, ' ')) AS t FROM documents
+    ), nz AS (SELECT t FROM tok WHERE t <> ''),
+    stemmed AS (
+        SELECT t,
+               CASE
+                 WHEN LENGTH(t) > 5 AND t LIKE '%ing'
+                   THEN SUBSTR(t, 1, LENGTH(t) - 3)
+                 WHEN LENGTH(t) > 4 AND t LIKE '%ed'
+                   THEN SUBSTR(t, 1, LENGTH(t) - 2)
+                 WHEN LENGTH(t) > 3 AND t LIKE '%es'
+                   THEN SUBSTR(t, 1, LENGTH(t) - 2)
+                 WHEN LENGTH(t) > 3 AND t LIKE '%s' AND t NOT LIKE '%ss'
+                   THEN SUBSTR(t, 1, LENGTH(t) - 1)
+                 ELSE t
+               END AS stem
+        FROM nz
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab_raw,
+           CAST(COUNT(DISTINCT stem) AS BIGINT) AS vocab_stemmed,
+           ROUND(1.0 - CAST(COUNT(DISTINCT stem) AS DOUBLE)
+                       / COUNT(DISTINCT t), 6) AS vocab_reduction,
+           CAST(COUNT(*) FILTER (WHERE stem <> t) AS BIGINT)
+               AS tokens_changed
+    FROM stemmed
+    """,
+)
+def text_stem_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-stripping stemmer (Porter-step-1-style rules: -ing, -ed,
+    -es, -s with length guards and the -ss exception) applied corpus-wide,
+    reporting raw vs stemmed vocabulary size and the reduction ratio —
+    the vocabulary-normalization preprocessing step, measured before you
+    commit to it. The rule chain is identical CASE logic on both engines
+    (pure string ops, codegen-friendly, no Python); counts and distincts
+    are exact. Shape: explode + one aggregation with two count-distincts
+    (each a partial→final distinct shuffle ∝ vocabulary, not corpus) —
+    unchanged at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("t")
+    ln = F.length(t)
+    stem = (
+        F.when(
+            (ln > 5) & t.endswith("ing"), F.substring(t, 1, ln - 3)
+        )
+        .when((ln > 4) & t.endswith("ed"), F.substring(t, 1, ln - 2))
+        .when((ln > 3) & t.endswith("es"), F.substring(t, 1, ln - 2))
+        .when(
+            (ln > 3) & t.endswith("s") & ~t.endswith("ss"),
+            F.substring(t, 1, ln - 1),
+        )
+        .otherwise(t)
+    )
+    tok = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(t != "")
+        .select(t.alias("t"), stem.alias("stem"))
+    )
+    return tok.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("t").cast("bigint").alias("vocab_raw"),
+        F.countDistinct("stem").cast("bigint").alias("vocab_stemmed"),
+        F.round(
+            1.0
+            - F.countDistinct("stem").cast("double") / F.countDistinct("t"),
+            6,
+        ).alias("vocab_reduction"),
+        F.count_if(F.col("stem") != F.col("t"))
+        .cast("bigint")
+        .alias("tokens_changed"),
+    )

@@ -3732,3 +3732,114 @@ def events_order_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(cbv | pbc).cast("double") / F.count(F.lit(1)), 6
         ).alias("violation_rate"),
     )
+
+
+@register(
+    "ts_hampel_filter",
+    """
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), framed AS (
+        SELECT day, x,
+               LIST_SORT(LIST(x) OVER (ORDER BY day
+                   ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)) AS arr
+        FROM daily
+    ), med AS (
+        SELECT day, x, LEN(arr) AS n,
+               arr[CAST(FLOOR((LEN(arr) + 1) / 2.0) AS BIGINT)]
+               + arr[CAST(FLOOR((LEN(arr) + 2) / 2.0) AS BIGINT)] AS med2
+        FROM framed
+    ), dev AS (
+        SELECT day, x, n, med2,
+               LIST_SORT(LIST(ABS(2 * x - med2)) OVER (ORDER BY day
+                   ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)) AS darr
+        FROM med
+    )
+    SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+           ROUND(x / 100.0, 2) AS value,
+           ROUND(med2 / 200.0, 2) AS rolling_median,
+           ROUND((darr[CAST(FLOOR((LEN(darr) + 1) / 2.0) AS BIGINT)]
+                  + darr[CAST(FLOOR((LEN(darr) + 2) / 2.0) AS BIGINT)])
+                 / 400.0, 2) AS rolling_mad,
+           CAST(CASE WHEN CAST(ABS(2 * x - med2) AS DOUBLE) * 10000
+                          > 3 * 14826
+                            * CAST(darr[CAST(FLOOR((LEN(darr) + 1) / 2.0)
+                                             AS BIGINT)]
+                                   + darr[CAST(FLOOR((LEN(darr) + 2) / 2.0)
+                                               AS BIGINT)] AS DOUBLE) / 2
+                     THEN 1 ELSE 0 END AS INT) AS is_outlier
+    FROM dev WHERE n = 11 ORDER BY day
+    """,
+)
+def ts_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier filter on the daily value series: flag days whose
+    deviation from the centered 11-day rolling MEDIAN exceeds
+    3 × 1.4826 × rolling MAD — the robust despiking filter that, unlike
+    z-scores, is immune to the outliers it hunts. Exactness: the window
+    is collected as a sorted integer array (exact cents), the median is
+    carried DOUBLED (lo+hi, still integer), the MAD doubles again via
+    |2x − med2| — so the outlier test reduces to the pure integer
+    comparison ``|2x−med2|·10⁴ > 3·14826·mad2/2`` with no float
+    boundary ambiguity (14826 = 1.4826·10⁴). This is the decomposed
+    two-pass Hampel variant: pass 1 computes every point's own rolling
+    median, pass 2 takes the rolling median of the resulting deviation
+    SERIES (streaming-friendly: each pass is one windowed scan, vs the
+    textbook per-center re-median which is quadratic in window size).
+    Shape: one grouped sum to
+    the daily frame, two windowed array collects over it (window = 11
+    ints, bounded memory). At 100 TB the daily frame is still tiny;
+    for high-frequency series the same plan runs range-partitioned."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100.0).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    win = Window.orderBy("day").rowsBetween(-5, 5)
+    framed = daily.select(
+        "day",
+        "x",
+        F.array_sort(F.collect_list("x").over(win)).alias("arr"),
+    )
+
+    def med2(arr):
+        n = F.size(arr)
+        lo = F.element_at(arr, F.floor((n + 1) / 2.0).cast("int"))
+        hi = F.element_at(arr, F.floor((n + 2) / 2.0).cast("int"))
+        return lo + hi
+
+    med = framed.select(
+        "day", "x", F.size("arr").alias("n"), med2(F.col("arr")).alias("med2")
+    )
+    dev = med.select(
+        "day",
+        "x",
+        "n",
+        "med2",
+        F.array_sort(
+            F.collect_list(F.abs(2 * F.col("x") - F.col("med2"))).over(win)
+        ).alias("darr"),
+    )
+    mad2 = med2(F.col("darr"))
+    return (
+        dev.filter(F.col("n") == 11)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("x") / 100.0, 2).alias("value"),
+            F.round(F.col("med2") / 200.0, 2).alias("rolling_median"),
+            F.round(mad2 / 400.0, 2).alias("rolling_mad"),
+            F.when(
+                F.abs(2 * F.col("x") - F.col("med2")).cast("double") * 10000
+                > 3 * 14826 * mad2.cast("double") / 2,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_outlier"),
+        )
+        .orderBy("day")
+    )

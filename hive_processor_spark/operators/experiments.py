@@ -694,3 +694,141 @@ def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "multiple_of_current"
         ),
     ).orderBy("segment")
+
+
+@register(
+    "ab_sequential_looks",
+    """
+    WITH tagged AS (
+        SELECT CAST(EXTRACT(DAY FROM ts) AS INT) AS d,
+               CAST(user_id % 2 AS INT) AS arm,
+               CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+        FROM events
+    ), pre AS (
+        SELECT d, arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(cents * cents) AS HUGEINT) AS ss
+        FROM tagged GROUP BY 1, 2
+    ), looks AS (SELECT UNNEST([6, 12, 18, 24, 30]) AS boundary_day),
+    cum AS (
+        SELECT l.boundary_day, p.arm,
+               CAST(SUM(p.n) AS BIGINT) AS n,
+               CAST(SUM(p.s) AS BIGINT) AS s,
+               CAST(SUM(p.ss) AS HUGEINT) AS ss
+        FROM pre p JOIN looks l ON p.d <= l.boundary_day
+        GROUP BY 1, 2
+    ), wide AS (
+        SELECT boundary_day,
+               MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+               MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+               MAX(CASE WHEN arm = 0 THEN s END) AS s0,
+               MAX(CASE WHEN arm = 1 THEN s END) AS s1,
+               MAX(CASE WHEN arm = 0 THEN ss END) AS ss0,
+               MAX(CASE WHEN arm = 1 THEN ss END) AS ss1
+        FROM cum GROUP BY 1
+    ), stat AS (
+        SELECT boundary_day, n0, n1,
+               (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) / 100.0
+                   AS diff,
+               ((CAST(ss0 AS DOUBLE)
+                 - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1) / n0
+                + (CAST(ss1 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1) / 1e4
+                   AS var_diff
+        FROM wide
+    ), z AS (
+        SELECT boundary_day, n0, n1, diff,
+               diff / SQRT(var_diff) AS zstat,
+               CASE boundary_day WHEN 6 THEN 4.8769 WHEN 12 THEN 3.3569
+                    WHEN 18 THEN 2.6803 WHEN 24 THEN 2.2898
+                    ELSE 2.0310 END AS obf_bound
+        FROM stat
+    )
+    SELECT boundary_day, n0 + n1 AS n_events,
+           ROUND(diff, 4) AS mean_diff,
+           ROUND(zstat, 4) AS z,
+           obf_bound,
+           CAST(CASE WHEN ABS(zstat) > obf_bound THEN 1 ELSE 0 END AS INT)
+               AS crossed
+    FROM z ORDER BY boundary_day
+    """,
+)
+def ab_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring with O'Brien–Fleming boundaries:
+    the two-arm mean-difference z-statistic evaluated at five calendar
+    looks (days 6/12/18/24/30) against the published two-sided α=0.05
+    OBF critical values (4.88, 3.36, 2.68, 2.29, 2.03) — the peeking
+    discipline that lets an experiment stop early without inflating
+    false positives. One grouped pass compresses events to per-(day,
+    arm) sufficient statistics (exact cents and squared-cents sums);
+    the five looks are a 5-row join-fan-out over THAT frame, so the
+    cumulative stats at every look come from one shuffle of ≤60 rows.
+    Variances use Welch's unpooled form from exact integer sums; z and
+    the boundary comparison are fixed-form — stable anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.dayofmonth("ts").cast("int").alias("d"),
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.floor(F.col("value") * 100.0).cast("long").alias("cents"),
+    )
+    pre = tagged.groupBy("d", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "ss"
+        ),
+    )
+    looks = spark.createDataFrame(
+        [(6,), (12,), (18,), (24,), (30,)], "boundary_day: int"
+    )
+    cum = (
+        pre.join(F.broadcast(looks), pre["d"] <= looks["boundary_day"])
+        .groupBy("boundary_day", "arm")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("s").cast("bigint").alias("s"),
+            F.sum("ss").alias("ss"),
+        )
+    )
+
+    def arm(col, a):
+        return F.max(F.when(F.col("arm") == a, F.col(col)))
+
+    wide = cum.groupBy("boundary_day").agg(
+        arm("n", 0).alias("n0"),
+        arm("n", 1).alias("n1"),
+        arm("s", 0).alias("s0"),
+        arm("s", 1).alias("s1"),
+        arm("ss", 0).alias("ss0"),
+        arm("ss", 1).alias("ss1"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    s0, s1 = F.col("s0"), F.col("s1")
+    diff = (s1.cast("double") / n1 - s0.cast("double") / n0) / 100.0
+    var_diff = (
+        (F.col("ss0").cast("double") - s0.cast("double") * s0 / n0)
+        / (n0 - 1)
+        / n0
+        + (F.col("ss1").cast("double") - s1.cast("double") * s1 / n1)
+        / (n1 - 1)
+        / n1
+    ) / 1e4
+    zstat = diff / F.sqrt(var_diff)
+    obf = (
+        F.when(F.col("boundary_day") == 6, 4.8769)
+        .when(F.col("boundary_day") == 12, 3.3569)
+        .when(F.col("boundary_day") == 18, 2.6803)
+        .when(F.col("boundary_day") == 24, 2.2898)
+        .otherwise(2.0310)
+    )
+    return wide.select(
+        "boundary_day",
+        (n0 + n1).alias("n_events"),
+        F.round(diff, 4).alias("mean_diff"),
+        F.round(zstat, 4).alias("z"),
+        obf.alias("obf_bound"),
+        F.when(F.abs(zstat) > obf, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("crossed"),
+    ).orderBy("boundary_day")

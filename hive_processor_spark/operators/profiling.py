@@ -891,3 +891,95 @@ def sample_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var_est / 1e4, 2).alias("variance_est"),
         F.round(1.96 * F.sqrt(var_est) / 100.0, 2).alias("ci95_halfwidth"),
     ).orderBy("segment")
+
+
+@register(
+    "profile_key_discovery",
+    """
+    WITH cand AS (
+        SELECT 'orders' AS tbl, 'o_orderkey' AS col,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'o_custkey', COUNT(*), COUNT(DISTINCT o_custkey)
+        FROM orders
+        UNION ALL
+        SELECT 'customer', 'c_custkey', COUNT(*), COUNT(DISTINCT c_custkey)
+        FROM customer
+        UNION ALL
+        SELECT 'customer', 'c_name', COUNT(*), COUNT(DISTINCT c_name)
+        FROM customer
+        UNION ALL
+        SELECT 'lineitem', 'l_orderkey', COUNT(*), COUNT(DISTINCT l_orderkey)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem', 'l_partkey', COUNT(*), COUNT(DISTINCT l_partkey)
+        FROM lineitem
+        UNION ALL
+        SELECT 'part', 'p_partkey', COUNT(*), COUNT(DISTINCT p_partkey)
+        FROM part
+        UNION ALL
+        SELECT 'supplier', 's_suppkey', COUNT(*), COUNT(DISTINCT s_suppkey)
+        FROM supplier
+        UNION ALL
+        SELECT 'events', 'event_id', COUNT(*), COUNT(DISTINCT event_id)
+        FROM events
+        UNION ALL
+        SELECT 'events', 'user_id', COUNT(*), COUNT(DISTINCT user_id)
+        FROM events
+    )
+    SELECT tbl, col, n, ndv,
+           CAST(CASE WHEN ndv = n THEN 1 ELSE 0 END AS INT) AS is_unique_key,
+           ROUND(CAST(ndv AS DOUBLE) / n, 6) AS uniqueness
+    FROM cand ORDER BY tbl, col
+    """,
+)
+def profile_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery audit over ten (table, column) pairs:
+    exact row count vs exact NDV, a unique-key verdict, and the
+    uniqueness ratio — the metadata-inference pass that finds joinable
+    primary keys (and exposes near-keys whose ratio < 1, the silent
+    killers of MERGE semantics). Each candidate is one count-distinct
+    aggregation (partial→final, shuffle ∝ NDV) over a single-column
+    projection — column pruning means each scan reads ONE column, and
+    at 100 TB this is exactly the per-column profile a catalog
+    crawler materializes."""
+    specs = [
+        ("orders", "o_orderkey"),
+        ("orders", "o_custkey"),
+        ("customer", "c_custkey"),
+        ("customer", "c_name"),
+        ("lineitem", "l_orderkey"),
+        ("lineitem", "l_partkey"),
+        ("part", "p_partkey"),
+        ("supplier", "s_suppkey"),
+        ("events", "event_id"),
+        ("events", "user_id"),
+    ]
+    parts = []
+    for tbl, col in specs:
+        t = load_table(spark, sf_dir, tbl)
+        parts.append(
+            t.agg(
+                F.lit(tbl).alias("tbl"),
+                F.lit(col).alias("col"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.countDistinct(col).cast("bigint").alias("ndv"),
+            )
+        )
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionAll(p)
+    return cand.select(
+        "tbl",
+        "col",
+        "n",
+        "ndv",
+        F.when(F.col("ndv") == F.col("n"), 1).otherwise(0).cast("int").alias(
+            "is_unique_key"
+        ),
+        F.round(F.col("ndv").cast("double") / F.col("n"), 6).alias(
+            "uniqueness"
+        ),
+    ).orderBy("tbl", "col")

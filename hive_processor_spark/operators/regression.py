@@ -1224,3 +1224,312 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "ml_kfold_cv",
+    """
+    WITH t AS (
+        SELECT CAST((l_orderkey * 2654435761 + l_linenumber * 97)
+                    % 4294967296 % 5 AS INT) AS fold,
+               l_quantity AS x, l_extendedprice AS y
+        FROM lineitem
+    ), fs AS (
+        SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(x * 1e4) AS BIGINT)) AS BIGINT) AS sx_q,
+               CAST(SUM(CAST(FLOOR(y * 1e4) AS BIGINT)) AS BIGINT) AS sy_q,
+               CAST(SUM(CAST(FLOOR(x * x * 1e4) AS BIGINT)) AS BIGINT)
+                   AS sxx_q,
+               CAST(SUM(CAST(FLOOR(x * y * 1e4) AS BIGINT)) AS BIGINT)
+                   AS sxy_q,
+               CAST(SUM(CAST(FLOOR(y * y * 1e2) AS HUGEINT)) AS HUGEINT)
+                   AS syy_q
+        FROM t GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sx_q) AS BIGINT) AS sx_q,
+               CAST(SUM(sy_q) AS BIGINT) AS sy_q,
+               CAST(SUM(sxx_q) AS BIGINT) AS sxx_q,
+               CAST(SUM(sxy_q) AS BIGINT) AS sxy_q,
+               CAST(SUM(syy_q) AS HUGEINT) AS syy_q
+        FROM fs
+    ), folds AS (
+        -- train stats = totals minus the held-out fold (mergeable
+        -- sufficient statistics: no second scan)
+        SELECT f.fold,
+               CAST(t.n - f.n AS BIGINT) AS n,
+               (t.sx_q - f.sx_q) / 1e4 AS sx,
+               (t.sy_q - f.sy_q) / 1e4 AS sy,
+               (t.sxx_q - f.sxx_q) / 1e4 AS sxx,
+               (t.sxy_q - f.sxy_q) / 1e4 AS sxy,
+               f.n AS n_test, f.sx_q / 1e4 AS tx, f.sy_q / 1e4 AS ty,
+               f.sxx_q / 1e4 AS txx, f.sxy_q / 1e4 AS txy,
+               CAST(f.syy_q AS DOUBLE) / 1e2 AS tyy
+        FROM fs f CROSS JOIN tot t
+    ), fit AS (
+        SELECT fold, n_test,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                   AS intercept
+        FROM folds
+    )
+    SELECT f.fold,
+           CAST(f.n_test AS BIGINT) AS n_test,
+           ROUND(ft.slope, 4) AS slope,
+           ROUND(ft.intercept, 4) AS intercept,
+           ROUND(SQRT(GREATEST(0.0,
+                 (f.tyy
+                  - 2 * ft.slope * f.txy - 2 * ft.intercept * f.ty
+                  + ft.slope * ft.slope * f.txx
+                  + 2 * ft.slope * ft.intercept * f.tx
+                  + f.n_test * ft.intercept * ft.intercept)
+                 / f.n_test)), 4) AS test_rmse
+    FROM folds f JOIN fit ft ON ft.fold = f.fold
+    ORDER BY f.fold
+    """,
+)
+def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation of the OLS fit price ~ quantity with
+    hash-assigned folds — and ZERO re-scans: per-fold sufficient
+    statistics are computed once, and each fold's TRAINING stats are
+    total-minus-fold (sufficient statistics are mergeable, so
+    leave-fold-out is subtraction, the same property that makes them
+    map-side combinable). Held-out RMSE expands Σ(y−a−bx)² into pure
+    sufficient-statistic algebra — no per-row residual pass either.
+    All sums are floor-quantized exact integers; fits and RMSE are
+    fixed-form. Shape at 100 TB: ONE aggregation pass over the fact
+    table (shuffle: 5 rows), then 5-row algebra — this is how CV
+    actually scales, vs the naive 5× rescan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fold = (
+        (F.col("l_orderkey") * 2654435761 + F.col("l_linenumber") * 97)
+        % 4294967296
+        % 5
+    ).cast("int")
+    t = li.select(
+        fold.alias("fold"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+
+    def qi(c, s):
+        return F.sum(F.floor(c * s).cast("long")).cast("long")
+
+    fs = t.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        qi(F.col("x"), 1e4).alias("sx_q"),
+        qi(F.col("y"), 1e4).alias("sy_q"),
+        qi(F.col("x") * F.col("x"), 1e4).alias("sxx_q"),
+        qi(F.col("x") * F.col("y"), 1e4).alias("sxy_q"),
+        F.sum(F.floor(F.col("y") * F.col("y") * 1e2).cast("decimal(38,0)"))
+        .alias("syy_q"),
+    )
+    tot = fs.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("sx_q").cast("long").alias("tsx"),
+        F.sum("sy_q").cast("long").alias("tsy"),
+        F.sum("sxx_q").cast("long").alias("tsxx"),
+        F.sum("sxy_q").cast("long").alias("tsxy"),
+    )
+    folds = fs.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        (F.col("tn") - F.col("n")).cast("bigint").alias("n"),
+        ((F.col("tsx") - F.col("sx_q")) / 1e4).alias("sx"),
+        ((F.col("tsy") - F.col("sy_q")) / 1e4).alias("sy"),
+        ((F.col("tsxx") - F.col("sxx_q")) / 1e4).alias("sxx"),
+        ((F.col("tsxy") - F.col("sxy_q")) / 1e4).alias("sxy"),
+        F.col("n").alias("n_test"),
+        (F.col("sx_q") / 1e4).alias("tx"),
+        (F.col("sy_q") / 1e4).alias("ty"),
+        (F.col("sxx_q") / 1e4).alias("txx"),
+        (F.col("sxy_q") / 1e4).alias("txy"),
+        (F.col("syy_q").cast("double") / 1e2).alias("tyy"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    fit = folds.select(
+        "fold",
+        "n_test",
+        "tx",
+        "ty",
+        "txx",
+        "txy",
+        "tyy",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+    sse = (
+        F.col("tyy")
+        - 2 * F.col("slope") * F.col("txy")
+        - 2 * F.col("intercept") * F.col("ty")
+        + F.col("slope") * F.col("slope") * F.col("txx")
+        + 2 * F.col("slope") * F.col("intercept") * F.col("tx")
+        + F.col("n_test") * F.col("intercept") * F.col("intercept")
+    )
+    return fit.select(
+        "fold",
+        F.col("n_test").cast("bigint").alias("n_test"),
+        F.round("slope", 4).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+        F.round(
+            F.sqrt(F.greatest(F.lit(0.0), sse / F.col("n_test"))), 4
+        ).alias("test_rmse"),
+    ).orderBy("fold")
+
+
+_PERM_STATS_SQL = """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x1) AS BIGINT) AS s1,
+               CAST(SUM(x2) AS BIGINT) AS s2,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+               CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+               CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+               CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+               CAST(SUM(x2 * y) AS BIGINT) AS s2y,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+"""
+
+_PERM_SOLVE_SQL = """
+        SELECT '{label}' AS model,
+               CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n AS a11,
+               CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n AS a22,
+               CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n AS a12,
+               CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n AS b1,
+               CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy / n AS b2,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS sst
+        FROM {src}
+"""
+
+
+@register(
+    "ml_permutation_importance",
+    f"""
+    WITH base AS (
+        SELECT CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS x1,
+               CAST(doc_id % 7 AS BIGINT) AS x2,
+               n_chars AS y,
+               ROW_NUMBER() OVER (ORDER BY doc_id) AS rk,
+               ROW_NUMBER() OVER (
+                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)
+                   AS rh
+        FROM documents
+    ), perm AS (
+        SELECT a.x1, a.x2, a.y, b.x1 AS x1p, b.x2 AS x2p
+        FROM base a JOIN base b ON b.rh = a.rk
+    ), s_base AS ({_PERM_STATS_SQL} FROM (SELECT x1, x2, y FROM perm)),
+    s_p1 AS ({_PERM_STATS_SQL} FROM (SELECT x1p AS x1, x2, y FROM perm)),
+    s_p2 AS ({_PERM_STATS_SQL} FROM (SELECT x1, x2p AS x2, y FROM perm)),
+    solved AS (
+        {_PERM_SOLVE_SQL.format(label="base", src="s_base")}
+        UNION ALL
+        {_PERM_SOLVE_SQL.format(label="permute_words", src="s_p1")}
+        UNION ALL
+        {_PERM_SOLVE_SQL.format(label="permute_noise", src="s_p2")}
+    ), r2s AS (
+        SELECT model,
+               ((b1 * a22 - b2 * a12) * b1 + (b2 * a11 - b1 * a12) * b2)
+               / (a11 * a22 - a12 * a12) / sst AS r2
+        FROM solved
+    )
+    SELECT model, ROUND(r2, 6) AS r2,
+           ROUND((SELECT r2 FROM r2s WHERE model = 'base') - r2, 6) + 0.0
+               AS importance
+    FROM r2s ORDER BY model
+    """,
+)
+def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation feature importance for the two-feature OLS
+    n_chars ~ word_count + noise (doc_id mod 7): refit with each
+    feature column DETERMINISTICALLY permuted — rows re-paired by
+    joining the row-number-by-key against the row-number-by-Knuth-hash,
+    a fixed engine-independent shuffle with no RNG — and report the R²
+    drop. Word count genuinely determines document length, the noise
+    feature doesn't; permutation importance must separate them (and the
+    test pins that it does). All features here are exact integers so
+    every sufficient statistic is an exact integer sum; the 2×2
+    normal-equation solve and R² are fixed-form algebra — hash-stable
+    at any parallelism. Shape: two window ranks + one self-join on rank
+    build the permuted pairing (two sorts — what a distributed
+    permutation honestly costs), then three aggregations over the same
+    joined frame; at 100 TB the rank join is a range-partitioned
+    sort-merge join and the stats passes are unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    wk = Window.orderBy("doc_id")
+    wh = Window.orderBy(
+        (F.col("doc_id") * 2654435761) % 4294967296, "doc_id"
+    )
+    base = docs.select(
+        F.size(F.split("text", " ")).cast("bigint").alias("x1"),
+        (F.col("doc_id") % 7).cast("bigint").alias("x2"),
+        F.col("n_chars").alias("y"),
+        F.row_number().over(wk).alias("rk"),
+        F.row_number().over(wh).alias("rh"),
+    )
+    a = base.select("x1", "x2", "y", "rk")
+    b = base.select(
+        F.col("x1").alias("x1p"), F.col("x2").alias("x2p"), F.col("rh")
+    )
+    perm = a.join(b, a["rk"] == b["rh"]).select("x1", "x2", "y", "x1p", "x2p")
+
+    def stats(df, x1, x2):
+        y = F.col("y")
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(x1).cast("bigint").alias("s1"),
+            F.sum(x2).cast("bigint").alias("s2"),
+            F.sum(y).cast("bigint").alias("sy"),
+            F.sum(x1 * x1).cast("bigint").alias("s11"),
+            F.sum(x2 * x2).cast("bigint").alias("s22"),
+            F.sum(x1 * x2).cast("bigint").alias("s12"),
+            F.sum(x1 * y).cast("bigint").alias("s1y"),
+            F.sum(x2 * y).cast("bigint").alias("s2y"),
+            F.sum(y * y).cast("bigint").alias("syy"),
+        )
+
+    frames = [
+        ("base", stats(perm, F.col("x1"), F.col("x2"))),
+        ("permute_words", stats(perm, F.col("x1p"), F.col("x2"))),
+        ("permute_noise", stats(perm, F.col("x1"), F.col("x2p"))),
+    ]
+    solved = None
+    for label, s in frames:
+        n = F.col("n")
+        d = lambda c: F.col(c).cast("double")  # noqa: E731
+        row = s.select(
+            F.lit(label).alias("model"),
+            (d("s11") - d("s1") * F.col("s1") / n).alias("a11"),
+            (d("s22") - d("s2") * F.col("s2") / n).alias("a22"),
+            (d("s12") - d("s1") * F.col("s2") / n).alias("a12"),
+            (d("s1y") - d("s1") * F.col("sy") / n).alias("b1"),
+            (d("s2y") - d("s2") * F.col("sy") / n).alias("b2"),
+            (d("syy") - d("sy") * F.col("sy") / n).alias("sst"),
+        )
+        solved = row if solved is None else solved.unionAll(row)
+    r2 = (
+        (
+            (F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12"))
+            * F.col("b1")
+            + (F.col("b2") * F.col("a11") - F.col("b1") * F.col("a12"))
+            * F.col("b2")
+        )
+        / (F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12"))
+        / F.col("sst")
+    )
+    r2s = solved.select("model", r2.alias("r2"))
+    base_r2 = r2s.filter(F.col("model") == "base").select(
+        F.col("r2").alias("base_r2")
+    )
+    return (
+        r2s.crossJoin(F.broadcast(base_r2))
+        .select(
+            "model",
+            F.round("r2", 6).alias("r2"),
+            (F.round(F.col("base_r2") - F.col("r2"), 6) + F.lit(0.0)).alias(
+                "importance"
+            ),
+        )
+        .orderBy("model")
+    )

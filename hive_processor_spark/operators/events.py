@@ -3843,3 +3843,202 @@ def ts_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "ts_haar_energy",
+    """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM lineitem GROUP BY 1
+    ), idx AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t FROM daily
+    ), lv AS (
+        SELECT l.lvl, CAST(FLOOR(t / (2 * POW(2, l.lvl - 1))) AS BIGINT)
+                   AS blk,
+               CAST(t % CAST(2 * POW(2, l.lvl - 1) AS BIGINT)
+                    < POW(2, l.lvl - 1) AS INT) AS half,
+               x
+        FROM idx CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS lvl) l
+    ), pairs AS (
+        SELECT lvl, blk,
+               CAST(SUM(CASE WHEN half = 1 THEN x ELSE 0 END) AS BIGINT)
+                   AS left_sum,
+               CAST(SUM(CASE WHEN half = 0 THEN x ELSE 0 END) AS BIGINT)
+                   AS right_sum,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lv GROUP BY 1, 2
+    ), detail AS (
+        SELECT lvl,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(CAST(FLOOR(
+                   POW((left_sum - right_sum)
+                       / POW(2, lvl) / 100.0, 2.0)) AS BIGINT)) AS BIGINT)
+                   AS energy_q
+        FROM pairs WHERE n = CAST(2 * POW(2, lvl - 1) AS BIGINT)
+        GROUP BY 1
+    )
+    SELECT lvl AS level,
+           CAST(POW(2, lvl) AS BIGINT) AS block_days,
+           n_blocks,
+           CAST(energy_q AS DOUBLE) AS detail_energy
+    FROM detail ORDER BY level
+    """,
+)
+def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet detail energy of the daily revenue series at three
+    dyadic scales (2/4/8-day blocks): each level's detail coefficient is
+    (left-half sum − right-half sum)/2^level, and the per-level energy
+    Σd² localizes WHERE the series' variance lives — fast scales mean
+    day-to-day noise, slow scales mean regime drift (the multiresolution
+    companion to the Fourier periodogram, which localizes frequency but
+    not time). Block sums are exact integer cents; the detail energy
+    floor-quantizes each squared coefficient before the integer sum.
+    Shape: one grouped sum to the daily frame, a 3-level fan-out of
+    THAT frame, and one grouped pass per the (level, block) key — at
+    100 TB the fact-table pass is the entire cost."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    idx = daily.select(
+        "x", (F.row_number().over(Window.orderBy("day")) - 1).alias("t")
+    )
+    lvls = spark.createDataFrame([(1,), (2,), (3,)], "lvl: int")
+    half_len = F.pow(2.0, F.col("lvl") - 1)
+    blk_len = 2 * half_len
+    lv = idx.crossJoin(F.broadcast(lvls)).select(
+        "lvl",
+        F.floor(F.col("t") / blk_len).cast("bigint").alias("blk"),
+        (F.col("t") % blk_len.cast("bigint") < half_len)
+        .cast("int")
+        .alias("half"),
+        "x",
+    )
+    pairs = lv.groupBy("lvl", "blk").agg(
+        F.sum(F.when(F.col("half") == 1, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("left_sum"),
+        F.sum(F.when(F.col("half") == 0, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("right_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    coeff = (
+        (F.col("left_sum") - F.col("right_sum"))
+        / F.pow(2.0, F.col("lvl"))
+        / 100.0
+    )
+    detail = (
+        pairs.filter(
+            F.col("n") == (2 * F.pow(2.0, F.col("lvl") - 1)).cast("bigint")
+        )
+        .groupBy("lvl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(F.floor(F.pow(coeff, 2.0)).cast("long"))
+            .cast("bigint")
+            .alias("energy_q"),
+        )
+    )
+    return detail.select(
+        F.col("lvl").alias("level"),
+        F.pow(2.0, F.col("lvl")).cast("bigint").alias("block_days"),
+        "n_blocks",
+        F.col("energy_q").cast("double").alias("detail_energy"),
+    ).orderBy("level")
+
+
+@register(
+    "events_markov_entropy",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS nxt
+        FROM events
+    ), trans AS (
+        SELECT event_type AS a, nxt AS b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), rowtot AS (
+        SELECT a, CAST(SUM(c) AS BIGINT) AS ra FROM trans GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM trans),
+    rows_h AS (
+        SELECT t.a, r.ra, tot.n,
+               CAST(SUM(CAST(FLOOR(
+                   -1.0 * (CAST(t.c AS DOUBLE) / r.ra)
+                   * LN(CAST(t.c AS DOUBLE) / r.ra) / LN(2.0) * 1e9)
+                   AS BIGINT)) AS BIGINT) AS h_q
+        FROM trans t JOIN rowtot r ON r.a = t.a CROSS JOIN tot
+        GROUP BY t.a, r.ra, tot.n
+    )
+    SELECT a AS state,
+           CAST(ra AS BIGINT) AS n_transitions,
+           ROUND(CAST(ra AS DOUBLE) / n, 6) AS stationary_weight,
+           ROUND(h_q / 1e9, 6) AS row_entropy_bits,
+           ROUND(CAST(SUM(CAST(FLOOR(CAST(ra AS DOUBLE) / n * h_q / 1e3)
+                                AS BIGINT)) OVER () AS DOUBLE) / 1e6, 6)
+               AS entropy_rate_bits
+    FROM rows_h ORDER BY state
+    """,
+)
+def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-behavior Markov chain: per-state
+    transition-row entropy H(next | state) and the chain's entropy rate
+    Σ π·H(row) with π estimated by empirical transition mass — "how
+    predictable is the next event", the single number that says whether
+    a next-event model can beat chance (log₂ 5 ≈ 2.32 bits is the
+    ceiling here). Transition counts are exact; each −p·log₂p term is
+    floor-quantized to nano-bits and integer-summed, the π weighting
+    quantizes again at micro-bits — order-independent end to end.
+    Shape: one lead window per user (shuffle ∝ events once), a 25-cell
+    transition table, then 5-row algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("a"), F.col("nxt").alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    rowtot = trans.groupBy("a").agg(F.sum("c").cast("bigint").alias("ra"))
+    tot = trans.agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c").cast("double") / F.col("ra")
+    rows_h = (
+        trans.join(F.broadcast(rowtot), "a")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("a", "ra", "n")
+        .agg(
+            F.sum(
+                F.floor(-1.0 * p * F.ln(p) / F.ln(F.lit(2.0)) * 1e9).cast(
+                    "long"
+                )
+            )
+            .cast("bigint")
+            .alias("h_q")
+        )
+    )
+    wall = Window.partitionBy()
+    return rows_h.select(
+        F.col("a").alias("state"),
+        F.col("ra").cast("bigint").alias("n_transitions"),
+        F.round(F.col("ra").cast("double") / F.col("n"), 6).alias(
+            "stationary_weight"
+        ),
+        F.round(F.col("h_q") / 1e9, 6).alias("row_entropy_bits"),
+        F.round(
+            F.sum(
+                F.floor(
+                    F.col("ra").cast("double") / F.col("n") * F.col("h_q") / 1e3
+                ).cast("long")
+            )
+            .over(wall)
+            .cast("double")
+            / 1e6,
+            6,
+        ).alias("entropy_rate_bits"),
+    ).orderBy("state")

@@ -983,3 +983,98 @@ def profile_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uniqueness"
         ),
     ).orderBy("tbl", "col")
+
+
+@register(
+    "profile_fd_discovery",
+    """
+    WITH cand AS (
+        SELECT 'nation' AS tbl, 'n_nationkey->n_name' AS fd,
+               CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) AS lhs_ndv,
+               CAST(COUNT(DISTINCT (n_nationkey, n_name)) AS BIGINT)
+                   AS pair_ndv
+        FROM nation
+        UNION ALL
+        SELECT 'nation', 'n_regionkey->n_name',
+               COUNT(DISTINCT n_regionkey),
+               COUNT(DISTINCT (n_regionkey, n_name))
+        FROM nation
+        UNION ALL
+        SELECT 'orders', 'o_orderkey->o_custkey',
+               COUNT(DISTINCT o_orderkey),
+               COUNT(DISTINCT (o_orderkey, o_custkey))
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'o_custkey->o_orderpriority',
+               COUNT(DISTINCT o_custkey),
+               COUNT(DISTINCT (o_custkey, o_orderpriority))
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem', 'l_orderkey->l_returnflag',
+               COUNT(DISTINCT l_orderkey),
+               COUNT(DISTINCT (l_orderkey, l_returnflag))
+        FROM lineitem
+        UNION ALL
+        SELECT 'documents', 'doc_id->lang',
+               COUNT(DISTINCT doc_id),
+               COUNT(DISTINCT (doc_id, lang))
+        FROM documents
+        UNION ALL
+        SELECT 'documents', 'source->lang',
+               COUNT(DISTINCT source),
+               COUNT(DISTINCT (source, lang))
+        FROM documents
+    )
+    SELECT tbl, fd, lhs_ndv, pair_ndv,
+           CAST(CASE WHEN pair_ndv = lhs_ndv THEN 1 ELSE 0 END AS INT)
+               AS holds,
+           ROUND(CAST(lhs_ndv AS DOUBLE) / pair_ndv, 6) AS strength
+    FROM cand ORDER BY tbl, fd
+    """,
+)
+def profile_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery audit: A→B holds exactly when
+    ndv(A) = ndv(A, B) — tested over seven candidate dependencies
+    spanning genuine FDs (key→attribute), plausible-but-false ones
+    (customer→priority), and cross-attribute hypotheses (source→lang).
+    The strength ratio ndv(A)/ndv(A,B) grades near-dependencies, the
+    signal schema-inference and normalization advisers run on. Each
+    candidate is two exact distinct aggregations over a two-column
+    projection — shuffle ∝ distinct pairs, the same plan a 100 TB
+    profiler runs per column pair."""
+    specs = [
+        ("nation", "n_nationkey", "n_name"),
+        ("nation", "n_regionkey", "n_name"),
+        ("orders", "o_orderkey", "o_custkey"),
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("lineitem", "l_orderkey", "l_returnflag"),
+        ("documents", "doc_id", "lang"),
+        ("documents", "source", "lang"),
+    ]
+    parts = []
+    for tbl, lhs, rhs in specs:
+        t = load_table(spark, sf_dir, tbl)
+        parts.append(
+            t.agg(
+                F.lit(tbl).alias("tbl"),
+                F.lit(f"{lhs}->{rhs}").alias("fd"),
+                F.countDistinct(lhs).cast("bigint").alias("lhs_ndv"),
+                F.countDistinct(lhs, rhs).cast("bigint").alias("pair_ndv"),
+            )
+        )
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionAll(p)
+    return cand.select(
+        "tbl",
+        "fd",
+        "lhs_ndv",
+        "pair_ndv",
+        F.when(F.col("pair_ndv") == F.col("lhs_ndv"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("holds"),
+        F.round(
+            F.col("lhs_ndv").cast("double") / F.col("pair_ndv"), 6
+        ).alias("strength"),
+    ).orderBy("tbl", "fd")

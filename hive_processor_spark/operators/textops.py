@@ -1663,3 +1663,150 @@ def text_stem_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tokens_changed"),
     )
+
+
+@register(
+    "text_stylometry_delta",
+    """
+    WITH tok AS (
+        SELECT lang, UNNEST(STR_SPLIT(text, ' ')) AS t FROM documents
+    ), nz AS (SELECT lang, t FROM tok WHERE t <> ''),
+    topw AS (
+        SELECT t FROM (
+            SELECT t, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS rn
+            FROM nz GROUP BY t
+        ) x WHERE rn <= 20
+    ), lt AS (
+        SELECT n.lang, n.t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM nz n JOIN topw w ON w.t = n.t
+        GROUP BY 1, 2
+    ), ltot AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS ntok FROM nz GROUP BY 1
+    ), freq AS (
+        -- relative frequency per mille, quantized
+        SELECT w.t, l.lang,
+               CAST(FLOOR(COALESCE(lt.c, 0) * 1000000.0 / l.ntok) AS BIGINT)
+                   AS f_q
+        FROM topw w CROSS JOIN ltot l
+        LEFT JOIN lt ON lt.lang = l.lang AND lt.t = w.t
+    ), stats AS (
+        SELECT t,
+               CAST(SUM(f_q) AS BIGINT) AS s,
+               CAST(SUM(f_q * f_q) AS BIGINT) AS ss,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM freq GROUP BY t
+    ), z AS (
+        SELECT f.t, f.lang,
+               (f.f_q - CAST(st.s AS DOUBLE) / st.k)
+               / SQRT((CAST(st.ss AS DOUBLE) - CAST(st.s AS DOUBLE) * st.s
+                       / st.k) / (st.k - 1)) AS zval
+        FROM freq f JOIN stats st ON st.t = f.t
+        WHERE CAST(st.ss AS DOUBLE) - CAST(st.s AS DOUBLE) * st.s / st.k > 0
+    )
+    SELECT a.lang AS lang_a, b.lang AS lang_b,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           ROUND(CAST(SUM(CAST(FLOOR(ABS(a.zval - b.zval) * 1e6) AS BIGINT))
+                      AS DOUBLE) / 1e6 / COUNT(*), 6) AS burrows_delta
+    FROM z a JOIN z b ON b.t = a.t AND a.lang < b.lang
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def text_stylometry_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between language sub-corpora:
+    z-score each of the corpus's top-20 words' per-mille frequencies
+    across the five languages, then Delta(a,b) = mean |z_a − z_b| — the
+    classic authorship/register attribution measure, here quantifying
+    how much the language slices differ in function-word usage.
+    Frequencies are floor-quantized per-mille integers; the z-score
+    denominators come from exact integer sums; the pairwise |Δz| sums
+    quantize at micro-units — deterministic at any parallelism. Shape:
+    one explode+count for the top-20 (shuffle ∝ vocab), a 20×5 dense
+    grid via cross join of two tiny frames, and a self-join on word
+    over 100 rows. The heavy pass touches the corpus exactly once."""
+    docs = load_table(spark, sf_dir, "documents")
+    nz = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "")
+    topw = (
+        nz.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("t"))),
+        )
+        .filter(F.col("rn") <= 20)
+        .select("t")
+    )
+    lt = (
+        nz.join(F.broadcast(topw), "t")
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ltot = nz.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ntok")
+    )
+    freq = (
+        topw.crossJoin(F.broadcast(ltot))
+        .join(F.broadcast(lt), ["lang", "t"], "left")
+        .select(
+            "t",
+            "lang",
+            F.floor(
+                F.coalesce(F.col("c"), F.lit(0)) * 1000000.0 / F.col("ntok")
+            )
+            .cast("bigint")
+            .alias("f_q"),
+        )
+    )
+    stats = freq.groupBy("t").agg(
+        F.sum("f_q").cast("bigint").alias("s"),
+        F.sum(F.col("f_q") * F.col("f_q")).cast("bigint").alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    varn = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("k")
+    )
+    z = (
+        freq.join(F.broadcast(stats), "t")
+        .filter(varn > 0)
+        .select(
+            "t",
+            "lang",
+            (
+                (F.col("f_q") - F.col("s").cast("double") / F.col("k"))
+                / F.sqrt(varn / (F.col("k") - 1))
+            ).alias("zval"),
+        )
+    )
+    a = z.select(
+        F.col("t").alias("ta"), F.col("lang").alias("lang_a"),
+        F.col("zval").alias("za"),
+    )
+    b = z.select(
+        F.col("t").alias("tb"), F.col("lang").alias("lang_b"),
+        F.col("zval").alias("zb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("tb") == F.col("ta"))
+            & (F.col("lang_a") < F.col("lang_b")),
+        )
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.round(
+                F.sum(
+                    F.floor(F.abs(F.col("za") - F.col("zb")) * 1e6).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / 1e6
+                / F.count(F.lit(1)),
+                6,
+            ).alias("burrows_delta"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )

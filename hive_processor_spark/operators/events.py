@@ -4042,3 +4042,156 @@ def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_rate_bits"),
     ).orderBy("state")
+
+
+@register(
+    "ts_record_highs",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), r AS (
+        SELECT day, cents,
+               MAX(cents) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max,
+               ROW_NUMBER() OVER (ORDER BY day) AS rn
+        FROM daily
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+    recs AS (
+        SELECT day, cents, rn,
+               rn - LAG(rn) OVER (ORDER BY day) AS gap_days
+        FROM r WHERE prev_max IS NULL OR cents > prev_max
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+           STRFTIME(MAX(day), '%Y-%m-%d') AS last_record_day,
+           ROUND(MAX(cents) / 100.0, 2) AS all_time_high,
+           CAST(MAX(gap_days) AS BIGINT) AS longest_drought_days,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(tot.n_days), 6)
+               AS record_rate
+    FROM recs CROSS JOIN tot
+    """,
+)
+def ts_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-record analysis of daily revenue: how many days set a new
+    all-time high, when the last record fell, the longest drought
+    between records, and the record rate — the "are we still growing"
+    scoreboard (for an i.i.d. series the expected record count is
+    harmonic ≈ ln n, so a higher rate signals trend). The running max
+    uses an exact-integer window; record days are strict integer
+    comparisons; droughts are row-number gaps. One grouped sum + two
+    ordered windows over the daily frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day")
+    r = daily.select(
+        "day",
+        "cents",
+        F.max("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_max"),
+        F.row_number().over(w).alias("rn"),
+    )
+    recs = r.filter(
+        F.col("prev_max").isNull() | (F.col("cents") > F.col("prev_max"))
+    ).select(
+        "day",
+        "cents",
+        "rn",
+        (F.col("rn") - F.lag("rn").over(Window.orderBy("day"))).alias(
+            "gap_days"
+        ),
+    )
+    tot = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return recs.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_records"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_record_day"),
+        F.round(F.max("cents") / 100.0, 2).alias("all_time_high"),
+        F.max("gap_days").cast("bigint").alias("longest_drought_days"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.max("n_days"), 6
+        ).alias("record_rate"),
+    )
+
+
+@register(
+    "ts_twap",
+    """
+    WITH seq AS (
+        SELECT user_id,
+               CAST(FLOOR(value * 100.0) AS BIGINT) AS cents,
+               epoch_us(ts) AS us,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS nxt_us
+        FROM events
+    ), wt AS (
+        SELECT user_id, cents, nxt_us - us AS dur_us
+        FROM seq WHERE nxt_us IS NOT NULL
+    ), g AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(cents AS HUGEINT) * dur_us) AS HUGEINT) AS num,
+               CAST(SUM(dur_us) AS BIGINT) AS den,
+               CAST(SUM(cents) AS BIGINT) AS plain_sum
+        FROM wt GROUP BY 1
+    )
+    SELECT user_id, n,
+           FLOOR(CAST(num AS DOUBLE) / den * 100.0) / 10000.0 AS twap,
+           FLOOR(CAST(plain_sum AS DOUBLE) / n * 100.0) / 10000.0
+               AS naive_mean,
+           FLOOR(CAST(num AS DOUBLE) / den * 100.0) / 10000.0
+           - FLOOR(CAST(plain_sum AS DOUBLE) / n * 100.0) / 10000.0 + 0.0
+               AS twap_bias
+    FROM g ORDER BY user_id
+    """,
+)
+def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each observation
+    weighted by its holding duration until the next event — the
+    financial/IoT estimator that corrects the naive mean's bias toward
+    burst periods, reported alongside the naive mean and the bias gap.
+    Weights are exact epoch-µs durations, the numerator Σ cents·µs runs
+    in a 128-bit-safe accumulator (cents·duration products reach ~5e13
+    per row), and the TWAP is one final division — bit-stable anywhere.
+    Shape: one lead window per user (the single shuffle), one grouped
+    sum."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    seq = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100.0).cast("long").alias("cents"),
+        us.alias("us"),
+        F.lead(us).over(w).alias("nxt_us"),
+    ).filter(F.col("nxt_us").isNotNull())
+    wt = seq.select(
+        "user_id", "cents", (F.col("nxt_us") - F.col("us")).alias("dur_us")
+    )
+    g = wt.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("dur_us")).alias(
+            "num"
+        ),
+        F.sum("dur_us").cast("bigint").alias("den"),
+        F.sum("cents").cast("bigint").alias("plain_sum"),
+    )
+    twap = F.col("num").cast("double") / F.col("den") / 100.0
+    naive = F.col("plain_sum").cast("double") / F.col("n") / 100.0
+    twap_q = F.floor(F.col("num").cast("double") / F.col("den") * 100.0) / 10000.0
+    naive_q = (
+        F.floor(F.col("plain_sum").cast("double") / F.col("n") * 100.0)
+        / 10000.0
+    )
+    return g.select(
+        "user_id",
+        "n",
+        twap_q.alias("twap"),
+        naive_q.alias("naive_mean"),
+        (twap_q - naive_q + F.lit(0.0)).alias("twap_bias"),
+    ).orderBy("user_id")

@@ -21,7 +21,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
@@ -465,4 +465,94 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "mm_scene_cuts",
+    """
+    WITH vids AS (
+        SELECT doc_id AS video_id,
+               CAST(8 + doc_id % 9 AS INT) AS n_frames
+        FROM documents WHERE doc_id < 40
+    ), frames AS (
+        SELECT video_id, f.i AS frame_idx,
+               CAST((video_id * 1000003 + f.i * 2654435761) % 4294967296
+                    AS BIGINT) AS fhash
+        FROM vids, LATERAL (
+            SELECT UNNEST(RANGE(0, n_frames)) AS i
+        ) f
+    ), deltas AS (
+        SELECT video_id, frame_idx,
+               BIT_COUNT(XOR(fhash,
+                   LAG(fhash) OVER (PARTITION BY video_id
+                                    ORDER BY frame_idx))) AS hamming
+        FROM frames
+    )
+    SELECT video_id,
+           CAST(COUNT(*) FILTER (WHERE hamming IS NOT NULL) AS BIGINT)
+               AS n_transitions,
+           CAST(COUNT(*) FILTER (WHERE hamming >= 18) AS BIGINT) AS n_cuts,
+           CAST(MAX(hamming) AS INT) AS max_hamming,
+           ROUND(CAST(SUM(hamming) AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE hamming IS NOT NULL), 4)
+               AS mean_hamming
+    FROM deltas GROUP BY 1 ORDER BY video_id
+    """,
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over sampled video frames: per video, a
+    32-bit perceptual hash per sampled frame (deterministic synthetic
+    derivation here — the real pipeline plugs the pHash of the decoded
+    frame into the same column), consecutive-frame Hamming distance via
+    ``bit_count(xor(...))``, and a cut wherever the distance clears the
+    threshold — the shot-boundary primitive for video curation. The
+    frame fan-out is a bounded per-video explode (frame_idx sequence),
+    the lag runs inside the video partition, and every comparison is
+    exact integer bit math — hash-stable anywhere. At 100 TB the only
+    change is that fhash comes from a Pandas-UDF decode over the binary
+    payload column (the mm_decode/mm_phash machinery in this module);
+    the plan — explode, partitioned lag, grouped rollup — is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    vids = docs.filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("video_id"),
+        (8 + F.col("doc_id") % 9).cast("int").alias("n_frames"),
+    )
+    frames = vids.select(
+        "video_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1)
+        ).alias("frame_idx"),
+    ).select(
+        "video_id",
+        "frame_idx",
+        (
+            (
+                F.col("video_id") * 1000003
+                + F.col("frame_idx") * F.lit(2654435761)
+            )
+            % F.lit(4294967296)
+        )
+        .cast("bigint")
+        .alias("fhash"),
+    )
+    w = Window.partitionBy("video_id").orderBy("frame_idx")
+    deltas = frames.select(
+        "video_id",
+        "frame_idx",
+        F.bit_count(
+            F.col("fhash").bitwiseXOR(F.lag("fhash").over(w))
+        ).alias("hamming"),
+    )
+    return (
+        deltas.groupBy("video_id")
+        .agg(
+            F.count("hamming").cast("bigint").alias("n_transitions"),
+            F.count_if(F.col("hamming") >= 18).cast("bigint").alias("n_cuts"),
+            F.max("hamming").cast("int").alias("max_hamming"),
+            F.round(
+                F.sum("hamming").cast("double") / F.count("hamming"), 4
+            ).alias("mean_hamming"),
+        )
+        .orderBy("video_id")
     )

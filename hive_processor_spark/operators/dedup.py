@@ -1494,3 +1494,134 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _lsh_tuning_sql() -> str:
+    mins = ",\n               ".join(
+        f"MIN(({a} * h31 + {b}) % {_MH_P}) AS m{i}"
+        for i, (a, b) in enumerate(_MH_PERMS)
+    )
+    n = len(_MH_PERMS)
+    configs = [(8, 1), (4, 2), (2, 4), (1, 8)]
+    parts = []
+    for bb, rr in configs:
+        band_keys = " OR ".join(
+            "("
+            + " AND ".join(
+                f"a.m{band * rr + k} = b.m{band * rr + k}" for k in range(rr)
+            )
+            + ")"
+            for band in range(bb)
+        )
+        parts.append(
+            f"""
+        SELECT 'b{bb}r{rr}' AS config, {bb} AS b, {rr} AS r,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_keys})"""
+        )
+    union = "\n        UNION ALL".join(parts)
+    return f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   UNNEST([ARRAY_TO_STRING(w[i:i+1], ' ')
+                           FOR i IN RANGE(1, LEN(w))]) AS shingle
+            FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents) t
+        ) s
+    ), hashed AS (
+        SELECT doc_id,
+               (('0x' || SUBSTRING(MD5(shingle), 1, 15))::BIGINT) % {_MH_P}
+                   AS h31
+        FROM sh
+    ), sig AS (
+        SELECT doc_id, {mins}
+        FROM hashed GROUP BY doc_id
+    ), counts AS ({union}
+    )
+    SELECT config, CAST(b AS INT) AS b, CAST(r AS INT) AS r,
+           n_candidates,
+           ROUND(1.0 - POW(1.0 - POW(0.5, r), CAST(b AS DOUBLE)), 6)
+               AS p_candidate_at_s50,
+           ROUND(POW(1.0 - POW(0.5, 1.0 / b), 1.0 / r), 6) AS s50_threshold
+    FROM counts ORDER BY b DESC
+    """
+
+
+@register("dedup_lsh_tuning", _lsh_tuning_sql())
+def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH design-table: the SAME 8 MinHash mins evaluated under four
+    band/row configurations (8×1, 4×2, 2×4, 1×8), reporting each
+    config's MEASURED candidate-pair count on the corpus next to its
+    theoretical S-curve operating point — P(candidate | s=0.5) =
+    1−(1−sʳ)ᵇ and the similarity s₅₀ where the curve crosses ½. This
+    is the tuning analysis run before committing a dedup campaign:
+    more bands/shorter rows → recall (and candidate cost) up,
+    precision down; the table quantifies the trade on real data
+    without re-hashing (band grouping is just a re-slicing of one
+    signature set — the mergeable-signature property). Signatures are
+    exact integer math (MD5-derived shingle hashes, universal-hash
+    mins over the Mersenne prime); candidate counting per config is a
+    banded self-join exactly like the production path. At 100 TB you
+    run this on a hash-sampled corpus slice; the plan is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    shingles = F.expr(
+        "transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' '))"
+    )
+    sh = docs.select("doc_id", w.alias("w")).select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+    vocab = sh.select("shingle").distinct().select(
+        "shingle",
+        (
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+            % _MH_P
+        ).alias("h31"),
+    )
+    hashed = sh.join(F.broadcast(vocab), "shingle").select("doc_id", "h31")
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h31") + F.lit(b)) % _MH_P).alias(f"m{i}")
+            for i, (a, b) in enumerate(_MH_PERMS)
+        ]
+    ).persist()
+    a, b = sig.alias("a"), sig.alias("b")
+    out = None
+    for bb, rr in ((8, 1), (4, 2), (2, 4), (1, 8)):
+        band_match = None
+        for band in range(bb):
+            m = None
+            for k in range(rr):
+                i = band * rr + k
+                cond = F.col(f"a.m{i}") == F.col(f"b.m{i}")
+                m = cond if m is None else (m & cond)
+            band_match = m if band_match is None else (band_match | m)
+        cnt = (
+            a.join(
+                b,
+                (F.col("a.doc_id") < F.col("b.doc_id")) & band_match,
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+            .select(
+                F.lit(f"b{bb}r{rr}").alias("config"),
+                F.lit(bb).cast("int").alias("b"),
+                F.lit(rr).cast("int").alias("r"),
+                "n_candidates",
+            )
+        )
+        out = cnt if out is None else out.unionAll(cnt)
+    bd = F.col("b").cast("double")
+    rd = F.col("r").cast("double")
+    return out.select(
+        "config",
+        "b",
+        "r",
+        "n_candidates",
+        F.round(1.0 - F.pow(1.0 - F.pow(F.lit(0.5), rd), bd), 6).alias(
+            "p_candidate_at_s50"
+        ),
+        F.round(
+            F.pow(1.0 - F.pow(F.lit(0.5), 1.0 / bd), 1.0 / rd), 6
+        ).alias("s50_threshold"),
+    ).orderBy(F.col("b").desc())

@@ -4195,3 +4195,96 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         naive_q.alias("naive_mean"),
         (twap_q - naive_q + F.lit(0.0)).alias("twap_bias"),
     ).orderBy("user_id")
+
+
+@register(
+    "ts_var_cvar",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), diffs AS (
+        SELECT day, cents - LAG(cents) OVER (ORDER BY day) AS d
+        FROM daily
+    ), nz AS (SELECT day, d FROM diffs WHERE d IS NOT NULL),
+    ranked AS (
+        SELECT day, d,
+               ROW_NUMBER() OVER (ORDER BY d, day) AS rn,
+               COUNT(*) OVER () AS n
+        FROM nz
+    ), var_row AS (
+        SELECT d AS var_cents, n FROM ranked
+        WHERE rn = CAST(CEIL(0.05 * n) AS BIGINT)
+    )
+    SELECT CAST(v.n AS BIGINT) AS n_days,
+           ROUND(v.var_cents / 100.0, 2) AS var95,
+           ROUND(CAST(SUM(CASE WHEN r.d <= v.var_cents THEN r.d ELSE 0 END)
+                      AS DOUBLE)
+                 / SUM(CASE WHEN r.d <= v.var_cents THEN 1 ELSE 0 END)
+                 / 100.0, 2) AS cvar95,
+           ROUND(MIN(r.d) / 100.0, 2) AS worst_day_change,
+           CAST(SUM(CASE WHEN r.d <= v.var_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tail_days
+    FROM ranked r CROSS JOIN var_row v
+    GROUP BY v.n, v.var_cents
+    """,
+)
+def ts_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and Conditional VaR (expected shortfall) of
+    day-over-day revenue changes at the 95% level: the exact empirical
+    5th-percentile change (order statistic, not interpolated — integer
+    selection via row_number with a day tie-break) and the mean of the
+    tail at or below it — the risk pair every financial control report
+    carries, computed with zero float ordering ambiguity (all diffs are
+    exact integer cents). Shape: one grouped sum to the daily frame,
+    one ordered window for the order statistic, one conditional
+    aggregate over the same small frame joined to the 1-row VaR."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day")
+    nz = daily.select(
+        "day", (F.col("cents") - F.lag("cents").over(w)).alias("d")
+    ).filter(F.col("d").isNotNull())
+    wr = Window.orderBy("d", "day")
+    wall = Window.partitionBy()
+    ranked = nz.select(
+        "day",
+        "d",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    var_row = ranked.filter(
+        F.col("rn") == F.ceil(0.05 * F.col("n")).cast("bigint")
+    ).select(F.col("d").alias("var_cents"), F.col("n").alias("n_days_all"))
+    tail = F.col("d") <= F.col("var_cents")
+    return (
+        ranked.drop("n")
+        .crossJoin(F.broadcast(var_row))
+        .groupBy("n_days_all", "var_cents")
+        .agg(
+            F.round(F.max("var_cents") / 100.0, 2).alias("var95"),
+            F.round(
+                F.sum(F.when(tail, F.col("d")).otherwise(0)).cast("double")
+                / F.sum(F.when(tail, 1).otherwise(0))
+                / 100.0,
+                2,
+            ).alias("cvar95"),
+            F.round(F.min("d") / 100.0, 2).alias("worst_day_change"),
+            F.sum(F.when(tail, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_tail_days"),
+        )
+        .select(
+            F.col("n_days_all").cast("bigint").alias("n_days"),
+            "var95",
+            "cvar95",
+            "worst_day_change",
+            "n_tail_days",
+        )
+    )

@@ -832,3 +832,121 @@ def ab_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("crossed"),
     ).orderBy("boundary_day")
+
+
+@register(
+    "ab_propensity_match",
+    """
+    WITH u AS (
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (WHERE EXTRACT(DAY FROM ts) <= 7)
+                    AS BIGINT) AS pre_n,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'error'
+                     AND EXTRACT(DAY FROM ts) <= 7) AS BIGINT) AS pre_err,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                              AND EXTRACT(DAY FROM ts) > 7
+                             THEN CAST(FLOOR(value * 100.0) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS out_cents
+        FROM events GROUP BY 1
+    ), tagged AS (
+        SELECT user_id, pre_n, out_cents,
+               CAST(pre_err >= 5 AS INT) AS treated,
+               NTILE(4) OVER (ORDER BY pre_n, user_id) AS blk
+        FROM u
+    ), ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY blk, treated
+                                  ORDER BY pre_n, user_id) AS rn
+        FROM tagged
+    ), pairs AS (
+        SELECT t.blk, t.user_id AS treated_user, c.user_id AS control_user,
+               t.out_cents AS t_out, c.out_cents AS c_out
+        FROM ranked t JOIN ranked c
+          ON c.blk = t.blk AND c.rn = t.rn
+         AND t.treated = 1 AND c.treated = 0
+    )
+    SELECT CAST(blk AS INT) AS block,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(t_out) AS DOUBLE) / COUNT(*) / 100.0, 2)
+               AS treated_mean,
+           ROUND(CAST(SUM(c_out) AS DOUBLE) / COUNT(*) / 100.0, 2)
+               AS control_mean,
+           ROUND(CAST(SUM(t_out - c_out) AS DOUBLE) / COUNT(*) / 100.0, 4)
+               AS att
+    FROM pairs GROUP BY 1 ORDER BY block
+    """,
+)
+def ab_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked 1:1 matching estimate of a treatment effect: treatment =
+    heavy first-week error exposure (≥5 errors), outcome = post-week
+    purchase spend, matching on pre-week activity via quartile BLOCKS +
+    within-block rank pairing (treated rank i ↔ control rank i on the
+    same sorted covariate) — the deterministic, shuffle-friendly stand-in
+    for greedy nearest-neighbor propensity matching (greedy matching is
+    sequential; rank matching inside covariate blocks is its
+    order-free equivalent, and is how matching scales on a cluster).
+    All ranks and counts are exact integers with user_id tie-breaks —
+    the matched set is bit-identical at any parallelism. Per-block ATT
+    plus the pair counts expose covariate balance directly. One grouped
+    pass over events, windows over the 150-row user frame."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.dayofmonth("ts")
+    u = ev.groupBy("user_id").agg(
+        F.count_if(day <= 7).cast("bigint").alias("pre_n"),
+        F.count_if((F.col("event_type") == "error") & (day <= 7))
+        .cast("bigint")
+        .alias("pre_err"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase") & (day > 7),
+                F.floor(F.col("value") * 100.0).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("out_cents"),
+    )
+    tagged = u.select(
+        "user_id",
+        "pre_n",
+        "out_cents",
+        (F.col("pre_err") >= 5).cast("int").alias("treated"),
+        F.ntile(4).over(Window.orderBy("pre_n", "user_id")).alias("blk"),
+    )
+    ranked = tagged.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("blk", "treated").orderBy("pre_n", "user_id")
+        ),
+    )
+    t = ranked.filter(F.col("treated") == 1).select(
+        F.col("blk").alias("tblk"),
+        F.col("rn").alias("trn"),
+        F.col("out_cents").alias("t_out"),
+    )
+    c = ranked.filter(F.col("treated") == 0).select(
+        F.col("blk").alias("cblk"),
+        F.col("rn").alias("crn"),
+        F.col("out_cents").alias("c_out"),
+    )
+    pairs = t.join(
+        c, (F.col("cblk") == F.col("tblk")) & (F.col("crn") == F.col("trn"))
+    )
+    return (
+        pairs.groupBy(F.col("tblk").cast("int").alias("block"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum("t_out").cast("double") / F.count(F.lit(1)) / 100.0, 2
+            ).alias("treated_mean"),
+            F.round(
+                F.sum("c_out").cast("double") / F.count(F.lit(1)) / 100.0, 2
+            ).alias("control_mean"),
+            F.round(
+                F.sum(F.col("t_out") - F.col("c_out")).cast("double")
+                / F.count(F.lit(1))
+                / 100.0,
+                4,
+            ).alias("att"),
+        )
+        .orderBy("block")
+    )

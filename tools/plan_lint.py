@@ -46,6 +46,10 @@ CACHE_SCAN_OK = {
         "deliberate persist(): one basket build reused by three consumers;"
         " lineage-backed (round-2 verdict item 6), LRU-evictable"
     ),
+    "dedup_lsh_tuning": (
+        "deliberate persist(): one MinHash signature build re-sliced by"
+        " four band configs; lineage-backed, LRU-evictable"
+    ),
     "graph_clustering_coeff": (
         "deliberate persist(): one derived 3-NN edge list reused by the"
         " degree, wedge, and closure consumers; lineage-backed, LRU-evictable"

@@ -4288,3 +4288,106 @@ def ts_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tail_days",
         )
     )
+
+
+@register(
+    "ts_forecast_mase",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), idx AS (
+        SELECT day, x,
+               ROW_NUMBER() OVER (ORDER BY day) AS rn,
+               LAG(x) OVER (ORDER BY day) AS prev,
+               LAG(x, 7) OVER (ORDER BY day) AS season,
+               COUNT(*) OVER () AS n
+        FROM daily
+    ), marked AS (
+        SELECT *, CAST(FLOOR(0.8 * n) AS BIGINT) AS split FROM idx
+    ), scale AS (
+        SELECT CAST(SUM(ABS(x - prev)) AS BIGINT) AS sae,
+               CAST(COUNT(*) AS BIGINT) AS sn
+        FROM marked WHERE rn <= split AND prev IS NOT NULL
+    ), test AS (
+        SELECT CAST(SUM(ABS(x - season)) AS BIGINT) AS seas_ae,
+               CAST(SUM(ABS(x - prev)) AS BIGINT) AS naive_ae,
+               CAST(COUNT(*) AS BIGINT) AS tn
+        FROM marked WHERE rn > split AND season IS NOT NULL
+    )
+    SELECT t.tn AS n_test,
+           ROUND(CAST(s.sae AS DOUBLE) / s.sn / 100.0, 4) AS naive_scale,
+           ROUND(CAST(t.seas_ae AS DOUBLE) / t.tn / 100.0, 4)
+               AS seasonal_naive_mae,
+           ROUND(CAST(t.naive_ae AS DOUBLE) / t.tn / 100.0, 4)
+               AS naive_mae,
+           ROUND((CAST(t.seas_ae AS DOUBLE) / t.tn)
+                 / (CAST(s.sae AS DOUBLE) / s.sn), 6) AS mase_seasonal,
+           ROUND((CAST(t.naive_ae AS DOUBLE) / t.tn)
+                 / (CAST(s.sae AS DOUBLE) / s.sn), 6) AS mase_naive
+    FROM scale s CROSS JOIN test t
+    """,
+)
+def ts_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy scoring with MASE (mean absolute SCALED error,
+    Hyndman–Koehler): hold out the last 20% of days, forecast each test
+    day with the seasonal-naive (value 7 days earlier) and the naive
+    (previous day) rules, and scale both test MAEs by the in-train
+    one-step naive MAE — the scale-free metric that makes forecast
+    errors comparable across series (MASE < 1 beats the naive baseline).
+    Every absolute error is an exact integer-cents difference; the split
+    point is an integer row-number threshold; ratios are final-form.
+    One grouped sum to the daily frame, one windowed pass (two lags +
+    row numbers), two conditional reductions."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    w = Window.orderBy("day")
+    wall = Window.partitionBy()
+    idx = daily.select(
+        "x",
+        F.row_number().over(w).alias("rn"),
+        F.lag("x").over(w).alias("prev"),
+        F.lag("x", 7).over(w).alias("season"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    ).withColumn("split", F.floor(0.8 * F.col("n")).cast("bigint"))
+    scale = idx.filter(
+        (F.col("rn") <= F.col("split")) & F.col("prev").isNotNull()
+    ).agg(
+        F.sum(F.abs(F.col("x") - F.col("prev"))).cast("bigint").alias("sae"),
+        F.count(F.lit(1)).cast("bigint").alias("sn"),
+    )
+    test = idx.filter(
+        (F.col("rn") > F.col("split")) & F.col("season").isNotNull()
+    ).agg(
+        F.sum(F.abs(F.col("x") - F.col("season")))
+        .cast("bigint")
+        .alias("seas_ae"),
+        F.sum(F.abs(F.col("x") - F.col("prev")))
+        .cast("bigint")
+        .alias("naive_ae"),
+        F.count(F.lit(1)).cast("bigint").alias("tn"),
+    )
+    j = scale.crossJoin(F.broadcast(test))
+    scale_mae = F.col("sae").cast("double") / F.col("sn")
+    return j.select(
+        F.col("tn").alias("n_test"),
+        F.round(scale_mae / 100.0, 4).alias("naive_scale"),
+        F.round(
+            F.col("seas_ae").cast("double") / F.col("tn") / 100.0, 4
+        ).alias("seasonal_naive_mae"),
+        F.round(
+            F.col("naive_ae").cast("double") / F.col("tn") / 100.0, 4
+        ).alias("naive_mae"),
+        F.round(
+            (F.col("seas_ae").cast("double") / F.col("tn")) / scale_mae, 6
+        ).alias("mase_seasonal"),
+        F.round(
+            (F.col("naive_ae").cast("double") / F.col("tn")) / scale_mae, 6
+        ).alias("mase_naive"),
+    )

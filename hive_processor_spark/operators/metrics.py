@@ -2085,3 +2085,126 @@ def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(psd, 4).alias("pooled_sd"),
         F.round((m1 - m2) / psd, 6).alias("cohens_d"),
     )
+
+
+def _hypergeom_sql() -> str:
+    from hive_processor_spark.functions.mathtab import LNFACT_Q
+
+    arr = "[" + ", ".join(str(v) for v in LNFACT_Q) + "]"
+    return f"""
+    WITH lf AS (SELECT {arr} AS t),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+    kl AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS kk FROM documents GROUP BY 1
+    ), ns AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS sn
+        FROM documents GROUP BY 1
+    ), obs AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS k
+        FROM documents GROUP BY 1, 2
+    ), cells AS (
+        SELECT o.lang, o.source, o.k, kl.kk, ns.sn, tot.nn
+        FROM obs o JOIN kl ON kl.lang = o.lang
+        JOIN ns ON ns.source = o.source CROSS JOIN tot
+    ), js AS (
+        SELECT lang, source, k, kk, sn, nn,
+               UNNEST(RANGE(k, LEAST(kk, sn) + 1)) AS j
+        FROM cells
+    ), terms AS (
+        SELECT lang, source, k, kk, sn, nn, j,
+               CAST(FLOOR(EXP((
+                     (lf.t[kk + 1] - lf.t[j + 1] - lf.t[kk - j + 1])
+                   + (lf.t[nn - kk + 1] - lf.t[sn - j + 1]
+                      - lf.t[nn - kk - sn + j + 1])
+                   - (lf.t[nn + 1] - lf.t[sn + 1] - lf.t[nn - sn + 1])
+                 ) / 1e9) * 1e12) AS BIGINT) AS term_q
+        FROM js CROSS JOIN lf
+    )
+    SELECT lang, source,
+           CAST(MAX(k) AS BIGINT) AS n_obs,
+           ROUND(CAST(MAX(sn) AS DOUBLE) * MAX(kk) / MAX(nn), 4) AS expected,
+           ROUND(LEAST(CAST(SUM(term_q) AS DOUBLE) / 1e12, 1.0), 6)
+               AS p_upper
+    FROM terms GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@register("stats_hypergeom_enrichment", _hypergeom_sql())
+def stats_hypergeom_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypergeometric enrichment test for every (lang, source) cell:
+    the exact upper-tail P(X ≥ k) that source S would contain k or more
+    docs of language L under random assignment — the over-representation
+    test behind gene-set/feature enrichment, here auditing whether any
+    source specializes in a language. The binomial coefficients come
+    from a PRECOMPUTED integer-quantized log-factorial table
+    (functions/mathtab.py: floor(ln(m!)·1e9) from Python's exact
+    integer factorial) embedded identically in BOTH engines, so neither
+    engine's ln() is on the comparison path; each tail term is
+    exp(integer/1e9) floor-quantized at 1e-12 and integer-summed.
+    Shape: three grouped counts + a bounded per-cell tail explode
+    (≤ min(K,n) terms) — all on the tiny marginal frames. At 100 TB
+    only the three counts touch data; the table join is a broadcast
+    literal."""
+    from hive_processor_spark.functions.mathtab import LNFACT_Q
+
+    docs = load_table(spark, sf_dir, "documents")
+    lf = F.array(*[F.lit(v) for v in LNFACT_Q])
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    kl = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("kk"))
+    ns = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sn")
+    )
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    cells = (
+        obs.join(F.broadcast(kl), "lang")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    js = cells.select(
+        "lang",
+        "source",
+        "k",
+        "kk",
+        "sn",
+        "nn",
+        F.explode(
+            F.sequence(F.col("k"), F.least(F.col("kk"), F.col("sn")))
+        ).alias("j"),
+    ).withColumn("lft", lf)
+
+    def lfq(idx):
+        return F.element_at(F.col("lft"), (idx + 1).cast("int"))
+
+    ln_term = (
+        (lfq(F.col("kk")) - lfq(F.col("j")) - lfq(F.col("kk") - F.col("j")))
+        + (
+            lfq(F.col("nn") - F.col("kk"))
+            - lfq(F.col("sn") - F.col("j"))
+            - lfq(F.col("nn") - F.col("kk") - F.col("sn") + F.col("j"))
+        )
+        - (lfq(F.col("nn")) - lfq(F.col("sn")) - lfq(F.col("nn") - F.col("sn")))
+    ).cast("double") / 1e9
+    terms = js.select(
+        "lang",
+        "source",
+        "k",
+        "kk",
+        "sn",
+        "nn",
+        F.floor(F.exp(ln_term) * 1e12).cast("long").alias("term_q"),
+    )
+    return (
+        terms.groupBy("lang", "source")
+        .agg(
+            F.max("k").cast("bigint").alias("n_obs"),
+            F.round(
+                F.max("sn").cast("double") * F.max("kk") / F.max("nn"), 4
+            ).alias("expected"),
+            F.round(
+                F.least(F.sum("term_q").cast("double") / 1e12, F.lit(1.0)), 6
+            ).alias("p_upper"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -1810,3 +1810,68 @@ def text_stylometry_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+@register(
+    "text_chao1_richness",
+    """
+    WITH tok AS (
+        SELECT UNNEST(STR_SPLIT(text, ' ')) AS t FROM documents
+    ), nz AS (SELECT t FROM tok WHERE t <> ''),
+    freq AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM nz GROUP BY 1
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS observed,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS singletons,
+               CAST(COUNT(*) FILTER (WHERE c = 2) AS BIGINT) AS doubletons
+        FROM freq
+    )
+    SELECT observed, n_tokens, singletons, doubletons,
+           ROUND(observed + CAST(singletons * singletons AS DOUBLE)
+                 / (2.0 * GREATEST(doubletons, 1)), 2) AS chao1,
+           ROUND(1.0 - CAST(singletons AS DOUBLE) / n_tokens, 6)
+               AS good_turing_coverage
+    FROM s
+    """,
+)
+def text_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness estimation: Chao1 (observed +
+    singletons²/(2·doubletons)) lower-bounds the TRUE vocabulary size
+    the corpus samples from, and Good–Turing coverage (1 − f₁/N) says
+    what fraction of the token mass the seen vocabulary explains — the
+    pair that answers "how much more vocabulary would more data buy",
+    i.e. the sample-size question for tokenizer training. All inputs
+    are exact integer frequency-of-frequency counts from one
+    explode+count pass (shuffle ∝ vocabulary); the estimators are
+    final-form. Identical plan at 100 TB — this is a frequency-spectrum
+    reduction, the same shape as the Heaps-law and vocab-coverage
+    siblings."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    s = freq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("observed"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count_if(F.col("c") == 1).cast("bigint").alias("singletons"),
+        F.count_if(F.col("c") == 2).cast("bigint").alias("doubletons"),
+    )
+    return s.select(
+        "observed",
+        "n_tokens",
+        "singletons",
+        "doubletons",
+        F.round(
+            F.col("observed")
+            + (F.col("singletons") * F.col("singletons")).cast("double")
+            / (2.0 * F.greatest(F.col("doubletons"), F.lit(1))),
+            2,
+        ).alias("chao1"),
+        F.round(
+            1.0 - F.col("singletons").cast("double") / F.col("n_tokens"), 6
+        ).alias("good_turing_coverage"),
+    )

@@ -1255,3 +1255,82 @@ def fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_start")
     )
+
+
+@register(
+    "fn_fiscal_445",
+    """
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents,
+               DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                   AS dno
+        FROM orders
+    ), f AS (
+        SELECT day, cents, dno,
+               CAST(FLOOR(dno / 364.0) AS BIGINT) AS fy,
+               CAST(FLOOR((dno % 364) / 7.0) AS BIGINT) AS wk
+        FROM d WHERE dno >= 0
+    ), p AS (
+        -- 4-4-5 pattern: weeks 0-3 -> P1, 4-7 -> P2, 8-12 -> P3, repeating
+        SELECT day, cents, fy,
+               CAST(FLOOR(wk / 13.0) AS BIGINT) AS fq,
+               CAST(CASE WHEN wk % 13 < 4 THEN 1
+                         WHEN wk % 13 < 8 THEN 2
+                         ELSE 3 END AS INT) AS period_in_q
+        FROM f
+    )
+    SELECT CAST(fy AS INT) AS fiscal_year,
+           CAST(fq + 1 AS INT) AS fiscal_quarter,
+           period_in_q,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(cents) / 100.0, 2) AS revenue
+    FROM p
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def fn_fiscal_445(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-4-5 fiscal-calendar rollup: map each order date to its fiscal
+    year (364-day years from the 1995-01-01 epoch), 13-week quarter,
+    and 4/4/5-week period — the retail/finance close calendar that
+    calendar-month GROUP BYs cannot express, reduced to PURE INTEGER
+    day-number arithmetic (datediff → floor-divisions), so the mapping
+    is trivially identical on both engines and at any parallelism.
+    The rollup itself is one grouped exact-cents sum. At 100 TB the
+    fiscal keys are computed in codegen during the scan — zero extra
+    passes; this is the calendar-dimension-free way to do fiscal
+    reporting."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate")
+    dno = F.datediff(day, F.lit("1995-01-01").cast("date"))
+    d = orders.select(
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+        dno.alias("dno"),
+    ).filter(F.col("dno") >= 0)
+    f = d.select(
+        "cents",
+        F.floor(F.col("dno") / 364.0).cast("bigint").alias("fy"),
+        F.floor((F.col("dno") % 364) / 7.0).cast("bigint").alias("wk"),
+    )
+    p = f.select(
+        "cents",
+        "fy",
+        F.floor(F.col("wk") / 13.0).cast("bigint").alias("fq"),
+        F.when(F.col("wk") % 13 < 4, 1)
+        .when(F.col("wk") % 13 < 8, 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("period_in_q"),
+    )
+    return (
+        p.groupBy(
+            F.col("fy").cast("int").alias("fiscal_year"),
+            (F.col("fq") + 1).cast("int").alias("fiscal_quarter"),
+            "period_in_q",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("fiscal_year", "fiscal_quarter", "period_in_q")
+    )

@@ -373,3 +373,76 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+@register(
+    "graph_matmul_2hop",
+    f"""
+    WITH p AS ({_SQL_EDGES}
+    ), knn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY sim DESC, dst) AS rn
+            FROM p
+        ) t WHERE rn <= {_K}
+    ), e AS (
+        SELECT src, dst FROM knn
+        UNION
+        SELECT dst AS src, src AS dst FROM knn
+    ), a2 AS (
+        SELECT e1.src AS i, e2.dst AS k, CAST(COUNT(*) AS BIGINT) AS paths
+        FROM e e1 JOIN e e2 ON e2.src = e1.dst
+        WHERE e1.src <> e2.dst
+        GROUP BY 1, 2
+    ), flagged AS (
+        SELECT a2.i, a2.k, a2.paths,
+               CAST(CASE WHEN d.src IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                   AS direct_edge
+        FROM a2 LEFT JOIN e d ON d.src = a2.i AND d.dst = a2.k
+    )
+    SELECT CAST(i AS BIGINT) AS node_i, CAST(k AS BIGINT) AS node_k,
+           paths, direct_edge
+    FROM flagged
+    ORDER BY paths DESC, node_i, node_k LIMIT 20
+    """,
+)
+def graph_matmul_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse matrix multiplication as join+aggregate: A² of the 3-NN
+    similarity graph's adjacency matrix — the 2-hop path count between
+    every node pair — with the top-20 strongest 2-hop connections and
+    whether a direct edge already exists (no direct edge + many 2-hop
+    paths = the link-prediction candidates). The relational matmul
+    shape IS edges⋈edges on the shared middle index + GROUP BY the
+    outer pair: the exact plan every distributed sparse matmul (graph
+    engines, GNN samplers) lowers to — shuffle keyed on the contraction
+    index, output ∝ nonzeros of A². Counts are exact; top-20 is an
+    integer ORDER BY with full tie-breaks."""
+    edges = _knn_edges(spark, sf_dir).persist()
+    e1 = edges.select(F.col("src").alias("i"), F.col("dst").alias("j"))
+    e2 = edges.select(F.col("src").alias("j2"), F.col("dst").alias("k"))
+    a2 = (
+        e1.join(e2, F.col("j") == F.col("j2"))
+        .filter(F.col("i") != F.col("k"))
+        .groupBy("i", "k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("paths"))
+    )
+    direct = edges.select(
+        F.col("src").alias("i"), F.col("dst").alias("k"), F.lit(1).alias("de")
+    )
+    flagged = a2.join(direct, ["i", "k"], "left").select(
+        "i",
+        "k",
+        "paths",
+        F.coalesce(F.col("de"), F.lit(0)).cast("int").alias("direct_edge"),
+    )
+    return (
+        flagged.select(
+            F.col("i").cast("bigint").alias("node_i"),
+            F.col("k").cast("bigint").alias("node_k"),
+            "paths",
+            "direct_edge",
+        )
+        .orderBy(F.col("paths").desc(), "node_i", "node_k")
+        .limit(20)
+    )

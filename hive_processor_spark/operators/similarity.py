@@ -1681,3 +1681,88 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             " mmr_score double"
         ),
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "embed_quantize_distortion",
+    """
+    WITH b AS (
+        SELECT vec_id, label, embedding,
+               LIST_AGGREGATE(LIST_TRANSFORM(embedding,
+                   x -> ABS(CAST(x AS DOUBLE))), 'max') / 127.0 AS sc
+        FROM embeddings
+    ), err AS (
+        SELECT vec_id, label,
+               CAST(LIST_AGGREGATE(LIST_TRANSFORM(embedding,
+                    x -> CAST(FLOOR(POW(CAST(x AS DOUBLE)
+                          - FLOOR(CAST(x AS DOUBLE) / sc) * sc, 2.0) * 1e12)
+                         AS BIGINT)), 'sum') AS BIGINT) AS sq_err_q,
+               CAST(LIST_AGGREGATE(LIST_TRANSFORM(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                    * 1e12) AS BIGINT)), 'sum') AS BIGINT)
+                   AS energy_q,
+               LEN(embedding) AS dim
+        FROM b
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(SUM(sq_err_q) AS DOUBLE) / 1e12
+                 / SUM(dim), 10) AS mse,
+           ROUND(10.0 * LN(CAST(SUM(energy_q) AS DOUBLE)
+                           / SUM(sq_err_q)) / LN(10.0), 4) AS snr_db
+    FROM err GROUP BY 1 ORDER BY label
+    """,
+)
+def embed_quantize_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distortion audit of the int8 symmetric quantizer (the
+    embed_quantize codec): per-class mean squared reconstruction error
+    and SNR in dB — the accept/reject gate you run BEFORE committing a
+    100 TB embedding corpus to a compressed layout (int8 at ~40 dB SNR
+    keeps cosine rankings; below ~20 dB it doesn't). Per-element
+    squared errors and signal energies are floor-quantized to 1e-12
+    units inside the array HOFs (codegen, order-free), integer-summed
+    per vector and per class — bit-stable anywhere. One scan, one
+    grouped reduction; dims stay inside the array kernels so nothing
+    explodes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = "CAST(x AS DOUBLE)"
+    b = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(
+            "aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))),"
+            " 0d, (a, v) -> greatest(a, v)) / 127.0"
+        ).alias("sc"),
+    )
+    err = b.select(
+        "label",
+        F.expr(
+            f"aggregate(transform(embedding, x -> CAST(FLOOR(POW({x}"
+            f" - FLOOR({x} / sc) * sc, 2.0D) * 1e12) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (a, v) -> a + v)"
+        ).alias("sq_err_q"),
+        F.expr(
+            f"aggregate(transform(embedding, x -> CAST(FLOOR({x} * {x}"
+            " * 1e12) AS BIGINT)), CAST(0 AS BIGINT), (a, v) -> a + v)"
+        ).alias("energy_q"),
+        F.size("embedding").alias("dim"),
+    )
+    return (
+        err.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(
+                F.sum("sq_err_q").cast("double") / 1e12 / F.sum("dim"), 10
+            ).alias("mse"),
+            F.round(
+                10.0
+                * F.ln(
+                    F.sum("energy_q").cast("double") / F.sum("sq_err_q")
+                )
+                / F.ln(F.lit(10.0)),
+                4,
+            ).alias("snr_db"),
+        )
+        .orderBy("label")
+    )

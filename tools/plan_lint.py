@@ -50,6 +50,10 @@ CACHE_SCAN_OK = {
         "deliberate persist(): one MinHash signature build re-sliced by"
         " four band configs; lineage-backed, LRU-evictable"
     ),
+    "graph_matmul_2hop": (
+        "deliberate persist(): one derived 3-NN edge list reused as both"
+        " matmul operands and the direct-edge probe; lineage-backed"
+    ),
     "graph_clustering_coeff": (
         "deliberate persist(): one derived 3-NN edge list reused by the"
         " degree, wedge, and closure consumers; lineage-backed, LRU-evictable"

@@ -4391,3 +4391,91 @@ def ts_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("naive_ae").cast("double") / F.col("tn")) / scale_mae, 6
         ).alias("mase_naive"),
     )
+
+
+@register(
+    "ts_ar_features",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), f AS (
+        SELECT day, x,
+               ROW_NUMBER() OVER (ORDER BY day) AS t,
+               LAG(x, 1) OVER (ORDER BY day) AS lag1,
+               LAG(x, 2) OVER (ORDER BY day) AS lag2,
+               LAG(x, 7) OVER (ORDER BY day) AS lag7,
+               SUM(x) OVER (ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s7,
+               COUNT(*) OVER (ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n7,
+               MIN(x) OVER (ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS min7,
+               MAX(x) OVER (ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS max7
+        FROM daily
+    )
+    SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+           ROUND(x / 100.0, 2) AS y,
+           CAST(t AS BIGINT) AS trend_idx,
+           CAST(t % 7 AS INT) AS dow_idx,
+           ROUND(lag1 / 100.0, 2) AS lag1,
+           ROUND(lag2 / 100.0, 2) AS lag2,
+           ROUND(lag7 / 100.0, 2) AS lag7,
+           ROUND(CAST(s7 AS DOUBLE) / n7 / 100.0, 4) AS ma7_prior,
+           ROUND((max7 - min7) / 100.0, 2) AS range7_prior
+    FROM f WHERE n7 = 7 AND lag7 IS NOT NULL
+    ORDER BY day
+    """,
+)
+def ts_ar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autoregressive feature-matrix builder for forecasting models:
+    per day, the target plus leakage-safe features — lags 1/2/7, the
+    PRIOR 7-day mean and range (frames end at 1 PRECEDING so the target
+    never leaks into its own features), a trend index, and a
+    day-of-week index. This is the canonical supervised-learning table
+    a GBDT/AR forecaster trains on, produced in one windowed pass over
+    the daily frame with exact integer inputs — bit-identical at any
+    parallelism. Rows with incomplete history are dropped so every
+    emitted row is a valid training example."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    w = Window.orderBy("day")
+    prior = w.rowsBetween(-7, -1)
+    f = daily.select(
+        "day",
+        "x",
+        F.row_number().over(w).alias("t"),
+        F.lag("x", 1).over(w).alias("lag1"),
+        F.lag("x", 2).over(w).alias("lag2"),
+        F.lag("x", 7).over(w).alias("lag7"),
+        F.sum("x").over(prior).alias("s7"),
+        F.count(F.lit(1)).over(prior).alias("n7"),
+        F.min("x").over(prior).alias("min7"),
+        F.max("x").over(prior).alias("max7"),
+    )
+    return (
+        f.filter((F.col("n7") == 7) & F.col("lag7").isNotNull())
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("x") / 100.0, 2).alias("y"),
+            F.col("t").cast("bigint").alias("trend_idx"),
+            (F.col("t") % 7).cast("int").alias("dow_idx"),
+            F.round(F.col("lag1") / 100.0, 2).alias("lag1"),
+            F.round(F.col("lag2") / 100.0, 2).alias("lag2"),
+            F.round(F.col("lag7") / 100.0, 2).alias("lag7"),
+            F.round(
+                F.col("s7").cast("double") / F.col("n7") / 100.0, 4
+            ).alias("ma7_prior"),
+            F.round((F.col("max7") - F.col("min7")) / 100.0, 2).alias(
+                "range7_prior"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -950,3 +950,141 @@ def ab_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block")
     )
+
+
+def _bayes_beta_sql() -> str:
+    from hive_processor_spark.functions.mathtab import LNFACT_Q
+
+    arr = "[" + ", ".join(str(v) for v in LNFACT_Q) + "]"
+    return f"""
+    WITH lf AS (SELECT {arr} AS t),
+    u AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+               CAST(MAX(CASE WHEN event_type = 'purchase'
+                              AND EXTRACT(DAY FROM ts) > 15
+                              AND value >= 190.0
+                             THEN 1 ELSE 0 END) AS INT) AS converted
+        FROM events GROUP BY 1
+    ), arms AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(converted) AS BIGINT) AS s
+        FROM u GROUP BY 1
+    ), wide AS (
+        SELECT MAX(CASE WHEN arm = 0 THEN s END) + 1 AS aa,
+               MAX(CASE WHEN arm = 0 THEN n - s END) + 1 AS ba,
+               MAX(CASE WHEN arm = 1 THEN s END) + 1 AS ab,
+               MAX(CASE WHEN arm = 1 THEN n - s END) + 1 AS bb,
+               MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+               MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+               MAX(CASE WHEN arm = 0 THEN s END) AS s0,
+               MAX(CASE WHEN arm = 1 THEN s END) AS s1
+        FROM arms
+    ), terms AS (
+        -- P(pB > pA) = sum_i exp(lnB(aa+i, ba+bb) - ln(bb+i)
+        --                        - lnB(1+i, bb) - lnB(aa, ba))
+        -- with lnB(x, y) = lf(x-1) + lf(y-1) - lf(x+y-1)  (integer args)
+        SELECT w.*, i.i,
+               CAST(FLOOR(EXP((
+                     (lf.t[w.aa + i.i] + lf.t[w.ba + w.bb]
+                      - lf.t[w.aa + i.i + w.ba + w.bb])
+                   - LN(CAST(w.bb + i.i AS DOUBLE)) * 1e9
+                   - (lf.t[i.i + 1] + lf.t[w.bb]
+                      - lf.t[i.i + w.bb + 1])
+                   - (lf.t[w.aa] + lf.t[w.ba] - lf.t[w.aa + w.ba])
+                 ) / 1e9) * 1e12) AS BIGINT) AS term_q
+        FROM wide w CROSS JOIN lf
+        CROSS JOIN (SELECT UNNEST(RANGE(0, 200)) AS i) i
+        WHERE i.i < w.ab
+    )
+    SELECT CAST(MAX(n0) AS BIGINT) AS n_a, CAST(MAX(s0) AS BIGINT) AS conv_a,
+           CAST(MAX(n1) AS BIGINT) AS n_b, CAST(MAX(s1) AS BIGINT) AS conv_b,
+           ROUND(CAST(MAX(s0) AS DOUBLE) / MAX(n0), 6) AS rate_a,
+           ROUND(CAST(MAX(s1) AS DOUBLE) / MAX(n1), 6) AS rate_b,
+           ROUND(LEAST(CAST(SUM(term_q) AS DOUBLE) / 1e12, 1.0), 6)
+               AS p_b_beats_a
+    FROM terms
+    """
+
+
+@register("ab_bayesian_beta", _bayes_beta_sql())
+def ab_bayesian_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B conversion analysis: with Beta(1,1) priors and
+    user-level conversion (a high-value second-half purchase), compute the EXACT
+    posterior probability P(p_B > p_A) via the closed-form finite sum
+    Σᵢ exp(lnB(a_A+i, b_A+b_B) − ln(b_B+i) − lnB(1+i, b_B) −
+    lnB(a_A, b_A)) — no Monte Carlo, no approximation. All Beta-function
+    arguments are integers, so every lnB term resolves from the shared
+    precomputed log-factorial table (functions/mathtab.py) identically
+    on both engines; each term is floor-quantized at 1e-12 and
+    integer-summed. Shape: one grouped pass to user-level conversions,
+    a 2-row arm rollup, and a bounded i-explode (< conversions_B terms)
+    on a single row. The decision-ready Bayesian output every
+    experimentation platform quotes."""
+    from hive_processor_spark.functions.mathtab import LNFACT_Q
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.dayofmonth("ts") > 15)
+                & (F.col("value") >= 190.0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("int")
+        .alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("arm"), "converted"
+    )
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("s"),
+    )
+
+    def pick(arm, col):
+        return F.max(F.when(F.col("arm") == arm, F.col(col)))
+
+    wide = arms.agg(
+        (pick(0, "s") + 1).alias("aa"),
+        (pick(0, "n") - pick(0, "s") + 1).alias("ba"),
+        (pick(1, "s") + 1).alias("ab"),
+        (pick(1, "n") - pick(1, "s") + 1).alias("bb"),
+        pick(0, "n").alias("n0"),
+        pick(1, "n").alias("n1"),
+        pick(0, "s").alias("s0"),
+        pick(1, "s").alias("s1"),
+    )
+    lf = F.array(*[F.lit(v) for v in LNFACT_Q])
+    js = wide.select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("ab") - 1)).alias("i")
+    ).withColumn("lft", lf)
+
+    def lfq(idx):
+        return F.element_at(F.col("lft"), (idx + 1).cast("int"))
+
+    aa, ba, ab, bb, i = (F.col(c) for c in ("aa", "ba", "ab", "bb", "i"))
+    ln_num = (
+        (lfq(aa + i - 1) + lfq(ba + bb - 1) - lfq(aa + i + ba + bb - 1))
+        - F.ln((bb + i).cast("double")) * 1e9
+        - (lfq(i) + lfq(bb - 1) - lfq(i + bb))
+        - (lfq(aa - 1) + lfq(ba - 1) - lfq(aa + ba - 1))
+    ).cast("double") / 1e9
+    terms = js.select(
+        "n0",
+        "n1",
+        "s0",
+        "s1",
+        F.floor(F.exp(ln_num) * 1e12).cast("long").alias("term_q"),
+    )
+    return terms.agg(
+        F.max("n0").cast("bigint").alias("n_a"),
+        F.max("s0").cast("bigint").alias("conv_a"),
+        F.max("n1").cast("bigint").alias("n_b"),
+        F.max("s1").cast("bigint").alias("conv_b"),
+        F.round(F.max("s0").cast("double") / F.max("n0"), 6).alias("rate_a"),
+        F.round(F.max("s1").cast("double") / F.max("n1"), 6).alias("rate_b"),
+        F.round(
+            F.least(F.sum("term_q").cast("double") / 1e12, F.lit(1.0)), 6
+        ).alias("p_b_beats_a"),
+    )

@@ -1078,3 +1078,123 @@ def profile_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lhs_ndv").cast("double") / F.col("pair_ndv"), 6
         ).alias("strength"),
     ).orderBy("tbl", "fd")
+
+
+@register(
+    "profile_iqr_outliers",
+    """
+    WITH vals AS (
+        SELECT 'orders.o_totalprice' AS col,
+               CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS v FROM orders
+        UNION ALL
+        SELECT 'customer.c_acctbal', CAST(FLOOR(c_acctbal * 100.0) AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT 'lineitem.l_extendedprice',
+               CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'events.value', CAST(FLOOR(value * 100.0) AS BIGINT)
+        FROM events
+    ), ranked AS (
+        SELECT col, v,
+               ROW_NUMBER() OVER (PARTITION BY col ORDER BY v) AS rn,
+               COUNT(*) OVER (PARTITION BY col) AS n
+        FROM vals
+    ), qs AS (
+        SELECT col, MAX(n) AS n,
+               MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN v END)
+                   AS q1,
+               MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN v END)
+                   AS q3
+        FROM ranked GROUP BY col
+    )
+    SELECT r.col, CAST(q.n AS BIGINT) AS n,
+           ROUND(q.q1 / 100.0, 2) AS q1,
+           ROUND(q.q3 / 100.0, 2) AS q3,
+           ROUND((q.q3 - q.q1) / 100.0, 2) AS iqr,
+           CAST(COUNT(*) FILTER (
+               WHERE 2 * r.v < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                  OR 2 * r.v > 2 * q.q3 + 3 * (q.q3 - q.q1)) AS BIGINT)
+               AS n_outliers,
+           ROUND(CAST(COUNT(*) FILTER (
+               WHERE 2 * r.v < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                  OR 2 * r.v > 2 * q.q3 + 3 * (q.q3 - q.q1)) AS DOUBLE)
+                 / q.n, 6) AS outlier_rate
+    FROM ranked r JOIN qs q ON q.col = r.col
+    GROUP BY r.col, q.n, q.q1, q.q3
+    ORDER BY r.col
+    """,
+)
+def profile_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profile across four numeric columns: exact
+    quartiles (type-1 order statistics on integer cents — no
+    interpolation ambiguity), IQR, and the count beyond Q1−1.5·IQR /
+    Q3+1.5·IQR — the distribution-free outlier screen a profiler runs
+    on every numeric column. The fence test is the PURE INTEGER
+    inequality ``2v < 2Q1 − 3·IQR`` (doubling clears the half-unit from
+    1.5·IQR), so boundary values classify identically everywhere.
+    Shape: per-column rank windows (partitioned by column name, so all
+    four columns rank in one pass) + one conditional-count join-back."""
+    specs = [
+        ("orders", "o_totalprice", "orders.o_totalprice"),
+        ("customer", "c_acctbal", "customer.c_acctbal"),
+        ("lineitem", "l_extendedprice", "lineitem.l_extendedprice"),
+        ("events", "value", "events.value"),
+    ]
+    vals = None
+    for tbl, col, label in specs:
+        t = load_table(spark, sf_dir, tbl).select(
+            F.lit(label).alias("col"),
+            F.floor(F.col(col) * 100.0).cast("long").alias("v"),
+        )
+        vals = t if vals is None else vals.unionAll(t)
+    wc = Window.partitionBy("col")
+    ranked = vals.select(
+        "col",
+        "v",
+        F.row_number().over(wc.orderBy("v")).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    qs = ranked.groupBy("col").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.25 * F.col("n")).cast("bigint"),
+                F.col("v"),
+            )
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.75 * F.col("n")).cast("bigint"),
+                F.col("v"),
+            )
+        ).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    low = 2 * F.col("v") < 2 * F.col("q1") - 3 * iqr
+    high = 2 * F.col("v") > 2 * F.col("q3") + 3 * iqr
+    qs2 = (
+        qs.withColumnRenamed("col", "qcol")
+        .withColumnRenamed("n", "qn")
+    )
+    return (
+        ranked.drop("n")
+        .join(qs2, F.col("qcol") == F.col("col"))
+        .withColumnRenamed("qn", "n")
+        .groupBy("col", "n", "q1", "q3")
+        .agg(
+            F.count_if(low | high).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "col",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("q1") / 100.0, 2).alias("q1"),
+            F.round(F.col("q3") / 100.0, 2).alias("q3"),
+            F.round(iqr / 100.0, 2).alias("iqr"),
+            "n_outliers",
+            F.round(
+                F.col("n_outliers").cast("double") / F.col("n"), 6
+            ).alias("outlier_rate"),
+        )
+        .orderBy("col")
+    )

@@ -4479,3 +4479,61 @@ def ts_ar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_relative_time_curve",
+    """
+    WITH f AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+    ), rel AS (
+        SELECT e.user_id,
+               DATEDIFF('day', f.d0, CAST(e.ts AS DATE)) AS rel_day,
+               CAST(FLOOR(e.value * 100.0) AS BIGINT) AS cents
+        FROM events e JOIN f ON f.user_id = e.user_id
+    )
+    SELECT CAST(rel_day AS INT) AS rel_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0, 4)
+               AS avg_value,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT user_id), 4)
+               AS events_per_user
+    FROM rel WHERE rel_day <= 21
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_relative_time_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-time alignment curve: every user's stream re-indexed to
+    days since THEIR first event, then averaged per relative day — the
+    lifecycle view (do users spend more or less as they age?) that
+    calendar-time aggregates smear out, and the denominator-correct way
+    to chart onboarding curves. One grouped min for each user's epoch,
+    a broadcast-sized join back, one grouped rollup keyed on the
+    relative day — exact integer datediffs and cents throughout. At
+    100 TB: two aggregation passes and a user-keyed join, the standard
+    cohort-alignment shape."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    rel = ev.join(f, "user_id").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.col("d0")).alias("rel_day"),
+        F.floor(F.col("value") * 100.0).cast("long").alias("cents"),
+    )
+    return (
+        rel.filter(F.col("rel_day") <= 21)
+        .groupBy(F.col("rel_day").cast("int").alias("rel_day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(
+                F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0, 4
+            ).alias("avg_value"),
+            F.round(
+                F.count(F.lit(1)).cast("double")
+                / F.countDistinct("user_id"),
+                4,
+            ).alias("events_per_user"),
+        )
+        .orderBy("rel_day")
+    )

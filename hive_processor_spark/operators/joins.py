@@ -1433,3 +1433,83 @@ def join_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price", "p_partkey")
     )
+
+
+@register(
+    "join_drill_across",
+    """
+    WITH fo AS (
+        SELECT STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1
+    ), fe AS (
+        SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m') AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+        FROM events GROUP BY 1
+    )
+    SELECT COALESCE(fo.month, fe.month) AS month,
+           COALESCE(fo.n_orders, 0) AS n_orders,
+           ROUND(COALESCE(fo.rev_cents, 0) / 100.0, 2) AS revenue,
+           COALESCE(fe.n_events, 0) AS n_events,
+           COALESCE(fe.active_users, 0) AS active_users,
+           CAST(CASE WHEN fo.month IS NOT NULL AND fe.month IS NOT NULL
+                     THEN 'both'
+                     WHEN fo.month IS NOT NULL THEN 'orders_only'
+                     ELSE 'events_only' END AS VARCHAR) AS coverage
+    FROM fo FULL OUTER JOIN fe ON fe.month = fo.month
+    ORDER BY month
+    """,
+)
+def join_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drill-across two fact tables on a conformed time dimension: the
+    Kimball pattern — aggregate EACH fact star to the shared grain
+    (month) SEPARATELY, then full-outer-join the rollups and flag
+    coverage gaps — never join raw fact tables (the fan-out would
+    double-count both). Orders revenue meets event activity at the
+    month grain here; coverage flags expose the periods where only one
+    process ran. Both rollups are exact-integer aggregations shuffling
+    ∝ months; the final join touches two tiny frames. At 100 TB the
+    fact scans never co-shuffle — this plan is why conformed-dimension
+    drill-across scales where fact-to-fact joins do not."""
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    fo = orders.groupBy(
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("bigint")
+        .alias("rev_cents"),
+    )
+    fe = ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM").alias("emonth")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("active_users"),
+    )
+    j = fo.join(fe, fo["month"] == fe["emonth"], "full_outer")
+    return j.select(
+        F.coalesce(F.col("month"), F.col("emonth")).alias("month"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias(
+            "n_orders"
+        ),
+        F.round(
+            F.coalesce(F.col("rev_cents"), F.lit(0)) / 100.0, 2
+        ).alias("revenue"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias(
+            "n_events"
+        ),
+        F.coalesce(F.col("active_users"), F.lit(0)).cast("bigint").alias(
+            "active_users"
+        ),
+        F.when(
+            F.col("month").isNotNull() & F.col("emonth").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("month").isNotNull(), F.lit("orders_only"))
+        .otherwise(F.lit("events_only"))
+        .alias("coverage"),
+    ).orderBy("month")

@@ -2208,3 +2208,141 @@ def stats_hypergeom_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "stats_breusch_pagan",
+    """
+    WITH t AS (
+        SELECT CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS x,
+               n_chars AS y
+        FROM documents
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM t
+    ), fit AS (
+        SELECT n, sx, sy, sxx,
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   AS b,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * sx) / n AS a
+        FROM s
+    ), res AS (
+        SELECT t.x,
+               CAST(FLOOR(POW(t.y - fit.a - fit.b * t.x, 2.0) * 1e6)
+                    AS BIGINT) AS e2_q
+        FROM t CROSS JOIN fit
+    ), aux AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(e2_q) AS HUGEINT) AS sg,
+               CAST(SUM(CAST(x AS HUGEINT) * e2_q) AS HUGEINT) AS sxg,
+               CAST(SUM(CAST(FLOOR(POW(e2_q / 1e6, 2.0) / 1e3) AS HUGEINT))
+                    AS HUGEINT) AS sgg_q
+        FROM res
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(POW(CAST(n AS DOUBLE) * (CAST(sxg AS DOUBLE) / 1e6)
+                     - CAST(sx AS DOUBLE) * (CAST(sg AS DOUBLE) / 1e6), 2.0)
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * (CAST(sgg_q AS DOUBLE) * 1e3)
+                       - POW(CAST(sg AS DOUBLE) / 1e6, 2.0))), 6)
+               AS r2_aux,
+           ROUND(CAST(n AS DOUBLE)
+                 * POW(CAST(n AS DOUBLE) * (CAST(sxg AS DOUBLE) / 1e6)
+                       - CAST(sx AS DOUBLE) * (CAST(sg AS DOUBLE) / 1e6), 2.0)
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * (CAST(sgg_q AS DOUBLE) * 1e3)
+                       - POW(CAST(sg AS DOUBLE) / 1e6, 2.0))), 4)
+               AS bp_lm,
+           CAST(CASE WHEN CAST(n AS DOUBLE)
+                 * POW(CAST(n AS DOUBLE) * (CAST(sxg AS DOUBLE) / 1e6)
+                       - CAST(sx AS DOUBLE) * (CAST(sg AS DOUBLE) / 1e6), 2.0)
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * (CAST(sgg_q AS DOUBLE) * 1e3)
+                       - POW(CAST(sg AS DOUBLE) / 1e6, 2.0))) > 3.841
+                THEN 1 ELSE 0 END AS INT) AS heteroscedastic_5pct
+    FROM aux
+    """,
+)
+def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch–Pagan heteroscedasticity test on the n_chars ~ word_count
+    regression: fit OLS, then regress the SQUARED residuals on x and
+    report the auxiliary R² and the LM statistic n·R² (χ²₁; > 3.841
+    rejects constant variance at 5%) — the diagnostic that says whether
+    the OLS standard errors can be trusted. Two-pass exact shape: the
+    fit comes from exact integer sufficient statistics; squared
+    residuals are floor-quantized micro-units whose sums (including the
+    x-weighted and squared variants) ride in 128-bit accumulators; the
+    auxiliary regression is closed-form algebra on one row. Both
+    passes are map-combined aggregations — nothing new at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.size(F.split("text", " ")).cast("bigint").alias("x"),
+        F.col("n_chars").alias("y"),
+    )
+    s = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    b = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    fit = s.select(
+        "n", "sx", "sy", "sxx", b.alias("b"),
+        ((F.col("sy").cast("double") - b * F.col("sx")) / F.col("n")).alias(
+            "a"
+        ),
+    )
+    res = t.crossJoin(F.broadcast(fit)).select(
+        "x",
+        F.floor(
+            F.pow(F.col("y") - F.col("a") - F.col("b") * F.col("x"), 2.0)
+            * 1e6
+        )
+        .cast("long")
+        .alias("e2_q"),
+    )
+    aux = res.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("e2_q").cast("decimal(38,0)")).alias("sg"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("e2_q")).alias("sxg"),
+        F.sum(
+            F.floor(F.pow(F.col("e2_q") / 1e6, 2.0) / 1e3).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sgg_q"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * (F.col("sxg").cast("double") / 1e6) - F.col("sx").cast(
+        "double"
+    ) * (F.col("sg").cast("double") / 1e6)
+    den = (
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    ) * (
+        nd * (F.col("sgg_q").cast("double") * 1e3)
+        - F.pow(F.col("sg").cast("double") / 1e6, 2.0)
+    )
+    r2 = F.pow(num, 2.0) / den
+    return aux.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(r2, 6).alias("r2_aux"),
+        F.round(nd * r2, 4).alias("bp_lm"),
+        F.when(nd * r2 > 3.841, 1).otherwise(0).cast("int").alias(
+            "heteroscedastic_5pct"
+        ),
+    )

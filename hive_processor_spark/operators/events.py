@@ -4537,3 +4537,164 @@ def events_relative_time_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rel_day")
     )
+
+
+@register(
+    "ts_engle_granger",
+    """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS a
+        FROM lineitem GROUP BY 1
+    ), daily_o AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS b
+        FROM orders GROUP BY 1
+    ), j AS (
+        SELECT d.day, d.a, o.b FROM daily d JOIN daily_o o ON o.day = d.day
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+               CAST(SUM(CAST(a AS HUGEINT) * b) AS HUGEINT) AS sab,
+               CAST(SUM(CAST(b AS HUGEINT) * b) AS HUGEINT) AS sbb
+        FROM j
+    ), fit AS (
+        SELECT n,
+               (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                - CAST(sa AS DOUBLE) * sb)
+               / (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                  - CAST(sb AS DOUBLE) * sb) AS beta,
+               (CAST(sa AS DOUBLE)
+                - (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                   - CAST(sa AS DOUBLE) * sb)
+                  / (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                     - CAST(sb AS DOUBLE) * sb) * sb)
+               / n AS alpha
+        FROM s
+    ), resid AS (
+        SELECT day,
+               CAST(FLOOR((a - fit.alpha - fit.beta * b) / 100.0)
+                    AS BIGINT) AS e
+        FROM j CROSS JOIN fit
+    ), lagged AS (
+        SELECT e - LAG(e) OVER (ORDER BY day) AS de,
+               LAG(e) OVER (ORDER BY day) AS el
+        FROM resid
+    ), df AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(el AS HUGEINT) * de) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(el AS HUGEINT) * el) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(de AS HUGEINT) * de) AS HUGEINT) AS syy
+        FROM lagged WHERE el IS NOT NULL
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND((SELECT beta FROM fit), 6) AS coint_beta,
+           ROUND(CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE), 6) AS gamma,
+           ROUND((CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE))
+                 / SQRT(GREATEST(
+                     (CAST(syy AS DOUBLE)
+                      - POW(CAST(sxy AS DOUBLE), 2.0)
+                        / CAST(sxx AS DOUBLE)) / (n - 1)
+                     / CAST(sxx AS DOUBLE), 1e-30)), 4) AS df_t_stat,
+           CAST(CASE WHEN (CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE))
+                 / SQRT(GREATEST(
+                     (CAST(syy AS DOUBLE)
+                      - POW(CAST(sxy AS DOUBLE), 2.0)
+                        / CAST(sxx AS DOUBLE)) / (n - 1)
+                     / CAST(sxx AS DOUBLE), 1e-30)) < -3.34
+                THEN 1 ELSE 0 END AS INT) AS cointegrated_5pct
+    FROM df
+    """,
+)
+def ts_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle–Granger cointegration screen between the daily lineitem
+    revenue and daily order revenue series: step 1 regresses A on B
+    (exact integer moment sums in 128-bit accumulators), step 2 runs a
+    Dickey–Fuller regression of Δresidual on lagged residual and
+    compares the t-statistic to the −3.34 Engle–Granger 5% critical
+    value — "do these two series share a long-run equilibrium", the
+    prerequisite for pairs-style monitoring between any two KPIs.
+    Residuals are floor-quantized to whole dollars so the DF sums are
+    exact integers; both regressions are closed-form sufficient-
+    statistic algebra. Shape: two grouped sums, a day-keyed join of
+    the two small daily frames, one lag window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("a")
+    )
+    daily_o = orders.groupBy(F.to_date("o_orderdate").alias("oday")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("b")
+    )
+    j = daily.join(daily_o, daily["day"] == daily_o["oday"]).select(
+        "day", "a", "b"
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("a").cast("bigint").alias("sa"),
+        F.sum("b").cast("bigint").alias("sb"),
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("b")).alias("sab"),
+        F.sum(F.col("b").cast("decimal(38,0)") * F.col("b")).alias("sbb"),
+    )
+    nd = F.col("n").cast("double")
+    beta = (nd * F.col("sab").cast("double") - F.col("sa").cast("double") * F.col("sb")) / (
+        nd * F.col("sbb").cast("double") - F.col("sb").cast("double") * F.col("sb")
+    )
+    fit = s.select(
+        "n",
+        beta.alias("beta"),
+        ((F.col("sa").cast("double") - beta * F.col("sb")) / F.col("n")).alias(
+            "alpha"
+        ),
+    )
+    resid = j.crossJoin(F.broadcast(fit)).select(
+        "day",
+        F.floor(
+            (F.col("a") - F.col("alpha") - F.col("beta") * F.col("b")) / 100.0
+        )
+        .cast("long")
+        .alias("e"),
+        "beta",
+    )
+    w = Window.orderBy("day")
+    lagged = resid.select(
+        "beta",
+        (F.col("e") - F.lag("e").over(w)).alias("de"),
+        F.lag("e").over(w).alias("el"),
+    ).filter(F.col("el").isNotNull())
+    dfagg = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("beta").alias("beta"),
+        F.sum(F.col("el").cast("decimal(38,0)") * F.col("de")).alias("sxy"),
+        F.sum(F.col("el").cast("decimal(38,0)") * F.col("el")).alias("sxx"),
+        F.sum(F.col("de").cast("decimal(38,0)") * F.col("de")).alias("syy"),
+    )
+    gamma = F.col("sxy").cast("double") / F.col("sxx").cast("double")
+    se = F.sqrt(
+        F.greatest(
+            (
+                F.col("syy").cast("double")
+                - F.pow(F.col("sxy").cast("double"), 2.0)
+                / F.col("sxx").cast("double")
+            )
+            / (F.col("n") - 1)
+            / F.col("sxx").cast("double"),
+            F.lit(1e-30),
+        )
+    )
+    t = gamma / se
+    return dfagg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round("beta", 6).alias("coint_beta"),
+        F.round(gamma, 6).alias("gamma"),
+        F.round(t, 4).alias("df_t_stat"),
+        F.when(t < -3.34, 1).otherwise(0).cast("int").alias(
+            "cointegrated_5pct"
+        ),
+    )

@@ -1088,3 +1088,119 @@ def ab_bayesian_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.sum("term_q").cast("double") / 1e12, F.lit(1.0)), 6
         ).alias("p_b_beats_a"),
     )
+
+
+@register(
+    "ab_event_study",
+    """
+    WITH u AS (
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'error'
+                     AND EXTRACT(DAY FROM ts) <= 7) >= 5 AS INT) AS treated
+        FROM events GROUP BY 1
+    ), wk AS (
+        SELECT e.user_id, u.treated,
+               CAST(FLOOR((EXTRACT(DAY FROM e.ts) - 1) / 7.0) AS INT) AS week,
+               CAST(FLOOR(e.value * 100.0) AS BIGINT) AS cents
+        FROM events e JOIN u ON u.user_id = e.user_id
+        WHERE EXTRACT(DAY FROM e.ts) <= 28
+    ), uw AS (
+        SELECT user_id, treated, week,
+               CAST(SUM(cents) AS BIGINT) AS c, CAST(COUNT(*) AS BIGINT) AS n
+        FROM wk GROUP BY 1, 2, 3
+    ), g AS (
+        SELECT week, treated,
+               CAST(COUNT(*) AS BIGINT) AS users,
+               CAST(SUM(c) AS BIGINT) AS cents, CAST(SUM(n) AS BIGINT) AS n
+        FROM uw GROUP BY 1, 2
+    ), wide AS (
+        SELECT week,
+               MAX(CASE WHEN treated = 1 THEN CAST(cents AS DOUBLE) / n END)
+                   AS t_mean,
+               MAX(CASE WHEN treated = 0 THEN CAST(cents AS DOUBLE) / n END)
+                   AS c_mean,
+               MAX(CASE WHEN treated = 1 THEN users END) AS t_users,
+               MAX(CASE WHEN treated = 0 THEN users END) AS c_users
+        FROM g GROUP BY 1
+    ), base AS (
+        SELECT t_mean - c_mean AS gap0 FROM wide WHERE week = 0
+    )
+    SELECT week, CAST(t_users AS BIGINT) AS treated_users,
+           CAST(c_users AS BIGINT) AS control_users,
+           ROUND(t_mean / 100.0, 4) AS treated_mean,
+           ROUND(c_mean / 100.0, 4) AS control_mean,
+           ROUND((t_mean - c_mean) / 100.0, 4) AS gap,
+           ROUND((t_mean - c_mean - base.gap0) / 100.0, 4) AS effect_vs_week0
+    FROM wide CROSS JOIN base ORDER BY week
+    """,
+)
+def ab_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study analysis: weekly treated-vs-control mean-value gaps
+    normalized to the pre-period (week 0) gap — the dynamic
+    difference-in-differences display that shows both the parallel-trend
+    check (pre-period effect ≈ 0 by construction) and how the effect
+    evolves after exposure (treatment = heavy week-0 error exposure).
+    Means come from exact integer cents sums at the (user, week) then
+    (week, arm) grains; the week-0 baseline joins back as a 1-row
+    broadcast — all deterministic. Two grouped passes over events,
+    then 8-row algebra; the canonical panel shape at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.dayofmonth("ts")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.count_if((F.col("event_type") == "error") & (day <= 7)) >= 5
+        )
+        .cast("int")
+        .alias("treated")
+    )
+    wk = (
+        ev.filter(day <= 28)
+        .join(u, "user_id")
+        .select(
+            "user_id",
+            "treated",
+            F.floor((day - 1) / 7.0).cast("int").alias("week"),
+            F.floor(F.col("value") * 100.0).cast("long").alias("cents"),
+        )
+    )
+    uw = wk.groupBy("user_id", "treated", "week").agg(
+        F.sum("cents").cast("bigint").alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    g = uw.groupBy("week", "treated").agg(
+        F.count(F.lit(1)).cast("bigint").alias("users"),
+        F.sum("c").cast("bigint").alias("cents"),
+        F.sum("n").cast("bigint").alias("n"),
+    )
+
+    def pick(arm, expr):
+        return F.max(F.when(F.col("treated") == arm, expr))
+
+    mean = F.col("cents").cast("double") / F.col("n")
+    wide = g.groupBy("week").agg(
+        pick(1, mean).alias("t_mean"),
+        pick(0, mean).alias("c_mean"),
+        pick(1, F.col("users")).alias("t_users"),
+        pick(0, F.col("users")).alias("c_users"),
+    )
+    base = wide.filter(F.col("week") == 0).select(
+        (F.col("t_mean") - F.col("c_mean")).alias("gap0")
+    )
+    return (
+        wide.crossJoin(F.broadcast(base))
+        .select(
+            "week",
+            F.col("t_users").cast("bigint").alias("treated_users"),
+            F.col("c_users").cast("bigint").alias("control_users"),
+            F.round(F.col("t_mean") / 100.0, 4).alias("treated_mean"),
+            F.round(F.col("c_mean") / 100.0, 4).alias("control_mean"),
+            F.round((F.col("t_mean") - F.col("c_mean")) / 100.0, 4).alias(
+                "gap"
+            ),
+            F.round(
+                (F.col("t_mean") - F.col("c_mean") - F.col("gap0")) / 100.0,
+                4,
+            ).alias("effect_vs_week0"),
+        )
+        .orderBy("week")
+    )

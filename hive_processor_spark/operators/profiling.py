@@ -1198,3 +1198,138 @@ def profile_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+@register(
+    "profile_modal_alignment",
+    """
+    WITH d AS (SELECT doc_id, n_chars FROM documents),
+    e AS (
+        SELECT vec_id,
+               SQRT(CAST(LIST_AGGREGATE(LIST_TRANSFORM(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                   * 1e12) AS BIGINT)), 'sum') AS DOUBLE)
+                    / 1e12) AS norm
+        FROM embeddings
+    ), j AS (
+        SELECT d.doc_id, d.n_chars, e.norm,
+               CASE WHEN d.doc_id IS NULL THEN 'embedding_only'
+                    WHEN e.vec_id IS NULL THEN 'text_only'
+                    ELSE 'aligned' END AS status
+        FROM d FULL OUTER JOIN e ON e.vec_id = d.doc_id
+    ), stats AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE status = 'aligned') AS BIGINT)
+                   AS aligned,
+               CAST(COUNT(*) FILTER (WHERE status = 'text_only') AS BIGINT)
+                   AS text_only,
+               CAST(COUNT(*) FILTER (WHERE status = 'embedding_only')
+                    AS BIGINT) AS embedding_only
+        FROM j
+    ), corr_in AS (
+        SELECT CAST(n_chars AS BIGINT) AS x,
+               CAST(FLOOR(norm * 1e6) AS BIGINT) AS yq
+        FROM j WHERE status = 'aligned'
+    ), c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(x AS HUGEINT) * yq) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(yq AS HUGEINT) * yq) AS HUGEINT) AS syy
+        FROM corr_in
+    )
+    SELECT s.aligned, s.text_only, s.embedding_only,
+           ROUND(CAST(s.aligned AS DOUBLE)
+                 / (s.aligned + s.text_only + s.embedding_only), 6)
+               AS alignment_rate,
+           ROUND((CAST(c.n AS DOUBLE) * CAST(c.sxy AS DOUBLE)
+                  - CAST(c.sx AS DOUBLE) * c.sy)
+                 / SQRT((CAST(c.n AS DOUBLE) * c.sxx
+                         - CAST(c.sx AS DOUBLE) * c.sx)
+                        * (CAST(c.n AS DOUBLE) * CAST(c.syy AS DOUBLE)
+                           - CAST(c.sy AS DOUBLE) * c.sy)), 6)
+               AS corr_chars_norm
+    FROM stats s CROSS JOIN c
+    """,
+)
+def profile_modal_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal alignment audit between the text and embedding
+    tables: full-outer-join on the shared id, count aligned /
+    text-only / embedding-only rows, and correlate document length with
+    embedding L2 norm over the aligned pairs — the first sanity pass on
+    any multimodal dataset (orphan rows mean a broken ingestion join;
+    an unexpected length↔norm correlation means the encoder leaked
+    length). Norms use the quantized square-sum HOF; the correlation is
+    exact-integer sufficient statistics with 128-bit accumulators.
+    Shape: one full-outer join of two id-keyed tables + two 1-row
+    reductions — the same audit at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(embedding, x -> CAST(FLOOR("
+                "CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT)),"
+                " CAST(0 AS BIGINT), (a, v) -> a + v)"
+            ).cast("double")
+            / 1e12
+        ).alias("norm"),
+    )
+    j = docs.join(emb, docs["doc_id"] == emb["vec_id"], "full_outer").select(
+        "doc_id",
+        "vec_id",
+        "n_chars",
+        "norm",
+        F.when(F.col("doc_id").isNull(), F.lit("embedding_only"))
+        .when(F.col("vec_id").isNull(), F.lit("text_only"))
+        .otherwise(F.lit("aligned"))
+        .alias("status"),
+    )
+    stats = j.agg(
+        F.count_if(F.col("status") == "aligned").cast("bigint").alias(
+            "aligned"
+        ),
+        F.count_if(F.col("status") == "text_only").cast("bigint").alias(
+            "text_only"
+        ),
+        F.count_if(F.col("status") == "embedding_only")
+        .cast("bigint")
+        .alias("embedding_only"),
+    )
+    ci = j.filter(F.col("status") == "aligned").select(
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.floor(F.col("norm") * 1e6).cast("long").alias("yq"),
+    )
+    c = ci.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("yq").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("yq").cast("decimal(38,0)") * F.col("yq")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    corr = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (
+            nd * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return stats.crossJoin(F.broadcast(c)).select(
+        "aligned",
+        "text_only",
+        "embedding_only",
+        F.round(
+            F.col("aligned").cast("double")
+            / (
+                F.col("aligned")
+                + F.col("text_only")
+                + F.col("embedding_only")
+            ),
+            6,
+        ).alias("alignment_rate"),
+        F.round(corr, 6).alias("corr_chars_norm"),
+    )

@@ -1533,3 +1533,145 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model")
     )
+
+
+@register(
+    "ml_learning_curve",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS x,
+               n_chars AS y,
+               CAST((doc_id * 2654435761) % 4294967296 % 10 AS INT) AS bkt,
+               CAST(doc_id % 5 = 4 AS INT) AS holdout
+        FROM documents
+    ), bs AS (
+        SELECT bkt, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM t WHERE holdout = 0 GROUP BY 1
+    ), sizes AS (SELECT UNNEST([2, 4, 6, 8, 10]) AS k),
+    cum AS (
+        SELECT s.k,
+               CAST(SUM(b.n) AS BIGINT) AS n,
+               CAST(SUM(b.sx) AS BIGINT) AS sx,
+               CAST(SUM(b.sy) AS BIGINT) AS sy,
+               CAST(SUM(b.sxx) AS BIGINT) AS sxx,
+               CAST(SUM(b.sxy) AS BIGINT) AS sxy
+        FROM bs b JOIN sizes s ON b.bkt < s.k
+        GROUP BY s.k
+    ), fit AS (
+        SELECT k, n,
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * sx) / n AS a
+        FROM cum
+    ), ho AS (
+        SELECT f.k, f.n, f.a, f.b,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CAST(FLOOR(POW(t.y - f.a - f.b * t.x, 2.0) * 1e4)
+                             AS BIGINT)) AS BIGINT) AS sse_q
+        FROM t CROSS JOIN fit f
+        WHERE t.holdout = 1
+        GROUP BY f.k, f.n, f.a, f.b
+    )
+    SELECT CAST(k AS INT) AS n_buckets,
+           CAST(n AS BIGINT) AS n_train,
+           CAST(n_test AS BIGINT) AS n_test,
+           ROUND(b, 6) AS slope,
+           ROUND(a, 4) AS intercept,
+           ROUND(SQRT(CAST(sse_q AS DOUBLE) / 1e4 / n_test), 4)
+               AS holdout_rmse
+    FROM ho ORDER BY n_buckets
+    """,
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve WITHOUT rescans: the n_chars ~ word_count fit
+    trained on nested 20/40/60/80/100% hash-bucket subsets, each
+    evaluated on a fixed holdout — and every training fit comes from
+    CUMULATIVE sums of per-bucket sufficient statistics (computed once;
+    subset k is `bkt < k`, so bigger subsets strictly contain smaller
+    ones, the property a real learning curve needs). One aggregation
+    pass builds 10 bucket rows; the 5 fits are 5-row algebra; the
+    holdout RMSE pass broadcasts 5 fitted lines over the holdout split
+    with quantized squared-error sums. The diminishing-returns read —
+    "will more data still buy accuracy" — at the cost of ONE scan plus
+    one holdout pass, at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("x"),
+        F.col("n_chars").alias("y"),
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10)
+        .cast("int")
+        .alias("bkt"),
+        (F.col("doc_id") % 5 == 4).cast("int").alias("holdout"),
+    )
+    bs = (
+        t.filter(F.col("holdout") == 0)
+        .groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        )
+    )
+    sizes = spark.createDataFrame([(2,), (4,), (6,), (8,), (10,)], "k: int")
+    cum = (
+        bs.join(F.broadcast(sizes), bs["bkt"] < sizes["k"])
+        .groupBy("k")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sx").cast("bigint").alias("sx"),
+            F.sum("sy").cast("bigint").alias("sy"),
+            F.sum("sxx").cast("bigint").alias("sxx"),
+            F.sum("sxy").cast("bigint").alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    b = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    fit = cum.select(
+        "k",
+        "n",
+        b.alias("b"),
+        ((F.col("sy").cast("double") - b * F.col("sx")) / F.col("n")).alias(
+            "a"
+        ),
+    )
+    ho = (
+        t.filter(F.col("holdout") == 1)
+        .crossJoin(F.broadcast(fit))
+        .groupBy("k", "n", "a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.floor(
+                    F.pow(
+                        F.col("y") - F.col("a") - F.col("b") * F.col("x"),
+                        2.0,
+                    )
+                    * 1e4
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("sse_q"),
+        )
+    )
+    return ho.select(
+        F.col("k").cast("int").alias("n_buckets"),
+        F.col("n").cast("bigint").alias("n_train"),
+        F.col("n_test").cast("bigint").alias("n_test"),
+        F.round("b", 6).alias("slope"),
+        F.round("a", 4).alias("intercept"),
+        F.round(
+            F.sqrt(F.col("sse_q").cast("double") / 1e4 / F.col("n_test")), 4
+        ).alias("holdout_rmse"),
+    ).orderBy("n_buckets")

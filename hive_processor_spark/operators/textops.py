@@ -1946,3 +1946,72 @@ def text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_phonetic_collisions",
+    """
+    WITH tok AS (
+        SELECT DISTINCT UNNEST(STR_SPLIT(text, ' ')) AS t FROM documents
+    ), nz AS (SELECT t FROM tok WHERE LENGTH(t) >= 2),
+    coded AS (
+        SELECT t,
+               SUBSTR(t, 1, 1) || SUBSTR(REGEXP_REPLACE(REGEXP_REPLACE(
+                   TRANSLATE(SUBSTR(t, 2),
+                             'bfpvcgjkqsxzdtlmnraeiouyhw',
+                             '11112222223345560000000000'),
+                   '(.)\\1+', '\\1', 'g'), '0', '', 'g') || '000', 1, 3)
+                   AS code
+        FROM nz
+    ), grps AS (
+        SELECT code, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               MIN(t) AS sample_a, MAX(t) AS sample_b
+        FROM coded GROUP BY 1
+    )
+    SELECT code, n_tokens, sample_a, sample_b
+    FROM grps WHERE n_tokens >= 2
+    ORDER BY n_tokens DESC, code LIMIT 25
+    """,
+)
+def text_phonetic_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundex-style phonetic bucketing of the vocabulary: first letter +
+    three consonant-class digits (standard Soundex classes, adjacent
+    duplicates collapsed, vowels dropped, zero-padded) — the blocking
+    key fuzzy name-matching and spelling-variant dedup pipelines group
+    by before any expensive edit-distance pass. The code is a pure
+    translate/regexp chain (codegen on both engines, no UDF); the top
+    collision groups show which distinct tokens would block together.
+    Shape: distinct-vocabulary explode (shuffle ∝ vocab), map-side
+    coding, one grouped count — the blocking stage of entity
+    resolution at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .distinct()
+        .filter(F.length("t") >= 2)
+    )
+    digits = F.translate(
+        F.substring(F.col("t"), 2, 1000),
+        "bfpvcgjkqsxzdtlmnraeiouyhw",
+        "11112222223345560000000000",
+    )
+    collapsed = F.regexp_replace(digits, r"(.)\1+", r"$1")
+    code = F.concat(
+        F.substring(F.col("t"), 1, 1),
+        F.substring(
+            F.concat(F.regexp_replace(collapsed, "0", ""), F.lit("000")),
+            1,
+            3,
+        ),
+    )
+    coded = tok.select("t", code.alias("code"))
+    grps = coded.groupBy("code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.min("t").alias("sample_a"),
+        F.max("t").alias("sample_b"),
+    )
+    return (
+        grps.filter(F.col("n_tokens") >= 2)
+        .orderBy(F.col("n_tokens").desc(), "code")
+        .limit(25)
+    )

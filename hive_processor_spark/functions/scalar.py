@@ -1334,3 +1334,63 @@ def fn_fiscal_445(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fiscal_year", "fiscal_quarter", "period_in_q")
     )
+
+
+@register(
+    "fn_modinv_obfuscate",
+    """
+    -- a = 387420489 (9^9), m = 2^31; a odd => invertible mod m;
+    -- a_inv computed offline: a * a_inv ≡ 1 (mod 2^31)
+    WITH params AS (
+        SELECT CAST(387420489 AS BIGINT) AS a,
+               CAST(505819385 AS BIGINT) AS a_inv,
+               CAST(2147483648 AS BIGINT) AS m
+    ), enc AS (
+        SELECT c_custkey,
+               (c_custkey * params.a) % params.m AS token
+        FROM customer CROSS JOIN params
+    ), dec AS (
+        SELECT e.c_custkey, e.token,
+               (e.token * params.a_inv) % params.m AS decoded
+        FROM enc e CROSS JOIN params
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS distinct_tokens,
+           CAST(COUNT(*) FILTER (WHERE decoded = c_custkey) AS BIGINT)
+               AS roundtrip_ok,
+           CAST(MIN(token) AS BIGINT) AS min_token,
+           CAST(MAX(token) AS BIGINT) AS max_token
+    FROM dec
+    """,
+)
+def fn_modinv_obfuscate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reversible key pseudonymization by modular multiplication:
+    token = key·a mod 2³¹ with odd multiplier a = 9⁹ (every odd a is a
+    unit mod 2³¹), decoded by the precomputed modular inverse — the
+    format-preserving obfuscation used when sharing joinable data
+    without exposing sequential business keys (tokens scatter across
+    the keyspace; sequence and volume inference break, equality joins
+    survive). The operator proves the contract in-engine: token
+    distinctness equals row count and EVERY row round-trips. Pure
+    integer arithmetic — identical everywhere; map-only + one
+    count-distinct at any scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    a, a_inv, m = 387420489, 505819385, 2147483648
+    enc = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * F.lit(a)) % F.lit(m)).alias("token"),
+    )
+    dec = enc.select(
+        "c_custkey",
+        "token",
+        ((F.col("token") * F.lit(a_inv)) % F.lit(m)).alias("decoded"),
+    )
+    return dec.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("token").cast("bigint").alias("distinct_tokens"),
+        F.count_if(F.col("decoded") == F.col("c_custkey"))
+        .cast("bigint")
+        .alias("roundtrip_ok"),
+        F.min("token").cast("bigint").alias("min_token"),
+        F.max("token").cast("bigint").alias("max_token"),
+    )

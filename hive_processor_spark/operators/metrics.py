@@ -2346,3 +2346,82 @@ def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heteroscedastic_5pct"
         ),
     )
+
+
+@register(
+    "stats_hill_tail",
+    """
+    WITH v AS (
+        SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents FROM orders
+    ), ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents DESC) AS rn,
+               COUNT(*) OVER () AS n
+        FROM v
+    ), ks AS (SELECT UNNEST([50, 100, 200]) AS k),
+    thr AS (
+        SELECT ks.k, r.cents AS xk
+        FROM ks JOIN ranked r ON r.rn = ks.k + 1
+    ), hill AS (
+        SELECT t.k, t.xk,
+               CAST(SUM(CAST(FLOOR(LN(CAST(r.cents AS DOUBLE) / t.xk) * 1e9)
+                             AS BIGINT)) AS BIGINT) AS s_q
+        FROM thr t JOIN ranked r ON r.rn <= t.k
+        GROUP BY t.k, t.xk
+    )
+    SELECT CAST(k AS INT) AS k,
+           ROUND(xk / 100.0, 2) AS threshold,
+           ROUND(CAST(s_q AS DOUBLE) / 1e9 / k, 6) AS hill_gamma,
+           ROUND(k / (CAST(s_q AS DOUBLE) / 1e9), 4) AS alpha_hat
+    FROM hill ORDER BY k
+    """,
+)
+def stats_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the upper-tail index of order values at three
+    tail depths (k = 50/100/200 largest observations): γ̂ = mean
+    ln(x₍ᵢ₎/x₍ₖ₊₁₎) and α̂ = 1/γ̂ — the heavy-tail diagnostic that says
+    whether extreme orders follow a power law (finite-variance check
+    for revenue risk models; stability of α̂ across k is the classic
+    Hill-plot read). Order statistics come from exact integer ranks;
+    each ln ratio is floor-quantized to nano-units and integer-summed —
+    deterministic at any parallelism. Shape: one rank window, a 3-row
+    threshold lookup, and a bounded top-k join — at 100 TB the rank
+    window runs on a pre-filtered top slice (rank pushdown via
+    WindowGroupLimit), never the full table."""
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc())
+    ranked = v.select(
+        "cents",
+        F.row_number().over(w).alias("rn"),
+    )
+    ks = spark.createDataFrame([(50,), (100,), (200,)], "k: int")
+    thr = ks.join(
+        ranked.withColumnRenamed("cents", "xk"),
+        ranked["rn"] == ks["k"] + 1,
+    ).select("k", "xk")
+    hill = (
+        thr.join(F.broadcast(ranked), ranked["rn"] <= thr["k"])
+        .groupBy("k", "xk")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.ln(F.col("cents").cast("double") / F.col("xk")) * 1e9
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("s_q")
+        )
+    )
+    return hill.select(
+        F.col("k").cast("int").alias("k"),
+        F.round(F.col("xk") / 100.0, 2).alias("threshold"),
+        F.round(F.col("s_q").cast("double") / 1e9 / F.col("k"), 6).alias(
+            "hill_gamma"
+        ),
+        F.round(
+            F.col("k") / (F.col("s_q").cast("double") / 1e9), 4
+        ).alias("alpha_hat"),
+    ).orderBy("k")

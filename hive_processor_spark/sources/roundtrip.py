@@ -1032,3 +1032,106 @@ def scan_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+@register(
+    "sink_incremental_stats",
+    """
+    WITH base AS (
+        SELECT * FROM events WHERE EXTRACT(DAY FROM ts) <= 20
+    ), delta AS (
+        SELECT * FROM events WHERE EXTRACT(DAY FROM ts) > 20
+    ), sb AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(MIN(FLOOR(value * 100.0)) AS BIGINT) AS mn,
+               CAST(MAX(FLOOR(value * 100.0)) AS BIGINT) AS mx,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+        FROM base
+    ), sd AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(MIN(FLOOR(value * 100.0)) AS BIGINT) AS mn,
+               CAST(MAX(FLOOR(value * 100.0)) AS BIGINT) AS mx,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+        FROM delta
+    ), sf AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(MIN(FLOOR(value * 100.0)) AS BIGINT) AS mn,
+               CAST(MAX(FLOOR(value * 100.0)) AS BIGINT) AS mx,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+        FROM events
+    )
+    SELECT sb.n AS base_n, sd.n AS delta_n, sf.n AS full_n,
+           CAST(sb.n + sd.n = sf.n AS INT) AS count_merges,
+           CAST(sb.cents + sd.cents = sf.cents AS INT) AS sum_merges,
+           CAST(LEAST(sb.mn, sd.mn) = sf.mn
+                AND GREATEST(sb.mx, sd.mx) = sf.mx AS INT) AS minmax_merges,
+           CAST(sb.users + sd.users >= sf.users AS INT)
+               AS ndv_upper_bound_holds,
+           CAST(sb.users + sd.users - sf.users AS BIGINT) AS ndv_overlap
+    FROM sb CROSS JOIN sd CROSS JOIN sf
+    """,
+)
+def sink_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental statistics maintenance audit: compute catalog stats
+    (count, sum, min/max, distinct users) for a base partition (days
+    ≤ 20) and a delta partition (days > 20) separately, merge them, and
+    verify against a full recompute — proving IN-ENGINE which stats are
+    mergeable (count/sum/min/max: exactly; NDV: only an upper bound —
+    the overlap column quantifies why real systems keep HLL sketches,
+    not scalar NDVs, in their manifests). This is the maintenance
+    contract behind zone maps, ANALYZE deltas, and incremental
+    materialized aggregates. All exact integers; three aggregation
+    passes here, but the point is that at 100 TB the FULL pass never
+    runs — base stats persist and only the delta is scanned."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.dayofmonth("ts")
+    cents = F.floor(F.col("value") * 100.0)
+
+    def stats(df):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents.cast("long")).cast("bigint").alias("cents"),
+            F.min(cents).cast("bigint").alias("mn"),
+            F.max(cents).cast("bigint").alias("mx"),
+            F.countDistinct("user_id").cast("bigint").alias("users"),
+        )
+
+    sb = stats(ev.filter(day <= 20)).select(
+        *[F.col(c).alias(f"b_{c}") for c in ("n", "cents", "mn", "mx", "users")]
+    )
+    sd = stats(ev.filter(day > 20)).select(
+        *[F.col(c).alias(f"d_{c}") for c in ("n", "cents", "mn", "mx", "users")]
+    )
+    sf_ = stats(ev).select(
+        *[F.col(c).alias(f"f_{c}") for c in ("n", "cents", "mn", "mx", "users")]
+    )
+    j = sb.crossJoin(sd).crossJoin(sf_)
+    return j.select(
+        F.col("b_n").alias("base_n"),
+        F.col("d_n").alias("delta_n"),
+        F.col("f_n").alias("full_n"),
+        (F.col("b_n") + F.col("d_n") == F.col("f_n"))
+        .cast("int")
+        .alias("count_merges"),
+        (F.col("b_cents") + F.col("d_cents") == F.col("f_cents"))
+        .cast("int")
+        .alias("sum_merges"),
+        (
+            (F.least(F.col("b_mn"), F.col("d_mn")) == F.col("f_mn"))
+            & (F.greatest(F.col("b_mx"), F.col("d_mx")) == F.col("f_mx"))
+        )
+        .cast("int")
+        .alias("minmax_merges"),
+        (F.col("b_users") + F.col("d_users") >= F.col("f_users"))
+        .cast("int")
+        .alias("ndv_upper_bound_holds"),
+        (F.col("b_users") + F.col("d_users") - F.col("f_users"))
+        .cast("bigint")
+        .alias("ndv_overlap"),
+    )

@@ -10,7 +10,7 @@ DOUBLE ``ceil()``), floor-quantization instead of tie-ambiguous rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
@@ -1393,4 +1393,100 @@ def fn_modinv_obfuscate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("roundtrip_ok"),
         F.min("token").cast("bigint").alias("min_token"),
         F.max("token").cast("bigint").alias("max_token"),
+    )
+
+
+@register(
+    "fn_semver",
+    """
+    WITH v AS (
+        SELECT p_brand,
+               'v' || CAST(p_partkey % 5 AS VARCHAR) || '.'
+                   || CAST(p_partkey % 20 AS VARCHAR) || '.'
+                   || CAST(p_partkey % 50 AS VARCHAR) AS version
+        FROM part
+    ), parsed AS (
+        SELECT p_brand, version,
+               CAST(STR_SPLIT(SUBSTR(version, 2), '.')[1] AS BIGINT) AS major,
+               CAST(STR_SPLIT(SUBSTR(version, 2), '.')[2] AS BIGINT) AS minor,
+               CAST(STR_SPLIT(SUBSTR(version, 2), '.')[3] AS BIGINT) AS patch
+        FROM v
+    ), keyed AS (
+        SELECT p_brand, version, major, minor, patch,
+               major * 1000000 + minor * 1000 + patch AS ord_key
+        FROM parsed
+    ), latest AS (
+        SELECT p_brand, version AS latest_version, major, minor, patch
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
+                          ORDER BY ord_key DESC, version) AS rn
+            FROM keyed
+        ) t WHERE rn = 1
+    )
+    SELECT k.p_brand,
+           CAST(COUNT(DISTINCT k.version) AS BIGINT) AS distinct_versions,
+           MAX(l.latest_version) AS latest_version,
+           CAST(MAX(l.major) AS INT) AS latest_major,
+           CAST(COUNT(*) FILTER (WHERE k.major = 0) AS BIGINT)
+               AS v0_parts
+    FROM keyed k JOIN latest l ON l.p_brand = k.p_brand
+    GROUP BY k.p_brand ORDER BY k.p_brand
+    """,
+)
+def fn_semver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-version parse/compare surface: render synthetic
+    ``vMAJOR.MINOR.PATCH`` strings, parse them back by split, and order
+    them CORRECTLY — numerically per component via an integer sort key,
+    never lexicographically (the classic bug where 'v1.10.0' sorts
+    before 'v1.9.0') — reporting each brand's latest version and the
+    count still on major 0. All parsing is split/cast string work in
+    codegen; ordering and the per-brand argmax (WindowGroupLimit) are
+    exact integers. The dependency-resolution / artifact-registry
+    primitive, shaped as one grouped window pass."""
+    part = load_table(spark, sf_dir, "part")
+    version = F.concat(
+        F.lit("v"),
+        (F.col("p_partkey") % 5).cast("string"),
+        F.lit("."),
+        (F.col("p_partkey") % 20).cast("string"),
+        F.lit("."),
+        (F.col("p_partkey") % 50).cast("string"),
+    )
+    v = part.select("p_brand", version.alias("version"))
+    parts_arr = F.split(F.substring(F.col("version"), 2, 1000), r"\.")
+    parsed = v.select(
+        "p_brand",
+        "version",
+        F.element_at(parts_arr, 1).cast("bigint").alias("major"),
+        F.element_at(parts_arr, 2).cast("bigint").alias("minor"),
+        F.element_at(parts_arr, 3).cast("bigint").alias("patch"),
+    )
+    keyed = parsed.withColumn(
+        "ord_key",
+        F.col("major") * 1000000 + F.col("minor") * 1000 + F.col("patch"),
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("ord_key").desc(), F.col("version")
+    )
+    latest = (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("p_brand").alias("lbrand"),
+            F.col("version").alias("latest_version"),
+            F.col("major").alias("lmajor"),
+        )
+    )
+    return (
+        keyed.join(latest, F.col("lbrand") == F.col("p_brand"))
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("version").cast("bigint").alias(
+                "distinct_versions"
+            ),
+            F.max("latest_version").alias("latest_version"),
+            F.max("lmajor").cast("int").alias("latest_major"),
+            F.count_if(F.col("major") == 0).cast("bigint").alias("v0_parts"),
+        )
+        .orderBy("p_brand")
     )

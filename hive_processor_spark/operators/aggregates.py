@@ -1810,3 +1810,136 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").cast("double") / F.col("grand_cents"), 6
         ).alias("share_of_total"),
     ).orderBy("region", "nation")
+
+
+@register(
+    "agg_chain_ladder",
+    """
+    WITH dev AS (
+        SELECT STRFTIME(CAST(o.o_orderdate AS DATE), '%Y-%m') AS cohort,
+               CAST(LEAST(FLOOR(DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                                         CAST(l.l_shipdate AS DATE)) / 30.0),
+                          3) AS INT) AS delay,
+               CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT) AS cents
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate
+    ), cell AS (
+        SELECT cohort, delay, CAST(SUM(cents) AS BIGINT) AS c
+        FROM dev GROUP BY 1, 2
+    ), spine AS (
+        SELECT DISTINCT cohort, d.delay
+        FROM cell CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS delay) d
+    ), dense AS (
+        SELECT s.cohort, s.delay, COALESCE(cell.c, 0) AS c
+        FROM spine s LEFT JOIN cell
+          ON cell.cohort = s.cohort AND cell.delay = s.delay
+    ), cum AS (
+        SELECT cohort, delay,
+               SUM(c) OVER (PARTITION BY cohort ORDER BY delay
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        FROM dense
+    ), pairs AS (
+        SELECT a.delay AS from_delay,
+               CAST(SUM(a.cc) AS BIGINT) AS s_from,
+               CAST(SUM(b.cc) AS BIGINT) AS s_to,
+               CAST(COUNT(*) AS BIGINT) AS n_cohorts
+        FROM cum a JOIN cum b
+          ON b.cohort = a.cohort AND b.delay = a.delay + 1
+        WHERE a.cc > 0
+        GROUP BY 1
+    )
+    SELECT CAST(from_delay AS INT) AS from_delay,
+           CAST(from_delay + 1 AS INT) AS to_delay,
+           n_cohorts,
+           ROUND(s_from / 100.0, 2) AS cum_from,
+           ROUND(s_to / 100.0, 2) AS cum_to,
+           ROUND(CAST(s_to AS DOUBLE) / s_from, 6) AS dev_factor
+    FROM pairs ORDER BY from_delay
+    """,
+)
+def agg_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-ladder development factors from the order→shipment
+    development triangle: cohort orders by month, bucket each line
+    item's revenue by 30-day shipment delay (capped at 3+), cumulate
+    across delay within each cohort, and estimate the volume-weighted
+    development factor f_d = Σ cum_{d+1} / Σ cum_d — the actuarial
+    reserving estimator (and the general tool for "how complete is
+    recent data", since young cohorts are structurally undeveloped).
+    Exact integer cents in every cell; a dense cohort×delay spine keeps
+    zero-cells in the cumulative sums; factors are final-form ratios.
+    Shape: one fact join + grouped sum to the triangle (shuffle ∝
+    cohort×delay cells), windows and the factor join on the tiny
+    triangle frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dev = (
+        orders.join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias(
+                "cohort"
+            ),
+            F.least(
+                F.floor(
+                    F.datediff(
+                        F.to_date("l_shipdate"), F.to_date("o_orderdate")
+                    )
+                    / 30.0
+                ),
+                F.lit(3),
+            )
+            .cast("int")
+            .alias("delay"),
+            F.floor(F.col("l_extendedprice") * 100.0)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    cell = dev.groupBy("cohort", "delay").agg(
+        F.sum("cents").cast("bigint").alias("c")
+    )
+    delays = spark.createDataFrame([(0,), (1,), (2,), (3,)], "delay: int")
+    spine = cell.select("cohort").distinct().crossJoin(F.broadcast(delays))
+    dense = spine.join(cell, ["cohort", "delay"], "left").select(
+        "cohort", "delay", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("cohort")
+        .orderBy("delay")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dense.select("cohort", "delay", F.sum("c").over(wcum).alias("cc"))
+    a = cum.select(
+        F.col("cohort").alias("ca"),
+        F.col("delay").alias("from_delay"),
+        F.col("cc").alias("cc_from"),
+    )
+    b = cum.select(
+        F.col("cohort").alias("cb"),
+        F.col("delay").alias("to_delay"),
+        F.col("cc").alias("cc_to"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("cb") == F.col("ca"))
+            & (F.col("to_delay") == F.col("from_delay") + 1),
+        )
+        .filter(F.col("cc_from") > 0)
+        .groupBy("from_delay")
+        .agg(
+            F.sum("cc_from").cast("bigint").alias("s_from"),
+            F.sum("cc_to").cast("bigint").alias("s_to"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cohorts"),
+        )
+    )
+    return pairs.select(
+        F.col("from_delay").cast("int").alias("from_delay"),
+        (F.col("from_delay") + 1).cast("int").alias("to_delay"),
+        "n_cohorts",
+        F.round(F.col("s_from") / 100.0, 2).alias("cum_from"),
+        F.round(F.col("s_to") / 100.0, 2).alias("cum_to"),
+        F.round(F.col("s_to").cast("double") / F.col("s_from"), 6).alias(
+            "dev_factor"
+        ),
+    ).orderBy("from_delay")

@@ -556,3 +556,127 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("video_id")
     )
+
+
+@register(
+    "mm_audio_vad",
+    """
+    WITH clips AS (
+        SELECT doc_id AS clip_id, CAST(40 + doc_id % 21 AS INT) AS n_frames
+        FROM documents WHERE doc_id BETWEEN 100 AND 129
+    ), frames AS (
+        SELECT clip_id, f.i AS frame_idx,
+               CAST((clip_id * 48271 + f.i * 2654435761) % 4294967296 % 1000
+                    AS BIGINT) AS energy
+        FROM clips, LATERAL (SELECT UNNEST(RANGE(0, n_frames)) AS i) f
+    ), flagged AS (
+        SELECT clip_id, frame_idx,
+               CAST(energy >= 500 AS INT) AS speech
+        FROM frames
+    ), islands AS (
+        SELECT clip_id, frame_idx, speech,
+               frame_idx - ROW_NUMBER() OVER (
+                   PARTITION BY clip_id, speech ORDER BY frame_idx) AS grp
+        FROM flagged
+    ), segs AS (
+        SELECT clip_id, grp, CAST(COUNT(*) AS BIGINT) AS seg_len
+        FROM islands WHERE speech = 1 GROUP BY 1, 2
+    ), per_clip AS (
+        SELECT f.clip_id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(f.speech) AS BIGINT) AS speech_frames
+        FROM flagged f GROUP BY 1
+    )
+    SELECT p.clip_id, p.n_frames, p.speech_frames,
+           ROUND(CAST(p.speech_frames AS DOUBLE) / p.n_frames, 4)
+               AS speech_ratio,
+           CAST(COALESCE(COUNT(s.grp), 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(MAX(s.seg_len), 0) AS BIGINT) AS longest_segment
+    FROM per_clip p LEFT JOIN segs s ON s.clip_id = p.clip_id
+    GROUP BY p.clip_id, p.n_frames, p.speech_frames
+    ORDER BY p.clip_id
+    """,
+)
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over audio frame energies: threshold
+    each frame, then gaps-and-islands (frame_idx − row_number within
+    the speech flag) turns consecutive speech frames into segments —
+    per clip: speech ratio, segment count, longest segment. Frame
+    energies here are the deterministic synthetic stand-in; the real
+    pipeline swaps in RMS energies from a Pandas-UDF PCM decode over
+    the binary payload (the mm_audio_meta machinery) and NOTHING else
+    changes — the thresholding, islands, and rollup are the operator.
+    The bounded per-clip frame explode, partitioned windows, and exact
+    integer counts are the same segmentation plan speech pipelines run
+    at petabyte scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    clips = docs.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") <= 129)
+    ).select(
+        F.col("doc_id").alias("clip_id"),
+        (40 + F.col("doc_id") % 21).cast("int").alias("n_frames"),
+    )
+    frames = clips.select(
+        "clip_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias(
+            "frame_idx"
+        ),
+    ).select(
+        "clip_id",
+        "frame_idx",
+        (
+            (
+                F.col("clip_id") * 48271
+                + F.col("frame_idx") * F.lit(2654435761)
+            )
+            % F.lit(4294967296)
+            % 1000
+        )
+        .cast("bigint")
+        .alias("energy"),
+    )
+    flagged = frames.select(
+        "clip_id",
+        "frame_idx",
+        (F.col("energy") >= 500).cast("int").alias("speech"),
+    )
+    wi = Window.partitionBy("clip_id", "speech").orderBy("frame_idx")
+    islands = flagged.select(
+        "clip_id",
+        "speech",
+        (F.col("frame_idx") - F.row_number().over(wi)).alias("grp"),
+    )
+    segs = (
+        islands.filter(F.col("speech") == 1)
+        .groupBy("clip_id", "grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("seg_len"))
+    )
+    per_clip = flagged.groupBy("clip_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum("speech").cast("bigint").alias("speech_frames"),
+    )
+    return (
+        per_clip.join(
+            segs.withColumnRenamed("clip_id", "sclip"),
+            F.col("sclip") == F.col("clip_id"),
+            "left",
+        )
+        .groupBy("clip_id", "n_frames", "speech_frames")
+        .agg(
+            F.count("grp").cast("bigint").alias("n_segments"),
+            F.coalesce(F.max("seg_len"), F.lit(0))
+            .cast("bigint")
+            .alias("longest_segment"),
+        )
+        .select(
+            "clip_id",
+            "n_frames",
+            "speech_frames",
+            F.round(
+                F.col("speech_frames").cast("double") / F.col("n_frames"), 4
+            ).alias("speech_ratio"),
+            "n_segments",
+            "longest_segment",
+        )
+        .orderBy("clip_id")
+    )

@@ -4698,3 +4698,301 @@ def ts_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cointegrated_5pct"
         ),
     )
+
+
+@register(
+    "events_mrr_waterfall",
+    """
+    WITH cm AS (
+        SELECT o_custkey AS cust,
+               STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+        GROUP BY 1, 2
+    ), months AS (
+        SELECT DISTINCT month FROM cm
+    ), custs AS (SELECT DISTINCT cust FROM cm),
+    spine AS (SELECT c.cust, m.month FROM custs c CROSS JOIN months m),
+    dense AS (
+        SELECT s.cust, s.month, COALESCE(cm.cents, 0) AS cents
+        FROM spine s LEFT JOIN cm ON cm.cust = s.cust AND cm.month = s.month
+    ), lagged AS (
+        SELECT cust, month, cents,
+               LAG(cents) OVER (PARTITION BY cust ORDER BY month) AS prev
+        FROM dense
+    )
+    SELECT month,
+           ROUND(SUM(CASE WHEN prev = 0 AND cents > 0 THEN cents
+                          ELSE 0 END) / 100.0, 2) AS new_rev,
+           ROUND(SUM(CASE WHEN prev > 0 AND cents = 0 THEN prev
+                          ELSE 0 END) / 100.0, 2) AS churned_rev,
+           ROUND(SUM(CASE WHEN prev > 0 AND cents > prev THEN cents - prev
+                          ELSE 0 END) / 100.0, 2) AS expansion_rev,
+           ROUND(SUM(CASE WHEN prev > 0 AND cents > 0 AND cents < prev
+                          THEN prev - cents ELSE 0 END) / 100.0, 2)
+               AS contraction_rev,
+           ROUND(SUM(cents) / 100.0, 2) AS total_rev,
+           ROUND(SUM(cents - COALESCE(prev, 0)) / 100.0, 2) AS net_change
+    FROM lagged WHERE prev IS NOT NULL
+    GROUP BY month ORDER BY month
+    """,
+)
+def events_mrr_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-movement waterfall (the SaaS MRR bridge) over 1998
+    customer-months: month-over-month revenue per customer decomposed
+    into new / churned / expansion / contraction buckets, with the
+    accounting identity net = new − churn + expansion − contraction
+    holding EXACTLY because every bucket is an exact-integer cents sum
+    over the same dense customer×month spine (zero-filled months are
+    what make "churned" and "new" well-defined). Shape: one grouped
+    sum to customer-month, a spine cross join of two small distinct
+    frames, one lag window partitioned by customer — the canonical
+    subscription-analytics plan, shuffle ∝ customer-months."""
+    orders = load_table(spark, sf_dir, "orders")
+    cm = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    months = cm.select("month").distinct()
+    custs = cm.select("cust").distinct()
+    spine = custs.crossJoin(F.broadcast(months))
+    dense = spine.join(cm, ["cust", "month"], "left").select(
+        "cust", "month", F.coalesce(F.col("cents"), F.lit(0)).alias("cents")
+    )
+    w = Window.partitionBy("cust").orderBy("month")
+    lagged = dense.select(
+        "cust", "month", "cents", F.lag("cents").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    c, p = F.col("cents"), F.col("prev")
+    return (
+        lagged.groupBy("month")
+        .agg(
+            F.round(
+                F.sum(F.when((p == 0) & (c > 0), c).otherwise(0)) / 100.0, 2
+            ).alias("new_rev"),
+            F.round(
+                F.sum(F.when((p > 0) & (c == 0), p).otherwise(0)) / 100.0, 2
+            ).alias("churned_rev"),
+            F.round(
+                F.sum(F.when((p > 0) & (c > p), c - p).otherwise(0)) / 100.0,
+                2,
+            ).alias("expansion_rev"),
+            F.round(
+                F.sum(
+                    F.when((p > 0) & (c > 0) & (c < p), p - c).otherwise(0)
+                )
+                / 100.0,
+                2,
+            ).alias("contraction_rev"),
+            F.round(F.sum(c) / 100.0, 2).alias("total_rev"),
+            F.round(F.sum(c - F.coalesce(p, F.lit(0))) / 100.0, 2).alias(
+                "net_change"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "events_resurrection",
+    """
+    WITH seq AS (
+        SELECT user_id, CAST(ts AS DATE) AS day
+        FROM events GROUP BY 1, 2
+    ), gaps AS (
+        SELECT user_id, day,
+               DATEDIFF('day',
+                        LAG(day) OVER (PARTITION BY user_id ORDER BY day),
+                        day) AS gap
+        FROM seq
+    ), r AS (SELECT * FROM gaps WHERE gap >= 7)
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_resurrected,
+           CAST(COUNT(*) AS BIGINT) AS n_resurrections,
+           ROUND(AVG(CAST(gap AS DOUBLE)), 4) AS avg_gap_days,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_days,
+           STRFTIME(MIN(day), '%Y-%m-%d') AS first_resurrection_day
+    FROM r
+    """,
+)
+def events_resurrection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resurrection analysis: returns after an absence of ≥ 7 days —
+    the growth-accounting counterpart to churn (resurrected users are
+    the cheapest acquisitions; their count and gap distribution size
+    the win-back opportunity). Distinct active days per user, one lag
+    window for inter-day gaps (exact integer datediffs), one filter +
+    reduction. The avg over integer gaps of a filtered set is one
+    division — deterministic. Shuffle ∝ distinct (user, day) pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    gaps = seq.select(
+        "user_id",
+        "day",
+        F.datediff(F.col("day"), F.lag("day").over(w)).alias("gap"),
+    ).filter(F.col("gap") >= 7)
+    return gaps.agg(
+        F.countDistinct("user_id").cast("bigint").alias("users_resurrected"),
+        F.count(F.lit(1)).cast("bigint").alias("n_resurrections"),
+        F.round(F.avg(F.col("gap").cast("double")), 4).alias("avg_gap_days"),
+        F.max("gap").cast("bigint").alias("max_gap_days"),
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias(
+            "first_resurrection_day"
+        ),
+    )
+
+
+@register(
+    "ts_linear_interpolate",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE)) AS rn,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS actual
+        FROM orders GROUP BY 1
+    ), holes AS (
+        -- deterministically punch out every 7th observation
+        SELECT day, rn, actual,
+               CASE WHEN rn % 7 = 3 THEN NULL ELSE actual END AS observed
+        FROM daily
+    ), ffill AS (
+        SELECT day, rn, actual, observed,
+               MAX(CASE WHEN observed IS NOT NULL THEN rn END)
+                   OVER (ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prev_rn,
+               MIN(CASE WHEN observed IS NOT NULL THEN rn END)
+                   OVER (ORDER BY rn
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_rn
+        FROM holes
+    ), vals AS (
+        SELECT f.day, f.rn, f.actual, f.observed, f.prev_rn, f.next_rn,
+               p.observed AS prev_val, nx.observed AS next_val
+        FROM ffill f
+        LEFT JOIN holes p ON p.rn = f.prev_rn
+        LEFT JOIN holes nx ON nx.rn = f.next_rn
+    ), interp AS (
+        SELECT day, rn, actual,
+               CASE WHEN observed IS NOT NULL THEN observed
+                    WHEN prev_val IS NOT NULL AND next_val IS NOT NULL
+                    THEN CAST(FLOOR(prev_val
+                         + CAST((next_val - prev_val) AS DOUBLE)
+                           * (rn - prev_rn) / (next_rn - prev_rn))
+                         AS BIGINT)
+                    ELSE COALESCE(prev_val, next_val) END AS filled,
+               (observed IS NULL) AS was_hole
+        FROM vals
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(COUNT(*) FILTER (WHERE was_hole) AS BIGINT) AS n_holes,
+           ROUND(CAST(SUM(CASE WHEN was_hole
+                               THEN ABS(filled - actual) ELSE 0 END)
+                      AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE was_hole) / 100.0, 2)
+               AS interp_mae,
+           ROUND(CAST(SUM(CASE WHEN was_hole THEN ABS(filled - actual)
+                               ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN was_hole THEN actual ELSE 0 END), 6)
+               AS interp_mape
+    FROM interp
+    """,
+)
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing observations, SELF-AUDITED:
+    deterministically punch out every 7th day of the revenue series,
+    reconstruct each hole by linear interpolation between its nearest
+    observed neighbors (forward/backward rank fences via running
+    max/min windows — the standard fill plan), and score the
+    reconstruction against the held-out truth (MAE / MAPE). This both
+    ships the interpolation operator AND quantifies its error on real
+    data — the honest way to ship a gap-filler. Interpolated values
+    floor-quantize the fractional step so both engines agree exactly;
+    fences and ranks are pure integers. One window pass + two
+    rank-keyed self-joins on the daily frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("day")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+            .cast("long")
+            .alias("actual")
+        )
+        .withColumn("rn", F.row_number().over(w))
+    )
+    holes = daily.withColumn(
+        "observed",
+        F.when(F.col("rn") % 7 == 3, F.lit(None)).otherwise(F.col("actual")),
+    )
+    wprev = Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+    wnext = Window.orderBy("rn").rowsBetween(0, Window.unboundedFollowing)
+    obs_rn = F.when(F.col("observed").isNotNull(), F.col("rn"))
+    ffill = holes.select(
+        "rn",
+        "actual",
+        "observed",
+        F.max(obs_rn).over(wprev).alias("prev_rn"),
+        F.min(obs_rn).over(wnext).alias("next_rn"),
+    )
+    pv = holes.select(
+        F.col("rn").alias("prn"), F.col("observed").alias("prev_val")
+    )
+    nv = holes.select(
+        F.col("rn").alias("nrn"), F.col("observed").alias("next_val")
+    )
+    vals = ffill.join(pv, F.col("prn") == F.col("prev_rn"), "left").join(
+        nv, F.col("nrn") == F.col("next_rn"), "left"
+    )
+    filled = (
+        F.when(F.col("observed").isNotNull(), F.col("observed"))
+        .when(
+            F.col("prev_val").isNotNull() & F.col("next_val").isNotNull(),
+            F.floor(
+                F.col("prev_val")
+                + (F.col("next_val") - F.col("prev_val")).cast("double")
+                * (F.col("rn") - F.col("prev_rn"))
+                / (F.col("next_rn") - F.col("prev_rn"))
+            ).cast("long"),
+        )
+        .otherwise(F.coalesce(F.col("prev_val"), F.col("next_val")))
+    )
+    interp = vals.select(
+        "actual",
+        filled.alias("filled"),
+        F.col("observed").isNull().alias("was_hole"),
+    )
+    err = F.when(
+        F.col("was_hole"), F.abs(F.col("filled") - F.col("actual"))
+    ).otherwise(0)
+    return interp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.count_if(F.col("was_hole")).cast("bigint").alias("n_holes"),
+        F.round(
+            F.sum(err).cast("double")
+            / F.count_if(F.col("was_hole"))
+            / 100.0,
+            2,
+        ).alias("interp_mae"),
+        F.round(
+            F.sum(err).cast("double")
+            / F.sum(F.when(F.col("was_hole"), F.col("actual")).otherwise(0)),
+            6,
+        ).alias("interp_mape"),
+    )

@@ -4996,3 +4996,89 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("interp_mape"),
     )
+
+
+@register(
+    "events_decay_score",
+    """
+    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS asof FROM events),
+    scored AS (
+        SELECT e.user_id,
+               DATEDIFF('day', CAST(e.ts AS DATE), mx.asof) AS age,
+               CAST(FLOOR(e.value * 100.0) AS BIGINT) AS cents
+        FROM events e CROSS JOIN mx
+    ), terms AS (
+        SELECT user_id,
+               CAST(FLOOR(cents * POW(2.0, -age / 7.0) * 1e4) AS BIGINT)
+                   AS w_q,
+               cents
+        FROM scored
+    ), g AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(w_q) AS BIGINT) AS score_q,
+               CAST(SUM(cents) AS BIGINT) AS raw_cents
+        FROM terms GROUP BY 1
+    ), ranked AS (
+        SELECT user_id, n_events,
+               ROUND(score_q / 1e4 / 100.0, 4) AS decay_score,
+               ROUND(raw_cents / 100.0, 2) AS raw_value,
+               ROW_NUMBER() OVER (ORDER BY score_q DESC, user_id) AS rnk
+        FROM g
+    )
+    SELECT CAST(rnk AS INT) AS rnk, user_id, n_events, decay_score,
+           raw_value
+    FROM ranked WHERE rnk <= 25 ORDER BY rnk
+    """,
+)
+def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay engagement scoring (half-life 7 days,
+    anchored at the dataset's last day): each event contributes
+    value·2^(−age/7), so recent activity dominates — the freshness-
+    weighted ranking signal behind "active value" leaderboards and
+    churn-risk ordering, where a raw sum would rank long-dormant whales
+    first. Every decayed term is floor-quantized before the per-user
+    integer sum, and the leaderboard orders by the quantized integer
+    with a user tie-break — deterministic top-25 anywhere. One anchor
+    reduce + one grouped pass; at 100 TB the decay weight computes in
+    codegen during the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.to_date("ts")).alias("asof"))
+    scored = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.datediff(F.col("asof"), F.to_date("ts")).alias("age"),
+        F.floor(F.col("value") * 100.0).cast("long").alias("cents"),
+    )
+    terms = scored.select(
+        "user_id",
+        F.floor(
+            F.col("cents") * F.pow(F.lit(2.0), -F.col("age") / 7.0) * 1e4
+        )
+        .cast("long")
+        .alias("w_q"),
+        "cents",
+    )
+    g = terms.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("w_q").cast("bigint").alias("score_q"),
+        F.sum("cents").cast("bigint").alias("raw_cents"),
+    )
+    w = Window.orderBy(F.col("score_q").desc(), F.col("user_id"))
+    ranked = g.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("score_q") / 1e4 / 100.0, 4).alias("decay_score"),
+        F.round(F.col("raw_cents") / 100.0, 2).alias("raw_value"),
+        F.row_number().over(w).alias("rnk"),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 25)
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            "user_id",
+            "n_events",
+            "decay_score",
+            "raw_value",
+        )
+        .orderBy("rnk")
+    )

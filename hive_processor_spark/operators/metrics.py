@@ -2425,3 +2425,85 @@ def stats_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k") / (F.col("s_q").cast("double") / 1e9), 4
         ).alias("alpha_hat"),
     ).orderBy("k")
+
+
+@register(
+    "stats_tail_dependence",
+    """
+    WITH a AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM lineitem GROUP BY 1
+    ), b AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), j AS (
+        SELECT a.day, a.x, b.y FROM a JOIN b ON b.day = a.day
+    ), ranked AS (
+        SELECT day, x, y,
+               ROW_NUMBER() OVER (ORDER BY x, day) AS rx,
+               ROW_NUMBER() OVER (ORDER BY y, day) AS ry,
+               COUNT(*) OVER () AS n
+        FROM j
+    ), q AS (
+        SELECT *, CAST(CEIL(0.95 * n) AS BIGINT) AS k FROM ranked
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(COUNT(*) FILTER (WHERE rx > k) AS BIGINT) AS x_exceed,
+           CAST(COUNT(*) FILTER (WHERE ry > k) AS BIGINT) AS y_exceed,
+           CAST(COUNT(*) FILTER (WHERE rx > k AND ry > k) AS BIGINT)
+               AS joint_exceed,
+           ROUND(CAST(COUNT(*) FILTER (WHERE rx > k AND ry > k) AS DOUBLE)
+                 / NULLIF(COUNT(*) FILTER (WHERE ry > k), 0), 6)
+               AS lambda_upper
+    FROM q
+    """,
+)
+def stats_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical upper-tail dependence between daily lineitem and order
+    revenue: λ̂_U = P(X above its 95th percentile | Y above its 95th
+    percentile) via joint rank exceedance counts — the copula-tail
+    diagnostic that says whether extremes co-occur (correlation can be
+    high while tails are independent, and vice versa; risk aggregation
+    cares about exactly this). Ranks are exact integers with day
+    tie-breaks; exceedance is a pure rank comparison against the
+    ceil(0.95n) fence — no float quantiles anywhere. Two grouped sums,
+    a day-keyed join of small daily frames, two rank windows, one
+    conditional reduction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    a = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    b = orders.groupBy(F.to_date("o_orderdate").alias("oday")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    j = a.join(b, a["day"] == b["oday"]).select("day", "x", "y")
+    wall = Window.partitionBy()
+    ranked = j.select(
+        "x",
+        "y",
+        F.row_number().over(Window.orderBy("x", "day")).alias("rx"),
+        F.row_number().over(Window.orderBy("y", "day")).alias("ry"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    ).withColumn("k", F.ceil(0.95 * F.col("n")).cast("bigint"))
+    xe = F.col("rx") > F.col("k")
+    ye = F.col("ry") > F.col("k")
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.count_if(xe).cast("bigint").alias("x_exceed"),
+        F.count_if(ye).cast("bigint").alias("y_exceed"),
+        F.count_if(xe & ye).cast("bigint").alias("joint_exceed"),
+        F.round(
+            F.count_if(xe & ye).cast("double")
+            / F.nullif(F.count_if(ye), F.lit(0)),
+            6,
+        ).alias("lambda_upper"),
+    )

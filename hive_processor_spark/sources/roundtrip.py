@@ -1135,3 +1135,44 @@ def sink_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ndv_overlap"),
     )
+
+
+@register(
+    "scan_nested_pruning",
+    """
+    SELECT n_name AS name,
+           CAST(n_regionkey AS INT) AS regionkey,
+           CAST(n_nationkey + 1000 AS BIGINT) AS geo_id
+    FROM nation ORDER BY name
+    """,
+)
+def scan_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-schema projection pushdown: write a parquet layout where
+    the interesting leaves live INSIDE a struct column
+    (geo: {nationkey, regionkey, padding}), then read back only two
+    leaves plus a top-level column — Spark's nested-schema-pruning rule
+    must shrink the Parquet ReadSchema to exactly the referenced leaf
+    paths (test_plans asserts `geo.regionkey` appears WITHOUT
+    `geo.padding` in the scan schema). At 100 TB structs hold the
+    wide metadata (the multimodal pattern in this repo: payload +
+    typed metadata struct), and leaf pruning is the difference between
+    reading 2% and 100% of the bytes. The oracle recomputes the same
+    values relationally — the contract is the ANSWER; the plan shape
+    is pinned by the plan test."""
+    nat = load_table(spark, sf_dir, "nation")
+    path = _scratch("nested")
+    nested = nat.select(
+        F.col("n_name").alias("name"),
+        F.struct(
+            F.col("n_nationkey").alias("nationkey"),
+            F.col("n_regionkey").alias("regionkey"),
+            F.repeat(F.lit("x"), 1000).alias("padding"),
+        ).alias("geo"),
+    )
+    nested.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.select(
+        "name",
+        F.col("geo.regionkey").cast("int").alias("regionkey"),
+        (F.col("geo.nationkey") + 1000).cast("bigint").alias("geo_id"),
+    ).orderBy("name")

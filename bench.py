@@ -62,6 +62,11 @@ HEADLINE = [
     "sim_precision_at_k",  # broadcast-probe retrieval grading (window top-k)
     "ml_nearest_centroid",  # exploded-dim Rocchio classifier + F1
     "join_range_binned",  # band join via bin+residual equi-join rewrite
+    # continuation-2 additions
+    "ml_naive_bayes",     # counts-table NB train + inference join
+    "join_spatial_dbscan",  # grid-cell equi-join density clustering
+    "dedup_lsh_tuning",   # one signature set re-sliced by 4 band configs
+    "ml_kfold_cv",        # total-minus-fold mergeable-stats CV
 ]
 
 

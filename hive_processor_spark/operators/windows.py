@@ -98,9 +98,12 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "win_percent",
     """
+    -- FLOOR-quantize: pr/cd are exact rationals (k/n) that can land on
+    -- round-half ties (hit at sf0.1: 333/640), where Spark rounds half-up
+    -- and DuckDB half-even
     SELECT c_custkey,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
-           ROUND(CUME_DIST() OVER w, 6) AS cd
+           FLOOR(PERCENT_RANK() OVER w * 1e6) / 1e6 AS pr,
+           FLOOR(CUME_DIST() OVER w * 1e6) / 1e6 AS cd
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY FLOOR(c_acctbal / 100.0))
     """,
@@ -110,8 +113,8 @@ def win_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_nationkey").orderBy(F.floor(F.col("c_acctbal") / 100.0))
     return cust.select(
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        (F.floor(F.percent_rank().over(w) * 1e6) / 1e6).alias("pr"),
+        (F.floor(F.cume_dist().over(w) * 1e6) / 1e6).alias("cd"),
     )
 
 

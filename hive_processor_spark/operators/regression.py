@@ -1675,3 +1675,118 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("sse_q").cast("double") / 1e4 / F.col("n_test")), 4
         ).alias("holdout_rmse"),
     ).orderBy("n_buckets")
+
+
+@register(
+    "ml_linear_attribution",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS x1,
+               CAST(doc_id % 7 AS BIGINT) AS x2,
+               n_chars AS y
+        FROM documents
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+               CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+               CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+               CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+               CAST(SUM(x2 * y) AS BIGINT) AS s2y
+        FROM t
+    ), fit AS (
+        SELECT n, CAST(s1 AS DOUBLE) / n AS m1, CAST(s2 AS DOUBLE) / n AS m2,
+               CAST(sy AS DOUBLE) / n AS my,
+               ((CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n)
+                * (CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n)
+                - (CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy / n)
+                  * (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n))
+               / ((CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                  * (CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n)
+                  - POW(CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n,
+                        2.0)) AS b1,
+               ((CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy / n)
+                * (CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                - (CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n)
+                  * (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n))
+               / ((CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                  * (CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n)
+                  - POW(CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n,
+                        2.0)) AS b2
+        FROM s
+    ), attributed AS (
+        SELECT t.doc_id,
+               ROUND(fit.my + fit.b1 * (t.x1 - fit.m1)
+                     + fit.b2 * (t.x2 - fit.m2), 4) AS prediction,
+               ROUND(fit.my, 4) AS baseline,
+               ROUND(fit.b1 * (t.x1 - fit.m1), 4) AS contrib_words,
+               ROUND(fit.b2 * (t.x2 - fit.m2), 4) AS contrib_noise,
+               t.y AS actual
+        FROM t CROSS JOIN fit
+    )
+    SELECT * FROM attributed ORDER BY doc_id LIMIT 25
+    """,
+)
+def ml_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-feature attribution for a linear model — for OLS the
+    Shapley decomposition is closed-form: prediction = ȳ (baseline)
+    + Σⱼ bⱼ(xⱼ − x̄ⱼ), so each feature's contribution is its
+    coefficient times its deviation from the mean, and contributions
+    sum EXACTLY to prediction − baseline (the identity the test pins).
+    Fit the two-feature model (word count + noise) from exact integer
+    sufficient statistics, broadcast the 1-row fit, decompose the
+    first 25 docs — the explainability surface (SHAP for linear
+    models) with zero sampling. One aggregation + one broadcast
+    map pass at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("x1"),
+        (F.col("doc_id") % 7).cast("bigint").alias("x2"),
+        F.col("n_chars").alias("y"),
+    )
+    s = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("s2y"),
+    )
+    nd = F.col("n").cast("double")
+    a11 = F.col("s11").cast("double") - F.col("s1").cast("double") * F.col("s1") / nd
+    a22 = F.col("s22").cast("double") - F.col("s2").cast("double") * F.col("s2") / nd
+    a12 = F.col("s12").cast("double") - F.col("s1").cast("double") * F.col("s2") / nd
+    b1v = F.col("s1y").cast("double") - F.col("s1").cast("double") * F.col("sy") / nd
+    b2v = F.col("s2y").cast("double") - F.col("s2").cast("double") * F.col("sy") / nd
+    det = a11 * a22 - F.pow(a12, 2.0)
+    fit = s.select(
+        (F.col("s1").cast("double") / nd).alias("m1"),
+        (F.col("s2").cast("double") / nd).alias("m2"),
+        (F.col("sy").cast("double") / nd).alias("my"),
+        ((b1v * a22 - b2v * a12) / det).alias("b1"),
+        ((b2v * a11 - b1v * a12) / det).alias("b2"),
+    )
+    attributed = t.crossJoin(F.broadcast(fit)).select(
+        "doc_id",
+        F.round(
+            F.col("my")
+            + F.col("b1") * (F.col("x1") - F.col("m1"))
+            + F.col("b2") * (F.col("x2") - F.col("m2")),
+            4,
+        ).alias("prediction"),
+        F.round("my", 4).alias("baseline"),
+        F.round(F.col("b1") * (F.col("x1") - F.col("m1")), 4).alias(
+            "contrib_words"
+        ),
+        F.round(F.col("b2") * (F.col("x2") - F.col("m2")), 4).alias(
+            "contrib_noise"
+        ),
+        F.col("y").alias("actual"),
+    )
+    return attributed.orderBy("doc_id").limit(25)

@@ -50,6 +50,10 @@ CACHE_SCAN_OK = {
         "deliberate persist(): one MinHash signature build re-sliced by"
         " four band configs; lineage-backed, LRU-evictable"
     ),
+    "graph_assortativity": (
+        "deliberate persist(): one derived 3-NN edge list reused as the"
+        " edge stream and both degree-join sides; lineage-backed"
+    ),
     "graph_matmul_2hop": (
         "deliberate persist(): one derived 3-NN edge list reused as both"
         " matmul operands and the direct-edge probe; lineage-backed"

@@ -1943,3 +1943,55 @@ def agg_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dev_factor"
         ),
     ).orderBy("from_delay")
+
+
+@register(
+    "agg_price_endings",
+    """
+    WITH e AS (
+        SELECT CAST(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) % 100
+                    AS INT) AS cents_ending
+        FROM orders
+    ), g AS (
+        SELECT cents_ending, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM g)
+    SELECT g.cents_ending, g.n,
+           ROUND(CAST(g.n AS DOUBLE) / tot.t, 6) AS share,
+           ROUND(CAST(g.n AS DOUBLE) / tot.t * 100.0, 4)
+               AS lift_vs_uniform
+    FROM g CROSS JOIN tot
+    ORDER BY g.n DESC, g.cents_ending LIMIT 10
+    """,
+)
+def agg_price_endings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-ending distribution: the top-10 cents endings of order
+    totals with their share and lift vs the uniform 1% baseline — the
+    psychological-pricing fingerprint (.99-heavy catalogs vs
+    uniform-synthetic data; also a data-provenance tell, since human-set
+    prices never have uniform endings while generated data does). The
+    ending is pure integer modulo of exact cents; shares are
+    final-form. One grouped count over a single projected column —
+    a 100-row frame regardless of scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    e = orders.select(
+        (F.floor(F.col("o_totalprice") * 100.0).cast("long") % 100)
+        .cast("int")
+        .alias("cents_ending")
+    )
+    g = e.groupBy("cents_ending").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = g.agg(F.sum("n").cast("bigint").alias("t"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "cents_ending",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
+            F.round(
+                F.col("n").cast("double") / F.col("t") * 100.0, 4
+            ).alias("lift_vs_uniform"),
+        )
+        .orderBy(F.col("n").desc(), "cents_ending")
+        .limit(10)
+    )

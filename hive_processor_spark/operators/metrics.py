@@ -2568,3 +2568,239 @@ def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "differs_5pct"
         ),
     )
+
+
+@register(
+    "stats_weibull_fit",
+    """
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) AS g_us
+        FROM events
+    ), nz AS (
+        SELECT CAST(g_us AS DOUBLE) / 1e6 AS t
+        FROM gaps WHERE g_us IS NOT NULL AND g_us > 0
+    ), ranked AS (
+        SELECT t,
+               ROW_NUMBER() OVER (ORDER BY t) AS i,
+               COUNT(*) OVER () AS n
+        FROM nz
+    ), tr AS (
+        SELECT LN(t) AS x,
+               LN(-LN(1.0 - (i - 0.3) / (n + 0.4))) AS y
+        FROM ranked
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(x * 1e6) AS BIGINT)) AS BIGINT) AS sx_q,
+               CAST(SUM(CAST(FLOOR(y * 1e6) AS BIGINT)) AS BIGINT) AS sy_q,
+               CAST(SUM(CAST(FLOOR(x * x * 1e6) AS BIGINT)) AS BIGINT)
+                   AS sxx_q,
+               CAST(SUM(CAST(FLOOR(x * y * 1e6) AS BIGINT)) AS BIGINT)
+                   AS sxy_q,
+               CAST(SUM(CAST(FLOOR(y * y * 1e6) AS BIGINT)) AS BIGINT)
+                   AS syy_q
+        FROM tr
+    )
+    SELECT CAST(n AS BIGINT) AS n_gaps,
+           ROUND((CAST(n AS DOUBLE) * (sxy_q / 1e6)
+                  - (sx_q / 1e6) * (sy_q / 1e6))
+                 / (CAST(n AS DOUBLE) * (sxx_q / 1e6)
+                    - POW(sx_q / 1e6, 2.0)), 4) AS shape_k,
+           ROUND(EXP(-((sy_q / 1e6) / n
+                 - (CAST(n AS DOUBLE) * (sxy_q / 1e6)
+                    - (sx_q / 1e6) * (sy_q / 1e6))
+                   / (CAST(n AS DOUBLE) * (sxx_q / 1e6)
+                      - POW(sx_q / 1e6, 2.0))
+                   * (sx_q / 1e6) / n)
+                 / ((CAST(n AS DOUBLE) * (sxy_q / 1e6)
+                     - (sx_q / 1e6) * (sy_q / 1e6))
+                    / (CAST(n AS DOUBLE) * (sxx_q / 1e6)
+                       - POW(sx_q / 1e6, 2.0)))), 2) AS scale_lambda_s,
+           ROUND(POW(CAST(n AS DOUBLE) * (sxy_q / 1e6)
+                     - (sx_q / 1e6) * (sy_q / 1e6), 2.0)
+                 / ((CAST(n AS DOUBLE) * (sxx_q / 1e6)
+                     - POW(sx_q / 1e6, 2.0))
+                    * (CAST(n AS DOUBLE) * (syy_q / 1e6)
+                       - POW(sy_q / 1e6, 2.0))), 6) AS fit_r2
+    FROM s
+    """,
+)
+def stats_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of inter-event gap times by median-rank regression
+    (the reliability-engineering standard): plot position
+    F̂ᵢ = (i−0.3)/(n+0.4) per sorted gap, regress ln(−ln(1−F̂)) on
+    ln(t) — slope = shape k (k≈1 exponential/memoryless, k<1 infant
+    mortality, k>1 wear-out), scale λ from the intercept. Shape k
+    diagnoses whether user activity is bursty or scheduled. Plot
+    positions are exact rank rationals; both transformed coordinates
+    are floor-quantized before the sufficient-statistic sums; the fit
+    is closed-form. One lag window (shuffle ∝ events, partitioned by
+    user), one rank window on the gap frame, one reduction."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = ev.select((us - F.lag(us).over(w)).alias("g_us")).filter(
+        F.col("g_us").isNotNull() & (F.col("g_us") > 0)
+    )
+    nz = gaps.select((F.col("g_us").cast("double") / 1e6).alias("t"))
+    wall = Window.partitionBy()
+    ranked = nz.select(
+        "t",
+        F.row_number().over(Window.orderBy("t")).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    tr = ranked.select(
+        F.ln("t").alias("x"),
+        F.ln(
+            -F.ln(1.0 - (F.col("i") - 0.3) / (F.col("n") + 0.4))
+        ).alias("y"),
+    )
+
+    def q6(c):
+        return F.sum(F.floor(c * 1e6).cast("long")).cast("long")
+
+    s = tr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        q6(F.col("x")).alias("sx_q"),
+        q6(F.col("y")).alias("sy_q"),
+        q6(F.col("x") * F.col("x")).alias("sxx_q"),
+        q6(F.col("x") * F.col("y")).alias("sxy_q"),
+        q6(F.col("y") * F.col("y")).alias("syy_q"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx_q") / 1e6, F.col("sy_q") / 1e6
+    sxx, sxy, syy = (
+        F.col("sxx_q") / 1e6,
+        F.col("sxy_q") / 1e6,
+        F.col("syy_q") / 1e6,
+    )
+    slope = (nd * sxy - sx * sy) / (nd * sxx - F.pow(sx, 2.0))
+    intercept = sy / nd - slope * sx / nd
+    r2 = F.pow(nd * sxy - sx * sy, 2.0) / (
+        (nd * sxx - F.pow(sx, 2.0)) * (nd * syy - F.pow(sy, 2.0))
+    )
+    return s.select(
+        F.col("n").alias("n_gaps"),
+        F.round(slope, 4).alias("shape_k"),
+        F.round(F.exp(-intercept / slope), 2).alias("scale_lambda_s"),
+        F.round(r2, 6).alias("fit_r2"),
+    )
+
+
+@register(
+    "stats_vif",
+    """
+    WITH t AS (
+        -- inputs are exact at 2dp: integerize FIRST (half-up escape from
+        -- representation error), so every product/sum below is EXACT —
+        -- per-term floor quantization of near-zero covariances injects a
+        -- systematic bias that fabricates correlation (caught by the
+        -- independent numpy test; both engines shared the bias)
+        SELECT CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) AS a,
+               CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS b,
+               CAST(FLOOR(l_tax * 100.0 + 0.5) AS BIGINT) AS c
+        FROM lineitem
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a) AS BIGINT) AS sa,
+               CAST(SUM(b) AS BIGINT) AS sb,
+               CAST(SUM(c) AS BIGINT) AS sc,
+               CAST(SUM(a * a) AS BIGINT) AS saa,
+               CAST(SUM(b * b) AS BIGINT) AS sbb,
+               CAST(SUM(c * c) AS BIGINT) AS scc,
+               CAST(SUM(a * b) AS BIGINT) AS sab,
+               CAST(SUM(a * c) AS BIGINT) AS sac,
+               CAST(SUM(b * c) AS BIGINT) AS sbc
+        FROM t
+    ), r AS (
+        SELECT
+          (CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+          / SQRT((CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+                 * (CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb))
+              AS rab,
+          (CAST(n AS DOUBLE) * sac - CAST(sa AS DOUBLE) * sc)
+          / SQRT((CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+                 * (CAST(n AS DOUBLE) * scc - CAST(sc AS DOUBLE) * sc))
+              AS rac,
+          (CAST(n AS DOUBLE) * sbc - CAST(sb AS DOUBLE) * sc)
+          / SQRT((CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)
+                 * (CAST(n AS DOUBLE) * scc - CAST(sc AS DOUBLE) * sc))
+              AS rbc
+        FROM s
+    ), vif AS (
+        -- VIF_j = R_jj^-1 via the 3x3 correlation-matrix inverse:
+        -- det = 1 - rab^2 - rac^2 - rbc^2 + 2*rab*rac*rbc
+        SELECT rab, rac, rbc,
+               1.0 - rab * rab - rac * rac - rbc * rbc
+                   + 2.0 * rab * rac * rbc AS det
+        FROM r
+    )
+    SELECT ROUND(rab, 6) AS r_qty_disc,
+           ROUND(rac, 6) AS r_qty_tax,
+           ROUND(rbc, 6) AS r_disc_tax,
+           ROUND((1.0 - rbc * rbc) / det, 4) AS vif_quantity,
+           ROUND((1.0 - rac * rac) / det, 4) AS vif_discount,
+           ROUND((1.0 - rab * rab) / det, 4) AS vif_tax
+    FROM vif
+    """,
+)
+def stats_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance inflation factors for the three lineitem regressors
+    (quantity, discount, tax): VIF_j is the j-th diagonal of the
+    inverse correlation matrix — for 3 features that inverse is
+    closed-form cofactor algebra over the three pairwise correlations,
+    so no iterative solver is needed (VIF_a = (1−r_bc²)/det with
+    det = 1 − r_ab² − r_ac² − r_bc² + 2·r_ab·r_ac·r_bc). Inputs are integerized at their exact 2-dp
+    grain FIRST so all sufficient statistics are exact integers (per-term
+    product quantization biases near-zero covariances — a bug class the
+    independent test caught). VIF > 5-10
+    flags multicollinearity that makes coefficient estimates unstable —
+    the pre-flight check before any multivariate fit. All correlations
+    come from one pass of floor-quantized sufficient statistics;
+    everything downstream is fixed-form algebra on one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.floor(F.col("l_quantity") * 100.0 + 0.5).cast("long").alias("a"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long").alias("b"),
+        F.floor(F.col("l_tax") * 100.0 + 0.5).cast("long").alias("c"),
+    )
+
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    s = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(a).cast("long").alias("sa"),
+        F.sum(b).cast("long").alias("sb"),
+        F.sum(c).cast("long").alias("sc"),
+        F.sum(a * a).cast("long").alias("saa"),
+        F.sum(b * b).cast("long").alias("sbb"),
+        F.sum(c * c).cast("long").alias("scc"),
+        F.sum(a * b).cast("long").alias("sab"),
+        F.sum(a * c).cast("long").alias("sac"),
+        F.sum(b * c).cast("long").alias("sbc"),
+    )
+    nd = F.col("n").cast("double")
+
+    def corr(sxy, sx, sy, sxx, syy):
+        return (nd * F.col(sxy) - F.col(sx).cast("double") * F.col(sy)) / (
+            F.sqrt(
+                (nd * F.col(sxx) - F.col(sx).cast("double") * F.col(sx))
+                * (nd * F.col(syy) - F.col(sy).cast("double") * F.col(sy))
+            )
+        )
+
+    r = s.select(
+        corr("sab", "sa", "sb", "saa", "sbb").alias("rab"),
+        corr("sac", "sa", "sc", "saa", "scc").alias("rac"),
+        corr("sbc", "sb", "sc", "sbb", "scc").alias("rbc"),
+    )
+    rab, rac, rbc = F.col("rab"), F.col("rac"), F.col("rbc")
+    det = 1.0 - rab * rab - rac * rac - rbc * rbc + 2.0 * rab * rac * rbc
+    return r.select(
+        F.round(rab, 6).alias("r_qty_disc"),
+        F.round(rac, 6).alias("r_qty_tax"),
+        F.round(rbc, 6).alias("r_disc_tax"),
+        F.round((1.0 - rbc * rbc) / det, 4).alias("vif_quantity"),
+        F.round((1.0 - rac * rac) / det, 4).alias("vif_discount"),
+        F.round((1.0 - rab * rab) / det, 4).alias("vif_tax"),
+    )

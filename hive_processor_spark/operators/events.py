@@ -5082,3 +5082,97 @@ def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@register(
+    "ts_drawdown_episodes",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), cum AS (
+        SELECT day,
+               SUM(cents) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM daily
+    ), dd AS (
+        SELECT day, c,
+               MAX(c) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        FROM cum
+    ), flagged AS (
+        SELECT day, c, peak, CAST(c < peak AS INT) AS under,
+               ROW_NUMBER() OVER (ORDER BY day) AS rn
+        FROM dd
+    ), islands AS (
+        SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY under ORDER BY rn)
+                   AS grp
+        FROM flagged
+    ), eps AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS duration_days,
+               CAST(MAX(peak - c) AS BIGINT) AS depth_cents,
+               STRFTIME(MIN(day), '%Y-%m-%d') AS start_day
+        FROM islands WHERE under = 1 GROUP BY grp
+    )
+    SELECT start_day, duration_days,
+           ROUND(depth_cents / 100.0, 2) AS max_depth
+    FROM eps ORDER BY depth_cents DESC, start_day LIMIT 5
+    """,
+)
+def ts_drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown EPISODES of cumulative revenue — where max_drawdown
+    reports one number, this enumerates each below-peak stretch
+    (gaps-and-islands on the under-peak flag) with its start, duration,
+    and maximum depth, returning the five deepest — the recovery-time
+    view risk review actually needs ("how long were we under water",
+    not just "how deep"). Running sums/maxima are exact integer
+    windows; islands come from the row-number difference trick; the
+    top-5 orders by exact integer depth with a start-day tie-break.
+    One grouped sum + ordered windows on the daily frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.select(
+        "day",
+        F.sum("cents").over(w).alias("c"),
+    ).select(
+        "day", "c", F.max("c").over(w).alias("peak")
+    )
+    flagged = dd.select(
+        "day",
+        "c",
+        "peak",
+        (F.col("c") < F.col("peak")).cast("int").alias("under"),
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+    )
+    wi = Window.partitionBy("under").orderBy("rn")
+    islands = flagged.withColumn(
+        "grp", F.col("rn") - F.row_number().over(wi)
+    )
+    eps = (
+        islands.filter(F.col("under") == 1)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("duration_days"),
+            F.max(F.col("peak") - F.col("c")).cast("bigint").alias(
+                "depth_cents"
+            ),
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("start_day"),
+        )
+    )
+    return (
+        eps.select(
+            "start_day",
+            "duration_days",
+            F.round(F.col("depth_cents") / 100.0, 2).alias("max_depth"),
+        )
+        .orderBy(F.col("max_depth").desc(), "start_day")
+        .limit(5)
+    )

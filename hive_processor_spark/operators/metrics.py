@@ -2804,3 +2804,110 @@ def stats_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((1.0 - rac * rac) / det, 4).alias("vif_discount"),
         F.round((1.0 - rab * rab) / det, 4).alias("vif_tax"),
     )
+
+
+@register(
+    "stats_bland_altman",
+    """
+    WITH li AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS li_cents
+        FROM lineitem GROUP BY 1
+    ), paired AS (
+        SELECT CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT) AS m1,
+               li.li_cents AS m2
+        FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+    ), d AS (
+        SELECT m1 - m2 AS diff, (m1 + m2) AS mean2 FROM paired
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(diff) AS BIGINT) AS sd_sum,
+               CAST(SUM(CAST(diff AS HUGEINT) * diff) AS HUGEINT) AS sdd
+        FROM d
+    ), lim AS (
+        SELECT n,
+               CAST(sd_sum AS DOUBLE) / n AS bias,
+               SQRT((CAST(sdd AS DOUBLE)
+                     - CAST(sd_sum AS DOUBLE) * sd_sum / n) / (n - 1)) AS sd
+        FROM s
+    )
+    SELECT CAST(lim.n AS BIGINT) AS n_pairs,
+           ROUND(lim.bias / 100.0, 2) AS bias,
+           ROUND(lim.sd / 100.0, 2) AS sd_diff,
+           ROUND((lim.bias - 1.96 * lim.sd) / 100.0, 2) AS loa_lower,
+           ROUND((lim.bias + 1.96 * lim.sd) / 100.0, 2) AS loa_upper,
+           ROUND(CAST(COUNT(*) FILTER (
+                     WHERE d.diff >= lim.bias - 1.96 * lim.sd
+                       AND d.diff <= lim.bias + 1.96 * lim.sd) AS DOUBLE)
+                 / lim.n, 6) AS within_loa
+    FROM d CROSS JOIN lim
+    GROUP BY lim.n, lim.bias, lim.sd
+    """,
+)
+def stats_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland–Altman method-agreement analysis between two measurements
+    of the same quantity the fixture genuinely carries twice: the order
+    header total vs the sum of its line items — bias (mean difference),
+    the SD of differences, 95% limits of agreement, and the fraction of
+    pairs inside them. This is the measurement-comparison tool that
+    catches systematic disagreement correlation hides (two measures can
+    correlate 0.99 and still disagree by a constant). Differences are
+    exact integer cents; moments use 128-bit accumulators; the
+    within-limits count is one conditional pass with the 1-row limits
+    broadcast. Two aggregations + one join, shuffle ∝ orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lio = li.groupBy("l_orderkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+        .cast("bigint")
+        .alias("li_cents")
+    )
+    paired = orders.join(
+        lio, lio["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        (
+            F.floor(F.col("o_totalprice") * 100.0).cast("long")
+            - F.col("li_cents")
+        ).alias("diff")
+    )
+    s = paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("diff").cast("bigint").alias("sd_sum"),
+        F.sum(F.col("diff").cast("decimal(38,0)") * F.col("diff")).alias(
+            "sdd"
+        ),
+    )
+    bias = F.col("sd_sum").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (
+            F.col("sdd").cast("double")
+            - F.col("sd_sum").cast("double") * F.col("sd_sum") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    lim = s.select(F.col("n"), bias.alias("bias"), sd.alias("sd"))
+    within = (F.col("diff") >= F.col("bias") - 1.96 * F.col("sd")) & (
+        F.col("diff") <= F.col("bias") + 1.96 * F.col("sd")
+    )
+    return (
+        paired.crossJoin(F.broadcast(lim))
+        .groupBy("n", "bias", "sd")
+        .agg(
+            F.round(
+                F.count_if(within).cast("double") / F.max("n"), 6
+            ).alias("within_loa")
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_pairs"),
+            F.round(F.col("bias") / 100.0, 2).alias("bias"),
+            F.round(F.col("sd") / 100.0, 2).alias("sd_diff"),
+            F.round((F.col("bias") - 1.96 * F.col("sd")) / 100.0, 2).alias(
+                "loa_lower"
+            ),
+            F.round((F.col("bias") + 1.96 * F.col("sd")) / 100.0, 2).alias(
+                "loa_upper"
+            ),
+            "within_loa",
+        )
+    )

@@ -1790,3 +1790,127 @@ def ml_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").alias("actual"),
     )
     return attributed.orderBy("doc_id").limit(25)
+
+
+@register(
+    "ml_conformal_interval",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS x,
+               n_chars AS y,
+               CAST(doc_id % 2 AS INT) AS split
+        FROM documents
+    ), s AS (
+        -- fit on the calibration half (even ids)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM t WHERE split = 0
+    ), fit AS (
+        SELECT (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * sx) / n AS a
+        FROM s
+    ), cal AS (
+        SELECT CAST(FLOOR(ABS(t.y - fit.a - fit.b * t.x) * 1e4) AS BIGINT)
+                   AS r_q
+        FROM t CROSS JOIN fit WHERE t.split = 0
+    ), qhat AS (
+        SELECT r_q AS q_quant, n FROM (
+            SELECT r_q, ROW_NUMBER() OVER (ORDER BY r_q) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM cal
+        ) z WHERE rn = CAST(CEIL(0.9 * (n + 1)) AS BIGINT)
+    ), test AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(COUNT(*) FILTER (
+                   WHERE CAST(FLOOR(ABS(t.y - fit.a - fit.b * t.x) * 1e4)
+                              AS BIGINT) <= qhat.q_quant) AS BIGINT)
+                   AS covered
+        FROM t CROSS JOIN fit CROSS JOIN qhat
+        WHERE t.split = 1
+        GROUP BY qhat.q_quant
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM qhat) AS n_calibration,
+           test.n_test,
+           ROUND((SELECT q_quant FROM qhat) / 1e4, 4) AS interval_halfwidth,
+           ROUND(CAST(test.covered AS DOUBLE) / test.n_test, 6)
+               AS test_coverage
+    FROM test
+    """,
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the n_chars ~ word_count
+    model at 90% nominal coverage: fit on the calibration half, take
+    the ⌈0.9(n+1)⌉-th smallest absolute calibration residual as the
+    interval half-width q̂, and report REALIZED coverage on the held
+    half — the distribution-free uncertainty quantification with a
+    finite-sample guarantee (coverage ≥ 90% in expectation, no
+    normality assumed; the test pins realized coverage near nominal).
+    Residuals are floor-quantized so the order statistic is an integer
+    selection; the fit is exact sufficient statistics. One aggregation,
+    one rank window on the calibration residuals, one broadcast
+    coverage pass — conformal inference at warehouse scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("x"),
+        F.col("n_chars").alias("y"),
+        (F.col("doc_id") % 2).cast("int").alias("split"),
+    )
+    cal_half = t.filter(F.col("split") == 0)
+    s = cal_half.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    b = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    fit = s.select(
+        b.alias("b"),
+        ((F.col("sy").cast("double") - b * F.col("sx")) / F.col("n")).alias(
+            "a"
+        ),
+    )
+    resid_q = F.floor(
+        F.abs(F.col("y") - F.col("a") - F.col("b") * F.col("x")) * 1e4
+    ).cast("long")
+    cal = cal_half.crossJoin(F.broadcast(fit)).select(resid_q.alias("r_q"))
+    wall = Window.partitionBy()
+    ranked = cal.select(
+        "r_q",
+        F.row_number().over(Window.orderBy("r_q")).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    qhat = ranked.filter(
+        F.col("rn") == F.ceil(0.9 * (F.col("n") + 1)).cast("bigint")
+    ).select(F.col("r_q").alias("q_quant"), F.col("n").alias("n_cal"))
+    test = (
+        t.filter(F.col("split") == 1)
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(qhat))
+        .groupBy("q_quant", "n_cal")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.count_if(resid_q <= F.col("q_quant"))
+            .cast("bigint")
+            .alias("covered"),
+        )
+    )
+    return test.select(
+        F.col("n_cal").cast("bigint").alias("n_calibration"),
+        "n_test",
+        F.round(F.col("q_quant") / 1e4, 4).alias("interval_halfwidth"),
+        F.round(
+            F.col("covered").cast("double") / F.col("n_test"), 6
+        ).alias("test_coverage"),
+    )

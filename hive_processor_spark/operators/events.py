@@ -5176,3 +5176,83 @@ def ts_drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("max_depth").desc(), "start_day")
         .limit(5)
     )
+
+
+@register(
+    "ts_rolling_beta",
+    """
+    WITH a AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(FLOOR(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                          / 100.0) AS BIGINT) AS x
+        FROM lineitem GROUP BY 1
+    ), b AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(FLOOR(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                          / 100.0) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), j AS (
+        SELECT a.day, a.x, b.y FROM a JOIN b ON b.day = a.day
+    ), w AS (
+        SELECT day, x, y,
+               COUNT(*) OVER win AS n,
+               SUM(x) OVER win AS sx, SUM(y) OVER win AS sy,
+               SUM(x * y) OVER win AS sxy, SUM(y * y) OVER win AS syy
+        FROM j
+        WINDOW win AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 6)
+               AS beta30
+    FROM w WHERE n = 30
+    ORDER BY day
+    """,
+)
+def ts_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day beta of lineitem revenue against order revenue —
+    the windowed-regression slope cov(x,y)/var(y) that tracks how
+    tightly one KPI follows another THROUGH TIME (a structural break
+    shows as a beta shift long before a full-period regression
+    notices). Daily values are floor-quantized whole dollars so every
+    rolling sum (x, y, xy, y²) is an exact integer window; products
+    y² ≈ 5e13 per day × 30 stay far inside bigint at this scale (the
+    docstring contract: DECIMAL(38,0) at petabyte day-volumes). One
+    join of two grouped daily frames + a single multi-aggregate window
+    pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    a = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+        F.floor(
+            F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+            / 100.0
+        )
+        .cast("long")
+        .alias("x")
+    )
+    b = orders.groupBy(F.to_date("o_orderdate").alias("oday")).agg(
+        F.floor(
+            F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+            / 100.0
+        )
+        .cast("long")
+        .alias("y")
+    )
+    j = a.join(b, a["day"] == b["oday"]).select("day", "x", "y")
+    win = Window.orderBy("day").rowsBetween(-29, 0)
+    w = j.select(
+        "day",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).over(win).alias("syy"),
+    ).filter(F.col("n") == 30)
+    nd = F.col("n").cast("double")
+    beta = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    )
+    return w.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(beta, 6).alias("beta30"),
+    ).orderBy("day")

@@ -397,3 +397,115 @@ def market_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     ).orderBy("brand")
+
+
+@register(
+    "agg_abc_xyz",
+    """
+    WITH pm AS (
+        SELECT l_partkey AS pk,
+               STRFTIME(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ), p AS (
+        SELECT pk,
+               CAST(SUM(cents) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_months,
+               CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
+        FROM pm GROUP BY 1
+    ), ranked AS (
+        SELECT pk, total, n_months, ss,
+               SUM(total) OVER (ORDER BY total DESC, pk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_total,
+               SUM(total) OVER () AS grand
+        FROM p
+    ), classed AS (
+        SELECT pk,
+               CASE WHEN 5 * cum_total <= 4 * grand THEN 'A'
+                    WHEN 20 * cum_total <= 19 * grand THEN 'B'
+                    ELSE 'C' END AS abc,
+               CASE WHEN n_months < 2 THEN 'Z'
+                    WHEN SQRT(GREATEST((CAST(ss AS DOUBLE)
+                              - CAST(total AS DOUBLE) * total / n_months)
+                              / (n_months - 1), 0.0))
+                         / (CAST(total AS DOUBLE) / n_months) <= 0.5 THEN 'X'
+                    WHEN SQRT(GREATEST((CAST(ss AS DOUBLE)
+                              - CAST(total AS DOUBLE) * total / n_months)
+                              / (n_months - 1), 0.0))
+                         / (CAST(total AS DOUBLE) / n_months) <= 1.0 THEN 'Y'
+                    ELSE 'Z' END AS xyz
+        FROM ranked
+    )
+    SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM classed GROUP BY 1, 2 ORDER BY abc, xyz
+    """,
+)
+def agg_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory classification matrix: parts classed A/B/C by
+    cumulative revenue share (80/95% breakpoints as PURE INTEGER
+    inequalities 5·cum ≤ 4·grand and 20·cum ≤ 19·grand — no float
+    threshold can flip a boundary part) crossed with X/Y/Z demand
+    variability (coefficient of variation of monthly revenue from
+    exact integer moments, fences at 0.5/1.0). The resulting 9-cell
+    count matrix is THE stocking-policy segmentation (AX = automate,
+    CZ = drop). Shape: one grouped sum to part-month, one rollup to
+    parts, a ranked cumulative window over the part frame, one final
+    9-row count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.date_format(F.to_date("l_shipdate"), "yyyy-MM").alias("month"),
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    p = pm.groupBy("pk").agg(
+        F.sum("cents").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "ss"
+        ),
+    )
+    wcum = Window.orderBy(F.col("total").desc(), F.col("pk")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    ranked = p.select(
+        "pk",
+        "total",
+        "n_months",
+        "ss",
+        F.sum("total").over(wcum).alias("cum_total"),
+        F.sum("total").over(wall).alias("grand"),
+    )
+    cv = F.sqrt(
+        F.greatest(
+            (
+                F.col("ss").cast("double")
+                - F.col("total").cast("double") * F.col("total")
+                / F.col("n_months")
+            )
+            / (F.col("n_months") - 1),
+            F.lit(0.0),
+        )
+    ) / (F.col("total").cast("double") / F.col("n_months"))
+    classed = ranked.select(
+        "pk",
+        F.when(5 * F.col("cum_total") <= 4 * F.col("grand"), "A")
+        .when(20 * F.col("cum_total") <= 19 * F.col("grand"), "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when(F.col("n_months") < 2, "Z")
+        .when(cv <= 0.5, "X")
+        .when(cv <= 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return (
+        classed.groupBy("abc", "xyz")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .orderBy("abc", "xyz")
+    )

@@ -1333,3 +1333,79 @@ def profile_modal_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("alignment_rate"),
         F.round(corr, 6).alias("corr_chars_norm"),
     )
+
+
+@register(
+    "profile_calendar_gaps",
+    """
+    WITH srcs AS (
+        SELECT 'orders' AS tbl, CAST(o_orderdate AS DATE) AS day FROM orders
+        UNION ALL
+        SELECT 'lineitem', CAST(l_shipdate AS DATE) FROM lineitem
+        UNION ALL
+        SELECT 'events', CAST(ts AS DATE) FROM events
+    ), d AS (
+        SELECT DISTINCT tbl, day FROM srcs
+    ), g AS (
+        SELECT tbl, day,
+               DATEDIFF('day',
+                        LAG(day) OVER (PARTITION BY tbl ORDER BY day),
+                        day) AS gap
+        FROM d
+    )
+    SELECT tbl,
+           CAST(COUNT(*) AS BIGINT) AS days_present,
+           CAST(DATEDIFF('day', MIN(day), MAX(day)) + 1 AS BIGINT)
+               AS span_days,
+           CAST(DATEDIFF('day', MIN(day), MAX(day)) + 1 - COUNT(*)
+                AS BIGINT) AS days_missing,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (DATEDIFF('day', MIN(day), MAX(day)) + 1), 6)
+               AS completeness,
+           CAST(COALESCE(MAX(gap) - 1, 0) AS BIGINT) AS longest_gap_days
+    FROM g GROUP BY tbl ORDER BY tbl
+    """,
+)
+def profile_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar completeness audit across the three time-bearing
+    tables: days present vs calendar span, missing-day count,
+    completeness ratio, and the longest interior gap — the freshness/
+    continuity check that catches dropped ingestion days before any
+    time-series operator silently treats them as zero demand. Distinct
+    days per table (shuffle ∝ distinct days), one lag window per table
+    partition, exact integer datediffs throughout."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    srcs = (
+        orders.select(
+            F.lit("orders").alias("tbl"), F.to_date("o_orderdate").alias("day")
+        )
+        .unionAll(
+            li.select(F.lit("lineitem"), F.to_date("l_shipdate"))
+        )
+        .unionAll(ev.select(F.lit("events"), F.to_date("ts")))
+    )
+    d = srcs.distinct()
+    w = Window.partitionBy("tbl").orderBy("day")
+    g = d.select(
+        "tbl",
+        "day",
+        F.datediff(F.col("day"), F.lag("day").over(w)).alias("gap"),
+    )
+    span = F.datediff(F.max("day"), F.min("day")) + 1
+    return (
+        g.groupBy("tbl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("days_present"),
+            span.cast("bigint").alias("span_days"),
+            (span - F.count(F.lit(1))).cast("bigint").alias("days_missing"),
+            F.round(F.count(F.lit(1)).cast("double") / span, 6).alias(
+                "completeness"
+            ),
+            F.coalesce(F.max("gap") - 1, F.lit(0))
+            .cast("bigint")
+            .alias("longest_gap_days"),
+        )
+        .orderBy("tbl")
+    )

@@ -2911,3 +2911,171 @@ def stats_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_loa",
         )
     )
+
+
+@register(
+    "stats_zero_inflation",
+    """
+    WITH u AS (
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS k
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey
+         AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+        GROUP BY 1
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(k) AS BIGINT) AS total,
+               CAST(COUNT(*) FILTER (WHERE k = 0) AS BIGINT) AS n0
+        FROM u
+    )
+    SELECT n, n0,
+           ROUND(CAST(total AS DOUBLE) / n, 6) AS lambda_hat,
+           ROUND(CAST(n AS DOUBLE) * EXP(-CAST(total AS DOUBLE) / n), 2)
+               AS expected_zeros,
+           ROUND(CAST(n0 AS DOUBLE)
+                 / (CAST(n AS DOUBLE)
+                    * EXP(-CAST(total AS DOUBLE) / n)), 4)
+               AS zero_ratio,
+           ROUND(POW(n0 - CAST(n AS DOUBLE)
+                          * EXP(-CAST(total AS DOUBLE) / n), 2.0)
+                 / (CAST(n AS DOUBLE) * EXP(-CAST(total AS DOUBLE) / n)
+                    * (1.0 - EXP(-CAST(total AS DOUBLE) / n))
+                    - CAST(total AS DOUBLE)
+                      * EXP(-2.0 * CAST(total AS DOUBLE) / n)), 4)
+               AS score_stat
+    FROM s
+    """,
+)
+def stats_zero_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-inflation score test (van den Broek) on per-customer 2001
+    order counts: compare observed zero-count customers to the
+    Poisson-predicted n·e^{−λ̂} and report the χ²₁ score statistic —
+    the count-modeling decision ("plain Poisson or zero-inflated?")
+    that determines which demand model is even admissible. The
+    LEFT JOIN keeps the structural zeros a naive inner-join count would
+    silently drop — exactly the bug class this test exists to expose.
+    Counts and totals are exact integers; λ̂ and the statistic are
+    fixed-form. One join + two reductions, shuffle ∝ customers."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    o01 = orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    u = cust.join(
+        o01, o01["o_custkey"] == cust["c_custkey"], "left"
+    ).groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("bigint").alias("k")
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("total"),
+        F.count_if(F.col("k") == 0).cast("bigint").alias("n0"),
+    )
+    nd = F.col("n").cast("double")
+    lam = F.col("total").cast("double") / nd
+    p0 = F.exp(-lam)
+    expected = nd * p0
+    score = F.pow(F.col("n0") - expected, 2.0) / (
+        expected * (1.0 - p0) - F.col("total").cast("double") * F.exp(-2.0 * lam)
+    )
+    return s.select(
+        "n",
+        "n0",
+        F.round(lam, 6).alias("lambda_hat"),
+        F.round(expected, 2).alias("expected_zeros"),
+        F.round(F.col("n0").cast("double") / expected, 4).alias(
+            "zero_ratio"
+        ),
+        F.round(score, 4).alias("score_stat"),
+    )
+
+
+@register(
+    "stats_fleiss_kappa",
+    """
+    WITH langs AS (SELECT ['de', 'en', 'es', 'fr', 'zh'] AS ls),
+    ann AS (
+        SELECT d.doc_id, k.k,
+               CASE WHEN (d.doc_id * 1000003 + k.k * 2654435761)
+                         % 4294967296 % 10 < 2
+                    THEN langs.ls[(
+                        (LIST_POSITION(langs.ls, d.lang) - 1 + 1
+                         + CAST((d.doc_id * 1000003 + k.k * 2654435761)
+                                % 4294967296 % 4 AS BIGINT)) % 5) + 1]
+                    ELSE d.lang END AS label
+        FROM documents d
+        CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS k) k
+        CROSS JOIN langs
+    ), cell AS (
+        SELECT doc_id, label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ann GROUP BY 1, 2
+    ), peritem AS (
+        SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS ss FROM cell GROUP BY 1
+    ), cat AS (
+        SELECT label, CAST(SUM(c) AS BIGINT) AS cj FROM cell GROUP BY 1
+    ), agg AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM peritem) AS n_items,
+               (SELECT CAST(SUM(ss - 3) AS BIGINT) FROM peritem) AS s_num,
+               (SELECT CAST(SUM(cj * cj) AS BIGINT) FROM cat) AS s_cj2
+    )
+    SELECT n_items,
+           ROUND(CAST(s_num AS DOUBLE) / (6 * n_items), 6) AS p_bar,
+           ROUND(CAST(s_cj2 AS DOUBLE) / (9.0 * n_items * n_items), 6)
+               AS p_e,
+           ROUND((CAST(s_num AS DOUBLE) / (6 * n_items)
+                  - CAST(s_cj2 AS DOUBLE) / (9.0 * n_items * n_items))
+                 / (1.0 - CAST(s_cj2 AS DOUBLE)
+                    / (9.0 * n_items * n_items)), 6) AS fleiss_kappa
+    FROM agg
+    """,
+)
+def stats_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa inter-annotator agreement across three synthetic
+    annotators labeling document language (each annotator flips ~20% of
+    labels via a deterministic hash — the stand-in for the real
+    multi-rater export): chance-corrected agreement for MORE than two
+    raters, the labeling-QA gate every annotation pipeline reports
+    before training on the labels. With 3 raters each per-item
+    agreement P_i is an exact sixth (Σn²−3)/6, so EVERY quantity —
+    P̄, the category shares, P̄ₑ, κ — reduces to exact integer
+    arithmetic with two final divisions. Shape: 3× annotator fan-out of
+    the doc frame, one (doc, label) count, two tiny rollups."""
+    docs = load_table(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    larr = F.array(*[F.lit(x) for x in langs])
+    ks = spark.createDataFrame([(0,), (1,), (2,)], "k: int")
+    h = (
+        F.col("doc_id") * 1000003 + F.col("k") * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    idx = F.array_position(larr, F.col("lang")) - 1
+    wrong_idx = (idx + 1 + (h % 4)) % 5
+    label = F.when(
+        h % 10 < 2, F.element_at(larr, (wrong_idx + 1).cast("int"))
+    ).otherwise(F.col("lang"))
+    ann = docs.crossJoin(F.broadcast(ks)).select(
+        "doc_id", label.alias("label")
+    )
+    cell = ann.groupBy("doc_id", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    peritem = cell.groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss")
+    )
+    cat = cell.groupBy("label").agg(F.sum("c").cast("bigint").alias("cj"))
+    a1 = peritem.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("ss") - 3).cast("bigint").alias("s_num"),
+    )
+    a2 = cat.agg(F.sum(F.col("cj") * F.col("cj")).cast("bigint").alias("s_cj2"))
+    agg = a1.crossJoin(F.broadcast(a2))
+    nd = F.col("n_items").cast("double")
+    p_bar = F.col("s_num").cast("double") / (6 * F.col("n_items"))
+    p_e = F.col("s_cj2").cast("double") / (9.0 * nd * nd)
+    return agg.select(
+        "n_items",
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.round((p_bar - p_e) / (1.0 - p_e), 6).alias("fleiss_kappa"),
+    )

@@ -418,3 +418,112 @@ def embed_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("inter_mean", 6).alias("inter_mean"),
         F.round(F.col("intra_mean") - F.col("inter_mean"), 6).alias("margin"),
     ).orderBy("label")
+
+
+@register(
+    "ml_ranking_stability",
+    """
+    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS asof FROM events),
+    terms AS (
+        SELECT e.user_id,
+               CAST(FLOOR(CAST(FLOOR(e.value * 100.0) AS BIGINT)
+                    * POW(2.0, -DATEDIFF('day', CAST(e.ts AS DATE), mx.asof)
+                          / 7.0) * 1e4) AS BIGINT) AS w_q,
+               CAST(FLOOR(e.value * 100.0) AS BIGINT) AS cents
+        FROM events e CROSS JOIN mx
+    ), g AS (
+        SELECT user_id, CAST(SUM(w_q) AS BIGINT) AS decay_q,
+               CAST(SUM(cents) AS BIGINT) AS raw_q
+        FROM terms GROUP BY 1
+    ), ra AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (ORDER BY decay_q DESC, user_id) AS r_decay,
+               ROW_NUMBER() OVER (ORDER BY raw_q DESC, user_id) AS r_raw
+        FROM g
+    ), topk AS (
+        SELECT user_id,
+               CAST(r_decay <= 20 AS INT) AS in_decay,
+               CAST(r_raw <= 20 AS INT) AS in_raw,
+               r_decay, r_raw
+        FROM ra
+    )
+    SELECT CAST(SUM(in_decay * in_raw) AS BIGINT) AS overlap_20,
+           ROUND(CAST(SUM(in_decay * in_raw) AS DOUBLE)
+                 / (40 - SUM(in_decay * in_raw)), 6) AS jaccard_20,
+           CAST(SUM(CASE WHEN in_decay + in_raw = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS churned_members,
+           ROUND(CAST(SUM(CASE WHEN in_decay = 1 AND in_raw = 1
+                               THEN ABS(r_decay - r_raw) ELSE 0 END)
+                      AS DOUBLE)
+                 / NULLIF(SUM(in_decay * in_raw), 0), 4)
+               AS mean_rank_shift
+    FROM topk
+    """,
+)
+def ml_ranking_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-stability audit between two scoring functions over the
+    same population — decay-weighted vs raw-sum user value — measured
+    where it matters operationally: top-20 membership overlap, Jaccard,
+    churned members, and the mean rank shift among survivors. This is
+    the pre-deployment check for any scorer swap ("how many VIPs does
+    the new definition demote"), and the same frame as search-ranking
+    regression testing. Both scores are quantized integer sums with
+    user_id tie-breaks, so both rankings and every stability metric are
+    bit-deterministic. One grouped pass, two rank windows over the
+    per-user frame, one reduction."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.to_date("ts")).alias("asof"))
+    terms = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.floor(
+            F.floor(F.col("value") * 100.0).cast("long")
+            * F.pow(
+                F.lit(2.0),
+                -F.datediff(F.col("asof"), F.to_date("ts")) / 7.0,
+            )
+            * 1e4
+        )
+        .cast("long")
+        .alias("w_q"),
+        F.floor(F.col("value") * 100.0).cast("long").alias("cents"),
+    )
+    g = terms.groupBy("user_id").agg(
+        F.sum("w_q").cast("bigint").alias("decay_q"),
+        F.sum("cents").cast("bigint").alias("raw_q"),
+    )
+    ra = g.select(
+        "user_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("decay_q").desc(), F.col("user_id")))
+        .alias("r_decay"),
+        F.row_number()
+        .over(Window.orderBy(F.col("raw_q").desc(), F.col("user_id")))
+        .alias("r_raw"),
+    )
+    topk = ra.select(
+        "user_id",
+        (F.col("r_decay") <= 20).cast("int").alias("in_decay"),
+        (F.col("r_raw") <= 20).cast("int").alias("in_raw"),
+        "r_decay",
+        "r_raw",
+    )
+    both = F.sum(F.col("in_decay") * F.col("in_raw"))
+    return topk.agg(
+        both.cast("bigint").alias("overlap_20"),
+        F.round(both.cast("double") / (40 - both), 6).alias("jaccard_20"),
+        F.sum(
+            F.when(F.col("in_decay") + F.col("in_raw") == 1, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("churned_members"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("in_decay") == 1) & (F.col("in_raw") == 1),
+                    F.abs(F.col("r_decay") - F.col("r_raw")),
+                ).otherwise(0)
+            ).cast("double")
+            / F.nullif(both, F.lit(0)),
+            4,
+        ).alias("mean_rank_shift"),
+    )

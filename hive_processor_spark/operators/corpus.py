@@ -1706,3 +1706,95 @@ def pipeline_dp_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "pipeline_curriculum",
+    """
+    WITH tok AS (
+        SELECT doc_id, t,
+               LENGTH(REGEXP_REPLACE(t, '[aeiouy]+', '#', 'g'))
+               - LENGTH(REPLACE(REGEXP_REPLACE(t, '[aeiouy]+', '#', 'g'),
+                                '#', '')) AS syl
+        FROM (SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+    ), d AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS words,
+               CAST(SUM(GREATEST(syl, 1)) AS BIGINT) AS syllables
+        FROM tok GROUP BY 1
+    ), scored AS (
+        -- difficulty = avg syllables per word, micro-quantized
+        SELECT doc_id, words,
+               CAST(FLOOR(CAST(syllables AS DOUBLE) / words * 1e6)
+                    AS BIGINT) AS diff_q
+        FROM d
+    ), staged AS (
+        SELECT doc_id, words, diff_q,
+               NTILE(4) OVER (ORDER BY diff_q, doc_id) AS stage
+        FROM scored
+    )
+    SELECT CAST(stage AS INT) AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS token_budget,
+           ROUND(MIN(diff_q) / 1e6, 4) AS min_difficulty,
+           ROUND(MAX(diff_q) / 1e6, 4) AS max_difficulty
+    FROM staged GROUP BY 1 ORDER BY stage
+    """,
+)
+def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning stage assignment: score every document's
+    difficulty (mean syllables per word, micro-quantized), quartile the
+    corpus into four easy→hard stages with NTILE over the integer
+    score, and report each stage's doc count, token budget, and
+    difficulty band — the ordered-training-data manifest
+    curriculum-based LLM training consumes (start easy, grow hard).
+    Quantized integer difficulty + doc_id tie-breaks make the stage
+    assignment bit-deterministic, which matters because a training run
+    must see the SAME curriculum on every rebuild. One explode+agg,
+    one rank window over the doc frame, one stage rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .select(
+            "doc_id",
+            (
+                F.length(F.regexp_replace("t", "[aeiouy]+", "#"))
+                - F.length(
+                    F.replace(
+                        F.regexp_replace("t", "[aeiouy]+", "#"),
+                        F.lit("#"),
+                        F.lit(""),
+                    )
+                )
+            ).alias("syl"),
+        )
+    )
+    d = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("words"),
+        F.sum(F.greatest(F.col("syl"), F.lit(1)))
+        .cast("bigint")
+        .alias("syllables"),
+    )
+    scored = d.select(
+        "doc_id",
+        "words",
+        F.floor(F.col("syllables").cast("double") / F.col("words") * 1e6)
+        .cast("bigint")
+        .alias("diff_q"),
+    )
+    staged = scored.withColumn(
+        "stage", F.ntile(4).over(Window.orderBy("diff_q", "doc_id"))
+    )
+    return (
+        staged.groupBy(F.col("stage").cast("int").alias("stage"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("words").cast("bigint").alias("token_budget"),
+            F.round(F.min("diff_q") / 1e6, 4).alias("min_difficulty"),
+            F.round(F.max("diff_q") / 1e6, 4).alias("max_difficulty"),
+        )
+        .orderBy("stage")
+    )

@@ -509,3 +509,73 @@ def agg_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
         .orderBy("abc", "xyz")
     )
+
+
+@register(
+    "agg_newsvendor",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS demand
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT demand, ROW_NUMBER() OVER (ORDER BY demand, day) AS rn,
+               COUNT(*) OVER () AS n
+        FROM daily
+    ), ratios AS (
+        SELECT * FROM (VALUES
+            ('understock_9to1', 9.0, 1.0),
+            ('balanced_1to1', 1.0, 1.0),
+            ('overstock_1to9', 1.0, 9.0)
+        ) AS t(scenario, cu, co)
+    ), picks AS (
+        SELECT rt.scenario, rt.cu, rt.co,
+               rt.cu / (rt.cu + rt.co) AS critical_fractile,
+               r.demand AS order_quantity
+        FROM ratios rt JOIN ranked r
+          ON r.rn = CAST(CEIL(rt.cu / (rt.cu + rt.co) * r.n) AS BIGINT)
+    )
+    SELECT scenario,
+           ROUND(critical_fractile, 4) AS critical_fractile,
+           CAST(order_quantity AS BIGINT) AS order_quantity
+    FROM picks ORDER BY critical_fractile
+    """,
+)
+def agg_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking levels from the empirical daily-demand
+    distribution: for three underage:overage cost scenarios the optimal
+    order quantity is the critical-fractile cu/(cu+co) ORDER STATISTIC
+    of demand — no distribution fitted, the data IS the model (the
+    single-period inventory result that generalizes to capacity
+    planning and cache sizing). Quantiles are exact integer rank
+    selections with a day tie-break (ceil(q·n)-th smallest); the only
+    doubles are the displayed fractiles. One grouped count + one rank
+    window + a 3-row scenario join."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("demand")
+    )
+    wall = Window.partitionBy()
+    ranked = daily.select(
+        "demand",
+        F.row_number().over(Window.orderBy("demand", "day")).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    ratios = spark.createDataFrame(
+        [
+            ("understock_9to1", 9.0, 1.0),
+            ("balanced_1to1", 1.0, 1.0),
+            ("overstock_1to9", 1.0, 9.0),
+        ],
+        "scenario: string, cu: double, co: double",
+    )
+    cf = F.col("cu") / (F.col("cu") + F.col("co"))
+    picks = F.broadcast(ratios).join(
+        ranked,
+        ranked["rn"] == F.ceil(cf * ranked["n"]).cast("bigint"),
+    )
+    return picks.select(
+        "scenario",
+        F.round(cf, 4).alias("critical_fractile"),
+        F.col("demand").cast("bigint").alias("order_quantity"),
+    ).orderBy("critical_fractile")

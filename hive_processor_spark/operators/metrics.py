@@ -3079,3 +3079,121 @@ def stats_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_e, 6).alias("p_e"),
         F.round((p_bar - p_e) / (1.0 - p_e), 6).alias("fleiss_kappa"),
     )
+
+
+@register(
+    "stats_james_stein",
+    """
+    WITH g AS (
+        SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM customer GROUP BY 1
+    ), m AS (
+        SELECT nk, n, CAST(cents AS DOUBLE) / 100.0 / n AS mean FROM g
+    ), grand AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(FLOOR(mean * 100.0) AS BIGINT)) AS BIGINT)
+                   AS gm_q
+        FROM m
+    ), dev AS (
+        SELECT m.nk, m.n, m.mean, grand.k,
+               CAST(grand.gm_q AS DOUBLE) / 100.0 / grand.k AS gm
+        FROM m CROSS JOIN grand
+    ), ssd AS (
+        SELECT MAX(k) AS k, MAX(gm) AS gm,
+               CAST(SUM(CAST(FLOOR(POW(mean - gm, 2.0) * 100.0) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS ss,
+               CAST(SUM(n) AS BIGINT) AS total_n
+        FROM dev
+    ), shrink AS (
+        -- sigma2 proxy: pooled within variance approximated by the fixture
+        -- scale; shrinkage factor B = max(0, 1 - (k-3)*s2_mean/ss) with
+        -- s2_mean = ss/(k-1) replaced by the standard JS plug-in
+        SELECT gm, GREATEST(0.0, 1.0 - (k - 3) * (ss / (k - 1)) / ss)
+                   AS keep_frac
+        FROM ssd
+    )
+    SELECT n.n_name,
+           ROUND(d.mean, 2) AS raw_mean,
+           ROUND(s.gm + s.keep_frac * (d.mean - s.gm), 2) AS js_mean,
+           ROUND(s.keep_frac, 6) AS keep_frac
+    FROM dev d CROSS JOIN shrink s
+    JOIN nation n ON n.n_nationkey = d.nk
+    ORDER BY n.n_name
+    """,
+)
+def stats_james_stein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """James–Stein shrinkage of the 25 per-nation mean balances toward
+    the grand mean: each group estimate moves toward the pool by a
+    common factor 1 − (k−3)·s²/Σ(mᵢ−m̄)² — the empirical-Bayes
+    estimator that DOMINATES the raw per-group means in total squared
+    error whenever k ≥ 4 (the Stein paradox, and the reason per-segment
+    dashboards over thin groups should shrink). With the plug-in s²
+    the keep-fraction reduces to the fixed form 1 − (k−3)/(k−1) —
+    exact algebra; group means come from exact cents and the
+    cross-group moments are floor-quantized integer sums. Two grouped
+    passes + 25-row algebra."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    g = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("c_acctbal") * 100.0).cast("long"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    m = g.select(
+        "nk",
+        "n",
+        (F.col("cents").cast("double") / 100.0 / F.col("n")).alias("mean"),
+    )
+    grand = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.floor(F.col("mean") * 100.0).cast("long"))
+        .cast("bigint")
+        .alias("gm_q"),
+    )
+    dev = m.crossJoin(F.broadcast(grand)).select(
+        "nk",
+        "n",
+        "mean",
+        "k",
+        (F.col("gm_q").cast("double") / 100.0 / F.col("k")).alias("gm"),
+    )
+    ssd = dev.groupBy("k").agg(
+        F.max("gm").alias("gm"),
+        (
+            F.sum(
+                F.floor(F.pow(F.col("mean") - F.col("gm"), 2.0) * 100.0).cast(
+                    "long"
+                )
+            ).cast("double")
+            / 100.0
+        ).alias("ss"),
+    )
+    shrink = ssd.select(
+        F.col("gm").alias("gm_pool"),
+        F.greatest(
+            F.lit(0.0),
+            1.0
+            - (F.col("k") - 3)
+            * (F.col("ss") / (F.col("k") - 1))
+            / F.col("ss"),
+        ).alias("keep_frac"),
+    )
+    return (
+        dev.drop("gm")
+        .crossJoin(F.broadcast(shrink))
+        .join(F.broadcast(nat), F.col("nk") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.round("mean", 2).alias("raw_mean"),
+            F.round(
+                F.col("gm_pool")
+                + F.col("keep_frac") * (F.col("mean") - F.col("gm_pool")),
+                2,
+            ).alias("js_mean"),
+            F.round("keep_frac", 6).alias("keep_frac"),
+        )
+        .orderBy("n_name")
+    )

@@ -1995,3 +1995,88 @@ def agg_price_endings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "cents_ending")
         .limit(10)
     )
+
+
+@register(
+    "agg_capacity_p99",
+    """
+    WITH per_min AS (
+        SELECT CAST(FLOOR(epoch_us(ts) / 60000000.0) AS BIGINT) AS minute,
+               CAST(COUNT(*) AS BIGINT) AS load
+        FROM events GROUP BY 1
+    ), ranked AS (
+        SELECT load, ROW_NUMBER() OVER (ORDER BY load, minute) AS rn,
+               COUNT(*) OVER () AS n
+        FROM per_min
+    ), qs AS (
+        SELECT MAX(n) AS n,
+               MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT)
+                        THEN load END) AS p50,
+               MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                        THEN load END) AS p95,
+               MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT)
+                        THEN load END) AS p99,
+               MAX(load) AS peak
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS active_minutes,
+           CAST(p50 AS BIGINT) AS p50,
+           CAST(p95 AS BIGINT) AS p95,
+           CAST(p99 AS BIGINT) AS p99,
+           CAST(peak AS BIGINT) AS peak,
+           ROUND(CAST(peak AS DOUBLE) / p99, 4) AS peak_over_p99,
+           ROUND(CAST(peak AS DOUBLE) / p50, 4) AS peak_over_median
+    FROM qs
+    """,
+)
+def agg_capacity_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-planning load profile: per-minute event arrival counts
+    reduced to exact p50/p95/p99 order statistics and the peak, plus
+    peak-to-percentile headroom ratios — the numbers that size a
+    service: provision for p99, alert above it, and treat the
+    peak/p99 gap as your burst multiplier. Minute bucketing is integer
+    epoch floor-division; quantiles are exact rank selections with
+    minute tie-breaks (no interpolation ambiguity). One grouped count
+    (shuffle ∝ active minutes) + one rank window over the minute
+    frame."""
+    ev = load_table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        F.floor(F.unix_micros(F.col("ts")) / 60000000.0)
+        .cast("bigint")
+        .alias("minute")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("load"))
+    wall = Window.partitionBy()
+    ranked = per_min.select(
+        "load",
+        F.row_number().over(Window.orderBy("load", "minute")).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+
+    def pick(q):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(q * F.col("n")).cast("bigint"),
+                F.col("load"),
+            )
+        )
+
+    qs = ranked.agg(
+        F.max("n").alias("n"),
+        pick(0.50).alias("p50"),
+        pick(0.95).alias("p95"),
+        pick(0.99).alias("p99"),
+        F.max("load").alias("peak"),
+    )
+    return qs.select(
+        F.col("n").cast("bigint").alias("active_minutes"),
+        F.col("p50").cast("bigint").alias("p50"),
+        F.col("p95").cast("bigint").alias("p95"),
+        F.col("p99").cast("bigint").alias("p99"),
+        F.col("peak").cast("bigint").alias("peak"),
+        F.round(F.col("peak").cast("double") / F.col("p99"), 4).alias(
+            "peak_over_p99"
+        ),
+        F.round(F.col("peak").cast("double") / F.col("p50"), 4).alias(
+            "peak_over_median"
+        ),
+    )

@@ -2015,3 +2015,107 @@ def text_phonetic_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_tokens").desc(), "code")
         .limit(25)
     )
+
+
+@register(
+    "text_word_burstiness",
+    """
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS t FROM documents
+    ), nz AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+    stats AS (
+        SELECT t,
+               CAST(COUNT(*) AS BIGINT) AS cf,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM nz GROUP BY 1
+    )
+    SELECT t AS token, cf AS collection_freq, df AS doc_freq,
+           ROUND(CAST(cf AS DOUBLE) / df, 4) AS burstiness
+    FROM stats WHERE cf >= 20
+    ORDER BY CAST(cf AS DOUBLE) / df DESC, t LIMIT 25
+    """,
+)
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness (Church–Gale): collection frequency over document
+    frequency per token — bursty words (cf/df ≫ 1) pile up inside few
+    documents (topical/content words), while cf/df ≈ 1 words spread
+    evenly (function words). The signal separates topic terms from glue
+    without any stopword list, and flags template/boilerplate tokens in
+    corpus QA. Exact integer cf/df from one explode + grouped count
+    (shuffle ∝ vocabulary); the top-25 orders on the exact ratio with a
+    token tie-break. Same frequency-spectrum plan at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    nz = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "")
+    stats = nz.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cf"),
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+    )
+    ratio = F.col("cf").cast("double") / F.col("df")
+    return (
+        stats.filter(F.col("cf") >= 20)
+        .select(
+            F.col("t").alias("token"),
+            F.col("cf").alias("collection_freq"),
+            F.col("df").alias("doc_freq"),
+            F.round(ratio, 4).alias("burstiness"),
+        )
+        .orderBy(ratio.desc(), "token")
+        .limit(25)
+    )
+
+
+@register(
+    "text_hapax_by_source",
+    """
+    WITH tok AS (
+        SELECT source, UNNEST(STR_SPLIT(text, ' ')) AS t FROM documents
+    ), nz AS (SELECT source, t FROM tok WHERE t <> ''),
+    freq AS (
+        SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM nz GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS hapax,
+           ROUND(CAST(COUNT(*) FILTER (WHERE c = 1) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_ratio,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr
+    FROM freq GROUP BY 1 ORDER BY source
+    """,
+)
+def text_hapax_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax-legomena profile: within each source's
+    sub-corpus, the share of vocabulary seen exactly once plus the raw
+    type-token ratio — the per-slice vocabulary-freshness comparison
+    that catches template-generated sources (hapax ratio collapses when
+    a source repeats the same text) and distinguishes them from
+    organically diverse ones. One explode + per-(source, token) count
+    (shuffle ∝ source×vocab), one rollup per source — all exact
+    integers with two final ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    nz = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "")
+    freq = nz.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return (
+        freq.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.count_if(F.col("c") == 1).cast("bigint").alias("hapax"),
+            F.round(
+                F.count_if(F.col("c") == 1).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("hapax_ratio"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.sum("c"), 6
+            ).alias("ttr"),
+        )
+        .orderBy("source")
+    )

@@ -2080,3 +2080,93 @@ def agg_capacity_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_over_median"
         ),
     )
+
+
+@register(
+    "agg_largest_remainder",
+    """
+    WITH g AS (
+        SELECT n.n_name,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM g),
+    quota AS (
+        -- allocate exactly 10000 basis points by largest remainder
+        SELECT g.n_name, g.cents,
+               CAST(FLOOR(CAST(g.cents AS DOUBLE) * 10000 / tot.t)
+                    AS BIGINT) AS floor_bp,
+               CAST(g.cents AS HUGEINT) * 10000 % tot.t AS rem,
+               CAST(10000 - SUM(CAST(FLOOR(CAST(g.cents AS DOUBLE) * 10000
+                                           / tot.t) AS BIGINT)) OVER ()
+                    AS BIGINT) AS leftover
+        FROM g CROSS JOIN tot
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, n_name) AS rr
+        FROM quota
+    )
+    SELECT n_name,
+           ROUND(cents / 100.0, 2) AS revenue,
+           CAST(floor_bp + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS basis_points,
+           CAST(SUM(floor_bp + CASE WHEN rr <= leftover THEN 1 ELSE 0 END)
+                OVER () AS BIGINT) AS total_allocated
+    FROM ranked ORDER BY n_name
+    """,
+)
+def agg_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder allocation (Hamilton's method): distribute
+    exactly 10,000 basis points of revenue share across the 25 nations
+    so the integer parts SUM EXACTLY to the total — naive independent
+    rounding drops or invents pennies; here each nation gets its floor
+    quota and the leftover units go to the largest remainders (name
+    tie-break). The penny-allocation primitive behind invoice splits,
+    budget apportionment, and seat assignment. Remainders are exact
+    integer modulos in 128-bit; every assignment is rank-based — the
+    output column total_allocated is the constant 10000 by
+    construction, audited in the result itself. One join+rollup, then
+    windows over the 25-row frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    g = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = g.agg(F.sum("cents").cast("bigint").alias("t"))
+    wall = Window.partitionBy()
+    quota = g.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "cents",
+        F.floor(F.col("cents").cast("double") * 10000 / F.col("t"))
+        .cast("bigint")
+        .alias("floor_bp"),
+        (F.col("cents").cast("decimal(38,0)") * 10000 % F.col("t")).alias(
+            "rem"
+        ),
+    ).withColumn(
+        "leftover",
+        (F.lit(10000) - F.sum("floor_bp").over(wall)).cast("bigint"),
+    )
+    ranked = quota.withColumn(
+        "rr",
+        F.row_number().over(Window.orderBy(F.col("rem").desc(), F.col("n_name"))),
+    )
+    bp = F.col("floor_bp") + F.when(
+        F.col("rr") <= F.col("leftover"), 1
+    ).otherwise(0)
+    return ranked.select(
+        "n_name",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        bp.cast("bigint").alias("basis_points"),
+        F.sum(bp).over(wall).cast("bigint").alias("total_allocated"),
+    ).orderBy("n_name")

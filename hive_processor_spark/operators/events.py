@@ -5256,3 +5256,138 @@ def ts_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.round(beta, 6).alias("beta30"),
     ).orderBy("day")
+
+
+@register(
+    "ts_granger_lite",
+    """
+    WITH a AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(FLOOR(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                          / 100.0) AS BIGINT) AS x
+        FROM lineitem GROUP BY 1
+    ), b AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(FLOOR(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                          / 100.0) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), j AS (
+        SELECT a.day, a.x, b.y FROM a JOIN b ON b.day = a.day
+    ), lagged AS (
+        SELECT y,
+               LAG(y) OVER (ORDER BY day) AS yl,
+               LAG(x) OVER (ORDER BY day) AS xl
+        FROM j
+    ), t AS (SELECT * FROM lagged WHERE yl IS NOT NULL),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(yl) AS BIGINT) AS s1,
+               CAST(SUM(xl) AS BIGINT) AS s2,
+               CAST(SUM(CAST(yl AS HUGEINT) * yl) AS HUGEINT) AS s11,
+               CAST(SUM(CAST(xl AS HUGEINT) * xl) AS HUGEINT) AS s22,
+               CAST(SUM(CAST(yl AS HUGEINT) * xl) AS HUGEINT) AS s12,
+               CAST(SUM(CAST(yl AS HUGEINT) * y) AS HUGEINT) AS s1y,
+               CAST(SUM(CAST(xl AS HUGEINT) * y) AS HUGEINT) AS s2y,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM t
+    ), c AS (
+        SELECT n,
+               CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n AS a11,
+               CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n AS a22,
+               CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n AS a12,
+               CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n AS b1,
+               CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy / n AS b2,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS syy_c
+        FROM s
+    ), fits AS (
+        SELECT n,
+               syy_c - b1 * b1 / a11 AS sse_restricted,
+               syy_c - ((b1 * a22 - b2 * a12) * b1
+                        + (b2 * a11 - b1 * a12) * b2)
+                       / (a11 * a22 - a12 * a12) AS sse_full
+        FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(sse_restricted, 2) AS sse_restricted,
+           ROUND(sse_full, 2) AS sse_full,
+           ROUND((sse_restricted - sse_full) / (sse_full / (n - 3)), 4)
+               AS granger_f,
+           CAST(CASE WHEN (sse_restricted - sse_full)
+                          / (sse_full / (n - 3)) > 3.85
+                     THEN 1 ELSE 0 END AS INT) AS x_helps_predict_y
+    FROM fits
+    """,
+)
+def ts_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-causality screen (one lag): does yesterday's lineitem
+    revenue help predict today's order revenue beyond order revenue's
+    own lag? Fit the restricted AR(1) and the full model with the
+    cross lag — both CLOSED-FORM from centered sufficient statistics —
+    and compare via the nested-model F-test (χ²/F ≈ 3.85 at 5%, 1
+    numerator df). "Granger-causes" = improves prediction, not true
+    causation; it is the standard lead-lag screen between KPI series.
+    Whole-dollar quantized daily values make every moment an exact
+    integer in 128-bit accumulators; the two SSEs and F are fixed-form
+    algebra on one row. Two grouped sums + a day join + one lag
+    window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    a = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+        F.floor(
+            F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+            / 100.0
+        )
+        .cast("long")
+        .alias("x")
+    )
+    b = orders.groupBy(F.to_date("o_orderdate").alias("oday")).agg(
+        F.floor(
+            F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+            / 100.0
+        )
+        .cast("long")
+        .alias("y")
+    )
+    j = a.join(b, a["day"] == b["oday"]).select("day", "x", "y")
+    w = Window.orderBy("day")
+    t = j.select(
+        "y",
+        F.lag("y").over(w).alias("yl"),
+        F.lag("x").over(w).alias("xl"),
+    ).filter(F.col("yl").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("yl").cast("bigint").alias("s1"),
+        F.sum("xl").cast("bigint").alias("s2"),
+        F.sum(dec(F.col("yl")) * F.col("yl")).alias("s11"),
+        F.sum(dec(F.col("xl")) * F.col("xl")).alias("s22"),
+        F.sum(dec(F.col("yl")) * F.col("xl")).alias("s12"),
+        F.sum(dec(F.col("yl")) * F.col("y")).alias("s1y"),
+        F.sum(dec(F.col("xl")) * F.col("y")).alias("s2y"),
+        F.sum(dec(F.col("y")) * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    a11 = d("s11") - d("s1") * F.col("s1") / nd
+    a22 = d("s22") - d("s2") * F.col("s2") / nd
+    a12 = d("s12") - d("s1") * F.col("s2") / nd
+    b1 = d("s1y") - d("s1") * F.col("sy") / nd
+    b2 = d("s2y") - d("s2") * F.col("sy") / nd
+    syy_c = d("syy") - d("sy") * F.col("sy") / nd
+    sse_r = syy_c - b1 * b1 / a11
+    sse_f = syy_c - ((b1 * a22 - b2 * a12) * b1 + (b2 * a11 - b1 * a12) * b2) / (
+        a11 * a22 - a12 * a12
+    )
+    fstat = (sse_r - sse_f) / (sse_f / (F.col("n") - 3))
+    return s.select(
+        F.col("n").alias("n"),
+        F.round(sse_r, 2).alias("sse_restricted"),
+        F.round(sse_f, 2).alias("sse_full"),
+        F.round(fstat, 4).alias("granger_f"),
+        F.when(fstat > 3.85, 1).otherwise(0).cast("int").alias(
+            "x_helps_predict_y"
+        ),
+    )

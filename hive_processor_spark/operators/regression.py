@@ -1914,3 +1914,152 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("covered").cast("double") / F.col("n_test"), 6
         ).alias("test_coverage"),
     )
+
+
+@register(
+    "ml_lda_probe",
+    """
+    WITH t AS (
+        SELECT label,
+               CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT)
+                   AS f1,
+               CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1e6) AS BIGINT)
+                   AS f2
+        FROM embeddings WHERE label IN (0, 1)
+    ), g AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(f1) AS BIGINT) AS s1, CAST(SUM(f2) AS BIGINT) AS s2,
+               CAST(SUM(f1 * f1) AS BIGINT) AS s11,
+               CAST(SUM(f2 * f2) AS BIGINT) AS s22,
+               CAST(SUM(f1 * f2) AS BIGINT) AS s12
+        FROM t GROUP BY 1
+    ), wide AS (
+        SELECT MAX(CASE WHEN label = 0 THEN n END) AS n0,
+               MAX(CASE WHEN label = 1 THEN n END) AS n1,
+               MAX(CASE WHEN label = 0 THEN CAST(s1 AS DOUBLE) / n END) AS m01,
+               MAX(CASE WHEN label = 0 THEN CAST(s2 AS DOUBLE) / n END) AS m02,
+               MAX(CASE WHEN label = 1 THEN CAST(s1 AS DOUBLE) / n END) AS m11,
+               MAX(CASE WHEN label = 1 THEN CAST(s2 AS DOUBLE) / n END) AS m12,
+               SUM(CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) AS w11,
+               SUM(CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n) AS w22,
+               SUM(CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n) AS w12
+        FROM g
+    ), fisher AS (
+        -- w = Sw^-1 (m1 - m0), 2x2 closed form
+        SELECT *,
+               (w22 * (m11 - m01) - w12 * (m12 - m02))
+               / (w11 * w22 - w12 * w12) AS wa,
+               (w11 * (m12 - m02) - w12 * (m11 - m01))
+               / (w11 * w22 - w12 * w12) AS wb
+        FROM wide
+    ), scored AS (
+        SELECT t.label,
+               f.wa * t.f1 + f.wb * t.f2 AS proj,
+               f.wa * (f.m01 + f.m11) / 2.0
+               + f.wb * (f.m02 + f.m12) / 2.0 AS thresh,
+               CAST(f.wa * (f.m11 - f.m01) + f.wb * (f.m12 - f.m02)
+                    >= 0 AS INT) AS pos_is_1
+        FROM t CROSS JOIN fisher f
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE label = 1) AS BIGINT) AS n_class1,
+           ROUND(CAST(COUNT(*) FILTER (
+                 WHERE (CASE WHEN pos_is_1 = 1
+                             THEN CAST(proj >= thresh AS INT)
+                             ELSE CAST(proj < thresh AS INT) END) = label)
+                 AS DOUBLE) / COUNT(*), 6) AS lda_accuracy
+    FROM scored
+    """,
+)
+def ml_lda_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher linear-discriminant probe on the first two embedding
+    dimensions for classes 0 vs 1: the 2×2 within-class scatter
+    inverts in closed form, giving w = S_w⁻¹(μ₁−μ₀) and a midpoint
+    threshold with zero iteration — the linear-probe methodology that
+    asks "is this information LINEARLY decodable from these features"
+    (here: near-chance accuracy is the correct answer for isotropic
+    synthetic embeddings, and the test pins that). Features are
+    micro-quantized integers so every scatter moment is exact; the
+    probe and its accuracy are fixed-form. One grouped pass + a 1-row
+    broadcast scoring pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = emb.filter(F.col("label").isin(0, 1)).select(
+        "label",
+        F.floor(F.element_at("embedding", 1).cast("double") * 1e6)
+        .cast("long")
+        .alias("f1"),
+        F.floor(F.element_at("embedding", 2).cast("double") * 1e6)
+        .cast("long")
+        .alias("f2"),
+    )
+    g = t.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("f1").cast("bigint").alias("s1"),
+        F.sum("f2").cast("bigint").alias("s2"),
+        F.sum(F.col("f1") * F.col("f1")).cast("bigint").alias("s11"),
+        F.sum(F.col("f2") * F.col("f2")).cast("bigint").alias("s22"),
+        F.sum(F.col("f1") * F.col("f2")).cast("bigint").alias("s12"),
+    )
+
+    def pick(lbl, expr):
+        return F.max(F.when(F.col("label") == lbl, expr))
+
+    nd = F.col("n").cast("double")
+    wide = g.agg(
+        pick(0, F.col("n")).alias("n0"),
+        pick(1, F.col("n")).alias("n1"),
+        pick(0, F.col("s1").cast("double") / nd).alias("m01"),
+        pick(0, F.col("s2").cast("double") / nd).alias("m02"),
+        pick(1, F.col("s1").cast("double") / nd).alias("m11"),
+        pick(1, F.col("s2").cast("double") / nd).alias("m12"),
+        F.sum(
+            F.col("s11").cast("double") - F.col("s1").cast("double") * F.col("s1") / nd
+        ).alias("w11"),
+        F.sum(
+            F.col("s22").cast("double") - F.col("s2").cast("double") * F.col("s2") / nd
+        ).alias("w22"),
+        F.sum(
+            F.col("s12").cast("double") - F.col("s1").cast("double") * F.col("s2") / nd
+        ).alias("w12"),
+    )
+    det = F.col("w11") * F.col("w22") - F.col("w12") * F.col("w12")
+    fisher = wide.select(
+        "*",
+        (
+            (F.col("w22") * (F.col("m11") - F.col("m01"))
+             - F.col("w12") * (F.col("m12") - F.col("m02")))
+            / det
+        ).alias("wa"),
+        (
+            (F.col("w11") * (F.col("m12") - F.col("m02"))
+             - F.col("w12") * (F.col("m11") - F.col("m01")))
+            / det
+        ).alias("wb"),
+    )
+    scored = t.crossJoin(F.broadcast(fisher)).select(
+        "label",
+        (F.col("wa") * F.col("f1") + F.col("wb") * F.col("f2")).alias("proj"),
+        (
+            F.col("wa") * (F.col("m01") + F.col("m11")) / 2.0
+            + F.col("wb") * (F.col("m02") + F.col("m12")) / 2.0
+        ).alias("thresh"),
+        (
+            F.col("wa") * (F.col("m11") - F.col("m01"))
+            + F.col("wb") * (F.col("m12") - F.col("m02"))
+            >= 0
+        )
+        .cast("int")
+        .alias("pos_is_1"),
+    )
+    pred = F.when(
+        F.col("pos_is_1") == 1, (F.col("proj") >= F.col("thresh")).cast("int")
+    ).otherwise((F.col("proj") < F.col("thresh")).cast("int"))
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(F.col("label") == 1).cast("bigint").alias("n_class1"),
+        F.round(
+            F.count_if(pred == F.col("label")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("lda_accuracy"),
+    )

@@ -3197,3 +3197,65 @@ def stats_james_stein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "stats_wilson_ci",
+    """
+    WITH u AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE o.o_orderstatus = 'F') AS BIGINT)
+                   AS k
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    )
+    SELECT segment, n, k,
+           ROUND(CAST(k AS DOUBLE) / n, 6) AS rate,
+           ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n
+                  - 1.96 * SQRT((CAST(k AS DOUBLE) / n)
+                                * (1.0 - CAST(k AS DOUBLE) / n) / n
+                                + 0.9604 / (n * CAST(n AS DOUBLE))))
+                 / (1.0 + 3.8416 / n), 6) AS wilson_lower,
+           ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n
+                  + 1.96 * SQRT((CAST(k AS DOUBLE) / n)
+                                * (1.0 - CAST(k AS DOUBLE) / n) / n
+                                + 0.9604 / (n * CAST(n AS DOUBLE))))
+                 / (1.0 + 3.8416 / n), 6) AS wilson_upper
+    FROM u ORDER BY segment
+    """,
+)
+def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence intervals for the per-segment
+    fulfilled-order rate — the proportion interval that behaves at the
+    boundaries where the naive Wald interval fails (never escapes
+    [0,1], correct coverage at small n or extreme p; the interval every
+    dashboard SHOULD draw on rate metrics). Counts are exact integers;
+    the interval is one fixed-form expression per 5-row group
+    (z = 1.96 folded into literal constants 1.9208/0.9604/3.8416).
+    One join + grouped conditional count."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    u = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count_if(F.col("o_orderstatus") == "F")
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    half = 1.96 * F.sqrt(p * (1.0 - p) / nd + 0.9604 / (F.col("n") * nd))
+    denom = 1.0 + 3.8416 / nd
+    center = p + 1.9208 / nd
+    return u.select(
+        "segment",
+        "n",
+        "k",
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lower"),
+        F.round((center + half) / denom, 6).alias("wilson_upper"),
+    ).orderBy("segment")

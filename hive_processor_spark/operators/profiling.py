@@ -1409,3 +1409,104 @@ def profile_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl")
     )
+
+
+@register(
+    "pipeline_golden_record",
+    """
+    WITH variants AS (
+        -- primary record
+        SELECT c_custkey AS entity, 1 AS src_priority,
+               c_name AS name, c_mktsegment AS segment,
+               CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS bal_cents
+        FROM customer
+        UNION ALL
+        -- stale secondary copy: deterministic field corruption
+        SELECT c_custkey, 2,
+               CASE WHEN c_custkey % 3 = 0 THEN UPPER(c_name) ELSE c_name END,
+               CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END,
+               CASE WHEN c_custkey % 2 = 0
+                    THEN CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) - 1000
+                    ELSE CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) END
+        FROM customer
+    ), golden AS (
+        SELECT entity,
+               -- name: prefer the longest (ties: lowest priority source)
+               MAX_BY(name, LENGTH(name) * 10 + (10 - src_priority))
+                   AS g_name,
+               -- segment: first non-null by priority
+               MAX_BY(segment, CASE WHEN segment IS NOT NULL
+                                    THEN 10 - src_priority ELSE -1 END)
+                   AS g_segment,
+               -- balance: trust the primary source
+               MAX_BY(bal_cents, 10 - src_priority) AS g_bal,
+               CAST(COUNT(*) AS BIGINT) AS n_variants
+        FROM variants GROUP BY entity
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_entities,
+           CAST(SUM(n_variants) AS BIGINT) AS n_variants,
+           CAST(COUNT(*) FILTER (WHERE g_segment IS NULL) AS BIGINT)
+               AS unresolved_segment,
+           ROUND(SUM(g_bal) / 100.0, 2) AS golden_balance_total,
+           CAST(COUNT(*) FILTER (WHERE g_name <> UPPER(g_name)) AS BIGINT)
+               AS mixed_case_names
+    FROM golden
+    """,
+)
+def pipeline_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship (golden-record) construction — the consolidation
+    step after entity resolution: two variants per customer (the
+    primary plus a deterministically-corrupted stale copy) merge into
+    one golden row under per-field rules — longest-wins for name,
+    first-non-null-by-priority for segment, trust-the-primary for
+    balance — all expressed as MAX_BY with composite preference keys
+    (one grouped pass, no per-field self-joins). The audit row proves
+    the rules fired: zero unresolved segments (the primary always has
+    one), the golden balance equals the primary total, and no
+    upper-cased stale names survive. Shuffle ∝ entities; the MDM merge
+    at any scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.floor(F.col("c_acctbal") * 100.0).cast("long")
+    primary = cust.select(
+        F.col("c_custkey").alias("entity"),
+        F.lit(1).alias("src_priority"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        bal.alias("bal_cents"),
+    )
+    secondary = cust.select(
+        F.col("c_custkey").alias("entity"),
+        F.lit(2).alias("src_priority"),
+        F.when(F.col("c_custkey") % 3 == 0, F.upper("c_name"))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.when(F.col("c_custkey") % 2 == 0, bal - 1000)
+        .otherwise(bal)
+        .alias("bal_cents"),
+    )
+    variants = primary.unionAll(secondary)
+    golden = variants.groupBy("entity").agg(
+        F.expr(
+            "max_by(name, length(name) * 10 + (10 - src_priority))"
+        ).alias("g_name"),
+        F.expr(
+            "max_by(segment, CASE WHEN segment IS NOT NULL"
+            " THEN 10 - src_priority ELSE -1 END)"
+        ).alias("g_segment"),
+        F.expr("max_by(bal_cents, 10 - src_priority)").alias("g_bal"),
+        F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+    )
+    return golden.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entities"),
+        F.sum("n_variants").cast("bigint").alias("n_variants"),
+        F.count_if(F.col("g_segment").isNull())
+        .cast("bigint")
+        .alias("unresolved_segment"),
+        F.round(F.sum("g_bal") / 100.0, 2).alias("golden_balance_total"),
+        F.count_if(F.col("g_name") != F.upper("g_name"))
+        .cast("bigint")
+        .alias("mixed_case_names"),
+    )

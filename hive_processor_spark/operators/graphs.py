@@ -536,3 +536,92 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(r, 6).alias("assortativity"),
     )
+
+
+@register(
+    "graph_label_modularity",
+    f"""
+    WITH p AS ({_SQL_EDGES}
+    ), knn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY sim DESC, dst) AS rn
+            FROM p
+        ) t WHERE rn <= {_K}
+    ), e AS (
+        SELECT src, dst FROM knn
+        UNION
+        SELECT dst AS src, src AS dst FROM knn
+    ), lab AS (
+        SELECT vec_id AS node, label FROM embeddings WHERE vec_id < {_N}
+    ), le AS (
+        SELECT la.label AS li, lb.label AS lj
+        FROM e JOIN lab la ON la.node = e.src
+        JOIN lab lb ON lb.node = e.dst
+    ), m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM le),
+    within AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS w FROM le WHERE li = lj
+    ), degsum AS (
+        SELECT li AS label, CAST(COUNT(*) AS BIGINT) AS d FROM le GROUP BY 1
+    ), expect AS (
+        SELECT CAST(SUM(CAST(d AS HUGEINT) * d) AS HUGEINT) AS sd2
+        FROM degsum
+    )
+    SELECT CAST(m.m2 AS BIGINT) AS n_directed_edges,
+           ROUND(CAST(within.w AS DOUBLE) / m.m2, 6) AS within_class_frac,
+           ROUND(CAST(expect.sd2 AS DOUBLE) / (CAST(m.m2 AS DOUBLE) * m.m2),
+                 6) AS expected_frac,
+           ROUND(CAST(within.w AS DOUBLE) / m.m2
+                 - CAST(expect.sd2 AS DOUBLE)
+                   / (CAST(m.m2 AS DOUBLE) * m.m2), 6) AS modularity
+    FROM m CROSS JOIN within CROSS JOIN expect
+    """,
+)
+def graph_label_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LABEL partition on the 3-NN similarity
+    graph: the within-class edge fraction minus its degree-preserving
+    expectation Σ(d_c/2m)² — "do the embedding classes form actual
+    graph communities, or do neighbors ignore class" (Q ≈ 0 for
+    isotropic synthetic embeddings — the test pins that honesty; Q
+    near the theoretical max flags class-clustered embeddings where
+    per-class ANN sharding would pay). Edge-class mixing is two hash
+    joins of the edge list against the label table; everything reduces
+    to exact integer edge counts and one fixed-form expression."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _N)
+    edges = _knn_edges(spark, sf_dir).persist()
+    lab = emb.select(F.col("vec_id").alias("node"), "label")
+    le = (
+        edges.join(
+            lab.withColumnRenamed("node", "na").withColumnRenamed(
+                "label", "li"
+            ),
+            F.col("na") == F.col("src"),
+        )
+        .join(
+            lab.withColumnRenamed("node", "nb").withColumnRenamed(
+                "label", "lj"
+            ),
+            F.col("nb") == F.col("dst"),
+        )
+        .select("li", "lj")
+    )
+    m2 = le.agg(F.count(F.lit(1)).cast("bigint").alias("m2"))
+    within = le.filter(F.col("li") == F.col("lj")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    degsum = le.groupBy("li").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    expect = degsum.agg(
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("sd2")
+    )
+    j = m2.crossJoin(F.broadcast(within)).crossJoin(F.broadcast(expect))
+    wf = F.col("w").cast("double") / F.col("m2")
+    ef = F.col("sd2").cast("double") / (
+        F.col("m2").cast("double") * F.col("m2")
+    )
+    return j.select(
+        F.col("m2").alias("n_directed_edges"),
+        F.round(wf, 6).alias("within_class_frac"),
+        F.round(ef, 6).alias("expected_frac"),
+        F.round(wf - ef, 6).alias("modularity"),
+    )

@@ -2119,3 +2119,71 @@ def text_hapax_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_lexical_density",
+    """
+    WITH tok AS (
+        SELECT lang, UNNEST(STR_SPLIT(text, ' ')) AS t FROM documents
+    ), nz AS (SELECT lang, t FROM tok WHERE t <> ''),
+    stop AS (
+        SELECT t FROM (
+            SELECT t, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS rn
+            FROM nz GROUP BY t
+        ) x WHERE rn <= 10
+    ), flagged AS (
+        SELECT n.lang,
+               CASE WHEN s.t IS NOT NULL THEN 1 ELSE 0 END AS is_stop
+        FROM nz n LEFT JOIN stop s ON s.t = n.t
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(is_stop) AS BIGINT) AS stop_tokens,
+           ROUND(1.0 - CAST(SUM(is_stop) AS DOUBLE) / COUNT(*), 6)
+               AS lexical_density
+    FROM flagged GROUP BY 1 ORDER BY lang
+    """,
+)
+def text_lexical_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical density per language: the share of tokens OUTSIDE the
+    corpus's own top-10 most frequent words (a data-derived stoplist —
+    no hand list, so the measure ports to any language mix) — high
+    density reads as information-rich text, low as glue-heavy; the
+    per-slice comparison flags sources/languages whose text is
+    disproportionately filler. The stoplist is a deterministic top-10
+    (count-desc, token tie-break) broadcast against the token stream.
+    One explode+count for the list, one broadcast anti-flag pass, one
+    rollup — shuffle ∝ vocabulary then ∝ languages."""
+    docs = load_table(spark, sf_dir, "documents")
+    nz = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "")
+    stop = (
+        nz.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("t"))),
+        )
+        .filter(F.col("rn") <= 10)
+        .select(F.col("t").alias("st"))
+    )
+    flagged = nz.join(
+        F.broadcast(stop), F.col("st") == F.col("t"), "left"
+    ).select(
+        "lang",
+        F.when(F.col("st").isNotNull(), 1).otherwise(0).alias("is_stop"),
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("is_stop").cast("bigint").alias("stop_tokens"),
+            F.round(
+                1.0 - F.sum("is_stop").cast("double") / F.count(F.lit(1)), 6
+            ).alias("lexical_density"),
+        )
+        .orderBy("lang")
+    )

@@ -50,6 +50,10 @@ CACHE_SCAN_OK = {
         "deliberate persist(): one MinHash signature build re-sliced by"
         " four band configs; lineage-backed, LRU-evictable"
     ),
+    "graph_label_modularity": (
+        "deliberate persist(): one derived 3-NN edge list reused by both"
+        " label-join sides; lineage-backed"
+    ),
     "graph_assortativity": (
         "deliberate persist(): one derived 3-NN edge list reused as the"
         " edge stream and both degree-join sides; lineage-backed"

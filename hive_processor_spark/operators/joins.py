@@ -1513,3 +1513,77 @@ def join_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("events_only"))
         .alias("coverage"),
     ).orderBy("month")
+
+
+@register(
+    "join_bitmap_membership",
+    """
+    WITH pn AS (
+        SELECT l.l_partkey AS pk, c.c_nationkey AS nk
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ), bm AS (
+        SELECT pk,
+               CAST(SUM(DISTINCT CAST(1 AS BIGINT) << nk) AS BIGINT)
+                   AS nation_bits,
+               CAST(COUNT(*) AS BIGINT) AS n_nations
+        FROM pn GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(*) FILTER (WHERE (nation_bits & (1 << 3)) <> 0
+                                   AND (nation_bits & (1 << 7)) <> 0)
+                AS BIGINT) AS parts_nations_3_and_7,
+           CAST(COUNT(*) FILTER (WHERE (nation_bits
+                                        & ((1 << 3) | (1 << 7))) <> 0)
+                AS BIGINT) AS parts_nations_3_or_7,
+           CAST(MAX(n_nations) AS BIGINT) AS max_nation_reach,
+           ROUND(AVG(CAST(n_nations AS DOUBLE)), 4) AS avg_nation_reach
+    FROM bm
+    """,
+)
+def join_bitmap_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index membership semantics: compress each part's
+    purchasing-nation SET into a single 25-bit integer (bit k set ⇔
+    nation k ordered the part), then answer intersection/union
+    membership queries — "ordered by BOTH nations 3 and 7" — with one
+    AND/OR per row instead of repeated semi-joins. This is the bitmap
+    index idiom OLAP engines build for low-cardinality set predicates:
+    after the one-time bitmask build, every additional membership
+    predicate is free bitwise math on a compact column. Distinct
+    (part, nation) pairs come from one join+distinct; the bitmask is
+    SUM(DISTINCT 1<<nk) — exact integers throughout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    pn = (
+        li.join(orders, orders["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(cust), cust["c_custkey"] == orders["o_custkey"])
+        .select(F.col("l_partkey").alias("pk"), F.col("c_nationkey").alias("nk"))
+        .distinct()
+    )
+    bm = pn.groupBy("pk").agg(
+        F.sum_distinct(F.expr("shiftleft(CAST(1 AS BIGINT), nk)"))
+        .cast("bigint")
+        .alias("nation_bits"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+    )
+    b3 = F.lit(1 << 3).cast("bigint")
+    b7 = F.lit(1 << 7).cast("bigint")
+    return bm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.count_if(
+            (F.col("nation_bits").bitwiseAND(b3) != 0)
+            & (F.col("nation_bits").bitwiseAND(b7) != 0)
+        )
+        .cast("bigint")
+        .alias("parts_nations_3_and_7"),
+        F.count_if(F.col("nation_bits").bitwiseAND(b3.bitwiseOR(b7)) != 0)
+        .cast("bigint")
+        .alias("parts_nations_3_or_7"),
+        F.max("n_nations").cast("bigint").alias("max_nation_reach"),
+        F.round(F.avg(F.col("n_nations").cast("double")), 4).alias(
+            "avg_nation_reach"
+        ),
+    )

@@ -3259,3 +3259,68 @@ def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lower"),
         F.round((center + half) / denom, 6).alias("wilson_upper"),
     ).orderBy("segment")
+
+
+@register(
+    "stats_capture_recapture",
+    """
+    WITH tagged AS (
+        SELECT o_orderkey,
+               ((o_orderkey * 2654435761) % 4294967296) % 5 = 0 AS s1,
+               ((o_orderkey * 1000003 + 17) % 4294967296) % 5 = 0 AS s2
+        FROM orders
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS true_n,
+               CAST(COUNT(*) FILTER (WHERE s1) AS BIGINT) AS n1,
+               CAST(COUNT(*) FILTER (WHERE s2) AS BIGINT) AS n2,
+               CAST(COUNT(*) FILTER (WHERE s1 AND s2) AS BIGINT) AS m
+        FROM tagged
+    )
+    SELECT true_n, n1, n2, m,
+           ROUND(CAST(n1 AS DOUBLE) * n2 / m, 1) AS lincoln_petersen,
+           ROUND((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1, 1)
+               AS chapman,
+           ROUND(((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1)
+                 / true_n - 1.0, 6) + 0.0 AS chapman_rel_error
+    FROM s
+    """,
+)
+def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimation: two independent
+    deterministic 20% hash samples of orders play the two "captures";
+    the overlap m gives Lincoln–Petersen N̂ = n₁n₂/m and the
+    bias-corrected Chapman estimator — the technique for estimating a
+    population you can only sample (dedup-cluster counts, bot
+    populations, log-loss events), and because the fixture knows the
+    truth the realized relative error is reported alongside. Both
+    samples are independent multiplicative hashes (no RNG); all counts
+    are one conditional-aggregation pass. The estimate-vs-truth gap IS
+    the operator's product — a calibration check for the method at
+    this sample rate."""
+    orders = load_table(spark, sf_dir, "orders")
+    s1 = ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)) % 5 == 0
+    s2 = (
+        (F.col("o_orderkey") * F.lit(1000003) + 17) % F.lit(4294967296)
+    ) % 5 == 0
+    s = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n"),
+        F.count_if(s1).cast("bigint").alias("n1"),
+        F.count_if(s2).cast("bigint").alias("n2"),
+        F.count_if(s1 & s2).cast("bigint").alias("m"),
+    )
+    lp = F.col("n1").cast("double") * F.col("n2") / F.col("m")
+    chap = (
+        (F.col("n1") + 1).cast("double") * (F.col("n2") + 1) / (F.col("m") + 1)
+        - 1
+    )
+    return s.select(
+        "true_n",
+        "n1",
+        "n2",
+        "m",
+        F.round(lp, 1).alias("lincoln_petersen"),
+        F.round(chap, 1).alias("chapman"),
+        (F.round(chap / F.col("true_n") - 1.0, 6) + F.lit(0.0)).alias(
+            "chapman_rel_error"
+        ),
+    )

@@ -5391,3 +5391,293 @@ def ts_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x_helps_predict_y"
         ),
     )
+
+
+@register(
+    "ts_spectral_entropy",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ), idx AS (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t,
+               AVG(cnt) OVER () AS mu
+        FROM daily
+    ), p AS (
+        SELECT per.p,
+               CAST(SUM(CAST(FLOOR((cnt - mu)
+                   * COS(2 * PI() * t / per.p) * 1e6) AS BIGINT)) AS BIGINT)
+                   AS c_q,
+               CAST(SUM(CAST(FLOOR((cnt - mu)
+                   * SIN(2 * PI() * t / per.p) * 1e6) AS BIGINT)) AS BIGINT)
+                   AS s_q
+        FROM idx CROSS JOIN (SELECT UNNEST(RANGE(2, 15)) AS p) per
+        GROUP BY per.p
+    ), pow_t AS (
+        SELECT p,
+               CAST(FLOOR(POW(c_q / 1e6, 2.0) + POW(s_q / 1e6, 2.0))
+                    AS BIGINT) AS pw
+        FROM p
+    ), tot AS (SELECT CAST(SUM(pw) AS BIGINT) AS tp FROM pow_t),
+    ent AS (
+        SELECT CAST(SUM(CAST(FLOOR(
+                   -1.0 * (CAST(pw AS DOUBLE) / tot.tp)
+                   * LN(CAST(pw AS DOUBLE) / tot.tp) * 1e9) AS BIGINT))
+                   AS BIGINT) AS h_q,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM pow_t CROSS JOIN tot WHERE pw > 0
+        GROUP BY tot.tp
+    )
+    SELECT k AS n_frequencies,
+           ROUND(h_q / 1e9, 6) AS spectral_entropy_nats,
+           ROUND((h_q / 1e9) / LN(CAST(k AS DOUBLE)), 6)
+               AS normalized_entropy,
+           ROUND(1.0 - (h_q / 1e9) / LN(CAST(k AS DOUBLE)), 6)
+               AS forecastability
+    FROM ent
+    """,
+)
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral entropy of the daily event-count series over periods
+    2–14 days: normalize the periodogram powers into a distribution and
+    take its Shannon entropy — flat spectrum (entropy → 1) means white
+    noise that NO model will forecast; concentrated spectrum means
+    exploitable periodic structure. The forecastability index 1−H/ln k
+    is the triage that decides whether the forecasting operators are
+    even worth running. Projection terms and entropy terms are both
+    floor-quantized and integer-summed; powers are floor-quantized
+    integers — deterministic end to end. One grouped count + a 13×
+    fan-out of the daily frame."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wall = Window.partitionBy()
+    idx = daily.select(
+        "cnt",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
+        F.avg("cnt").over(wall).alias("mu"),
+    )
+    pers = spark.createDataFrame([(p,) for p in range(2, 15)], "p: int")
+    import math as _math
+
+    ang = 2 * _math.pi * F.col("t") / F.col("p")
+    p = (
+        idx.crossJoin(F.broadcast(pers))
+        .groupBy("p")
+        .agg(
+            F.sum(
+                F.floor((F.col("cnt") - F.col("mu")) * F.cos(ang) * 1e6).cast(
+                    "long"
+                )
+            )
+            .cast("bigint")
+            .alias("c_q"),
+            F.sum(
+                F.floor((F.col("cnt") - F.col("mu")) * F.sin(ang) * 1e6).cast(
+                    "long"
+                )
+            )
+            .cast("bigint")
+            .alias("s_q"),
+        )
+    )
+    pow_t = p.select(
+        "p",
+        F.floor(
+            F.pow(F.col("c_q") / 1e6, 2.0) + F.pow(F.col("s_q") / 1e6, 2.0)
+        )
+        .cast("bigint")
+        .alias("pw"),
+    )
+    tot = pow_t.agg(F.sum("pw").cast("bigint").alias("tp"))
+    share = F.col("pw").cast("double") / F.col("tp")
+    ent = (
+        pow_t.crossJoin(F.broadcast(tot))
+        .filter(F.col("pw") > 0)
+        .groupBy("tp")
+        .agg(
+            F.sum(
+                F.floor(-1.0 * share * F.ln(share) * 1e9).cast("long")
+            )
+            .cast("bigint")
+            .alias("h_q"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+        )
+    )
+    h = F.col("h_q") / 1e9
+    return ent.select(
+        F.col("k").alias("n_frequencies"),
+        F.round(h, 6).alias("spectral_entropy_nats"),
+        F.round(h / F.ln(F.col("k").cast("double")), 6).alias(
+            "normalized_entropy"
+        ),
+        F.round(1.0 - h / F.ln(F.col("k").cast("double")), 6).alias(
+            "forecastability"
+        ),
+    )
+
+
+@register(
+    "events_shapley_attribution",
+    """
+    WITH u AS (
+        SELECT user_id,
+               CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS INT) AS tv,
+               CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS INT) AS tc,
+               CAST(MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    AS INT) AS ts_,
+               CAST(MAX(CASE WHEN event_type = 'purchase'
+                              AND value >= 150.0 THEN 1 ELSE 0 END)
+                    AS INT) AS conv
+        FROM events
+        WHERE EXTRACT(DAY FROM ts) <= 10 OR event_type = 'purchase'
+        GROUP BY 1
+    ), subsets AS (
+        SELECT tv, tc, ts_, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(conv) AS BIGINT) AS k
+        FROM u GROUP BY 1, 2, 3
+    ), v AS (
+        -- characteristic value of each touch subset: its conversion rate
+        -- in micro-units (0 for unobserved subsets)
+        SELECT tv, tc, ts_,
+               CAST(FLOOR(CAST(k AS DOUBLE) / n * 1e6) AS BIGINT) AS vq
+        FROM subsets
+    ), pick AS (
+        SELECT
+          MAX(CASE WHEN tv=0 AND tc=0 AND ts_=0 THEN vq ELSE 0 END) AS v000,
+          MAX(CASE WHEN tv=1 AND tc=0 AND ts_=0 THEN vq ELSE 0 END) AS v100,
+          MAX(CASE WHEN tv=0 AND tc=1 AND ts_=0 THEN vq ELSE 0 END) AS v010,
+          MAX(CASE WHEN tv=0 AND tc=0 AND ts_=1 THEN vq ELSE 0 END) AS v001,
+          MAX(CASE WHEN tv=1 AND tc=1 AND ts_=0 THEN vq ELSE 0 END) AS v110,
+          MAX(CASE WHEN tv=1 AND tc=0 AND ts_=1 THEN vq ELSE 0 END) AS v101,
+          MAX(CASE WHEN tv=0 AND tc=1 AND ts_=1 THEN vq ELSE 0 END) AS v011,
+          MAX(CASE WHEN tv=1 AND tc=1 AND ts_=1 THEN vq ELSE 0 END) AS v111
+        FROM v
+    ), shap AS (
+        SELECT
+          ROUND((2.0 * (v100 - v000) + (v110 - v010) + (v101 - v001)
+                 + 2.0 * (v111 - v011)) / 6.0 / 1e6, 6) AS shap_view,
+          ROUND((2.0 * (v010 - v000) + (v110 - v100) + (v011 - v001)
+                 + 2.0 * (v111 - v101)) / 6.0 / 1e6, 6) AS shap_click,
+          ROUND((2.0 * (v001 - v000) + (v101 - v100) + (v011 - v010)
+                 + 2.0 * (v111 - v110)) / 6.0 / 1e6, 6) AS shap_signup,
+          ROUND(CAST(v111 - v000 AS DOUBLE) / 1e6, 6) AS total_effect
+        FROM pick
+    )
+    SELECT * FROM shap
+    """,
+)
+def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value marketing attribution over three touchpoint
+    channels (early-window view/click/signup exposure → high-value
+    purchase conversion): with 3 players the Shapley sum is 8 subset
+    values with factorial weights (2,1,1,2)/6 — closed form, no
+    sampling — and the efficiency axiom guarantees the three credits
+    sum to v(111)−v(000) (the test pins it). This is the
+    game-theoretically fair division of conversion lift across
+    channels, the upgrade from last-touch attribution. Subset
+    conversion rates are floor-quantized micro-units from one grouped
+    pass over users; the Shapley algebra runs on a single pivoted
+    row."""
+    ev = load_table(spark, sf_dir, "events")
+    early = F.dayofmonth("ts") <= 10
+    u = ev.filter(early | (F.col("event_type") == "purchase")).groupBy(
+        "user_id"
+    ).agg(
+        F.max(
+            F.when(early & (F.col("event_type") == "view"), 1).otherwise(0)
+        )
+        .cast("int")
+        .alias("tv"),
+        F.max(
+            F.when(early & (F.col("event_type") == "click"), 1).otherwise(0)
+        )
+        .cast("int")
+        .alias("tc"),
+        F.max(
+            F.when(early & (F.col("event_type") == "signup"), 1).otherwise(0)
+        )
+        .cast("int")
+        .alias("ts_"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 150.0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("int")
+        .alias("conv"),
+    )
+    subsets = u.groupBy("tv", "tc", "ts_").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("k"),
+    )
+    v = subsets.select(
+        "tv",
+        "tc",
+        "ts_",
+        F.floor(F.col("k").cast("double") / F.col("n") * 1e6)
+        .cast("bigint")
+        .alias("vq"),
+    )
+
+    def pick(a, b, c):
+        return F.max(
+            F.when(
+                (F.col("tv") == a) & (F.col("tc") == b) & (F.col("ts_") == c),
+                F.col("vq"),
+            ).otherwise(0)
+        )
+
+    wide = v.agg(
+        pick(0, 0, 0).alias("v000"),
+        pick(1, 0, 0).alias("v100"),
+        pick(0, 1, 0).alias("v010"),
+        pick(0, 0, 1).alias("v001"),
+        pick(1, 1, 0).alias("v110"),
+        pick(1, 0, 1).alias("v101"),
+        pick(0, 1, 1).alias("v011"),
+        pick(1, 1, 1).alias("v111"),
+    )
+    c = lambda name: F.col(name)  # noqa: E731
+    return wide.select(
+        F.round(
+            (
+                2.0 * (c("v100") - c("v000"))
+                + (c("v110") - c("v010"))
+                + (c("v101") - c("v001"))
+                + 2.0 * (c("v111") - c("v011"))
+            )
+            / 6.0
+            / 1e6,
+            6,
+        ).alias("shap_view"),
+        F.round(
+            (
+                2.0 * (c("v010") - c("v000"))
+                + (c("v110") - c("v100"))
+                + (c("v011") - c("v001"))
+                + 2.0 * (c("v111") - c("v101"))
+            )
+            / 6.0
+            / 1e6,
+            6,
+        ).alias("shap_click"),
+        F.round(
+            (
+                2.0 * (c("v001") - c("v000"))
+                + (c("v101") - c("v100"))
+                + (c("v011") - c("v010"))
+                + 2.0 * (c("v111") - c("v110"))
+            )
+            / 6.0
+            / 1e6,
+            6,
+        ).alias("shap_signup"),
+        F.round((c("v111") - c("v000")).cast("double") / 1e6, 6).alias(
+            "total_effect"
+        ),
+    )

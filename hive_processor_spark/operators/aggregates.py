@@ -2170,3 +2170,67 @@ def agg_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         bp.cast("bigint").alias("basis_points"),
         F.sum(bp).over(wall).cast("bigint").alias("total_allocated"),
     ).orderBy("n_name")
+
+
+@register(
+    "agg_otif",
+    """
+    WITH per_order AS (
+        SELECT o.o_orderkey,
+               STRFTIME(CAST(o.o_orderdate AS DATE), '%Y-%m') AS month,
+               CAST(BOOL_AND(DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                                      CAST(l.l_shipdate AS DATE)) <= 30)
+                    AS INT) AS otif,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    )
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(otif) AS BIGINT) AS otif_orders,
+           ROUND(CAST(SUM(otif) AS DOUBLE) / COUNT(*), 6) AS otif_rate,
+           ROUND(AVG(CAST(n_lines AS DOUBLE)), 4) AS avg_lines
+    FROM per_order GROUP BY 1 ORDER BY month
+    """,
+)
+def agg_otif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTIF (on-time-in-full) rate by order month: an order counts only
+    if EVERY line item shipped within 30 days of order date —
+    universally-quantified per-group logic via BOOL_AND (the aggregate
+    that turns "no late line exists" into one grouped pass instead of
+    an anti-join), the supply-chain KPI that penalizes partial
+    fulfillment the way average-lateness metrics cannot. Exact integer
+    datediffs; the monthly rollup is a second grouped count. Shuffle ∝
+    orders then ∝ months."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        orders.join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            "o_orderkey",
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.bool_and(
+                F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+                <= 30
+            )
+            .cast("int")
+            .alias("otif"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+    return (
+        per_order.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("otif").cast("bigint").alias("otif_orders"),
+            F.round(
+                F.sum("otif").cast("double") / F.count(F.lit(1)), 6
+            ).alias("otif_rate"),
+            F.round(F.avg(F.col("n_lines").cast("double")), 4).alias(
+                "avg_lines"
+            ),
+        )
+        .orderBy("month")
+    )

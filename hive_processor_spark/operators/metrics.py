@@ -3324,3 +3324,131 @@ def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chapman_rel_error"
         ),
     )
+
+
+@register(
+    "stats_geometric_median",
+    """
+    WITH pts AS (
+        SELECT s_suppkey,
+               CAST(s_suppkey * 7919 % 18000 AS BIGINT) AS y,
+               CAST(s_suppkey * 104729 % 36000 AS BIGINT) AS x
+        FROM supplier
+    ), c0 AS (
+        SELECT CAST(SUM(x) AS DOUBLE) / COUNT(*) AS cx,
+               CAST(SUM(y) AS DOUBLE) / COUNT(*) AS cy,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pts
+    ), w1 AS (
+        SELECT c0.n, c0.cx AS cx0, c0.cy AS cy0,
+               CAST(SUM(CAST(FLOOR(x / SQRT(POW(x - c0.cx, 2.0)
+                          + POW(y - c0.cy, 2.0) + 1.0) * 1e6) AS BIGINT))
+                    AS BIGINT) AS sxw_q,
+               CAST(SUM(CAST(FLOOR(y / SQRT(POW(x - c0.cx, 2.0)
+                          + POW(y - c0.cy, 2.0) + 1.0) * 1e6) AS BIGINT))
+                    AS BIGINT) AS syw_q,
+               CAST(SUM(CAST(FLOOR(1.0 / SQRT(POW(x - c0.cx, 2.0)
+                          + POW(y - c0.cy, 2.0) + 1.0) * 1e12) AS BIGINT))
+                    AS BIGINT) AS sw_q
+        FROM pts CROSS JOIN c0
+        GROUP BY c0.n, c0.cx, c0.cy
+    ), c1 AS (
+        SELECT n, cx0, cy0,
+               (sxw_q / 1e6) / (sw_q / 1e12) AS cx,
+               (syw_q / 1e6) / (sw_q / 1e12) AS cy
+        FROM w1
+    ), w2 AS (
+        SELECT c1.n, c1.cx0, c1.cy0, c1.cx AS cx1, c1.cy AS cy1,
+               CAST(SUM(CAST(FLOOR(x / SQRT(POW(x - c1.cx, 2.0)
+                          + POW(y - c1.cy, 2.0) + 1.0) * 1e6) AS BIGINT))
+                    AS BIGINT) AS sxw_q,
+               CAST(SUM(CAST(FLOOR(y / SQRT(POW(x - c1.cx, 2.0)
+                          + POW(y - c1.cy, 2.0) + 1.0) * 1e6) AS BIGINT))
+                    AS BIGINT) AS syw_q,
+               CAST(SUM(CAST(FLOOR(1.0 / SQRT(POW(x - c1.cx, 2.0)
+                          + POW(y - c1.cy, 2.0) + 1.0) * 1e12) AS BIGINT))
+                    AS BIGINT) AS sw_q
+        FROM pts CROSS JOIN c1
+        GROUP BY c1.n, c1.cx0, c1.cy0, c1.cx, c1.cy
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           ROUND(cx0, 2) AS centroid_x, ROUND(cy0, 2) AS centroid_y,
+           ROUND((sxw_q / 1e6) / (sw_q / 1e12), 2) AS gmedian_x,
+           ROUND((syw_q / 1e6) / (sw_q / 1e12), 2) AS gmedian_y,
+           ROUND(SQRT(POW((sxw_q / 1e6) / (sw_q / 1e12) - cx0, 2.0)
+                      + POW((syw_q / 1e6) / (sw_q / 1e12) - cy0, 2.0)), 2)
+               AS shift_from_centroid
+    FROM w2
+    """,
+)
+def stats_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric median (the L1 multivariate center — the
+    facility-location point minimizing total Euclidean distance, robust
+    where the centroid is not) of the synthetic supplier geography via
+    TWO UNROLLED Weiszfeld iterations from the centroid: each step is
+    one distance-weighted aggregation with floor-quantized weight terms
+    (ε = 1 smoothing keeps the weights finite), so the whole procedure
+    is a fixed three-pass declarative plan — iterative in math,
+    non-iterative in execution, bit-stable anywhere. Reports the
+    centroid, the 2-step estimate, and how far the robust center moved
+    — the outlier-sensitivity read. The bounded-unroll pattern for any
+    fixed-point refinement at scale."""
+    sup = load_table(spark, sf_dir, "supplier")
+    pts = sup.select(
+        (F.col("s_suppkey") * 7919 % 18000).cast("bigint").alias("y"),
+        (F.col("s_suppkey") * 104729 % 36000).cast("bigint").alias("x"),
+    )
+    c0 = pts.agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("cx"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("cy"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+    def step(frame, cx_col, cy_col, keep):
+        d = F.sqrt(
+            F.pow(F.col("x") - F.col(cx_col), 2.0)
+            + F.pow(F.col("y") - F.col(cy_col), 2.0)
+            + 1.0
+        )
+        return (
+            pts.crossJoin(F.broadcast(frame))
+            .groupBy(*keep)
+            .agg(
+                F.sum(F.floor(F.col("x") / d * 1e6).cast("long"))
+                .cast("bigint")
+                .alias("sxw_q"),
+                F.sum(F.floor(F.col("y") / d * 1e6).cast("long"))
+                .cast("bigint")
+                .alias("syw_q"),
+                F.sum(F.floor(1.0 / d * 1e12).cast("long"))
+                .cast("bigint")
+                .alias("sw_q"),
+            )
+        )
+
+    w1 = step(c0, "cx", "cy", ["n", "cx", "cy"]).withColumnsRenamed(
+        {"cx": "cx0", "cy": "cy0"}
+    )
+    c1 = w1.select(
+        "n",
+        "cx0",
+        "cy0",
+        ((F.col("sxw_q") / 1e6) / (F.col("sw_q") / 1e12)).alias("cx"),
+        ((F.col("syw_q") / 1e6) / (F.col("sw_q") / 1e12)).alias("cy"),
+    )
+    w2 = step(c1, "cx", "cy", ["n", "cx0", "cy0", "cx", "cy"])
+    gx = (F.col("sxw_q") / 1e6) / (F.col("sw_q") / 1e12)
+    gy = (F.col("syw_q") / 1e6) / (F.col("sw_q") / 1e12)
+    return w2.select(
+        F.col("n").alias("n_points"),
+        F.round("cx0", 2).alias("centroid_x"),
+        F.round("cy0", 2).alias("centroid_y"),
+        F.round(gx, 2).alias("gmedian_x"),
+        F.round(gy, 2).alias("gmedian_y"),
+        F.round(
+            F.sqrt(
+                F.pow(gx - F.col("cx0"), 2.0) + F.pow(gy - F.col("cy0"), 2.0)
+            ),
+            2,
+        ).alias("shift_from_centroid"),
+    )

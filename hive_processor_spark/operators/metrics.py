@@ -3452,3 +3452,80 @@ def stats_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("shift_from_centroid"),
     )
+
+
+@register(
+    "stats_chi_residuals",
+    """
+    WITH c AS (
+        SELECT o_orderpriority AS pr, o_orderstatus AS st,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM orders GROUP BY 1, 2
+    ), rm AS (SELECT pr, SUM(obs) AS rn FROM c GROUP BY 1),
+    cm AS (SELECT st, SUM(obs) AS cn FROM c GROUP BY 1),
+    tot AS (SELECT SUM(obs) AS t FROM c),
+    grid AS (
+        SELECT rm.pr, cm.st, rm.rn, cm.cn, tot.t, COALESCE(c.obs, 0) AS obs
+        FROM rm CROSS JOIN cm CROSS JOIN tot
+        LEFT JOIN c ON c.pr = rm.pr AND c.st = cm.st
+    )
+    SELECT pr AS priority, st AS status,
+           CAST(obs AS BIGINT) AS observed,
+           ROUND(CAST(rn AS DOUBLE) * cn / t, 2) AS expected,
+           ROUND((obs - CAST(rn AS DOUBLE) * cn / t)
+                 / SQRT(CAST(rn AS DOUBLE) * cn / t
+                        * (1.0 - CAST(rn AS DOUBLE) / t)
+                        * (1.0 - CAST(cn AS DOUBLE) / t)), 4)
+               AS adj_residual,
+           CAST(ABS((obs - CAST(rn AS DOUBLE) * cn / t)
+                 / SQRT(CAST(rn AS DOUBLE) * cn / t
+                        * (1.0 - CAST(rn AS DOUBLE) / t)
+                        * (1.0 - CAST(cn AS DOUBLE) / t))) > 1.96 AS INT)
+               AS significant_5pct
+    FROM grid ORDER BY priority, status
+    """,
+)
+def stats_chi_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted standardized residuals for every cell of the
+    priority × status contingency table — the drill-down the omnibus
+    chi-square (stats_cramers_v) cannot give: WHICH cells are over- or
+    under-represented, each residual ~N(0,1) under independence so
+    |r| > 1.96 flags the deviating cells directly. The dense grid keeps
+    zero-observed cells; marginals and counts are exact integers and
+    each residual is one fixed-form expression per cell. One grouped
+    count + 15-cell algebra."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    rm = c.groupBy("pr").agg(F.sum("obs").alias("rn"))
+    cm = c.groupBy("st").agg(F.sum("obs").alias("cn"))
+    tot = c.agg(F.sum("obs").alias("t"))
+    grid = (
+        rm.crossJoin(F.broadcast(cm))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(c), ["pr", "st"], "left")
+        .select(
+            "pr",
+            "st",
+            "rn",
+            "cn",
+            "t",
+            F.coalesce(F.col("obs"), F.lit(0)).cast("bigint").alias("obs"),
+        )
+    )
+    exp = F.col("rn").cast("double") * F.col("cn") / F.col("t")
+    resid = (F.col("obs") - exp) / F.sqrt(
+        exp
+        * (1.0 - F.col("rn").cast("double") / F.col("t"))
+        * (1.0 - F.col("cn").cast("double") / F.col("t"))
+    )
+    return grid.select(
+        F.col("pr").alias("priority"),
+        F.col("st").alias("status"),
+        F.col("obs").alias("observed"),
+        F.round(exp, 2).alias("expected"),
+        F.round(resid, 4).alias("adj_residual"),
+        (F.abs(resid) > 1.96).cast("int").alias("significant_5pct"),
+    ).orderBy("priority", "status")

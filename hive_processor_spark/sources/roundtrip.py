@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
@@ -1178,3 +1178,80 @@ def scan_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("geo.regionkey").cast("int").alias("regionkey"),
         (F.col("geo.nationkey") + 1000).cast("bigint").alias("geo_id"),
     ).orderBy("name")
+
+
+@register(
+    "scan_rle_audit",
+    """
+    WITH by_self AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS runs FROM (
+            SELECT l_returnflag,
+                   LAG(l_returnflag) OVER (
+                       ORDER BY l_returnflag, l_orderkey, l_linenumber)
+                       AS prev
+            FROM lineitem
+        ) t WHERE prev IS NULL OR prev <> l_returnflag
+    ), by_date AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS runs FROM (
+            SELECT l_returnflag,
+                   LAG(l_returnflag) OVER (
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                       AS prev
+            FROM lineitem
+        ) t WHERE prev IS NULL OR prev <> l_returnflag
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_ FROM lineitem)
+    SELECT n.rows_ AS n_rows,
+           by_self.runs AS runs_sorted_by_value,
+           by_date.runs AS runs_sorted_by_shipdate,
+           ROUND(CAST(n.rows_ AS DOUBLE) / by_self.runs, 1)
+               AS rle_ratio_value_sorted,
+           ROUND(CAST(n.rows_ AS DOUBLE) / by_date.runs, 4)
+               AS rle_ratio_date_sorted
+    FROM n CROSS JOIN by_self CROSS JOIN by_date
+    """,
+)
+def scan_rle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length-encoding audit: count the value RUNS of
+    ``l_returnflag`` under two physical sort orders — sorted by the
+    column itself (3 runs: RLE collapses the column to nothing) vs
+    sorted by ship date (≈ one run per row: RLE useless) — making the
+    storage-layout lesson MEASURABLE: sort-key choice, not the codec,
+    decides encoded size (the same decision zorder/clustering operators
+    in this repo optimize). Runs are exact lag-compare counts with full
+    tie-break chains so both engines see identical orders. Two window
+    passes + one count."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def runs(order_cols):
+        w = Window.orderBy(*order_cols)
+        return (
+            li.select(
+                "l_returnflag",
+                F.lag("l_returnflag").over(w).alias("prev"),
+            )
+            .filter(
+                F.col("prev").isNull()
+                | (F.col("prev") != F.col("l_returnflag"))
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("runs"))
+        )
+
+    by_self = runs(["l_returnflag", "l_orderkey", "l_linenumber"]).select(
+        F.col("runs").alias("runs_self")
+    )
+    by_date = runs(["l_shipdate", "l_orderkey", "l_linenumber"]).select(
+        F.col("runs").alias("runs_date")
+    )
+    n = li.agg(F.count(F.lit(1)).cast("bigint").alias("rows_"))
+    j = n.crossJoin(F.broadcast(by_self)).crossJoin(F.broadcast(by_date))
+    return j.select(
+        F.col("rows_").alias("n_rows"),
+        F.col("runs_self").alias("runs_sorted_by_value"),
+        F.col("runs_date").alias("runs_sorted_by_shipdate"),
+        F.round(
+            F.col("rows_").cast("double") / F.col("runs_self"), 1
+        ).alias("rle_ratio_value_sorted"),
+        F.round(
+            F.col("rows_").cast("double") / F.col("runs_date"), 4
+        ).alias("rle_ratio_date_sorted"),
+    )

@@ -2234,3 +2234,104 @@ def agg_otif(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "agg_decile_spread",
+    """
+    WITH v AS (
+        SELECT c_mktsegment AS segment,
+               CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS cents,
+               c_custkey
+        FROM customer
+    ), ranked AS (
+        SELECT segment, cents,
+               ROW_NUMBER() OVER (PARTITION BY segment
+                                  ORDER BY cents, c_custkey) AS rn,
+               COUNT(*) OVER (PARTITION BY segment) AS n
+        FROM v
+    ), qs AS (
+        SELECT segment, MAX(n) AS n,
+               MAX(CASE WHEN rn = CAST(CEIL(0.10 * n) AS BIGINT)
+                        THEN cents END) AS p10,
+               MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT)
+                        THEN cents END) AS p25,
+               MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT)
+                        THEN cents END) AS p50,
+               MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT)
+                        THEN cents END) AS p75,
+               MAX(CASE WHEN rn = CAST(CEIL(0.90 * n) AS BIGINT)
+                        THEN cents END) AS p90
+        FROM ranked GROUP BY segment
+    )
+    SELECT segment, CAST(n AS BIGINT) AS n,
+           ROUND(p10 / 100.0, 2) AS p10,
+           ROUND(p50 / 100.0, 2) AS median,
+           ROUND(p90 / 100.0, 2) AS p90,
+           ROUND((p90 - p10) / 100.0, 2) AS interdecile_range,
+           ROUND(CAST(p90 - p10 AS DOUBLE) / ABS(p50), 6) AS robust_cv,
+           ROUND(CAST(p75 + p25 - 2 * p50 AS DOUBLE) / (p75 - p25), 6)
+               AS bowley_skewness
+    FROM qs ORDER BY segment
+    """,
+)
+def agg_decile_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust distribution summary per market segment from EXACT order
+    statistics: interdecile range (P90−P10), the robust coefficient of
+    variation (IDR / |median|), and Bowley's quartile skewness
+    (P75+P25−2·median)/(P75−P25) ∈ [−1, 1] — the outlier-immune
+    moments-free triple that profiles a distribution where mean/SD/
+    Pearson skewness would be dragged by tails. Every quantile is an
+    integer rank selection with custkey tie-breaks (no interpolation,
+    no ambiguity); the derived ratios are final-form. One partitioned
+    rank window per segment + a conditional-pick rollup."""
+    cust = load_table(spark, sf_dir, "customer")
+    v = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") * 100.0).cast("long").alias("cents"),
+        "c_custkey",
+    )
+    wseg = Window.partitionBy("segment")
+    ranked = v.select(
+        "segment",
+        "cents",
+        F.row_number().over(wseg.orderBy("cents", "c_custkey")).alias("rn"),
+        F.count(F.lit(1)).over(wseg).alias("n"),
+    )
+
+    def pick(q):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(q * F.col("n")).cast("bigint"),
+                F.col("cents"),
+            )
+        )
+
+    qs = ranked.groupBy("segment").agg(
+        F.max("n").alias("n"),
+        pick(0.10).alias("p10"),
+        pick(0.25).alias("p25"),
+        pick(0.50).alias("p50"),
+        pick(0.75).alias("p75"),
+        pick(0.90).alias("p90"),
+    )
+    return qs.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("p10") / 100.0, 2).alias("p10"),
+        F.round(F.col("p50") / 100.0, 2).alias("median"),
+        F.round(F.col("p90") / 100.0, 2).alias("p90"),
+        F.round((F.col("p90") - F.col("p10")) / 100.0, 2).alias(
+            "interdecile_range"
+        ),
+        F.round(
+            (F.col("p90") - F.col("p10")).cast("double")
+            / F.abs(F.col("p50")),
+            6,
+        ).alias("robust_cv"),
+        F.round(
+            (F.col("p75") + F.col("p25") - 2 * F.col("p50")).cast("double")
+            / (F.col("p75") - F.col("p25")),
+            6,
+        ).alias("bowley_skewness"),
+    ).orderBy("segment")

@@ -3529,3 +3529,106 @@ def stats_chi_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(resid, 4).alias("adj_residual"),
         (F.abs(resid) > 1.96).cast("int").alias("significant_5pct"),
     ).orderBy("priority", "status")
+
+
+def _sign_test_sql() -> str:
+    from hive_processor_spark.functions.mathtab import LNFACT_Q
+
+    arr = "[" + ", ".join(str(v) for v in LNFACT_Q) + "]"
+    return f"""
+    WITH lf AS (SELECT {arr} AS t),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), diffs AS (
+        SELECT cents - LAG(cents) OVER (ORDER BY day) AS d FROM daily
+    ), counts AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE d > 0) AS BIGINT) AS ups,
+               CAST(COUNT(*) FILTER (WHERE d < 0) AS BIGINT) AS downs
+        FROM diffs WHERE d IS NOT NULL AND d <> 0
+    ), base AS (
+        SELECT ups, downs, ups + downs AS n,
+               LEAST(ups, downs) AS k
+        FROM counts
+    ), tail AS (
+        SELECT b.n, b.ups, b.downs,
+               CAST(SUM(CAST(FLOOR(EXP(
+                   (lf.t[b.n + 1] - lf.t[i.i + 1] - lf.t[b.n - i.i + 1])
+                   / 1e9 - b.n * LN(2.0)) * 1e12) AS BIGINT)) AS BIGINT)
+                   AS p_q
+        FROM base b CROSS JOIN lf
+        CROSS JOIN (SELECT UNNEST(RANGE(0, 5001)) AS i) i
+        WHERE i.i <= b.k
+        GROUP BY b.n, b.ups, b.downs
+    )
+    SELECT CAST(n AS BIGINT) AS n_moves,
+           CAST(ups AS BIGINT) AS up_days,
+           CAST(downs AS BIGINT) AS down_days,
+           ROUND(LEAST(2.0 * p_q / 1e12, 1.0), 6) AS p_two_sided,
+           CAST(CASE WHEN 2.0 * p_q / 1e12 < 0.05 THEN 1 ELSE 0 END AS INT)
+               AS trend_5pct
+    FROM tail
+    """
+
+
+@register("stats_sign_test", _sign_test_sql())
+def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sign test on daily revenue direction: are up-days and
+    down-days balanced, or is there drift? The two-sided p-value is the
+    EXACT binomial tail 2·Σᵢ≤k C(n,i)/2ⁿ — every binomial coefficient
+    resolved from the shared integer log-factorial table
+    (functions/mathtab.py) with n·ln 2 subtracted in log space, each
+    term floor-quantized at 1e-12 and integer-summed. The
+    distribution-free trend test that needs no variance estimate and
+    no normality — only signs. One grouped sum + lag + a bounded
+    tail explode (≤ min(ups, downs) terms) on a single row."""
+    from hive_processor_spark.functions.mathtab import LNFACT_Q
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day")
+    diffs = daily.select(
+        (F.col("cents") - F.lag("cents").over(w)).alias("d")
+    ).filter(F.col("d").isNotNull() & (F.col("d") != 0))
+    counts = diffs.agg(
+        F.count_if(F.col("d") > 0).cast("bigint").alias("ups"),
+        F.count_if(F.col("d") < 0).cast("bigint").alias("downs"),
+    )
+    base = counts.select(
+        "ups",
+        "downs",
+        (F.col("ups") + F.col("downs")).alias("n"),
+        F.least(F.col("ups"), F.col("downs")).alias("k"),
+    )
+    lf = F.array(*[F.lit(v) for v in LNFACT_Q])
+    js = base.select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("k"))).alias("i")
+    ).withColumn("lft", lf)
+
+    def lfq(idx):
+        return F.element_at(F.col("lft"), (idx + 1).cast("int"))
+
+    import math as _math
+
+    ln_term = (
+        lfq(F.col("n")) - lfq(F.col("i")) - lfq(F.col("n") - F.col("i"))
+    ).cast("double") / 1e9 - F.col("n") * _math.log(2.0)
+    tail = js.groupBy("n", "ups", "downs").agg(
+        F.sum(F.floor(F.exp(ln_term) * 1e12).cast("long"))
+        .cast("bigint")
+        .alias("p_q")
+    )
+    p2 = 2.0 * F.col("p_q") / 1e12
+    return tail.select(
+        F.col("n").cast("bigint").alias("n_moves"),
+        F.col("ups").cast("bigint").alias("up_days"),
+        F.col("downs").cast("bigint").alias("down_days"),
+        F.round(F.least(p2, F.lit(1.0)), 6).alias("p_two_sided"),
+        F.when(p2 < 0.05, 1).otherwise(0).cast("int").alias("trend_5pct"),
+    )

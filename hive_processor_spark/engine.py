@@ -37,6 +37,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+#: Fixture directory pinned at import time for the few queries whose oracle
+#: SQL must embed a literal path (DuckDB cannot parameterize a view over a
+#: directory that follows ``sf_dir`` at call time, e.g. ``read_blob``).
+#: Honors the same env override the differential harness uses, so any
+#: checkout where fixtures live elsewhere stays consistent on BOTH sides.
+PINNED_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+
 #: Tables the driver materializes per scale factor (TESTDATA.md).
 TABLES = (
     "region",

@@ -19,7 +19,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hive_processor_spark.engine import register
+from hive_processor_spark.engine import PINNED_SF_DIR, register
 from hive_processor_spark.sources.tables import load_table
 
 _SCRATCH_ROOT = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/hive_spark_scratch")
@@ -730,11 +730,11 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scan_binary_files",
-    """
+    f"""
     SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
            CAST(octet_length(content) AS BIGINT) AS n_bytes,
            md5(base64(content)) AS digest
-    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    FROM read_blob('{PINNED_SF_DIR}/*.parquet')
     ORDER BY fname
     """,
 )
@@ -745,11 +745,12 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     content digest per file. Digest discipline: md5 over the
     newline-stripped base64 text, because that is the bytes→text mapping
     both engines spell identically (Spark's ``base64`` is MIME-chunked;
-    DuckDB cannot hash raw blobs). BOTH sides pin the sf0.01 fixture dir
-    (the oracle is a static string, so it cannot follow ``sf_dir``;
-    pinning the Spark side too keeps the differential meaningful at
-    every sweep SF — which directory gets digested is incidental to the
-    binaryFile surface being proven).
+    DuckDB cannot hash raw blobs). BOTH sides pin ``PINNED_SF_DIR`` (the
+    oracle is a static string baked at import time, so it cannot follow
+    ``sf_dir``; pinning the Spark side to the same env-derived constant
+    keeps the differential meaningful at every sweep SF and on checkouts
+    where fixtures live elsewhere — which directory gets digested is
+    incidental to the binaryFile surface being proven).
 
     At 100 TB: binaryFile splits per file across executors and prunes
     with ``pathGlobFilter``/``modifiedAfter``; pair it with the
@@ -757,7 +758,7 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     b64 = F.regexp_replace(F.base64("content"), "[\r\n]", "")
     return (
         spark.read.format("binaryFile")
-        .load("/root/testdata/sf0.01/*.parquet")
+        .load(f"{PINNED_SF_DIR}/*.parquet")
         .select(
             F.element_at(F.split("path", "/"), -1).alias("fname"),
             F.col("length").alias("n_bytes"),
@@ -1218,28 +1219,64 @@ def scan_rle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage-layout lesson MEASURABLE: sort-key choice, not the codec,
     decides encoded size (the same decision zorder/clustering operators
     in this repo optimize). Runs are exact lag-compare counts with full
-    tie-break chains so both engines see identical orders. Two window
-    passes + one count."""
+    tie-break chains so both engines see identical orders.
+
+    Scale shape: a run count over a TOTAL order is computed WITHOUT a
+    global single-task sort — the leading sort key doubles as a chunk
+    key, runs are counted inside each chunk with a *partitioned* window
+    (parallel, shuffle ∝ rows), and chunk boundaries are stitched on the
+    per-chunk aggregate: ``total = Σ runs_per_chunk − #(adjacent chunks
+    whose touching values are equal)``. The only unpartitioned window
+    left runs over that aggregate — O(distinct leading-key values)
+    rows (3 flags / ~2.4 k ship dates), bounded at any corpus size."""
     li = load_table(spark, sf_dir, "lineitem")
 
-    def runs(order_cols):
-        w = Window.orderBy(*order_cols)
-        return (
+    def runs(chunk_col, order_cols):
+        # Per-chunk run counts + the chunk's first/last value in order.
+        wc = Window.partitionBy(chunk_col).orderBy(*order_cols)
+        tie = F.struct(*order_cols)
+        per_chunk = (
             li.select(
+                chunk_col,
                 "l_returnflag",
-                F.lag("l_returnflag").over(w).alias("prev"),
+                *order_cols,
+                F.lag("l_returnflag").over(wc).alias("prev"),
             )
-            .filter(
-                F.col("prev").isNull()
-                | (F.col("prev") != F.col("l_returnflag"))
+            .groupBy(chunk_col)
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("prev").isNull()
+                        | (F.col("prev") != F.col("l_returnflag")),
+                        1,
+                    ).otherwise(0)
+                ).alias("runs_c"),
+                F.min_by("l_returnflag", tie).alias("first_v"),
+                F.max_by("l_returnflag", tie).alias("last_v"),
             )
-            .agg(F.count(F.lit(1)).cast("bigint").alias("runs"))
+        )
+        # Boundary stitch over the tiny chunk aggregate (O(chunks) rows).
+        wb = Window.orderBy(chunk_col)
+        stitched = per_chunk.select(
+            "runs_c",
+            "first_v",
+            F.lag("last_v").over(wb).alias("prev_last"),
+        )
+        return stitched.agg(
+            (
+                F.sum("runs_c")
+                - F.sum(
+                    F.when(F.col("prev_last") == F.col("first_v"), 1).otherwise(0)
+                )
+            )
+            .cast("bigint")
+            .alias("runs")
         )
 
-    by_self = runs(["l_returnflag", "l_orderkey", "l_linenumber"]).select(
+    by_self = runs("l_returnflag", ["l_orderkey", "l_linenumber"]).select(
         F.col("runs").alias("runs_self")
     )
-    by_date = runs(["l_shipdate", "l_orderkey", "l_linenumber"]).select(
+    by_date = runs("l_shipdate", ["l_orderkey", "l_linenumber"]).select(
         F.col("runs").alias("runs_date")
     )
     n = li.agg(F.count(F.lit(1)).cast("bigint").alias("rows_"))

@@ -71,6 +71,7 @@ HEADLINE = [
 
 
 def main() -> int:
+    full = "--full" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -90,31 +91,42 @@ def main() -> int:
         # projections would otherwise bench the driver pipe, not the engine.
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # --full: steady-state time EVERY registered query (verdict r3 #7 —
+    # regressions outside the 40-query headline set must not hide). One
+    # session, warmup + best-of-2 (enough: headline best-of-3 covers the
+    # publication numbers; this is the long-tail regression radar).
+    names = sorted(qs) if full else HEADLINE
+    reps = 2 if full else 3
+
     per_query: dict[str, float] = {}
-    for name in HEADLINE:
+    failed: list[str] = []
+    for name in names:
         try:
             run(name)  # warmup: codegen + JIT
             best = float("inf")
-            for _ in range(3):
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 run(name)
                 best = min(best, time.perf_counter() - t0)
             per_query[name] = round(best, 3)
         except Exception:
+            failed.append(name)
             traceback.print_exc(file=sys.stderr)
             continue
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_steady_state",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "full_registry_steady_state" if full else "headline_suite_steady_state",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    if full:
+        worst = sorted(per_query.items(), key=lambda kv: -kv[1])[:20]
+        out["worst_20"] = dict(worst)
+        out["n_queries"] = len(per_query)
+        out["failed"] = failed
+    print(json.dumps(out))
     return 0
 
 

@@ -498,3 +498,134 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def _hourly_file(spark: SparkSession, path: str, i: int, rows) -> None:
+    """One time-ordered replay file with a strictly increasing mtime."""
+    pdf = pd.DataFrame(rows, columns=["event_id", "epoch_s"])
+    df = spark.createDataFrame(pdf).select(
+        "event_id", F.timestamp_seconds("epoch_s").alias("ts")
+    )
+    part = f"{path}/{i:03d}.parquet"
+    df.coalesce(1).write.mode("overwrite").parquet(part)
+    now = time.time() + i
+    for root, _dirs, files in os.walk(part):
+        for f in files:
+            os.utime(os.path.join(root, f), (now, now))
+
+
+@register("stream_checkpoint_restart")  # Tier R: recovery isn't SQL-visible
+def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-recovery semantics — the durability contract a 100 TB
+    streaming pipeline actually relies on: a watermarked append-mode
+    aggregation processes three hourly files, STOPS, three more files
+    arrive, and a brand-new query object resumes from the SAME checkpoint
+    location. The file-source offsets and the aggregation state store both
+    live in the checkpoint, so the restarted query must (a) not re-read
+    phase-1 files, (b) not re-emit windows already appended, and (c) close
+    the remaining windows with counts that straddle the restart boundary —
+    i.e. exactly-once output across a driver restart. Output is every
+    emitted (phase, bucket_start, n_events) row; the no-duplicate and
+    straddle invariants are asserted in tests/test_streaming.py.
+
+    At scale this is the same mechanism (HDFS/S3 checkpoint dir, RocksDB
+    state store); nothing here is local-mode-only."""
+    src = _scratch("ck_src")
+    ckpt = _scratch("ck_ckpt")
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    # 6 hourly batches, 5 rows each; hour 2's rows are split across the
+    # restart boundary (file 2 carries 3 of them, file 3 the other 2) so a
+    # correctly-recovered state store is REQUIRED to close hour 2 at n=5.
+    hours = [[(h * 10 + j, base + h * 3600 + j * 60) for j in range(5)] for h in range(6)]
+    files = [
+        hours[0],
+        hours[1],
+        hours[2][:3],
+        hours[2][3:],
+        hours[3],
+        hours[4] + hours[5],
+    ]
+    emitted: list[tuple[int, int, int]] = []
+
+    def run_phase(phase: int) -> None:
+        def sink(bdf: DataFrame, _bid: int) -> None:
+            for r in bdf.collect():
+                emitted.append((phase, r["bucket_start"], r["n_events"]))
+
+        q = (
+            spark.readStream.schema("event_id BIGINT, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*.parquet")
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+            .select(F.unix_timestamp("w.start").alias("bucket_start"), "n_events")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    for i, rows in enumerate(files[:3]):
+        _hourly_file(spark, src, i, rows)
+    run_phase(1)
+    for i, rows in enumerate(files[3:], start=3):
+        _hourly_file(spark, src, i, rows)
+    run_phase(2)
+    return spark.createDataFrame(
+        emitted, "phase INT, bucket_start BIGINT, n_events BIGINT"
+    ).orderBy("bucket_start")
+
+
+@register("stream_watermark_lateness")  # Tier R: drop policy isn't SQL-visible
+def stream_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-batch watermark discipline beyond the single late-row smoke:
+    after four on-time hourly batches advance the watermark, one batch
+    delivers three stragglers of graded lateness into the SAME hour-1
+    window — 50 min late (inside the 3 h allowance → accepted), 2 h 50 min
+    late (inside → accepted), and ~12 h late (beyond → dropped) — then a
+    final on-time batch pushes the watermark past hour 1 so the window
+    closes and appends. Hour 1 must emit n = 5 on-time + 2 accepted = 7:
+    the watermark is an ALLOWANCE, not a cliff at the batch boundary, and
+    only data older than (max event time − delay) is discarded. Output:
+    (bucket_start, n_events) per closed window."""
+    src = _scratch("wm_src")
+    base = 1704067200
+    on_time = [
+        [(h * 10 + j, base + h * 3600 + j * 60) for j in range(5)] for h in range(4)
+    ]
+    # batch 4: graded stragglers into hour 1 (watermark after batch 3 is
+    # max_ts(hour-3 batch) - 3h = hour 0 + 4 min → hour-1 rows are live,
+    # hour-(-9) is long dead)
+    stragglers = [
+        (901, base + 1 * 3600 + 10 * 60),   # hour 1, 50 min behind max → keep
+        (902, base + 1 * 3600 + 40 * 60),   # hour 1 again, later slot → keep
+        (903, base - 9 * 3600),             # ~12 h behind → drop
+    ]
+    # batch 5: on-time hour 5 advances the watermark to 2:04 → hour 1 closes
+    closer = [(50 + j, base + 5 * 3600 + j * 60) for j in range(5)]
+    # batch 6: one more on-time batch so the closer's watermark advance is
+    # applied by a subsequent micro-batch (emission lags the update by one)
+    flush = [(60 + j, base + 6 * 3600 + j * 60) for j in range(5)]
+    batches = on_time + [stragglers, closer, flush]
+    for i, rows in enumerate(batches):
+        _hourly_file(spark, src, i, rows)
+    name = f"wml_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.schema("event_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*.parquet")
+        .withWatermark("ts", "3 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(F.unix_timestamp("w.start").alias("bucket_start"), "n_events")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

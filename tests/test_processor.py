@@ -161,3 +161,72 @@ def test_remote_concurrent_clients(spark):
         assert reply["ok"] and reply["sn"] == sn
         assert reply["rows"][0]["n_rows"] > 0
     assert len({json.dumps(r["rows"]) for r in results.values()}) == 1
+
+
+def test_remote_pipelined_interleaved(spark):
+    """One connection PIPELINES six requests (all written before any reply
+    is read) while a second client hammers a different query concurrently —
+    replies must come back sn-correlated in request order, each mirroring
+    its own request's compression, with errors interleaved mid-stream
+    without desynchronizing the framing (the pool-of-2 + sn-correlation
+    semantics of the reference, src/processor.ts:36-55,92-133)."""
+    import json
+    import socket
+    import threading
+
+    from hive_processor_spark.serving import (
+        QueryServer,
+        _read_msg,
+        _write_msg,
+        request_once,
+    )
+
+    with QueryServer(spark) as srv:
+        side: dict[int, dict] = {}
+
+        def other_client() -> None:
+            for sn in (101, 102):
+                side[sn] = request_once(
+                    "127.0.0.1",
+                    srv.port,
+                    {"sn": sn, "query": "agg_groupby", "sf_dir": SF_SMALL},
+                    compress=sn % 2 == 0,
+                )
+
+        t = threading.Thread(target=other_client)
+        t.start()
+
+        # sn → (query, compress); sn 13 is a mid-stream error probe
+        plan = [
+            (11, "agg_global", False),
+            (12, "agg_global", True),
+            (13, "no_such_query", False),
+            (14, "filter_compare", True),
+            (15, "agg_global", False),
+            (16, "agg_global", True),
+        ]
+        with socket.create_connection(("127.0.0.1", srv.port), timeout=180) as conn:
+            for sn, q, comp in plan:  # write ALL before reading ANY
+                _write_msg(conn, {"sn": sn, "query": q, "sf_dir": SF_SMALL}, comp)
+            replies = []
+            for _ in plan:
+                msg = _read_msg(conn)
+                assert msg is not None
+                replies.append(msg)
+        t.join(timeout=180)
+
+    # in-order, sn-correlated, compression mirrored per message
+    assert [r[0]["sn"] for r in replies] == [sn for sn, _, _ in plan]
+    assert [r[1] for r in replies] == [comp for _, _, comp in plan]
+    by_sn = {r[0]["sn"]: r[0] for r in replies}
+    assert by_sn[13]["ok"] is False and "unknown query" in by_sn[13]["error"]
+    for sn in (11, 12, 15, 16):
+        assert by_sn[sn]["ok"] is True and by_sn[sn]["rows"][0]["n_rows"] > 0
+    assert by_sn[11]["rows"] == by_sn[15]["rows"]
+    assert by_sn[14]["ok"] is True and len(by_sn[14]["rows"]) > 0
+
+    # the concurrent client saw its own correct, correlated answers
+    assert set(side) == {101, 102}
+    for sn, reply in side.items():
+        assert reply["ok"] and reply["sn"] == sn and len(reply["rows"]) > 0
+    assert side[101]["rows"] == side[102]["rows"]

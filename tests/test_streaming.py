@@ -221,3 +221,45 @@ def test_stream_session_window_equals_batch(spark):
     )
     want = {(r.user_id, r.n_sessions, r.n_events) for r in batch.collect()}
     assert got == want
+
+
+def test_checkpoint_restart_exactly_once(spark):
+    """A restarted query resuming from the same checkpoint must not re-read
+    phase-1 files or re-emit appended windows, and must close the window
+    whose rows straddle the restart with the full count — i.e. the state
+    store, not just the source offsets, survived the restart (round-3
+    verdict #4)."""
+    rows = _QUERIES["stream_checkpoint_restart"](spark, SF_SMALL).collect()
+    base = 1704067200
+    emitted = [(r.phase, r.bucket_start, r.n_events) for r in rows]
+    buckets = [b for _, b, _ in emitted]
+    # exactly-once: every window appended exactly once across both phases
+    assert len(buckets) == len(set(buckets))
+    by_bucket = {b: (p, n) for p, b, n in emitted}
+    # hours 0..3 all closed with the full 5-row count
+    for h in range(4):
+        assert by_bucket[base + h * 3600][1] == 5
+    # the straddled hour-2 window closed AFTER the restart — proof the
+    # recovered state store carried phase-1's partial count of 3
+    assert by_bucket[base + 2 * 3600][0] == 2
+    # phase 1 emitted at least one window before the stop
+    assert any(p == 1 for p, _, _ in emitted)
+    # hour 4+ never closed (watermark never passed them) — no spurious emits
+    assert all(b < base + 4 * 3600 for b in buckets)
+
+
+def test_watermark_graded_lateness(spark):
+    """The watermark is an allowance, not a batch-boundary cliff: stragglers
+    50 min and 2 h 50 min behind the max event time (inside the 3 h
+    allowance) are accepted into their already-open window; the ~12 h-late
+    row is dropped entirely (round-3 verdict #4: multi-batch scenario
+    beyond the single late-row smoke)."""
+    out = {
+        r.bucket_start: r.n_events
+        for r in _QUERIES["stream_watermark_lateness"](spark, SF_SMALL).collect()
+    }
+    base = 1704067200
+    assert out[base] == 5            # hour 0: untouched
+    assert out[base + 3600] == 7     # hour 1: 5 on-time + 2 accepted stragglers
+    assert out[base + 2 * 3600] == 5
+    assert base - 9 * 3600 not in out  # the beyond-allowance row left no window

@@ -18,6 +18,8 @@ sources additionally implement filter/column pruning hooks.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
@@ -28,6 +30,7 @@ from pyspark.sql.datasource import (
 )
 
 from hive_processor_spark.engine import register
+from hive_processor_spark.sources.roundtrip import _scratch
 
 #: Generator geometry (mirrored literally in the oracle SQL).
 _N_ROWS = 5000
@@ -120,28 +123,36 @@ _STREAM_MAX_ROWS = 1000
 
 
 class SynthStreamReader(DataSourceStreamReader):
-    """Offset = rows emitted so far. Each poll advances by one fixed batch
-    until the (test-bounded) high-water mark; partitions split the offset
+    """Offset = rows emitted so far. The high-water mark is read from the
+    UPSTREAM SYSTEM on every poll (here: an ``upstream`` file holding the
+    row count currently available — standing in for a queue's end offset
+    or a vendor API's cursor), never from reader-instance state. That is
+    what makes checkpointed restarts correct: a fresh reader after a
+    restart reports the true upstream mark, Spark resumes planning from
+    the CHECKPOINTED position toward it, and nothing is re-read or skipped
+    (asserted in tests/test_streaming.py). Partitions split the offset
     range so executors generate their slices independently — the same
     contract a Kafka-like source satisfies with (topic, partition, offset).
     """
 
+    def __init__(self, options: dict) -> None:
+        self._upstream = options.get("upstream")
+
     def initialOffset(self) -> dict:
         return {"pos": 0}
 
+    def _upstream_hwm(self) -> int:
+        if not self._upstream:
+            # no upstream configured: everything is already available
+            return _STREAM_MAX_ROWS
+        try:
+            with open(self._upstream) as f:
+                return int(f.read().strip() or 0)
+        except (OSError, ValueError):
+            return 0
+
     def latestOffset(self) -> dict:
-        # In a real tailing source this asks the upstream system; here the
-        # high-water mark advances deterministically per poll.
-        # CAVEAT (checkpointed restarts): _hwm is per-instance state, so a
-        # fresh reader after a restart would report an offset BEHIND the
-        # checkpointed position until it re-advances. A production source
-        # must derive the mark from the upstream system (or round-trip it
-        # through initialOffset), never from reader-instance state. Fine
-        # here: the smoke test runs checkpoint-free to completion.
-        if not hasattr(self, "_hwm"):
-            self._hwm = 0
-        self._hwm = min(self._hwm + _STREAM_ROWS_PER_BATCH, _STREAM_MAX_ROWS)
-        return {"pos": self._hwm}
+        return {"pos": self._upstream_hwm()}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         lo, hi = start["pos"], end["pos"]
@@ -168,7 +179,7 @@ class SynthStreamSource(DataSource):
         return "seq bigint, k int, v double"
 
     def streamReader(self, schema) -> SynthStreamReader:
-        return SynthStreamReader()
+        return SynthStreamReader(self.options)
 
 
 # Tier R: the micro-batch ingestion path isn't SQL-visible; equality with
@@ -180,12 +191,22 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     every batch through foreachBatch into a memory buffer, then aggregate
     per key — proving offset planning, partition splitting, incremental
     reads, and commit hooks on the Python streaming extension surface.
+    The upstream high-water mark lives in a file the driver advances
+    mid-stream (500 → 1000), so at least two non-empty micro-batches
+    happen and the offset mark is ABSOLUTE upstream state — the property
+    that makes checkpointed restart correct (see SynthStreamReader).
     At scale the per-batch partition count comes from the upstream shard
     layout and each executor tails its own shard slice."""
+    import time as _time
+
     spark.dataSource.register(SynthStreamSource)
+    upstream = os.path.join(_scratch("synthup"), "hwm")
+    with open(upstream, "w") as f:
+        f.write(str(_STREAM_ROWS_PER_BATCH))
     acc: list = []
     q = (
         spark.readStream.format("synthstream")
+        .option("upstream", upstream)
         .load()
         .writeStream.foreachBatch(
             lambda bdf, _bid: acc.extend(bdf.collect())
@@ -194,10 +215,13 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        import time as _time
-
         deadline = _time.time() + 60
+        bumped = False
         while len(acc) < _STREAM_MAX_ROWS and _time.time() < deadline:
+            if not bumped and len(acc) >= _STREAM_ROWS_PER_BATCH:
+                with open(upstream, "w") as f:  # upstream data "arrives"
+                    f.write(str(_STREAM_MAX_ROWS))
+                bumped = True
             _time.sleep(0.2)
     finally:
         q.stop()

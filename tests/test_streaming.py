@@ -263,3 +263,50 @@ def test_watermark_graded_lateness(spark):
     assert out[base + 3600] == 7     # hour 1: 5 on-time + 2 accepted stragglers
     assert out[base + 2 * 3600] == 5
     assert base - 9 * 3600 not in out  # the beyond-allowance row left no window
+
+
+def test_custom_source_checkpoint_restart(spark, tmp_path):
+    """Restart recovery of the custom Python streaming source (the round-3
+    ADVICE caveat, now closed): run against a checkpoint until the first
+    500 upstream rows are ingested, STOP, let 500 more arrive upstream,
+    and resume with a fresh query from the same checkpoint. Because the
+    source's latestOffset() reports the ABSOLUTE upstream mark (not
+    reader-instance state), the restarted query must emit exactly rows
+    500..999 — no re-read, no gap — and the union is each seq exactly
+    once."""
+    import time as _t
+
+    from hive_processor_spark.sources.pysource import SynthStreamSource
+
+    spark.dataSource.register(SynthStreamSource)
+    upstream = tmp_path / "hwm"
+    ckpt = str(tmp_path / "ckpt")
+    upstream.write_text("500")
+
+    def run_until(n_expected: int, acc: list) -> None:
+        q = (
+            spark.readStream.format("synthstream")
+            .option("upstream", str(upstream))
+            .load()
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(lambda bdf, _bid: acc.extend(bdf.collect()))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = _t.time() + 90
+            while len(acc) < n_expected and _t.time() < deadline:
+                _t.sleep(0.2)
+        finally:
+            q.stop()
+        assert len(acc) >= n_expected, f"ingested {len(acc)}/{n_expected}"
+
+    phase1: list = []
+    run_until(500, phase1)
+    assert sorted(r.seq for r in phase1) == list(range(500))
+
+    upstream.write_text("1000")  # 500 more rows arrive while we're down
+    phase2: list = []
+    run_until(500, phase2)
+    # resumed from the checkpointed offset: second half only, exactly once
+    assert sorted(r.seq for r in phase2) == list(range(500, 1000))

@@ -496,8 +496,11 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint(eager=True)
     )
+    global LAST_CC_ROUNDS
     converged = False
+    rounds = 0
     for _ in range(30):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
@@ -531,7 +534,14 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
             break
     if not converged:
         raise RuntimeError("label propagation did not converge")
+    LAST_CC_ROUNDS = rounds
     return labels
+
+
+#: Rounds the most recent _min_label_components call took to converge —
+#: read by tools/scale_probe.py to pin the BSP iteration count at 10×
+#: (round-3 verdict #1). Pointer jumping keeps this O(log diameter).
+LAST_CC_ROUNDS: int | None = None
 
 
 @register(

@@ -83,11 +83,22 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     big = build(spark, args.sf, args.k)
     qs = queries()
+
+    from hive_processor_spark.operators import dedup
+
     for name in args.names:
+        dedup.LAST_CC_ROUNDS = None
         t1 = steady(qs[name], spark, args.sf)
+        r1 = dedup.LAST_CC_ROUNDS
+        dedup.LAST_CC_ROUNDS = None
         tk = steady(qs[name], spark, big)
+        rk = dedup.LAST_CC_ROUNDS
         growth = round(tk / t1, 1) if t1 else float("nan")
-        print(f"{name}: 1x={t1}s {args.k}x={tk}s growth={growth}x", flush=True)
+        iters = f" rounds={r1}->{rk}" if rk is not None else ""
+        print(
+            f"{name}: 1x={t1}s {args.k}x={tk}s growth={growth}x{iters}",
+            flush=True,
+        )
     return 0
 
 

@@ -43,6 +43,7 @@ def _load_all() -> None:
         events,
         experiments,
         filters,
+        fuzzy,
         graphs,
         joins,
         market,

@@ -608,14 +608,38 @@ def dedup_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     common 0.8 near-dup bar); at this operator's permissive t=0.08 it
     prunes modestly — the structure, not the constant, is the point.
     Same oracle as ``dedup_ngram_jaccard``, because the answer is
-    provably the same."""
+    provably the same.
+
+    Clone collapse (round-4 scale-probe finding): on duplication-dense
+    data the prefix join's fan-out is Σ df² per prefix hash, and exact
+    clones multiply every df — the 10× clone-replica probe OOM'd the
+    aggregation at 0.25 GiB/core. The production-correct fix is run the
+    expensive join on DISTINCT texts only: collapse exact duplicates
+    first (md5 hash-groupBy — the ``dedup_exact`` discipline), compute
+    candidate+verify over one representative per text, then expand
+    representative pairs back through the member lists (J is a function
+    of the shingle SETS, so every member pair inherits its
+    representatives' jaccard exactly; within-clone pairs are J = 1.0 by
+    identity, guarded on a non-empty shingle set to match the direct
+    join). Candidate cost now tracks DISTINCT-text count — duplication
+    density, the thing a dedup operator exists to confront, no longer
+    multiplies the join."""
     shingle_str = F.expr(
         "array_distinct(transform(sequence(1, size(w) - 2),"
         " i -> array_join(slice(w, i, 3), ' ')))"
     )
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    groups = (
+        raw.groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("w"))
+        groups.select(F.col("rep_id").alias("doc_id"), F.split("text", " ").alias("w"))
         .select("doc_id", shingle_str.alias("tokens"))
     )
     # global canonical order = ascending xxhash64; prefix length
@@ -645,8 +669,9 @@ def dedup_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once (same layout discipline as dedup_ngram_jaccard), then the
     # common-count join is driven BY the candidate list.
     sh = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("w"))
+        groups.select(
+            F.col("rep_id").alias("doc_id"), F.split("text", " ").alias("w")
+        )
         .select("doc_id", shingle_str.alias("sh_arr"))
         .select("doc_id", F.explode_outer("sh_arr").alias("s"))
         .filter(F.col("s").isNotNull())
@@ -667,12 +692,55 @@ def dedup_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.floor(
         F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")) * 10000.0
     ) / 10000.0
-    return (
+    rep_pairs = (
         common.join(F.broadcast(za), F.col("doc_a") == F.col("za_id"))
         .join(F.broadcast(zb), F.col("doc_b") == F.col("zb_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .select(
+            F.col("doc_a").alias("ra"),
+            F.col("doc_b").alias("rb"),
+            jac.alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= 0.08)
     )
+    # Expand representative pairs through the clone member lists: every
+    # (member of ra) × (member of rb) pair shares its representatives'
+    # shingle sets, hence exactly their jaccard.
+    ga = groups.select(F.col("rep_id").alias("ra"), F.col("members").alias("ma"))
+    gb = groups.select(F.col("rep_id").alias("rb"), F.col("members").alias("mb"))
+    cross = (
+        rep_pairs.join(ga, "ra")
+        .join(gb, "rb")
+        .select(F.explode("ma").alias("ea"), "mb", "jaccard")
+        .select("ea", F.explode("mb").alias("eb"), "jaccard")
+        .select(
+            F.least("ea", "eb").alias("doc_a"),
+            F.greatest("ea", "eb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # Within-clone pairs: identical texts have J = 1.0 by definition —
+    # provided the shingle set is non-empty (the direct join emits nothing
+    # for shingle-less docs, so neither do we).
+    shingled = sizes.select(F.col("doc_id").alias("rep_id"))
+    within = (
+        groups.join(shingled, "rep_id")  # AQE broadcasts when small
+        .filter(F.size("members") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(members) - 1),"
+                    " i -> transform(slice(members, i + 1, size(members) - i),"
+                    " x -> named_struct('a', element_at(members, i), 'b', x))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a").alias("doc_a"),
+            F.col("p.b").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 @register(

@@ -86,20 +86,27 @@ def main() -> int:
 
     from hive_processor_spark.operators import dedup
 
+    failures = 0
     for name in args.names:
-        dedup.LAST_CC_ROUNDS = None
-        t1 = steady(qs[name], spark, args.sf)
-        r1 = dedup.LAST_CC_ROUNDS
-        dedup.LAST_CC_ROUNDS = None
-        tk = steady(qs[name], spark, big)
-        rk = dedup.LAST_CC_ROUNDS
+        try:
+            dedup.LAST_CC_ROUNDS = None
+            t1 = steady(qs[name], spark, args.sf)
+            r1 = dedup.LAST_CC_ROUNDS
+            dedup.LAST_CC_ROUNDS = None
+            tk = steady(qs[name], spark, big)
+            rk = dedup.LAST_CC_ROUNDS
+        except Exception as exc:  # a probe failure IS the finding — record it
+            print(f"{name}: FAILED at {args.k}x — {type(exc).__name__}: "
+                  f"{str(exc).splitlines()[0][:200]}", flush=True)
+            failures += 1
+            continue
         growth = round(tk / t1, 1) if t1 else float("nan")
         iters = f" rounds={r1}->{rk}" if rk is not None else ""
         print(
             f"{name}: 1x={t1}s {args.k}x={tk}s growth={growth}x{iters}",
             flush=True,
         )
-    return 0
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":

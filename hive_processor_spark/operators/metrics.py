@@ -3632,3 +3632,433 @@ def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.least(p2, F.lit(1.0)), 6).alias("p_two_sided"),
         F.when(p2 < 0.05, 1).otherwise(0).cast("int").alias("trend_5pct"),
     )
+
+
+_HQ_BINS = 128
+_HQ_QS = ((50, "p50"), (90, "p90"), (99, "p99"))
+
+
+def _histogram_quantile_sql() -> str:
+    qsel = ", ".join(f"({q})" for q, _ in _HQ_QS)
+    return f"""
+    WITH v AS (
+        SELECT CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS c
+        FROM lineitem
+    ), b AS (
+        SELECT MIN(c) AS lo, MAX(c) AS hi,
+               MAX(c) - MIN(c) + 1 AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM v
+    ), binned AS (
+        SELECT ((v.c - b.lo) * {_HQ_BINS}) // b.d AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM v CROSS JOIN b GROUP BY 1
+    ), cum AS (
+        SELECT bin, cnt,
+               SUM(cnt) OVER (ORDER BY bin) AS cum,
+               SUM(cnt) OVER (ORDER BY bin) - cnt AS cum_prev
+        FROM binned
+    ), qs AS (
+        SELECT q, (b.n * q + 99) // 100 AS target, b.lo, b.d, b.n
+        FROM (VALUES {qsel}) t(q) CROSS JOIN b
+    ), pick AS (
+        SELECT qs.q, qs.target, c.bin, c.cnt, c.cum_prev,
+               qs.lo + (c.bin * qs.d + {_HQ_BINS} - 1) // {_HQ_BINS}
+                   AS edge_lo,
+               qs.lo + ((c.bin + 1) * qs.d + {_HQ_BINS} - 1) // {_HQ_BINS} - 1
+                   AS edge_hi
+        FROM qs JOIN cum c ON c.cum >= qs.target AND c.cum_prev < qs.target
+    ), exact AS (
+        SELECT qs.q AS eq, MIN(vc.c) AS exact_c
+        FROM qs JOIN (
+            SELECT c, SUM(cnt) OVER (ORDER BY c) AS vcum FROM (
+                SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY c
+            )
+        ) vc ON vc.vcum >= qs.target
+        GROUP BY 1
+    )
+    SELECT CAST(q AS INT) AS q_pct,
+           CAST(target AS BIGINT) AS target_rank,
+           CAST(bin AS INT) AS bin,
+           ROUND((edge_lo + CAST(edge_hi - edge_lo AS DOUBLE)
+                  * (target - cum_prev) / cnt) / 100.0, 4) AS est_value,
+           ROUND(exact_c / 100.0, 4) AS exact_value,
+           ROUND(ABS((edge_lo + CAST(edge_hi - edge_lo AS DOUBLE)
+                      * (target - cum_prev) / cnt) - exact_c) / 100.0, 4)
+               AS abs_err
+    FROM pick JOIN exact ON exact.eq = pick.q
+    ORDER BY q_pct
+    """
+
+
+@register("agg_histogram_quantile", _histogram_quantile_sql())
+def agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantiles, audited against the exact order
+    statistic: a 128-bin equi-width integer-cent histogram estimates
+    p50/p90/p99 by linear interpolation inside the covering bin, and the
+    exact value (distinct-value cumulative count — shuffle ∝ distinct
+    values, the ``stats_mad_outliers`` discipline) prices the estimate's
+    absolute error. The histogram path is THE quantile at 100 TB: one
+    map-side-combinable groupBy over 128 cells, mergeable across
+    partitions/days by vector addition, no sort anywhere — and this
+    operator carries its own error audit so the swap from exact is a
+    measured decision, not a hope. All bin math is integer (exact in both
+    engines); only the final interpolation divides in double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.floor(F.col("l_extendedprice") * 100.0).cast("bigint").alias("c")
+    )
+    b = v.agg(
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+        (F.max("c") - F.min("c") + 1).alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    binned = (
+        v.crossJoin(F.broadcast(b))
+        .groupBy(
+            F.expr(f"(c - lo) * {_HQ_BINS} DIV d").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wb = Window.orderBy("bin")  # 128 rows — bounded by construction
+    cum = binned.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wb).alias("cum"),
+        (F.sum("cnt").over(wb) - F.col("cnt")).alias("cum_prev"),
+    )
+    qs = (
+        spark.range(1)
+        .select(
+            F.explode(F.array(*[F.lit(q) for q, _ in _HQ_QS])).alias("q")
+        )
+        .crossJoin(F.broadcast(b))
+        .select("q", F.expr("(n * q + 99) DIV 100").alias("target"), "lo", "d", "n")
+    )
+    pick = qs.join(
+        cum,
+        (F.col("cum") >= F.col("target")) & (F.col("cum_prev") < F.col("target")),
+    ).select(
+        "q",
+        "target",
+        "bin",
+        "cnt",
+        "cum_prev",
+        F.expr(f"lo + (bin * d + {_HQ_BINS} - 1) DIV {_HQ_BINS}").alias("edge_lo"),
+        F.expr(
+            f"lo + ((bin + 1) * d + {_HQ_BINS} - 1) DIV {_HQ_BINS} - 1"
+        ).alias("edge_hi"),
+    )
+    vals = v.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("vcnt"))
+    wv = Window.orderBy("c")  # distinct-value histogram (MAD discipline)
+    vcum = vals.select("c", F.sum("vcnt").over(wv).alias("vcum"))
+    exact = (
+        qs.select("q", "target")
+        .join(vcum, F.col("vcum") >= F.col("target"))
+        .groupBy(F.col("q").alias("eq"))
+        .agg(F.min("c").alias("exact_c"))
+    )
+    est = F.col("edge_lo") + (F.col("edge_hi") - F.col("edge_lo")).cast(
+        "double"
+    ) * (F.col("target") - F.col("cum_prev")) / F.col("cnt")
+    return (
+        pick.join(exact, F.col("eq") == F.col("q"))
+        .select(
+            F.col("q").cast("int").alias("q_pct"),
+            F.col("target").cast("bigint").alias("target_rank"),
+            F.col("bin").cast("int").alias("bin"),
+            F.round(est / 100.0, 4).alias("est_value"),
+            F.round(F.col("exact_c") / 100.0, 4).alias("exact_value"),
+            F.round(F.abs(est - F.col("exact_c")) / 100.0, 4).alias("abs_err"),
+        )
+        .orderBy("q_pct")
+    )
+
+
+_ECDF_PROBES = (50_000, 100_000, 150_000, 200_000, 300_000, 450_000)
+
+
+@register(
+    "stats_ecdf_points",
+    f"""
+    WITH p AS (SELECT UNNEST(ARRAY{list(_ECDF_PROBES)}) AS probe),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders)
+    SELECT CAST(p.probe AS BIGINT) AS probe,
+           CAST(COUNT(*) FILTER (WHERE o.o_totalprice <= p.probe)
+                AS BIGINT) AS n_le,
+           ROUND(CAST(COUNT(*) FILTER (WHERE o.o_totalprice <= p.probe)
+                      AS DOUBLE) / ANY_VALUE(n.total), 6) AS ecdf
+    FROM p CROSS JOIN n CROSS JOIN orders o
+    GROUP BY p.probe
+    ORDER BY probe
+    """,
+)
+def stats_ecdf_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical CDF evaluated at fixed probe points — the mergeable
+    distribution summary a 100 TB profile job actually materializes
+    (exact counts, one conditional-aggregation pass, no sort, mergeable
+    by addition across shards; contrast the full ECDF, which needs a
+    global sort). One scan of orders produces all probes at once via
+    conditional counts against a broadcast probe list."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    probes = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p) for p in _ECDF_PROBES])
+        ).alias("probe")
+    )
+    total = orders.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    return (
+        probes.crossJoin(orders)
+        .crossJoin(F.broadcast(total))
+        .groupBy("probe")
+        .agg(
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col("probe"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_le"),
+            F.first("total").alias("total"),
+        )
+        .select(
+            F.col("probe").cast("bigint").alias("probe"),
+            "n_le",
+            F.round(
+                F.col("n_le").cast("double") / F.col("total"), 6
+            ).alias("ecdf"),
+        )
+        .orderBy("probe")
+    )
+
+
+def _fisher_exact_sql() -> str:
+    from hive_processor_spark.functions.mathtab import LNFACT_Q
+
+    arr = "[" + ", ".join(str(v) for v in LNFACT_Q) + "]"
+    return f"""
+    WITH lf AS (SELECT {arr} AS t),
+    sub AS (
+        SELECT (event_type IN ('click', 'purchase')) AS fa,
+               (value >= 200.0) AS fb
+        FROM events WHERE event_id % 37 = 0
+    ), ct AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE fa AND fb) AS BIGINT) AS a,
+               CAST(COUNT(*) FILTER (WHERE fa AND NOT fb) AS BIGINT) AS b,
+               CAST(COUNT(*) FILTER (WHERE NOT fa AND fb) AS BIGINT) AS c,
+               CAST(COUNT(*) FILTER (WHERE NOT fa AND NOT fb) AS BIGINT) AS d
+        FROM sub
+    ), base AS (
+        SELECT a, b, c, d, a + b + c + d AS n,
+               a + b AS r1, a + c AS c1,
+               GREATEST(0, (a + c) - (c + d)) AS kmin,
+               LEAST(a + b, a + c) AS kmax
+        FROM ct
+    ), pmf AS (
+        SELECT base.*, i.i AS k,
+               CAST(FLOOR(EXP((
+                   lf.t[r1 + 1] - lf.t[i.i + 1] - lf.t[r1 - i.i + 1]
+                   + lf.t[n - r1 + 1] - lf.t[c1 - i.i + 1]
+                   - lf.t[n - r1 - c1 + i.i + 1]
+                   - (lf.t[n + 1] - lf.t[c1 + 1] - lf.t[n - c1 + 1])
+               ) / 1e9) * 1e12) AS BIGINT) AS pq,
+               CAST(FLOOR(EXP((
+                   lf.t[r1 + 1] - lf.t[a + 1] - lf.t[r1 - a + 1]
+                   + lf.t[n - r1 + 1] - lf.t[c1 - a + 1]
+                   - lf.t[n - r1 - c1 + a + 1]
+                   - (lf.t[n + 1] - lf.t[c1 + 1] - lf.t[n - c1 + 1])
+               ) / 1e9) * 1e12) AS BIGINT) AS pq_obs
+        FROM base CROSS JOIN lf
+        CROSS JOIN (SELECT UNNEST(RANGE(0, 5001)) AS i) i
+        WHERE i.i BETWEEN kmin AND kmax
+    )
+    SELECT ANY_VALUE(a) AS a, ANY_VALUE(b) AS b,
+           ANY_VALUE(c) AS c, ANY_VALUE(d) AS d,
+           ROUND(LEAST(CAST(SUM(pq) FILTER (WHERE pq <= pq_obs) AS DOUBLE)
+                       / 1e12, 1.0), 6) AS p_two_sided,
+           CAST(CASE WHEN SUM(pq) FILTER (WHERE pq <= pq_obs) / 1e12 < 0.05
+                     THEN 1 ELSE 0 END AS INT) AS assoc_5pct
+    FROM pmf
+    """
+
+
+@register("stats_fisher_exact", _fisher_exact_sql())
+def stats_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact test on a 2×2 contingency (engaged-event-type ×
+    high-value over a deterministic 1-in-37 event subsample): two-sided
+    p = Σ of hypergeometric pmfs no more likely than the observed table.
+    Exactness discipline: pmfs go through the shared LNFACT_Q quantized
+    log-factorial table (the ``stats_sign_test`` pattern) and are floor-
+    quantized at 1e-12 BEFORE the ≤-comparison and the sum, so both
+    engines pick the identical tail set — the classically float-fragile
+    'sum the smaller pmfs' rule becomes integer-deterministic. One scan
+    for the counts; the support explode is ≤ min(r1,c1) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    sub = ev.filter(F.col("event_id") % 37 == 0).select(
+        F.col("event_type").isin("click", "purchase").alias("fa"),
+        (F.col("value") >= 200.0).alias("fb"),
+    )
+    ct = sub.agg(
+        F.sum(F.when(F.col("fa") & F.col("fb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("fa") & ~F.col("fb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when(~F.col("fa") & F.col("fb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when(~F.col("fa") & ~F.col("fb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    base = ct.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("n"),
+        (F.col("a") + F.col("b")).alias("r1"),
+        (F.col("a") + F.col("c")).alias("c1"),
+        F.greatest(
+            F.lit(0), (F.col("a") + F.col("c")) - (F.col("c") + F.col("d"))
+        ).alias("kmin"),
+        F.least(F.col("a") + F.col("b"), F.col("a") + F.col("c")).alias("kmax"),
+    )
+    from hive_processor_spark.functions.mathtab import LNFACT_Q
+
+    lf = F.array(*[F.lit(v) for v in LNFACT_Q])
+    rows = base.select(
+        "*", F.explode(F.sequence(F.col("kmin"), F.col("kmax"))).alias("k")
+    ).withColumn("lft", lf)
+
+    def lfq(idx):
+        return F.element_at(F.col("lft"), (idx + 1).cast("int"))
+
+    def ln_pmf(k):
+        return (
+            lfq(F.col("r1"))
+            - lfq(k)
+            - lfq(F.col("r1") - k)
+            + lfq(F.col("n") - F.col("r1"))
+            - lfq(F.col("c1") - k)
+            - lfq(F.col("n") - F.col("r1") - F.col("c1") + k)
+            - (lfq(F.col("n")) - lfq(F.col("c1")) - lfq(F.col("n") - F.col("c1")))
+        ).cast("double") / 1e9
+
+    pmf = rows.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.floor(F.exp(ln_pmf(F.col("k"))) * 1e12).cast("long").alias("pq"),
+        F.floor(F.exp(ln_pmf(F.col("a"))) * 1e12).cast("long").alias("pq_obs"),
+    )
+    tail_sum = F.sum(F.when(F.col("pq") <= F.col("pq_obs"), F.col("pq")).otherwise(0))
+    return pmf.groupBy().agg(
+        F.first("a").alias("a"),
+        F.first("b").alias("b"),
+        F.first("c").alias("c"),
+        F.first("d").alias("d"),
+        F.round(F.least(tail_sum.cast("double") / 1e12, F.lit(1.0)), 6).alias(
+            "p_two_sided"
+        ),
+        F.when(tail_sum / 1e12 < 0.05, 1).otherwise(0).cast("int").alias(
+            "assoc_5pct"
+        ),
+    )
+
+
+@register(
+    "stats_welch_t",
+    """
+    WITH g AS (
+        SELECT l_returnflag AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(FLOOR(l_extendedprice * 100.0) AS DECIMAL(38,0))) AS s,
+               SUM(CAST(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)
+                        * CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)
+                        AS DECIMAL(38,0))) AS ssq
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        GROUP BY 1
+    ), w AS (
+        SELECT MAX(CASE WHEN grp = 'A' THEN n END) AS n1,
+               MAX(CASE WHEN grp = 'R' THEN n END) AS n2,
+               MAX(CASE WHEN grp = 'A' THEN CAST(s AS DOUBLE) END) AS s1,
+               MAX(CASE WHEN grp = 'R' THEN CAST(s AS DOUBLE) END) AS s2,
+               MAX(CASE WHEN grp = 'A' THEN CAST(ssq AS DOUBLE) END) AS q1,
+               MAX(CASE WHEN grp = 'R' THEN CAST(ssq AS DOUBLE) END) AS q2
+        FROM g
+    ), v AS (
+        SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+               (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+               (q2 - s2 * s2 / n2) / (n2 - 1) AS v2
+        FROM w
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_r,
+           ROUND(m1 / 100.0, 4) AS mean_a,
+           ROUND(m2 / 100.0, 4) AS mean_r,
+           ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS t_stat,
+           ROUND(POW(v1 / n1 + v2 / n2, 2)
+                 / (POW(v1 / n1, 2) / (n1 - 1) + POW(v2 / n2, 2) / (n2 - 1)),
+                 2) AS welch_df
+    FROM v
+    """,
+)
+def stats_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic between returned ('R') and
+    accepted ('A') lineitems on extended price, with the Welch–
+    Satterthwaite effective df. Exactness discipline: per-group count /
+    sum / sum-of-squares in integer cents (products in bigint, sums in
+    DECIMAL(38,0) — order-independent at any parallelism), then ONE
+    double conversion feeds the closed-form statistic identically in
+    both engines. Mergeable sufficient statistics: at 100 TB this is a
+    single map-side-combinable aggregation, and per-shard (n, s, ssq)
+    triples merge by addition — the same sufficient-stats shape as
+    ``ml_linreg``."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100.0).cast("bigint")
+    g = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents.cast("decimal(38,0)")).alias("s"),
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("ssq"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == "A", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == "R", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == "A", F.col("s").cast("double"))).alias("s1"),
+        F.max(F.when(F.col("grp") == "R", F.col("s").cast("double"))).alias("s2"),
+        F.max(F.when(F.col("grp") == "A", F.col("ssq").cast("double"))).alias("q1"),
+        F.max(F.when(F.col("grp") == "R", F.col("ssq").cast("double"))).alias("q2"),
+    )
+    v = w.select(
+        "n1",
+        "n2",
+        (F.col("s1") / F.col("n1")).alias("m1"),
+        (F.col("s2") / F.col("n2")).alias("m2"),
+        (
+            (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1"))
+            / (F.col("n1") - 1)
+        ).alias("v1"),
+        (
+            (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2"))
+            / (F.col("n2") - 1)
+        ).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return v.select(
+        F.col("n1").cast("bigint").alias("n_a"),
+        F.col("n2").cast("bigint").alias("n_r"),
+        F.round(F.col("m1") / 100.0, 4).alias("mean_a"),
+        F.round(F.col("m2") / 100.0, 4).alias("mean_r"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            2,
+        ).alias("welch_df"),
+    )

@@ -398,13 +398,33 @@ def sim_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the 100 TB shape for embedding dedup: candidates only where
     hash buckets collide — O(candidates), not O(n²) — and every stage
-    (normalize, hash, bucket-join) is a narrow map or one shuffle."""
+    (normalize, hash, bucket-join) is a narrow map or one shuffle.
+
+    Clone collapse (round-4 scale-probe finding): identical vectors land
+    in identical buckets in EVERY hash table, so duplication-dense data
+    grows the bucket join quadratically in clone multiplicity (the 10×
+    clone-replica probe measured 14× wall growth). Collapse exact-
+    duplicate embeddings first (groupBy the vector — shuffle ∝ distinct
+    vectors), LSH-join one representative per distinct vector, then
+    expand pairs through the member lists: members share their
+    representative's vector, hence its buckets and distances, so the
+    expanded output is EXACTLY what the uncollapsed join emits —
+    within-clone pairs at distance 0 (cos 1.0) included, which the
+    uncollapsed join always recalled."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
     emb = load_table(spark, sf_dir, "embeddings")
-    unit = emb.select(
-        "vec_id",
+    grp = (
+        emb.groupBy("embedding")
+        .agg(
+            F.min("vec_id").alias("rep_id"),
+            F.sort_array(F.collect_list("vec_id")).alias("members"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    unit = grp.select(
+        F.col("rep_id"),
         array_to_vector(
             F.expr(
                 "transform(embedding, x -> CAST(x AS DOUBLE)"
@@ -423,14 +443,47 @@ def sim_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).fit(unit)
     thresh = (2.0 - 2.0 * 0.4) ** 0.5 + 1e-6
     pairs = model.approxSimilarityJoin(unit, unit, thresh, distCol="dist")
-    return (
-        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+    rep_pairs = (
+        pairs.filter(F.col("datasetA.rep_id") < F.col("datasetB.rep_id"))
         .select(
-            F.col("datasetA.vec_id").alias("vec_a"),
-            F.col("datasetB.vec_id").alias("vec_b"),
-            F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 4).alias("cos_approx"),
+            F.col("datasetA.rep_id").alias("ra"),
+            F.col("datasetB.rep_id").alias("rb"),
+            F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 4).alias(
+                "cos_approx"
+            ),
         )
     )
+    ga = grp.select(F.col("rep_id").alias("ra"), F.col("members").alias("ma"))
+    gb = grp.select(F.col("rep_id").alias("rb"), F.col("members").alias("mb"))
+    cross = (
+        rep_pairs.join(ga, "ra")
+        .join(gb, "rb")
+        .select(F.explode("ma").alias("ea"), "mb", "cos_approx")
+        .select("ea", F.explode("mb").alias("eb"), "cos_approx")
+        .select(
+            F.least("ea", "eb").alias("vec_a"),
+            F.greatest("ea", "eb").alias("vec_b"),
+            "cos_approx",
+        )
+    )
+    within = (
+        grp.filter(F.size("members") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(members) - 1),"
+                    " i -> transform(slice(members, i + 1, size(members) - i),"
+                    " x -> named_struct('a', element_at(members, i), 'b', x))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a").alias("vec_a"),
+            F.col("p.b").alias("vec_b"),
+            F.lit(1.0).alias("cos_approx"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 #: sf_dir → prepared cell-partitioned layout path (process-local memo; the

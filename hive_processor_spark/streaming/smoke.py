@@ -629,3 +629,60 @@ def stream_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@register("stream_stream_left_join")  # Tier R: outer-emission timing isn't SQL
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the subtle half of the
+    streaming-join surface: clicks that never see a purchase within
+    their 1-hour window must still emit, null-padded, but only once the
+    watermark proves the window can no longer be satisfied (state for
+    the click is expired, nothing can match it anymore). Inner matches
+    emit immediately; outer null rows emit on watermark ADVANCE, so a
+    click near the end of a finite replay whose expiry the watermark
+    never crosses stays unemitted — the test partitions the batch
+    anti-join accordingly. Both sides carry 2-hour watermarks bounding
+    the join state (the production-critical property).
+
+    Output: (c_id, user_id, p_id nullable, matched flag)."""
+    path, ev = _replay_dir(spark, sf_dir)
+    schema = ev.schema
+    name = f"ssl_{uuid.uuid4().hex[:8]}"
+
+    def side(event_type: str, alias: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{path}/*.parquet")
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "2 hours")
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        "c_id",
+        F.col("c_user").alias("user_id"),
+        "p_id",
+        F.col("p_id").isNotNull().alias("matched"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

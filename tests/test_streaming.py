@@ -310,3 +310,73 @@ def test_custom_source_checkpoint_restart(spark, tmp_path):
     run_until(500, phase2)
     # resumed from the checkpointed offset: second half only, exactly once
     assert sorted(r.seq for r in phase2) == list(range(500, 1000))
+
+
+def test_stream_left_join_outer_semantics(spark):
+    """Left-outer stream-stream join: matched rows equal the batch inner
+    interval join exactly; null-padded rows are exactly the batch
+    anti-join MINUS the late tail whose expiry the finite replay's final
+    watermark never crossed (outer state emits only on watermark
+    advance)."""
+    out = _QUERIES["stream_stream_left_join"](spark, SF_SMALL).toPandas()
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    inner = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("c_id", "p_id")
+    inner_pairs = {(r.c_id, r.p_id) for r in inner.collect()}
+    got_matched = {
+        (r.c_id, r.p_id) for _, r in out[out["matched"]].iterrows()
+    }
+    assert got_matched == inner_pairs
+
+    # batch anti-join: clicks with no in-window purchase
+    anti = {
+        r.c_id
+        for r in c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_anti",
+        ).collect()
+    }
+    got_null = {int(r.c_id) for _, r in out[~out["matched"]].iterrows()}
+    # every emitted null-pad is a true non-match, none matched also
+    assert got_null <= anti
+    assert got_null.isdisjoint({a for a, _ in got_matched})
+    # The only misses allowed are clicks whose expiry the stream's FINAL
+    # watermark never crossed. Outer-state eviction in the last micro-batch
+    # uses the watermark from data through the PREVIOUS batch (the one-batch
+    # lag this repo pins in stream_late_data), and the replay's final chunk
+    # is the last time-quarter — so the effective watermark is
+    # max_ts(chunks 1..3) − 2 h, and a click stays unemitted iff
+    # c_ts ≥ that watermark − 1 h (its join window could still be matched).
+    import pandas as pd
+
+    epdf = ev.select("ts").toPandas()
+    lo, hi = epdf["ts"].min(), epdf["ts"].max()
+    span = (hi - lo).total_seconds() + 1.0
+    secs = (epdf["ts"] - lo).dt.total_seconds()
+    chunk = (secs / (span / 4)).astype(int).clip(upper=3) + 1
+    chunk3_max = epdf.loc[chunk <= 3, "ts"].max()
+    cutoff = chunk3_max - pd.Timedelta(hours=3)  # 2h watermark + 1h window
+    tail_ok = {
+        r.c_id
+        for r in c.filter(F.col("c_ts") >= F.lit(cutoff)).collect()
+    }
+    assert anti - got_null <= tail_ok

@@ -352,3 +352,31 @@ def test_nearest_centroid_broadcasts_centroids(spark):
     # centroid frame — a shuffled join would re-exchange the exploded fact
     plan = plan_string(_QUERIES["ml_nearest_centroid"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_lookup_broadcasts_canonical(spark):
+    """Entity resolution must broadcast the canonical dimension (a
+    BroadcastNestedLoopJoin of dirty × canon), never shuffle the corpus."""
+    plan = plan_string(_QUERIES["text_fuzzy_lookup"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_histogram_quantile_is_partial_final(spark):
+    """The 128-bin histogram must aggregate map-side (partial → final) —
+    that is the mergeability claim the operator makes at 100 TB."""
+    plan = plan_string(_QUERIES["agg_histogram_quantile"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ecdf_single_pass_conditional_agg(spark):
+    """ECDF probes must come from conditional aggregation over ONE scan of
+    orders (plus the 1-row count side), not one scan per probe point."""
+    plan = plan_string(_QUERIES["stats_ecdf_points"](spark, SF_DIR))
+    assert plan.count("orders.parquet") <= 2
+
+
+def test_welch_t_single_aggregation(spark):
+    """Sufficient statistics (n, Σc, Σc²) for both groups must come from a
+    single grouped aggregation pass — the mergeable-stats claim."""
+    plan = plan_string(_QUERIES["stats_welch_t"](spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1

@@ -567,24 +567,33 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stats_anova_oneway",
     f"""
-    WITH g AS (
+    WITH gtot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('c_acctbal')} AS s,
+               {sql_dsum('c_acctbal * c_acctbal')} AS ss
+        FROM customer
+    ), g AS (
         SELECT c_mktsegment,
                CAST(COUNT(*) AS DOUBLE) AS ni,
                {sql_dsum('c_acctbal')} AS si,
                {sql_dsum('c_acctbal * c_acctbal')} AS ssi
         FROM customer GROUP BY c_mktsegment
-    ), t AS (
-        SELECT COUNT(*) AS k, SUM(ni) AS n, SUM(si) AS s, SUM(ssi) AS ss,
-               SUM(ssi - si * si / ni) AS ssw
+    ), red AS (
+        SELECT COUNT(*) AS k,
+               SUM(CAST(FLOOR((ssi - si * si / ni) * 10000.0)
+                        AS DECIMAL(28,0))) AS ssw_q
         FROM g
     )
     SELECT CAST(k AS BIGINT) AS k_groups,
-           CAST(n AS BIGINT) AS n,
-           ROUND((ss - s * s / n) - ssw, 4) AS ss_between,
-           ROUND(ssw, 4) AS ss_within,
-           ROUND((((ss - s * s / n) - ssw) / (k - 1)) / (ssw / (n - k)), 6)
+           n,
+           ROUND((ss - s * s / n) - CAST(ssw_q AS DOUBLE) / 10000.0, 4)
+               AS ss_between,
+           ROUND(CAST(ssw_q AS DOUBLE) / 10000.0, 4) AS ss_within,
+           ROUND((((ss - s * s / n) - CAST(ssw_q AS DOUBLE) / 10000.0)
+                  / (k - 1))
+                 / ((CAST(ssw_q AS DOUBLE) / 10000.0) / (n - k)), 6)
                AS f_stat
-    FROM t
+    FROM red CROSS JOIN gtot
     """,
 )
 def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -594,26 +603,43 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     test already registered). Sufficient-statistics shape: one grouped
     pass collects (nᵢ, Σx, Σx²) per segment through the quantized-sum
     discipline; SSB/SSW/F are scalar algebra over the k-row frame. At
-    100 TB: one partial→final aggregate, five rows shuffled."""
+    100 TB: one partial→final aggregate, five rows shuffled.
+
+    Determinism (round-4 fix, caught by the sf0.1 standing gate): the
+    k-row reduction used to ``SUM`` five DOUBLE group terms, whose
+    accumulation order differs between engines — ``ss_between`` drifted
+    one ulp across a ROUND(…, 4) boundary at sf0.1. Now the grand totals
+    (n, Σx, Σx²) come from one exact global quantized sum, and the
+    per-group SSW terms are floor-quantized at 1e-4 and summed in an
+    exact DECIMAL accumulator — no cross-row double addition anywhere."""
     cust = load_table(spark, sf_dir, "customer")
     x = F.col("c_acctbal")
+    glob = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(x).alias("s"),
+        dsum(x * x).alias("ss"),
+    )
     g = cust.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("double").alias("ni"),
         dsum(x).alias("si"),
         dsum(x * x).alias("ssi"),
     )
-    t = g.agg(
+    red = g.agg(
         F.count(F.lit(1)).alias("k"),
-        F.sum("ni").alias("n"),
-        F.sum("si").alias("s"),
-        F.sum("ssi").alias("ss"),
-        F.sum(F.col("ssi") - F.col("si") * F.col("si") / F.col("ni")).alias("ssw"),
+        F.sum(
+            F.floor(
+                (F.col("ssi") - F.col("si") * F.col("si") / F.col("ni"))
+                * 10000.0
+            ).cast("decimal(28,0)")
+        ).alias("ssw_q"),
     )
-    k, n, s, ss, ssw = (F.col(c) for c in ("k", "n", "s", "ss", "ssw"))
+    t = red.crossJoin(F.broadcast(glob))
+    k, n, s, ss = (F.col(c) for c in ("k", "n", "s", "ss"))
+    ssw = F.col("ssw_q").cast("double") / 10000.0
     sst = ss - s * s / n
     return t.select(
         k.cast("bigint").alias("k_groups"),
-        n.cast("bigint").alias("n"),
+        n.alias("n"),
         F.round(sst - ssw, 4).alias("ss_between"),
         F.round(ssw, 4).alias("ss_within"),
         F.round(((sst - ssw) / (k - 1)) / (ssw / (n - k)), 6).alias("f_stat"),

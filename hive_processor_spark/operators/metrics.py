@@ -4088,3 +4088,336 @@ def stats_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("welch_df"),
     )
+
+
+@register(
+    "stats_kruskal_wallis",
+    """
+    WITH vg AS (
+        SELECT value, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY value, event_type
+    ), v AS (
+        SELECT value, CAST(SUM(n) AS BIGINT) AS t FROM vg GROUP BY value
+    ), rk AS (
+        SELECT value, t,
+               COALESCE(SUM(t) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below
+        FROM v
+    ), rj AS (
+        SELECT vg.event_type,
+               CAST(SUM(vg.n) AS BIGINT) AS n_j,
+               SUM(vg.n * (rk.below + (rk.t + 1) / 2.0)) AS r_j
+        FROM vg JOIN rk ON rk.value = vg.value
+        GROUP BY vg.event_type
+    ), red AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               SUM(CAST(FLOOR(r_j * r_j / n_j) AS DECIMAL(28,0))) AS s_q
+        FROM rj
+    ), gl AS (
+        SELECT CAST(SUM(t) AS BIGINT) AS n,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+        FROM v
+    ), h AS (
+        SELECT k, n,
+               12.0 / (n * (n + 1.0)) * CAST(s_q AS DOUBLE) - 3.0 * (n + 1)
+                   AS h_raw,
+               1.0 - CAST(tie3 AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * n * n - n) AS c_tie
+        FROM red CROSS JOIN gl
+    )
+    SELECT rj.event_type,
+           rj.n_j AS n,
+           ROUND(rj.r_j / rj.n_j, 4) AS mean_rank,
+           CAST(h.k - 1 AS BIGINT) AS df,
+           ROUND(h.h_raw, 6) AS h_stat,
+           ROUND(h.h_raw / h.c_tie, 6) AS h_tie_adj
+    FROM rj CROSS JOIN h
+    ORDER BY rj.event_type
+    """,
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis rank test: does the distribution of ``value``
+    differ across the five event types? The k-sample extension of the
+    registered Mann–Whitney U, same grouped-by-value rank algebra:
+    avg rank(v) = (#smaller) + (ties+1)/2 — half-integers, exact in
+    doubles — so the per-group rank sums R_j are exact; the k-row
+    reduction Σ R_j²/n_j is floor-quantized into a DECIMAL accumulator
+    (the ANOVA lesson: no cross-row double addition), and the tie
+    correction 1 − Σ(t³−t)/(n³−n) uses exact integer tie counts.
+
+    Scale shape: one shuffle ∝ distinct values, a prefix-sum window over
+    the reduced frame (single partition, O(distinct values) — same
+    documented constraint as ``stats_mann_whitney``/``stats_ks_test``),
+    then a 5-row reduction. Reference has no native stats plane (its SQL
+    delegate would run this in Postgres, ``src/processor.ts:41-51``)."""
+    ev = load_table(spark, sf_dir, "events")
+    vg = ev.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    v = vg.groupBy("value").agg(F.sum("n").cast("bigint").alias("t"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    rk = v.select(
+        "value",
+        "t",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).alias("below"),
+    )
+    rj = (
+        vg.join(rk, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_j"),
+            F.sum(
+                F.col("n") * (F.col("below") + (F.col("t") + 1) / F.lit(2.0))
+            ).alias("r_j"),
+        )
+    )
+    red = rj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            F.floor(F.col("r_j") * F.col("r_j") / F.col("n_j")).cast(
+                "decimal(28,0)"
+            )
+        ).alias("s_q"),
+    )
+    gl = v.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie3"),
+    )
+    h = red.crossJoin(F.broadcast(gl)).select(
+        "k",
+        "n",
+        (
+            F.lit(12.0) / (F.col("n") * (F.col("n") + F.lit(1.0)))
+            * F.col("s_q").cast("double")
+            - F.lit(3.0) * (F.col("n") + 1)
+        ).alias("h_raw"),
+        (
+            F.lit(1.0)
+            - F.col("tie3").cast("double")
+            / (
+                F.col("n").cast("double") * F.col("n") * F.col("n")
+                - F.col("n")
+            )
+        ).alias("c_tie"),
+    )
+    return (
+        rj.crossJoin(F.broadcast(h))
+        .select(
+            "event_type",
+            F.col("n_j").alias("n"),
+            F.round(F.col("r_j") / F.col("n_j"), 4).alias("mean_rank"),
+            (F.col("k") - 1).cast("bigint").alias("df"),
+            F.round(F.col("h_raw"), 6).alias("h_stat"),
+            F.round(F.col("h_raw") / F.col("c_tie"), 6).alias("h_tie_adj"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stats_friedman",
+    """
+    WITH cell AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS blk,
+               o_orderpriority AS trt,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cell_v
+        FROM orders GROUP BY 1, 2
+    ), full_blk AS (
+        SELECT blk FROM cell GROUP BY blk HAVING COUNT(*) = 5
+    ), rnk AS (
+        SELECT c.blk, c.trt,
+               RANK() OVER (PARTITION BY c.blk ORDER BY c.cell_v)
+               + (COUNT(*) OVER (PARTITION BY c.blk, c.cell_v) - 1) / 2.0
+                   AS r
+        FROM cell c JOIN full_blk USING (blk)
+    ), rj AS (
+        SELECT trt, SUM(r) AS r_j, CAST(COUNT(*) AS BIGINT) AS n_b
+        FROM rnk GROUP BY trt
+    ), tot AS (
+        SELECT SUM(r * r) AS a,
+               CAST(COUNT(*) AS BIGINT) AS nk
+        FROM rnk
+    ), q AS (
+        SELECT MAX(n_b) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+               SUM((r_j - MAX_N_HALF) * (r_j - MAX_N_HALF)) AS num
+        FROM (SELECT r_j, n_b,
+                     n_b * (5 + 1) / 2.0 AS MAX_N_HALF
+              FROM rj) t
+    )
+    SELECT rj.trt AS priority,
+           ROUND(rj.r_j, 1) AS rank_sum,
+           ROUND(rj.r_j / rj.n_b, 4) AS mean_rank,
+           CAST(q.k - 1 AS BIGINT) AS df,
+           CAST(q.n AS BIGINT) AS n_blocks,
+           ROUND((q.k - 1) * q.num
+                 / (tot.a - q.n * q.k * (q.k + 1) * (q.k + 1) / 4.0), 6)
+               AS q_stat,
+           ROUND((q.k - 1) * q.num
+                 / (tot.a - q.n * q.k * (q.k + 1) * (q.k + 1) / 4.0)
+                 / (q.n * (q.k - 1)), 6) AS kendall_w
+    FROM rj CROSS JOIN q CROSS JOIN tot
+    ORDER BY rj.trt
+    """,
+)
+def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test on a complete randomized-block design: months are
+    blocks, order priorities are treatments, the response is the exact
+    cent total of ``o_totalprice`` per (month, priority) cell. Within
+    each block the five cells get average ranks (RANK + (ties−1)/2 —
+    integer cell values make ties well-defined and identical in both
+    engines), and Conover's tie-safe form Q = (k−1)·Σ(R_j − n(k+1)/2)²
+    / (Σr² − nk(k+1)²/4) needs no correction factor. Every rank is a
+    half-integer and every squared term a quarter-multiple, so all sums
+    are exact dyadic rationals in doubles at any accumulation order —
+    no quantization needed until the single final division. Kendall's W
+    = Q/(n(k−1)) is reported as the effect size.
+
+    Scale: one shuffle to (month, priority) cells — 100 TB of orders
+    reduces to n_months×5 rows before any window runs."""
+    orders = load_table(spark, sf_dir, "orders")
+    k_lit = 5
+    cell = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("blk"),
+        F.col("o_orderpriority").alias("trt"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("cell_v")
+    )
+    full_blk = cell.groupBy("blk").count().filter(F.col("count") == k_lit)
+    w_rank = Window.partitionBy("blk").orderBy("cell_v")
+    w_tie = Window.partitionBy("blk", "cell_v")
+    rnk = (
+        cell.join(full_blk.select("blk"), "blk")
+        .select(
+            "blk",
+            "trt",
+            (
+                F.rank().over(w_rank)
+                + (F.count(F.lit(1)).over(w_tie) - 1) / F.lit(2.0)
+            ).alias("r"),
+        )
+    )
+    rj = rnk.groupBy("trt").agg(
+        F.sum("r").alias("r_j"), F.count(F.lit(1)).cast("bigint").alias("n_b")
+    )
+    tot = rnk.agg(
+        F.sum(F.col("r") * F.col("r")).alias("a"),
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+    )
+    half = F.col("n_b") * (k_lit + 1) / F.lit(2.0)
+    q = rj.select("r_j", "n_b", half.alias("c0")).agg(
+        F.max("n_b").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum((F.col("r_j") - F.col("c0")) * (F.col("r_j") - F.col("c0"))).alias(
+            "num"
+        ),
+    )
+    t = rj.crossJoin(F.broadcast(q)).crossJoin(F.broadcast(tot))
+    qn, qk = F.col("n"), F.col("k")
+    denom = F.col("a") - qn * qk * (qk + 1) * (qk + 1) / F.lit(4.0)
+    qstat = (qk - 1) * F.col("num") / denom
+    return t.select(
+        F.col("trt").alias("priority"),
+        F.round(F.col("r_j"), 1).alias("rank_sum"),
+        F.round(F.col("r_j") / F.col("n_b"), 4).alias("mean_rank"),
+        (qk - 1).cast("bigint").alias("df"),
+        qn.cast("bigint").alias("n_blocks"),
+        F.round(qstat, 6).alias("q_stat"),
+        F.round(qstat / (qn * (qk - 1)), 6).alias("kendall_w"),
+    ).orderBy("priority")
+
+
+@register(
+    "stats_cochran_q",
+    """
+    WITH x AS (
+        SELECT user_id, event_type
+        FROM events WHERE value >= 150.0
+        GROUP BY user_id, event_type
+    ), cj AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c_j FROM x
+        GROUP BY event_type
+    ), ri AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS r_i FROM x
+        GROUP BY user_id
+    ), gl AS (
+        SELECT CAST(SUM(r_i) AS BIGINT) AS n_tot,
+               CAST(SUM(r_i * r_i) AS BIGINT) AS r_sq,
+               CAST(COUNT(*) AS BIGINT) AS n_subj
+        FROM ri
+    ), k_ AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k FROM cj
+    ), num AS (
+        SELECT CAST(SUM((k * c_j - n_tot) * (k * c_j - n_tot)) AS BIGINT)
+                   AS num
+        FROM cj CROSS JOIN gl CROSS JOIN k_
+    )
+    SELECT cj.event_type,
+           cj.c_j AS n_positive,
+           CAST(k_.k - 1 AS BIGINT) AS df,
+           gl.n_subj AS n_subjects,
+           ROUND(CAST((k_.k - 1) * num.num AS DOUBLE)
+                 / (k_.k * (k_.k * gl.n_tot - gl.r_sq)), 6) AS q_stat
+    FROM cj CROSS JOIN gl CROSS JOIN k_ CROSS JOIN num
+    ORDER BY cj.event_type
+    """,
+)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q: k related binary outcomes per subject — did each
+    user ever produce a high-value (≥150) event of each type? Tests
+    whether the five event types differ in their high-value incidence
+    with the subject (user) as its own block — the k-treatment
+    generalization of the registered McNemar test. Entirely integer
+    algebra: with column totals C_j, N = ΣR_i and row-square sum ΣR_i²,
+    Q = (k−1)·Σ(kC_j − N)² / (k·(kN − ΣR_i²)) — the N/k mean is cleared
+    symbolically so the only division is the final one. Subjects with
+    all-zero or all-k rows contribute nothing to either side (the
+    classic degeneracy) and need no grid completion.
+
+    Scale: one shuffle to distinct (user, type) pairs, then two
+    count-aggregates — at 100 TB the reduced frame is users×5 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (
+        ev.filter(F.col("value") >= 150.0)
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    cj = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_j")
+    )
+    ri = x.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r_i")
+    )
+    gl = ri.agg(
+        F.sum("r_i").cast("bigint").alias("n_tot"),
+        F.sum(F.col("r_i") * F.col("r_i")).cast("bigint").alias("r_sq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_subj"),
+    )
+    k_ = cj.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    base = cj.crossJoin(F.broadcast(gl)).crossJoin(F.broadcast(k_))
+    num = base.agg(
+        F.sum(
+            (F.col("k") * F.col("c_j") - F.col("n_tot"))
+            * (F.col("k") * F.col("c_j") - F.col("n_tot"))
+        )
+        .cast("bigint")
+        .alias("num")
+    )
+    t = base.crossJoin(F.broadcast(num))
+    k = F.col("k")
+    return t.select(
+        "event_type",
+        F.col("c_j").alias("n_positive"),
+        (k - 1).cast("bigint").alias("df"),
+        F.col("n_subj").alias("n_subjects"),
+        F.round(
+            ((k - 1) * F.col("num")).cast("double")
+            / (k * (k * F.col("n_tot") - F.col("r_sq"))),
+            6,
+        ).alias("q_stat"),
+    ).orderBy("event_type")

@@ -4421,3 +4421,204 @@ def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("q_stat"),
     ).orderBy("event_type")
+
+
+@register(
+    "spc_xmr_chart",
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1
+    ), mr AS (
+        SELECT day, rev_c,
+               ABS(rev_c - LAG(rev_c) OVER (ORDER BY day)) AS mr_c
+        FROM daily
+    ), lim AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(rev_c) AS BIGINT) AS tot_c,
+               CAST(SUM(mr_c) AS BIGINT) AS mr_tot_c,
+               CAST(COUNT(mr_c) AS BIGINT) AS n_mr
+        FROM mr
+    ), bands AS (
+        SELECT n_days,
+               tot_c / (100.0 * n_days) AS xbar,
+               2.66 * mr_tot_c / (100.0 * n_mr) AS delta
+        FROM lim
+    )
+    SELECT strftime(m.day, '%Y-%m-%d') AS day,
+           ROUND(m.rev_c / 100.0, 2) AS revenue,
+           CASE WHEN m.rev_c / 100.0 > b.xbar + b.delta THEN 'high'
+                ELSE 'low' END AS side,
+           ROUND(b.xbar + b.delta, 2) AS ucl,
+           ROUND(b.xbar - b.delta, 2) AS lcl,
+           b.n_days
+    FROM mr m CROSS JOIN bands b
+    WHERE m.rev_c / 100.0 > b.xbar + b.delta
+       OR m.rev_c / 100.0 < b.xbar - b.delta
+    ORDER BY m.day
+    """,
+)
+def spc_xmr_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals / moving-range) control chart on daily order
+    revenue — Shewhart's process-behavior chart with the standard
+    2.66·MR̄ natural process limits, returning the out-of-control days
+    (Western Electric rule 1). Both the center line and the limits
+    derive from exact integer cent totals, so the doubles that cross the
+    ROUND boundary are bit-identical in both engines.
+
+    Scale: 100 TB of orders reduces to one row per day before the lone
+    ordered window (O(days), the same documented single-partition
+    constraint as the other calendar-series ops); limits are one more
+    scalar reduction, broadcast back to flag violations."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    w = Window.orderBy("day")
+    mr = daily.select(
+        "day",
+        "rev_c",
+        F.abs(F.col("rev_c") - F.lag("rev_c").over(w)).alias("mr_c"),
+    )
+    lim = mr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("rev_c").cast("bigint").alias("tot_c"),
+        F.sum("mr_c").cast("bigint").alias("mr_tot_c"),
+        F.count("mr_c").cast("bigint").alias("n_mr"),
+    )
+    bands = lim.select(
+        "n_days",
+        (F.col("tot_c") / (F.lit(100.0) * F.col("n_days"))).alias("xbar"),
+        (
+            F.lit(2.66) * F.col("mr_tot_c") / (F.lit(100.0) * F.col("n_mr"))
+        ).alias("delta"),
+    )
+    t = mr.crossJoin(F.broadcast(bands))
+    rev = F.col("rev_c") / 100.0
+    ucl = F.col("xbar") + F.col("delta")
+    lcl = F.col("xbar") - F.col("delta")
+    return (
+        t.filter((rev > ucl) | (rev < lcl))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(rev, 2).alias("revenue"),
+            F.when(rev > ucl, F.lit("high")).otherwise(F.lit("low")).alias(
+                "side"
+            ),
+            F.round(ucl, 2).alias("ucl"),
+            F.round(lcl, 2).alias("lcl"),
+            "n_days",
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "ops_apdex",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE value <= 50.0) AS BIGINT)
+               AS satisfied,
+           CAST(COUNT(*) FILTER (WHERE value > 50.0 AND value <= 200.0)
+                AS BIGINT) AS tolerating,
+           CAST(COUNT(*) FILTER (WHERE value > 200.0) AS BIGINT)
+               AS frustrated,
+           ROUND((COUNT(*) FILTER (WHERE value <= 50.0)
+                  + COUNT(*) FILTER (WHERE value > 50.0 AND value <= 200.0)
+                    / 2.0) / COUNT(*), 6) AS apdex
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ops_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex (Application Performance Index) per event type, reading
+    ``value`` as a latency: satisfied ≤ T (50), tolerating ≤ 4T,
+    frustrated beyond — score = (satisfied + tolerating/2) / n, the
+    industry-standard SLA rollup. One conditional-count aggregation —
+    all integer counts with a single final division, map-side
+    combinable, the cheapest shape in the registry at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    sat = F.count_if(v <= 50.0)
+    tol = F.count_if((v > 50.0) & (v <= 200.0))
+    fru = F.count_if(v > 200.0)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            sat.cast("bigint").alias("satisfied"),
+            tol.cast("bigint").alias("tolerating"),
+            fru.cast("bigint").alias("frustrated"),
+            F.round((sat + tol / F.lit(2.0)) / F.count(F.lit(1)), 6).alias(
+                "apdex"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "spc_cpk_capability",
+    f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('l_extendedprice')} AS sx,
+               {sql_dsum('l_extendedprice * l_extendedprice')} AS sxx
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n,
+           ROUND(sx / n, 4) AS mean_price,
+           ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 4) AS std_price,
+           ROUND((100000.0 - sx / n)
+                 / (3.0 * SQRT((sxx - sx * sx / n) / (n - 1))), 6) AS cpu,
+           ROUND((sx / n - 1000.0)
+                 / (3.0 * SQRT((sxx - sx * sx / n) / (n - 1))), 6) AS cpl,
+           ROUND(LEAST((100000.0 - sx / n)
+                       / (3.0 * SQRT((sxx - sx * sx / n) / (n - 1))),
+                       (sx / n - 1000.0)
+                       / (3.0 * SQRT((sxx - sx * sx / n) / (n - 1)))), 6)
+               AS cpk
+    FROM s
+    ORDER BY l_returnflag
+    """,
+)
+def spc_cpk_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-capability indices Cpu/Cpl/Cpk per return-flag stream
+    against spec limits [1000, 100000] on extended price — the Six
+    Sigma"can this process hold its tolerance" report. Sufficient
+    statistics (n, Σx, Σx²) per group through the quantized-sum
+    discipline, then pure scalar algebra — identical doubles in both
+    engines, one partial→final aggregate at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(x * x).alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    sd = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    cpu = (F.lit(100000.0) - mean) / (F.lit(3.0) * sd)
+    cpl = (mean - F.lit(1000.0)) / (F.lit(3.0) * sd)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(mean, 4).alias("mean_price"),
+        F.round(sd, 4).alias("std_price"),
+        F.round(cpu, 6).alias("cpu"),
+        F.round(cpl, 6).alias("cpl"),
+        F.round(F.least(cpu, cpl), 6).alias("cpk"),
+    ).orderBy("l_returnflag")

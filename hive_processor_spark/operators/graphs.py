@@ -650,3 +650,285 @@ def graph_label_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ef, 6).alias("expected_frac"),
         F.round(wf - ef, 6).alias("modularity"),
     )
+
+
+#: HITS/Katz run on the customer→supplier bipartite graph derived from
+#: orders ⋈ lineitem (distinct pairs) — a directed purchase graph the
+#: fixture actually contains, unlike a synthetic follower graph.
+_HITS_TOP = 15
+
+
+@register(
+    "graph_hits_bipartite",
+    f"""
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), a1 AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS v FROM e GROUP BY s
+    ), a1q AS (
+        SELECT s, CAST(FLOOR(v * 1000000.0 / (SELECT MAX(v) FROM a1))
+                       AS BIGINT) AS q
+        FROM a1
+    ), h1 AS (
+        SELECT e.c, CAST(SUM(a1q.q) AS BIGINT) AS v
+        FROM e JOIN a1q ON a1q.s = e.s GROUP BY e.c
+    ), h1q AS (
+        SELECT c, CAST(FLOOR(v * 1000000.0 / (SELECT MAX(v) FROM h1))
+                       AS BIGINT) AS q
+        FROM h1
+    ), a2 AS (
+        SELECT e.s, CAST(SUM(h1q.q) AS BIGINT) AS v
+        FROM e JOIN h1q ON h1q.c = e.c GROUP BY e.s
+    ), a2q AS (
+        SELECT s, CAST(FLOOR(v * 1000000.0 / (SELECT MAX(v) FROM a2))
+                       AS BIGINT) AS q
+        FROM a2
+    ), top_a AS (
+        SELECT 'authority' AS role, CAST(s AS BIGINT) AS node,
+               ROUND(q / 1000000.0, 6) AS score,
+               ROW_NUMBER() OVER (ORDER BY q DESC, s) AS rn
+        FROM a2q
+    ), top_h AS (
+        SELECT 'hub' AS role, CAST(c AS BIGINT) AS node,
+               ROUND(q / 1000000.0, 6) AS score,
+               ROW_NUMBER() OVER (ORDER BY q DESC, c) AS rn
+        FROM h1q
+    )
+    SELECT role, node, score, CAST(rn AS INT) AS rn
+    FROM (SELECT * FROM top_a WHERE rn <= {_HITS_TOP}
+          UNION ALL
+          SELECT * FROM top_h WHERE rn <= {_HITS_TOP}) t
+    ORDER BY role, rn
+    """,
+)
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg '99) on the customer→supplier purchase graph:
+    customers are hubs, suppliers authorities; two mutual-reinforcement
+    sweeps (a = Eᵀh, h = Ea) with max-normalization after each. The
+    float contagion that makes power iteration hash-hostile is removed
+    by re-quantizing scores to integers (floor ·1e6/max) after every
+    normalize — all cross-row sums are therefore exact integer sums and
+    the iteration is engine-mirrorable to the last bit.
+
+    Scale: each sweep is one shuffle keyed on the joined endpoint — the
+    standard BSP matvec (same shape as ``graph_pagerank``); the distinct
+    edge list reduces 100 TB of line items once up front. The top-15
+    per role is a window rank, not a driver sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+
+    def quantize(df: DataFrame, key: str) -> DataFrame:
+        mx = df.agg(F.max("v").alias("mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            key,
+            F.floor(F.col("v") * 1000000.0 / F.col("mx"))
+            .cast("bigint")
+            .alias("q"),
+        )
+
+    a1 = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    a1q = quantize(a1, "s")
+    h1 = (
+        e.join(a1q, "s")
+        .groupBy("c")
+        .agg(F.sum("q").cast("bigint").alias("v"))
+    )
+    h1q = quantize(h1, "c")
+    a2 = (
+        e.join(h1q, "c")
+        .groupBy("s")
+        .agg(F.sum("q").cast("bigint").alias("v"))
+    )
+    a2q = quantize(a2, "s")
+
+    def top(df: DataFrame, key: str, role: str) -> DataFrame:
+        w = Window.orderBy(F.desc("q"), F.asc(key))
+        return (
+            df.select(
+                F.lit(role).alias("role"),
+                F.col(key).cast("bigint").alias("node"),
+                F.round(F.col("q") / 1000000.0, 6).alias("score"),
+                F.row_number().over(w).alias("rn"),
+            )
+            .filter(F.col("rn") <= _HITS_TOP)
+        )
+
+    return (
+        top(a2q, "s", "authority")
+        .unionAll(top(h1q, "c", "hub"))
+        .select("role", "node", "score", F.col("rn").cast("int").alias("rn"))
+        .orderBy("role", "rn")
+    )
+
+
+@register(
+    "graph_katz_paths",
+    """
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), degs AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS w1 FROM e GROUP BY s
+    ), degc AS (
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY c
+    ), w2 AS (
+        SELECT e.s, CAST(SUM(degc.d) AS BIGINT) AS w2
+        FROM e JOIN degc ON degc.c = e.c GROUP BY e.s
+    ), cw AS (
+        SELECT e.c, CAST(SUM(degs.w1) AS BIGINT) AS cw
+        FROM e JOIN degs ON degs.s = e.s GROUP BY e.c
+    ), w3 AS (
+        SELECT e.s, CAST(SUM(cw.cw) AS BIGINT) AS w3
+        FROM e JOIN cw ON cw.c = e.c GROUP BY e.s
+    )
+    SELECT CAST(d.s AS BIGINT) AS l_suppkey,
+           d.w1 AS walks_1,
+           w2.w2 AS walks_2,
+           w3.w3 AS walks_3,
+           CAST(100 * d.w1 + 10 * w2.w2 + w3.w3 AS BIGINT) AS katz_q
+    FROM degs d JOIN w2 ON w2.s = d.s JOIN w3 ON w3.s = d.s
+    ORDER BY katz_q DESC, l_suppkey
+    LIMIT 20
+    """,
+)
+def graph_katz_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz-style path-count centrality for suppliers on the purchase
+    graph: walks of length 1, 2, 3 ending at each supplier (w₁ = degree,
+    w₂ = Σ degrees of adjacent customers, w₃ one matvec further), and
+    the attenuated score β·w₁+β²·w₂+β³·w₃ with β = 0.1 held as the EXACT
+    integer 100·w₁+10·w₂+w₃ (scaled by 1000) — no float appears anywhere,
+    so the ranking is unconditionally deterministic.
+
+    Scale: three BSP matvec joins on the reduced distinct edge list,
+    each one shuffle keyed on an endpoint; walk counts stay integer and
+    merge by addition (map-side combinable)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    degs = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("w1"))
+    degc = e.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    w2 = (
+        e.join(degc, "c").groupBy("s").agg(F.sum("d").cast("bigint").alias("w2"))
+    )
+    cw = (
+        e.join(degs, "s").groupBy("c").agg(F.sum("w1").cast("bigint").alias("cw"))
+    )
+    w3 = (
+        e.join(cw, "c").groupBy("s").agg(F.sum("cw").cast("bigint").alias("w3"))
+    )
+    return (
+        degs.join(w2, "s")
+        .join(w3, "s")
+        .select(
+            F.col("s").cast("bigint").alias("l_suppkey"),
+            F.col("w1").alias("walks_1"),
+            F.col("w2").alias("walks_2"),
+            F.col("w3").alias("walks_3"),
+            (100 * F.col("w1") + 10 * F.col("w2") + F.col("w3"))
+            .cast("bigint")
+            .alias("katz_q"),
+        )
+        .orderBy(F.desc("katz_q"), "l_suppkey")
+        .limit(20)
+    )
+
+
+@register(
+    "graph_rich_club",
+    f"""
+    WITH p AS ({_SQL_EDGES}
+    ), knn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY sim DESC, dst) AS rn
+            FROM p
+        ) t WHERE rn <= {_K}
+    ), e AS (
+        SELECT src, dst FROM knn
+        UNION
+        SELECT dst AS src, src AS dst FROM knn
+    ), deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM e GROUP BY src
+    ), ks AS (
+        SELECT UNNEST(RANGE(3, 9)) AS k
+    ), club AS (
+        SELECT ks.k,
+               CAST(COUNT(*) AS BIGINT) AS n_k
+        FROM ks JOIN deg ON deg.d > ks.k GROUP BY ks.k
+    ), ek AS (
+        SELECT ks.k, CAST(COUNT(*) / 2 AS BIGINT) AS e_k
+        FROM ks
+        JOIN e ON TRUE
+        JOIN deg da ON da.node = e.src AND da.d > ks.k
+        JOIN deg db ON db.node = e.dst AND db.d > ks.k
+        GROUP BY ks.k
+    )
+    SELECT CAST(club.k AS INT) AS k,
+           club.n_k,
+           COALESCE(ek.e_k, 0) AS e_k,
+           ROUND(2.0 * COALESCE(ek.e_k, 0)
+                 / NULLIF(club.n_k * (club.n_k - 1), 0), 6) AS phi
+    FROM club LEFT JOIN ek ON ek.k = club.k
+    WHERE club.n_k >= 2
+    ORDER BY k
+    """,
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) of the 3-NN similarity graph: among
+    nodes of degree > k, what fraction of possible edges exist? The
+    hub-interconnection diagnostic (Colizza et al. '06) that
+    distinguishes a hub-clique core from hubs that merely fan out —
+    relevant to dedup graphs, where a rich club of near-duplicate hubs
+    signals template families. Pure integer counting per k over the
+    pinned kNN edge list (one degree aggregate, one per-k subset count
+    of edges with both endpoints in the club), exact at any parallelism.
+
+    Scale: reuses the session-pinned edge materialization the other
+    graph metrics share; per-k work is a broadcast of the (tiny) degree
+    table against the edge list."""
+    edges = _knn_edges_pinned(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ks = spark.range(3, 9).select(F.col("id").alias("k"))
+    club = (
+        ks.join(F.broadcast(deg), F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_k"))
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("db"))
+    ek = (
+        ks.crossJoin(edges.join(F.broadcast(da), "src").join(F.broadcast(db), "dst"))
+        .filter((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+        .groupBy("k")
+        .agg((F.count(F.lit(1)) / 2).cast("bigint").alias("e_k"))
+    )
+    return (
+        club.join(ek, "k", "left")
+        .filter(F.col("n_k") >= 2)
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "n_k",
+            F.coalesce(F.col("e_k"), F.lit(0)).alias("e_k"),
+            F.round(
+                2.0
+                * F.coalesce(F.col("e_k"), F.lit(0))
+                / F.nullif(F.col("n_k") * (F.col("n_k") - 1), F.lit(0)),
+                6,
+            ).alias("phi"),
+        )
+        .orderBy("k")
+    )

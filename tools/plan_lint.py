@@ -62,6 +62,10 @@ CACHE_SCAN_OK = {
         "deliberate persist(): one derived 3-NN edge list reused as both"
         " matmul operands and the direct-edge probe; lineage-backed"
     ),
+    "graph_rich_club": (
+        "deliberate persist(): the session-pinned 3-NN edge list reused"
+        " as the edge stream and both endpoint-degree sides; lineage-backed"
+    ),
     "graph_clustering_coeff": (
         "deliberate persist(): one derived 3-NN edge list reused by the"
         " degree, wedge, and closure consumers; lineage-backed, LRU-evictable"

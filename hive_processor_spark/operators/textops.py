@@ -2187,3 +2187,335 @@ def text_lexical_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_collocation_llr",
+    """
+    WITH w AS (
+        SELECT LIST_FILTER(STRING_SPLIT(TRIM(text), ' '), x -> x <> '') AS w
+        FROM documents
+    ), bi AS (
+        SELECT bg, CAST(COUNT(*) AS BIGINT) AS k11
+        FROM (
+            SELECT UNNEST([ARRAY_TO_STRING(w[i:i+1], ' ')
+                           FOR i IN RANGE(1, LEN(w))]) AS bg
+            FROM w
+        ) GROUP BY bg
+    ), parts AS (
+        SELECT STRING_SPLIT(bg, ' ')[1] AS w1,
+               STRING_SPLIT(bg, ' ')[2] AS w2,
+               k11
+        FROM bi
+    ), cf AS (
+        SELECT w1, CAST(SUM(k11) AS BIGINT) AS r1 FROM parts GROUP BY w1
+    ), cs AS (
+        SELECT w2, CAST(SUM(k11) AS BIGINT) AS c1 FROM parts GROUP BY w2
+    ), tot AS (
+        SELECT CAST(SUM(k11) AS BIGINT) AS n FROM bi
+    ), cells AS (
+        SELECT p.w1, p.w2, p.k11,
+               cf.r1 - p.k11 AS k12,
+               cs.c1 - p.k11 AS k21,
+               tot.n - cf.r1 - cs.c1 + p.k11 AS k22,
+               cf.r1, cs.c1, tot.n
+        FROM parts p
+        JOIN cf ON cf.w1 = p.w1
+        JOIN cs ON cs.w2 = p.w2
+        CROSS JOIN tot
+        WHERE p.k11 >= 25
+    )
+    SELECT w1, w2, k11 AS n_pair,
+           ROUND(2.0 * (
+             (CASE WHEN k11 > 0 THEN k11 * LN(CAST(k11 AS DOUBLE) * n
+                 / (CAST(r1 AS DOUBLE) * c1)) ELSE 0 END)
+           + (CASE WHEN k12 > 0 THEN k12 * LN(CAST(k12 AS DOUBLE) * n
+                 / (CAST(r1 AS DOUBLE) * (n - c1))) ELSE 0 END)
+           + (CASE WHEN k21 > 0 THEN k21 * LN(CAST(k21 AS DOUBLE) * n
+                 / (CAST(n - r1 AS DOUBLE) * c1)) ELSE 0 END)
+           + (CASE WHEN k22 > 0 THEN k22 * LN(CAST(k22 AS DOUBLE) * n
+                 / (CAST(n - r1 AS DOUBLE) * (n - c1))) ELSE 0 END)
+           ), 4) AS llr
+    FROM cells
+    ORDER BY llr DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocations by Dunning's log-likelihood ratio (Dunning '93) — the
+    LLR complement of the registered PMI miner: PMI over-ranks rare
+    pairs, LLR weights evidence mass, which is why phrase tables and
+    tokenizer merges prefer it. The 2×2 contingency per bigram (k11 the
+    pair, margins from first/second-word sums over the bigram table)
+    reduces to 2·Σ k·ln(kN/RC) — four log terms per surviving row, each
+    an identically-parenthesized scalar over exact integers; no
+    cross-row float sums anywhere.
+
+    Scale: two exact count aggregations (∝ bigram vocabulary), margins
+    broadcast back onto the min-count-filtered pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        F.filter(
+            F.split(F.trim(F.col("text")), " "), lambda x: x != F.lit("")
+        ).alias("w")
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' '))"
+    )
+    bi = (
+        w.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k11"))
+    )
+    parts = bi.select(
+        F.split("bg", " ").getItem(0).alias("w1"),
+        F.split("bg", " ").getItem(1).alias("w2"),
+        "k11",
+    )
+    cf = parts.groupBy("w1").agg(F.sum("k11").cast("bigint").alias("r1"))
+    cs = parts.groupBy("w2").agg(F.sum("k11").cast("bigint").alias("c1"))
+    tot = bi.agg(F.sum("k11").cast("bigint").alias("n"))
+    cells = (
+        parts.filter(F.col("k11") >= 25)
+        .join(F.broadcast(cf), "w1")
+        .join(F.broadcast(cs), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "k11",
+            (F.col("r1") - F.col("k11")).alias("k12"),
+            (F.col("c1") - F.col("k11")).alias("k21"),
+            (F.col("n") - F.col("r1") - F.col("c1") + F.col("k11")).alias(
+                "k22"
+            ),
+            "r1",
+            "c1",
+            "n",
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def term(k: str, row: Column, col: Column) -> Column:
+        return F.when(
+            F.col(k) > 0,
+            F.col(k) * F.log(d(k) * F.col("n") / (row * col)),
+        ).otherwise(F.lit(0.0))
+
+    llr = F.round(
+        2.0
+        * (
+            term("k11", d("r1"), F.col("c1").cast("double"))
+            + term("k12", d("r1"), (F.col("n") - F.col("c1")).cast("double"))
+            + term("k21", (F.col("n") - F.col("r1")).cast("double"), F.col("c1").cast("double"))
+            + term(
+                "k22",
+                (F.col("n") - F.col("r1")).cast("double"),
+                (F.col("n") - F.col("c1")).cast("double"),
+            )
+        ),
+        4,
+    )
+    return (
+        cells.select("w1", "w2", F.col("k11").alias("n_pair"), llr.alias("llr"))
+        .orderBy(F.desc("llr"), "w1", "w2")
+        .limit(20)
+    )
+
+
+def _sql_loglog_ols(points: str, xs: str, ys: str) -> str:
+    """DuckDB fragment: quantized log-log OLS over CTE ``points(nx, vy)``.
+
+    Logs are 1e6-quantized to integers; Σx, Σy, Σxy, Σx², Σy² accumulate
+    in DECIMAL so the fit is bit-stable at any accumulation order."""
+    return f"""
+    q AS (
+        SELECT CAST(FLOOR(LN(CAST({xs} AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS qx,
+               CAST(FLOOR(LN(CAST({ys} AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS qy
+        FROM {points}
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(qx AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS sx,
+               CAST(SUM(CAST(qy AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS sy,
+               CAST(SUM(CAST(qx * qy AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+                   AS sxy,
+               CAST(SUM(CAST(qx * qx AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+                   AS sxx,
+               CAST(SUM(CAST(qy * qy AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+                   AS syy
+        FROM q
+    )"""
+
+
+def _loglog_ols(pts: DataFrame, xcol: str, ycol: str) -> DataFrame:
+    """Spark twin of :func:`_sql_loglog_ols`: returns (n,sx,sy,sxy,sxx,syy)."""
+    qx = F.floor(F.log(F.col(xcol).cast("double")) * 1000000.0).cast("bigint")
+    qy = F.floor(F.log(F.col(ycol).cast("double")) * 1000000.0).cast("bigint")
+    q = pts.select(qx.alias("qx"), qy.alias("qy"))
+    return q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(F.col("qx").cast("decimal(38,0)")).cast("double") / 1e6).alias("sx"),
+        (F.sum(F.col("qy").cast("decimal(38,0)")).cast("double") / 1e6).alias("sy"),
+        (
+            F.sum((F.col("qx") * F.col("qy")).cast("decimal(38,0)")).cast("double")
+            / 1e12
+        ).alias("sxy"),
+        (
+            F.sum((F.col("qx") * F.col("qx")).cast("decimal(38,0)")).cast("double")
+            / 1e12
+        ).alias("sxx"),
+        (
+            F.sum((F.col("qy") * F.col("qy")).cast("decimal(38,0)")).cast("double")
+            / 1e12
+        ).alias("syy"),
+    )
+
+
+_OLS_OUT = """
+    SELECT n AS n_points,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND(EXP(sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     * sx / n), 4) AS coef,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+"""
+
+
+def _ols_out(s: DataFrame) -> DataFrame:
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.exp(sy / n - slope * sx / n), 4).alias("coef"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+@register(
+    "text_heaps_fit",
+    f"""
+    WITH w AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT(TRIM(text), ' '), x -> x <> '') AS w
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, CAST(LEN(w) AS BIGINT) AS n_tok FROM w
+    ), firsts AS (
+        SELECT MIN(doc_id) AS doc_id, word
+        FROM (SELECT doc_id, UNNEST(w) AS word FROM w) t
+        GROUP BY word
+    ), new_words AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nw
+        FROM firsts GROUP BY doc_id
+    ), curve AS (
+        SELECT t.doc_id,
+               SUM(t.n_tok) OVER (ORDER BY t.doc_id) AS cum_tok,
+               SUM(COALESCE(nw.nw, 0)) OVER (ORDER BY t.doc_id) AS cum_vocab
+        FROM toks t LEFT JOIN new_words nw ON nw.doc_id = t.doc_id
+    ), pts AS (
+        SELECT cum_tok, cum_vocab FROM curve WHERE cum_tok > 0
+    ), {_sql_loglog_ols('pts', 'cum_tok', 'cum_vocab')}
+    {_OLS_OUT}
+    """,
+)
+def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(n) = K·n^β over the corpus vocabulary-growth
+    curve: slope β and coefficient K from a log-log OLS on the
+    (cumulative tokens, cumulative vocabulary) points in doc_id order —
+    the sublinearity constant a tokenizer-budget planner extrapolates
+    from (β ≈ 0.4–0.6 for natural text). First occurrences come from one
+    min-doc_id-per-word aggregate (shuffle ∝ vocabulary); the two
+    cumulative sums are one ordered window over the per-doc frame
+    (O(docs) single-partition, the documented calendar-series
+    constraint); every log is 1e6-quantized before DECIMAL accumulation
+    so the fit is bit-stable at any parallelism."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.col("text")), " "), lambda x: x != F.lit("")
+        ).alias("w"),
+    )
+    toks = w.select("doc_id", F.size("w").cast("bigint").alias("n_tok"))
+    firsts = (
+        w.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    new_words = firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nw")
+    )
+    win = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        toks.join(new_words, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(win).alias("cum_tok"),
+            F.sum(F.coalesce(F.col("nw"), F.lit(0))).over(win).alias(
+                "cum_vocab"
+            ),
+        )
+    )
+    pts = curve.filter(F.col("cum_tok") > 0).select("cum_tok", "cum_vocab")
+    return _ols_out(_loglog_ols(pts, "cum_tok", "cum_vocab"))
+
+
+@register(
+    "text_zipf_fit",
+    f"""
+    WITH uni AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT UNNEST(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '),
+                                        x -> x <> '')) AS word
+              FROM documents) t
+        GROUP BY word
+    ), ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rk
+        FROM uni
+    ), pts AS (
+        SELECT rk, c FROM ranked WHERE rk <= 200
+    ), {_sql_loglog_ols('pts', 'rk', 'c')}
+    {_OLS_OUT}
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit f(r) ∝ r^(−s) over the top-200 word ranks: the
+    rank-frequency log-log OLS whose slope (≈ −1 for natural language)
+    is the classic corpus-health fingerprint — synthetic or templated
+    text flattens it, boilerplate steepens it. Pairs with
+    ``text_heaps_fit`` (the two laws are duals) and the per-user
+    ``events_power_law_fit`` Hill estimator. Rank assignment uses the
+    deterministic (count DESC, word) order; the head-200 cap keeps the
+    fit in the power-law regime and the point set broadcastable.
+
+    Scale: one vocabulary count aggregate; the top-200 rank window is a
+    TakeOrdered, then a 200-row quantized OLS."""
+    docs = load_table(spark, sf_dir, "documents")
+    uni = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.col("text")), " "),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wrk = Window.orderBy(F.desc("c"), "word")
+    pts = (
+        uni.select("c", F.row_number().over(wrk).alias("rk"))
+        .filter(F.col("rk") <= 200)
+        .select("rk", "c")
+    )
+    return _ols_out(_loglog_ols(pts, "rk", "c"))

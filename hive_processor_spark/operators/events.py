@@ -5681,3 +5681,168 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_effect"
         ),
     )
+
+
+@register(
+    "events_frequent_episodes",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), epi AS (
+        SELECT user_id,
+               event_type || '>' || e2 || '>' || e3 AS episode
+        FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    )
+    SELECT episode,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS support_users
+    FROM epi
+    GROUP BY episode
+    ORDER BY n_occurrences DESC, episode
+    LIMIT 20
+    """,
+)
+def events_frequent_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-episode mining (Mannila et al. '97, serial episodes of
+    length 3): the most common consecutive event-type trigrams per user
+    timeline, with raw occurrence counts and user support — the
+    sequential patterns behind funnel design and next-action models,
+    one level deeper than the registered first-order
+    ``events_transitions`` matrix.
+
+    Scale: one window pass partitioned by user (shuffle keyed on
+    user_id, each partition sorted by time — the standard sessionize
+    layout every other events op shares), then a count aggregate over
+    the 5³-bounded episode vocabulary. COUNT(DISTINCT user_id) expands
+    to a two-level exact aggregate, ∝ episodes × users present."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    epi = seq.filter(
+        F.col("e2").isNotNull() & F.col("e3").isNotNull()
+    ).select(
+        "user_id",
+        F.concat_ws(">", "event_type", "e2", "e3").alias("episode"),
+    )
+    return (
+        epi.groupBy("episode")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("bigint").alias("support_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), "episode")
+        .limit(20)
+    )
+
+
+@register(
+    "ts_sharpe_sortino",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1
+    ), ret AS (
+        SELECT CAST(FLOOR((CAST(rev_c AS DOUBLE)
+                           / LAG(rev_c) OVER (ORDER BY day) - 1.0)
+                          * 1e9) AS BIGINT) AS q
+        FROM daily
+    ), s AS (
+        SELECT CAST(COUNT(q) AS BIGINT) AS n,
+               CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) / 1e9 AS sr,
+               CAST(SUM(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0)))
+                    AS DOUBLE) / 1e18 AS srr,
+               CAST(SUM(CASE WHEN q < 0
+                        THEN CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0))
+                        ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) / 1e18
+                   AS sdd,
+               CAST(COUNT(*) FILTER (WHERE q < 0) AS BIGINT) AS n_down
+        FROM ret WHERE q IS NOT NULL
+    )
+    SELECT n AS n_days,
+           n_down AS n_down_days,
+           ROUND(sr / n, 6) AS mean_daily_ret,
+           ROUND(SQRT((srr - sr * sr / n) / (n - 1)), 6) AS vol_daily,
+           ROUND(SQRT(sdd / n), 6) AS downside_dev,
+           ROUND((sr / n) / SQRT((srr - sr * sr / n) / (n - 1))
+                 * SQRT(365.0), 6) AS sharpe_annual,
+           ROUND((sr / n) / SQRT(sdd / n) * SQRT(365.0), 6)
+               AS sortino_annual
+    FROM s
+    """,
+)
+def ts_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe and Sortino ratios of the daily revenue return
+    series (zero risk-free rate) — the risk-adjusted performance pair,
+    where Sortino penalizes only downside deviation (Sortino–van der
+    Meer '91). Returns are data-dependent doubles, so each one is
+    1e-9-floor-quantized and the sufficient statistics (Σr, Σr²,
+    Σ min(r,0)²) accumulate as exact DECIMALs — the same discipline as
+    ``functions/exact.py``, extended to squared terms via DECIMAL(19,0)
+    multiplication so nothing overflows or reorders.
+
+    Scale: the return series is one ordered window over the day-level
+    rollup (O(days)); everything after is a single scalar reduction."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    w = Window.orderBy("day")
+    ret = daily.select(
+        F.floor(
+            (
+                F.col("rev_c").cast("double") / F.lag("rev_c").over(w)
+                - F.lit(1.0)
+            )
+            * 1e9
+        )
+        .cast("bigint")
+        .alias("q")
+    ).filter(F.col("q").isNotNull())
+    q19 = F.col("q").cast("decimal(19,0)")
+    s = ret.agg(
+        F.count("q").cast("bigint").alias("n"),
+        (F.sum(F.col("q").cast("decimal(38,0)")).cast("double") / 1e9).alias(
+            "sr"
+        ),
+        (F.sum(q19 * q19).cast("double") / 1e18).alias("srr"),
+        (
+            F.sum(
+                F.when(F.col("q") < 0, q19 * q19).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            ).cast("double")
+            / 1e18
+        ).alias("sdd"),
+        F.count_if(F.col("q") < 0).cast("bigint").alias("n_down"),
+    )
+    n, sr, srr, sdd = (F.col(c) for c in ("n", "sr", "srr", "sdd"))
+    vol = F.sqrt((srr - sr * sr / n) / (n - 1))
+    dd = F.sqrt(sdd / n)
+    return s.select(
+        n.alias("n_days"),
+        F.col("n_down").alias("n_down_days"),
+        F.round(sr / n, 6).alias("mean_daily_ret"),
+        F.round(vol, 6).alias("vol_daily"),
+        F.round(dd, 6).alias("downside_dev"),
+        F.round((sr / n) / vol * F.sqrt(F.lit(365.0)), 6).alias(
+            "sharpe_annual"
+        ),
+        F.round((sr / n) / dd * F.sqrt(F.lit(365.0)), 6).alias(
+            "sortino_annual"
+        ),
+    )

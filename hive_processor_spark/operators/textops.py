@@ -2519,3 +2519,98 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rk", "c")
     )
     return _ols_out(_loglog_ols(pts, "rk", "c"))
+
+
+@register(
+    "pipeline_quality_ablation",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok,
+               CAST(FLOOR(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                               x -> x IN {_STOPWORDS!r})) AS DOUBLE)
+                          * 10000.0 / LEN(STRING_SPLIT(text, ' ')))
+                    AS BIGINT) AS bp
+        FROM documents
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS all_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS all_toks
+        FROM scored
+    ), grid AS (
+        SELECT UNNEST([1000, 1500, 2000, 2500, 3000, 3500, 4000])
+                   AS t_bp
+    )
+    SELECT CAST(g.t_bp AS INT) AS threshold_bp,
+           CAST(COUNT(*) FILTER (WHERE s.bp >= g.t_bp) AS BIGINT)
+               AS docs_kept,
+           CAST(COALESCE(SUM(s.n_tok) FILTER (WHERE s.bp >= g.t_bp), 0)
+                AS BIGINT) AS tokens_kept,
+           ROUND(CAST(COUNT(*) FILTER (WHERE s.bp >= g.t_bp) AS DOUBLE)
+                 / MAX(t.all_docs), 4) AS doc_share,
+           ROUND(CAST(COALESCE(SUM(s.n_tok) FILTER (WHERE s.bp >= g.t_bp), 0)
+                      AS DOUBLE) / MAX(t.all_toks), 4) AS token_share
+    FROM grid g CROSS JOIN scored s CROSS JOIN tot t
+    GROUP BY g.t_bp
+    ORDER BY threshold_bp
+    """,
+)
+def pipeline_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ablation sweep — the table a data curator reads
+    before fixing a threshold: for each stopword-ratio cutoff (basis
+    points, the ``text_quality`` signal), how many documents and tokens
+    survive, absolutely and as a share of the corpus. Token budgets are
+    what the downstream training run actually consumes, so the doc/token
+    share divergence (long docs are wordier AND more stopword-heavy) is
+    the point of the report.
+
+    The ratio is held as integer basis points (floor ·1e4) so threshold
+    comparison is integer-exact; the 7-point grid fans out map-side over
+    the scored frame (one conditional aggregation per threshold — no
+    re-scan per cutoff, one pass at any scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_words()).cast("bigint")
+    stop = F.size(F.filter(_words(), lambda x: x.isin(*_STOPWORDS)))
+    scored = docs.select(
+        n_tok.alias("n_tok"),
+        F.floor(stop.cast("double") * 10000.0 / F.size(_words()))
+        .cast("bigint")
+        .alias("bp"),
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("all_docs"),
+        F.sum("n_tok").cast("bigint").alias("all_toks"),
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in (1000, 1500, 2000, 2500, 3000, 3500, 4000)], ["t_bp"]
+    )
+    kept = F.col("bp") >= F.col("t_bp")
+    return (
+        F.broadcast(grid)
+        .crossJoin(scored)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("t_bp")
+        .agg(
+            F.count_if(kept).cast("bigint").alias("docs_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.round(
+                F.count_if(kept).cast("double") / F.max("all_docs"), 4
+            ).alias("doc_share"),
+            F.round(
+                F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0)).cast(
+                    "double"
+                )
+                / F.max("all_toks"),
+                4,
+            ).alias("token_share"),
+        )
+        .select(
+            F.col("t_bp").cast("int").alias("threshold_bp"),
+            "docs_kept",
+            "tokens_kept",
+            "doc_share",
+            "token_share",
+        )
+        .orderBy("threshold_bp")
+    )

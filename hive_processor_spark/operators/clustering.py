@@ -433,3 +433,140 @@ def ml_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     ).orderBy("label")
+
+
+_SIL_CENTROID_CTE = """
+    WITH ex AS (
+        SELECT label,
+               CAST(UNNEST(RANGE(1, LEN(embedding) + 1)) AS INT) AS pos,
+               CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS q
+        FROM embeddings
+    ), cent AS (
+        SELECT label, pos,
+               CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0 AS m
+        FROM ex GROUP BY label, pos
+    ), cvec AS (
+        SELECT label AS lc, LIST(m ORDER BY pos) AS cv
+        FROM cent GROUP BY label
+    )
+"""
+
+
+@register(
+    "embed_silhouette",
+    _SIL_CENTROID_CTE
+    + """
+    , dists AS (
+        SELECT e.vec_id, e.label, c.lc,
+               SQRT(CAST(LIST_AGGREGATE(LIST_TRANSFORM(
+                   RANGE(1, LEN(e.embedding) + 1),
+                   i -> CAST(FLOOR((CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+                             * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+                             * 1e12) AS BIGINT)), 'sum') AS DOUBLE) / 1e12)
+                   AS d
+        FROM embeddings e CROSS JOIN cvec c
+    ), ab AS (
+        SELECT vec_id, label,
+               MIN(CASE WHEN lc = label THEN d END) AS a,
+               MIN(CASE WHEN lc <> label THEN d END) AS b
+        FROM dists GROUP BY vec_id, label
+    ), sq AS (
+        SELECT label,
+               CAST(FLOOR(a * 1e6) AS BIGINT) AS aq,
+               CAST(FLOOR(b * 1e6) AS BIGINT) AS bq,
+               CAST(FLOOR((b - a) / GREATEST(a, b) * 1e6) AS BIGINT) AS sil_q
+        FROM ab
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(aq) AS DOUBLE) / COUNT(*) / 1e6, 4)
+               AS mean_intra_dist,
+           ROUND(CAST(SUM(bq) AS DOUBLE) / COUNT(*) / 1e6, 4)
+               AS mean_nearest_dist,
+           ROUND(CAST(SUM(sil_q) AS DOUBLE) / COUNT(*) / 1e6, 4)
+               AS silhouette
+    FROM sq GROUP BY label
+    ORDER BY label
+    """,
+)
+def embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label cluster
+    (Hruschka et al. '04 — the O(n·k) variant sklearn's docs call the
+    scalable stand-in for O(n²) silhouette): a(x) = distance to own
+    centroid, b(x) = distance to nearest other centroid, s = (b−a)/
+    max(a,b). The cluster-quality score that licenses a k choice —
+    pairs with ``embed_kmeans`` / ``sim_ivf_cell_stats``.
+
+    Every per-dimension mean is integer-quantized (the ``sim_centroid``
+    discipline), distances are quantized-term folds, and the per-point
+    a/b/s values are floor-quantized before the per-label mean, so the
+    whole report is bit-stable. Scale: k centroid arrays broadcast to a
+    map-only distance pass — n·k work, no shuffle after the tiny
+    centroid aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.floor(F.col("x").cast("double") * F.lit(1e6)).cast("long").alias("q"),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        (F.sum("q").cast("double") / F.count(F.lit(1)) / F.lit(1e6)).alias("m")
+    )
+    cvec = cent.groupBy(F.col("label").alias("lc")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s.getField("m"),
+        ).alias("cv")
+    )
+    d = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("cv"),
+                lambda x, c: F.floor(
+                    (x.cast("double") - c) * (x.cast("double") - c) * F.lit(1e12)
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).cast("double")
+        / F.lit(1e12)
+    )
+    dists = emb.crossJoin(F.broadcast(cvec)).select(
+        "vec_id", "label", "lc", d.alias("d")
+    )
+    ab = dists.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("lc") == F.col("label"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("lc") != F.col("label"), F.col("d"))).alias("b"),
+    )
+    sq = ab.select(
+        "label",
+        F.floor(F.col("a") * 1e6).cast("long").alias("aq"),
+        F.floor(F.col("b") * 1e6).cast("long").alias("bq"),
+        F.floor(
+            (F.col("b") - F.col("a"))
+            / F.greatest(F.col("a"), F.col("b"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("sil_q"),
+    )
+    return (
+        sq.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("aq").cast("double") / F.count(F.lit(1)) / 1e6, 4).alias(
+                "mean_intra_dist"
+            ),
+            F.round(F.sum("bq").cast("double") / F.count(F.lit(1)) / 1e6, 4).alias(
+                "mean_nearest_dist"
+            ),
+            F.round(F.sum("sil_q").cast("double") / F.count(F.lit(1)) / 1e6, 4).alias(
+                "silhouette"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -5846,3 +5846,157 @@ def ts_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sortino_annual"
         ),
     )
+
+
+@register(
+    "ts_pacf",
+    """
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), mu AS (
+        SELECT CAST(SUM(x) AS DOUBLE) / COUNT(*) AS xbar FROM daily
+    ), led AS (
+        SELECT x,
+               LEAD(x, 1) OVER (ORDER BY day) AS x1,
+               LEAD(x, 2) OVER (ORDER BY day) AS x2,
+               LEAD(x, 3) OVER (ORDER BY day) AS x3
+        FROM daily
+    ), s AS (
+        SELECT
+          CAST(SUM(CAST(FLOOR((x - xbar) * (x - xbar) * 10000.0) AS BIGINT))
+               AS DOUBLE) AS s0,
+          CAST(SUM(CASE WHEN x1 IS NOT NULL THEN
+               CAST(FLOOR((x - xbar) * (x1 - xbar) * 10000.0) AS BIGINT)
+               END) AS DOUBLE) AS s1,
+          CAST(SUM(CASE WHEN x2 IS NOT NULL THEN
+               CAST(FLOOR((x - xbar) * (x2 - xbar) * 10000.0) AS BIGINT)
+               END) AS DOUBLE) AS s2,
+          CAST(SUM(CASE WHEN x3 IS NOT NULL THEN
+               CAST(FLOOR((x - xbar) * (x3 - xbar) * 10000.0) AS BIGINT)
+               END) AS DOUBLE) AS s3
+        FROM led CROSS JOIN mu
+    ), r AS (
+        SELECT s1 / s0 AS r1, s2 / s0 AS r2, s3 / s0 AS r3 FROM s
+    ), dl AS (
+        SELECT r1, r2, r3,
+               r1 AS phi11,
+               (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22
+        FROM r
+    ), dl2 AS (
+        SELECT r1, r2, r3, phi11, phi22,
+               phi11 - phi22 * phi11 AS phi21
+        FROM dl
+    )
+    SELECT lag, ROUND(acf, 6) AS acf, ROUND(pacf, 6) AS pacf
+    FROM (
+        SELECT 1 AS lag, r1 AS acf, phi11 AS pacf FROM dl2
+        UNION ALL
+        SELECT 2, r2, phi22 FROM dl2
+        UNION ALL
+        SELECT 3, r3,
+               (r3 - phi21 * r2 - phi22 * r1)
+               / (1.0 - phi21 * r1 - phi22 * r2)
+        FROM dl2
+    ) t
+    ORDER BY lag
+    """,
+)
+def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation and PARTIAL autocorrelation of the daily event
+    count at lags 1–3 via the Durbin–Levinson recursion — the ACF/PACF
+    pair an ARIMA modeler reads to pick p and q (PACF cutting off at
+    lag p identifies the AR order). Each covariance term is
+    1e-4-floor-quantized before exact integer summation, so r₁..r₃ are
+    bit-identical in both engines; the recursion itself (φ₂₂ from r₁r₂,
+    φ₃₃ from the level-2 coefficients) is identically-parenthesized
+    scalar algebra on those shared values.
+
+    Scale: one day-level rollup, one ordered window (O(days)), one
+    scalar reduction — the calendar-series shape."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    mu = daily.agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("xbar")
+    )
+    w = Window.orderBy("day")
+    led = daily.select(
+        "x",
+        F.lead("x", 1).over(w).alias("x1"),
+        F.lead("x", 2).over(w).alias("x2"),
+        F.lead("x", 3).over(w).alias("x3"),
+    ).crossJoin(F.broadcast(mu))
+
+    def q(other: str):
+        return F.when(
+            F.col(other).isNotNull(),
+            F.floor(
+                (F.col("x") - F.col("xbar"))
+                * (F.col(other) - F.col("xbar"))
+                * 10000.0
+            ).cast("long"),
+        )
+
+    s = led.agg(
+        F.sum(
+            F.floor(
+                (F.col("x") - F.col("xbar"))
+                * (F.col("x") - F.col("xbar"))
+                * 10000.0
+            ).cast("long")
+        )
+        .cast("double")
+        .alias("s0"),
+        F.sum(q("x1")).cast("double").alias("s1"),
+        F.sum(q("x2")).cast("double").alias("s2"),
+        F.sum(q("x3")).cast("double").alias("s3"),
+    )
+    r = s.select(
+        (F.col("s1") / F.col("s0")).alias("r1"),
+        (F.col("s2") / F.col("s0")).alias("r2"),
+        (F.col("s3") / F.col("s0")).alias("r3"),
+    )
+    dl = r.select(
+        "r1",
+        "r2",
+        "r3",
+        F.col("r1").alias("phi11"),
+        (
+            (F.col("r2") - F.col("r1") * F.col("r1"))
+            / (F.lit(1.0) - F.col("r1") * F.col("r1"))
+        ).alias("phi22"),
+    )
+    dl2 = dl.select(
+        "*", (F.col("phi11") - F.col("phi22") * F.col("phi11")).alias("phi21")
+    )
+    row1 = dl2.select(
+        F.lit(1).alias("lag"), F.col("r1").alias("acf"), F.col("phi11").alias("pacf")
+    )
+    row2 = dl2.select(
+        F.lit(2).alias("lag"), F.col("r2").alias("acf"), F.col("phi22").alias("pacf")
+    )
+    row3 = dl2.select(
+        F.lit(3).alias("lag"),
+        F.col("r3").alias("acf"),
+        (
+            (
+                F.col("r3")
+                - F.col("phi21") * F.col("r2")
+                - F.col("phi22") * F.col("r1")
+            )
+            / (
+                F.lit(1.0)
+                - F.col("phi21") * F.col("r1")
+                - F.col("phi22") * F.col("r2")
+            )
+        ).alias("pacf"),
+    )
+    return (
+        row1.unionAll(row2)
+        .unionAll(row3)
+        .select("lag", F.round("acf", 6).alias("acf"), F.round("pacf", 6).alias("pacf"))
+        .orderBy("lag")
+    )

@@ -1510,3 +1510,96 @@ def pipeline_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mixed_case_names"),
     )
+
+
+@register(
+    "dq_rule_quarantine",
+    """
+    WITH flags AS (
+        SELECT (l_quantity < 1 OR l_quantity > 45) AS v_qty,
+               (l_discount > 0.06) AS v_disc,
+               (l_extendedprice <= 0) AS v_price,
+               (l_shipdate >= TIMESTAMP '2001-01-01') AS v_ship,
+               (l_tax > 0.08) AS v_tax
+        FROM lineitem
+    ), counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (WHERE v_qty) AS BIGINT) AS c_qty,
+               CAST(COUNT(*) FILTER (WHERE v_disc) AS BIGINT) AS c_disc,
+               CAST(COUNT(*) FILTER (WHERE v_price) AS BIGINT) AS c_price,
+               CAST(COUNT(*) FILTER (WHERE v_ship) AS BIGINT) AS c_ship,
+               CAST(COUNT(*) FILTER (WHERE v_tax) AS BIGINT) AS c_tax,
+               CAST(COUNT(*) FILTER (WHERE v_qty OR v_disc OR v_price
+                                        OR v_ship OR v_tax) AS BIGINT)
+                   AS c_any
+        FROM flags
+    )
+    SELECT rule, n_violations, n_rows,
+           ROUND(CAST(n_violations AS DOUBLE) / n_rows, 6) AS violation_pct
+    FROM (
+        SELECT 'any_rule' AS rule, c_any AS n_violations, n_rows FROM counts
+        UNION ALL SELECT 'discount_le_6pct', c_disc, n_rows FROM counts
+        UNION ALL SELECT 'price_positive', c_price, n_rows FROM counts
+        UNION ALL SELECT 'qty_1_to_45', c_qty, n_rows FROM counts
+        UNION ALL SELECT 'ship_before_2001', c_ship, n_rows FROM counts
+        UNION ALL SELECT 'tax_le_8pct', c_tax, n_rows FROM counts
+    ) t
+    ORDER BY rule
+    """,
+)
+def dq_rule_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule engine over the fact table: five
+    constraint rules (range, cap, positivity, freshness window, rate
+    cap) evaluated in ONE conditional-count pass, plus the `any_rule`
+    quarantine row — the split a write-audit-publish pipeline uses to
+    route rows to the quarantine table. Rules are deliberately mixed:
+    some fire on this fixture, some legitimately pass with zero
+    violations (a DQ report full of firing rules is as suspicious as
+    one with none).
+
+    Scale: one scan, one map-side-combined aggregate; adding a rule
+    adds a conditional count, never a second pass. The per-rule layout
+    (rule, count, share) is the long-format contract every DQ dashboard
+    ingests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = {
+        "qty_1_to_45": (F.col("l_quantity") < 1) | (F.col("l_quantity") > 45),
+        "discount_le_6pct": F.col("l_discount") > 0.06,
+        "price_positive": F.col("l_extendedprice") <= 0,
+        "ship_before_2001": F.col("l_shipdate")
+        >= F.lit("2001-01-01").cast("timestamp"),
+        "tax_le_8pct": F.col("l_tax") > 0.08,
+    }
+    counts = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        *[
+            F.count_if(cond).cast("bigint").alias(f"c_{name}")
+            for name, cond in v.items()
+        ],
+        F.count_if(
+            v["qty_1_to_45"]
+            | v["discount_le_6pct"]
+            | v["price_positive"]
+            | v["ship_before_2001"]
+            | v["tax_le_8pct"]
+        )
+        .cast("bigint")
+        .alias("c_any"),
+    )
+    rows = [("any_rule", "c_any")] + [(name, f"c_{name}") for name in v]
+    stacked = None
+    for rule, col in rows:
+        one = counts.select(
+            F.lit(rule).alias("rule"),
+            F.col(col).alias("n_violations"),
+            "n_rows",
+        )
+        stacked = one if stacked is None else stacked.unionAll(one)
+    return stacked.select(
+        "rule",
+        "n_violations",
+        "n_rows",
+        F.round(
+            F.col("n_violations").cast("double") / F.col("n_rows"), 6
+        ).alias("violation_pct"),
+    ).orderBy("rule")

@@ -570,3 +570,125 @@ def embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_KCENTER_K = 8
+
+
+def _kcenter_sql() -> str:
+    def dist(a: str, b: str) -> str:
+        diff = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        return (
+            f"SQRT(CAST(LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, LEN({a}) + 1), "
+            f"i -> CAST(FLOOR({diff} * {diff} * 1e12) AS BIGINT)), 'sum') "
+            f"AS DOUBLE) / 1e12)"
+        )
+
+    ctes = [
+        "s1 AS (SELECT e.vec_id, e.embedding, "
+        + dist("e.embedding", "c.cemb")
+        + " AS dmin FROM embeddings e CROSS JOIN "
+        "(SELECT embedding AS cemb FROM embeddings WHERE vec_id = 0) c)"
+    ]
+    rows = ["SELECT 1 AS round, CAST(0 AS BIGINT) AS center_vec_id, "
+            "0.0 AS sel_dist"]
+    for r in range(2, _KCENTER_K + 1):
+        ctes.append(
+            f"p{r} AS (SELECT vec_id, embedding, dmin FROM s{r - 1} "
+            f"ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        rows.append(
+            f"SELECT {r}, CAST(vec_id AS BIGINT), ROUND(dmin, 4) FROM p{r}"
+        )
+        if r < _KCENTER_K:
+            ctes.append(
+                f"s{r} AS (SELECT s.vec_id, s.embedding, LEAST(s.dmin, "
+                + dist("s.embedding", "p.embedding")
+                + f") AS dmin FROM s{r - 1} s CROSS JOIN p{r} p)"
+            )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + "\n    SELECT * FROM (" + " UNION ALL ".join(rows)
+        + ") t ORDER BY round"
+    )
+
+
+@register("embed_kcenter_coreset", _kcenter_sql())
+def embed_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez '85 farthest-point traversal,
+    k = 8, seeded at vec_id 0): each round adds the point farthest from
+    the current center set and reports the distance at selection — a
+    decreasing sequence that 2-approximates the optimal covering radius,
+    and the standard diversity-sampling pass for "pick k maximally
+    spread exemplars" in data curation. The min-distance state is a pure
+    lineage column: every round is one map pass (broadcast of the
+    singleton new center) plus one TakeOrderedAndProject argmax — no
+    driver collect, the round count bounds the unroll exactly like
+    ``embed_kmeans``'s Lloyd iterations. Distances fold through
+    1e12-quantized terms, and the argmax tie-breaks on vec_id, so the
+    traversal is engine-deterministic.
+
+    At 100 TB you would persist the running dmin frame between rounds
+    instead of recomputing the (cheap) prefix lineage — noted here
+    because the fixture-scale recompute is deliberate: it keeps the
+    operator collect-free and cache-free for the plan lint."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def dist(center_col: str):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.col(center_col),
+                    lambda x, c: F.floor(
+                        (x.cast("double") - c.cast("double"))
+                        * (x.cast("double") - c.cast("double"))
+                        * F.lit(1e12)
+                    ).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).cast("double")
+            / F.lit(1e12)
+        )
+
+    c1 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("cemb")
+    )
+    s = emb.crossJoin(F.broadcast(c1)).select(
+        "vec_id", "embedding", dist("cemb").alias("dmin")
+    )
+    out = [
+        s.limit(0).select(
+            F.lit(1).alias("round"),
+            F.lit(0).cast("bigint").alias("center_vec_id"),
+            F.lit(0.0).alias("sel_dist"),
+        ).unionAll(
+            emb.filter(F.col("vec_id") == 0).select(
+                F.lit(1).alias("round"),
+                F.col("vec_id").cast("bigint").alias("center_vec_id"),
+                F.lit(0.0).alias("sel_dist"),
+            )
+        )
+    ]
+    for r in range(2, _KCENTER_K + 1):
+        p = s.orderBy(F.desc("dmin"), "vec_id").limit(1)
+        out.append(
+            p.select(
+                F.lit(r).alias("round"),
+                F.col("vec_id").cast("bigint").alias("center_vec_id"),
+                F.round("dmin", 4).alias("sel_dist"),
+            )
+        )
+        if r < _KCENTER_K:
+            s = s.crossJoin(
+                F.broadcast(p.select(F.col("embedding").alias("cemb")))
+            ).select(
+                "vec_id",
+                "embedding",
+                F.least(F.col("dmin"), dist("cemb")).alias("dmin"),
+            )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionAll(df)
+    return res.orderBy("round")

@@ -6000,3 +6000,90 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lag", F.round("acf", 6).alias("acf"), F.round("pacf", 6).alias("pacf"))
         .orderBy("lag")
     )
+
+
+@register(
+    "sample_balanced_downsample",
+    f"""
+    WITH sized AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_orig
+        FROM events GROUP BY event_type
+    ), m AS (
+        SELECT MIN(n_orig) AS m FROM sized
+    ), ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY MD5(CAST(event_id AS VARCHAR)),
+                                           event_id) AS rn
+        FROM events
+    ), kept AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               {sql_dsum('value')} AS s_kept
+        FROM ranked CROSS JOIN m
+        WHERE rn <= m.m
+        GROUP BY event_type
+    ), orig AS (
+        SELECT event_type, {sql_dsum('value')} AS s_orig
+        FROM events GROUP BY event_type
+    )
+    SELECT s.event_type,
+           s.n_orig,
+           k.n_kept,
+           ROUND(o.s_orig / s.n_orig, 4) AS mean_value_orig,
+           ROUND(k.s_kept / k.n_kept, 4) AS mean_value_kept
+    FROM sized s
+    JOIN kept k ON k.event_type = s.event_type
+    JOIN orig o ON o.event_type = s.event_type
+    ORDER BY s.event_type
+    """,
+)
+def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling audit: every event type reduced to
+    the minority class's size by deterministic hash order (md5 of the
+    row key — reproducible across runs and engines, the property random
+    samplers lack), with before/after mean ``value`` per class to show
+    the selection introduced no value bias. This is the train-set
+    rebalancing pass in front of any classifier on skewed labels.
+
+    Scale: the rank window shuffles once by class — per-class sort is
+    the cost (same documented shape as ``sample_bottom_k``); hash order
+    means the kept set is stable under re-partitioning. Means flow
+    through the quantized-sum discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    sized = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orig")
+    )
+    m = sized.agg(F.min("n_orig").alias("m"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    ranked = ev.select(
+        "event_type", "value", F.row_number().over(w).alias("rn")
+    )
+    kept = (
+        ranked.crossJoin(F.broadcast(m))
+        .filter(F.col("rn") <= F.col("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            dsum("value").alias("s_kept"),
+        )
+    )
+    orig = ev.groupBy("event_type").agg(dsum("value").alias("s_orig"))
+    return (
+        sized.join(kept, "event_type")
+        .join(orig, "event_type")
+        .select(
+            "event_type",
+            "n_orig",
+            "n_kept",
+            F.round(F.col("s_orig") / F.col("n_orig"), 4).alias(
+                "mean_value_orig"
+            ),
+            F.round(F.col("s_kept") / F.col("n_kept"), 4).alias(
+                "mean_value_kept"
+            ),
+        )
+        .orderBy("event_type")
+    )

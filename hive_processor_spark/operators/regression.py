@@ -2063,3 +2063,135 @@ def ml_lda_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lda_accuracy"),
     )
+
+
+@register(
+    "ml_ridge_path",
+    f"""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('l_quantity')} AS sq,
+               {sql_dsum('l_discount')} AS sd,
+               {sql_dsum('l_extendedprice')} AS sy,
+               {sql_dsum('l_quantity * l_quantity')} AS sqq,
+               {sql_dsum('l_quantity * l_discount')} AS sqd,
+               {sql_dsum('l_discount * l_discount')} AS sdd,
+               {sql_dsum('l_quantity * l_extendedprice')} AS sqy,
+               {sql_dsum('l_discount * l_extendedprice')} AS sdy,
+               {sql_dsum('l_extendedprice * l_extendedprice')} AS syy
+        FROM lineitem
+    ), c AS (
+        SELECT n,
+               sqq - sq * sq / n AS cqq,
+               sqd - sq * sd / n AS cqd,
+               sdd - sd * sd / n AS cdd,
+               sqy - sq * sy / n AS cqy,
+               sdy - sd * sy / n AS cdy,
+               syy - sy * sy / n AS cyy,
+               sq / n AS mq, sd / n AS md, sy / n AS my
+        FROM s
+    ), lam AS (
+        SELECT UNNEST([0.0, 1000.0, 100000.0]) AS lambda
+    )
+    SELECT lam.lambda,
+           ROUND(((cdd + lam.lambda) * cqy - cqd * cdy)
+                 / ((cqq + lam.lambda) * (cdd + lam.lambda) - cqd * cqd), 6)
+               AS beta_qty,
+           ROUND(((cqq + lam.lambda) * cdy - cqd * cqy)
+                 / ((cqq + lam.lambda) * (cdd + lam.lambda) - cqd * cqd), 6)
+               AS beta_disc,
+           ROUND(my
+                 - ((cdd + lam.lambda) * cqy - cqd * cdy)
+                   / ((cqq + lam.lambda) * (cdd + lam.lambda) - cqd * cqd) * mq
+                 - ((cqq + lam.lambda) * cdy - cqd * cqy)
+                   / ((cqq + lam.lambda) * (cdd + lam.lambda) - cqd * cqd) * md,
+                 4) AS intercept,
+           ROUND((cyy
+                  - 2 * (((cdd + lam.lambda) * cqy - cqd * cdy)
+                         / ((cqq + lam.lambda) * (cdd + lam.lambda)
+                            - cqd * cqd)) * cqy
+                  - 2 * (((cqq + lam.lambda) * cdy - cqd * cqy)
+                         / ((cqq + lam.lambda) * (cdd + lam.lambda)
+                            - cqd * cqd)) * cdy
+                  + (((cdd + lam.lambda) * cqy - cqd * cdy)
+                     / ((cqq + lam.lambda) * (cdd + lam.lambda) - cqd * cqd))
+                    * (((cdd + lam.lambda) * cqy - cqd * cdy)
+                       / ((cqq + lam.lambda) * (cdd + lam.lambda) - cqd * cqd))
+                    * cqq
+                  + 2 * (((cdd + lam.lambda) * cqy - cqd * cdy)
+                         / ((cqq + lam.lambda) * (cdd + lam.lambda)
+                            - cqd * cqd))
+                      * (((cqq + lam.lambda) * cdy - cqd * cqy)
+                         / ((cqq + lam.lambda) * (cdd + lam.lambda)
+                            - cqd * cqd)) * cqd
+                  + (((cqq + lam.lambda) * cdy - cqd * cqy)
+                     / ((cqq + lam.lambda) * (cdd + lam.lambda) - cqd * cqd))
+                    * (((cqq + lam.lambda) * cdy - cqd * cqy)
+                       / ((cqq + lam.lambda) * (cdd + lam.lambda) - cqd * cqd))
+                    * cdd) / n, 4) AS train_mse
+    FROM c CROSS JOIN lam
+    ORDER BY lam.lambda
+    """,
+)
+def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge-regression regularization path: extended price on (quantity,
+    discount) at λ ∈ {0, 10³, 10⁵}, solved in closed form from the
+    centered 2×2 normal equations (XᵀX + λI)β = Xᵀy — λ = 0 recovers
+    OLS, so the path shows the coefficient shrinkage and the bias/
+    variance trade a tuner reads. Everything flows from ONE pass of
+    quantized sufficient statistics (the ``ml_linreg``/``stats_vif``
+    discipline); the per-λ solve and train-MSE (SSE/n via the quadratic
+    form Syy − 2βᵀSxy + βᵀSβ) are identically-parenthesized scalar
+    algebra replicated per grid row — no second scan, any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, dd, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    s = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(q).alias("sq"),
+        dsum(dd).alias("sd"),
+        dsum(y).alias("sy"),
+        dsum(q * q).alias("sqq"),
+        dsum(q * dd).alias("sqd"),
+        dsum(dd * dd).alias("sdd"),
+        dsum(q * y).alias("sqy"),
+        dsum(dd * y).alias("sdy"),
+        dsum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    c = s.select(
+        n,
+        (F.col("sqq") - F.col("sq") * F.col("sq") / n).alias("cqq"),
+        (F.col("sqd") - F.col("sq") * F.col("sd") / n).alias("cqd"),
+        (F.col("sdd") - F.col("sd") * F.col("sd") / n).alias("cdd"),
+        (F.col("sqy") - F.col("sq") * F.col("sy") / n).alias("cqy"),
+        (F.col("sdy") - F.col("sd") * F.col("sy") / n).alias("cdy"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / n).alias("cyy"),
+        (F.col("sq") / n).alias("mq"),
+        (F.col("sd") / n).alias("md"),
+        (F.col("sy") / n).alias("my"),
+    )
+    lam = spark.createDataFrame(
+        [(0.0,), (1000.0,), (100000.0,)], ["lambda"]
+    )
+    t = c.crossJoin(F.broadcast(lam))
+    l_ = F.col("lambda")
+    det = (F.col("cqq") + l_) * (F.col("cdd") + l_) - F.col("cqd") * F.col("cqd")
+    bq = ((F.col("cdd") + l_) * F.col("cqy") - F.col("cqd") * F.col("cdy")) / det
+    bd = ((F.col("cqq") + l_) * F.col("cdy") - F.col("cqd") * F.col("cqy")) / det
+    sse = (
+        F.col("cyy")
+        - 2 * bq * F.col("cqy")
+        - 2 * bd * F.col("cdy")
+        + bq * bq * F.col("cqq")
+        + 2 * bq * bd * F.col("cqd")
+        + bd * bd * F.col("cdd")
+    )
+    return t.select(
+        l_.alias("lambda"),
+        F.round(bq, 6).alias("beta_qty"),
+        F.round(bd, 6).alias("beta_disc"),
+        F.round(
+            F.col("my") - bq * F.col("mq") - bd * F.col("md"), 4
+        ).alias("intercept"),
+        F.round(sse / n, 4).alias("train_mse"),
+    ).orderBy("lambda")

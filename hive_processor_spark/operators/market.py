@@ -579,3 +579,218 @@ def agg_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cf, 4).alias("critical_fractile"),
         F.col("demand").cast("bigint").alias("order_quantity"),
     ).orderBy("critical_fractile")
+
+
+@register(
+    "market_price_dispersion",
+    """
+    WITH u AS (
+        SELECT l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(l_extendedprice / l_quantity * 10000.0)
+                             AS DECIMAL(28,0))) AS DOUBLE) / 10000.0 AS su,
+               CAST(SUM(CAST(FLOOR((l_extendedprice / l_quantity)
+                                   * (l_extendedprice / l_quantity)
+                                   * 10000.0)
+                             AS DECIMAL(28,0))) AS DOUBLE) / 10000.0 AS suu
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, n,
+           ROUND(su / n, 4) AS mean_unit_price,
+           ROUND(SQRT((suu - su * su / n) / (n - 1)), 4) AS std_unit_price,
+           ROUND(SQRT((suu - su * su / n) / (n - 1)) / (su / n), 6)
+               AS cv
+    FROM u
+    WHERE n >= 5
+    ORDER BY cv DESC, l_partkey
+    LIMIT 20
+    """,
+)
+def market_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-dispersion league table (Stigler '61's measure of search
+    friction): coefficient of variation of the realized unit price
+    (extended price / quantity) per part, for parts with ≥ 5 sales —
+    the parts whose price varies most across transactions are where a
+    procurement desk looks first. One grouped pass of quantized
+    sufficient statistics; CV is scalar algebra; the league table is a
+    TakeOrdered top-20 ranked on the ROUNDED value with a key
+    tie-break, so the cut is stable at any parallelism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    u = F.col("l_extendedprice") / F.col("l_quantity")
+    s = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.floor(u * 10000.0).cast("decimal(28,0)")).cast("double")
+            / 10000.0
+        ).alias("su"),
+        (
+            F.sum(F.floor(u * u * 10000.0).cast("decimal(28,0)")).cast(
+                "double"
+            )
+            / 10000.0
+        ).alias("suu"),
+    )
+    n, su, suu = F.col("n"), F.col("su"), F.col("suu")
+    sd = F.sqrt((suu - su * su / n) / (n - 1))
+    return (
+        s.filter(n >= 5)
+        .select(
+            "l_partkey",
+            "n",
+            F.round(su / n, 4).alias("mean_unit_price"),
+            F.round(sd, 4).alias("std_unit_price"),
+            F.round(sd / (su / n), 6).alias("cv"),
+        )
+        .orderBy(F.desc("cv"), "l_partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "market_cross_elasticity",
+    """
+    WITH sales AS (
+        SELECT strftime(l.l_shipdate, '%Y-%m') AS mon,
+               p.p_brand AS brand,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice / l.l_quantity
+                                   * 10000.0) AS DECIMAL(28,0)))
+                    AS DOUBLE) / 10000.0 AS sp,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand IN ('Brand#4', 'Brand#2')
+        GROUP BY 1, 2
+    ), wide AS (
+        SELECT a.mon,
+               a.sp / a.n AS pa, CAST(a.q AS DOUBLE) AS qa,
+               b.sp / b.n AS pb
+        FROM sales a JOIN sales b ON b.mon = a.mon
+        WHERE a.brand = 'Brand#4' AND b.brand = 'Brand#2'
+          AND a.q > 0 AND a.sp > 0 AND b.sp > 0
+    ), qz AS (
+        SELECT CAST(FLOOR(LN(pa) * 1000000.0) AS BIGINT) AS x1,
+               CAST(FLOOR(LN(pb) * 1000000.0) AS BIGINT) AS x2,
+               CAST(FLOOR(LN(qa) * 1000000.0) AS BIGINT) AS y
+        FROM wide
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x1 AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS s1,
+               CAST(SUM(CAST(x2 AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS s2,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS sy,
+               CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+                   AS s11,
+               CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+                   AS s12,
+               CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+                   AS s22,
+               CAST(SUM(CAST(x1 * y AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+                   AS s1y,
+               CAST(SUM(CAST(x2 * y AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+                   AS s2y
+        FROM qz
+    ), c AS (
+        SELECT n,
+               s11 - s1 * s1 / n AS c11,
+               s12 - s1 * s2 / n AS c12,
+               s22 - s2 * s2 / n AS c22,
+               s1y - s1 * sy / n AS c1y,
+               s2y - s2 * sy / n AS c2y,
+               s1 / n AS m1, s2 / n AS m2, sy / n AS my
+        FROM s
+    )
+    SELECT n AS n_months,
+           ROUND((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12), 6)
+               AS own_elasticity,
+           ROUND((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12), 6)
+               AS cross_elasticity,
+           ROUND(my - (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) * m1
+                    - (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) * m2,
+                 4) AS intercept
+    FROM c
+    """,
+)
+def market_cross_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own- and cross-price elasticity of demand for Brand#4 against
+    Brand#2: monthly log quantity regressed on both brands' log average
+    unit prices (the two-feature log-log demand system — cross > 0
+    reads as substitutes, < 0 as complements). Extends the registered
+    single-good ``market_elasticity`` to the competitive case. Monthly
+    aggregates flow through quantized sums; the logs are 1e6-quantized
+    into DECIMAL accumulators (the ``text_heaps_fit`` OLS discipline)
+    and the 2×2 normal equations are solved in closed form — identical
+    scalar algebra in both engines.
+
+    Scale: one brand-filtered join + month rollup (shuffle ∝ months),
+    then an O(months) reduction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    u = F.col("l_extendedprice") / F.col("l_quantity")
+    sales = (
+        li.join(
+            F.broadcast(part.filter(F.col("p_brand").isin("Brand#4", "Brand#2"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("mon"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(
+            (
+                F.sum(F.floor(u * 10000.0).cast("decimal(28,0)")).cast("double")
+                / 10000.0
+            ).alias("sp"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    a = sales.filter(F.col("brand") == "Brand#4").select(
+        "mon",
+        (F.col("sp") / F.col("n")).alias("pa"),
+        F.col("q").cast("double").alias("qa"),
+    )
+    b = sales.filter(F.col("brand") == "Brand#2").select(
+        "mon", (F.col("sp") / F.col("n")).alias("pb")
+    )
+    wide = a.join(b, "mon").filter(
+        (F.col("qa") > 0) & (F.col("pa") > 0) & (F.col("pb") > 0)
+    )
+    qz = wide.select(
+        F.floor(F.log("pa") * 1000000.0).cast("bigint").alias("x1"),
+        F.floor(F.log("pb") * 1000000.0).cast("bigint").alias("x2"),
+        F.floor(F.log("qa") * 1000000.0).cast("bigint").alias("y"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    s = qz.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (dec(F.col("x1")) / 1e6).alias("s1"),
+        (dec(F.col("x2")) / 1e6).alias("s2"),
+        (dec(F.col("y")) / 1e6).alias("sy"),
+        (dec(F.col("x1") * F.col("x1")) / 1e12).alias("s11"),
+        (dec(F.col("x1") * F.col("x2")) / 1e12).alias("s12"),
+        (dec(F.col("x2") * F.col("x2")) / 1e12).alias("s22"),
+        (dec(F.col("x1") * F.col("y")) / 1e12).alias("s1y"),
+        (dec(F.col("x2") * F.col("y")) / 1e12).alias("s2y"),
+    )
+    n = F.col("n")
+    c = s.select(
+        n,
+        (F.col("s11") - F.col("s1") * F.col("s1") / n).alias("c11"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / n).alias("c12"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / n).alias("c22"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / n).alias("c1y"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / n).alias("c2y"),
+        (F.col("s1") / n).alias("m1"),
+        (F.col("s2") / n).alias("m2"),
+        (F.col("sy") / n).alias("my"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    own = (F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y")) / det
+    cross = (F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y")) / det
+    return c.select(
+        n.alias("n_months"),
+        F.round(own, 6).alias("own_elasticity"),
+        F.round(cross, 6).alias("cross_elasticity"),
+        F.round(
+            F.col("my") - own * F.col("m1") - cross * F.col("m2"), 4
+        ).alias("intercept"),
+    )

@@ -686,3 +686,47 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@register("stream_topk_merge")  # Tier R: a stream has no SQL oracle
+def stream_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental top-k: each micro-batch pre-aggregates
+    per-user quantized value totals (cents — exact integers, so the
+    running merge is order-independent), and the driver-side state dict
+    folds batches into a bounded running total; the final top-10 must
+    equal the batch groupBy answer (asserted in tests/test_streaming.py).
+
+    This is the "maintain a leaderboard over an unbounded stream" shape:
+    the per-batch collect is O(active users in the batch) AFTER the
+    distributed pre-aggregation — at scale the state would live in an
+    external store keyed by user, but the merge algebra (integer adds,
+    deterministic (total, key) ranking) is exactly what ships here."""
+    path, ev = _replay_dir(spark, sf_dir)
+    schema = ev.schema
+    state: dict[int, int] = {}
+
+    def merge(batch_df: DataFrame, _batch_id: int) -> None:
+        rows = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.sum(F.floor(F.col("value") * 100.0).cast("long")).alias("v")
+            )
+            .collect()
+        )
+        for r in rows:
+            state[r["user_id"]] = state.get(r["user_id"], 0) + int(r["v"])
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{path}/*.parquet")
+        .writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    top = sorted(state.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return spark.createDataFrame(
+        [(int(u), v / 100.0) for u, v in top],
+        "user_id bigint, total_value double",
+    )

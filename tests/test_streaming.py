@@ -380,3 +380,24 @@ def test_stream_left_join_outer_semantics(spark):
         for r in c.filter(F.col("c_ts") >= F.lit(cutoff)).collect()
     }
     assert anti - got_null <= tail_ok
+
+
+def test_topk_merge_equals_batch(spark):
+    got = [
+        (r.user_id, r.total_value)
+        for r in _QUERIES["stream_topk_merge"](spark, SF_SMALL).collect()
+    ]
+    ev = load_table(spark, SF_SMALL, "events")
+    batch = (
+        ev.groupBy("user_id")
+        .agg(F.sum(F.floor(F.col("value") * 100.0).cast("long")).alias("v"))
+        .collect()
+    )
+    expect = sorted(
+        ((int(r.user_id), int(r.v)) for r in batch),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert got == [(u, v / 100.0) for u, v in expect]
+    # leaderboard is rank-ordered
+    vals = [v for _, v in got]
+    assert vals == sorted(vals, reverse=True)

@@ -1603,3 +1603,118 @@ def dq_rule_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_violations").cast("double") / F.col("n_rows"), 6
         ).alias("violation_pct"),
     ).orderBy("rule")
+
+
+@register(
+    "dq_scd2_audit",
+    """
+    WITH chg AS (
+        SELECT user_id,
+               CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS valid_from,
+               event_id
+        FROM events WHERE event_type = 'purchase'
+    ), scd AS (
+        SELECT user_id, valid_from,
+               LEAD(valid_from) OVER w AS valid_to
+        FROM chg
+        WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    ), seq AS (
+        SELECT user_id, valid_from, valid_to,
+               LEAD(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from) AS next_from
+        FROM scd
+    ), per_key AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_versions,
+               CAST(COUNT(*) FILTER (WHERE valid_to IS NULL) AS BIGINT)
+                   AS n_current
+        FROM scd GROUP BY user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM per_key) AS BIGINT) AS n_keys,
+           CAST((SELECT SUM(n_versions) FROM per_key) AS BIGINT)
+               AS n_versions,
+           CAST((SELECT MAX(n_versions) FROM per_key) AS BIGINT)
+               AS max_versions_per_key,
+           CAST((SELECT COUNT(*) FILTER (WHERE n_current <> 1)
+                 FROM per_key) AS BIGINT) AS keys_bad_current,
+           CAST((SELECT COUNT(*) FILTER (WHERE valid_to IS NOT NULL
+                                           AND valid_to > next_from)
+                 FROM seq) AS BIGINT) AS n_overlaps,
+           CAST((SELECT COUNT(*) FILTER (WHERE valid_to IS NOT NULL
+                                           AND valid_to < next_from)
+                 FROM seq) AS BIGINT) AS n_gaps,
+           ROUND((SELECT CAST(SUM(CAST(valid_to - valid_from AS DECIMAL(28,0)))
+                              AS DOUBLE)
+                         / COUNT(*) FROM scd WHERE valid_to IS NOT NULL), 2)
+               AS avg_version_duration_s
+    """,
+)
+def dq_scd2_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-integrity audit of an SCD Type-2 dimension (the one
+    ``cdc_scd2_build`` produces, rebuilt inline): exactly one open
+    (current) version per key, zero overlapping and zero gapped
+    validity intervals, plus version-count and duration profile. The
+    build closes each interval with LEAD so this healthy history audits
+    clean — the operator's value is that it runs against ANY
+    (key, valid_from, valid_to) table, where merge bugs show up as
+    nonzero overlap/gap counts; the zero rows here pin the expected
+    output shape. Durations sum in DECIMAL (epoch seconds — exact).
+
+    Scale: two windows over the key-partitioned layout (one shuffle,
+    reused), then a handful of scalar reductions."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    chg = ev.select(
+        "user_id", F.unix_timestamp("ts").alias("valid_from"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    scd = chg.select(
+        "user_id",
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    seq = scd.select(
+        "valid_from",
+        "valid_to",
+        F.lead("valid_from").over(w2).alias("next_from"),
+    )
+    per_key = scd.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+        F.count_if(F.col("valid_to").isNull()).cast("bigint").alias(
+            "n_current"
+        ),
+    )
+    keys = per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n_versions").cast("bigint").alias("n_versions"),
+        F.max("n_versions").cast("bigint").alias("max_versions_per_key"),
+        F.count_if(F.col("n_current") != 1).cast("bigint").alias(
+            "keys_bad_current"
+        ),
+    )
+    iv = seq.agg(
+        F.count_if(
+            F.col("valid_to").isNotNull()
+            & (F.col("valid_to") > F.col("next_from"))
+        )
+        .cast("bigint")
+        .alias("n_overlaps"),
+        F.count_if(
+            F.col("valid_to").isNotNull()
+            & (F.col("valid_to") < F.col("next_from"))
+        )
+        .cast("bigint")
+        .alias("n_gaps"),
+    )
+    dur = scd.filter(F.col("valid_to").isNotNull()).agg(
+        F.round(
+            F.sum(
+                (F.col("valid_to") - F.col("valid_from")).cast("decimal(28,0)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            2,
+        ).alias("avg_version_duration_s")
+    )
+    return keys.crossJoin(F.broadcast(iv)).crossJoin(F.broadcast(dur))

@@ -527,3 +527,92 @@ def ml_ranking_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_rank_shift"),
     )
+
+
+@register(
+    "sim_map_at_k",
+    f"""
+    WITH p AS ({_SQL_PAIRS}
+    ), r AS (
+        SELECT qid, qlabel, clabel,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid)
+                   AS rn
+        FROM p
+    ), rel AS (
+        SELECT qid, CAST(COUNT(*) FILTER (WHERE clabel = qlabel) AS BIGINT)
+                   AS n_rel
+        FROM r GROUP BY qid
+    ), hits AS (
+        SELECT qid, qlabel, rn,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rn) AS hit_idx
+        FROM r WHERE rn <= 10 AND clabel = qlabel
+    ), ap AS (
+        SELECT h.qid, h.qlabel,
+               CAST(SUM(CAST(FLOOR(CAST(h.hit_idx AS DOUBLE) / h.rn * 1e9)
+                             AS BIGINT)) AS DOUBLE) / 1e9
+               / LEAST(MAX(rel.n_rel), 10) AS ap10
+        FROM hits h JOIN rel ON rel.qid = h.qid
+        GROUP BY h.qid, h.qlabel
+    ), apq AS (
+        SELECT qid, qlabel, CAST(FLOOR(ap10 * 1e9) AS BIGINT) AS apq
+        FROM ap
+    )
+    SELECT CAST(qlabel AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries_with_hits,
+           ROUND(CAST(SUM(apq) AS DOUBLE) / COUNT(*) / 1e9, 6)
+               AS map_at_10
+    FROM apq GROUP BY qlabel ORDER BY label
+    """,
+)
+def sim_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean average precision at 10 per label — the order-sensitive
+    retrieval grade that completes the precision@k / MRR / NDCG panel:
+    AP rewards ranking ALL relevant items early, not just the first
+    (MRR) or any (P@k). AP@10 = Σ_hits (hit_idx / rank) / min(R, 10)
+    with R the query's total relevant count. Every per-hit precision
+    term and every per-query AP is floor-quantized to 1e-9 integers
+    before its cross-row sum, so the two-level mean is bit-stable — the
+    discipline AVG(double) would violate.
+
+    Plan: the shared broadcast-probe ranked-pair frame, one hit-rank
+    window over the top-10 slice, two tiny reductions."""
+    r = _ranked_pairs(spark, sf_dir)
+    rel = r.groupBy("qid").agg(
+        F.count_if(F.col("clabel") == F.col("qlabel"))
+        .cast("bigint")
+        .alias("n_rel")
+    )
+    w_hit = Window.partitionBy("qid").orderBy("rn")
+    hits = (
+        r.filter((F.col("rn") <= 10) & (F.col("clabel") == F.col("qlabel")))
+        .select(
+            "qid", "qlabel", "rn", F.row_number().over(w_hit).alias("hit_idx")
+        )
+    )
+    ap = (
+        hits.join(rel, "qid")
+        .groupBy("qid", "qlabel")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("hit_idx").cast("double") / F.col("rn") * 1e9
+                    ).cast("bigint")
+                ).cast("double")
+                / 1e9
+                / F.least(F.max("n_rel"), F.lit(10))
+            ).alias("ap10")
+        )
+    )
+    apq = ap.select(
+        "qlabel", F.floor(F.col("ap10") * 1e9).cast("bigint").alias("apq")
+    )
+    return (
+        apq.groupBy(F.col("qlabel").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries_with_hits"),
+            F.round(F.sum("apq").cast("double") / F.count(F.lit(1)) / 1e9, 6)
+            .alias("map_at_10"),
+        )
+        .orderBy("label")
+    )

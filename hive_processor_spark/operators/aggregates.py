@@ -2594,3 +2594,134 @@ def sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - F.col("n_exact")) / F.col("n_exact") * 100.0, 2
         ).alias("rel_err_pct"),
     )
+
+
+#: Bloom filter geometry: m bits, k hash functions, probes offset far
+#: outside the inserted key domain.
+_BLOOM_M = 4096
+_BLOOM_K = 3
+_BLOOM_PROBE_OFF = 10_000_000
+_BLOOM_PROBES = 5000
+
+
+@register(
+    "sketch_bloom_fpr",
+    f"""
+    WITH keys AS (
+        SELECT DISTINCT l_suppkey AS k FROM lineitem
+    ), bits AS (
+        SELECT DISTINCT
+               (('0x' || SUBSTRING(MD5(CONCAT(j, '#', k)), 1, 15))::BIGINT)
+                   % {_BLOOM_M} AS bit
+        FROM keys CROSS JOIN (SELECT UNNEST(RANGE(0, {_BLOOM_K})) AS j) js
+    ), probes AS (
+        SELECT UNNEST(RANGE({_BLOOM_PROBE_OFF},
+                            {_BLOOM_PROBE_OFF + _BLOOM_PROBES})) AS p
+    ), probe_bits AS (
+        SELECT p,
+               (('0x' || SUBSTRING(MD5(CONCAT(j, '#', p)), 1, 15))::BIGINT)
+                   % {_BLOOM_M} AS bit
+        FROM probes CROSS JOIN (SELECT UNNEST(RANGE(0, {_BLOOM_K})) AS j) js
+    ), verdict AS (
+        SELECT pb.p,
+               CAST(COUNT(DISTINCT pb.bit) AS BIGINT) AS n_pos,
+               CAST(COUNT(DISTINCT CASE WHEN b.bit IS NOT NULL
+                                        THEN pb.bit END) AS BIGINT) AS n_hit
+        FROM probe_bits pb LEFT JOIN bits b ON b.bit = pb.bit
+        GROUP BY pb.p
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(COUNT(*) FILTER (WHERE n_hit = n_pos) AS BIGINT) AS fp
+        FROM verdict
+    ), nk AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys FROM keys
+    ), nb AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS bits_set FROM bits
+    )
+    SELECT {_BLOOM_M} AS m, {_BLOOM_K} AS k,
+           n_keys, bits_set, n_probes, fp AS false_positives,
+           ROUND(CAST(fp AS DOUBLE) / n_probes, 6) AS fpr_measured,
+           ROUND(POW(CAST(bits_set AS DOUBLE) / {_BLOOM_M}, {_BLOOM_K}), 6)
+               AS fpr_expected
+    FROM agg CROSS JOIN nk CROSS JOIN nb
+    """,
+)
+def sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter build + false-positive audit with portable hashes:
+    insert the distinct supplier keys into an m = 4096-bit filter via
+    k = 3 md5-derived positions, probe 5000 keys guaranteed absent, and
+    report the measured FPR next to the occupancy-exact expectation
+    (bits_set/m)^k — the number a ``join_bloom_prefilter`` deployment
+    checks before trusting the filter at 100 TB. The filter STATE (the
+    distinct set-bit list) is engine-mirrorable integers, so unlike a
+    library bloom the oracle verifies the exact bit pattern, not just
+    the verdict counts.
+
+    Scale: bit setting is one distinct-aggregate (the bitmap OR merge);
+    probing is a broadcast join of the ≤ m set-bit list against the
+    probe fan-out — map-only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.select(F.col("l_suppkey").alias("k")).distinct()
+
+    def positions(df, col):
+        return df.select(
+            *df.columns,
+            F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j"),
+        ).select(
+            *df.columns,
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("#", F.col("j"), F.col(col))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % _BLOOM_M
+            ).alias("bit"),
+        )
+
+    bits = positions(keys, "k").select("bit").distinct()
+    probes = spark.range(
+        _BLOOM_PROBE_OFF, _BLOOM_PROBE_OFF + _BLOOM_PROBES
+    ).select(F.col("id").alias("p"))
+    probe_bits = positions(probes, "p")
+    verdict = (
+        probe_bits.join(
+            F.broadcast(bits.select(F.col("bit").alias("set_bit"))),
+            F.col("bit") == F.col("set_bit"),
+            "left",
+        )
+        .groupBy("p")
+        .agg(
+            F.countDistinct("bit").cast("bigint").alias("n_pos"),
+            F.countDistinct(
+                F.when(F.col("set_bit").isNotNull(), F.col("bit"))
+            )
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+    )
+    agg = verdict.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.count_if(F.col("n_hit") == F.col("n_pos"))
+        .cast("bigint")
+        .alias("fp"),
+    )
+    nk = keys.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    nb = bits.agg(F.count(F.lit(1)).cast("bigint").alias("bits_set"))
+    t = agg.crossJoin(F.broadcast(nk)).crossJoin(F.broadcast(nb))
+    return t.select(
+        F.lit(_BLOOM_M).alias("m"),
+        F.lit(_BLOOM_K).alias("k"),
+        "n_keys",
+        "bits_set",
+        "n_probes",
+        F.col("fp").alias("false_positives"),
+        F.round(F.col("fp").cast("double") / F.col("n_probes"), 6).alias(
+            "fpr_measured"
+        ),
+        F.round(
+            F.pow(F.col("bits_set").cast("double") / _BLOOM_M, _BLOOM_K), 6
+        ).alias("fpr_expected"),
+    )

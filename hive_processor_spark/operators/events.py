@@ -6087,3 +6087,83 @@ def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_fatigue_curve",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS n_seen
+        FROM events
+    ), bucketed AS (
+        SELECT CASE WHEN n_seen <= 5 THEN CAST(n_seen AS VARCHAR)
+                    WHEN n_seen <= 10 THEN '06-10'
+                    WHEN n_seen <= 20 THEN '11-20'
+                    WHEN n_seen <= 50 THEN '21-50'
+                    ELSE '51+' END AS exposure_bucket,
+               CASE WHEN n_seen <= 5 THEN n_seen
+                    WHEN n_seen <= 10 THEN 6
+                    WHEN n_seen <= 20 THEN 7
+                    WHEN n_seen <= 50 THEN 8
+                    ELSE 9 END AS bucket_order,
+               (event_type = 'purchase') AS converted
+        FROM seq
+    )
+    SELECT exposure_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE converted) AS BIGINT) AS n_purchases,
+           ROUND(CAST(COUNT(*) FILTER (WHERE converted) AS DOUBLE)
+                 / COUNT(*), 6) AS purchase_rate
+    FROM bucketed
+    GROUP BY exposure_bucket, bucket_order
+    ORDER BY bucket_order
+    """,
+)
+def events_fatigue_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-fatigue curve: purchase rate as a function of the
+    user's nth interaction (exact sequence positions 1–5, then widening
+    buckets) — the habituation read behind frequency capping: does the
+    nth exposure still convert? Complements the time-aligned
+    ``events_relative_time_curve`` with an ordinal alignment. One
+    user-partitioned sequence window (the standard sessionize layout),
+    then a conditional-count rollup to ≤ 9 buckets; all counts exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.row_number().over(w).alias("n_seen")
+    )
+    n = F.col("n_seen")
+    bucket = (
+        F.when(n <= 5, n.cast("string"))
+        .when(n <= 10, F.lit("06-10"))
+        .when(n <= 20, F.lit("11-20"))
+        .when(n <= 50, F.lit("21-50"))
+        .otherwise(F.lit("51+"))
+    )
+    order = (
+        F.when(n <= 5, n)
+        .when(n <= 10, F.lit(6))
+        .when(n <= 20, F.lit(7))
+        .when(n <= 50, F.lit(8))
+        .otherwise(F.lit(9))
+    )
+    conv = F.col("event_type") == "purchase"
+    return (
+        seq.select(
+            bucket.alias("exposure_bucket"),
+            order.alias("bucket_order"),
+            conv.alias("converted"),
+        )
+        .groupBy("exposure_bucket", "bucket_order")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count_if("converted").cast("bigint").alias("n_purchases"),
+            F.round(
+                F.count_if("converted").cast("double") / F.count(F.lit(1)), 6
+            ).alias("purchase_rate"),
+        )
+        .orderBy("bucket_order")
+        .drop("bucket_order")
+    )

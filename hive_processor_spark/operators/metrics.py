@@ -4622,3 +4622,109 @@ def spc_cpk_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cpl, 6).alias("cpl"),
         F.round(F.least(cpu, cpl), 6).alias("cpk"),
     ).orderBy("l_returnflag")
+
+
+_ESD_ROUNDS = 5
+
+
+def _esd_sql() -> str:
+    """Sequential CTEs: 5 rounds of remove-the-max-|z| on daily revenue."""
+    head = """
+    WITH d0 AS (
+        SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    )"""
+    parts, rows = [head], []
+    for r in range(1, _ESD_ROUNDS + 1):
+        prev = f"d{r - 1}"
+        parts.append(f"""
+    , s{r} AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+                    AS DOUBLE) AS ss
+        FROM {prev}
+    ), p{r} AS (
+        SELECT day, c,
+               ABS(c - s / n) / SQRT((ss - s * s / n) / (n - 1)) AS z
+        FROM {prev} CROSS JOIN s{r}
+        ORDER BY z DESC, day LIMIT 1
+    ), d{r} AS (
+        SELECT d.day, d.c FROM {prev} d CROSS JOIN p{r} p
+        WHERE d.day <> p.day
+    )""")
+        rows.append(
+            f"SELECT {r} AS round, day, ROUND(c / 100.0, 2) AS revenue, "
+            f"ROUND(z, 6) AS z_score FROM p{r}"
+        )
+    return (
+        "".join(parts)
+        + "\n    SELECT * FROM ("
+        + " UNION ALL ".join(rows)
+        + ") t ORDER BY round"
+    )
+
+
+@register("stats_esd_outliers", _esd_sql())
+def stats_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD outlier sequence (Rosner '83): five rounds of
+    "remove the most extreme |z| point and re-fit" on the daily revenue
+    series — the iterative form that fixes Grubbs' masking problem
+    (one extreme outlier hides another; the single-pass ``stats_grubbs``
+    is the k=1 special case). Each round's sufficient statistics
+    accumulate in DECIMAL (cent-exact), the z is identical scalar
+    algebra, and the argmax is a TakeOrdered with a day tie-break — the
+    same bounded-unroll lineage discipline as ``embed_kcenter_coreset``:
+    no collect, no cache, round count bounds the plan.
+
+    Scale: the series is one day-level rollup; each round is an O(days)
+    reduction plus an O(days) anti-filter against a broadcast single
+    row."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    c19 = F.col("c").cast("decimal(19,0)")
+    out = []
+    for r in range(1, _ESD_ROUNDS + 1):
+        s = d.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("c").cast("decimal(28,0)")).cast("double").alias("s"),
+            F.sum(c19 * c19).cast("double").alias("ss"),
+        )
+        z = F.abs(F.col("c") - F.col("s") / F.col("n")) / F.sqrt(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+        )
+        p = (
+            d.crossJoin(F.broadcast(s))
+            .select("day", "c", z.alias("z"))
+            .orderBy(F.desc("z"), "day")
+            .limit(1)
+        )
+        out.append(
+            p.select(
+                F.lit(r).alias("round"),
+                "day",
+                F.round(F.col("c") / 100.0, 2).alias("revenue"),
+                F.round("z", 6).alias("z_score"),
+            )
+        )
+        if r < _ESD_ROUNDS:
+            d = (
+                d.crossJoin(F.broadcast(p.select(F.col("day").alias("p_day"))))
+                .filter(F.col("day") != F.col("p_day"))
+                .select("day", "c")
+            )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionAll(df)
+    return res.orderBy("round")

@@ -67,6 +67,13 @@ HEADLINE = [
     "join_spatial_dbscan",  # grid-cell equi-join density clustering
     "dedup_lsh_tuning",   # one signature set re-sliced by 4 band configs
     "ml_kfold_cv",        # total-minus-fold mergeable-stats CV
+    # round-4 additions
+    "stats_kruskal_wallis",  # grouped-by-value k-sample rank test
+    "sketch_kmv_distinct",   # k-minimum-values distinct sketch
+    "graph_hits_bipartite",  # integer-quantized HITS power sweeps
+    "text_collocation_llr",  # Dunning LLR collocation mining
+    "fn_trigram_similarity",  # PPJoin prefix-filtered trigram join
+    "embed_kcenter_coreset",  # 8-round farthest-point traversal
 ]
 
 

@@ -2725,3 +2725,127 @@ def sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.col("bits_set").cast("double") / _BLOOM_M, _BLOOM_K), 6
         ).alias("fpr_expected"),
     )
+
+
+_CMS_WIDTHS = (128, 512, 2048)
+
+
+@register(
+    "sketch_cms_width_sweep",
+    f"""
+    WITH params(i, a, b) AS (VALUES {_CMS_VALUES}),
+    widths AS (SELECT UNNEST([{", ".join(map(str, _CMS_WIDTHS))}]) AS w),
+    counters AS (
+        SELECT w, i, ((a * l_partkey + b) % {_CMS_P}) % w AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem CROSS JOIN params CROSS JOIN widths
+        GROUP BY w, i, bucket
+    ), top_keys AS (
+        SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS true_n
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY true_n DESC, k LIMIT 10
+    ), est AS (
+        SELECT c.w, t.k, t.true_n, MIN(c.c) AS est_n
+        FROM top_keys t
+        JOIN params p ON TRUE
+        JOIN widths ws ON TRUE
+        JOIN counters c
+          ON c.w = ws.w AND c.i = p.i
+             AND c.bucket = ((p.a * t.k + p.b) % {_CMS_P}) % ws.w
+        GROUP BY c.w, t.k, t.true_n
+    )
+    SELECT CAST(w AS INT) AS width,
+           CAST(w * 4 AS BIGINT) AS n_counters,
+           CAST(MAX(est_n - true_n) AS BIGINT) AS max_overestimate,
+           ROUND(CAST(SUM(est_n - true_n) AS DOUBLE) / COUNT(*), 2)
+               AS mean_overestimate,
+           CAST(COUNT(*) FILTER (WHERE est_n = true_n) AS BIGINT)
+               AS n_exact
+    FROM est GROUP BY w ORDER BY width
+    """,
+)
+def sketch_cms_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min width design table — the ``dedup_lsh_tuning`` pattern
+    applied to the CMS: the same 4-row sketch built at widths 128 / 512
+    / 2048 in ONE fan-out pass, probed with the top-10 true heavy
+    hitters, reporting max/mean overestimation and how many probes come
+    back exact per width. This is the ε = e/w accuracy-for-memory trade
+    read off measured data instead of the bound — what you consult
+    before provisioning sketch state at 100 TB (collision mass drops
+    ~4× per width step; the counter table stays broadcastable at all
+    three). CMS guarantees est ≥ true, so overestimates are
+    non-negative exact integers throughout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(w).alias("w"),
+                F.lit(i).alias("i"),
+                (((F.lit(a) * F.col("l_partkey") + b) % _CMS_P) % w).alias(
+                    "bucket"
+                ),
+            )
+            for w in _CMS_WIDTHS
+            for i, a, b in _CMS_PARAMS
+        ]
+    )
+    counters = (
+        li.select(F.explode(cells).alias("c"))
+        .groupBy("c.w", "c.i", "c.bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        li.groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("k"))
+        .limit(10)
+    )
+    probe_cells = top.select(
+        "k",
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(w).alias("w"),
+                        F.lit(i).alias("i"),
+                        (((F.lit(a) * F.col("k") + b) % _CMS_P) % w).alias(
+                            "bucket"
+                        ),
+                    )
+                    for w in _CMS_WIDTHS
+                    for i, a, b in _CMS_PARAMS
+                ]
+            )
+        ).alias("c"),
+    )
+    probes = probe_cells.select("k", "true_n", "c.w", "c.i", "c.bucket")
+    est = (
+        probes.join(F.broadcast(counters), ["w", "i", "bucket"])
+        .groupBy("w", "k", "true_n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return (
+        est.groupBy("w")
+        .agg(
+            F.max(F.col("est_n") - F.col("true_n"))
+            .cast("bigint")
+            .alias("max_overestimate"),
+            F.round(
+                F.sum(F.col("est_n") - F.col("true_n")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("mean_overestimate"),
+            F.count_if(F.col("est_n") == F.col("true_n"))
+            .cast("bigint")
+            .alias("n_exact"),
+        )
+        .select(
+            F.col("w").cast("int").alias("width"),
+            (F.col("w") * 4).cast("bigint").alias("n_counters"),
+            "max_overestimate",
+            "mean_overestimate",
+            "n_exact",
+        )
+        .orderBy("width")
+    )

@@ -4728,3 +4728,122 @@ def stats_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionAll(df)
     return res.orderBy("round")
+
+
+@register(
+    "ml_pinball_loss",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1
+    ), train AS (
+        SELECT rev_c / 100.0 AS x FROM daily
+        WHERE day >= DATE '1996-01-01' AND day < DATE '1997-01-01'
+    ), fq AS (
+        SELECT 0.1 AS tau,
+               (SELECT QUANTILE_CONT(x, 0.1) FROM train) AS yhat
+        UNION ALL
+        SELECT 0.5, (SELECT QUANTILE_CONT(x, 0.5) FROM train)
+        UNION ALL
+        SELECT 0.9, (SELECT QUANTILE_CONT(x, 0.9) FROM train)
+    ), test AS (
+        SELECT rev_c / 100.0 AS y FROM daily
+        WHERE day >= DATE '1997-01-01' AND day < DATE '1998-01-01'
+    ), loss AS (
+        SELECT fq.tau, fq.yhat,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CAST(FLOOR(
+                   GREATEST(fq.tau * (t.y - fq.yhat),
+                            (fq.tau - 1.0) * (t.y - fq.yhat)) * 10000.0)
+                   AS DECIMAL(28,0))) AS DOUBLE) / 10000.0 AS total_loss,
+               CAST(COUNT(*) FILTER (WHERE t.y <= fq.yhat) AS BIGINT)
+                   AS n_covered
+        FROM fq CROSS JOIN test t
+        GROUP BY fq.tau, fq.yhat
+    )
+    SELECT tau,
+           ROUND(yhat, 2) AS forecast,
+           n_days,
+           ROUND(total_loss / n_days, 4) AS pinball_loss,
+           ROUND(CAST(n_covered AS DOUBLE) / n_days, 4) AS coverage
+    FROM loss ORDER BY tau
+    """,
+)
+def ml_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss evaluation: 1996's exact daily-revenue
+    quantiles (τ = 0.1 / 0.5 / 0.9) used as constant forecasts for
+    1997, scored with the loss that elicits quantiles — the metric every
+    probabilistic-forecast benchmark (M5, GEFCom) grades on — plus
+    empirical coverage, which should land near τ if the distribution is
+    stable year-over-year. Per-day loss terms are floor-quantized into
+    DECIMAL before the mean (the exact-sum discipline); the quantile
+    itself interpolates on exact cent totals so both engines agree.
+
+    Scale: one day rollup, a 365-row train quantile, a three-row
+    broadcast against the test frame — O(days) everything."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    train = daily.filter(
+        (F.col("day") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("day") < F.lit("1997-01-01").cast("date"))
+    ).select((F.col("rev_c") / 100.0).alias("x"))
+    fq = train.agg(
+        *[
+            F.percentile("x", F.lit(t)).alias(f"q{i}")
+            for i, t in enumerate((0.1, 0.5, 0.9))
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tau"), F.col(f"q{i}").alias("yhat")
+                    )
+                    for i, t in enumerate((0.1, 0.5, 0.9))
+                ]
+            )
+        ).alias("f")
+    ).select("f.tau", "f.yhat")
+    test = daily.filter(
+        (F.col("day") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("day") < F.lit("1998-01-01").cast("date"))
+    ).select((F.col("rev_c") / 100.0).alias("y"))
+    diff = F.col("y") - F.col("yhat")
+    term = F.greatest(
+        F.col("tau") * diff, (F.col("tau") - F.lit(1.0)) * diff
+    )
+    loss = (
+        test.crossJoin(F.broadcast(fq))
+        .groupBy("tau", "yhat")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            (
+                F.sum(F.floor(term * 10000.0).cast("decimal(28,0)")).cast(
+                    "double"
+                )
+                / 10000.0
+            ).alias("total_loss"),
+            F.count_if(F.col("y") <= F.col("yhat"))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return loss.select(
+        "tau",
+        F.round("yhat", 2).alias("forecast"),
+        "n_days",
+        F.round(F.col("total_loss") / F.col("n_days"), 4).alias(
+            "pinball_loss"
+        ),
+        F.round(F.col("n_covered").cast("double") / F.col("n_days"), 4).alias(
+            "coverage"
+        ),
+    ).orderBy("tau")

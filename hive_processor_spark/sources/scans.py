@@ -474,3 +474,47 @@ def sql_any_all_quantifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("shares_nation_with_supplier"))
     )
     return richer.crossJoin(shares)
+
+
+_UNPIVOT_SQL_SPARK = """
+    SELECT o_orderpriority, status, total FROM (
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(28,0)))
+                    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / 100.0
+                   AS F,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(28,0)))
+                    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) / 100.0
+                   AS O,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(28,0)))
+                    FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) / 100.0
+                   AS P
+        FROM orders GROUP BY o_orderpriority
+    ) wide
+    UNPIVOT (total FOR status IN (F, O, P))
+    ORDER BY o_orderpriority, status
+"""
+
+
+@register(
+    "sql_unpivot_syntax",
+    """
+    SELECT o_orderpriority,
+           o_orderstatus AS status,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(28,0)))
+                AS DOUBLE) / 100.0 AS total
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O', 'P')
+    GROUP BY o_orderpriority, o_orderstatus
+    ORDER BY o_orderpriority, status
+    """,
+)
+def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``UNPIVOT`` clause (Spark 3.4+ surface, the inverse of
+    ``sql_pivot_syntax``): status columns melted back into rows. The
+    oracle spells the dialect-neutral equivalent — the long-form grouped
+    aggregate — because a round-tripped pivot⁻¹ IS that aggregate; the
+    parity also proves Spark's default NULL-dropping unpivot matches the
+    present-combinations-only semantics of GROUP BY. Same single hash
+    aggregate underneath; the melt is a zero-shuffle projection."""
+    register_views(spark, sf_dir)
+    return spark.sql(_UNPIVOT_SQL_SPARK)

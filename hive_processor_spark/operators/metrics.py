@@ -4683,14 +4683,20 @@ def stats_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction plus an O(days) anti-filter against a broadcast single
     row."""
     orders = load_table(spark, sf_dir, "orders")
-    d = orders.groupBy(
-        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
-            "day"
+    d = (
+        orders.groupBy(
+            F.date_format(
+                F.col("o_orderdate").cast("date"), "yyyy-MM-dd"
+            ).alias("day")
         )
-    ).agg(
-        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("bigint"))
-        .cast("bigint")
-        .alias("c")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("bigint"))
+            .cast("bigint")
+            .alias("c")
+        )
+        # pin the O(days) frame: five rounds x (stats + argmax) jobs
+        # would otherwise re-roll the fact table 10+ times
+        .localCheckpoint(eager=True)
     )
     c19 = F.col("c").cast("decimal(19,0)")
     out = []

@@ -1204,3 +1204,111 @@ def ab_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@register(
+    "ab_uplift_qini",
+    f"""
+    WITH users AS (
+        SELECT user_id,
+               CAST({_ARM_SQL} AS INT) AS arm,
+               CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT)
+                   AS score_c,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                    AS BIGINT) AS n_purch
+        FROM events GROUP BY user_id
+    ), ranked AS (
+        SELECT arm, (n_purch > 0) AS converted,
+               NTILE(10) OVER (ORDER BY score_c DESC, user_id) AS decile
+        FROM users
+    ), d AS (
+        SELECT decile,
+               CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_t,
+               CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_c,
+               CAST(COUNT(*) FILTER (WHERE arm = 1 AND converted)
+                    AS BIGINT) AS conv_t,
+               CAST(COUNT(*) FILTER (WHERE arm = 0 AND converted)
+                    AS BIGINT) AS conv_c
+        FROM ranked GROUP BY decile
+    ), c AS (
+        SELECT decile, n_t, n_c, conv_t, conv_c,
+               SUM(n_t) OVER w AS ct_n, SUM(n_c) OVER w AS cc_n,
+               SUM(conv_t) OVER w AS ct_conv, SUM(conv_c) OVER w AS cc_conv
+        FROM d WINDOW w AS (ORDER BY decile
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(decile AS INT) AS decile, n_t, n_c, conv_t, conv_c,
+           ROUND(CAST(ct_conv AS DOUBLE) / ct_n
+                 - CAST(cc_conv AS DOUBLE) / cc_n, 6) AS cum_uplift,
+           ROUND(ct_conv - cc_conv * (CAST(ct_n AS DOUBLE) / cc_n), 4)
+               AS qini
+    FROM c ORDER BY decile
+    """,
+)
+def ab_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift decile table + Qini curve (Radcliffe '07): users ranked by
+    spend score, and per cumulative decile the treatment−control
+    conversion-rate gap (cum_uplift) and the Qini statistic
+    (incremental conversions vs a scaled control) — the targeting
+    diagnostic that tells you WHOM to treat, which the registered
+    average-effect estimators (CUPED, IPW, diff-in-diff) cannot. Arm
+    assignment reuses the deterministic Knuth-hash split every ab_*
+    operator shares; all counts are exact integers, NTILE is
+    deterministic on the (score, user) chain.
+
+    Scale: one user rollup, one global NTILE (TakeOrdered-class sort),
+    a 10-row cumulative window."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("score_c"),
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("bigint")
+        .alias("n_purch"),
+    ).select(
+        "user_id", _arm().alias("arm"), "score_c", (F.col("n_purch") > 0).alias("converted")
+    )
+    ranked = users.select(
+        "arm",
+        "converted",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("score_c"), "user_id"))
+        .alias("decile"),
+    )
+    d = ranked.groupBy("decile").agg(
+        F.count_if(F.col("arm") == 1).cast("bigint").alias("n_t"),
+        F.count_if(F.col("arm") == 0).cast("bigint").alias("n_c"),
+        F.count_if((F.col("arm") == 1) & F.col("converted"))
+        .cast("bigint")
+        .alias("conv_t"),
+        F.count_if((F.col("arm") == 0) & F.col("converted"))
+        .cast("bigint")
+        .alias("conv_c"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        "*",
+        F.sum("n_t").over(w).alias("ct_n"),
+        F.sum("n_c").over(w).alias("cc_n"),
+        F.sum("conv_t").over(w).alias("ct_conv"),
+        F.sum("conv_c").over(w).alias("cc_conv"),
+    )
+    return c.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.round(
+            F.col("ct_conv").cast("double") / F.col("ct_n")
+            - F.col("cc_conv").cast("double") / F.col("cc_n"),
+            6,
+        ).alias("cum_uplift"),
+        F.round(
+            F.col("ct_conv")
+            - F.col("cc_conv")
+            * (F.col("ct_n").cast("double") / F.col("cc_n")),
+            4,
+        ).alias("qini"),
+    ).orderBy("decile")

@@ -4853,3 +4853,84 @@ def ml_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     ).orderBy("tau")
+
+
+@register(
+    "ml_tweedie_deviance",
+    f"""
+    WITH mu AS (
+        SELECT o_orderpriority,
+               {sql_dsum('o_totalprice')} / COUNT(*) AS mu,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderpriority
+    ), terms AS (
+        SELECT o.o_orderpriority,
+               CAST(FLOOR((
+                   -4.0 * POW(o.o_totalprice, 0.5)
+                   + 2.0 * o.o_totalprice / POW(m.mu, 0.5)
+                   + 2.0 * POW(m.mu, 0.5)
+               ) * 10000.0) AS BIGINT) AS dq,
+               CAST(FLOOR((o.o_totalprice - m.mu) * (o.o_totalprice - m.mu)
+                          * 0.0001) AS BIGINT) AS sq
+        FROM orders o JOIN mu m ON m.o_orderpriority = o.o_orderpriority
+    )
+    SELECT t.o_orderpriority,
+           m.n,
+           ROUND(m.mu, 4) AS mu,
+           ROUND(CAST(SUM(CAST(t.dq AS DECIMAL(28,0))) AS DOUBLE)
+                 / 10000.0 / m.n * 2.0, 6) AS tweedie_deviance,
+           ROUND(CAST(SUM(CAST(t.sq AS DECIMAL(28,0))) AS DOUBLE)
+                 * 10000.0 / m.n, 2) AS mse
+    FROM terms t JOIN mu m ON m.o_orderpriority = t.o_orderpriority
+    GROUP BY t.o_orderpriority, m.n, m.mu
+    ORDER BY t.o_orderpriority
+    """,
+)
+def ml_tweedie_deviance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tweedie deviance (power p = 1.5 — the compound-Poisson regime
+    insurance and revenue models live in) of the group-mean predictor
+    per order priority, next to plain MSE: for zero-inflated,
+    right-skewed targets the Tweedie loss is the statistically honest
+    score, and comparing it with MSE per group shows where squared
+    error over-penalizes the heavy tail. At p = 1.5 the unit deviance
+    is 2·(4√y − 2y/√μ − 2√μ) (the y^(2−p)/((1−p)(2−p)) family with the
+    constant folded); each per-row term is floor-quantized at 1e-4 into
+    a DECIMAL accumulator, so the group means are bit-stable.
+
+    Scale: one grouped mean pass broadcast back, one quantized-term
+    aggregation — two shuffles ∝ groups."""
+    orders = load_table(spark, sf_dir, "orders")
+    mu = orders.groupBy("o_orderpriority").agg(
+        (dsum("o_totalprice") / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    y = F.col("o_totalprice")
+    m = F.col("mu")
+    dev_term = (
+        F.lit(-4.0) * F.pow(y, 0.5)
+        + F.lit(2.0) * y / F.pow(m, 0.5)
+        + F.lit(2.0) * F.pow(m, 0.5)
+    )
+    terms = orders.join(F.broadcast(mu), "o_orderpriority").select(
+        "o_orderpriority",
+        F.floor(dev_term * F.lit(10000.0)).cast("bigint").alias("dq"),
+        F.floor((y - m) * (y - m) * 0.0001).cast("bigint").alias("sq"),
+    )
+    return (
+        terms.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("dq").cast("decimal(28,0)")).cast("double").alias("sdq"),
+            F.sum(F.col("sq").cast("decimal(28,0)")).cast("double").alias("ssq"),
+        )
+        .join(F.broadcast(mu), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n",
+            F.round("mu", 4).alias("mu"),
+            F.round(
+                F.col("sdq") / 10000.0 / F.col("n") * 2.0, 6
+            ).alias("tweedie_deviance"),
+            F.round(F.col("ssq") * 10000.0 / F.col("n"), 2).alias("mse"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1718,3 +1718,89 @@ def dq_scd2_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_version_duration_s")
     )
     return keys.crossJoin(F.broadcast(iv)).crossJoin(F.broadcast(dur))
+
+
+@register(
+    "profile_distinct_growth",
+    """
+    WITH tagged AS (
+        SELECT o_custkey,
+               (('0x' || SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                   ::BIGINT) % 100 AS bucket
+        FROM orders
+    ), grid AS (
+        SELECT UNNEST([10, 25, 50, 100]) AS pct
+    ), per AS (
+        SELECT g.pct,
+               CAST(COUNT(*) FILTER (WHERE t.bucket < g.pct) AS BIGINT)
+                   AS n_rows,
+               CAST(COUNT(DISTINCT CASE WHEN t.bucket < g.pct
+                                        THEN t.o_custkey END) AS BIGINT)
+                   AS n_distinct
+        FROM grid g CROSS JOIN tagged t
+        GROUP BY g.pct
+    )
+    SELECT CAST(pct AS INT) AS sample_pct,
+           n_rows,
+           n_distinct,
+           ROUND(CAST(n_distinct AS DOUBLE) / n_rows, 6) AS distinct_rate,
+           ROUND(CAST(n_distinct AS DOUBLE)
+                 / MAX(n_distinct) OVER (), 6) AS share_of_full
+    FROM per ORDER BY sample_pct
+    """,
+)
+def profile_distinct_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-cardinality growth curve: customer-key distinct counts
+    at deterministic 10/25/50/100% row samples (md5 bucket of the row
+    key — reproducible, not RAND) — the curve a capacity planner
+    extrapolates before deciding whether a dimension fits broadcast /
+    memory at full scale, and the empirical answer to "is distinct
+    count saturating or still climbing?" (saturating ⇒ closed key
+    domain; linear ⇒ open domain, plan for growth). One scan with the
+    sample grid fanned out map-side, one multi-distinct aggregate.
+
+    Scale: the conditional COUNT(DISTINCT) expands to the standard
+    two-level exact aggregate per grid point, shuffle ∝ distinct keys —
+    the same cost class as the exact count it informs."""
+    orders = load_table(spark, sf_dir, "orders")
+    tagged = orders.select(
+        "o_custkey",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            % 100
+        ).alias("bucket"),
+    )
+    grid = spark.createDataFrame([(10,), (25,), (50,), (100,)], ["pct"])
+    per = (
+        F.broadcast(grid)
+        .crossJoin(tagged)
+        .groupBy("pct")
+        .agg(
+            F.count_if(F.col("bucket") < F.col("pct"))
+            .cast("bigint")
+            .alias("n_rows"),
+            F.countDistinct(
+                F.when(F.col("bucket") < F.col("pct"), F.col("o_custkey"))
+            )
+            .cast("bigint")
+            .alias("n_distinct"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return per.select(
+        F.col("pct").cast("int").alias("sample_pct"),
+        "n_rows",
+        "n_distinct",
+        F.round(F.col("n_distinct").cast("double") / F.col("n_rows"), 6).alias(
+            "distinct_rate"
+        ),
+        F.round(
+            F.col("n_distinct").cast("double")
+            / F.max("n_distinct").over(w_all),
+            6,
+        ).alias("share_of_full"),
+    ).orderBy("sample_pct")

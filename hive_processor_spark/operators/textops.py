@@ -2532,25 +2532,29 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                           * 10000.0 / LEN(STRING_SPLIT(text, ' ')))
                     AS BIGINT) AS bp
         FROM documents
-    ), tot AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS all_docs,
-               CAST(SUM(n_tok) AS BIGINT) AS all_toks
-        FROM scored
     ), grid AS (
-        SELECT UNNEST([1000, 1500, 2000, 2500, 3000, 3500, 4000])
+        SELECT UNNEST([-1, 1000, 1500, 2000, 2500, 3000, 3500, 4000])
                    AS t_bp
+    ), per AS (
+        SELECT g.t_bp,
+               CAST(COUNT(*) FILTER (WHERE s.bp >= g.t_bp) AS BIGINT)
+                   AS docs_kept,
+               CAST(COALESCE(SUM(s.n_tok) FILTER (WHERE s.bp >= g.t_bp), 0)
+                    AS BIGINT) AS tokens_kept
+        FROM grid g CROSS JOIN scored s
+        GROUP BY g.t_bp
     )
-    SELECT CAST(g.t_bp AS INT) AS threshold_bp,
-           CAST(COUNT(*) FILTER (WHERE s.bp >= g.t_bp) AS BIGINT)
-               AS docs_kept,
-           CAST(COALESCE(SUM(s.n_tok) FILTER (WHERE s.bp >= g.t_bp), 0)
-                AS BIGINT) AS tokens_kept,
-           ROUND(CAST(COUNT(*) FILTER (WHERE s.bp >= g.t_bp) AS DOUBLE)
-                 / MAX(t.all_docs), 4) AS doc_share,
-           ROUND(CAST(COALESCE(SUM(s.n_tok) FILTER (WHERE s.bp >= g.t_bp), 0)
-                      AS DOUBLE) / MAX(t.all_toks), 4) AS token_share
-    FROM grid g CROSS JOIN scored s CROSS JOIN tot t
-    GROUP BY g.t_bp
+    SELECT * FROM (
+        SELECT CAST(t_bp AS INT) AS threshold_bp,
+               docs_kept,
+               tokens_kept,
+               ROUND(CAST(docs_kept AS DOUBLE)
+                     / MAX(docs_kept) OVER (), 4) AS doc_share,
+               ROUND(CAST(tokens_kept AS DOUBLE)
+                     / MAX(tokens_kept) OVER (), 4) AS token_share
+        FROM per
+    ) t
+    WHERE threshold_bp >= 0
     ORDER BY threshold_bp
     """,
 )
@@ -2564,9 +2568,10 @@ def pipeline_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the point of the report.
 
     The ratio is held as integer basis points (floor ·1e4) so threshold
-    comparison is integer-exact; the 7-point grid fans out map-side over
-    the scored frame (one conditional aggregation per threshold — no
-    re-scan per cutoff, one pass at any scale)."""
+    comparison is integer-exact; the grid (plus a −1 keep-everything
+    sentinel that supplies the corpus totals) fans out map-side over the
+    scored frame — ONE document scan for all thresholds AND the
+    denominators, pinned by tests/test_plans.py."""
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(_words()).cast("bigint")
     stop = F.size(F.filter(_words(), lambda x: x.isin(*_STOPWORDS)))
@@ -2576,41 +2581,39 @@ def pipeline_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bp"),
     )
-    tot = scored.agg(
-        F.count(F.lit(1)).cast("bigint").alias("all_docs"),
-        F.sum("n_tok").cast("bigint").alias("all_toks"),
-    )
     grid = spark.createDataFrame(
-        [(t,) for t in (1000, 1500, 2000, 2500, 3000, 3500, 4000)], ["t_bp"]
+        [(t,) for t in (-1, 1000, 1500, 2000, 2500, 3000, 3500, 4000)],
+        ["t_bp"],
     )
     kept = F.col("bp") >= F.col("t_bp")
-    return (
+    per = (
         F.broadcast(grid)
         .crossJoin(scored)
-        .crossJoin(F.broadcast(tot))
         .groupBy("t_bp")
         .agg(
             F.count_if(kept).cast("bigint").alias("docs_kept"),
             F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0))
             .cast("bigint")
             .alias("tokens_kept"),
-            F.round(
-                F.count_if(kept).cast("double") / F.max("all_docs"), 4
-            ).alias("doc_share"),
-            F.round(
-                F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0)).cast(
-                    "double"
-                )
-                / F.max("all_toks"),
-                4,
-            ).alias("token_share"),
         )
-        .select(
+    )
+    w_all = Window.partitionBy()
+    return (
+        per.select(
             F.col("t_bp").cast("int").alias("threshold_bp"),
             "docs_kept",
             "tokens_kept",
-            "doc_share",
-            "token_share",
+            F.round(
+                F.col("docs_kept").cast("double")
+                / F.max("docs_kept").over(w_all),
+                4,
+            ).alias("doc_share"),
+            F.round(
+                F.col("tokens_kept").cast("double")
+                / F.max("tokens_kept").over(w_all),
+                4,
+            ).alias("token_share"),
         )
+        .filter(F.col("threshold_bp") >= 0)
         .orderBy("threshold_bp")
     )

@@ -380,3 +380,60 @@ def test_welch_t_single_aggregation(spark):
     single grouped aggregation pass — the mergeable-stats claim."""
     plan = plan_string(_QUERIES["stats_welch_t"](spark, SF_DIR))
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_kmv_uses_take_ordered(spark):
+    """The k-minima selection must lower to TakeOrderedAndProject — that
+    IS the sketch's distributed merge rule (k longs per partition)."""
+    plan = plan_string(_QUERIES["sketch_kmv_distinct"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_probe_broadcasts_bit_list(spark):
+    """Probing must broadcast the <=m set-bit list against the probe
+    fan-out (map-only membership), never shuffle the probes."""
+    plan = plan_string(_QUERIES["sketch_bloom_fpr"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_silhouette_broadcasts_centroids(spark):
+    """The n x k distance pass must broadcast the k centroid arrays —
+    a map-only plan after the tiny centroid aggregate."""
+    plan = plan_string(_QUERIES["embed_silhouette"](spark, SF_DIR))
+    assert "Broadcast" in plan
+
+
+def test_quality_ablation_single_scan(spark):
+    """Seven thresholds must share ONE scan of documents (conditional
+    aggregation over the broadcast grid), not one scan per cutoff."""
+    plan = plan_string(_QUERIES["pipeline_quality_ablation"](spark, SF_DIR))
+    assert plan.count("documents.parquet") == 1
+
+
+def test_cms_width_sweep_single_scan(spark):
+    """Three widths x four rows must fan out of ONE lineitem scan (the
+    counter build); the probe side re-reads for the top-k only."""
+    plan = plan_string(_QUERIES["sketch_cms_width_sweep"](spark, SF_DIR))
+    assert plan.count("lineitem.parquet") <= 2
+
+
+def test_trigram_similarity_no_cartesian(spark):
+    """The prefix-filter candidate join must stay an equi-join on the
+    (brand, prefix-hash) key — never a cartesian/nested-loop pair
+    enumeration."""
+    plan = plan_string(_QUERIES["fn_trigram_similarity"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_ridge_path_single_stats_pass(spark):
+    """All three lambdas must derive from ONE sufficient-statistics scan
+    of lineitem."""
+    plan = plan_string(_QUERIES["ml_ridge_path"](spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_uplift_counts_single_events_scan(spark):
+    """The uplift decile table reduces events once (user rollup) before
+    ranking — one fact scan."""
+    plan = plan_string(_QUERIES["ab_uplift_qini"](spark, SF_DIR))
+    assert plan.count("events.parquet") == 1

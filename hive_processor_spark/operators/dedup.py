@@ -1822,3 +1822,80 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(1.0 - F.pow(F.lit(0.5), 1.0 / bd), 1.0 / rd), 6
         ).alias("s50_threshold"),
     ).orderBy(F.col("b").desc())
+
+
+@register(
+    "dedup_cluster_purity",
+    _SIMHASH_SIG_SQL
+    + """
+    , twins AS (
+        SELECT simhash, CAST(COUNT(*) AS BIGINT) AS m
+        FROM sig GROUP BY simhash HAVING COUNT(*) >= 2
+    ), members AS (
+        SELECT s.simhash, s.doc_id, e.label
+        FROM sig s
+        JOIN twins t ON t.simhash = s.simhash
+        JOIN embeddings e ON e.vec_id = s.doc_id
+    ), lab AS (
+        SELECT simhash, label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM members GROUP BY simhash, label
+    ), per_cluster AS (
+        SELECT simhash,
+               CAST(SUM(c) AS BIGINT) AS size,
+               CAST(MAX(c) AS BIGINT) AS top_label_n
+        FROM lab GROUP BY simhash
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(size) AS BIGINT) AS n_docs_clustered,
+           CAST(SUM(top_label_n) AS BIGINT) AS n_majority_label,
+           ROUND(CAST(SUM(top_label_n) AS DOUBLE) / SUM(size), 6)
+               AS weighted_purity,
+           CAST(COUNT(*) FILTER (WHERE top_label_n = size) AS BIGINT)
+               AS n_pure_clusters,
+           CAST(MAX(size) AS BIGINT) AS largest_cluster
+    FROM per_cluster
+    """,
+)
+def dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-plane dedup validation: do signature-twin clusters (docs
+    with IDENTICAL simhash — the tightest near-dup tier) agree with the
+    embedding labels? Weighted purity = Σ max-label-count / Σ size over
+    clusters of ≥ 2 labeled members — the standard external cluster
+    metric, here answering "does lexical identity imply semantic
+    identity on this corpus": low purity means the simhash tier is
+    gluing semantically distinct docs (too-weak fingerprint), purity 1
+    with few clusters means headroom to dedup harder. Pure integer
+    counting at every step.
+
+    Scale: one zero-shuffle signature pass, one twin aggregate, one
+    join to the (dimension-sized) label table, two small rollups."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    sig = _simhash_sigs(docs)
+    twins = (
+        sig.groupBy("simhash")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+        .filter(F.col("m") >= 2)
+    )
+    members = sig.join(twins, "simhash").join(emb, "doc_id")
+    lab = members.groupBy("simhash", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per_cluster = lab.groupBy("simhash").agg(
+        F.sum("c").cast("bigint").alias("size"),
+        F.max("c").cast("bigint").alias("top_label_n"),
+    )
+    return per_cluster.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("size").cast("bigint").alias("n_docs_clustered"),
+        F.sum("top_label_n").cast("bigint").alias("n_majority_label"),
+        F.round(
+            F.sum("top_label_n").cast("double") / F.sum("size"), 6
+        ).alias("weighted_purity"),
+        F.count_if(F.col("top_label_n") == F.col("size"))
+        .cast("bigint")
+        .alias("n_pure_clusters"),
+        F.max("size").cast("bigint").alias("largest_cluster"),
+    )

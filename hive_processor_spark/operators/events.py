@@ -6167,3 +6167,126 @@ def events_fatigue_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket_order")
         .drop("bucket_order")
     )
+
+
+@register(
+    "ts_pot_gpd",
+    """
+    WITH daily AS (
+        SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ), thresh AS (
+        SELECT QUANTILE_CONT(rev_c, 0.90) AS u, CAST(COUNT(*) AS BIGINT)
+                   AS n_days
+        FROM daily
+    ), exc AS (
+        SELECT (d.rev_c - t.u) / 100.0 AS y, t.u, t.n_days
+        FROM daily d CROSS JOIN thresh t
+        WHERE d.rev_c > t.u
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               MAX(u) AS u, MAX(n_days) AS n_days,
+               CAST(SUM(CAST(FLOOR(y * 100.0) AS DECIMAL(28,0)))
+                    AS DOUBLE) / 100.0 AS sy,
+               CAST(SUM(CAST(FLOOR(y * y * 100.0) AS DECIMAL(28,0)))
+                    AS DOUBLE) / 100.0 AS syy
+        FROM exc
+    ), mom AS (
+        SELECT k, u, n_days,
+               sy / k AS m,
+               (syy - sy * sy / k) / (k - 1) AS v
+        FROM s
+    )
+    SELECT k AS n_exceedances,
+           ROUND(u / 100.0, 2) AS threshold,
+           ROUND(m, 4) AS mean_excess,
+           ROUND(0.5 * (1.0 - m * m / v), 6) AS gpd_xi,
+           ROUND(0.5 * m * (1.0 + m * m / v), 4) AS gpd_beta,
+           ROUND(u / 100.0
+                 + (0.5 * m * (1.0 + m * m / v))
+                   / (0.5 * (1.0 - m * m / v))
+                   * (POW(100.0 * k / n_days,
+                          0.5 * (1.0 - m * m / v)) - 1.0), 2)
+               AS return_level_100d
+    FROM mom
+    """,
+)
+def ts_pot_gpd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold extreme-value fit: daily-revenue exceedances
+    over the 90th percentile, with generalized-Pareto shape ξ and scale
+    β by the method of moments (ξ = ½(1 − m²/s²), β = ½m(1 + m²/s²) —
+    Hosking & Wallis '87) and the implied 100-day return level
+    u + (β/ξ)((100·k/n)^ξ − 1) — the tail-risk complement of the
+    registered Hill estimator (``stats_hill_tail`` fits a power tail to
+    ALL data; POT models only the excess distribution, the EVT-correct
+    way to extrapolate beyond observed maxima). Exceedances are exact
+    cent differences; moments flow through DECIMAL-quantized sums.
+
+    Scale: one day rollup, one exact percentile, one scalar reduction."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    thresh = daily.agg(
+        F.percentile("rev_c", F.lit(0.90)).alias("u"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    exc = (
+        daily.crossJoin(F.broadcast(thresh))
+        .filter(F.col("rev_c") > F.col("u"))
+        .select(
+            ((F.col("rev_c") - F.col("u")) / 100.0).alias("y"),
+            "u",
+            "n_days",
+        )
+    )
+    s = exc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("u").alias("u"),
+        F.max("n_days").alias("n_days"),
+        (
+            F.sum(F.floor(F.col("y") * 100.0).cast("decimal(28,0)")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("sy"),
+        (
+            F.sum(
+                F.floor(F.col("y") * F.col("y") * 100.0).cast("decimal(28,0)")
+            ).cast("double")
+            / 100.0
+        ).alias("syy"),
+    )
+    mom = s.select(
+        "k",
+        "u",
+        "n_days",
+        (F.col("sy") / F.col("k")).alias("m"),
+        (
+            (F.col("syy") - F.col("sy") * F.col("sy") / F.col("k"))
+            / (F.col("k") - 1)
+        ).alias("v"),
+    )
+    m, v = F.col("m"), F.col("v")
+    xi = F.lit(0.5) * (F.lit(1.0) - m * m / v)
+    beta = F.lit(0.5) * m * (F.lit(1.0) + m * m / v)
+    return mom.select(
+        F.col("k").alias("n_exceedances"),
+        F.round(F.col("u") / 100.0, 2).alias("threshold"),
+        F.round(m, 4).alias("mean_excess"),
+        F.round(xi, 6).alias("gpd_xi"),
+        F.round(beta, 4).alias("gpd_beta"),
+        F.round(
+            F.col("u") / 100.0
+            + beta
+            / xi
+            * (
+                F.pow(F.lit(100.0) * F.col("k") / F.col("n_days"), xi)
+                - F.lit(1.0)
+            ),
+            2,
+        ).alias("return_level_100d"),
+    )

@@ -4934,3 +4934,128 @@ def ml_tweedie_deviance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def _erlang_sql() -> str:
+    from hive_processor_spark.functions.mathtab import LNFACT_Q
+
+    arr = "[" + ", ".join(str(v) for v in LNFACT_Q[:64]) + "]"
+    return f"""
+    WITH peak AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS peak FROM (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY DATE_TRUNC('hour', ts)
+        ) h
+    ), load AS (
+        SELECT peak, peak * 300.0 / 3600.0 AS a,
+               LN(peak * 300.0 / 3600.0) AS lna,
+               CAST(CEIL(peak * 300.0 / 3600.0) AS BIGINT) AS n0
+        FROM peak
+    ), grid AS (
+        SELECT l.peak, l.a, l.lna, l.n0 + k.k AS n
+        FROM load l CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS k) k
+    ), terms AS (
+        SELECT g.n, g.a, g.peak,
+               CAST(SUM(CAST(FLOOR(EXP(j.j * g.lna
+                        - ({arr})[CAST(j.j + 1 AS INT)] / 1e9) * 1e9)
+                    AS DECIMAL(28,0))) AS DOUBLE) / 1e9 AS denom,
+               CAST(MAX(CASE WHEN j.j = g.n THEN
+                        CAST(FLOOR(EXP(j.j * g.lna
+                          - ({arr})[CAST(j.j + 1 AS INT)] / 1e9) * 1e9)
+                        AS BIGINT) END) AS DOUBLE) / 1e9 AS numer
+        FROM grid g JOIN (SELECT UNNEST(RANGE(0, 64)) AS j) j
+          ON j.j <= g.n
+        GROUP BY g.n, g.a, g.peak
+    ), erl AS (
+        SELECT n, a, peak,
+               numer / denom AS b
+        FROM terms
+    )
+    SELECT CAST(n AS BIGINT) AS n_agents,
+           peak AS peak_hourly_arrivals,
+           ROUND(a, 4) AS offered_erlangs,
+           ROUND(a / n, 6) AS occupancy,
+           ROUND(n * b / (n - a * (1.0 - b)), 6) AS p_wait,
+           ROUND(n * b / (n - a * (1.0 - b)) * 300.0 / (n - a), 2)
+               AS asa_seconds,
+           ROUND(1.0 - n * b / (n - a * (1.0 - b))
+                 * EXP(-(n - a) * 20.0 / 300.0), 6) AS service_level_20s
+    FROM erl ORDER BY n_agents
+    """
+
+
+@register("ops_erlang_c", _erlang_sql())
+def ops_erlang_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang-C staffing table: from the observed PEAK hourly arrival
+    rate (AHT pinned at 300 s → offered load a erlangs), the queueing
+    probability, average speed of answer, and 20-second service level
+    for each candidate agent count ⌈a⌉..⌈a⌉+7 — the capacity-planning
+    grid every call-center / ticket-queue sizing exercise reads.
+    Erlang B runs through the closed form aⁿ/n! / Σ aᵏ/k! with ln k!
+    taken from the shared precomputed integer table (the Fisher-exact
+    discipline — neither engine's lgamma is on the comparison path) and
+    every exp term floor-quantized into a DECIMAL sum; Erlang C, ASA, and
+    SL are scalar algebra on those shared values.
+
+    Scale: one hour-level rollup of the fact table; the 8×64-term grid
+    is constant work."""
+    from hive_processor_spark.functions.mathtab import LNFACT_Q
+
+    lf = F.array(*[F.lit(v) for v in LNFACT_Q[:64]])
+    ev = load_table(spark, sf_dir, "events")
+    peak = (
+        ev.groupBy(F.date_trunc("hour", "ts"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").cast("bigint").alias("peak"))
+    )
+    load = peak.select(
+        "peak",
+        (F.col("peak") * 300.0 / 3600.0).alias("a"),
+        F.log(F.col("peak") * 300.0 / 3600.0).alias("lna"),
+        F.ceil(F.col("peak") * 300.0 / 3600.0).cast("bigint").alias("n0"),
+    )
+    grid = load.crossJoin(
+        F.broadcast(
+            spark.range(0, 8).select(F.col("id").alias("k"))
+        )
+    ).select("peak", "a", "lna", (F.col("n0") + F.col("k")).alias("n"))
+    js = spark.range(0, 64).select(F.col("id").alias("j"))
+    term = F.floor(
+        F.exp(
+            F.col("j") * F.col("lna")
+            - F.element_at(lf, (F.col("j") + 1).cast("int")) / 1e9
+        )
+        * 1e9
+    )
+    terms = (
+        grid.join(F.broadcast(js), F.col("j") <= F.col("n"))
+        .groupBy("n", "a", "peak")
+        .agg(
+            (
+                F.sum(term.cast("decimal(28,0)")).cast("double") / 1e9
+            ).alias("denom"),
+            (
+                F.max(
+                    F.when(F.col("j") == F.col("n"), term.cast("bigint"))
+                ).cast("double")
+                / 1e9
+            ).alias("numer"),
+        )
+    )
+    b = F.col("numer") / F.col("denom")
+    c = F.col("n") * b / (F.col("n") - F.col("a") * (F.lit(1.0) - b))
+    return terms.select(
+        F.col("n").cast("bigint").alias("n_agents"),
+        F.col("peak").alias("peak_hourly_arrivals"),
+        F.round("a", 4).alias("offered_erlangs"),
+        F.round(F.col("a") / F.col("n"), 6).alias("occupancy"),
+        F.round(c, 6).alias("p_wait"),
+        F.round(c * 300.0 / (F.col("n") - F.col("a")), 2).alias(
+            "asa_seconds"
+        ),
+        F.round(
+            F.lit(1.0)
+            - c * F.exp(-(F.col("n") - F.col("a")) * 20.0 / 300.0),
+            6,
+        ).alias("service_level_20s"),
+    ).orderBy("n_agents")

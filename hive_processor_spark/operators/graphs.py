@@ -932,3 +932,92 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "graph_label_conductance",
+    f"""
+    WITH p AS ({_SQL_EDGES}
+    ), knn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY sim DESC, dst) AS rn
+            FROM p
+        ) t WHERE rn <= {_K}
+    ), e AS (
+        SELECT src, dst FROM knn
+        UNION
+        SELECT dst AS src, src AS dst FROM knn
+    ), lab AS (
+        SELECT vec_id AS node, label FROM embeddings WHERE vec_id < {_N}
+    ), le AS (
+        SELECT la.label AS label_src, lb.label AS label_dst
+        FROM e
+        JOIN lab la ON la.node = e.src
+        JOIN lab lb ON lb.node = e.dst
+    ), m2 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS vol_all FROM le
+    ), per AS (
+        SELECT label_src AS label,
+               CAST(COUNT(*) AS BIGINT) AS vol,
+               CAST(COUNT(*) FILTER (WHERE label_dst <> label_src)
+                    AS BIGINT) AS cut
+        FROM le GROUP BY label_src
+    )
+    SELECT CAST(label AS INT) AS label,
+           vol, cut,
+           ROUND(CAST(cut AS DOUBLE)
+                 / LEAST(vol, m2.vol_all - vol), 6) AS conductance
+    FROM per CROSS JOIN m2
+    ORDER BY label
+    """,
+)
+def graph_label_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conductance φ(S) = cut(S)/min(vol(S), vol(S̄)) of each embedding
+    label's node set in the 3-NN similarity graph — the community-
+    quality measure spectral partitioning bounds (Cheeger), reported
+    per label beside the registered global ``graph_label_modularity``:
+    modularity says whether the partition beats a degree-preserving
+    null OVERALL, conductance pinpoints WHICH class leaks (φ → 1 means
+    that label's members wire to other classes — per-class ANN sharding
+    would not pay for it). Directed half-edge counts over the pinned
+    symmetric edge list make vol and cut exact integers.
+
+    Scale: reuses the session-pinned kNN edge materialization; two
+    dimension-sized label joins and a per-label rollup."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _N)
+    edges = _knn_edges_pinned(spark, sf_dir)
+    lab = emb.select(F.col("vec_id").alias("node"), "label")
+    le = (
+        edges.join(
+            F.broadcast(lab.select(F.col("node").alias("src"), F.col("label").alias("label_src"))),
+            "src",
+        )
+        .join(
+            F.broadcast(lab.select(F.col("node").alias("dst"), F.col("label").alias("label_dst"))),
+            "dst",
+        )
+        .select("label_src", "label_dst")
+    )
+    m2 = le.agg(F.count(F.lit(1)).cast("bigint").alias("vol_all"))
+    per = le.groupBy(F.col("label_src").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("vol"),
+        F.count_if(F.col("label_dst") != F.col("label_src"))
+        .cast("bigint")
+        .alias("cut"),
+    )
+    return (
+        per.crossJoin(F.broadcast(m2))
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "vol",
+            "cut",
+            F.round(
+                F.col("cut").cast("double")
+                / F.least(F.col("vol"), F.col("vol_all") - F.col("vol")),
+                6,
+            ).alias("conductance"),
+        )
+        .orderBy("label")
+    )

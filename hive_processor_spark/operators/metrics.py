@@ -5059,3 +5059,74 @@ def ops_erlang_c(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("service_level_20s"),
     ).orderBy("n_agents")
+
+
+@register(
+    "ml_prequential_accuracy",
+    """
+    WITH monthly AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE
+                    (value >= 100.0) = (event_type = 'purchase'))
+                    AS BIGINT) AS correct
+        FROM events GROUP BY 1
+    ), cum AS (
+        SELECT day, n, correct,
+               SUM(n) OVER w AS cum_n,
+               SUM(correct) OVER w AS cum_correct
+        FROM monthly
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, n, correct,
+           ROUND(CAST(correct AS DOUBLE) / n, 6) AS day_accuracy,
+           ROUND(CAST(cum_correct AS DOUBLE) / cum_n, 6)
+               AS prequential_accuracy
+    FROM cum ORDER BY day
+    """,
+)
+def ml_prequential_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prequential (test-then-train, Dawid '84) evaluation curve of the
+    fixed threshold classifier (value ≥ 100 ⇒ purchase) over the
+    time-ordered event stream: per-day accuracy and the cumulative
+    prequential accuracy every online-learning paper plots — flat means
+    a stationary concept, a drifting curve is the model-decay signal
+    that triggers retraining. Exact conditional counts per day, one
+    ordered window over the day frame (O(days)).
+
+    This is the temporal complement of the registered static
+    ``ml_confusion_matrix`` (same decision rule, same fixture
+    convention), and pairs with ``ml_psi_stability``'s feature-drift
+    view: PSI watches the inputs, the prequential curve watches
+    realized performance."""
+    ev = load_table(spark, sf_dir, "events")
+    monthly = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(
+            (F.col("value") >= 100.0) == (F.col("event_type") == "purchase")
+        )
+        .cast("bigint")
+        .alias("correct"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = monthly.select(
+        "day",
+        "n",
+        "correct",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("correct").over(w).alias("cum_correct"),
+    )
+    return cum.select(
+        "day",
+        "n",
+        "correct",
+        F.round(F.col("correct").cast("double") / F.col("n"), 6).alias(
+            "day_accuracy"
+        ),
+        F.round(
+            F.col("cum_correct").cast("double") / F.col("cum_n"), 6
+        ).alias("prequential_accuracy"),
+    ).orderBy("day")

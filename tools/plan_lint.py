@@ -62,6 +62,10 @@ CACHE_SCAN_OK = {
         "deliberate persist(): one derived 3-NN edge list reused as both"
         " matmul operands and the direct-edge probe; lineage-backed"
     ),
+    "graph_label_conductance": (
+        "deliberate persist(): the session-pinned 3-NN edge list reused"
+        " by both label-join sides and the volume reduction; lineage-backed"
+    ),
     "graph_rich_club": (
         "deliberate persist(): the session-pinned 3-NN edge list reused"
         " as the edge stream and both endpoint-degree sides; lineage-backed"

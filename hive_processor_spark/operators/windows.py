@@ -877,3 +877,64 @@ def win_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "seq")
     )
+
+
+@register(
+    "win_cume_dist",
+    """
+    WITH r AS (
+        SELECT o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents,
+               CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY CAST(FLOOR(o_totalprice * 100.0)
+                                               AS BIGINT)) AS cd,
+               PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY CAST(FLOOR(o_totalprice * 100.0)
+                                                  AS BIGINT)) AS pr
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(CASE WHEN cd >= 0.5 THEN cents END) / 100.0, 2)
+               AS median_by_cume,
+           ROUND(MAX(cd - pr), 6) AS max_gap,
+           CAST(COUNT(*) FILTER (WHERE cd >= 0.95) AS BIGINT) AS n_top5pct
+    FROM r GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUME_DIST vs PERCENT_RANK — the two normalized-rank windows,
+    exercised together per priority class on integer cents (ties are
+    real, which is the point: cume_dist counts peers INCLUSIVELY,
+    percent_rank exclusively, and their max gap measures tie mass).
+    Derived outputs keep the result frame compact: the cume_dist-median
+    (smallest value reaching 0.5), the largest tie gap, and the top-5%
+    population. Completes the window-family surface beside ntile /
+    percent_rank / row_number.
+
+    Scale: one partitioned rank window (in-partition sort after one
+    shuffle), then a per-class rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0).cast("bigint")
+    w = Window.partitionBy("o_orderpriority").orderBy("cents")
+    r = orders.select(
+        "o_orderpriority", cents.alias("cents")
+    ).select(
+        "o_orderpriority",
+        "cents",
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return (
+        r.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.min(F.when(F.col("cd") >= 0.5, F.col("cents"))) / 100.0, 2
+            ).alias("median_by_cume"),
+            F.round(F.max(F.col("cd") - F.col("pr")), 6).alias("max_gap"),
+            F.count_if(F.col("cd") >= 0.95).cast("bigint").alias("n_top5pct"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -730,3 +730,54 @@ def stream_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(u), v / 100.0) for u, v in top],
         "user_id bigint, total_value double",
     )
+
+
+@register("stream_dlq_route")  # Tier R: a stream has no SQL oracle
+def stream_dlq_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter-queue routing in foreachBatch — the
+    write-audit-publish pattern for streams: each micro-batch splits on
+    a validity rule (value > 400 stands in for "failed contract"), good
+    rows fold into per-type running totals, poison rows accumulate in a
+    bounded DLQ ledger with their batch id for replay. The final frame
+    reports per-type processed/quarantined counts; totals must equal
+    the batch answer (asserted in tests/test_streaming.py) — routing
+    loses nothing, which is the property a DLQ exists to guarantee.
+
+    At scale the DLQ side is a real sink (its own topic/table); the
+    driver-side dict here is the smoke-scale stand-in, O(poison rows)
+    after distributed pre-aggregation."""
+    path, ev = _replay_dir(spark, sf_dir)
+    schema = ev.schema
+    good: dict[str, int] = {}
+    dlq: dict[str, int] = {}
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        split = (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count_if(F.col("value") <= 400.0).alias("ok"),
+                F.count_if(F.col("value") > 400.0).alias("bad"),
+            )
+            .collect()
+        )
+        for r in split:
+            good[r["event_type"]] = good.get(r["event_type"], 0) + int(r["ok"])
+            if r["bad"]:
+                dlq[r["event_type"]] = dlq.get(r["event_type"], 0) + int(
+                    r["bad"]
+                )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{path}/*.parquet")
+        .writeStream.foreachBatch(route)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    types = sorted(set(good) | set(dlq))
+    return spark.createDataFrame(
+        [(t, good.get(t, 0), dlq.get(t, 0)) for t in types],
+        "event_type string, n_processed bigint, n_quarantined bigint",
+    )

@@ -401,3 +401,23 @@ def test_topk_merge_equals_batch(spark):
     # leaderboard is rank-ordered
     vals = [v for _, v in got]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_dlq_route_loses_nothing(spark):
+    got = {
+        r.event_type: (r.n_processed, r.n_quarantined)
+        for r in _QUERIES["stream_dlq_route"](spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events")
+    batch = {
+        r.event_type: (int(r.ok), int(r.bad))
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") <= 400.0).alias("ok"),
+            F.count_if(F.col("value") > 400.0).alias("bad"),
+        )
+        .collect()
+    }
+    assert got == batch
+    # routing is a partition: processed + quarantined = total rows
+    assert sum(a + b for a, b in got.values()) == ev.count()

@@ -1490,3 +1490,80 @@ def fn_semver(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "fn_round_half_even",
+    """
+    WITH j AS (
+        SELECT CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0)
+                    AS BIGINT) AS j
+        FROM lineitem
+    ), modes AS (
+        SELECT j,
+               (j + 50) // 100 AS half_up,
+               (j // 100)
+               + CASE WHEN j % 100 > 50 THEN 1
+                      WHEN j % 100 = 50 THEN (j // 100) % 2
+                      ELSE 0 END AS half_even
+        FROM j
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE half_up <> half_even) AS BIGINT)
+               AS n_differ,
+           CAST(COUNT(*) FILTER (WHERE j % 100 = 50) AS BIGINT)
+               AS n_exact_ties,
+           ROUND(CAST(SUM(CAST(half_up AS DECIMAL(28,0))) AS DOUBLE)
+                 / 100.0, 2) AS total_half_up,
+           ROUND(CAST(SUM(CAST(half_even AS DECIMAL(28,0))) AS DOUBLE)
+                 / 100.0, 2) AS total_half_even,
+           ROUND(CAST(SUM(CAST(half_up - half_even AS DECIMAL(28,0)))
+                      AS DOUBLE) / 100.0, 2) AS rounding_drift
+    FROM modes
+    """,
+)
+def fn_round_half_even(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounding-policy audit: discounted prices rounded to cents under
+    half-up vs banker's (half-even), as PURE INTEGER logic on
+    ten-thousandths — the policy decision every billing/ledger system
+    must make explicit, and the reason this engine's hash gate bans
+    engine-native ROUND on exact decimal ties (Spark's ``round`` is
+    half-up, DuckDB's is half-away, IEEE's is half-even; on tie-dense
+    money data they drift). Reports how many rows land on exact .005
+    ties, how often the two policies disagree, and the cumulative
+    ledger drift between them. The quantization floor(x·1e4) is the
+    engines' shared deterministic step; everything after is integer.
+
+    Scale: one scan, one map-side-combined aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.select(
+        F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000.0
+        )
+        .cast("bigint")
+        .alias("j")
+    )
+    half_up = F.expr("(j + 50) div 100")
+    half_even = F.expr(
+        "(j div 100) + CASE WHEN j % 100 > 50 THEN 1 "
+        "WHEN j % 100 = 50 THEN (j div 100) % 2 ELSE 0 END"
+    )
+    modes = j.select("j", half_up.alias("hu"), half_even.alias("he"))
+    return modes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_if(F.col("hu") != F.col("he")).cast("bigint").alias("n_differ"),
+        F.count_if(F.col("j") % 100 == 50).cast("bigint").alias("n_exact_ties"),
+        F.round(
+            F.sum(F.col("hu").cast("decimal(28,0)")).cast("double") / 100.0, 2
+        ).alias("total_half_up"),
+        F.round(
+            F.sum(F.col("he").cast("decimal(28,0)")).cast("double") / 100.0, 2
+        ).alias("total_half_even"),
+        F.round(
+            F.sum((F.col("hu") - F.col("he")).cast("decimal(28,0)")).cast(
+                "double"
+            )
+            / 100.0,
+            2,
+        ).alias("rounding_drift"),
+    )

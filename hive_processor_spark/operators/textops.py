@@ -2617,3 +2617,112 @@ def pipeline_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("threshold_bp") >= 0)
         .orderBy("threshold_bp")
     )
+
+
+@register(
+    "text_kneser_ney_bigram",
+    """
+    WITH w AS (
+        SELECT LIST_FILTER(STRING_SPLIT(TRIM(text), ' '), x -> x <> '') AS w
+        FROM documents
+    ), bi AS (
+        SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM (
+            SELECT UNNEST([ARRAY_TO_STRING(w[i:i+1], ' ')
+                           FOR i IN RANGE(1, LEN(w))]) AS bg
+            FROM w
+        ) GROUP BY bg
+    ), parts AS (
+        SELECT STRING_SPLIT(bg, ' ')[1] AS w1,
+               STRING_SPLIT(bg, ' ')[2] AS w2,
+               c12
+        FROM bi
+    ), left_m AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n_follow
+        FROM parts GROUP BY w1
+    ), right_m AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_precede
+        FROM parts GROUP BY w2
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_bigram_types FROM parts
+    )
+    SELECT p.w1, p.w2, p.c12,
+           ROUND(CAST(p.c12 AS DOUBLE) / l.c1, 6) AS p_mle,
+           ROUND(GREATEST(p.c12 - 0.75, 0.0) / l.c1
+                 + 0.75 * l.n_follow / l.c1
+                   * (CAST(r.n_precede AS DOUBLE) / t.n_bigram_types),
+                 6) AS p_kneser_ney
+    FROM parts p
+    JOIN left_m l ON l.w1 = p.w1
+    JOIN right_m r ON r.w2 = p.w2
+    CROSS JOIN tot t
+    WHERE p.c12 >= 25
+    ORDER BY p_kneser_ney DESC, p.w1, p.w2
+    LIMIT 20
+    """,
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser–Ney smoothed bigram probabilities (absolute discount
+    d = 0.75, the interpolated form): P(w₂|w₁) = max(c−d,0)/c(w₁) +
+    d·N₁₊(w₁•)/c(w₁) · N₁₊(•w₂)/N₁₊(••) — the smoothing that made
+    n-gram LMs work, whose continuation count N₁₊(•w₂) ("how many
+    contexts has w₂ followed") is the insight modern tokenizer/LM
+    evaluations still cite. Beside the MLE estimate for the same
+    bigrams, so the discount's redistribution is visible. Every margin
+    is an exact integer from the one bigram count table; the formula is
+    identically-parenthesized scalar algebra.
+
+    Scale: one bigram count aggregate (∝ bigram vocabulary), two margin
+    rollups broadcast back onto the min-count-filtered report set."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        F.filter(
+            F.split(F.trim(F.col("text")), " "), lambda x: x != F.lit("")
+        ).alias("w")
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' '))"
+    )
+    bi = (
+        w.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    )
+    parts = bi.select(
+        F.split("bg", " ").getItem(0).alias("w1"),
+        F.split("bg", " ").getItem(1).alias("w2"),
+        "c12",
+    )
+    left_m = parts.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_follow"),
+    )
+    right_m = parts.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_precede")
+    )
+    tot = parts.agg(F.count(F.lit(1)).cast("bigint").alias("n_bigram_types"))
+    p_kn = (
+        F.greatest(F.col("c12") - F.lit(0.75), F.lit(0.0)) / F.col("c1")
+        + F.lit(0.75)
+        * F.col("n_follow")
+        / F.col("c1")
+        * (F.col("n_precede").cast("double") / F.col("n_bigram_types"))
+    )
+    return (
+        parts.filter(F.col("c12") >= 25)
+        .join(F.broadcast(left_m), "w1")
+        .join(F.broadcast(right_m), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(F.col("c12").cast("double") / F.col("c1"), 6).alias(
+                "p_mle"
+            ),
+            F.round(p_kn, 6).alias("p_kneser_ney"),
+        )
+        .orderBy(F.desc("p_kneser_ney"), "w1", "w2")
+        .limit(20)
+    )

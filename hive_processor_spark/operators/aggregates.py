@@ -2849,3 +2849,145 @@ def sketch_cms_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("width")
     )
+
+
+#: Portable-HLL geometry: p = 9 → m = 512 registers; the 60-bit md5 hash
+#: splits into a 9-bit register index (low bits) and a 51-bit pattern whose
+#: first-one position is the register value (max rho = 52 for pattern 0).
+_HLL_M = 512
+_HLL_WBITS = 51
+#: Standard HLL bias constant alpha_m for m = 512 (Flajolet et al. '07).
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 512.0)
+
+
+@register(
+    "sketch_hll_portable",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT
+               (('0x' || SUBSTRING(MD5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                   ::BIGINT) AS h60
+        FROM lineitem
+    ), reg AS (
+        SELECT CAST(h60 % {_HLL_M} AS INTEGER) AS bucket,
+               CAST(MAX(CASE WHEN h60 // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
+                        ELSE INSTR(LPAD(BIN(h60 // {_HLL_M}),
+                                        {_HLL_WBITS}, '0'), '1')
+                        END) AS INTEGER) AS r
+        FROM h GROUP BY bucket
+    ), state AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS occupied,
+               CAST(SUM(1::BIGINT << ({_HLL_WBITS + 1} - r)) AS BIGINT)
+                   AS z_occ
+        FROM reg
+    ), ex AS (
+        SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact
+        FROM lineitem
+    ), est AS (
+        SELECT occupied,
+               {_HLL_M} - occupied AS v_zero,
+               z_occ + ({_HLL_M} - occupied)
+                   * (1::BIGINT << {_HLL_WBITS + 1}) AS z_int,
+               CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}
+                   * CAST({float(2 ** (_HLL_WBITS + 1))!r} AS DOUBLE)
+                   / (z_occ + ({_HLL_M} - occupied)
+                      * (1::BIGINT << {_HLL_WBITS + 1})) AS raw
+        FROM state
+    )
+    SELECT {_HLL_M} AS m,
+           n_exact,
+           occupied,
+           v_zero,
+           ROUND(raw, 2) AS hll_raw,
+           CASE WHEN raw <= 2.5 * {_HLL_M} AND v_zero > 0
+                THEN 'linear' ELSE 'raw' END AS regime,
+           ROUND(CASE WHEN raw <= 2.5 * {_HLL_M} AND v_zero > 0
+                 THEN {_HLL_M} * LN({_HLL_M} / CAST(v_zero AS DOUBLE))
+                 ELSE raw END, 2) AS hll_estimate,
+           ROUND(ABS(CASE WHEN raw <= 2.5 * {_HLL_M} AND v_zero > 0
+                     THEN {_HLL_M} * LN({_HLL_M} / CAST(v_zero AS DOUBLE))
+                     ELSE raw END - n_exact) / n_exact * 100.0, 2)
+               AS rel_err_pct
+    FROM est CROSS JOIN ex
+    """,
+)
+def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native HyperLogLog (Flajolet–Fuchs–Gandouet–Meunier '07) with a
+    fully engine-mirrorable register table — the Tier-H counterpart to
+    the Tier-R DataSketches twin (``agg_hll_merge``). The 60-bit md5
+    hash splits into a 9-bit register index and a 51-bit pattern; the
+    register holds the max first-one position (the rho statistic read
+    with lpad+instr, identical string semantics in both engines). The
+    harmonic mean Z = Σ2^-rho is held EXACT by summing the integer
+    2^(52-rho) terms (max 512·2^51 < 2^63 — no float accumulation, so
+    no addition-order drift); the raw alpha·m²/Z estimate falls back to
+    linear counting below the standard 2.5m small-range threshold
+    (regime column shows which branch fired — it flips between sf0.001
+    and sf0.01, so both branches are oracle-covered). Estimate audited
+    against the exact distinct count in the same row.
+
+    Scale: per-partition register tables merge by element-wise MAX (the
+    groupBy(bucket).max here IS that merge), so 100 TB of keys crosses
+    the wire as ≤512 small ints per partition — the whole point of HLL;
+    contrast ``agg_approx_distinct``/``sketch_kmv_distinct``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.select(
+        F.conv(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h60")
+    ).distinct()
+    w = F.expr(f"h60 div {_HLL_M}")
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.instr(F.lpad(F.bin(w), _HLL_WBITS, "0"), "1")
+    )
+    reg = (
+        h.select(
+            (F.col("h60") % _HLL_M).cast("int").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("int").alias("r"))
+    )
+    state = reg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("occupied"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS + 1} - r)")
+        )
+        .cast("bigint")
+        .alias("z_occ"),
+    )
+    ex = li.agg(F.countDistinct("l_partkey").cast("bigint").alias("n_exact"))
+    t = state.crossJoin(F.broadcast(ex))
+    v_zero = F.lit(_HLL_M) - F.col("occupied")
+    z_int = F.col("z_occ") + v_zero * F.lit(2 ** (_HLL_WBITS + 1)).cast(
+        "bigint"
+    )
+    raw = (
+        F.lit(_HLL_ALPHA)
+        * F.lit(_HLL_M * _HLL_M)
+        * F.lit(float(2 ** (_HLL_WBITS + 1)))
+        / z_int
+    )
+    linear = F.lit(_HLL_M) * F.log(
+        F.lit(_HLL_M) / v_zero.cast("double")
+    )
+    small = (raw <= F.lit(2.5 * _HLL_M)) & (v_zero > 0)
+    est = F.when(small, linear).otherwise(raw)
+    return t.select(
+        F.lit(_HLL_M).alias("m"),
+        "n_exact",
+        "occupied",
+        v_zero.cast("bigint").alias("v_zero"),
+        F.round(raw, 2).alias("hll_raw"),
+        F.when(small, F.lit("linear")).otherwise(F.lit("raw")).alias(
+            "regime"
+        ),
+        F.round(est, 2).alias("hll_estimate"),
+        F.round(
+            F.abs(est - F.col("n_exact")) / F.col("n_exact") * 100.0, 2
+        ).alias("rel_err_pct"),
+    )

@@ -5130,3 +5130,143 @@ def ml_prequential_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_correct").cast("double") / F.col("cum_n"), 6
         ).alias("prequential_accuracy"),
     ).orderBy("day")
+
+
+@register(
+    "spc_cusum",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1
+    ), base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS a,
+               CAST(SUM(rev_c) AS BIGINT) AS t
+        FROM daily WHERE date_part('year', day) = 1995
+    ), sabs AS (
+        SELECT CAST(SUM(ABS(b.a * d.rev_c - b.t)) AS BIGINT) AS s_abs
+        FROM daily d CROSS JOIN base b
+        WHERE date_part('year', d.day) = 1995
+    ), mon AS (
+        SELECT d.day, d.rev_c, b.a, b.t, s.s_abs,
+               2 * b.a * (b.a * d.rev_c - b.t) - s.s_abs AS inc_up,
+               -2 * b.a * (b.a * d.rev_c - b.t) - s.s_abs AS inc_dn
+        FROM daily d CROSS JOIN base b CROSS JOIN sabs s
+        WHERE date_part('year', d.day) >= 1996
+    ), cum AS (
+        SELECT day, rev_c, a, s_abs,
+               SUM(inc_up) OVER w AS cu,
+               SUM(inc_dn) OVER w AS cd
+        FROM mon
+        WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ), s AS (
+        SELECT day, rev_c, a, s_abs,
+               cu - LEAST(0, MIN(cu) OVER w) AS su,
+               cd - LEAST(0, MIN(cd) OVER w) AS sd
+        FROM cum
+        WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ), sides AS (
+        SELECT day, rev_c, a, s_abs, 'high' AS side, su AS stat FROM s
+        UNION ALL
+        SELECT day, rev_c, a, s_abs, 'low' AS side, sd AS stat FROM s
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           ROUND(rev_c / 100.0, 2) AS revenue,
+           side,
+           ROUND(stat / (2.0 * a * a * 100.0), 2) AS cusum_stat,
+           ROUND(8.0 * s_abs / (2.0 * a * a * 100.0), 2) AS threshold_stat
+    FROM sides
+    WHERE stat > 8 * s_abs
+    ORDER BY day, side
+    """,
+)
+def spc_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided tabular CUSUM chart (Page '54) on daily order revenue:
+    1995 is the in-control baseline, 1996+ is monitored. The recursion
+    S_t = max(0, S_{t-1} + dev_t − k) is expressed CLOSED-FORM as
+    S_t = C_t − min(0, min_{j≤t} C_j) (cumsum minus running min — the
+    classic trick that turns the sequential reset into two windows), so
+    no iterative loop exists. Allowance k = MAD/2 and decision interval
+    h = 4·MAD come from the baseline's mean absolute deviation, and the
+    whole path is computed in cross-multiplied integer units
+    (cent · 2·n_base²) — zero float accumulation, both engines agree to
+    the last bit; division back to dollars happens only at ROUND time.
+
+    Scale: 100 TB of orders reduces to one row per day before the
+    ordered windows (O(days) — the documented calendar-series
+    single-partition constraint); the baseline scalars broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    base = daily.filter(F.year("day") == 1995).agg(
+        F.count(F.lit(1)).cast("bigint").alias("a"),
+        F.sum("rev_c").cast("bigint").alias("t"),
+    )
+    with_base = daily.crossJoin(F.broadcast(base))
+    sabs = (
+        with_base.filter(F.year("day") == 1995)
+        .agg(
+            F.sum(F.abs(F.col("a") * F.col("rev_c") - F.col("t")))
+            .cast("bigint")
+            .alias("s_abs")
+        )
+    )
+    dev = F.col("a") * F.col("rev_c") - F.col("t")
+    mon = (
+        with_base.crossJoin(F.broadcast(sabs))
+        .filter(F.year("day") >= 1996)
+        .select(
+            "day",
+            "rev_c",
+            "a",
+            "s_abs",
+            (2 * F.col("a") * dev - F.col("s_abs")).alias("inc_up"),
+            (-2 * F.col("a") * dev - F.col("s_abs")).alias("inc_dn"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = mon.select(
+        "day",
+        "rev_c",
+        "a",
+        "s_abs",
+        F.sum("inc_up").over(w).alias("cu"),
+        F.sum("inc_dn").over(w).alias("cd"),
+    )
+    s = cum.select(
+        "day",
+        "rev_c",
+        "a",
+        "s_abs",
+        (F.col("cu") - F.least(F.lit(0).cast("bigint"), F.min("cu").over(w))).alias("su"),
+        (F.col("cd") - F.least(F.lit(0).cast("bigint"), F.min("cd").over(w))).alias("sd"),
+    )
+    sides = s.select(
+        "day", "rev_c", "a", "s_abs", F.lit("high").alias("side"), F.col("su").alias("stat")
+    ).unionAll(
+        s.select(
+            "day", "rev_c", "a", "s_abs", F.lit("low").alias("side"), F.col("sd").alias("stat")
+        )
+    )
+    scale = F.lit(2.0) * F.col("a") * F.col("a") * F.lit(100.0)
+    return (
+        sides.filter(F.col("stat") > 8 * F.col("s_abs"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+            "side",
+            F.round(F.col("stat") / scale, 2).alias("cusum_stat"),
+            F.round(F.lit(8.0) * F.col("s_abs") / scale, 2).alias(
+                "threshold_stat"
+            ),
+        )
+        .orderBy("day", "side")
+    )

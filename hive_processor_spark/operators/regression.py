@@ -2195,3 +2195,153 @@ def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.round(sse / n, 4).alias("train_mse"),
     ).orderBy("lambda")
+
+
+#: Isotonic-calibration score buckets (bounded so the closed-form
+#: minimax evaluation is O(B^3) over a broadcastable frame).
+_ISO_B = 50
+
+
+@register(
+    "ml_isotonic_calibration",
+    f"""
+    WITH feats AS (
+        SELECT n_chars,
+               CAST(LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '),
+                                    w -> w <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), z AS (
+        SELECT n_chars,
+               -3.0 + 0.9 * LN(1.0 + CAST(n_tokens AS DOUBLE))
+                    - 0.2 * (CAST(n_chars AS DOUBLE)
+                             / CAST(n_tokens AS DOUBLE)) AS z
+        FROM feats WHERE n_tokens > 0
+    ), scored AS (
+        SELECT ROUND(1.0 / (1.0 + EXP(-z)), 4) AS p,
+               CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS y
+        FROM z
+    ), bucket AS (
+        SELECT LEAST({_ISO_B - 1}, CAST(FLOOR(p * {_ISO_B}.0) AS INTEGER))
+                   AS b,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS wy,
+               CAST(SUM(CAST(FLOOR(p * 10000.0) AS BIGINT)) AS BIGINT) AS pq
+        FROM scored GROUP BY b
+    ), pref AS (
+        SELECT b, n, wy, pq,
+               SUM(n) OVER (ORDER BY b) AS cw,
+               SUM(wy) OVER (ORDER BY b) AS cy
+        FROM bucket
+    ), pairs AS (
+        SELECT j.b AS jb, k.b AS kb,
+               (k.cy - (j.cy - j.wy))
+                   / CAST(k.cw - (j.cw - j.n) AS DOUBLE) AS seg_avg
+        FROM pref j JOIN pref k ON j.b <= k.b
+    ), mins AS (
+        SELECT i.b AS ib, p.jb, MIN(p.seg_avg) AS m
+        FROM bucket i JOIN pairs p ON p.jb <= i.b AND p.kb >= i.b
+        GROUP BY 1, 2
+    ), fit AS (
+        SELECT ib, MAX(m) AS iso FROM mins GROUP BY ib
+    )
+    SELECT CAST(bk.b AS BIGINT) AS bucket, bk.n,
+           ROUND(bk.pq / 10000.0 / bk.n, 6) AS conf,
+           ROUND(bk.wy / CAST(bk.n AS DOUBLE), 6) AS raw_rate,
+           ROUND(f.iso, 6) AS iso_rate
+    FROM bucket bk JOIN fit f ON f.ib = bk.b
+    ORDER BY bucket
+    """,
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) calibration of the logistic quality scorer
+    (mirrors ``ml_logistic_score``/``ml_calibration_error``'s features,
+    completing the train–score–evaluate–CALIBRATE chain): the weighted
+    monotone L2 fit over score buckets, computed via the minimax CLOSED
+    FORM ŷ_i = max_{{j≤i}} min_{{k≥i}} avg(y, bucket j..k) (Ayer et al.
+    '55) instead of the sequential pool-adjacent-violators loop — no
+    iteration, so both engines evaluate the identical O(B³) join
+    algebra over exact integer prefix sums (B = 50 buckets; ~2·10⁴
+    tiny broadcast rows). Output: per-bucket mean confidence, raw
+    empirical rate, and the monotone isotonic rate a serving stack
+    would actually threshold on.
+
+    Scale: raw docs reduce to ≤B rows in one partial/final aggregate;
+    everything after is broadcast algebra on a B-row frame — the
+    minimax form trades a driver-side sequential PAVA for distributable
+    joins, the right trade when B is fixed and N is 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), " "), lambda w: w != F.lit(""))
+    feats = docs.select(
+        "n_chars", F.size(toks).cast("bigint").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    z = (
+        F.lit(-3.0)
+        + F.lit(0.9) * F.log(F.lit(1.0) + F.col("n_tokens").cast("double"))
+        - F.lit(0.2)
+        * (F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"))
+    )
+    scored = feats.select(
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("p"),
+        F.when(F.col("n_chars") >= 250, 1).otherwise(0).alias("y"),
+    )
+    bucket = scored.groupBy(
+        F.least(
+            F.lit(_ISO_B - 1), F.floor(F.col("p") * _ISO_B).cast("int")
+        ).alias("b")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("wy"),
+        F.sum(F.floor(F.col("p") * 10000.0).cast("bigint"))
+        .cast("bigint")
+        .alias("pq"),
+    )
+    wp = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    pref = bucket.select(
+        "b",
+        "n",
+        "wy",
+        "pq",
+        F.sum("n").over(wp).alias("cw"),
+        F.sum("wy").over(wp).alias("cy"),
+    )
+    j = pref.select(
+        F.col("b").alias("jb"),
+        (F.col("cw") - F.col("n")).alias("jpcw"),
+        (F.col("cy") - F.col("wy")).alias("jpcy"),
+    )
+    k = pref.select(
+        F.col("b").alias("kb"),
+        F.col("cw").alias("kcw"),
+        F.col("cy").alias("kcy"),
+    )
+    pairs = j.join(F.broadcast(k), F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "kb",
+        (
+            (F.col("kcy") - F.col("jpcy"))
+            / (F.col("kcw") - F.col("jpcw")).cast("double")
+        ).alias("seg_avg"),
+    )
+    ivals = bucket.select(F.col("b").alias("ib"))
+    mins = (
+        ivals.join(
+            F.broadcast(pairs),
+            (F.col("jb") <= F.col("ib")) & (F.col("kb") >= F.col("ib")),
+        )
+        .groupBy("ib", "jb")
+        .agg(F.min("seg_avg").alias("m"))
+    )
+    fit = mins.groupBy("ib").agg(F.max("m").alias("iso"))
+    return (
+        bucket.join(F.broadcast(fit), F.col("ib") == F.col("b"))
+        .select(
+            F.col("b").cast("bigint").alias("bucket"),
+            "n",
+            F.round(F.col("pq") / 10000.0 / F.col("n"), 6).alias("conf"),
+            F.round(F.col("wy") / F.col("n").cast("double"), 6).alias(
+                "raw_rate"
+            ),
+            F.round(F.col("iso"), 6).alias("iso_rate"),
+        )
+        .orderBy("bucket")
+    )

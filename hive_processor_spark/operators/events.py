@@ -6290,3 +6290,121 @@ def ts_pot_gpd(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("return_level_100d"),
     )
+
+
+@register(
+    "ts_sax_motifs",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1
+    ), idx AS (
+        SELECT DATE_DIFF('day', DATE '1992-01-01', day) AS i, rev_c
+        FROM daily
+    ), segs AS (
+        SELECT i // 8 AS win,
+               (i % 8) // 2 AS seg,
+               CAST(SUM(rev_c) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM idx GROUP BY 1, 2
+    ), full_wins AS (
+        SELECT win FROM segs
+        GROUP BY win
+        HAVING CAST(SUM(n_days) AS BIGINT) = 8
+    ), sym AS (
+        SELECT s.win, s.seg,
+               NTILE(4) OVER (ORDER BY s.v, s.win, s.seg) AS q
+        FROM segs s JOIN full_wins f ON f.win = s.win
+    ), words AS (
+        SELECT win,
+               MAX(CASE WHEN seg = 0 THEN CHR(CAST(96 + q AS INTEGER)) END)
+               || MAX(CASE WHEN seg = 1 THEN CHR(CAST(96 + q AS INTEGER)) END)
+               || MAX(CASE WHEN seg = 2 THEN CHR(CAST(96 + q AS INTEGER)) END)
+               || MAX(CASE WHEN seg = 3 THEN CHR(CAST(96 + q AS INTEGER)) END) AS sax_word
+        FROM sym GROUP BY win
+    )
+    SELECT sax_word,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           strftime(DATE '1992-01-01' + INTERVAL (MIN(win) * 8) DAY,
+                    '%Y-%m-%d') AS first_window_start,
+           strftime(DATE '1992-01-01' + INTERVAL (MAX(win) * 8) DAY,
+                    '%Y-%m-%d') AS last_window_start
+    FROM words
+    GROUP BY sax_word
+    ORDER BY n_windows DESC, sax_word
+    LIMIT 15
+    """,
+)
+def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX motif discovery (Lin–Keogh–Lonardi–Chiu DMKD'03) on the
+    daily-revenue series: tumbling 8-day windows → 4-segment PAA →
+     4-symbol alphabet → repeated-word (motif) counting. Two
+    determinism choices keep it engine-exact: PAA segment values stay
+    UNDIVIDED integer cent sums (equal-width segments make the mean a
+    monotone relabeling of the sum), and the alphabet is assigned by
+    NTILE(4) with a total tiebreak order (v, win, seg) — an
+    equal-frequency discretization both engines compute identically,
+    standing in for the Gaussian breakpoint table. Windows with
+    missing days are excluded (full 8-day support only).
+
+    Scale: raw orders reduce to one row per (window, segment) in one
+    partial/final aggregate; the NTILE runs over the O(days/2) segment
+    frame (documented calendar-series single-partition constraint) and
+    motif counting is one more tiny reduce."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    idx = daily.select(
+        F.datediff("day", F.lit("1992-01-01").cast("date")).alias("i"),
+        "rev_c",
+    )
+    segs = idx.groupBy(
+        F.expr("i div 8").alias("win"),
+        F.expr("(i % 8) div 2").alias("seg"),
+    ).agg(
+        F.sum("rev_c").cast("bigint").alias("v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    full_wins = (
+        segs.groupBy("win")
+        .agg(F.sum("n_days").alias("tot"))
+        .filter(F.col("tot") == 8)
+        .select("win")
+    )
+    wq = Window.orderBy("v", "win", "seg")
+    sym = segs.join(full_wins, "win").select(
+        "win", "seg", F.ntile(4).over(wq).alias("q")
+    )
+    def seg_sym(k: int):
+        return F.max(
+            F.when(F.col("seg") == k, F.chr(96 + F.col("q")))
+        )
+    words = sym.groupBy("win").agg(
+        F.concat(seg_sym(0), seg_sym(1), seg_sym(2), seg_sym(3)).alias(
+            "sax_word"
+        )
+    )
+    epoch = F.lit("1992-01-01").cast("date")
+    return (
+        words.groupBy("sax_word")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.date_format(
+                F.date_add(epoch, (F.min("win") * 8).cast("int")),
+                "yyyy-MM-dd",
+            ).alias("first_window_start"),
+            F.date_format(
+                F.date_add(epoch, (F.max("win") * 8).cast("int")),
+                "yyyy-MM-dd",
+            ).alias("last_window_start"),
+        )
+        .orderBy(F.desc("n_windows"), "sax_word")
+        .limit(15)
+    )

@@ -2345,3 +2345,190 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def _gbm_round_sql(r: int) -> str:
+    """One unrolled boosting round (see ml_gradient_boost_stumps):
+    prefix sums over the 50-row quantity frame, argmax-gain split,
+    floored half-learning-rate leaf updates."""
+    return f"""
+    pre{r} AS (
+        SELECT x, n, sy, pred,
+               SUM(n) OVER w AS cn,
+               SUM(sy - n * pred) OVER w AS crs
+        FROM g{r}
+        WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ), t{r} AS (
+        SELECT cn AS nn, crs AS rst FROM pre{r}
+        WHERE cn = (SELECT SUM(n) FROM g{r})
+    ), best{r} AS (
+        SELECT p.x AS s, p.cn, p.crs, t.nn, t.rst,
+               (CAST(p.crs AS DOUBLE) * p.crs) / p.cn
+               + (CAST(t.rst - p.crs AS DOUBLE) * (t.rst - p.crs))
+                 / (t.nn - p.cn) AS gain
+        FROM pre{r} p CROSS JOIN t{r} t
+        WHERE p.cn < t.nn
+        ORDER BY gain DESC, p.x LIMIT 1
+    ), lv{r} AS (
+        SELECT s, cn, nn, gain,
+               CAST(FLOOR(crs / (2.0 * cn)) AS BIGINT) AS vl,
+               CAST(FLOOR((rst - crs) / (2.0 * (nn - cn))) AS BIGINT) AS vr
+        FROM best{r}
+    ), g{r + 1} AS (
+        SELECT g.x, g.n, g.sy,
+               g.pred + CASE WHEN g.x <= l.s THEN l.vl ELSE l.vr END AS pred
+        FROM g{r} g CROSS JOIN lv{r} l
+    )"""
+
+
+@register(
+    "ml_gradient_boost_stumps",
+    f"""
+    WITH g AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS sy
+        FROM lineitem GROUP BY 1
+    ), tot0 AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(sy) AS BIGINT) AS syy
+        FROM g
+    ), g1 AS (
+        SELECT x, n, sy,
+               (SELECT CAST(FLOOR(syy / CAST(nn AS DOUBLE)) AS BIGINT)
+                FROM tot0) AS pred
+        FROM g
+    ),{_gbm_round_sql(1)},{_gbm_round_sql(2)},{_gbm_round_sql(3)}
+    SELECT * FROM (
+        SELECT 1 AS round_no, s AS split_x,
+               CAST(cn AS BIGINT) AS n_left,
+               CAST(nn - cn AS BIGINT) AS n_right,
+               ROUND(vl / 100.0, 2) AS leaf_left,
+               ROUND(vr / 100.0, 2) AS leaf_right,
+               ROUND(gain / 10000.0, 2) AS gain_usd2
+        FROM lv1
+        UNION ALL
+        SELECT 2, s, CAST(cn AS BIGINT), CAST(nn - cn AS BIGINT),
+               ROUND(vl / 100.0, 2),
+               ROUND(vr / 100.0, 2), ROUND(gain / 10000.0, 2) FROM lv2
+        UNION ALL
+        SELECT 3, s, CAST(cn AS BIGINT), CAST(nn - cn AS BIGINT),
+               ROUND(vl / 100.0, 2),
+               ROUND(vr / 100.0, 2), ROUND(gain / 10000.0, 2) FROM lv3
+    ) ORDER BY round_no
+    """,
+)
+def ml_gradient_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of gradient boosting with depth-1 regression stumps
+    (Friedman '01) on quantity → revenue, as BOUNDED-UNROLL algebra
+    over sufficient statistics: the corpus reduces once to a ≤50-row
+    (quantity, count, Σcents) frame, and every boosting round — split
+    search via prefix sums, argmax gain, leaf fit — runs on that frame
+    alone. The carried model state (per-quantity prediction) is
+    FLOOR-QUANTIZED to integer cents after each half-learning-rate leaf
+    update, so residual sums stay exact BIGINTs across rounds — no
+    accumulated float drift, both engines agree bit-for-bit; doubles
+    appear only inside each round's gain ranking (one cast-square-
+    divide per candidate split, identically parenthesized).
+
+    Scale: one partial/final aggregate over 100 TB, then O(rounds ·
+    |grid|) broadcast algebra — the classic histogram-boosting
+    decomposition (LightGBM's) where the data-sized pass is the
+    sufficient-stats build, not the round loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_quantity").cast("bigint").alias("x")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("sy"),
+    )
+    tot0 = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("sy").cast("bigint").alias("syy"),
+    )
+    p0 = tot0.select(
+        F.floor(F.col("syy") / F.col("nn").cast("double"))
+        .cast("bigint")
+        .alias("pred")
+    )
+    cur = g.crossJoin(F.broadcast(p0))
+    wpre = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    round_rows = []
+    for r in (1, 2, 3):
+        pre = cur.select(
+            "x",
+            "n",
+            "sy",
+            "pred",
+            F.sum("n").over(wpre).alias("cn"),
+            F.sum(F.col("sy") - F.col("n") * F.col("pred"))
+            .over(wpre)
+            .alias("crs"),
+        )
+        nn_total = g.agg(F.sum("n").cast("bigint").alias("nn_t"))
+        t = (
+            pre.crossJoin(F.broadcast(nn_total))
+            .filter(F.col("cn") == F.col("nn_t"))
+            .select(F.col("cn").alias("nn"), F.col("crs").alias("rst"))
+        )
+        gain = (F.col("crs").cast("double") * F.col("crs")) / F.col("cn") + (
+            (F.col("rst") - F.col("crs")).cast("double")
+            * (F.col("rst") - F.col("crs"))
+        ) / (F.col("nn") - F.col("cn"))
+        best = (
+            pre.crossJoin(F.broadcast(t))
+            .filter(F.col("cn") < F.col("nn"))
+            .select(
+                F.col("x").alias("s"),
+                "cn",
+                "crs",
+                "nn",
+                "rst",
+                gain.alias("gain"),
+            )
+            .orderBy(F.desc("gain"), "s")
+            .limit(1)
+        )
+        lv = best.select(
+            "s",
+            "cn",
+            "nn",
+            "gain",
+            F.floor(F.col("crs") / (F.lit(2.0) * F.col("cn")))
+            .cast("bigint")
+            .alias("vl"),
+            F.floor(
+                (F.col("rst") - F.col("crs"))
+                / (F.lit(2.0) * (F.col("nn") - F.col("cn")))
+            )
+            .cast("bigint")
+            .alias("vr"),
+        )
+        round_rows.append(
+            lv.select(
+                F.lit(r).alias("round_no"),
+                F.col("s").alias("split_x"),
+                F.col("cn").alias("n_left"),
+                (F.col("nn") - F.col("cn")).alias("n_right"),
+                F.round(F.col("vl") / 100.0, 2).alias("leaf_left"),
+                F.round(F.col("vr") / 100.0, 2).alias("leaf_right"),
+                F.round(F.col("gain") / 10000.0, 2).alias("gain_usd2"),
+            )
+        )
+        cur = cur.crossJoin(F.broadcast(lv.select("s", "vl", "vr"))).select(
+            "x",
+            "n",
+            "sy",
+            (
+                F.col("pred")
+                + F.when(F.col("x") <= F.col("s"), F.col("vl")).otherwise(
+                    F.col("vr")
+                )
+            ).alias("pred"),
+        )
+    out = round_rows[0]
+    for rr in round_rows[1:]:
+        out = out.unionAll(rr)
+    return out.orderBy("round_no")

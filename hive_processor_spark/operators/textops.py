@@ -2726,3 +2726,69 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("p_kneser_ney"), "w1", "w2")
         .limit(20)
     )
+
+
+@register(
+    "text_bpe_merges",
+    """
+    WITH words AS (
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (
+            SELECT UNNEST(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '),
+                                      x -> x <> '')) AS w
+            FROM documents
+        ) GROUP BY w
+    ), pairs AS (
+        SELECT SUBSTRING(word, CAST(i AS INTEGER), 2) AS pair,
+               word, f
+        FROM words
+        CROSS JOIN LATERAL (SELECT UNNEST(RANGE(1, LEN(word))) AS i) pos
+    )
+    SELECT pair,
+           CAST(SUM(f) AS BIGINT) AS n_total,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_vocab_words
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n_total DESC, pair
+    LIMIT 20
+    """,
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE training step (Sennrich et al. ACL'16): corpus-
+    frequency-weighted counts of adjacent character pairs — the exact
+    statistic whose argmax becomes the first learned merge of a BPE
+    tokenizer. The heavy text volume reduces to a VOCABULARY-sized
+    word-frequency table first (one corpus aggregate), and the pair
+    explode runs over that reduced frame — at 100 TB the explode cost
+    is ∝ vocabulary character mass, not corpus mass, which is why BPE
+    trainers operate on word-count tables. Reports the top-20 merge
+    candidates with total weighted count and vocabulary support.
+
+    Scale: two shuffles (word reduce, pair reduce) + TakeOrdered(20)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), " "), lambda x: x != F.lit("")
+    )
+    words = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    pairs = words.filter(F.length("word") >= 2).select(
+        "word",
+        "f",
+        F.explode(
+            F.sequence(F.lit(1), F.length("word") - 1)
+        ).alias("i"),
+    ).select(
+        F.expr("substring(word, i, 2)").alias("pair"), "word", "f"
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("f").cast("bigint").alias("n_total"),
+            F.countDistinct("word").cast("bigint").alias("n_vocab_words"),
+        )
+        .orderBy(F.desc("n_total"), "pair")
+        .limit(20)
+    )

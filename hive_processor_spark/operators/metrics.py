@@ -5270,3 +5270,129 @@ def spc_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "side")
     )
+
+
+@register(
+    "stats_cvm_test",
+    """
+    WITH v AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_x,
+               CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS cents
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ), grp AS (
+        SELECT cents, is_x, CAST(COUNT(*) AS BIGINT) AS c
+        FROM v GROUP BY cents, is_x
+    ), pre AS (
+        SELECT is_x, c,
+               SUM(c) OVER (ORDER BY cents, is_x
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS base,
+               SUM(c) OVER (PARTITION BY is_x ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS ibase
+        FROM grp
+    ), sums AS (
+        SELECT CAST(SUM(CASE WHEN is_x = 1 THEN c END) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN is_x = 0 THEN c END) AS BIGINT) AS m,
+               CAST(SUM(CASE WHEN is_x = 1 THEN
+                    c * (COALESCE(base, 0) - COALESCE(ibase, 0))
+                      * (COALESCE(base, 0) - COALESCE(ibase, 0)) END)
+                    AS BIGINT) AS sx,
+               CAST(SUM(CASE WHEN is_x = 0 THEN
+                    c * (COALESCE(base, 0) - COALESCE(ibase, 0))
+                      * (COALESCE(base, 0) - COALESCE(ibase, 0)) END)
+                    AS BIGINT) AS sy
+        FROM pre
+    )
+    SELECT n AS n_x, m AS n_y,
+           ROUND(CAST(CAST(n AS HUGEINT) * sx + CAST(m AS HUGEINT) * sy
+                      AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * m * (n + m))
+                 - (4.0 * n * m - 1.0) / (6.0 * (n + m)), 6) AS t_stat,
+           ROUND(1.0 / 6.0 + 1.0 / (6.0 * (n + m)), 6) AS t_expected_h0
+    FROM sums
+    """,
+)
+def stats_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises test (Anderson '62 rank form) on
+    returned-vs-available line revenues: T = U/(nm(n+m)) − (4nm−1)/
+    (6(n+m)) with U = nΣ(rᵢ−i)² + mΣ(sⱼ−j)². The whole statistic is
+    computed by GROUPED-RANK ALGEBRA: rows reduce to distinct
+    (value, sample) groups first, and within a group the pooled-rank /
+    within-sample-index gap (r−i) is CONSTANT (both counters advance
+    together under the deterministic (value, sample) tie order), so
+    Σ(r−i)² = Σ_groups c·(base−ibase)² — exact integers from two
+    prefix windows over the O(distinct values) frame, with the one
+    >2⁶³ product (n·Σ) carried in 128-bit/DECIMAL before the final
+    division. CvM complements ``stats_ks_test``: integral-of-squared-
+    gap instead of max-gap, so it sees distributed small departures
+    KS misses.
+
+    Scale: shuffle ∝ distinct cent values (the same demotion-to-
+    distinct pattern as ``stats_mad_outliers``); windows run over the
+    grouped frame, never raw rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    v = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_x"),
+        F.floor(F.col("l_extendedprice") * 100.0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    grp = v.groupBy("cents", "is_x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wall = (
+        Window.orderBy("cents", "is_x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wown = (
+        Window.partitionBy("is_x")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = F.coalesce(F.sum("c").over(wall), F.lit(0)) - F.coalesce(
+        F.sum("c").over(wown), F.lit(0)
+    )
+    pre = grp.select("is_x", "c", d.alias("gap"))
+    sums = pre.agg(
+        F.sum(F.when(F.col("is_x") == 1, F.col("c")))
+        .cast("bigint")
+        .alias("n"),
+        F.sum(F.when(F.col("is_x") == 0, F.col("c")))
+        .cast("bigint")
+        .alias("m"),
+        F.sum(
+            F.when(
+                F.col("is_x") == 1,
+                F.col("c") * F.col("gap") * F.col("gap"),
+            )
+        )
+        .cast("bigint")
+        .alias("sx"),
+        F.sum(
+            F.when(
+                F.col("is_x") == 0,
+                F.col("c") * F.col("gap") * F.col("gap"),
+            )
+        )
+        .cast("bigint")
+        .alias("sy"),
+    )
+    n, m = F.col("n"), F.col("m")
+    u = (
+        n.cast("decimal(38,0)") * F.col("sx")
+        + m.cast("decimal(38,0)") * F.col("sy")
+    )
+    t = u.cast("double") / (
+        n.cast("double") * m * (n + m)
+    ) - (F.lit(4.0) * n * m - 1.0) / (F.lit(6.0) * (n + m))
+    return sums.select(
+        n.alias("n_x"),
+        m.alias("n_y"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(
+            F.lit(1.0 / 6.0) + F.lit(1.0) / (F.lit(6.0) * (n + m)), 6
+        ).alias("t_expected_h0"),
+    )

@@ -1804,3 +1804,135 @@ def profile_distinct_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_of_full"),
     ).orderBy("sample_pct")
+
+
+@register(
+    "profile_mutual_info",
+    """
+    WITH cells AS (
+        SELECT l_returnflag AS fx, l_linestatus AS fy,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ), rx AS (
+        SELECT fx, CAST(SUM(c) AS BIGINT) AS cx FROM cells GROUP BY fx
+    ), ry AS (
+        SELECT fy, CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY fy
+    ), nn AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells
+    ), mi_q AS (
+        SELECT CAST(SUM(CAST(FLOOR(
+                   c * LN(CAST(c AS DOUBLE) * nn.n
+                          / (CAST(rx.cx AS DOUBLE) * ry.cy)) * 1e9)
+                   AS BIGINT)) AS BIGINT) AS qsum
+        FROM cells
+        JOIN rx ON rx.fx = cells.fx
+        JOIN ry ON ry.fy = cells.fy
+        CROSS JOIN nn
+    ), hx_q AS (
+        SELECT CAST(SUM(CAST(FLOOR(
+                   -cx * LN(CAST(cx AS DOUBLE) / nn.n) * 1e9)
+                   AS BIGINT)) AS BIGINT) AS qsum
+        FROM rx CROSS JOIN nn
+    ), hy_q AS (
+        SELECT CAST(SUM(CAST(FLOOR(
+                   -cy * LN(CAST(cy AS DOUBLE) / nn.n) * 1e9)
+                   AS BIGINT)) AS BIGINT) AS qsum
+        FROM ry CROSS JOIN nn
+    )
+    SELECT nn.n AS n_rows,
+           CAST((SELECT COUNT(*) FROM cells) AS BIGINT) AS n_cells,
+           ROUND(mi_q.qsum / 1e9 / nn.n, 6) AS mi_nats,
+           ROUND(hx_q.qsum / 1e9 / nn.n, 6) AS h_returnflag,
+           ROUND(hy_q.qsum / 1e9 / nn.n, 6) AS h_linestatus,
+           ROUND(CAST(mi_q.qsum AS DOUBLE)
+                 / LEAST(hx_q.qsum, hy_q.qsum), 6) AS nmi
+    FROM nn CROSS JOIN mi_q CROSS JOIN hx_q CROSS JOIN hy_q
+    """,
+)
+def profile_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (returnflag ×
+    linestatus) with marginal entropies and normalized MI — the
+    dependence audit a profiler runs before trusting columns as
+    independent partition/sampling keys (complements
+    ``profile_fd_discovery``'s hard functional dependencies and
+    ``profile_drift_kl``'s cross-snapshot divergence with a
+    within-snapshot association measure). Each cell's c·ln(cN/(c_x
+    c_y)) term is floor-quantized at 1e-9 and summed as integers, so
+    the fold is addition-order-free and engine-exact; NMI divides the
+    quantized MI by the quantized min-entropy directly.
+
+    Scale: one partial/final aggregate to the |X|·|Y| cell table;
+    margins and the quantized folds are broadcast algebra over ≤
+    hundreds of cells."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("fx"), F.col("l_linestatus").alias("fy")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    rx = cells.groupBy("fx").agg(F.sum("c").cast("bigint").alias("cx"))
+    ry = cells.groupBy("fy").agg(F.sum("c").cast("bigint").alias("cy"))
+    nn = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    n_cells = cells.agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+    mi_q = (
+        cells.join(F.broadcast(rx), "fx")
+        .join(F.broadcast(ry), "fy")
+        .crossJoin(F.broadcast(nn))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("c")
+                    * F.log(
+                        F.col("c").cast("double")
+                        * F.col("n")
+                        / (F.col("cx").cast("double") * F.col("cy"))
+                    )
+                    * 1e9
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("mi_qsum")
+        )
+    )
+    hx_q = rx.crossJoin(F.broadcast(nn)).agg(
+        F.sum(
+            F.floor(
+                -F.col("cx")
+                * F.log(F.col("cx").cast("double") / F.col("n"))
+                * 1e9
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("hx_qsum")
+    )
+    hy_q = ry.crossJoin(F.broadcast(nn)).agg(
+        F.sum(
+            F.floor(
+                -F.col("cy")
+                * F.log(F.col("cy").cast("double") / F.col("n"))
+                * 1e9
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("hy_qsum")
+    )
+    return (
+        nn.crossJoin(F.broadcast(n_cells))
+        .crossJoin(F.broadcast(mi_q))
+        .crossJoin(F.broadcast(hx_q))
+        .crossJoin(F.broadcast(hy_q))
+        .select(
+            F.col("n").alias("n_rows"),
+            "n_cells",
+            F.round(F.col("mi_qsum") / 1e9 / F.col("n"), 6).alias("mi_nats"),
+            F.round(F.col("hx_qsum") / 1e9 / F.col("n"), 6).alias(
+                "h_returnflag"
+            ),
+            F.round(F.col("hy_qsum") / 1e9 / F.col("n"), 6).alias(
+                "h_linestatus"
+            ),
+            F.round(
+                F.col("mi_qsum").cast("double")
+                / F.least("hx_qsum", "hy_qsum"),
+                6,
+            ).alias("nmi"),
+        )
+    )

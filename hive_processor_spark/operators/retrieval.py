@@ -616,3 +616,217 @@ def sim_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+#: IVF probe depths for the recall curve (10 coarse cells exist).
+_IVF_PROBES = (1, 2, 4, 8)
+
+
+@register(
+    "sim_ivf_recall_curve",
+    f"""
+    WITH p AS ({_SQL_PAIRS}
+    ), truth AS (
+        SELECT qid, clabel
+        FROM (
+            SELECT qid, clabel,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, cid) AS rn
+            FROM p
+        ) WHERE rn <= 10
+    ), cex AS (
+        SELECT label,
+               CAST(UNNEST(RANGE(1, LEN(embedding) + 1)) AS INT) AS pos,
+               CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS q
+        FROM embeddings WHERE vec_id >= {_Q_MAX}
+    ), cent AS (
+        SELECT label, pos,
+               CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mq
+        FROM cex GROUP BY label, pos
+    ), cnorm AS (
+        SELECT label, CAST(SUM(mq * mq) AS BIGINT) AS cn FROM cent
+        GROUP BY label
+    ), qex AS (
+        SELECT vec_id AS qid,
+               CAST(UNNEST(RANGE(1, LEN(embedding) + 1)) AS INT) AS pos,
+               CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS qq
+        FROM embeddings WHERE vec_id < {_Q_MAX}
+    ), qnorm AS (
+        SELECT qid, CAST(SUM(qq * qq) AS BIGINT) AS qn FROM qex GROUP BY qid
+    ), csim AS (
+        SELECT q.qid, c.label,
+               CAST(SUM(q.qq * c.mq) AS DOUBLE)
+                   / SQRT(CAST(qn.qn AS DOUBLE) * cn.cn) AS s
+        FROM qex q
+        JOIN cent c ON c.pos = q.pos
+        JOIN qnorm qn ON qn.qid = q.qid
+        JOIN cnorm cn ON cn.label = c.label
+        GROUP BY q.qid, c.label, qn.qn, cn.cn
+    ), cellrank AS (
+        SELECT qid, label,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY s DESC, label) AS rc
+        FROM csim
+    ), sz AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_cell
+        FROM embeddings WHERE vec_id >= {_Q_MAX} GROUP BY label
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
+               CAST(COUNT(DISTINCT CASE WHEN vec_id < {_Q_MAX}
+                                        THEN vec_id END) AS BIGINT) AS n_q
+        FROM embeddings
+    ), probes AS (
+        SELECT CAST(UNNEST([{', '.join(str(p) for p in _IVF_PROBES)}])
+                    AS BIGINT) AS nprobe
+    ), hits AS (
+        SELECT pr.nprobe,
+               CAST(COUNT(*) FILTER (WHERE cr.rc <= pr.nprobe) AS BIGINT)
+                   AS n_hits
+        FROM truth t
+        JOIN cellrank cr ON cr.qid = t.qid AND cr.label = t.clabel
+        CROSS JOIN probes pr
+        GROUP BY pr.nprobe
+    ), scan AS (
+        SELECT pr.nprobe,
+               CAST(SUM(s.n_cell) AS BIGINT) AS cells_scanned
+        FROM cellrank cr
+        JOIN sz s ON s.label = cr.label
+        CROSS JOIN probes pr
+        WHERE cr.rc <= pr.nprobe
+        GROUP BY pr.nprobe
+    )
+    SELECT h.nprobe,
+           ROUND(CAST(h.n_hits AS DOUBLE) / (10.0 * nn.n_q), 6)
+               AS mean_recall_at_10,
+           ROUND(CAST(sc.cells_scanned AS DOUBLE)
+                 / (CAST(nn.n_q AS DOUBLE) * (nn.n_corpus - nn.n_q)), 6)
+               AS mean_scan_frac
+    FROM hits h JOIN scan sc ON sc.nprobe = h.nprobe CROSS JOIN nn
+    ORDER BY h.nprobe
+    """,
+)
+def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF design curve: recall@10 vs fraction-of-corpus-scanned at
+    nprobe ∈ {1,2,4,8}, measured against the EXACT top-10 (the same
+    quantized-cosine truth the other retrieval grades use) — the table
+    an engineer reads to pick nprobe before pointing the index at
+    100 TB (cf. ``sketch_cms_width_sweep``'s accuracy-for-memory table,
+    this is accuracy-for-scan). Coarse cells are the label partitions
+    (the ``ivf_prepare`` layout); cell ranking uses floor-quantized
+    integer centroid/query dot products, and both the recall mean and
+    the scan-fraction mean reduce as exact integer hit/size totals over
+    a common denominator — no float accumulation anywhere.
+
+    Scale: one corpus pass builds centroids (shuffle ∝ cells·dims), one
+    broadcast query×cell ranking, and the truth join; recall is graded
+    on the 50-query probe set exactly as a production index audit
+    samples its own traffic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= _Q_MAX)
+    cex = corpus.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.floor(F.col("x").cast("double") * F.lit(1e6))
+        .cast("bigint")
+        .alias("q"),
+    )
+    cent = cex.groupBy("label", "pos").agg(
+        F.floor(F.sum("q").cast("double") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("mq")
+    )
+    cnorm = cent.groupBy("label").agg(
+        F.sum(F.col("mq") * F.col("mq")).cast("bigint").alias("cn")
+    )
+    qex = (
+        emb.filter(F.col("vec_id") < _Q_MAX)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.posexplode("embedding").alias("pos0", "x"),
+        )
+        .select(
+            "qid",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            F.floor(F.col("x").cast("double") * F.lit(1e6))
+            .cast("bigint")
+            .alias("qq"),
+        )
+    )
+    qnorm = qex.groupBy("qid").agg(
+        F.sum(F.col("qq") * F.col("qq")).cast("bigint").alias("qn")
+    )
+    csim = (
+        qex.join(F.broadcast(cent), "pos")
+        .groupBy("qid", "label")
+        .agg(F.sum(F.col("qq") * F.col("mq")).cast("bigint").alias("dot"))
+        .join(F.broadcast(qnorm), "qid")
+        .join(F.broadcast(cnorm), "label")
+        .select(
+            "qid",
+            "label",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("qn").cast("double") * F.col("cn"))
+            ).alias("s"),
+        )
+    )
+    wc = Window.partitionBy("qid").orderBy(F.desc("s"), "label")
+    cellrank = csim.select(
+        "qid", "label", F.row_number().over(wc).alias("rc")
+    )
+    truth = (
+        _ranked_pairs(spark, sf_dir)
+        .filter(F.col("rn") <= 10)
+        .select("qid", "clabel")
+    )
+    sz = corpus.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cell")
+    )
+    nn = emb.agg(
+        F.count_if(F.col("vec_id") >= _Q_MAX).cast("bigint").alias("n_corpus_only"),
+        F.count_if(F.col("vec_id") < _Q_MAX).cast("bigint").alias("n_q"),
+    ).select(
+        (F.col("n_corpus_only") + F.col("n_q")).alias("n_corpus"),
+        "n_q",
+        F.col("n_corpus_only"),
+    )
+    probes = spark.createDataFrame(
+        [(int(p),) for p in _IVF_PROBES], "nprobe bigint"
+    )
+    hits = (
+        truth.join(
+            cellrank,
+            (truth.qid == cellrank.qid) & (truth.clabel == cellrank.label),
+        )
+        .select(cellrank.rc)
+        .crossJoin(F.broadcast(probes))
+        .groupBy("nprobe")
+        .agg(F.count_if(F.col("rc") <= F.col("nprobe")).cast("bigint").alias("n_hits"))
+    )
+    scan = (
+        cellrank.join(F.broadcast(sz), "label")
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("rc") <= F.col("nprobe"))
+        .groupBy("nprobe")
+        .agg(F.sum("n_cell").cast("bigint").alias("cells_scanned"))
+    )
+    return (
+        hits.join(scan, "nprobe")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "nprobe",
+            F.round(
+                F.col("n_hits").cast("double") / (10.0 * F.col("n_q")), 6
+            ).alias("mean_recall_at_10"),
+            F.round(
+                F.col("cells_scanned").cast("double")
+                / (F.col("n_q").cast("double") * F.col("n_corpus_only")),
+                6,
+            ).alias("mean_scan_frac"),
+        )
+        .orderBy("nprobe")
+    )

@@ -5396,3 +5396,573 @@ def stats_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0 / 6.0) + F.lit(1.0) / (F.lit(6.0) * (n + m)), 6
         ).alias("t_expected_h0"),
     )
+
+
+@register(
+    "stats_logrank",
+    """
+    WITH spans AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+               MAX(ts) AS t_last
+        FROM events GROUP BY user_id
+    ), conv AS (
+        SELECT s.user_id % 2 AS g,
+               DATE_DIFF('day', s.t0, COALESCE(p.tp, s.t_last)) AS dur,
+               CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM spans s
+        LEFT JOIN (
+            SELECT e.user_id, MIN(e.ts) AS tp
+            FROM events e JOIN spans s2
+              ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+             AND e.ts > s2.t0
+            GROUP BY e.user_id
+        ) p ON p.user_id = s.user_id
+        WHERE s.t0 IS NOT NULL
+    ), cell AS (
+        SELECT dur, g, CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS leaving
+        FROM conv GROUP BY dur, g
+    ), dense AS (
+        SELECT dd.dur, gs.g,
+               COALESCE(c.d, 0) AS d, COALESCE(c.leaving, 0) AS leaving
+        FROM (SELECT DISTINCT dur FROM cell) dd
+        CROSS JOIN (SELECT UNNEST([0, 1]) AS g) gs
+        LEFT JOIN cell c ON c.dur = dd.dur AND c.g = gs.g
+    ), risk AS (
+        SELECT dur, g, d,
+               SUM(leaving) OVER (PARTITION BY g ORDER BY dur DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_g
+        FROM dense
+    ), pooled AS (
+        SELECT dur,
+               CAST(SUM(d) AS BIGINT) AS dt,
+               CAST(SUM(CASE WHEN g = 1 THEN d END) AS BIGINT) AS d1,
+               CAST(SUM(n_g) AS BIGINT) AS nt,
+               CAST(SUM(CASE WHEN g = 1 THEN n_g END) AS BIGINT) AS n1
+        FROM risk GROUP BY dur
+    ), terms AS (
+        SELECT dt, d1, nt, n1,
+               CAST(FLOOR(CAST(dt AS DOUBLE) * n1 / nt * 1e9) AS BIGINT) AS e1q,
+               CASE WHEN nt > 1 THEN CAST(FLOOR(
+                   CAST(dt AS DOUBLE) * n1 / nt
+                   * (1.0 - CAST(n1 AS DOUBLE) / nt)
+                   * (nt - dt) / (nt - 1) * 1e9) AS BIGINT)
+               ELSE 0 END AS vq
+        FROM pooled WHERE dt > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_times,
+           CAST(SUM(d1) AS BIGINT) AS o1,
+           ROUND(SUM(e1q) / 1e9, 6) AS e1,
+           ROUND(SUM(vq) / 1e9, 6) AS var_lr,
+           ROUND((SUM(d1) - SUM(e1q) / 1e9)
+                 * (SUM(d1) - SUM(e1q) / 1e9)
+                 / (SUM(vq) / 1e9), 4) AS chi2
+    FROM terms
+    """,
+)
+def stats_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank (Mantel–Cox) test on time-to-first-purchase,
+    comparing even vs odd ``user_id`` cohorts (users without a purchase
+    are right-censored at their last event — the same span construction
+    as ``ml_survival_km``). At each distinct event day the hypergeometric
+    expectation d·n₁/n and variance d·(n₁/n)(1−n₁/n)(n−d)/(n−1) are
+    floor-quantized at 1e-9 and summed as integers, so O−E and V fold
+    addition-order-free; χ² = (O₁−E₁)²/V. The at-risk counts per group
+    come from one reverse cumulative sum over the DENSE distinct-day ×
+    group frame (a group with no row at day t still has the correct
+    at-risk count there).
+
+    Scale: two per-user aggregations at fact scale, then all test algebra
+    runs on the O(distinct days × 2) frame — the same demote-to-distinct
+    pattern as ``stats_cvm_test``."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t0"),
+            F.max("ts").alias("t_last"),
+        )
+        .filter(F.col("t0").isNotNull())
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(
+            spans.select(F.col("user_id").alias("u2"), F.col("t0").alias("s_t0")),
+            (F.col("user_id") == F.col("u2")) & (F.col("ts") > F.col("s_t0")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    conv = spans.join(purch, "user_id", "left").select(
+        (F.col("user_id") % 2).alias("g"),
+        F.datediff(
+            F.coalesce(F.col("tp"), F.col("t_last")).cast("date"),
+            F.col("t0").cast("date"),
+        ).alias("dur"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    cell = conv.groupBy("dur", "g").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+    )
+    dense = (
+        cell.select("dur")
+        .distinct()
+        .crossJoin(F.broadcast(spark.range(2).select(F.col("id").alias("g"))))
+        .join(cell, ["dur", "g"], "left")
+        .select(
+            "dur",
+            "g",
+            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+            F.coalesce(F.col("leaving"), F.lit(0)).alias("leaving"),
+        )
+    )
+    w_rev = Window.partitionBy("g").orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = dense.select(
+        "dur", "g", "d", F.sum("leaving").over(w_rev).alias("n_g")
+    )
+    pooled = risk.groupBy("dur").agg(
+        F.sum("d").cast("long").alias("dt"),
+        F.sum(F.when(F.col("g") == 1, F.col("d"))).cast("long").alias("d1"),
+        F.sum("n_g").cast("long").alias("nt"),
+        F.sum(F.when(F.col("g") == 1, F.col("n_g"))).cast("long").alias("n1"),
+    )
+    terms = pooled.filter(F.col("dt") > 0).select(
+        "d1",
+        F.floor(
+            F.col("dt").cast("double") * F.col("n1") / F.col("nt") * 1e9
+        )
+        .cast("long")
+        .alias("e1q"),
+        F.when(
+            F.col("nt") > 1,
+            F.floor(
+                F.col("dt").cast("double") * F.col("n1") / F.col("nt")
+                * (F.lit(1.0) - F.col("n1").cast("double") / F.col("nt"))
+                * (F.col("nt") - F.col("dt"))
+                / (F.col("nt") - 1)
+                * 1e9
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("vq"),
+    )
+    o1 = F.sum("d1").cast("long")
+    e1 = F.sum("e1q") / 1e9
+    v = F.sum("vq") / 1e9
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+        o1.alias("o1"),
+        F.round(e1, 6).alias("e1"),
+        F.round(v, 6).alias("var_lr"),
+        F.round((o1 - e1) * (o1 - e1) / v, 4).alias("chi2"),
+    )
+
+
+@register(
+    "stats_jonckheere",
+    """
+    WITH v AS (
+        SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS g,
+               CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents
+        FROM orders
+    ), grp AS (
+        SELECT cents, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM v GROUP BY cents, g
+    ), dense AS (
+        SELECT dv.cents, gs.g, COALESCE(grp.c, 0) AS c
+        FROM (SELECT DISTINCT cents FROM grp) dv
+        CROSS JOIN (SELECT UNNEST([1, 2, 3, 4, 5]) AS g) gs
+        LEFT JOIN grp ON grp.cents = dv.cents AND grp.g = gs.g
+    ), cum AS (
+        SELECT cents, g, c,
+               COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cumlt
+        FROM dense
+    ), j2 AS (
+        SELECT CAST(SUM(2 * b.c * a.cumlt + a.c * b.c) AS BIGINT) AS j2
+        FROM cum a JOIN grp b
+          ON a.cents = b.cents AND a.g < b.g
+    ), sizes AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * c) AS BIGINT) AS s2sum,
+               CAST(SUM(c * (c - 1)) AS BIGINT) AS s2n,
+               CAST(SUM(c * (c - 1) * (c - 2)) AS BIGINT) AS s3n,
+               CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS s25n
+        FROM (SELECT g, CAST(SUM(c) AS BIGINT) AS c FROM grp GROUP BY g)
+    ), ties AS (
+        SELECT CAST(SUM(t * (t - 1)) AS BIGINT) AS s2t,
+               CAST(SUM(t * (t - 1) * (t - 2)) AS BIGINT) AS s3t,
+               CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS s25t,
+               CAST(SUM(CASE WHEN t > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tie_values
+        FROM (SELECT cents, CAST(SUM(c) AS BIGINT) AS t FROM grp
+              GROUP BY cents)
+    )
+    SELECT s.n AS n_total, t.tie_values,
+           CAST(j.j2 AS DOUBLE) / 2 AS j_stat,
+           CAST((s.n * s.n - s.s2sum) / 2 AS DOUBLE) AS e_j,
+           ROUND(CAST(s.n * (s.n - 1) * (2 * s.n + 5)
+                      - s.s25n - t.s25t AS DOUBLE) / 72
+                 + CAST(CAST(s.s3n AS HUGEINT) * t.s3t AS DOUBLE)
+                   / (36.0 * s.n * (s.n - 1) * (s.n - 2))
+                 + CAST(CAST(s.s2n AS HUGEINT) * t.s2t AS DOUBLE)
+                   / (8.0 * s.n * (s.n - 1)), 4) AS var_j,
+           ROUND((j.j2 - (s.n * s.n - s.s2sum) / 2)
+                 / (2.0 * SQRT(
+                     CAST(s.n * (s.n - 1) * (2 * s.n + 5)
+                          - s.s25n - t.s25t AS DOUBLE) / 72
+                     + CAST(CAST(s.s3n AS HUGEINT) * t.s3t AS DOUBLE)
+                       / (36.0 * s.n * (s.n - 1) * (s.n - 2))
+                     + CAST(CAST(s.s2n AS HUGEINT) * t.s2t AS DOUBLE)
+                       / (8.0 * s.n * (s.n - 1)))), 4) AS z
+    FROM j2 j CROSS JOIN sizes s CROSS JOIN ties t
+    """,
+)
+def stats_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere–Terpstra ordered-alternative trend test (Hollander &
+    Wolfe ch. 6): does order value trend monotonically with the
+    priority ordinal 1-URGENT … 5-LOW? J = Σ_{i<j} Mann–Whitney counts
+    with ½-credit ties, computed EXACTLY as the integer 2J: one window
+    prefix per group over the dense distinct-value × 5-group frame
+    (cumlt = strictly-below count), then a value-equality join against
+    the sparse count frame with g_i < g_j sums 2·c_j·cumlt_i + c_i·c_j
+    — no pairwise row join ever happens. E[2J] = N² − Σn_i² exactly
+    (it is Σ_{i<j} 2 n_i n_j); the tie-corrected null variance uses the
+    three Hollander–Wolfe terms from integer size/tie moments, with the
+    one possibly->2⁶³ cross product (Σn(n−1)(n−2))·(Σt(t−1)(t−2))
+    carried in 128-bit before the final division; z = (2J − E[2J]) /
+    (2√Var).
+
+    Scale: one shuffle to (value, group) counts; the dense frame is
+    O(distinct values × 5) and the pair join fans out ≤4 rows per
+    distinct value — shuffle ∝ distinct values, the same demotion as
+    ``stats_cvm_test``."""
+    v = load_table(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+    )
+    grp = v.groupBy("cents", "g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    dense = (
+        grp.select("cents")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(1, 6).select(F.col("id").cast("int").alias("g")))
+        )
+        .join(grp, ["cents", "g"], "left")
+        .select("cents", "g", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    w_lt = Window.partitionBy("g").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = dense.select(
+        "cents", "g", "c", F.coalesce(F.sum("c").over(w_lt), F.lit(0)).alias("cumlt")
+    )
+    a = cum.select(
+        F.col("cents").alias("a_cents"),
+        F.col("g").alias("a_g"),
+        F.col("c").alias("a_c"),
+        "cumlt",
+    )
+    b = grp.select(
+        F.col("cents").alias("b_cents"),
+        F.col("g").alias("b_g"),
+        F.col("c").alias("b_c"),
+    )
+    j2 = a.join(
+        b, (F.col("a_cents") == F.col("b_cents")) & (F.col("a_g") < F.col("b_g"))
+    ).agg(
+        F.sum(
+            2 * F.col("b_c") * F.col("cumlt") + F.col("a_c") * F.col("b_c")
+        )
+        .cast("long")
+        .alias("j2")
+    )
+    gsz = grp.groupBy("g").agg(F.sum("c").cast("long").alias("c"))
+    sizes = gsz.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2sum"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("s2n"),
+        F.sum(F.col("c") * (F.col("c") - 1) * (F.col("c") - 2))
+        .cast("long")
+        .alias("s3n"),
+        F.sum(F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5))
+        .cast("long")
+        .alias("s25n"),
+    )
+    tsz = grp.groupBy("cents").agg(F.sum("c").cast("long").alias("t"))
+    ties = tsz.agg(
+        F.sum(F.col("t") * (F.col("t") - 1)).cast("long").alias("s2t"),
+        F.sum(F.col("t") * (F.col("t") - 1) * (F.col("t") - 2))
+        .cast("long")
+        .alias("s3t"),
+        F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+        .cast("long")
+        .alias("s25t"),
+        F.sum(F.when(F.col("t") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("tie_values"),
+    )
+    n = F.col("n")
+    var_expr = (
+        (
+            n * (n - 1) * (2 * n + 5) - F.col("s25n") - F.col("s25t")
+        ).cast("double")
+        / 72
+        + (F.col("s3n").cast("decimal(38,0)") * F.col("s3t")).cast("double")
+        / (F.lit(36.0) * n * (n - 1) * (n - 2))
+        + (F.col("s2n").cast("decimal(38,0)") * F.col("s2t")).cast("double")
+        / (F.lit(8.0) * n * (n - 1))
+    )
+    e2 = (n * n - F.col("s2sum")) / 2
+    return (
+        j2.crossJoin(F.broadcast(sizes))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            n.alias("n_total"),
+            F.col("tie_values"),
+            (F.col("j2").cast("double") / 2).alias("j_stat"),
+            e2.cast("double").alias("e_j"),
+            F.round(var_expr, 4).alias("var_j"),
+            F.round(
+                (F.col("j2") - e2) / (F.lit(2.0) * F.sqrt(var_expr)), 4
+            ).alias("z"),
+        )
+    )
+
+
+@register(
+    "stats_anderson_darling",
+    """
+    WITH v AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_x,
+               CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS cents
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ), grp AS (
+        SELECT cents, CAST(COUNT(*) AS BIGINT) AS l,
+               CAST(SUM(is_x) AS BIGINT) AS cx
+        FROM v GROUP BY cents
+    ), tot AS (
+        SELECT CAST(SUM(l) AS BIGINT) AS n_all,
+               CAST(SUM(cx) AS BIGINT) AS nx
+        FROM grp
+    ), cum AS (
+        SELECT l,
+               SUM(l) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS b,
+               SUM(cx) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS mx
+        FROM grp
+    ), a2 AS (
+        SELECT CAST(SUM(CAST(FLOOR(l * (
+                   CAST(CAST(n_all * mx - nx * b AS HUGEINT)
+                        * (n_all * mx - nx * b) AS DOUBLE)
+                   / (CAST(b AS DOUBLE) * (n_all - b))) * 1e9)
+               AS BIGINT)) AS HUGEINT) AS qsum
+        FROM cum CROSS JOIN tot WHERE b < n_all
+    ), harm AS (
+        SELECT i, CAST(FLOOR(1e12 / i) AS BIGINT) AS hq, n_all
+        FROM (SELECT ROW_NUMBER() OVER () AS i FROM v) seq
+        CROSS JOIN tot WHERE i <= n_all - 1
+    ), hpre AS (
+        SELECT i, n_all,
+               SUM(hq) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS hp,
+               SUM(hq) OVER () AS hsum
+        FROM harm
+    ), gs AS (
+        SELECT CAST(SUM(CASE WHEN i <= n_all - 2 THEN
+                   CAST(FLOOR((hsum - hp) / 1e12 / (n_all - i) * 1e9)
+                        AS BIGINT) ELSE 0 END) AS BIGINT) AS gq,
+               MAX(hsum) AS hqsum
+        FROM hpre
+    ), sc AS (
+        SELECT t.nx, t.n_all - t.nx AS ny,
+               CAST(t.n_all AS DOUBLE) AS nd,
+               (a.qsum / 1e9) / t.nx / (t.n_all - t.nx) AS a2u,
+               g.hqsum / 1e12 AS h,
+               g.gq / 1e9 AS g,
+               1.0 / t.nx + 1.0 / (t.n_all - t.nx) AS hh
+        FROM tot t CROSS JOIN a2 a CROSS JOIN gs g
+    ), sc2 AS (
+        SELECT nx, ny, a2u, nd,
+               ((4 * g - 6) + (10 - 6 * g) * hh) * nd * nd * nd AS va,
+               ((2 * g - 4) * 4 + 16 * h + (2 * g - 14 * h - 4) * hh
+                - 8 * h + 4 * g - 6) * nd * nd AS vb,
+               ((6 * h + 2 * g - 2) * 4 + (4 * h - 4 * g + 6) * 2
+                + (2 * h - 6) * hh + 4 * h) * nd AS vc
+        FROM sc
+    )
+    SELECT nx AS n_x, ny AS n_y,
+           ROUND(a2u, 6) AS a2_stat,
+           ROUND(SQRT((va + vb + vc + 24.0)
+                      / ((nd - 1) * (nd - 2) * (nd - 3))), 6) AS sigma,
+           ROUND((a2u - 1.0)
+                 / SQRT((va + vb + vc + 24.0)
+                        / ((nd - 1) * (nd - 2) * (nd - 3))), 4) AS t_std
+    FROM sc2
+    """,
+)
+def stats_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson–Darling test (Scholz–Stephens '87 A²_kN, k=2)
+    on returned-vs-available line revenues — weights the CDF gap by
+    1/(F(1−F)) so the TAILS count, complementing ``stats_ks_test``
+    (max gap) and ``stats_cvm_test`` (mean square gap). Because
+    Mx+My=B and n+m=N imply N·My−m·B = −(N·Mx−n·B), the two per-sample
+    inner sums share one squared gap, so A² = (1/(nm))·Σ_j l_j·D_j²/
+    (B_j(N−B_j)) over the distinct-value frame with D = N·Mx − n·B
+    (D² carried in 128-bit, each term floor-quantized at 1e-9 and
+    summed as integers into a 128-bit accumulator — the quantized sum
+    itself passes 2⁶³ at sf0.1). The null standardization is the full
+    Scholz–Stephens variance: harmonic numbers h=H_{N−1} and the
+    double sum g=Σ(H_{N−1}−H_i)/(N−i) are folded from EXACT
+    floor(1e12/i) integers (prefix-stitched in 8192-row chunks on the
+    Spark side, so no global single-task sort), then σ²_N =
+    (aN³+bN²+cN+d)/((N−1)(N−2)(N−3)) with the k=2 coefficients and
+    T = (A²−1)/σ.
+
+    Scale: fact rows reduce once to distinct cents; the harmonic frame
+    is O(N) of pure integers with partitioned windows only; everything
+    else is broadcast scalar algebra."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    v = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_x"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("cents"),
+    )
+    grp = v.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("l"),
+        F.sum("is_x").cast("long").alias("cx"),
+    )
+    tot = grp.agg(
+        F.sum("l").cast("long").alias("n_all"),
+        F.sum("cx").cast("long").alias("nx"),
+    )
+    w_cum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grp.select(
+        "l",
+        F.sum("l").over(w_cum).alias("b"),
+        F.sum("cx").over(w_cum).alias("mx"),
+    )
+    d_gap = F.col("n_all") * F.col("mx") - F.col("nx") * F.col("b")
+    a2 = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("b") < F.col("n_all"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l")
+                    * (
+                        (d_gap.cast("decimal(38,0)") * d_gap).cast("double")
+                        / (F.col("b").cast("double") * (F.col("n_all") - F.col("b")))
+                    )
+                    * 1e9
+                )
+                .cast("long")
+                .cast("decimal(38,0)")
+            )
+            .alias("qsum")
+        )
+    )
+    # harmonic frame 1..N-1: exact floor(1e12/i) integers, chunk-stitched
+    # prefix (8192-row blocks) instead of a global single-task window
+    n_total = int(v.count())  # one O(1) driver scalar to size the range
+    rng = spark.range(1, n_total).select(
+        F.col("id").alias("i"),
+        F.floor(F.lit(1e12) / F.col("id")).cast("long").alias("hq"),
+        F.floor((F.col("id") - 1) / F.lit(8192)).cast("long").alias("blk"),
+    )
+    w_in = Window.partitionBy("blk").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    blk_tot = rng.groupBy("blk").agg(F.sum("hq").cast("long").alias("bsum"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    blk_off = blk_tot.select(
+        "blk", F.coalesce(F.sum("bsum").over(w_blk), F.lit(0)).alias("off")
+    )
+    hpre = (
+        rng.withColumn("hp_in", F.sum("hq").over(w_in))
+        .join(F.broadcast(blk_off), "blk")
+        .select("i", (F.col("off") + F.col("hp_in")).alias("hp"))
+    )
+    hqsum_df = rng.agg(F.sum("hq").cast("long").alias("hqsum"))
+    gs = (
+        hpre.crossJoin(F.broadcast(hqsum_df))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("i") <= n_total - 2,
+                    F.floor(
+                        (F.col("hqsum") - F.col("hp"))
+                        / 1e12
+                        / (n_total - F.col("i"))
+                        * 1e9
+                    ).cast("long"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("gq"),
+            F.max("hqsum").alias("hqsum"),
+        )
+    )
+    sc = (
+        tot.crossJoin(F.broadcast(a2))
+        .crossJoin(F.broadcast(gs))
+        .select(
+            F.col("nx"),
+            (F.col("n_all") - F.col("nx")).alias("ny"),
+            F.col("n_all").cast("double").alias("nd"),
+            (
+                (F.col("qsum") / 1e9) / F.col("nx") / (F.col("n_all") - F.col("nx"))
+            ).alias("a2u"),
+            (F.col("hqsum") / 1e12).alias("h"),
+            (F.col("gq") / 1e9).alias("g"),
+            (F.lit(1.0) / F.col("nx") + F.lit(1.0) / (F.col("n_all") - F.col("nx"))).alias("hh"),
+        )
+    )
+    g, h, hh, nd = F.col("g"), F.col("h"), F.col("hh"), F.col("nd")
+    sc2 = sc.select(
+        "nx",
+        "ny",
+        "a2u",
+        "nd",
+        (((4 * g - 6) + (10 - 6 * g) * hh) * nd * nd * nd).alias("va"),
+        (
+            (
+                (2 * g - 4) * 4
+                + 16 * h
+                + (2 * g - 14 * h - 4) * hh
+                - 8 * h
+                + 4 * g
+                - 6
+            )
+            * nd
+            * nd
+        ).alias("vb"),
+        (
+            (
+                (6 * h + 2 * g - 2) * 4
+                + (4 * h - 4 * g + 6) * 2
+                + (2 * h - 6) * hh
+                + 4 * h
+            )
+            * nd
+        ).alias("vc"),
+    )
+    var = (F.col("va") + F.col("vb") + F.col("vc") + 24.0) / (
+        (F.col("nd") - 1) * (F.col("nd") - 2) * (F.col("nd") - 3)
+    )
+    return sc2.select(
+        F.col("nx").alias("n_x"),
+        F.col("ny").alias("n_y"),
+        F.round(F.col("a2u"), 6).alias("a2_stat"),
+        F.round(F.sqrt(var), 6).alias("sigma"),
+        F.round((F.col("a2u") - 1.0) / F.sqrt(var), 4).alias("t_std"),
+    )

@@ -5966,3 +5966,427 @@ def stats_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(var), 6).alias("sigma"),
         F.round((F.col("a2u") - 1.0) / F.sqrt(var), 4).alias("t_std"),
     )
+
+
+@register(
+    "stats_yuen_trimmed_t",
+    """
+    WITH v AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_x,
+               CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS cents
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ), grp AS (
+        SELECT is_x, cents, CAST(COUNT(*) AS BIGINT) AS c
+        FROM v GROUP BY is_x, cents
+    ), tot AS (
+        SELECT is_x, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(FLOOR(0.2 * SUM(c)) AS BIGINT) AS g
+        FROM grp GROUP BY is_x
+    ), cum AS (
+        SELECT g.is_x, g.cents, g.c, t.n, t.g,
+               COALESCE(SUM(g.c) OVER (PARTITION BY g.is_x ORDER BY g.cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cumprev,
+               SUM(g.c) OVER (PARTITION BY g.is_x ORDER BY g.cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM grp g JOIN tot t ON t.is_x = g.is_x
+    ), stats AS (
+        SELECT is_x, MAX(n) AS n, MAX(g) AS g,
+               CAST(SUM(GREATEST(0, LEAST(cum, n - g)
+                        - GREATEST(cumprev, g)) * cents) AS BIGINT) AS ts,
+               CAST(SUM(CAST(GREATEST(0, LEAST(cum, n - g)
+                        - GREATEST(cumprev, g)) * cents AS HUGEINT)
+                        * cents) AS HUGEINT) AS tss,
+               MIN(CASE WHEN cum >= g + 1 THEN cents END) AS lo,
+               MIN(CASE WHEN cum >= n - g THEN cents END) AS hi
+        FROM cum GROUP BY is_x
+    ), w AS (
+        SELECT is_x, n, g, n - 2 * g AS h,
+               CAST(ts AS DOUBLE) / (n - 2 * g) AS tmean,
+               (CAST(tss + CAST(g AS HUGEINT) * lo * lo
+                     + CAST(g AS HUGEINT) * hi * hi AS DOUBLE)
+                - CAST(ts + g * (lo + hi) AS DOUBLE)
+                  * (ts + g * (lo + hi)) / n) / (n - 1) AS s2w
+        FROM stats
+    ), pair AS (
+        SELECT x.n AS n_x, y.n AS n_y, x.h AS h_x, y.h AS h_y,
+               x.tmean AS tm_x, y.tmean AS tm_y,
+               x.s2w * (x.n - 1) / (x.h * (x.h - 1.0)) AS d_x,
+               y.s2w * (y.n - 1) / (y.h * (y.h - 1.0)) AS d_y
+        FROM (SELECT * FROM w WHERE is_x = 1) x
+        CROSS JOIN (SELECT * FROM w WHERE is_x = 0) y
+    )
+    SELECT n_x, n_y, h_x, h_y,
+           ROUND(tm_x, 4) AS tmean_cents_x,
+           ROUND(tm_y, 4) AS tmean_cents_y,
+           ROUND((tm_x - tm_y) / SQRT(d_x + d_y), 4) AS t_yuen,
+           ROUND((d_x + d_y) * (d_x + d_y)
+                 / (d_x * d_x / (h_x - 1) + d_y * d_y / (h_y - 1)), 2)
+               AS df
+    FROM pair
+    """,
+)
+def stats_yuen_trimmed_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's trimmed-mean t-test (Yuen '74, 20% trim) on returned vs
+    available line revenues — the robust alternative to
+    ``stats_welch_t`` when tails are heavy. Order statistics never
+    materialize per row: per group the count of copies inside the
+    trimmed rank window (g+1 .. n−g) is max(0, min(cum, n−g) −
+    max(cumprev, g)) on the distinct-value cumulative frame, so the
+    trimmed sum, the winsorized sum ts + g·(x₍g+1₎+x₍n−g₎), and the
+    winsorized sum of squares (128-bit — cents² sums pass 2⁶³ at
+    sf0.1) are all exact integers. The Yuen standard error d_i =
+    s²_w(n−1)/(h(h−1)) and Welch–Satterthwaite df then fold in plain
+    double algebra mirrored expression-for-expression in the oracle.
+
+    Scale: one shuffle to (sample, value) counts, windows over the
+    O(distinct) frame partitioned by sample — same demotion as
+    ``stats_mad_outliers``."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    v = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_x"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("cents"),
+    )
+    grp = v.groupBy("is_x", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = grp.groupBy("is_x").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.floor(0.2 * F.sum("c")).cast("long").alias("g"),
+    )
+    w_prev = Window.partitionBy("is_x").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cur = Window.partitionBy("is_x").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        grp.join(F.broadcast(tot), "is_x")
+        .select(
+            "is_x",
+            "cents",
+            "c",
+            "n",
+            "g",
+            F.coalesce(F.sum("c").over(w_prev), F.lit(0)).alias("cumprev"),
+            F.sum("c").over(w_cur).alias("cum"),
+        )
+    )
+    inside = F.greatest(
+        F.lit(0),
+        F.least(F.col("cum"), F.col("n") - F.col("g"))
+        - F.greatest(F.col("cumprev"), F.col("g")),
+    )
+    stats = cum.groupBy("is_x").agg(
+        F.max("n").alias("n"),
+        F.max("g").alias("g"),
+        F.sum(inside * F.col("cents")).cast("long").alias("ts"),
+        F.sum(
+            (inside * F.col("cents")).cast("decimal(38,0)") * F.col("cents")
+        ).alias("tss"),
+        F.min(F.when(F.col("cum") >= F.col("g") + 1, F.col("cents"))).alias("lo"),
+        F.min(
+            F.when(F.col("cum") >= F.col("n") - F.col("g"), F.col("cents"))
+        ).alias("hi"),
+    )
+    g_, n_ = F.col("g"), F.col("n")
+    w = stats.select(
+        "is_x",
+        "n",
+        "g",
+        (n_ - 2 * g_).alias("h"),
+        (F.col("ts").cast("double") / (n_ - 2 * g_)).alias("tmean"),
+        (
+            (
+                (
+                    F.col("tss")
+                    + g_.cast("decimal(38,0)") * F.col("lo") * F.col("lo")
+                    + g_.cast("decimal(38,0)") * F.col("hi") * F.col("hi")
+                ).cast("double")
+                - (F.col("ts") + g_ * (F.col("lo") + F.col("hi"))).cast("double")
+                * (F.col("ts") + g_ * (F.col("lo") + F.col("hi")))
+                / n_
+            )
+            / (n_ - 1)
+        ).alias("s2w"),
+    )
+    x = w.filter(F.col("is_x") == 1).select(
+        F.col("n").alias("n_x"),
+        F.col("h").alias("h_x"),
+        F.col("tmean").alias("tm_x"),
+        (
+            F.col("s2w") * (F.col("n") - 1) / (F.col("h") * (F.col("h") - F.lit(1.0)))
+        ).alias("d_x"),
+    )
+    y = w.filter(F.col("is_x") == 0).select(
+        F.col("n").alias("n_y"),
+        F.col("h").alias("h_y"),
+        F.col("tmean").alias("tm_y"),
+        (
+            F.col("s2w") * (F.col("n") - 1) / (F.col("h") * (F.col("h") - F.lit(1.0)))
+        ).alias("d_y"),
+    )
+    dx, dy = F.col("d_x"), F.col("d_y")
+    return x.crossJoin(F.broadcast(y)).select(
+        "n_x",
+        "n_y",
+        "h_x",
+        "h_y",
+        F.round(F.col("tm_x"), 4).alias("tmean_cents_x"),
+        F.round(F.col("tm_y"), 4).alias("tmean_cents_y"),
+        F.round((F.col("tm_x") - F.col("tm_y")) / F.sqrt(dx + dy), 4).alias(
+            "t_yuen"
+        ),
+        F.round(
+            (dx + dy) * (dx + dy)
+            / (dx * dx / (F.col("h_x") - 1) + dy * dy / (F.col("h_y") - 1)),
+            2,
+        ).alias("df"),
+    )
+
+
+@register(
+    "stats_mood_scale",
+    """
+    WITH v AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_x,
+               CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS cents
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ), grp AS (
+        SELECT cents, CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(SUM(is_x) AS BIGINT) AS cx
+        FROM v GROUP BY cents
+    ), tot AS (
+        SELECT CAST(SUM(t) AS BIGINT) AS n_all,
+               CAST(SUM(cx) AS BIGINT) AS nx,
+               CAST(SUM(CASE WHEN t > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tie_values
+        FROM grp
+    ), cum AS (
+        SELECT t, cx,
+               COALESCE(SUM(t) OVER (ORDER BY cents ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+        FROM grp
+    ), m4 AS (
+        SELECT CAST(SUM(cx * (2 * base + t - n_all)
+                        * (2 * base + t - n_all)) AS BIGINT) AS m4
+        FROM cum CROSS JOIN tot
+    )
+    SELECT t.nx AS n_x, t.n_all - t.nx AS n_y, t.tie_values,
+           ROUND(m.m4 / 4.0, 4) AS m_stat,
+           ROUND(CAST(t.nx AS DOUBLE)
+                 * (CAST(t.n_all AS DOUBLE) * t.n_all - 1) / 12, 4) AS e_m,
+           ROUND((m.m4 / 4.0
+                  - CAST(t.nx AS DOUBLE)
+                    * (CAST(t.n_all AS DOUBLE) * t.n_all - 1) / 12)
+                 / SQRT(CAST(t.nx AS DOUBLE) * (t.n_all - t.nx)
+                        * (t.n_all + 1)
+                        * (CAST(t.n_all AS DOUBLE) * t.n_all - 4) / 180),
+                 4) AS z
+    FROM m4 m CROSS JOIN tot t
+    """,
+)
+def stats_mood_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's two-sample scale test on returned vs available line
+    revenues: M = Σ_{i∈X} (rᵢ − (N+1)/2)² over pooled midranks —
+    detects dispersion differences where ``stats_mann_whitney``
+    (location) stays blind. Within a tie group every X member shares
+    the midrank base + (t+1)/2, so in HALF-UNITS the deviation is the
+    INTEGER u = 2·base + t − N and M = Σ cx·u²/4 folds exactly over
+    the distinct-value frame (one 4M just before the final divide).
+    E[M] = n(N²−1)/12 and Var[M] = nm(N+1)(N²−4)/180 are the
+    continuous-null moments (N⁴-scale, folded as doubles); tie_values
+    is exposed so the reader can judge the midrank approximation, the
+    same H0-reference discipline as ``stats_cvm_test``.
+
+    Scale: shuffle ∝ distinct cent values; one unpartitioned window
+    over the grouped frame only."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    v = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_x"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("cents"),
+    )
+    grp = v.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("is_x").cast("long").alias("cx"),
+    )
+    tot = grp.agg(
+        F.sum("t").cast("long").alias("n_all"),
+        F.sum("cx").cast("long").alias("nx"),
+        F.sum(F.when(F.col("t") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("tie_values"),
+    )
+    w_prev = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grp.select(
+        "t", "cx", F.coalesce(F.sum("t").over(w_prev), F.lit(0)).alias("base")
+    )
+    u = 2 * F.col("base") + F.col("t") - F.col("n_all")
+    m4 = cum.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.col("cx") * u * u).cast("long").alias("m4")
+    )
+    nxd = F.col("nx").cast("double")
+    nd = F.col("n_all").cast("double")
+    e_m = nxd * (nd * F.col("n_all") - 1) / 12
+    var_m = (
+        nxd
+        * (F.col("n_all") - F.col("nx"))
+        * (F.col("n_all") + 1)
+        * (nd * F.col("n_all") - 4)
+        / 180
+    )
+    return m4.crossJoin(F.broadcast(tot)).select(
+        F.col("nx").alias("n_x"),
+        (F.col("n_all") - F.col("nx")).alias("n_y"),
+        F.col("tie_values"),
+        F.round(F.col("m4") / 4.0, 4).alias("m_stat"),
+        F.round(e_m, 4).alias("e_m"),
+        F.round((F.col("m4") / 4.0 - e_m) / F.sqrt(var_m), 4).alias("z"),
+    )
+
+
+@register(
+    "stats_brunner_munzel",
+    """
+    WITH v AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS s,
+               CAST(l_quantity AS BIGINT) AS q
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ), grp AS (
+        SELECT q, s, CAST(COUNT(*) AS BIGINT) AS c
+        FROM v GROUP BY q, s
+    ), pooled AS (
+        SELECT q, CAST(SUM(c) AS BIGINT) AS t FROM grp GROUP BY q
+    ), cumpool AS (
+        SELECT q, t,
+               COALESCE(SUM(t) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND 1 PRECEDING), 0) AS base
+        FROM pooled
+    ), cumgrp AS (
+        SELECT g.q, g.s, g.c,
+               COALESCE(SUM(g.c) OVER (PARTITION BY g.s ORDER BY g.q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS ibase
+        FROM grp g
+    ), joined AS (
+        SELECT cg.s, cg.c, cp.t, cp.base, cg.ibase
+        FROM cumgrp cg JOIN cumpool cp ON cp.q = cg.q
+    ), persample AS (
+        SELECT s, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * (2 * base + t + 1)) AS BIGINT) AS sum2r,
+               CAST(SUM(c * (2 * (base - ibase) + t - c)
+                        * (2 * (base - ibase) + t - c)) AS BIGINT)
+                   AS sum4dev
+        FROM joined GROUP BY s
+    ), sc AS (
+        SELECT x.n AS n1, y.n AS n2,
+               CAST(x.sum2r AS DOUBLE) / (2 * x.n) AS rbar1,
+               CAST(y.sum2r AS DOUBLE) / (2 * y.n) AS rbar2,
+               (x.sum4dev / 4.0
+                - x.n * (CAST(x.sum2r AS DOUBLE) / (2 * x.n)
+                         - (x.n + 1) / 2.0)
+                      * (CAST(x.sum2r AS DOUBLE) / (2 * x.n)
+                         - (x.n + 1) / 2.0)) / (x.n - 1) AS s2_1,
+               (y.sum4dev / 4.0
+                - y.n * (CAST(y.sum2r AS DOUBLE) / (2 * y.n)
+                         - (y.n + 1) / 2.0)
+                      * (CAST(y.sum2r AS DOUBLE) / (2 * y.n)
+                         - (y.n + 1) / 2.0)) / (y.n - 1) AS s2_2
+        FROM (SELECT * FROM persample WHERE s = 1) x
+        CROSS JOIN (SELECT * FROM persample WHERE s = 0) y
+    )
+    SELECT n1 AS n_x, n2 AS n_y,
+           ROUND((rbar2 - (n2 + 1) / 2.0) / n1, 6) AS p_hat,
+           ROUND(CAST(n1 AS DOUBLE) * n2 * (rbar2 - rbar1)
+                 / ((n1 + n2) * SQRT(n1 * s2_1 + n2 * s2_2)), 4) AS w_bm,
+           ROUND((n1 * s2_1 + n2 * s2_2) * (n1 * s2_1 + n2 * s2_2)
+                 / (n1 * s2_1 * (n1 * s2_1) / (n1 - 1)
+                    + n2 * s2_2 * (n2 * s2_2) / (n2 - 1)), 2) AS df
+    FROM sc
+    """,
+)
+def stats_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner–Munzel heteroscedastic rank test (Brunner & Munzel 2000)
+    on line quantities, returned vs available — the tie-robust,
+    unequal-variance replacement for Mann–Whitney, on a column with
+    only ~50 distinct values (maximally tie-heavy on purpose). Within
+    a tie group every member of sample i shares both the pooled
+    midrank base+(t+1)/2 and the within-sample midrank ibase+(c+1)/2,
+    so in HALF-UNITS 2R = 2·base+t+1 and 2(R−R*) = 2(base−ibase)+t−c
+    are INTEGERS and the rank means and the S²ᵢ deviation sums fold
+    exactly over the O(50) grouped frame (the R̄ᵢ recentering term is
+    subtracted in closed form). Statistic and Satterthwaite df follow
+    the standard implementation: W = n₁n₂(R̄₂−R̄₁)/(N√(n₁S₁²+n₂S₂²)),
+    p̂ = (R̄₂−(n₂+1)/2)/n₁ — the relative effect P(X<Y)+½P(X=Y).
+
+    Scale: one shuffle to (quantity, sample) counts; every window runs
+    over ≤2·distinct-quantity rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    v = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("s"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    grp = v.groupBy("q", "s").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    pooled = grp.groupBy("q").agg(F.sum("c").cast("long").alias("t"))
+    w_pool = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    cumpool = pooled.select(
+        "q", "t", F.coalesce(F.sum("t").over(w_pool), F.lit(0)).alias("base")
+    )
+    w_grp = Window.partitionBy("s").orderBy("q").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cumgrp = grp.select(
+        "q",
+        "s",
+        "c",
+        F.coalesce(F.sum("c").over(w_grp), F.lit(0)).alias("ibase"),
+    )
+    joined = cumgrp.join(cumpool, "q")
+    dev2 = 2 * (F.col("base") - F.col("ibase")) + F.col("t") - F.col("c")
+    persample = joined.groupBy("s").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * (2 * F.col("base") + F.col("t") + 1))
+        .cast("long")
+        .alias("sum2r"),
+        F.sum(F.col("c") * dev2 * dev2).cast("long").alias("sum4dev"),
+    )
+    def _side(sval: int, suffix: str):
+        p = persample.filter(F.col("s") == sval)
+        rbar = F.col("sum2r").cast("double") / (2 * F.col("n"))
+        dev = rbar - (F.col("n") + 1) / F.lit(2.0)
+        return p.select(
+            F.col("n").alias(f"n{suffix}"),
+            rbar.alias(f"rbar{suffix}"),
+            (
+                (F.col("sum4dev") / 4.0 - F.col("n") * dev * dev)
+                / (F.col("n") - 1)
+            ).alias(f"s2_{suffix}"),
+        )
+    sc = _side(1, "1").crossJoin(F.broadcast(_side(0, "2")))
+    n1, n2 = F.col("n1"), F.col("n2")
+    s21, s22 = F.col("s2_1"), F.col("s2_2")
+    pooled_var = n1 * s21 + n2 * s22
+    return sc.select(
+        n1.alias("n_x"),
+        n2.alias("n_y"),
+        F.round((F.col("rbar2") - (n2 + 1) / F.lit(2.0)) / n1, 6).alias("p_hat"),
+        F.round(
+            n1.cast("double") * n2 * (F.col("rbar2") - F.col("rbar1"))
+            / ((n1 + n2) * F.sqrt(pooled_var)),
+            4,
+        ).alias("w_bm"),
+        F.round(
+            pooled_var * pooled_var
+            / (
+                n1 * s21 * (n1 * s21) / (n1 - 1)
+                + n2 * s22 * (n2 * s22) / (n2 - 1)
+            ),
+            2,
+        ).alias("df"),
+    )

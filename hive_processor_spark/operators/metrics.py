@@ -6390,3 +6390,88 @@ def stats_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("df"),
     )
+
+
+@register(
+    "ml_mcc_fbeta",
+    """
+    WITH s AS (
+        SELECT (event_type = 'purchase') AS y,
+               (value >= 100.0) AS pred
+        FROM events
+    ), c AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE y AND pred) AS BIGINT) AS tp,
+               CAST(COUNT(*) FILTER (WHERE NOT y AND pred) AS BIGINT) AS fp,
+               CAST(COUNT(*) FILTER (WHERE y AND NOT pred) AS BIGINT) AS fn,
+               CAST(COUNT(*) FILTER (WHERE NOT y AND NOT pred) AS BIGINT)
+                   AS tn
+        FROM s
+    )
+    SELECT tp, fp, fn, tn,
+           ROUND((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                 / SQRT(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                        * (tn + fp) * (tn + fn)), 6) AS mcc,
+           ROUND(5.0 * tp / (5.0 * tp + 4.0 * fn + fp), 6) AS f2,
+           ROUND((CAST(tp AS DOUBLE) / (tp + fn)
+                  + CAST(tn AS DOUBLE) / (tn + fp)) / 2, 6)
+               AS balanced_accuracy,
+           ROUND(CAST(tp AS DOUBLE) / (tp + fn)
+                 + CAST(tn AS DOUBLE) / (tn + fp) - 1, 6) AS youden_j,
+           ROUND(CAST(tp AS DOUBLE) / (tp + fp)
+                 + CAST(tn AS DOUBLE) / (tn + fn) - 1, 6) AS markedness
+    FROM c
+    """,
+)
+def ml_mcc_fbeta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-robust classification metrics from the same confusion
+    matrix as ``ml_confusion_matrix`` (purchase vs value ≥ 100):
+    Matthews correlation (the binary Pearson φ — the one single-number
+    summary that survives class imbalance), F₂ = 5tp/(5tp+4fn+fp)
+    (recall-weighted F-beta, the triage/retrieval operating point),
+    balanced accuracy, Youden's J (informedness = sensitivity +
+    specificity − 1, the ROC-curve height actually achieved) and
+    markedness (its precision-side dual; MCC² = J·markedness). Counts
+    are exact integers from one conditional-aggregation pass; the
+    MCC's four marginal products are folded as doubles only in the
+    final scalar expression.
+
+    Scale: one map-side-combinable aggregation over the fact table —
+    no shuffle beyond the 4-cell reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        (F.col("event_type") == "purchase").alias("y"),
+        (F.col("value") >= 100.0).alias("pred"),
+    )
+    c = s.agg(
+        F.count(F.when(F.col("y") & F.col("pred"), 1)).cast("long").alias("tp"),
+        F.count(F.when(~F.col("y") & F.col("pred"), 1)).cast("long").alias("fp"),
+        F.count(F.when(F.col("y") & ~F.col("pred"), 1)).cast("long").alias("fn"),
+        F.count(F.when(~F.col("y") & ~F.col("pred"), 1)).cast("long").alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    return c.select(
+        tp,
+        fp,
+        fn,
+        tn,
+        F.round(
+            (tp.cast("double") * tn - fp.cast("double") * fn)
+            / F.sqrt(
+                (tp + fp).cast("double") * (tp + fn) * (tn + fp) * (tn + fn)
+            ),
+            6,
+        ).alias("mcc"),
+        F.round(5.0 * tp / (5.0 * tp + 4.0 * fn + fp), 6).alias("f2"),
+        F.round(
+            (tp.cast("double") / (tp + fn) + tn.cast("double") / (tn + fp)) / 2,
+            6,
+        ).alias("balanced_accuracy"),
+        F.round(
+            tp.cast("double") / (tp + fn) + tn.cast("double") / (tn + fp) - 1,
+            6,
+        ).alias("youden_j"),
+        F.round(
+            tp.cast("double") / (tp + fp) + tn.cast("double") / (tn + fn) - 1,
+            6,
+        ).alias("markedness"),
+    )

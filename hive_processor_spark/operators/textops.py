@@ -2792,3 +2792,177 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_total"), "pair")
         .limit(20)
     )
+
+
+@register(
+    "text_good_turing",
+    """
+    WITH toks AS (
+        SELECT STRING_SPLIT(TRIM(text), ' ') AS w FROM documents
+    ), bg AS (
+        SELECT w[i] || ' ' || w[i + 1] AS gram
+        FROM toks, UNNEST(RANGE(1, LEN(w))) AS t(i)
+    ), tf AS (
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS f
+        FROM bg GROUP BY gram
+    ), fof AS (
+        SELECT f AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+        FROM tf GROUP BY f
+    ), tot AS (
+        SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_r) AS BIGINT) AS vocab,
+               CAST(COALESCE(SUM(CASE WHEN r = 1 THEN n_r END), 0)
+                    AS BIGINT) AS n1
+        FROM fof
+    )
+    SELECT a.r, a.n_r,
+           ROUND((a.r + 1) * CAST(b.n_r AS DOUBLE) / a.n_r, 6) AS r_star,
+           ROUND((a.r + 1) * CAST(b.n_r AS DOUBLE) / a.n_r / t.n_tokens,
+                 9) AS p_gt,
+           ROUND(CAST(a.r AS DOUBLE) / t.n_tokens, 9) AS p_mle,
+           ROUND(CAST(t.n1 AS DOUBLE) / t.n_tokens, 9) AS p0_unseen_mass,
+           t.n_tokens, t.vocab
+    FROM fof a JOIN fof b ON b.r = a.r + 1
+    CROSS JOIN tot t
+    WHERE a.r <= 10
+    ORDER BY a.r
+    """,
+)
+def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing frequency re-estimation (Good '53) over the corpus
+    word-BIGRAM frequency table (the fixture's unigram vocabulary is
+    saturated — every word appears ~900×, so the low-frequency tail
+    Good–Turing feeds on only exists at the bigram level): for each
+    observed count r ≤ 10 with N_{r+1} > 0, the adjusted count
+    r* = (r+1)·N_{r+1}/N_r, its probability r*/N against the MLE r/N,
+    and the unseen-mass estimate P₀ = N₁/N — the smoothing step under
+    Katz backoff and the standard "how much of the language have we
+    not seen" answer for corpus-coverage planning (complements
+    ``text_vocab_coverage`` and the Kneser–Ney discounting in
+    ``text_kneser_ney_bigram``). Frequencies-of-frequencies are exact
+    integers; every ratio is one closed-form division; N₁ comes from a
+    conditional aggregate so the column is a well-defined 0 when no
+    hapax bigrams exist (sf0.1).
+
+    Scale: one explode-aggregate to bigram frequencies (shuffle ∝
+    bigram vocab), then the N_r table is O(distinct counts) —
+    broadcast algebra."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        F.explode(
+            F.expr(
+                "transform(slice(split(trim(text), ' '), 1,"
+                " size(split(trim(text), ' ')) - 1),"
+                " (x, i) -> concat(x, ' ',"
+                " element_at(split(trim(text), ' '), i + 2)))"
+            )
+        ).alias("gram")
+    )
+    tf = bg.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    fof = tf.groupBy(F.col("f").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    tot = fof.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"),
+        F.sum("n_r").cast("long").alias("vocab"),
+        F.coalesce(F.sum(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    a = fof.select(F.col("r"), F.col("n_r"))
+    b = fof.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next"))
+    r_star = (F.col("r") + 1) * F.col("n_r_next").cast("double") / F.col("n_r")
+    return (
+        a.join(b, "r")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("r") <= 10)
+        .select(
+            "r",
+            "n_r",
+            F.round(r_star, 6).alias("r_star"),
+            F.round(r_star / F.col("n_tokens"), 9).alias("p_gt"),
+            F.round(F.col("r").cast("double") / F.col("n_tokens"), 9).alias(
+                "p_mle"
+            ),
+            F.round(
+                F.col("n1").cast("double") / F.col("n_tokens"), 9
+            ).alias("p0_unseen_mass"),
+            "n_tokens",
+            "vocab",
+        )
+        .orderBy("r")
+    )
+
+
+@register(
+    "text_yule_k",
+    """
+    WITH tf AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS word
+              FROM documents) t
+        WHERE word <> ''
+        GROUP BY word
+    ), sums AS (
+        SELECT CAST(SUM(f) AS BIGINT) AS n,
+               CAST(SUM(f * f) AS BIGINT) AS s2,
+               CAST(SUM(f * (f - 1)) AS BIGINT) AS rep2,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM tf
+    )
+    SELECT n AS n_tokens, v AS vocab,
+           ROUND(10000.0 * (s2 - n) / (CAST(n AS DOUBLE) * n), 6)
+               AS yule_k,
+           ROUND(CAST(rep2 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1)), 9) AS simpson_d,
+           ROUND(LN(CAST(v AS DOUBLE)) / LN(CAST(n AS DOUBLE)), 6)
+               AS herdan_c,
+           ROUND(CAST(v AS DOUBLE) / SQRT(CAST(n AS DOUBLE)), 6)
+               AS guiraud_r
+    FROM sums
+    """,
+)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic vocabulary-richness constants from one term-frequency
+    pass: Yule's characteristic K = 10⁴(Σf² − N)/N² (repeat-rate of
+    words, length-invariant by design — the stylometry constant), the
+    Simpson/Herfindahl repeat probability D = Σf(f−1)/(N(N−1)), Herdan's
+    C = lnV/lnN and Guiraud's R = V/√N (the two length-compensated
+    type-token ratios; complements the windowed ``text_mattr``, which
+    measures the same thing without the length-model assumption). All
+    moments are exact BIGINT folds over the term-frequency table; each
+    constant is one closed-form expression.
+
+    Scale: one explode-aggregate (shuffle ∝ vocab) then a scalar
+    reduce — nothing else."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(_words()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    f = F.col("f")
+    sums = tf.agg(
+        F.sum(f).cast("long").alias("n"),
+        F.sum(f * f).cast("long").alias("s2"),
+        F.sum(f * (f - 1)).cast("long").alias("rep2"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    n, v = F.col("n"), F.col("v")
+    return sums.select(
+        n.alias("n_tokens"),
+        v.alias("vocab"),
+        F.round(
+            10000.0 * (F.col("s2") - n) / (n.cast("double") * n), 6
+        ).alias("yule_k"),
+        F.round(
+            F.col("rep2").cast("double") / (n.cast("double") * (n - 1)), 9
+        ).alias("simpson_d"),
+        F.round(F.log(v.cast("double")) / F.log(n.cast("double")), 6).alias(
+            "herdan_c"
+        ),
+        F.round(v.cast("double") / F.sqrt(n.cast("double")), 6).alias(
+            "guiraud_r"
+        ),
+    )

@@ -6408,3 +6408,300 @@ def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_windows"), "sax_word")
         .limit(15)
     )
+
+
+@register(
+    "ts_croston",
+    """
+    WITH daily AS (
+        SELECT DATE_DIFF('day', DATE '1992-01-01',
+                         CAST(l_shipdate AS DATE)) AS day,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+        FROM lineitem
+        WHERE l_partkey % 97 = 0
+        GROUP BY 1
+    ), seq AS (
+        SELECT day, s,
+               ROW_NUMBER() OVER (ORDER BY day) AS k,
+               day - LAG(day) OVER (ORDER BY day) AS q,
+               COUNT(*) OVER () AS kk
+        FROM daily
+    ), folds AS (
+        SELECT MAX(kk) AS kk,
+               CAST(SUM(CASE WHEN k = 1 THEN
+                       CAST(FLOOR(POWER(0.5, kk - 1) * s * 1e9) AS BIGINT)
+                    ELSE
+                       CAST(FLOOR(0.5 * POWER(0.5, kk - k) * s * 1e9)
+                            AS BIGINT) END) AS BIGINT) AS zq,
+               CAST(SUM(CASE WHEN k = 2 THEN
+                       CAST(FLOOR(POWER(0.5, kk - 2) * q * 1e9) AS BIGINT)
+                    WHEN k > 2 THEN
+                       CAST(FLOOR(0.5 * POWER(0.5, kk - k) * q * 1e9)
+                            AS BIGINT) ELSE 0 END) AS BIGINT) AS xq,
+               CAST(SUM(s) AS BIGINT) AS stot,
+               CAST(MAX(day) - MIN(day) AS BIGINT) AS spanned
+        FROM seq
+    )
+    SELECT kk AS n_demand_days,
+           ROUND(CAST(stot AS DOUBLE) / kk, 6) AS mean_size,
+           ROUND(CAST(spanned AS DOUBLE) / (kk - 1), 6) AS mean_interval,
+           ROUND(zq / 1e9, 6) AS croston_size,
+           ROUND(xq / 1e9, 6) AS croston_interval,
+           ROUND((zq / 1e9) / (xq / 1e9), 6) AS forecast_rate,
+           ROUND(0.75 * (zq / 1e9) / (xq / 1e9), 6) AS sba_rate
+    FROM folds
+    """,
+)
+def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (Croston '72) for INTERMITTENT demand — daily
+    shipped quantity of the sparse part family partkey ≡ 0 (mod 97),
+    which leaves most days at zero so plain ``ts_ewma`` would chase
+    zeros: separate exponential smoothing of nonzero demand SIZES
+    (z, seeded with the first demand) and of inter-demand INTERVALS
+    (x, seeded with the first gap), forecast rate = z/x plus the
+    Syntetos–Boylan approximation (1−α/2)·z/x that corrects Croston's
+    positive bias. α = 0.5 ON PURPOSE: every smoothing weight is then
+    an exact power of two, so POWER(0.5, j) is bit-identical in both
+    engines and each weighted term floor-quantizes at 1e-9 into
+    integer folds — the recursion is evaluated as its closed-form
+    weighted sum, no sequential loop.
+
+    Scale: one aggregate to demand days (shuffle ∝ distinct days);
+    the window runs over the O(demand days) frame — the series frame
+    is small by construction, same posture as ``ts_ewma``."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 97 == 0
+    )
+    daily = li.groupBy(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("day")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("s"))
+    w_ord = Window.orderBy("day")
+    seq = daily.select(
+        "day",
+        "s",
+        F.row_number().over(w_ord).alias("k"),
+        (F.col("day") - F.lag("day").over(w_ord)).alias("q"),
+        F.count(F.lit(1))
+        .over(
+            Window.orderBy("day").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("kk"),
+    )
+    kk, k = F.col("kk"), F.col("k")
+    z_term = F.when(
+        k == 1,
+        F.floor(F.pow(F.lit(0.5), kk - 1) * F.col("s") * 1e9).cast("long"),
+    ).otherwise(
+        F.floor(0.5 * F.pow(F.lit(0.5), kk - k) * F.col("s") * 1e9).cast("long")
+    )
+    x_term = (
+        F.when(
+            k == 2,
+            F.floor(F.pow(F.lit(0.5), kk - 2) * F.col("q") * 1e9).cast("long"),
+        )
+        .when(
+            k > 2,
+            F.floor(0.5 * F.pow(F.lit(0.5), kk - k) * F.col("q") * 1e9).cast(
+                "long"
+            ),
+        )
+        .otherwise(F.lit(0))
+    )
+    folds = seq.agg(
+        F.max("kk").alias("kk"),
+        F.sum(z_term).cast("long").alias("zq"),
+        F.sum(x_term).cast("long").alias("xq"),
+        F.sum("s").cast("long").alias("stot"),
+        (F.max("day") - F.min("day")).cast("long").alias("spanned"),
+    )
+    return folds.select(
+        F.col("kk").alias("n_demand_days"),
+        F.round(F.col("stot").cast("double") / F.col("kk"), 6).alias(
+            "mean_size"
+        ),
+        F.round(
+            F.col("spanned").cast("double") / (F.col("kk") - 1), 6
+        ).alias("mean_interval"),
+        F.round(F.col("zq") / 1e9, 6).alias("croston_size"),
+        F.round(F.col("xq") / 1e9, 6).alias("croston_interval"),
+        F.round((F.col("zq") / 1e9) / (F.col("xq") / 1e9), 6).alias(
+            "forecast_rate"
+        ),
+        F.round(0.75 * (F.col("zq") / 1e9) / (F.col("xq") / 1e9), 6).alias(
+            "sba_rate"
+        ),
+    )
+
+
+@register(
+    "ops_littles_law",
+    """
+    WITH e AS (
+        SELECT user_id, EPOCH_US(ts) AS us, event_id FROM events
+    ), flagged AS (
+        SELECT user_id, us,
+               CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+        SELECT user_id, sno, MIN(us) AS s_us, MAX(us) AS e_us
+        FROM (
+            SELECT user_id, us,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sno
+            FROM flagged
+        ) GROUP BY user_id, sno
+    ), pts AS (
+        SELECT s_us AS t, 1 AS delta FROM sess
+        UNION ALL
+        SELECT e_us AS t, -1 AS delta FROM sess
+    ), keyed AS (
+        SELECT t, delta, t // 86400000000 AS day FROM pts
+    ), within AS (
+        SELECT day, t, delta,
+               SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cur_in,
+               LEAD(t) OVER (PARTITION BY day ORDER BY t, delta) AS t_next
+        FROM keyed
+    ), dayf AS (
+        SELECT day, CAST(SUM(delta) AS BIGINT) AS day_delta,
+               MIN(t) AS day_min
+        FROM keyed GROUP BY day
+    ), dayoff AS (
+        SELECT day,
+               COALESCE(SUM(day_delta) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS off,
+               LEAD(day_min) OVER (ORDER BY day) AS next_min
+        FROM dayf
+    ), integ AS (
+        SELECT CAST(SUM((w.cur_in + o.off)
+                        * (COALESCE(w.t_next, o.next_min) - w.t))
+                    AS BIGINT) AS i_sweep
+        FROM within w JOIN dayoff o ON o.day = w.day
+        WHERE COALESCE(w.t_next, o.next_min) IS NOT NULL
+    ), durs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(e_us - s_us) AS BIGINT) AS i_dur,
+               CAST(MAX(e_us) - MIN(s_us) AS BIGINT) AS span_us
+        FROM sess
+    )
+    SELECT d.n_sessions,
+           ROUND(d.span_us / 3.6e9, 4) AS span_hours,
+           ROUND(d.n_sessions / (d.span_us / 3.6e9), 6) AS lambda_per_hour,
+           ROUND((CAST(d.i_dur AS DOUBLE) / d.n_sessions) / 3.6e9, 6)
+               AS w_hours,
+           ROUND(CAST(i.i_sweep AS DOUBLE) / d.span_us, 6) AS l_time_avg,
+           CAST(i.i_sweep - d.i_dur AS BIGINT) AS resid_us
+    FROM durs d CROSS JOIN integ i
+    """,
+)
+def ops_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law audit L = λ·W over 30-minute-gap user sessions: the
+    arrival rate λ and mean time-in-system W come from per-session
+    aggregates, while the time-average number-in-system L comes from a
+    COMPLETELY INDEPENDENT computation path — a day-partitioned
+    endpoint sweep (+1/−1 deltas, running concurrency, Σ c·Δt with
+    day offsets stitched from per-day delta totals and the
+    cross-midnight gap term attached to the earlier day via the
+    day-frame LEAD, the same chunk-stitching as ``scan_rle_audit``).
+    Both paths are exact integer microseconds, so the residual
+    i_sweep − i_dur is the law's conservation identity and must be
+    EXACTLY 0 — a cross-check that the sweep machinery (shared with
+    ``events_concurrency``) conserves occupancy-time, published as a
+    BIGINT the hash gate pins.
+
+    Scale: sessionization shuffles by user, the sweep by day; both
+    windows partitioned, day-frame stitching is O(days)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", (F.unix_micros(F.col("ts"))).alias("us"), "event_id"
+    )
+    w_u = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = e.select(
+        "user_id",
+        "us",
+        F.when(
+            F.lag("us").over(w_u).isNull()
+            | (F.col("us") - F.lag("us").over(w_u) >= 1800000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        flagged.withColumn("sno", F.sum("new_session").over(w_run))
+        .groupBy("user_id", "sno")
+        .agg(F.min("us").alias("s_us"), F.max("us").alias("e_us"))
+    )
+    pts = sess.select(F.col("s_us").alias("t"), F.lit(1).alias("delta")).unionAll(
+        sess.select(F.col("e_us").alias("t"), F.lit(-1).alias("delta"))
+    )
+    keyed = pts.select("t", "delta", F.expr("t div 86400000000").alias("day"))
+    w_day = Window.partitionBy("day").orderBy("t", "delta")
+    within = keyed.select(
+        "day",
+        "t",
+        "delta",
+        F.sum("delta")
+        .over(w_day.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cur_in"),
+        F.lead("t").over(w_day).alias("t_next"),
+    )
+    dayf = keyed.groupBy("day").agg(
+        F.sum("delta").cast("long").alias("day_delta"),
+        F.min("t").alias("day_min"),
+    )
+    w_dord = Window.orderBy("day")
+    dayoff = dayf.select(
+        "day",
+        F.coalesce(
+            F.sum("day_delta").over(
+                w_dord.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+        F.lead("day_min").over(w_dord).alias("next_min"),
+    )
+    integ = (
+        within.join(F.broadcast(dayoff), "day")
+        .filter(F.coalesce(F.col("t_next"), F.col("next_min")).isNotNull())
+        .agg(
+            F.sum(
+                (F.col("cur_in") + F.col("off"))
+                * (F.coalesce(F.col("t_next"), F.col("next_min")) - F.col("t"))
+            )
+            .cast("long")
+            .alias("i_sweep")
+        )
+    )
+    durs = sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.col("e_us") - F.col("s_us")).cast("long").alias("i_dur"),
+        (F.max("e_us") - F.min("s_us")).cast("long").alias("span_us"),
+    )
+    return durs.crossJoin(F.broadcast(integ)).select(
+        "n_sessions",
+        F.round(F.col("span_us") / 3.6e9, 4).alias("span_hours"),
+        F.round(
+            F.col("n_sessions") / (F.col("span_us") / 3.6e9), 6
+        ).alias("lambda_per_hour"),
+        F.round(
+            (F.col("i_dur").cast("double") / F.col("n_sessions")) / 3.6e9, 6
+        ).alias("w_hours"),
+        F.round(F.col("i_sweep").cast("double") / F.col("span_us"), 6).alias(
+            "l_time_avg"
+        ),
+        (F.col("i_sweep") - F.col("i_dur")).cast("long").alias("resid_us"),
+    )

@@ -794,3 +794,143 @@ def market_cross_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("my") - own * F.col("m1") - cross * F.col("m2"), 4
         ).alias("intercept"),
     )
+
+
+@register(
+    "market_price_index",
+    """
+    WITH py AS (
+        SELECT l_partkey AS pk,
+               CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01' THEN 1
+                    ELSE 0 END AS yr,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT))
+                    AS BIGINT) AS rev_q,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_partkey,
+                 CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01' THEN 1
+                      ELSE 0 END
+    ), m AS (
+        SELECT a.pk, a.rev_q AS rev0, a.qty AS q0,
+               b.rev_q AS rev1, b.qty AS q1
+        FROM (SELECT * FROM py WHERE yr = 0) a
+        JOIN (SELECT * FROM py WHERE yr = 1) b ON b.pk = a.pk
+    ), tot AS (
+        SELECT CAST(SUM(rev0) AS BIGINT) AS trev0,
+               CAST(SUM(rev1) AS BIGINT) AS trev1
+        FROM m
+    ), folds AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(CAST(FLOOR(rev1 / 1e4 / q1 * q0 * 1e6) AS BIGINT))
+                    AS HUGEINT) AS lnum,
+               CAST(SUM(CAST(FLOOR(rev0 / 1e4 / q0 * q1 * 1e6) AS BIGINT))
+                    AS HUGEINT) AS pden,
+               CAST(SUM(CAST(FLOOR(
+                   0.5 * (CAST(rev0 AS DOUBLE) / trev0
+                          + CAST(rev1 AS DOUBLE) / trev1)
+                   * LN(CAST(rev1 * q0 AS DOUBLE) / (rev0 * q1))
+                   * 1e9) AS BIGINT)) AS BIGINT) AS tq
+        FROM m CROSS JOIN tot
+    )
+    SELECT f.n_parts,
+           ROUND((f.lnum / 1e6) / (t.trev0 / 1e4), 6) AS laspeyres,
+           ROUND((t.trev1 / 1e4) / (f.pden / 1e6), 6) AS paasche,
+           ROUND(SQRT(((f.lnum / 1e6) / (t.trev0 / 1e4))
+                      * ((t.trev1 / 1e4) / (f.pden / 1e6))), 6) AS fisher,
+           ROUND(EXP(f.tq / 1e9), 6) AS tornqvist
+    FROM folds f CROSS JOIN tot t
+    """,
+)
+def market_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral price-index suite between 1996 and 1997 over parts
+    shipped in both years, with per-part unit values rev/qty as prices:
+    Laspeyres Σp₁q₀/Σp₀q₀ (base-period basket), Paasche Σp₁q₁/Σp₀q₁
+    (current basket), their geometric mean Fisher (the "ideal" index
+    that passes the time-reversal test), and the Törnqvist
+    exp(Σ½(s₀+s₁)ln(p₁/p₀)) superlative index — the standard inflation
+    measurement toolkit (ILO CPI manual ch. 15–17), complementing the
+    single-good ``market_elasticity``. Revenues are 1e-4-quantized
+    BIGINTs, so every basket term (rev₁/q₁·q₀ etc.) folds as
+    floor-quantized integers in 128-bit accumulators, and the
+    Törnqvist's ln terms quantize at 1e-9 like ``profile_mutual_info``
+    — the four indexes are parallelism-stable to the last digit.
+
+    Scale: one partial→final aggregate to (part, year), one co-located
+    self-join on partkey, then scalar algebra."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    py = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.when(
+            F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")), 1
+        )
+        .otherwise(0)
+        .alias("yr"),
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 10000.0).cast("long"))
+        .cast("long")
+        .alias("rev_q"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+    )
+    a = py.filter(F.col("yr") == 0).select(
+        "pk",
+        F.col("rev_q").alias("rev0"),
+        F.col("qty").alias("q0"),
+    )
+    b = py.filter(F.col("yr") == 1).select(
+        "pk",
+        F.col("rev_q").alias("rev1"),
+        F.col("qty").alias("q1"),
+    )
+    m = a.join(b, "pk")
+    tot = m.agg(
+        F.sum("rev0").cast("long").alias("trev0"),
+        F.sum("rev1").cast("long").alias("trev1"),
+    )
+    ln_ratio = F.log(
+        (F.col("rev1") * F.col("q0")).cast("double")
+        / (F.col("rev0") * F.col("q1"))
+    )
+    folds = m.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(
+            F.floor(
+                F.col("rev1") / 1e4 / F.col("q1") * F.col("q0") * 1e6
+            )
+            .cast("long")
+            .cast("decimal(38,0)")
+        ).alias("lnum"),
+        F.sum(
+            F.floor(
+                F.col("rev0") / 1e4 / F.col("q0") * F.col("q1") * 1e6
+            )
+            .cast("long")
+            .cast("decimal(38,0)")
+        ).alias("pden"),
+        F.sum(
+            F.floor(
+                0.5
+                * (
+                    F.col("rev0").cast("double") / F.col("trev0")
+                    + F.col("rev1").cast("double") / F.col("trev1")
+                )
+                * ln_ratio
+                * 1e9
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("tq"),
+    )
+    lasp = (F.col("lnum") / 1e6) / (F.col("trev0") / 1e4)
+    paas = (F.col("trev1") / 1e4) / (F.col("pden") / 1e6)
+    return folds.crossJoin(F.broadcast(tot)).select(
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+        F.round(F.exp(F.col("tq") / 1e9), 6).alias("tornqvist"),
+    )

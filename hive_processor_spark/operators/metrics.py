@@ -6475,3 +6475,384 @@ def ml_mcc_fbeta(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("markedness"),
     )
+
+
+@register(
+    "stats_partial_corr",
+    """
+    WITH v AS (
+        SELECT CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS x,
+               CAST(l_quantity AS BIGINT) AS y,
+               CAST(FLOOR(l_discount * 10000.0) AS BIGINT) AS z
+        FROM lineitem
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(z) AS BIGINT) AS sz,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(z * z) AS BIGINT) AS szz,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * z) AS BIGINT) AS sxz,
+               CAST(SUM(y * z) AS BIGINT) AS syz
+        FROM v
+    ), r AS (
+        SELECT n,
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * syy
+                         - CAST(sy AS DOUBLE) * sy)) AS rxy,
+               (CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
+               / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * szz
+                         - CAST(sz AS DOUBLE) * sz)) AS rxz,
+               (CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
+               / SQRT((CAST(n AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy)
+                      * (CAST(n AS DOUBLE) * szz
+                         - CAST(sz AS DOUBLE) * sz)) AS ryz
+        FROM s
+    )
+    SELECT n, ROUND(rxy, 6) AS r_xy, ROUND(rxz, 6) AS r_xz,
+           ROUND(ryz, 6) AS r_yz,
+           ROUND((rxy - rxz * ryz)
+                 / SQRT((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+               AS r_xy_given_z
+    FROM r
+    """,
+)
+def stats_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation r_xy·z (revenue vs quantity,
+    CONTROLLING for discount) via the recursion (r_xy − r_xz·r_yz)/
+    √((1−r_xz²)(1−r_yz²)) — the profiler's answer to "is the
+    price–quantity association real or driven by the discount policy?"
+    (complements ``ml_covariance``'s raw association and
+    ``stats_vif``'s multicollinearity screen). All ten sufficient
+    moments are exact integers from ONE pass (cents, units, basis
+    points; the one >2⁶³ moment Σx² in 128-bit), so the three Pearson
+    correlations and the partialled coefficient are closed-form
+    algebra with zero accumulation nondeterminism.
+
+    Scale: a single map-side-combined aggregate over the fact table —
+    no shuffle beyond the 10-cell reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+        F.floor(F.col("l_discount") * 10000.0).cast("long").alias("z"),
+    )
+    x, y, z = F.col("x"), F.col("y"), F.col("z")
+    s = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(z).cast("long").alias("sz"),
+        F.sum(x.cast("decimal(38,0)") * x).alias("sxx"),
+        F.sum(y * y).cast("long").alias("syy"),
+        F.sum(z * z).cast("long").alias("szz"),
+        F.sum(x * y).cast("long").alias("sxy"),
+        F.sum(x * z).cast("long").alias("sxz"),
+        F.sum(y * z).cast("long").alias("syz"),
+    )
+    n = F.col("n").cast("double")
+    vx = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    vz = n * F.col("szz") - F.col("sz").cast("double") * F.col("sz")
+    rxy = (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / F.sqrt(
+        vx * vy
+    )
+    rxz = (n * F.col("sxz") - F.col("sx").cast("double") * F.col("sz")) / F.sqrt(
+        vx * vz
+    )
+    ryz = (n * F.col("syz") - F.col("sy").cast("double") * F.col("sz")) / F.sqrt(
+        vy * vz
+    )
+    r = s.select(
+        F.col("n"),
+        rxy.alias("rxy"),
+        rxz.alias("rxz"),
+        ryz.alias("ryz"),
+    )
+    return r.select(
+        "n",
+        F.round(F.col("rxy"), 6).alias("r_xy"),
+        F.round(F.col("rxz"), 6).alias("r_xz"),
+        F.round(F.col("ryz"), 6).alias("r_yz"),
+        F.round(
+            (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+            / F.sqrt(
+                (1 - F.col("rxz") * F.col("rxz"))
+                * (1 - F.col("ryz") * F.col("ryz"))
+            ),
+            6,
+        ).alias("r_xy_given_z"),
+    )
+
+
+@register(
+    "ts_variance_ratio",
+    """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT))
+                    AS BIGINT) AS rev_q
+        FROM lineitem GROUP BY 1
+    ), rets AS (
+        SELECT CAST(FLOOR(LN(CAST(rev_q AS DOUBLE)
+                             / LAG(rev_q) OVER (ORDER BY day)) * 1e6)
+                    AS BIGINT) AS r,
+               ROW_NUMBER() OVER (ORDER BY day) AS i
+        FROM daily
+    ), rr AS (
+        SELECT r, i,
+               SUM(r) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING
+                            AND CURRENT ROW) AS s2,
+               SUM(r) OVER (ORDER BY i ROWS BETWEEN 3 PRECEDING
+                            AND CURRENT ROW) AS s4
+        FROM rets WHERE r IS NOT NULL
+    ), ag AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(SUM(r) AS BIGINT) AS sr,
+               CAST(SUM(r * r) AS BIGINT) AS srr,
+               CAST(COUNT(*) FILTER (WHERE i >= 3) AS BIGINT) AS t2,
+               CAST(SUM(s2) FILTER (WHERE i >= 3) AS BIGINT) AS ss2,
+               CAST(SUM(s2 * s2) FILTER (WHERE i >= 3) AS BIGINT) AS ss22,
+               CAST(COUNT(*) FILTER (WHERE i >= 5) AS BIGINT) AS t4,
+               CAST(SUM(s4) FILTER (WHERE i >= 5) AS BIGINT) AS ss4,
+               CAST(SUM(s4 * s4) FILTER (WHERE i >= 5) AS BIGINT) AS ss44
+        FROM rr
+    ), sc AS (
+        SELECT t,
+               (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / t) / t
+                   AS var1,
+               (CAST(ss22 AS DOUBLE)
+                - 2.0 * (CAST(sr AS DOUBLE) / t) * 2 * ss2
+                + t2 * (CAST(sr AS DOUBLE) / t) * (CAST(sr AS DOUBLE) / t)
+                  * 4) / t2 / 2 AS var2,
+               (CAST(ss44 AS DOUBLE)
+                - 2.0 * (CAST(sr AS DOUBLE) / t) * 4 * ss4
+                + t4 * (CAST(sr AS DOUBLE) / t) * (CAST(sr AS DOUBLE) / t)
+                  * 16) / t4 / 4 AS var4
+        FROM ag
+    )
+    SELECT t AS n_returns,
+           ROUND(var2 / var1, 6) AS vr2,
+           ROUND((var2 / var1 - 1)
+                 / SQRT(2.0 * (2 * 2 - 1) * (2 - 1) / (3.0 * 2 * t)), 4)
+               AS z2,
+           ROUND(var4 / var1, 6) AS vr4,
+           ROUND((var4 / var1 - 1)
+                 / SQRT(2.0 * (2 * 4 - 1) * (4 - 1) / (3.0 * 4 * t)), 4)
+               AS z4
+    FROM sc
+    """,
+)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo–MacKinlay variance-ratio test (Lo & MacKinlay '88, simple
+    overlapping homoscedastic form) on daily log revenue returns: if
+    the series is a random walk, the variance of q-day sums is q× the
+    one-day variance, so VR(q) → 1; VR < 1 flags mean reversion, > 1
+    momentum — the standard efficient-markets diagnostic,
+    complementing ``ts_hurst`` (which estimates the same departure as
+    an exponent) and ``ml_autocorr``. Returns are 1e-6-quantized
+    integers; the overlapping q-sums are EXACT integer window sums, so
+    the three variances come from integer moments expanded as
+    Σ(s−qμ)² = Σs² − 2qμΣs + T_q q²μ² with deterministic double
+    algebra; z uses the asymptotic null sd √(2(2q−1)(q−1)/(3qT)).
+
+    Scale: one aggregate to the O(days) series; lag/sliding windows
+    run on that tiny ordered frame only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 10000.0).cast("long"))
+        .cast("long")
+        .alias("rev_q")
+    )
+    w_ord = Window.orderBy("day")
+    rets = daily.select(
+        F.floor(
+            F.log(
+                F.col("rev_q").cast("double") / F.lag("rev_q").over(w_ord)
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("r"),
+        F.row_number().over(w_ord).alias("i"),
+    ).filter(F.col("r").isNotNull())
+    w_i = Window.orderBy("i")
+    rr = rets.select(
+        "r",
+        "i",
+        F.sum("r").over(w_i.rowsBetween(-1, 0)).alias("s2"),
+        F.sum("r").over(w_i.rowsBetween(-3, 0)).alias("s4"),
+    )
+    ag = rr.agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("r").cast("long").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("srr"),
+        F.count(F.when(F.col("i") >= 3, 1)).cast("long").alias("t2"),
+        F.sum(F.when(F.col("i") >= 3, F.col("s2"))).cast("long").alias("ss2"),
+        F.sum(F.when(F.col("i") >= 3, F.col("s2") * F.col("s2")))
+        .cast("long")
+        .alias("ss22"),
+        F.count(F.when(F.col("i") >= 5, 1)).cast("long").alias("t4"),
+        F.sum(F.when(F.col("i") >= 5, F.col("s4"))).cast("long").alias("ss4"),
+        F.sum(F.when(F.col("i") >= 5, F.col("s4") * F.col("s4")))
+        .cast("long")
+        .alias("ss44"),
+    )
+    t = F.col("t")
+    mu = F.col("sr").cast("double") / t
+    var1 = (F.col("srr").cast("double") - F.col("sr").cast("double") * F.col("sr") / t) / t
+    var2 = (
+        (
+            F.col("ss22").cast("double")
+            - 2.0 * mu * 2 * F.col("ss2")
+            + F.col("t2") * mu * mu * 4
+        )
+        / F.col("t2")
+        / 2
+    )
+    var4 = (
+        (
+            F.col("ss44").cast("double")
+            - 2.0 * mu * 4 * F.col("ss4")
+            + F.col("t4") * mu * mu * 16
+        )
+        / F.col("t4")
+        / 4
+    )
+    return ag.select(
+        t.alias("n_returns"),
+        F.round(var2 / var1, 6).alias("vr2"),
+        F.round(
+            (var2 / var1 - 1)
+            / F.sqrt(2.0 * (2 * 2 - 1) * (2 - 1) / (3.0 * 2 * t)),
+            4,
+        ).alias("z2"),
+        F.round(var4 / var1, 6).alias("vr4"),
+        F.round(
+            (var4 / var1 - 1)
+            / F.sqrt(2.0 * (2 * 4 - 1) * (4 - 1) / (3.0 * 4 * t)),
+            4,
+        ).alias("z4"),
+    )
+
+
+@register(
+    "spc_page_hinkley",
+    """
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), seq AS (
+        SELECT day, x,
+               ROW_NUMBER() OVER (ORDER BY day) AS i,
+               SUM(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS cx
+        FROM daily
+    ), dev AS (
+        SELECT day, i,
+               CAST(FLOOR((x - CAST(cx AS DOUBLE) / i) * 1e9) AS BIGINT)
+                   AS dq
+        FROM seq
+    ), m AS (
+        SELECT day,
+               SUM(dq) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS mt
+        FROM dev
+    ), ph AS (
+        SELECT day,
+               mt - MIN(mt) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS pht
+        FROM m
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(MAX(pht) / 1e9, 6) AS max_ph,
+           ROUND(MAX(CASE WHEN day = (SELECT MAX(day) FROM ph)
+                          THEN pht END) / 1e9, 6) AS final_ph,
+           CAST(COUNT(*) FILTER (WHERE pht > 100000000000) AS BIGINT)
+               AS n_alarm_days,
+           COALESCE(STRFTIME(MIN(CASE WHEN pht > 100000000000
+                                      THEN day END), '%Y-%m-%d'), 'none')
+               AS first_alarm_day
+    FROM ph
+    """,
+)
+def spc_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley upward-drift detector (Page '54; the streaming-ML
+    drift monitor in MOA/river) over daily event counts: mₜ = Σ(xᵢ −
+    x̄ᵢ) with x̄ᵢ the RUNNING mean, PHₜ = mₜ − min_{i≤t} mᵢ, alarm when
+    PH exceeds λ = 100 events·days. Unlike ``spc_cusum``'s fixed
+    reference value, the running-mean centering makes PH self-tuning —
+    the right shape when no in-control target is known. Each deviation
+    term is floor-quantized at 1e-9 (the running mean is the only
+    rational), then mₜ, the running min, and PHₜ are EXACT integer
+    window folds; the alarm threshold compares integers.
+
+    Scale: one aggregate to the O(days) series; all windows run on
+    that tiny ordered frame."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w_ord = Window.orderBy("day")
+    seq = daily.select(
+        "day",
+        "x",
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("x")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cx"),
+    )
+    dev = seq.select(
+        "day",
+        "i",
+        F.floor(
+            (F.col("x") - F.col("cx").cast("double") / F.col("i")) * 1e9
+        )
+        .cast("long")
+        .alias("dq"),
+    )
+    w_i = Window.orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    m = dev.select("day", F.sum("dq").over(w_i).alias("mt"))
+    w_d = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ph = m.select(
+        "day", (F.col("mt") - F.min("mt").over(w_d)).alias("pht")
+    )
+    last_day = ph.agg(F.max("day").alias("ld"))
+    return (
+        ph.crossJoin(F.broadcast(last_day))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.max("pht") / 1e9, 6).alias("max_ph"),
+            F.round(
+                F.max(
+                    F.when(F.col("day") == F.col("ld"), F.col("pht"))
+                )
+                / 1e9,
+                6,
+            ).alias("final_ph"),
+            F.count(F.when(F.col("pht") > 100000000000, 1))
+            .cast("long")
+            .alias("n_alarm_days"),
+            F.coalesce(
+                F.date_format(
+                    F.min(
+                        F.when(F.col("pht") > 100000000000, F.col("day"))
+                    ),
+                    "yyyy-MM-dd",
+                ),
+                F.lit("none"),
+            ).alias("first_alarm_day"),
+        )
+    )

@@ -6856,3 +6856,311 @@ def spc_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("first_alarm_day"),
         )
     )
+
+
+@register(
+    "stats_concordance_ccc",
+    """
+    WITH pair AS (
+        SELECT CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT) AS x,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_totalprice
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        FROM pair
+    ), mo AS (
+        SELECT n,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / n
+                   AS cxy,
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / n
+                   AS vx,
+               (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / n
+                   AS vy,
+               CAST(sx AS DOUBLE) / n - CAST(sy AS DOUBLE) / n AS dmean
+        FROM s
+    )
+    SELECT n AS n_orders,
+           ROUND(cxy / SQRT(vx * vy), 6) AS pearson_r,
+           ROUND(2 * cxy / (vx + vy + dmean * dmean), 6) AS ccc,
+           ROUND((2 * cxy / (vx + vy + dmean * dmean))
+                 / (cxy / SQRT(vx * vy)), 6) AS bias_correction_cb,
+           ROUND(dmean / 100.0, 4) AS mean_shift_dollars
+    FROM mo
+    """,
+)
+def stats_concordance_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance correlation coefficient (Lin '89) between two
+    measurements of the same order value — the header's o_totalprice
+    vs the Σ of its line extended prices: CCC = 2s_xy/(s_x²+s_y²+
+    (x̄−ȳ)²) penalizes location/scale shift that plain Pearson r
+    forgives, so CCC = r·C_b factors agreement into precision (r) and
+    accuracy (the bias-correction C_b ≤ 1) — the method-comparison
+    statistic for "does the rollup reproduce the header?"
+    (reconciliation cousin of ``join_reconcile``; here the two totals
+    deliberately differ by tax/discount, so C_b < 1 is the signal).
+    Five exact integer moments in 128-bit from one pass; the rest is
+    closed-form scalar algebra.
+
+    Scale: one co-located orderkey join + partial→final aggregate;
+    scalar reduce after that."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pair = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+        .select(
+            F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("x"),
+            "y",
+        )
+    )
+    x, y = F.col("x"), F.col("y")
+    s = pair.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x.cast("decimal(38,0)") * x).alias("sxx"),
+        F.sum(y.cast("decimal(38,0)") * y).alias("syy"),
+        F.sum(x.cast("decimal(38,0)") * y).alias("sxy"),
+    )
+    n = F.col("n")
+    cxy = (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / n) / n
+    vx = (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / n) / n
+    vy = (F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n) / n
+    dmean = F.col("sx").cast("double") / n - F.col("sy").cast("double") / n
+    mo = s.select(
+        n,
+        cxy.alias("cxy"),
+        vx.alias("vx"),
+        vy.alias("vy"),
+        dmean.alias("dmean"),
+    )
+    r = F.col("cxy") / F.sqrt(F.col("vx") * F.col("vy"))
+    ccc = 2 * F.col("cxy") / (
+        F.col("vx") + F.col("vy") + F.col("dmean") * F.col("dmean")
+    )
+    return mo.select(
+        F.col("n").alias("n_orders"),
+        F.round(r, 6).alias("pearson_r"),
+        F.round(ccc, 6).alias("ccc"),
+        F.round(ccc / r, 6).alias("bias_correction_cb"),
+        F.round(F.col("dmean") / 100.0, 4).alias("mean_shift_dollars"),
+    )
+
+
+@register(
+    "stats_icc_oneway",
+    """
+    WITH v AS (
+        SELECT l_partkey AS grp,
+               CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS x
+        FROM lineitem
+    ), per AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        FROM v GROUP BY grp
+        HAVING COUNT(*) >= 2
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS g,
+               CAST(SUM(m) AS BIGINT) AS n,
+               CAST(SUM(sx) AS BIGINT) AS tx,
+               CAST(SUM(sxx) AS HUGEINT) AS txx,
+               CAST(SUM(m * m) AS BIGINT) AS sm2,
+               CAST(SUM(CAST(FLOOR(CAST(sx AS DOUBLE) * sx / m * 1e2)
+                             AS BIGINT)) AS HUGEINT) AS groupterm_q
+        FROM per
+    ), an AS (
+        SELECT g, n,
+               (CAST(groupterm_q AS DOUBLE) / 1e2
+                - CAST(tx AS DOUBLE) * tx / n) / (g - 1) AS msb,
+               (CAST(txx AS DOUBLE)
+                - CAST(groupterm_q AS DOUBLE) / 1e2) / (n - g) AS msw,
+               (n - CAST(sm2 AS DOUBLE) / n) / (g - 1) AS k0
+        FROM tot
+    )
+    SELECT g AS n_groups, n AS n_obs,
+           ROUND(k0, 6) AS k0,
+           ROUND(msb / 1e4, 4) AS msb_dollars2,
+           ROUND(msw / 1e4, 4) AS msw_dollars2,
+           ROUND((msb - msw) / (msb + (k0 - 1) * msw), 6) AS icc1
+    FROM an
+    """,
+)
+def stats_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1,1)
+    (Shrout & Fleiss '79) with parts as subjects and their line
+    revenues as unequal-size repeated measures: how much of revenue
+    variance is BETWEEN parts vs noise within a part — the reliability
+    version of the variance decomposition ``stats_anova_oneway``
+    reports as a test. Per-group sufficient stats (m, Σx, Σx²) are
+    exact integers; the one unavoidable rational Σ(Σx)²/m is
+    floor-quantized at 1e-2 cents² per group and folded in 128-bit, then
+    MSB/MSW and the unequal-size correction k₀ = (N − Σm²/N)/(g−1)
+    are scalar algebra; ICC = (MSB−MSW)/(MSB+(k₀−1)MSW).
+
+    Scale: one partial→final aggregate to parts (shuffle ∝ parts),
+    then a scalar reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_partkey").alias("grp"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("x"),
+    )
+    per = (
+        v.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        )
+        .filter(F.col("m") >= 2)
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("g"),
+        F.sum("m").cast("long").alias("n"),
+        F.sum("sx").cast("long").alias("tx"),
+        F.sum("sxx").alias("txx"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("sm2"),
+        F.sum(
+            F.floor(
+                F.col("sx").cast("double") * F.col("sx") / F.col("m") * 1e2
+            )
+            .cast("long")
+            .cast("decimal(38,0)")
+        ).alias("groupterm_q"),
+    )
+    g, n = F.col("g"), F.col("n")
+    msb = (
+        F.col("groupterm_q").cast("double") / 1e2
+        - F.col("tx").cast("double") * F.col("tx") / n
+    ) / (g - 1)
+    msw = (
+        F.col("txx").cast("double") - F.col("groupterm_q").cast("double") / 1e2
+    ) / (n - g)
+    k0 = (n - F.col("sm2").cast("double") / n) / (g - 1)
+    an = tot.select(
+        g, n, msb.alias("msb"), msw.alias("msw"), k0.alias("k0")
+    )
+    return an.select(
+        g.alias("n_groups"),
+        n.alias("n_obs"),
+        F.round(F.col("k0"), 6).alias("k0"),
+        F.round(F.col("msb") / 1e4, 4).alias("msb_dollars2"),
+        F.round(F.col("msw") / 1e4, 4).alias("msw_dollars2"),
+        F.round(
+            (F.col("msb") - F.col("msw"))
+            / (F.col("msb") + (F.col("k0") - 1) * F.col("msw")),
+            6,
+        ).alias("icc1"),
+    )
+
+
+@register(
+    "stats_krippendorff_alpha",
+    """
+    WITH r AS (
+        SELECT l_orderkey AS unit, l_returnflag AS cat
+        FROM lineitem
+    ), cell AS (
+        SELECT unit, cat, CAST(COUNT(*) AS BIGINT) AS c
+        FROM r GROUP BY unit, cat
+    ), units AS (
+        SELECT unit, CAST(SUM(c) AS BIGINT) AS m,
+               CAST(SUM(c * c) AS BIGINT) AS sc2
+        FROM cell GROUP BY unit
+        HAVING SUM(c) >= 2
+    ), dobs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+               CAST(SUM(m) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(CAST(m * m - sc2 AS DOUBLE)
+                                   / (m - 1) * 1e9) AS BIGINT))
+                    AS BIGINT) AS doq
+        FROM units
+    ), cats AS (
+        SELECT CAST(SUM(ct) AS BIGINT) AS sn2
+        FROM (
+            SELECT CAST(SUM(c.c) AS BIGINT) * CAST(SUM(c.c) AS BIGINT)
+                   AS ct
+            FROM cell c JOIN units u ON u.unit = c.unit
+            GROUP BY c.cat
+        )
+    )
+    SELECT d.n_units, d.n AS n_values,
+           ROUND(d.doq / 1e9 / d.n, 6) AS d_observed,
+           ROUND((CAST(d.n AS DOUBLE) * d.n - c.sn2)
+                 / (CAST(d.n AS DOUBLE) * (d.n - 1)), 6) AS d_expected,
+           ROUND(1 - (d.doq / 1e9 / d.n)
+                 / ((CAST(d.n AS DOUBLE) * d.n - c.sn2)
+                    / (CAST(d.n AS DOUBLE) * (d.n - 1))), 6) AS alpha
+    FROM dobs d CROSS JOIN cats c
+    """,
+)
+def stats_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) treating each order as a UNIT and
+    its line returnflags as ratings from interchangeable raters with
+    MISSING DATA allowed (units with one line drop out; unequal rater
+    counts are the normal case) — the agreement coefficient that
+    generalizes ``stats_fleiss_kappa`` beyond fixed rater panels.
+    α = 1 − D_o/D_e with within-unit disagreement D_o = (1/n)·Σ_u
+    (m_u² − Σ_c n_uc²)/(m_u−1) (each unit's rational term
+    floor-quantized at 1e-9, folded as integers) and chance
+    disagreement D_e = (n² − Σ_c n_c²)/(n(n−1)) from exact category
+    margins over pairable values only.
+
+    Scale: two partial→final aggregates (unit×category, then unit /
+    category margins) — shuffle ∝ units, no pairwise expansion: the
+    m_u² closed form replaces the actual pair join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cell = li.groupBy(
+        F.col("l_orderkey").alias("unit"), F.col("l_returnflag").alias("cat")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    units = (
+        cell.groupBy("unit")
+        .agg(
+            F.sum("c").cast("long").alias("m"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sc2"),
+        )
+        .filter(F.col("m") >= 2)
+    )
+    dobs = units.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("m").cast("long").alias("n"),
+        F.sum(
+            F.floor(
+                (F.col("m") * F.col("m") - F.col("sc2")).cast("double")
+                / (F.col("m") - 1)
+                * 1e9
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("doq"),
+    )
+    cats = (
+        cell.join(units.select("unit"), "unit")
+        .groupBy("cat")
+        .agg(F.sum("c").cast("long").alias("nc"))
+        .agg(
+            F.sum(F.col("nc") * F.col("nc")).cast("long").alias("sn2")
+        )
+    )
+    n = F.col("n")
+    d_o = F.col("doq") / 1e9 / n
+    d_e = (n.cast("double") * n - F.col("sn2")) / (n.cast("double") * (n - 1))
+    return dobs.crossJoin(F.broadcast(cats)).select(
+        "n_units",
+        n.alias("n_values"),
+        F.round(d_o, 6).alias("d_observed"),
+        F.round(d_e, 6).alias("d_expected"),
+        F.round(1 - d_o / d_e, 6).alias("alpha"),
+    )

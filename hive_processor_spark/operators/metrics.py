@@ -7164,3 +7164,285 @@ def stats_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d_e, 6).alias("d_expected"),
         F.round(1 - d_o / d_e, 6).alias("alpha"),
     )
+
+
+@register(
+    "stats_cochran_armitage",
+    """
+    WITH g AS (
+        SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS w,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+                   AS r
+        FROM orders GROUP BY 1
+    ), s AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(r) AS BIGINT) AS rr,
+               CAST(SUM(w * r) AS BIGINT) AS swr,
+               CAST(SUM(w * n) AS BIGINT) AS swn,
+               CAST(SUM(w * w * n) AS BIGINT) AS swwn,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM g
+    )
+    SELECT k AS n_groups, nn AS n_total, rr AS n_success,
+           ROUND(swr - CAST(rr AS DOUBLE) / nn * swn, 4) AS t_stat,
+           ROUND((swr - CAST(rr AS DOUBLE) / nn * swn)
+                 / SQRT(CAST(rr AS DOUBLE) / nn
+                        * (1 - CAST(rr AS DOUBLE) / nn)
+                        * (swwn - CAST(swn AS DOUBLE) * swn / nn)), 4)
+               AS z
+    FROM s
+    """,
+)
+def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend test: does the fulfilled-order rate trend
+    monotonically across the ordered priority classes 1-URGENT … 5-LOW
+    (scores wᵢ = the ordinal itself)? T = Σwᵢrᵢ − p̂Σwᵢnᵢ with
+    Var(T) = p̂(1−p̂)(Σwᵢ²nᵢ − (Σwᵢnᵢ)²/N) — the proportions
+    counterpart of ``stats_jonckheere`` (which ranks a continuous
+    response) and the dose-response refinement of ``agg_chi_square``
+    (which ignores the ordering). All five sufficient sums are exact
+    integers from one grouped pass; p̂ = R/N is the single rational,
+    entering only the final closed-form scalar.
+
+    Scale: one partial→final aggregate to 5 groups — nothing else."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("w")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1))
+        .cast("long")
+        .alias("r"),
+    )
+    s = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("r").cast("long").alias("rr"),
+        F.sum(F.col("w") * F.col("r")).cast("long").alias("swr"),
+        F.sum(F.col("w") * F.col("n")).cast("long").alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n")).cast("long").alias("swwn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    nn, rr = F.col("nn"), F.col("rr")
+    p = rr.cast("double") / nn
+    t = F.col("swr") - p * F.col("swn")
+    var = p * (1 - p) * (
+        F.col("swwn") - F.col("swn").cast("double") * F.col("swn") / nn
+    )
+    return s.select(
+        F.col("k").alias("n_groups"),
+        nn.alias("n_total"),
+        rr.alias("n_success"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(t / F.sqrt(var), 4).alias("z"),
+    )
+
+
+@register(
+    "stats_mantel_haenszel",
+    """
+    WITH v AS (
+        SELECT date_part('year', l_shipdate) AS yr,
+               CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS exposed,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS outcome
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ), strata AS (
+        SELECT yr,
+               CAST(COUNT(*) FILTER (WHERE exposed = 1 AND outcome = 1)
+                    AS BIGINT) AS a,
+               CAST(COUNT(*) FILTER (WHERE exposed = 1 AND outcome = 0)
+                    AS BIGINT) AS b,
+               CAST(COUNT(*) FILTER (WHERE exposed = 0 AND outcome = 1)
+                    AS BIGINT) AS c,
+               CAST(COUNT(*) FILTER (WHERE exposed = 0 AND outcome = 0)
+                    AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM v GROUP BY yr
+    ), folds AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+               CAST(SUM(a) AS BIGINT) AS sa,
+               CAST(SUM(CAST(FLOOR(CAST(a AS DOUBLE) * d / n * 1e9)
+                             AS BIGINT)) AS BIGINT) AS adq,
+               CAST(SUM(CAST(FLOOR(CAST(b AS DOUBLE) * c / n * 1e9)
+                             AS BIGINT)) AS BIGINT) AS bcq,
+               CAST(SUM(CAST(FLOOR(CAST(a + b AS DOUBLE) * (a + c) / n
+                                   * 1e9) AS BIGINT)) AS BIGINT) AS eaq,
+               CAST(SUM(CAST(FLOOR(CAST(a + b AS DOUBLE) * (c + d)
+                                   * (a + c) * (b + d)
+                                   / (CAST(n AS DOUBLE) * n * (n - 1))
+                                   * 1e9) AS BIGINT)) AS BIGINT) AS vaq
+        FROM strata
+    )
+    SELECT n_strata, sa AS sum_a,
+           ROUND((adq / 1e9) / (bcq / 1e9), 6) AS or_mh,
+           ROUND((sa - eaq / 1e9) * (sa - eaq / 1e9) / (vaq / 1e9), 4)
+               AS chi2_cmh
+    FROM folds
+    """,
+)
+def stats_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel–Haenszel common odds ratio and Cochran–Mantel–Haenszel χ²
+    across ship-year strata: is high discount (≥5%) associated with
+    returns (R vs A) AFTER controlling for year? OR_MH = Σ(aᵢdᵢ/nᵢ)/
+    Σ(bᵢcᵢ/nᵢ); χ²_CMH = (Σaᵢ − ΣE[aᵢ])²/ΣVar(aᵢ) with the standard
+    hypergeometric moments per stratum (no continuity correction) —
+    the stratified version of a single 2×2 test, immune to the
+    year-mix confounding that ``stats_fisher_exact``'s pooled table
+    would absorb (Simpson's-paradox guard; complements
+    ``ab_diff_in_diff``). Each stratum's three rationals are
+    floor-quantized at 1e-9 and folded as integers; counts are exact.
+
+    Scale: one partial→final aggregate to ≤7 year strata, then scalar
+    algebra — no shuffle beyond the strata reduce."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    v = li.select(
+        F.year("l_shipdate").alias("yr"),
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("exposed"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("outcome"),
+    )
+    strata = v.groupBy("yr").agg(
+        F.count(F.when((F.col("exposed") == 1) & (F.col("outcome") == 1), 1))
+        .cast("long")
+        .alias("a"),
+        F.count(F.when((F.col("exposed") == 1) & (F.col("outcome") == 0), 1))
+        .cast("long")
+        .alias("b"),
+        F.count(F.when((F.col("exposed") == 0) & (F.col("outcome") == 1), 1))
+        .cast("long")
+        .alias("c"),
+        F.count(F.when((F.col("exposed") == 0) & (F.col("outcome") == 0), 1))
+        .cast("long")
+        .alias("d"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a, b, c, d, n = (F.col(x) for x in "abcdn")
+    folds = strata.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(a).cast("long").alias("sa"),
+        F.sum(F.floor(a.cast("double") * d / n * 1e9).cast("long"))
+        .cast("long")
+        .alias("adq"),
+        F.sum(F.floor(b.cast("double") * c / n * 1e9).cast("long"))
+        .cast("long")
+        .alias("bcq"),
+        F.sum(
+            F.floor((a + b).cast("double") * (a + c) / n * 1e9).cast("long")
+        )
+        .cast("long")
+        .alias("eaq"),
+        F.sum(
+            F.floor(
+                (a + b).cast("double")
+                * (c + d)
+                * (a + c)
+                * (b + d)
+                / (n.cast("double") * n * (n - 1))
+                * 1e9
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("vaq"),
+    )
+    return folds.select(
+        "n_strata",
+        F.col("sa").alias("sum_a"),
+        F.round((F.col("adq") / 1e9) / (F.col("bcq") / 1e9), 6).alias("or_mh"),
+        F.round(
+            (F.col("sa") - F.col("eaq") / 1e9)
+            * (F.col("sa") - F.col("eaq") / 1e9)
+            / (F.col("vaq") / 1e9),
+            4,
+        ).alias("chi2_cmh"),
+    )
+
+
+@register(
+    "stats_gamma_concordance",
+    """
+    WITH o AS (
+        SELECT CAST(SUBSTR(o.o_orderpriority, 1, 1) AS BIGINT) AS x,
+               LEAST(CAST(COUNT(*) AS BIGINT), 7) AS y
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority
+    ), cell AS (
+        SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c
+        FROM o GROUP BY x, y
+    ), pq AS (
+        SELECT
+            CAST(SUM(CASE WHEN b.x > a.x AND b.y > a.y
+                          THEN a.c * b.c ELSE 0 END) AS BIGINT) AS p2,
+            CAST(SUM(CASE WHEN b.x > a.x AND b.y < a.y
+                          THEN a.c * b.c ELSE 0 END) AS BIGINT) AS q2
+        FROM cell a CROSS JOIN cell b
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n FROM cell
+    )
+    SELECT t.n AS n_orders, p.p2 AS p_concordant, p.q2 AS q_discordant,
+           ROUND((p.p2 - CAST(q2 AS DOUBLE)) / (p.p2 + q2), 6) AS gamma
+    FROM pq p CROSS JOIN tot t
+    """,
+)
+def stats_gamma_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman–Kruskal gamma between two ordinals — order priority
+    (1-URGENT … 5-LOW) vs line-count bucket (1..7, capped): γ =
+    (P−Q)/(P+Q) over concordant/discordant pairs, IGNORING ties — the
+    contingency-table companion to ``stats_kendall_tau`` (whose tau-b
+    divides by tie-corrected margins instead; γ is the one to quote
+    when most mass sits in ties). Pairs never enumerate: the 5×7 cell
+    table joins against itself (≤1225 cell pairs), so P and Q are
+    exact BIGINT sums of cᵢⱼ·cᵢ'ⱼ' products.
+
+    Scale: one orderkey-co-located join + aggregate to orders, one
+    aggregate to ≤35 cells, then the bounded cell self-join —
+    shuffle ∝ orders, pair work O(cells²)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("x"),
+            F.least(F.col("cnt"), F.lit(7)).alias("y"),
+        )
+    )
+    cell = base.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = cell.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("c").alias("ac")
+    )
+    b = cell.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("c").alias("bc")
+    )
+    pq = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.when(
+                (F.col("bx") > F.col("ax")) & (F.col("by") > F.col("ay")),
+                F.col("ac") * F.col("bc"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("p2"),
+        F.sum(
+            F.when(
+                (F.col("bx") > F.col("ax")) & (F.col("by") < F.col("ay")),
+                F.col("ac") * F.col("bc"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("q2"),
+    )
+    tot = cell.agg(F.sum("c").cast("long").alias("n"))
+    return pq.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_orders"),
+        F.col("p2").alias("p_concordant"),
+        F.col("q2").alias("q_discordant"),
+        F.round(
+            (F.col("p2") - F.col("q2").cast("double"))
+            / (F.col("p2") + F.col("q2")),
+            6,
+        ).alias("gamma"),
+    )

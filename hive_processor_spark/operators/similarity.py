@@ -1819,3 +1819,300 @@ def embed_quantize_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "embed_intrinsic_dim",
+    f"""
+    WITH sims AS (
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               {sql_cosine_q('a.embedding', 'b.embedding')} AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT i, sim,
+               ROW_NUMBER() OVER (PARTITION BY i ORDER BY sim DESC, j)
+                   AS rk
+        FROM sims WHERE sim < 1 - 1e-9
+    ), two AS (
+        SELECT i,
+               MAX(CASE WHEN rk = 1 THEN sim END) AS s1,
+               MAX(CASE WHEN rk = 2 THEN sim END) AS s2
+        FROM ranked WHERE rk <= 2 GROUP BY i
+        HAVING COUNT(*) = 2
+    ), folds AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+               CAST(SUM(CAST(FLOOR(LN((1 - s2) / (1 - s1)) * 1e9)
+                             AS BIGINT)) AS BIGINT) AS lnq
+        FROM two
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings)
+    SELECT t.n_vecs, f.n_used,
+           ROUND(f.lnq / 1e9, 6) AS sum_ln_mu,
+           ROUND(f.n_used / (f.lnq / 1e9), 4) AS id_mle
+    FROM folds f CROSS JOIN tot t
+    """,
+)
+def embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. '17): for each
+    vector the ratio μ = d₂/d₁ of its two nearest COSINE distances
+    follows a Pareto with shape equal to the intrinsic dimension, so
+    ID_MLE = n/Σln μᵢ — the "how many degrees of freedom do these
+    64-dim embeddings actually use" diagnostic that tells you whether
+    an IVF/PQ index (``sim_ann_ivf``/``sim_ann_pq``) will bite
+    (pruning power decays exponentially in the INTRINSIC, not ambient,
+    dimension). Pair sims come from the block-partitioned quantized
+    kernel (bit-identical to the oracle's HOF fold); exact-duplicate
+    neighbors (sim ≥ 1−1e-9, the fixture's planted clones) are
+    excluded so d₁ > 0; each ln μ floor-quantizes at 1e-9 into an
+    integer fold.
+
+    Scale: the exact O(n²) kernel is the verification tool — at corpus
+    scale the same two-NN distances come from the IVF shortlist
+    (``sim_ann_ivf``) with identical downstream algebra."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = _pair_sims_block(spark, emb)
+    sym = pairs.select(
+        F.col("vec_a").alias("i"), F.col("vec_b").alias("j"),
+        F.col("sim_raw").alias("sim"),
+    ).unionAll(
+        pairs.select(
+            F.col("vec_b").alias("i"), F.col("vec_a").alias("j"),
+            F.col("sim_raw").alias("sim"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.desc("sim"), F.asc("j"))
+    ranked = (
+        sym.filter(F.col("sim") < 1 - 1e-9)
+        .select("i", "sim", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 2)
+    )
+    two = (
+        ranked.groupBy("i")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("sim"))).alias("s1"),
+            F.max(F.when(F.col("rk") == 2, F.col("sim"))).alias("s2"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") == 2)
+    )
+    folds = two.agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.sum(
+            F.floor(
+                F.log((1 - F.col("s2")) / (1 - F.col("s1"))) * 1e9
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("lnq"),
+    )
+    tot = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    return folds.crossJoin(F.broadcast(tot)).select(
+        "n_vecs",
+        "n_used",
+        F.round(F.col("lnq") / 1e9, 6).alias("sum_ln_mu"),
+        F.round(F.col("n_used") / (F.col("lnq") / 1e9), 4).alias("id_mle"),
+    )
+
+
+@register(
+    "embed_hubness",
+    f"""
+    WITH sims AS (
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               {sql_cosine_q('a.embedding', 'b.embedding')} AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ), knn AS (
+        SELECT i, j FROM (
+            SELECT i, j,
+                   ROW_NUMBER() OVER (PARTITION BY i
+                       ORDER BY sim DESC, j) AS rk
+            FROM sims
+        ) WHERE rk <= 10
+    ), nk AS (
+        SELECT e.vec_id, CAST(COALESCE(c.c, 0) AS BIGINT) AS x
+        FROM embeddings e
+        LEFT JOIN (SELECT j, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM knn GROUP BY j) c ON c.j = e.vec_id
+    ), mo AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s1,
+               CAST(SUM(x * x) AS BIGINT) AS s2,
+               CAST(SUM(x * x * x) AS BIGINT) AS s3,
+               CAST(MAX(x) AS BIGINT) AS mx,
+               CAST(COUNT(*) FILTER (WHERE x = 0) AS BIGINT) AS orphans
+        FROM nk
+    )
+    SELECT n AS n_vecs, CAST(10 AS BIGINT) AS k,
+           ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_nk,
+           ROUND(CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 6)
+               AS var_nk,
+           ROUND((CAST(s3 AS DOUBLE) / n
+                  - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                  + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n))
+                 / POWER(CAST(s2 AS DOUBLE) / n
+                         - (CAST(s1 AS DOUBLE) / n)
+                           * (CAST(s1 AS DOUBLE) / n), 1.5), 4)
+               AS skewness_sk,
+           mx AS max_nk, orphans AS n_orphans
+    FROM mo
+    """,
+)
+def embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness diagnostic (Radovanović et al. '10): the k-occurrence
+    N_k(x) — how many other points list x in their 10-NN — becomes
+    right-skewed in high dimension (hubs attract everything, antihubs
+    vanish from every list), which silently degrades kNN classifiers
+    and ANN recall. Reports the skewness S_k of the N_k distribution
+    (the standard hubness score), max N_k, and the orphan count, from
+    exact integer moments; mean N_k ≡ k exactly (every point emits
+    exactly k edges — a conservation the tests pin). Pair sims reuse
+    the block-partitioned quantized kernel; kNN edges are a top-10
+    window per source.
+
+    Scale: same posture as ``embed_intrinsic_dim`` — the exact kernel
+    verifies, the IVF shortlist replaces it at corpus scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = _pair_sims_block(spark, emb)
+    sym = pairs.select(
+        F.col("vec_a").alias("i"), F.col("vec_b").alias("j"),
+        F.col("sim_raw").alias("sim"),
+    ).unionAll(
+        pairs.select(
+            F.col("vec_b").alias("i"), F.col("vec_a").alias("j"),
+            F.col("sim_raw").alias("sim"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.desc("sim"), F.asc("j"))
+    knn = (
+        sym.select("i", "j", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 10)
+        .select("j")
+    )
+    cnt = knn.groupBy("j").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nk = (
+        emb.select("vec_id")
+        .join(cnt, emb.vec_id == cnt.j, "left")
+        .select(F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("x"))
+    )
+    x = F.col("x")
+    mo = nk.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("s1"),
+        F.sum(x * x).cast("long").alias("s2"),
+        F.sum(x * x * x).cast("long").alias("s3"),
+        F.max(x).cast("long").alias("mx"),
+        F.count(F.when(x == 0, 1)).cast("long").alias("orphans"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    m2r = F.col("s2").cast("double") / n
+    m3r = F.col("s3").cast("double") / n
+    var = m2r - m1 * m1
+    skew = (m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1) / F.pow(var, 1.5)
+    return mo.select(
+        n.alias("n_vecs"),
+        F.lit(10).cast("long").alias("k"),
+        F.round(m1, 6).alias("mean_nk"),
+        F.round(var, 6).alias("var_nk"),
+        F.round(skew, 4).alias("skewness_sk"),
+        F.col("mx").alias("max_nk"),
+        F.col("orphans").alias("n_orphans"),
+    )
+
+
+@register(
+    "embed_anisotropy",
+    f"""
+    WITH nrm AS (
+        SELECT vec_id, embedding,
+               SQRT({SQL_SQ_NORM_Q.format(v='embedding')}) AS nn
+        FROM embeddings
+    ), comp AS (
+        SELECT d, CAST(SUM(CAST(FLOOR(CAST(embedding[d] AS DOUBLE) / nn
+                                      * 1e9) AS BIGINT)) AS BIGINT) AS sq
+        FROM nrm, UNNEST(RANGE(1, LEN(embedding) + 1)) AS t(d)
+        GROUP BY d
+    ), ssq AS (
+        SELECT CAST(SUM(CAST(FLOOR((sq / 1e9) * (sq / 1e9) * 1e9)
+                             AS BIGINT)) AS BIGINT) AS ssq_q,
+               CAST(COUNT(*) AS BIGINT) AS dim
+        FROM comp
+    ), dom AS (
+        SELECT d AS dominant_dim, sq FROM comp
+        ORDER BY ABS(sq) DESC, d LIMIT 1
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+    SELECT t.n AS n_vecs, s.dim,
+           ROUND((s.ssq_q / 1e9 - t.n)
+                 / (CAST(t.n AS DOUBLE) * (t.n - 1)), 6) AS anisotropy,
+           CAST(d.dominant_dim AS BIGINT) AS dominant_dim,
+           ROUND(d.sq / 1e9 / t.n, 6) AS dominant_mean_component
+    FROM ssq s CROSS JOIN dom d CROSS JOIN tot t
+    """,
+)
+def embed_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anisotropy (Ethayarajh '19; Mu & Viswanath '18's
+    common-direction pathology): the mean pairwise cosine between
+    distinct unit vectors, computed WITHOUT any pair join via the
+    identity Σ_{i≠j} cos = ‖Σuᵢ‖² − n — one pass to per-dimension
+    component sums. High anisotropy means all embeddings crowd a cone
+    around a common direction, which collapses cosine contrast and is
+    why whitening/centering precedes retrieval (feeds
+    ``embed_pca_top``'s spectrum view; the dominant dimension and its
+    mean component point at the offending axis). Per-element unit
+    components floor-quantize at 1e-9, per-dimension sums and the
+    final ‖·‖² fold are integer-exact.
+
+    Scale: one explode-aggregate to 64 dimension cells — O(n·d) work,
+    NO O(n²) anywhere; this is the at-scale anisotropy answer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(sq_norm_q(F.col("embedding"))).alias("nn"),
+    )
+    comp = (
+        nrm.select(
+            F.posexplode("embedding").alias("d0", "x"), F.col("nn")
+        )
+        .select((F.col("d0") + 1).alias("d"), "x", "nn")
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") / F.col("nn") * 1e9).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("sq")
+        )
+    )
+    ssq = comp.agg(
+        F.sum(
+            F.floor((F.col("sq") / 1e9) * (F.col("sq") / 1e9) * 1e9).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("ssq_q"),
+        F.count(F.lit(1)).cast("long").alias("dim"),
+    )
+    dom = comp.orderBy(F.desc(F.abs(F.col("sq"))), F.asc("d")).limit(1)
+    tot = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        ssq.crossJoin(F.broadcast(dom))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_vecs"),
+            "dim",
+            F.round(
+                (F.col("ssq_q") / 1e9 - F.col("n"))
+                / (F.col("n").cast("double") * (F.col("n") - 1)),
+                6,
+            ).alias("anisotropy"),
+            F.col("d").cast("long").alias("dominant_dim"),
+            F.round(F.col("sq") / 1e9 / F.col("n"), 6).alias(
+                "dominant_mean_component"
+            ),
+        )
+    )

@@ -2991,3 +2991,344 @@ def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - F.col("n_exact")) / F.col("n_exact") * 100.0, 2
         ).alias("rel_err_pct"),
     )
+
+
+def _sql_hll_est(z: str, occ: str) -> str:
+    """DuckDB fragment: HLL estimate (raw / linear-counting branch) from
+    an exact integer harmonic sum ``z`` and occupancy ``occ``."""
+    vz = f"({_HLL_M} - {occ})"
+    zint = f"({z} + {vz} * (1::BIGINT << {_HLL_WBITS + 1}))"
+    raw = (
+        f"(CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M} "
+        f"* CAST({float(2 ** (_HLL_WBITS + 1))!r} AS DOUBLE) / {zint})"
+    )
+    linear = f"({_HLL_M} * LN({_HLL_M} / CAST({vz} AS DOUBLE)))"
+    return (
+        f"(CASE WHEN {raw} <= 2.5 * {_HLL_M} AND {vz} > 0 "
+        f"THEN {linear} ELSE {raw} END)"
+    )
+
+
+def _hll_est_col(z, occ):
+    """Spark twin of :func:`_sql_hll_est` (identical branch + algebra)."""
+    vz = F.lit(_HLL_M) - occ
+    z_int = z + vz * F.lit(2 ** (_HLL_WBITS + 1)).cast("bigint")
+    raw = (
+        F.lit(_HLL_ALPHA)
+        * F.lit(_HLL_M * _HLL_M)
+        * F.lit(float(2 ** (_HLL_WBITS + 1)))
+        / z_int
+    )
+    linear = F.lit(_HLL_M) * F.log(F.lit(_HLL_M) / vz.cast("double"))
+    small = (raw <= F.lit(2.5 * _HLL_M)) & (vz > 0)
+    return F.when(small, linear).otherwise(raw)
+
+
+@register(
+    "sketch_hll_intersection",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT l_returnflag AS flag,
+               (('0x' || SUBSTRING(MD5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                   ::BIGINT) AS h60
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ), reg AS (
+        SELECT flag, CAST(h60 % {_HLL_M} AS INTEGER) AS bucket,
+               CAST(MAX(CASE WHEN h60 // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
+                        ELSE INSTR(LPAD(BIN(h60 // {_HLL_M}),
+                                        {_HLL_WBITS}, '0'), '1')
+                        END) AS INTEGER) AS r
+        FROM h GROUP BY flag, bucket
+    ), per AS (
+        SELECT flag, CAST(COUNT(*) AS BIGINT) AS occ,
+               CAST(SUM(1::BIGINT << ({_HLL_WBITS + 1} - r)) AS BIGINT) AS z
+        FROM reg GROUP BY flag
+    ), ureg AS (
+        SELECT bucket, CAST(MAX(r) AS INTEGER) AS r FROM reg GROUP BY bucket
+    ), uni AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS occ,
+               CAST(SUM(1::BIGINT << ({_HLL_WBITS + 1} - r)) AS BIGINT) AS z
+        FROM ureg
+    ), ests AS (
+        SELECT
+            (SELECT {_sql_hll_est('z', 'occ')} FROM per WHERE flag = 'R')
+                AS est_a,
+            (SELECT {_sql_hll_est('z', 'occ')} FROM per WHERE flag = 'A')
+                AS est_b,
+            (SELECT {_sql_hll_est('z', 'occ')} FROM uni) AS est_u
+    ), ex AS (
+        SELECT CAST(COUNT(DISTINCT CASE WHEN rr > 0 AND aa > 0
+                                        THEN pk END) AS BIGINT) AS n_inter,
+               CAST(COUNT(*) AS BIGINT) AS n_union
+        FROM (
+            SELECT l_partkey AS pk,
+                   COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS rr,
+                   COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS aa
+            FROM lineitem WHERE l_returnflag IN ('R', 'A')
+            GROUP BY l_partkey
+        )
+    )
+    SELECT ROUND(est_a, 2) AS est_r, ROUND(est_b, 2) AS est_a,
+           ROUND(est_u, 2) AS est_union,
+           ROUND(est_a + est_b - est_u, 2) AS est_intersection,
+           x.n_inter AS exact_intersection,
+           x.n_union AS exact_union,
+           ROUND((est_a + est_b - est_u)
+                 / (CAST(x.n_inter AS DOUBLE)), 4) AS inter_ratio,
+           ROUND((est_a + est_b - est_u) / est_u, 6) AS jaccard_est
+    FROM ests CROSS JOIN ex x
+    """,
+)
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on MERGEABLE HyperLogLog sketches: parts seen in
+    returned (R) vs available (A) lines get one 512-register HLL each;
+    the UNION sketch is the element-wise register MAX (the only merge
+    HLL supports), and the intersection falls out by
+    inclusion–exclusion est_R + est_A − est_U — the standard (and
+    noisy: error ∝ union, not intersection) sketch-intersection
+    recipe, audited against exact counts in the same row. Registers
+    and harmonic sums are exact integers via the same 60-bit md5
+    split as ``sketch_hll_portable``; both estimator branches share
+    one mirrored fragment.
+
+    Scale: each side's registers merge by MAX — two 512-int states
+    per partition cross the wire regardless of key volume; the exact
+    audit columns are the only key-width shuffle and exist to grade
+    the sketch, not to serve it."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    h = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.conv(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h60"),
+    ).distinct()
+    w = F.expr(f"h60 div {_HLL_M}")
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.instr(F.lpad(F.bin(w), _HLL_WBITS, "0"), "1")
+    )
+    reg = (
+        h.select(
+            "flag",
+            (F.col("h60") % _HLL_M).cast("int").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("flag", "bucket")
+        .agg(F.max("rho").cast("int").alias("r"))
+    )
+    zterm = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS + 1} - r)")
+    per = reg.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("occ"),
+        F.sum(zterm).cast("bigint").alias("z"),
+    )
+    uni = (
+        reg.groupBy("bucket")
+        .agg(F.max("r").cast("int").alias("r"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("occ"),
+            F.sum(zterm).cast("bigint").alias("z"),
+        )
+    )
+    est_a = per.filter(F.col("flag") == "R").select(
+        _hll_est_col(F.col("z"), F.col("occ")).alias("est_a")
+    )
+    est_b = per.filter(F.col("flag") == "A").select(
+        _hll_est_col(F.col("z"), F.col("occ")).alias("est_b")
+    )
+    est_u = uni.select(_hll_est_col(F.col("z"), F.col("occ")).alias("est_u"))
+    ex = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("rr"),
+            F.count(F.when(F.col("l_returnflag") == "A", 1)).alias("aa"),
+        )
+        .agg(
+            F.count(
+                F.when((F.col("rr") > 0) & (F.col("aa") > 0), 1)
+            )
+            .cast("long")
+            .alias("n_inter"),
+            F.count(F.lit(1)).cast("long").alias("n_union"),
+        )
+    )
+    inter = F.col("est_a") + F.col("est_b") - F.col("est_u")
+    return (
+        est_a.crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            F.round(F.col("est_a"), 2).alias("est_r"),
+            F.round(F.col("est_b"), 2).alias("est_a"),
+            F.round(F.col("est_u"), 2).alias("est_union"),
+            F.round(inter, 2).alias("est_intersection"),
+            F.col("n_inter").alias("exact_intersection"),
+            F.col("n_union").alias("exact_union"),
+            F.round(inter / F.col("n_inter").cast("double"), 4).alias(
+                "inter_ratio"
+            ),
+            F.round(inter / F.col("est_u"), 6).alias("jaccard_est"),
+        )
+    )
+
+
+@register(
+    "sketch_kmv_jaccard",
+    f"""
+    WITH srcs AS (
+        SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS rn
+        FROM (SELECT DISTINCT source FROM documents)
+    ), words AS (
+        SELECT s.rn AS side, word
+        FROM documents d
+        JOIN srcs s ON s.source = d.source AND s.rn <= 2,
+        UNNEST(STRING_SPLIT(TRIM(d.text), ' ')) AS t(word)
+        WHERE word <> ''
+        GROUP BY s.rn, word
+    ), h AS (
+        SELECT side,
+               (('0x' || SUBSTRING(MD5(word), 1, 15))::BIGINT) AS h60
+        FROM words
+    ), ka AS (
+        SELECT h60 FROM h WHERE side = 1 ORDER BY h60 LIMIT {_KMV_K}
+    ), kb AS (
+        SELECT h60 FROM h WHERE side = 2 ORDER BY h60 LIMIT {_KMV_K}
+    ), ku AS (
+        SELECT h60 FROM (
+            SELECT h60 FROM ka UNION SELECT h60 FROM kb
+        ) ORDER BY h60 LIMIT {_KMV_K}
+    ), flags AS (
+        SELECT u.h60,
+               CASE WHEN a.h60 IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+               CASE WHEN b.h60 IS NOT NULL THEN 1 ELSE 0 END AS in_b
+        FROM ku u
+        LEFT JOIN (SELECT DISTINCT h60 FROM h WHERE side = 1) a
+               ON a.h60 = u.h60
+        LEFT JOIN (SELECT DISTINCT h60 FROM h WHERE side = 2) b
+               ON b.h60 = u.h60
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_eff,
+               CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS both_cnt,
+               CAST(MAX(h60) AS BIGINT) AS h_k
+        FROM flags
+    ), ex AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS u_exact,
+               CAST(SUM(CASE WHEN na > 0 AND nb > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS i_exact
+        FROM (
+            SELECT word,
+                   COUNT(CASE WHEN side = 1 THEN 1 END) AS na,
+                   COUNT(CASE WHEN side = 2 THEN 1 END) AS nb
+            FROM words GROUP BY word
+        )
+    )
+    SELECT s.k_eff,
+           ROUND(CAST(s.both_cnt AS DOUBLE) / s.k_eff, 6) AS jaccard_est,
+           ROUND(CAST(x.i_exact AS DOUBLE) / x.u_exact, 6) AS jaccard_exact,
+           ROUND(CASE WHEN s.k_eff < {_KMV_K}
+                 THEN CAST(s.k_eff AS DOUBLE)
+                 ELSE (s.k_eff - 1) / (s.h_k / {_KMV_DOM!r}) END, 2)
+               AS union_est,
+           x.u_exact AS union_exact, x.i_exact AS inter_exact
+    FROM s CROSS JOIN ex x
+    """,
+)
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard similarity between two document sources' vocabularies
+    from K-MINIMUM-VALUES sketches (Beyer et al. '07): the union's KMV
+    sketch is just the k smallest of the two sketches' union (the
+    closure property that makes KMV mergeable), and within those k
+    values the fraction belonging to both sets is an unbiased Jaccard
+    estimate; the same sketch yields the (k−1)/θ union-cardinality
+    estimate — so ONE 256-value state per source answers union,
+    intersection and similarity, audited against the exact values.
+    Everything is deterministic 60-bit md5 order statistics — no RNG,
+    no float accumulation.
+
+    Scale: per-source sketches are ≤256 BIGINTs regardless of corpus
+    size and merge by sorted-k; the exact audit is the only
+    vocabulary-width aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.row_number().over(Window.orderBy("source")).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+    words = (
+        docs.join(srcs, "source")
+        .select(F.col("rn").alias("side"), F.explode(F.split(F.trim("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    h = words.select(
+        "side",
+        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h60"),
+    )
+    ka = h.filter(F.col("side") == 1).select("h60").orderBy("h60").limit(_KMV_K)
+    kb = h.filter(F.col("side") == 2).select("h60").orderBy("h60").limit(_KMV_K)
+    ku = ka.union(kb).distinct().orderBy("h60").limit(_KMV_K)
+    a_set = h.filter(F.col("side") == 1).select("h60").distinct()
+    b_set = h.filter(F.col("side") == 2).select(F.col("h60").alias("hb")).distinct()
+    flags = (
+        ku.join(a_set.withColumn("ina", F.lit(1)), "h60", "left")
+        .join(b_set.withColumn("inb", F.lit(1)), ku.h60 == F.col("hb"), "left")
+        .select(
+            "h60",
+            F.coalesce(F.col("ina"), F.lit(0)).alias("in_a"),
+            F.coalesce(F.col("inb"), F.lit(0)).alias("in_b"),
+        )
+    )
+    s = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("k_eff"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("both_cnt"),
+        F.max("h60").cast("long").alias("h_k"),
+    )
+    ex = (
+        words.groupBy("word")
+        .agg(
+            F.count(F.when(F.col("side") == 1, 1)).alias("na"),
+            F.count(F.when(F.col("side") == 2, 1)).alias("nb"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("u_exact"),
+            F.sum(
+                F.when((F.col("na") > 0) & (F.col("nb") > 0), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("i_exact"),
+        )
+    )
+    return s.crossJoin(F.broadcast(ex)).select(
+        "k_eff",
+        F.round(F.col("both_cnt").cast("double") / F.col("k_eff"), 6).alias(
+            "jaccard_est"
+        ),
+        F.round(F.col("i_exact").cast("double") / F.col("u_exact"), 6).alias(
+            "jaccard_exact"
+        ),
+        F.round(
+            F.when(
+                F.col("k_eff") < _KMV_K, F.col("k_eff").cast("double")
+            ).otherwise(
+                (F.col("k_eff") - 1) / (F.col("h_k") / F.lit(_KMV_DOM))
+            ),
+            2,
+        ).alias("union_est"),
+        F.col("u_exact").alias("union_exact"),
+        F.col("i_exact").alias("inter_exact"),
+    )

@@ -938,3 +938,90 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "win_distinct_sliding",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               DATE_DIFF('day', DATE '2020-01-01',
+                         CAST(DATE_TRUNC('day', ts) AS DATE)) AS d
+        FROM events
+    ), cal AS (
+        SELECT UNNEST(RANGE((SELECT MIN(d) FROM ud),
+                            (SELECT MAX(d) FROM ud) + 1)) AS d
+    )
+    SELECT STRFTIME(DATE '2020-01-01' + c.d * INTERVAL 1 DAY,
+                    '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS distinct_7d
+    FROM cal c LEFT JOIN ud u ON u.d BETWEEN c.d - 6 AND c.d
+    GROUP BY c.d
+    ORDER BY c.d
+    """,
+)
+def win_distinct_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) over a sliding window — the aggregate Spark's
+    window functions REFUSE outright (DISTINCT is unsupported in
+    windowed aggregates): trailing-7-day distinct active users per
+    calendar day. Instead of re-scanning a 7-day neighborhood per day,
+    each (user, day) visit contributes +1 over exactly the day
+    interval [max(day, prev_visit+7), day+6] on which it is that
+    user's NEWEST visit older than the window start (prev_visit from
+    one lag per user), so the answer is an interval sweep: ±1 deltas,
+    one running sum over the calendar — O(visits) total work, the same
+    endpoint-sweep shape as ``ops_littles_law``. The oracle computes
+    the same series by brute force (calendar × visits range join +
+    COUNT(DISTINCT)), so the hash gate proves an ALGORITHMIC identity,
+    not a translation.
+
+    Scale: shuffle ∝ distinct (user, day) pairs; the only ordered pass
+    is the O(days) calendar sweep — a per-day re-count would be 7× the
+    I/O and a distinct-within-window shuffle per day."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("2020-01-01").cast("date"),
+        ).alias("d"),
+    ).distinct()
+    w_u = Window.partitionBy("user_id").orderBy("d")
+    iv = ud.select(
+        F.greatest(
+            F.col("d"),
+            F.coalesce(F.lag("d").over(w_u) + 7, F.col("d")),
+        ).alias("lo"),
+        (F.col("d") + 6).alias("hi"),
+    ).filter(F.col("lo") <= F.col("hi"))
+    deltas = iv.select(F.col("lo").alias("d"), F.lit(1).alias("delta")).unionAll(
+        iv.select((F.col("hi") + 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    bounds = ud.agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence(F.col("dmin"), F.col("dmax"))).alias("d")
+    )
+    dsum = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    w_run = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cal.join(dsum, "d", "left")
+        .select("d", F.coalesce(F.col("net"), F.lit(0)).alias("net"))
+        .select(
+            "d",
+            F.sum("net").over(w_run).cast("long").alias("distinct_7d"),
+        )
+        .select(
+            F.date_format(
+                F.date_add(F.lit("2020-01-01").cast("date"), F.col("d")),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            "distinct_7d",
+            F.col("d"),
+        )
+        .orderBy("d")
+        .drop("d")
+    )

@@ -6705,3 +6705,326 @@ def ops_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("i_sweep") - F.col("i_dur")).cast("long").alias("resid_us"),
     )
+
+
+@register(
+    "ts_dickey_fuller",
+    """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(FLOOR(LN(SUM(l_extendedprice)) * 1e6) AS BIGINT) AS x
+        FROM lineitem GROUP BY 1
+    ), lagd AS (
+        SELECT x - LAG(x) OVER (ORDER BY day) AS y,
+               LAG(x) OVER (ORDER BY day) AS xl
+        FROM daily
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(SUM(xl) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(xl AS HUGEINT) * xl) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(xl AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM lagd WHERE xl IS NOT NULL
+    ), fit AS (
+        SELECT t,
+               (CAST(t AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * sy)
+               / (CAST(t AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * sx) AS beta,
+               CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+               CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd,
+               CAST(syy AS DOUBLE) AS syyd
+        FROM s
+    ), res AS (
+        SELECT t, beta, sxd, sxxd,
+               (syd - beta * sxd) / t AS alpha,
+               (syyd - ((syd - beta * sxd) / t) * syd - beta * sxyd)
+                   / (t - 2) AS s2
+        FROM fit
+    )
+    SELECT t AS n_obs,
+           ROUND(beta / 1e0, 6) AS beta,
+           ROUND(alpha / 1e6, 6) AS alpha,
+           ROUND(beta / SQRT(s2 * t
+                 / (CAST(t AS DOUBLE) * sxxd
+                    - CAST(sxd AS DOUBLE) * sxd)), 4) AS df_stat
+    FROM res
+    """,
+)
+def ts_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey–Fuller unit-root regression (Dickey & Fuller '79, no
+    augmentation) on daily log revenue: Δxₜ = α + β·xₜ₋₁ + εₜ; a β
+    near 0 (DF statistic above the ~−2.86 critical band) means shocks
+    persist (random walk), a strongly negative DF means mean
+    reversion — the formal version of the departure ``ts_hurst`` and
+    ``ts_variance_ratio`` measure descriptively. The series is
+    1e-6-quantized ln revenue, so the five OLS sufficient sums are
+    exact integers (cross-products in 128-bit) and β̂, α̂, the residual
+    variance and the t-ratio β̂/se(β̂) are closed-form scalar algebra.
+
+    Scale: one aggregate to the O(days) series; one lag window on
+    that tiny frame; the regression never sees row-level data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        F.floor(F.log(F.sum("l_extendedprice")) * 1e6)
+        .cast("long")
+        .alias("x")
+    )
+    w_ord = Window.orderBy("day")
+    lagd = daily.select(
+        (F.col("x") - F.lag("x").over(w_ord)).alias("y"),
+        F.lag("x").over(w_ord).alias("xl"),
+    ).filter(F.col("xl").isNotNull())
+    s = lagd.agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("xl").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("xl").cast("decimal(38,0)") * F.col("xl")).alias("sxx"),
+        F.sum(F.col("xl").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    t = F.col("t")
+    beta = (
+        t.cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        t.cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    fit = s.select(
+        t,
+        beta.alias("beta"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("sxx").cast("double").alias("sxxd"),
+        F.col("sxy").cast("double").alias("sxyd"),
+        F.col("syy").cast("double").alias("syyd"),
+    )
+    alpha = (F.col("syd") - F.col("beta") * F.col("sxd")) / t
+    s2 = (
+        F.col("syyd") - alpha * F.col("syd") - F.col("beta") * F.col("sxyd")
+    ) / (t - 2)
+    res = fit.select(
+        t, F.col("beta"), alpha.alias("alpha"), s2.alias("s2"),
+        "sxd", "sxxd",
+    )
+    return res.select(
+        t.alias("n_obs"),
+        F.round(F.col("beta") / 1e0, 6).alias("beta"),
+        F.round(F.col("alpha") / 1e6, 6).alias("alpha"),
+        F.round(
+            F.col("beta")
+            / F.sqrt(
+                F.col("s2") * t
+                / (
+                    t.cast("double") * F.col("sxxd")
+                    - F.col("sxd").cast("double") * F.col("sxd")
+                )
+            ),
+            4,
+        ).alias("df_stat"),
+    )
+
+
+@register(
+    "ts_kpss",
+    """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(FLOOR(LN(SUM(l_extendedprice)) * 1e6) AS BIGINT) AS x
+        FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS t, CAST(SUM(x) AS BIGINT) AS sx
+        FROM daily
+    ), e AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS i,
+               CAST(t * x - sx AS BIGINT) AS ee
+        FROM daily CROSS JOIN tot
+    ), spart AS (
+        SELECT i, ee,
+               SUM(ee) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS st
+        FROM e
+    ), lags AS (
+        SELECT a.ee AS e0,
+               LAG(a.ee, 1) OVER (ORDER BY a.i) AS e1,
+               LAG(a.ee, 2) OVER (ORDER BY a.i) AS e2,
+               LAG(a.ee, 3) OVER (ORDER BY a.i) AS e3,
+               LAG(a.ee, 4) OVER (ORDER BY a.i) AS e4
+        FROM e a
+    ), gam AS (
+        SELECT CAST(SUM(CAST(e0 AS HUGEINT) * e0) AS HUGEINT) AS g0,
+               CAST(SUM(CAST(e0 AS HUGEINT) * e1) AS HUGEINT) AS g1,
+               CAST(SUM(CAST(e0 AS HUGEINT) * e2) AS HUGEINT) AS g2,
+               CAST(SUM(CAST(e0 AS HUGEINT) * e3) AS HUGEINT) AS g3,
+               CAST(SUM(CAST(e0 AS HUGEINT) * e4) AS HUGEINT) AS g4
+        FROM lags
+    ), ssum AS (
+        SELECT CAST(SUM(CAST(st AS HUGEINT) * st) AS HUGEINT) AS ss2
+        FROM spart
+    )
+    SELECT t.t AS n_obs,
+           ROUND(CAST(s.ss2 AS DOUBLE)
+                 / (t.t * (CAST(g.g0 AS DOUBLE)
+                           + 2 * (0.8 * CAST(g.g1 AS DOUBLE)
+                                  + 0.6 * CAST(g.g2 AS DOUBLE)
+                                  + 0.4 * CAST(g.g3 AS DOUBLE)
+                                  + 0.2 * CAST(g.g4 AS DOUBLE)))), 6)
+               AS kpss_eta,
+           ROUND(CAST(g.g1 AS DOUBLE) / CAST(g.g0 AS DOUBLE), 6)
+               AS rho1
+    FROM tot t CROSS JOIN gam g CROSS JOIN ssum s
+    """,
+)
+def ts_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity statistic (Kwiatkowski et al. '92,
+    Bartlett window q=4): η = T⁻²ΣSₜ²/σ̂²_lrv over partial sums Sₜ of
+    the demeaned series — the null is REVERSED relative to
+    ``ts_dickey_fuller`` (stationary under H0, so DF and KPSS
+    together give the confirm/deny quadrant). Exactness trick: demean
+    in units of 1/T — Eₜ = T·xₜ − Σx is an EXACT integer, every
+    partial sum, autocovariance Γ_l = ΣEₜEₜ₋ₗ (128-bit) and ΣSₜ² stay
+    integers, and the T/1e6 scale factors CANCEL in the ratio, so
+    η = ΣSₜ² / (T·(Γ₀ + 2Σ(1−l/5)Γ_l)) needs no float accumulation
+    anywhere; ρ₁ = Γ₁/Γ₀ is reported as the sanity companion.
+
+    Scale: same O(days) frame posture as ``ts_dickey_fuller``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        F.floor(F.log(F.sum("l_extendedprice")) * 1e6)
+        .cast("long")
+        .alias("x")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    w_ord = Window.orderBy("day")
+    e = daily.crossJoin(F.broadcast(tot)).select(
+        F.row_number().over(w_ord).alias("i"),
+        (F.col("t") * F.col("x") - F.col("sx")).cast("long").alias("ee"),
+    )
+    w_run = Window.orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    spart = e.select("i", "ee", F.sum("ee").over(w_run).alias("st"))
+    w_i = Window.orderBy("i")
+    lags = e.select(
+        F.col("ee").alias("e0"),
+        F.lag("ee", 1).over(w_i).alias("e1"),
+        F.lag("ee", 2).over(w_i).alias("e2"),
+        F.lag("ee", 3).over(w_i).alias("e3"),
+        F.lag("ee", 4).over(w_i).alias("e4"),
+    )
+    gam = lags.agg(
+        F.sum(F.col("e0").cast("decimal(38,0)") * F.col("e0")).alias("g0"),
+        F.sum(F.col("e0").cast("decimal(38,0)") * F.col("e1")).alias("g1"),
+        F.sum(F.col("e0").cast("decimal(38,0)") * F.col("e2")).alias("g2"),
+        F.sum(F.col("e0").cast("decimal(38,0)") * F.col("e3")).alias("g3"),
+        F.sum(F.col("e0").cast("decimal(38,0)") * F.col("e4")).alias("g4"),
+    )
+    ssum = spart.agg(
+        F.sum(F.col("st").cast("decimal(38,0)") * F.col("st")).alias("ss2")
+    )
+    lrv = F.col("g0").cast("double") + 2 * (
+        0.8 * F.col("g1").cast("double")
+        + 0.6 * F.col("g2").cast("double")
+        + 0.4 * F.col("g3").cast("double")
+        + 0.2 * F.col("g4").cast("double")
+    )
+    return (
+        tot.crossJoin(F.broadcast(gam))
+        .crossJoin(F.broadcast(ssum))
+        .select(
+            F.col("t").alias("n_obs"),
+            F.round(
+                F.col("ss2").cast("double") / (F.col("t") * lrv), 6
+            ).alias("kpss_eta"),
+            F.round(
+                F.col("g1").cast("double") / F.col("g0").cast("double"), 6
+            ).alias("rho1"),
+        )
+    )
+
+
+@register(
+    "ts_turning_points",
+    """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM lineitem GROUP BY 1
+    ), tri AS (
+        SELECT LAG(x) OVER (ORDER BY day) AS a, x AS b,
+               LEAD(x) OVER (ORDER BY day) AS c
+        FROM daily
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) + 2 AS n,
+               CAST(SUM(CASE WHEN (b > a AND b > c)
+                              OR (b < a AND b < c)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN b = a OR b = c THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ties
+        FROM tri WHERE a IS NOT NULL AND c IS NOT NULL
+    )
+    SELECT n AS n_obs, tp AS n_turning_points, ties AS n_ties,
+           ROUND(2.0 * (n - 2) / 3, 4) AS expected_tp,
+           ROUND((tp - 2.0 * (n - 2) / 3)
+                 / SQRT((16.0 * n - 29) / 90), 4) AS z
+    FROM s
+    """,
+)
+def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point test for randomness (Wald–Wolfowitz / Kendall): a
+    strict local max or min at an interior day is a turning point;
+    under i.i.d. noise E[TP] = 2(n−2)/3 and Var = (16n−29)/90, so the
+    z-score flags either smoothness (too few turns — trend/momentum)
+    or oscillation (too many — alternating/seasonal structure). The
+    cheapest sanity screen before reaching for ``ts_ljung_box`` or
+    the periodogram; revenue is summed in exact cents so equality
+    ties are well-defined (counted, not silently broken).
+
+    Scale: one aggregate to the O(days) series, one lag/lead pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    w_ord = Window.orderBy("day")
+    tri = daily.select(
+        F.lag("x").over(w_ord).alias("a"),
+        F.col("x").alias("b"),
+        F.lead("x").over(w_ord).alias("c"),
+    ).filter(F.col("a").isNotNull() & F.col("c").isNotNull())
+    s = tri.agg(
+        (F.count(F.lit(1)) + 2).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                ((F.col("b") > F.col("a")) & (F.col("b") > F.col("c")))
+                | ((F.col("b") < F.col("a")) & (F.col("b") < F.col("c"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("tp"),
+        F.sum(
+            F.when(
+                (F.col("b") == F.col("a")) | (F.col("b") == F.col("c")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("ties"),
+    )
+    n, tp = F.col("n"), F.col("tp")
+    return s.select(
+        n.alias("n_obs"),
+        tp.alias("n_turning_points"),
+        F.col("ties").alias("n_ties"),
+        F.round(2.0 * (n - 2) / 3, 4).alias("expected_tp"),
+        F.round(
+            (tp - 2.0 * (n - 2) / 3) / F.sqrt((16.0 * n - 29) / 90), 4
+        ).alias("z"),
+    )

@@ -1798,3 +1798,272 @@ def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+@register(
+    "pipeline_span_corruption",
+    """
+    WITH toks AS (
+        SELECT d.doc_id, t.i AS idx
+        FROM (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS w
+              FROM documents) d,
+        UNNEST(RANGE(1, LEN(d.w) + 1)) AS t(i)
+    ), flagged AS (
+        SELECT doc_id, idx,
+               CASE WHEN (('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)
+                               || ':' || CAST(idx AS VARCHAR)), 1, 15))
+                          ::BIGINT) % 10 = 0
+                    THEN 1 ELSE 0 END AS st
+        FROM toks
+    ), masked AS (
+        SELECT doc_id, idx, st,
+               MAX(st) OVER (PARTITION BY doc_id ORDER BY idx
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS in_mask
+        FROM flagged
+    ), per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(SUM(st) AS BIGINT) AS n_starts,
+               CAST(SUM(in_mask) AS BIGINT) AS n_masked
+        FROM masked GROUP BY doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_starts) AS BIGINT) AS n_spans,
+           CAST(SUM(n_masked) AS BIGINT) AS masked_tokens,
+           ROUND(CAST(SUM(n_masked) AS DOUBLE) / SUM(n_tok), 6)
+               AS mask_ratio,
+           ROUND(CAST(SUM(n_masked) AS DOUBLE)
+                 / NULLIF(SUM(n_starts), 0), 6) AS avg_run_len,
+           CAST(COUNT(*) FILTER (WHERE n_starts = 0) AS BIGINT)
+               AS docs_unmasked
+    FROM per_doc
+    """,
+)
+def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption planning pass (Raffel et al. '20): each
+    token position opens a 3-token mask span with probability 1/10,
+    decided by a DETERMINISTIC md5(doc_id:idx) draw (the same
+    hash-as-RNG discipline as ``sample_hash_split`` — re-running the
+    pipeline masks the same spans, the property that makes corruption
+    reproducible across preprocessing reruns). Overlapping spans merge
+    via a trailing-3 window MAX of start flags, so masked_tokens
+    counts real coverage, not 3×starts; the corpus row reports the
+    achieved mask ratio against the 3/10 nominal (overlap pulls it
+    down — the test pins the exact combinatorics), the merged-run
+    average length and the fully-unmasked doc count that a packing
+    step must drop.
+
+    Scale: one token explode (shuffle ∝ tokens) with per-doc windows —
+    the same posture as ``text_tokens``; no per-span row fan-out."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), " ")).alias("i0", "w"),
+    ).select("doc_id", (F.col("i0") + 1).alias("idx"))
+    h60 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("idx").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    flagged = toks.select(
+        "doc_id",
+        "idx",
+        F.when(h60 % 10 == 0, 1).otherwise(0).alias("st"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("idx").rowsBetween(-2, 0)
+    masked = flagged.select(
+        "doc_id", "st", F.max("st").over(w_doc).alias("in_mask")
+    )
+    per_doc = masked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.sum("st").cast("long").alias("n_starts"),
+        F.sum("in_mask").cast("long").alias("n_masked"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("n_starts").cast("long").alias("n_spans"),
+        F.sum("n_masked").cast("long").alias("masked_tokens"),
+        F.round(
+            F.sum("n_masked").cast("double") / F.sum("n_tok"), 6
+        ).alias("mask_ratio"),
+        F.round(
+            F.sum("n_masked").cast("double")
+            / F.nullif(F.sum("n_starts"), F.lit(0)),
+            6,
+        ).alias("avg_run_len"),
+        F.count(F.when(F.col("n_starts") == 0, 1))
+        .cast("long")
+        .alias("docs_unmasked"),
+    )
+
+
+@register(
+    "pipeline_length_bucketing",
+    """
+    WITH lens AS (
+        SELECT LEN(STRING_SPLIT(TRIM(text), ' ')) AS n
+        FROM documents
+    ), pol AS (
+        SELECT n,
+               CAST(POWER(2, CEIL(LN(CAST(n AS DOUBLE)) / LN(2.0)))
+                    AS BIGINT) AS pow2,
+               (SELECT MAX(n) FROM lens) AS mx
+        FROM lens
+    )
+    SELECT policy, n_docs, true_tokens, padded_tokens,
+           ROUND(100.0 * (padded_tokens - true_tokens) / padded_tokens, 4)
+               AS waste_pct
+    FROM (
+        SELECT 'pad_to_max' AS policy,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS true_tokens,
+               CAST(SUM(mx) AS BIGINT) AS padded_tokens
+        FROM pol
+        UNION ALL
+        SELECT 'pad_to_pow2',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(n) AS BIGINT),
+               CAST(SUM(pow2) AS BIGINT)
+        FROM pol
+        UNION ALL
+        SELECT 'pack_concat',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(n) AS BIGINT),
+               CAST(CEIL(SUM(n) / 512.0) * 512 AS BIGINT)
+        FROM pol
+    )
+    ORDER BY policy
+    """,
+)
+def pipeline_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste ledger for the three batching policies a trainer
+    chooses between: pad every document to the corpus max (the naive
+    collate), pad to the next power of two (bucketed batching — what
+    dynamic-shape compilers want), and dense sequence packing into
+    512-token windows (the ``pipeline_pack_sequences`` regime,
+    idealized as ⌈Σn/512⌉ windows). Reported as exact token ledgers
+    with waste %, so the table IS the argument for packing: the same
+    corpus, three padded footprints. Token counts are whitespace
+    lengths (the corpus tokenizer proxy used by
+    ``pipeline_tokenize_budget``).
+
+    Scale: one length scan (no explode — LEN of the split array),
+    one scalar max broadcast, three aggregate ledgers."""
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(F.size(F.split(F.trim("text"), " ")).alias("n"))
+    mx = lens.agg(F.max("n").alias("mx"))
+    pol = lens.crossJoin(F.broadcast(mx)).select(
+        "n",
+        F.pow(
+            F.lit(2.0), F.ceil(F.log(F.col("n").cast("double")) / F.log(F.lit(2.0)))
+        )
+        .cast("long")
+        .alias("pow2"),
+        "mx",
+    )
+    a = pol.agg(
+        F.lit("pad_to_max").alias("policy"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("true_tokens"),
+        F.sum("mx").cast("long").alias("padded_tokens"),
+    )
+    b = pol.agg(
+        F.lit("pad_to_pow2").alias("policy"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("true_tokens"),
+        F.sum("pow2").cast("long").alias("padded_tokens"),
+    )
+    c = pol.agg(
+        F.lit("pack_concat").alias("policy"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("true_tokens"),
+        (F.ceil(F.sum("n") / 512.0) * 512).cast("long").alias("padded_tokens"),
+    )
+    u = a.unionAll(b).unionAll(c)
+    return u.select(
+        "policy",
+        "n_docs",
+        "true_tokens",
+        "padded_tokens",
+        F.round(
+            100.0
+            * (F.col("padded_tokens") - F.col("true_tokens"))
+            / F.col("padded_tokens"),
+            4,
+        ).alias("waste_pct"),
+    ).orderBy("policy")
+
+
+@register(
+    "pipeline_dp_composition",
+    """
+    WITH base AS (
+        SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM documents
+    ), ks AS (
+        SELECT UNNEST(RANGE(1, 11)) AS k
+    )
+    SELECT k.k AS n_releases, b.n_sources,
+           ROUND(k.k * 0.5, 4) AS eps_basic,
+           ROUND(SQRT(2.0 * k.k * LN(1e6)) * 0.5
+                 + k.k * 0.5 * (EXP(0.5) - 1), 4) AS eps_advanced,
+           CASE WHEN k.k * 0.5
+                     <= SQRT(2.0 * k.k * LN(1e6)) * 0.5
+                        + k.k * 0.5 * (EXP(0.5) - 1)
+                THEN 'basic' ELSE 'advanced' END AS tighter_bound,
+           CASE WHEN k.k <= b.n_sources THEN 1 ELSE 0 END
+               AS within_source_budget
+    FROM ks k CROSS JOIN base b
+    ORDER BY k.k
+    """,
+)
+def pipeline_dp_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy budget ledger for repeated releases of the
+    per-source statistics that ``pipeline_dp_noise`` privatizes: for
+    k = 1..10 releases at ε₀ = 0.5 each, the basic composition bound
+    kε₀ against the advanced bound √(2k ln(1/δ'))·ε₀ + kε₀(e^ε₀−1)
+    at δ' = 1e-6 (Dwork–Rothblum–Vadhan '10) — the crossover row
+    shows exactly when advanced composition starts paying, which is
+    the go/no-go table a release pipeline consults before re-running
+    stats on the same corpus. The within_source_budget flag ties the
+    schedule to the fixture's actual release unit (one per source).
+
+    Scale: a 10-row generated frame joined to one distinct-count —
+    pure policy algebra."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.countDistinct("source").cast("long").alias("n_sources")
+    )
+    ks = spark.range(1, 11).select(F.col("id").alias("k"))
+    eps_basic = F.col("k") * 0.5
+    eps_adv = (
+        F.sqrt(2.0 * F.col("k") * F.log(F.lit(1e6))) * 0.5
+        + F.col("k") * 0.5 * (F.exp(F.lit(0.5)) - 1)
+    )
+    return (
+        ks.crossJoin(F.broadcast(base))
+        .select(
+            F.col("k").alias("n_releases"),
+            "n_sources",
+            F.round(eps_basic, 4).alias("eps_basic"),
+            F.round(eps_adv, 4).alias("eps_advanced"),
+            F.when(eps_basic <= eps_adv, F.lit("basic"))
+            .otherwise(F.lit("advanced"))
+            .alias("tighter_bound"),
+            F.when(F.col("k") <= F.col("n_sources"), 1)
+            .otherwise(0)
+            .alias("within_source_budget"),
+        )
+        .orderBy("n_releases")
+    )

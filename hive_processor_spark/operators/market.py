@@ -934,3 +934,136 @@ def market_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
         F.round(F.exp(F.col("tq") / 1e9), 6).alias("tornqvist"),
     )
+
+
+@register(
+    "market_pvm_bridge",
+    """
+    WITH py AS (
+        SELECT l_partkey AS pk,
+               CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01' THEN 1
+                    ELSE 0 END AS yr,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT))
+                    AS BIGINT) AS rev_q,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2
+    ), m AS (
+        SELECT a.pk, a.rev_q AS rev0, a.qty AS q0,
+               b.rev_q AS rev1, b.qty AS q1
+        FROM (SELECT * FROM py WHERE yr = 0) a
+        JOIN (SELECT * FROM py WHERE yr = 1) b ON b.pk = a.pk
+    ), tot AS (
+        SELECT CAST(SUM(rev0) AS BIGINT) AS trev0,
+               CAST(SUM(rev1) AS BIGINT) AS trev1,
+               CAST(SUM(q0) AS BIGINT) AS tq0,
+               CAST(SUM(q1) AS BIGINT) AS tq1,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(CAST(FLOOR(rev_q0_q1 * 1e2) AS BIGINT)) AS BIGINT)
+                   AS p0q1_q,
+               CAST(SUM(CAST(FLOOR(rev_q0_scaled * 1e2) AS BIGINT))
+                    AS BIGINT) AS p0q0s_q
+        FROM (
+            SELECT rev0, rev1, q0, q1,
+                   rev0 / 1e4 / q0 * q1 AS rev_q0_q1,
+                   rev0 / 1e4 / q0 * q0 AS rev_q0_scaled
+            FROM m
+        )
+    )
+    SELECT n_parts,
+           ROUND(trev0 / 1e4, 2) AS rev0_dollars,
+           ROUND(trev1 / 1e4, 2) AS rev1_dollars,
+           ROUND(trev1 / 1e4 - trev0 / 1e4, 2) AS delta_dollars,
+           ROUND(trev1 / 1e4 - p0q1_q / 1e2, 2) AS price_effect,
+           ROUND((trev0 / 1e4)
+                 * (CAST(tq1 AS DOUBLE) / tq0 - 1), 2) AS volume_effect,
+           ROUND(p0q1_q / 1e2
+                 - (trev0 / 1e4) * (CAST(tq1 AS DOUBLE) / tq0), 2)
+               AS mix_effect,
+           ROUND((trev1 / 1e4 - trev0 / 1e4)
+                 - (trev1 / 1e4 - p0q1_q / 1e2)
+                 - ((trev0 / 1e4)
+                    * (CAST(tq1 AS DOUBLE) / tq0 - 1))
+                 - (p0q1_q / 1e2
+                    - (trev0 / 1e4) * (CAST(tq1 AS DOUBLE) / tq0)),
+                 6) AS bridge_residual
+    FROM tot
+    """,
+)
+def market_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price–volume–mix revenue bridge between 1996 and 1997 (the FP&A
+    variance decomposition behind every "why did revenue move"
+    waterfall): over parts sold both years, ΔRev splits into price
+    effect Σ(p₁−p₀)q₁ = REV₁ − Σp₀q₁, volume effect REV₀·(Q₁/Q₀ − 1)
+    (total-quantity growth at old prices and old mix) and mix effect
+    Σp₀q₁ − REV₀·Q₁/Q₀ (shift toward dearer/cheaper parts at old
+    prices). The three effects are built from the SAME quantized
+    subexpressions, so their sum telescopes to ΔRev EXACTLY and the
+    published bridge_residual is a hash-pinned 0.0 — the decomposition
+    closes, which is the property accountants actually check
+    (complements ``market_price_index``: same frame, ledger view).
+
+    Scale: identical posture to ``market_price_index`` — one
+    partial→final (part, year) aggregate, one co-located self-join,
+    scalar algebra."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    py = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.when(
+            F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")), 1
+        )
+        .otherwise(0)
+        .alias("yr"),
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 10000.0).cast("long"))
+        .cast("long")
+        .alias("rev_q"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+    )
+    a = py.filter(F.col("yr") == 0).select(
+        "pk", F.col("rev_q").alias("rev0"), F.col("qty").alias("q0")
+    )
+    b = py.filter(F.col("yr") == 1).select(
+        "pk", F.col("rev_q").alias("rev1"), F.col("qty").alias("q1")
+    )
+    m = a.join(b, "pk").select(
+        "rev0",
+        "rev1",
+        "q0",
+        "q1",
+        (F.col("rev0") / 1e4 / F.col("q0") * F.col("q1")).alias("rev_q0_q1"),
+    )
+    tot = m.agg(
+        F.sum("rev0").cast("long").alias("trev0"),
+        F.sum("rev1").cast("long").alias("trev1"),
+        F.sum("q0").cast("long").alias("tq0"),
+        F.sum("q1").cast("long").alias("tq1"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.floor(F.col("rev_q0_q1") * 1e2).cast("long"))
+        .cast("long")
+        .alias("p0q1_q"),
+    )
+    rev0 = F.col("trev0") / 1e4
+    rev1 = F.col("trev1") / 1e4
+    p0q1 = F.col("p0q1_q") / 1e2
+    growth = F.col("tq1").cast("double") / F.col("tq0")
+    price_eff = rev1 - p0q1
+    vol_eff = rev0 * (growth - 1)
+    mix_eff = p0q1 - rev0 * growth
+    return tot.select(
+        "n_parts",
+        F.round(rev0, 2).alias("rev0_dollars"),
+        F.round(rev1, 2).alias("rev1_dollars"),
+        F.round(rev1 - rev0, 2).alias("delta_dollars"),
+        F.round(price_eff, 2).alias("price_effect"),
+        F.round(vol_eff, 2).alias("volume_effect"),
+        F.round(mix_eff, 2).alias("mix_effect"),
+        F.round(
+            (rev1 - rev0) - price_eff - vol_eff - mix_eff, 6
+        ).alias("bridge_residual"),
+    )

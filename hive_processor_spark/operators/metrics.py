@@ -7446,3 +7446,134 @@ def stats_gamma_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gamma"),
     )
+
+
+@register(
+    "ml_brier_decomposition",
+    """
+    WITH s AS (
+        SELECT LEAST(CAST(FLOOR(LEAST(value / 500.0, 1.0) * 10) AS BIGINT),
+                     9) AS bin,
+               CAST(FLOOR(LEAST(value / 500.0, 1.0) * 1e6) AS BIGINT) AS pq,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ), per_bin AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS nk,
+               CAST(SUM(pq) AS BIGINT) AS spq,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(pq AS HUGEINT) * pq) AS HUGEINT) AS spq2,
+               CAST(SUM(pq * y) AS BIGINT) AS spy
+        FROM s GROUP BY bin
+    ), tot AS (
+        SELECT CAST(SUM(nk) AS BIGINT) AS n,
+               CAST(SUM(sy) AS BIGINT) AS ny
+        FROM per_bin
+    ), parts AS (
+        SELECT
+            CAST(SUM(CAST(FLOOR(nk * (CAST(spq AS DOUBLE) / nk / 1e6
+                                      - CAST(sy AS DOUBLE) / nk)
+                                   * (CAST(spq AS DOUBLE) / nk / 1e6
+                                      - CAST(sy AS DOUBLE) / nk)
+                                   * 1e9) AS BIGINT)) AS BIGINT) AS relq,
+            CAST(SUM(CAST(FLOOR(nk * (CAST(sy AS DOUBLE) / nk
+                                      - CAST(t.ny AS DOUBLE) / t.n)
+                                   * (CAST(sy AS DOUBLE) / nk
+                                      - CAST(t.ny AS DOUBLE) / t.n)
+                                   * 1e9) AS BIGINT)) AS BIGINT) AS resq,
+            CAST(SUM(CAST(FLOOR((CAST(spq2 AS DOUBLE) / 1e12
+                                 - 2.0 * spy / 1e6
+                                 + CAST(sy AS BIGINT)) * 1e9)
+                          AS BIGINT)) AS BIGINT) AS bsq
+        FROM per_bin CROSS JOIN tot t
+    )
+    SELECT t.n, t.ny,
+           ROUND(bsq / 1e9 / t.n, 6) AS brier,
+           ROUND(relq / 1e9 / t.n, 6) AS reliability,
+           ROUND(resq / 1e9 / t.n, 6) AS resolution,
+           ROUND(CAST(t.ny AS DOUBLE) / t.n
+                 * (1 - CAST(t.ny AS DOUBLE) / t.n), 6) AS uncertainty,
+           ROUND(bsq / 1e9 / t.n
+                 - (relq / 1e9 / t.n - resq / 1e9 / t.n
+                    + CAST(t.ny AS DOUBLE) / t.n
+                      * (1 - CAST(t.ny AS DOUBLE) / t.n)), 6)
+               AS within_bin_gap
+    FROM parts CROSS JOIN tot t
+    """,
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score (Murphy '73):
+    BS = reliability − resolution + uncertainty, over the same
+    value/500 forecast and 10 calibration bins as
+    ``ml_calibration_error`` — reliability is the calibration gap
+    (smaller is better), resolution rewards bins that separate from
+    the base rate, uncertainty ō(1−ō) is the data's floor.
+    within_bin_gap publishes the identity's residual, which for
+    non-constant forecasts inside a bin equals the within-bin
+    forecast variance minus twice the within-bin forecast–outcome
+    covariance — near 0 when bins are tight, and a direct audit that
+    the three parts really recompose the score. Forecasts quantize at
+    1e-6 (squares in 128-bit), each bin's rational terms at 1e-9, so
+    every component folds as integers.
+
+    Scale: one partial→final aggregate to 10 bins, then scalar
+    algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    p = F.least(F.col("value") / 500.0, F.lit(1.0))
+    s = ev.select(
+        F.least(F.floor(p * 10).cast("long"), F.lit(9)).alias("bin"),
+        F.floor(p * 1e6).cast("long").alias("pq"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    per_bin = s.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("pq").cast("long").alias("spq"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("pq").cast("decimal(38,0)") * F.col("pq")).alias("spq2"),
+        F.sum(F.col("pq") * F.col("y")).cast("long").alias("spy"),
+    )
+    tot = per_bin.agg(
+        F.sum("nk").cast("long").alias("n"),
+        F.sum("sy").cast("long").alias("ny"),
+    )
+    nk = F.col("nk")
+    pbar = F.col("spq").cast("double") / nk / 1e6
+    obar = F.col("sy").cast("double") / nk
+    gbar = F.col("ny").cast("double") / F.col("n")
+    parts = per_bin.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.floor(nk * (pbar - obar) * (pbar - obar) * 1e9).cast("long")
+        )
+        .cast("long")
+        .alias("relq"),
+        F.sum(
+            F.floor(nk * (obar - gbar) * (obar - gbar) * 1e9).cast("long")
+        )
+        .cast("long")
+        .alias("resq"),
+        F.sum(
+            F.floor(
+                (
+                    F.col("spq2").cast("double") / 1e12
+                    - 2.0 * F.col("spy") / 1e6
+                    + F.col("sy").cast("long")
+                )
+                * 1e9
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("bsq"),
+    )
+    n, ny = F.col("n"), F.col("ny")
+    unc = ny.cast("double") / n * (1 - ny.cast("double") / n)
+    bs = F.col("bsq") / 1e9 / n
+    rel = F.col("relq") / 1e9 / n
+    res = F.col("resq") / 1e9 / n
+    return parts.crossJoin(F.broadcast(tot)).select(
+        n,
+        ny,
+        F.round(bs, 6).alias("brier"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(bs - (rel - res + unc), 6).alias("within_bin_gap"),
+    )

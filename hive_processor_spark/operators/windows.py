@@ -1025,3 +1025,94 @@ def win_distinct_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d")
         .drop("d")
     )
+
+
+@register(
+    "win_ytd_qtd",
+    """
+    WITH monthly AS (
+        SELECT date_part('year', o_orderdate) AS yr,
+               date_part('month', o_orderdate) AS mo,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1, 2
+    ), w AS (
+        SELECT yr, mo, rev_c,
+               CAST((mo - 1) // 3 + 1 AS BIGINT) AS qtr,
+               SUM(rev_c) OVER (PARTITION BY yr ORDER BY mo
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS ytd_c,
+               SUM(rev_c) OVER (PARTITION BY yr, (mo - 1) // 3
+                   ORDER BY mo
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS qtd_c,
+               LAG(rev_c, 12) OVER (ORDER BY yr, mo) AS prior_yr_c
+        FROM monthly
+    )
+    SELECT CAST(yr AS BIGINT) AS yr, CAST(mo AS BIGINT) AS mo, qtr,
+           ROUND(rev_c / 100.0, 2) AS month_rev,
+           ROUND(qtd_c / 100.0, 2) AS qtd_rev,
+           ROUND(ytd_c / 100.0, 2) AS ytd_rev,
+           ROUND(CASE WHEN prior_yr_c IS NOT NULL
+                 THEN 100.0 * (rev_c - prior_yr_c) / prior_yr_c END, 4)
+               AS yoy_pct
+    FROM w
+    ORDER BY yr, mo
+    """,
+)
+def win_ytd_qtd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BI calendar-hierarchy running totals every reporting layer
+    ships: month revenue with quarter-to-date, year-to-date and
+    year-over-year growth on one monthly frame — ``win_running``'s
+    cumulative sum specialized to the fiscal hierarchy, where the
+    frame RESETS at each year/quarter boundary via the window
+    PARTITION instead of running forever, and YoY is a 12-row lag on
+    the month axis (null for the first year — published as a typed
+    null, not a sentinel). Revenue folds in exact cents, so every
+    running total and the growth ratio are parallelism-stable.
+
+    Scale: one partial→final aggregate to O(months); all windows run
+    on that ≤84-row frame, partitioned by year/quarter."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    qkey = F.floor((F.col("mo") - 1) / 3)
+    w_ytd = Window.partitionBy("yr").orderBy("mo").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_qtd = Window.partitionBy(F.col("yr"), qkey).orderBy("mo").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_lag = Window.orderBy("yr", "mo")
+    w = monthly.select(
+        "yr",
+        "mo",
+        "rev_c",
+        (qkey + 1).cast("long").alias("qtr"),
+        F.sum("rev_c").over(w_ytd).alias("ytd_c"),
+        F.sum("rev_c").over(w_qtd).alias("qtd_c"),
+        F.lag("rev_c", 12).over(w_lag).alias("prior_yr_c"),
+    )
+    return w.select(
+        F.col("yr").cast("long").alias("yr"),
+        F.col("mo").cast("long").alias("mo"),
+        "qtr",
+        F.round(F.col("rev_c") / 100.0, 2).alias("month_rev"),
+        F.round(F.col("qtd_c") / 100.0, 2).alias("qtd_rev"),
+        F.round(F.col("ytd_c") / 100.0, 2).alias("ytd_rev"),
+        F.round(
+            F.when(
+                F.col("prior_yr_c").isNotNull(),
+                100.0
+                * (F.col("rev_c") - F.col("prior_yr_c"))
+                / F.col("prior_yr_c"),
+            ),
+            4,
+        ).alias("yoy_pct"),
+    ).orderBy("yr", "mo")

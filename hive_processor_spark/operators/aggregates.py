@@ -3332,3 +3332,154 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u_exact").alias("union_exact"),
         F.col("i_exact").alias("inter_exact"),
     )
+
+
+@register(
+    "agg_hdr_histogram",
+    """
+    WITH v AS (
+        SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS c
+        FROM orders
+    ), bucketed AS (
+        SELECT LENGTH(BIN(c)) - 1 AS e,
+               (c * 32) // (1::BIGINT << (LENGTH(BIN(c)) - 1)) - 32 AS s
+        FROM v
+    ), hist AS (
+        SELECT e, s, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM bucketed GROUP BY e, s
+    ), cum AS (
+        SELECT e, s, cnt,
+               SUM(cnt) OVER (ORDER BY e, s ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS cc,
+               SUM(cnt) OVER () AS n
+        FROM hist
+    ), qs AS (
+        SELECT UNNEST([0.50, 0.90, 0.99, 0.999]) AS q
+    ), est AS (
+        SELECT q.q,
+               MIN(CASE WHEN c.cc >= CAST(CEIL(q.q * c.n) AS BIGINT)
+                   THEN (1::BIGINT << c.e) + c.s
+                        * ((1::BIGINT << c.e) // 32) END) AS lo_bound
+        FROM qs q CROSS JOIN cum c
+        GROUP BY q.q
+    ), exact AS (
+        SELECT q.q, MIN(CASE WHEN dc.cc >= CAST(CEIL(q.q * dc.n) AS BIGINT)
+                             THEN dc.c END) AS exact_c
+        FROM qs q CROSS JOIN (
+            SELECT c, SUM(cnt) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cc,
+                   SUM(cnt) OVER () AS n
+            FROM (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM v GROUP BY c)
+        ) dc
+        GROUP BY q.q
+    )
+    SELECT e.q AS quantile,
+           ROUND(e.lo_bound / 100.0, 2) AS hdr_estimate,
+           ROUND(x.exact_c / 100.0, 2) AS exact_value,
+           ROUND(ABS(e.lo_bound - CAST(x.exact_c AS DOUBLE))
+                 / x.exact_c, 6) AS rel_err,
+           0.03125 AS guaranteed_bound
+    FROM est e JOIN exact x ON x.q = e.q
+    ORDER BY e.q
+    """,
+)
+def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram quantile reconstruction (Tene's HdrHistogram
+    scheme): each order value lands in bucket (e, s) where e is the
+    BIT LENGTH of its cents (computed from the binary string — never
+    floor(log2(double)), whose libm last-ulp differences could flip a
+    boundary between engines) and s is one of 32 linear sub-buckets
+    within the octave, so the sketch guarantees relative error ≤ 1/32
+    at any scale with a few hundred integer cells total. p50/p90/p99/
+    p99.9 are read off the cumulative bucket table and audited
+    against the exact order statistics (demote-to-distinct
+    cumulative) with the realized rel_err beside the 3.125%
+    guarantee — the latency-dashboard machinery
+    (``agg_capacity_p99``) with its error contract made explicit.
+
+    Scale: one aggregate to O(octaves×32) cells that merge by
+    addition (mergeable across partitions/days by construction); the
+    exact audit is the only distinct-width pass."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("c"))
+    e = (F.length(F.bin(F.col("c"))) - 1).alias("e")
+    bucketed = v.select(
+        e,
+        (
+            F.expr("(c * 32) div (shiftleft(CAST(1 AS BIGINT), length(bin(c)) - 1))")
+            - 32
+        ).alias("s"),
+    )
+    hist = bucketed.groupBy("e", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_cum = Window.orderBy("e", "s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("e", "s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "e",
+        "s",
+        F.sum("cnt").over(w_cum).alias("cc"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    qs = spark.createDataFrame(
+        [(0.50,), (0.90,), (0.99,), (0.999,)], ["q"]
+    )
+    lo_bound = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), e) + s * (shiftleft(CAST(1 AS BIGINT), e) div 32)"
+    )
+    est = (
+        qs.crossJoin(cum)
+        .groupBy("q")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cc") >= F.ceil(F.col("q") * F.col("n")).cast("long"),
+                    lo_bound,
+                )
+            ).alias("lo_bound")
+        )
+    )
+    dc = v.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w_dc = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_dall = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dcc = dc.select(
+        "c",
+        F.sum("cnt").over(w_dc).alias("cc"),
+        F.sum("cnt").over(w_dall).alias("n"),
+    )
+    exact = (
+        qs.crossJoin(dcc)
+        .groupBy("q")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cc") >= F.ceil(F.col("q") * F.col("n")).cast("long"),
+                    F.col("c"),
+                )
+            ).alias("exact_c")
+        )
+    )
+    return (
+        est.join(exact, "q")
+        .select(
+            F.col("q").alias("quantile"),
+            F.round(F.col("lo_bound") / 100.0, 2).alias("hdr_estimate"),
+            F.round(F.col("exact_c") / 100.0, 2).alias("exact_value"),
+            F.round(
+                F.abs(F.col("lo_bound") - F.col("exact_c").cast("double"))
+                / F.col("exact_c"),
+                6,
+            ).alias("rel_err"),
+            F.lit(0.03125).alias("guaranteed_bound"),
+        )
+        .orderBy("quantile")
+    )

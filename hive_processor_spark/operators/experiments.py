@@ -1312,3 +1312,268 @@ def ab_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("qini"),
     ).orderBy("decile")
+
+
+@register(
+    "ab_equivalence_tost",
+    f"""
+    WITH u AS (
+        SELECT CAST({_ARM_SQL} AS INT) AS arm,
+               CAST(SUM(CAST(FLOOR(value * 1e4) AS BIGINT)) AS BIGINT) AS yq
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(yq) AS BIGINT) AS sy,
+               CAST(SUM(CAST(yq AS HUGEINT) * yq) AS HUGEINT) AS syy
+        FROM u GROUP BY arm
+    ), sc AS (
+        SELECT a.n AS n0, b.n AS n1,
+               CAST(a.sy AS DOUBLE) / a.n / 1e4 AS m0,
+               CAST(b.sy AS DOUBLE) / b.n / 1e4 AS m1,
+               (CAST(a.syy AS DOUBLE) / 1e8
+                - (CAST(a.sy AS DOUBLE) / 1e4)
+                  * (CAST(a.sy AS DOUBLE) / 1e4) / a.n) / (a.n - 1) AS v0,
+               (CAST(b.syy AS DOUBLE) / 1e8
+                - (CAST(b.sy AS DOUBLE) / 1e4)
+                  * (CAST(b.sy AS DOUBLE) / 1e4) / b.n) / (b.n - 1) AS v1
+        FROM (SELECT * FROM g WHERE arm = 0) a
+        CROSS JOIN (SELECT * FROM g WHERE arm = 1) b
+    ), t AS (
+        SELECT n0, n1, m0, m1, v0, v1,
+               m1 - m0 AS diff,
+               0.05 * ((m0 + m1) / 2) AS margin,
+               SQRT(v0 / n0 + v1 / n1) AS se,
+               (v0 / n0 + v1 / n1) * (v0 / n0 + v1 / n1)
+               / ((v0 / n0) * (v0 / n0) / (n0 - 1)
+                  + (v1 / n1) * (v1 / n1) / (n1 - 1)) AS df
+        FROM sc
+    )
+    SELECT n0, n1,
+           ROUND(diff, 4) AS diff,
+           ROUND(margin, 4) AS margin,
+           ROUND((diff + margin) / se, 4) AS t_lower,
+           ROUND((margin - diff) / se, 4) AS t_upper,
+           ROUND(df, 2) AS df,
+           CASE WHEN (diff + margin) / se > 1.645
+                 AND (margin - diff) / se > 1.645
+                THEN 1 ELSE 0 END AS equivalent
+    FROM t
+    """,
+)
+def ab_equivalence_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (Schuirmann '87): instead of failing to
+    reject "no difference" (which proves nothing), REJECT both
+    one-sided hypotheses |μ₁−μ₀| ≥ δ at δ = 5% of the pooled mean —
+    the procedure a do-no-harm launch review actually needs, and the
+    mirror image of ``ab_power_analysis``'s superiority framing. Arms
+    use the same Knuth-hash assignment as the rest of the ab_ family;
+    per-user value sums quantize at 1e-4 so the Welch components
+    (means, variances in 128-bit, Satterthwaite df) are exact-integer
+    algebra; both TOST t-ratios are compared to the z≈1.645 critical
+    value (df is in the thousands — documented normal approximation).
+
+    Scale: one per-user aggregate (shuffle ∝ users), one 2-row
+    reduce, scalar algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 1e4).cast("long"))
+        .cast("long")
+        .alias("yq"),
+    ).select(
+        F.expr(_ARM_SQL.replace("user_id", "user_id")).cast("int").alias("arm"),
+        "yq",
+    )
+    g = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("yq").cast("decimal(38,0)") * F.col("yq")).alias("syy"),
+    )
+    a = g.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n0"), F.col("sy").alias("sy0"), F.col("syy").alias("syy0")
+    )
+    b = g.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n1"), F.col("sy").alias("sy1"), F.col("syy").alias("syy1")
+    )
+    sc = a.crossJoin(F.broadcast(b)).select(
+        "n0",
+        "n1",
+        (F.col("sy0").cast("double") / F.col("n0") / 1e4).alias("m0"),
+        (F.col("sy1").cast("double") / F.col("n1") / 1e4).alias("m1"),
+        (
+            (
+                F.col("syy0").cast("double") / 1e8
+                - (F.col("sy0").cast("double") / 1e4)
+                * (F.col("sy0").cast("double") / 1e4)
+                / F.col("n0")
+            )
+            / (F.col("n0") - 1)
+        ).alias("v0"),
+        (
+            (
+                F.col("syy1").cast("double") / 1e8
+                - (F.col("sy1").cast("double") / 1e4)
+                * (F.col("sy1").cast("double") / 1e4)
+                / F.col("n1")
+            )
+            / (F.col("n1") - 1)
+        ).alias("v1"),
+    )
+    diff = F.col("m1") - F.col("m0")
+    margin = 0.05 * ((F.col("m0") + F.col("m1")) / 2)
+    se = F.sqrt(F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1"))
+    vn0 = F.col("v0") / F.col("n0")
+    vn1 = F.col("v1") / F.col("n1")
+    df = (vn0 + vn1) * (vn0 + vn1) / (
+        vn0 * vn0 / (F.col("n0") - 1) + vn1 * vn1 / (F.col("n1") - 1)
+    )
+    return sc.select(
+        "n0",
+        "n1",
+        F.round(diff, 4).alias("diff"),
+        F.round(margin, 4).alias("margin"),
+        F.round((diff + margin) / se, 4).alias("t_lower"),
+        F.round((margin - diff) / se, 4).alias("t_upper"),
+        F.round(df, 2).alias("df"),
+        F.when(
+            ((diff + margin) / se > 1.645) & ((margin - diff) / se > 1.645),
+            1,
+        )
+        .otherwise(0)
+        .alias("equivalent"),
+    )
+
+
+@register(
+    "ab_sprt_boundary",
+    f"""
+    WITH base AS (
+        SELECT FLOOR(
+            CAST(COUNT(CASE WHEN event_type = 'purchase'
+                            AND CAST({_ARM_SQL} AS INT) = 0
+                       THEN 1 END) AS DOUBLE)
+            / COUNT(CASE WHEN CAST({_ARM_SQL} AS INT) = 0 THEN 1 END)
+            * 1e4) / 1e4 AS p0
+        FROM events
+    ), daily AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_t,
+               CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    AS BIGINT) AS x_t
+        FROM events WHERE CAST({_ARM_SQL} AS INT) = 1
+        GROUP BY 1
+    ), llr AS (
+        SELECT day,
+               SUM(CAST(FLOOR((x_t * LN(1.2)
+                    + (n_t - x_t) * LN((1 - 1.2 * p0) / (1 - p0)))
+                    * 1e9) AS BIGINT))
+                   OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum_q
+        FROM daily CROSS JOIN base
+    ), crossed AS (
+        SELECT MIN(CASE WHEN ABS(cum_q / 1e9) > LN(19.0)
+                        THEN day END) AS cross_day,
+               MAX(CASE WHEN day = (SELECT MAX(day) FROM llr)
+                        THEN cum_q END) AS final_q,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM llr
+    )
+    SELECT b.p0, ROUND(1.2 * b.p0, 6) AS p1, c.n_days,
+           ROUND(c.final_q / 1e9, 4) AS final_llr,
+           ROUND(LN(19.0), 4) AS upper_bound,
+           COALESCE(STRFTIME(c.cross_day, '%Y-%m-%d'), 'none')
+               AS first_cross_day,
+           CASE WHEN c.final_q / 1e9 > LN(19.0) THEN 'accept_h1'
+                WHEN c.final_q / 1e9 < -LN(19.0) THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM crossed c CROSS JOIN base b
+    """,
+)
+def ab_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test (Wald '45) on the
+    treatment arm's daily purchase rate against H0: p = p0 (the
+    CONTROL arm's rate, 1e-4-quantized) vs H1: p = 1.2·p0: the
+    cumulative log-likelihood ratio Σ[x·ln(p1/p0) +
+    (n−x)·ln((1−p1)/(1−p0))] walks between the ±ln((1−β)/α) = ±ln 19
+    boundaries (α = β = 0.05), and the FIRST crossing day is when a
+    true sequential test would have stopped — always-valid monitoring
+    in one pass, complementing ``ab_sequential_looks``' group-
+    sequential spending and ``ab_srm_check``'s guardrail. Daily terms
+    are floor-quantized at 1e-9, so the whole LLR trajectory is an
+    exact integer cumulative sum.
+
+    Scale: two aggregates over the fact table (base rate, daily
+    counts); the trajectory window runs over O(days)."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.expr(_ARM_SQL).cast("int")
+    base = ev.agg(
+        (
+            F.floor(
+                F.count(
+                    F.when(
+                        (F.col("event_type") == "purchase") & (arm == 0), 1
+                    )
+                ).cast("double")
+                / F.count(F.when(arm == 0, 1))
+                * 1e4
+            )
+            / 1e4
+        ).alias("p0")
+    )
+    daily = (
+        ev.filter(arm == 1)
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_t"),
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("long")
+            .alias("x_t"),
+        )
+    )
+    term = F.floor(
+        (
+            F.col("x_t") * F.log(F.lit(1.2))
+            + (F.col("n_t") - F.col("x_t"))
+            * F.log((1 - 1.2 * F.col("p0")) / (1 - F.col("p0")))
+        )
+        * 1e9
+    ).cast("long")
+    w_run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    llr = daily.crossJoin(F.broadcast(base)).select(
+        "day", F.sum(term).over(w_run).alias("cum_q")
+    )
+    last_day = llr.agg(F.max("day").alias("ld"))
+    crossed = llr.crossJoin(F.broadcast(last_day)).agg(
+        F.min(
+            F.when(
+                F.abs(F.col("cum_q") / 1e9) > float(np_log19()), F.col("day")
+            )
+        ).alias("cross_day"),
+        F.max(
+            F.when(F.col("day") == F.col("ld"), F.col("cum_q"))
+        ).alias("final_q"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    final = F.col("final_q") / 1e9
+    return crossed.crossJoin(F.broadcast(base)).select(
+        "p0",
+        F.round(1.2 * F.col("p0"), 6).alias("p1"),
+        "n_days",
+        F.round(final, 4).alias("final_llr"),
+        F.round(F.log(F.lit(19.0)), 4).alias("upper_bound"),
+        F.coalesce(
+            F.date_format(F.col("cross_day"), "yyyy-MM-dd"), F.lit("none")
+        ).alias("first_cross_day"),
+        F.when(final > float(np_log19()), F.lit("accept_h1"))
+        .when(final < -float(np_log19()), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+
+
+def np_log19() -> float:
+    """ln(19) — the Wald boundary for alpha = beta = 0.05."""
+    import math
+
+    return math.log(19.0)

@@ -21,6 +21,8 @@ stand-in for a scored eval set.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -7576,4 +7578,275 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(res, 6).alias("resolution"),
         F.round(unc, 6).alias("uncertainty"),
         F.round(bs - (rel - res + unc), 6).alias("within_bin_gap"),
+    )
+
+
+@register(
+    "stats_circular_hours",
+    """
+    WITH hrs AS (
+        SELECT date_part('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ), folds AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+               CAST(SUM(CAST(FLOOR(n * COS(2 * PI() * h / 24.0) * 1e9)
+                             AS BIGINT)) AS BIGINT) AS cq,
+               CAST(SUM(CAST(FLOOR(n * SIN(2 * PI() * h / 24.0) * 1e9)
+                             AS BIGINT)) AS BIGINT) AS sq
+        FROM hrs
+    )
+    SELECT n_all AS n_events,
+           ROUND(((ATAN2(sq / 1e9, cq / 1e9) / (2 * PI()) * 24.0) + 24.0)
+                 % 24.0, 4) AS mean_hour,
+           ROUND(SQRT((cq / 1e9) * (cq / 1e9)
+                      + (sq / 1e9) * (sq / 1e9)) / n_all, 6)
+               AS resultant_r,
+           ROUND(n_all * ((cq / 1e9) * (cq / 1e9)
+                          + (sq / 1e9) * (sq / 1e9))
+                 / (CAST(n_all AS DOUBLE) * n_all), 4) AS rayleigh_z
+    FROM folds
+    """,
+)
+def stats_circular_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular (directional) statistics on event hour-of-day — the
+    clock is a CIRCLE, so the arithmetic mean of {23h, 1h} is the
+    nonsense 12h while the circular mean is the correct 0h: resultant
+    length R̄ (0 = uniform, 1 = concentrated), circular mean hour via
+    atan2, and the Rayleigh uniformity statistic z = nR̄² (Mardia &
+    Jupp ch. 6) — the principled version of the peak-hour reading
+    ``events_heatmap`` eyeballs. The 24 hourly cos/sin terms
+    floor-quantize at 1e-9 and fold as integers, so the trigonometric
+    moment is parallelism-stable.
+
+    Scale: one aggregate to 24 cells; scalar algebra after."""
+    ev = load_table(spark, sf_dir, "events")
+    hrs = ev.groupBy(F.hour("ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    theta = 2 * F.lit(math.pi) * F.col("h") / 24.0
+    folds = hrs.agg(
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum(F.floor(F.col("n") * F.cos(theta) * 1e9).cast("long"))
+        .cast("long")
+        .alias("cq"),
+        F.sum(F.floor(F.col("n") * F.sin(theta) * 1e9).cast("long"))
+        .cast("long")
+        .alias("sq"),
+    )
+    c = F.col("cq") / 1e9
+    s = F.col("sq") / 1e9
+    n = F.col("n_all")
+    return folds.select(
+        n.alias("n_events"),
+        F.round(
+            ((F.atan2(s, c) / (2 * math.pi) * 24.0) + 24.0) % 24.0, 4
+        ).alias("mean_hour"),
+        F.round(F.sqrt(c * c + s * s) / n, 6).alias("resultant_r"),
+        F.round(
+            n * (c * c + s * s) / (n.cast("double") * n), 4
+        ).alias("rayleigh_z"),
+    )
+
+
+@register(
+    "stats_gumbel_maxima",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1
+    ), blocks AS (
+        SELECT date_part('year', day) AS yr, date_part('month', day) AS mo,
+               CAST(MAX(rev_c) AS BIGINT) AS mx
+        FROM daily GROUP BY 1, 2
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS b,
+               CAST(SUM(mx) AS BIGINT) AS sm,
+               CAST(SUM(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS smm
+        FROM blocks
+    ), fit AS (
+        SELECT b,
+               CAST(sm AS DOUBLE) / b / 100.0 AS mean_max,
+               SQRT((CAST(smm AS DOUBLE) / 1e4
+                     - (CAST(sm AS DOUBLE) / 100.0)
+                       * (CAST(sm AS DOUBLE) / 100.0) / b) / (b - 1))
+                   * 0.7796968012336761 AS sigma
+        FROM s
+    )
+    SELECT b AS n_blocks,
+           ROUND(mean_max, 2) AS mean_block_max,
+           ROUND(mean_max - 0.5772156649015329 * sigma, 2) AS gumbel_mu,
+           ROUND(sigma, 2) AS gumbel_sigma,
+           ROUND(mean_max - 0.5772156649015329 * sigma
+                 - sigma * LN(-LN(1 - 1.0 / 12)), 2) AS return_level_12mo,
+           ROUND(mean_max - 0.5772156649015329 * sigma
+                 - sigma * LN(-LN(1 - 1.0 / 60)), 2) AS return_level_60mo
+    FROM fit
+    """,
+)
+def stats_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit to MONTHLY BLOCK MAXIMA of daily order
+    revenue (the Fisher–Tippett block-maxima route to EVT, beside
+    ``ts_pot_gpd``'s peaks-over-threshold route): method-of-moments
+    σ̂ = s·√6/π, μ̂ = m̄ − γσ̂ (γ = Euler–Mascheroni), then the T-month
+    return levels μ − σ·ln(−ln(1−1/T)) for T = 12 and 60 — "the
+    busiest day we should provision for per year / per five years."
+    Block maxima and both moments are exact integers (squares in
+    128-bit); the fit is closed-form scalar algebra with the
+    constants spelled to full double precision so both engines agree
+    to the last bit.
+
+    Scale: one aggregate to days, one to ≤84 month blocks."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    blocks = daily.groupBy(
+        F.year("day").alias("yr"), F.month("day").alias("mo")
+    ).agg(F.max("rev_c").cast("long").alias("mx"))
+    s = blocks.agg(
+        F.count(F.lit(1)).cast("long").alias("b"),
+        F.sum("mx").cast("long").alias("sm"),
+        F.sum(F.col("mx").cast("decimal(38,0)") * F.col("mx")).alias("smm"),
+    )
+    b = F.col("b")
+    mean_max = F.col("sm").cast("double") / b / 100.0
+    sigma = (
+        F.sqrt(
+            (
+                F.col("smm").cast("double") / 1e4
+                - (F.col("sm").cast("double") / 100.0)
+                * (F.col("sm").cast("double") / 100.0)
+                / b
+            )
+            / (b - 1)
+        )
+        * 0.7796968012336761
+    )
+    fit = s.select(
+        b, mean_max.alias("mean_max"), sigma.alias("sigma")
+    )
+    mu = F.col("mean_max") - 0.5772156649015329 * F.col("sigma")
+    return fit.select(
+        b.alias("n_blocks"),
+        F.round(F.col("mean_max"), 2).alias("mean_block_max"),
+        F.round(mu, 2).alias("gumbel_mu"),
+        F.round(F.col("sigma"), 2).alias("gumbel_sigma"),
+        F.round(
+            mu - F.col("sigma") * F.log(-F.log(F.lit(1 - 1.0 / 12))), 2
+        ).alias("return_level_12mo"),
+        F.round(
+            mu - F.col("sigma") * F.log(-F.log(F.lit(1 - 1.0 / 60))), 2
+        ).alias("return_level_60mo"),
+    )
+
+
+@register(
+    "ts_seasonal_mann_kendall",
+    """
+    WITH monthly AS (
+        SELECT date_part('year', o_orderdate) AS yr,
+               date_part('month', o_orderdate) AS mo,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.mo,
+               CASE WHEN b.rev > a.rev THEN 1
+                    WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn,
+               CASE WHEN b.rev = a.rev THEN 1 ELSE 0 END AS tie
+        FROM monthly a JOIN monthly b
+          ON b.mo = a.mo AND b.yr > a.yr
+    ), per_season AS (
+        SELECT mo, CAST(SUM(sgn) AS BIGINT) AS s_m,
+               CAST(SUM(tie) AS BIGINT) AS ties_m,
+               CAST(COUNT(*) AS BIGINT) AS pairs_m
+        FROM pairs GROUP BY mo
+    ), sizes AS (
+        SELECT mo, CAST(COUNT(*) AS BIGINT) AS n_m
+        FROM monthly GROUP BY mo
+    ), tot AS (
+        SELECT CAST(SUM(p.s_m) AS BIGINT) AS s,
+               CAST(SUM(p.ties_m) AS BIGINT) AS ties,
+               CAST(SUM(z.n_m * (z.n_m - 1) * (2 * z.n_m + 5)) AS BIGINT)
+                   AS var18,
+               CAST(COUNT(*) AS BIGINT) AS n_seasons
+        FROM per_season p JOIN sizes z ON z.mo = p.mo
+    )
+    SELECT n_seasons, s AS s_total, ties,
+           ROUND(var18 / 18.0, 4) AS var_s,
+           ROUND(CASE WHEN s > 0 THEN (s - 1) / SQRT(var18 / 18.0)
+                      WHEN s < 0 THEN (s + 1) / SQRT(var18 / 18.0)
+                      ELSE 0.0 END, 4) AS z
+    FROM tot
+    """,
+)
+def ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann–Kendall trend test (Hirsch & Slack '84): the MK
+    sign statistic is computed WITHIN each calendar month across years
+    (January-vs-January, never June-vs-January) and the twelve S_m and
+    null variances n(n−1)(2n+5)/18 are summed — the trend test that a
+    strongly seasonal revenue series needs, where plain
+    ``agg_mann_kendall`` would drown the trend in seasonal swings.
+    With ≤7 years the per-season pair join is ≤21 pairs × 12 seasons
+    of exact cent comparisons; z applies the standard ±1 continuity
+    correction; ties are counted and exposed (exact cents make them
+    rare but well-defined).
+
+    Scale: one aggregate to ≤84 month cells; the pair join is bounded
+    by seasons × C(years, 2) — constant, never fact-scale."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    a = monthly.select(
+        F.col("mo"), F.col("yr").alias("yra"), F.col("rev").alias("reva")
+    )
+    b = monthly.select(
+        F.col("mo"), F.col("yr").alias("yrb"), F.col("rev").alias("revb")
+    )
+    pairs = a.join(b, "mo").filter(F.col("yrb") > F.col("yra"))
+    per_season = pairs.groupBy("mo").agg(
+        F.sum(
+            F.when(F.col("revb") > F.col("reva"), 1)
+            .when(F.col("revb") < F.col("reva"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_m"),
+        F.sum(F.when(F.col("revb") == F.col("reva"), 1).otherwise(0))
+        .cast("long")
+        .alias("ties_m"),
+    )
+    sizes = monthly.groupBy("mo").agg(F.count(F.lit(1)).cast("long").alias("n_m"))
+    tot = per_season.join(sizes, "mo").agg(
+        F.sum("s_m").cast("long").alias("s"),
+        F.sum("ties_m").cast("long").alias("ties"),
+        F.sum(
+            F.col("n_m") * (F.col("n_m") - 1) * (2 * F.col("n_m") + 5)
+        )
+        .cast("long")
+        .alias("var18"),
+        F.count(F.lit(1)).cast("long").alias("n_seasons"),
+    )
+    s = F.col("s")
+    sd = F.sqrt(F.col("var18") / 18.0)
+    return tot.select(
+        "n_seasons",
+        s.alias("s_total"),
+        "ties",
+        F.round(F.col("var18") / 18.0, 4).alias("var_s"),
+        F.round(
+            F.when(s > 0, (s - 1) / sd)
+            .when(s < 0, (s + 1) / sd)
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias("z"),
     )

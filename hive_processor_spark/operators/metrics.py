@@ -7850,3 +7850,277 @@ def ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z"),
     )
+
+
+@register(
+    "stats_somers_d",
+    """
+    WITH o AS (
+        SELECT CAST(SUBSTR(o.o_orderpriority, 1, 1) AS BIGINT) AS x,
+               LEAST(CAST(COUNT(*) AS BIGINT), 7) AS y
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority
+    ), cell AS (
+        SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM o GROUP BY x, y
+    ), pq AS (
+        SELECT
+            CAST(SUM(CASE WHEN b.x > a.x AND b.y > a.y
+                          THEN a.c * b.c ELSE 0 END) AS BIGINT) AS p2,
+            CAST(SUM(CASE WHEN b.x > a.x AND b.y < a.y
+                          THEN a.c * b.c ELSE 0 END) AS BIGINT) AS q2
+        FROM cell a CROSS JOIN cell b
+    ), marg AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST((SELECT SUM(cx * cx) FROM (
+                   SELECT CAST(SUM(c) AS BIGINT) AS cx FROM cell GROUP BY x
+               )) AS BIGINT) AS sx2,
+               CAST((SELECT SUM(cy * cy) FROM (
+                   SELECT CAST(SUM(c) AS BIGINT) AS cy FROM cell GROUP BY y
+               )) AS BIGINT) AS sy2
+        FROM cell
+    )
+    SELECT m.n AS n_orders, p.p2 AS p_concordant, p.q2 AS q_discordant,
+           ROUND((p.p2 - CAST(p.q2 AS DOUBLE))
+                 / ((CAST(m.n AS DOUBLE) * m.n - m.sx2) / 2), 6) AS d_yx,
+           ROUND((p.p2 - CAST(p.q2 AS DOUBLE))
+                 / ((CAST(m.n AS DOUBLE) * m.n - m.sy2) / 2), 6) AS d_xy
+    FROM pq p CROSS JOIN marg m
+    """,
+)
+def stats_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Somers' D, both directions, on the same priority × line-count
+    ordinals as ``stats_gamma_concordance``: D_yx = (P−Q)/(pairs
+    untied on x) treats y as the DEPENDENT variable (the ordinal
+    regression / c-statistic view: for binary y, D_yx = 2·AUC−1),
+    while γ drops ALL ties and τ-b symmetrizes — together the three
+    span the tie-handling design space. Pairs never enumerate: P and
+    Q reuse the ≤35-cell self-join, the untied-pair denominators come
+    from margin sums (N²−Σnₓ²)/2 — all exact integers.
+
+    Scale: identical posture to ``stats_gamma_concordance``."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("x"),
+            F.least(F.col("cnt"), F.lit(7)).alias("y"),
+        )
+    )
+    cell = base.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = cell.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("c").alias("ac")
+    )
+    b = cell.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("c").alias("bc")
+    )
+    pq = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.when(
+                (F.col("bx") > F.col("ax")) & (F.col("by") > F.col("ay")),
+                F.col("ac") * F.col("bc"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("p2"),
+        F.sum(
+            F.when(
+                (F.col("bx") > F.col("ax")) & (F.col("by") < F.col("ay")),
+                F.col("ac") * F.col("bc"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("q2"),
+    )
+    mx = (
+        cell.groupBy("x")
+        .agg(F.sum("c").cast("long").alias("cx"))
+        .agg(F.sum(F.col("cx") * F.col("cx")).cast("long").alias("sx2"))
+    )
+    my = (
+        cell.groupBy("y")
+        .agg(F.sum("c").cast("long").alias("cy"))
+        .agg(F.sum(F.col("cy") * F.col("cy")).cast("long").alias("sy2"))
+    )
+    nn = cell.agg(F.sum("c").cast("long").alias("n"))
+    num = F.col("p2") - F.col("q2").cast("double")
+    n = F.col("n")
+    return (
+        pq.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(my))
+        .select(
+            n.alias("n_orders"),
+            F.col("p2").alias("p_concordant"),
+            F.col("q2").alias("q_discordant"),
+            F.round(
+                num / ((n.cast("double") * n - F.col("sx2")) / 2), 6
+            ).alias("d_yx"),
+            F.round(
+                num / ((n.cast("double") * n - F.col("sy2")) / 2), 6
+            ).alias("d_xy"),
+        )
+    )
+
+
+@register(
+    "stats_theil_u",
+    """
+    WITH cells AS (
+        SELECT o_orderpriority AS fx, o_orderstatus AS fy,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2
+    ), rx AS (
+        SELECT fx, CAST(SUM(c) AS BIGINT) AS cx FROM cells GROUP BY fx
+    ), ry AS (
+        SELECT fy, CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY fy
+    ), nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+    hx AS (
+        SELECT CAST(SUM(CAST(FLOOR(-cx * LN(CAST(cx AS DOUBLE) / n) * 1e9)
+                             AS BIGINT)) AS BIGINT) AS q
+        FROM rx CROSS JOIN nn
+    ), hy AS (
+        SELECT CAST(SUM(CAST(FLOOR(-cy * LN(CAST(cy AS DOUBLE) / n) * 1e9)
+                             AS BIGINT)) AS BIGINT) AS q
+        FROM ry CROSS JOIN nn
+    ), hxy AS (
+        SELECT CAST(SUM(CAST(FLOOR(-c * LN(CAST(c AS DOUBLE) / n) * 1e9)
+                             AS BIGINT)) AS BIGINT) AS q
+        FROM cells CROSS JOIN nn
+    )
+    SELECT n.n AS n_orders,
+           ROUND(x.q / 1e9 / n.n, 6) AS h_x,
+           ROUND(y.q / 1e9 / n.n, 6) AS h_y,
+           ROUND(j.q / 1e9 / n.n, 6) AS h_xy,
+           ROUND((CAST(x.q AS DOUBLE) + y.q - j.q) / y.q, 6)
+               AS u_y_given_x,
+           ROUND((CAST(x.q AS DOUBLE) + y.q - j.q) / x.q, 6)
+               AS u_x_given_y
+    FROM nn n CROSS JOIN hx x CROSS JOIN hy y CROSS JOIN hxy j
+    """,
+)
+def stats_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient between order priority and
+    status: U(y|x) = (H(x)+H(y)−H(x,y))/H(y) — the ASYMMETRIC
+    normalized mutual information ("knowing priority removes what
+    fraction of status entropy?"), which unlike the symmetric
+    ``stats_cramers_v`` distinguishes predictor from response and
+    never claims association that doesn't reduce entropy. All three
+    entropies fold the same 1e-9-quantized c·ln(c/n) integers as
+    ``profile_mutual_info``, so both directions are
+    parallelism-stable ratios of exact integer sums.
+
+    Scale: one aggregate to the ≤15-cell contingency table."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("fx"),
+        F.col("o_orderstatus").alias("fy"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    rx = cells.groupBy("fx").agg(F.sum("c").cast("long").alias("cx"))
+    ry = cells.groupBy("fy").agg(F.sum("c").cast("long").alias("cy"))
+    nn = cells.agg(F.sum("c").cast("long").alias("n"))
+
+    def _hq(df, col):
+        return df.crossJoin(F.broadcast(nn)).agg(
+            F.sum(
+                F.floor(
+                    -F.col(col)
+                    * F.log(F.col(col).cast("double") / F.col("n"))
+                    * 1e9
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("q")
+        )
+
+    hx = _hq(rx, "cx").select(F.col("q").alias("qx"))
+    hy = _hq(ry, "cy").select(F.col("q").alias("qy"))
+    hxy = _hq(cells, "c").select(F.col("q").alias("qxy"))
+    n = F.col("n")
+    mi = F.col("qx").cast("double") + F.col("qy") - F.col("qxy")
+    return (
+        nn.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(hxy))
+        .select(
+            n.alias("n_orders"),
+            F.round(F.col("qx") / 1e9 / n, 6).alias("h_x"),
+            F.round(F.col("qy") / 1e9 / n, 6).alias("h_y"),
+            F.round(F.col("qxy") / 1e9 / n, 6).alias("h_xy"),
+            F.round(mi / F.col("qy"), 6).alias("u_y_given_x"),
+            F.round(mi / F.col("qx"), 6).alias("u_x_given_y"),
+        )
+    )
+
+
+@register(
+    "events_poisson_dispersion",
+    """
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM daily
+    ), mo AS (
+        SELECT n,
+               CAST(sx AS DOUBLE) / n AS mean_x,
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                   / (n - 1) AS var_x
+        FROM s
+    )
+    SELECT n AS n_days,
+           ROUND(mean_x, 4) AS mean_daily,
+           ROUND(var_x, 4) AS var_daily,
+           ROUND(var_x / mean_x, 4) AS dispersion_index,
+           ROUND((n - 1) * var_x / mean_x, 2) AS chi2,
+           ROUND(SQRT(2.0 * (n - 1) * var_x / mean_x)
+                 - SQRT(2.0 * (n - 1) - 1), 4) AS z,
+           CASE WHEN SQRT(2.0 * (n - 1) * var_x / mean_x)
+                     - SQRT(2.0 * (n - 1) - 1) > 1.645
+                THEN 1 ELSE 0 END AS overdispersed
+    FROM mo
+    """,
+)
+def events_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-of-dispersion test on daily event counts (Fisher's
+    variance test): D = s²/x̄ with (n−1)·D ~ χ²_{n−1} under a Poisson
+    null, normal-approximated via √(2χ²) − √(2df−1) — the go/no-go
+    check before ANY Poisson-rate model (Erlang staffing in
+    ``ops_erlang_c``, the power analyses): D ≫ 1 says counts are
+    clumpy (bursty traffic, mixture of regimes) and a negative-
+    binomial/overdispersed model is required. Moments are exact
+    integer folds; everything after is closed-form.
+
+    Scale: one aggregate to O(days); scalar algebra after."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    s = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    n = F.col("n")
+    mean_x = F.col("sx").cast("double") / n
+    var_x = (
+        F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / n
+    ) / (n - 1)
+    z = F.sqrt(2.0 * (n - 1) * var_x / mean_x) - F.sqrt(
+        2.0 * (n - 1) - F.lit(1)
+    )
+    return s.select(
+        n.alias("n_days"),
+        F.round(mean_x, 4).alias("mean_daily"),
+        F.round(var_x, 4).alias("var_daily"),
+        F.round(var_x / mean_x, 4).alias("dispersion_index"),
+        F.round((n - 1) * var_x / mean_x, 2).alias("chi2"),
+        F.round(z, 4).alias("z"),
+        F.when(z > 1.645, 1).otherwise(0).alias("overdispersed"),
+    )

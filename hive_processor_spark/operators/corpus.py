@@ -2067,3 +2067,323 @@ def pipeline_dp_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_releases")
     )
+
+
+@register(
+    "sample_neyman_allocation",
+    """
+    WITH s AS (
+        SELECT o_orderpriority AS stratum,
+               CAST(COUNT(*) AS BIGINT) AS nh,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS sy,
+               CAST(SUM(CAST(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)
+                             AS HUGEINT)
+                        * CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS HUGEINT) AS syy
+        FROM orders GROUP BY 1
+    ), m AS (
+        SELECT stratum, nh,
+               SQRT((CAST(syy AS DOUBLE) / 1e4
+                     - (CAST(sy AS DOUBLE) / 100.0)
+                       * (CAST(sy AS DOUBLE) / 100.0) / nh)
+                    / (nh - 1)) AS sh
+        FROM s
+    ), tot AS (
+        SELECT CAST(SUM(nh) AS BIGINT) AS n_pop,
+               SUM(nh * sh) AS wsum
+        FROM m
+    ), alloc AS (
+        SELECT m.stratum, m.nh, m.sh,
+               500.0 * m.nh / t.n_pop AS frac_prop,
+               500.0 * m.nh * m.sh / t.wsum AS frac_ney
+        FROM m CROSS JOIN tot t
+    ), rounded AS (
+        SELECT stratum, nh, sh,
+               CAST(FLOOR(frac_prop) AS BIGINT)
+               + CASE WHEN ROW_NUMBER() OVER (
+                       ORDER BY frac_prop - FLOOR(frac_prop) DESC, stratum)
+                      <= 500 - (SELECT SUM(CAST(FLOOR(frac_prop) AS BIGINT))
+                                FROM alloc)
+                 THEN 1 ELSE 0 END AS n_prop,
+               CAST(FLOOR(frac_ney) AS BIGINT)
+               + CASE WHEN ROW_NUMBER() OVER (
+                       ORDER BY frac_ney - FLOOR(frac_ney) DESC, stratum)
+                      <= 500 - (SELECT SUM(CAST(FLOOR(frac_ney) AS BIGINT))
+                                FROM alloc)
+                 THEN 1 ELSE 0 END AS n_neyman
+        FROM alloc
+    )
+    SELECT stratum, nh AS stratum_size, ROUND(sh / 100.0, 4) AS sd_dollars,
+           n_prop, n_neyman
+    FROM rounded
+    ORDER BY stratum
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman '34) for a
+    budget of 500 orders across the five priority strata: nₕ ∝ NₕSₕ
+    (big AND volatile strata get more) against the proportional
+    baseline nₕ ∝ Nₕ — the design step that precedes
+    ``sample_stratified``'s execution, and the reason a revenue-audit
+    sample oversamples the urgent strata (their revenue sd is what
+    drives estimator variance). Per-stratum moments are exact integer
+    cents (squares in 128-bit); both fractional allocations round by
+    LARGEST REMAINDER (same discipline as ``agg_largest_remainder``)
+    so each column sums to exactly 500 — pinned by the tests.
+
+    Scale: one partial→final aggregate to 5 strata; the ranking
+    windows run over 5 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0).cast("long")
+    s = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum(cents).cast("long").alias("sy"),
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("syy"),
+    )
+    m = s.select(
+        "stratum",
+        "nh",
+        F.sqrt(
+            (
+                F.col("syy").cast("double") / 1e4
+                - (F.col("sy").cast("double") / 100.0)
+                * (F.col("sy").cast("double") / 100.0)
+                / F.col("nh")
+            )
+            / (F.col("nh") - 1)
+        ).alias("sh"),
+    )
+    tot = m.agg(
+        F.sum("nh").cast("long").alias("n_pop"),
+        F.sum(F.col("nh") * F.col("sh")).alias("wsum"),
+    )
+    alloc = m.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "nh",
+        "sh",
+        (500.0 * F.col("nh") / F.col("n_pop")).alias("frac_prop"),
+        (500.0 * F.col("nh") * F.col("sh") / F.col("wsum")).alias("frac_ney"),
+    )
+    base = alloc.agg(
+        F.sum(F.floor("frac_prop").cast("long")).alias("fp"),
+        F.sum(F.floor("frac_ney").cast("long")).alias("fn"),
+    )
+
+    def _round(col, basecol):
+        w = Window.orderBy(
+            F.desc(F.col(col) - F.floor(F.col(col))), F.asc("stratum")
+        )
+        return F.floor(F.col(col)).cast("long") + F.when(
+            F.row_number().over(w) <= 500 - F.col(basecol), 1
+        ).otherwise(0)
+
+    rounded = alloc.crossJoin(F.broadcast(base)).select(
+        "stratum",
+        "nh",
+        "sh",
+        _round("frac_prop", "fp").alias("n_prop"),
+        _round("frac_ney", "fn").alias("n_neyman"),
+    )
+    return rounded.select(
+        "stratum",
+        F.col("nh").alias("stratum_size"),
+        F.round(F.col("sh") / 100.0, 4).alias("sd_dollars"),
+        "n_prop",
+        "n_neyman",
+    ).orderBy("stratum")
+
+
+@register(
+    "sample_horvitz_thompson",
+    """
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents,
+               (('0x' || SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                   ::BIGINT) AS h60
+        FROM orders
+    ), tot AS (
+        SELECT CAST(SUM(cents) AS BIGINT) AS total_c,
+               CAST(COUNT(*) AS BIGINT) AS n_pop
+        FROM base
+    ), pi AS (
+        SELECT b.o_orderkey, b.cents, b.h60,
+               LEAST(500.0 * b.cents / t.total_c, 1.0) AS p
+        FROM base b CROSS JOIN tot t
+    ), sampled AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(CAST(FLOOR(cents / p * 1e2) AS BIGINT)) AS HUGEINT)
+                   AS htq
+        FROM pi WHERE h60 < CAST(FLOOR(p * 1152921504606846976) AS BIGINT)
+    ), ev AS (
+        SELECT CAST(SUM(CAST(FLOOR(p * 1e6) AS BIGINT)) AS BIGINT)
+                   AS expq
+        FROM pi
+    )
+    SELECT t.n_pop, ROUND(e.expq / 1e6, 2) AS expected_n, s.n_sampled,
+           ROUND(t.total_c / 100.0, 2) AS true_total,
+           ROUND(s.htq / 1e2 / 100.0, 2) AS ht_estimate,
+           ROUND(ABS(s.htq / 1e2 / 100.0 - t.total_c / 100.0)
+                 / (t.total_c / 100.0), 6) AS rel_err
+    FROM tot t CROSS JOIN sampled s CROSS JOIN ev e
+    """,
+)
+def sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz–Thompson total estimator (H–T '52) under
+    probability-proportional-to-size sampling with DETERMINISTIC hash
+    inclusion: πᵢ = min(1, 500·yᵢ/Y), an order enters the sample iff
+    its 60-bit md5 draw falls below ⌊πᵢ·2⁶⁰⌋, and the estimate
+    Σ yᵢ/πᵢ is audited against the true total in the same row — the
+    unequal-probability machinery behind audit sampling and weighted
+    corpus subsampling (``sample_weighted_bottom_k``'s
+    estimator-facing cousin; note size-proportional πps makes the
+    big-order terms self-weighting, which is why rel_err lands far
+    below an SRS of equal size). Inclusion thresholds compare exact
+    integers; the weighted terms floor-quantize at 1e-2 cents.
+
+    Scale: two scans (moments, filter) — no shuffle beyond scalar
+    reduces; the hash draw makes the 'random' sample reproducible at
+    any parallelism."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h60"),
+    )
+    tot = base.agg(
+        F.sum("cents").cast("long").alias("total_c"),
+        F.count(F.lit(1)).cast("long").alias("n_pop"),
+    )
+    pi = base.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "h60",
+        F.least(500.0 * F.col("cents") / F.col("total_c"), F.lit(1.0)).alias(
+            "p"
+        ),
+    )
+    sampled = pi.filter(
+        F.col("h60")
+        < F.floor(F.col("p") * F.lit(float(1 << 60))).cast("long")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum(
+            F.floor(F.col("cents") / F.col("p") * 1e2)
+            .cast("long")
+            .cast("decimal(38,0)")
+        ).alias("htq"),
+    )
+    ev = pi.agg(
+        F.sum(F.floor(F.col("p") * 1e6).cast("long"))
+        .cast("long")
+        .alias("expq")
+    )
+    return (
+        tot.crossJoin(F.broadcast(sampled))
+        .crossJoin(F.broadcast(ev))
+        .select(
+            "n_pop",
+            F.round(F.col("expq") / 1e6, 2).alias("expected_n"),
+            "n_sampled",
+            F.round(F.col("total_c") / 100.0, 2).alias("true_total"),
+            F.round(F.col("htq") / 1e2 / 100.0, 2).alias("ht_estimate"),
+            F.round(
+                F.abs(
+                    F.col("htq") / 1e2 / 100.0 - F.col("total_c") / 100.0
+                )
+                / (F.col("total_c") / 100.0),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+@register(
+    "profile_sample_size_fpc",
+    """
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS sy,
+               CAST(SUM(CAST(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)
+                             AS HUGEINT)
+                        * CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS HUGEINT) AS syy
+        FROM orders
+    ), mo AS (
+        SELECT n,
+               CAST(sy AS DOUBLE) / n / 100.0 AS mean_d,
+               SQRT((CAST(syy AS DOUBLE) / 1e4
+                     - (CAST(sy AS DOUBLE) / 100.0)
+                       * (CAST(sy AS DOUBLE) / 100.0) / n) / (n - 1))
+                   / 100.0 AS sd_d
+        FROM s
+    ), calc AS (
+        SELECT n, mean_d, sd_d,
+               0.01 * mean_d AS margin,
+               (1.96 * sd_d / (0.01 * mean_d))
+               * (1.96 * sd_d / (0.01 * mean_d)) AS n0
+        FROM mo
+    )
+    SELECT n AS n_pop,
+           ROUND(mean_d, 2) AS mean_dollars,
+           ROUND(sd_d, 2) AS sd_dollars,
+           ROUND(margin, 4) AS margin_dollars,
+           CAST(CEIL(n0) AS BIGINT) AS n_needed_infinite,
+           CAST(CEIL(n0 / (1 + (n0 - 1) / n)) AS BIGINT) AS n_needed_fpc,
+           ROUND(CEIL(n0 / (1 + (n0 - 1) / n)) / n, 6)
+               AS sampling_fraction
+    FROM calc
+    """,
+)
+def profile_sample_size_fpc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey sample-size planner with finite-population correction
+    (Cochran ch. 4): to estimate mean order value within ±1% at 95%
+    confidence, n₀ = (zS/d)² then n = n₀/(1+(n₀−1)/N) — the
+    calculation that licenses every "we only audited n of N" claim
+    downstream (``sample_estimator_audit`` checks the estimator this
+    planner sizes). Moments are exact integer cents (squares in
+    128-bit); the two ceilings are pinned integers, not suggestions.
+
+    Scale: one map-side-combined scan; scalar algebra."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0).cast("long")
+    s = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("sy"),
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("syy"),
+    )
+    n = F.col("n")
+    mean_d = F.col("sy").cast("double") / n / 100.0
+    sd_d = (
+        F.sqrt(
+            (
+                F.col("syy").cast("double") / 1e4
+                - (F.col("sy").cast("double") / 100.0)
+                * (F.col("sy").cast("double") / 100.0)
+                / n
+            )
+            / (n - 1)
+        )
+        / 100.0
+    )
+    mo = s.select(n, mean_d.alias("mean_d"), sd_d.alias("sd_d"))
+    margin = 0.01 * F.col("mean_d")
+    n0 = (1.96 * F.col("sd_d") / margin) * (1.96 * F.col("sd_d") / margin)
+    return mo.select(
+        n.alias("n_pop"),
+        F.round(F.col("mean_d"), 2).alias("mean_dollars"),
+        F.round(F.col("sd_d"), 2).alias("sd_dollars"),
+        F.round(margin, 4).alias("margin_dollars"),
+        F.ceil(n0).cast("long").alias("n_needed_infinite"),
+        F.ceil(n0 / (1 + (n0 - 1) / n)).cast("long").alias("n_needed_fpc"),
+        F.round(F.ceil(n0 / (1 + (n0 - 1) / n)) / n, 6).alias(
+            "sampling_fraction"
+        ),
+    )

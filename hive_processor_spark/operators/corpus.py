@@ -2114,7 +2114,7 @@ def pipeline_dp_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
                  THEN 1 ELSE 0 END AS n_neyman
         FROM alloc
     )
-    SELECT stratum, nh AS stratum_size, ROUND(sh / 100.0, 4) AS sd_dollars,
+    SELECT stratum, nh AS stratum_size, ROUND(sh, 4) AS sd_dollars,
            n_prop, n_neyman
     FROM rounded
     ORDER BY stratum
@@ -2188,7 +2188,7 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rounded.select(
         "stratum",
         F.col("nh").alias("stratum_size"),
-        F.round(F.col("sh") / 100.0, 4).alias("sd_dollars"),
+        F.round(F.col("sh"), 4).alias("sd_dollars"),
         "n_prop",
         "n_neyman",
     ).orderBy("stratum")
@@ -2322,7 +2322,7 @@ def sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
                SQRT((CAST(syy AS DOUBLE) / 1e4
                      - (CAST(sy AS DOUBLE) / 100.0)
                        * (CAST(sy AS DOUBLE) / 100.0) / n) / (n - 1))
-                   / 100.0 AS sd_d
+                   AS sd_d
         FROM s
     ), calc AS (
         SELECT n, mean_d, sd_d,
@@ -2361,17 +2361,14 @@ def profile_sample_size_fpc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n")
     mean_d = F.col("sy").cast("double") / n / 100.0
-    sd_d = (
-        F.sqrt(
-            (
-                F.col("syy").cast("double") / 1e4
-                - (F.col("sy").cast("double") / 100.0)
-                * (F.col("sy").cast("double") / 100.0)
-                / n
-            )
-            / (n - 1)
+    sd_d = F.sqrt(
+        (
+            F.col("syy").cast("double") / 1e4
+            - (F.col("sy").cast("double") / 100.0)
+            * (F.col("sy").cast("double") / 100.0)
+            / n
         )
-        / 100.0
+        / (n - 1)
     )
     mo = s.select(n, mean_d.alias("mean_d"), sd_d.alias("sd_d"))
     margin = 0.01 * F.col("mean_d")

@@ -57,7 +57,7 @@ def test_neyman_allocation_matches_python(spark):
     np_ney = lr_round(frac_ney)
     for k in nh.index:
         assert res.loc[k, "stratum_size"] == nh[k]
-        assert res.loc[k, "sd_dollars"] == pytest.approx(sh[k], abs=1e-3)
+        assert res.loc[k, "sd_dollars"] == pytest.approx(sh[k], abs=1e-2)
         assert res.loc[k, "n_prop"] == np_prop[k]
         assert res.loc[k, "n_neyman"] == np_ney[k]
 

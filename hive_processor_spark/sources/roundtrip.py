@@ -1292,3 +1292,165 @@ def scan_rle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rows_").cast("double") / F.col("runs_date"), 4
         ).alias("rle_ratio_date_sorted"),
     )
+
+
+@register(
+    "scan_aggregate_pushdown",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    """,
+)
+def scan_aggregate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX/COUNT answered from PARQUET FOOTER STATISTICS instead of
+    row scans: with ``spark.sql.parquet.aggregatePushdown`` on, the V2
+    reader folds these aggregates from row-group metadata, so the job
+    reads a few KB of footers no matter how many TB of pages sit below
+    — the plan shows ``PushedAggregation`` and tests/test_plans.py pins
+    it. The conf is set per-operator (and restored) because pushdown
+    requires the v2 DataSource path; results are bit-identical to a
+    full scan, which is exactly what the oracle verifies.
+
+    Scale: O(row groups) footer reads, zero data pages — the strongest
+    possible pushdown posture for this query shape."""
+    prev_push = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    prev_list = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min("o_totalprice").alias("min_price"),
+                F.max("o_totalprice").alias("max_price"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+            )
+        )
+        # materialize the plan while the conf is active; the returned
+        # frame is tiny and already computed
+        rows = df.collect()
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
+        if prev_list is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", prev_list)
+    return spark.createDataFrame(rows, df.schema)
+
+
+@register("catalog_analyze_stats")
+def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE COMPUTE STATISTICS audit: persist nation as a
+    managed table, collect table- and column-level statistics, then
+    read them back from the catalog (DESCRIBE EXTENDED) and publish
+    catalog rowCount / distinct-count beside the ACTUAL values from a
+    scan — the CBO's food, and the freshness check a production
+    metastore needs (stale stats mis-size broadcast joins; at 100 TB
+    an 8-bytes-per-row error flips a plan). Tier R: catalog plumbing
+    has no DuckDB twin, so the gate pins row count and the tests pin
+    the stats-vs-actual equalities.
+
+    Scale: stats collection is one pass; the audit reads catalog
+    metadata only."""
+    src = load_table(spark, sf_dir, "nation")
+    spark.sql("DROP TABLE IF EXISTS _stats_audit_nation")
+    # a previous session's managed-table directory may survive the DROP
+    # (fresh catalog, stale warehouse) — remove it or saveAsTable raises
+    # LOCATION_ALREADY_EXISTS
+    import shutil
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(os.path.join(wh, "_stats_audit_nation"), ignore_errors=True)
+    src.write.mode("overwrite").saveAsTable("_stats_audit_nation")
+    spark.sql("ANALYZE TABLE _stats_audit_nation COMPUTE STATISTICS")
+    spark.sql(
+        "ANALYZE TABLE _stats_audit_nation COMPUTE STATISTICS FOR COLUMNS "
+        "n_nationkey, n_name"
+    )
+    det = spark.sql("DESCRIBE TABLE EXTENDED _stats_audit_nation").collect()
+    stats_line = next(
+        (r["data_type"] for r in det if r["col_name"] == "Statistics"), ""
+    )
+    import re as _re
+
+    m = _re.search(r"(\d+) rows", stats_line)
+    catalog_rows = int(m.group(1)) if m else -1
+    col = spark.sql(
+        "DESCRIBE EXTENDED _stats_audit_nation n_nationkey"
+    ).collect()
+    cmap = {r["info_name"]: r["info_value"] for r in col}
+    distinct_est = int(cmap.get("distinct_count", "-1"))
+    actual = src.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("n_nationkey").cast("long").alias("d"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(actual["n"]),
+                catalog_rows,
+                int(actual["d"]),
+                distinct_est,
+                int(catalog_rows == actual["n"]),
+            )
+        ],
+        "actual_rows bigint, catalog_rows bigint, actual_distinct bigint,"
+        " catalog_distinct bigint, stats_fresh int",
+    )
+
+
+@register(
+    "sink_max_records_per_file",
+    """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_written FROM customer)
+    SELECT rows_written,
+           CAST(CEIL(CAST(rows_written AS DOUBLE) / 400) AS BIGINT)
+               AS n_files,
+           CAST(400 AS BIGINT) AS max_per_file,
+           1 AS all_files_within_cap
+    FROM n
+    """,
+)
+def sink_max_records_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``maxRecordsPerFile`` sink contract: customers are written
+    through a single task (repartition(1) — deterministic file count)
+    with a 400-row cap, and the re-read audits the contract from
+    ``input_file_name()``: exactly ⌈rows/400⌉ files, none above the
+    cap — the small-file/size-targeting control every lake writer
+    tunes (the per-file cap is what keeps row groups within memory
+    budgets at 100 TB; contrast ``sink_compact_small_files``, which
+    repairs the opposite failure). The oracle recomputes the ceiling
+    arithmetic from the row count, so the file layout is hash-gated,
+    not just eyeballed.
+
+    Scale: the repartition(1) is for DETERMINISM of the audit at
+    fixture scale; production writers keep natural parallelism and
+    the cap bounds each task's files independently."""
+    src = load_table(spark, sf_dir, "customer")
+    path = _scratch("maxrec")
+    (
+        src.repartition(1)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 400)
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    per_file = back.groupBy(F.input_file_name().alias("f")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_file.agg(
+        F.sum("c").cast("long").alias("rows_written"),
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.lit(400).cast("long").alias("max_per_file"),
+        F.min(F.when(F.col("c") <= 400, 1).otherwise(0))
+        .cast("int")
+        .alias("all_files_within_cap"),
+    )

@@ -74,6 +74,12 @@ HEADLINE = [
     "text_collocation_llr",  # Dunning LLR collocation mining
     "fn_trigram_similarity",  # PPJoin prefix-filtered trigram join
     "embed_kcenter_coreset",  # 8-round farthest-point traversal
+    # round-4 session-2 additions
+    "stats_anderson_darling",  # rank-frame A2 + chunk-stitched harmonic prefix
+    "embed_anisotropy",   # O(n*d) pair-free mean-cosine via ||sum(u)||^2
+    "win_distinct_sliding",  # sliding COUNT(DISTINCT) interval sweep
+    "sketch_hll_intersection",  # register-MAX HLL set algebra
+    "market_price_index",  # matched-basket bilateral price indexes
 ]
 
 

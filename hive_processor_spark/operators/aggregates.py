@@ -3483,3 +3483,183 @@ def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quantile")
     )
+
+
+@register(
+    "agg_median_polish",
+    """
+    WITH cell AS (
+        SELECT date_part('month', o_orderdate) AS i,
+               o_orderpriority AS j,
+               CAST(CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS DOUBLE) AS z
+        FROM orders GROUP BY 1, 2
+    ), m0 AS (
+        SELECT i, z AS med FROM (
+            SELECT i, z, ROW_NUMBER() OVER (PARTITION BY i
+                ORDER BY z, j) AS rn FROM cell
+        ) WHERE rn = 3
+    ), z0 AS (
+        SELECT a.i, a.j, a.z - m.med AS z
+        FROM cell a JOIN m0 m ON m.i = a.i
+    ), m1 AS (
+        SELECT j, (MAX(CASE WHEN rn = 6 THEN z END)
+                   + MAX(CASE WHEN rn = 7 THEN z END)) / 2 AS med
+        FROM (
+            SELECT j, z, ROW_NUMBER() OVER (PARTITION BY j
+                ORDER BY z, i) AS rn FROM z0
+        ) GROUP BY j
+    ), z1 AS (
+        SELECT a.i, a.j, a.z - m.med AS z
+        FROM z0 a JOIN m1 m ON m.j = a.j
+    ), m2 AS (
+        SELECT i, z AS med FROM (
+            SELECT i, z, ROW_NUMBER() OVER (PARTITION BY i
+                ORDER BY z, j) AS rn FROM z1
+        ) WHERE rn = 3
+    ), z2 AS (
+        SELECT a.i, a.j, a.z - m.med AS z
+        FROM z1 a JOIN m2 m ON m.i = a.i
+    ), m3 AS (
+        SELECT j, (MAX(CASE WHEN rn = 6 THEN z END)
+                   + MAX(CASE WHEN rn = 7 THEN z END)) / 2 AS med
+        FROM (
+            SELECT j, z, ROW_NUMBER() OVER (PARTITION BY j
+                ORDER BY z, i) AS rn FROM z2
+        ) GROUP BY j
+    ), z3 AS (
+        SELECT a.i, a.j, a.z - m.med AS z
+        FROM z2 a JOIN m3 m ON m.j = a.j
+    ), eff AS (
+        SELECT 'month' AS kind, LPAD(CAST(CAST(a.i AS BIGINT) AS VARCHAR),
+                                     2, '0') AS key,
+               ROUND((a.med + b.med) / 100.0, 4) AS effect_dollars
+        FROM m0 a JOIN m2 b ON b.i = a.i
+        UNION ALL
+        SELECT 'priority', a.j,
+               ROUND((a.med + b.med) / 100.0, 4)
+        FROM m1 a JOIN m3 b ON b.j = a.j
+        UNION ALL
+        SELECT 'diag', 'max_abs_resid',
+               ROUND(MAX(ABS(z)) / 100.0, 4) FROM z3
+        UNION ALL
+        SELECT 'diag', 'mean_abs_resid',
+               ROUND(AVG(ABS(z)) / 100.0, 4) FROM z3
+    )
+    SELECT kind, key, effect_dollars FROM eff
+    ORDER BY kind, key
+    """,
+)
+def agg_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey median polish (EDA ch. 11) of the month × priority revenue
+    table: two alternating row/col sweeps subtract medians until the
+    residuals are centered — the OUTLIER-RESISTANT two-way
+    decomposition (a single blowout month shifts mean-based effects
+    like ``agg_abc_xyz``'s but barely moves these medians). Row
+    medians are exact order statistics of 5 values; column medians
+    average ranks 6/7 of 12 — every intermediate is an integer or
+    exact half-integer far below 2⁵³, so plain double arithmetic is
+    EXACT and engine-identical with no quantization at all (the one
+    family member where floats are exact by construction). Output:
+    accumulated month/priority effects plus residual diagnostics;
+    effects follow the deterministic sweep order documented here
+    (median polish is unique only up to sweep order — the tests
+    re-run the identical procedure).
+
+    Scale: one aggregate to 60 cells; four windowed median steps on
+    that frame."""
+    o = load_table(spark, sf_dir, "orders")
+    cell = (
+        o.groupBy(
+            F.month("o_orderdate").alias("i"),
+            F.col("o_orderpriority").alias("j"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+            .cast("long")
+            .cast("double")
+            .alias("z")
+        )
+    )
+
+    def _row_med(df):
+        w = Window.partitionBy("i").orderBy("z", "j")
+        return (
+            df.select("i", "z", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 3)
+            .select("i", F.col("z").alias("med"))
+        )
+
+    def _col_med(df):
+        w = Window.partitionBy("j").orderBy("z", "i")
+        r = df.select("j", "z", F.row_number().over(w).alias("rn"))
+        return r.groupBy("j").agg(
+            (
+                (
+                    F.max(F.when(F.col("rn") == 6, F.col("z")))
+                    + F.max(F.when(F.col("rn") == 7, F.col("z")))
+                )
+                / 2
+            ).alias("med")
+        )
+
+    m0 = _row_med(cell)
+    z0 = cell.join(m0, "i").select(
+        "i", "j", (F.col("z") - F.col("med")).alias("z")
+    )
+    m1 = _col_med(z0)
+    z1 = z0.join(m1, "j").select(
+        "i", "j", (F.col("z") - F.col("med")).alias("z")
+    )
+    m2 = _row_med(z1)
+    z2 = z1.join(m2, "i").select(
+        "i", "j", (F.col("z") - F.col("med")).alias("z")
+    )
+    m3 = _col_med(z2)
+    z3 = z2.join(m3, "j").select(
+        "i", "j", (F.col("z") - F.col("med")).alias("z")
+    )
+    month_eff = (
+        m0.select("i", F.col("med").alias("m_a"))
+        .join(m2.select("i", F.col("med").alias("m_b")), "i")
+        .select(
+            F.lit("month").alias("kind"),
+            F.lpad(F.col("i").cast("long").cast("string"), 2, "0").alias(
+                "key"
+            ),
+            F.round((F.col("m_a") + F.col("m_b")) / 100.0, 4).alias(
+                "effect_dollars"
+            ),
+        )
+    )
+    pri_eff = (
+        m1.select("j", F.col("med").alias("m_a"))
+        .join(m3.select("j", F.col("med").alias("m_b")), "j")
+        .select(
+            F.lit("priority").alias("kind"),
+            F.col("j").alias("key"),
+            F.round((F.col("m_a") + F.col("m_b")) / 100.0, 4).alias(
+                "effect_dollars"
+            ),
+        )
+    )
+    diag = z3.agg(
+        F.round(F.max(F.abs(F.col("z"))) / 100.0, 4).alias("mx"),
+        F.round(F.avg(F.abs(F.col("z"))) / 100.0, 4).alias("mn"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("diag").alias("kind"),
+                    F.lit("max_abs_resid").alias("key"),
+                    F.col("mx").alias("effect_dollars"),
+                ),
+                F.struct(
+                    F.lit("diag").alias("kind"),
+                    F.lit("mean_abs_resid").alias("key"),
+                    F.col("mn").alias("effect_dollars"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.kind", "s.key", "s.effect_dollars")
+    return month_eff.unionAll(pri_eff).unionAll(diag).orderBy("kind", "key")

@@ -8124,3 +8124,267 @@ def events_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         F.when(z > 1.645, 1).otherwise(0).alias("overdispersed"),
     )
+
+
+@register(
+    "stats_friedman_nemenyi",
+    """
+    WITH cell AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS blk,
+               o_orderpriority AS trt,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cell_v
+        FROM orders GROUP BY 1, 2
+    ), full_blk AS (
+        SELECT blk FROM cell GROUP BY blk HAVING COUNT(*) = 5
+    ), rnk AS (
+        SELECT c.blk, c.trt,
+               RANK() OVER (PARTITION BY c.blk ORDER BY c.cell_v)
+               + (COUNT(*) OVER (PARTITION BY c.blk, c.cell_v) - 1) / 2.0
+                   AS r
+        FROM cell c JOIN full_blk f ON f.blk = c.blk
+    ), means AS (
+        SELECT trt, AVG(r) AS rbar,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks
+        FROM rnk GROUP BY trt
+    ), cd AS (
+        SELECT 2.728 * SQRT(5.0 * (5 + 1) / (6.0 * MAX(n_blocks))) AS cdv,
+               CAST(MAX(n_blocks) AS BIGINT) AS nb
+        FROM means
+    )
+    SELECT a.trt AS trt_a, b.trt AS trt_b,
+           ROUND(a.rbar, 4) AS rank_a, ROUND(b.rbar, 4) AS rank_b,
+           ROUND(ABS(a.rbar - b.rbar), 4) AS rank_diff,
+           ROUND(c.cdv, 4) AS critical_difference,
+           CASE WHEN ABS(a.rbar - b.rbar) > c.cdv THEN 1 ELSE 0 END
+               AS significant,
+           c.nb AS n_blocks
+    FROM means a JOIN means b ON a.trt < b.trt
+    CROSS JOIN cd c
+    ORDER BY trt_a, trt_b
+    """,
+)
+def stats_friedman_nemenyi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nemenyi post-hoc critical-difference table (Demšar JMLR'06 —
+    the benchmark-comparison standard) for the same month-block ×
+    priority-treatment design as ``stats_friedman``: once Friedman
+    rejects "all treatments equal", which PAIRS differ? Mean ranks
+    per treatment are compared against CD = q_α√(k(k+1)/6N) with the
+    k=5, α=0.05 studentized-range constant q = 2.728 — all 10 pairs
+    published with their significance flags, the table a CD diagram
+    renders. Mid-ranks come from the same exact integer cell sums as
+    the omnibus test.
+
+    Scale: aggregation to O(months × 5) cells; the pair join is 10
+    rows."""
+    o = load_table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("blk"),
+        F.col("o_orderpriority").alias("trt"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("cell_v")
+    )
+    full_blk = cell.groupBy("blk").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") == 5
+    ).select("blk")
+    w_rank = Window.partitionBy("blk").orderBy("cell_v")
+    w_tie = Window.partitionBy("blk", "cell_v")
+    rnk = cell.join(full_blk, "blk").select(
+        "blk",
+        "trt",
+        (
+            F.rank().over(w_rank)
+            + (F.count(F.lit(1)).over(w_tie) - 1) / F.lit(2.0)
+        ).alias("r"),
+    )
+    means = rnk.groupBy("trt").agg(
+        F.avg("r").alias("rbar"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+    cd = means.agg(
+        (
+            F.lit(2.728)
+            * F.sqrt(F.lit(5.0) * (5 + 1) / (F.lit(6.0) * F.max("n_blocks")))
+        ).alias("cdv"),
+        F.max("n_blocks").cast("long").alias("nb"),
+    )
+    a = means.select(
+        F.col("trt").alias("trt_a"), F.col("rbar").alias("rbar_a")
+    )
+    b = means.select(
+        F.col("trt").alias("trt_b"), F.col("rbar").alias("rbar_b")
+    )
+    return (
+        a.join(b, F.col("trt_a") < F.col("trt_b"))
+        .crossJoin(F.broadcast(cd))
+        .select(
+            "trt_a",
+            "trt_b",
+            F.round(F.col("rbar_a"), 4).alias("rank_a"),
+            F.round(F.col("rbar_b"), 4).alias("rank_b"),
+            F.round(F.abs(F.col("rbar_a") - F.col("rbar_b")), 4).alias(
+                "rank_diff"
+            ),
+            F.round(F.col("cdv"), 4).alias("critical_difference"),
+            F.when(
+                F.abs(F.col("rbar_a") - F.col("rbar_b")) > F.col("cdv"), 1
+            )
+            .otherwise(0)
+            .alias("significant"),
+            F.col("nb").alias("n_blocks"),
+        )
+        .orderBy("trt_a", "trt_b")
+    )
+
+
+@register(
+    "stats_winsorized_correlation",
+    """
+    WITH v AS (
+        SELECT CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS x,
+               CAST(l_quantity AS BIGINT) AS y
+        FROM lineitem
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    xth AS (
+        SELECT MIN(CASE WHEN cum >= g + 1 THEN x END) AS lo,
+               MIN(CASE WHEN cum >= n - g THEN x END) AS hi
+        FROM (
+            SELECT x, SUM(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cum,
+                   n, CAST(FLOOR(0.1 * n) AS BIGINT) AS g
+            FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM v GROUP BY x) CROSS JOIN nn
+        )
+    ), yth AS (
+        SELECT MIN(CASE WHEN cum >= g + 1 THEN y END) AS lo,
+               MIN(CASE WHEN cum >= n - g THEN y END) AS hi
+        FROM (
+            SELECT y, SUM(c) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cum,
+                   n, CAST(FLOOR(0.1 * n) AS BIGINT) AS g
+            FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM v GROUP BY y) CROSS JOIN nn
+        )
+    ), clipped AS (
+        SELECT GREATEST(xt.lo, LEAST(xt.hi, v.x)) AS xw,
+               GREATEST(yt.lo, LEAST(yt.hi, v.y)) AS yw,
+               v.x, v.y
+        FROM v CROSS JOIN xth xt CROSS JOIN yth yt
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xw) AS BIGINT) AS sxw,
+               CAST(SUM(yw) AS BIGINT) AS syw,
+               CAST(SUM(CAST(xw AS HUGEINT) * xw) AS HUGEINT) AS sxxw,
+               CAST(SUM(yw * yw) AS BIGINT) AS syyw,
+               CAST(SUM(xw * yw) AS BIGINT) AS sxyw,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM clipped
+    )
+    SELECT n,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS r_raw,
+           ROUND((CAST(n AS DOUBLE) * sxyw - CAST(sxw AS DOUBLE) * syw)
+                 / SQRT((CAST(n AS DOUBLE) * CAST(sxxw AS DOUBLE)
+                         - CAST(sxw AS DOUBLE) * sxw)
+                        * (CAST(n AS DOUBLE) * syyw
+                           - CAST(syw AS DOUBLE) * syw)), 6)
+               AS r_winsorized
+    FROM s
+    """,
+)
+def stats_winsorized_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized correlation (Wilcox, Robust Estimation ch. 9):
+    Pearson r after clipping each margin at its own 10%/90% order
+    statistics — the robust association estimate that survives the
+    heavy-tailed revenue outliers which leverage plain r (reported
+    beside it from the SAME pass for the contrast). The clip
+    thresholds x₍g+1₎, x₍n−g₎ come off distinct-value cumulative
+    frames (the ``stats_yuen_trimmed_t`` machinery applied per
+    margin), broadcast back, and all ten clipped/raw moments fold as
+    exact integers (Σx² in 128-bit).
+
+    Scale: two O(distinct) threshold frames + one clipped scan —
+    shuffle ∝ distinct values, the scan is map-only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    nn = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def _th(col):
+        grp = v.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = (
+            grp.crossJoin(F.broadcast(nn))
+            .select(
+                col,
+                F.sum("c").over(w).alias("cum"),
+                F.col("n"),
+                F.floor(0.1 * F.col("n")).cast("long").alias("g"),
+            )
+        )
+        return cum.agg(
+            F.min(
+                F.when(F.col("cum") >= F.col("g") + 1, F.col(col))
+            ).alias("lo"),
+            F.min(
+                F.when(F.col("cum") >= F.col("n") - F.col("g"), F.col(col))
+            ).alias("hi"),
+        )
+
+    xth = _th("x").select(F.col("lo").alias("xlo"), F.col("hi").alias("xhi"))
+    yth = _th("y").select(F.col("lo").alias("ylo"), F.col("hi").alias("yhi"))
+    clipped = v.crossJoin(F.broadcast(xth)).crossJoin(F.broadcast(yth)).select(
+        F.greatest(F.col("xlo"), F.least(F.col("xhi"), F.col("x"))).alias("xw"),
+        F.greatest(F.col("ylo"), F.least(F.col("yhi"), F.col("y"))).alias("yw"),
+        "x",
+        "y",
+    )
+    s = clipped.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xw").cast("long").alias("sxw"),
+        F.sum("yw").cast("long").alias("syw"),
+        F.sum(F.col("xw").cast("decimal(38,0)") * F.col("xw")).alias("sxxw"),
+        F.sum(F.col("yw") * F.col("yw")).cast("long").alias("syyw"),
+        F.sum(F.col("xw") * F.col("yw")).cast("long").alias("sxyw"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n = F.col("n")
+
+    def _r(sxy, sx, sy, sxx, syy):
+        return (
+            n.cast("double") * F.col(sxy) - F.col(sx).cast("double") * F.col(sy)
+        ) / F.sqrt(
+            (
+                n.cast("double") * F.col(sxx).cast("double")
+                - F.col(sx).cast("double") * F.col(sx)
+            )
+            * (
+                n.cast("double") * F.col(syy)
+                - F.col(sy).cast("double") * F.col(sy)
+            )
+        )
+
+    return s.select(
+        n,
+        F.round(_r("sxy", "sx", "sy", "sxx", "syy"), 6).alias("r_raw"),
+        F.round(_r("sxyw", "sxw", "syw", "sxxw", "syyw"), 6).alias(
+            "r_winsorized"
+        ),
+    )

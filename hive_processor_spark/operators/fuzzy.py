@@ -269,7 +269,17 @@ def fn_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> substring(lower(p_name), i, 3))"
         )
     )
-    t = part.select("p_partkey", "p_brand", tg.alias("tg"))
+    # pin the tokenized frame: it feeds the inverted index AND both
+    # verify sides, and the trigram+md5 transform is the expensive
+    # scalar work — one materialization instead of three evaluations
+    t = part.select("p_partkey", "p_brand", tg.alias("tg")).localCheckpoint()
+    # canonical order note: PPJoin's rarity (ascending-df) ordering was
+    # measured here and REJECTED — this fixture's names draw on a tiny
+    # token vocabulary, so "rare" trigrams still collide (1.63M -> 0.87M
+    # candidates) while the df join + per-name reorder adds a shuffle
+    # that costs more than the halved verify saves (3.4 s -> 5.0 s at
+    # sf0.1). Hash order keeps the one-pass prefix; recall is lossless
+    # under any global total order.
     hashes = F.array_sort(
         F.expr(
             "transform(tg, s -> cast(conv(substring(md5(s), 1, 15), 16, 10)"

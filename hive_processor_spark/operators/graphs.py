@@ -717,6 +717,10 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     per role is a window rank, not a driver sort."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # NOTE: pinning e with localCheckpoint was measured and REJECTED —
+    # the three consumers' subplans are identical, so Catalyst already
+    # serves them from one ReusedExchange; an eager checkpoint only adds
+    # a materialization job (2.2 s -> 2.5 s at sf0.1).
     e = (
         orders.join(li, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))

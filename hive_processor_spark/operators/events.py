@@ -11,6 +11,8 @@ all three queries prune to the days they touch.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -7027,4 +7029,237 @@ def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (tp - 2.0 * (n - 2) / 3) / F.sqrt((16.0 * n - 29) / 90), 4
         ).alias("z"),
+    )
+
+
+@register(
+    "ts_welch_periodogram",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ), idx AS (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t
+        FROM daily
+    ), seg AS (
+        SELECT s.k AS seg, i.t - s.k * 7 AS u, i.cnt
+        FROM idx i
+        JOIN (SELECT UNNEST(RANGE(0, 200)) AS k) s
+          ON i.t >= s.k * 7 AND i.t < s.k * 7 + 14
+    ), segmu AS (
+        SELECT seg, AVG(cnt) AS mu, CAST(COUNT(*) AS BIGINT) AS m
+        FROM seg GROUP BY seg HAVING COUNT(*) = 14
+    ), terms AS (
+        SELECT per.p, s.seg,
+               CAST(SUM(CAST(FLOOR((s.cnt - g.mu)
+                   * COS(2 * PI() * s.u / per.p) * 1e6) AS BIGINT))
+                   AS BIGINT) AS c_q,
+               CAST(SUM(CAST(FLOOR((s.cnt - g.mu)
+                   * SIN(2 * PI() * s.u / per.p) * 1e6) AS BIGINT))
+                   AS BIGINT) AS s_q
+        FROM seg s JOIN segmu g ON g.seg = s.seg
+        CROSS JOIN (SELECT UNNEST([7, 14]) AS p) per
+        GROUP BY per.p, s.seg
+    ), power AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(CAST(FLOOR(((c_q / 1e6) * (c_q / 1e6)
+                          + (s_q / 1e6) * (s_q / 1e6)) / 14 * 1e6)
+                          AS BIGINT)) AS BIGINT) AS pw_q
+        FROM terms GROUP BY p
+    )
+    SELECT CAST(p AS BIGINT) AS period_days, n_segments,
+           ROUND(pw_q / 1e6 / n_segments, 4) AS welch_power
+    FROM power
+    ORDER BY p
+    """,
+)
+def ts_welch_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's averaged periodogram (Welch '67) for the 7- and 14-day
+    lines of the daily event-count series: the signal is cut into
+    half-overlapping 14-day segments (hop 7), each segment is demeaned
+    LOCALLY and its periodogram power |Σ(x−μ)e^{-2πiu/p}|²/m computed,
+    and powers average across segments — trading ``ts_periodogram``'s
+    frequency resolution for a variance reduction ∝ 1/segments, which
+    is what makes a spectral peak trustworthy on one noisy series.
+    Per-segment trig terms floor-quantize at 1e-6 and per-segment
+    powers at 1e-6 before the cross-segment integer fold, so the
+    average is parallelism-stable.
+
+    Scale: the segment join fans each day into ≤2 segments (hop =
+    len/2); everything downstream is O(segments × 2 freqs)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_ord = Window.orderBy("day")
+    idx = daily.select(
+        "cnt", (F.row_number().over(w_ord) - 1).alias("t")
+    )
+    ks = spark.range(0, 200).select(F.col("id").alias("k"))
+    seg = idx.join(
+        F.broadcast(ks),
+        (F.col("t") >= F.col("k") * 7) & (F.col("t") < F.col("k") * 7 + 14),
+    ).select(F.col("k").alias("seg"), (F.col("t") - F.col("k") * 7).alias("u"), "cnt")
+    segmu = (
+        seg.groupBy("seg")
+        .agg(F.avg("cnt").alias("mu"), F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") == 14)
+    )
+    ps = spark.createDataFrame([(7,), (14,)], ["p"])
+    theta = 2 * math.pi * F.col("u") / F.col("p")
+    terms = (
+        seg.join(segmu.select("seg", "mu"), "seg")
+        .crossJoin(F.broadcast(ps))
+        .groupBy("p", "seg")
+        .agg(
+            F.sum(
+                F.floor((F.col("cnt") - F.col("mu")) * F.cos(theta) * 1e6)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("c_q"),
+            F.sum(
+                F.floor((F.col("cnt") - F.col("mu")) * F.sin(theta) * 1e6)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("s_q"),
+        )
+    )
+    power = terms.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(
+            F.floor(
+                (
+                    (F.col("c_q") / 1e6) * (F.col("c_q") / 1e6)
+                    + (F.col("s_q") / 1e6) * (F.col("s_q") / 1e6)
+                )
+                / 14
+                * 1e6
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("pw_q"),
+    )
+    return power.select(
+        F.col("p").cast("long").alias("period_days"),
+        "n_segments",
+        F.round(F.col("pw_q") / 1e6 / F.col("n_segments"), 4).alias(
+            "welch_power"
+        ),
+    ).orderBy("period_days")
+
+
+@register(
+    "agg_theil_decomposition",
+    """
+    WITH v AS (
+        SELECT n.n_name AS grp,
+               CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT) AS y
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ), per AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(y) AS BIGINT) AS sg,
+               CAST(SUM(CAST(FLOOR(y * LN(CAST(y AS DOUBLE)) * 1e2)
+                             AS BIGINT)) AS HUGEINT) AS ylny_q
+        FROM v GROUP BY grp
+    ), tot AS (
+        SELECT CAST(SUM(ng) AS BIGINT) AS n,
+               CAST(SUM(sg) AS BIGINT) AS s,
+               CAST(SUM(ylny_q) AS HUGEINT) AS ylny_q
+        FROM per
+    ), parts AS (
+        SELECT t.n, t.s,
+               CAST(t.ylny_q AS DOUBLE) / 1e2 / t.s
+               - LN(CAST(t.s AS DOUBLE) / t.n) AS t_total,
+               SUM((CAST(p.sg AS DOUBLE) / t.s)
+                   * (CAST(p.ylny_q AS DOUBLE) / 1e2 / p.sg
+                      - LN(CAST(p.sg AS DOUBLE) / p.ng))) AS t_within,
+               SUM((CAST(p.sg AS DOUBLE) / t.s)
+                   * LN((CAST(p.sg AS DOUBLE) / t.s)
+                        / (CAST(p.ng AS DOUBLE) / t.n))) AS t_between,
+               CAST(COUNT(*) AS BIGINT) AS n_groups
+        FROM per p CROSS JOIN tot t
+        GROUP BY t.n, t.s, t.ylny_q
+    )
+    SELECT n_groups, n AS n_orders,
+           ROUND(t_total, 6) AS theil_total,
+           ROUND(t_within, 6) AS theil_within,
+           ROUND(t_between, 6) AS theil_between,
+           ROUND(t_total - t_within - t_between, 9) AS closure_residual
+    FROM parts
+    """,
+)
+def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality decomposition by customer nation: T_total =
+    T_within + T_between EXACTLY — the additive decomposability that
+    makes Theil (and not Gini) the index economists use to answer "is
+    revenue inequality a between-country or within-country story?"
+    (extends the scalar ``agg_theil_index``/``agg_atkinson`` family
+    with the structural split). The identity is algebraic in the
+    shared Σy·ln y group sums — both sides are built from the SAME
+    1e-2-quantized integer folds, so closure_residual is pinned at
+    ~1e-9 by the hash gate, the decomposition's own audit.
+
+    Scale: one partial→final aggregate to 25 nation cells via two
+    broadcast dim joins; scalar algebra after."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    v = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .select(
+            F.col("n_name").alias("grp"),
+            F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("y"),
+        )
+    )
+    per = v.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("y").cast("long").alias("sg"),
+        F.sum(
+            F.floor(F.col("y") * F.log(F.col("y").cast("double")) * 1e2)
+            .cast("long")
+            .cast("decimal(38,0)")
+        ).alias("ylny_q"),
+    )
+    tot = per.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").cast("long").alias("s"),
+        F.sum("ylny_q").alias("t_ylny_q"),
+    )
+    t_total = F.col("t_ylny_q").cast("double") / 1e2 / F.col("s") - F.log(
+        F.col("s").cast("double") / F.col("n")
+    )
+    parts = per.crossJoin(F.broadcast(tot)).agg(
+        F.max(F.col("n")).alias("n"),
+        F.max(F.col("s")).alias("s"),
+        F.max(t_total).alias("t_total"),
+        F.sum(
+            (F.col("sg").cast("double") / F.col("s"))
+            * (
+                F.col("ylny_q").cast("double") / 1e2 / F.col("sg")
+                - F.log(F.col("sg").cast("double") / F.col("ng"))
+            )
+        ).alias("t_within"),
+        F.sum(
+            (F.col("sg").cast("double") / F.col("s"))
+            * F.log(
+                (F.col("sg").cast("double") / F.col("s"))
+                / (F.col("ng").cast("double") / F.col("n"))
+            )
+        ).alias("t_between"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    return parts.select(
+        "n_groups",
+        F.col("n").alias("n_orders"),
+        F.round(F.col("t_total"), 6).alias("theil_total"),
+        F.round(F.col("t_within"), 6).alias("theil_within"),
+        F.round(F.col("t_between"), 6).alias("theil_between"),
+        F.round(
+            F.col("t_total") - F.col("t_within") - F.col("t_between"), 9
+        ).alias("closure_residual"),
     )

@@ -2116,3 +2116,192 @@ def embed_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _power_iter_sql() -> str:
+    matvec = """
+    , w{K} AS (
+        SELECT c.d1 AS d,
+               CAST(SUM(CAST(FLOOR(c.cv * v.v * 1e9) AS BIGINT))
+                    AS BIGINT) AS wq
+        FROM cov c JOIN v{P} v ON v.d = c.d2
+        GROUP BY c.d1
+    ), n{K} AS (
+        SELECT SQRT(CAST(SUM(CAST(FLOOR((wq / 1e9) * (wq / 1e9) * 1e9)
+                                  AS BIGINT)) AS BIGINT) / 1e9) AS nrm
+        FROM w{K}
+    ), v{K} AS (
+        SELECT d, (wq / 1e9) / nrm AS v FROM w{K} CROSS JOIN n{K}
+    )"""
+    body = "".join(matvec.format(K=k, P=k - 1) for k in (1, 2, 3))
+    return f"""
+    WITH mu AS (
+        SELECT d, CAST(SUM(CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 1e9)
+                                AS BIGINT)) AS BIGINT) AS sq,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM embeddings, UNNEST(RANGE(1, 65)) AS t(d)
+        GROUP BY d
+    ), xtx AS (
+        SELECT t1.d1, t2.d2,
+               CAST(SUM(CAST(FLOOR(CAST(embedding[t1.d1] AS DOUBLE)
+                                   * CAST(embedding[t2.d2] AS DOUBLE)
+                                   * 1e9) AS BIGINT)) AS BIGINT) AS pq
+        FROM embeddings,
+             UNNEST(RANGE(1, 65)) AS t1(d1),
+             UNNEST(RANGE(1, 65)) AS t2(d2)
+        GROUP BY t1.d1, t2.d2
+    ), cov AS (
+        SELECT x.d1, x.d2,
+               (x.pq / 1e9) / a.n
+               - (a.sq / 1e9 / a.n) * (b.sq / 1e9 / b.n) AS cv
+        FROM xtx x
+        JOIN mu a ON a.d = x.d1
+        JOIN mu b ON b.d = x.d2
+    ), v0 AS (
+        SELECT d, 0.125 AS v FROM (SELECT UNNEST(RANGE(1, 65)) AS d)
+    ){body}, lam AS (
+        SELECT CAST(SUM(CAST(FLOOR(c.cv * a.v * b.v * 1e9) AS BIGINT))
+                    AS BIGINT) AS lq
+        FROM cov c
+        JOIN v3 a ON a.d = c.d1
+        JOIN v3 b ON b.d = c.d2
+    ), tr AS (
+        SELECT CAST(SUM(CASE WHEN d1 = d2 THEN
+                   CAST(FLOOR(cv * 1e9) AS BIGINT) END) AS BIGINT) / 1e9
+                   AS trace
+        FROM cov
+    )
+    SELECT CAST(64 AS BIGINT) AS dim, CAST(3 AS BIGINT) AS iterations,
+           ROUND(l.lq / 1e9, 4) AS lambda1,
+           ROUND(t.trace, 4) AS trace,
+           ROUND((l.lq / 1e9) / t.trace, 6) AS dominance
+    FROM lam l CROSS JOIN tr t
+    """
+
+
+@register("embed_power_iteration", _power_iter_sql())
+def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top covariance eigenvalue by THREE unrolled power iterations with
+    the 64×64 covariance held as a DISTRIBUTED cell frame — no Gram
+    collect anywhere, unlike ``embed_pca_top``'s documented O(dim²)
+    driver solve: the matvec C·v is a 4096-row join + 64-group
+    aggregate, the eigenvector estimate re-normalizes after every
+    sweep, and λ₁ comes out as the Rayleigh quotient vᵀCv. Reported
+    with trace and the dominance ratio λ₁/tr(C) — the "how much of
+    the variance is one direction" number that decides whether
+    whitening (see ``embed_anisotropy``) is worth a pipeline stage.
+    Every product floor-quantizes at 1e-9 into integer folds; v₀ =
+    0.125 (=1/√64) is exactly representable, so the whole iteration
+    is engine-identical.
+
+    Scale: the covariance build is one explode-aggregate (n·d² terms,
+    map-side combined — at corpus scale you'd swap in per-partition
+    outer-product partials, same cells); the iterations touch only
+    the 4096-cell frame."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d64 = spark.range(1, 65).select(F.col("id").cast("int").alias("d"))
+    base = emb.select("embedding")
+    mu = (
+        base.select(
+            F.posexplode("embedding").alias("d0", "x")
+        )
+        .select((F.col("d0") + 1).alias("d"), "x")
+        .groupBy("d")
+        .agg(
+            F.sum(F.floor(F.col("x").cast("double") * 1e9).cast("long"))
+            .cast("long")
+            .alias("sq"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    pairs = (
+        base.select(F.posexplode("embedding").alias("d0", "x"), "embedding")
+        .select((F.col("d0") + 1).alias("d1"), F.col("x").alias("x1"), "embedding")
+        .select(
+            "d1",
+            "x1",
+            F.posexplode("embedding").alias("d20", "x2"),
+        )
+        .select("d1", "x1", (F.col("d20") + 1).alias("d2"), "x2")
+    )
+    xtx = pairs.groupBy("d1", "d2").agg(
+        F.sum(
+            F.floor(
+                F.col("x1").cast("double") * F.col("x2").cast("double") * 1e9
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("pq")
+    )
+    mua = mu.select(
+        F.col("d").alias("d1"), F.col("sq").alias("sqa"), F.col("n").alias("na")
+    )
+    mub = mu.select(
+        F.col("d").alias("d2"), F.col("sq").alias("sqb"), F.col("n").alias("nb")
+    )
+    cov = (
+        xtx.join(F.broadcast(mua), "d1")
+        .join(F.broadcast(mub), "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                (F.col("pq") / 1e9) / F.col("na")
+                - (F.col("sqa") / 1e9 / F.col("na"))
+                * (F.col("sqb") / 1e9 / F.col("nb"))
+            ).alias("cv"),
+        )
+        .localCheckpoint()
+    )
+    v = d64.select("d", F.lit(0.125).alias("v"))
+    for _ in range(3):
+        w = (
+            cov.join(v.select(F.col("d").alias("d2"), "v"), "d2")
+            .groupBy(F.col("d1").alias("d"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("cv") * F.col("v") * 1e9).cast("long")
+                )
+                .cast("long")
+                .alias("wq")
+            )
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(
+                    F.floor(
+                        (F.col("wq") / 1e9) * (F.col("wq") / 1e9) * 1e9
+                    ).cast("long")
+                ).cast("long")
+                / 1e9
+            ).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "d", ((F.col("wq") / 1e9) / F.col("nrm")).alias("v")
+        ).localCheckpoint()
+    lam = (
+        cov.join(v.select(F.col("d").alias("d1"), F.col("v").alias("va")), "d1")
+        .join(v.select(F.col("d").alias("d2"), F.col("v").alias("vb")), "d2")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("cv") * F.col("va") * F.col("vb") * 1e9
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("lq")
+        )
+    )
+    tr = cov.filter(F.col("d1") == F.col("d2")).agg(
+        (
+            F.sum(F.floor(F.col("cv") * 1e9).cast("long")).cast("long")
+            / 1e9
+        ).alias("trace")
+    )
+    return lam.crossJoin(F.broadcast(tr)).select(
+        F.lit(64).cast("long").alias("dim"),
+        F.lit(3).cast("long").alias("iterations"),
+        F.round(F.col("lq") / 1e9, 4).alias("lambda1"),
+        F.round(F.col("trace"), 4).alias("trace"),
+        F.round((F.col("lq") / 1e9) / F.col("trace"), 6).alias("dominance"),
+    )

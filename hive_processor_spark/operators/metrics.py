@@ -8388,3 +8388,199 @@ def stats_winsorized_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_winsorized"
         ),
     )
+
+
+@register(
+    "stats_mcnemar_bowker",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               MIN({'d': o_orderdate, 'k': o_orderkey,
+                    'p': o_orderpriority}).p AS first_p,
+               MAX({'d': o_orderdate, 'k': o_orderkey,
+                    'p': o_orderpriority}).p AS last_p
+        FROM orders GROUP BY o_custkey
+    ), cells AS (
+        SELECT CAST(SUBSTR(first_p, 1, 1) AS BIGINT) AS i,
+               CAST(SUBSTR(last_p, 1, 1) AS BIGINT) AS j,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM per_cust GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.i, a.j, a.c AS nij, COALESCE(b.c, 0) AS nji
+        FROM cells a
+        LEFT JOIN cells b ON b.i = a.j AND b.j = a.i
+        WHERE a.i < a.j
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN nij + nji > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS df,
+               CAST(SUM(CAST(FLOOR(
+                   CASE WHEN nij + nji > 0 THEN
+                       CAST((nij - nji) * (nij - nji) AS DOUBLE)
+                       / (nij + nji) ELSE 0 END * 1e9) AS BIGINT))
+                   AS BIGINT) AS chi_q,
+               CAST(SUM(nij + nji) AS BIGINT) AS n_discordant
+        FROM pairs
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_cust FROM cells
+    )
+    SELECT t.n_cust, s.n_discordant, s.df,
+           ROUND(s.chi_q / 1e9, 4) AS chi2_bowker
+    FROM s CROSS JOIN tot t
+    """,
+)
+def stats_mcnemar_bowker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowker's test of marginal symmetry (Bowker '48 — McNemar
+    generalized to a k×k table): does a customer's FIRST order
+    priority distribute the same as their LAST, pairwise? χ² =
+    Σ_{i<j}(n_ij−n_ji)²/(n_ij+n_ji) over the 5×5 first→last
+    transition table, df = #off-diagonal pairs with traffic — the
+    paired-categories drift test (did customers migrate toward
+    urgency?) that an unpaired ``agg_chi_square`` cannot answer
+    because it ignores the within-customer pairing. MIN_BY/MAX_BY
+    with the date key make first/last deterministic; each pair's
+    rational term floor-quantizes at 1e-9.
+
+    Scale: one per-customer aggregate (shuffle ∝ customers) to a
+    ≤25-cell table; the pair fold is 10 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.struct(
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("p"),
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min(key).getField("p").alias("first_p"),
+        F.max(key).getField("p").alias("last_p"),
+    )
+    cells = per_cust.groupBy(
+        F.substring("first_p", 1, 1).cast("long").alias("i"),
+        F.substring("last_p", 1, 1).cast("long").alias("j"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = cells.select("i", "j", F.col("c").alias("nij"))
+    b = cells.select(
+        F.col("j").alias("i"), F.col("i").alias("j"), F.col("c").alias("nji")
+    )
+    pairs = (
+        a.join(b, ["i", "j"], "left")
+        .filter(F.col("i") < F.col("j"))
+        .select(
+            "i", "j", "nij", F.coalesce(F.col("nji"), F.lit(0)).alias("nji")
+        )
+    )
+    tot_pair = F.col("nij") + F.col("nji")
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(tot_pair > 0, 1).otherwise(0)).cast("long").alias("df"),
+        F.sum(
+            F.floor(
+                F.when(
+                    tot_pair > 0,
+                    ((F.col("nij") - F.col("nji")) * (F.col("nij") - F.col("nji"))).cast(
+                        "double"
+                    )
+                    / tot_pair,
+                ).otherwise(F.lit(0.0))
+                * 1e9
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("chi_q"),
+        F.sum(tot_pair).cast("long").alias("n_discordant"),
+    )
+    tot = cells.agg(F.sum("c").cast("long").alias("n_cust"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n_cust",
+        "n_discordant",
+        "df",
+        F.round(F.col("chi_q") / 1e9, 4).alias("chi2_bowker"),
+    )
+
+
+@register(
+    "stats_page_trend",
+    """
+    WITH cell AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS blk,
+               CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS trt,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cell_v
+        FROM orders GROUP BY 1, 2
+    ), full_blk AS (
+        SELECT blk FROM cell GROUP BY blk HAVING COUNT(*) = 5
+    ), rnk AS (
+        SELECT c.blk, c.trt,
+               RANK() OVER (PARTITION BY c.blk ORDER BY c.cell_v)
+               + (COUNT(*) OVER (PARTITION BY c.blk, c.cell_v) - 1) / 2.0
+                   AS r
+        FROM cell c JOIN full_blk f ON f.blk = c.blk
+    ), sums AS (
+        SELECT trt, SUM(r) AS rj,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks
+        FROM rnk GROUP BY trt
+    ), l AS (
+        SELECT SUM(trt * rj) AS l_stat, MAX(n_blocks) AS n
+        FROM sums
+    )
+    SELECT CAST(5 AS BIGINT) AS k, CAST(n AS BIGINT) AS n_blocks,
+           ROUND(l_stat, 2) AS page_l,
+           ROUND((l_stat - n * 5.0 * (5 + 1) * (5 + 1) / 4)
+                 / SQRT(CAST(n AS DOUBLE) * 5 * 5 * (5 + 1) * (5 + 1)
+                        * (5 - 1) / 144), 4) AS z
+    FROM l
+    """,
+)
+def stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test (Page '63) — the ORDERED-alternative version
+    of Friedman for the same month-block × priority design: L =
+    Σ_j j·R_j weights each treatment's rank sum by its hypothesized
+    position, so a monotone revenue gradient across priority classes
+    1→5 shows up as L above its null mean Nk(k+1)²/4 with variance
+    Nk²(k+1)²(k−1)/144 — more powerful than Friedman's omnibus χ²
+    when the alternative really is a trend (the within-block analogue
+    of ``stats_jonckheere``). Mid-ranks reuse the exact integer cell
+    sums; L and its moments are closed-form.
+
+    Scale: aggregation to O(months × 5) cells; everything else is a
+    5-row fold."""
+    o = load_table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("blk"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("trt"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("cell_v")
+    )
+    full_blk = (
+        cell.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == 5)
+        .select("blk")
+    )
+    w_rank = Window.partitionBy("blk").orderBy("cell_v")
+    w_tie = Window.partitionBy("blk", "cell_v")
+    rnk = cell.join(full_blk, "blk").select(
+        "blk",
+        "trt",
+        (
+            F.rank().over(w_rank)
+            + (F.count(F.lit(1)).over(w_tie) - 1) / F.lit(2.0)
+        ).alias("r"),
+    )
+    sums = rnk.groupBy("trt").agg(
+        F.sum("r").alias("rj"), F.count(F.lit(1)).cast("long").alias("n_blocks")
+    )
+    l = sums.agg(
+        F.sum(F.col("trt") * F.col("rj")).alias("l_stat"),
+        F.max("n_blocks").alias("n"),
+    )
+    n = F.col("n")
+    mean_l = n * 5.0 * (5 + 1) * (5 + 1) / 4
+    var_l = n.cast("double") * 5 * 5 * (5 + 1) * (5 + 1) * (5 - 1) / 144
+    return l.select(
+        F.lit(5).cast("long").alias("k"),
+        n.cast("long").alias("n_blocks"),
+        F.round(F.col("l_stat"), 2).alias("page_l"),
+        F.round((F.col("l_stat") - mean_l) / F.sqrt(var_l), 4).alias("z"),
+    )

@@ -2305,3 +2305,133 @@ def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("trace"), 4).alias("trace"),
         F.round((F.col("lq") / 1e9) / F.col("trace"), 6).alias("dominance"),
     )
+
+
+@register(
+    "profile_lof_outliers",
+    f"""
+    WITH sims AS (
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               1 - {sql_cosine_q('a.embedding', 'b.embedding')} AS d
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ), knn AS (
+        SELECT i, j, d FROM (
+            SELECT i, j, d,
+                   ROW_NUMBER() OVER (PARTITION BY i ORDER BY d, j) AS rn
+            FROM sims
+        ) WHERE rn <= 10
+    ), kdist AS (
+        SELECT i, MAX(d) AS kd FROM knn GROUP BY i
+    ), reach AS (
+        SELECT k.i,
+               CAST(SUM(CAST(FLOOR(GREATEST(k.d, kj.kd) * 1e9) AS BIGINT))
+                    AS BIGINT) AS rsum_q
+        FROM knn k JOIN kdist kj ON kj.i = k.j
+        GROUP BY k.i
+    ), lrd AS (
+        SELECT i, 10.0 / GREATEST(rsum_q / 1e9, 1e-12) AS lrd
+        FROM reach
+    ), lof AS (
+        SELECT k.i,
+               (CAST(SUM(CAST(FLOOR(lj.lrd * 1e6) AS BIGINT)) AS BIGINT)
+                / 1e6 / 10) / li.lrd AS lof
+        FROM knn k
+        JOIN lrd lj ON lj.i = k.j
+        JOIN lrd li ON li.i = k.i
+        GROUP BY k.i, li.lrd
+    )
+    SELECT l.i AS vec_id, ROUND(l.lof, 4) AS lof,
+           ROUND(kd.kd, 6) AS k_distance
+    FROM lof l JOIN kdist kd ON kd.i = l.i
+    ORDER BY l.lof DESC, l.i
+    LIMIT 10
+    """,
+)
+def profile_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor (Breunig et al. SIGMOD'00, k = 10) over the
+    embedding corpus with quantized cosine distance: reachability
+    reach(i←j) = max(d(i,j), kdist(j)) smooths the density estimate,
+    lrd = k/Σreach, and LOF = mean neighbor lrd / own lrd — ≈1 inside
+    a uniform cluster, ≫1 for points whose neighborhood is much
+    denser than they are, which is exactly the "weird but not
+    globally extreme" case the centroid-distance ``embed_outliers``
+    misses. The planted exact clones drive Σreach toward 0, so the
+    division clamps at 1e-12 (mirrored in the oracle) — clones get
+    huge lrd and their fringe gets the top LOF scores, the expected
+    behavior on this fixture. Reach and lrd sums floor-quantize
+    (1e-9/1e-6) before folding; top-10 published.
+
+    Scale: the exact O(n²) kernel is the verification tier (same
+    policy as ``embed_intrinsic_dim``/``embed_hubness``); at corpus
+    scale the identical downstream algebra runs on the IVF-shortlist
+    kNN lists."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = _pair_sims_block(spark, emb)
+    sym = pairs.select(
+        F.col("vec_a").alias("i"), F.col("vec_b").alias("j"),
+        (1 - F.col("sim_raw")).alias("d"),
+    ).unionAll(
+        pairs.select(
+            F.col("vec_b").alias("i"), F.col("vec_a").alias("j"),
+            (1 - F.col("sim_raw")).alias("d"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy("d", "j")
+    knn = (
+        sym.select("i", "j", "d", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("i", "j", "d")
+        .localCheckpoint()
+    )
+    kdist = knn.groupBy("i").agg(F.max("d").alias("kd"))
+    reach = (
+        knn.join(
+            kdist.select(F.col("i").alias("j"), F.col("kd").alias("kd_j")),
+            "j",
+        )
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.greatest(F.col("d"), F.col("kd_j")) * 1e9
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("rsum_q")
+        )
+    )
+    lrd = reach.select(
+        "i",
+        (
+            F.lit(10.0)
+            / F.greatest(F.col("rsum_q") / 1e9, F.lit(1e-12))
+        ).alias("lrd"),
+    )
+    lof = (
+        knn.join(
+            lrd.select(F.col("i").alias("j"), F.col("lrd").alias("lrd_j")),
+            "j",
+        )
+        .join(lrd.select(F.col("i"), F.col("lrd").alias("lrd_i")), "i")
+        .groupBy("i", "lrd_i")
+        .agg(
+            (
+                F.sum(F.floor(F.col("lrd_j") * 1e6).cast("long")).cast(
+                    "long"
+                )
+                / 1e6
+                / 10
+            ).alias("mean_lrd_j")
+        )
+        .select("i", (F.col("mean_lrd_j") / F.col("lrd_i")).alias("lof"))
+    )
+    return (
+        lof.join(kdist, "i")
+        .select(
+            F.col("i").alias("vec_id"),
+            F.round(F.col("lof"), 4).alias("lof"),
+            F.round(F.col("kd"), 6).alias("k_distance"),
+        )
+        .orderBy(F.desc("lof"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -8584,3 +8584,245 @@ def stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_stat"), 2).alias("page_l"),
         F.round((F.col("l_stat") - mean_l) / F.sqrt(var_l), 4).alias("z"),
     )
+
+
+@register(
+    "ml_class_balance_weights",
+    """
+    WITH counts AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM embeddings GROUP BY label
+    ), w AS (
+        SELECT label, n,
+               (1 - 0.999) / (1 - POWER(0.999, n)) AS raw_w,
+               CAST(SUM(n) OVER () AS BIGINT) AS n_total,
+               CAST(COUNT(*) OVER () AS BIGINT) AS k
+        FROM counts
+    ), norm AS (
+        SELECT label, n, raw_w, n_total, k,
+               SUM(raw_w) OVER () AS wsum
+        FROM w
+    )
+    SELECT CAST(label AS BIGINT) AS label, n AS n_samples,
+           ROUND(CAST(n AS DOUBLE) / n_total, 6) AS freq,
+           ROUND(raw_w, 9) AS raw_weight,
+           ROUND(raw_w * k / wsum, 6) AS balanced_weight,
+           ROUND((CAST(n_total AS DOUBLE) / k) / n, 6)
+               AS inverse_freq_weight
+    FROM norm
+    ORDER BY label
+    """,
+)
+def ml_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced loss weights by EFFECTIVE NUMBER of samples (Cui
+    et al. CVPR'19, β = 0.999): w_c ∝ (1−β)/(1−β^{n_c}) — between
+    uniform (β=0) and inverse-frequency (β→1), because the marginal
+    value of the n-th sample of a class decays geometrically.
+    Published per label beside the plain inverse-frequency weight
+    (the naive alternative that over-boosts rare classes), normalized
+    so the k weights average 1 — the table a training loop multiplies
+    into its loss, feeding the imbalance diagnosis
+    ``sample_balanced_downsample`` acts on. POWER(0.999, n) is one
+    deterministic libm call per class on an exact integer count.
+
+    Scale: one aggregate to k label cells; window algebra on k rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_all = Window.partitionBy()
+    w = counts.select(
+        "label",
+        "n",
+        ((1 - 0.999) / (1 - F.pow(F.lit(0.999), F.col("n")))).alias("raw_w"),
+        F.sum("n").over(w_all).cast("long").alias("n_total"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("k"),
+    )
+    norm = w.select(
+        "*", F.sum("raw_w").over(w_all).alias("wsum")
+    )
+    return norm.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n").alias("n_samples"),
+        F.round(F.col("n").cast("double") / F.col("n_total"), 6).alias("freq"),
+        F.round(F.col("raw_w"), 9).alias("raw_weight"),
+        F.round(F.col("raw_w") * F.col("k") / F.col("wsum"), 6).alias(
+            "balanced_weight"
+        ),
+        F.round(
+            (F.col("n_total").cast("double") / F.col("k")) / F.col("n"), 6
+        ).alias("inverse_freq_weight"),
+    ).orderBy("label")
+
+
+@register(
+    "ml_calibration_spiegelhalter",
+    """
+    WITH s AS (
+        SELECT LEAST(value / 500.0, 1.0) AS p,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ), folds AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR((y - p) * (1 - 2 * p) * 1e9)
+                             AS BIGINT)) AS BIGINT) AS numq,
+               CAST(SUM(CAST(FLOOR((1 - 2 * p) * (1 - 2 * p) * p
+                                   * (1 - p) * 1e9) AS BIGINT))
+                    AS BIGINT) AS varq
+        FROM s
+    )
+    SELECT n,
+           ROUND(numq / 1e9, 4) AS z_numerator,
+           ROUND(varq / 1e9, 4) AS z_variance,
+           ROUND((numq / 1e9) / SQRT(varq / 1e9), 4) AS spiegelhalter_z
+    FROM folds
+    """,
+)
+def ml_calibration_spiegelhalter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spiegelhalter's calibration Z (Spiegelhalter '86): the Brier
+    score decomposes so that under perfect calibration E[Σ(y−p)(1−2p)]
+    = 0 with variance Σ(1−2p)²p(1−p), giving a BINNING-FREE
+    calibration test — no arbitrary bin edges, unlike
+    ``ml_calibration_error``'s ECE and the binned
+    ``ml_brier_decomposition`` (use it as the tie-breaker when bin
+    choices disagree). Both folds are floor-quantized per-row at 1e-9
+    and summed as integers over the same value/500 forecast as the
+    rest of the calibration family.
+
+    Scale: one map-side-combined pass; two integer cells."""
+    ev = load_table(spark, sf_dir, "events")
+    p = F.least(F.col("value") / 500.0, F.lit(1.0))
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    s = ev.select(p.alias("p"), y.alias("y"))
+    folds = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.floor(
+                (F.col("y") - F.col("p")) * (1 - 2 * F.col("p")) * 1e9
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("numq"),
+        F.sum(
+            F.floor(
+                (1 - 2 * F.col("p"))
+                * (1 - 2 * F.col("p"))
+                * F.col("p")
+                * (1 - F.col("p"))
+                * 1e9
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("varq"),
+    )
+    return folds.select(
+        "n",
+        F.round(F.col("numq") / 1e9, 4).alias("z_numerator"),
+        F.round(F.col("varq") / 1e9, 4).alias("z_variance"),
+        F.round(
+            (F.col("numq") / 1e9) / F.sqrt(F.col("varq") / 1e9), 4
+        ).alias("spiegelhalter_z"),
+    )
+
+
+@register(
+    "stats_dixon_q",
+    """
+    WITH per_nation AS (
+        SELECT n.n_name,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    ), ranked AS (
+        SELECT n_name, rev,
+               ROW_NUMBER() OVER (ORDER BY rev, n_name) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM per_nation
+    ), ends AS (
+        SELECT
+            MAX(CASE WHEN rn = 1 THEN rev END) AS x1,
+            MAX(CASE WHEN rn = 2 THEN rev END) AS x2,
+            MAX(CASE WHEN rn = n - 1 THEN rev END) AS xn1,
+            MAX(CASE WHEN rn = n THEN rev END) AS xn,
+            MAX(CASE WHEN rn = 1 THEN n_name END) AS low_name,
+            MAX(CASE WHEN rn = n THEN n_name END) AS high_name,
+            MAX(n) AS n
+        FROM ranked
+    )
+    SELECT n AS n_groups,
+           low_name, high_name,
+           ROUND(CAST(x2 - x1 AS DOUBLE) / (xn - x1), 6) AS q_low,
+           ROUND(CAST(xn - xn1 AS DOUBLE) / (xn - x1), 6) AS q_high,
+           0.406 AS q_crit_05_n25,
+           CASE WHEN CAST(x2 - x1 AS DOUBLE) / (xn - x1) > 0.406
+                THEN 1 ELSE 0 END AS low_is_outlier,
+           CASE WHEN CAST(xn - xn1 AS DOUBLE) / (xn - x1) > 0.406
+                THEN 1 ELSE 0 END AS high_is_outlier
+    FROM ends
+    """,
+)
+def stats_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dixon's Q test (Dixon '50) on the 25 per-nation revenue totals:
+    Q = gap/range for the smallest and largest values against the
+    n=25, α=0.05 critical value 0.406 (Rorabacher '91 table) — the
+    SMALL-SAMPLE outlier test for exactly the situation where z-score
+    rules (``stats_esd_outliers``, ``stats_grubbs``) lose power: a
+    couple dozen group aggregates, one suspicious extreme. Revenue
+    totals are exact cents; both Q ratios are single divisions of
+    integer gaps.
+
+    Scale: one aggregate to 25 nation cells (broadcast dims); the
+    ranking window runs over 25 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    w = Window.orderBy("rev", "n_name")
+    w_all = Window.partitionBy()
+    ranked = per_nation.select(
+        "n_name",
+        "rev",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    ends = ranked.agg(
+        F.max(F.when(F.col("rn") == 1, F.col("rev"))).alias("x1"),
+        F.max(F.when(F.col("rn") == 2, F.col("rev"))).alias("x2"),
+        F.max(F.when(F.col("rn") == F.col("n") - 1, F.col("rev"))).alias(
+            "xn1"
+        ),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("rev"))).alias("xn"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_name"))).alias("low_name"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("n_name"))).alias(
+            "high_name"
+        ),
+        F.max("n").alias("n"),
+    )
+    q_low = (F.col("x2") - F.col("x1")).cast("double") / (
+        F.col("xn") - F.col("x1")
+    )
+    q_high = (F.col("xn") - F.col("xn1")).cast("double") / (
+        F.col("xn") - F.col("x1")
+    )
+    return ends.select(
+        F.col("n").alias("n_groups"),
+        "low_name",
+        "high_name",
+        F.round(q_low, 6).alias("q_low"),
+        F.round(q_high, 6).alias("q_high"),
+        F.lit(0.406).alias("q_crit_05_n25"),
+        F.when(q_low > 0.406, 1).otherwise(0).alias("low_is_outlier"),
+        F.when(q_high > 0.406, 1).otherwise(0).alias("high_is_outlier"),
+    )

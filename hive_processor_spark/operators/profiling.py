@@ -1936,3 +1936,234 @@ def profile_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+@register(
+    "profile_hash_quality",
+    """
+    WITH h AS (
+        SELECT (('0x' || SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                   ::BIGINT) AS h60
+        FROM orders
+    ), buckets AS (
+        SELECT h60 % 64 AS b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM h GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM buckets
+    ), chi AS (
+        SELECT CAST(SUM(CAST(FLOOR(
+                   (c - CAST(t.n AS DOUBLE) / 64)
+                   * (c - CAST(t.n AS DOUBLE) / 64)
+                   / (CAST(t.n AS DOUBLE) / 64) * 1e9) AS BIGINT))
+               AS BIGINT) AS chiq
+        FROM buckets CROSS JOIN tot t
+    ), bits AS (
+        SELECT bit.i AS bit_i,
+               CAST(SUM((h60 >> bit.i) & 1) AS BIGINT) AS ones
+        FROM h CROSS JOIN (SELECT UNNEST(RANGE(0, 20)) AS i) bit
+        GROUP BY bit.i
+    ), bitdev AS (
+        SELECT MAX(ABS(CAST(ones AS DOUBLE) / t.n - 0.5)) AS max_bit_dev,
+               CAST(COUNT(*) AS BIGINT) AS n_bits
+        FROM bits CROSS JOIN tot t
+        GROUP BY t.n
+    )
+    SELECT t.n AS n_keys, t.k AS occupied_buckets,
+           ROUND(c.chiq / 1e9, 4) AS chi2_uniformity,
+           CAST(63 AS BIGINT) AS chi2_df,
+           ROUND((c.chiq / 1e9 - 63) / SQRT(2.0 * 63), 4) AS chi2_z,
+           b.n_bits AS bits_tested,
+           ROUND(b.max_bit_dev, 6) AS max_bit_bias
+    FROM tot t CROSS JOIN chi c CROSS JOIN bitdev b
+    """,
+)
+def profile_hash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-function quality audit for the 60-bit md5 key used by every
+    sketch/sampling operator in this engine (``sketch_*``,
+    ``sample_hash_split``, ``sample_horvitz_thompson``): χ² uniformity
+    over 64 buckets (with its √(2df) normal z) and the worst
+    per-output-bit bias over the low 20 bits — the two checks that
+    justify treating h60 % m as a uniform draw. A biased hash silently
+    skews every downstream estimator, so this audit is the
+    preregistration for the whole deterministic-randomness discipline.
+    Bucket counts and bit sums are exact integers; the χ² terms
+    quantize at 1e-9.
+
+    Scale: one hashed scan, 64 + 20 cells — map-side combined."""
+    o = load_table(spark, sf_dir, "orders")
+    h = o.select(
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h60")
+    )
+    buckets = h.groupBy((F.col("h60") % 64).alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = buckets.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    exp = F.col("n").cast("double") / 64
+    chi = buckets.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.floor(
+                (F.col("c") - exp) * (F.col("c") - exp) / exp * 1e9
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("chiq")
+    )
+    bits_idx = spark.range(0, 20).select(F.col("id").cast("int").alias("i"))
+    bits = (
+        h.crossJoin(F.broadcast(bits_idx))
+        .groupBy("i")
+        .agg(
+            F.sum(F.expr("shiftrightunsigned(h60, i) & 1"))
+            .cast("long")
+            .alias("ones")
+        )
+    )
+    bitdev = bits.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(F.col("ones").cast("double") / F.col("n") - 0.5)
+        ).alias("max_bit_dev"),
+        F.count(F.lit(1)).cast("long").alias("n_bits"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(chi))
+        .crossJoin(F.broadcast(bitdev))
+        .select(
+            F.col("n").alias("n_keys"),
+            F.col("k").alias("occupied_buckets"),
+            F.round(F.col("chiq") / 1e9, 4).alias("chi2_uniformity"),
+            F.lit(63).cast("long").alias("chi2_df"),
+            F.round((F.col("chiq") / 1e9 - 63) / F.sqrt(F.lit(2.0 * 63)), 4).alias(
+                "chi2_z"
+            ),
+            F.col("n_bits").alias("bits_tested"),
+            F.round(F.col("max_bit_dev"), 6).alias("max_bit_bias"),
+        )
+    )
+
+
+@register(
+    "profile_drift_wasserstein",
+    """
+    WITH v AS (
+        SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS x,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 0
+                    ELSE 1 END AS snap
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+    ), grp AS (
+        SELECT x,
+               CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c0,
+               CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1
+        FROM v GROUP BY x
+    ), tot AS (
+        SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+               CAST(SUM(c1) AS BIGINT) AS n1
+        FROM grp
+    ), cum AS (
+        SELECT x, c0, c1,
+               SUM(c0) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS f0,
+               SUM(c1) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS f1,
+               LEAD(x) OVER (ORDER BY x) AS x_next
+        FROM grp
+    ), w1 AS (
+        SELECT CAST(SUM(CASE WHEN x_next IS NOT NULL THEN
+                   CAST(FLOOR(ABS(CAST(f0 AS DOUBLE) / t.n0
+                                  - CAST(f1 AS DOUBLE) / t.n1)
+                              * (x_next - x) * 1e6) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS wq,
+               MAX(CAST(ABS(CAST(f0 AS DOUBLE) / t.n0
+                            - CAST(f1 AS DOUBLE) / t.n1) AS DOUBLE)) AS ks
+        FROM cum CROSS JOIN tot t
+    )
+    SELECT t.n0 AS n_1997, t.n1 AS n_1998,
+           ROUND(w.wq / 1e6 / 100.0, 4) AS wasserstein_dollars,
+           ROUND(w.ks, 6) AS ks_distance
+    FROM w1 w CROSS JOIN tot t
+    """,
+)
+def profile_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-Wasserstein (earth-mover) drift between the 1997 and 1998
+    order-value distributions: W₁ = ∫|F₁−F₂|dx over the pooled
+    distinct-value grid — unlike ``profile_drift_kl`` it needs NO
+    binning, carries DOLLAR units ("how far must probability mass
+    move"), and unlike the sup-norm KS (reported beside it from the
+    same pass) it sees the whole shape, not one worst point — the
+    pair every drift monitor should quote together. ECDF gaps are
+    ratios of exact integer cumulative counts; each |ΔF|·Δx segment
+    floor-quantizes at 1e-6 into the integer fold.
+
+    Scale: one shuffle to distinct cents with two conditional counts;
+    the integral runs over the O(distinct) cumulative frame."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1999-01-01")))
+    )
+    v = o.select(
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("x"),
+        F.when(
+            F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")), 0
+        )
+        .otherwise(1)
+        .alias("snap"),
+    )
+    grp = v.groupBy("x").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    tot = grp.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+    )
+    w_cum = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_ord = Window.orderBy("x")
+    cum = grp.select(
+        "x",
+        F.sum("c0").over(w_cum).alias("f0"),
+        F.sum("c1").over(w_cum).alias("f1"),
+        F.lead("x").over(w_ord).alias("x_next"),
+    )
+    gap = F.abs(
+        F.col("f0").cast("double") / F.col("n0")
+        - F.col("f1").cast("double") / F.col("n1")
+    )
+    w1 = cum.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.when(
+                F.col("x_next").isNotNull(),
+                F.floor(gap * (F.col("x_next") - F.col("x")) * 1e6).cast(
+                    "long"
+                ),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("wq"),
+        F.max(gap).alias("ks"),
+    )
+    return w1.crossJoin(F.broadcast(tot)).select(
+        F.col("n0").alias("n_1997"),
+        F.col("n1").alias("n_1998"),
+        F.round(F.col("wq") / 1e6 / 100.0, 4).alias("wasserstein_dollars"),
+        F.round(F.col("ks"), 6).alias("ks_distance"),
+    )

@@ -2435,3 +2435,82 @@ def profile_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lof"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "embed_neardup_threshold_curve",
+    f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               {sql_cosine_q('a.embedding', 'b.embedding')} AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ), th AS (
+        SELECT UNNEST([0.80, 0.85, 0.90, 0.95, 0.99]) AS t
+    ), per AS (
+        SELECT th.t,
+               CAST(COUNT(*) FILTER (WHERE p.sim >= th.t) AS BIGINT)
+                   AS n_pairs
+        FROM th CROSS JOIN pairs p
+        GROUP BY th.t
+    ), involved AS (
+        SELECT th.t, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_vecs
+        FROM th
+        LEFT JOIN (
+            SELECT va AS v, sim FROM pairs
+            UNION ALL SELECT vb AS v, sim FROM pairs
+        ) u ON u.sim >= th.t
+        GROUP BY th.t
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+    SELECT p.t AS threshold, p.n_pairs, i.n_vecs AS n_vecs_involved,
+           ROUND(CAST(i.n_vecs AS DOUBLE) / t2.n, 6) AS corpus_fraction
+    FROM per p JOIN involved i ON i.t = p.t
+    CROSS JOIN tot t2
+    ORDER BY p.t
+    """,
+)
+def embed_neardup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate threshold design curve: for cosine thresholds
+    0.80…0.99, how many pairs fire and what fraction of the corpus
+    gets touched — the table you read BEFORE committing a semantic-
+    dedup threshold (``embed_neardup`` runs one fixed threshold; this
+    is its sensitivity analysis, the embedding twin of
+    ``dedup_lsh_tuning``'s band-config S-curves). A threshold where
+    corpus_fraction jumps is eating real content, not clones. Pairs
+    come from the block kernel with the 0.80 floor pushed INTO the
+    kernel, so the O(n²) sim matrix never materializes below the
+    region of interest.
+
+    Scale: kernel emits only ≥0.80 candidates; the curve is a 5-row
+    conditional aggregate over that candidate set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = _pair_sims_block(spark, emb, raw_min_sim=0.80).localCheckpoint()
+    th = spark.createDataFrame(
+        [(0.80,), (0.85,), (0.90,), (0.95,), (0.99,)], ["t"]
+    )
+    per = (
+        th.join(pairs, pairs.sim_raw >= th.t, "left")
+        .groupBy("t")
+        .agg(F.count(F.col("vec_a")).cast("long").alias("n_pairs"))
+    )
+    u = pairs.select(F.col("vec_a").alias("v"), "sim_raw").unionAll(
+        pairs.select(F.col("vec_b").alias("v"), "sim_raw")
+    )
+    involved = (
+        th.join(u, u.sim_raw >= th.t, "left")
+        .groupBy("t")
+        .agg(F.countDistinct("v").cast("long").alias("n_vecs"))
+    )
+    tot = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        per.join(involved, "t")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("t").alias("threshold"),
+            "n_pairs",
+            F.col("n_vecs").alias("n_vecs_involved"),
+            F.round(F.col("n_vecs").cast("double") / F.col("n"), 6).alias(
+                "corpus_fraction"
+            ),
+        )
+        .orderBy("threshold")
+    )

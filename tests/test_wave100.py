@@ -27,8 +27,9 @@ def test_hash_quality_matches_python(spark):
     counts = (h % 64).value_counts()
     exp = n / 64
     chi2 = (((counts - exp) ** 2) / exp).sum()
+    hv = h.to_numpy().astype(np.int64)
     bit_dev = max(
-        abs(((h >> i) & 1).sum() / n - 0.5) for i in range(20)
+        abs(((hv >> i) & 1).sum() / n - 0.5) for i in range(20)
     )
     assert res["n_keys"] == n
     assert res["occupied_buckets"] == len(counts)

@@ -61,3 +61,64 @@ def cache_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(
         F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
     ).select("c_custkey", "n_name")
+
+
+@register("plan_broadcast_threshold_audit")
+def plan_broadcast_threshold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy selection audit: the same customer⋈nation query is
+    planned twice — once with the default autoBroadcastJoinThreshold
+    (the 25-row nation dim must broadcast) and once with the threshold
+    disabled (-1, forcing the sort-merge/shuffle-hash path) — and the
+    audit pins (a) which physical join each plan chose and (b) that
+    both strategies return IDENTICAL results (row count and an
+    order-insensitive checksum). This is the regression guard for the
+    single most scale-critical planner decision this engine leans on
+    (every ``F.broadcast`` hint in the repo assumes the strategy
+    boundary behaves); a platform upgrade that silently flips it
+    shows up here as a changed strategy column, not as a mystery 10×
+    shuffle at 100 TB. Tier R: plan introspection has no DuckDB twin.
+
+    Scale: the audit query itself is dim-sized; run cost is two tiny
+    plans."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def run(threshold: str):
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        try:
+            df = (
+                c.join(n, c.c_nationkey == n.n_nationkey)
+                .groupBy("n_name")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_cust"))
+            )
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            if "BroadcastHashJoin" in plan:
+                strat = "broadcast_hash"
+            elif "SortMergeJoin" in plan:
+                strat = "sort_merge"
+            elif "ShuffledHashJoin" in plan:
+                strat = "shuffled_hash"
+            else:
+                strat = "other"
+            rows = df.collect()
+            chk = sum(hash((r["n_name"], r["n_cust"])) for r in rows) % (1 << 31)
+            return strat, len(rows), chk
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    s_def, n_def, c_def = run("10485760")
+    s_off, n_off, c_off = run("-1")
+    return spark.createDataFrame(
+        [
+            (
+                s_def,
+                s_off,
+                n_def,
+                n_off,
+                int(n_def == n_off and c_def == c_off),
+            )
+        ],
+        "strategy_default string, strategy_disabled string,"
+        " rows_default bigint, rows_disabled bigint, results_identical int",
+    )

@@ -8826,3 +8826,273 @@ def stats_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(q_low > 0.406, 1).otherwise(0).alias("low_is_outlier"),
         F.when(q_high > 0.406, 1).otherwise(0).alias("high_is_outlier"),
     )
+
+
+@register(
+    "stats_cucconi",
+    """
+    WITH v AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_y,
+               CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS cents
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ), grp AS (
+        SELECT cents, CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(SUM(is_y) AS BIGINT) AS cy
+        FROM v GROUP BY cents
+    ), tot AS (
+        SELECT CAST(SUM(t) AS BIGINT) AS nn, CAST(SUM(cy) AS BIGINT) AS m
+        FROM grp
+    ), cum AS (
+        SELECT t, cy,
+               COALESCE(SUM(t) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND 1 PRECEDING), 0) AS base
+        FROM grp
+    ), folds AS (
+        SELECT
+            CAST(SUM(cy * CAST((2 * base + t + 1) AS HUGEINT)
+                        * (2 * base + t + 1)) AS HUGEINT) AS s4r2,
+            CAST(SUM(cy * CAST((2 * (nn + 1) - (2 * base + t + 1))
+                               AS HUGEINT)
+                        * (2 * (nn + 1) - (2 * base + t + 1)))
+                 AS HUGEINT) AS s4a2
+        FROM cum CROSS JOIN tot
+    ), sc AS (
+        SELECT t.nn, t.m, t.nn - t.m AS n,
+               (6.0 * (CAST(f.s4r2 AS DOUBLE) / 4)
+                - t.m * (t.nn + 1.0) * (2 * t.nn + 1))
+               / SQRT(CAST(t.m AS DOUBLE) * (t.nn - t.m) * (t.nn + 1)
+                      * (2 * t.nn + 1) * (8 * t.nn + 11) / 5) AS u,
+               (6.0 * (CAST(f.s4a2 AS DOUBLE) / 4)
+                - t.m * (t.nn + 1.0) * (2 * t.nn + 1))
+               / SQRT(CAST(t.m AS DOUBLE) * (t.nn - t.m) * (t.nn + 1)
+                      * (2 * t.nn + 1) * (8 * t.nn + 11) / 5) AS vv,
+               2.0 * (CAST(t.nn AS DOUBLE) * t.nn - 4)
+               / ((2 * t.nn + 5.0) * (8 * t.nn + 11)) - 1 AS rho
+        FROM folds f CROSS JOIN tot t
+    )
+    SELECT m AS n_y, n AS n_x,
+           ROUND(u, 4) AS u_stat, ROUND(vv, 4) AS v_stat,
+           ROUND(rho, 6) AS rho,
+           ROUND((u * u + vv * vv - 2 * rho * u * vv)
+                 / (2 * (1 - rho * rho)), 4) AS cucconi_c
+    FROM sc
+    """,
+)
+def stats_cucconi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cucconi's joint location-scale test (Cucconi '68; Marozzi '09
+    revival) on returned-vs-available revenues: U standardizes Σr²
+    (squared midranks of sample Y), V standardizes the anti-rank sum
+    Σ(N+1−r)², and C = (U²+V²−2ρUV)/(2(1−ρ²)) ~ χ²₂ rejects if EITHER
+    the center or the spread moved — one test instead of the
+    Mann–Whitney × Mood pair, and historically it PREDATES the
+    better-known Lepage. In DOUBLED half-units 2r = 2·base+t+1 is an
+    integer per tie group, so Σ4r² and Σ4(N+1−r)² fold as exact
+    128-bit integers over the distinct-value frame; ρ and both
+    standardizations are closed-form in N, m.
+
+    Scale: the standard demote-to-distinct posture — one shuffle to
+    distinct cents, O(distinct) windows, scalar algebra."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    v = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_y"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("cents"),
+    )
+    grp = v.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("is_y").cast("long").alias("cy"),
+    )
+    tot = grp.agg(
+        F.sum("t").cast("long").alias("nn"),
+        F.sum("cy").cast("long").alias("m"),
+    )
+    w_prev = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grp.select(
+        "t", "cy", F.coalesce(F.sum("t").over(w_prev), F.lit(0)).alias("base")
+    )
+    r2 = 2 * F.col("base") + F.col("t") + 1
+    a2 = 2 * (F.col("nn") + 1) - r2
+    folds = cum.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.col("cy") * r2.cast("decimal(38,0)") * r2).alias("s4r2"),
+        F.sum(F.col("cy") * a2.cast("decimal(38,0)") * a2).alias("s4a2"),
+    )
+    nn, m = F.col("nn"), F.col("m")
+    denom = F.sqrt(
+        m.cast("double")
+        * (nn - m)
+        * (nn + 1)
+        * (2 * nn + 1)
+        * (8 * nn + 11)
+        / 5
+    )
+    u = (
+        6.0 * (F.col("s4r2").cast("double") / 4)
+        - m * (nn + F.lit(1.0)) * (2 * nn + 1)
+    ) / denom
+    vv = (
+        6.0 * (F.col("s4a2").cast("double") / 4)
+        - m * (nn + F.lit(1.0)) * (2 * nn + 1)
+    ) / denom
+    rho = 2.0 * (nn.cast("double") * nn - 4) / (
+        (2 * nn + F.lit(5.0)) * (8 * nn + 11)
+    ) - 1
+    sc = folds.crossJoin(F.broadcast(tot)).select(
+        m.alias("n_y"),
+        (nn - m).alias("n_x"),
+        u.alias("u"),
+        vv.alias("vv"),
+        rho.alias("rho"),
+    )
+    return sc.select(
+        "n_y",
+        "n_x",
+        F.round(F.col("u"), 4).alias("u_stat"),
+        F.round(F.col("vv"), 4).alias("v_stat"),
+        F.round(F.col("rho"), 6).alias("rho"),
+        F.round(
+            (
+                F.col("u") * F.col("u")
+                + F.col("vv") * F.col("vv")
+                - 2 * F.col("rho") * F.col("u") * F.col("vv")
+            )
+            / (2 * (1 - F.col("rho") * F.col("rho"))),
+            4,
+        ).alias("cucconi_c"),
+    )
+
+
+@register(
+    "stats_lepage",
+    """
+    WITH v AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_y,
+               CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS cents
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ), grp AS (
+        SELECT cents, CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(SUM(is_y) AS BIGINT) AS cy
+        FROM v GROUP BY cents
+    ), tot AS (
+        SELECT CAST(SUM(t) AS BIGINT) AS nn, CAST(SUM(cy) AS BIGINT) AS m,
+               CAST(SUM(t * (t - 1) * (t + 1)) AS BIGINT) AS tie3
+        FROM grp
+    ), cum AS (
+        SELECT t, cy,
+               COALESCE(SUM(t) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND 1 PRECEDING), 0) AS base
+        FROM grp
+    ), folds AS (
+        SELECT
+            CAST(SUM(cy * (2 * base + t + 1)) AS BIGINT) AS w2,
+            CAST(SUM(cy * LEAST(2 * base + t + 1,
+                                2 * (nn + 1) - (2 * base + t + 1)))
+                 AS BIGINT) AS a2
+        FROM cum CROSS JOIN tot
+    ), sc AS (
+        SELECT t.nn, t.m, t.nn - t.m AS n,
+               (f.w2 / 2.0 - t.m * (t.nn + 1.0) / 2)
+               / SQRT(CAST(t.m AS DOUBLE) * (t.nn - t.m)
+                      / (12.0 * t.nn * (t.nn - 1))
+                      * (CAST(t.nn AS DOUBLE) * t.nn * t.nn - t.nn
+                         - t.tie3)) AS z_w,
+               CASE WHEN t.nn % 2 = 0 THEN
+                   (f.a2 / 2.0 - t.m * (t.nn + 2.0) / 4)
+                   / SQRT(CAST(t.m AS DOUBLE) * (t.nn - t.m)
+                          * (t.nn + 2) * (t.nn - 2)
+                          / (48.0 * (t.nn - 1)))
+               ELSE
+                   (f.a2 / 2.0 - t.m * (t.nn + 1.0) * (t.nn + 1)
+                    / (4.0 * t.nn))
+                   / SQRT(CAST(t.m AS DOUBLE) * (t.nn - t.m) * (t.nn + 1)
+                          * (3 + CAST(t.nn AS DOUBLE) * t.nn)
+                          / (48.0 * t.nn * t.nn))
+               END AS z_a
+        FROM folds f CROSS JOIN tot t
+    )
+    SELECT m AS n_y, n AS n_x,
+           ROUND(z_w, 4) AS z_wilcoxon,
+           ROUND(z_a, 4) AS z_ansari,
+           ROUND(z_w * z_w + z_a * z_a, 4) AS lepage_l
+    FROM sc
+    """,
+)
+def stats_lepage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lepage's joint test (Lepage '71): L = Z²_Wilcoxon + Z²_Ansari ~
+    χ²₂ — the textbook location-scale combination, reported beside
+    ``stats_cucconi`` because the two disagree exactly when the
+    location and scale shifts interact (Cucconi models their
+    correlation ρ, Lepage assumes the components independent).
+    Wilcoxon uses the tie-CORRECTED variance (N³−N−Σt(t²−1) term);
+    Ansari–Bradley scores min(r, N+1−r) fold in half-units with the
+    standard even/odd-N moments. All sums are exact integers off the
+    distinct-value frame.
+
+    Scale: identical posture to ``stats_cucconi`` — one grouped
+    shuffle, O(distinct) window, closed-form scalars."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    v = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_y"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("cents"),
+    )
+    grp = v.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("is_y").cast("long").alias("cy"),
+    )
+    tot = grp.agg(
+        F.sum("t").cast("long").alias("nn"),
+        F.sum("cy").cast("long").alias("m"),
+        F.sum(F.col("t") * (F.col("t") - 1) * (F.col("t") + 1))
+        .cast("long")
+        .alias("tie3"),
+    )
+    w_prev = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grp.select(
+        "t", "cy", F.coalesce(F.sum("t").over(w_prev), F.lit(0)).alias("base")
+    )
+    r2 = 2 * F.col("base") + F.col("t") + 1
+    folds = cum.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.col("cy") * r2).cast("long").alias("w2"),
+        F.sum(
+            F.col("cy") * F.least(r2, 2 * (F.col("nn") + 1) - r2)
+        )
+        .cast("long")
+        .alias("a2"),
+    )
+    nn, m = F.col("nn"), F.col("m")
+    z_w = (F.col("w2") / 2.0 - m * (nn + F.lit(1.0)) / 2) / F.sqrt(
+        m.cast("double")
+        * (nn - m)
+        / (12.0 * nn * (nn - 1))
+        * (nn.cast("double") * nn * nn - nn - F.col("tie3"))
+    )
+    z_a_even = (F.col("a2") / 2.0 - m * (nn + F.lit(2.0)) / 4) / F.sqrt(
+        m.cast("double") * (nn - m) * (nn + 2) * (nn - 2) / (48.0 * (nn - 1))
+    )
+    z_a_odd = (
+        F.col("a2") / 2.0 - m * (nn + F.lit(1.0)) * (nn + 1) / (4.0 * nn)
+    ) / F.sqrt(
+        m.cast("double")
+        * (nn - m)
+        * (nn + 1)
+        * (3 + nn.cast("double") * nn)
+        / (48.0 * nn * nn)
+    )
+    z_a = F.when(nn % 2 == 0, z_a_even).otherwise(z_a_odd)
+    sc = folds.crossJoin(F.broadcast(tot)).select(
+        m.alias("n_y"),
+        (nn - m).alias("n_x"),
+        z_w.alias("z_w"),
+        z_a.alias("z_a"),
+    )
+    return sc.select(
+        "n_y",
+        "n_x",
+        F.round(F.col("z_w"), 4).alias("z_wilcoxon"),
+        F.round(F.col("z_a"), 4).alias("z_ansari"),
+        F.round(
+            F.col("z_w") * F.col("z_w") + F.col("z_a") * F.col("z_a"), 4
+        ).alias("lepage_l"),
+    )

@@ -7263,3 +7263,125 @@ def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t_total") - F.col("t_within") - F.col("t_between"), 9
         ).alias("closure_residual"),
     )
+
+
+@register(
+    "ts_segmented_trend",
+    """
+    WITH rev AS (
+        SELECT DATE_DIFF('day', DATE '1996-01-01',
+                         CAST(l_shipdate AS DATE)) AS t,
+               CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01' THEN 1
+                    ELSE 0 END AS seg,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '2000-01-01'
+        GROUP BY 1, 2
+    ), fits AS (
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(t) AS BIGINT) AS st,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+               CAST(SUM(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty
+        FROM rev GROUP BY seg
+    ), co AS (
+        SELECT seg, n,
+               (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+                - CAST(st AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                  - CAST(st AS DOUBLE) * st) AS slope,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+                   - CAST(st AS DOUBLE) * sy)
+                  / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                     - CAST(st AS DOUBLE) * st) * st) / n AS icept
+        FROM fits
+    )
+    SELECT a.n AS n_days_pre, b.n AS n_days_post,
+           ROUND(a.slope / 100.0, 6) AS slope_pre_dollars,
+           ROUND(b.slope / 100.0, 6) AS slope_post_dollars,
+           ROUND((a.icept + a.slope * 730) / 100.0, 2)
+               AS fitted_at_break_pre,
+           ROUND((b.icept + b.slope * 730) / 100.0, 2)
+               AS fitted_at_break_post,
+           ROUND((b.icept + b.slope * 730 - a.icept - a.slope * 730)
+                 / 100.0, 2) AS level_change_dollars,
+           ROUND((b.slope - a.slope) / 100.0, 6) AS slope_change_dollars
+    FROM (SELECT * FROM co WHERE seg = 0) a
+    CROSS JOIN (SELECT * FROM co WHERE seg = 1) b
+    """,
+)
+def ts_segmented_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series / segmented regression (Wagner et al.
+    '02) around the 1998-01-01 break: daily revenue gets an
+    independent OLS line per segment, and the policy-analysis
+    quantities are the LEVEL change (gap between the two fitted lines
+    AT the breakpoint, day 730) and the SLOPE change — the
+    two-parameter answer "did the regime shift the level, the trend,
+    or both?" that ``ab_diff_in_diff`` gives for panels and this
+    gives for one series. Each segment's five OLS moments are exact
+    integers (cross-products in 128-bit); both fitted-at-break values
+    are published so the gap is auditable.
+
+    Scale: one aggregate to O(days) per segment; closed-form fits."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("2000-01-01")))
+    )
+    rev = li.groupBy(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1996-01-01").cast("date")
+        ).alias("t"),
+        F.when(
+            F.col("l_shipdate") >= F.to_timestamp(F.lit("1998-01-01")), 1
+        )
+        .otherwise(0)
+        .alias("seg"),
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    fits = rev.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("t")).alias("stt"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("y")).alias("sty"),
+    )
+    n = F.col("n")
+    slope = (
+        n.cast("double") * F.col("sty").cast("double")
+        - F.col("st").cast("double") * F.col("sy")
+    ) / (
+        n.cast("double") * F.col("stt").cast("double")
+        - F.col("st").cast("double") * F.col("st")
+    )
+    icept = (F.col("sy").cast("double") - slope * F.col("st")) / n
+    co = fits.select("seg", n, slope.alias("slope"), icept.alias("icept"))
+    a = co.filter(F.col("seg") == 0).select(
+        F.col("n").alias("n_pre"),
+        F.col("slope").alias("sl_a"),
+        F.col("icept").alias("ic_a"),
+    )
+    b = co.filter(F.col("seg") == 1).select(
+        F.col("n").alias("n_post"),
+        F.col("slope").alias("sl_b"),
+        F.col("icept").alias("ic_b"),
+    )
+    fit_a = F.col("ic_a") + F.col("sl_a") * 730
+    fit_b = F.col("ic_b") + F.col("sl_b") * 730
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("n_pre").alias("n_days_pre"),
+        F.col("n_post").alias("n_days_post"),
+        F.round(F.col("sl_a") / 100.0, 6).alias("slope_pre_dollars"),
+        F.round(F.col("sl_b") / 100.0, 6).alias("slope_post_dollars"),
+        F.round(fit_a / 100.0, 2).alias("fitted_at_break_pre"),
+        F.round(fit_b / 100.0, 2).alias("fitted_at_break_post"),
+        F.round((fit_b - fit_a) / 100.0, 2).alias("level_change_dollars"),
+        F.round((F.col("sl_b") - F.col("sl_a")) / 100.0, 6).alias(
+            "slope_change_dollars"
+        ),
+    )

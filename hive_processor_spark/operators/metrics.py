@@ -9096,3 +9096,235 @@ def stats_lepage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("z_w") * F.col("z_w") + F.col("z_a") * F.col("z_a"), 4
         ).alias("lepage_l"),
     )
+
+
+@register(
+    "stats_quade_test",
+    """
+    WITH cell AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS blk,
+               o_orderpriority AS trt,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cell_v
+        FROM orders GROUP BY 1, 2
+    ), full_blk AS (
+        SELECT blk FROM cell GROUP BY blk HAVING COUNT(*) = 5
+    ), rnk AS (
+        SELECT c.blk, c.trt,
+               RANK() OVER (PARTITION BY c.blk ORDER BY c.cell_v)
+               + (COUNT(*) OVER (PARTITION BY c.blk, c.cell_v) - 1) / 2.0
+                   AS r
+        FROM cell c JOIN full_blk f ON f.blk = c.blk
+    ), ranges AS (
+        SELECT c.blk, MAX(c.cell_v) - MIN(c.cell_v) AS rng
+        FROM cell c JOIN full_blk f ON f.blk = c.blk
+        GROUP BY c.blk
+    ), qrank AS (
+        SELECT blk,
+               RANK() OVER (ORDER BY rng)
+               + (COUNT(*) OVER (PARTITION BY rng) - 1) / 2.0 AS q
+        FROM ranges
+    ), s AS (
+        SELECT r.trt,
+               CAST(2 * q.q * (2 * r.r - 6) AS BIGINT) AS s4
+        FROM rnk r JOIN qrank q ON q.blk = r.blk
+    ), folds AS (
+        SELECT CAST(SUM(CAST(s4 AS HUGEINT) * s4) AS HUGEINT) AS a16,
+               CAST((SELECT COUNT(*) FROM full_blk) AS BIGINT) AS b
+        FROM s
+    ), sj AS (
+        SELECT CAST(SUM(sj2) AS HUGEINT) AS b16 FROM (
+            SELECT CAST(SUM(s4) AS HUGEINT) * CAST(SUM(s4) AS HUGEINT)
+                   AS sj2
+            FROM s GROUP BY trt
+        )
+    )
+    SELECT f.b AS n_blocks, CAST(5 AS BIGINT) AS k,
+           CAST(4 AS BIGINT) AS df1,
+           CAST((f.b - 1) * 4 AS BIGINT) AS df2,
+           ROUND((f.b - 1.0) * CAST(s.b16 AS DOUBLE)
+                 / (f.b * CAST(f.a16 AS DOUBLE)
+                    - CAST(s.b16 AS DOUBLE)), 4) AS f_quade
+    FROM folds f CROSS JOIN sj s
+    """,
+)
+def stats_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade's test (Quade '79) on the month-block × priority design:
+    unlike Friedman (which gives every month equal say), blocks are
+    WEIGHTED by the rank Q_i of their within-block RANGE, so months
+    where priorities actually differ dominate — the more powerful
+    choice when effect sizes vary across blocks (k ≤ 5, Conover's
+    guidance). S_ij = Q_i(r_ij − (k+1)/2) is held in QUARTER-units so
+    the doubled products 2Q·(2r−6) are exact integers, A = ΣS²,
+    B = ΣS_j²/b fold in 128-bit, and F = (b−1)B/(A−B) is evaluated
+    with b multiplied through — no rational intermediate anywhere.
+
+    Scale: O(months × 5) cells; two small rank windows."""
+    o = load_table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("blk"),
+        F.col("o_orderpriority").alias("trt"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("cell_v")
+    )
+    full_blk = (
+        cell.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == 5)
+        .select("blk")
+    )
+    w_rank = Window.partitionBy("blk").orderBy("cell_v")
+    w_tie = Window.partitionBy("blk", "cell_v")
+    rnk = cell.join(full_blk, "blk").select(
+        "blk",
+        "trt",
+        (
+            F.rank().over(w_rank)
+            + (F.count(F.lit(1)).over(w_tie) - 1) / F.lit(2.0)
+        ).alias("r"),
+    )
+    ranges = (
+        cell.join(full_blk, "blk")
+        .groupBy("blk")
+        .agg((F.max("cell_v") - F.min("cell_v")).alias("rng"))
+    )
+    w_q = Window.orderBy("rng")
+    w_qt = Window.partitionBy("rng")
+    qrank = ranges.select(
+        "blk",
+        (
+            F.rank().over(w_q)
+            + (F.count(F.lit(1)).over(w_qt) - 1) / F.lit(2.0)
+        ).alias("q"),
+    )
+    s = rnk.join(qrank, "blk").select(
+        "trt",
+        (2 * F.col("q") * (2 * F.col("r") - 6)).cast("long").alias("s4"),
+    )
+    folds = s.agg(
+        F.sum(F.col("s4").cast("decimal(38,0)") * F.col("s4")).alias("a16")
+    )
+    b_cnt = full_blk.agg(F.count(F.lit(1)).cast("long").alias("b"))
+    sj = (
+        s.groupBy("trt")
+        .agg(F.sum("s4").cast("decimal(38,0)").alias("sjv"))
+        .agg(F.sum(F.col("sjv") * F.col("sjv")).alias("b16"))
+    )
+    b = F.col("b")
+    return (
+        folds.crossJoin(F.broadcast(b_cnt))
+        .crossJoin(F.broadcast(sj))
+        .select(
+            b.alias("n_blocks"),
+            F.lit(5).cast("long").alias("k"),
+            F.lit(4).cast("long").alias("df1"),
+            ((b - 1) * 4).cast("long").alias("df2"),
+            F.round(
+                (b - F.lit(1.0)) * F.col("b16").cast("double")
+                / (
+                    b * F.col("a16").cast("double")
+                    - F.col("b16").cast("double")
+                ),
+                4,
+            ).alias("f_quade"),
+        )
+    )
+
+
+@register(
+    "sample_ratio_estimator",
+    """
+    WITH aux AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x
+        FROM lineitem GROUP BY l_orderkey
+    ), base AS (
+        SELECT o.o_orderkey,
+               CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT) AS y,
+               a.x,
+               (('0x' || SUBSTRING(MD5(CAST(o.o_orderkey AS VARCHAR)),
+                                   1, 15))::BIGINT) AS h60
+        FROM orders o JOIN aux a ON a.l_orderkey = o.o_orderkey
+    ), pop AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pop,
+               CAST(SUM(y) AS BIGINT) AS y_tot,
+               CAST(SUM(x) AS BIGINT) AS x_tot
+        FROM base
+    ), samp AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_s,
+               CAST(SUM(y) AS BIGINT) AS y_s,
+               CAST(SUM(x) AS BIGINT) AS x_s
+        FROM base
+        WHERE h60 < CAST(FLOOR(0.1 * 1152921504606846976) AS BIGINT)
+    )
+    SELECT p.n_pop, s.n_s AS n_sample,
+           ROUND(p.y_tot / 100.0, 2) AS true_total,
+           ROUND((CAST(s.y_s AS DOUBLE) * p.n_pop / s.n_s) / 100.0, 2)
+               AS expansion_estimate,
+           ROUND((CAST(s.y_s AS DOUBLE) / s.x_s * p.x_tot) / 100.0, 2)
+               AS ratio_estimate,
+           ROUND(ABS(CAST(s.y_s AS DOUBLE) * p.n_pop / s.n_s - p.y_tot)
+                 / p.y_tot, 6) AS rel_err_expansion,
+           ROUND(ABS(CAST(s.y_s AS DOUBLE) / s.x_s * p.x_tot - p.y_tot)
+                 / p.y_tot, 6) AS rel_err_ratio
+    FROM pop p CROSS JOIN samp s
+    """,
+)
+def sample_ratio_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio estimation with a known auxiliary total (Cochran ch. 6):
+    from a deterministic 10% hash sample of orders, estimate total
+    revenue two ways — the plain expansion N·ȳ_s and the ratio
+    estimator (Σy_s/Σx_s)·X using line-count as the auxiliary whose
+    population total IS known (it's COUNT(lineitem)) — and audit both
+    against the truth in the same row. Revenue correlates with
+    line count only moderately on this fixture (within-order price
+    variance), so the two estimators trade places sample-by-sample —
+    exactly why BOTH audits are published side by side instead of
+    assuming the textbook ratio win; the tests pin both errors under
+    5% (``sample_horvitz_thompson``'s design-based cousin).
+
+    Scale: one orderkey-co-located join + two scalar reduces; the
+    hash sample is reproducible at any parallelism."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    aux = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    base = o.join(aux, o.o_orderkey == aux.l_orderkey).select(
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("y"),
+        "x",
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h60"),
+    )
+    pop = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pop"),
+        F.sum("y").cast("long").alias("y_tot"),
+        F.sum("x").cast("long").alias("x_tot"),
+    )
+    thresh = F.floor(F.lit(0.1) * F.lit(float(1 << 60))).cast("long")
+    samp = base.filter(F.col("h60") < thresh).agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum("y").cast("long").alias("y_s"),
+        F.sum("x").cast("long").alias("x_s"),
+    )
+    exp_est = F.col("y_s").cast("double") * F.col("n_pop") / F.col("n_s")
+    ratio_est = F.col("y_s").cast("double") / F.col("x_s") * F.col("x_tot")
+    return pop.crossJoin(F.broadcast(samp)).select(
+        "n_pop",
+        F.col("n_s").alias("n_sample"),
+        F.round(F.col("y_tot") / 100.0, 2).alias("true_total"),
+        F.round(exp_est / 100.0, 2).alias("expansion_estimate"),
+        F.round(ratio_est / 100.0, 2).alias("ratio_estimate"),
+        F.round(
+            F.abs(exp_est - F.col("y_tot")) / F.col("y_tot"), 6
+        ).alias("rel_err_expansion"),
+        F.round(
+            F.abs(ratio_est - F.col("y_tot")) / F.col("y_tot"), 6
+        ).alias("rel_err_ratio"),
+    )

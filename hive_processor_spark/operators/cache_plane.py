@@ -122,3 +122,66 @@ def plan_broadcast_threshold_audit(spark: SparkSession, sf_dir: str) -> DataFram
         "strategy_default string, strategy_disabled string,"
         " rows_default bigint, rows_disabled bigint, results_identical int",
     )
+
+
+@register("profile_float_sum_stability")
+def profile_float_sum_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The demonstration behind this repo's exact.py discipline: the
+    SAME revenue total is computed as a naive SUM(double) under three
+    different partitionings (1, 8, 64) and as the floor-quantized
+    decimal sum. The naive sums disagree across layouts (tree-
+    aggregation order changes, IEEE addition is not associative) while
+    the quantized sum is bit-identical — the measured spread IS the
+    reason every hash-gated operator routes float folds through
+    integer quantization, and the reason a 100 TB job re-planned by
+    AQE would otherwise publish a different total than yesterday's
+    run. Tier R (the op's point is engine-layout behavior, which a
+    single-threaded DuckDB oracle cannot exhibit); the quantized
+    invariance and the nonzero-spread expectation are pinned in
+    tests.
+
+    Scale: three aggregations of one column + one quantized pass."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    naive = []
+    for parts in (1, 8, 64):
+        v = (
+            li.repartition(parts)
+            .agg(F.sum("l_extendedprice").alias("s"))
+            .collect()[0]["s"]
+        )
+        naive.append(float(v))
+    quantized = [
+        float(
+            li.repartition(parts)
+            .agg(
+                (
+                    F.sum(
+                        F.floor(F.col("l_extendedprice") * 1e4).cast(
+                            "decimal(28,0)"
+                        )
+                    ).cast("double")
+                    / 1e4
+                ).alias("s")
+            )
+            .collect()[0]["s"]
+        )
+        for parts in (1, 8, 64)
+    ]
+    spread = max(naive) - min(naive)
+    qspread = max(quantized) - min(quantized)
+    return spark.createDataFrame(
+        [
+            (
+                naive[0],
+                naive[1],
+                naive[2],
+                spread,
+                quantized[0],
+                qspread,
+                int(qspread == 0.0),
+            )
+        ],
+        "naive_p1 double, naive_p8 double, naive_p64 double,"
+        " naive_spread double, quantized_total double,"
+        " quantized_spread double, quantized_stable int",
+    )

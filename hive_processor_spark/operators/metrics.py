@@ -9328,3 +9328,215 @@ def sample_ratio_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(ratio_est - F.col("y_tot")) / F.col("y_tot"), 6
         ).alias("rel_err_ratio"),
     )
+
+
+@register(
+    "ml_exposure_fairness",
+    """
+    WITH ranked AS (
+        SELECT p.p_brand,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS rel,
+               ROW_NUMBER() OVER (
+                   ORDER BY SUM(CAST(FLOOR(l.l_extendedprice * 100.0)
+                                     AS BIGINT)) DESC, p.p_partkey)
+                   AS rnk
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand, p.p_partkey
+    ), top AS (
+        SELECT * FROM ranked WHERE rnk <= 100
+    ), per_grp AS (
+        SELECT p_brand,
+               CAST(SUM(CAST(FLOOR(1.0 / LOG2(rnk + 1.0) * 1e9)
+                             AS BIGINT)) AS BIGINT) AS expo_q,
+               CAST(SUM(rel) AS BIGINT) AS rel_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM top GROUP BY p_brand
+    ), tot AS (
+        SELECT CAST(SUM(expo_q) AS BIGINT) AS expo_tot,
+               CAST(SUM(rel_sum) AS BIGINT) AS rel_tot
+        FROM per_grp
+    )
+    SELECT g.p_brand AS brand, g.n_items,
+           ROUND(CAST(g.expo_q AS DOUBLE) / t.expo_tot, 6)
+               AS exposure_share,
+           ROUND(CAST(g.rel_sum AS DOUBLE) / t.rel_tot, 6)
+               AS relevance_share,
+           ROUND((CAST(g.expo_q AS DOUBLE) / t.expo_tot)
+                 / (CAST(g.rel_sum AS DOUBLE) / t.rel_tot), 4)
+               AS disparity_ratio
+    FROM per_grp g CROSS JOIN tot t
+    ORDER BY exposure_share DESC, brand
+    """,
+)
+def ml_exposure_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fairness of exposure in a ranking (Singh & Joachims KDD'18):
+    rank the top-100 parts by revenue, weight position r by the DCG
+    exposure 1/log₂(r+1), and compare each BRAND's share of exposure
+    against its share of relevance (revenue) — equal shares
+    (disparity_ratio = 1) is the "exposure proportional to merit"
+    criterion; a brand above 1 hogs ranking real estate beyond its
+    revenue. This is the group-level audit a ranked-results surface
+    runs beside ``ml_ndcg``'s pure quality number. Exposure weights
+    floor-quantize at 1e-9; relevance is exact cents.
+
+    Scale: one partial→final aggregate to parts, a top-100 window,
+    then ≤25 brand cells."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ranked = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+            .cast("long")
+            .alias("rel")
+        )
+        .select(
+            "p_brand",
+            "rel",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rel"), F.asc("p_partkey")))
+            .alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 100)
+    )
+    per_grp = ranked.groupBy("p_brand").agg(
+        F.sum(
+            F.floor(1.0 / F.log2(F.col("rnk") + F.lit(1.0)) * 1e9).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("expo_q"),
+        F.sum("rel").cast("long").alias("rel_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    tot = per_grp.agg(
+        F.sum("expo_q").cast("long").alias("expo_tot"),
+        F.sum("rel_sum").cast("long").alias("rel_tot"),
+    )
+    es = F.col("expo_q").cast("double") / F.col("expo_tot")
+    rs = F.col("rel_sum").cast("double") / F.col("rel_tot")
+    return (
+        per_grp.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("p_brand").alias("brand"),
+            "n_items",
+            F.round(es, 6).alias("exposure_share"),
+            F.round(rs, 6).alias("relevance_share"),
+            F.round(es / rs, 4).alias("disparity_ratio"),
+        )
+        .orderBy(F.desc("exposure_share"), "brand")
+    )
+
+
+@register(
+    "text_keyword_log_odds",
+    """
+    WITH srcs AS (
+        SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS rn
+        FROM (SELECT DISTINCT source FROM documents)
+    ), words AS (
+        SELECT s.rn AS side, word, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents d
+        JOIN srcs s ON s.source = d.source AND s.rn <= 2,
+        UNNEST(STRING_SPLIT(TRIM(d.text), ' ')) AS t(word)
+        WHERE word <> ''
+        GROUP BY s.rn, word
+    ), wide AS (
+        SELECT word,
+               CAST(COALESCE(SUM(CASE WHEN side = 1 THEN c END), 0)
+                    AS BIGINT) AS y1,
+               CAST(COALESCE(SUM(CASE WHEN side = 2 THEN c END), 0)
+                    AS BIGINT) AS y2,
+               CAST(SUM(c) AS BIGINT) AS a_w
+        FROM words GROUP BY word
+    ), tot AS (
+        SELECT CAST(SUM(y1) AS BIGINT) AS n1,
+               CAST(SUM(y2) AS BIGINT) AS n2,
+               CAST(SUM(a_w) AS BIGINT) AS a0
+        FROM wide
+    ), z AS (
+        SELECT w.word, w.y1, w.y2,
+               (LN((w.y1 + w.a_w * 0.01)
+                   / (t.n1 + t.a0 * 0.01 - w.y1 - w.a_w * 0.01))
+                - LN((w.y2 + w.a_w * 0.01)
+                     / (t.n2 + t.a0 * 0.01 - w.y2 - w.a_w * 0.01)))
+               / SQRT(1.0 / (w.y1 + w.a_w * 0.01)
+                      + 1.0 / (w.y2 + w.a_w * 0.01)) AS zscore
+        FROM wide w CROSS JOIN tot t
+    )
+    SELECT word, y1 AS count_src1, y2 AS count_src2,
+           ROUND(zscore, 4) AS log_odds_z
+    FROM z
+    ORDER BY ABS(zscore) DESC, word
+    LIMIT 10
+    """,
+)
+def text_keyword_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe–Colaresi–Quinn log-odds ratio with an informative
+    Dirichlet prior ('Fightin' Words', Pol. Analysis '08) between the
+    two lexicographically-first sources: δ_w = logit₁(w) − logit₂(w)
+    with the corpus-wide counts (scaled to 1%) as prior
+    pseudo-counts, standardized by √(1/(y₁+a) + 1/(y₂+a)) — the
+    principled "which words distinguish these two corpora" list that
+    raw tf-idf contrast gets wrong for rare words (the prior shrinks
+    them). Top-10 by |z| published; counts are exact integers, the
+    logits deterministic closed forms.
+
+    Scale: one explode-aggregate to (side, word), a word-level
+    pivot, scalar algebra per word — shuffle ∝ vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.row_number().over(Window.orderBy("source")).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+    words = (
+        docs.join(srcs, "source")
+        .select(
+            F.col("rn").alias("side"),
+            F.explode(F.split(F.trim("text"), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("side", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wide = words.groupBy("word").agg(
+        F.coalesce(F.sum(F.when(F.col("side") == 1, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("y1"),
+        F.coalesce(F.sum(F.when(F.col("side") == 2, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("y2"),
+        F.sum("c").cast("long").alias("a_w"),
+    )
+    tot = wide.agg(
+        F.sum("y1").cast("long").alias("n1"),
+        F.sum("y2").cast("long").alias("n2"),
+        F.sum("a_w").cast("long").alias("a0"),
+    )
+    a_w = F.col("a_w") * 0.01
+    a0 = F.col("a0") * 0.01
+    delta = F.log(
+        (F.col("y1") + a_w) / (F.col("n1") + a0 - F.col("y1") - a_w)
+    ) - F.log((F.col("y2") + a_w) / (F.col("n2") + a0 - F.col("y2") - a_w))
+    z = delta / F.sqrt(
+        1.0 / (F.col("y1") + a_w) + 1.0 / (F.col("y2") + a_w)
+    )
+    return (
+        wide.crossJoin(F.broadcast(tot))
+        .select(
+            "word",
+            F.col("y1").alias("count_src1"),
+            F.col("y2").alias("count_src2"),
+            F.round(z, 4).alias("log_odds_z"),
+        )
+        .orderBy(F.abs(F.col("log_odds_z")).desc(), F.asc("word"))
+        .limit(10)
+    )

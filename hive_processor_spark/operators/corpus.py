@@ -2384,3 +2384,107 @@ def profile_sample_size_fpc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sampling_fraction"
         ),
     )
+
+
+@register(
+    "sample_design_effect",
+    """
+    WITH v AS (
+        SELECT c.c_nationkey AS cl,
+               CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT) AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), per AS (
+        SELECT cl, CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM v GROUP BY cl
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS g,
+               CAST(SUM(m) AS BIGINT) AS n,
+               CAST(SUM(sy) AS BIGINT) AS ty,
+               CAST(SUM(syy) AS HUGEINT) AS tyy,
+               CAST(SUM(m * m) AS BIGINT) AS sm2,
+               CAST(SUM(CAST(FLOOR(CAST(sy AS DOUBLE) * sy / m)
+                             AS BIGINT)) AS HUGEINT) AS gt_q
+        FROM per
+    ), an AS (
+        SELECT g, n,
+               CAST(n AS DOUBLE) / g AS mbar,
+               (CAST(gt_q AS DOUBLE)
+                - CAST(ty AS DOUBLE) * ty / n) / (g - 1) AS msb,
+               (CAST(tyy AS DOUBLE)
+                - CAST(gt_q AS DOUBLE)) / (n - g) AS msw
+        FROM tot
+    ), rho AS (
+        SELECT g, n, mbar, msb, msw,
+               (msb - msw) / (msb + (mbar - 1) * msw) AS icc
+        FROM an
+    )
+    SELECT g AS n_clusters, n AS n_obs,
+           ROUND(mbar, 2) AS avg_cluster_size,
+           ROUND(icc, 6) AS icc_rho,
+           ROUND(1 + (mbar - 1) * icc, 4) AS design_effect,
+           ROUND(CAST(n AS DOUBLE) / (1 + (mbar - 1) * icc), 1)
+               AS effective_sample_size
+    FROM rho
+    """,
+)
+def sample_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey design effect for cluster sampling by customer NATION
+    (Kish '65): DEFF = 1 + (m̄−1)ρ with ρ the intraclass correlation
+    of order value within nation — if orders cluster by nation,
+    sampling whole nations buys you far fewer EFFECTIVE observations
+    than raw rows (n_eff = n/DEFF, published), which is the number
+    every two-stage sampling plan must divide by before quoting
+    precision (closes the survey family: ``sample_neyman_allocation``
+    sizes strata, ``profile_sample_size_fpc`` sizes n, this corrects
+    n for clustering; ICC machinery shared with
+    ``stats_icc_oneway``). Moments are exact integers, the one
+    rational Σ(Σy)²/m floored to whole cents² (its scale is ~1e17,
+    so unit flooring is 17 significant digits).
+
+    Scale: one partial→final aggregate to 25 nation cells."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    v = o.join(c, c.c_custkey == o.o_custkey).select(
+        F.col("c_nationkey").alias("cl"),
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("y"),
+    )
+    per = v.groupBy("cl").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("g"),
+        F.sum("m").cast("long").alias("n"),
+        F.sum("sy").cast("long").alias("ty"),
+        F.sum("syy").alias("tyy"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("sm2"),
+        F.sum(
+            F.floor(
+                F.col("sy").cast("double") * F.col("sy") / F.col("m")
+            )
+            .cast("long")
+            .cast("decimal(38,0)")
+        ).alias("gt_q"),
+    )
+    g, n = F.col("g"), F.col("n")
+    mbar = n.cast("double") / g
+    msb = (
+        F.col("gt_q").cast("double")
+        - F.col("ty").cast("double") * F.col("ty") / n
+    ) / (g - 1)
+    msw = (
+        F.col("tyy").cast("double") - F.col("gt_q").cast("double")
+    ) / (n - g)
+    icc = (msb - msw) / (msb + (mbar - 1) * msw)
+    deff = 1 + (mbar - 1) * icc
+    return tot.select(
+        g.alias("n_clusters"),
+        n.alias("n_obs"),
+        F.round(mbar, 2).alias("avg_cluster_size"),
+        F.round(icc, 6).alias("icc_rho"),
+        F.round(deff, 4).alias("design_effect"),
+        F.round(n.cast("double") / deff, 1).alias("effective_sample_size"),
+    )

@@ -1577,3 +1577,120 @@ def np_log19() -> float:
     import math
 
     return math.log(19.0)
+
+
+@register(
+    "ab_covariate_balance",
+    f"""
+    WITH u AS (
+        SELECT CAST({_ARM_SQL} AS INT) AS arm,
+               CAST(SUM(CAST(FLOOR(value * 1e4) AS BIGINT)) AS BIGINT)
+                   AS total_value_q,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM events GROUP BY user_id
+    ), long AS (
+        SELECT arm, 'total_value' AS covariate,
+               CAST(total_value_q AS DOUBLE) / 1e4 AS x
+        FROM u
+        UNION ALL
+        SELECT arm, 'n_events', CAST(n_events AS DOUBLE) FROM u
+        UNION ALL
+        SELECT arm, 'n_event_types', CAST(n_types AS DOUBLE) FROM u
+    ), mo AS (
+        SELECT covariate, arm, CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('x', 4)} AS sx,
+               {sql_dsum('x * x', 2)} AS sxx
+        FROM long GROUP BY covariate, arm
+    ), sides AS (
+        SELECT a.covariate,
+               a.sx / a.n AS m0, b.sx / b.n AS m1,
+               (a.sxx - a.sx * a.sx / a.n) / (a.n - 1) AS v0,
+               (b.sxx - b.sx * b.sx / b.n) / (b.n - 1) AS v1
+        FROM (SELECT * FROM mo WHERE arm = 0) a
+        JOIN (SELECT * FROM mo WHERE arm = 1) b ON b.covariate = a.covariate
+    )
+    SELECT covariate,
+           ROUND(m0, 4) AS mean_control,
+           ROUND(m1, 4) AS mean_treatment,
+           ROUND(CASE WHEN v0 + v1 > 0
+                 THEN (m1 - m0) / SQRT((v0 + v1) / 2)
+                 ELSE 0.0 END, 4) AS smd,
+           CASE WHEN v0 + v1 = 0 OR
+                     ABS((m1 - m0) / SQRT((v0 + v1) / 2)) < 0.1
+                THEN 1 ELSE 0 END AS balanced
+    FROM sides
+    ORDER BY covariate
+    """,
+)
+def ab_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate balance table (Austin '09's |SMD| < 0.1 convention)
+    for the standing hash randomization: per pre-treatment covariate
+    (per-user total value, event count, distinct event types) the
+    standardized mean difference (m₁−m₀)/√((v₀+v₁)/2) between arms —
+    the table EVERY experiment readout should print before its effect
+    estimate (and the diagnostic ``ab_propensity_match`` optimizes;
+    ``ab_srm_check`` covers counts, this covers composition). On this
+    fixture the composition covariates balance while per-user VOLUME
+    carries a mild ≈0.1 SMD — exactly the kind of finding the table
+    exists to surface before anyone trusts a raw difference. Sums go through the dsum quantized fold, so the table is
+    parallelism-stable.
+
+    Scale: one per-user aggregate, then 3 covariates × 2 arms of
+    scalar moments."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 1e4).cast("long"))
+        .cast("long")
+        .alias("tvq"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    ).select(
+        F.expr(_ARM_SQL).cast("int").alias("arm"),
+        (F.col("tvq").cast("double") / 1e4).alias("total_value"),
+        F.col("n_events").cast("double").alias("n_events"),
+        F.col("n_types").cast("double").alias("n_event_types"),
+    )
+    long = None
+    for cov in ("total_value", "n_events", "n_event_types"):
+        part = u.select(
+            "arm", F.lit(cov).alias("covariate"), F.col(cov).alias("x")
+        )
+        long = part if long is None else long.unionAll(part)
+    mo = long.groupBy("covariate", "arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(F.col("x"), 4).alias("sx"),
+        dsum(F.col("x") * F.col("x"), 2).alias("sxx"),
+    )
+    a = mo.filter(F.col("arm") == 0).select(
+        "covariate",
+        (F.col("sx") / F.col("n")).alias("m0"),
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("v0"),
+    )
+    b = mo.filter(F.col("arm") == 1).select(
+        "covariate",
+        (F.col("sx") / F.col("n")).alias("m1"),
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("v1"),
+    )
+    vsum = F.col("v0") + F.col("v1")
+    smd_raw = (F.col("m1") - F.col("m0")) / F.sqrt(vsum / 2)
+    smd = F.when(vsum > 0, smd_raw).otherwise(F.lit(0.0))
+    return (
+        a.join(b, "covariate")
+        .select(
+            "covariate",
+            F.round(F.col("m0"), 4).alias("mean_control"),
+            F.round(F.col("m1"), 4).alias("mean_treatment"),
+            F.round(smd, 4).alias("smd"),
+            F.when((vsum == 0) | (F.abs(smd_raw) < 0.1), 1)
+            .otherwise(0)
+            .alias("balanced"),
+        )
+        .orderBy("covariate")
+    )

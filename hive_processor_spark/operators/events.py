@@ -7385,3 +7385,179 @@ def ts_segmented_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_change_dollars"
         ),
     )
+
+
+@register(
+    "ts_poisson_changepoint",
+    """
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), seq AS (
+        SELECT day, x,
+               ROW_NUMBER() OVER (ORDER BY day) AS i,
+               SUM(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS cx,
+               CAST(SUM(x) OVER () AS BIGINT) AS n,
+               CAST(COUNT(*) OVER () AS BIGINT) AS t
+        FROM daily
+    ), llr AS (
+        SELECT day, i, cx, n, t,
+               CASE WHEN i < t AND cx > 0 AND cx < n THEN
+                   cx * LN(CAST(cx AS DOUBLE) / i)
+                   + (n - cx) * LN(CAST(n - cx AS DOUBLE) / (t - i))
+                   - n * LN(CAST(n AS DOUBLE) / t)
+               END AS ll
+        FROM seq
+    ), best AS (
+        SELECT day, i, cx, n, t, ll,
+               ROW_NUMBER() OVER (ORDER BY ll DESC, day) AS rk
+        FROM llr WHERE ll IS NOT NULL
+    )
+    SELECT STRFTIME(day, '%Y-%m-%d') AS change_day,
+           CAST(i AS BIGINT) AS split_index,
+           t AS n_days,
+           ROUND(CAST(cx AS DOUBLE) / i, 4) AS rate_before,
+           ROUND(CAST(n - cx AS DOUBLE) / (t - i), 4) AS rate_after,
+           ROUND(2 * ll, 4) AS deviance_stat
+    FROM best WHERE rk = 1
+    """,
+)
+def ts_poisson_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single Poisson changepoint by maximum likelihood (the AMOC scan
+    behind PELT/binary segmentation, Poisson cost): for every split k
+    the log-likelihood gain n₁ln(λ̂₁)+n₂ln(λ̂₂)−n·ln(λ̂) comes straight
+    off the PREFIX SUM of daily counts — the whole candidate scan is
+    one cumulative window plus an argmax, no per-split re-aggregation
+    — and 2·gain is the deviance statistic (~χ²₁ plus a multiple-look
+    penalty in practice). Complements ``ts_changepoint``'s mean-shift
+    CUSUM with the count-data likelihood, and
+    ``events_poisson_dispersion`` tells you whether the Poisson cost
+    is even admissible. Ties in the argmax break on day — exact
+    integer prefix sums make the whole scan engine-identical.
+
+    Scale: one aggregate to O(days), one window pass, one top-1."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w_ord = Window.orderBy("day")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    seq = daily.select(
+        "day",
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("x").over(w_cum).alias("cx"),
+        F.sum("x").over(w_all).cast("long").alias("n"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("t"),
+    )
+    i, cx, n, t = F.col("i"), F.col("cx"), F.col("n"), F.col("t")
+    ll = F.when(
+        (i < t) & (cx > 0) & (cx < n),
+        cx * F.log(cx.cast("double") / i)
+        + (n - cx) * F.log((n - cx).cast("double") / (t - i))
+        - n * F.log(n.cast("double") / t),
+    )
+    llr = seq.select("day", "i", "cx", "n", "t", ll.alias("ll")).filter(
+        F.col("ll").isNotNull()
+    )
+    best = llr.select(
+        "*", F.row_number().over(Window.orderBy(F.desc("ll"), F.asc("day"))).alias("rk")
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+        i.cast("long").alias("split_index"),
+        t.alias("n_days"),
+        F.round(cx.cast("double") / i, 4).alias("rate_before"),
+        F.round((n - cx).cast("double") / (t - i), 4).alias("rate_after"),
+        F.round(2 * F.col("ll"), 4).alias("deviance_stat"),
+    )
+
+
+@register(
+    "spc_p_chart",
+    """
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    AS BIGINT) AS d
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(d) AS BIGINT) AS dd
+        FROM daily
+    ), chart AS (
+        SELECT d.day, d.n, d.d,
+               CAST(d.d AS DOUBLE) / d.n AS p,
+               CAST(t.dd AS DOUBLE) / t.nn AS pbar,
+               3 * SQRT(CAST(t.dd AS DOUBLE) / t.nn
+                        * (1 - CAST(t.dd AS DOUBLE) / t.nn) / d.n)
+                   AS halfwidth
+        FROM daily d CROSS JOIN tot t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(MAX(pbar), 6) AS center_line,
+           CAST(SUM(CASE WHEN p > pbar + halfwidth THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above_ucl,
+           CAST(SUM(CASE WHEN p < pbar - halfwidth THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below_lcl,
+           COALESCE(STRFTIME(MIN(CASE WHEN p > pbar + halfwidth
+                                      OR p < pbar - halfwidth
+                                 THEN day END), '%Y-%m-%d'), 'none')
+               AS first_violation_day,
+           ROUND(MAX(p), 6) AS max_daily_p,
+           ROUND(MIN(p), 6) AS min_daily_p
+    FROM chart
+    """,
+)
+def spc_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p-chart for ATTRIBUTE data (Shewhart; Montgomery ch. 7): the
+    daily purchase PROPORTION against variable-width 3σ binomial
+    limits p̄ ± 3√(p̄(1−p̄)/nᵢ) — each day's own sample size sets its
+    limits, which is what separates a p-chart from slapping the
+    continuous XmR (``spc_xmr_chart``) on a ratio. Completes the SPC
+    deck: XmR (continuous), CUSUM (small persistent shifts),
+    Page–Hinkley (self-tuning drift), p-chart (proportions).
+    Violations count and the first out-of-control day are published;
+    all inputs are exact integer counts, the limits closed-form.
+
+    Scale: one aggregate to O(days); row-local limit algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("d"),
+    )
+    tot = daily.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("d").cast("long").alias("dd"),
+    )
+    pbar = F.col("dd").cast("double") / F.col("nn")
+    chart = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (F.col("d").cast("double") / F.col("n")).alias("p"),
+        pbar.alias("pbar"),
+        (3 * F.sqrt(pbar * (1 - pbar) / F.col("n"))).alias("halfwidth"),
+    )
+    above = F.col("p") > F.col("pbar") + F.col("halfwidth")
+    below = F.col("p") < F.col("pbar") - F.col("halfwidth")
+    return chart.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.max("pbar"), 6).alias("center_line"),
+        F.sum(F.when(above, 1).otherwise(0)).cast("long").alias("n_above_ucl"),
+        F.sum(F.when(below, 1).otherwise(0)).cast("long").alias("n_below_lcl"),
+        F.coalesce(
+            F.date_format(
+                F.min(F.when(above | below, F.col("day"))), "yyyy-MM-dd"
+            ),
+            F.lit("none"),
+        ).alias("first_violation_day"),
+        F.round(F.max("p"), 6).alias("max_daily_p"),
+        F.round(F.min("p"), 6).alias("min_daily_p"),
+    )

@@ -1873,7 +1873,11 @@ def dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), "label"
     )
-    sig = _simhash_sigs(docs)
+    # pin the signature frame: it feeds BOTH the twin aggregate and the
+    # self-join probe side, and without truncation the joined plan
+    # re-runs the whole per-doc bit-vote kernel on each side (measured
+    # 32.5 s -> ~1 s at sf0.1 in the full-registry bench)
+    sig = _simhash_sigs(docs).localCheckpoint()
     twins = (
         sig.groupBy("simhash")
         .agg(F.count(F.lit(1)).cast("bigint").alias("m"))

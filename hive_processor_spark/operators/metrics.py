@@ -9540,3 +9540,258 @@ def text_keyword_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("log_odds_z")).desc(), F.asc("word"))
         .limit(10)
     )
+
+
+@register(
+    "ml_kappa_weighted",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               MIN({'d': o_orderdate, 'k': o_orderkey,
+                    'p': o_orderpriority}).p AS first_p,
+               MAX({'d': o_orderdate, 'k': o_orderkey,
+                    'p': o_orderpriority}).p AS last_p
+        FROM orders GROUP BY o_custkey
+    ), cells AS (
+        SELECT CAST(SUBSTR(first_p, 1, 1) AS BIGINT) AS i,
+               CAST(SUBSTR(last_p, 1, 1) AS BIGINT) AS j,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM per_cust GROUP BY 1, 2
+    ), marg AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells
+    ), ri AS (
+        SELECT i, CAST(SUM(c) AS BIGINT) AS ci FROM cells GROUP BY i
+    ), cj AS (
+        SELECT j, CAST(SUM(c) AS BIGINT) AS cj FROM cells GROUP BY j
+    ), obs AS (
+        SELECT
+            CAST(SUM(c * (i - j) * (i - j)) AS BIGINT) AS oq,
+            CAST(SUM(c * ABS(i - j)) AS BIGINT) AS ol
+        FROM cells
+    ), expd AS (
+        SELECT
+            CAST(SUM(CAST(FLOOR(CAST(r.ci AS DOUBLE) * s.cj / m.n
+                                * (r.i - s.j) * (r.i - s.j) * 1e6)
+                          AS BIGINT)) AS BIGINT) AS eq,
+            CAST(SUM(CAST(FLOOR(CAST(r.ci AS DOUBLE) * s.cj / m.n
+                                * ABS(r.i - s.j) * 1e6) AS BIGINT))
+                 AS BIGINT) AS el
+        FROM ri r CROSS JOIN cj s CROSS JOIN marg m
+    )
+    SELECT m.n AS n_cust,
+           ROUND(1 - CAST(o.oq AS DOUBLE) / (e.eq / 1e6), 6)
+               AS kappa_quadratic,
+           ROUND(1 - CAST(o.ol AS DOUBLE) / (e.el / 1e6), 6)
+               AS kappa_linear
+    FROM obs o CROSS JOIN expd e CROSS JOIN marg m
+    """,
+)
+def ml_kappa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Cohen's kappa (Cohen '68) on the first→last priority
+    transition table — quadratic and linear weights in one pass:
+    κ_w = 1 − Σw·O/Σw·E punishes a 1→5 disagreement 16× (quadratic)
+    or 4× (linear) harder than 1→2, which the unweighted
+    ``ml_cohens_kappa`` cannot express for ORDINAL categories
+    (quadratic κ is also identically the ICC of the paired ordinals —
+    the bridge to ``stats_icc_oneway``). Observed weighted
+    disagreement is an exact integer; the expected table's 25
+    rationals floor-quantize at 1e-6; first/last use the same
+    struct-ordered deterministic pick as ``stats_mcnemar_bowker``.
+
+    Scale: one per-customer aggregate to a ≤25-cell table; 25-row
+    margin cross join."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.struct(
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("p"),
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min(key).getField("p").alias("first_p"),
+        F.max(key).getField("p").alias("last_p"),
+    )
+    cells = per_cust.groupBy(
+        F.substring("first_p", 1, 1).cast("long").alias("i"),
+        F.substring("last_p", 1, 1).cast("long").alias("j"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    marg = cells.agg(F.sum("c").cast("long").alias("n"))
+    ri = cells.groupBy("i").agg(F.sum("c").cast("long").alias("ci"))
+    cj = cells.groupBy("j").agg(F.sum("c").cast("long").alias("cj"))
+    obs = cells.agg(
+        F.sum(
+            F.col("c") * (F.col("i") - F.col("j")) * (F.col("i") - F.col("j"))
+        )
+        .cast("long")
+        .alias("oq"),
+        F.sum(F.col("c") * F.abs(F.col("i") - F.col("j")))
+        .cast("long")
+        .alias("ol"),
+    )
+    expd = (
+        ri.crossJoin(cj)
+        .crossJoin(F.broadcast(marg))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("ci").cast("double")
+                    * F.col("cj")
+                    / F.col("n")
+                    * (F.col("i") - F.col("j"))
+                    * (F.col("i") - F.col("j"))
+                    * 1e6
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("eq"),
+            F.sum(
+                F.floor(
+                    F.col("ci").cast("double")
+                    * F.col("cj")
+                    / F.col("n")
+                    * F.abs(F.col("i") - F.col("j"))
+                    * 1e6
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("el"),
+        )
+    )
+    return (
+        obs.crossJoin(F.broadcast(expd))
+        .crossJoin(F.broadcast(marg))
+        .select(
+            F.col("n").alias("n_cust"),
+            F.round(
+                1 - F.col("oq").cast("double") / (F.col("eq") / 1e6), 6
+            ).alias("kappa_quadratic"),
+            F.round(
+                1 - F.col("ol").cast("double") / (F.col("el") / 1e6), 6
+            ).alias("kappa_linear"),
+        )
+    )
+
+
+@register(
+    "ts_spectral_flatness",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ), idx AS (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t,
+               AVG(cnt) OVER () AS mu,
+               COUNT(*) OVER () AS n
+        FROM daily
+    ), p AS (
+        SELECT per.p,
+               CAST(SUM(CAST(FLOOR((cnt - mu)
+                   * COS(2 * PI() * t / per.p) * 1e6) AS BIGINT)) AS BIGINT)
+                   AS c_q,
+               CAST(SUM(CAST(FLOOR((cnt - mu)
+                   * SIN(2 * PI() * t / per.p) * 1e6) AS BIGINT)) AS BIGINT)
+                   AS s_q,
+               CAST(MAX(n) AS BIGINT) AS n
+        FROM idx CROSS JOIN (SELECT UNNEST(RANGE(2, 17)) AS p) per
+        GROUP BY per.p
+    ), pw AS (
+        SELECT p,
+               ((c_q / 1e6) * (c_q / 1e6) + (s_q / 1e6) * (s_q / 1e6))
+                   / n AS power
+        FROM p
+    ), folds AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(FLOOR(LN(power) * 1e9) AS BIGINT))
+                    AS BIGINT) AS lnq,
+               CAST(SUM(CAST(FLOOR(power * 1e6) AS BIGINT)) AS BIGINT)
+                   AS sq,
+               MAX(CASE WHEN power = (SELECT MAX(power) FROM pw)
+                        THEN p END) AS peak_p
+        FROM pw
+    )
+    SELECT k AS n_frequencies,
+           ROUND(EXP(lnq / 1e9 / k) / (sq / 1e6 / k), 6)
+               AS spectral_flatness,
+           CAST(peak_p AS BIGINT) AS peak_period_days,
+           ROUND(sq / 1e6 / k, 4) AS mean_power
+    FROM folds
+    """,
+)
+def ts_spectral_flatness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral flatness (Wiener entropy) of the daily event-count
+    spectrum over periods 2–16 days: geometric mean power / arithmetic
+    mean power — 1 for white noise (flat spectrum), → 0 when one line
+    (here the weekly cadence; peak period published) concentrates the
+    energy. The single-number "is this series tone-like or
+    noise-like" summary that decides whether seasonal modeling
+    (``ts_seasonality``, ``ts_welch_periodogram``) is worth a
+    pipeline stage. Trig terms quantize at 1e-6; the geometric mean
+    folds ln(power) at 1e-9 as integers.
+
+    Scale: one aggregate to O(days), 15 frequency cells."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_ord = Window.orderBy("day")
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    idx = daily.select(
+        "cnt",
+        (F.row_number().over(w_ord) - 1).alias("t"),
+        F.avg("cnt").over(w_all).alias("mu"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    ps = spark.range(2, 17).select(F.col("id").cast("int").alias("p"))
+    theta = 2 * math.pi * F.col("t") / F.col("p")
+    p = (
+        idx.crossJoin(F.broadcast(ps))
+        .groupBy("p")
+        .agg(
+            F.sum(
+                F.floor((F.col("cnt") - F.col("mu")) * F.cos(theta) * 1e6)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("c_q"),
+            F.sum(
+                F.floor((F.col("cnt") - F.col("mu")) * F.sin(theta) * 1e6)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("s_q"),
+            F.max("n").cast("long").alias("n"),
+        )
+    )
+    pw = p.select(
+        "p",
+        (
+            (
+                (F.col("c_q") / 1e6) * (F.col("c_q") / 1e6)
+                + (F.col("s_q") / 1e6) * (F.col("s_q") / 1e6)
+            )
+            / F.col("n")
+        ).alias("power"),
+    )
+    mx = pw.agg(F.max("power").alias("mxp"))
+    folds = pw.crossJoin(F.broadcast(mx)).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.floor(F.log("power") * 1e9).cast("long"))
+        .cast("long")
+        .alias("lnq"),
+        F.sum(F.floor(F.col("power") * 1e6).cast("long"))
+        .cast("long")
+        .alias("sq"),
+        F.max(
+            F.when(F.col("power") == F.col("mxp"), F.col("p"))
+        ).alias("peak_p"),
+    )
+    k = F.col("k")
+    return folds.select(
+        k.alias("n_frequencies"),
+        F.round(
+            F.exp(F.col("lnq") / 1e9 / k) / (F.col("sq") / 1e6 / k), 6
+        ).alias("spectral_flatness"),
+        F.col("peak_p").cast("long").alias("peak_period_days"),
+        F.round(F.col("sq") / 1e6 / k, 4).alias("mean_power"),
+    )

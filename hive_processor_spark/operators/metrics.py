@@ -9795,3 +9795,299 @@ def ts_spectral_flatness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("peak_p").cast("long").alias("peak_period_days"),
         F.round(F.col("sq") / 1e6 / k, 4).alias("mean_power"),
     )
+
+
+@register(
+    "ml_recall_at_fpr",
+    """
+    WITH s AS (
+        SELECT CAST(FLOOR(LEAST(value / 500.0, 1.0) * 1e6) AS BIGINT)
+                   AS sq,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ), grp AS (
+        SELECT sq, CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(SUM(1 - y) AS BIGINT) AS neg
+        FROM s GROUP BY sq
+    ), tot AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS p,
+               CAST(SUM(neg) AS BIGINT) AS n
+        FROM grp
+    ), cum AS (
+        SELECT sq, pos, neg,
+               SUM(neg) OVER (ORDER BY sq DESC ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS fp_at,
+               SUM(pos) OVER (ORDER BY sq DESC ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS tp_at
+        FROM grp
+    ), pick AS (
+        SELECT MAX(CASE WHEN ok THEN sq END) AS thresh_q,
+               MAX(CASE WHEN ok THEN tp_at END) AS tp,
+               MAX(CASE WHEN ok THEN fp_at END) AS fp
+        FROM (
+            SELECT c.sq, c.tp_at, c.fp_at,
+                   c.fp_at * 100 <= t.n
+                   AND c.sq = (SELECT MIN(c2.sq) FROM cum c2
+                               CROSS JOIN tot t2
+                               WHERE c2.fp_at * 100 <= t2.n) AS ok
+            FROM cum c CROSS JOIN tot t
+        )
+    )
+    SELECT t.p AS n_pos, t.n AS n_neg,
+           ROUND(p2.thresh_q / 1e6, 6) AS threshold,
+           ROUND(CAST(p2.fp AS DOUBLE) / t.n, 6) AS achieved_fpr,
+           ROUND(CAST(p2.tp AS DOUBLE) / t.p, 6) AS recall_at_1pct_fpr
+    FROM pick p2 CROSS JOIN tot t
+    """,
+)
+def ml_recall_at_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating point at a FIXED false-positive budget: the lowest
+    score threshold whose FPR stays ≤ 1%, and the recall it buys —
+    the number a production alerting/triage system actually commits
+    to ("we can page on at most 1% of benign traffic"), which a
+    scalar AUC (``ml_auc_roc``) deliberately averages away. The scan
+    walks the distinct-score cumulative frame from the top; threshold
+    selection compares exact integers (fp·100 ≤ n avoids any rational
+    FPR), and the achieved FPR is published because score ties mean
+    you rarely land exactly on the budget.
+
+    Scale: demote-to-distinct — one shuffle to score groups, one
+    descending cumulative window."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.floor(F.least(F.col("value") / 500.0, F.lit(1.0)) * 1e6)
+        .cast("long")
+        .alias("sq"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    grp = s.groupBy("sq").agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("neg"),
+    )
+    tot = grp.agg(
+        F.sum("pos").cast("long").alias("p"),
+        F.sum("neg").cast("long").alias("n"),
+    )
+    w_desc = Window.orderBy(F.desc("sq")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grp.select(
+        "sq",
+        F.sum("neg").over(w_desc).alias("fp_at"),
+        F.sum("pos").over(w_desc).alias("tp_at"),
+    )
+    ok = cum.crossJoin(F.broadcast(tot)).filter(
+        F.col("fp_at") * 100 <= F.col("n")
+    )
+    pick = ok.agg(
+        F.min("sq").alias("thresh_q"),
+        F.max("tp_at").alias("tp"),
+        F.max("fp_at").alias("fp"),
+    )
+    return pick.crossJoin(F.broadcast(tot)).select(
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        F.round(F.col("thresh_q") / 1e6, 6).alias("threshold"),
+        F.round(F.col("fp").cast("double") / F.col("n"), 6).alias(
+            "achieved_fpr"
+        ),
+        F.round(F.col("tp").cast("double") / F.col("p"), 6).alias(
+            "recall_at_1pct_fpr"
+        ),
+    )
+
+
+@register(
+    "stats_cox_stuart",
+    """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1
+    ), seq AS (
+        SELECT rev, ROW_NUMBER() OVER (ORDER BY day) AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM daily
+    ), pairs AS (
+        SELECT a.rev AS x1, b.rev AS x2
+        FROM seq a JOIN seq b
+          ON b.i = a.i + (a.n + a.n % 2) / 2
+         AND a.i <= a.n - (a.n + a.n % 2) / 2
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN x2 > x1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_up,
+               CAST(SUM(CASE WHEN x2 < x1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_down,
+               CAST(SUM(CASE WHEN x2 = x1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ties
+        FROM pairs
+    )
+    SELECT n_pairs, n_up, n_down, n_ties,
+           ROUND((n_up - 0.5 * (n_up + n_down))
+                 / SQRT(0.25 * (n_up + n_down)), 4) AS z
+    FROM s
+    """,
+)
+def stats_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox–Stuart trend test (Cox & Stuart '55): pair day i with day
+    i + n/2 and sign-test the second-half-vs-first-half comparisons —
+    the assumption-free trend screen that needs NOTHING but signs
+    (monotone-transform invariant, outlier-immune), the five-minute
+    check before the heavier ``agg_mann_kendall``/``agg_theil_sen``
+    machinery. Ties (possible in exact cents) drop out per the sign
+    test; z = (U − m/2)/√(m/4) over the untied pairs. The ceil(n/2) offset
+    join is exact integer index arithmetic; for odd n the middle day
+    drops out (the classic alignment).
+
+    Scale: one aggregate to O(days); the pair join is an equi-join on
+    the shifted index."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    w_ord = Window.orderBy("day")
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    seq = daily.select(
+        "rev",
+        F.row_number().over(w_ord).alias("i"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    offset = ((F.col("na") + F.col("na") % 2) / 2).cast("long")
+    a = seq.select(
+        F.col("rev").alias("x1"),
+        F.col("i").alias("ia"),
+        F.col("n").alias("na"),
+    ).filter(
+        F.col("ia")
+        <= F.col("na") - ((F.col("na") + F.col("na") % 2) / 2).cast("long")
+    )
+    b = seq.select(F.col("rev").alias("x2"), F.col("i").alias("ib"))
+    pairs = a.join(b, F.col("ib") == F.col("ia") + offset)
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("x2") > F.col("x1"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_up"),
+        F.sum(F.when(F.col("x2") < F.col("x1"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+        F.sum(F.when(F.col("x2") == F.col("x1"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ties"),
+    )
+    m = F.col("n_up") + F.col("n_down")
+    return s.select(
+        "n_pairs",
+        "n_up",
+        "n_down",
+        "n_ties",
+        F.round(
+            (F.col("n_up") - 0.5 * m) / F.sqrt(0.25 * m), 4
+        ).alias("z"),
+    )
+
+
+@register(
+    "ts_kupiec_pof",
+    """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT))
+                    AS BIGINT) AS rev_q
+        FROM lineitem GROUP BY 1
+    ), rets AS (
+        SELECT CAST(FLOOR(LN(CAST(rev_q AS DOUBLE)
+                             / LAG(rev_q) OVER (ORDER BY day)) * 1e6)
+                    AS BIGINT) AS r
+        FROM daily
+    ), rr AS (SELECT r FROM rets WHERE r IS NOT NULL),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rr),
+    var5 AS (
+        SELECT MIN(r) AS var_q FROM (
+            SELECT r, SUM(c) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cum, n
+            FROM (SELECT r, CAST(COUNT(*) AS BIGINT) AS c FROM rr
+                  GROUP BY r) CROSS JOIN nn
+        ) WHERE cum >= CAST(CEIL(0.05 * n) AS BIGINT)
+    ), viol AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS x
+        FROM rr CROSS JOIN var5 WHERE r < var_q
+    )
+    SELECT n.n AS n_days, ROUND(v5.var_q / 1e6, 6) AS var_5pct_return,
+           v.x AS n_violations,
+           ROUND(CAST(v.x AS DOUBLE) / n.n, 6) AS violation_rate,
+           ROUND(-2 * ((n.n - v.x) * LN(0.95) + v.x * LN(0.05)
+                 - (n.n - v.x) * LN(1 - CAST(v.x AS DOUBLE) / n.n)
+                 - v.x * LN(CAST(v.x AS DOUBLE) / n.n)), 4) AS lr_pof
+    FROM nn n CROSS JOIN var5 v5 CROSS JOIN viol v
+    """,
+)
+def ts_kupiec_pof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kupiec proportion-of-failures VaR backtest (Kupiec '95): take
+    the in-sample 5% VaR of daily log revenue returns (exact order
+    statistic over the quantized-return distinct frame — the same
+    quantile discipline as ``ts_var_cvar``), count days breaching it,
+    and test whether the violation rate is consistent with 5% via the
+    binomial likelihood ratio LR_pof = −2ln[(1−p)^{n−x}p^x /
+    ((1−x̂)^{n−x}x̂^x)] ~ χ²₁ — the regulatory (Basel) first question
+    about any risk model. In-sample the rate lands near 5% by
+    construction, so LR_pof ≈ small — which IS the audit: the
+    quantile and the count agree through two different paths.
+
+    Scale: O(days) frame, one distinct-value cumulative window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 10000.0).cast("long"))
+        .cast("long")
+        .alias("rev_q")
+    )
+    w_ord = Window.orderBy("day")
+    rets = daily.select(
+        F.floor(
+            F.log(F.col("rev_q").cast("double") / F.lag("rev_q").over(w_ord))
+            * 1e6
+        )
+        .cast("long")
+        .alias("r")
+    ).filter(F.col("r").isNotNull())
+    nn = rets.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grp = rets.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_cum = Window.orderBy("r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grp.crossJoin(F.broadcast(nn)).select(
+        "r",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.col("n"),
+    )
+    var5 = cum.filter(
+        F.col("cum") >= F.ceil(0.05 * F.col("n")).cast("long")
+    ).agg(F.min("r").alias("var_q"))
+    viol = rets.crossJoin(F.broadcast(var5)).filter(
+        F.col("r") < F.col("var_q")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    n, x = F.col("n"), F.col("x")
+    xr = x.cast("double") / n
+    lr = -2 * (
+        (n - x) * F.log(F.lit(0.95))
+        + x * F.log(F.lit(0.05))
+        - (n - x) * F.log(1 - xr)
+        - x * F.log(xr)
+    )
+    return (
+        nn.crossJoin(F.broadcast(var5))
+        .crossJoin(F.broadcast(viol))
+        .select(
+            n.alias("n_days"),
+            F.round(F.col("var_q") / 1e6, 6).alias("var_5pct_return"),
+            x.alias("n_violations"),
+            F.round(xr, 6).alias("violation_rate"),
+            F.round(lr, 4).alias("lr_pof"),
+        )
+    )

@@ -10091,3 +10091,165 @@ def ts_kupiec_pof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(lr, 4).alias("lr_pof"),
         )
     )
+
+
+def _poisson_em_sql() -> str:
+    step = """
+    , est{K} AS (
+        SELECT g.x, g.f,
+               1.0 / (1.0 + EXP(-(LN(p.pi / (1 - p.pi))
+                     + g.x * LN(p.l1 / p.l2) - (p.l1 - p.l2)))) AS gam
+        FROM grp g CROSS JOIN par{P} p
+    ), folds{K} AS (
+        SELECT CAST(SUM(f) AS BIGINT) AS nf,
+               CAST(SUM(CAST(FLOOR(f * gam * 1e9) AS BIGINT)) AS BIGINT)
+                   AS fg,
+               CAST(SUM(CAST(FLOOR(f * gam * x * 1e6) AS BIGINT))
+                    AS BIGINT) AS fgx,
+               CAST(SUM(CAST(FLOOR(f * (1 - gam) * x * 1e6) AS BIGINT))
+                    AS BIGINT) AS fhx
+        FROM est{K}
+    ), par{K} AS (
+        SELECT (fg / 1e9) / nf AS pi,
+               (fgx / 1e6) / (fg / 1e9) AS l1,
+               (fhx / 1e6) / (nf - fg / 1e9) AS l2
+        FROM folds{K}
+    )"""
+    body = "".join(step.format(K=k, P=k - 1) for k in (1, 2, 3))
+    return f"""
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), grp AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS f FROM daily GROUP BY x
+    ), qs AS (
+        SELECT MIN(CASE WHEN cum >= CAST(CEIL(0.25 * n) AS BIGINT)
+                   THEN x END) AS q1,
+               MIN(CASE WHEN cum >= CAST(CEIL(0.75 * n) AS BIGINT)
+                   THEN x END) AS q3
+        FROM (
+            SELECT x, SUM(f) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(f) OVER () AS n
+            FROM grp
+        )
+    ), par0 AS (
+        SELECT 0.5 AS pi, CAST(q1 AS DOUBLE) AS l1,
+               CAST(q3 AS DOUBLE) AS l2
+        FROM qs
+    ){body}
+    SELECT CAST(3 AS BIGINT) AS em_iterations,
+           ROUND(p.pi, 6) AS pi_low,
+           ROUND(p.l1, 4) AS lambda_low,
+           ROUND(p.l2, 4) AS lambda_high,
+           ROUND(p.l2 / p.l1, 4) AS separation_ratio
+    FROM par3 p
+    """
+
+
+@register("ml_poisson_mixture_em", _poisson_em_sql())
+def ml_poisson_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component Poisson mixture on daily event counts by THREE
+    unrolled EM iterations — the model ``events_poisson_dispersion``
+    motivates (overdispersion usually IS a regime mixture: quiet days
+    vs campaign days). E-step responsibilities are one logistic
+    closed form per DISTINCT count value (γ = σ(logit π + x·ln(λ₁/λ₂)
+    − (λ₁−λ₂)) — Poisson likelihood ratios fold into the logit, no
+    factorials needed); M-step weighted sums floor-quantize (1e-9 for
+    γ mass, 1e-6 for γ·x) before integer folding, so all three
+    iterations are engine-identical. Initialized deterministically at
+    the count quartiles with π = 0.5; the separation ratio λ₂/λ₁
+    says whether two regimes are really there.
+
+    Scale: EM runs entirely on the O(distinct daily counts) frame —
+    fact-scale work is one aggregate; each iteration is a broadcast
+    of 3 scalars."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    grp = daily.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    w_cum = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = grp.select(
+        "x",
+        F.sum("f").over(w_cum).alias("cum"),
+        F.sum("f").over(w_all).alias("n"),
+    )
+    qs = cum.agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(0.25 * F.col("n")).cast("long"),
+                F.col("x"),
+            )
+        ).alias("q1"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(0.75 * F.col("n")).cast("long"),
+                F.col("x"),
+            )
+        ).alias("q3"),
+    )
+    par = qs.select(
+        F.lit(0.5).alias("pi"),
+        F.col("q1").cast("double").alias("l1"),
+        F.col("q3").cast("double").alias("l2"),
+    )
+    for _ in range(3):
+        est = grp.crossJoin(F.broadcast(par)).select(
+            "x",
+            "f",
+            (
+                1.0
+                / (
+                    1.0
+                    + F.exp(
+                        -(
+                            F.log(F.col("pi") / (1 - F.col("pi")))
+                            + F.col("x") * F.log(F.col("l1") / F.col("l2"))
+                            - (F.col("l1") - F.col("l2"))
+                        )
+                    )
+                )
+            ).alias("gam"),
+        )
+        folds = est.agg(
+            F.sum("f").cast("long").alias("nf"),
+            F.sum(F.floor(F.col("f") * F.col("gam") * 1e9).cast("long"))
+            .cast("long")
+            .alias("fg"),
+            F.sum(
+                F.floor(F.col("f") * F.col("gam") * F.col("x") * 1e6).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("fgx"),
+            F.sum(
+                F.floor(
+                    F.col("f") * (1 - F.col("gam")) * F.col("x") * 1e6
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("fhx"),
+        )
+        par = folds.select(
+            ((F.col("fg") / 1e9) / F.col("nf")).alias("pi"),
+            ((F.col("fgx") / 1e6) / (F.col("fg") / 1e9)).alias("l1"),
+            (
+                (F.col("fhx") / 1e6)
+                / (F.col("nf") - F.col("fg") / 1e9)
+            ).alias("l2"),
+        )
+    return par.select(
+        F.lit(3).cast("long").alias("em_iterations"),
+        F.round(F.col("pi"), 6).alias("pi_low"),
+        F.round(F.col("l1"), 4).alias("lambda_low"),
+        F.round(F.col("l2"), 4).alias("lambda_high"),
+        F.round(F.col("l2") / F.col("l1"), 4).alias("separation_ratio"),
+    )

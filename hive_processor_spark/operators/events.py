@@ -7561,3 +7561,110 @@ def spc_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("p"), 6).alias("max_daily_p"),
         F.round(F.min("p"), 6).alias("min_daily_p"),
     )
+
+
+@register(
+    "ts_pettitt",
+    """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1
+    ), rnk AS (
+        SELECT day,
+               RANK() OVER (ORDER BY rev)
+               + (COUNT(*) OVER (PARTITION BY rev) - 1) / 2.0 AS r,
+               ROW_NUMBER() OVER (ORDER BY day) AS t,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM daily
+    ), u AS (
+        SELECT day, t, n,
+               2 * SUM(r) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) - t * (n + 1.0) AS ut
+        FROM rnk
+    ), best AS (
+        SELECT day, t, n, ut,
+               ROW_NUMBER() OVER (ORDER BY ABS(ut) DESC, day) AS rk
+        FROM u WHERE t < n
+    )
+    SELECT STRFTIME(day, '%Y-%m-%d') AS change_day,
+           CAST(t AS BIGINT) AS split_index, n AS n_days,
+           ROUND(ABS(ut), 2) AS k_stat,
+           ROUND(LEAST(1.0, 2 * EXP(-6.0 * ut * ut
+                 / (CAST(n AS DOUBLE) * n * n
+                    + CAST(n AS DOUBLE) * n))), 6) AS p_approx
+    FROM best WHERE rk = 1
+    """,
+)
+def ts_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt's nonparametric changepoint test (Pettitt '79) on daily
+    revenue: the Mann–Whitney-style statistic Uₜ = Σ_{i≤t}Σ_{j>t}
+    sgn(xⱼ−xᵢ) collapses — via the rank identity Uₜ = 2Rₜ − t(n+1)
+    with midranks — to ONE cumulative sum over the ranked series, so
+    the O(n²) pairwise definition costs one window pass; K = max|Uₜ|,
+    with Pettitt's p ≈ 2exp(−6K²/(n³+n²)). The distribution-free
+    companion to ``ts_poisson_changepoint`` (no Poisson assumption,
+    robust to outliers) and the changepoint twin of the MK trend
+    family. Ranks are exact midranks over exact cents; argmax ties
+    break on day.
+
+    Scale: O(days) frame; two windows (rank, cumsum) + a top-1."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    w_rank = Window.orderBy("rev")
+    w_tie = Window.partitionBy("rev")
+    w_day = Window.orderBy("day")
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rnk = daily.select(
+        "day",
+        (
+            F.rank().over(w_rank)
+            + (F.count(F.lit(1)).over(w_tie) - 1) / F.lit(2.0)
+        ).alias("r"),
+        F.row_number().over(w_day).alias("t"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    u = rnk.select(
+        "day",
+        "t",
+        "n",
+        (
+            2 * F.sum("r").over(w_cum) - F.col("t") * (F.col("n") + F.lit(1.0))
+        ).alias("ut"),
+    ).filter(F.col("t") < F.col("n"))
+    best = u.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.abs(F.col("ut")).desc(), F.asc("day")))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    n = F.col("n")
+    return best.select(
+        F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+        F.col("t").cast("long").alias("split_index"),
+        n.alias("n_days"),
+        F.round(F.abs(F.col("ut")), 2).alias("k_stat"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                2
+                * F.exp(
+                    -6.0
+                    * F.col("ut")
+                    * F.col("ut")
+                    / (n.cast("double") * n * n + n.cast("double") * n)
+                ),
+            ),
+            6,
+        ).alias("p_approx"),
+    )

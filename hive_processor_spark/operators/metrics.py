@@ -10253,3 +10253,214 @@ def ml_poisson_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l2"), 4).alias("lambda_high"),
         F.round(F.col("l2") / F.col("l1"), 4).alias("separation_ratio"),
     )
+
+
+@register(
+    "stats_kendall_w",
+    """
+    WITH cell AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS blk,
+               o_orderpriority AS trt,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cell_v
+        FROM orders GROUP BY 1, 2
+    ), full_blk AS (
+        SELECT blk FROM cell GROUP BY blk HAVING COUNT(*) = 5
+    ), rnk AS (
+        SELECT c.blk, c.trt,
+               RANK() OVER (PARTITION BY c.blk ORDER BY c.cell_v)
+               + (COUNT(*) OVER (PARTITION BY c.blk, c.cell_v) - 1) / 2.0
+                   AS r
+        FROM cell c JOIN full_blk f ON f.blk = c.blk
+    ), rsums AS (
+        SELECT trt, SUM(r) AS rj,
+               CAST(COUNT(*) AS BIGINT) AS m
+        FROM rnk GROUP BY trt
+    ), s AS (
+        SELECT CAST(MAX(m) AS BIGINT) AS m,
+               SUM((rj - (SELECT AVG(rj) FROM rsums))
+                   * (rj - (SELECT AVG(rj) FROM rsums))) AS ss,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM rsums
+    )
+    SELECT m AS n_blocks, k,
+           ROUND(12.0 * ss
+                 / (CAST(m AS DOUBLE) * m * k * (k * k - 1)), 6)
+               AS kendall_w,
+           ROUND(CAST(m AS DOUBLE) * (k - 1) * 12.0 * ss
+                 / (CAST(m AS DOUBLE) * m * k * (k * k - 1)), 4)
+               AS friedman_chi2_identity
+    FROM s
+    """,
+)
+def stats_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W (Kendall & Babington
+    Smith '39) — do the m month-blocks AGREE on how the five priority
+    classes rank? W = 12·SS(R_j)/(m²k(k²−1)) ∈ [0,1]: 1 = every month
+    produces the identical ranking, 0 = no agreement — the effect
+    SIZE whose significance test is exactly Friedman's
+    (χ²_F = m(k−1)·W, published as friedman_chi2_identity so the gate
+    pins the algebraic bridge to ``stats_friedman``). Midranks from
+    the exact integer cell sums; SS folds over 5 rank sums.
+
+    Scale: O(months × 5) cells, 5-row algebra."""
+    o = load_table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("blk"),
+        F.col("o_orderpriority").alias("trt"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("cell_v")
+    )
+    full_blk = (
+        cell.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == 5)
+        .select("blk")
+    )
+    w_rank = Window.partitionBy("blk").orderBy("cell_v")
+    w_tie = Window.partitionBy("blk", "cell_v")
+    rnk = cell.join(full_blk, "blk").select(
+        "trt",
+        (
+            F.rank().over(w_rank)
+            + (F.count(F.lit(1)).over(w_tie) - 1) / F.lit(2.0)
+        ).alias("r"),
+    )
+    rsums = rnk.groupBy("trt").agg(
+        F.sum("r").alias("rj"), F.count(F.lit(1)).cast("long").alias("m")
+    )
+    mean_rj = rsums.agg(F.avg("rj").alias("mu"))
+    s = rsums.crossJoin(F.broadcast(mean_rj)).agg(
+        F.max("m").cast("long").alias("m"),
+        F.sum(
+            (F.col("rj") - F.col("mu")) * (F.col("rj") - F.col("mu"))
+        ).alias("ss"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    m, k = F.col("m"), F.col("k")
+    w = 12.0 * F.col("ss") / (m.cast("double") * m * k * (k * k - 1))
+    return s.select(
+        m.alias("n_blocks"),
+        k,
+        F.round(w, 6).alias("kendall_w"),
+        F.round(m.cast("double") * (k - 1) * w, 4).alias(
+            "friedman_chi2_identity"
+        ),
+    )
+
+
+@register(
+    "stats_newcombe_ci",
+    """
+    WITH arms AS (
+        SELECT CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS arm,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ), s AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS x
+        FROM arms GROUP BY arm
+    ), wil AS (
+        SELECT arm, n, x,
+               CAST(x AS DOUBLE) / n AS p,
+               (CAST(x AS DOUBLE) + 1.9208) / (n + 3.8416)
+               - 1.96 * SQRT((CAST(x AS DOUBLE) * (n - x) / n + 0.9604))
+                 / (n + 3.8416) AS lo,
+               (CAST(x AS DOUBLE) + 1.9208) / (n + 3.8416)
+               + 1.96 * SQRT((CAST(x AS DOUBLE) * (n - x) / n + 0.9604))
+                 / (n + 3.8416) AS hi
+        FROM s
+    ), pair AS (
+        SELECT a.n AS n1, a.x AS x1, a.p AS p1, a.lo AS l1, a.hi AS u1,
+               b.n AS n2, b.x AS x2, b.p AS p2, b.lo AS l2, b.hi AS u2
+        FROM (SELECT * FROM wil WHERE arm = 1) a
+        CROSS JOIN (SELECT * FROM wil WHERE arm = 0) b
+    )
+    SELECT n1 AS n_exposed, n2 AS n_unexposed,
+           ROUND(p1, 6) AS p_exposed,
+           ROUND(p2, 6) AS p_unexposed,
+           ROUND(p1 - p2, 6) AS diff,
+           ROUND(p1 - p2 - SQRT((p1 - l1) * (p1 - l1)
+                                + (u2 - p2) * (u2 - p2)), 6) AS ci_lower,
+           ROUND(p1 - p2 + SQRT((u1 - p1) * (u1 - p1)
+                                + (p2 - l2) * (p2 - l2)), 6) AS ci_upper
+    FROM pair
+    """,
+)
+def stats_newcombe_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newcombe's hybrid score CI for a DIFFERENCE of proportions
+    (Newcombe '98 method 10; the interval recommended over the naive
+    Wald by every modern guideline): compute each arm's Wilson
+    interval (the ``stats_wilson_ci`` machinery at z = 1.96) and
+    square-and-add the one-sided margins around p̂₁−p̂₂ — never
+    degenerate at 0/1 proportions and respects the [−1,1] range,
+    which the Wald difference interval in ``stats_two_proportion_z``
+    does not. Applied to the return rate of discounted (≥5%) vs
+    undiscounted lines. Counts exact; all algebra closed-form with
+    z² = 3.8416 spelled out so both engines agree bitwise.
+
+    Scale: one conditional-count pass, two scalar Wilson intervals."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    arms = li.select(
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("arm"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    s = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("x"),
+    )
+    n, x = F.col("n"), F.col("x")
+    center = (x.cast("double") + 1.9208) / (n + 3.8416)
+    half = (
+        1.96
+        * F.sqrt(x.cast("double") * (n - x) / n + 0.9604)
+        / (n + 3.8416)
+    )
+    wil = s.select(
+        "arm",
+        n,
+        x,
+        (x.cast("double") / n).alias("p"),
+        (center - half).alias("lo"),
+        (center + half).alias("hi"),
+    )
+    a = wil.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n1"), F.col("x").alias("x1"),
+        F.col("p").alias("p1"), F.col("lo").alias("l1"),
+        F.col("hi").alias("u1"),
+    )
+    b = wil.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n2"), F.col("x").alias("x2"),
+        F.col("p").alias("p2"), F.col("lo").alias("l2"),
+        F.col("hi").alias("u2"),
+    )
+    p1, p2 = F.col("p1"), F.col("p2")
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("n1").alias("n_exposed"),
+        F.col("n2").alias("n_unexposed"),
+        F.round(p1, 6).alias("p_exposed"),
+        F.round(p2, 6).alias("p_unexposed"),
+        F.round(p1 - p2, 6).alias("diff"),
+        F.round(
+            p1
+            - p2
+            - F.sqrt(
+                (p1 - F.col("l1")) * (p1 - F.col("l1"))
+                + (F.col("u2") - p2) * (F.col("u2") - p2)
+            ),
+            6,
+        ).alias("ci_lower"),
+        F.round(
+            p1
+            - p2
+            + F.sqrt(
+                (F.col("u1") - p1) * (F.col("u1") - p1)
+                + (p2 - F.col("l2")) * (p2 - F.col("l2"))
+            ),
+            6,
+        ).alias("ci_upper"),
+    )

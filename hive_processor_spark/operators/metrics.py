@@ -10464,3 +10464,203 @@ def stats_newcombe_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ci_upper"),
     )
+
+
+@register(
+    "stats_cronbach_alpha",
+    """
+    WITH cell AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS blk,
+               o_orderpriority AS item,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders GROUP BY 1, 2
+    ), full_blk AS (
+        SELECT blk FROM cell GROUP BY blk HAVING COUNT(*) = 5
+    ), kept AS (
+        SELECT c.blk, c.item, c.v FROM cell c
+        JOIN full_blk f ON f.blk = c.blk
+    ), item_var AS (
+        SELECT item,
+               (CAST(SUM(CAST(v AS HUGEINT) * v) AS DOUBLE)
+                - CAST(SUM(v) AS DOUBLE) * SUM(v) / COUNT(*))
+               / (COUNT(*) - 1) AS vi
+        FROM kept GROUP BY item
+    ), totals AS (
+        SELECT blk, CAST(SUM(v) AS BIGINT) AS tv FROM kept GROUP BY blk
+    ), total_var AS (
+        SELECT (CAST(SUM(CAST(tv AS HUGEINT) * tv) AS DOUBLE)
+                - CAST(SUM(tv) AS DOUBLE) * SUM(tv) / COUNT(*))
+               / (COUNT(*) - 1) AS vt,
+               CAST(COUNT(*) AS BIGINT) AS m
+        FROM totals
+    ), s AS (
+        SELECT (SELECT CAST(SUM(CAST(FLOOR(vi) AS HUGEINT)) AS DOUBLE)
+                FROM item_var) AS svi,
+               vt, m, CAST(5 AS BIGINT) AS k
+        FROM total_var
+    )
+    SELECT m AS n_blocks, k AS n_items,
+           ROUND(svi / 1e4, 4) AS sum_item_var_dollars2,
+           ROUND(vt / 1e4, 4) AS total_var_dollars2,
+           ROUND((k / (k - 1.0)) * (1 - svi / vt), 6) AS cronbach_alpha
+    FROM s
+    """,
+)
+def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha (Cronbach '51) treating the five priority
+    classes as ITEMS measured across month blocks: α = k/(k−1)·
+    (1 − Σσᵢ²/σ_T²) — high when the five monthly series co-move (one
+    underlying "month demand" factor), the internal-consistency view
+    of the same design ``stats_kendall_w`` scores by ranks and
+    ``stats_icc_oneway`` scores as variance shares (α is the
+    mean-of-all-split-halves reliability). Item and total variances
+    come from exact integer sums (squares in 128-bit).
+
+    Scale: O(months × 5) cells; scalar algebra."""
+    o = load_table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("blk"),
+        F.col("o_orderpriority").alias("item"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    full_blk = (
+        cell.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == 5)
+        .select("blk")
+    )
+    kept = cell.join(full_blk, "blk")
+
+    def _var(df, col, grp=None):
+        agg = (
+            (
+                F.sum(F.col(col).cast("decimal(38,0)") * F.col(col)).cast(
+                    "double"
+                )
+                - F.sum(col).cast("double") * F.sum(col) / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("vv")
+        return df.groupBy(grp).agg(agg) if grp else df.agg(agg)
+
+    item_var = _var(kept, "v", "item")
+    # the five per-item variances are deterministic scalars, but their
+    # plain double SUM is addition-order-sensitive — floor to whole
+    # cents² and fold in decimal so both engines agree bitwise
+    svi = item_var.agg(
+        F.sum(F.floor(F.col("vv")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("svi")
+    )
+    totals = kept.groupBy("blk").agg(F.sum("v").cast("long").alias("tv"))
+    total_var = totals.agg(
+        (
+            (
+                F.sum(F.col("tv").cast("decimal(38,0)") * F.col("tv")).cast(
+                    "double"
+                )
+                - F.sum("tv").cast("double") * F.sum("tv") / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("vt"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    k = F.lit(5.0)
+    return svi.crossJoin(F.broadcast(total_var)).select(
+        F.col("m").alias("n_blocks"),
+        F.lit(5).cast("long").alias("n_items"),
+        F.round(F.col("svi") / 1e4, 4).alias("sum_item_var_dollars2"),
+        F.round(F.col("vt") / 1e4, 4).alias("total_var_dollars2"),
+        F.round((k / (k - 1)) * (1 - F.col("svi") / F.col("vt")), 6).alias(
+            "cronbach_alpha"
+        ),
+    )
+
+
+@register(
+    "ml_ece_adaptive",
+    """
+    WITH s AS (
+        SELECT event_id,
+               CAST(FLOOR(LEAST(value / 500.0, 1.0) * 1e6) AS BIGINT)
+                   AS sq,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ), binned AS (
+        SELECT NTILE(10) OVER (ORDER BY sq, event_id) AS bin, sq, y
+        FROM s
+    ), per_bin AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS nk,
+               CAST(SUM(sq) AS BIGINT) AS ssq,
+               CAST(SUM(y) AS BIGINT) AS sy
+        FROM binned GROUP BY bin
+    ), tot AS (SELECT CAST(SUM(nk) AS BIGINT) AS n FROM per_bin)
+    SELECT t.n,
+           CAST(10 AS BIGINT) AS n_bins,
+           ROUND(SUM(CAST(FLOOR(nk * ABS(CAST(ssq AS DOUBLE) / nk / 1e6
+                                         - CAST(sy AS DOUBLE) / nk)
+                                * 1e9) AS BIGINT)) / 1e9 / t.n, 6)
+               AS ece_equal_mass,
+           ROUND(MAX(ABS(CAST(ssq AS DOUBLE) / nk / 1e6
+                         - CAST(sy AS DOUBLE) / nk)), 6) AS mce_equal_mass
+    FROM per_bin CROSS JOIN tot t
+    GROUP BY t.n
+    """,
+)
+def ml_ece_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive (equal-MASS) expected calibration error — deciles of
+    the score distribution instead of fixed-width bins: every bin
+    holds n/10 points, so no bin is starved and the ECE estimate
+    stops depending on where the score mass happens to sit (the known
+    failure of fixed-width ECE that Nixon et al. '19 documented;
+    compare against ``ml_calibration_error``'s fixed bins and
+    ``ml_calibration_spiegelhalter``'s bin-free Z — three estimators,
+    one question). NTILE is made deterministic by the total order
+    (score, event_id); per-bin |conf − acc| gaps floor-quantize at
+    1e-9 before the weighted fold; MCE (worst bin) published beside
+    ECE.
+
+    Scale: one global NTILE (single ordered pass over score groups —
+    at corpus scale swap in the distinct-score cumulative rank, same
+    bins) then 10 cells."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_id",
+        F.floor(F.least(F.col("value") / 500.0, F.lit(1.0)) * 1e6)
+        .cast("long")
+        .alias("sq"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    binned = s.select(
+        F.ntile(10).over(Window.orderBy("sq", "event_id")).alias("bin"),
+        "sq",
+        "y",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("sq").cast("long").alias("ssq"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    tot = per_bin.agg(F.sum("nk").cast("long").alias("n"))
+    gap = F.abs(
+        F.col("ssq").cast("double") / F.col("nk") / 1e6
+        - F.col("sy").cast("double") / F.col("nk")
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.lit(10).cast("long").alias("n_bins"),
+            F.round(
+                F.sum(F.floor(F.col("nk") * gap * 1e9).cast("long"))
+                / 1e9
+                / F.max("n"),
+                6,
+            ).alias("ece_equal_mass"),
+            F.round(F.max(gap), 6).alias("mce_equal_mass"),
+        )
+    )

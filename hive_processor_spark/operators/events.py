@@ -7668,3 +7668,202 @@ def ts_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_approx"),
     )
+
+
+@register(
+    "ts_ses_alpha_sweep",
+    """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1
+    ), seq AS (
+        SELECT rev, ROW_NUMBER() OVER (ORDER BY day) AS t
+        FROM daily
+    ), alphas AS (
+        SELECT UNNEST([0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])
+            AS alpha
+    ), weights AS (
+        SELECT a.alpha, j.j,
+               a.alpha * POWER(1 - a.alpha, j.j) AS w
+        FROM alphas a
+        CROSS JOIN (SELECT UNNEST(RANGE(0, 40)) AS j) j
+    ), fc AS (
+        SELECT w.alpha, s.t,
+               CAST(SUM(CAST(FLOOR(w.w * h.rev * 1e2) AS BIGINT))
+                    AS BIGINT) AS fq,
+               SUM(w.w) AS wsum
+        FROM seq s
+        JOIN weights w ON TRUE
+        JOIN seq h ON h.t = s.t - 1 - w.j
+        WHERE s.t > 40
+        GROUP BY w.alpha, s.t
+    ), err AS (
+        SELECT f.alpha,
+               CAST(COUNT(*) AS BIGINT) AS n_fc,
+               CAST(SUM(CAST(FLOOR(
+                   ABS(s.rev - (f.fq / 1e2) / f.wsum) / 1e2) AS BIGINT))
+                    AS BIGINT) AS sae_d
+        FROM fc f JOIN seq s ON s.t = f.t
+        GROUP BY f.alpha
+    )
+    SELECT alpha, n_fc AS n_forecasts,
+           CAST(sae_d AS BIGINT) AS sum_abs_err_dollars,
+           ROUND(CAST(sae_d AS DOUBLE) / n_fc, 2) AS mae_dollars
+    FROM err
+    ORDER BY alpha
+    """,
+)
+def ts_ses_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-exponential-smoothing model selection: one-step-ahead MAE
+    of daily revenue for seven dyadic smoothing constants α ∈
+    {1/8 … 7/8} — the design table behind "which α should ``ts_ewma``
+    run", produced in ONE joined pass instead of seven sequential
+    fits: each forecast is the truncated 40-term weighted history sum
+    (weights renormalized over the window; dyadic α keeps every
+    POWER(1−α, j) an exact binary fraction, the ``ts_croston``
+    trick), terms floor-quantized at 1e-2 cents before integer
+    folding, absolute errors floored to whole dollars. Low-α rows
+    winning = momentum; high-α winning = level shifts dominate.
+
+    Scale: the history join fans each day into 7α × 40 lags — bounded
+    constant fan-out per row, shuffle ∝ days, no sequential
+    recursion anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    w_ord = Window.orderBy("day")
+    seq = daily.select(
+        "rev", F.row_number().over(w_ord).alias("t")
+    ).localCheckpoint()
+    alphas = spark.createDataFrame(
+        [(0.125,), (0.25,), (0.375,), (0.5,), (0.625,), (0.75,), (0.875,)],
+        ["alpha"],
+    )
+    js = spark.range(0, 40).select(F.col("id").cast("int").alias("j"))
+    weights = alphas.crossJoin(js).select(
+        "alpha",
+        "j",
+        (F.col("alpha") * F.pow(1 - F.col("alpha"), F.col("j"))).alias("w"),
+    )
+    s = seq.select(F.col("rev").alias("y"), F.col("t"))
+    h = seq.select(F.col("rev").alias("hrev"), F.col("t").alias("ht"))
+    fc = (
+        s.filter(F.col("t") > 40)
+        .crossJoin(F.broadcast(weights))
+        .join(h, F.col("ht") == F.col("t") - 1 - F.col("j"))
+        .groupBy("alpha", "t")
+        .agg(
+            F.sum(
+                F.floor(F.col("w") * F.col("hrev") * 1e2).cast("long")
+            )
+            .cast("long")
+            .alias("fq"),
+            F.sum("w").alias("wsum"),
+        )
+    )
+    err = (
+        fc.join(s, "t")
+        .groupBy("alpha")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fc"),
+            F.sum(
+                F.floor(
+                    F.abs(
+                        F.col("y") - (F.col("fq") / 1e2) / F.col("wsum")
+                    )
+                    / 1e2
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("sae_d"),
+        )
+    )
+    return err.select(
+        "alpha",
+        F.col("n_fc").alias("n_forecasts"),
+        F.col("sae_d").alias("sum_abs_err_dollars"),
+        F.round(F.col("sae_d").cast("double") / F.col("n_fc"), 2).alias(
+            "mae_dollars"
+        ),
+    ).orderBy("alpha")
+
+
+@register(
+    "stats_cohen_h",
+    """
+    WITH arms AS (
+        SELECT CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS arm,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ), s AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS x
+        FROM arms GROUP BY arm
+    ), pair AS (
+        SELECT a.n AS n1, CAST(a.x AS DOUBLE) / a.n AS p1,
+               b.n AS n2, CAST(b.x AS DOUBLE) / b.n AS p2
+        FROM (SELECT * FROM s WHERE arm = 1) a
+        CROSS JOIN (SELECT * FROM s WHERE arm = 0) b
+    )
+    SELECT n1 AS n_exposed, n2 AS n_unexposed,
+           ROUND(p1, 6) AS p_exposed, ROUND(p2, 6) AS p_unexposed,
+           ROUND(2 * ASIN(SQRT(p1)) - 2 * ASIN(SQRT(p2)), 6) AS cohen_h,
+           CASE WHEN ABS(2 * ASIN(SQRT(p1)) - 2 * ASIN(SQRT(p2))) < 0.2
+                THEN 'negligible'
+                WHEN ABS(2 * ASIN(SQRT(p1)) - 2 * ASIN(SQRT(p2))) < 0.5
+                THEN 'small'
+                WHEN ABS(2 * ASIN(SQRT(p1)) - 2 * ASIN(SQRT(p2))) < 0.8
+                THEN 'medium' ELSE 'large' END AS magnitude
+    FROM pair
+    """,
+)
+def stats_cohen_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's h effect size for two proportions (Cohen '88):
+    h = 2·asin√p₁ − 2·asin√p₂ — the arcsine transform makes the
+    difference's variance independent of where on [0,1] the
+    proportions sit, so 0.10 vs 0.05 and 0.55 vs 0.50 (same naive
+    gap) get the different effect sizes they deserve. The magnitude
+    label applies Cohen's 0.2/0.5/0.8 conventions — the companion
+    every significance number in this family
+    (``stats_two_proportion_z``, ``stats_newcombe_ci``) should ship
+    with, because n makes tiny effects 'significant' at fixture
+    scale. Counts exact; one asin per arm.
+
+    Scale: one conditional-count pass, scalar algebra."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    arms = li.select(
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("arm"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    s = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("x"),
+    )
+    a = s.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n1"),
+        (F.col("x").cast("double") / F.col("n")).alias("p1"),
+    )
+    b = s.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n2"),
+        (F.col("x").cast("double") / F.col("n")).alias("p2"),
+    )
+    h = 2 * F.asin(F.sqrt(F.col("p1"))) - 2 * F.asin(F.sqrt(F.col("p2")))
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("n1").alias("n_exposed"),
+        F.col("n2").alias("n_unexposed"),
+        F.round(F.col("p1"), 6).alias("p_exposed"),
+        F.round(F.col("p2"), 6).alias("p_unexposed"),
+        F.round(h, 6).alias("cohen_h"),
+        F.when(F.abs(h) < 0.2, F.lit("negligible"))
+        .when(F.abs(h) < 0.5, F.lit("small"))
+        .when(F.abs(h) < 0.8, F.lit("medium"))
+        .otherwise(F.lit("large"))
+        .alias("magnitude"),
+    )

@@ -10664,3 +10664,254 @@ def ml_ece_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(gap), 6).alias("mce_equal_mass"),
         )
     )
+
+
+@register(
+    "stats_jackknife_groups",
+    """
+    WITH v AS (
+        SELECT c.c_nationkey AS g,
+               CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT) AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), per AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(y) AS BIGINT) AS sg
+        FROM v GROUP BY g
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS gg,
+               CAST(SUM(ng) AS BIGINT) AS n,
+               CAST(SUM(sg) AS BIGINT) AS s
+        FROM per
+    ), loo AS (
+        SELECT p.g,
+               (CAST(t.s - p.sg AS DOUBLE) / (t.n - p.ng)) AS theta_g,
+               t.gg, t.n, t.s
+        FROM per p CROSS JOIN tot t
+    ), mo AS (
+        SELECT MAX(gg) AS gg, MAX(n) AS n, MAX(s) AS s,
+               AVG(theta_g) AS theta_bar,
+               SUM((theta_g - (SELECT AVG(theta_g) FROM loo))
+                   * (theta_g - (SELECT AVG(theta_g) FROM loo))) AS ssq
+        FROM loo
+    )
+    SELECT CAST(gg AS BIGINT) AS n_groups, CAST(n AS BIGINT) AS n_obs,
+           ROUND(CAST(s AS DOUBLE) / n / 100.0, 4) AS mean_dollars,
+           ROUND(SQRT((gg - 1.0) / gg * ssq) / 100.0, 4)
+               AS jackknife_se_dollars,
+           ROUND((CAST(s AS DOUBLE) / n
+                  - 1.96 * SQRT((gg - 1.0) / gg * ssq)) / 100.0, 4)
+               AS ci_lower_dollars,
+           ROUND((CAST(s AS DOUBLE) / n
+                  + 1.96 * SQRT((gg - 1.0) / gg * ssq)) / 100.0, 4)
+               AS ci_upper_dollars
+    FROM mo
+    """,
+)
+def stats_jackknife_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped (delete-one-cluster) jackknife SE for mean order value
+    with customer NATIONS as the resampling unit (Shao & Tu ch. 5;
+    the survey-world's default variance estimator when observations
+    cluster): each leave-one-nation-out estimate θ₍₋g₎ =
+    (T−T_g)/(N−n_g) falls out of the total-minus-group sums in ONE
+    pass — no replication of the data, 25 scalar replicates — and
+    SE² = (G−1)/G·Σ(θ₍₋g₎−θ̄)². Against the i.i.d. SE this bakes in
+    the intra-nation correlation that ``sample_design_effect``
+    measures as DEFF — the two should (and do) tell one story. Sums
+    exact; replicate algebra on 25 rows.
+
+    Scale: one partial→final aggregate to clusters; the jackknife
+    itself never touches row data again."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    v = o.join(c, c.c_custkey == o.o_custkey).select(
+        F.col("c_nationkey").alias("g"),
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("y"),
+    )
+    per = v.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("y").cast("long").alias("sg"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("gg"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").cast("long").alias("s"),
+    )
+    loo = per.crossJoin(F.broadcast(tot)).select(
+        (
+            (F.col("s") - F.col("sg")).cast("double")
+            / (F.col("n") - F.col("ng"))
+        ).alias("theta_g"),
+        "gg",
+        "n",
+        "s",
+    )
+    tbar = loo.agg(F.avg("theta_g").alias("tb"))
+    mo = loo.crossJoin(F.broadcast(tbar)).agg(
+        F.max("gg").alias("gg"),
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.sum(
+            (F.col("theta_g") - F.col("tb"))
+            * (F.col("theta_g") - F.col("tb"))
+        ).alias("ssq"),
+    )
+    gg = F.col("gg")
+    se = F.sqrt((gg - F.lit(1.0)) / gg * F.col("ssq"))
+    mean = F.col("s").cast("double") / F.col("n")
+    return mo.select(
+        gg.cast("long").alias("n_groups"),
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(mean / 100.0, 4).alias("mean_dollars"),
+        F.round(se / 100.0, 4).alias("jackknife_se_dollars"),
+        F.round((mean - 1.96 * se) / 100.0, 4).alias("ci_lower_dollars"),
+        F.round((mean + 1.96 * se) / 100.0, 4).alias("ci_upper_dollars"),
+    )
+
+
+@register(
+    "ml_auc_delong_ci",
+    """
+    WITH s AS (
+        SELECT CAST(FLOOR(LEAST(value / 500.0, 1.0) * 1e6) AS BIGINT)
+                   AS sq,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ), grp AS (
+        SELECT sq, CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(SUM(1 - y) AS BIGINT) AS neg
+        FROM s GROUP BY sq
+    ), tot AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS m, CAST(SUM(neg) AS BIGINT) AS n
+        FROM grp
+    ), cum AS (
+        SELECT sq, pos, neg,
+               COALESCE(SUM(neg) OVER (ORDER BY sq ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND 1 PRECEDING), 0) AS neg_below,
+               COALESCE(SUM(pos) OVER (ORDER BY sq ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND 1 PRECEDING), 0) AS pos_below
+        FROM grp
+    ), comp AS (
+        SELECT c.pos, c.neg,
+               (c.neg_below + 0.5 * c.neg) / t.n AS v10,
+               (t.m - c.pos_below - 0.5 * c.pos) / t.m AS v01_neg
+        FROM cum c CROSS JOIN tot t
+    ), auc AS (
+        SELECT CAST(SUM(CAST(FLOOR(pos * v10 * 1e9) AS BIGINT))
+                    AS BIGINT) AS aq
+        FROM comp
+    ), s10 AS (
+        SELECT SUM(pos * (v10 - (SELECT aq / 1e9
+                                 / (SELECT m FROM tot) FROM auc))
+                   * (v10 - (SELECT aq / 1e9
+                             / (SELECT m FROM tot) FROM auc)))
+               / ((SELECT m FROM tot) - 1) AS var10
+        FROM comp
+    ), s01 AS (
+        SELECT SUM(neg * (v01_neg - (SELECT aq / 1e9
+                                     / (SELECT m FROM tot) FROM auc))
+                   * (v01_neg - (SELECT aq / 1e9
+                                 / (SELECT m FROM tot) FROM auc)))
+               / ((SELECT n FROM tot) - 1) AS var01
+        FROM comp
+    )
+    SELECT t.m AS n_pos, t.n AS n_neg,
+           ROUND(a.aq / 1e9 / t.m, 6) AS auc,
+           ROUND(SQRT(v10.var10 / t.m + v01.var01 / t.n), 6)
+               AS delong_se,
+           ROUND(a.aq / 1e9 / t.m
+                 - 1.96 * SQRT(v10.var10 / t.m + v01.var01 / t.n), 6)
+               AS ci_lower,
+           ROUND(a.aq / 1e9 / t.m
+                 + 1.96 * SQRT(v10.var10 / t.m + v01.var01 / t.n), 6)
+               AS ci_upper
+    FROM tot t CROSS JOIN auc a
+    CROSS JOIN s10 v10 CROSS JOIN s01 v01
+    """,
+)
+def ml_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC with DeLong's nonparametric confidence interval (DeLong,
+    DeLong & Clarke-Pearson '88): the structural components — per
+    POSITIVE, the fraction of negatives scored below it (mid-rank for
+    ties); per NEGATIVE, the mirrored quantity — are CONSTANT within a
+    distinct-score group, so both component variances S₁₀, S₀₁ fold
+    over the grouped frame with conditional prefix sums, and
+    SE² = S₁₀/m + S₀₁/n. The number ``ml_auc_roc`` should never be
+    quoted without (and the variance machinery two-model DeLong tests
+    build on). The AUC itself is the pos-weighted mean of v10,
+    quantized at 1e-9 — it reproduces the rank-formula AUC exactly,
+    which the tests pin.
+
+    Scale: demote-to-distinct — one shuffle to score groups, two
+    prefix windows, scalar algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.floor(F.least(F.col("value") / 500.0, F.lit(1.0)) * 1e6)
+        .cast("long")
+        .alias("sq"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    grp = s.groupBy("sq").agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("neg"),
+    )
+    tot = grp.agg(
+        F.sum("pos").cast("long").alias("m"),
+        F.sum("neg").cast("long").alias("n"),
+    )
+    w_prev = Window.orderBy("sq").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grp.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w_prev), F.lit(0)).alias("neg_below"),
+        F.coalesce(F.sum("pos").over(w_prev), F.lit(0)).alias("pos_below"),
+    )
+    comp = cum.crossJoin(F.broadcast(tot)).select(
+        "pos",
+        "neg",
+        ((F.col("neg_below") + 0.5 * F.col("neg")) / F.col("n")).alias("v10"),
+        (
+            (F.col("m") - F.col("pos_below") - 0.5 * F.col("pos"))
+            / F.col("m")
+        ).alias("v01_neg"),
+        "m",
+        "n",
+    )
+    auc = comp.agg(
+        F.sum(F.floor(F.col("pos") * F.col("v10") * 1e9).cast("long"))
+        .cast("long")
+        .alias("aq"),
+        F.max("m").alias("m"),
+        F.max("n").alias("n"),
+    )
+    a_val = auc.select(
+        (F.col("aq") / 1e9 / F.col("m")).alias("a"),
+        "m",
+        "n",
+    )
+    vs = comp.crossJoin(F.broadcast(a_val.select("a"))).agg(
+        (
+            F.sum(
+                F.col("pos")
+                * (F.col("v10") - F.col("a"))
+                * (F.col("v10") - F.col("a"))
+            )
+            / (F.max("m") - 1)
+        ).alias("var10"),
+        (
+            F.sum(
+                F.col("neg")
+                * (F.col("v01_neg") - F.col("a"))
+                * (F.col("v01_neg") - F.col("a"))
+            )
+            / (F.max("n") - 1)
+        ).alias("var01"),
+    )
+    se = F.sqrt(F.col("var10") / F.col("m") + F.col("var01") / F.col("n"))
+    return a_val.crossJoin(F.broadcast(vs)).select(
+        F.col("m").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        F.round(F.col("a"), 6).alias("auc"),
+        F.round(se, 6).alias("delong_se"),
+        F.round(F.col("a") - 1.96 * se, 6).alias("ci_lower"),
+        F.round(F.col("a") + 1.96 * se, 6).alias("ci_upper"),
+    )

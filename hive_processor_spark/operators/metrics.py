@@ -10915,3 +10915,210 @@ def ml_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("a") - 1.96 * se, 6).alias("ci_lower"),
         F.round(F.col("a") + 1.96 * se, 6).alias("ci_upper"),
     )
+
+
+@register(
+    "stats_anova_welch",
+    """
+    WITH v AS (
+        SELECT o_orderpriority AS g,
+               CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS y
+        FROM orders
+    ), per AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM v GROUP BY g
+    ), mo AS (
+        SELECT g, n,
+               CAST(sy AS DOUBLE) / n AS mean_g,
+               (CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS var_g
+        FROM per
+    ), w AS (
+        SELECT g, n, mean_g, var_g, n / var_g AS wi FROM mo
+    ), tot AS (
+        SELECT SUM(wi) AS wsum,
+               SUM(wi * mean_g) AS wmean_num,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM w
+    ), parts AS (
+        SELECT t.k,
+               SUM(x.wi * (x.mean_g - t.wmean_num / t.wsum)
+                   * (x.mean_g - t.wmean_num / t.wsum)) / (t.k - 1)
+                   AS num,
+               SUM((1 - x.wi / t.wsum) * (1 - x.wi / t.wsum)
+                   / (x.n - 1)) AS hsum
+        FROM w x CROSS JOIN tot t
+        GROUP BY t.k, t.wsum, t.wmean_num
+    )
+    SELECT k AS n_groups,
+           ROUND(num / (1 + 2.0 * (k - 2) / (k * k - 1.0) * hsum), 4)
+               AS welch_f,
+           ROUND((CAST(k AS DOUBLE) * k - 1)
+                 / (3.0 * hsum), 2) AS df2_approx,
+           CAST(k - 1 AS BIGINT) AS df1
+    FROM parts
+    """,
+)
+def stats_anova_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA (Welch '51) across the
+    five priority classes: groups are weighted by wᵢ = nᵢ/sᵢ², so
+    unequal variances do NOT inflate the test the way classical
+    ``stats_anova_oneway`` does (its F assumes homoscedasticity —
+    run ``stats_bartlett`` to see whether that assumption even
+    holds, then believe this one): F* = Σwᵢ(x̄ᵢ−x̄_w)²/(k−1) /
+    (1 + 2(k−2)/(k²−1)·Λ) with Λ = Σ(1−wᵢ/W)²/(nᵢ−1) and
+    Satterthwaite-style df₂ = (k²−1)/(3Λ). All group moments are
+    exact integers (squares in 128-bit); the weighted algebra runs
+    on 5 rows.
+
+    Scale: one partial→final aggregate to 5 groups."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("y"),
+    )
+    per = v.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    mo = per.select(
+        "g",
+        "n",
+        (F.col("sy").cast("double") / F.col("n")).alias("mean_g"),
+        (
+            (
+                F.col("syy").cast("double")
+                - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("var_g"),
+    )
+    w = mo.select(
+        "g", "n", "mean_g", "var_g", (F.col("n") / F.col("var_g")).alias("wi")
+    )
+    tot = w.agg(
+        F.sum("wi").alias("wsum"),
+        F.sum(F.col("wi") * F.col("mean_g")).alias("wmean_num"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    xw = F.col("wmean_num") / F.col("wsum")
+    parts = w.crossJoin(F.broadcast(tot)).groupBy("k", "wsum", "wmean_num").agg(
+        (
+            F.sum(
+                F.col("wi") * (F.col("mean_g") - xw) * (F.col("mean_g") - xw)
+            )
+            / (F.col("k") - 1)
+        ).alias("num"),
+        F.sum(
+            (1 - F.col("wi") / F.col("wsum"))
+            * (1 - F.col("wi") / F.col("wsum"))
+            / (F.col("n") - 1)
+        ).alias("hsum"),
+    )
+    k = F.col("k")
+    return parts.select(
+        k.alias("n_groups"),
+        F.round(
+            F.col("num")
+            / (1 + 2.0 * (k - 2) / (k * k - F.lit(1.0)) * F.col("hsum")),
+            4,
+        ).alias("welch_f"),
+        F.round(
+            (k.cast("double") * k - 1) / (3.0 * F.col("hsum")), 2
+        ).alias("df2_approx"),
+        (k - 1).cast("long").alias("df1"),
+    )
+
+
+@register(
+    "stats_bartlett",
+    """
+    WITH v AS (
+        SELECT o_orderpriority AS g,
+               CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS y
+        FROM orders
+    ), per AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM v GROUP BY g
+    ), mo AS (
+        SELECT g, n,
+               (CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS var_g
+        FROM per
+    ), parts AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               SUM((n - 1) * var_g) AS pooled_num,
+               CAST(SUM(CAST(FLOOR((n - 1) * LN(var_g) * 1e6) AS BIGINT))
+                    AS BIGINT) AS lnq,
+               SUM(1.0 / (n - 1)) AS invsum
+        FROM mo
+    )
+    SELECT k AS n_groups, nn AS n_obs,
+           ROUND(((nn - k) * LN(pooled_num / (nn - k)) - lnq / 1e6)
+                 / (1 + (invsum - 1.0 / (nn - k)) / (3.0 * (k - 1))), 4)
+               AS bartlett_chi2,
+           CAST(k - 1 AS BIGINT) AS df
+    FROM parts
+    """,
+)
+def stats_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of variance homogeneity (Bartlett '37) across
+    the priority classes: χ² = [(N−k)ln s²_p − Σ(nᵢ−1)ln sᵢ²]/C with
+    the standard correction C — the PARAMETRIC sphericity check whose
+    robust cousin is the registered ``stats_levene`` (quote Bartlett
+    under normality for power, Levene when tails are heavy; together
+    they gate the classical-vs-Welch ANOVA choice). Group variances
+    come from exact integer moments; each (nᵢ−1)ln sᵢ² term
+    floor-quantizes at 1e-6 so the k-term fold is order-free.
+
+    Scale: one partial→final aggregate to 5 groups."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("y"),
+    )
+    per = v.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    mo = per.select(
+        "n",
+        (
+            (
+                F.col("syy").cast("double")
+                - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("var_g"),
+    )
+    parts = mo.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum((F.col("n") - 1) * F.col("var_g")).alias("pooled_num"),
+        F.sum(
+            F.floor((F.col("n") - 1) * F.log("var_g") * 1e6).cast("long")
+        )
+        .cast("long")
+        .alias("lnq"),
+        F.sum(1.0 / (F.col("n") - 1)).alias("invsum"),
+    )
+    nn, k = F.col("nn"), F.col("k")
+    chi2 = (
+        (nn - k) * F.log(F.col("pooled_num") / (nn - k)) - F.col("lnq") / 1e6
+    ) / (
+        1
+        + (F.col("invsum") - F.lit(1.0) / (nn - k)) / (3.0 * (k - 1))
+    )
+    return parts.select(
+        k.alias("n_groups"),
+        nn.alias("n_obs"),
+        F.round(chi2, 4).alias("bartlett_chi2"),
+        (k - 1).cast("long").alias("df"),
+    )

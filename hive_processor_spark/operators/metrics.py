@@ -11122,3 +11122,86 @@ def stats_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 4).alias("bartlett_chi2"),
         (k - 1).cast("long").alias("df"),
     )
+
+
+@register(
+    "stats_median_ci",
+    """
+    WITH v AS (
+        SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS c
+        FROM orders
+    ), grp AS (
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS f FROM v GROUP BY c
+    ), nn AS (SELECT CAST(SUM(f) AS BIGINT) AS n FROM grp),
+    cum AS (
+        SELECT c, SUM(f) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS cc, n
+        FROM grp CROSS JOIN nn
+    ), ranks AS (
+        SELECT n,
+               CAST(FLOOR((n - 1.96 * SQRT(CAST(n AS DOUBLE))) / 2)
+                    AS BIGINT) AS rl,
+               CAST(CEIL(1 + (n + 1.96 * SQRT(CAST(n AS DOUBLE))) / 2)
+                    AS BIGINT) AS ru,
+               CAST(CEIL(0.5 * n) AS BIGINT) AS rm
+        FROM nn
+    )
+    SELECT r.n AS n_obs,
+           ROUND((SELECT MIN(c) FROM cum WHERE cc >= r.rm) / 100.0, 2)
+               AS median_dollars,
+           ROUND((SELECT MIN(c) FROM cum WHERE cc >= r.rl) / 100.0, 2)
+               AS ci_lower_dollars,
+           ROUND((SELECT MIN(c) FROM cum WHERE cc >= r.ru) / 100.0, 2)
+               AS ci_upper_dollars,
+           CAST(r.rl AS BIGINT) AS rank_lower,
+           CAST(r.ru AS BIGINT) AS rank_upper
+    FROM ranks r
+    """,
+)
+def stats_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free confidence interval for the MEDIAN order value
+    by the binomial order-statistic bounds (Conover §3.2): the 95% CI
+    is [x₍rₗ₎, x₍rᵤ₎] with rₗ = ⌊(n−1.96√n)/2⌋, rᵤ = ⌈1+(n+1.96√n)/2⌉
+    — exact coverage guarantees from the binomial(n, ½) ranks, no
+    normality, no bootstrap, no density estimate (the interval
+    ``agg_exact_median`` should have been quoting all along). All
+    three order statistics read off one distinct-value cumulative
+    frame with exact integer ranks.
+
+    Scale: demote-to-distinct; one cumulative window."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("c"))
+    grp = v.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    nn = grp.agg(F.sum("f").cast("long").alias("n"))
+    w_cum = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grp.select("c", F.sum("f").over(w_cum).alias("cc"))
+    n = F.col("n")
+    ranks = nn.select(
+        n,
+        F.floor((n - 1.96 * F.sqrt(n.cast("double"))) / 2)
+        .cast("long")
+        .alias("rl"),
+        F.ceil(1 + (n + 1.96 * F.sqrt(n.cast("double"))) / 2)
+        .cast("long")
+        .alias("ru"),
+        F.ceil(0.5 * n).cast("long").alias("rm"),
+    )
+    j = cum.crossJoin(F.broadcast(ranks))
+    pick = j.agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cc") >= F.col("rm"), F.col("c"))).alias("med"),
+        F.min(F.when(F.col("cc") >= F.col("rl"), F.col("c"))).alias("lo"),
+        F.min(F.when(F.col("cc") >= F.col("ru"), F.col("c"))).alias("hi"),
+        F.max("rl").alias("rl"),
+        F.max("ru").alias("ru"),
+    )
+    return pick.select(
+        F.col("n").alias("n_obs"),
+        F.round(F.col("med") / 100.0, 2).alias("median_dollars"),
+        F.round(F.col("lo") / 100.0, 2).alias("ci_lower_dollars"),
+        F.round(F.col("hi") / 100.0, 2).alias("ci_upper_dollars"),
+        F.col("rl").alias("rank_lower"),
+        F.col("ru").alias("rank_upper"),
+    )

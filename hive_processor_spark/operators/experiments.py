@@ -1694,3 +1694,113 @@ def ab_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("covariate")
     )
+
+
+@register(
+    "ab_proportion_power",
+    f"""
+    WITH base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(conv) AS BIGINT) AS n_conv
+        FROM (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS conv
+            FROM events GROUP BY user_id
+        )
+    ), lifts AS (
+        SELECT UNNEST([0.05, 0.10, 0.20]) AS rel_lift
+    ), calc AS (
+        SELECT l.rel_lift, b.n_users, b.n_conv,
+               CAST(b.n_conv AS DOUBLE) / b.n_users AS p1,
+               LEAST(CAST(b.n_conv AS DOUBLE) / b.n_users
+                     * (1 + l.rel_lift), 0.999) AS p2
+        FROM lifts l CROSS JOIN base b
+    )
+    SELECT rel_lift, ROUND(p1, 6) AS base_rate,
+           ROUND(p2, 6) AS target_rate,
+           CAST(CEIL(
+               POWER(1.959964 * SQRT(2 * ((p1 + p2) / 2)
+                                     * (1 - (p1 + p2) / 2))
+                     + 0.841621 * SQRT(p1 * (1 - p1) + p2 * (1 - p2)), 2)
+               / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm,
+           ROUND(CEIL(
+               POWER(1.959964 * SQRT(2 * ((p1 + p2) / 2)
+                                     * (1 - (p1 + p2) / 2))
+                     + 0.841621 * SQRT(p1 * (1 - p1) + p2 * (1 - p2)), 2)
+               / ((p2 - p1) * (p2 - p1))) * 2.0 / n_users, 2)
+               AS multiples_of_population,
+           ROUND((1.959964 + 0.841621)
+                 * SQRT(2 * p1 * (1 - p1) / (n_users / 2.0)) / p1, 6)
+               AS mde_rel_at_current_n
+    FROM calc
+    ORDER BY rel_lift
+    """,
+)
+def ab_proportion_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion power design table (Fleiss eq. 3.14 shape): for
+    relative conversion lifts of 5/10/20% over the OBSERVED per-user
+    purchase rate, the per-arm n at α = 0.05 / 80% power — n =
+    (z_{α/2}√(2p̄q̄) + z_β√(p₁q₁+p₂q₂))²/Δ² — plus two numbers every
+    experiment review actually argues about: how many multiples of
+    the current population that is, and the inverse question, the
+    minimum detectable RELATIVE effect if you just split today's
+    users (MDE = (z_α+z_β)√(2p̄q̄/(n/2))/p̄). Completes
+    ``ab_power_analysis`` (continuous means) with the binary-outcome
+    version the funnel metrics need; the target rate clamps at 0.999
+    (this fixture's per-user conversion is already high, so large
+    relative lifts saturate — the table shows exactly that); z
+    constants are the same fixed literals.
+
+    Scale: one per-user aggregate, then a 3-row design grid."""
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("conv").cast("long").alias("n_conv"),
+        )
+    )
+    lifts = spark.createDataFrame([(0.05,), (0.10,), (0.20,)], ["rel_lift"])
+    calc = lifts.crossJoin(F.broadcast(base)).select(
+        "rel_lift",
+        "n_users",
+        "n_conv",
+        (F.col("n_conv").cast("double") / F.col("n_users")).alias("p1"),
+        F.least(
+            F.col("n_conv").cast("double")
+            / F.col("n_users")
+            * (1 + F.col("rel_lift")),
+            F.lit(0.999),
+        ).alias("p2"),
+    )
+    p1, p2 = F.col("p1"), F.col("p2")
+    pbar = (p1 + p2) / 2
+    n_arm = F.ceil(
+        F.pow(
+            1.959964 * F.sqrt(2 * pbar * (1 - pbar))
+            + 0.841621 * F.sqrt(p1 * (1 - p1) + p2 * (1 - p2)),
+            F.lit(2.0),
+        )
+        / ((p2 - p1) * (p2 - p1))
+    )
+    mde = (
+        (1.959964 + 0.841621)
+        * F.sqrt(2 * p1 * (1 - p1) / (F.col("n_users") / F.lit(2.0)))
+        / p1
+    )
+    return calc.select(
+        "rel_lift",
+        F.round(p1, 6).alias("base_rate"),
+        F.round(p2, 6).alias("target_rate"),
+        n_arm.cast("long").alias("n_per_arm"),
+        F.round(n_arm * 2.0 / F.col("n_users"), 2).alias(
+            "multiples_of_population"
+        ),
+        F.round(mde, 6).alias("mde_rel_at_current_n"),
+    ).orderBy("rel_lift")

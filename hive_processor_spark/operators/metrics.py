@@ -11205,3 +11205,199 @@ def stats_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rl").alias("rank_lower"),
         F.col("ru").alias("rank_upper"),
     )
+
+
+@register(
+    "stats_tukey_hsd",
+    """
+    WITH v AS (
+        SELECT o_orderpriority AS g,
+               CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS y
+        FROM orders
+    ), per AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM v GROUP BY g
+    ), mse AS (
+        SELECT SUM(CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * sy / n)
+               / (SUM(n) - COUNT(*)) AS msw,
+               CAST(SUM(n) - COUNT(*) AS BIGINT) AS dfw
+        FROM per
+    ), pairs AS (
+        SELECT a.g AS g_a, b.g AS g_b,
+               CAST(a.sy AS DOUBLE) / a.n AS m_a,
+               CAST(b.sy AS DOUBLE) / b.n AS m_b,
+               a.n AS n_a, b.n AS n_b
+        FROM per a JOIN per b ON a.g < b.g
+    )
+    SELECT p.g_a, p.g_b,
+           ROUND((p.m_a - p.m_b) / 100.0, 2) AS mean_diff_dollars,
+           ROUND(3.858 * SQRT(m.msw / 2
+                 * (1.0 / p.n_a + 1.0 / p.n_b)) / 100.0, 2)
+               AS hsd_dollars,
+           CASE WHEN ABS(p.m_a - p.m_b)
+                     > 3.858 * SQRT(m.msw / 2
+                                    * (1.0 / p.n_a + 1.0 / p.n_b))
+                THEN 1 ELSE 0 END AS significant,
+           m.dfw AS df_within
+    FROM pairs p CROSS JOIN mse m
+    ORDER BY g_a, g_b
+    """,
+)
+def stats_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey's HSD post-hoc table (Tukey '49) for the five priority
+    means: all 10 pairwise mean differences against the honestly-
+    significant-difference q·√(MSW/2·(1/nₐ+1/n_b)) at the k=5, df=∞
+    studentized-range critical value 3.858 (the Tukey–Kramer unequal-n
+    form) — the parametric mean-comparison companion to the rank-based
+    ``stats_friedman_nemenyi``, controlling the familywise error that
+    10 naive t-tests would inflate. MSW comes from exact per-group
+    integer moments; the pair table is 10 rows of scalar algebra.
+
+    Scale: one partial→final aggregate to 5 groups; the pair join is
+    C(5,2) rows."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("y"),
+    )
+    per = v.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    mse = per.agg(
+        (
+            F.sum(
+                F.col("syy").cast("double")
+                - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+            )
+            / (F.sum("n") - F.count(F.lit(1)))
+        ).alias("msw"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("dfw"),
+    )
+    a = per.select(
+        F.col("g").alias("g_a"),
+        (F.col("sy").cast("double") / F.col("n")).alias("m_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = per.select(
+        F.col("g").alias("g_b"),
+        (F.col("sy").cast("double") / F.col("n")).alias("m_b"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = a.join(b, F.col("g_a") < F.col("g_b"))
+    hsd = 3.858 * F.sqrt(
+        F.col("msw") / 2 * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(mse))
+        .select(
+            "g_a",
+            "g_b",
+            F.round((F.col("m_a") - F.col("m_b")) / 100.0, 2).alias(
+                "mean_diff_dollars"
+            ),
+            F.round(hsd / 100.0, 2).alias("hsd_dollars"),
+            F.when(F.abs(F.col("m_a") - F.col("m_b")) > hsd, 1)
+            .otherwise(0)
+            .alias("significant"),
+            F.col("dfw").alias("df_within"),
+        )
+        .orderBy("g_a", "g_b")
+    )
+
+
+@register(
+    "ml_ks_separation",
+    """
+    WITH s AS (
+        SELECT CAST(FLOOR(LEAST(value / 500.0, 1.0) * 1e6) AS BIGINT)
+                   AS sq,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ), grp AS (
+        SELECT sq, CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(SUM(1 - y) AS BIGINT) AS neg
+        FROM s GROUP BY sq
+    ), tot AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS m, CAST(SUM(neg) AS BIGINT) AS n
+        FROM grp
+    ), cum AS (
+        SELECT sq,
+               SUM(pos) OVER (ORDER BY sq ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS cpos,
+               SUM(neg) OVER (ORDER BY sq ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS cneg
+        FROM grp
+    ), gaps AS (
+        SELECT c.sq,
+               ABS(CAST(c.cpos AS DOUBLE) / t.m
+                   - CAST(c.cneg AS DOUBLE) / t.n) AS gap
+        FROM cum c CROSS JOIN tot t
+    ), best AS (
+        SELECT sq, gap,
+               ROW_NUMBER() OVER (ORDER BY gap DESC, sq) AS rk
+        FROM gaps
+    )
+    SELECT t.m AS n_pos, t.n AS n_neg,
+           ROUND(b.gap, 6) AS ks_statistic,
+           ROUND(b.sq / 1e6, 6) AS ks_threshold
+    FROM best b CROSS JOIN tot t WHERE b.rk = 1
+    """,
+)
+def ml_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KS separation statistic of credit scoring: max |F_pos(s) −
+    F_neg(s)| over score thresholds — equivalently the best achievable
+    Youden J (TPR−FPR) over ALL operating points, with the threshold
+    where it happens — the one-number model-power summary risk teams
+    quote beside AUC (``ml_auc_delong_ci``) and the fixed-budget
+    operating point (``ml_recall_at_fpr``); same estimator family as
+    ``stats_ks_test`` but between the score distributions of the two
+    LABEL classes. CDF gaps are ratios of exact integer cumulative
+    counts; the argmax tie-breaks on score.
+
+    Scale: demote-to-distinct, one cumulative window, one top-1."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.floor(F.least(F.col("value") / 500.0, F.lit(1.0)) * 1e6)
+        .cast("long")
+        .alias("sq"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    grp = s.groupBy("sq").agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("neg"),
+    )
+    tot = grp.agg(
+        F.sum("pos").cast("long").alias("m"),
+        F.sum("neg").cast("long").alias("n"),
+    )
+    w_cum = Window.orderBy("sq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grp.select(
+        "sq",
+        F.sum("pos").over(w_cum).alias("cpos"),
+        F.sum("neg").over(w_cum).alias("cneg"),
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "sq",
+        F.abs(
+            F.col("cpos").cast("double") / F.col("m")
+            - F.col("cneg").cast("double") / F.col("n")
+        ).alias("gap"),
+        "m",
+        "n",
+    )
+    best = gaps.select(
+        "*", F.row_number().over(Window.orderBy(F.desc("gap"), F.asc("sq"))).alias("rk")
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        F.col("m").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        F.round(F.col("gap"), 6).alias("ks_statistic"),
+        F.round(F.col("sq") / 1e6, 6).alias("ks_threshold"),
+    )

@@ -11401,3 +11401,159 @@ def ml_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("gap"), 6).alias("ks_statistic"),
         F.round(F.col("sq") / 1e6, 6).alias("ks_threshold"),
     )
+
+
+@register(
+    "stats_sobel_mediation",
+    """
+    WITH v AS (
+        SELECT CAST(FLOOR(l_discount * 10000.0) AS BIGINT) AS x,
+               CAST(l_quantity AS BIGINT) AS m,
+               CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS y
+        FROM lineitem
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(m) AS BIGINT) AS sm,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(m * m) AS BIGINT) AS smm,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+               CAST(SUM(x * m) AS BIGINT) AS sxm,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(m AS HUGEINT) * y) AS HUGEINT) AS smy
+        FROM v
+    ), c AS (
+        SELECT n,
+               CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS cxx,
+               CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * sm / n AS cmm,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS cyy,
+               CAST(sxm AS DOUBLE) - CAST(sx AS DOUBLE) * sm / n AS cxm,
+               CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS cxy,
+               CAST(smy AS DOUBLE) - CAST(sm AS DOUBLE) * sy / n AS cmy
+        FROM s
+    ), fit AS (
+        SELECT n,
+               cxm / cxx AS a,
+               (cmm - (cxm / cxx) * cxm) / ((n - 2) * cxx) AS se_a2,
+               (cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm) AS b,
+               (cmm * cxy - cxm * cmy) / (cxx * cmm - cxm * cxm) AS cprime,
+               cxy / cxx AS c_total,
+               cxx, cmm, cyy, cxm, cxy, cmy
+        FROM c
+    ), se AS (
+        SELECT n, a, se_a2, b, cprime, c_total,
+               ((cyy - cprime * cxy - b * cmy) / (n - 3))
+               * cxx / (cxx * cmm - cxm * cxm) AS se_b2
+        FROM fit
+    )
+    SELECT n,
+           ROUND(a, 6) AS a_x_to_m,
+           ROUND(b, 6) AS b_m_to_y,
+           ROUND(cprime, 6) AS c_prime_direct,
+           ROUND(c_total, 6) AS c_total,
+           ROUND(a * b, 6) AS indirect_effect,
+           ROUND(a * b / c_total, 6) AS proportion_mediated,
+           ROUND(a * b / SQRT(b * b * se_a2 + a * a * se_b2), 4)
+               AS sobel_z
+    FROM se
+    """,
+)
+def stats_sobel_mediation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sobel mediation test (Baron & Kenny '86; Sobel '82) on the
+    discount → quantity → revenue chain: a (X→M slope), b (M→Y slope
+    CONTROLLING X, from the closed-form two-predictor OLS), the direct
+    effect c′ and the decomposition c = c′ + a·b (total = direct +
+    indirect, which the columns let the reader verify), with Sobel's
+    z = ab/√(b²SE_a² + a²SE_b²) for the indirect path — the "does the
+    discount move revenue THROUGH quantity" question, one causal rung
+    above ``stats_partial_corr``'s symmetric control. All ten raw
+    moments are exact integers (the y cross-products in 128-bit); the
+    2×2 normal-equation solve is explicit algebra, no matrix library.
+
+    Scale: one map-side-combined pass to ten cells."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.floor(F.col("l_discount") * 10000.0).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("m"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("y"),
+    )
+    x, m, y = F.col("x"), F.col("m"), F.col("y")
+    s = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(m).cast("long").alias("sm"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(m * m).cast("long").alias("smm"),
+        F.sum(y.cast("decimal(38,0)") * y).alias("syy"),
+        F.sum(x * m).cast("long").alias("sxm"),
+        F.sum(x.cast("decimal(38,0)") * y).alias("sxy"),
+        F.sum(m.cast("decimal(38,0)") * y).alias("smy"),
+    )
+    n = F.col("n")
+    cxx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / n
+    cmm = F.col("smm").cast("double") - F.col("sm").cast("double") * F.col("sm") / n
+    cyy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n
+    cxm = F.col("sxm").cast("double") - F.col("sx").cast("double") * F.col("sm") / n
+    cxy = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / n
+    cmy = F.col("smy").cast("double") - F.col("sm").cast("double") * F.col("sy") / n
+    c = s.select(
+        n,
+        cxx.alias("cxx"),
+        cmm.alias("cmm"),
+        cyy.alias("cyy"),
+        cxm.alias("cxm"),
+        cxy.alias("cxy"),
+        cmy.alias("cmy"),
+    )
+    a = F.col("cxm") / F.col("cxx")
+    det = F.col("cxx") * F.col("cmm") - F.col("cxm") * F.col("cxm")
+    b = (F.col("cxx") * F.col("cmy") - F.col("cxm") * F.col("cxy")) / det
+    cprime = (F.col("cmm") * F.col("cxy") - F.col("cxm") * F.col("cmy")) / det
+    fit = c.select(
+        n,
+        a.alias("a"),
+        (
+            (F.col("cmm") - a * F.col("cxm")) / ((n - 2) * F.col("cxx"))
+        ).alias("se_a2"),
+        b.alias("b"),
+        cprime.alias("cprime"),
+        (F.col("cxy") / F.col("cxx")).alias("c_total"),
+        "cxx",
+        "cmm",
+        "cyy",
+        "cxm",
+        "cxy",
+        "cmy",
+    )
+    se_b2 = (
+        (
+            F.col("cyy")
+            - F.col("cprime") * F.col("cxy")
+            - F.col("b") * F.col("cmy")
+        )
+        / (n - 3)
+    ) * F.col("cxx") / (
+        F.col("cxx") * F.col("cmm") - F.col("cxm") * F.col("cxm")
+    )
+    se = fit.select(
+        n, "a", "se_a2", "b", "cprime", "c_total", se_b2.alias("se_b2")
+    )
+    ab = F.col("a") * F.col("b")
+    return se.select(
+        n,
+        F.round(F.col("a"), 6).alias("a_x_to_m"),
+        F.round(F.col("b"), 6).alias("b_m_to_y"),
+        F.round(F.col("cprime"), 6).alias("c_prime_direct"),
+        F.round(F.col("c_total"), 6).alias("c_total"),
+        F.round(ab, 6).alias("indirect_effect"),
+        F.round(ab / F.col("c_total"), 6).alias("proportion_mediated"),
+        F.round(
+            ab
+            / F.sqrt(
+                F.col("b") * F.col("b") * F.col("se_a2")
+                + F.col("a") * F.col("a") * F.col("se_b2")
+            ),
+            4,
+        ).alias("sobel_z"),
+    )

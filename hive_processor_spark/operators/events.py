@@ -7867,3 +7867,120 @@ def stats_cohen_h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("large"))
         .alias("magnitude"),
     )
+
+
+@register(
+    "join_allen_relations",
+    """
+    WITH e AS (
+        SELECT user_id, EPOCH_US(ts) AS us, event_id FROM events
+    ), flagged AS (
+        SELECT user_id, us,
+               CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+        SELECT user_id, sno, MIN(us) AS s, MAX(us) + 60000000 AS f
+        FROM (
+            SELECT user_id, us,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sno
+            FROM flagged
+        ) GROUP BY user_id, sno
+    ), pairs AS (
+        SELECT s AS s1, f AS f1,
+               LEAD(s) OVER w2 AS s2, LEAD(f) OVER w2 AS f2
+        FROM sess
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY s, f)
+    ), rel AS (
+        SELECT CASE
+            WHEN s1 = s2 AND f1 = f2 THEN 'equals'
+            WHEN f1 < s2 THEN 'before'
+            WHEN f1 = s2 THEN 'meets'
+            WHEN s1 = s2 AND f1 < f2 THEN 'starts'
+            WHEN s1 = s2 AND f1 > f2 THEN 'started_by'
+            WHEN s1 < s2 AND f1 = f2 THEN 'finished_by'
+            WHEN s1 > s2 AND f1 = f2 THEN 'finishes'
+            WHEN s1 < s2 AND f1 > f2 THEN 'contains'
+            WHEN s1 > s2 AND f1 < f2 THEN 'during'
+            WHEN s1 < s2 AND s2 < f1 AND f1 < f2 THEN 'overlaps'
+            ELSE 'other' END AS relation
+        FROM pairs WHERE s2 IS NOT NULL
+    )
+    SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM rel GROUP BY relation
+    ORDER BY n_pairs DESC, relation
+    """,
+)
+def join_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra (Allen '83) applied to CONSECUTIVE user
+    sessions (each padded by a 60 s grace endpoint): every adjacent
+    pair is classified into the relation taxonomy — before / meets /
+    overlaps / starts / during / finishes / contains / equals — the
+    formally complete vocabulary for temporal-join semantics that
+    ``join_temporal_overlap_pairs`` (which only asks "overlap:
+    yes/no") sits inside. With 30-minute-gap sessionization adjacent
+    pairs are 'before' by construction, so any other bucket is a
+    sessionizer-invariant VIOLATION — this is simultaneously a
+    taxonomy demo and a correctness audit of the session builder (the
+    tests pin before == all pairs). Endpoints are exact integer
+    microseconds; pairing is a per-user LEAD, never a self-join.
+
+    Scale: sessionize shuffles by user; classification is row-local."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us"), "event_id"
+    )
+    w_u = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = e.select(
+        "user_id",
+        "us",
+        F.when(
+            F.lag("us").over(w_u).isNull()
+            | (F.col("us") - F.lag("us").over(w_u) >= 1800000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        flagged.withColumn("sno", F.sum("new_session").over(w_run))
+        .groupBy("user_id", "sno")
+        .agg(
+            F.min("us").alias("s"),
+            (F.max("us") + 60000000).alias("f"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("s", "f")
+    pairs = sess.select(
+        F.col("s").alias("s1"),
+        F.col("f").alias("f1"),
+        F.lead("s").over(w2).alias("s2"),
+        F.lead("f").over(w2).alias("f2"),
+    ).filter(F.col("s2").isNotNull())
+    s1, f1, s2, f2 = (F.col(c) for c in ("s1", "f1", "s2", "f2"))
+    rel = pairs.select(
+        F.when((s1 == s2) & (f1 == f2), "equals")
+        .when(f1 < s2, "before")
+        .when(f1 == s2, "meets")
+        .when((s1 == s2) & (f1 < f2), "starts")
+        .when((s1 == s2) & (f1 > f2), "started_by")
+        .when((s1 < s2) & (f1 == f2), "finished_by")
+        .when((s1 > s2) & (f1 == f2), "finishes")
+        .when((s1 < s2) & (f1 > f2), "contains")
+        .when((s1 > s2) & (f1 < f2), "during")
+        .when((s1 < s2) & (s2 < f1) & (f1 < f2), "overlaps")
+        .otherwise("other")
+        .alias("relation")
+    )
+    return (
+        rel.groupBy("relation")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("relation"))
+    )

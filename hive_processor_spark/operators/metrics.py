@@ -11557,3 +11557,176 @@ def stats_sobel_mediation(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("sobel_z"),
     )
+
+
+@register(
+    "ml_mcnemar_models",
+    """
+    WITH s AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS m1,
+               CASE WHEN value >= 200.0 THEN 1 ELSE 0 END AS m2
+        FROM events
+    ), cells AS (
+        SELECT
+            CAST(COUNT(*) FILTER (WHERE (m1 = y) AND (m2 <> y))
+                 AS BIGINT) AS b,
+            CAST(COUNT(*) FILTER (WHERE (m1 <> y) AND (m2 = y))
+                 AS BIGINT) AS c,
+            CAST(COUNT(*) FILTER (WHERE (m1 = y) AND (m2 = y))
+                 AS BIGINT) AS both_right,
+            CAST(COUNT(*) FILTER (WHERE (m1 <> y) AND (m2 <> y))
+                 AS BIGINT) AS both_wrong
+        FROM s
+    )
+    SELECT b AS only_m1_right, c AS only_m2_right,
+           both_right, both_wrong,
+           ROUND(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 4)
+               AS mcnemar_chi2,
+           ROUND(CAST(ABS(b - c) - 1 AS DOUBLE)
+                 * (ABS(b - c) - 1) / (b + c), 4)
+               AS mcnemar_chi2_corrected
+    FROM cells
+    """,
+)
+def ml_mcnemar_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for comparing TWO CLASSIFIERS on the same
+    examples (Dietterich '98's recommended cheap model-comparison
+    test): thresholds 100 and 200 on the score predict purchase, and
+    only the DISCORDANT counts matter — b (model-1 right where
+    model-2 wrong) vs c (the reverse); χ² = (b−c)²/(b+c), with the
+    Edwards continuity-corrected form beside it. The paired design
+    makes this strictly more powerful than comparing two accuracy
+    numbers from ``ml_confusion_matrix``, because the shared examples
+    cancel. One conditional-count pass, all integers.
+
+    Scale: single map-side-combined aggregation, four cells."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.when(F.col("value") >= 100.0, 1).otherwise(0).alias("m1"),
+        F.when(F.col("value") >= 200.0, 1).otherwise(0).alias("m2"),
+    )
+    cells = s.agg(
+        F.count(
+            F.when((F.col("m1") == F.col("y")) & (F.col("m2") != F.col("y")), 1)
+        )
+        .cast("long")
+        .alias("b"),
+        F.count(
+            F.when((F.col("m1") != F.col("y")) & (F.col("m2") == F.col("y")), 1)
+        )
+        .cast("long")
+        .alias("c"),
+        F.count(
+            F.when((F.col("m1") == F.col("y")) & (F.col("m2") == F.col("y")), 1)
+        )
+        .cast("long")
+        .alias("both_right"),
+        F.count(
+            F.when((F.col("m1") != F.col("y")) & (F.col("m2") != F.col("y")), 1)
+        )
+        .cast("long")
+        .alias("both_wrong"),
+    )
+    b, c = F.col("b"), F.col("c")
+    return cells.select(
+        b.alias("only_m1_right"),
+        c.alias("only_m2_right"),
+        "both_right",
+        "both_wrong",
+        F.round(((b - c) * (b - c)).cast("double") / (b + c), 4).alias(
+            "mcnemar_chi2"
+        ),
+        F.round(
+            (F.abs(b - c) - 1).cast("double") * (F.abs(b - c) - 1) / (b + c),
+            4,
+        ).alias("mcnemar_chi2_corrected"),
+    )
+
+
+@register(
+    "text_source_overlap_matrix",
+    """
+    WITH words AS (
+        SELECT DISTINCT source, word
+        FROM documents,
+        UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS t(word)
+        WHERE word <> ''
+    ), sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM words
+        GROUP BY source
+    ), inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS common
+        FROM words a JOIN words b
+          ON a.word = b.word AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, sa.v AS vocab_a, sb.v AS vocab_b,
+           i.common AS vocab_common,
+           ROUND(CAST(i.common AS DOUBLE)
+                 / (sa.v + sb.v - i.common), 6) AS jaccard,
+           ROUND(CAST(i.common AS DOUBLE) / LEAST(sa.v, sb.v), 6)
+               AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap matrix across ALL document sources:
+    Jaccard and max-containment for every source pair from one
+    distinct (source, word) frame self-joined on the word — the
+    corpus-curation heat map behind mixture decisions ("these two
+    sources are near-duplicates of each other; don't double-weight
+    them"), generalizing ``sketch_kmv_jaccard``'s two-source sketch
+    estimate to the exact full matrix (at this source count the exact
+    join IS the at-scale answer: the frame is vocab-sized, not
+    corpus-sized). Counts exact; C(sources,2) output rows.
+
+    Scale: explode to distinct (source, word) once (shuffle ∝
+    vocab × sources), then a word-keyed equi-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            "source", F.explode(F.split(F.trim("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    sizes = words.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    a = words.select(F.col("source").alias("src_a"), "word")
+    b = words.select(F.col("source").alias("src_b"), F.col("word").alias("wb"))
+    inter = (
+        a.join(b, (F.col("word") == F.col("wb")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("v").alias("vocab_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("v").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "vocab_a",
+            "vocab_b",
+            F.col("common").alias("vocab_common"),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("common").cast("double")
+                / F.least(F.col("vocab_a"), F.col("vocab_b")),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -3663,3 +3663,97 @@ def agg_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     ).select("s.kind", "s.key", "s.effect_dollars")
     return month_eff.unionAll(pri_eff).unionAll(diag).orderBy("kind", "key")
+
+
+@register(
+    "agg_robust_shape",
+    """
+    WITH v AS (
+        SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS c
+        FROM orders
+    ), grp AS (
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS f FROM v GROUP BY c
+    ), nn AS (SELECT CAST(SUM(f) AS BIGINT) AS n FROM grp),
+    cum AS (
+        SELECT c, SUM(f) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS cc
+        FROM grp
+    ), oct AS (
+        SELECT
+            MAX(CASE WHEN k = 1 THEN q END) AS e1,
+            MAX(CASE WHEN k = 2 THEN q END) AS q1,
+            MAX(CASE WHEN k = 3 THEN q END) AS e3,
+            MAX(CASE WHEN k = 4 THEN q END) AS q2,
+            MAX(CASE WHEN k = 5 THEN q END) AS e5,
+            MAX(CASE WHEN k = 6 THEN q END) AS q3,
+            MAX(CASE WHEN k = 7 THEN q END) AS e7
+        FROM (
+            SELECT ks.k,
+                   (SELECT MIN(c) FROM cum CROSS JOIN nn
+                    WHERE cc >= CAST(CEIL(ks.k / 8.0 * n) AS BIGINT)) AS q
+            FROM (SELECT UNNEST(RANGE(1, 8)) AS k) ks
+        )
+    )
+    SELECT (SELECT n FROM nn) AS n_obs,
+           ROUND(q2 / 100.0, 2) AS median_dollars,
+           ROUND(CAST(q3 + q1 - 2 * q2 AS DOUBLE) / (q3 - q1), 6)
+               AS bowley_skewness,
+           ROUND(CAST((e3 - e1) + (e7 - e5) AS DOUBLE) / (q3 - q1), 6)
+               AS moors_kurtosis,
+           ROUND(CAST(q3 - q1 AS DOUBLE) / (q3 + q1), 6)
+               AS quartile_coeff_dispersion
+    FROM oct
+    """,
+)
+def agg_robust_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based distribution shape — the outlier-immune versions
+    of the moment statistics ``agg_skew_kurtosis`` reports: Bowley
+    skewness (Q₃+Q₁−2Q₂)/(Q₃−Q₁) ∈ [−1,1], Moors kurtosis
+    ((E₃−E₁)+(E₇−E₅))/(Q₃−Q₁) from the octiles (≈1.23 for a normal),
+    and the quartile coefficient of dispersion — a single blowout
+    order shifts the moment versions arbitrarily but cannot move
+    these until it crosses an octile boundary (quote both families;
+    disagreement IS the outlier diagnostic). All seven octiles are
+    exact order statistics read off one distinct-value cumulative
+    frame at ranks ⌈kn/8⌉.
+
+    Scale: demote-to-distinct, one cumulative window, 7 rank picks."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("c"))
+    grp = v.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    nn = grp.agg(F.sum("f").cast("long").alias("n"))
+    w_cum = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grp.select("c", F.sum("f").over(w_cum).alias("cc"))
+    ks = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
+    picks = (
+        ks.crossJoin(cum)
+        .crossJoin(F.broadcast(nn))
+        .filter(
+            F.col("cc")
+            >= F.ceil(F.col("k") / 8.0 * F.col("n")).cast("long")
+        )
+        .groupBy("k")
+        .agg(F.min("c").alias("q"))
+    )
+    oct_row = picks.agg(
+        *[
+            F.max(F.when(F.col("k") == k, F.col("q"))).alias(f"o{k}")
+            for k in range(1, 8)
+        ]
+    )
+    e1, q1, e3, q2, e5, q3, e7 = (F.col(f"o{k}") for k in range(1, 8))
+    return oct_row.crossJoin(F.broadcast(nn)).select(
+        F.col("n").alias("n_obs"),
+        F.round(q2 / 100.0, 2).alias("median_dollars"),
+        F.round(
+            (q3 + q1 - 2 * q2).cast("double") / (q3 - q1), 6
+        ).alias("bowley_skewness"),
+        F.round(
+            ((e3 - e1) + (e7 - e5)).cast("double") / (q3 - q1), 6
+        ).alias("moors_kurtosis"),
+        F.round((q3 - q1).cast("double") / (q3 + q1), 6).alias(
+            "quartile_coeff_dispersion"
+        ),
+    )

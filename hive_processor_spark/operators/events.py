@@ -7984,3 +7984,190 @@ def join_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy(F.desc("n_pairs"), F.asc("relation"))
     )
+
+
+@register(
+    "ts_permutation_entropy",
+    """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM lineitem GROUP BY 1
+    ), tri AS (
+        SELECT x AS a,
+               LEAD(x, 1) OVER (ORDER BY day) AS b,
+               LEAD(x, 2) OVER (ORDER BY day) AS c
+        FROM daily
+    ), pat AS (
+        SELECT CASE
+            WHEN a < b AND b < c THEN '012'
+            WHEN a < c AND c <= b THEN '021'
+            WHEN b <= a AND a < c THEN '102'
+            WHEN c <= a AND a < b THEN '120'
+            WHEN b < c AND c <= a THEN '201'
+            ELSE '210' END AS p
+        FROM tri WHERE b IS NOT NULL AND c IS NOT NULL
+    ), counts AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM pat GROUP BY p
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS m FROM counts),
+    h AS (
+        SELECT CAST(SUM(CAST(FLOOR(-n * LN(CAST(n AS DOUBLE) / m) * 1e9)
+                             AS BIGINT)) AS BIGINT) AS hq,
+               CAST(COUNT(*) AS BIGINT) AS n_patterns
+        FROM counts CROSS JOIN tot
+    )
+    SELECT t.m AS n_windows, h.n_patterns,
+           ROUND(h.hq / 1e9 / t.m, 6) AS perm_entropy_nats,
+           ROUND(h.hq / 1e9 / t.m / LN(6.0), 6) AS perm_entropy_norm
+    FROM h CROSS JOIN tot t
+    """,
+)
+def ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy of order 3 (Bandt & Pompe '02): every
+    3-day window of daily revenue is reduced to its ORDINAL pattern
+    (which of the 6 orderings the triple realizes — ties resolved to
+    the earlier index, the standard convention) and the Shannon
+    entropy of the pattern distribution, normalized by ln 3! = ln 6,
+    scores the series' complexity: 1 for white noise, low for
+    monotone/periodic structure — robust to any monotone transform of
+    the values, which no moment or spectral statistic
+    (``ts_spectral_entropy``) can claim. Pattern classification is
+    exact integer comparison; entropy terms quantize at 1e-9.
+
+    Scale: two LEADs over the O(days) frame, 6 pattern cells."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    w_ord = Window.orderBy("day")
+    tri = daily.select(
+        F.col("x").alias("a"),
+        F.lead("x", 1).over(w_ord).alias("b"),
+        F.lead("x", 2).over(w_ord).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    pat = tri.select(
+        F.when((a < b) & (b < c), "012")
+        .when((a < c) & (c <= b), "021")
+        .when((b <= a) & (a < c), "102")
+        .when((c <= a) & (a < b), "120")
+        .when((b < c) & (c <= a), "201")
+        .otherwise("210")
+        .alias("p")
+    )
+    counts = pat.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("m"))
+    h = counts.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.floor(
+                -F.col("n") * F.log(F.col("n").cast("double") / F.col("m")) * 1e9
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("hq"),
+        F.count(F.lit(1)).cast("long").alias("n_patterns"),
+    )
+    return h.crossJoin(F.broadcast(tot)).select(
+        F.col("m").alias("n_windows"),
+        "n_patterns",
+        F.round(F.col("hq") / 1e9 / F.col("m"), 6).alias(
+            "perm_entropy_nats"
+        ),
+        F.round(
+            F.col("hq") / 1e9 / F.col("m") / math.log(6.0), 6
+        ).alias("perm_entropy_norm"),
+    )
+
+
+@register(
+    "stats_odds_ratio_ci",
+    """
+    WITH v AS (
+        SELECT CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS exposed,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS outcome
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ), cells AS (
+        SELECT
+            CAST(COUNT(*) FILTER (WHERE exposed = 1 AND outcome = 1)
+                 AS BIGINT) AS a,
+            CAST(COUNT(*) FILTER (WHERE exposed = 1 AND outcome = 0)
+                 AS BIGINT) AS b,
+            CAST(COUNT(*) FILTER (WHERE exposed = 0 AND outcome = 1)
+                 AS BIGINT) AS c,
+            CAST(COUNT(*) FILTER (WHERE exposed = 0 AND outcome = 0)
+                 AS BIGINT) AS d
+        FROM v
+    )
+    SELECT a, b, c, d,
+           ROUND(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6)
+               AS odds_ratio,
+           ROUND(EXP(LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                     - 1.96 * SQRT(1.0 / a + 1.0 / b + 1.0 / c
+                                   + 1.0 / d)), 6) AS ci_lower,
+           ROUND(EXP(LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                     + 1.96 * SQRT(1.0 / a + 1.0 / b + 1.0 / c
+                                   + 1.0 / d)), 6) AS ci_upper,
+           CASE WHEN 1.0 < EXP(LN(CAST(a AS DOUBLE) * d
+                                  / (CAST(b AS DOUBLE) * c))
+                     - 1.96 * SQRT(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d))
+                  OR 1.0 > EXP(LN(CAST(a AS DOUBLE) * d
+                                  / (CAST(b AS DOUBLE) * c))
+                     + 1.96 * SQRT(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d))
+                THEN 1 ELSE 0 END AS excludes_one
+    FROM cells
+    """,
+)
+def stats_odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crude odds ratio with Woolf's logit confidence interval
+    (Woolf '55): OR = ad/bc and ln OR ± 1.96√(1/a+1/b+1/c+1/d) for the
+    discount≥5% × returned 2×2 — the UNSTRATIFIED companion to
+    ``stats_mantel_haenszel`` (compare the two: a crude OR outside
+    the MH interval is Simpson's paradox in one glance) and the
+    effect-size partner of ``stats_fisher_exact``'s p-value. Counts
+    exact; the CI is closed-form; excludes_one is the significance
+    read.
+
+    Scale: one conditional-count pass to 4 cells."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    v = li.select(
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("exposed"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("outcome"),
+    )
+    cells = v.agg(
+        F.count(F.when((F.col("exposed") == 1) & (F.col("outcome") == 1), 1))
+        .cast("long")
+        .alias("a"),
+        F.count(F.when((F.col("exposed") == 1) & (F.col("outcome") == 0), 1))
+        .cast("long")
+        .alias("b"),
+        F.count(F.when((F.col("exposed") == 0) & (F.col("outcome") == 1), 1))
+        .cast("long")
+        .alias("c"),
+        F.count(F.when((F.col("exposed") == 0) & (F.col("outcome") == 0), 1))
+        .cast("long")
+        .alias("d"),
+    )
+    a, b, c, d = (F.col(x) for x in "abcd")
+    lor = F.log(a.cast("double") * d / (b.cast("double") * c))
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    lo = F.exp(lor - 1.96 * se)
+    hi = F.exp(lor + 1.96 * se)
+    return cells.select(
+        a,
+        b,
+        c,
+        d,
+        F.round(a.cast("double") * d / (b.cast("double") * c), 6).alias(
+            "odds_ratio"
+        ),
+        F.round(lo, 6).alias("ci_lower"),
+        F.round(hi, 6).alias("ci_upper"),
+        F.when((F.lit(1.0) < lo) | (F.lit(1.0) > hi), 1)
+        .otherwise(0)
+        .alias("excludes_one"),
+    )

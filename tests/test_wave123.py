@@ -48,6 +48,8 @@ def test_partial_auc_matches_python(spark):
     assert res["pauc_normalized"] == pytest.approx(pauc / f0, abs=1e-5)
     spauc = 0.5 * (1 + (pauc - f0 * f0 / 2) / (f0 - f0 * f0 / 2))
     assert res["mcclish_spauc"] == pytest.approx(spauc, abs=1e-5)
-    # bounds: pAUC in [f0^2/2, f0], standardized in [0.5, 1]
-    assert f0 * f0 / 2 - 1e-9 <= res["pauc_0_10"] <= f0 + 1e-9
-    assert 0.5 - 1e-6 <= res["mcclish_spauc"] <= 1.0 + 1e-6
+    # hard bounds: pAUC in [0, f0]; standardized below 0.5 means the
+    # score is under the chance diagonal in this region (true for this
+    # near-random fixture score), above 1 is impossible
+    assert 0.0 <= res["pauc_0_10"] <= f0 + 1e-9
+    assert res["mcclish_spauc"] <= 1.0 + 1e-6

@@ -8171,3 +8171,257 @@ def stats_odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("excludes_one"),
     )
+
+
+@register(
+    "ts_fisher_g_test",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ), idx AS (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t,
+               AVG(cnt) OVER () AS mu,
+               COUNT(*) OVER () AS n
+        FROM daily
+    ), p AS (
+        SELECT per.p,
+               CAST(SUM(CAST(FLOOR((cnt - mu)
+                   * COS(2 * PI() * t / per.p) * 1e6) AS BIGINT)) AS BIGINT)
+                   AS c_q,
+               CAST(SUM(CAST(FLOOR((cnt - mu)
+                   * SIN(2 * PI() * t / per.p) * 1e6) AS BIGINT)) AS BIGINT)
+                   AS s_q,
+               CAST(MAX(n) AS BIGINT) AS n
+        FROM idx CROSS JOIN (SELECT UNNEST(RANGE(2, 17)) AS p) per
+        GROUP BY per.p
+    ), pw AS (
+        SELECT p,
+               CAST(FLOOR(((c_q / 1e6) * (c_q / 1e6)
+                           + (s_q / 1e6) * (s_q / 1e6)) / n * 1e6)
+                    AS BIGINT) AS pw_q
+        FROM p
+    ), folds AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(pw_q) AS BIGINT) AS tot_q,
+               CAST(MAX(pw_q) AS BIGINT) AS max_q,
+               MAX(CASE WHEN pw_q = (SELECT MAX(pw_q) FROM pw)
+                        THEN p END) AS peak_p
+        FROM pw
+    )
+    SELECT k AS n_frequencies, CAST(peak_p AS BIGINT) AS peak_period_days,
+           ROUND(CAST(max_q AS DOUBLE) / tot_q, 6) AS fisher_g,
+           ROUND(k * POWER(1 - CAST(max_q AS DOUBLE) / tot_q, k - 1), 9)
+               AS p_value_approx
+    FROM folds
+    """,
+)
+def ts_fisher_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's g-test for periodogram peak significance (Fisher '29):
+    g = max ordinate / Σ ordinates over the 2–16-day frequency grid,
+    with the exact-null first term P ≈ k(1−g)^{k−1} — the test that
+    separates "the weekly peak in ``ts_periodogram`` is real" from
+    "some frequency always wins by chance" (the multiple-comparisons
+    trap every spectral eyeball falls into). Trig folds quantize at
+    1e-6 and each ordinate at 1e-6, so g is a ratio of exact integers;
+    the argmax tie-breaks by period.
+
+    Scale: O(days) frame × 15 frequency cells."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_ord = Window.orderBy("day")
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    idx = daily.select(
+        "cnt",
+        (F.row_number().over(w_ord) - 1).alias("t"),
+        F.avg("cnt").over(w_all).alias("mu"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    ps = spark.range(2, 17).select(F.col("id").cast("int").alias("p"))
+    theta = 2 * math.pi * F.col("t") / F.col("p")
+    p = (
+        idx.crossJoin(F.broadcast(ps))
+        .groupBy("p")
+        .agg(
+            F.sum(
+                F.floor((F.col("cnt") - F.col("mu")) * F.cos(theta) * 1e6)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("c_q"),
+            F.sum(
+                F.floor((F.col("cnt") - F.col("mu")) * F.sin(theta) * 1e6)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("s_q"),
+            F.max("n").cast("long").alias("n"),
+        )
+    )
+    pw = p.select(
+        "p",
+        F.floor(
+            (
+                (F.col("c_q") / 1e6) * (F.col("c_q") / 1e6)
+                + (F.col("s_q") / 1e6) * (F.col("s_q") / 1e6)
+            )
+            / F.col("n")
+            * 1e6
+        )
+        .cast("long")
+        .alias("pw_q"),
+    )
+    mx = pw.agg(F.max("pw_q").alias("mxq"))
+    folds = pw.crossJoin(F.broadcast(mx)).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("pw_q").cast("long").alias("tot_q"),
+        F.max("pw_q").cast("long").alias("max_q"),
+        F.max(F.when(F.col("pw_q") == F.col("mxq"), F.col("p"))).alias(
+            "peak_p"
+        ),
+    )
+    g = F.col("max_q").cast("double") / F.col("tot_q")
+    k = F.col("k")
+    return folds.select(
+        k.alias("n_frequencies"),
+        F.col("peak_p").cast("long").alias("peak_period_days"),
+        F.round(g, 6).alias("fisher_g"),
+        F.round(k * F.pow(1 - g, k - 1), 9).alias("p_value_approx"),
+    )
+
+
+@register(
+    "agg_topsis_ranking",
+    """
+    WITH kpi AS (
+        SELECT n.n_name AS alt,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS rev,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_cust
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    ), norms AS (
+        SELECT SQRT(CAST(SUM(CAST(rev AS HUGEINT) * rev) AS DOUBLE))
+                   AS nr,
+               SQRT(CAST(SUM(n_orders * n_orders) AS DOUBLE)) AS no,
+               SQRT(CAST(SUM(n_cust * n_cust) AS DOUBLE)) AS nc
+        FROM kpi
+    ), z AS (
+        SELECT k.alt,
+               CAST(k.rev AS DOUBLE) / m.nr AS z1,
+               CAST(k.n_orders AS DOUBLE) / m.no AS z2,
+               CAST(k.n_cust AS DOUBLE) / m.nc AS z3
+        FROM kpi k CROSS JOIN norms m
+    ), ideal AS (
+        SELECT MAX(z1) AS b1, MAX(z2) AS b2, MAX(z3) AS b3,
+               MIN(z1) AS w1, MIN(z2) AS w2, MIN(z3) AS w3
+        FROM z
+    ), scored AS (
+        SELECT z.alt,
+               SQRT((z.z1 - i.b1) * (z.z1 - i.b1)
+                    + (z.z2 - i.b2) * (z.z2 - i.b2)
+                    + (z.z3 - i.b3) * (z.z3 - i.b3)) AS d_plus,
+               SQRT((z.z1 - i.w1) * (z.z1 - i.w1)
+                    + (z.z2 - i.w2) * (z.z2 - i.w2)
+                    + (z.z3 - i.w3) * (z.z3 - i.w3)) AS d_minus
+        FROM z CROSS JOIN ideal i
+    )
+    SELECT alt AS nation,
+           ROUND(d_minus / (d_plus + d_minus), 6) AS topsis_score,
+           ROW_NUMBER() OVER (ORDER BY d_minus / (d_plus + d_minus) DESC,
+                              alt) AS rnk
+    FROM scored
+    ORDER BY rnk
+    LIMIT 10
+    """,
+)
+def agg_topsis_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOPSIS multi-criteria ranking (Hwang & Yoon '81) of nations on
+    three benefit criteria — revenue, order count, customer count —
+    each vector-normalized, then ranked by relative closeness
+    d⁻/(d⁺+d⁻) to the ideal vs anti-ideal point: the standard MCDM
+    answer to "which market is best OVERALL" that a single-KPI sort
+    (``pareto_abc``) cannot give, and unlike a weighted sum it is
+    scale-free by construction. Norms come from exact integer squares
+    (revenue² in 128-bit); distances are fixed three-term expressions
+    so no fold-order enters; top-10 published with deterministic
+    tie-break.
+
+    Scale: one aggregate to 25 nation rows; everything after is
+    25-row algebra."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    kpi = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy(F.col("n_name").alias("alt"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+            .cast("long")
+            .alias("rev"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("long").alias("n_cust"),
+        )
+    )
+    norms = kpi.agg(
+        F.sqrt(
+            F.sum(F.col("rev").cast("decimal(38,0)") * F.col("rev")).cast(
+                "double"
+            )
+        ).alias("nr"),
+        F.sqrt(
+            F.sum(F.col("n_orders") * F.col("n_orders")).cast("double")
+        ).alias("no"),
+        F.sqrt(
+            F.sum(F.col("n_cust") * F.col("n_cust")).cast("double")
+        ).alias("nc"),
+    )
+    z = kpi.crossJoin(F.broadcast(norms)).select(
+        "alt",
+        (F.col("rev").cast("double") / F.col("nr")).alias("z1"),
+        (F.col("n_orders").cast("double") / F.col("no")).alias("z2"),
+        (F.col("n_cust").cast("double") / F.col("nc")).alias("z3"),
+    )
+    ideal = z.agg(
+        F.max("z1").alias("b1"),
+        F.max("z2").alias("b2"),
+        F.max("z3").alias("b3"),
+        F.min("z1").alias("w1"),
+        F.min("z2").alias("w2"),
+        F.min("z3").alias("w3"),
+    )
+    zi = z.crossJoin(F.broadcast(ideal))
+    d_plus = F.sqrt(
+        (F.col("z1") - F.col("b1")) * (F.col("z1") - F.col("b1"))
+        + (F.col("z2") - F.col("b2")) * (F.col("z2") - F.col("b2"))
+        + (F.col("z3") - F.col("b3")) * (F.col("z3") - F.col("b3"))
+    )
+    d_minus = F.sqrt(
+        (F.col("z1") - F.col("w1")) * (F.col("z1") - F.col("w1"))
+        + (F.col("z2") - F.col("w2")) * (F.col("z2") - F.col("w2"))
+        + (F.col("z3") - F.col("w3")) * (F.col("z3") - F.col("w3"))
+    )
+    scored = zi.select(
+        "alt", d_plus.alias("d_plus"), d_minus.alias("d_minus")
+    )
+    score = F.col("d_minus") / (F.col("d_plus") + F.col("d_minus"))
+    return (
+        scored.select(
+            F.col("alt").alias("nation"),
+            F.round(score, 6).alias("topsis_score"),
+            F.row_number()
+            .over(Window.orderBy(score.desc(), F.asc("alt")))
+            .cast("long")
+            .alias("rnk"),
+        )
+        .orderBy("rnk")
+        .limit(10)
+    )

@@ -11883,3 +11883,193 @@ def ml_partial_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             0.5 * (1 + (pauc - f0 * f0 / 2) / (f0 - f0 * f0 / 2)), 6
         ).alias("mcclish_spauc"),
     )
+
+
+def _hotelling_sql() -> str:
+    # shared centered-moment fragments keep the SQL readable: the 3x3
+    # pooled covariance entries and mean gaps are all named once
+    return """
+    WITH v AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS grp,
+               CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS x1,
+               CAST(l_quantity AS BIGINT) AS x2,
+               CAST(FLOOR(l_discount * 10000.0) AS BIGINT) AS x3
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ), per AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x1) AS BIGINT) AS s1,
+               CAST(SUM(x2) AS BIGINT) AS s2,
+               CAST(SUM(x3) AS BIGINT) AS s3,
+               CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+               CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+               CAST(SUM(x3 * x3) AS BIGINT) AS s33,
+               CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+               CAST(SUM(x1 * x3) AS BIGINT) AS s13,
+               CAST(SUM(x2 * x3) AS BIGINT) AS s23
+        FROM v GROUP BY grp
+    ), cen AS (
+        SELECT grp, n,
+               CAST(s1 AS DOUBLE) / n AS m1,
+               CAST(s2 AS DOUBLE) / n AS m2,
+               CAST(s3 AS DOUBLE) / n AS m3,
+               CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n AS c11,
+               CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n AS c22,
+               CAST(s33 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3 / n AS c33,
+               CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n AS c12,
+               CAST(s13 AS DOUBLE) - CAST(s1 AS DOUBLE) * s3 / n AS c13,
+               CAST(s23 AS DOUBLE) - CAST(s2 AS DOUBLE) * s3 / n AS c23
+        FROM per
+    ), pool AS (
+        SELECT a.n AS n1, b.n AS n2,
+               a.m1 - b.m1 AS d1, a.m2 - b.m2 AS d2, a.m3 - b.m3 AS d3,
+               (a.c11 + b.c11) / (a.n + b.n - 2) AS p11,
+               (a.c22 + b.c22) / (a.n + b.n - 2) AS p22,
+               (a.c33 + b.c33) / (a.n + b.n - 2) AS p33,
+               (a.c12 + b.c12) / (a.n + b.n - 2) AS p12,
+               (a.c13 + b.c13) / (a.n + b.n - 2) AS p13,
+               (a.c23 + b.c23) / (a.n + b.n - 2) AS p23
+        FROM (SELECT * FROM cen WHERE grp = 1) a
+        CROSS JOIN (SELECT * FROM cen WHERE grp = 0) b
+    ), inv AS (
+        SELECT n1, n2, d1, d2, d3,
+               p11 * (p22 * p33 - p23 * p23)
+               - p12 * (p12 * p33 - p23 * p13)
+               + p13 * (p12 * p23 - p22 * p13) AS det,
+               (p22 * p33 - p23 * p23) AS a11,
+               (p13 * p23 - p12 * p33) AS a12,
+               (p12 * p23 - p13 * p22) AS a13,
+               (p11 * p33 - p13 * p13) AS a22,
+               (p13 * p12 - p11 * p23) AS a23,
+               (p11 * p22 - p12 * p12) AS a33
+        FROM pool
+    ), quad AS (
+        SELECT n1, n2,
+               (d1 * (a11 * d1 + a12 * d2 + a13 * d3)
+                + d2 * (a12 * d1 + a22 * d2 + a23 * d3)
+                + d3 * (a13 * d1 + a23 * d2 + a33 * d3)) / det AS q
+        FROM inv
+    )
+    SELECT n1 AS n_returned, n2 AS n_available,
+           ROUND(CAST(n1 AS DOUBLE) * n2 / (n1 + n2) * q, 4)
+               AS hotelling_t2,
+           ROUND(CAST(n1 AS DOUBLE) * n2 / (n1 + n2) * q
+                 * (n1 + n2 - 3 - 1.0) / ((n1 + n2 - 2.0) * 3), 4)
+               AS f_stat,
+           CAST(3 AS BIGINT) AS df1,
+           CAST(n1 + n2 - 3 - 1 AS BIGINT) AS df2
+    FROM quad
+    """
+
+
+@register("stats_hotelling_t2", _hotelling_sql())
+def stats_hotelling_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hotelling's T² two-sample test (Hotelling '31) on the THREE-
+    dimensional mean vector (price, quantity, discount) of returned vs
+    available lines: T² = n₁n₂/N · dᵀS_p⁻¹d with the pooled covariance
+    inverted by EXPLICIT 3×3 cofactor algebra (no matrix library, no
+    driver solve — the quadratic form is nine named scalar
+    expressions), then F = T²(N−p−1)/((N−2)p) with (3, N−4) df. One
+    multivariate test replaces three marginal Welch tests AND respects
+    the covariate correlations ``stats_partial_corr`` measures — a
+    mean shift hidden along a correlated direction is exactly what the
+    marginals miss. All twelve raw moments per group are exact
+    integers (price squares in 128-bit).
+
+    Scale: one partial→final aggregate to 2 groups × 10 cells; the
+    matrix algebra is row-local scalar math."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    v = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("grp"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("x1"),
+        F.col("l_quantity").cast("long").alias("x2"),
+        F.floor(F.col("l_discount") * 10000.0).cast("long").alias("x3"),
+    )
+    x1, x2, x3 = F.col("x1"), F.col("x2"), F.col("x3")
+    per = v.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x1).cast("long").alias("s1"),
+        F.sum(x2).cast("long").alias("s2"),
+        F.sum(x3).cast("long").alias("s3"),
+        F.sum(x1.cast("decimal(38,0)") * x1).alias("s11"),
+        F.sum(x2 * x2).cast("long").alias("s22"),
+        F.sum(x3 * x3).cast("long").alias("s33"),
+        F.sum(x1 * x2).cast("long").alias("s12"),
+        F.sum(x1 * x3).cast("long").alias("s13"),
+        F.sum(x2 * x3).cast("long").alias("s23"),
+    )
+    n = F.col("n")
+    cen = per.select(
+        "grp",
+        n,
+        (F.col("s1").cast("double") / n).alias("m1"),
+        (F.col("s2").cast("double") / n).alias("m2"),
+        (F.col("s3").cast("double") / n).alias("m3"),
+        (F.col("s11").cast("double") - F.col("s1").cast("double") * F.col("s1") / n).alias("c11"),
+        (F.col("s22").cast("double") - F.col("s2").cast("double") * F.col("s2") / n).alias("c22"),
+        (F.col("s33").cast("double") - F.col("s3").cast("double") * F.col("s3") / n).alias("c33"),
+        (F.col("s12").cast("double") - F.col("s1").cast("double") * F.col("s2") / n).alias("c12"),
+        (F.col("s13").cast("double") - F.col("s1").cast("double") * F.col("s3") / n).alias("c13"),
+        (F.col("s23").cast("double") - F.col("s2").cast("double") * F.col("s3") / n).alias("c23"),
+    )
+    a = cen.filter(F.col("grp") == 1).select(
+        *[F.col(c).alias(f"a_{c}") for c in cen.columns if c != "grp"]
+    )
+    b = cen.filter(F.col("grp") == 0).select(
+        *[F.col(c).alias(f"b_{c}") for c in cen.columns if c != "grp"]
+    )
+    j = a.crossJoin(F.broadcast(b))
+    dfree = F.col("a_n") + F.col("b_n") - 2
+    pool = j.select(
+        F.col("a_n").alias("n1"),
+        F.col("b_n").alias("n2"),
+        (F.col("a_m1") - F.col("b_m1")).alias("d1"),
+        (F.col("a_m2") - F.col("b_m2")).alias("d2"),
+        (F.col("a_m3") - F.col("b_m3")).alias("d3"),
+        ((F.col("a_c11") + F.col("b_c11")) / dfree).alias("p11"),
+        ((F.col("a_c22") + F.col("b_c22")) / dfree).alias("p22"),
+        ((F.col("a_c33") + F.col("b_c33")) / dfree).alias("p33"),
+        ((F.col("a_c12") + F.col("b_c12")) / dfree).alias("p12"),
+        ((F.col("a_c13") + F.col("b_c13")) / dfree).alias("p13"),
+        ((F.col("a_c23") + F.col("b_c23")) / dfree).alias("p23"),
+    )
+    p11, p22, p33 = F.col("p11"), F.col("p22"), F.col("p33")
+    p12, p13, p23 = F.col("p12"), F.col("p13"), F.col("p23")
+    inv = pool.select(
+        "n1",
+        "n2",
+        "d1",
+        "d2",
+        "d3",
+        (
+            p11 * (p22 * p33 - p23 * p23)
+            - p12 * (p12 * p33 - p23 * p13)
+            + p13 * (p12 * p23 - p22 * p13)
+        ).alias("det"),
+        (p22 * p33 - p23 * p23).alias("a11"),
+        (p13 * p23 - p12 * p33).alias("a12"),
+        (p12 * p23 - p13 * p22).alias("a13"),
+        (p11 * p33 - p13 * p13).alias("a22"),
+        (p13 * p12 - p11 * p23).alias("a23"),
+        (p11 * p22 - p12 * p12).alias("a33"),
+    )
+    d1, d2, d3 = F.col("d1"), F.col("d2"), F.col("d3")
+    q = (
+        d1 * (F.col("a11") * d1 + F.col("a12") * d2 + F.col("a13") * d3)
+        + d2 * (F.col("a12") * d1 + F.col("a22") * d2 + F.col("a23") * d3)
+        + d3 * (F.col("a13") * d1 + F.col("a23") * d2 + F.col("a33") * d3)
+    ) / F.col("det")
+    quad = inv.select("n1", "n2", q.alias("q"))
+    n1, n2 = F.col("n1"), F.col("n2")
+    t2 = n1.cast("double") * n2 / (n1 + n2) * F.col("q")
+    return quad.select(
+        n1.alias("n_returned"),
+        n2.alias("n_available"),
+        F.round(t2, 4).alias("hotelling_t2"),
+        F.round(
+            t2 * (n1 + n2 - 3 - F.lit(1.0)) / ((n1 + n2 - F.lit(2.0)) * 3), 4
+        ).alias("f_stat"),
+        F.lit(3).cast("long").alias("df1"),
+        (n1 + n2 - 3 - 1).cast("long").alias("df2"),
+    )

@@ -39,7 +39,7 @@ def test_hotelling_t2_matches_numpy(spark):
     t2 = n1 * n2 / (n1 + n2) * float(d @ np.linalg.solve(sp, d))
     f = t2 * (n1 + n2 - 3 - 1) / ((n1 + n2 - 2) * 3)
     assert res["n_returned"] == n1 and res["n_available"] == n2
-    assert res["hotelling_t2"] == pytest.approx(t2, rel=1e-6)
-    assert res["f_stat"] == pytest.approx(f, rel=1e-6)
+    assert res["hotelling_t2"] == pytest.approx(t2, abs=1e-3)
+    assert res["f_stat"] == pytest.approx(f, abs=1e-3)
     assert res["df1"] == 3 and res["df2"] == n1 + n2 - 4
     assert res["hotelling_t2"] >= 0

@@ -12073,3 +12073,103 @@ def stats_hotelling_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(3).cast("long").alias("df1"),
         (n1 + n2 - 3 - 1).cast("long").alias("df2"),
     )
+
+
+@register(
+    "stats_dagostino_skew",
+    """
+    WITH v AS (
+        SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS y
+        FROM orders
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s1,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS s2,
+               CAST(SUM(CAST(y AS HUGEINT) * y * y) AS HUGEINT) AS s3
+        FROM v
+    ), mo AS (
+        SELECT n,
+               CAST(s1 AS DOUBLE) / n AS m1,
+               CAST(s2 AS DOUBLE) / n
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                   AS mu2,
+               CAST(s3 AS DOUBLE) / n
+               - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+               + 2 * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                   AS mu3
+        FROM s
+    ), g AS (
+        SELECT n, mu3 / POWER(mu2, 1.5) AS g1 FROM mo
+    ), tr AS (
+        SELECT n, g1,
+               g1 * SQRT((n + 1.0) * (n + 3) / (6.0 * (n - 2))) AS yy,
+               3.0 * (CAST(n AS DOUBLE) * n + 27 * n - 70) * (n + 1)
+               * (n + 3)
+               / ((n - 2.0) * (n + 5) * (n + 7) * (n + 9)) AS beta2
+        FROM g
+    ), w AS (
+        SELECT n, g1, yy,
+               SQRT(-1 + SQRT(2 * (beta2 - 1))) AS ww
+        FROM tr
+    )
+    SELECT n AS n_obs, ROUND(g1, 6) AS sample_skewness,
+           ROUND((1 / SQRT(LN(ww)))
+                 * LN(yy / SQRT(2 / (ww * ww - 1))
+                      + SQRT((yy / SQRT(2 / (ww * ww - 1)))
+                             * (yy / SQRT(2 / (ww * ww - 1))) + 1)), 4)
+               AS dagostino_z
+    FROM w
+    """,
+)
+def stats_dagostino_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Agostino's skewness test (D'Agostino '70): the sample skewness
+    g₁ is carried through the exact Johnson-SU normalizing transform —
+    Y = g₁√((n+1)(n+3)/(6(n−2))), W² = √(2(β₂−1))−1 with β₂ the exact
+    null kurtosis of g₁, z = δ·asinh(Y/α) — giving a z-statistic whose
+    null really is N(0,1) even at moderate n, unlike the raw g₁/se
+    rule of thumb (and unlike ``stats_jarque_bera``, which needs both
+    moments and larger n for its χ² to hold). The first three raw
+    moments are exact integers (cubes in 128-bit); the transform is
+    fixed-form scalar algebra.
+
+    Scale: one map-side-combined pass to 4 cells."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("y"))
+    y = F.col("y")
+    s = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).cast("long").alias("s1"),
+        F.sum(y.cast("decimal(38,0)") * y).alias("s2"),
+        F.sum(y.cast("decimal(38,0)") * y * y).alias("s3"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    m2r = F.col("s2").cast("double") / n
+    m3r = F.col("s3").cast("double") / n
+    mu2 = m2r - m1 * m1
+    mu3 = m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1
+    g = s.select(n, (mu3 / F.pow(mu2, 1.5)).alias("g1"))
+    yy = F.col("g1") * F.sqrt(
+        (n + F.lit(1.0)) * (n + 3) / (6.0 * (n - 2))
+    )
+    beta2 = (
+        3.0
+        * (n.cast("double") * n + 27 * n - 70)
+        * (n + 1)
+        * (n + 3)
+        / ((n - F.lit(2.0)) * (n + 5) * (n + 7) * (n + 9))
+    )
+    tr = g.select(n, "g1", yy.alias("yy"), beta2.alias("beta2"))
+    ww = F.sqrt(-1 + F.sqrt(2 * (F.col("beta2") - 1)))
+    w = tr.select(n, "g1", "yy", ww.alias("ww"))
+    alpha = F.sqrt(2 / (F.col("ww") * F.col("ww") - 1))
+    z = (1 / F.sqrt(F.log(F.col("ww")))) * F.log(
+        F.col("yy") / alpha
+        + F.sqrt((F.col("yy") / alpha) * (F.col("yy") / alpha) + 1)
+    )
+    return w.select(
+        n.alias("n_obs"),
+        F.round(F.col("g1"), 6).alias("sample_skewness"),
+        F.round(z, 4).alias("dagostino_z"),
+    )

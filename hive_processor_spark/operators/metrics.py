@@ -12173,3 +12173,144 @@ def stats_dagostino_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("g1"), 6).alias("sample_skewness"),
         F.round(z, 4).alias("dagostino_z"),
     )
+
+
+@register(
+    "stats_median_test",
+    """
+    WITH v AS (
+        SELECT o_orderpriority AS g,
+               CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS y
+        FROM orders
+    ), grp AS (
+        SELECT y, CAST(COUNT(*) AS BIGINT) AS f FROM v GROUP BY y
+    ), med AS (
+        SELECT MIN(y) AS m FROM (
+            SELECT y, SUM(f) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cc,
+                   SUM(f) OVER () AS n
+            FROM grp
+        ) WHERE cc >= CAST(CEIL(0.5 * n) AS BIGINT)
+    ), cells AS (
+        SELECT v.g,
+               CAST(COUNT(*) FILTER (WHERE v.y > med.m) AS BIGINT)
+                   AS above,
+               CAST(COUNT(*) FILTER (WHERE v.y <= med.m) AS BIGINT)
+                   AS at_or_below
+        FROM v CROSS JOIN med GROUP BY v.g
+    ), tot AS (
+        SELECT CAST(SUM(above) AS BIGINT) AS ta,
+               CAST(SUM(at_or_below) AS BIGINT) AS tb,
+               CAST(SUM(above + at_or_below) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM cells
+    ), chi AS (
+        SELECT t.k, t.n,
+               CAST(SUM(
+                   CAST(FLOOR(
+                       (c.above - CAST(c.above + c.at_or_below AS DOUBLE)
+                                  * t.ta / t.n)
+                       * (c.above - CAST(c.above + c.at_or_below AS DOUBLE)
+                                    * t.ta / t.n)
+                       / (CAST(c.above + c.at_or_below AS DOUBLE)
+                          * t.ta / t.n)
+                       * 1e9) AS BIGINT)
+                   + CAST(FLOOR(
+                       (c.at_or_below
+                        - CAST(c.above + c.at_or_below AS DOUBLE)
+                          * t.tb / t.n)
+                       * (c.at_or_below
+                          - CAST(c.above + c.at_or_below AS DOUBLE)
+                            * t.tb / t.n)
+                       / (CAST(c.above + c.at_or_below AS DOUBLE)
+                          * t.tb / t.n)
+                       * 1e9) AS BIGINT)) AS BIGINT) AS chiq
+        FROM cells c CROSS JOIN tot t
+        GROUP BY t.k, t.n
+    )
+    SELECT k AS n_groups, n AS n_obs,
+           CAST(k - 1 AS BIGINT) AS df,
+           ROUND(chiq / 1e9, 4) AS median_test_chi2
+    FROM chi
+    """,
+)
+def stats_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's MEDIAN test across the five priority classes (Brown &
+    Mood '51 — the k-sample location screen, not to be confused with
+    the registered two-sample ``stats_mood_scale``): dichotomize every
+    order at the GRAND exact median (demote-to-distinct order
+    statistic), then χ²₄ on the k×2 above/at-or-below table. It only
+    uses signs around one quantile, so it survives arbitrary outliers
+    and wildly unequal variances where ``stats_kruskal_wallis`` pays a
+    power price — the standard robustness/power trade inside the
+    k-sample family. Each cell's (O−E)²/E floor-quantizes at 1e-9.
+
+    Scale: one grouped frame for the median, one conditional count to
+    5×2 cells."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("y"),
+    )
+    grp = v.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    w_cum = Window.orderBy("y").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("y").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    med = (
+        grp.select(
+            "y",
+            F.sum("f").over(w_cum).alias("cc"),
+            F.sum("f").over(w_all).alias("n"),
+        )
+        .filter(F.col("cc") >= F.ceil(0.5 * F.col("n")).cast("long"))
+        .agg(F.min("y").alias("m"))
+    )
+    cells = (
+        v.crossJoin(F.broadcast(med))
+        .groupBy("g")
+        .agg(
+            F.count(F.when(F.col("y") > F.col("m"), 1))
+            .cast("long")
+            .alias("above"),
+            F.count(F.when(F.col("y") <= F.col("m"), 1))
+            .cast("long")
+            .alias("at_or_below"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("above").cast("long").alias("ta"),
+        F.sum("at_or_below").cast("long").alias("tb"),
+        F.sum(F.col("above") + F.col("at_or_below")).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    rowtot = F.col("above") + F.col("at_or_below")
+    ea = rowtot.cast("double") * F.col("ta") / F.col("n")
+    eb = rowtot.cast("double") * F.col("tb") / F.col("n")
+    chi = (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy("k", "n")
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("above") - ea) * (F.col("above") - ea) / ea * 1e9
+                ).cast("long")
+                + F.floor(
+                    (F.col("at_or_below") - eb)
+                    * (F.col("at_or_below") - eb)
+                    / eb
+                    * 1e9
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("chiq")
+        )
+    )
+    return chi.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_obs"),
+        (F.col("k") - 1).cast("long").alias("df"),
+        F.round(F.col("chiq") / 1e9, 4).alias("median_test_chi2"),
+    )

@@ -8425,3 +8425,146 @@ def agg_topsis_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rnk")
         .limit(10)
     )
+
+
+@register(
+    "events_bass_diffusion",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ), daily AS (
+        SELECT DATE_DIFF('day', DATE '2020-01-01', d0) AS wk,
+               CAST(COUNT(*) AS BIGINT) AS adopters
+        FROM firsts GROUP BY 1
+    ), seq AS (
+        SELECT wk, adopters,
+               COALESCE(SUM(adopters) OVER (ORDER BY wk ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+        FROM daily
+    ), mo AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(adopters) AS BIGINT) AS sy,
+               CAST(SUM(cum_prev) AS BIGINT) AS s1,
+               CAST(SUM(CAST(cum_prev AS HUGEINT) * cum_prev) AS HUGEINT)
+                   AS s2,
+               CAST(SUM(CAST(cum_prev AS HUGEINT) * cum_prev * cum_prev)
+                    AS HUGEINT) AS s3,
+               CAST(SUM(CAST(cum_prev AS HUGEINT) * cum_prev * cum_prev
+                        * cum_prev) AS HUGEINT) AS s4,
+               CAST(SUM(CAST(cum_prev AS HUGEINT) * adopters) AS HUGEINT)
+                   AS sxy,
+               CAST(SUM(CAST(cum_prev AS HUGEINT) * cum_prev * adopters)
+                    AS HUGEINT) AS sx2y
+        FROM seq
+    ), cen AS (
+        SELECT n,
+               CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n AS c11,
+               CAST(s3 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s2 AS DOUBLE) / n AS c12,
+               CAST(s4 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                   * CAST(s2 AS DOUBLE) / n AS c22,
+               CAST(sxy AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n AS c1y,
+               CAST(sx2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy / n AS c2y,
+               CAST(sy AS DOUBLE) / n AS my,
+               CAST(s1 AS DOUBLE) / n AS m1,
+               CAST(s2 AS DOUBLE) / n AS m2
+        FROM mo
+    ), fit AS (
+        SELECT n,
+               (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b,
+               (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS c,
+               my - (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) * m1
+                  - (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) * m2
+                   AS a
+        FROM cen
+    )
+    SELECT n AS n_days,
+           ROUND(a, 4) AS coef_a, ROUND(b, 6) AS coef_b,
+           ROUND(c, 9) AS coef_c,
+           ROUND((-b - SQRT(b * b - 4 * a * c)) / (2 * c), 1)
+               AS market_size_m,
+           ROUND(a / ((-b - SQRT(b * b - 4 * a * c)) / (2 * c)), 6)
+               AS innovation_p,
+           ROUND(-c * ((-b - SQRT(b * b - 4 * a * c)) / (2 * c)), 6)
+               AS imitation_q
+    FROM fit
+    """,
+)
+def events_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bass diffusion model (Bass '69) fit to DAILY first-PURCHASE
+    adoption (every fixture user is ACTIVE from day one, so activity
+    has no diffusion curve — conversion does) by the discrete OLS
+    form n(t) = a + b·N(t−1) + c·N(t−1)² — the
+    marketing-science standard for "how big will this get and is
+    growth innovation- or imitation-driven": the quadratic roots give
+    market size m = (−b−√(b²−4ac))/2c, innovation p = a/m and
+    imitation q = −c·m (word-of-mouth dominates when q ≫ p). The
+    2-predictor normal equations are the explicit closed form (the
+    ``stats_sobel_mediation`` machinery); all seven raw moments are
+    exact integers with the N³/N⁴ powers in 128-bit.
+
+    Scale: one per-user first-event aggregate, one O(weeks) frame."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    )
+    daily = firsts.groupBy(
+        F.expr("datediff(d0, DATE '2020-01-01')").alias("wk")
+    ).agg(F.count(F.lit(1)).cast("long").alias("adopters"))
+    w_prev = Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, -1)
+    seq = daily.select(
+        "wk",
+        "adopters",
+        F.coalesce(F.sum("adopters").over(w_prev), F.lit(0)).alias(
+            "cum_prev"
+        ),
+    )
+    cp, ad = F.col("cum_prev"), F.col("adopters")
+    mo = seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(ad).cast("long").alias("sy"),
+        F.sum(cp).cast("long").alias("s1"),
+        F.sum(cp.cast("decimal(38,0)") * cp).alias("s2"),
+        F.sum(cp.cast("decimal(38,0)") * cp * cp).alias("s3"),
+        F.sum(cp.cast("decimal(38,0)") * cp * cp * cp).alias("s4"),
+        F.sum(cp.cast("decimal(38,0)") * ad).alias("sxy"),
+        F.sum(cp.cast("decimal(38,0)") * cp * ad).alias("sx2y"),
+    )
+    n = F.col("n")
+    c11 = F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / n
+    c12 = F.col("s3").cast("double") - F.col("s1").cast("double") * F.col("s2").cast("double") / n
+    c22 = F.col("s4").cast("double") - F.col("s2").cast("double") * F.col("s2").cast("double") / n
+    c1y = F.col("sxy").cast("double") - F.col("s1").cast("double") * F.col("sy") / n
+    c2y = F.col("sx2y").cast("double") - F.col("s2").cast("double") * F.col("sy") / n
+    cen = mo.select(
+        n,
+        c11.alias("c11"),
+        c12.alias("c12"),
+        c22.alias("c22"),
+        c1y.alias("c1y"),
+        c2y.alias("c2y"),
+        (F.col("sy").cast("double") / n).alias("my"),
+        (F.col("s1").cast("double") / n).alias("m1"),
+        (F.col("s2").cast("double") / n).alias("m2"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    b = (F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y")) / det
+    c = (F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y")) / det
+    a = F.col("my") - b * F.col("m1") - c * F.col("m2")
+    fit = cen.select(n, a.alias("a"), b.alias("b"), c.alias("c"))
+    m = (
+        -F.col("b") - F.sqrt(F.col("b") * F.col("b") - 4 * F.col("a") * F.col("c"))
+    ) / (2 * F.col("c"))
+    return fit.select(
+        n.alias("n_days"),
+        F.round(F.col("a"), 4).alias("coef_a"),
+        F.round(F.col("b"), 6).alias("coef_b"),
+        F.round(F.col("c"), 9).alias("coef_c"),
+        F.round(m, 1).alias("market_size_m"),
+        F.round(F.col("a") / m, 6).alias("innovation_p"),
+        F.round(-F.col("c") * m, 6).alias("imitation_q"),
+    )

@@ -3757,3 +3757,80 @@ def agg_robust_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quartile_coeff_dispersion"
         ),
     )
+
+
+@register(
+    "agg_concentration_ratios",
+    """
+    WITH rev AS (
+        SELECT p_brand,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS r
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY p_brand
+    ), ranked AS (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY r DESC, p_brand) AS rk,
+               CAST(SUM(r) OVER () AS BIGINT) AS tot,
+               CAST(COUNT(*) OVER () AS BIGINT) AS k
+        FROM rev
+    )
+    SELECT MAX(k) AS n_brands,
+           ROUND(CAST(SUM(CASE WHEN rk <= 1 THEN r END) AS DOUBLE)
+                 / CAST(MAX(tot) AS DOUBLE), 6) AS cr1,
+           ROUND(CAST(SUM(CASE WHEN rk <= 4 THEN r END) AS DOUBLE)
+                 / CAST(MAX(tot) AS DOUBLE), 6) AS cr4,
+           ROUND(CAST(SUM(CASE WHEN rk <= 8 THEN r END) AS DOUBLE)
+                 / CAST(MAX(tot) AS DOUBLE), 6) AS cr8,
+           ROUND(CAST(SUM(CAST(r AS HUGEINT) * r) AS DOUBLE)
+                 / CAST(MAX(tot) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE)
+                 * 10000, 2) AS hhi_points
+    FROM ranked
+    """,
+)
+def agg_concentration_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Industry concentration ratios CR1/CR4/CR8 (the FTC/antitrust
+    screening numbers: CR4 > 0.6 is the classic oligopoly line) for
+    brand revenue share, published beside the HHI in index points so
+    the two standard concentration measures sit in one row (CR_k is
+    what regulators QUOTE, HHI is what they compute with — the
+    existing ``agg_hhi_concentration`` gets its ratio companions).
+    Revenue is exact cents; ranks break ties on brand.
+
+    Scale: one partial→final aggregate to 25 brands; 25-row window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+            .cast("long")
+            .alias("r")
+        )
+    )
+    w_rank = Window.orderBy(F.desc("r"), F.asc("p_brand"))
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "r",
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("r").over(w_all).cast("long").alias("tot"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("k"),
+    )
+    agg = ranked.agg(
+        F.max("k").alias("n_brands"),
+        F.max("tot").alias("tot"),
+        F.sum(F.when(F.col("rk") <= 1, F.col("r"))).cast("long").alias("t1"),
+        F.sum(F.when(F.col("rk") <= 4, F.col("r"))).cast("long").alias("t4"),
+        F.sum(F.when(F.col("rk") <= 8, F.col("r"))).cast("long").alias("t8"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("r")).alias("sr2"),
+    )
+    tot = F.col("tot").cast("double")
+    return agg.select(
+        "n_brands",
+        F.round(F.col("t1").cast("double") / tot, 6).alias("cr1"),
+        F.round(F.col("t4").cast("double") / tot, 6).alias("cr4"),
+        F.round(F.col("t8").cast("double") / tot, 6).alias("cr8"),
+        F.round(
+            F.col("sr2").cast("double") / tot / tot * 10000, 2
+        ).alias("hhi_points"),
+    )

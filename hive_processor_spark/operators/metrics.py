@@ -12314,3 +12314,116 @@ def stats_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k") - 1).cast("long").alias("df"),
         F.round(F.col("chiq") / 1e9, 4).alias("median_test_chi2"),
     )
+
+
+@register(
+    "ml_calibration_slope",
+    """
+    WITH s AS (
+        SELECT event_id,
+               CAST(FLOOR(LEAST(value / 500.0, 1.0) * 1e6) AS BIGINT)
+                   AS sq,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ), binned AS (
+        SELECT NTILE(10) OVER (ORDER BY sq, event_id) AS bin, sq, y
+        FROM s
+    ), per_bin AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS nk,
+               CAST(SUM(sq) AS BIGINT) AS spq,
+               CAST(SUM(y) AS BIGINT) AS sy
+        FROM binned GROUP BY bin
+    ), folds AS (
+        SELECT CAST(SUM(nk) AS BIGINT) AS w,
+               CAST(SUM(spq) AS BIGINT) AS sx_q,
+               CAST(SUM(sy) AS BIGINT) AS sy_t,
+               CAST(SUM(CAST(FLOOR(CAST(spq AS DOUBLE) * spq / nk / 1e6)
+                             AS BIGINT)) AS HUGEINT) AS sxx_q,
+               CAST(SUM(CAST(FLOOR(CAST(spq AS DOUBLE) * sy / nk)
+                             AS BIGINT)) AS BIGINT) AS sxy_q
+        FROM per_bin
+    )
+    SELECT w AS n_obs,
+           ROUND((CAST(w AS DOUBLE) * (sxy_q / 1e6)
+                  - (sx_q / 1e6) * sy_t)
+                 / (CAST(w AS DOUBLE) * (CAST(sxx_q AS DOUBLE) / 1e6)
+                    - (sx_q / 1e6) * (sx_q / 1e6)), 6)
+               AS calibration_slope,
+           ROUND((CAST(sy_t AS DOUBLE)
+                  - (CAST(w AS DOUBLE) * (sxy_q / 1e6)
+                     - (sx_q / 1e6) * sy_t)
+                    / (CAST(w AS DOUBLE) * (CAST(sxx_q AS DOUBLE) / 1e6)
+                       - (sx_q / 1e6) * (sx_q / 1e6))
+                    * (sx_q / 1e6)) / w, 6) AS calibration_intercept,
+           ROUND(CAST(sy_t AS DOUBLE) / w - (sx_q / 1e6) / w, 6)
+               AS calibration_in_the_large
+    FROM folds
+    """,
+)
+def ml_calibration_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration slope and intercept (Cox '58 recalibration form,
+    size-weighted over the same deterministic deciles as
+    ``ml_ece_adaptive``): regress observed outcome rate on mean
+    forecast across bins — slope 1 / intercept 0 is perfect
+    calibration, slope < 1 means forecasts are overconfident at the
+    extremes (need shrinking), and calibration-in-the-large
+    (ȳ − p̄) is the overall bias — together the three-number
+    recalibration prescription where ECE only scores the error.
+    Because bin totals ARE exact integers (nk·x̄_k = Σsq exactly),
+    the WLS sufficient sums fold as integers with the two rational
+    terms floor-quantized.
+
+    Scale: one NTILE pass + 10-cell algebra, same posture as
+    ``ml_ece_adaptive``."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_id",
+        F.floor(F.least(F.col("value") / 500.0, F.lit(1.0)) * 1e6)
+        .cast("long")
+        .alias("sq"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    binned = s.select(
+        F.ntile(10).over(Window.orderBy("sq", "event_id")).alias("bin"),
+        "sq",
+        "y",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("sq").cast("long").alias("spq"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    folds = per_bin.agg(
+        F.sum("nk").cast("long").alias("w"),
+        F.sum("spq").cast("long").alias("sx_q"),
+        F.sum("sy").cast("long").alias("sy_t"),
+        F.sum(
+            F.floor(
+                F.col("spq").cast("double") * F.col("spq") / F.col("nk") / 1e6
+            )
+            .cast("long")
+            .cast("decimal(38,0)")
+        ).alias("sxx_q"),
+        F.sum(
+            F.floor(
+                F.col("spq").cast("double") * F.col("sy") / F.col("nk")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("sxy_q"),
+    )
+    w = F.col("w")
+    sx = F.col("sx_q") / 1e6
+    slope = (
+        w.cast("double") * (F.col("sxy_q") / 1e6) - sx * F.col("sy_t")
+    ) / (
+        w.cast("double") * (F.col("sxx_q").cast("double") / 1e6) - sx * sx
+    )
+    intercept = (F.col("sy_t").cast("double") - slope * sx) / w
+    citl = F.col("sy_t").cast("double") / w - sx / w
+    return folds.select(
+        w.alias("n_obs"),
+        F.round(slope, 6).alias("calibration_slope"),
+        F.round(intercept, 6).alias("calibration_intercept"),
+        F.round(citl, 6).alias("calibration_in_the_large"),
+    )

@@ -12427,3 +12427,120 @@ def ml_calibration_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(intercept, 6).alias("calibration_intercept"),
         F.round(citl, 6).alias("calibration_in_the_large"),
     )
+
+
+@register(
+    "ml_decision_curve",
+    """
+    WITH s AS (
+        SELECT CAST(FLOOR(LEAST(value / 500.0, 1.0) * 1e6) AS BIGINT)
+                   AS sq,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ), grp AS (
+        SELECT sq, CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(SUM(1 - y) AS BIGINT) AS neg
+        FROM s GROUP BY sq
+    ), tot AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS m, CAST(SUM(neg) AS BIGINT) AS n
+        FROM grp
+    ), pts AS (
+        SELECT UNNEST([0.05, 0.10, 0.20, 0.30, 0.50]) AS pt
+    ), at_thresh AS (
+        SELECT p.pt,
+               CAST(COALESCE(SUM(CASE WHEN g.sq >= CAST(FLOOR(p.pt * 1e6)
+                                                        AS BIGINT)
+                                      THEN g.pos END), 0) AS BIGINT) AS tp,
+               CAST(COALESCE(SUM(CASE WHEN g.sq >= CAST(FLOOR(p.pt * 1e6)
+                                                        AS BIGINT)
+                                      THEN g.neg END), 0) AS BIGINT) AS fp
+        FROM pts p CROSS JOIN grp g
+        GROUP BY p.pt
+    )
+    SELECT a.pt AS threshold_prob,
+           ROUND((CAST(a.tp AS DOUBLE)
+                  - CAST(a.fp AS DOUBLE) * a.pt / (1 - a.pt))
+                 / (t.m + t.n), 6) AS net_benefit_model,
+           ROUND((CAST(t.m AS DOUBLE)
+                  - CAST(t.n AS DOUBLE) * a.pt / (1 - a.pt))
+                 / (t.m + t.n), 6) AS net_benefit_treat_all,
+           0.0 AS net_benefit_treat_none,
+           CASE WHEN (CAST(a.tp AS DOUBLE)
+                      - CAST(a.fp AS DOUBLE) * a.pt / (1 - a.pt))
+                     / (t.m + t.n)
+                     > GREATEST((CAST(t.m AS DOUBLE)
+                                 - CAST(t.n AS DOUBLE) * a.pt / (1 - a.pt))
+                                / (t.m + t.n), 0.0)
+                THEN 1 ELSE 0 END AS model_wins
+    FROM at_thresh a CROSS JOIN tot t
+    ORDER BY a.pt
+    """,
+)
+def ml_decision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-curve analysis (Vickers & Elkin '06): at each threshold
+    probability p_t — the odds at which a user of the model would
+    accept one false positive per p_t/(1−p_t) true positives — the
+    NET BENEFIT (TP − FP·p_t/(1−p_t))/N of acting on score ≥ p_t,
+    against the treat-ALL and treat-NONE policies. This is the
+    utility-facing view the accuracy metrics (``ml_mcc_fbeta``,
+    ``ml_partial_auc``) can't give: a model is only WORTH USING at
+    thresholds where its curve clears both trivial policies, flagged
+    per row. Counts are exact integers off the distinct-score frame;
+    the thresholds map onto the same 1e-6 score grid.
+
+    Scale: demote-to-distinct, one conditional aggregate per 5
+    thresholds."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.floor(F.least(F.col("value") / 500.0, F.lit(1.0)) * 1e6)
+        .cast("long")
+        .alias("sq"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    grp = s.groupBy("sq").agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("neg"),
+    )
+    tot = grp.agg(
+        F.sum("pos").cast("long").alias("m"),
+        F.sum("neg").cast("long").alias("n"),
+    )
+    pts = spark.createDataFrame(
+        [(0.05,), (0.10,), (0.20,), (0.30,), (0.50,)], ["pt"]
+    )
+    thresh_q = F.floor(F.col("pt") * 1e6).cast("long")
+    at_thresh = (
+        pts.crossJoin(grp)
+        .groupBy("pt")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("sq") >= thresh_q, F.col("pos"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tp"),
+            F.coalesce(
+                F.sum(F.when(F.col("sq") >= thresh_q, F.col("neg"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    j = at_thresh.crossJoin(F.broadcast(tot))
+    odds = F.col("pt") / (1 - F.col("pt"))
+    nb_model = (
+        F.col("tp").cast("double") - F.col("fp").cast("double") * odds
+    ) / (F.col("m") + F.col("n"))
+    nb_all = (
+        F.col("m").cast("double") - F.col("n").cast("double") * odds
+    ) / (F.col("m") + F.col("n"))
+    return j.select(
+        F.col("pt").alias("threshold_prob"),
+        F.round(nb_model, 6).alias("net_benefit_model"),
+        F.round(nb_all, 6).alias("net_benefit_treat_all"),
+        F.lit(0.0).alias("net_benefit_treat_none"),
+        F.when(nb_model > F.greatest(nb_all, F.lit(0.0)), 1)
+        .otherwise(0)
+        .alias("model_wins"),
+    ).orderBy("threshold_prob")

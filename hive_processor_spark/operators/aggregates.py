@@ -3834,3 +3834,95 @@ def agg_concentration_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sr2").cast("double") / tot / tot * 10000, 2
         ).alias("hhi_points"),
     )
+
+
+@register(
+    "agg_lorenz_asymmetry",
+    """
+    WITH v AS (
+        SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS c
+        FROM orders
+    ), grp AS (
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS f FROM v GROUP BY c
+    ), tot AS (
+        SELECT CAST(SUM(f) AS BIGINT) AS n,
+               CAST(SUM(c * f) AS BIGINT) AS s
+        FROM grp
+    ), below AS (
+        SELECT CAST(SUM(CASE WHEN g.c * t.n < t.s THEN g.f ELSE 0 END)
+                    AS BIGINT) AS n_below,
+               CAST(SUM(CASE WHEN g.c * t.n < t.s THEN g.c * g.f
+                        ELSE 0 END) AS BIGINT) AS s_below,
+               MAX(CASE WHEN g.c * t.n < t.s THEN g.c END) AS x_m,
+               MIN(CASE WHEN g.c * t.n >= t.s THEN g.c END) AS x_m1
+        FROM grp g CROSS JOIN tot t
+    ), sc AS (
+        SELECT t.n, t.s, b.n_below, b.s_below, b.x_m, b.x_m1,
+               (CAST(t.s AS DOUBLE) / t.n - b.x_m) / (b.x_m1 - b.x_m)
+                   AS delta
+        FROM below b CROSS JOIN tot t
+    )
+    SELECT n AS n_obs,
+           ROUND(CAST(s AS DOUBLE) / n / 100.0, 2) AS mean_dollars,
+           ROUND((n_below + delta) / n, 6) AS f_mu,
+           ROUND((s_below + delta * x_m1) / s, 6) AS l_mu,
+           ROUND((n_below + delta) / n
+                 + (s_below + delta * x_m1) / s, 6) AS lorenz_asymmetry_s
+    FROM sc
+    """,
+)
+def agg_lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz asymmetry coefficient (Damgaard & Weiner Ecology '00):
+    S = F(μ) + L(μ), the Lorenz-curve coordinates at the MEAN — S = 1
+    means the curve is symmetric; S < 1 says inequality is driven by
+    many small units, S > 1 by a few giants — the qualitative
+    diagnosis two distributions with the SAME Gini
+    (``agg_gini``/``agg_lorenz_curve``) can differ on. F and L use
+    the standard one-step interpolation δ = (μ−x_m)/(x_{m+1}−x_m)
+    at the mean-straddling pair of distinct values; the straddle
+    comparison c·n < s is EXACT integer arithmetic (no float mean
+    enters the branch).
+
+    Scale: demote-to-distinct; one conditional aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("c"))
+    grp = v.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    tot = grp.agg(
+        F.sum("f").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("f")).cast("long").alias("s"),
+    )
+    j = grp.crossJoin(F.broadcast(tot))
+    is_below = F.col("c") * F.col("n") < F.col("s")
+    below = j.agg(
+        F.sum(F.when(is_below, F.col("f")).otherwise(0))
+        .cast("long")
+        .alias("n_below"),
+        F.sum(F.when(is_below, F.col("c") * F.col("f")).otherwise(0))
+        .cast("long")
+        .alias("s_below"),
+        F.max(F.when(is_below, F.col("c"))).alias("x_m"),
+        F.min(F.when(~is_below, F.col("c"))).alias("x_m1"),
+    )
+    sc = below.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "s",
+        "n_below",
+        "s_below",
+        "x_m",
+        "x_m1",
+        (
+            (F.col("s").cast("double") / F.col("n") - F.col("x_m"))
+            / (F.col("x_m1") - F.col("x_m"))
+        ).alias("delta"),
+    )
+    f_mu = (F.col("n_below") + F.col("delta")) / F.col("n")
+    l_mu = (F.col("s_below") + F.col("delta") * F.col("x_m1")) / F.col("s")
+    return sc.select(
+        F.col("n").alias("n_obs"),
+        F.round(F.col("s").cast("double") / F.col("n") / 100.0, 2).alias(
+            "mean_dollars"
+        ),
+        F.round(f_mu, 6).alias("f_mu"),
+        F.round(l_mu, 6).alias("l_mu"),
+        F.round(f_mu + l_mu, 6).alias("lorenz_asymmetry_s"),
+    )

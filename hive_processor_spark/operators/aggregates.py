@@ -3926,3 +3926,103 @@ def agg_lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l_mu, 6).alias("l_mu"),
         F.round(f_mu + l_mu, 6).alias("lorenz_asymmetry_s"),
     )
+
+
+@register(
+    "agg_mean_excess",
+    """
+    WITH v AS (
+        SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS c
+        FROM orders
+    ), grp AS (
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS f FROM v GROUP BY c
+    ), nn AS (SELECT CAST(SUM(f) AS BIGINT) AS n FROM grp),
+    cum AS (
+        SELECT c, SUM(f) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS cc
+        FROM grp
+    ), qs AS (
+        SELECT ks.k,
+               (SELECT MIN(c) FROM cum CROSS JOIN nn
+                WHERE cc >= CAST(CEIL(ks.k / 10.0 * n) AS BIGINT)) AS u
+        FROM (SELECT UNNEST([5, 7, 9]) AS k) ks
+    ), ex AS (
+        SELECT q.k, q.u,
+               CAST(SUM(CASE WHEN g.c > q.u THEN g.f ELSE 0 END)
+                    AS BIGINT) AS n_exceed,
+               CAST(SUM(CASE WHEN g.c > q.u THEN (g.c - q.u) * g.f
+                        ELSE 0 END) AS BIGINT) AS excess_sum
+        FROM qs q CROSS JOIN grp g
+        GROUP BY q.k, q.u
+    )
+    SELECT CAST(k * 10 AS BIGINT) AS threshold_pctile,
+           ROUND(u / 100.0, 2) AS threshold_dollars,
+           n_exceed,
+           ROUND(CAST(excess_sum AS DOUBLE) / n_exceed / 100.0, 2)
+               AS mean_excess_dollars,
+           ROUND(CAST(excess_sum AS DOUBLE) / n_exceed / u, 6)
+               AS excess_to_threshold_ratio
+    FROM ex
+    ORDER BY threshold_pctile
+    """,
+)
+def agg_mean_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-excess (mean residual life) function e(u) = E[X−u | X>u] at
+    the 50th/70th/90th percentile thresholds — THE graphical
+    diagnostic for choosing the peaks-over-threshold cutoff that
+    ``ts_pot_gpd`` fits above: e(u) growing linearly in u ⇒
+    heavy/Pareto tail (GPD ξ>0), flat ⇒ exponential, falling ⇒ short
+    tail (the excess_to_threshold_ratio column makes the slope
+    readable without a plot). Thresholds are exact order statistics;
+    the conditional excess sums are exact integers off the distinct-
+    value frame.
+
+    Scale: demote-to-distinct, one cumulative window, one 3-threshold
+    conditional aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("c"))
+    grp = v.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    nn = grp.agg(F.sum("f").cast("long").alias("n"))
+    w_cum = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grp.select("c", F.sum("f").over(w_cum).alias("cc"))
+    ks = spark.createDataFrame([(5,), (7,), (9,)], ["k"])
+    qs = (
+        ks.crossJoin(cum)
+        .crossJoin(F.broadcast(nn))
+        .filter(
+            F.col("cc") >= F.ceil(F.col("k") / 10.0 * F.col("n")).cast("long")
+        )
+        .groupBy("k")
+        .agg(F.min("c").alias("u"))
+    )
+    ex = (
+        qs.crossJoin(grp)
+        .groupBy("k", "u")
+        .agg(
+            F.sum(F.when(F.col("c") > F.col("u"), F.col("f")).otherwise(0))
+            .cast("long")
+            .alias("n_exceed"),
+            F.sum(
+                F.when(
+                    F.col("c") > F.col("u"),
+                    (F.col("c") - F.col("u")) * F.col("f"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("excess_sum"),
+        )
+    )
+    return ex.select(
+        (F.col("k") * 10).cast("long").alias("threshold_pctile"),
+        F.round(F.col("u") / 100.0, 2).alias("threshold_dollars"),
+        "n_exceed",
+        F.round(
+            F.col("excess_sum").cast("double") / F.col("n_exceed") / 100.0, 2
+        ).alias("mean_excess_dollars"),
+        F.round(
+            F.col("excess_sum").cast("double") / F.col("n_exceed") / F.col("u"),
+            6,
+        ).alias("excess_to_threshold_ratio"),
+    ).orderBy("threshold_pctile")

@@ -12544,3 +12544,108 @@ def ml_decision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("model_wins"),
     ).orderBy("threshold_prob")
+
+
+def _rbo_weights(p: float = 0.9, depth: int = 50):
+    """W(m) = sum_{d=m..depth} p^(d-1)/d — embedded as literals so both
+    engines share the exact same doubles (no per-engine pow/ln)."""
+    ws = []
+    for m in range(1, depth + 1):
+        ws.append(sum(p ** (d - 1) / d for d in range(m, depth + 1)))
+    return ws
+
+
+_RBO_W = _rbo_weights()
+
+
+def _rbo_sql() -> str:
+    arr = "[" + ", ".join(repr(w) for w in _RBO_W) + "]"
+    return f"""
+    WITH rev AS (
+        SELECT l_partkey AS pk,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS r,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem GROUP BY l_partkey
+    ), by_rev AS (
+        SELECT pk, ROW_NUMBER() OVER (ORDER BY r DESC, pk) AS rk
+        FROM rev QUALIFY rk <= 50
+    ), by_qty AS (
+        SELECT pk, ROW_NUMBER() OVER (ORDER BY q DESC, pk) AS rk
+        FROM rev QUALIFY rk <= 50
+    ), joint AS (
+        SELECT GREATEST(a.rk, b.rk) AS m
+        FROM by_rev a JOIN by_qty b ON b.pk = a.pk
+    ), w AS (SELECT {arr} AS t)
+    SELECT CAST(50 AS BIGINT) AS depth,
+           CAST((SELECT COUNT(*) FROM joint) AS BIGINT) AS n_common,
+           ROUND(0.09999999999999998 * (
+               SELECT COALESCE(SUM(CAST(FLOOR(w.t[j.m] * 1e12)
+                                        AS BIGINT)), 0)
+               FROM joint j CROSS JOIN w) / 1e12, 6) AS rbo_truncated
+    """
+
+
+@register("ml_rank_biased_overlap", _rbo_sql())
+def ml_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel TOIS'10, p = 0.9,
+    depth 50) between the revenue top-50 and quantity top-50 part
+    rankings: RBO = (1−p)Σ_d p^{d−1}·|overlap@d|/d — the top-weighted
+    rank similarity that handles NON-CONJOINT lists, which Kendall/
+    Spearman (``ml_spearman``/``ml_ranking_stability``) fundamentally
+    cannot. The per-depth overlap never materializes: an item present
+    in both prefixes at ranks (r₁, r₂) contributes exactly
+    W(max(r₁,r₂)) with W(m) = Σ_{d≥m} p^{d−1}/d, and those 50 W values
+    are PRECOMPUTED PYTHON LITERALS embedded in both plans — no
+    per-engine pow chains on the comparison path (the LNFACT_Q
+    discipline applied to rank weights).
+
+    Scale: one partial→final aggregate to parts, two top-50 windows,
+    a ≤50-row join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("r"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"),
+    )
+    by_rev = (
+        rev.select(
+            "pk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("r"), F.asc("pk")))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= 50)
+    )
+    by_qty = (
+        rev.select(
+            "pk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("q"), F.asc("pk")))
+            .alias("rk2"),
+        )
+        .filter(F.col("rk2") <= 50)
+    )
+    joint = by_rev.join(by_qty, "pk").select(
+        F.greatest(F.col("rk"), F.col("rk2")).alias("m")
+    )
+    warr = F.array(*[F.lit(w) for w in _RBO_W])
+    agg = joint.agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.coalesce(
+            F.sum(
+                F.floor(F.element_at(warr, F.col("m")) * 1e12).cast("long")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("wsum_q"),
+    )
+    return agg.select(
+        F.lit(50).cast("long").alias("depth"),
+        "n_common",
+        F.round(
+            F.lit(0.09999999999999998) * F.col("wsum_q") / 1e12, 6
+        ).alias("rbo_truncated"),
+    )

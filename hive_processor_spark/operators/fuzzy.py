@@ -292,27 +292,43 @@ def fn_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     inv = t.select(
         "p_partkey",
         "p_brand",
+        F.size("tg").alias("sz"),
         F.explode(F.slice(hashes, F.lit(1), prefix_len)).alias("h"),
     )
-    a = inv.select(F.col("p_partkey").alias("part_a"), "p_brand", "h")
+    a = inv.select(F.col("p_partkey").alias("part_a"), "p_brand", "h", "sz")
     b = inv.select(
         F.col("p_partkey").alias("part_b"),
         F.col("p_brand").alias("brand_b"),
         F.col("h").alias("h_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    # PPJoin length filter: J >= 0.8 forces |A∩B| >= 0.8·max(|A|,|B|)
+    # and |A∩B| <= min(|A|,|B|), so min >= 0.8·max — exact in integers
+    # as 5·least >= 4·greatest. Applied inside the candidate join it
+    # kills size-mismatched collisions BEFORE the distinct and before
+    # the array_intersect verify ever sees them (round-4 verdict #3).
+    len_ok = (
+        F.least(F.col("sz"), F.col("sz_b")) * 5
+        >= F.greatest(F.col("sz"), F.col("sz_b")) * 4
     )
     cand = (
         a.join(
             b,
             (F.col("p_brand") == F.col("brand_b"))
             & (F.col("h") == F.col("h_b"))
-            & (F.col("part_a") < F.col("part_b")),
+            & (F.col("part_a") < F.col("part_b"))
+            & len_ok,
         )
         .select("part_a", "part_b", "p_brand")
         .distinct()
     )
     ta = t.select(F.col("p_partkey").alias("part_a"), F.col("tg").alias("ta"))
     tb = t.select(F.col("p_partkey").alias("part_b"), F.col("tg").alias("tb"))
-    pairs = cand.join(ta, "part_a").join(tb, "part_b")
+    # t is one row per part name — broadcast both verify sides so the
+    # candidate stream never shuffles between filter and verify
+    pairs = cand.join(F.broadcast(ta), "part_a").join(
+        F.broadcast(tb), "part_b"
+    )
     inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
     union = F.size("ta") + F.size("tb") - inter
     sim = inter.cast("double") / union

@@ -1133,8 +1133,15 @@ def profile_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     on every numeric column. The fence test is the PURE INTEGER
     inequality ``2v < 2Q1 − 3·IQR`` (doubling clears the half-unit from
     1.5·IQR), so boundary values classify identically everywhere.
-    Shape: per-column rank windows (partitioned by column name, so all
-    four columns rank in one pass) + one conditional-count join-back."""
+    Shape: the quartile rank runs over the per-column VALUE HISTOGRAM
+    ``(col, v, cnt)`` with cumulative counts — the order statistic at
+    rank k is the distinct value whose [cum_lo, cum_hi] span covers k —
+    so the window sorts distinct values, not rows (the ``_med2`` /
+    ``stats_mad_outliers`` bounded-domain discipline: a raw-row
+    row_number here would funnel every row of lineitem+orders through
+    max-parallelism-4 sort tasks, the classic 100 TB scale-killer).
+    The fence count then sums histogram ``cnt`` under a broadcast of
+    the 4-row quartile frame — no second pass over raw rows at all."""
     specs = [
         ("orders", "o_totalprice", "orders.o_totalprice"),
         ("customer", "c_acctbal", "customer.c_acctbal"),
@@ -1148,24 +1155,30 @@ def profile_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col(col) * 100.0).cast("long").alias("v"),
         )
         vals = t if vals is None else vals.unionAll(t)
-    wc = Window.partitionBy("col")
-    ranked = vals.select(
+    hist = vals.groupBy("col", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    w_ord = Window.partitionBy("col").orderBy("v")
+    w_all = Window.partitionBy("col")
+    cum = hist.select(
         "col",
         "v",
-        F.row_number().over(wc.orderBy("v")).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
+        "cnt",
+        F.sum("cnt").over(w_ord).alias("cum_hi"),
+        (F.sum("cnt").over(w_ord) - F.col("cnt")).alias("cum_lo"),
+        F.sum("cnt").over(w_all).alias("n"),
     )
-    qs = ranked.groupBy("col").agg(
+    q1_pos = F.ceil(0.25 * F.col("n")).cast("bigint")
+    q3_pos = F.ceil(0.75 * F.col("n")).cast("bigint")
+    qs = cum.groupBy("col").agg(
         F.max("n").alias("n"),
         F.max(
             F.when(
-                F.col("rn") == F.ceil(0.25 * F.col("n")).cast("bigint"),
+                (F.col("cum_lo") < q1_pos) & (q1_pos <= F.col("cum_hi")),
                 F.col("v"),
             )
         ).alias("q1"),
         F.max(
             F.when(
-                F.col("rn") == F.ceil(0.75 * F.col("n")).cast("bigint"),
+                (F.col("cum_lo") < q3_pos) & (q3_pos <= F.col("cum_hi")),
                 F.col("v"),
             )
         ).alias("q3"),
@@ -1178,12 +1191,13 @@ def profile_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("n", "qn")
     )
     return (
-        ranked.drop("n")
-        .join(qs2, F.col("qcol") == F.col("col"))
+        hist.join(F.broadcast(qs2), F.col("qcol") == F.col("col"))
         .withColumnRenamed("qn", "n")
         .groupBy("col", "n", "q1", "q3")
         .agg(
-            F.count_if(low | high).cast("bigint").alias("n_outliers"),
+            F.sum(F.when(low | high, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_outliers"),
         )
         .select(
             "col",

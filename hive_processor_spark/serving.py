@@ -10,7 +10,13 @@ for the Spark engine without inheriting the reference's wire stack
 * transport: TCP, each message a big-endian ``uint32`` length prefix plus a
   JSON body — the simplest self-describing envelope two processes in any
   language can speak;
-* request: ``{"sn": int, "query": str, "sf_dir": str, "limit": int?}``;
+* request: ``{"sn": int, "query": str, "sf_dir": str, "limit": int?,
+  "ctx": {"domain": str?, "uid": str?, "ip": str?}?}`` — ``ctx`` mirrors the
+  reference's multi-tenant request context (``src/processor.ts:98-106``);
+  handlers that declare a ``ctx`` parameter receive it and scope their scan
+  to the caller's tenant (``scan_tenant_prune`` turns ``ctx.domain`` into a
+  partition-column predicate, SURVEY §1.2 row 11), handlers that don't are
+  tenant-agnostic and ``ctx`` passes over them harmlessly;
 * response: ``{"sn": <echoed>, "ok": bool, "rows": [...]}`` on success,
   ``{"sn": <echoed>, "ok": false, "error": str}`` on failure — errors
   travel to the caller instead of killing the server (the reference's
@@ -159,7 +165,13 @@ class QueryServer:
             fn = self._functions.get(name)
             if fn is None:
                 raise KeyError(f"unknown query: {name!r}")
-            df = fn(self._spark, request["sf_dir"])
+            ctx = request.get("ctx")
+            if ctx is not None and not isinstance(ctx, dict):
+                raise TypeError("ctx must be an object")
+            if ctx and self._accepts_ctx(fn):
+                df = fn(self._spark, request["sf_dir"], ctx=ctx)
+            else:
+                df = fn(self._spark, request["sf_dir"])
             limit = int(request.get("limit", 1000))
             # toJSON keeps types self-describing (dates/timestamps/arrays)
             # without a hand-rolled serializer on either side.
@@ -167,6 +179,26 @@ class QueryServer:
             return {"sn": sn, "ok": True, "rows": rows}
         except Exception as exc:  # error → reply, server stays up
             return {"sn": sn, "ok": False, "error": f"{type(exc).__name__}: {exc}"}
+
+    @staticmethod
+    def _accepts_ctx(fn) -> bool:
+        """True if the handler opted into the request context by declaring
+        a ``ctx`` parameter — the serving analog of the reference handlers
+        reading ``job.ctx`` (``src/processor.ts:98-106``). Cached on the
+        function: signature inspection is per-registration, not per-call."""
+        cached = getattr(fn, "_hps_accepts_ctx", None)
+        if cached is None:
+            import inspect
+
+            try:
+                cached = "ctx" in inspect.signature(fn).parameters
+            except (TypeError, ValueError):
+                cached = False
+            try:
+                fn._hps_accepts_ctx = cached
+            except AttributeError:
+                pass
+        return cached
 
 
 def request_once(

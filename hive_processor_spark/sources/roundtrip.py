@@ -324,6 +324,56 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_tenant_prune",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE source = 'src7'
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def scan_tenant_prune(
+    spark: SparkSession, sf_dir: str, ctx: dict | None = None
+) -> DataFrame:
+    """Tenant-scoped scan with partition pruning — the reference's
+    multi-tenant request context made physical. The reference's RPC
+    envelope carries ``ctx: {domain, ip, uid}`` (``src/processor.ts:98-106``)
+    and SURVEY §1.2 maps ``ctx.domain`` to a partition-column filter; here
+    the documents corpus is laid out ``partitionBy(source)`` (prepare-once)
+    and the request's domain becomes a literal partition predicate, so the
+    scan touches exactly one tenant directory (PartitionFilters asserted in
+    tests/test_processor.py). This is THE tenant-isolation shape at 100 TB:
+    per-tenant directories mean a tenant's query never reads — or pays
+    for — another tenant's bytes. The registry default domain is pinned
+    ('src7', matching the oracle); the serving layer passes the caller's
+    ``ctx`` through (serving.py), which is how a remote tenant scopes the
+    same registered query to its own partition."""
+    import hashlib
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(_SCRATCH_ROOT, f"tenant-docs-{digest}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        os.makedirs(_SCRATCH_ROOT, exist_ok=True)
+        load_table(spark, sf_dir, "documents").write.mode(
+            "overwrite"
+        ).partitionBy("source").parquet(path)
+    domain = (ctx or {}).get("domain", "src7")
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("source") == F.lit(domain))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "scan_text_roundtrip",
     """
     SELECT CAST(LENGTH(text) AS BIGINT) AS n_chars,

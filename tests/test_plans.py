@@ -437,3 +437,30 @@ def test_uplift_counts_single_events_scan(spark):
     ranking — one fact scan."""
     plan = plan_string(_QUERIES["ab_uplift_qini"](spark, SF_DIR))
     assert plan.count("events.parquet") == 1
+
+
+def test_tenant_ctx_prunes_partitions(spark):
+    """ctx.domain must become a partition-directory predicate, not a
+    row filter: the tenant-partitioned layout's scan carries `source`
+    in PartitionFilters, so one tenant's query never reads another
+    tenant's files (SURVEY §1.2 row 11; reference src/processor.ts:98-106)."""
+    plan = plan_string(
+        _QUERIES["scan_tenant_prune"](spark, SF_DIR, ctx={"domain": "src3"})
+    )
+    assert "PartitionFilters" in plan
+    part_f = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "source" in part_f and "src3" in part_f
+
+
+def test_iqr_outliers_ranks_histogram_not_rows(spark):
+    """The quartile rank must run over the per-column value histogram
+    (shuffle ∝ distinct values), never raw rows — a raw-row row_number
+    partitioned by the 4-value column name is one task sorting all of
+    lineitem at 100 TB (round-4 verdict #2). The fence count must come
+    from histogram cnt under a broadcast of the quartile frame."""
+    plan = plan_string(_QUERIES["profile_iqr_outliers"](spark, SF_DIR))
+    assert "row_number" not in plan  # histogram cum-count ranking only
+    # the window's input is the aggregated histogram, not the union scan:
+    # every Window sits above a HashAggregate in the tree
+    assert "Window" in plan and "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan  # 4-row quartile side broadcasts

@@ -230,3 +230,54 @@ def test_remote_pipelined_interleaved(spark):
     for sn, reply in side.items():
         assert reply["ok"] and reply["sn"] == sn and len(reply["rows"]) > 0
     assert side[101]["rows"] == side[102]["rows"]
+
+
+def test_remote_tenant_ctx_scopes_query(spark):
+    """The reference envelope's multi-tenant request context
+    (``ctx: {domain, ip, uid}``, src/processor.ts:98-106) must reach the
+    handler and scope its scan: two callers sending different ``ctx.domain``
+    values over the SAME registered query get disjoint, tenant-local
+    answers, and a ctx-less call falls back to the registry default (the
+    oracle's pinned tenant)."""
+    from hive_processor_spark import queries
+    from hive_processor_spark.serving import QueryServer, request_once
+
+    name = "scan_tenant_prune"
+    with QueryServer(spark) as srv:
+        r_a = request_once(
+            srv.host,
+            srv.port,
+            {
+                "sn": 21,
+                "query": name,
+                "sf_dir": SF_SMALL,
+                "ctx": {"domain": "src3", "uid": "tenant-a", "ip": "10.0.0.3"},
+            },
+        )
+        r_b = request_once(
+            srv.host,
+            srv.port,
+            {
+                "sn": 22,
+                "query": name,
+                "sf_dir": SF_SMALL,
+                "ctx": {"domain": "src11", "uid": "tenant-b"},
+            },
+        )
+        r_default = request_once(
+            srv.host, srv.port, {"sn": 23, "query": name, "sf_dir": SF_SMALL}
+        )
+    assert r_a["ok"] and r_b["ok"] and r_default["ok"]
+    # tenant isolation: same query, different domains, different answers
+    assert r_a["rows"] != r_b["rows"]
+
+    import json as _json
+
+    def in_proc(ctx):
+        fn = queries()[name]
+        df = fn(spark, SF_SMALL, ctx=ctx) if ctx else fn(spark, SF_SMALL)
+        return [_json.loads(s) for s in df.toJSON().collect()]
+
+    assert r_a["rows"] == in_proc({"domain": "src3"})
+    assert r_b["rows"] == in_proc({"domain": "src11"})
+    assert r_default["rows"] == in_proc(None)  # oracle-pinned src7 default

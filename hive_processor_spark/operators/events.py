@@ -2366,11 +2366,22 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     between the first signup and the first purchase after it; reported as
     converted-user count, mean, and explicit-order-statistic p50/p90 (no
     engine interpolation — both engines pick the same ranked element, the
-    house exact-median discipline). Two keyed aggregations (signup mins,
-    then purchase mins over a user-keyed join) and one rank window over
-    the per-user frame — at 100 TB the event scans partial-aggregate
-    map-side and only per-user rows shuffle. Lags are exact integer µs
-    until the final divide."""
+    house exact-median discipline).
+
+    Order statistics never rank the per-user frame through one partition
+    (round-5 verdict #3 — lag values are all-distinct at µs granularity,
+    so the plain value-histogram demotion of ``stats_mad_outliers`` buys
+    nothing here; this is the TWO-LEVEL variant): (1) a coarse HOUR-BUCKET
+    histogram — bounded by the observation window (209 buckets at sf0.1),
+    not by users — locates, via the cumulative frame, which bucket holds
+    each target rank and the residual rank within it; (2) only the two
+    target buckets' rows are then ranked, in a window PARTITIONED by
+    quantile whose partition size is one bucket's population. At 100 TB
+    the per-user frame shuffles once into the bucket histogram
+    (map-side combined) and once more for the two-bucket rank — no
+    unpartitioned WindowExec over an unbounded frame anywhere in the
+    plan (plan-asserted in tests/test_plans.py). Lags are exact integer
+    µs until the final divide."""
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
     s = (
@@ -2385,39 +2396,66 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg((F.min(us) - F.max("s_us")).alias("lag_us"))
     )
-    r = p.select(
-        "lag_us",
-        F.row_number().over(Window.orderBy("lag_us", "user_id")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("cnt"),
+    hour_us = F.lit(3_600_000_000)
+    pb = p.select(
+        "user_id", "lag_us", F.floor(F.col("lag_us") / hour_us).alias("bkt")
     )
-    cnt = F.max("cnt")
-    return r.agg(
-        cnt.cast("bigint").alias("n_converted"),
+    hist = pb.groupBy("bkt").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w_prev = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # cumulative over the BOUNDED bucket frame (hours in the observation
+    # window), not over per-user rows
+    cum = hist.select(
+        "bkt",
+        "c",
+        F.coalesce(F.sum("c").over(w_prev), F.lit(0)).alias("cumprev"),
+    )
+    tot = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.col("lag_us").cast("decimal(28,0)")).alias("lag_sum"),
+    )
+    targets = tot.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("p50").alias("q"),
+                    F.floor((F.col("cnt") + 1) / 2).cast("bigint").alias("k"),
+                ),
+                F.struct(
+                    F.lit("p90").alias("q"),
+                    F.ceil(0.9 * F.col("cnt")).cast("bigint").alias("k"),
+                ),
+            )
+        ).alias("t")
+    ).select(F.col("t.q").alias("q"), F.col("t.k").alias("k"))
+    # locate each target rank's bucket and residual rank within it
+    loc = targets.join(
+        cum,
+        (F.col("k") > F.col("cumprev"))
+        & (F.col("k") <= F.col("cumprev") + F.col("c")),
+    ).select("q", "bkt", (F.col("k") - F.col("cumprev")).alias("r"))
+    wq = Window.partitionBy("q").orderBy("lag_us", "user_id")
+    hits = (
+        pb.join(F.broadcast(loc), "bkt")
+        .select("q", "lag_us", "r", F.row_number().over(wq).alias("rn"))
+        .filter(F.col("rn") == F.col("r"))
+        .agg(
+            F.max(F.when(F.col("q") == "p50", F.col("lag_us"))).alias(
+                "p50_us"
+            ),
+            F.max(F.when(F.col("q") == "p90", F.col("lag_us"))).alias(
+                "p90_us"
+            ),
+        )
+    )
+    return tot.crossJoin(F.broadcast(hits)).select(
+        F.col("cnt").alias("n_converted"),
         F.round(
-            F.sum(F.col("lag_us").cast("decimal(28,0)")).cast("double")
-            / cnt
-            / 3.6e9,
-            4,
+            F.col("lag_sum").cast("double") / F.col("cnt") / 3.6e9, 4
         ).alias("avg_lag_hours"),
-        F.round(
-            F.max(
-                F.when(
-                    F.col("rn") == F.floor((F.col("cnt") + 1) / 2), F.col("lag_us")
-                )
-            )
-            / 3.6e9,
-            4,
-        ).alias("p50_lag_hours"),
-        F.round(
-            F.max(
-                F.when(
-                    F.col("rn") == F.ceil(0.9 * F.col("cnt")).cast("bigint"),
-                    F.col("lag_us"),
-                )
-            )
-            / 3.6e9,
-            4,
-        ).alias("p90_lag_hours"),
+        F.round(F.col("p50_us") / 3.6e9, 4).alias("p50_lag_hours"),
+        F.round(F.col("p90_us") / 3.6e9, 4).alias("p90_lag_hours"),
     )
 
 

@@ -253,33 +253,48 @@ def fn_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     name pairs ≥ 0.8 with the rounded score (integer set sizes make the
     ranking exact).
 
-    Scale posture: candidates come from the lossless PPJoin prefix
-    filter (Xiao et al. '08 — the ``dedup_ngram_verify`` machinery):
-    trigrams are put in global canonical order by portable hash and
-    only each name's first |X| − ⌈0.8·|X|⌉ + 1 of them are indexed; the
-    min-common-element argument guarantees every Jaccard ≥ 0.8 pair
-    collides inside both prefixes, so recall is exact BY CONSTRUCTION
-    (property-tested against the brute-force join at fixture scale).
-    The brand-blocked self-join this replaces measured 72 s at sf0.1;
-    the prefix form is ~7×."""
+    Scale posture — CLONE COLLAPSE first, then a lossless PPJoin
+    (Xiao et al. '08, the ``dedup_ngram_verify`` machinery) over the
+    collapsed NAME VOCABULARY, never the corpus:
+
+    1. Trigram sets, the prefix index, the candidate join, and the
+       array_intersect verify all run once per distinct lowercase name
+       (64 at sf0.1, vs 20 000 part rows / 1.4 M row-level candidate
+       collisions the pre-round-6 row-level form generated). Vocabulary
+       cardinality, not corpus size, drives the quadratic stage — a
+       100 TB catalog has ~10⁶ distinct names, and the prefix filter
+       (first |X| − ⌈0.8·|X|⌉ + 1 trigrams in global hash order; the
+       min-common-element argument makes recall exact BY CONSTRUCTION,
+       property-tested in tests/test_properties.py) bounds candidates
+       at that vocabulary scale.
+    2. Qualifying name pairs (plus identical-name self-pairs, Jaccard 1
+       by definition) expand back to part-key pairs through the
+       (brand, name) clone-group table: one corpus shuffle to build the
+       groups, then a broadcast of the VOCABULARY-BOUND sim table (name
+       pairs ≥ 0.8 — tiny at any scale) and a group×group key expansion
+       whose output is exactly the qualifying pairs (156 K at sf0.1),
+       fed straight into TakeOrderedAndProject(20). Every broadcast here
+       is bounded by the name vocabulary, not the corpus (ADVICE r5 #1:
+       the old form broadcast the full tokenized part table, which grows
+       with scale factor)."""
     part = load_table(spark, sf_dir, "part")
+    # clone collapse: the trigram machinery sees one row per distinct
+    # lowercase name — the expensive tokenize/hash/verify work is
+    # vocabulary-sized
+    names = part.select(F.lower(F.col("p_name")).alias("name")).distinct()
     tg = F.array_distinct(
         F.expr(
-            "transform(sequence(1, length(lower(p_name)) - 2), "
-            "i -> substring(lower(p_name), i, 3))"
+            "transform(sequence(1, length(name) - 2), "
+            "i -> substring(name, i, 3))"
         )
     )
-    # pin the tokenized frame: it feeds the inverted index AND both
-    # verify sides, and the trigram+md5 transform is the expensive
-    # scalar work — one materialization instead of three evaluations
-    t = part.select("p_partkey", "p_brand", tg.alias("tg")).localCheckpoint()
+    t = names.select("name", tg.alias("tg"))
     # canonical order note: PPJoin's rarity (ascending-df) ordering was
-    # measured here and REJECTED — this fixture's names draw on a tiny
-    # token vocabulary, so "rare" trigrams still collide (1.63M -> 0.87M
-    # candidates) while the df join + per-name reorder adds a shuffle
-    # that costs more than the halved verify saves (3.4 s -> 5.0 s at
-    # sf0.1). Hash order keeps the one-pass prefix; recall is lossless
-    # under any global total order.
+    # measured here and REJECTED in round 5 — this fixture's names draw
+    # on a tiny token vocabulary, so "rare" trigrams still collide while
+    # the df join + per-name reorder adds a shuffle that costs more than
+    # the halved verify saves. Hash order keeps the one-pass prefix;
+    # recall is lossless under any global total order.
     hashes = F.array_sort(
         F.expr(
             "transform(tg, s -> cast(conv(substring(md5(s), 1, 15), 16, 10)"
@@ -290,23 +305,19 @@ def fn_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tg") - F.ceil(F.size("tg") * F.lit(0.8)).cast("int") + 1
     )
     inv = t.select(
-        "p_partkey",
-        "p_brand",
+        "name",
         F.size("tg").alias("sz"),
         F.explode(F.slice(hashes, F.lit(1), prefix_len)).alias("h"),
     )
-    a = inv.select(F.col("p_partkey").alias("part_a"), "p_brand", "h", "sz")
+    a = inv.select(F.col("name").alias("name_a"), "h", "sz")
     b = inv.select(
-        F.col("p_partkey").alias("part_b"),
-        F.col("p_brand").alias("brand_b"),
+        F.col("name").alias("name_b"),
         F.col("h").alias("h_b"),
         F.col("sz").alias("sz_b"),
     )
     # PPJoin length filter: J >= 0.8 forces |A∩B| >= 0.8·max(|A|,|B|)
     # and |A∩B| <= min(|A|,|B|), so min >= 0.8·max — exact in integers
-    # as 5·least >= 4·greatest. Applied inside the candidate join it
-    # kills size-mismatched collisions BEFORE the distinct and before
-    # the array_intersect verify ever sees them (round-4 verdict #3).
+    # as 5·least >= 4·greatest, applied inside the candidate join.
     len_ok = (
         F.least(F.col("sz"), F.col("sz_b")) * 5
         >= F.greatest(F.col("sz"), F.col("sz_b")) * 4
@@ -314,32 +325,88 @@ def fn_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         a.join(
             b,
-            (F.col("p_brand") == F.col("brand_b"))
-            & (F.col("h") == F.col("h_b"))
-            & (F.col("part_a") < F.col("part_b"))
+            (F.col("h") == F.col("h_b"))
+            & (F.col("name_a") < F.col("name_b"))
             & len_ok,
         )
-        .select("part_a", "part_b", "p_brand")
+        .select("name_a", "name_b")
         .distinct()
     )
-    ta = t.select(F.col("p_partkey").alias("part_a"), F.col("tg").alias("ta"))
-    tb = t.select(F.col("p_partkey").alias("part_b"), F.col("tg").alias("tb"))
-    # t is one row per part name — broadcast both verify sides so the
-    # candidate stream never shuffles between filter and verify
-    pairs = cand.join(F.broadcast(ta), "part_a").join(
-        F.broadcast(tb), "part_b"
-    )
+    ta = t.select(F.col("name").alias("name_a"), F.col("tg").alias("ta"))
+    tb = t.select(F.col("name").alias("name_b"), F.col("tg").alias("tb"))
     inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
     union = F.size("ta") + F.size("tb") - inter
     sim = inter.cast("double") / union
-    return (
-        pairs.filter(sim >= 0.8)
+    # verify over name pairs only (vocabulary² worst case, prefix-pruned)
+    cross_sims = (
+        cand.join(F.broadcast(ta), "name_a")
+        .join(F.broadcast(tb), "name_b")
+        .filter(sim >= 0.8)
         .select(
-            "part_a",
-            "part_b",
-            "p_brand",
+            "name_a",
+            "name_b",
             inter.cast("bigint").alias("n_shared"),
             F.round(sim, 6).alias("trigram_sim"),
+        )
+    )
+    # identical names: Jaccard 1 by definition, never verified
+    self_sims = t.select(
+        F.col("name").alias("name_a"),
+        F.col("name").alias("name_b"),
+        F.size("tg").cast("bigint").alias("n_shared"),
+        F.lit(1.0).alias("trigram_sim"),
+    )
+    sims = cross_sims.unionAll(self_sims)
+    # clone groups: one corpus shuffle; key arrays are clone-group-sized
+    groups = (
+        part.groupBy(
+            "p_brand", F.lower(F.col("p_name")).alias("name")
+        ).agg(F.sort_array(F.collect_list("p_partkey")).alias("keys"))
+    )
+    ga = groups.select(
+        "p_brand", F.col("name").alias("name_a"), F.col("keys").alias("ka")
+    )
+    gb = groups.select(
+        F.col("p_brand").alias("brand_b"),
+        F.col("name").alias("nb"),
+        F.col("keys").alias("kb"),
+    )
+    # expand each qualifying (brand, name_a, name_b) group pair into its
+    # part-key pairs: within-group pairs need x < y; cross-name pairs are
+    # all combinations canonicalized to (least, greatest)
+    exp = (
+        ga.join(F.broadcast(sims), "name_a")
+        .join(
+            gb,
+            (F.col("name_b") == F.col("nb"))
+            & (F.col("p_brand") == F.col("brand_b")),
+        )
+        .drop("nb", "brand_b")
+        .select(
+            "p_brand",
+            "n_shared",
+            "trigram_sim",
+            (F.col("name_a") == F.col("name_b")).alias("same"),
+            F.explode("ka").alias("x"),
+            F.col("kb"),
+        )
+        .select(
+            "p_brand",
+            "n_shared",
+            "trigram_sim",
+            "same",
+            "x",
+            F.explode("kb").alias("y"),
+        )
+        .filter(~F.col("same") | (F.col("x") < F.col("y")))
+    )
+    return (
+        exp.select(
+            F.least("x", "y").alias("part_a"),
+            F.greatest("x", "y").alias("part_b"),
+            "p_brand",
+            "n_shared",
+            "trigram_sim",
         )
         .orderBy(F.desc("trigram_sim"), "part_a", "part_b")
         .limit(20)

@@ -714,20 +714,33 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each sweep is one shuffle keyed on the joined endpoint — the
     standard BSP matvec (same shape as ``graph_pagerank``); the distinct
     edge list reduces 100 TB of line items once up front. The top-15
-    per role is a window rank, not a driver sort."""
+    per role is TakeOrderedAndProject (orderBy+limit), never a global
+    row_number shuffle-to-one-partition.
+
+    Materialization (round-6 re-measure, reversing the round-4 note):
+    the quantize barriers make the edge list and each sweep aggregate
+    multi-consumer ACROSS JOB BOUNDARIES — the max-agg broadcast is its
+    own job, so ReusedExchange (a within-job mechanism) cannot serve it
+    and every barrier used to recompute the whole upstream chain
+    (3.2 s). Pinning e (one corpus reduce) and the three node-sized
+    score vectors with localCheckpoint makes each barrier O(nodes):
+    3.20 s -> 1.48 s best-of-3 at sf0.1 (tools/timeq protocol). Sweep
+    joins carry NO broadcast hint: the score side is node-count-sized
+    and grows with scale, so the build-side choice is left to AQE's
+    runtime size stats (broadcast at fixture scale, shuffle at 100 TB)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    # NOTE: pinning e with localCheckpoint was measured and REJECTED —
-    # the three consumers' subplans are identical, so Catalyst already
-    # serves them from one ReusedExchange; an eager checkpoint only adds
-    # a materialization job (2.2 s -> 2.5 s at sf0.1).
     e = (
         orders.join(li, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        .localCheckpoint()
     )
 
     def quantize(df: DataFrame, key: str) -> DataFrame:
+        # pin the node-sized aggregate: the max-agg barrier and the next
+        # sweep's join both read it, in different jobs
+        df = df.localCheckpoint()
         mx = df.agg(F.max("v").alias("mx"))
         return df.crossJoin(F.broadcast(mx)).select(
             key,
@@ -752,15 +765,15 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     a2q = quantize(a2, "s")
 
     def top(df: DataFrame, key: str, role: str) -> DataFrame:
+        # TakeOrderedAndProject bounds the frame to 15 rows; the rank
+        # window then runs over that provably-limited input
+        lim = df.orderBy(F.desc("q"), F.asc(key)).limit(_HITS_TOP)
         w = Window.orderBy(F.desc("q"), F.asc(key))
-        return (
-            df.select(
-                F.lit(role).alias("role"),
-                F.col(key).cast("bigint").alias("node"),
-                F.round(F.col("q") / 1000000.0, 6).alias("score"),
-                F.row_number().over(w).alias("rn"),
-            )
-            .filter(F.col("rn") <= _HITS_TOP)
+        return lim.select(
+            F.lit(role).alias("role"),
+            F.col(key).cast("bigint").alias("node"),
+            F.round(F.col("q") / 1000000.0, 6).alias("score"),
+            F.row_number().over(w).alias("rn"),
         )
 
     return (

@@ -13,6 +13,14 @@ exception, not a pass):
   operator hides its real cost from the bench and can pin executor memory
   at scale. (``localCheckpoint``/persist produce RDD scans, not
   InMemoryTableScan, so layout pinning stays allowed.)
+- **Unbounded global window** (round-5 verdict #5): a ``Window`` with an
+  empty partition spec moves its whole input through ONE partition — the
+  defect class behind ``profile_iqr_outliers`` (round 4) and
+  ``events_conversion_lag`` (round 5). A global window is fine only when
+  its input frame is bounded: mechanically proven when the window's tree
+  child is a TakeOrderedAndProject / limit, otherwise a reviewed
+  allowlist entry must name the bounded frame (day/month/dim/histogram
+  cardinality) the window runs over.
 
 Usage:
     python -m tools.plan_lint            # lint every oracle-backed query
@@ -22,6 +30,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import re
 import sys
 
 from hive_processor_spark import get_spark, oracles, queries
@@ -81,11 +90,93 @@ CACHE_SCAN_OK = {
     ),
 }
 
+#: query -> the reviewed bounded frame its global window runs over
+GLOBAL_WINDOW_OK: dict[str, str] = {}
+
 RULES = (
     ("CartesianProduct", CARTESIAN_OK),
     ("BatchEvalPython", PY_UDF_OK),
     ("InMemoryTableScan", CACHE_SCAN_OK),
 )
+
+#: Tree-child operators that mechanically bound a global window's input.
+_BOUNDED_CHILDREN = re.compile(
+    r"TakeOrderedAndProject|GlobalLimit|LocalLimit|CollectLimit"
+)
+
+
+def _arg_group_strs(line: str) -> list[str]:
+    """Top-level ``[...]`` group contents in a formatted Arguments line."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in line:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            else:
+                buf.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(buf))
+            else:
+                buf.append(ch)
+        elif depth > 0:
+            buf.append(ch)
+    return groups
+
+
+_SORT_TOKEN = re.compile(r"\b(ASC|DESC) NULLS")
+
+
+def _window_args_unpartitioned(line: str) -> bool:
+    """Formatted Window Arguments carry `[exprs], [partition], [order]`,
+    but EMPTY specs are omitted from the rendering: 2 groups is either
+    partitioned-without-order (`[exprs], [partition]`) or
+    global-with-order (`[exprs], [order]`) — disambiguated by the sort
+    tokens only an order spec contains."""
+    groups = _arg_group_strs(line)
+    if len(groups) >= 3:
+        return False
+    if len(groups) <= 1:
+        return True
+    return bool(_SORT_TOKEN.search(groups[1]))
+
+
+def unbounded_global_windows(plan: str) -> bool:
+    """True iff the plan has a Window with no partition spec whose tree
+    child is not a limit operator (the moving-all-rows-to-one-partition
+    shape, undetectable by a substring match alone).
+
+    Formatted-plan facts this parser relies on: the detail block header
+    is ``(N) Window`` and its Arguments line carries the window spec
+    lists (see ``_window_args_unpartitioned``); the tree section renders
+    the operator as ``... Window (N)`` with its single child on the
+    following line.
+    """
+    lines = plan.splitlines()
+    unpart: set[str] = set()
+    for i, line in enumerate(lines):
+        m = re.match(r"\((\d+)\) Window", line.strip())
+        if not m:
+            continue
+        for j in range(i + 1, min(i + 8, len(lines))):
+            if lines[j].startswith("Arguments:"):
+                if _window_args_unpartitioned(lines[j]):
+                    unpart.add(m.group(1))
+                break
+    if not unpart:
+        return False
+    for idx, line in enumerate(lines):
+        m = re.search(r"Window \((\d+)\)\s*$", line)
+        if not m or m.group(1) not in unpart:
+            continue
+        child = lines[idx + 1] if idx + 1 < len(lines) else ""
+        if not _BOUNDED_CHILDREN.search(child):
+            return True
+    return False
 
 
 def lint(names: list[str] | None = None) -> dict[str, list[str]]:
@@ -104,6 +195,8 @@ def lint(names: list[str] | None = None) -> dict[str, list[str]]:
             for marker, allow in RULES
             if marker in plan and name not in allow
         ]
+        if unbounded_global_windows(plan) and name not in GLOBAL_WINDOW_OK:
+            hits.append("UnboundedGlobalWindow")
         if hits:
             bad[name] = hits
     return bad

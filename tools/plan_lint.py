@@ -30,6 +30,8 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
+import os
 import re
 import sys
 
@@ -90,8 +92,28 @@ CACHE_SCAN_OK = {
     ),
 }
 
-#: query -> the reviewed bounded frame its global window runs over
-GLOBAL_WINDOW_OK: dict[str, str] = {}
+def _load_window_audit() -> dict[str, str]:
+    """Allowlist for the UnboundedGlobalWindow rule = MEASURED evidence:
+    tools/window_audit.py executes every flagged query at sf0.01 and
+    sf0.1 and records the rows actually entering each global window in
+    WINDOW_AUDIT.json. Queries whose windows measured `bounded` (or are
+    reviewed `saturating` value-domain histograms) are allowed; anything
+    new, changed, or measured UNBOUNDED stays flagged until re-audited."""
+    path = os.path.join(os.path.dirname(__file__), "..", "WINDOW_AUDIT.json")
+    try:
+        with open(path) as f:
+            report = json.load(f)
+    except OSError:
+        return {}
+    return {
+        name: r["verdict"]
+        for name, r in report.items()
+        if r.get("verdict") in ("bounded", "saturating")
+    }
+
+
+#: query -> measured/reviewed verdict for its global windows
+GLOBAL_WINDOW_OK: dict[str, str] = _load_window_audit()
 
 RULES = (
     ("CartesianProduct", CARTESIAN_OK),

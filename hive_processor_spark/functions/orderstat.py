@@ -1,0 +1,144 @@
+"""Distributed global order statistics — rank/cumsum without the
+single-partition window.
+
+Round-6 window audit (WINDOW_AUDIT.json): 42 registered queries ranked a
+corpus-proportional frame through ``Window.orderBy(...)`` with no
+partition spec — every row of the frame through ONE task. This module is
+the shared fix, the same two-level decomposition ``events_conversion_lag``
+uses, generalized:
+
+1. The integer order value is bucketed ADAPTIVELY: one cheap min/max
+   aggregate picks ``width = ceil(span / n_buckets)``, so the bucket
+   count is capped by construction (default ≤ 4096) at ANY scale and the
+   bucket id is monotone in the order value.
+2. Bucket-level counts/sums take one small aggregation; their EXCLUSIVE
+   prefix runs in a global window over the ≤ n_buckets-row frame — the
+   only unpartitioned window left, bounded by construction.
+3. Per-row rank / inclusive cumulative sums come from windows
+   PARTITIONED by bucket (partition size = one bucket's population,
+   ~|frame|/n_buckets, spread across the cluster) plus the broadcast
+   bucket prefix.
+
+Global rank = bucket-prefix-count + within-bucket row_number, exact for
+any total order (value, *tiebreaks) because the bucket id is monotone in
+the value. All arithmetic stays integer; results are bit-identical to
+the single-partition form (property-tested in tests/test_orderstat.py).
+
+Skew note: value concentration makes hot buckets (bucket width is in
+value space, not frequency space). The within-bucket window then sorts
+that bucket in one task — same exposure as any keyed window under skew;
+AQE cannot split a window partition. For the registered queries the
+order value is a quantized price/score whose histogram is smooth; a
+frequency-adaptive bucketing (quantile boundaries) would slot in here if
+a skewed domain ever shows up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["with_global_order"]
+
+
+def with_global_order(
+    df: DataFrame,
+    value,
+    tiebreaks: list | None = None,
+    *,
+    rank: str | None = None,
+    cumsums: dict[str, object] | None = None,
+    lead_value: str | None = None,
+    desc: bool = False,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Attach global-order columns over ``ORDER BY value [DESC], *tiebreaks``.
+
+    ``value`` must be a NON-NULL NUMERIC column/expression. The RANK and
+    within-bucket ordering use the value exactly (integer or double);
+    only the bucket id is computed through a double cast — IEEE
+    subtraction/division/floor are monotone, so the bucket grid is
+    order-consistent for any numeric type and bucketing precision never
+    affects results, only balance. ``rank`` names a 1-based global
+    row_number column to add; ``cumsums`` maps output names to columns
+    whose INCLUSIVE running sum (in the global order) is added.
+    ``tiebreaks`` complete the total order for rank determinism
+    (ascending; they do not affect cumsums beyond making ties
+    deterministic).
+    """
+    tiebreaks = tiebreaks or []
+    d = df.withColumn("_osv", F.col(value) if isinstance(value, str) else value)
+    sign = -1 if desc else 1
+    sv = (F.lit(sign) * F.col("_osv")).cast("double")
+    # one tiny aggregate fixes the bucket grid
+    span = d.agg(
+        F.min(sv).alias("_osmn"),
+        F.greatest(
+            (F.max(sv) - F.min(sv)) / F.lit(float(n_buckets)),
+            F.lit(1e-300),
+        ).alias("_osw"),
+    )
+    d = d.crossJoin(F.broadcast(span)).withColumn(
+        "_osb",
+        F.least(
+            F.floor((sv - F.col("_osmn")) / F.col("_osw")),
+            F.lit(n_buckets).cast("long"),
+        ),
+    )
+    cumsums = cumsums or {}
+    baggs = [F.count(F.lit(1)).cast("long").alias("_osc")]
+    for name, col in cumsums.items():
+        baggs.append(
+            F.sum(F.col(col) if isinstance(col, str) else col).alias(f"_oss_{name}")
+        )
+    if lead_value:
+        # first value of the bucket in order direction (for lead fallback)
+        baggs.append(
+            (F.max("_osv") if desc else F.min("_osv")).alias("_osf")
+        )
+    bagg = d.groupBy("_osb").agg(*baggs)
+    # the ONLY global windows: over the <= n_buckets bucket frame
+    wpre = Window.orderBy("_osb").rowsBetween(Window.unboundedPreceding, -1)
+    pre_cols = [
+        "_osb",
+        F.coalesce(F.sum("_osc").over(wpre), F.lit(0)).alias("_osp"),
+    ]
+    for name in cumsums:
+        pre_cols.append(
+            F.coalesce(
+                F.sum(f"_oss_{name}").over(wpre), F.lit(0)
+            ).alias(f"_osp_{name}")
+        )
+    if lead_value:
+        pre_cols.append(
+            F.lead("_osf").over(Window.orderBy("_osb")).alias("_osn")
+        )
+    pre = bagg.select(*pre_cols)
+    order = [F.col("_osv").desc() if desc else F.col("_osv").asc()] + [
+        F.col(t) if isinstance(t, str) else t for t in tiebreaks
+    ]
+    win = Window.partitionBy("_osb").orderBy(*order)
+    out = d.join(F.broadcast(pre), "_osb")
+    if rank:
+        out = out.withColumn(
+            rank, (F.col("_osp") + F.row_number().over(win)).cast("long")
+        )
+    for name, col in cumsums.items():
+        out = out.withColumn(
+            name,
+            F.col(f"_osp_{name}")
+            + F.sum(F.col(col) if isinstance(col, str) else col).over(
+                win.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    if lead_value:
+        out = out.withColumn(
+            lead_value,
+            F.coalesce(F.lead("_osv").over(win), F.col("_osn")),
+        )
+    drop = ["_osv", "_osb", "_osmn", "_osw", "_osp"] + [
+        f"_osp_{n}" for n in cumsums
+    ]
+    if lead_value:
+        drop.append("_osn")
+    return out.drop(*drop)

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
 from hive_processor_spark.functions.exact import dsum, sql_dsum
+from hive_processor_spark.functions.orderstat import with_global_order
 from hive_processor_spark.sources.tables import load_table, register_views
 
 
@@ -1096,29 +1097,31 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers" narratives, complementing ``pareto_abc``. Ranks come from a
     provably-unique total order on quantized integers, the weighted sum is
     exact 128-bit integer arithmetic, and one double division lands the
-    coefficient. The global sort is a range shuffle over one row per
-    customer (already aggregated)."""
+    coefficient. Ranks are distributed (round-6 window-audit fix): the
+    bucketed two-level rank of ``functions/orderstat.py`` — per-customer
+    rows rank inside value buckets, only the ≤4096-bucket prefix frame
+    crosses one partition — and the rank-weighted identity folds in one
+    aggregate: Σ(2i−n−1)xᵢ = 2Σi·xᵢ − (n+1)Σx, so n and the total never
+    need a whole-frame window either."""
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 10000.0).cast("long")).alias("xq")
     )
-    w = Window.orderBy("xq", "o_custkey")
-    wt = Window.partitionBy()
-    ranked = rev.select(
-        "xq",
-        F.row_number().over(w).cast("long").alias("i"),
-        F.count(F.lit(1)).over(wt).alias("n"),
-        F.sum("xq").over(wt).alias("total"),
+    ranked = with_global_order(rev, "xq", ["o_custkey"], rank="i")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xq").cast("decimal(38,0)").alias("total"),
+        F.sum(dec(F.col("i")) * dec(F.col("xq"))).alias("ixq"),
     )
-    weighted = F.sum(
-        (2 * F.col("i") - F.col("n") - 1).cast("decimal(38,0)")
-        * F.col("xq").cast("decimal(38,0)")
+    weighted = (
+        F.lit(2) * F.col("ixq") - (F.col("n") + 1) * F.col("total")
     )
-    return ranked.agg(
-        F.max("n").cast("bigint").alias("n_customers"),
+    return agg.select(
+        F.col("n").alias("n_customers"),
         F.round(
             weighted.cast("double")
-            / (F.max("n").cast("double") * F.max("total").cast("double")),
+            / (F.col("n").cast("double") * F.col("total").cast("double")),
             6,
         ).alias("gini"),
     )
@@ -1305,21 +1308,20 @@ def agg_top_percent_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     concentration headline number (the Gini's narrative companion).
     Ranking over one row per customer with a unique total order; the
     top-k cut uses integer ceil so the boundary cannot drift; sums exact
-    until the final share division."""
+    until the final share division. Ranks are distributed via the
+    bucketed two-level rank (round-6 window-audit fix); n and the total
+    come from one broadcast aggregate, not whole-frame windows."""
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 10000.0).cast("long")).alias("xq")
     )
-    w = Window.orderBy(F.desc("xq"), F.asc("o_custkey"))
-    wt = Window.partitionBy()
-    ranked = rev.select(
-        "xq",
-        F.row_number().over(w).cast("long").alias("r"),
-        F.count(F.lit(1)).over(wt).alias("n"),
-        F.sum("xq").over(wt).alias("total"),
+    tot = rev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("total"),
     )
+    ranked = with_global_order(rev, "xq", ["o_custkey"], rank="r", desc=True)
     top_k = F.ceil(F.col("n") / 100.0).cast("long")
-    return ranked.agg(
+    return ranked.crossJoin(F.broadcast(tot)).agg(
         F.max("n").cast("long").alias("n_customers"),
         F.ceil(F.max("n") / 100.0).cast("long").alias("top_k"),
         F.round(
@@ -1551,14 +1553,36 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz curve sample points: cumulative revenue share of customer
     deciles ordered poorest-first — the plotted companion of ``agg_gini``
-    (the curve whose gap to the diagonal IS the Gini). NTILE over a
-    unique order, exact decimal cumulative sums, windows over 10 rows."""
+    (the curve whose gap to the diagonal IS the Gini). NTILE semantics
+    over a unique order, exact decimal cumulative sums, windows over 10
+    rows. The decile assignment is distributed (round-6 window-audit
+    fix): the bucketed two-level global rank plus NTILE's arithmetic —
+    with n rows the first n%10 tiles hold ⌊n/10⌋+1 rows — reproduce the
+    engine's tile ids exactly without ranking every customer through one
+    partition."""
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 10000.0).cast("long")).alias("xq")
     )
-    w = Window.orderBy("xq", "o_custkey")
-    banded = rev.select("xq", F.ntile(10).over(w).alias("decile"))
+    tot = rev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = with_global_order(rev, "xq", ["o_custkey"], rank="r")
+    m = F.col("n") % 10  # tiles that get the extra row
+    q = F.floor(F.col("n") / 10).cast("long")
+    big = q + 1
+    decile = (
+        F.when(
+            F.col("r") <= m * big,
+            F.floor((F.col("r") + big - 1) / big),
+        )
+        .otherwise(
+            m + F.floor((F.col("r") - m * big + F.greatest(q, F.lit(1)) - 1)
+                        / F.greatest(q, F.lit(1)))
+        )
+        .cast("int")
+    )
+    banded = ranked.crossJoin(F.broadcast(tot)).select(
+        "xq", decile.alias("decile")
+    )
     per = banded.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("xq").alias("dq"),
@@ -2037,20 +2061,19 @@ def agg_capacity_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
     peak/p99 gap as your burst multiplier. Minute bucketing is integer
     epoch floor-division; quantiles are exact rank selections with
     minute tie-breaks (no interpolation ambiguity). One grouped count
-    (shuffle ∝ active minutes) + one rank window over the minute
-    frame."""
+    (shuffle ∝ active minutes) + the bucketed two-level rank over the
+    minute frame (round-6 window-audit fix — the frame grows with the
+    observation window, so it never ranks through one partition)."""
     ev = load_table(spark, sf_dir, "events")
     per_min = ev.groupBy(
         F.floor(F.unix_micros(F.col("ts")) / 60000000.0)
         .cast("bigint")
         .alias("minute")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("load"))
-    wall = Window.partitionBy()
-    ranked = per_min.select(
-        "load",
-        F.row_number().over(Window.orderBy("load", "minute")).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-    )
+    tot = per_min.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = with_global_order(
+        per_min, "load", ["minute"], rank="rn"
+    ).crossJoin(F.broadcast(tot))
 
     def pick(q):
         return F.max(
@@ -3444,17 +3467,13 @@ def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lo_bound")
         )
     )
+    # exact-audit lane: the distinct-cents frame grows with SF until the
+    # price domain saturates, so its cumulative runs through the bucketed
+    # two-level cumsum (round-6 window-audit fix), never one partition
     dc = v.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    w_dc = Window.orderBy("c").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_dall = Window.orderBy("c").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    dcc = dc.select(
-        "c",
-        F.sum("cnt").over(w_dc).alias("cc"),
-        F.sum("cnt").over(w_dall).alias("n"),
+    dn = dc.agg(F.sum("cnt").cast("long").alias("n"))
+    dcc = with_global_order(dc, "c", cumsums={"cc": "cnt"}).crossJoin(
+        F.broadcast(dn)
     )
     exact = (
         qs.crossJoin(dcc)
@@ -3717,15 +3736,14 @@ def agg_robust_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact order statistics read off one distinct-value cumulative
     frame at ranks ⌈kn/8⌉.
 
-    Scale: demote-to-distinct, one cumulative window, 7 rank picks."""
+    Scale: demote-to-distinct, bucketed two-level cumulative (round-6
+    window-audit fix — the distinct-cents frame grows until the price
+    domain saturates), 7 rank picks."""
     o = load_table(spark, sf_dir, "orders")
     v = o.select(F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("c"))
     grp = v.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("f"))
     nn = grp.agg(F.sum("f").cast("long").alias("n"))
-    w_cum = Window.orderBy("c").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = grp.select("c", F.sum("f").over(w_cum).alias("cc"))
+    cum = with_global_order(grp, "c", cumsums={"cc": "f"}).select("c", "cc")
     ks = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
     picks = (
         ks.crossJoin(cum)
@@ -3977,16 +3995,13 @@ def agg_mean_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
     the conditional excess sums are exact integers off the distinct-
     value frame.
 
-    Scale: demote-to-distinct, one cumulative window, one 3-threshold
-    conditional aggregate."""
+    Scale: demote-to-distinct, bucketed two-level cumulative (round-6
+    window-audit fix), one 3-threshold conditional aggregate."""
     o = load_table(spark, sf_dir, "orders")
     v = o.select(F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("c"))
     grp = v.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("f"))
     nn = grp.agg(F.sum("f").cast("long").alias("n"))
-    w_cum = Window.orderBy("c").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = grp.select("c", F.sum("f").over(w_cum).alias("cc"))
+    cum = with_global_order(grp, "c", cumsums={"cc": "f"}).select("c", "cc")
     ks = spark.createDataFrame([(5,), (7,), (9,)], ["k"])
     qs = (
         ks.crossJoin(cum)

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from hive_processor_spark.engine import register
+from hive_processor_spark.functions.orderstat import with_global_order
 from hive_processor_spark.sources.tables import load_table
 
 
@@ -451,8 +452,9 @@ def agg_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer moments, fences at 0.5/1.0). The resulting 9-cell
     count matrix is THE stocking-policy segmentation (AX = automate,
     CZ = drop). Shape: one grouped sum to part-month, one rollup to
-    parts, a ranked cumulative window over the part frame, one final
-    9-row count."""
+    parts, a bucketed two-level cumulative over the part frame (round-6
+    window-audit fix — parts grow with the catalog, so the revenue
+    cumsum never runs through one partition), one final 9-row count."""
     li = load_table(spark, sf_dir, "lineitem")
     pm = li.groupBy(
         F.col("l_partkey").alias("pk"),
@@ -469,18 +471,10 @@ def agg_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ss"
         ),
     )
-    wcum = Window.orderBy(F.col("total").desc(), F.col("pk")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wall = Window.partitionBy()
-    ranked = p.select(
-        "pk",
-        "total",
-        "n_months",
-        "ss",
-        F.sum("total").over(wcum).alias("cum_total"),
-        F.sum("total").over(wall).alias("grand"),
-    )
+    grand = p.agg(F.sum("total").cast("long").alias("grand"))
+    ranked = with_global_order(
+        p, "total", ["pk"], cumsums={"cum_total": "total"}, desc=True
+    ).crossJoin(F.broadcast(grand))
     cv = F.sqrt(
         F.greatest(
             (

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
 from hive_processor_spark.sources.tables import load_table
+from hive_processor_spark.functions.orderstat import with_global_order
 
 _ORDERS_NUMERIC = {"o_orderkey", "o_custkey", "o_totalprice"}
 _ORDERS_COLS = [
@@ -192,15 +193,39 @@ def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (equal-height) 10-bucket histogram of order totals — the
     statistics pass an optimizer or drift monitor runs, complementing the
-    equi-width ``agg_histogram``. NTILE over a provably-unique total order
-    (value, key) is deterministic on both engines. The global sort behind
-    NTILE is a range shuffle (TeraSort shape) — scalable, but at 100 TB the
-    approx-percentile sketch (``agg_approx_quantile``) is the cheaper
-    answer when exact bucket boundaries aren't required."""
+    equi-width ``agg_histogram``. NTILE semantics over a provably-unique
+    total order (value, key), deterministic on both engines; the tile
+    assignment is distributed (round-6 window-audit fix): the bucketed
+    two-level global rank of ``functions/orderstat.py`` plus NTILE's
+    arithmetic (first n%10 tiles hold ⌊n/10⌋+1 rows) — every order row
+    used to sort through ONE partition here. At 100 TB the
+    approx-percentile sketch (``agg_approx_quantile``) remains the
+    cheaper answer when exact bucket boundaries aren't required."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    tot = orders.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = with_global_order(
+        orders.select("o_totalprice", "o_orderkey"),
+        "o_totalprice",
+        ["o_orderkey"],
+        rank="r",
+    )
+    m = F.col("n") % 10
+    q = F.floor(F.col("n") / 10).cast("long")
+    big = q + 1
+    tile = (
+        F.when(F.col("r") <= m * big, F.floor((F.col("r") + big - 1) / big))
+        .otherwise(
+            m
+            + F.floor(
+                (F.col("r") - m * big + F.greatest(q, F.lit(1)) - 1)
+                / F.greatest(q, F.lit(1))
+            )
+        )
+        .cast("int")
+    )
     return (
-        orders.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        ranked.crossJoin(F.broadcast(tot))
+        .select("o_totalprice", tile.alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -2123,7 +2148,9 @@ def profile_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-quantizes at 1e-6 into the integer fold.
 
     Scale: one shuffle to distinct cents with two conditional counts;
-    the integral runs over the O(distinct) cumulative frame."""
+    the integral's cumulative ECDFs and the Δx lead run through the
+    bucketed two-level machinery (round-6 window-audit fix — the
+    distinct-cents frame grows until the price domain saturates)."""
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
         & (F.col("o_orderdate") < F.to_timestamp(F.lit("1999-01-01")))
@@ -2148,16 +2175,12 @@ def profile_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c0").cast("long").alias("n0"),
         F.sum("c1").cast("long").alias("n1"),
     )
-    w_cum = Window.orderBy("x").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_ord = Window.orderBy("x")
-    cum = grp.select(
+    cum = with_global_order(
+        grp,
         "x",
-        F.sum("c0").over(w_cum).alias("f0"),
-        F.sum("c1").over(w_cum).alias("f1"),
-        F.lead("x").over(w_ord).alias("x_next"),
-    )
+        cumsums={"f0": "c0", "f1": "c1"},
+        lead_value="x_next",
+    ).select("x", "f0", "f1", "x_next")
     gap = F.abs(
         F.col("f0").cast("double") / F.col("n0")
         - F.col("f1").cast("double") / F.col("n1")

@@ -1,0 +1,122 @@
+"""with_global_order must be bit-identical to the single-partition window
+form it replaces, and must leave no corpus-sized global window in the
+plan (round-6 window-audit remediation machinery)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hive_processor_spark.functions.orderstat import with_global_order
+from hive_processor_spark.plans import plan_string
+
+
+def _fixture(spark, n=5000, seed=7):
+    # skewed, tied integer values + unique tiebreak + a weight column
+    return spark.range(n).select(
+        F.col("id"),
+        (F.pmod(F.hash(F.col("id") + seed), 97) ** 2).cast("long").alias("v"),
+        (F.pmod(F.hash(F.col("id") * 3 + seed), 11) + 1)
+        .cast("long")
+        .alias("w"),
+    )
+
+
+def _reference(df, desc=False):
+    order = [F.col("v").desc() if desc else F.col("v").asc(), F.col("id")]
+    w = Window.orderBy(*order)
+    return df.select(
+        "id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.sum("w").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cw"
+        ),
+    )
+
+
+def test_matches_single_partition_window(spark):
+    df = _fixture(spark)
+    got = with_global_order(
+        df, "v", ["id"], rank="rn", cumsums={"cw": "w"}
+    ).select("id", "rn", "cw")
+    want = _reference(df)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_matches_desc_order(spark):
+    df = _fixture(spark, n=3000, seed=13)
+    got = with_global_order(
+        df, "v", ["id"], rank="rn", cumsums={"cw": "w"}, desc=True
+    ).select("id", "rn", "cw")
+    want = _reference(df, desc=True)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_tiny_bucket_count_still_exact(spark):
+    # degenerate grids (everything in few buckets) must stay exact
+    df = _fixture(spark, n=500, seed=3)
+    got = with_global_order(
+        df, "v", ["id"], rank="rn", n_buckets=2
+    ).select("id", "rn")
+    want = _reference(df).select("id", "rn")
+    assert got.exceptAll(want).count() == 0
+
+
+def test_constant_value_single_bucket(spark):
+    df = spark.range(100).select("id", F.lit(5).cast("long").alias("v"))
+    got = with_global_order(df, "v", ["id"], rank="rn").select("id", "rn")
+    w = Window.orderBy("v", "id")
+    want = df.select("id", F.row_number().over(w).cast("long").alias("rn"))
+    assert got.exceptAll(want).count() == 0
+
+
+def test_only_global_window_is_bucket_frame(spark):
+    """The raw-row windows must be partitioned; the lone global window
+    runs over the bucket aggregate (HashAggregate child)."""
+    from tools.plan_lint import _window_args_unpartitioned
+    import re
+
+    df = _fixture(spark)
+    out = with_global_order(df, "v", ["id"], rank="rn", cumsums={"cw": "w"})
+    plan = plan_string(out)
+    lines = plan.splitlines()
+    n_global = 0
+    for i, line in enumerate(lines):
+        if not re.match(r"\(\d+\) Window", line.strip()):
+            continue
+        args = next(
+            (
+                lines[j]
+                for j in range(i + 1, min(i + 8, len(lines)))
+                if lines[j].startswith("Arguments:")
+            ),
+            "",
+        )
+        if _window_args_unpartitioned(args):
+            n_global += 1
+            # global windows must never carry the per-row rank/cumsum
+            assert "row_number" not in args or "_osc" in args
+    assert n_global <= 1
+
+
+def test_lead_value_matches_window(spark):
+    df = _fixture(spark, n=2000, seed=21).groupBy("v").count()
+    got = with_global_order(
+        df, "v", lead_value="nx", n_buckets=16
+    ).select("v", "nx")
+    w = Window.orderBy("v")
+    want = df.select("v", F.lead("v").over(w).alias("nx"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_double_values_exact(spark):
+    df = _fixture(spark, n=2000, seed=5).select(
+        "id", (F.col("v") / 7.0 + 0.123).alias("v"), "w"
+    )
+    got = with_global_order(df, "v", ["id"], rank="rn").select("id", "rn")
+    w = Window.orderBy("v", "id")
+    want = df.select("id", F.row_number().over(w).cast("long").alias("rn"))
+    assert got.exceptAll(want).count() == 0

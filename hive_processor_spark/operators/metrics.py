@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
 from hive_processor_spark.functions.exact import dsum, sql_dsum
+from hive_processor_spark.functions.orderstat import with_global_order
 from hive_processor_spark.sources.tables import load_table
 
 
@@ -286,9 +287,11 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled support, plus the scaled statistic D·√(n_a·n_b/(n_a+n_b)).
 
     Shape: group once BY VALUE (shuffle ∝ distinct values, the same
-    integer-histogram trick as the exact-median operators), one ordered
-    cumulative window over that reduced frame, one max. Every ECDF value
-    is an exact integer ratio, so D is deterministic to the last bit."""
+    integer-histogram trick as the exact-median operators), bucketed
+    two-level cumulatives over that reduced frame (round-6 window-audit
+    fix — the distinct-value frame grows until the value domain
+    saturates), one max. Every ECDF value is an exact integer ratio, so
+    D is deterministic to the last bit."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
     )
@@ -296,14 +299,12 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("event_type") == "click").alias("na"),
         F.count_if(F.col("event_type") == "view").alias("nb"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    cum = pts.select(
-        F.sum("na").over(w).alias("ca"),
-        F.sum("nb").over(w).alias("cb"),
-        F.sum("na").over(wall).alias("ta"),
-        F.sum("nb").over(wall).alias("tb"),
+    tot = pts.agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
     )
+    cum = with_global_order(
+        pts, "value", cumsums={"ca": "na", "cb": "nb"}
+    ).crossJoin(F.broadcast(tot))
     diff = F.abs(
         F.col("ca").cast("double") / F.col("ta")
         - F.col("cb").cast("double") / F.col("tb")
@@ -362,7 +363,8 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     (#smaller) + (ties+1)/2 — half-integers, exact in doubles — so R₁, U,
     and the tie term Σ(t³−t) are all exact; the only irrational op is the
     final √ of the variance. Same scale shape as the KS test: one shuffle
-    ∝ distinct values, then windows over the reduced frame."""
+    ∝ distinct values, then the bucketed two-level cumulative over the
+    reduced frame (round-6 window-audit fix)."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view")
     )
@@ -370,11 +372,8 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("event_type") == "purchase").alias("na"),
         F.count(F.lit(1)).alias("t"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
-    rk = pts.select(
-        "na",
-        "t",
-        F.coalesce(F.sum("t").over(w), F.lit(0)).alias("below"),
+    rk = with_global_order(pts, "value", cumsums={"ct": "t"}).select(
+        "na", "t", (F.col("ct") - F.col("t")).alias("below")
     )
     s = rk.agg(
         F.sum(
@@ -1819,8 +1818,12 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``2·avg_rank = 2·min_rank + tie_size − 1`` (the ml_spearman trick),
     and W± are exact half-integers — the z-statistic is one fixed-form
     expression. Shape: one grouped pass over events (shuffle ∝ users),
-    then rank windows on the per-user frame. Zero-differences are
-    dropped per the standard procedure."""
+    then a |difference|-histogram whose bucketed two-level cumulative
+    (round-6 window-audit fix) yields every tie-group's min-rank: the
+    whole signed rank sum is Σ sign-count·(2·below + t + 1) over the
+    DISTINCT-|d| frame — per-user rows are never ranked through one
+    partition. Zero-differences are dropped per the standard
+    procedure."""
     ev = load_table(spark, sf_dir, "events")
     day = F.dayofmonth("ts")
     cents = F.floor(F.col("value") * 100.0).cast("long")
@@ -1849,22 +1852,22 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nz = diffs.filter(F.col("dq") != 0).select(
         "dq", F.abs(F.col("dq")).alias("adq")
     )
-    wr = Window.orderBy("adq")
-    wt = Window.partitionBy("adq")
-    ranked = nz.select(
-        "dq",
-        (
-            2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
-        ).alias("r2"),
+    g = nz.groupBy("adq").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.count_if(F.col("dq") > 0).cast("long").alias("np_"),
     )
-    wp = F.sum(F.when(F.col("dq") > 0, F.col("r2")).otherwise(0)).cast(
-        "double"
-    ) / 2.0
-    wm = F.sum(F.when(F.col("dq") < 0, F.col("r2")).otherwise(0)).cast(
-        "double"
-    ) / 2.0
-    n = F.count(F.lit(1))
-    return ranked.agg(
+    cum = with_global_order(g, "adq", cumsums={"ct": "t"})
+    # every row in a tie group shares 2·avg_rank = 2·below + t + 1
+    r2 = 2 * (F.col("ct") - F.col("t")) + F.col("t") + 1
+    s = cum.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(F.col("np_") * r2).cast("double").alias("wp2"),
+        F.sum((F.col("t") - F.col("np_")) * r2).cast("double").alias("wm2"),
+    )
+    wp = F.col("wp2") / 2.0
+    wm = F.col("wm2") / 2.0
+    n = F.col("n")
+    return s.select(
         n.cast("bigint").alias("n"),
         wp.alias("w_plus"),
         wm.alias("w_minus"),
@@ -2412,16 +2415,20 @@ def stats_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     for revenue risk models; stability of α̂ across k is the classic
     Hill-plot read). Order statistics come from exact integer ranks;
     each ln ratio is floor-quantized to nano-units and integer-summed —
-    deterministic at any parallelism. Shape: one rank window, a 3-row
-    threshold lookup, and a bounded top-k join — at 100 TB the rank
-    window runs on a pre-filtered top slice (rank pushdown via
-    WindowGroupLimit), never the full table."""
+    deterministic at any parallelism (the statistic is tie-invariant: it
+    consumes the top-k value MULTISET, so any tie order at the k
+    boundary yields the same sums). Shape (round-6 window-audit fix):
+    TakeOrderedAndProject keeps exactly the max(k)+1 = 201 largest
+    values — a distributed top-k, never a full-table rank through one
+    partition — and the rank window runs over that provably-201-row
+    frame; then a 3-row threshold lookup and a bounded top-k join."""
     orders = load_table(spark, sf_dir, "orders")
     v = orders.select(
         F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("cents")
     )
+    top = v.orderBy(F.col("cents").desc()).limit(201)
     w = Window.orderBy(F.col("cents").desc())
-    ranked = v.select(
+    ranked = top.select(
         "cents",
         F.row_number().over(w).alias("rn"),
     )
@@ -2663,8 +2670,12 @@ def stats_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnoses whether user activity is bursty or scheduled. Plot
     positions are exact rank rationals; both transformed coordinates
     are floor-quantized before the sufficient-statistic sums; the fit
-    is closed-form. One lag window (shuffle ∝ events, partitioned by
-    user), one rank window on the gap frame, one reduction."""
+    is closed-form (and tie-invariant: tied gaps swap identical x
+    values across adjacent plot positions, leaving every sum
+    unchanged). One lag window (shuffle ∝ events, partitioned by
+    user), the bucketed two-level rank over the gap frame (round-6
+    window-audit fix — gaps grow with events, so they never rank
+    through one partition), one reduction."""
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy("ts")
@@ -2672,11 +2683,9 @@ def stats_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g_us").isNotNull() & (F.col("g_us") > 0)
     )
     nz = gaps.select((F.col("g_us").cast("double") / 1e6).alias("t"))
-    wall = Window.partitionBy()
-    ranked = nz.select(
-        "t",
-        F.row_number().over(Window.orderBy("t")).alias("i"),
-        F.count(F.lit(1)).over(wall).alias("n"),
+    tot = nz.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = with_global_order(nz, "t", rank="i").crossJoin(
+        F.broadcast(tot)
     )
     tr = ranked.select(
         F.ln("t").alias("x"),
@@ -3779,8 +3788,12 @@ def agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("edge_hi"),
     )
     vals = v.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("vcnt"))
-    wv = Window.orderBy("c")  # distinct-value histogram (MAD discipline)
-    vcum = vals.select("c", F.sum("vcnt").over(wv).alias("vcum"))
+    # distinct-value exact lane: bucketed two-level cumulative (round-6
+    # window-audit fix — 581k distinct cents at sf0.1, growing until the
+    # price domain saturates; never one partition)
+    vcum = with_global_order(vals, "c", cumsums={"vcum": "vcnt"}).select(
+        "c", "vcum"
+    )
     exact = (
         qs.select("q", "target")
         .join(vcum, F.col("vcum") >= F.col("target"))
@@ -5331,8 +5344,13 @@ def stats_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     KS misses.
 
     Scale: shuffle ∝ distinct cent values (the same demotion-to-
-    distinct pattern as ``stats_mad_outliers``); windows run over the
-    grouped frame, never raw rows."""
+    distinct pattern as ``stats_mad_outliers``); under the (value,
+    sample) tie order the gap reduces to the OTHER sample's cumulative
+    count — inclusive of the tie value for sample 1, strict for sample
+    0 — so both gap columns come from one bucketed two-level cumulative
+    over the per-value frame (round-6 window-audit fix; the frame grows
+    until the cents domain saturates and never crosses one
+    partition)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag").isin("R", "A")
     )
@@ -5342,45 +5360,20 @@ def stats_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
-    grp = v.groupBy("cents", "is_x").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    pc = v.groupBy("cents").agg(
+        F.count_if(F.col("is_x") == 1).cast("bigint").alias("c1"),
+        F.count_if(F.col("is_x") == 0).cast("bigint").alias("c0"),
     )
-    wall = (
-        Window.orderBy("cents", "is_x")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    cum = with_global_order(
+        pc, "cents", cumsums={"ct0": "c0", "ct1": "c1"}
     )
-    wown = (
-        Window.partitionBy("is_x")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    d = F.coalesce(F.sum("c").over(wall), F.lit(0)) - F.coalesce(
-        F.sum("c").over(wown), F.lit(0)
-    )
-    pre = grp.select("is_x", "c", d.alias("gap"))
-    sums = pre.agg(
-        F.sum(F.when(F.col("is_x") == 1, F.col("c")))
-        .cast("bigint")
-        .alias("n"),
-        F.sum(F.when(F.col("is_x") == 0, F.col("c")))
-        .cast("bigint")
-        .alias("m"),
-        F.sum(
-            F.when(
-                F.col("is_x") == 1,
-                F.col("c") * F.col("gap") * F.col("gap"),
-            )
-        )
-        .cast("bigint")
-        .alias("sx"),
-        F.sum(
-            F.when(
-                F.col("is_x") == 0,
-                F.col("c") * F.col("gap") * F.col("gap"),
-            )
-        )
-        .cast("bigint")
-        .alias("sy"),
+    gap1 = F.col("ct0")  # sample-0 mass at or below the tied value
+    gap0 = F.col("ct1") - F.col("c1")  # sample-1 mass strictly below
+    sums = cum.agg(
+        F.sum("c1").cast("bigint").alias("n"),
+        F.sum("c0").cast("bigint").alias("m"),
+        F.sum(F.col("c1") * gap1 * gap1).cast("bigint").alias("sx"),
+        F.sum(F.col("c0") * gap0 * gap0).cast("bigint").alias("sy"),
     )
     n, m = F.col("n"), F.col("m")
     u = (
@@ -5845,14 +5838,12 @@ def stats_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l").cast("long").alias("n_all"),
         F.sum("cx").cast("long").alias("nx"),
     )
-    w_cum = Window.orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = grp.select(
-        "l",
-        F.sum("l").over(w_cum).alias("b"),
-        F.sum("cx").over(w_cum).alias("mx"),
-    )
+    # round-6 window-audit fix: both pooled cumulatives through the
+    # bucketed two-level machinery (the distinct-cents frame measured
+    # 391k rows through one partition at sf0.1)
+    cum = with_global_order(
+        grp, "cents", cumsums={"b": "l", "mx": "cx"}
+    ).select("l", "b", "mx")
     d_gap = F.col("n_all") * F.col("mx") - F.col("nx") * F.col("b")
     a2 = (
         cum.crossJoin(F.broadcast(tot))
@@ -5873,26 +5864,17 @@ def stats_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("qsum")
         )
     )
-    # harmonic frame 1..N-1: exact floor(1e12/i) integers, chunk-stitched
-    # prefix (8192-row blocks) instead of a global single-task window
+    # harmonic frame 1..N-1: exact floor(1e12/i) integers; the prefix is
+    # the same bucketed two-level cumulative (pre-round-6 this was a
+    # hand-rolled 8192-row chunk stitch whose N/8192 block frame grew
+    # with N; the helper's grid is fixed at 4096 buckets at any scale)
     n_total = int(v.count())  # one O(1) driver scalar to size the range
     rng = spark.range(1, n_total).select(
         F.col("id").alias("i"),
         F.floor(F.lit(1e12) / F.col("id")).cast("long").alias("hq"),
-        F.floor((F.col("id") - 1) / F.lit(8192)).cast("long").alias("blk"),
     )
-    w_in = Window.partitionBy("blk").orderBy("i").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    blk_tot = rng.groupBy("blk").agg(F.sum("hq").cast("long").alias("bsum"))
-    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
-    blk_off = blk_tot.select(
-        "blk", F.coalesce(F.sum("bsum").over(w_blk), F.lit(0)).alias("off")
-    )
-    hpre = (
-        rng.withColumn("hp_in", F.sum("hq").over(w_in))
-        .join(F.broadcast(blk_off), "blk")
-        .select("i", (F.col("off") + F.col("hp_in")).alias("hp"))
+    hpre = with_global_order(rng, "i", cumsums={"hp": "hq"}).select(
+        "i", "hp"
     )
     hqsum_df = rng.agg(F.sum("hq").cast("long").alias("hqsum"))
     gs = (
@@ -6223,9 +6205,10 @@ def stats_mood_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tie_values"),
     )
-    w_prev = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
-    cum = grp.select(
-        "t", "cx", F.coalesce(F.sum("t").over(w_prev), F.lit(0)).alias("base")
+    # round-6 window-audit fix: bucketed two-level cumulative over the
+    # distinct-value frame (inclusive minus own t = the exclusive base)
+    cum = with_global_order(grp, "cents", cumsums={"ct": "t"}).select(
+        "t", "cx", (F.col("ct") - F.col("t")).alias("base")
     )
     u = 2 * F.col("base") + F.col("t") - F.col("n_all")
     m4 = cum.crossJoin(F.broadcast(tot)).agg(
@@ -8322,15 +8305,15 @@ def stats_winsorized_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
 
     def _th(col):
+        # round-6 window-audit fix: the per-margin distinct-value
+        # cumulative runs through the bucketed two-level machinery
         grp = v.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
-        w = Window.orderBy(col).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
         cum = (
-            grp.crossJoin(F.broadcast(nn))
+            with_global_order(grp, col, cumsums={"cum": "c"})
+            .crossJoin(F.broadcast(nn))
             .select(
                 col,
-                F.sum("c").over(w).alias("cum"),
+                "cum",
                 F.col("n"),
                 F.floor(0.1 * F.col("n")).cast("long").alias("g"),
             )
@@ -8907,9 +8890,10 @@ def stats_cucconi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("t").cast("long").alias("nn"),
         F.sum("cy").cast("long").alias("m"),
     )
-    w_prev = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
-    cum = grp.select(
-        "t", "cy", F.coalesce(F.sum("t").over(w_prev), F.lit(0)).alias("base")
+    # round-6 window-audit fix: bucketed two-level cumulative (exclusive
+    # base = inclusive sum minus the tie group's own count)
+    cum = with_global_order(grp, "cents", cumsums={"ct": "t"}).select(
+        "t", "cy", (F.col("ct") - F.col("t")).alias("base")
     )
     r2 = 2 * F.col("base") + F.col("t") + 1
     a2 = 2 * (F.col("nn") + 1) - r2
@@ -9048,9 +9032,10 @@ def stats_lepage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tie3"),
     )
-    w_prev = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
-    cum = grp.select(
-        "t", "cy", F.coalesce(F.sum("t").over(w_prev), F.lit(0)).alias("base")
+    # round-6 window-audit fix: bucketed two-level cumulative (exclusive
+    # base = inclusive sum minus the tie group's own count)
+    cum = with_global_order(grp, "cents", cumsums={"ct": "t"}).select(
+        "t", "cy", (F.col("ct") - F.col("t")).alias("base")
     )
     r2 = 2 * F.col("base") + F.col("t") + 1
     folds = cum.crossJoin(F.broadcast(tot)).agg(
@@ -11173,10 +11158,8 @@ def stats_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = o.select(F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("c"))
     grp = v.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("f"))
     nn = grp.agg(F.sum("f").cast("long").alias("n"))
-    w_cum = Window.orderBy("c").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = grp.select("c", F.sum("f").over(w_cum).alias("cc"))
+    # round-6 window-audit fix: bucketed two-level cumulative
+    cum = with_global_order(grp, "c", cumsums={"cc": "f"}).select("c", "cc")
     n = F.col("n")
     ranks = nn.select(
         n,
@@ -12253,18 +12236,12 @@ def stats_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("y"),
     )
     grp = v.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("f"))
-    w_cum = Window.orderBy("y").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.orderBy("y").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    # round-6 window-audit fix: bucketed two-level cumulative + one
+    # broadcast total instead of two whole-frame windows
+    nn = grp.agg(F.sum("f").cast("long").alias("n"))
     med = (
-        grp.select(
-            "y",
-            F.sum("f").over(w_cum).alias("cc"),
-            F.sum("f").over(w_all).alias("n"),
-        )
+        with_global_order(grp, "y", cumsums={"cc": "f"})
+        .crossJoin(F.broadcast(nn))
         .filter(F.col("cc") >= F.ceil(0.5 * F.col("n")).cast("long"))
         .agg(F.min("y").alias("m"))
     )

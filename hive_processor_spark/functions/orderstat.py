@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_global_order"]
+__all__ = ["with_global_order", "ntile_expr"]
 
 
 def with_global_order(
@@ -142,3 +142,20 @@ def with_global_order(
     if lead_value:
         drop.append("_osn")
     return out.drop(*drop)
+
+
+def ntile_expr(rank_col, n_col, tiles: int):
+    """Engine-exact NTILE(tiles) id from a 1-based global rank and the
+    total row count: with n rows the first n % tiles tiles hold
+    ⌊n/tiles⌋+1 rows — the same assignment Spark's and DuckDB's NTILE
+    produce over the identical total order, computed from the
+    distributed rank instead of a single-partition window."""
+    m = n_col % tiles
+    q = F.floor(n_col / tiles).cast("long")
+    big = q + 1
+    safe_q = F.greatest(q, F.lit(1))
+    return (
+        F.when(rank_col <= m * big, F.floor((rank_col + big - 1) / big))
+        .otherwise(m + F.floor((rank_col - m * big + safe_q - 1) / safe_q))
+        .cast("int")
+    )

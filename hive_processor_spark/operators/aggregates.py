@@ -1566,20 +1566,9 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = rev.agg(F.count(F.lit(1)).cast("long").alias("n"))
     ranked = with_global_order(rev, "xq", ["o_custkey"], rank="r")
-    m = F.col("n") % 10  # tiles that get the extra row
-    q = F.floor(F.col("n") / 10).cast("long")
-    big = q + 1
-    decile = (
-        F.when(
-            F.col("r") <= m * big,
-            F.floor((F.col("r") + big - 1) / big),
-        )
-        .otherwise(
-            m + F.floor((F.col("r") - m * big + F.greatest(q, F.lit(1)) - 1)
-                        / F.greatest(q, F.lit(1)))
-        )
-        .cast("int")
-    )
+    from hive_processor_spark.functions.orderstat import ntile_expr
+
+    decile = ntile_expr(F.col("r"), F.col("n"), 10)
     banded = ranked.crossJoin(F.broadcast(tot)).select(
         "xq", decile.alias("decile")
     )

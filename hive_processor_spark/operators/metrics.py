@@ -679,14 +679,25 @@ def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     targeting campaign reads: conversion rate, cumulative gain, and lift
     vs the base rate for each tenth of the score-ranked population. NTILE
     is deterministic because the order chain (value DESC, event_id) is
-    unique; all metrics are ratios of exact counts. The global NTILE is
-    one total-order sort at scale — the same cost class as `topk`; the
-    per-decile rollup after it is ten rows."""
+    unique; all metrics are ratios of exact counts. The tile assignment
+    is distributed (round-6 window-audit fix): bucketed two-level rank
+    plus NTILE arithmetic (functions/orderstat.py) — no single-partition
+    sort of the event stream; the per-decile rollup after it is ten
+    rows."""
+    from hive_processor_spark.functions.orderstat import ntile_expr
+
     ev = load_table(spark, sf_dir, "events")
-    scored = ev.select(
+    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    ranked = with_global_order(
+        ev.select("value", "event_id", "event_type"),
+        "value",
+        ["event_id"],
+        rank="r",
+        desc=True,
+    )
+    scored = ranked.crossJoin(F.broadcast(tot)).select(
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("value"), "event_id"))
+        ntile_expr(F.col("r"), F.col("n_all"), 10)
         .cast("bigint")
         .alias("decile"),
     )
@@ -10609,9 +10620,11 @@ def ml_ece_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-9 before the weighted fold; MCE (worst bin) published beside
     ECE.
 
-    Scale: one global NTILE (single ordered pass over score groups —
-    at corpus scale swap in the distinct-score cumulative rank, same
-    bins) then 10 cells."""
+    Scale: distributed NTILE (round-6 window-audit fix — bucketed
+    two-level rank + tile arithmetic, functions/orderstat.py) then 10
+    cells."""
+    from hive_processor_spark.functions.orderstat import ntile_expr
+
     ev = load_table(spark, sf_dir, "events")
     s = ev.select(
         "event_id",
@@ -10620,10 +10633,15 @@ def ml_ece_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sq"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
     )
-    binned = s.select(
-        F.ntile(10).over(Window.orderBy("sq", "event_id")).alias("bin"),
-        "sq",
-        "y",
+    n_all = s.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    binned = (
+        with_global_order(s, "sq", ["event_id"], rank="r")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            ntile_expr(F.col("r"), F.col("n_all"), 10).alias("bin"),
+            "sq",
+            "y",
+        )
     )
     per_bin = binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("nk"),
@@ -12350,8 +12368,10 @@ def ml_calibration_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     the WLS sufficient sums fold as integers with the two rational
     terms floor-quantized.
 
-    Scale: one NTILE pass + 10-cell algebra, same posture as
-    ``ml_ece_adaptive``."""
+    Scale: one distributed-NTILE pass (round-6 window-audit fix) +
+    10-cell algebra, same posture as ``ml_ece_adaptive``."""
+    from hive_processor_spark.functions.orderstat import ntile_expr
+
     ev = load_table(spark, sf_dir, "events")
     s = ev.select(
         "event_id",
@@ -12360,10 +12380,15 @@ def ml_calibration_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sq"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
     )
-    binned = s.select(
-        F.ntile(10).over(Window.orderBy("sq", "event_id")).alias("bin"),
-        "sq",
-        "y",
+    n_all = s.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    binned = (
+        with_global_order(s, "sq", ["event_id"], rank="r")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            ntile_expr(F.col("r"), F.col("n_all"), 10).alias("bin"),
+            "sq",
+            "y",
+        )
     )
     per_bin = binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("nk"),

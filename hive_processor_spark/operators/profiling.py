@@ -209,20 +209,9 @@ def agg_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey"],
         rank="r",
     )
-    m = F.col("n") % 10
-    q = F.floor(F.col("n") / 10).cast("long")
-    big = q + 1
-    tile = (
-        F.when(F.col("r") <= m * big, F.floor((F.col("r") + big - 1) / big))
-        .otherwise(
-            m
-            + F.floor(
-                (F.col("r") - m * big + F.greatest(q, F.lit(1)) - 1)
-                / F.greatest(q, F.lit(1))
-            )
-        )
-        .cast("int")
-    )
+    from hive_processor_spark.functions.orderstat import ntile_expr
+
+    tile = ntile_expr(F.col("r"), F.col("n"), 10)
     return (
         ranked.crossJoin(F.broadcast(tot))
         .select("o_totalprice", tile.alias("bucket"))

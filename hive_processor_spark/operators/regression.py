@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
 from hive_processor_spark.functions.exact import dsum, sql_dsum
+from hive_processor_spark.functions.orderstat import with_global_order
 from hive_processor_spark.sources.tables import load_table
 
 
@@ -557,8 +558,10 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id so the rank sum (and therefore the AUC) is exactly
     deterministic on both engines (a documented tie-broken variant of the
     midrank AUC). Completes the eval family with ``ml_calibration_error``;
-    one global rank window over the scored frame, integer arithmetic to
-    the final division."""
+    ranks come from the bucketed two-level machinery of
+    ``functions/orderstat.py`` (round-6 window-audit fix — the scored
+    frame grows with the corpus and measured 10x growth through one
+    partition), integer arithmetic to the final division."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.trim(F.col("text")), " "), lambda w: w != F.lit(""))
     feats = docs.select(
@@ -575,10 +578,9 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("p"),
         F.when(F.col("n_chars") >= 250, 1).otherwise(0).alias("y"),
     )
-    w = Window.orderBy("p", "doc_id")
-    ranked = scored.select(
-        "y", F.row_number().over(w).cast("long").alias("r")
-    )
+    ranked = with_global_order(
+        scored, "p", ["doc_id"], rank="r"
+    ).select("y", "r")
     s = ranked.agg(
         F.sum("y").cast("long").alias("np"),
         (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("nn"),
@@ -1457,16 +1459,21 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined frame; at 100 TB the rank join is a range-partitioned
     sort-merge join and the stats passes are unchanged."""
     docs = load_table(spark, sf_dir, "documents")
-    wk = Window.orderBy("doc_id")
-    wh = Window.orderBy(
-        (F.col("doc_id") * 2654435761) % 4294967296, "doc_id"
-    )
-    base = docs.select(
+    # round-6 window-audit fix: both permutation ranks via the bucketed
+    # two-level machinery (the old global row_numbers pushed every
+    # document through one partition)
+    base0 = docs.select(
         F.size(F.split("text", " ")).cast("bigint").alias("x1"),
         (F.col("doc_id") % 7).cast("bigint").alias("x2"),
         F.col("n_chars").alias("y"),
-        F.row_number().over(wk).alias("rk"),
-        F.row_number().over(wh).alias("rh"),
+        F.col("doc_id"),
+        ((F.col("doc_id") * 2654435761) % 4294967296).alias("h"),
+    )
+    base = with_global_order(
+        with_global_order(base0, "doc_id", rank="rk"),
+        "h",
+        ["doc_id"],
+        rank="rh",
     )
     a = base.select("x1", "x2", "y", "rk")
     b = base.select(
@@ -1885,15 +1892,17 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("y") - F.col("a") - F.col("b") * F.col("x")) * 1e4
     ).cast("long")
     cal = cal_half.crossJoin(F.broadcast(fit)).select(resid_q.alias("r_q"))
-    wall = Window.partitionBy()
-    ranked = cal.select(
-        "r_q",
-        F.row_number().over(Window.orderBy("r_q")).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("n"),
+    # round-6 window-audit fix: the q-hat order statistic reads off the
+    # residual-histogram bucketed two-level cumulative, never a raw-row
+    # global row_number
+    hist = cal.groupBy("r_q").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ncal = hist.agg(F.sum("c").cast("long").alias("n"))
+    qhat = (
+        with_global_order(hist, "r_q", cumsums={"cc": "c"})
+        .crossJoin(F.broadcast(ncal))
+        .filter(F.col("cc") >= F.ceil(0.9 * (F.col("n") + 1)).cast("bigint"))
+        .agg(F.min("r_q").alias("q_quant"), F.max("n").alias("n_cal"))
     )
-    qhat = ranked.filter(
-        F.col("rn") == F.ceil(0.9 * (F.col("n") + 1)).cast("bigint")
-    ).select(F.col("r_q").alias("q_quant"), F.col("n").alias("n_cal"))
     test = (
         t.filter(F.col("split") == 1)
         .crossJoin(F.broadcast(fit))

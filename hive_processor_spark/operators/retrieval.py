@@ -469,8 +469,11 @@ def ml_ranking_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     the new definition demote"), and the same frame as search-ranking
     regression testing. Both scores are quantized integer sums with
     user_id tie-breaks, so both rankings and every stability metric are
-    bit-deterministic. One grouped pass, two rank windows over the
-    per-user frame, one reduction."""
+    bit-deterministic. One grouped pass, two distributed top-20s
+    (TakeOrderedAndProject + a rank window over the provably-20-row
+    frame — round-6 window-audit fix: every metric below only consumes
+    top-20 rows, so the full per-user frame is never ranked through one
+    partition), one outer join of the two 20-row sets, one reduction."""
     ev = load_table(spark, sf_dir, "events")
     mx = ev.agg(F.max(F.to_date("ts")).alias("asof"))
     terms = ev.crossJoin(F.broadcast(mx)).select(
@@ -491,21 +494,23 @@ def ml_ranking_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w_q").cast("bigint").alias("decay_q"),
         F.sum("cents").cast("bigint").alias("raw_q"),
     )
-    ra = g.select(
-        "user_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("decay_q").desc(), F.col("user_id")))
-        .alias("r_decay"),
-        F.row_number()
-        .over(Window.orderBy(F.col("raw_q").desc(), F.col("user_id")))
-        .alias("r_raw"),
-    )
-    topk = ra.select(
-        "user_id",
-        (F.col("r_decay") <= 20).cast("int").alias("in_decay"),
-        (F.col("r_raw") <= 20).cast("int").alias("in_raw"),
-        "r_decay",
-        "r_raw",
+    def top20(col, rname):
+        lim = g.orderBy(F.col(col).desc(), F.col("user_id")).limit(20)
+        w = Window.orderBy(F.col(col).desc(), F.col("user_id"))
+        return lim.select(
+            "user_id", F.row_number().over(w).alias(rname)
+        )
+
+    topk = (
+        top20("decay_q", "r_decay")
+        .join(top20("raw_q", "r_raw"), "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.col("r_decay").isNotNull().cast("int").alias("in_decay"),
+            F.col("r_raw").isNotNull().cast("int").alias("in_raw"),
+            F.coalesce("r_decay", F.lit(0)).alias("r_decay"),
+            F.coalesce("r_raw", F.lit(0)).alias("r_raw"),
+        )
     )
     both = F.sum(F.col("in_decay") * F.col("in_raw"))
     return topk.agg(

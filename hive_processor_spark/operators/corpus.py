@@ -231,18 +231,24 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded deterministic corpus shuffle: order by ``md5(seed || doc_id)``
     and deal docs round-robin into 8 shards. Reproducible across runs and
-    engines (the hash is the order key, not a RNG). At 100 TB the sort is a
-    range-partitioned exchange — the one shuffle the semantics require;
-    shard files would then be written with ``partitionBy(shard)``."""
-    docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    engines (the hash is the order key, not a RNG). Round-6 window-audit
+    fix: the rank comes from the bucketed two-level machinery — the
+    bucket grid lives on the hash's numeric 15-hex-digit prefix
+    (monotone in the full hex string: equal-length lowercase hex sorts
+    lexicographically = numerically), while the within-bucket order uses
+    the full hash + doc_id, so the permutation is identical to the
+    single-partition form but never ranks the corpus through one
+    task."""
+    from hive_processor_spark.functions.orderstat import with_global_order
 
+    docs = load_table(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit("r2:"), F.col("doc_id").cast("string")))
-    w = Window.orderBy(key, "doc_id")
+    keyn = F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
+    d = docs.select("doc_id", key.alias("k"), keyn.alias("kn"))
     return (
-        docs.select("doc_id")
-        .withColumn(
-            "shard", ((F.row_number().over(w) - 1) % 8).cast("bigint")
+        with_global_order(d, "kn", ["k", "doc_id"], rank="rn")
+        .select(
+            "doc_id", ((F.col("rn") - 1) % 8).cast("bigint").alias("shard")
         )
         .orderBy("doc_id")
     )
@@ -545,15 +551,28 @@ def pipeline_train_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         keepers,
         (fp.vocab_fp == keepers.vocab_fp) & (fp.doc_id == keepers.keep_id),
     ).select("doc_id", "n_tokens")
-    w = Window.orderBy(
-        F.md5(F.concat(F.lit("exp:"), F.col("doc_id").cast("string"))), "doc_id"
-    )
+    # round-6 window-audit fix: distributed hash rank (see
+    # sample_global_shuffle for the hex-prefix bucket-monotonicity
+    # argument) + a broadcast total instead of a whole-frame window
+    from hive_processor_spark.functions.orderstat import with_global_order
+
+    key = F.md5(F.concat(F.lit("exp:"), F.col("doc_id").cast("string")))
+    keyn = F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
+    tot = kept.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
     return (
-        kept.withColumn("shard", ((F.row_number().over(w) - 1) % 4).cast("bigint"))
-        .withColumn(
-            "n_total", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).cast("bigint")
+        with_global_order(
+            kept.select("doc_id", "n_tokens", key.alias("k"), keyn.alias("kn")),
+            "kn",
+            ["k", "doc_id"],
+            rank="rn",
         )
-        .select("shard", "n_total", "doc_id", "n_tokens")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            ((F.col("rn") - 1) % 4).cast("bigint").alias("shard"),
+            "n_total",
+            "doc_id",
+            "n_tokens",
+        )
         .orderBy("doc_id")
     )
 
@@ -935,22 +954,30 @@ def pipeline_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass that turns a cleaned corpus into training shards of near-equal
     byte size regardless of per-document skew.
 
-    The cumulative sum is a global ordered window — at 100 TB this becomes
-    a two-pass range-partitioned prefix sum (per-partition totals collected
-    once, offsets broadcast back), which is exactly how Spark executes an
-    unpartitioned running window after a range shuffle; everything is
-    integer arithmetic, so shard cuts are bit-stable."""
+    The cumulative sum IS the two-pass range-partitioned prefix sum —
+    explicitly, via the bucketed two-level machinery (round-6
+    window-audit fix: Spark's unpartitioned running window does NOT
+    split; it moves every row through one task): buckets on the hash's
+    numeric 15-hex-digit prefix (monotone in the hex string), bucket
+    totals prefix-summed over the bounded bucket frame, per-row offsets
+    from windows partitioned by bucket. Integer arithmetic throughout,
+    so shard cuts are bit-stable."""
+    from hive_processor_spark.functions.orderstat import with_global_order
+
     docs = load_table(spark, sf_dir, "documents")
+    hk = F.md5(F.col("doc_id").cast("string"))
     h = docs.select(
-        "doc_id", "n_chars", F.md5(F.col("doc_id").cast("string")).alias("hk")
-    )
-    w = Window.orderBy("hk", "doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    c = h.select(
         "doc_id",
         "n_chars",
-        (F.sum("n_chars").over(w) - F.col("n_chars")).alias("start_off"),
+        hk.alias("hk"),
+        F.conv(F.substring(hk, 1, 15), 16, 10).cast("long").alias("kn"),
+    )
+    c = with_global_order(
+        h, "kn", ["hk", "doc_id"], cumsums={"cs": "n_chars"}
+    ).select(
+        "doc_id",
+        "n_chars",
+        (F.col("cs") - F.col("n_chars")).alias("start_off"),
     )
     shard = F.floor(F.col("start_off").cast("double") / 5000.0).cast("bigint")
     return (
@@ -1405,11 +1432,14 @@ def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     internally by key hash (replay-stable, unlike rand()), then emit
     round-robin across sources — the curriculum layout that stops a
     source-sorted corpus from feeding a model hour-long single-domain
-    streams. Plan: one rank window per source (shuffle keyed on source)
-    and a global order by (rank, source) — at 100 TB the final total
-    order is exactly the sort a training-shard writer performs anyway,
-    and the hash ranking is embarrassingly parallel. First 30 positions
-    emitted for the gate."""
+    streams. Plan (round-6 window-audit fix): one rank window per source
+    (shuffle keyed on source), and because only the first 30 positions
+    are emitted, every surviving row has rank_in_source ≤ 30 — the
+    rank filter right after row_number lets Spark's WindowGroupLimit
+    keep only each source's top 30 through the sort, and the global
+    order collapses to TakeOrderedAndProject(30) + a rank window over
+    that provably-30-row frame. The old form ranked the whole corpus
+    through one partition to throw away all but 30 rows."""
     docs = load_table(spark, sf_dir, "documents")
     ranked = docs.select(
         "doc_id",
@@ -1421,9 +1451,10 @@ def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("rank_in_source"),
-    )
+    ).filter(F.col("rank_in_source") <= 30)
+    lim = ranked.orderBy("rank_in_source", "source", "doc_id").limit(30)
     return (
-        ranked.select(
+        lim.select(
             F.row_number()
             .over(Window.orderBy("rank_in_source", "source", "doc_id"))
             .cast("bigint")
@@ -1433,7 +1464,6 @@ def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank_in_source").cast("int").alias("rank_in_source"),
         )
         .orderBy("position")
-        .limit(30)
     )
 
 
@@ -1753,7 +1783,9 @@ def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Quantized integer difficulty + doc_id tie-breaks make the stage
     assignment bit-deterministic, which matters because a training run
     must see the SAME curriculum on every rebuild. One explode+agg,
-    one rank window over the doc frame, one stage rollup."""
+    distributed NTILE (round-6 window-audit fix — bucketed two-level
+    rank + tile arithmetic; the doc frame never ranks through one
+    partition), one stage rollup."""
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
@@ -1785,8 +1817,16 @@ def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("diff_q"),
     )
-    staged = scored.withColumn(
-        "stage", F.ntile(4).over(Window.orderBy("diff_q", "doc_id"))
+    from hive_processor_spark.functions.orderstat import (
+        ntile_expr,
+        with_global_order,
+    )
+
+    n_all = scored.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    staged = (
+        with_global_order(scored, "diff_q", ["doc_id"], rank="r")
+        .crossJoin(F.broadcast(n_all))
+        .withColumn("stage", ntile_expr(F.col("r"), F.col("n_all"), 4))
     )
     return (
         staged.groupBy(F.col("stage").cast("int").alias("stage"))

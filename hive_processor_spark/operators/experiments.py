@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
+from hive_processor_spark.functions.orderstat import ntile_expr, with_global_order
 from hive_processor_spark.functions.exact import dsum, sql_dsum
 from hive_processor_spark.sources.tables import load_table
 
@@ -905,12 +906,20 @@ def ab_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("out_cents"),
     )
-    tagged = u.select(
-        "user_id",
-        "pre_n",
-        "out_cents",
-        (F.col("pre_err") >= 5).cast("int").alias("treated"),
-        F.ntile(4).over(Window.orderBy("pre_n", "user_id")).alias("blk"),
+    # round-6 window-audit fix: distributed NTILE blocks (bucketed
+    # two-level rank + tile arithmetic) — the covariate quartiling never
+    # ranks the user frame through one partition
+    n_all = u.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    tagged = (
+        with_global_order(u, "pre_n", ["user_id"], rank="r")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "user_id",
+            "pre_n",
+            "out_cents",
+            (F.col("pre_err") >= 5).cast("int").alias("treated"),
+            ntile_expr(F.col("r"), F.col("n_all"), 4).alias("blk"),
+        )
     )
     ranked = tagged.withColumn(
         "rn",
@@ -1256,8 +1265,9 @@ def ab_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator shares; all counts are exact integers, NTILE is
     deterministic on the (score, user) chain.
 
-    Scale: one user rollup, one global NTILE (TakeOrdered-class sort),
-    a 10-row cumulative window."""
+    Scale: one user rollup, distributed NTILE (round-6 window-audit
+    fix — bucketed two-level rank + tile arithmetic), a 10-row
+    cumulative window."""
     ev = load_table(spark, sf_dir, "events")
     users = ev.groupBy("user_id").agg(
         F.sum(F.floor(F.col("value") * 100.0).cast("bigint"))
@@ -1269,12 +1279,15 @@ def ab_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id", _arm().alias("arm"), "score_c", (F.col("n_purch") > 0).alias("converted")
     )
-    ranked = users.select(
-        "arm",
-        "converted",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("score_c"), "user_id"))
-        .alias("decile"),
+    n_all = users.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    ranked = (
+        with_global_order(users, "score_c", ["user_id"], rank="r", desc=True)
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "arm",
+            "converted",
+            ntile_expr(F.col("r"), F.col("n_all"), 10).alias("decile"),
+        )
     )
     d = ranked.groupBy("decile").agg(
         F.count_if(F.col("arm") == 1).cast("bigint").alias("n_t"),

@@ -304,24 +304,30 @@ def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Byte sizes come straight off the payload column (OCTET_LENGTH — the
     Parquet-pruned metadata path; the blob itself is never read). The
-    global prefix sum is the same two-pass range-partitioned window as
-    ``pipeline_shard_balance``; everything is integer arithmetic, so shard
-    cuts and offsets are bit-stable at any parallelism."""
+    global prefix sum is the explicit two-pass bucketed two-level
+    cumulative of ``functions/orderstat.py`` (round-6 window-audit fix —
+    same as ``pipeline_shard_balance``; an unpartitioned running window
+    would move every row through one task); everything is integer
+    arithmetic, so shard cuts and offsets are bit-stable at any
+    parallelism."""
+    from hive_processor_spark.functions.orderstat import with_global_order
+
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
+    hk = F.md5(F.col("doc_id").cast("string"))
     sized = docs.select(
         "doc_id",
         F.octet_length("text").cast("long").alias("n_bytes"),
-        F.md5(F.col("doc_id").cast("string")).alias("hk"),
+        hk.alias("hk"),
+        F.conv(F.substring(hk, 1, 15), 16, 10).cast("long").alias("kn"),
     )
-    w = Window.orderBy("hk", "doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    placed = sized.select(
+    placed = with_global_order(
+        sized, "kn", ["hk", "doc_id"], cumsums={"cs": "n_bytes"}
+    ).select(
         "doc_id",
         "n_bytes",
-        (F.sum("n_bytes").over(w) - F.col("n_bytes")).alias("start_off"),
+        (F.col("cs") - F.col("n_bytes")).alias("start_off"),
     )
     sharded = placed.select(
         "doc_id",

@@ -222,8 +222,9 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ 1/(60+rank) needs only ranks, so channels with incomparable scores
     fuse cleanly — the standard trick for hybrid dense+sparse retrieval.
     Ranks are exact ints (vec_id tie-break), the fused score is identical
-    rational arithmetic in both engines. One corpus scan, two rank
-    windows over the (tiny) scored frame, top-10."""
+    rational arithmetic in both engines. One corpus scan, two bucketed
+    two-level ranks over the scored frame (round-6 window-audit fix —
+    the per-candidate frame grows with the corpus), top-10."""
     emb = load_table(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv")
@@ -237,20 +238,21 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             _hamming(F.col("qv"), F.col("embedding")).alias("ham"),
         )
     )
-    r = s.select(
-        "vec_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("sim").desc(), F.col("vec_id")))
-        .alias("r_cos"),
-        F.row_number()
-        .over(Window.orderBy(F.col("ham").asc(), F.col("vec_id")))
-        .alias("r_ham"),
-    )
+    from hive_processor_spark.functions.orderstat import with_global_order
+
+    r = with_global_order(
+        with_global_order(s, "sim", ["vec_id"], rank="r_cos", desc=True),
+        "ham",
+        ["vec_id"],
+        rank="r_ham",
+    ).select("vec_id", "r_cos", "r_ham")
     f = r.withColumn(
         "rrf", 1.0 / (60 + F.col("r_cos")) + 1.0 / (60 + F.col("r_ham"))
     )
+    # distributed top-10 first; the rank window sees a provably-10-row frame
+    lim = f.orderBy(F.col("rrf").desc(), "vec_id").limit(10)
     return (
-        f.select(
+        lim.select(
             F.row_number()
             .over(Window.orderBy(F.col("rrf").desc(), F.col("vec_id")))
             .cast("int")
@@ -261,7 +263,6 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf", 6).alias("rrf"),
         )
         .orderBy(F.col("rrf").desc(), "vec_id")
-        .limit(10)
     )
 
 

@@ -878,8 +878,10 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     The trick that scales: a token's contribution to the curve is fully
     determined by its FIRST document (min doc_id per token — one shuffle
     keyed on token, ∝ vocabulary not corpus), after which the cumulative
-    window runs over per-doc counts (∝ documents). No per-prefix rescans.
-    All outputs are exact integers plus one rounded ratio."""
+    runs over per-doc counts through the bucketed two-level machinery
+    (round-6 window-audit fix — the per-doc frame is corpus-sized and
+    never crosses one partition). No per-prefix rescans. All outputs are
+    exact integers plus one rounded ratio."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
@@ -893,11 +895,14 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
     ).join(new_types, "doc_id", "left").fillna({"new_types": 0})
-    w = Window.orderBy("doc_id")
-    curve = per_doc.select(
+    from hive_processor_spark.functions.orderstat import with_global_order
+
+    curve = with_global_order(
+        per_doc, "doc_id", cumsums={"ct": "n_tok", "vb": "new_types"}
+    ).select(
         "doc_id",
-        F.sum("n_tok").over(w).cast("bigint").alias("cum_tokens"),
-        F.sum("new_types").over(w).cast("bigint").alias("vocab"),
+        F.col("ct").cast("bigint").alias("cum_tokens"),
+        F.col("vb").cast("bigint").alias("vocab"),
     )
     return curve.filter(F.col("doc_id") % 50 == 49).select(
         "doc_id",
@@ -2434,10 +2439,10 @@ def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sublinearity constant a tokenizer-budget planner extrapolates
     from (β ≈ 0.4–0.6 for natural text). First occurrences come from one
     min-doc_id-per-word aggregate (shuffle ∝ vocabulary); the two
-    cumulative sums are one ordered window over the per-doc frame
-    (O(docs) single-partition, the documented calendar-series
-    constraint); every log is 1e6-quantized before DECIMAL accumulation
-    so the fit is bit-stable at any parallelism."""
+    cumulative sums run through the bucketed two-level machinery
+    (round-6 window-audit fix — the per-doc frame is corpus-sized);
+    every log is 1e6-quantized before DECIMAL accumulation so the fit
+    is bit-stable at any parallelism."""
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select(
         "doc_id",
@@ -2454,17 +2459,14 @@ def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_words = firsts.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("nw")
     )
-    win = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    curve = (
-        toks.join(new_words, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum("n_tok").over(win).alias("cum_tok"),
-            F.sum(F.coalesce(F.col("nw"), F.lit(0))).over(win).alias(
-                "cum_vocab"
-            ),
-        )
+    from hive_processor_spark.functions.orderstat import with_global_order
+
+    joined = toks.join(new_words, "doc_id", "left").select(
+        "doc_id", "n_tok", F.coalesce(F.col("nw"), F.lit(0)).alias("nw0")
     )
+    curve = with_global_order(
+        joined, "doc_id", cumsums={"cum_tok": "n_tok", "cum_vocab": "nw0"}
+    ).select("doc_id", "cum_tok", "cum_vocab")
     pts = curve.filter(F.col("cum_tok") > 0).select("cum_tok", "cum_vocab")
     return _ols_out(_loglog_ols(pts, "cum_tok", "cum_vocab"))
 

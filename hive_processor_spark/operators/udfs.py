@@ -286,32 +286,61 @@ def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface for logic a join can't express cleanly (per-key sequence
     alignment, custom as-of semantics, per-entity reconciliation). At
     100 TB both sides shuffle once on the key, groups stream through
-    Python workers in Arrow batches, and per-user group sizes are bounded,
-    so there is no skew hazard beyond AQE's usual handling."""
+    Python workers in Arrow batches.
+
+    Perf note (round-6, closes round-4 advice #4's Arrow pass): the
+    cogroup KEY is a coarse user bucket, not the raw user_id — Spark
+    invokes the Python function once per key, so per-user keys meant
+    15 000 interpreter round-trips at sf0.1 (13.7 s); 64 buckets amortize
+    that to 64 vectorized pandas merges over ~230 users each
+    (13.69 s → 1.76 s best-of-3, tools/timeq, raw log in the commit
+    message). Same custom-merge surface,
+    same output; at 100 TB pick the bucket count so a bucket's rows fit
+    an Arrow batch comfortably (users/bucket is load-balanced by the
+    modulo)."""
     ev = load_table(spark, sf_dir, "events")
-    purch = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    nb = 64
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % nb).alias("bkt"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        (F.col("user_id") % nb).alias("bkt"), "user_id", "ts"
+    )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        uid = (left["user_id"].iloc[0] if len(left) else right["user_id"].iloc[0])
-        lat = None
+        # vectorized over every user in the bucket
+        n_p = left.groupby("user_id").size() if len(left) else pd.Series(dtype="int64")
         if len(right):
-            first_click = right["ts"].min()
-            after = left.loc[left["ts"] >= first_click, "ts"]
-            if len(after):
-                lat = int(
-                    (after.min() - first_click) // pd.Timedelta(microseconds=1)
-                )
+            rg = right.groupby("user_id")["ts"]
+            n_c = rg.size()
+            fc = rg.min()
+        else:
+            n_c = pd.Series(dtype="int64")
+            fc = pd.Series(dtype="datetime64[ns]")
+        lat = pd.Series(dtype="int64")
+        if len(left) and len(fc):
+            l2 = left.merge(
+                fc.rename("fc"), left_on="user_id", right_index=True
+            )
+            l2 = l2[l2["ts"] >= l2["fc"]]
+            if len(l2):
+                fp = l2.groupby("user_id")["ts"].min()
+                lat = (
+                    (fp - fc.loc[fp.index]) // pd.Timedelta(microseconds=1)
+                ).astype("int64")
+        users = n_p.index.union(n_c.index)
         return pd.DataFrame(
             {
-                "user_id": [uid],
-                "n_purchases": [len(left)],
-                "n_clicks": [len(right)],
-                "click_to_purchase_us": [lat],
+                "user_id": users.to_numpy(),
+                "n_purchases": n_p.reindex(users, fill_value=0).to_numpy(),
+                "n_clicks": n_c.reindex(users, fill_value=0).to_numpy(),
+                "click_to_purchase_us": pd.array(
+                    lat.reindex(users), dtype="Int64"
+                ),
             }
         )
 
-    out = purch.groupBy("user_id").cogroup(clicks.groupBy("user_id")).applyInPandas(
+    out = purch.groupBy("bkt").cogroup(clicks.groupBy("bkt")).applyInPandas(
         merge,
         "user_id bigint, n_purchases bigint, n_clicks bigint, "
         "click_to_purchase_us bigint",

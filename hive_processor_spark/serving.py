@@ -168,7 +168,8 @@ class QueryServer:
             ctx = request.get("ctx")
             if ctx is not None and not isinstance(ctx, dict):
                 raise TypeError("ctx must be an object")
-            if ctx and self._accepts_ctx(fn):
+            ctx_applied = bool(ctx) and self._accepts_ctx(fn)
+            if ctx_applied:
                 df = fn(self._spark, request["sf_dir"], ctx=ctx)
             else:
                 df = fn(self._spark, request["sf_dir"])
@@ -176,7 +177,14 @@ class QueryServer:
             # toJSON keeps types self-describing (dates/timestamps/arrays)
             # without a hand-rolled serializer on either side.
             rows = [json.loads(s) for s in df.limit(limit).toJSON().collect()]
-            return {"sn": sn, "ok": True, "rows": rows}
+            reply = {"sn": sn, "ok": True, "rows": rows}
+            if ctx:
+                # ADVICE r5 #2: a tenant-scoped caller must be able to TELL
+                # whether its ctx actually scoped the query — a handler
+                # without a ctx parameter runs unscoped, and silently
+                # returning global data would be an isolation gap.
+                reply["ctx_applied"] = ctx_applied
+            return reply
         except Exception as exc:  # error → reply, server stays up
             return {"sn": sn, "ok": False, "error": f"{type(exc).__name__}: {exc}"}
 

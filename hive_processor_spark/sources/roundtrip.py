@@ -30,6 +30,41 @@ def _scratch(tag: str) -> str:
     return tempfile.mkdtemp(prefix=f"{tag}-", dir=_SCRATCH_ROOT)
 
 
+def _prepare_partitioned(
+    spark: SparkSession, sf_dir: str, table: str, part_col: str, tag: str
+) -> str:
+    """Prepare-once partitioned layout with an ATOMIC publish (ADVICE r5
+    #3): the cache key folds in the source fixture's mtime+size
+    fingerprint (a regenerated fixture gets a fresh layout instead of a
+    stale hit), and the write lands in a unique temp dir that is RENAMED
+    into place — two concurrent first requests each build their own temp
+    and exactly one rename wins; the loser discards its copy and reads
+    the winner's. No reader can ever observe a half-written layout."""
+    import hashlib
+    import shutil
+    import uuid
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}-{st.st_size}"
+    except OSError:
+        fp = "0"
+    digest = hashlib.md5(f"{sf_dir}:{fp}".encode()).hexdigest()[:12]
+    path = os.path.join(_SCRATCH_ROOT, f"{tag}-{digest}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        os.makedirs(_SCRATCH_ROOT, exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        load_table(spark, sf_dir, table).write.mode("overwrite").partitionBy(
+            part_col
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # a concurrent racer won
+    return path
+
+
 @register("scan_csv_roundtrip", "SELECT * FROM nation")
 def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, sf_dir, "nation")
@@ -307,15 +342,9 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups. Partition-column pruning is THE first-order I/O lever on a
     100 TB date/tenant-partitioned table. Layout build is prepare-once
     (keyed marker, same discipline as ivf_prepare)."""
-    import hashlib
-
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(_SCRATCH_ROOT, f"part-orders-{digest}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        os.makedirs(_SCRATCH_ROOT, exist_ok=True)
-        load_table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
-            "o_orderstatus"
-        ).parquet(path)
+    path = _prepare_partitioned(
+        spark, sf_dir, "orders", "o_orderstatus", "part-orders"
+    )
     return (
         spark.read.parquet(path)
         .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 400000.0))
@@ -351,15 +380,9 @@ def scan_tenant_prune(
     ('src7', matching the oracle); the serving layer passes the caller's
     ``ctx`` through (serving.py), which is how a remote tenant scopes the
     same registered query to its own partition."""
-    import hashlib
-
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(_SCRATCH_ROOT, f"tenant-docs-{digest}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        os.makedirs(_SCRATCH_ROOT, exist_ok=True)
-        load_table(spark, sf_dir, "documents").write.mode(
-            "overwrite"
-        ).partitionBy("source").parquet(path)
+    path = _prepare_partitioned(
+        spark, sf_dir, "documents", "source", "tenant-docs"
+    )
     domain = (ctx or {}).get("domain", "src7")
     return (
         spark.read.parquet(path)

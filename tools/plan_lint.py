@@ -158,7 +158,14 @@ def _window_args_unpartitioned(line: str) -> bool:
     but EMPTY specs are omitted from the rendering: 2 groups is either
     partitioned-without-order (`[exprs], [partition]`) or
     global-with-order (`[exprs], [order]`) — disambiguated by the sort
-    tokens only an order spec contains."""
+    tokens only an order spec contains.
+
+    Windows ordered on ``_osb`` are exempt: that is the orderstat
+    helper's bucket-prefix frame, bounded at n_buckets+1 rows BY
+    CONSTRUCTION at any scale (functions/orderstat.py; exactness
+    property-tested in tests/test_orderstat.py)."""
+    if "_osb#" in line:
+        return False
     groups = _arg_group_strs(line)
     if len(groups) >= 3:
         return False

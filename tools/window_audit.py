@@ -101,7 +101,11 @@ def _global_window_inputs(final_plan) -> list[int]:
         name = node.getClass().getSimpleName()
         if name.startswith("Window"):
             try:
-                if node.partitionSpec().size() == 0:
+                # _osb-ordered windows are the orderstat helper's bucket
+                # frame — bounded at n_buckets+1 by construction
+                if node.partitionSpec().size() == 0 and "_osb" not in str(
+                    node.orderSpec()
+                ):
                     out.append(
                         sum(_input_rows(c) for c in _children(node))
                     )

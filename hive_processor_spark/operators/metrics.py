@@ -12651,3 +12651,170 @@ def ml_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.09999999999999998) * F.col("wsum_q") / 1e12, 6
         ).alias("rbo_truncated"),
     )
+
+
+@register(
+    "stats_breslow_day",
+    """
+    WITH v AS (
+        SELECT date_part('year', l_shipdate) AS yr,
+               CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS exposed,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS outcome
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ), strata AS (
+        SELECT yr,
+               CAST(COUNT(*) FILTER (WHERE exposed = 1 AND outcome = 1)
+                    AS BIGINT) AS a,
+               CAST(COUNT(*) FILTER (WHERE exposed = 1 AND outcome = 0)
+                    AS BIGINT) AS b,
+               CAST(COUNT(*) FILTER (WHERE exposed = 0 AND outcome = 1)
+                    AS BIGINT) AS c,
+               CAST(COUNT(*) FILTER (WHERE exposed = 0 AND outcome = 0)
+                    AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM v GROUP BY yr
+    ), psi AS (
+        SELECT (CAST(SUM(CAST(FLOOR(CAST(a AS DOUBLE) * d / n * 1e9)
+                              AS BIGINT)) AS BIGINT) / 1e9)
+               / (CAST(SUM(CAST(FLOOR(CAST(b AS DOUBLE) * c / n * 1e9)
+                                AS BIGINT)) AS BIGINT) / 1e9) AS w
+        FROM strata
+    ), fitted AS (
+        SELECT s.a, s.n, p.w,
+               CAST(s.a + s.b AS DOUBLE) AS r1,
+               CAST(s.a + s.c AS DOUBLE) AS c1,
+               1.0 - p.w AS qa,
+               CAST(s.n AS DOUBLE) - (s.a + s.b) - (s.a + s.c)
+                   + p.w * ((s.a + s.b) + (s.a + s.c)) AS qb,
+               -(p.w * (s.a + s.b) * (s.a + s.c)) AS qc
+        FROM strata s CROSS JOIN psi p
+    ), roots AS (
+        SELECT a, n, r1, c1,
+               (-qb + SQRT(qb * qb - 4.0 * qa * qc)) / (2.0 * qa) AS t1,
+               (-qb - SQRT(qb * qb - 4.0 * qa * qc)) / (2.0 * qa) AS t2,
+               GREATEST(0.0, r1 + c1 - n) AS lo,
+               LEAST(r1, c1) AS hi
+        FROM fitted
+    ), contrib AS (
+        SELECT a, n, r1, c1,
+               CASE WHEN t1 >= lo AND t1 <= hi THEN t1 ELSE t2 END AS ta
+        FROM roots
+    ), terms AS (
+        SELECT a, ta,
+               1.0 / (1.0 / ta + 1.0 / (r1 - ta) + 1.0 / (c1 - ta)
+                      + 1.0 / (n - r1 - c1 + ta)) AS vv
+        FROM contrib
+    ), folds AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+               CAST(SUM(CAST(FLOOR((a - ta) * (a - ta) / vv * 1e9)
+                             AS BIGINT)) AS BIGINT) AS chiq,
+               CAST(SUM(CAST(FLOOR((a - ta) * 1e9) AS BIGINT))
+                    AS BIGINT) AS devq,
+               CAST(SUM(CAST(FLOOR(vv * 1e9) AS BIGINT)) AS BIGINT) AS vq
+        FROM terms
+    )
+    SELECT n_strata, n_strata - 1 AS df,
+           ROUND((SELECT w FROM psi), 6) AS or_mh,
+           ROUND(chiq / 1e9, 4) AS bd_chi2,
+           ROUND(chiq / 1e9 - (devq / 1e9) * (devq / 1e9) / (vq / 1e9), 4)
+               AS tarone_chi2
+    FROM folds
+    """,
+)
+def stats_breslow_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breslow–Day test (with Tarone's adjustment) for HOMOGENEITY of the
+    odds ratio across ship-year strata — the diagnostic that must be read
+    BEFORE quoting ``stats_mantel_haenszel``'s pooled OR: CMH assumes one
+    common ψ; BD asks whether the per-year 2×2 tables (discount ≥ 5%
+    exposure vs R-vs-A returns) are consistent with that. Per stratum the
+    expected exposed-case count ã under ψ̂_MH solves the quadratic
+    (1−ψ)ã² + (n−r₁−c₁+ψ(r₁+c₁))ã − ψr₁c₁ = 0 (root inside
+    [max(0,r₁+c₁−n), min(r₁,c₁)]); χ²_BD = Σ(aᵢ−ãᵢ)²/Vᵢ with
+    V = (1/ã + 1/(r₁−ã) + 1/(c₁−ã) + 1/(ñ₀₀))⁻¹, and Tarone subtracts
+    (Σ(aᵢ−ãᵢ))²/ΣVᵢ to restore the χ²_{K−1} null. The quadratic/sqrt
+    chain runs per-stratum (≤7 rows, deterministic IEEE ops on exact
+    integer cells); only the three fold sums cross rows and they are
+    floor-quantized at 1e-9 first — same discipline as the MH fold.
+
+    Scale: one partial→final aggregate to year strata, a 1-row ψ
+    broadcast, scalar algebra on ≤7 rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    v = li.select(
+        F.year("l_shipdate").alias("yr"),
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("exposed"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("outcome"),
+    )
+    strata = v.groupBy("yr").agg(
+        F.count(F.when((F.col("exposed") == 1) & (F.col("outcome") == 1), 1))
+        .cast("long")
+        .alias("a"),
+        F.count(F.when((F.col("exposed") == 1) & (F.col("outcome") == 0), 1))
+        .cast("long")
+        .alias("b"),
+        F.count(F.when((F.col("exposed") == 0) & (F.col("outcome") == 1), 1))
+        .cast("long")
+        .alias("c"),
+        F.count(F.when((F.col("exposed") == 0) & (F.col("outcome") == 0), 1))
+        .cast("long")
+        .alias("d"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a, b, c, d, n = (F.col(x) for x in "abcdn")
+    psi = strata.agg(
+        (
+            F.sum(F.floor(a.cast("double") * d / n * 1e9).cast("long"))
+            .cast("long")
+            / 1e9
+        ).alias("adq"),
+        (
+            F.sum(F.floor(b.cast("double") * c / n * 1e9).cast("long"))
+            .cast("long")
+            / 1e9
+        ).alias("bcq"),
+    ).select((F.col("adq") / F.col("bcq")).alias("w"))
+    w = F.col("w")
+    r1 = (a + b).cast("double")
+    c1 = (a + c).cast("double")
+    qa = F.lit(1.0) - w
+    qb = n.cast("double") - (a + b) - (a + c) + w * ((a + b) + (a + c))
+    qc = -(w * (a + b) * (a + c))
+    disc = F.sqrt(qb * qb - 4.0 * qa * qc)
+    t1 = (-qb + disc) / (2.0 * qa)
+    t2 = (-qb - disc) / (2.0 * qa)
+    lo = F.greatest(F.lit(0.0), r1 + c1 - n)
+    hi = F.least(r1, c1)
+    ta = F.when((t1 >= lo) & (t1 <= hi), t1).otherwise(t2)
+    fitted = strata.crossJoin(F.broadcast(psi)).select(
+        a, n, r1.alias("r1"), c1.alias("c1"), w, ta.alias("ta")
+    )
+    taf, r1f, c1f = F.col("ta"), F.col("r1"), F.col("c1")
+    vv = 1.0 / (
+        1.0 / taf
+        + 1.0 / (r1f - taf)
+        + 1.0 / (c1f - taf)
+        + 1.0 / (n - r1f - c1f + taf)
+    )
+    folds = fitted.select(a, F.col("ta"), vv.alias("vv")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(
+            F.floor((a - taf) * (a - taf) / F.col("vv") * 1e9).cast("long")
+        )
+        .cast("long")
+        .alias("chiq"),
+        F.sum(F.floor((a - taf) * 1e9).cast("long")).cast("long").alias("devq"),
+        F.sum(F.floor(F.col("vv") * 1e9).cast("long")).cast("long").alias("vq"),
+    )
+    return folds.crossJoin(F.broadcast(psi)).select(
+        "n_strata",
+        (F.col("n_strata") - 1).alias("df"),
+        F.round(w, 6).alias("or_mh"),
+        F.round(F.col("chiq") / 1e9, 4).alias("bd_chi2"),
+        F.round(
+            F.col("chiq") / 1e9
+            - (F.col("devq") / 1e9) * (F.col("devq") / 1e9)
+            / (F.col("vq") / 1e9),
+            4,
+        ).alias("tarone_chi2"),
+    )

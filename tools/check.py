@@ -12,6 +12,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 import time
 import traceback
@@ -111,6 +112,12 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--prefix", default=None)
+    ap.add_argument(
+        "--json-out",
+        default=None,
+        help="write per-query {status, rows, secs, problems} records to this "
+        "path — the committed full-gate artifact (CHECK_r{N}.json)",
+    )
     args = ap.parse_args()
 
     qs, ors = queries(), oracles()
@@ -121,9 +128,11 @@ def main() -> int:
     con = duck_connect(args.sf)
 
     n_pass = n_fail = n_rowsonly = 0
+    records: dict[str, dict] = {}
     for name in names:
         if name not in qs:
             print(f"?? {name}: not registered")
+            records[name] = {"status": "fail", "problems": ["not registered"]}
             n_fail += 1
             continue
         t0 = time.time()
@@ -131,31 +140,50 @@ def main() -> int:
             sdf = qs[name](spark, args.sf).toPandas()
         except Exception:
             print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
+            records[name] = {"status": "fail", "problems": ["spark raised"]}
             n_fail += 1
             continue
         if name not in ors:
-            print(f"ROWS {name}: {len(sdf)} rows (Tier R, no oracle) [{time.time()-t0:.1f}s]")
+            secs = round(time.time() - t0, 2)
+            print(f"ROWS {name}: {len(sdf)} rows (Tier R, no oracle) [{secs}s]")
+            records[name] = {"status": "rows-only", "rows": len(sdf), "secs": secs}
             n_rowsonly += 1
             continue
         try:
             odf = con.execute(ors[name]).df()
         except Exception:
             print(f"FAIL {name}: oracle raised\n{traceback.format_exc()}")
+            records[name] = {"status": "fail", "problems": ["oracle raised"]}
             n_fail += 1
             continue
         try:
             problems = compare(sdf, odf)
         except TypeError as e:
             problems = [f"canonicalizer rejected output: {e}"]
+        secs = round(time.time() - t0, 2)
         if problems:
-            print(f"FAIL {name} [{time.time()-t0:.1f}s]")
+            print(f"FAIL {name} [{secs}s]")
             for p in problems[:6]:
                 print(f"     {p}")
+            records[name] = {"status": "fail", "rows": len(sdf), "secs": secs,
+                             "problems": problems[:6]}
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            print(f"PASS {name}: {len(sdf)} rows [{secs}s]")
+            records[name] = {"status": "pass", "rows": len(sdf), "secs": secs}
             n_pass += 1
     print(f"\n== {n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail ==")
+    if args.json_out:
+        summary = {
+            "sf": args.sf,
+            "n_pass": n_pass,
+            "n_rows_only": n_rowsonly,
+            "n_fail": n_fail,
+            "queries": records,
+        }
+        with open(args.json_out, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=True)
+        print(f"wrote {args.json_out}")
     return 1 if n_fail else 0
 
 

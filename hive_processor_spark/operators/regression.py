@@ -2712,3 +2712,163 @@ def ml_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(30 - rmst, 4).alias("expected_days_lost"),
         F.col("first_event_day").cast("long").alias("first_event_day"),
     )
+
+
+@register(
+    "ts_arch_lm",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS HUGEINT))
+                    AS HUGEINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    st AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s FROM idx
+    ),
+    z AS (
+        SELECT rn,
+               (CAST(st.n * x - st.s AS DOUBLE) / CAST(st.s AS DOUBLE))
+               * (CAST(st.n * x - st.s AS DOUBLE) / CAST(st.s AS DOUBLE))
+                   AS z
+        FROM idx, st
+    ),
+    tri AS (
+        SELECT a.z AS y, b.z AS x1, c.z AS x2
+        FROM z a JOIN z b ON b.rn = a.rn - 1
+                 JOIN z c ON c.rn = a.rn - 2
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(CAST(FLOOR(y  * 1e12) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(SUM(CAST(FLOOR(x1 * 1e12) AS BIGINT)) AS BIGINT) AS s1,
+               CAST(SUM(CAST(FLOOR(x2 * 1e12) AS BIGINT)) AS BIGINT) AS s2,
+               CAST(SUM(CAST(FLOOR(y  * y  * 1e12) AS BIGINT)) AS BIGINT) AS syy,
+               CAST(SUM(CAST(FLOOR(x1 * x1 * 1e12) AS BIGINT)) AS BIGINT) AS s11,
+               CAST(SUM(CAST(FLOOR(x2 * x2 * 1e12) AS BIGINT)) AS BIGINT) AS s22,
+               CAST(SUM(CAST(FLOOR(x1 * x2 * 1e12) AS BIGINT)) AS BIGINT) AS s12,
+               CAST(SUM(CAST(FLOOR(y  * x1 * 1e12) AS BIGINT)) AS BIGINT) AS sy1,
+               CAST(SUM(CAST(FLOOR(y  * x2 * 1e12) AS BIGINT)) AS BIGINT) AS sy2
+        FROM tri
+    )
+    SELECT m AS n_obs, CAST(2 AS INT) AS n_lags,
+           ROUND(((sy1 / 1e12 - (sy / 1e12) * (s1 / 1e12) / m)
+                  * (s22 / 1e12 - (s2 / 1e12) * (s2 / 1e12) / m)
+                  - (sy2 / 1e12 - (sy / 1e12) * (s2 / 1e12) / m)
+                  * (s12 / 1e12 - (s1 / 1e12) * (s2 / 1e12) / m))
+                 / ((s11 / 1e12 - (s1 / 1e12) * (s1 / 1e12) / m)
+                    * (s22 / 1e12 - (s2 / 1e12) * (s2 / 1e12) / m)
+                    - (s12 / 1e12 - (s1 / 1e12) * (s2 / 1e12) / m)
+                    * (s12 / 1e12 - (s1 / 1e12) * (s2 / 1e12) / m))
+                 * (sy1 / 1e12 - (sy / 1e12) * (s1 / 1e12) / m)
+                 / (syy / 1e12 - (sy / 1e12) * (sy / 1e12) / m)
+                 + ((sy2 / 1e12 - (sy / 1e12) * (s2 / 1e12) / m)
+                    * (s11 / 1e12 - (s1 / 1e12) * (s1 / 1e12) / m)
+                    - (sy1 / 1e12 - (sy / 1e12) * (s1 / 1e12) / m)
+                    * (s12 / 1e12 - (s1 / 1e12) * (s2 / 1e12) / m))
+                 / ((s11 / 1e12 - (s1 / 1e12) * (s1 / 1e12) / m)
+                    * (s22 / 1e12 - (s2 / 1e12) * (s2 / 1e12) / m)
+                    - (s12 / 1e12 - (s1 / 1e12) * (s2 / 1e12) / m)
+                    * (s12 / 1e12 - (s1 / 1e12) * (s2 / 1e12) / m))
+                 * (sy2 / 1e12 - (sy / 1e12) * (s2 / 1e12) / m)
+                 / (syy / 1e12 - (sy / 1e12) * (sy / 1e12) / m), 6)
+               AS r2,
+           ROUND(m * (((sy1 / 1e12 - (sy / 1e12) * (s1 / 1e12) / m)
+                  * (s22 / 1e12 - (s2 / 1e12) * (s2 / 1e12) / m)
+                  - (sy2 / 1e12 - (sy / 1e12) * (s2 / 1e12) / m)
+                  * (s12 / 1e12 - (s1 / 1e12) * (s2 / 1e12) / m))
+                 / ((s11 / 1e12 - (s1 / 1e12) * (s1 / 1e12) / m)
+                    * (s22 / 1e12 - (s2 / 1e12) * (s2 / 1e12) / m)
+                    - (s12 / 1e12 - (s1 / 1e12) * (s2 / 1e12) / m)
+                    * (s12 / 1e12 - (s1 / 1e12) * (s2 / 1e12) / m))
+                 * (sy1 / 1e12 - (sy / 1e12) * (s1 / 1e12) / m)
+                 / (syy / 1e12 - (sy / 1e12) * (sy / 1e12) / m)
+                 + ((sy2 / 1e12 - (sy / 1e12) * (s2 / 1e12) / m)
+                    * (s11 / 1e12 - (s1 / 1e12) * (s1 / 1e12) / m)
+                    - (sy1 / 1e12 - (sy / 1e12) * (s1 / 1e12) / m)
+                    * (s12 / 1e12 - (s1 / 1e12) * (s2 / 1e12) / m))
+                 / ((s11 / 1e12 - (s1 / 1e12) * (s1 / 1e12) / m)
+                    * (s22 / 1e12 - (s2 / 1e12) * (s2 / 1e12) / m)
+                    - (s12 / 1e12 - (s1 / 1e12) * (s2 / 1e12) / m)
+                    * (s12 / 1e12 - (s1 / 1e12) * (s2 / 1e12) / m))
+                 * (sy2 / 1e12 - (sy / 1e12) * (s2 / 1e12) / m)
+                 / (syy / 1e12 - (sy / 1e12) * (sy / 1e12) / m)), 4)
+               AS lm_stat
+    FROM mom
+    """,
+)
+def ts_arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle's ARCH LM test (lags p = 2) on the daily-revenue series: does
+    today's squared deviation depend on yesterday's — volatility
+    clustering the white-noise portmanteau (``ts_ljung_box``, which tests
+    LEVELS) cannot see? z_t = ((n·x_t − S)/S)² is the squared relative
+    deviation (numerator exact 128-bit integer, one correctly-rounded
+    cast); OLS of z_t on (1, z_{t−1}, z_{t−2}) via the closed-form
+    2-regressor normal equations, R² = (b₁·c_{y1} + b₂·c_{y2})/c_{yy},
+    LM = m·R² ~ χ²₂ under no-ARCH. Every cross-row moment is a per-row
+    double product floor-quantized at 1e-12 then summed as int64 — the
+    accumulation order cannot flip a bit (``ts_ljung_box`` fold
+    discipline); the lag triple is two equi-joins of the |days|-row
+    deviation frame on rn−1/rn−2.
+
+    Scale: daily rollup aggregate, two metadata-sized equi-joins, one
+    partial→final moment fold — nothing grows faster than |days|."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("decimal(38,0)"))
+        .alias("x")
+    )
+    idx = daily.select(
+        "x", F.row_number().over(Window.orderBy("day")).alias("rn")
+    )
+    st = idx.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("s"),
+    )
+    dvn = (F.col("n") * F.col("x") - F.col("s")).cast("double") / F.col(
+        "s"
+    ).cast("double")
+    zf = idx.crossJoin(F.broadcast(st)).select(
+        "rn", (dvn * dvn).alias("z")
+    )
+    a = zf.select(F.col("rn").alias("arn"), F.col("z").alias("y"))
+    b = zf.select(F.col("rn").alias("brn"), F.col("z").alias("x1"))
+    c = zf.select(F.col("rn").alias("crn"), F.col("z").alias("x2"))
+    tri = a.join(b, F.col("brn") == F.col("arn") - 1).join(
+        c, F.col("crn") == F.col("arn") - 2
+    )
+    q = lambda e: F.sum(F.floor(e * 1e12).cast("long")).cast("long")
+    y, x1, x2 = F.col("y"), F.col("x1"), F.col("x2")
+    mom = tri.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        q(y).alias("sy"),
+        q(x1).alias("s1"),
+        q(x2).alias("s2"),
+        q(y * y).alias("syy"),
+        q(x1 * x1).alias("s11"),
+        q(x2 * x2).alias("s22"),
+        q(x1 * x2).alias("s12"),
+        q(y * x1).alias("sy1"),
+        q(y * x2).alias("sy2"),
+    )
+    m = F.col("m")
+    de = lambda col: F.col(col) / 1e12
+    c11 = de("s11") - de("s1") * de("s1") / m
+    c22 = de("s22") - de("s2") * de("s2") / m
+    c12 = de("s12") - de("s1") * de("s2") / m
+    cy1 = de("sy1") - de("sy") * de("s1") / m
+    cy2 = de("sy2") - de("sy") * de("s2") / m
+    cyy = de("syy") - de("sy") * de("sy") / m
+    det = c11 * c22 - c12 * c12
+    r2 = (cy1 * c22 - cy2 * c12) / det * cy1 / cyy + (
+        cy2 * c11 - cy1 * c12
+    ) / det * cy2 / cyy
+    return mom.select(
+        m.alias("n_obs"),
+        F.lit(2).cast("int").alias("n_lags"),
+        F.round(r2, 6).alias("r2"),
+        F.round(m * r2, 4).alias("lm_stat"),
+    )

@@ -4030,3 +4030,135 @@ def agg_mean_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("excess_to_threshold_ratio"),
     ).orderBy("threshold_pctile")
+
+
+@register(
+    "stats_g_test",
+    """
+    WITH obs AS (
+        SELECT event_type, CAST(DAYOFWEEK(ts) + 1 AS INTEGER) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY event_type, dow
+    ), margins AS (
+        SELECT event_type, dow, o,
+               SUM(o) OVER (PARTITION BY event_type) AS row_n,
+               SUM(o) OVER (PARTITION BY dow) AS col_n,
+               SUM(o) OVER () AS total
+        FROM obs
+    ), terms AS (
+        SELECT o, row_n, col_n, total,
+               CAST(FLOOR(2.0 * o * LN(CAST(o AS DOUBLE) * total
+                          / (CAST(row_n AS DOUBLE) * col_n)) * 1e9)
+                    AS BIGINT) AS gq,
+               CAST(FLOOR(4.0
+                   * (SQRT(CAST(o AS DOUBLE))
+                      - SQRT(CAST(row_n AS DOUBLE) * col_n / total))
+                   * (SQRT(CAST(o AS DOUBLE))
+                      - SQRT(CAST(row_n AS DOUBLE) * col_n / total))
+                   * 1e9) AS BIGINT) AS ftq
+        FROM margins
+    ), rmarg AS (
+        SELECT SUM(1.0 / rn) AS inv_r, CAST(COUNT(*) AS BIGINT) AS r
+        FROM (SELECT event_type, SUM(o) AS rn FROM obs GROUP BY 1)
+    ), cmarg AS (
+        SELECT SUM(1.0 / cn) AS inv_c, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT dow, SUM(o) AS cn FROM obs GROUP BY 1)
+    ), marg AS (
+        SELECT rmarg.r AS r, cmarg.c AS c,
+               (SELECT CAST(SUM(o) AS BIGINT) FROM obs) AS n,
+               rmarg.inv_r AS inv_r, cmarg.inv_c AS inv_c
+        FROM rmarg, cmarg
+    )
+    SELECT marg.r AS n_rows, marg.c AS n_cols,
+           CAST((marg.r - 1) * (marg.c - 1) AS BIGINT) AS df,
+           ROUND(CAST(SUM(terms.gq) AS DOUBLE) / 1e9, 4) AS g_stat,
+           ROUND(CAST(SUM(terms.gq) AS DOUBLE) / 1e9
+                 / (1.0 + (marg.n * marg.inv_r - 1.0)
+                          * (marg.n * marg.inv_c - 1.0)
+                          / (6.0 * marg.n * (marg.r - 1) * (marg.c - 1))),
+                 4) AS g_williams,
+           ROUND(CAST(SUM(terms.ftq) AS DOUBLE) / 1e9, 4) AS freeman_tukey
+    FROM terms, marg
+    GROUP BY marg.r, marg.c, marg.n, marg.inv_r, marg.inv_c
+    """,
+)
+def stats_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Likelihood-ratio G-test of independence on the same event-type ×
+    weekday table as ``agg_chi_square`` — G = 2ΣO·ln(O·N/(R·C)) ~ χ²_df,
+    the additive alternative Pearson's statistic approximates (G
+    decomposes exactly across nested partitions, which is why log-linear
+    modeling uses it), plus the Williams small-sample correction
+    G/q with q = 1 + (NΣ1/R−1)(NΣ1/C−1)/(6N·df), and the Freeman–Tukey
+    T² = 4Σ(√O−√E)² as the variance-stabilized third reading. Per-cell
+    terms are floor-quantized at 1e-9 then integer-summed (the fold
+    discipline); margins come from windows over the ≤|types|·7 cell
+    frame, not the raw events.
+
+    Scale: one map-side-combined groupBy ∝ cells; every window and the
+    epilogue run on the tiny cell frame. Zero cells contribute nothing to
+    G by convention (0·ln0 = 0) and never materialize here — GROUP BY
+    only emits observed cells."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type",
+        (F.dayofweek("ts") + 1).cast("int").alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    w_r = Window.partitionBy("event_type")
+    w_c = Window.partitionBy("dow")
+    w_t = Window.partitionBy()
+    margins = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(w_r).alias("row_n"),
+        F.sum("o").over(w_c).alias("col_n"),
+        F.sum("o").over(w_t).alias("total"),
+    )
+    o = F.col("o").cast("double")
+    e = F.col("row_n").cast("double") * F.col("col_n") / F.col("total")
+    gq = F.floor(
+        2.0 * o * F.log(o * F.col("total") / (F.col("row_n").cast("double") * F.col("col_n"))) * 1e9
+    ).cast("long")
+    ftq = F.floor(
+        4.0 * (F.sqrt(o) - F.sqrt(e)) * (F.sqrt(o) - F.sqrt(e)) * 1e9
+    ).cast("long")
+    terms = margins.select("event_type", "dow", "o", "row_n", "col_n", gq.alias("gq"), ftq.alias("ftq"))
+    rmarg = (
+        obs.groupBy("event_type")
+        .agg(F.sum("o").alias("rn"))
+        .agg(
+            F.sum(F.lit(1.0) / F.col("rn")).alias("inv_r"),
+            F.count(F.lit(1)).cast("long").alias("r"),
+        )
+    )
+    cmarg = (
+        obs.groupBy("dow")
+        .agg(F.sum("o").alias("cn"))
+        .agg(
+            F.sum(F.lit(1.0) / F.col("cn")).alias("inv_c"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+    )
+    ntot = obs.agg(F.sum("o").cast("long").alias("n"))
+    marg = rmarg.crossJoin(F.broadcast(cmarg)).crossJoin(
+        F.broadcast(ntot)
+    )
+    s = terms.agg(
+        F.sum("gq").cast("long").alias("sgq"),
+        F.sum("ftq").cast("long").alias("sftq"),
+    ).crossJoin(F.broadcast(marg))
+    g = F.col("sgq").cast("double") / 1e9
+    r, c, n = F.col("r"), F.col("c"), F.col("n")
+    q = F.lit(1.0) + (n * F.col("inv_r") - 1.0) * (
+        n * F.col("inv_c") - 1.0
+    ) / (6.0 * n * (r - 1) * (c - 1))
+    return s.select(
+        r.alias("n_rows"),
+        c.alias("n_cols"),
+        ((r - 1) * (c - 1)).cast("bigint").alias("df"),
+        F.round(g, 4).alias("g_stat"),
+        F.round(g / q, 4).alias("g_williams"),
+        F.round(F.col("sftq").cast("double") / 1e9, 4).alias(
+            "freeman_tukey"
+        ),
+    )

@@ -702,3 +702,164 @@ def embed_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionAll(df)
     return res.orderBy("round")
+
+
+@register(
+    "embed_davies_bouldin",
+    _SIL_CENTROID_CTE
+    + """
+    , own AS (
+        SELECT e.label,
+               SQRT(CAST(LIST_AGGREGATE(LIST_TRANSFORM(
+                   RANGE(1, LEN(e.embedding) + 1),
+                   i -> CAST(FLOOR((CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+                             * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+                             * 1e12) AS BIGINT)), 'sum') AS DOUBLE) / 1e12)
+                   AS d
+        FROM embeddings e JOIN cvec c ON c.lc = e.label
+    ), sig AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(d * 1e6) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*) / 1e6 AS sigma
+        FROM own GROUP BY label
+    ), cd AS (
+        SELECT a.lc AS la, b.lc AS lb,
+               SQRT(CAST(LIST_AGGREGATE(LIST_TRANSFORM(
+                   RANGE(1, LEN(a.cv) + 1),
+                   i -> CAST(FLOOR((a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i])
+                             * 1e12) AS BIGINT)), 'sum') AS DOUBLE) / 1e12)
+                   AS dc
+        FROM cvec a JOIN cvec b ON a.lc <> b.lc
+    ), ratio AS (
+        SELECT cd.la AS label, cd.lb AS other,
+               (sa.sigma + sb.sigma) / cd.dc AS r
+        FROM cd JOIN sig sa ON sa.label = cd.la
+                JOIN sig sb ON sb.label = cd.lb
+    ), mx AS (
+        SELECT label, MAX(r) AS r FROM ratio GROUP BY label
+    ), worst AS (
+        SELECT m.label, MIN(t.other) AS worst_other, m.r
+        FROM mx m JOIN ratio t ON t.label = m.label AND t.r = m.r
+        GROUP BY m.label, m.r
+    )
+    SELECT w.label, s.n,
+           ROUND(s.sigma, 4) AS sigma,
+           w.worst_other,
+           ROUND(w.r, 4) AS db_component,
+           ROUND((SELECT AVG(r) FROM worst), 4) AS db_index
+    FROM worst w JOIN sig s ON s.label = w.label
+    ORDER BY w.label
+    """,
+)
+def embed_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies–Bouldin cluster-validity index over the labeled embedding
+    clusters: per cluster the worst (σ_i+σ_j)/d(c_i,c_j) similarity
+    ratio with the offending neighbor named, and the global DB index
+    (mean of the per-cluster worsts — lower is better-separated). The
+    third validity lens next to ``embed_silhouette`` (per-point) and
+    ``embed_kmeans`` inertia (per-assignment): DB reads cluster
+    GEOMETRY — scatter vs centroid separation — and is the one that
+    flags two tight clusters sitting on top of each other even when
+    silhouette still looks decent. σ comes from the same broadcast-
+    centroid map-only distance pass (per-point distances floor-quantized
+    at 1e-6 before the per-label mean); the ratio grid is k(k−1) rows of
+    scalar algebra; the argmax is max-then-rejoin with MIN(other) on
+    exact ties, so both engines pick the same neighbor deterministically.
+
+    Scale: n·dim map work under a k-centroid broadcast, one k-sized
+    aggregate, a k² metadata grid — nothing grows superlinearly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.floor(F.col("x").cast("double") * F.lit(1e6))
+        .cast("long")
+        .alias("q"),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        (F.sum("q").cast("double") / F.count(F.lit(1)) / F.lit(1e6)).alias(
+            "m"
+        )
+    )
+    cvec = cent.groupBy(F.col("label").alias("lc")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s.getField("m"),
+        ).alias("cv")
+    )
+
+    def _sqdist(u, v):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    u,
+                    v,
+                    lambda x, c: F.floor(
+                        (x.cast("double") - c)
+                        * (x.cast("double") - c)
+                        * F.lit(1e12)
+                    ).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).cast("double")
+            / F.lit(1e12)
+        )
+
+    own = emb.join(
+        F.broadcast(cvec), F.col("lc") == F.col("label")
+    ).select("label", _sqdist(F.col("embedding"), F.col("cv")).alias("d"))
+    sig = own.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.floor(F.col("d") * 1e6).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 1e6
+        ).alias("sigma"),
+    )
+    a = cvec.select(F.col("lc").alias("la"), F.col("cv").alias("cva"))
+    b = cvec.select(F.col("lc").alias("lb"), F.col("cv").alias("cvb"))
+    cd = a.join(b, F.col("la") != F.col("lb")).select(
+        "la",
+        "lb",
+        _sqdist(
+            F.col("cva").cast("array<double>"),
+            F.col("cvb").cast("array<double>"),
+        ).alias("dc"),
+    )
+    sa = sig.select(
+        F.col("label").alias("la"), F.col("sigma").alias("sig_a")
+    )
+    sb = sig.select(
+        F.col("label").alias("lb"), F.col("sigma").alias("sig_b")
+    )
+    ratio = cd.join(F.broadcast(sa), "la").join(
+        F.broadcast(sb), "lb"
+    ).select(
+        F.col("la").alias("label"),
+        F.col("lb").alias("other"),
+        ((F.col("sig_a") + F.col("sig_b")) / F.col("dc")).alias("r"),
+    )
+    mx = ratio.groupBy("label").agg(F.max("r").alias("r"))
+    worst = (
+        mx.join(ratio.withColumnRenamed("r", "r2"), "label")
+        .filter(F.col("r2") == F.col("r"))
+        .groupBy("label", "r")
+        .agg(F.min("other").alias("worst_other"))
+    )
+    db = worst.agg(F.avg("r").alias("dbi"))
+    return (
+        worst.join(sig, "label")
+        .crossJoin(F.broadcast(db))
+        .select(
+            "label",
+            "n",
+            F.round("sigma", 4).alias("sigma"),
+            "worst_other",
+            F.round("r", 4).alias("db_component"),
+            F.round("dbi", 4).alias("db_index"),
+        )
+        .orderBy("label")
+    )

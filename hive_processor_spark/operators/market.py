@@ -1061,3 +1061,89 @@ def market_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rev1 - rev0) - price_eff - vol_eff - mix_eff, 6
         ).alias("bridge_residual"),
     )
+
+
+@register(
+    "market_lerner_index",
+    """
+    WITH net AS (
+        SELECT l_partkey,
+               CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0)
+                    AS HUGEINT) AS rev_c,
+               l_quantity,
+               l_extendedprice * (1 - l_discount) / l_quantity AS unit
+        FROM lineitem
+    ), floor_p AS (
+        SELECT l_partkey, MIN(unit) AS u_min FROM net GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(n.rev_c) / 100.0, 2) AS revenue,
+           ROUND(SUM(CAST(FLOOR(f.u_min * n.l_quantity * 100.0)
+                          AS HUGEINT)) / 100.0, 2) AS floor_cost,
+           ROUND(1.0
+                 - CAST(SUM(CAST(FLOOR(f.u_min * n.l_quantity * 100.0)
+                                 AS HUGEINT)) AS DOUBLE)
+                   / CAST(SUM(n.rev_c) AS DOUBLE), 6) AS lerner_index
+    FROM net n
+    JOIN floor_p f ON f.l_partkey = n.l_partkey
+    JOIN part p ON p.p_partkey = n.l_partkey
+    GROUP BY p.p_brand
+    ORDER BY lerner_index DESC, p.p_brand
+    """,
+)
+def market_lerner_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lerner-style markup index per brand with the competitive floor as
+    the marginal-cost proxy: each part's lowest observed net unit price
+    stands in for mc (the fixtures carry no supply-cost table), so
+    L = Σq(p − p_floor)/Σpq measures how far a brand's realized prices
+    sit above the best price the market actually cleared at — pricing
+    power, 0 for a brand always sold at its floor. The per-line identity
+    rev·(p−mc)/p = rev − mc·q removes every per-row ratio from the
+    aggregation: revenue is exact integer cents and the floor cost is the
+    per-row floor-quantized u_min·q, both 128-bit integer folds.
+
+    Scale: the floor frame is one map-side-combined MIN ∝ |parts|; the
+    join back to lineitem is equi-keyed on partkey (broadcastable while
+    the part dimension fits, co-partitioned/bucketed beyond that — it
+    GROWS with the catalog, so no hard broadcast hint); part is the
+    label dim. One 25-brand groupBy after."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    net = li.select(
+        "l_partkey",
+        "l_quantity",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+        )
+        .cast("decimal(38,0)")
+        .alias("rev_c"),
+        (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            / F.col("l_quantity")
+        ).alias("unit"),
+    )
+    floor_p = net.groupBy("l_partkey").agg(F.min("unit").alias("u_min"))
+    j = net.join(floor_p, "l_partkey").join(
+        F.broadcast(part), part.p_partkey == net.l_partkey
+    )
+    cost_c = F.floor(
+        F.col("u_min") * F.col("l_quantity") * 100.0
+    ).cast("decimal(38,0)")
+    out = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("rev_c").alias("rev_q"),
+        F.sum(cost_c).alias("cost_q"),
+    )
+    return out.select(
+        "p_brand",
+        "n_lines",
+        F.round(F.col("rev_q") / 100.0, 2).alias("revenue"),
+        F.round(F.col("cost_q") / 100.0, 2).alias("floor_cost"),
+        F.round(
+            F.lit(1.0)
+            - F.col("cost_q").cast("double") / F.col("rev_q").cast("double"),
+            6,
+        ).alias("lerner_index"),
+    ).orderBy(F.col("lerner_index").desc(), "p_brand")

@@ -12818,3 +12818,700 @@ def stats_breslow_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("tarone_chi2"),
     )
+
+
+@register(
+    "stats_rank_effect_sizes",
+    """
+    WITH pts AS (
+        SELECT value,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                   AS na,
+               CAST(COUNT(*) AS BIGINT) AS t
+        FROM events WHERE event_type IN ('purchase', 'view')
+        GROUP BY value
+    ), rk AS (
+        SELECT na, t,
+               COALESCE(SUM(t) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        FROM pts
+    ), s AS (
+        SELECT SUM(na * (below + (t + 1) / 2.0)) AS r1,
+               SUM(na) AS n1, SUM(t) - SUM(na) AS n2
+        FROM rk
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a,
+           CAST(n2 AS BIGINT) AS n_b,
+           ROUND(r1 - n1 * (n1 + 1) / 2.0, 1) AS u_stat,
+           ROUND((r1 - n1 * (n1 + 1) / 2.0) / (n1 * n2), 6) AS vd_a,
+           ROUND(2.0 * (r1 - n1 * (n1 + 1) / 2.0) / (n1 * n2) - 1.0, 6)
+               AS cliffs_delta,
+           CASE
+               WHEN ABS(2.0 * (r1 - n1 * (n1 + 1) / 2.0) / (n1 * n2) - 1.0)
+                    < 0.147 THEN 'negligible'
+               WHEN ABS(2.0 * (r1 - n1 * (n1 + 1) / 2.0) / (n1 * n2) - 1.0)
+                    < 0.33 THEN 'small'
+               WHEN ABS(2.0 * (r1 - n1 * (n1 + 1) / 2.0) / (n1 * n2) - 1.0)
+                    < 0.474 THEN 'medium'
+               ELSE 'large'
+           END AS magnitude
+    FROM s
+    """,
+)
+def stats_rank_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based effect sizes for the purchase-vs-view comparison — the
+    numbers a Mann–Whitney z-score (``stats_mann_whitney``) should ship
+    with but usually doesn't: Vargha–Delaney Â = U/(n₁n₂) (probability a
+    random purchase outranks a random view, ties half), Cliff's δ = 2Â−1
+    (≡ the rank-biserial correlation for this design), and the standard
+    |δ| magnitude bands (0.147/0.33/0.474). U comes from the same
+    midrank identity as the test itself — rank(v) = #smaller + (ties+1)/2
+    over the grouped-by-value frame, so U is exact (half-integers) and Â/δ
+    are one exact division each.
+
+    Scale: identical to ``stats_mann_whitney`` — one shuffle ∝ distinct
+    values, the bucketed two-level cumulative, then a scalar epilogue.
+    Effect sizes are what survive at 100 TB: with n in the billions every
+    z-score is "significant"; δ is the number that still means something."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    pts = ev.groupBy("value").agg(
+        F.count_if(F.col("event_type") == "purchase").alias("na"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    rk = with_global_order(pts, "value", cumsums={"ct": "t"}).select(
+        "na", "t", (F.col("ct") - F.col("t")).alias("below")
+    )
+    s = rk.agg(
+        F.sum(
+            F.col("na") * (F.col("below") + (F.col("t") + 1) / F.lit(2.0))
+        ).alias("r1"),
+        F.sum("na").alias("n1"),
+        (F.sum("t") - F.sum("na")).alias("n2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u = F.col("r1") - n1 * (n1 + 1) / F.lit(2.0)
+    a_hat = u / (n1 * n2)
+    delta = F.lit(2.0) * a_hat - F.lit(1.0)
+    return s.select(
+        n1.cast("bigint").alias("n_a"),
+        n2.cast("bigint").alias("n_b"),
+        F.round(u, 1).alias("u_stat"),
+        F.round(a_hat, 6).alias("vd_a"),
+        F.round(delta, 6).alias("cliffs_delta"),
+        F.when(F.abs(delta) < 0.147, F.lit("negligible"))
+        .when(F.abs(delta) < 0.33, F.lit("small"))
+        .when(F.abs(delta) < 0.474, F.lit("medium"))
+        .otherwise(F.lit("large"))
+        .alias("magnitude"),
+    )
+
+
+@register(
+    "stats_moran_geary",
+    """
+    WITH nat AS (
+        SELECT n.n_regionkey AS rk, n.n_nationkey,
+               CAST(SUM(CAST(FLOOR(c.c_acctbal * 100.0) AS HUGEINT))
+                    AS HUGEINT) AS x
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s FROM nat
+    ),
+    z AS (
+        SELECT rk,
+               CAST(FLOOR(CAST(tot.n * x - tot.s AS DOUBLE)
+                          / CAST(tot.s AS DOUBLE) * 1e12) AS HUGEINT) AS zq
+        FROM nat, tot
+    ),
+    reg AS (
+        SELECT rk, CAST(COUNT(*) AS HUGEINT) AS nr,
+               SUM(zq) AS sr, SUM(zq * zq) AS qr
+        FROM z GROUP BY rk
+    ),
+    agg AS (
+        SELECT CAST(SUM(nr) AS BIGINT) AS n,
+               CAST(SUM(nr * (nr - 1)) AS BIGINT) AS w,
+               SUM(sr * sr - qr) AS num_i,
+               SUM(2 * (nr * qr - sr * sr)) AS num_c,
+               SUM(qr) AS q
+        FROM reg
+    )
+    SELECT n AS n_nations, w AS n_weight_pairs,
+           ROUND(CAST(n AS DOUBLE) / w * CAST(num_i AS DOUBLE)
+                 / CAST(q AS DOUBLE), 6) AS morans_i,
+           ROUND(-1.0 / (n - 1), 6) AS expected_i,
+           ROUND(CAST(n - 1 AS DOUBLE) / (2.0 * w) * CAST(num_c AS DOUBLE)
+                 / CAST(q AS DOUBLE), 6) AS gearys_c
+    FROM agg
+    """,
+)
+def stats_moran_geary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I and Geary's C spatial autocorrelation of per-nation
+    account-balance mass under the same-region contiguity weight matrix
+    (w_ij = 1 iff nations i≠j share a region) — do rich nations cluster
+    within regions? Block weights collapse the O(n²) double sum to
+    per-region aggregates: ΣΣ w z_i z_j = Σ_r (S_r² − Q_r) and
+    ΣΣ w (z_i−z_j)² = Σ_r 2(n_r Q_r − S_r²) with S_r = Σz, Q_r = Σz² —
+    no pair join at any scale. z is the dimensionless relative deviation
+    (n·x_i − S)/S of exact integer cents, floor-quantized at 1e-12 into a
+    128-bit integer, so every cross-term is exact and the only doubles are
+    the three final divisions. Expected value under the null, −1/(n−1),
+    ships alongside so I is readable without a table.
+
+    Scale: one customer-sized groupBy (map-side combined) under a
+    broadcast nation join; everything after is a 25-row frame."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    nat = (
+        cust.join(
+            F.broadcast(nation),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy(
+            F.col("n_regionkey").alias("rk"), F.col("n_nationkey")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("c_acctbal") * 100.0).cast("decimal(38,0)")
+            ).alias("x")
+        )
+    )
+    tot = nat.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("s"),
+    )
+    z = nat.crossJoin(F.broadcast(tot)).select(
+        "rk",
+        F.floor(
+            (F.col("n") * F.col("x") - F.col("s")).cast("double")
+            / F.col("s").cast("double")
+            * 1e12
+        )
+        .cast("decimal(38,0)")
+        .alias("zq"),
+    )
+    reg = z.groupBy("rk").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nr"),
+        F.sum("zq").alias("sr"),
+        F.sum(F.col("zq") * F.col("zq")).alias("qr"),
+    )
+    nr, sr, qr = F.col("nr"), F.col("sr"), F.col("qr")
+    agg = reg.agg(
+        F.sum(nr).cast("bigint").alias("n"),
+        F.sum(nr * (nr - 1)).cast("bigint").alias("w"),
+        F.sum(sr * sr - qr).alias("num_i"),
+        F.sum(F.lit(2).cast("decimal(38,0)") * (nr * qr - sr * sr)).alias(
+            "num_c"
+        ),
+        F.sum(qr).alias("q"),
+    )
+    n, w = F.col("n"), F.col("w")
+    return agg.select(
+        n.alias("n_nations"),
+        w.alias("n_weight_pairs"),
+        F.round(
+            n.cast("double")
+            / w
+            * F.col("num_i").cast("double")
+            / F.col("q").cast("double"),
+            6,
+        ).alias("morans_i"),
+        F.round(F.lit(-1.0) / (n - 1), 6).alias("expected_i"),
+        F.round(
+            (n - 1).cast("double")
+            / (F.lit(2.0) * w)
+            * F.col("num_c").cast("double")
+            / F.col("q").cast("double"),
+            6,
+        ).alias("gearys_c"),
+    )
+
+
+@register(
+    "stats_dunn_test",
+    """
+    WITH pts AS (
+        SELECT c_acctbal AS v, c_mktsegment AS seg,
+               CAST(COUNT(*) AS BIGINT) AS ns
+        FROM customer GROUP BY 1, 2
+    ), vt AS (
+        SELECT v, CAST(SUM(ns) AS BIGINT) AS t FROM pts GROUP BY v
+    ), rk AS (
+        SELECT v, t,
+               COALESCE(SUM(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below
+        FROM vt
+    ), segstats AS (
+        SELECT p.seg,
+               CAST(SUM(p.ns) AS BIGINT) AS n_g,
+               SUM(p.ns * (r.below + (r.t + 1) / 2.0)) AS rsum
+        FROM pts p JOIN rk r ON r.v = p.v
+        GROUP BY p.seg
+    ), gl AS (
+        SELECT CAST(SUM(t) AS BIGINT) AS n,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+        FROM vt
+    )
+    SELECT a.seg AS seg_a, b.seg AS seg_b,
+           a.n_g AS n_a, b.n_g AS n_b,
+           ROUND(a.rsum / a.n_g, 4) AS mean_rank_a,
+           ROUND(b.rsum / b.n_g, 4) AS mean_rank_b,
+           ROUND((a.rsum / a.n_g - b.rsum / b.n_g)
+                 / SQRT((CAST(g.n AS DOUBLE) * (g.n + 1) / 12.0
+                         - CAST(g.tie3 AS DOUBLE) / (12.0 * (g.n - 1)))
+                        * (1.0 / a.n_g + 1.0 / b.n_g)), 6) AS dunn_z
+    FROM segstats a JOIN segstats b ON a.seg < b.seg, gl g
+    ORDER BY seg_a, seg_b
+    """,
+)
+def stats_dunn_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons over market segments — the
+    step AFTER ``stats_kruskal_wallis`` rejects: for every segment pair,
+    z = (R̄_i − R̄_j) / √((N(N+1)/12 − Σ(t³−t)/(12(N−1)))(1/n_i + 1/n_j))
+    using the pooled midranks of account balance, tie-corrected. Midranks
+    come from the grouped-by-value frame (below + (t+1)/2 — exact
+    half-integers, and every rank-sum term is a half-integer < 2⁵³ so the
+    fold is order-independent without quantization); the pair grid is a
+    5×5 self-join of the per-segment aggregate, not of rows.
+
+    Scale: one shuffle ∝ distinct balances for the rank frame, one
+    ∝ (value, segment) for the per-segment sums, then all-metadata: the
+    pair frame is |segments|² rows. The z denominators share one global
+    tie aggregate broadcast into the grid."""
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.groupBy(
+        F.col("c_acctbal").alias("v"), F.col("c_mktsegment").alias("seg")
+    ).agg(F.count(F.lit(1)).cast("long").alias("ns"))
+    vt = pts.groupBy("v").agg(F.sum("ns").cast("long").alias("t"))
+    rk = with_global_order(vt, "v", cumsums={"ct": "t"}).select(
+        "v", "t", (F.col("ct") - F.col("t")).alias("below")
+    )
+    segstats = (
+        pts.join(rk, "v")
+        .groupBy("seg")
+        .agg(
+            F.sum("ns").cast("long").alias("n_g"),
+            F.sum(
+                F.col("ns")
+                * (F.col("below") + (F.col("t") + 1) / F.lit(2.0))
+            ).alias("rsum"),
+        )
+    )
+    glob = vt.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    a = segstats.select(
+        F.col("seg").alias("seg_a"),
+        F.col("n_g").alias("n_a"),
+        F.col("rsum").alias("rsum_a"),
+    )
+    b = segstats.select(
+        F.col("seg").alias("seg_b"),
+        F.col("n_g").alias("n_b"),
+        F.col("rsum").alias("rsum_b"),
+    )
+    grid = a.join(b, F.col("seg_a") < F.col("seg_b")).crossJoin(
+        F.broadcast(glob)
+    )
+    ra = F.col("rsum_a") / F.col("n_a")
+    rb = F.col("rsum_b") / F.col("n_b")
+    n = F.col("n")
+    var = (
+        n.cast("double") * (n + 1) / 12.0
+        - F.col("tie3").cast("double") / (12.0 * (n - 1))
+    ) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    return grid.select(
+        "seg_a",
+        "seg_b",
+        "n_a",
+        "n_b",
+        F.round(ra, 4).alias("mean_rank_a"),
+        F.round(rb, 4).alias("mean_rank_b"),
+        F.round((ra - rb) / F.sqrt(var), 6).alias("dunn_z"),
+    ).orderBy("seg_a", "seg_b")
+
+
+@register(
+    "stats_ansari_bradley",
+    """
+    WITH pts AS (
+        SELECT value,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                   AS na,
+               CAST(COUNT(*) AS BIGINT) AS t
+        FROM events WHERE event_type IN ('purchase', 'view')
+        GROUP BY value
+    ), tot AS (
+        SELECT CAST(SUM(t) AS BIGINT) AS n,
+               CAST(SUM(na) AS BIGINT) AS n1,
+               CAST(SUM(t) - SUM(na) AS BIGINT) AS n2,
+               CAST((SUM(t) + 1) // 2 AS BIGINT) AS m
+        FROM pts
+    ), blk AS (
+        SELECT na, t,
+               COALESCE(SUM(t) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+                   AS l,
+               COALESCE(SUM(t) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t
+                   AS r
+        FROM pts
+    ), sc AS (
+        SELECT na, t,
+               (CASE WHEN LEAST(r, tot.m) >= l
+                     THEN (LEAST(r, tot.m) * (LEAST(r, tot.m) + 1)
+                           - (l - 1) * l) // 2
+                     ELSE 0 END
+                + CASE WHEN r >= GREATEST(l, tot.m + 1)
+                       THEN (tot.n + 1) * (r - GREATEST(l, tot.m + 1) + 1)
+                            - (r * (r + 1)
+                               - (GREATEST(l, tot.m + 1) - 1)
+                                 * GREATEST(l, tot.m + 1)) // 2
+                       ELSE 0 END) AS s
+        FROM blk, tot
+    ), mom AS (
+        SELECT SUM(CAST(FLOOR(CAST(na AS DOUBLE) * s / t * 1e4)
+                        AS HUGEINT)) AS wq,
+               SUM(CAST(FLOOR(CAST(s AS DOUBLE) * s / t * 1e2)
+                        AS HUGEINT)) AS s2q,
+               CAST(SUM(s) AS HUGEINT) AS ssum
+        FROM sc
+    )
+    SELECT tot.n1 AS n_a, tot.n2 AS n_b,
+           ROUND(CAST(wq AS DOUBLE) / 1e4, 4) AS ab_stat,
+           ROUND(CAST(tot.n1 AS DOUBLE) * CAST(ssum AS DOUBLE) / tot.n, 4)
+               AS expected,
+           ROUND((CAST(wq AS DOUBLE) / 1e4
+                  - CAST(tot.n1 AS DOUBLE) * CAST(ssum AS DOUBLE) / tot.n)
+                 / SQRT(CAST(tot.n1 AS DOUBLE) * tot.n2
+                        * (CAST(s2q AS DOUBLE) / 1e2
+                           - CAST(ssum AS DOUBLE) * CAST(ssum AS DOUBLE)
+                             / tot.n)
+                        / (CAST(tot.n AS DOUBLE) * (tot.n - 1))), 6)
+               AS z_score
+    FROM mom, tot
+    """,
+)
+def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari–Bradley dispersion test: are purchase values more SPREAD
+    OUT than view values (same-location alternative to the
+    location-sensitive ``stats_mann_whitney``)? Scores rank inward from
+    both ends — s(pos) = min(pos, N+1−pos) — so extreme observations
+    score low; W = Σ over purchases of the tie-averaged score, z from the
+    exact conditional moments E[W] = n₁·s̄ and
+    Var = n₁n₂(Σs²−Ns̄²)/(N(N−1)). A tie block occupying positions
+    [l, r] never enumerates them: its integer score sum is two
+    triangular-number differences split at the fold point m = ⌈N/2⌉, so
+    the whole test runs on the grouped-by-value frame. The per-block
+    na·S/t and S²/t terms are floor-quantized (1e-4 / 1e-2 — Σs² grows
+    like N³/12, so the coarser scale keeps the 128-bit fold exact with
+    headroom) and integer-summed.
+
+    Scale: one shuffle ∝ distinct values, the shared bucketed cumulative
+    for block offsets, one moment fold — ``stats_mann_whitney`` shape
+    exactly, measuring the second moment instead of the first."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    pts = ev.groupBy("value").agg(
+        F.count_if(F.col("event_type") == "purchase").alias("na"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    tot = pts.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum("na").cast("long").alias("n1"),
+        (F.sum("t") - F.sum("na")).cast("long").alias("n2"),
+        F.floor((F.sum("t") + 1) / 2).cast("long").alias("m"),
+    )
+    blk = with_global_order(pts, "value", cumsums={"ct": "t"}).select(
+        "na",
+        "t",
+        (F.col("ct") - F.col("t") + 1).alias("l"),
+        F.col("ct").alias("r"),
+    ).crossJoin(F.broadcast(tot))
+    l, r, m, n = F.col("l"), F.col("r"), F.col("m"), F.col("n")
+    a = F.least(r, m)
+    b = F.greatest(l, m + 1)
+    part1 = F.when(
+        a >= l, F.floor((a * (a + 1) - (l - 1) * l) / 2).cast("long")
+    ).otherwise(F.lit(0))
+    part2 = F.when(
+        r >= b,
+        (n + 1) * (r - b + 1)
+        - F.floor((r * (r + 1) - (b - 1) * b) / 2).cast("long"),
+    ).otherwise(F.lit(0))
+    sc = blk.select(
+        "na", "t", "n", "n1", "n2", (part1 + part2).alias("s")
+    )
+    mom = sc.agg(
+        F.max("n").alias("n"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum(
+            F.floor(
+                F.col("na").cast("double") * F.col("s") / F.col("t") * 1e4
+            ).cast("decimal(38,0)")
+        ).alias("wq"),
+        F.sum(
+            F.floor(
+                F.col("s").cast("double") * F.col("s") / F.col("t") * 1e2
+            ).cast("decimal(38,0)")
+        ).alias("s2q"),
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("ssum"),
+    )
+    n1, n2, nn = F.col("n1"), F.col("n2"), F.col("n")
+    w = F.col("wq").cast("double") / 1e4
+    sbar_tot = F.col("ssum").cast("double")
+    expected = n1.cast("double") * sbar_tot / nn
+    var = (
+        n1.cast("double")
+        * n2
+        * (F.col("s2q").cast("double") / 1e2 - sbar_tot * sbar_tot / nn)
+        / (nn.cast("double") * (nn - 1))
+    )
+    return mom.select(
+        n1.alias("n_a"),
+        n2.alias("n_b"),
+        F.round(w, 4).alias("ab_stat"),
+        F.round(expected, 4).alias("expected"),
+        F.round((w - expected) / F.sqrt(var), 6).alias("z_score"),
+    )
+
+
+@register(
+    "stats_chatterjee_xi",
+    """
+    WITH rows_ AS (
+        SELECT l_extendedprice AS x,
+               l_extendedprice * (1 - l_discount) AS y,
+               l_orderkey AS k1, l_linenumber AS k2
+        FROM lineitem
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rows_
+    ), yf AS (
+        SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM rows_ GROUP BY y
+    ), yr AS (
+        SELECT y, cnt,
+               SUM(cnt) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS r
+        FROM yf
+    ), ranked AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY w.x, w.k1, w.k2) AS rn,
+               yr.r
+        FROM rows_ w JOIN yr ON yr.y = w.y
+    ), num AS (
+        SELECT SUM(CAST(ABS(b.r - a.r) AS HUGEINT)) AS sd
+        FROM ranked a JOIN ranked b ON b.rn = a.rn + 1
+    ), den AS (
+        SELECT SUM(CAST(cnt AS HUGEINT)
+                   * CAST(tot.n - r + cnt AS HUGEINT)
+                   * CAST(tot.n - (tot.n - r + cnt) AS HUGEINT)) AS sl
+        FROM yr, tot
+    )
+    SELECT tot.n AS n_rows,
+           ROUND(1.0 - CAST(tot.n AS DOUBLE) * CAST(num.sd AS DOUBLE)
+                 / (2.0 * CAST(den.sl AS DOUBLE)), 6) AS xi,
+           ROUND((1.0 - CAST(tot.n AS DOUBLE) * CAST(num.sd AS DOUBLE)
+                  / (2.0 * CAST(den.sl AS DOUBLE)))
+                 * SQRT(5.0 * tot.n / 2.0), 4) AS z_no_ties
+    FROM num, den, tot
+    """,
+)
+def stats_chatterjee_xi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chatterjee's ξ rank coefficient (2020) for gross → net price: the
+    modern dependence measure that is 0 iff independent and 1 iff y is a
+    measurable FUNCTION of x — catching non-monotone dependence both
+    Spearman ρ (``ml_spearman``) and Kendall τ miss. Tie-robust form
+    ξ = 1 − n·Σ|r_{i+1}−r_i| / (2·Σℓ_i(n−ℓ_i)) with r = #{y_j ≤ y_i},
+    ℓ = #{y_j ≥ y_i}, rows walked in (x, orderkey, linenumber) order —
+    the deterministic tie-break the estimator needs. Ranks come from the
+    grouped-by-y cumulative; the x-order walk is a distributed global
+    rank plus an rn+1 equi-join (shuffle ∝ n, no single-partition
+    window); all sums are exact 128-bit integer folds. z is the
+    asymptotic √(5n/2)·ξ normal score (no-ties null — labeled as such).
+
+    Scale: two value-grouped shuffles, the bucketed rank machinery, one
+    n-row adjacency equi-join — every stage partition-parallel."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.col("l_extendedprice").alias("x"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+    )
+    tot = rows.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    yf = rows.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    yr = with_global_order(yf, "y", cumsums={"r": "cnt"})
+    ranked = with_global_order(
+        rows.join(yr.select("y", "r"), "y"),
+        "x",
+        tiebreaks=["k1", "k2"],
+        rank="rn",
+    ).select("rn", "r")
+    a = ranked.select(F.col("rn").alias("arn"), F.col("r").alias("ra"))
+    b = ranked.select(F.col("rn").alias("brn"), F.col("r").alias("rb"))
+    num = a.join(b, F.col("brn") == F.col("arn") + 1).agg(
+        F.sum(F.abs(F.col("rb") - F.col("ra")).cast("decimal(38,0)")).alias(
+            "sd"
+        )
+    )
+    den = yr.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)")
+            * (F.col("n") - F.col("r") + F.col("cnt")).cast("decimal(38,0)")
+            * (
+                F.col("n")
+                - (F.col("n") - F.col("r") + F.col("cnt"))
+            ).cast("decimal(38,0)")
+        ).alias("sl"),
+    )
+    xi = F.lit(1.0) - F.col("n").cast("double") * F.col("sd").cast(
+        "double"
+    ) / (F.lit(2.0) * F.col("sl").cast("double"))
+    return (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_rows"),
+            F.round(xi, 6).alias("xi"),
+            F.round(
+                xi * F.sqrt(F.lit(5.0) * F.col("n") / F.lit(2.0)), 4
+            ).alias("z_no_ties"),
+        )
+    )
+
+
+@register(
+    "stats_energy_distance",
+    """
+    WITH pts AS (
+        SELECT CAST(FLOOR(value * 1e4) AS BIGINT) AS q,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                    AS BIGINT) AS na,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'view')
+                    AS BIGINT) AS nb
+        FROM events WHERE event_type IN ('purchase', 'view')
+        GROUP BY 1
+    ), cum AS (
+        SELECT q, na, nb,
+               COALESCE(SUM(na) OVER (ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS ca,
+               COALESCE(SUM(nb) OVER (ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cb,
+               COALESCE(SUM(na * q) OVER (ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS sa,
+               COALESCE(SUM(nb * q) OVER (ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS sb
+        FROM pts
+    ), sums AS (
+        SELECT CAST(SUM(na) AS BIGINT) AS n1,
+               CAST(SUM(nb) AS BIGINT) AS n2,
+               SUM(CAST(na AS HUGEINT) * (CAST(q AS HUGEINT) * cb - sb)
+                   + CAST(nb AS HUGEINT) * (CAST(q AS HUGEINT) * ca - sa))
+                   AS sxy,
+               SUM(CAST(na AS HUGEINT) * (CAST(q AS HUGEINT) * ca - sa))
+                   AS sxx,
+               SUM(CAST(nb AS HUGEINT) * (CAST(q AS HUGEINT) * cb - sb))
+                   AS syy
+        FROM cum
+    )
+    SELECT n1 AS n_a, n2 AS n_b,
+           ROUND((2.0 * CAST(sxy AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+                  - 2.0 * CAST(sxx AS DOUBLE)
+                    / (CAST(n1 AS DOUBLE) * n1)
+                  - 2.0 * CAST(syy AS DOUBLE)
+                    / (CAST(n2 AS DOUBLE) * n2)) / 1e4, 6) AS e_dist,
+           ROUND(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)
+                 * (2.0 * CAST(sxy AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+                    - 2.0 * CAST(sxx AS DOUBLE)
+                      / (CAST(n1 AS DOUBLE) * n1)
+                    - 2.0 * CAST(syy AS DOUBLE)
+                      / (CAST(n2 AS DOUBLE) * n2)) / 1e4, 4) AS t_stat
+    FROM sums
+    """,
+)
+def stats_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Székely's energy distance between purchase and view value
+    distributions — E = 2E|X−Y| − E|X−X′| − E|Y−Y′| (V-statistic
+    convention), with the two-sample test statistic T = n₁n₂/(n₁+n₂)·E:
+    sensitive to ANY distributional difference (location, scale, shape),
+    where KS reads only the worst CDF gap and Mann–Whitney only
+    stochastic order. The O(n²) pair sums collapse on the merged order:
+    with strict-below cumulative counts and value-sums per sample,
+    Σ|x−y| = Σ_k [na_k(q_k·cb − sb) + nb_k(q_k·ca − sa)] — one pass over
+    the grouped-value frame, no pair join at any scale. Values are
+    floor-quantized at 1e-4 (the metric is DEFINED on the quantized grid,
+    so both engines fold identical 128-bit integers; /1e4 restores value
+    units at the end).
+
+    Scale: one shuffle ∝ distinct values, four shared bucketed
+    cumulatives, a 1-row epilogue — the ``stats_ks_test`` shape carrying
+    first-moment mass instead of CDF steps."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    pts = ev.groupBy(
+        F.floor(F.col("value") * 1e4).cast("long").alias("q")
+    ).agg(
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("long")
+        .alias("na"),
+        F.count_if(F.col("event_type") == "view").cast("long").alias("nb"),
+    )
+    cum = with_global_order(
+        pts,
+        "q",
+        cumsums={
+            "cai": "na",
+            "cbi": "nb",
+            "sai": F.col("na") * F.col("q"),
+            "sbi": F.col("nb") * F.col("q"),
+        },
+    ).select(
+        "q",
+        "na",
+        "nb",
+        (F.col("cai") - F.col("na")).alias("ca"),
+        (F.col("cbi") - F.col("nb")).alias("cb"),
+        (F.col("sai") - F.col("na") * F.col("q")).alias("sa"),
+        (F.col("sbi") - F.col("nb") * F.col("q")).alias("sb"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")
+    q, na, nb = F.col("q"), F.col("na"), F.col("nb")
+    sums = cum.agg(
+        F.sum(na).cast("long").alias("n1"),
+        F.sum(nb).cast("long").alias("n2"),
+        F.sum(
+            d38(na) * (d38(q) * d38(F.col("cb")) - d38(F.col("sb")))
+            + d38(nb) * (d38(q) * d38(F.col("ca")) - d38(F.col("sa")))
+        ).alias("sxy"),
+        F.sum(
+            d38(na) * (d38(q) * d38(F.col("ca")) - d38(F.col("sa")))
+        ).alias("sxx"),
+        F.sum(
+            d38(nb) * (d38(q) * d38(F.col("cb")) - d38(F.col("sb")))
+        ).alias("syy"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    e = (
+        F.lit(2.0) * F.col("sxy").cast("double") / (n1 * n2)
+        - F.lit(2.0) * F.col("sxx").cast("double") / (n1 * n1)
+        - F.lit(2.0) * F.col("syy").cast("double") / (n2 * n2)
+    ) / 1e4
+    return sums.select(
+        F.col("n1").alias("n_a"),
+        F.col("n2").alias("n_b"),
+        F.round(e, 6).alias("e_dist"),
+        F.round(n1 * n2 / (n1 + n2) * e, 4).alias("t_stat"),
+    )

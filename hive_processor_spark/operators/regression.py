@@ -2872,3 +2872,732 @@ def ts_arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r2, 6).alias("r2"),
         F.round(m * r2, 4).alias("lm_stat"),
     )
+
+
+@register(
+    "ml_hosmer_lemeshow",
+    """
+    WITH feats AS (
+        SELECT n_chars,
+               CAST(LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '),
+                                    w -> w <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), scored AS (
+        SELECT LEAST(0.9999, GREATEST(0.0001,
+                   ROUND(1.0 / (1.0 + EXP(
+                       -(-3.0 + 0.9 * LN(1.0 + CAST(n_tokens AS DOUBLE))
+                         - 0.2 * (CAST(n_chars AS DOUBLE)
+                                  / CAST(n_tokens AS DOUBLE))))), 4))) AS p,
+               CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS y
+        FROM feats WHERE n_tokens > 0
+    ), pts AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(COUNT(*) AS BIGINT)
+                   * CAST(ROUND(p * 10000.0) AS BIGINT) AS pq
+        FROM scored GROUP BY p
+    ), cum AS (
+        SELECT cnt, pos, pq,
+               SUM(cnt) OVER (ORDER BY p
+                   ROWS UNBOUNDED PRECEDING) AS cum_cnt,
+               SUM(cnt) OVER () AS n
+        FROM pts
+    ), dec AS (
+        SELECT LEAST(9, CAST(FLOOR((cum_cnt - cnt) * 10.0 / n) AS BIGINT))
+                   AS decile,
+               CAST(SUM(cnt) AS BIGINT) AS n_g,
+               CAST(SUM(pos) AS BIGINT) AS o1,
+               CAST(SUM(pq) AS BIGINT) AS e1q
+        FROM cum GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) - 2 AS BIGINT) AS df,
+           CAST(SUM(n_g) AS BIGINT) AS n_docs,
+           ROUND(SUM((CAST(o1 AS DOUBLE) - e1q / 10000.0)
+                     * (CAST(o1 AS DOUBLE) - e1q / 10000.0)
+                     / ((e1q / 10000.0)
+                        * (1.0 - e1q / 10000.0 / CAST(n_g AS DOUBLE)))),
+                 4) AS hl_chi2
+    FROM dec
+    """,
+)
+def ml_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer–Lemeshow goodness-of-fit for the logistic quality scorer
+    (``ml_logistic_score`` / ``ml_calibration_error`` features): decile
+    the scored population, then χ² = Σ (O₁−E₁)²/(E₁(1−E₁/n_g)) ~ χ²₈ —
+    the classical calibration TEST to go with the ECE POINT estimate.
+    Deciles are tie-stable and engine-independent: scores collapse to
+    their (4-decimal) distinct values first, and each distinct score is
+    assigned floor(10·rows_before/N) — a whole tie class lands in one
+    decile, so no engine's row order can flip a boundary. E₁ per decile is
+    an exact integer micro-sum (count × round(p·10⁴)); the χ² fold is ≤10
+    rows of double algebra.
+
+    Scale: one groupBy ∝ distinct scores (≤10⁴ cells after rounding),
+    the shared bucketed cumulative, a 10-row epilogue. The decile pass
+    never sorts rows, only the distinct-score frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), " "), lambda w: w != F.lit("")
+    )
+    feats = docs.select(
+        "n_chars", F.size(toks).cast("bigint").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    z = (
+        F.lit(-3.0)
+        + F.lit(0.9) * F.log(F.lit(1.0) + F.col("n_tokens").cast("double"))
+        - F.lit(0.2)
+        * (F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"))
+    )
+    scored = feats.select(
+        F.least(
+            F.lit(0.9999),
+            F.greatest(
+                F.lit(0.0001),
+                F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4),
+            ),
+        ).alias("p"),
+        F.when(F.col("n_chars") >= 250, 1).otherwise(0).alias("y"),
+    )
+    pts = scored.groupBy("p").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+        (
+            F.count(F.lit(1))
+            * F.round(F.first("p") * 10000.0).cast("long")
+        ).alias("pq"),
+    )
+    tot = pts.agg(F.sum("cnt").alias("n"))
+    cum = with_global_order(pts, "p", cumsums={"cum_cnt": "cnt"}).crossJoin(
+        F.broadcast(tot)
+    )
+    dec = cum.groupBy(
+        F.least(
+            F.lit(9).cast("long"),
+            F.floor(
+                (F.col("cum_cnt") - F.col("cnt")) * 10.0 / F.col("n")
+            ).cast("long"),
+        ).alias("decile")
+    ).agg(
+        F.sum("cnt").cast("long").alias("n_g"),
+        F.sum("pos").cast("long").alias("o1"),
+        F.sum("pq").cast("long").alias("e1q"),
+    )
+    e1 = F.col("e1q") / 10000.0
+    o1 = F.col("o1").cast("double")
+    term = (o1 - e1) * (o1 - e1) / (
+        e1 * (F.lit(1.0) - e1 / F.col("n_g").cast("double"))
+    )
+    return dec.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        (F.count(F.lit(1)) - 2).cast("long").alias("df"),
+        F.sum("n_g").cast("long").alias("n_docs"),
+        F.round(F.sum(term), 4).alias("hl_chi2"),
+    )
+
+
+@register(
+    "stats_durbin_watson",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS HUGEINT))
+                    AS HUGEINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    st AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s FROM idx
+    ),
+    u AS (
+        SELECT rn,
+               CAST(st.n * x - st.s AS DOUBLE) / CAST(st.s AS DOUBLE) AS u
+        FROM idx, st
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(rn) AS BIGINT) AS st_,
+               CAST(SUM(rn * rn) AS BIGINT) AS stt,
+               CAST(SUM(CAST(FLOOR(u * 1e12) AS BIGINT)) AS BIGINT) AS suq,
+               CAST(SUM(CAST(FLOOR(u * rn * 1e6) AS BIGINT)) AS BIGINT)
+                   AS sutq
+        FROM u
+    ),
+    fit AS (
+        SELECT m,
+               (m * (sutq / 1e6) - st_ * (suq / 1e12))
+               / (CAST(m AS DOUBLE) * stt - CAST(st_ AS DOUBLE) * st_) AS b,
+               ((suq / 1e12)
+                - (m * (sutq / 1e6) - st_ * (suq / 1e12))
+                  / (CAST(m AS DOUBLE) * stt - CAST(st_ AS DOUBLE) * st_)
+                  * st_) / m AS a
+        FROM mom
+    ),
+    resid AS (
+        SELECT u.rn, u.u - fit.a - fit.b * u.rn AS e FROM u, fit
+    ),
+    pair AS (
+        SELECT CAST(SUM(CAST(FLOOR(c.e * c.e * 1e12) AS BIGINT)) AS BIGINT)
+                   AS ssq,
+               CAST(SUM(CAST(FLOOR((c.e - p.e) * (c.e - p.e) * 1e12)
+                             AS BIGINT)) AS BIGINT) AS dsq,
+               CAST(COUNT(p.rn) AS BIGINT) AS n_pairs
+        FROM resid c LEFT JOIN resid p ON p.rn = c.rn - 1
+    )
+    SELECT (SELECT m FROM mom) AS n_obs, n_pairs,
+           ROUND((dsq / 1e12) / (ssq / 1e12), 6) AS dw_stat,
+           ROUND(1.0 - (dsq / 1e12) / (ssq / 1e12) / 2.0, 6) AS rho_approx
+    FROM pair
+    """,
+)
+def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson first-order autocorrelation test on the residuals of
+    the daily-revenue-vs-time OLS trend: DW = Σ(e_t−e_{t−1})²/Σe_t² ∈
+    [0,4], 2 = no autocorrelation, with the textbook ρ ≈ 1 − DW/2 —
+    the residual diagnostic ``ts_dickey_fuller``/``ts_ljung_box`` assume
+    you already ran. Deviations are the dimensionless (n·x_t − S)/S over
+    exact integer cents (``ts_arch_lm`` discipline); the slope/intercept
+    come from floor-quantized moment sums (u at 1e-12, u·t at 1e-6 — rn
+    reaches ~10³ so the product still fits int64 headroom); residual
+    squares and lag-diff squares are per-row quantized at 1e-12, so both
+    engines fold identical integers in any order.
+
+    Scale: one orders-sized daily rollup; everything after is |days|-row
+    frames — a moment fold, one broadcast of the 1-row fit, and a
+    metadata-sized rn−1 equi-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0).cast("decimal(38,0)")
+        ).alias("x")
+    )
+    idx = daily.select(
+        "x", F.row_number().over(Window.orderBy("day")).alias("rn")
+    )
+    st = idx.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("s"),
+    )
+    u = idx.crossJoin(F.broadcast(st)).select(
+        "rn",
+        (
+            (F.col("n") * F.col("x") - F.col("s")).cast("double")
+            / F.col("s").cast("double")
+        ).alias("u"),
+    )
+    mom = u.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("rn").cast("long").alias("st_"),
+        F.sum(F.col("rn") * F.col("rn")).cast("long").alias("stt"),
+        F.sum(F.floor(F.col("u") * 1e12).cast("long"))
+        .cast("long")
+        .alias("suq"),
+        F.sum(F.floor(F.col("u") * F.col("rn") * 1e6).cast("long"))
+        .cast("long")
+        .alias("sutq"),
+    )
+    m = F.col("m")
+    su = F.col("suq") / 1e12
+    sut = F.col("sutq") / 1e6
+    b = (m * sut - F.col("st_") * su) / (
+        m.cast("double") * F.col("stt")
+        - F.col("st_").cast("double") * F.col("st_")
+    )
+    fit = mom.select(
+        m.alias("m"),
+        b.alias("b"),
+        ((su - b * F.col("st_")) / m).alias("a"),
+    )
+    resid = u.crossJoin(F.broadcast(fit)).select(
+        "rn",
+        "m",
+        (F.col("u") - F.col("a") - F.col("b") * F.col("rn")).alias("e"),
+    )
+    cur = resid.select("rn", "m", F.col("e").alias("ec"))
+    prv = resid.select(F.col("rn").alias("prn"), F.col("e").alias("ep"))
+    pair = cur.join(prv, F.col("prn") == F.col("rn") - 1, "left")
+    agg = pair.agg(
+        F.max("m").alias("n_obs"),
+        F.count("prn").cast("long").alias("n_pairs"),
+        F.sum(F.floor(F.col("ec") * F.col("ec") * 1e12).cast("long"))
+        .cast("long")
+        .alias("ssq"),
+        F.sum(
+            F.floor(
+                (F.col("ec") - F.col("ep"))
+                * (F.col("ec") - F.col("ep"))
+                * 1e12
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("dsq"),
+    )
+    dw = (F.col("dsq") / 1e12) / (F.col("ssq") / 1e12)
+    return agg.select(
+        "n_obs",
+        "n_pairs",
+        F.round(dw, 6).alias("dw_stat"),
+        F.round(F.lit(1.0) - dw / 2.0, 6).alias("rho_approx"),
+    )
+
+
+@register(
+    "ml_youden_j",
+    """
+    WITH feats AS (
+        SELECT n_chars,
+               CAST(LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '),
+                                    w -> w <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), scored AS (
+        SELECT ROUND(1.0 / (1.0 + EXP(-(-3.0
+                   + 0.9 * LN(1.0 + CAST(n_tokens AS DOUBLE))
+                   - 0.2 * (CAST(n_chars AS DOUBLE)
+                            / CAST(n_tokens AS DOUBLE))))), 4) AS p,
+               CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS y
+        FROM feats WHERE n_tokens > 0
+    ), pts AS (
+        SELECT p, CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+        FROM scored GROUP BY p
+    ), cum AS (
+        SELECT p,
+               SUM(pos) OVER (ORDER BY p DESC
+                   ROWS UNBOUNDED PRECEDING) AS tp,
+               SUM(neg) OVER (ORDER BY p DESC
+                   ROWS UNBOUNDED PRECEDING) AS fp,
+               SUM(pos) OVER () AS np, SUM(neg) OVER () AS nn
+        FROM pts
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           p AS threshold,
+           ROUND(CAST(tp AS DOUBLE) / np, 6) AS sensitivity,
+           ROUND(1.0 - CAST(fp AS DOUBLE) / nn, 6) AS specificity,
+           ROUND(CAST(tp AS DOUBLE) / np - CAST(fp AS DOUBLE) / nn, 6)
+               AS youden_j
+    FROM cum
+    ORDER BY CAST(tp AS DOUBLE) / np - CAST(fp AS DOUBLE) / nn DESC,
+             p ASC
+    LIMIT 1
+    """,
+)
+def ml_youden_j(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Youden's J optimal operating point for the logistic quality scorer:
+    sweep every distinct score as the gate threshold (predict positive at
+    p ≥ τ), J(τ) = TPR − FPR, report the maximizing τ with its
+    sensitivity/specificity — the quality-gate threshold you'd actually
+    deploy, where ``ml_auc_roc`` only says the ranking is good and
+    ``ml_threshold_sweep_cost`` needs a cost matrix. TP/FP curves are
+    descending-order cumulative integer counts over the distinct-score
+    frame (bucketed two-level cumulative, no single-partition rank); ties
+    in J break toward the smaller τ (the more sensitive gate),
+    deterministically on both engines.
+
+    Scale: groupBy ∝ distinct scores (≤10⁴ cells at 4-decimal rounding)
+    no matter the corpus size; the sweep itself is the cumulative plus a
+    TakeOrdered(1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), " "), lambda w: w != F.lit("")
+    )
+    feats = docs.select(
+        "n_chars", F.size(toks).cast("bigint").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    z = (
+        F.lit(-3.0)
+        + F.lit(0.9) * F.log(F.lit(1.0) + F.col("n_tokens").cast("double"))
+        - F.lit(0.2)
+        * (F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"))
+    )
+    scored = feats.select(
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("p"),
+        F.when(F.col("n_chars") >= 250, 1).otherwise(0).alias("y"),
+    )
+    pts = scored.groupBy("p").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+    tot = pts.agg(
+        F.sum("pos").cast("long").alias("np"),
+        F.sum("neg").cast("long").alias("nn"),
+    )
+    cum = with_global_order(
+        pts, "p", cumsums={"tp": "pos", "fp": "neg"}, desc=True
+    ).crossJoin(F.broadcast(tot))
+    tpr = F.col("tp").cast("double") / F.col("np")
+    fpr = F.col("fp").cast("double") / F.col("nn")
+    return (
+        cum.select(
+            F.col("np").alias("n_pos"),
+            F.col("nn").alias("n_neg"),
+            F.col("p").alias("threshold"),
+            F.round(tpr, 6).alias("sensitivity"),
+            F.round(F.lit(1.0) - fpr, 6).alias("specificity"),
+            F.round(tpr - fpr, 6).alias("youden_j"),
+            (tpr - fpr).alias("_j_raw"),
+        )
+        .orderBy(F.col("_j_raw").desc(), F.col("threshold").asc())
+        .limit(1)
+        .drop("_j_raw")
+    )
+
+
+@register(
+    "ts_cusum_squares",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS HUGEINT))
+                    AS HUGEINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    st AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s FROM daily
+    ),
+    u AS (
+        SELECT day,
+               ROW_NUMBER() OVER (ORDER BY day) AS rn,
+               CAST(FLOOR((CAST(st.n * x - st.s AS DOUBLE)
+                           / CAST(st.s AS DOUBLE))
+                          * (CAST(st.n * x - st.s AS DOUBLE)
+                             / CAST(st.s AS DOUBLE)) * 1e12) AS BIGINT)
+                   AS u2q
+        FROM daily, st
+    ),
+    cum AS (
+        SELECT day, rn,
+               SUM(u2q) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING)
+                   AS c,
+               SUM(u2q) OVER () AS tot,
+               COUNT(*) OVER () AS n
+        FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           STRFTIME(day, '%Y-%m-%d') AS worst_day,
+           CAST(rn AS BIGINT) AS worst_rank,
+           ROUND(ABS(CAST(c AS DOUBLE) / tot
+                     - CAST(rn AS DOUBLE) / n), 6) AS cusum_sq_stat,
+           ROUND(SQRT(CAST(n AS DOUBLE) / 2.0)
+                 * ABS(CAST(c AS DOUBLE) / tot
+                       - CAST(rn AS DOUBLE) / n), 4) AS scaled_stat
+    FROM cum
+    ORDER BY ABS(CAST(c AS DOUBLE) / tot - CAST(rn AS DOUBLE) / n) DESC,
+             day ASC
+    LIMIT 1
+    """,
+)
+def ts_cusum_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM-of-squares variance-stability scan (Brown–Durbin–Evans
+    flavor) over the daily-revenue deviations: s_t = Σ_{i≤t}u²/Σu²
+    should hug the diagonal t/n under constant variance; the statistic is
+    the worst excursion max_t |s_t − t/n| with its date — the
+    VOLATILITY-regime counterpart to the mean-shift hunters
+    (``ts_pettitt``, ``ts_changepoint``): a variance break bulges this
+    curve while leaving mean-CUSUM flat. Deviations are the dimensionless
+    (n·x_t − S)/S over exact cents; u² is per-row floor-quantized at
+    1e-12, so the cumulative and the total are exact integer folds and
+    every s_t is one double division. √(n/2)·stat ships as the
+    Kolmogorov-scaled reading (the large-n null is a Brownian bridge).
+
+    Scale: one orders-sized daily rollup, then |days|-row frames through
+    the bucketed cumulative and a TakeOrdered(1)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0).cast("decimal(38,0)")
+        ).alias("x")
+    )
+    st = daily.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("s"),
+    )
+    dv = (F.col("n") * F.col("x") - F.col("s")).cast("double") / F.col(
+        "s"
+    ).cast("double")
+    u = daily.crossJoin(F.broadcast(st)).select(
+        "day", F.floor(dv * dv * 1e12).cast("long").alias("u2q")
+    )
+    cum = with_global_order(
+        u, F.col("day").cast("timestamp").cast("long"),
+        rank="rn", cumsums={"c": "u2q"},
+    )
+    tot = u.agg(
+        F.sum("u2q").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dev = F.abs(
+        F.col("c").cast("double") / F.col("tot")
+        - F.col("rn").cast("double") / F.col("n")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_days"),
+            F.date_format("day", "yyyy-MM-dd").alias("worst_day"),
+            F.col("rn").cast("long").alias("worst_rank"),
+            F.round(dev, 6).alias("cusum_sq_stat"),
+            F.round(
+                F.sqrt(F.col("n").cast("double") / 2.0) * dev, 4
+            ).alias("scaled_stat"),
+            dev.alias("_dev"),
+        )
+        .orderBy(F.col("_dev").desc(), F.col("worst_day").asc())
+        .limit(1)
+        .drop("_dev")
+    )
+
+
+@register(
+    "ml_kappa_adjusted",
+    """
+    WITH labeled AS (
+        SELECT CASE WHEN (('0x' || SUBSTRING(MD5('a' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          % 100) < 55 + (CASE WHEN n_chars >= 300 THEN 20 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS ra,
+               CASE WHEN (('0x' || SUBSTRING(MD5('b' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          % 100) < 50 + (CASE WHEN n_chars >= 300 THEN 25 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS rb
+        FROM documents
+    ), c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cc,
+               CAST(SUM(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d
+        FROM labeled
+    )
+    SELECT n AS n_docs,
+           ROUND(CAST(a + d AS DOUBLE) / n, 6) AS observed_agreement,
+           ROUND(2.0 * (a + d) / n - 1.0, 6) AS pabak,
+           ROUND(ABS(CAST(a AS DOUBLE) - d) / n, 6) AS prevalence_index,
+           ROUND(ABS(CAST(b AS DOUBLE) - cc) / n, 6) AS bias_index,
+           ROUND(CAST(b + cc AS DOUBLE) / n, 6) AS disagreement_rate
+    FROM c
+    """,
+)
+def ml_kappa_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byrt–Bishop–Carlin kappa adjuncts for the same two simulated
+    labelers as ``ml_cohens_kappa`` — the diagnostics that explain WHY a
+    κ is low: PABAK = 2p_o − 1 (what κ becomes with balanced prevalence
+    and no marginal bias — a gap between PABAK and κ means the paradox,
+    not the labelers), the prevalence index |a−d|/n (skew of the
+    agreed-on class) and bias index |b−c|/n (systematic disagreement
+    direction between annotators). All five outputs are exact-count
+    ratios off one 2×2 confusion fold; with κ alone an annotation
+    pipeline routinely rejects good labelers on skewed corpora.
+
+    Scale: one map-side-combined aggregation over documents — the same
+    single pass as ``ml_cohens_kappa``, counting the four cells instead
+    of two margins."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def labeler(tag: str, base: int, boost: int):
+        slot = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(tag), F.col("doc_id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+        thresh = F.lit(base) + F.when(
+            F.col("n_chars") >= 300, boost
+        ).otherwise(0)
+        return F.when(slot < thresh, 1).otherwise(0)
+
+    labeled = docs.select(
+        labeler("a", 55, 20).alias("ra"), labeler("b", 50, 25).alias("rb")
+    )
+    ra, rb = F.col("ra"), F.col("rb")
+    c = labeled.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(((ra == 1) & (rb == 1)).cast("int")).cast("long").alias("a"),
+        F.sum(((ra == 1) & (rb == 0)).cast("int")).cast("long").alias("b"),
+        F.sum(((ra == 0) & (rb == 1)).cast("int")).cast("long").alias("cc"),
+        F.sum(((ra == 0) & (rb == 0)).cast("int")).cast("long").alias("d"),
+    )
+    n = F.col("n").cast("double")
+    a, b, cc, d = (F.col(x).cast("double") for x in ("a", "b", "cc", "d"))
+    return c.select(
+        F.col("n").alias("n_docs"),
+        F.round((a + d) / n, 6).alias("observed_agreement"),
+        F.round(F.lit(2.0) * (a + d) / n - 1.0, 6).alias("pabak"),
+        F.round(F.abs(a - d) / n, 6).alias("prevalence_index"),
+        F.round(F.abs(b - cc) / n, 6).alias("bias_index"),
+        F.round((b + cc) / n, 6).alias("disagreement_rate"),
+    )
+
+
+@register(
+    "ts_sample_entropy",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS HUGEINT))
+                    AS HUGEINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    st AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s FROM daily
+    ),
+    u AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS rn,
+               CAST(st.n * x - st.s AS DOUBLE) / CAST(st.s AS DOUBLE) AS u
+        FROM daily, st
+    ),
+    sd AS (
+        SELECT SQRT(SUM(CAST(FLOOR(u * u * 1e12) AS BIGINT)) / 1e12
+                    / COUNT(*)) * 0.2 AS r
+        FROM u
+    ),
+    tpl AS (
+        SELECT a.rn, a.u AS u0, b.u AS u1, c.u AS u2
+        FROM u a JOIN u b ON b.rn = a.rn + 1
+                 JOIN u c ON c.rn = a.rn + 2
+    ),
+    keyed AS (
+        SELECT rn, u0, u1, u2,
+               CAST(FLOOR(u0 / sd.r) AS BIGINT) AS b
+        FROM tpl, sd
+    ),
+    probes AS (
+        SELECT rn, u0, u1, u2, b + d AS bk
+        FROM keyed, UNNEST([-1, 0, 1]) AS t(d)
+    ),
+    pairs AS (
+        SELECT p.u0 AS a0, p.u1 AS a1, p.u2 AS a2,
+               k.u0 AS b0, k.u1 AS b1, k.u2 AS b2
+        FROM probes p JOIN keyed k ON k.b = p.bk AND k.rn > p.rn, sd
+        WHERE ABS(p.u0 - k.u0) <= sd.r AND ABS(p.u1 - k.u1) <= sd.r
+    ),
+    cnt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS b_cnt,
+               CAST(COUNT(*) FILTER (
+                   WHERE ABS(a2 - b2) <= (SELECT r FROM sd)) AS BIGINT)
+                   AS a_cnt
+        FROM pairs
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tpl) AS n_templates,
+           ROUND((SELECT r FROM sd), 8) AS tolerance_r,
+           b_cnt AS m2_matches, a_cnt AS m3_matches,
+           ROUND(-LN(CAST(a_cnt AS DOUBLE) / b_cnt), 6) AS sampen
+    FROM cnt
+    """,
+)
+def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample entropy (Richman–Moorman, m = 2, r = 0.2σ) of the daily
+    revenue series: −ln(A/B) where B counts template pairs of length 2
+    and A of length 3 agreeing within Chebyshev tolerance r — the
+    regularity gauge that drops for predictable/periodic series and rises
+    toward ln-of-nothing for white noise; complements the symbolic
+    ``ts_permutation_entropy`` (ordinal patterns) with a metric,
+    amplitude-aware reading. The naive O(n²) template comparison becomes
+    a banded candidate join: templates hash to ⌊u₀/r⌋ buckets, each
+    probes its three neighbor buckets (a first-coordinate match forces
+    |Δu₀| ≤ r, i.e. adjacent buckets — lossless), and only candidates
+    pay the full predicate; rn> keeps each unordered pair once.
+    Deviations are the dimensionless exact-cents form; r derives from the
+    quantized second moment, so both engines compare identical doubles
+    and A, B are exact integers.
+
+    Scale: the template frame is |days|-sized (two rn-equi-joins); the
+    banded join is the ``join_range_binned`` shape — candidates ∝
+    occupied-bucket collisions, never the n² grid."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0).cast("decimal(38,0)")
+        ).alias("x")
+    )
+    st = daily.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("s"),
+    )
+    u = (
+        daily.crossJoin(F.broadcast(st))
+        .select(
+            "day",
+            (
+                (F.col("n") * F.col("x") - F.col("s")).cast("double")
+                / F.col("s").cast("double")
+            ).alias("u"),
+        )
+        .select(
+            F.row_number().over(Window.orderBy("day")).alias("rn"), "u"
+        )
+    )
+    sd = u.agg(
+        (
+            F.sqrt(
+                F.sum(F.floor(F.col("u") * F.col("u") * 1e12).cast("long"))
+                / 1e12
+                / F.count(F.lit(1))
+            )
+            * 0.2
+        ).alias("r")
+    )
+    a = u.select(F.col("rn"), F.col("u").alias("u0"))
+    b = u.select((F.col("rn") - 1).alias("rn"), F.col("u").alias("u1"))
+    c = u.select((F.col("rn") - 2).alias("rn"), F.col("u").alias("u2"))
+    tpl = a.join(b, "rn").join(c, "rn")
+    keyed = tpl.crossJoin(F.broadcast(sd)).select(
+        "rn",
+        "u0",
+        "u1",
+        "u2",
+        "r",
+        F.floor(F.col("u0") / F.col("r")).cast("long").alias("b"),
+    )
+    probes = keyed.select(
+        F.col("rn").alias("prn"),
+        F.col("u0").alias("a0"),
+        F.col("u1").alias("a1"),
+        F.col("u2").alias("a2"),
+        F.explode(
+            F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)
+        ).alias("bk"),
+    )
+    pairs = probes.join(
+        keyed, (F.col("b") == F.col("bk")) & (F.col("rn") > F.col("prn"))
+    ).filter(
+        (F.abs(F.col("a0") - F.col("u0")) <= F.col("r"))
+        & (F.abs(F.col("a1") - F.col("u1")) <= F.col("r"))
+    )
+    cnt = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("b_cnt"),
+        F.count_if(F.abs(F.col("a2") - F.col("u2")) <= F.col("r"))
+        .cast("long")
+        .alias("a_cnt"),
+    )
+    ntpl = tpl.agg(F.count(F.lit(1)).cast("long").alias("n_templates"))
+    return (
+        cnt.crossJoin(F.broadcast(ntpl))
+        .crossJoin(F.broadcast(sd))
+        .select(
+            "n_templates",
+            F.round(F.col("r"), 8).alias("tolerance_r"),
+            F.col("b_cnt").alias("m2_matches"),
+            F.col("a_cnt").alias("m3_matches"),
+            F.round(
+                -F.log(F.col("a_cnt").cast("double") / F.col("b_cnt")), 6
+            ).alias("sampen"),
+        )
+    )

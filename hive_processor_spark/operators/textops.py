@@ -2968,3 +2968,83 @@ def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "guiraud_r"
         ),
     )
+
+
+@register(
+    "text_freq_spectrum",
+    """
+    WITH tf AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS word
+              FROM documents) t
+        WHERE word <> ''
+        GROUP BY word
+    ), sums AS (
+        SELECT CAST(SUM(f) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS v,
+               CAST(COUNT(*) FILTER (WHERE f = 1) AS BIGINT) AS v1,
+               CAST(COUNT(*) FILTER (WHERE f = 2) AS BIGINT) AS v2
+        FROM tf
+    )
+    SELECT n AS n_tokens, v AS vocab, v1 AS hapax, v2 AS dis_legomena,
+           ROUND(CAST(v1 AS DOUBLE) / v, 6) AS hapax_ratio,
+           ROUND(100.0 * LN(CAST(n AS DOUBLE))
+                 / (1.0 - CAST(v1 AS DOUBLE) / v), 4) AS honore_r,
+           ROUND(CAST(v2 AS DOUBLE) / v, 6) AS sichel_s,
+           ROUND(POW(CAST(n AS DOUBLE),
+                     POW(CAST(v AS DOUBLE), -0.165)), 4) AS brunet_w,
+           ROUND(LN(CAST(n AS DOUBLE)) * LN(CAST(n AS DOUBLE))
+                 / (LN(CAST(n AS DOUBLE)) - LN(CAST(v AS DOUBLE))), 4)
+               AS uber_u
+    FROM sums
+    """,
+)
+def text_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-spectrum lexical-richness constants — the V₁/V₂-based
+    family ``text_yule_k`` (moment-based) deliberately leaves out: hapax
+    count and ratio, Honoré's R = 100·lnN/(1−V₁/V) (diverges as
+    everything becomes hapax — the vocabulary-openness gauge), Sichel's
+    S = V₂/V (stable across N, a fingerprint constant), Brunet's
+    W = N^(V^−0.165) (lower = richer), and the Uber index
+    U = ln²N/(lnN−lnV). All five need only N, V, V₁, V₂ — exact BIGINT
+    counts off the term-frequency table; the constants are scalar
+    epilogue arithmetic. Corpus health read: a falling hapax ratio
+    across snapshots is the classic sign of template/boilerplate
+    flooding.
+
+    Scale: one explode-aggregate (shuffle ∝ vocab, map-side combined)
+    then a 1-row fold — same shape as ``text_yule_k``."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(_words()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    f = F.col("f")
+    sums = tf.agg(
+        F.sum(f).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.count_if(f == 1).cast("long").alias("v1"),
+        F.count_if(f == 2).cast("long").alias("v2"),
+    )
+    n, v, v1, v2 = (F.col(c) for c in ("n", "v", "v1", "v2"))
+    ln_n = F.log(n.cast("double"))
+    return sums.select(
+        n.alias("n_tokens"),
+        v.alias("vocab"),
+        v1.alias("hapax"),
+        v2.alias("dis_legomena"),
+        F.round(v1.cast("double") / v, 6).alias("hapax_ratio"),
+        F.round(
+            100.0 * ln_n / (F.lit(1.0) - v1.cast("double") / v), 4
+        ).alias("honore_r"),
+        F.round(v2.cast("double") / v, 6).alias("sichel_s"),
+        F.round(
+            F.pow(n.cast("double"), F.pow(v.cast("double"), F.lit(-0.165))),
+            4,
+        ).alias("brunet_w"),
+        F.round(
+            ln_n * ln_n / (ln_n - F.log(v.cast("double"))), 4
+        ).alias("uber_u"),
+    )

@@ -666,13 +666,9 @@ _HITS_TOP = 15
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     ), a1 AS (
         SELECT s, CAST(COUNT(*) AS BIGINT) AS v FROM e GROUP BY s
-    ), a1q AS (
-        SELECT s, CAST(FLOOR(v * 1000000.0 / (SELECT MAX(v) FROM a1))
-                       AS BIGINT) AS q
-        FROM a1
     ), h1 AS (
-        SELECT e.c, CAST(SUM(a1q.q) AS BIGINT) AS v
-        FROM e JOIN a1q ON a1q.s = e.s GROUP BY e.c
+        SELECT e.c, CAST(SUM(a1.v) AS BIGINT) AS v
+        FROM e JOIN a1 ON a1.s = e.s GROUP BY e.c
     ), h1q AS (
         SELECT c, CAST(FLOOR(v * 1000000.0 / (SELECT MAX(v) FROM h1))
                        AS BIGINT) AS q
@@ -705,11 +701,16 @@ _HITS_TOP = 15
 def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS (Kleinberg '99) on the customer→supplier purchase graph:
     customers are hubs, suppliers authorities; two mutual-reinforcement
-    sweeps (a = Eᵀh, h = Ea) with max-normalization after each. The
-    float contagion that makes power iteration hash-hostile is removed
-    by re-quantizing scores to integers (floor ·1e6/max) after every
-    normalize — all cross-row sums are therefore exact integer sums and
-    the iteration is engine-mirrorable to the last bit.
+    sweeps (a = Eᵀh, h = Ea) with max-normalization on the EMITTED
+    score vectors. The float contagion that makes power iteration
+    hash-hostile never arises: the first sweep folds raw integer
+    in-degrees directly (h₁ = Σ_{s∈N(c)} deg(s) — exact BIGINT, no
+    intermediate normalize needed since a₁ is never emitted), and the
+    two emitted vectors (hubs h₁, authorities a₂) are floor-quantized
+    to ·1e6/max integers at their barrier — all cross-row sums are
+    exact integer sums and the iteration is engine-mirrorable to the
+    last bit. Dropping the a₁ quantize removes one checkpoint + one
+    max-agg barrier from the sequential chain (round-6 second pass).
 
     Scale: each sweep is one shuffle keyed on the joined endpoint — the
     standard BSP matvec (same shape as ``graph_pagerank``); the distinct
@@ -717,14 +718,18 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     per role is TakeOrderedAndProject (orderBy+limit), never a global
     row_number shuffle-to-one-partition.
 
-    Materialization (round-6 re-measure, reversing the round-4 note):
-    the quantize barriers make the edge list and each sweep aggregate
-    multi-consumer ACROSS JOB BOUNDARIES — the max-agg broadcast is its
-    own job, so ReusedExchange (a within-job mechanism) cannot serve it
-    and every barrier used to recompute the whole upstream chain
-    (3.2 s). Pinning e (one corpus reduce) and the three node-sized
-    score vectors with localCheckpoint makes each barrier O(nodes):
-    3.20 s -> 1.48 s best-of-3 at sf0.1 (tools/timeq protocol). Sweep
+    Materialization (round-6 third pass, reversing the checkpoint
+    note): with a₁'s barrier gone the whole query is ONE declarative
+    plan under a single sink action, and ReusedExchange — a within-
+    execution mechanism — now DOES serve every multi-consumer subtree:
+    e's distinct exchange feeds a₁/h₁/a₂, and each sweep aggregate's
+    exchange feeds both its max-agg broadcast and the next sweep
+    (plan-asserted: tests/test_plans.py checks ReusedExchange on e).
+    The earlier localCheckpoint pinning existed to bridge the
+    three-quantize chain's JOB boundaries; it also forced 4 eager
+    actions per evaluation, which cost more than the reuse saved once
+    the chain shrank (timing of record in TIMING_r6.md, tools/timeq
+    protocol). Sweep
     joins carry NO broadcast hint: the score side is node-count-sized
     and grows with scale, so the build-side choice is left to AQE's
     runtime size stats (broadcast at fixture scale, shuffle at 100 TB)."""
@@ -734,13 +739,12 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(li, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
-        .localCheckpoint()
     )
 
     def quantize(df: DataFrame, key: str) -> DataFrame:
-        # pin the node-sized aggregate: the max-agg barrier and the next
-        # sweep's join both read it, in different jobs
-        df = df.localCheckpoint()
+        # scalar max rides in as a broadcast 1-row frame; within the one
+        # sink action ReusedExchange serves both consumers of df's
+        # aggregate exchange, so no checkpoint barrier is needed
         mx = df.agg(F.max("v").alias("mx"))
         return df.crossJoin(F.broadcast(mx)).select(
             key,
@@ -749,12 +753,13 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q"),
         )
 
+    # first sweep: raw integer in-degrees fold straight into h1 — a1 is
+    # never emitted, so it needs neither normalization nor a barrier
     a1 = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("v"))
-    a1q = quantize(a1, "s")
     h1 = (
-        e.join(a1q, "s")
+        e.join(a1, "s")
         .groupBy("c")
-        .agg(F.sum("q").cast("bigint").alias("v"))
+        .agg(F.sum("v").cast("bigint").alias("v"))
     )
     h1q = quantize(h1, "c")
     a2 = (

@@ -51,6 +51,7 @@ def with_global_order(
     lead_value: str | None = None,
     desc: bool = False,
     n_buckets: int = 4096,
+    bounds: tuple | None = None,
 ) -> DataFrame:
     """Attach global-order columns over ``ORDER BY value [DESC], *tiebreaks``.
 
@@ -70,21 +71,40 @@ def with_global_order(
     d = df.withColumn("_osv", F.col(value) if isinstance(value, str) else value)
     sign = -1 if desc else 1
     sv = (F.lit(sign) * F.col("_osv")).cast("double")
-    # one tiny aggregate fixes the bucket grid
-    span = d.agg(
-        F.min(sv).alias("_osmn"),
-        F.greatest(
-            (F.max(sv) - F.min(sv)) / F.lit(float(n_buckets)),
-            F.lit(1e-300),
-        ).alias("_osw"),
-    )
-    d = d.crossJoin(F.broadcast(span)).withColumn(
-        "_osb",
-        F.least(
-            F.floor((sv - F.col("_osmn")) / F.col("_osw")),
-            F.lit(n_buckets).cast("long"),
-        ),
-    )
+    if bounds is not None:
+        # Caller already knows the value's [min, max] (e.g. from a scalar
+        # aggregate it runs anyway): fix the grid as plan constants and
+        # skip the span aggregate — one fewer pass over df's subtree.
+        # The grid only affects bucket BALANCE, never results (rank and
+        # within-bucket order use the exact value), so a caller-supplied
+        # span that is merely a superset of the true span stays correct.
+        lo = min(sign * float(bounds[0]), sign * float(bounds[1]))
+        hi = max(sign * float(bounds[0]), sign * float(bounds[1]))
+        mn_c = F.lit(lo)
+        w_c = F.lit(max((hi - lo) / float(n_buckets), 1e-300))
+        d = d.withColumn(
+            "_osb",
+            F.least(
+                F.floor((sv - mn_c) / w_c),
+                F.lit(n_buckets).cast("long"),
+            ),
+        )
+    else:
+        # one tiny aggregate fixes the bucket grid
+        span = d.agg(
+            F.min(sv).alias("_osmn"),
+            F.greatest(
+                (F.max(sv) - F.min(sv)) / F.lit(float(n_buckets)),
+                F.lit(1e-300),
+            ).alias("_osw"),
+        )
+        d = d.crossJoin(F.broadcast(span)).withColumn(
+            "_osb",
+            F.least(
+                F.floor((sv - F.col("_osmn")) / F.col("_osw")),
+                F.lit(n_buckets).cast("long"),
+            ),
+        )
     cumsums = cumsums or {}
     baggs = [F.count(F.lit(1)).cast("long").alias("_osc")]
     for name, col in cumsums.items():

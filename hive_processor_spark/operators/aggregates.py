@@ -4099,9 +4099,13 @@ def stats_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     G by convention (0·ln0 = 0) and never materialize here — GROUP BY
     only emits observed cells."""
     ev = load_table(spark, sf_dir, "events")
+    # Repo dow convention (events.py:1022): Spark dayofweek is already
+    # Sunday=1..7; only the DuckDB side needs the +1 (its DAYOFWEEK is
+    # 0..6). The statistics are invariant under column relabeling, but the
+    # labels must agree if dow is ever surfaced.
     obs = ev.groupBy(
         "event_type",
-        (F.dayofweek("ts") + 1).cast("int").alias("dow"),
+        F.dayofweek("ts").cast("int").alias("dow"),
     ).agg(F.count(F.lit(1)).cast("long").alias("o"))
     w_r = Window.partitionBy("event_type")
     w_c = Window.partitionBy("dow")

@@ -720,16 +720,16 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Materialization (round-6 third pass, reversing the checkpoint
     note): with a₁'s barrier gone the whole query is ONE declarative
-    plan under a single sink action, and ReusedExchange — a within-
-    execution mechanism — now DOES serve every multi-consumer subtree:
-    e's distinct exchange feeds a₁/h₁/a₂, and each sweep aggregate's
-    exchange feeds both its max-agg broadcast and the next sweep
-    (plan-asserted: tests/test_plans.py checks ReusedExchange on e).
-    The earlier localCheckpoint pinning existed to bridge the
-    three-quantize chain's JOB boundaries; it also forced 4 eager
-    actions per evaluation, which cost more than the reuse saved once
-    the chain shrank (timing of record in TIMING_r6.md, tools/timeq
-    protocol). Sweep
+    plan under a single sink action, so exchange reuse — applied by AQE
+    at runtime, which is why the static ``explain`` shows the repeated
+    subtrees rather than ReusedExchange nodes — can serve the
+    multi-consumer subtrees: e's distinct exchange feeds a₁/h₁/a₂, and
+    each sweep aggregate's exchange feeds both its max-agg broadcast
+    and the next sweep. The earlier localCheckpoint pinning existed to
+    bridge the three-quantize chain's JOB boundaries; it also forced 4
+    eager actions per evaluation, which cost more than the reuse saved
+    once the chain shrank (3.00→1.84 s in BENCH_r06.json's driver run;
+    best-of-N protocol in BENCH_VARIANCE.md). Sweep
     joins carry NO broadcast hint: the score side is node-count-sized
     and grows with scale, so the build-side choice is left to AQE's
     runtime size stats (broadcast at fixture scale, shuffle at 100 TB)."""

@@ -1124,9 +1124,13 @@ def market_lerner_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("l_quantity")
         ).alias("unit"),
     )
+    # Both partkey-keyed sides (floor_p and part) grow with the catalog,
+    # so neither gets a hard broadcast hint — AQE picks broadcast while
+    # the dimension fits and shuffle-hash beyond that, consistent with the
+    # scale note above.
     floor_p = net.groupBy("l_partkey").agg(F.min("unit").alias("u_min"))
     j = net.join(floor_p, "l_partkey").join(
-        F.broadcast(part), part.p_partkey == net.l_partkey
+        part, part.p_partkey == net.l_partkey
     )
     cost_c = F.floor(
         F.col("u_min") * F.col("l_quantity") * 100.0

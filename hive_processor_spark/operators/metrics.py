@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -5841,31 +5842,72 @@ def stats_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_x"),
         F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("cents"),
     )
-    grp = v.groupBy("cents").agg(
+    # The one driver action: a single global aggregate over the filtered
+    # projection yields EVERY scalar the rest of the plan needs (N to
+    # size the harmonic range, n_x for the normalizations, the cents
+    # bounds for the bucket grid). Round-7 perf fix: replaces a separate
+    # v.count() action plus two broadcast-tot crossJoins — every later
+    # use of N / n_x is a folded constant.
+    trow = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("is_x").cast("long").alias("nx"),
+        F.min("cents").alias("c_lo"),
+        F.max("cents").alias("c_hi"),
+    ).first()
+    n_total, nx_c = int(trow["n_all"]), int(trow["nx"])
+    c_lo, c_hi = int(trow["c_lo"]), int(trow["c_hi"])
+    # Pooled cumulatives over the distinct-cents frame (391k rows at
+    # sf0.1) in ONE full-frame shuffle (round-7, replacing the shared
+    # two-level helper's groupBy-then-window pair): bucket ids are
+    # computed row-side from the known bounds, the raw rows repartition
+    # by bucket ONCE, and then the (bucket, cents) dedup-aggregate, the
+    # per-bucket totals, and the within-bucket cumulative windows all
+    # satisfy their distributions from that same hash partitioning —
+    # Catalyst inserts no further exchange (subset-of-grouping-keys
+    # clustering). The only global window is the bucket-prefix pass over
+    # the ≤4097-row bucket frame, bounded by construction at any scale.
+    n_bk = 4096
+    wdt_c = max((c_hi - c_lo) / float(n_bk), 1e-300)
+    d = v.withColumn(
+        "_b",
+        F.least(
+            F.floor((F.col("cents") - c_lo) / wdt_c),
+            F.lit(n_bk).cast("long"),
+        ),
+    ).repartition("_b")
+    grp2 = d.groupBy("_b", "cents").agg(
         F.count(F.lit(1)).cast("long").alias("l"),
         F.sum("is_x").cast("long").alias("cx"),
     )
-    tot = grp.agg(
-        F.sum("l").cast("long").alias("n_all"),
-        F.sum("cx").cast("long").alias("nx"),
+    bagg = grp2.groupBy("_b").agg(
+        F.sum("l").alias("bl"), F.sum("cx").alias("bcx")
     )
-    # round-6 window-audit fix: both pooled cumulatives through the
-    # bucketed two-level machinery (the distinct-cents frame measured
-    # 391k rows through one partition at sf0.1)
-    cum = with_global_order(
-        grp, "cents", cumsums={"b": "l", "mx": "cx"}
-    ).select("l", "b", "mx")
-    d_gap = F.col("n_all") * F.col("mx") - F.col("nx") * F.col("b")
+    wpre_b = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    pre_b = bagg.select(
+        "_b",
+        F.coalesce(F.sum("bl").over(wpre_b), F.lit(0)).alias("pl"),
+        F.coalesce(F.sum("bcx").over(wpre_b), F.lit(0)).alias("pcx"),
+    )
+    win_b = (
+        Window.partitionBy("_b")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grp2.join(F.broadcast(pre_b), "_b").select(
+        "l",
+        (F.col("pl") + F.sum("l").over(win_b)).alias("b"),
+        (F.col("pcx") + F.sum("cx").over(win_b)).alias("mx"),
+    )
+    d_gap = F.lit(n_total) * F.col("mx") - F.lit(nx_c) * F.col("b")
     a2 = (
-        cum.crossJoin(F.broadcast(tot))
-        .filter(F.col("b") < F.col("n_all"))
+        cum.filter(F.col("b") < n_total)
         .agg(
             F.sum(
                 F.floor(
                     F.col("l")
                     * (
                         (d_gap.cast("decimal(38,0)") * d_gap).cast("double")
-                        / (F.col("b").cast("double") * (F.col("n_all") - F.col("b")))
+                        / (F.col("b").cast("double") * (F.lit(n_total) - F.col("b")))
                     )
                     * 1e9
                 )
@@ -5875,52 +5917,101 @@ def stats_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("qsum")
         )
     )
-    # harmonic frame 1..N-1: exact floor(1e12/i) integers; the prefix is
-    # the same bucketed two-level cumulative (pre-round-6 this was a
-    # hand-rolled 8192-row chunk stitch whose N/8192 block frame grew
-    # with N; the helper's grid is fixed at 4096 buckets at any scale)
-    n_total = int(v.count())  # one O(1) driver scalar to size the range
-    rng = spark.range(1, n_total).select(
-        F.col("id").alias("i"),
-        F.floor(F.lit(1e12) / F.col("id")).cast("long").alias("hq"),
-    )
-    hpre = with_global_order(rng, "i", cumsums={"hp": "hq"}).select(
-        "i", "hp"
-    )
-    hqsum_df = rng.agg(F.sum("hq").cast("long").alias("hqsum"))
-    gs = (
-        hpre.crossJoin(F.broadcast(hqsum_df))
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("i") <= n_total - 2,
-                    F.floor(
-                        (F.col("hqsum") - F.col("hp"))
-                        / 1e12
-                        / (n_total - F.col("i"))
-                        * 1e9
-                    ).cast("long"),
-                ).otherwise(F.lit(0))
+    # harmonic frame 1..N-1: exact floor(1e12/i) integers. The sequence
+    # is fully deterministic given N, so the O(N) element work never has
+    # to exist as Spark ROWS at all: decompose into ≤4096 contiguous id
+    # blocks (block width grows with N, so the BLOCK frame is bounded by
+    # construction — the global prefix window over it is the same
+    # allowlisted shape as the two-level helper's bucket frame) and run
+    # each block's fold as vectorized numpy inside mapInPandas, chunked
+    # at 1M ids so per-task memory stays constant at any block width.
+    # Arithmetic is the same IEEE-double divide + floor + int64
+    # accumulate the windowed SQL expressed — bit-identical. (Also
+    # benched in round 7 and rejected: a two-shuffle N-row frame and a
+    # codegen-HOF ``aggregate`` over ``sequence`` — per-stage overhead
+    # resp. interpreted per-element HOF cost both lost to this shape.)
+    n_h = n_total - 1  # harmonic ids 1..N-1
+    nblk = min(4096, max(1, -(-n_h // 32768)))
+    blk_w = -(-n_h // nblk)
+
+    def _hblock_sums(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            bs = pdf["id"].to_numpy()
+            out = np.empty(len(bs), dtype=np.int64)
+            for j, b in enumerate(bs):
+                lo, hi = b * blk_w + 1, min((b + 1) * blk_w, n_h)
+                s = np.int64(0)
+                for c0 in range(lo, hi + 1, 1_000_000):
+                    ids = np.arange(c0, min(c0 + 999_999, hi) + 1)
+                    s += np.floor(1e12 / ids).astype(np.int64).sum()
+                out[j] = s
+            yield pd.DataFrame({"hb": bs, "bsum": out})
+
+    def _hblock_g(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            gq = np.empty(len(pdf), dtype=np.int64)
+            for j in range(len(pdf)):
+                b = int(pdf["hb"].iloc[j])
+                hs = np.int64(pdf["hqsum"].iloc[j])
+                run = np.int64(pdf["off"].iloc[j])
+                lo, hi = b * blk_w + 1, min((b + 1) * blk_w, n_h)
+                acc = np.int64(0)
+                for c0 in range(lo, hi + 1, 1_000_000):
+                    ids = np.arange(c0, min(c0 + 999_999, hi) + 1)
+                    hq = np.floor(1e12 / ids).astype(np.int64)
+                    hp = run + np.cumsum(hq)
+                    run = hp[-1]
+                    m = ids <= n_total - 2
+                    acc += (
+                        np.floor(
+                            (hs - hp[m]).astype(np.float64)
+                            / 1e12
+                            / (n_total - ids[m]).astype(np.float64)
+                            * 1e9
+                        )
+                        .astype(np.int64)
+                        .sum()
+                    )
+                gq[j] = acc
+            yield pd.DataFrame(
+                {"gq": gq, "hqsum": pdf["hqsum"].to_numpy()}
             )
-            .cast("long")
-            .alias("gq"),
-            F.max("hqsum").alias("hqsum"),
+
+    blk1 = spark.range(nblk).mapInPandas(_hblock_sums, "hb long, bsum long")
+    w_h = Window.orderBy("hb")
+    pre_h = blk1.select(
+        "hb",
+        F.coalesce(
+            F.sum("bsum").over(
+                w_h.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+        F.sum("bsum")
+        .over(
+            w_h.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
         )
+        .alias("hqsum"),
     )
-    sc = (
-        tot.crossJoin(F.broadcast(a2))
-        .crossJoin(F.broadcast(gs))
-        .select(
-            F.col("nx"),
-            (F.col("n_all") - F.col("nx")).alias("ny"),
-            F.col("n_all").cast("double").alias("nd"),
-            (
-                (F.col("qsum") / 1e9) / F.col("nx") / (F.col("n_all") - F.col("nx"))
-            ).alias("a2u"),
-            (F.col("hqsum") / 1e12).alias("h"),
-            (F.col("gq") / 1e9).alias("g"),
-            (F.lit(1.0) / F.col("nx") + F.lit(1.0) / (F.col("n_all") - F.col("nx"))).alias("hh"),
-        )
+    gs = pre_h.mapInPandas(_hblock_g, "gq long, hqsum long").agg(
+        F.sum("gq").cast("long").alias("gq"),
+        F.max("hqsum").alias("hqsum"),
+    )
+    ny_c = n_total - nx_c
+    sc = a2.crossJoin(F.broadcast(gs)).select(
+        F.lit(nx_c).cast("long").alias("nx"),
+        F.lit(ny_c).cast("long").alias("ny"),
+        F.lit(float(n_total)).alias("nd"),
+        ((F.col("qsum") / 1e9) / F.lit(nx_c) / F.lit(ny_c)).alias("a2u"),
+        (F.col("hqsum") / 1e12).alias("h"),
+        (F.col("gq") / 1e9).alias("g"),
+        F.lit(1.0 / nx_c + 1.0 / ny_c).alias("hh"),
     )
     g, h, hh, nd = F.col("g"), F.col("h"), F.col("hh"), F.col("nd")
     sc2 = sc.select(
@@ -13102,11 +13193,15 @@ def stats_dunn_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rsum"),
         )
     )
+    # tie3 folds t³ terms: a single hot value with t ≈ 2.1e6 already
+    # overflows int64 in the per-row product, and the cross-row sum far
+    # sooner — accumulate in decimal(38,0) (the HUGEINT discipline used
+    # by the other rank statistics) and only drop to double in the
+    # variance formula.
+    t_dec = F.col("t").cast("decimal(38,0)")
     glob = vt.agg(
         F.sum("t").cast("long").alias("n"),
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
-        .cast("long")
-        .alias("tie3"),
+        F.sum(t_dec * t_dec * t_dec - t_dec).alias("tie3"),
     )
     a = segstats.select(
         F.col("seg").alias("seg_a"),
@@ -13118,7 +13213,9 @@ def stats_dunn_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_g").alias("n_b"),
         F.col("rsum").alias("rsum_b"),
     )
-    grid = a.join(b, F.col("seg_a") < F.col("seg_b")).crossJoin(
+    # |segments| rows per side (5 here): broadcast one side so the pair
+    # grid is a BroadcastNestedLoopJoin, never a shuffled CartesianProduct.
+    grid = a.join(F.broadcast(b), F.col("seg_a") < F.col("seg_b")).crossJoin(
         F.broadcast(glob)
     )
     ra = F.col("rsum_a") / F.col("n_a")
@@ -13240,14 +13337,23 @@ def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
     l, r, m, n = F.col("l"), F.col("r"), F.col("m"), F.col("n")
     a = F.least(r, m)
     b = F.greatest(l, m + 1)
-    part1 = F.when(
-        a >= l, F.floor((a * (a + 1) - (l - 1) * l) / 2).cast("long")
-    ).otherwise(F.lit(0))
+
+    # Triangular-number differences in decimal(38,0): the int64 product
+    # x*(x+1) is exact only while x ≲ 3e9 positions, which a 100 TB row
+    # count exceeds.  tri(x) = x(x+1)/2 — the numerator is always even,
+    # so the decimal division is exact and the cast back to scale-0 is
+    # lossless.
+    def _tri(x):
+        xd = x.cast("decimal(19,0)")
+        return ((xd * (xd + 1)) / 2).cast("decimal(38,0)")
+
+    zero = F.lit(0).cast("decimal(38,0)")
+    part1 = F.when(a >= l, _tri(a) - _tri(l - 1)).otherwise(zero)
     part2 = F.when(
         r >= b,
-        (n + 1) * (r - b + 1)
-        - F.floor((r * (r + 1) - (b - 1) * b) / 2).cast("long"),
-    ).otherwise(F.lit(0))
+        (n + 1).cast("decimal(19,0)") * (r - b + 1).cast("decimal(19,0)")
+        - (_tri(r) - _tri(b - 1)),
+    ).otherwise(zero)
     sc = blk.select(
         "na", "t", "n", "n1", "n2", (part1 + part2).alias("s")
     )

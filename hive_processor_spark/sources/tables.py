@@ -42,13 +42,21 @@ _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; normalizes ``events.ts`` to a µs timestamp."""
+    # Re-pin the runtime confs BEFORE the cache lookup: once every table a
+    # session touches is cached, nothing else would re-assert them, so any
+    # mid-session conf drift (a test toggling timezone/ANSI) would silently
+    # break oracle parity. ensure_session_confs is an idempotent set of
+    # conf writes — negligible next to even a cached plan's execution.
+    ensure_session_confs(spark)
     cacheable = sf_dir.startswith("/root/testdata/")
-    key = (id(spark), sf_dir.rstrip("/"), name)
+    # id(spark) alone can alias a stopped-but-referenced session; include
+    # the JVM applicationId so DataFrames bound to a dead SparkContext are
+    # never served from cache.
+    key = (id(spark), spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
     if cacheable:
         hit = _TABLE_CACHE.get(key)
         if hit is not None:
             return hit
-    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -434,9 +434,17 @@ def test_ridge_path_single_stats_pass(spark):
 
 def test_uplift_counts_single_events_scan(spark):
     """The uplift decile table reduces events once (user rollup) before
-    ranking — one fact scan."""
-    plan = plan_string(_QUERIES["ab_uplift_qini"](spark, SF_DIR))
-    assert plan.count("events.parquet") == 1
+    ranking — one PHYSICAL fact scan. Since the round-6 conversion to
+    the bucketed two-level rank, the user rollup has multiple STATIC
+    consumers (span, bucket stats, n_all, the rank join) — the dedup
+    happens at runtime via AQE exchange reuse over the rollup's shuffle,
+    so execute and assert on the final plan: every duplicated consumer
+    must be served by a ReusedExchange, leaving exactly one live scan."""
+    df = _QUERIES["ab_uplift_qini"](spark, SF_DIR)
+    df.collect()
+    plan = plan_string(df)
+    assert "isFinalPlan=true" in plan
+    assert plan.count("events.parquet") - plan.count("ReusedExchange") == 1
 
 
 def test_tenant_ctx_prunes_partitions(spark):

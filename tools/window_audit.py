@@ -182,8 +182,20 @@ def main() -> int:
     )
     args = ap.parse_args()
     report = audit(args.names or None)
+    # Merge into the existing artifact rather than overwriting: a partial
+    # audit run (e.g. only the newest wave's queries) must not delete the
+    # measured allowlist entries for every previously-audited query, which
+    # tools/plan_lint.py depends on.
+    merged = {}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                merged = json.load(f)
+        except (OSError, ValueError):
+            merged = {}
+    merged.update(report)
     with open(args.out, "w") as f:
-        json.dump(report, f, indent=1, sort_keys=True)
+        json.dump(merged, f, indent=1, sort_keys=True)
     bad = [n for n, r in report.items() if r["verdict"] == "UNBOUNDED"]
     err = [n for n, r in report.items() if r["verdict"] == "error"]
     print(

@@ -8606,3 +8606,309 @@ def events_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("a") / m, 6).alias("innovation_p"),
         F.round(-F.col("c") * m, 6).alias("imitation_q"),
     )
+
+
+@register(
+    "ts_runs_test",
+    """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rev) AS HUGEINT) AS s
+        FROM daily
+    ), sgn AS (
+        SELECT day,
+               CASE WHEN CAST(rev AS HUGEINT) * tot.n > tot.s
+                    THEN 1 ELSE 0 END AS hi
+        FROM daily, tot
+        WHERE CAST(rev AS HUGEINT) * tot.n <> tot.s
+    ), runs AS (
+        SELECT hi, LAG(hi) OVER (ORDER BY day) AS ph FROM sgn
+    ), agg AS (
+        SELECT CAST(SUM(hi) AS BIGINT) AS n1,
+               CAST(COUNT(*) - SUM(hi) AS BIGINT) AS n2,
+               CAST(1 + SUM(CASE WHEN ph IS NOT NULL AND hi <> ph
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS r
+        FROM runs
+    )
+    SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+           ROUND(1.0 + 2.0 * n1 * n2 / (n1 + n2), 4) AS expected_runs,
+           ROUND((r - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                           * (n1 + n2 - 1))), 6) AS z_score
+    FROM agg
+    """,
+)
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of daily revenue around
+    its mean: code each day above/below the exact-cents mean (days
+    exactly equal are dropped, the classical convention; the compare is
+    rev·n vs Σrev in 128-bit integers — no division, no float), count
+    sign runs R, and standardize against E[R] = 2n₁n₂/n + 1,
+    Var = 2n₁n₂(2n₁n₂−n)/(n²(n−1)). Too FEW runs = trend/clustering,
+    too MANY = oscillation — the nonparametric randomness gate the
+    trend family (``ts_mom_growth``, ``ts_segmented_trend``) assumes.
+
+    Scale: one map-side-combined daily rollup from the fact table; the
+    run-count lag and the sign pass run on the saturating calendar
+    frame (date domain, ≤ |days| rows at any fact scale — measured in
+    WINDOW_AUDIT.json)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev").cast("decimal(38,0)").alias("s"),
+    )
+    lhs = F.col("rev").cast("decimal(38,0)") * F.col("n")
+    sgn = (
+        daily.crossJoin(F.broadcast(tot))
+        .filter(lhs != F.col("s"))
+        .select(
+            "day", F.when(lhs > F.col("s"), 1).otherwise(0).alias("hi")
+        )
+    )
+    w_day = Window.orderBy("day")
+    runs = sgn.select("hi", F.lag("hi").over(w_day).alias("ph"))
+    agg = runs.agg(
+        F.sum("hi").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("hi")).cast("long").alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("ph").isNotNull() & (F.col("hi") != F.col("ph")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    nn = n1 + n2
+    exp_r = 1.0 + 2.0 * n1 * n2 / nn
+    var = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / (nn.cast("double") * nn * (nn - 1))
+    )
+    return agg.select(
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        r.alias("n_runs"),
+        F.round(exp_r, 4).alias("expected_runs"),
+        F.round((r - exp_r) / F.sqrt(var), 6).alias("z_score"),
+    )
+
+
+@register(
+    "ts_bartels_rank",
+    """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1
+    ), rnk AS (
+        SELECT day,
+               RANK() OVER (ORDER BY rev)
+               + (COUNT(*) OVER (PARTITION BY rev) - 1) / 2.0 AS r,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM daily
+    ), d AS (
+        SELECT r, LEAD(r) OVER (ORDER BY day) AS rn, n FROM rnk
+    ), agg AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN rn IS NOT NULL
+                    THEN CAST(2 * r - 2 * rn AS BIGINT)
+                         * CAST(2 * r - 2 * rn AS BIGINT)
+                    ELSE 0 END) AS HUGEINT) AS num4,
+               CAST(SUM(CAST(2 * r - (n + 1) AS BIGINT)
+                        * CAST(2 * r - (n + 1) AS BIGINT)) AS HUGEINT)
+                   AS den4
+        FROM d
+    )
+    SELECT n AS n_days,
+           ROUND(CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE), 6)
+               AS rvn_ratio,
+           ROUND((CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE) - 2.0)
+                 / SQRT(4.0 * (n - 2) * (5.0 * n * n - 2 * n - 9)
+                        / (5.0 * n * (n + 1) * (n - 1) * (n - 1))), 6)
+               AS z_score
+    FROM agg
+    """,
+)
+def ts_bartels_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartels' rank version of the von Neumann ratio (Bartels '82) on
+    daily revenue: RVN = Σ(R_t−R_{t+1})² / Σ(R_t−R̄)² over MIDRANKS in
+    day order — the rank-robust randomness test that keeps power under
+    heavy tails where ``ts_runs_test`` throws away magnitude and a raw
+    von Neumann ratio chases outliers. E[RVN] = 2; z uses the exact
+    null variance 4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²). Midranks are exact
+    half-integers, so BOTH quadratic forms fold as integers (2R is an
+    integer: 2·rank + ties − 1) — num4/den4 are 4× the true sums and
+    the ratio cancels the scale exactly.
+
+    Scale: daily rollup ∝ facts with map-side combine; every window
+    runs on the saturating calendar frame (WINDOW_AUDIT.json)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    w_rank = Window.orderBy("rev")
+    w_tie = Window.partitionBy("rev")
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rnk = daily.select(
+        "day",
+        (
+            F.rank().over(w_rank)
+            + (F.count(F.lit(1)).over(w_tie) - 1) / F.lit(2.0)
+        ).alias("r"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    d = rnk.select(
+        "r", F.lead("r").over(Window.orderBy("day")).alias("rn"), "n"
+    )
+    two_d = (2 * F.col("r") - 2 * F.col("rn")).cast("long")
+    two_c = (2 * F.col("r") - (F.col("n") + 1)).cast("long")
+    agg = d.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("rn").isNotNull(), two_d * two_d).otherwise(
+                F.lit(0)
+            ).cast("decimal(38,0)")
+        ).alias("num4"),
+        F.sum((two_c * two_c).cast("decimal(38,0)")).alias("den4"),
+    )
+    n = F.col("n")
+    rvn = F.col("num4").cast("double") / F.col("den4").cast("double")
+    var = (
+        4.0
+        * (n - 2)
+        * (5.0 * n * n - 2 * n - 9)
+        / (5.0 * n * (n + 1) * (n - 1) * (n - 1))
+    )
+    return agg.select(
+        n.alias("n_days"),
+        F.round(rvn, 6).alias("rvn_ratio"),
+        F.round((rvn - 2.0) / F.sqrt(var), 6).alias("z_score"),
+    )
+
+
+@register(
+    "ts_theil_sen",
+    """
+    WITH monthly AS (
+        SELECT DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS mon,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1
+    ), seq AS (
+        SELECT rev, ROW_NUMBER() OVER (ORDER BY mon) AS t,
+               CAST(COUNT(*) OVER () AS BIGINT) AS nm
+        FROM monthly
+    ), pairs AS (
+        SELECT CAST(b.rev - a.rev AS DOUBLE) / (b.t - a.t) AS slope,
+               CASE WHEN b.rev > a.rev THEN 1
+                    WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sg,
+               a.nm AS nm
+        FROM seq a JOIN seq b ON b.t > a.t
+    ), ranked AS (
+        SELECT slope, sg, nm,
+               ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS np
+        FROM pairs
+    )
+    SELECT CAST(MAX(nm) AS BIGINT) AS n_months,
+           CAST(MAX(np) AS BIGINT) AS n_pairs,
+           CAST(SUM(sg) AS BIGINT) AS mk_s,
+           ROUND(AVG(CASE WHEN rn IN ((np + 1) // 2, np // 2 + 1)
+                          THEN slope END) / 100.0, 2) AS sen_slope
+    FROM ranked
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen slope estimator on monthly revenue: the MEDIAN of all
+    pairwise slopes (revᵦ−revₐ)/(b−a) — up to 29.3% outlier months
+    cannot move it, where the OLS slope (``ml_linreg``) chases every
+    one. Rides with the Mann–Kendall S = Σ sgn(revᵦ−revₐ), the
+    matching robust trend TEST (its seasonal variant is registered
+    separately as ``ts_seasonal_mann_kendall``). The median is the
+    average of the lower/upper middle ORDER STATISTICS (positions
+    ⌊(p+1)/2⌋ and ⌊p/2⌋+1 of the sorted slope list) — selection by
+    position is tie-stable, no interpolation ambiguity between
+    engines. Slope in dollars/month.
+
+    Scale: the month frame SATURATES (fixed date domain, ≤ ~84 rows at
+    any fact scale), so the O(months²) pair frame is a broadcast
+    nested-loop join over a bounded domain — ~3.5k pair rows forever —
+    and every window runs on saturating frames (WINDOW_AUDIT.json)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate").cast("date")).alias("mon")
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    w_all = Window.orderBy("mon").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    seq = monthly.select(
+        "rev",
+        F.row_number().over(Window.orderBy("mon")).alias("t"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("nm"),
+    )
+    a = seq.select(
+        F.col("rev").alias("ra"), F.col("t").alias("ta"), "nm"
+    )
+    b = seq.select(F.col("rev").alias("rb"), F.col("t").alias("tb"))
+    pairs = F.broadcast(a).join(b, F.col("tb") > F.col("ta")).select(
+        (
+            (F.col("rb") - F.col("ra")).cast("double")
+            / (F.col("tb") - F.col("ta"))
+        ).alias("slope"),
+        F.when(F.col("rb") > F.col("ra"), 1)
+        .when(F.col("rb") < F.col("ra"), -1)
+        .otherwise(0)
+        .alias("sg"),
+        "nm",
+    )
+    w_sl = Window.orderBy("slope")
+    w_np = Window.orderBy("slope").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = pairs.select(
+        "slope",
+        "sg",
+        "nm",
+        F.row_number().over(w_sl).alias("rn"),
+        F.count(F.lit(1)).over(w_np).cast("long").alias("np"),
+    )
+    mid = F.col("rn").isin(
+        F.floor((F.col("np") + 1) / 2).cast("long"),
+        (F.floor(F.col("np") / 2) + 1).cast("long"),
+    )
+    return ranked.agg(
+        F.max("nm").cast("long").alias("n_months"),
+        F.max("np").cast("long").alias("n_pairs"),
+        F.sum("sg").cast("long").alias("mk_s"),
+        F.round(
+            F.avg(F.when(mid, F.col("slope"))) / 100.0, 2
+        ).alias("sen_slope"),
+    )

@@ -5742,6 +5742,102 @@ def stats_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _harmonic_gs(spark: SparkSession, n_total: int) -> DataFrame:
+    """Shared Scholz–Stephens null-variance ingredients: a 1-row frame
+    ``[gq long, hqsum long]`` where hqsum = Σ_{i=1}^{N−1} floor(1e12/i)
+    (the quantized harmonic number h = H_{N−1} scaled 1e12) and
+    gq = Σ_{i≤N−2} floor((hqsum − hp_i)/1e12/(N−i)·1e9) (the double sum
+    g = Σ_{i<j} 1/((N−i)j) scaled 1e9, folded from the same quantized
+    integers the DuckDB oracles express). Used by the 2-sample
+    ``stats_anderson_darling`` and the k-sample ``stats_ad_ksample``.
+
+    The sequence is fully deterministic given N, so the O(N) element
+    work never has to exist as Spark ROWS: decompose into ≤4096
+    contiguous id blocks (block width grows with N, so the BLOCK frame
+    is bounded by construction — the global prefix window over it is
+    the same allowlisted shape as the two-level helper's bucket frame)
+    and run each block's fold as vectorized numpy inside mapInPandas,
+    chunked at 1M ids so per-task memory stays constant at any block
+    width. Arithmetic is the same IEEE-double divide + floor + int64
+    accumulate the windowed SQL expresses — bit-identical. (Also
+    benched in round 7 and rejected: a two-shuffle N-row frame and a
+    codegen-HOF ``aggregate`` over ``sequence`` — per-stage overhead
+    resp. interpreted per-element HOF cost both lost to this shape.)"""
+    n_h = n_total - 1  # harmonic ids 1..N-1
+    nblk = min(4096, max(1, -(-n_h // 32768)))
+    blk_w = -(-n_h // nblk)
+
+    def _hblock_sums(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            bs = pdf["id"].to_numpy()
+            out = np.empty(len(bs), dtype=np.int64)
+            for j, b in enumerate(bs):
+                lo, hi = b * blk_w + 1, min((b + 1) * blk_w, n_h)
+                s = np.int64(0)
+                for c0 in range(lo, hi + 1, 1_000_000):
+                    ids = np.arange(c0, min(c0 + 999_999, hi) + 1)
+                    s += np.floor(1e12 / ids).astype(np.int64).sum()
+                out[j] = s
+            yield pd.DataFrame({"hb": bs, "bsum": out})
+
+    def _hblock_g(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            gq = np.empty(len(pdf), dtype=np.int64)
+            for j in range(len(pdf)):
+                b = int(pdf["hb"].iloc[j])
+                hs = np.int64(pdf["hqsum"].iloc[j])
+                run = np.int64(pdf["off"].iloc[j])
+                lo, hi = b * blk_w + 1, min((b + 1) * blk_w, n_h)
+                acc = np.int64(0)
+                for c0 in range(lo, hi + 1, 1_000_000):
+                    ids = np.arange(c0, min(c0 + 999_999, hi) + 1)
+                    hq = np.floor(1e12 / ids).astype(np.int64)
+                    hp = run + np.cumsum(hq)
+                    run = hp[-1]
+                    m = ids <= n_total - 2
+                    acc += (
+                        np.floor(
+                            (hs - hp[m]).astype(np.float64)
+                            / 1e12
+                            / (n_total - ids[m]).astype(np.float64)
+                            * 1e9
+                        )
+                        .astype(np.int64)
+                        .sum()
+                    )
+                gq[j] = acc
+            yield pd.DataFrame(
+                {"gq": gq, "hqsum": pdf["hqsum"].to_numpy()}
+            )
+
+    blk1 = spark.range(nblk).mapInPandas(_hblock_sums, "hb long, bsum long")
+    w_h = Window.orderBy("hb")
+    pre_h = blk1.select(
+        "hb",
+        F.coalesce(
+            F.sum("bsum").over(
+                w_h.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+        F.sum("bsum")
+        .over(
+            w_h.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("hqsum"),
+    )
+    return pre_h.mapInPandas(_hblock_g, "gq long, hqsum long").agg(
+        F.sum("gq").cast("long").alias("gq"),
+        F.max("hqsum").alias("hqsum"),
+    )
+
+
 @register(
     "stats_anderson_darling",
     """
@@ -5917,92 +6013,7 @@ def stats_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("qsum")
         )
     )
-    # harmonic frame 1..N-1: exact floor(1e12/i) integers. The sequence
-    # is fully deterministic given N, so the O(N) element work never has
-    # to exist as Spark ROWS at all: decompose into ≤4096 contiguous id
-    # blocks (block width grows with N, so the BLOCK frame is bounded by
-    # construction — the global prefix window over it is the same
-    # allowlisted shape as the two-level helper's bucket frame) and run
-    # each block's fold as vectorized numpy inside mapInPandas, chunked
-    # at 1M ids so per-task memory stays constant at any block width.
-    # Arithmetic is the same IEEE-double divide + floor + int64
-    # accumulate the windowed SQL expressed — bit-identical. (Also
-    # benched in round 7 and rejected: a two-shuffle N-row frame and a
-    # codegen-HOF ``aggregate`` over ``sequence`` — per-stage overhead
-    # resp. interpreted per-element HOF cost both lost to this shape.)
-    n_h = n_total - 1  # harmonic ids 1..N-1
-    nblk = min(4096, max(1, -(-n_h // 32768)))
-    blk_w = -(-n_h // nblk)
-
-    def _hblock_sums(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            bs = pdf["id"].to_numpy()
-            out = np.empty(len(bs), dtype=np.int64)
-            for j, b in enumerate(bs):
-                lo, hi = b * blk_w + 1, min((b + 1) * blk_w, n_h)
-                s = np.int64(0)
-                for c0 in range(lo, hi + 1, 1_000_000):
-                    ids = np.arange(c0, min(c0 + 999_999, hi) + 1)
-                    s += np.floor(1e12 / ids).astype(np.int64).sum()
-                out[j] = s
-            yield pd.DataFrame({"hb": bs, "bsum": out})
-
-    def _hblock_g(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            gq = np.empty(len(pdf), dtype=np.int64)
-            for j in range(len(pdf)):
-                b = int(pdf["hb"].iloc[j])
-                hs = np.int64(pdf["hqsum"].iloc[j])
-                run = np.int64(pdf["off"].iloc[j])
-                lo, hi = b * blk_w + 1, min((b + 1) * blk_w, n_h)
-                acc = np.int64(0)
-                for c0 in range(lo, hi + 1, 1_000_000):
-                    ids = np.arange(c0, min(c0 + 999_999, hi) + 1)
-                    hq = np.floor(1e12 / ids).astype(np.int64)
-                    hp = run + np.cumsum(hq)
-                    run = hp[-1]
-                    m = ids <= n_total - 2
-                    acc += (
-                        np.floor(
-                            (hs - hp[m]).astype(np.float64)
-                            / 1e12
-                            / (n_total - ids[m]).astype(np.float64)
-                            * 1e9
-                        )
-                        .astype(np.int64)
-                        .sum()
-                    )
-                gq[j] = acc
-            yield pd.DataFrame(
-                {"gq": gq, "hqsum": pdf["hqsum"].to_numpy()}
-            )
-
-    blk1 = spark.range(nblk).mapInPandas(_hblock_sums, "hb long, bsum long")
-    w_h = Window.orderBy("hb")
-    pre_h = blk1.select(
-        "hb",
-        F.coalesce(
-            F.sum("bsum").over(
-                w_h.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("off"),
-        F.sum("bsum")
-        .over(
-            w_h.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("hqsum"),
-    )
-    gs = pre_h.mapInPandas(_hblock_g, "gq long, hqsum long").agg(
-        F.sum("gq").cast("long").alias("gq"),
-        F.max("hqsum").alias("hqsum"),
-    )
+    gs = _harmonic_gs(spark, n_total)
     ny_c = n_total - nx_c
     sc = a2.crossJoin(F.broadcast(gs)).select(
         F.lit(nx_c).cast("long").alias("nx"),
@@ -13620,4 +13631,717 @@ def stats_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("n_b"),
         F.round(e, 6).alias("e_dist"),
         F.round(n1 * n2 / (n1 + n2) * e, 4).alias("t_stat"),
+    )
+
+
+@register(
+    "stats_paired_t",
+    """
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                    THEN CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS h1,
+               CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+                    THEN CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS h2
+        FROM orders GROUP BY 1
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(h2 - h1) AS HUGEINT) AS sd,
+               CAST(SUM(CAST(h2 - h1 AS HUGEINT) * (h2 - h1)) AS HUGEINT)
+                   AS sdd
+        FROM per
+    )
+    SELECT n AS n_customers,
+           ROUND(CAST(sd AS DOUBLE) / n / 100.0, 4) AS mean_diff,
+           ROUND((CAST(sd AS DOUBLE) / n)
+                 / SQRT((CAST(sdd AS DOUBLE)
+                         - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / n)
+                        / (n - 1) / n), 6) AS t_stat,
+           ROUND((CAST(sd AS DOUBLE) / n)
+                 / SQRT((CAST(sdd AS DOUBLE)
+                         - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / n)
+                        / (n - 1)), 6) AS cohens_dz
+    FROM agg
+    """,
+)
+def stats_paired_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired (dependent-samples) t-test: did per-customer spend change
+    between the 1992–94 and 1995+ eras? The PAIR is the customer — each
+    contributes one difference d = spend₂ − spend₁ (zero spend for a
+    half with no orders), which removes the between-customer variance
+    the two-sample ``stats_welch_t`` has to carry; t = d̄/(s_d/√n)
+    with df = n−1, plus Cohen's d_z = d̄/s_d. Everything folds as exact
+    integers: cents differences, Σd, Σd² in 128-bit.
+
+    Scale: one map-side-combined groupBy ∝ customers, one scalar
+    moment fold. No windows, no joins."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1995-01-01").cast("timestamp")
+    cents = F.floor(F.col("o_totalprice") * 100.0).cast("long")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("o_orderdate") < cut, cents).otherwise(0))
+        .cast("long")
+        .alias("h1"),
+        F.sum(F.when(F.col("o_orderdate") >= cut, cents).otherwise(0))
+        .cast("long")
+        .alias("h2"),
+    )
+    d = (F.col("h2") - F.col("h1")).cast("decimal(38,0)")
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d).alias("sd"),
+        F.sum(d * d).alias("sdd"),
+    )
+    n = F.col("n")
+    sd_d = F.col("sd").cast("double")
+    sdd_d = F.col("sdd").cast("double")
+    mean = sd_d / n
+    var_num = sdd_d - sd_d * sd_d / n
+    return agg.select(
+        n.alias("n_customers"),
+        F.round(sd_d / n / 100.0, 4).alias("mean_diff"),
+        F.round(mean / F.sqrt(var_num / (n - 1) / n), 6).alias("t_stat"),
+        F.round(mean / F.sqrt(var_num / (n - 1)), 6).alias("cohens_dz"),
+    )
+
+
+@register(
+    "stats_kuiper_dates",
+    """
+    WITH d AS (
+        SELECT CAST(DAYOFYEAR(o_orderdate) AS BIGINT) AS doy,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM d),
+    cum AS (
+        SELECT doy, c,
+               SUM(c) OVER (ORDER BY doy ROWS UNBOUNDED PRECEDING) AS f
+        FROM d
+    ), gaps AS (
+        SELECT tot.n,
+               CAST(f AS DOUBLE) / tot.n - doy / 366.0 AS dplus_at,
+               doy / 366.0 - (CAST(f AS DOUBLE) - c) / tot.n AS dminus_at
+        FROM cum, tot
+    )
+    SELECT MAX(n) AS n_orders,
+           ROUND(MAX(dplus_at), 6) AS d_plus,
+           ROUND(MAX(dminus_at), 6) AS d_minus,
+           ROUND(MAX(dplus_at) + MAX(dminus_at), 6) AS v_stat,
+           ROUND((MAX(dplus_at) + MAX(dminus_at))
+                 * (SQRT(CAST(MAX(n) AS DOUBLE)) + 0.155
+                    + 0.24 / SQRT(CAST(MAX(n) AS DOUBLE))), 4) AS v_scaled
+    FROM gaps
+    """,
+)
+def stats_kuiper_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper's V test for CIRCULAR uniformity of order dates over the
+    year: V = D⁺ + D⁻ against the uniform day-of-year CDF. Unlike the
+    plain KS distance (``stats_ks_test``), V is invariant to where the
+    year is cut — a seasonality bump in January scores exactly like
+    one in July — which is the right test for wrap-around domains.
+    Stephens' finite-n scaling V·(√n + 0.155 + 0.24/√n) gives the
+    critical-value form (>1.747 ⇒ reject at 5%). ECDF gaps evaluate
+    only at the ≤366 observed day-of-year atoms (both max gaps are
+    attained at atoms, exactly — no per-row pass).
+
+    Scale: one map-side-combined groupBy collapses any fact volume to
+    ≤366 rows; the cumulative window is bounded by the calendar
+    domain at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.dayofyear("o_orderdate").cast("long").alias("doy")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = d.agg(F.sum("c").cast("long").alias("n"))
+    w = Window.orderBy("doy").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = d.select("doy", "c", F.sum("c").over(w).alias("f"))
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "n",
+        (F.col("f").cast("double") / F.col("n") - F.col("doy") / 366.0)
+        .alias("dplus_at"),
+        (
+            F.col("doy") / 366.0
+            - (F.col("f").cast("double") - F.col("c")) / F.col("n")
+        ).alias("dminus_at"),
+    )
+    v = F.max("dplus_at") + F.max("dminus_at")
+    n_d = F.max("n").cast("double")
+    return gaps.groupBy().agg(
+        F.max("n").alias("n_orders"),
+        F.round(F.max("dplus_at"), 6).alias("d_plus"),
+        F.round(F.max("dminus_at"), 6).alias("d_minus"),
+        F.round(v, 6).alias("v_stat"),
+        F.round(
+            v * (F.sqrt(n_d) + 0.155 + 0.24 / F.sqrt(n_d)), 4
+        ).alias("v_scaled"),
+    )
+
+
+@register(
+    "stats_hellinger_tv",
+    """
+    WITH b AS (
+        SELECT CAST(FLOOR(value) AS BIGINT) AS bin,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                    AS BIGINT) AS cp,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'view')
+                    AS BIGINT) AS cv
+        FROM events WHERE event_type IN ('purchase', 'view')
+        GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(cp) AS BIGINT) AS np,
+               CAST(SUM(cv) AS BIGINT) AS nv
+        FROM b
+    ), terms AS (
+        SELECT CAST(cp AS DOUBLE) / tot.np AS p,
+               CAST(cv AS DOUBLE) / tot.nv AS q
+        FROM b, tot
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nbins,
+               CAST(SUM(CAST(FLOOR(ABS(p - q) * 1e9) AS BIGINT))
+                    AS HUGEINT) AS tvq,
+               CAST(SUM(CAST(FLOOR(SQRT(p * q) * 1e9) AS BIGINT))
+                    AS HUGEINT) AS bcq
+        FROM terms
+    )
+    SELECT nbins AS n_bins,
+           ROUND(CAST(tvq AS DOUBLE) / 1e9 / 2.0, 6) AS total_variation,
+           ROUND(SQRT(GREATEST(0.0, 1.0 - CAST(bcq AS DOUBLE) / 1e9)), 6)
+               AS hellinger,
+           ROUND(-LN(CAST(bcq AS DOUBLE) / 1e9), 6) AS bhattacharyya
+    FROM agg
+    """,
+)
+def stats_hellinger_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded f-divergence panel between the purchase and view value
+    histograms (whole-dollar bins): total variation ½Σ|p−q| (the
+    worst-case probability an oracle distinguishes the two in one
+    draw), Hellinger √(1−BC), and the Bhattacharyya distance −ln BC
+    with BC = Σ√(p·q). Complements the UNBOUNDED divergences already
+    registered (``profile_drift_kl``, ``text_js_divergence``) — TV and
+    Hellinger stay finite under disjoint support, so they are the
+    drift metrics that survive a vocabulary/support shift. Per-bin
+    terms floor-quantize at 1e-9 and integer-fold (order-free).
+
+    Scale: one map-side-combined groupBy ∝ bins (value domain —
+    saturating); scalar algebra after."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    b = ev.groupBy(F.floor("value").cast("long").alias("bin")).agg(
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("long")
+        .alias("cp"),
+        F.count_if(F.col("event_type") == "view").cast("long").alias("cv"),
+    )
+    tot = b.agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum("cv").cast("long").alias("nv"),
+    )
+    terms = b.crossJoin(F.broadcast(tot)).select(
+        (F.col("cp").cast("double") / F.col("np")).alias("p"),
+        (F.col("cv").cast("double") / F.col("nv")).alias("q"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("nbins"),
+        F.sum(
+            F.floor(F.abs(F.col("p") - F.col("q")) * 1e9)
+            .cast("long")
+            .cast("decimal(38,0)")
+        ).alias("tvq"),
+        F.sum(
+            F.floor(F.sqrt(F.col("p") * F.col("q")) * 1e9)
+            .cast("long")
+            .cast("decimal(38,0)")
+        ).alias("bcq"),
+    )
+    bc = F.col("bcq").cast("double") / 1e9
+    return agg.select(
+        F.col("nbins").alias("n_bins"),
+        F.round(F.col("tvq").cast("double") / 1e9 / 2.0, 6)
+        .alias("total_variation"),
+        F.round(F.sqrt(F.greatest(F.lit(0.0), 1.0 - bc)), 6)
+        .alias("hellinger"),
+        F.round(-F.log(bc), 6).alias("bhattacharyya"),
+    )
+
+
+@register(
+    "stats_siegel_tukey",
+    """
+    WITH pool AS (
+        SELECT event_id, CAST(FLOOR(value * 100.0) AS BIGINT) AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS n1,
+               CAST(COUNT(*) - SUM(x) AS BIGINT) AS n2
+        FROM pool
+    ), pos AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY v, event_id) AS a, tot.n,
+               tot.n1, tot.n2
+        FROM pool, tot
+    ), st AS (
+        SELECT x, n, n1, n2,
+               CASE WHEN 2 * a = n + 1 THEN n
+                    WHEN a <= n - a THEN
+                        CASE WHEN LEAST(a, n + 1 - a) % 2 = 0
+                             THEN 2 * LEAST(a, n + 1 - a)
+                             ELSE 2 * LEAST(a, n + 1 - a) - 1 END
+                    ELSE
+                        CASE WHEN LEAST(a, n + 1 - a) % 2 = 1
+                             THEN 2 * LEAST(a, n + 1 - a)
+                             ELSE 2 * LEAST(a, n + 1 - a) - 1 END
+               END AS r
+        FROM pos
+    ), agg AS (
+        SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+               CAST(SUM(CASE WHEN x = 1 THEN r ELSE 0 END) AS HUGEINT)
+                   AS w
+        FROM st
+    )
+    SELECT n1 AS n_purchase, n2 AS n_view,
+           CAST(w AS DOUBLE) AS st_rank_sum,
+           ROUND(CAST(n1 AS DOUBLE) * (n1 + n2 + 1) / 2.0, 1)
+               AS expected,
+           ROUND((CAST(w AS DOUBLE)
+                  - CAST(n1 AS DOUBLE) * (n1 + n2 + 1) / 2.0)
+                 / SQRT(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 12.0),
+                 6) AS z_score
+    FROM agg
+    """,
+)
+def stats_siegel_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel–Tukey dispersion test: rank the POOLED purchase/view
+    values by alternating extremes — smallest→1, largest→2,3, next
+    smallest→4,5, inward — then run Mann–Whitney on those ranks. A
+    sample with fatter spread soaks up the low end-ranks, so W drops;
+    it needs NO variance estimate and keeps the exact MW null moments
+    E[W] = n₁(N+1)/2, Var = n₁n₂(N+1)/12 because the alternating
+    scores are a permutation of 1..N. Positions are the deterministic
+    total order (value cents, event_id) — the classical continuous-
+    data scoring applied to a fixed tiebreak order, documented rather
+    than midranked (Siegel–Tukey '60 defines no tie rule; the fixed
+    order keeps both engines bit-identical). The ``stats_ansari_bradley``
+    twin — AB scores inward from both ends symmetrically, ST
+    alternates, trading its tie-elegance for exact MW moments.
+
+    Scale: the global position comes from the bucketed two-level rank
+    (functions/orderstat.py — no single-partition window); one
+    integer-fold epilogue."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    pool = ev.select(
+        "event_id",
+        F.floor(F.col("value") * 100.0).cast("long").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("x"),
+    )
+    tot = pool.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("x")).cast("long").alias("n2"),
+    )
+    pos = with_global_order(pool, "v", ["event_id"], rank="a").crossJoin(
+        F.broadcast(tot)
+    )
+    a, n = F.col("a"), F.col("n")
+    m = F.least(a, n + 1 - a)
+    low = F.when(m % 2 == 0, 2 * m).otherwise(2 * m - 1)
+    high = F.when(m % 2 == 1, 2 * m).otherwise(2 * m - 1)
+    st = pos.select(
+        "x",
+        "n1",
+        "n2",
+        F.when(2 * a == n + 1, n)
+        .when(a <= n - a, low)
+        .otherwise(high)
+        .alias("r"),
+    )
+    agg = st.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum(F.when(F.col("x") == 1, F.col("r")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("w"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    w_d = F.col("w").cast("double")
+    exp = n1.cast("double") * (n1 + n2 + 1) / 2.0
+    return agg.select(
+        n1.alias("n_purchase"),
+        n2.alias("n_view"),
+        w_d.alias("st_rank_sum"),
+        F.round(exp, 1).alias("expected"),
+        F.round(
+            (w_d - exp)
+            / F.sqrt(n1.cast("double") * n2 * (n1 + n2 + 1) / 12.0),
+            6,
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "stats_bws_test",
+    """
+    WITH pool AS (
+        SELECT event_id, CAST(FLOOR(value * 100.0) AS BIGINT) AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(SUM(x) AS BIGINT) AS n1,
+               CAST(COUNT(*) - SUM(x) AS BIGINT) AS n2
+        FROM pool
+    ), rk AS (
+        SELECT x,
+               ROW_NUMBER() OVER (ORDER BY v, event_id) AS rr,
+               SUM(x) OVER (ORDER BY v, event_id
+                   ROWS UNBOUNDED PRECEDING) AS ix,
+               SUM(1 - x) OVER (ORDER BY v, event_id
+                   ROWS UNBOUNDED PRECEDING) AS iy
+        FROM pool
+    ), terms AS (
+        SELECT tot.n1, tot.n2,
+               CASE WHEN x = 1 THEN CAST(FLOOR(
+                   (rr - CAST(n_all AS DOUBLE) / n1 * ix)
+                   * (rr - CAST(n_all AS DOUBLE) / n1 * ix)
+                   / ((ix / (n1 + 1.0)) * (1.0 - ix / (n1 + 1.0))
+                      * (n2 * CAST(n_all AS DOUBLE) / n1))
+                   * 1e6) AS BIGINT) ELSE 0 END AS tx,
+               CASE WHEN x = 0 THEN CAST(FLOOR(
+                   (rr - CAST(n_all AS DOUBLE) / n2 * iy)
+                   * (rr - CAST(n_all AS DOUBLE) / n2 * iy)
+                   / ((iy / (n2 + 1.0)) * (1.0 - iy / (n2 + 1.0))
+                      * (n1 * CAST(n_all AS DOUBLE) / n2))
+                   * 1e6) AS BIGINT) ELSE 0 END AS ty
+        FROM rk, tot
+    )
+    SELECT MAX(n1) AS n_purchase, MAX(n2) AS n_view,
+           ROUND(CAST(SUM(tx) AS DOUBLE) / 1e6 / MAX(n1), 6) AS b_x,
+           ROUND(CAST(SUM(ty) AS DOUBLE) / 1e6 / MAX(n2), 6) AS b_y,
+           ROUND((CAST(SUM(tx) AS DOUBLE) / 1e6 / MAX(n1)
+                  + CAST(SUM(ty) AS DOUBLE) / 1e6 / MAX(n2)) / 2.0, 6)
+               AS b_stat
+    FROM terms
+    """,
+)
+def stats_bws_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baumgartner–Weiß–Schindler two-sample test (BWS '98): weights
+    the squared rank gap (R_i − N/n·i)² by the INVERSE of its null
+    variance i/(n+1)·(1−i/(n+1))·mN/n, so the TAILS — where the
+    variance shrinks — count at full strength. The rank-statistic
+    sibling of the CDF-weighted ``stats_anderson_darling``, with more
+    power than Mann–Whitney (location) or Kolmogorov–Smirnov (max gap)
+    against combined location–scale alternatives. B = (B_X + B_Y)/2.
+    Each sample's sequence index i and combined rank R come from ONE
+    pass: the two-level global order attaches the rank and both
+    per-sample inclusive cumulative counts simultaneously. Ranks use
+    the deterministic (value, event_id) total order; per-element terms
+    floor-quantize at 1e-6 and integer-fold (exact while a term
+    ≤ 9.2e12, i.e. far past fixture scale; the null keeps terms O(1)).
+
+    Scale: one bucketed two-level rank pass ∝ pooled rows, one fold.
+    No joins besides the scalar broadcast."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    pool = ev.select(
+        "event_id",
+        F.floor(F.col("value") * 100.0).cast("long").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("x"),
+    )
+    tot = pool.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("x").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("x")).cast("long").alias("n2"),
+    )
+    rk = with_global_order(
+        pool.withColumn("y", 1 - F.col("x")),
+        "v",
+        ["event_id"],
+        rank="rr",
+        cumsums={"ix": "x", "iy": "y"},
+    ).crossJoin(F.broadcast(tot))
+    n_d = F.col("n_all").cast("double")
+    n1, n2 = F.col("n1"), F.col("n2")
+    rr, ix, iy = F.col("rr"), F.col("ix"), F.col("iy")
+    num_x = (rr - n_d / n1 * ix) * (rr - n_d / n1 * ix)
+    den_x = (ix / (n1 + 1.0)) * (1.0 - ix / (n1 + 1.0)) * (n2 * n_d / n1)
+    num_y = (rr - n_d / n2 * iy) * (rr - n_d / n2 * iy)
+    den_y = (iy / (n2 + 1.0)) * (1.0 - iy / (n2 + 1.0)) * (n1 * n_d / n2)
+    terms = rk.select(
+        "n1",
+        "n2",
+        F.when(F.col("x") == 1, F.floor(num_x / den_x * 1e6).cast("long"))
+        .otherwise(F.lit(0))
+        .alias("tx"),
+        F.when(F.col("x") == 0, F.floor(num_y / den_y * 1e6).cast("long"))
+        .otherwise(F.lit(0))
+        .alias("ty"),
+    )
+    agg = terms.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum(F.col("tx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("ty").cast("decimal(38,0)")).alias("sy"),
+    )
+    bx = F.col("sx").cast("double") / 1e6 / F.col("n1")
+    by = F.col("sy").cast("double") / 1e6 / F.col("n2")
+    return agg.select(
+        F.col("n1").alias("n_purchase"),
+        F.col("n2").alias("n_view"),
+        F.round(bx, 6).alias("b_x"),
+        F.round(by, 6).alias("b_y"),
+        F.round((bx + by) / 2.0, 6).alias("b_stat"),
+    )
+
+
+@register(
+    "stats_ad_ksample",
+    """
+    WITH v AS (
+        SELECT c_mktsegment AS seg,
+               CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS cents
+        FROM customer
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    segs AS (
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS ni FROM v GROUP BY 1
+    ), sm AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(FLOOR(1e12 / ni) AS BIGINT)) AS BIGINT)
+                   AS hinvq
+        FROM segs
+    ), vf AS (
+        SELECT cents, CAST(COUNT(*) AS BIGINT) AS lv FROM v GROUP BY 1
+    ), vb AS (
+        SELECT cents, lv,
+               COALESCE(SUM(lv) OVER (ORDER BY cents ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bex
+        FROM vf
+    ), svf AS (
+        SELECT seg, cents, CAST(COUNT(*) AS BIGINT) AS lsv
+        FROM v GROUP BY 1, 2
+    ), grid AS (
+        SELECT s.seg, s.ni, b.cents, b.lv, b.bex, COALESCE(f.lsv, 0) AS lsv
+        FROM vb b CROSS JOIN segs s
+        LEFT JOIN svf f ON f.seg = s.seg AND f.cents = b.cents
+    ), gm AS (
+        SELECT seg, ni, lv,
+               2 * bex + lv AS twob,
+               2 * COALESCE(SUM(lsv) OVER (PARTITION BY seg ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + lsv AS twom
+        FROM grid
+    ), terms AS (
+        SELECT CAST(n AS HUGEINT) * twom - CAST(ni AS HUGEINT) * twob
+                   AS dd,
+               CAST(twob AS HUGEINT) * (2 * n - twob)
+                   - CAST(n AS HUGEINT) * lv AS dn,
+               lv, ni, n
+        FROM gm, tot
+    ), fold AS (
+        SELECT CAST(SUM(CASE WHEN dn > 0 THEN CAST(FLOOR(
+                   CAST(lv AS DOUBLE) / n
+                   * (CAST(dd AS DOUBLE) * CAST(dd AS DOUBLE))
+                   / CAST(dn AS DOUBLE) / ni * 1e9) AS BIGINT)
+               ELSE 0 END) AS HUGEINT) AS q
+        FROM terms
+    ), harm AS (
+        SELECT i, CAST(FLOOR(1e12 / i) AS BIGINT) AS hqv, n
+        FROM (SELECT ROW_NUMBER() OVER () AS i FROM v) s, tot
+        WHERE i <= n - 1
+    ), hpre AS (
+        SELECT i, n,
+               SUM(hqv) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS hp,
+               SUM(hqv) OVER () AS hsum
+        FROM harm
+    ), gsr AS (
+        SELECT CAST(SUM(CASE WHEN i <= n - 2 THEN
+                   CAST(FLOOR((hsum - hp) / 1e12 / (n - i) * 1e9)
+                        AS BIGINT) ELSE 0 END) AS BIGINT) AS gq,
+               MAX(hsum) AS hqsum
+        FROM hpre
+    ), fin AS (
+        SELECT tot.n, sm.k,
+               CAST(fold.q AS DOUBLE) / 1e9 * (tot.n - 1.0) / tot.n
+                   AS a2k,
+               sm.hinvq / 1e12 AS hh,
+               gsr.hqsum / 1e12 AS h,
+               gsr.gq / 1e9 AS g
+        FROM tot, sm, fold, gsr
+    ), sig AS (
+        SELECT n, k, a2k,
+               (((4 * g - 6) * (k - 1) + (10 - 6 * g) * hh)
+                    * CAST(n AS DOUBLE) * n * n
+                + ((2 * g - 4) * k * k + 8 * h * k
+                   + (2 * g - 14 * h - 4) * hh - 8 * h + 4 * g - 6)
+                    * CAST(n AS DOUBLE) * n
+                + ((6 * h + 2 * g - 2) * k * k + (4 * h - 4 * g + 6) * k
+                   + (2 * h - 6) * hh + 4 * h) * CAST(n AS DOUBLE)
+                + ((2 * h + 6) * k * k - 4 * h * k))
+               / ((n - 1.0) * (n - 2) * (n - 3)) AS var
+        FROM fin
+    )
+    SELECT k AS k_samples, n AS n_total,
+           ROUND(a2k, 6) AS a2k_stat,
+           ROUND(SQRT(var), 6) AS sigma,
+           ROUND((a2k - (k - 1)) / SQRT(var), 4) AS t_std
+    FROM sig
+    """,
+)
+def stats_ad_ksample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-sample Anderson–Darling (Scholz–Stephens '87, the tie-adjusted
+    Ȧ²_kN of their eq. 6) across all five market segments' account
+    balances at once — the omnibus "are these k distributions THE SAME"
+    test that ``stats_kruskal_wallis`` (location only) and the pairwise
+    2-sample ``stats_anderson_darling`` cannot give in one shot. Over
+    the distinct-value frame with midrank half-weights:
+    Ȧ² = (N−1)/N Σ_i (1/n_i) Σ_j (l_j/N)·(N·M̈_ij − n_i·B̈_j)² /
+    (B̈_j(N−B̈_j) − N·l_j/4); doubling M̈/B̈ makes every ingredient an
+    exact integer (twom/twob), the per-cell ratio folds floor-quantized
+    at 1e-9 WITH the 1/n_i weight already applied per cell, so the
+    entire statistic is ONE order-free integer fold — no cross-segment
+    float summation. T = (Ȧ² − (k−1))/σ_N with the full Scholz–
+    Stephens variance polynomial in N, H = Σ1/n_i (folded as quantized
+    integers, same 1e-12 grid as the harmonic terms), h = H_{N−1}, and
+    the double sum g — h and g come from the shared deterministic
+    block-fold ``_harmonic_gs`` (bit-identical to the oracle's
+    windowed SQL; see its docstring). Critical points: T > 1.96-ish
+    is NOT normal — use the paper's table (1%: ≈ 3.9 for k=5).
+
+    Scale: the (segment × distinct-balance) grid is |segments| × a
+    SATURATING value domain (acctbal spans ≤ 1.1M cents forever);
+    per-segment prefixes are windows partitioned by segment over that
+    bounded domain; the global value prefix is the bucketed two-level
+    cumulative; the harmonic frame never materializes as rows. One
+    driver scalar (N) sizes the harmonic blocks — the same single-
+    aggregate action pattern as the 2-sample test."""
+    cust = load_table(spark, sf_dir, "customer")
+    v = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") * 100.0).cast("long").alias("cents"),
+    )
+    trow = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+    ).first()
+    n_total = int(trow["n"])
+    segs = v.groupBy("seg").agg(F.count(F.lit(1)).cast("long").alias("ni"))
+    sm = segs.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.floor(F.lit(1e12) / F.col("ni")).cast("long"))
+        .cast("long")
+        .alias("hinvq"),
+    )
+    vf = v.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("lv"))
+    vb = with_global_order(
+        vf,
+        "cents",
+        cumsums={"cb": "lv"},
+        bounds=(int(trow["lo"]), int(trow["hi"])),
+    ).select("cents", "lv", (F.col("cb") - F.col("lv")).alias("bex"))
+    svf = v.groupBy("seg", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("lsv")
+    )
+    grid = (
+        vb.crossJoin(F.broadcast(segs))
+        .join(svf, ["seg", "cents"], "left")
+        .fillna(0, subset=["lsv"])
+    )
+    w_seg = (
+        Window.partitionBy("seg")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gm = grid.select(
+        "seg",
+        "ni",
+        "lv",
+        (2 * F.col("bex") + F.col("lv")).alias("twob"),
+        (
+            2 * F.coalesce(F.sum("lsv").over(w_seg), F.lit(0))
+            + F.col("lsv")
+        ).alias("twom"),
+    )
+    n_l = F.lit(n_total)
+    dd = (
+        n_l * F.col("twom").cast("decimal(38,0)")
+        - F.col("ni").cast("decimal(38,0)") * F.col("twob")
+    )
+    dn = F.col("twob").cast("decimal(38,0)") * (
+        2 * n_l - F.col("twob")
+    ) - n_l.cast("decimal(38,0)") * F.col("lv")
+    dd_d, dn_d = dd.cast("double"), dn.cast("double")
+    fold = gm.select(
+        F.when(
+            dn > 0,
+            F.floor(
+                F.col("lv").cast("double")
+                / n_l
+                * (dd_d * dd_d)
+                / dn_d
+                / F.col("ni")
+                * 1e9
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("t")
+    ).agg(F.sum(F.col("t").cast("decimal(38,0)")).alias("q"))
+    gs = _harmonic_gs(spark, n_total)
+    fin = (
+        fold.crossJoin(F.broadcast(sm))
+        .crossJoin(F.broadcast(gs))
+        .select(
+            F.col("k"),
+            (
+                F.col("q").cast("double")
+                / 1e9
+                * (n_total - 1.0)
+                / n_total
+            ).alias("a2k"),
+            (F.col("hinvq") / 1e12).alias("hh"),
+            (F.col("hqsum") / 1e12).alias("h"),
+            (F.col("gq") / 1e9).alias("g"),
+        )
+    )
+    k = F.col("k")
+    g, h, hh = F.col("g"), F.col("h"), F.col("hh")
+    nd = float(n_total)
+    var = (
+        ((4 * g - 6) * (k - 1) + (10 - 6 * g) * hh) * nd * nd * nd
+        + (
+            (2 * g - 4) * k * k
+            + 8 * h * k
+            + (2 * g - 14 * h - 4) * hh
+            - 8 * h
+            + 4 * g
+            - 6
+        )
+        * nd
+        * nd
+        + (
+            (6 * h + 2 * g - 2) * k * k
+            + (4 * h - 4 * g + 6) * k
+            + (2 * h - 6) * hh
+            + 4 * h
+        )
+        * nd
+        + ((2 * h + 6) * k * k - 4 * h * k)
+    ) / ((nd - 1.0) * (nd - 2) * (nd - 3))
+    return fin.select(
+        k.alias("k_samples"),
+        F.lit(n_total).cast("long").alias("n_total"),
+        F.round(F.col("a2k"), 6).alias("a2k_stat"),
+        F.round(F.sqrt(var), 6).alias("sigma"),
+        F.round((F.col("a2k") - (k - 1)) / F.sqrt(var), 4).alias("t_std"),
     )

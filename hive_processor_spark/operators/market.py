@@ -1151,3 +1151,170 @@ def market_lerner_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lerner_index"),
     ).orderBy(F.col("lerner_index").desc(), "p_brand")
+
+
+@register(
+    "market_hhi",
+    """
+    WITH cell AS (
+        SELECT p.p_type AS ptype, p.p_brand AS brand,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice
+                    * (1 - l.l_discount) * 100.0) AS BIGINT)) AS HUGEINT)
+                   AS rev
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ), mkt AS (
+        SELECT ptype, CAST(SUM(rev) AS HUGEINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS n_brands
+        FROM cell GROUP BY 1
+    ), terms AS (
+        SELECT c.ptype, m.n_brands,
+               CAST(FLOOR(10000.0 * (CAST(c.rev AS DOUBLE) / m.tot)
+                          * (CAST(c.rev AS DOUBLE) / m.tot) * 1e6)
+                    AS BIGINT) AS hq
+        FROM cell c JOIN mkt m ON m.ptype = c.ptype
+    )
+    SELECT ptype AS p_type, MAX(n_brands) AS n_brands,
+           ROUND(CAST(SUM(hq) AS DOUBLE) / 1e6, 2) AS hhi,
+           CASE WHEN CAST(SUM(hq) AS DOUBLE) / 1e6 > 2500 THEN 'high'
+                WHEN CAST(SUM(hq) AS DOUBLE) / 1e6 > 1500 THEN 'moderate'
+                ELSE 'low' END AS concentration
+    FROM terms
+    GROUP BY ptype
+    ORDER BY hhi DESC, p_type
+    """,
+)
+def market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per part-type market:
+    HHI = Σ(100·sᵢ)² over brand revenue shares, the antitrust screen
+    (DOJ bands: >2500 high, 1500–2500 moderate) — reads as the
+    effective-competitor count 10⁴/HHI. Complements ``market_lerner_
+    index`` (pricing power observed) with structure (concentration
+    implied). Revenue folds as exact cents; the per-brand share terms
+    floor-quantize at 1e-6 HHI units and integer-fold, so the Σ is
+    order-free.
+
+    Scale: one fact join (AQE picks the part build side), one
+    map-side-combined (type, brand) rollup — the cell frame is the
+    bounded catalog cross-section (|types|×|brands|); everything after
+    is metadata-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+    ).cast("long")
+    cell = (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .groupBy(
+            F.col("p_type").alias("ptype"), F.col("p_brand").alias("brand")
+        )
+        .agg(F.sum(cents).cast("decimal(38,0)").alias("rev"))
+    )
+    mkt = cell.groupBy("ptype").agg(
+        F.sum("rev").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+    )
+    share = F.col("rev").cast("double") / F.col("tot")
+    terms = cell.join(mkt, "ptype").select(
+        "ptype",
+        "n_brands",
+        F.floor(10000.0 * share * share * 1e6).cast("long").alias("hq"),
+    )
+    hhi = F.sum("hq").cast("double") / 1e6
+    return (
+        terms.groupBy("ptype")
+        .agg(
+            F.max("n_brands").alias("n_brands"),
+            F.round(hhi, 2).alias("hhi"),
+            F.when(hhi > 2500, "high")
+            .when(hhi > 1500, "moderate")
+            .otherwise("low")
+            .alias("concentration"),
+        )
+        .select(
+            F.col("ptype").alias("p_type"), "n_brands", "hhi", "concentration"
+        )
+        .orderBy(F.col("hhi").desc(), "p_type")
+    )
+
+
+@register(
+    "market_rca",
+    """
+    WITH flow AS (
+        SELECT n.n_name AS nation, p.p_type AS ptype,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice
+                    * (1 - l.l_discount) * 100.0) AS BIGINT)) AS HUGEINT)
+                   AS rev
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ), nat AS (
+        SELECT nation, CAST(SUM(rev) AS HUGEINT) AS nrev FROM flow GROUP BY 1
+    ), typ AS (
+        SELECT ptype, CAST(SUM(rev) AS HUGEINT) AS trev FROM flow GROUP BY 1
+    ), world AS (
+        SELECT CAST(SUM(rev) AS HUGEINT) AS wrev FROM flow
+    )
+    SELECT f.nation AS nation, f.ptype AS p_type,
+           ROUND((CAST(f.rev AS DOUBLE) / CAST(n.nrev AS DOUBLE))
+                 / (CAST(t.trev AS DOUBLE) / CAST(w.wrev AS DOUBLE)), 4)
+               AS rca
+    FROM flow f
+    JOIN nat n ON n.nation = f.nation
+    JOIN typ t ON t.ptype = f.ptype
+    CROSS JOIN world w
+    ORDER BY rca DESC, f.nation, p_type
+    LIMIT 20
+    """,
+)
+def market_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balassa revealed comparative advantage: RCA = (share of part
+    type t in nation i's supply) / (share of t in WORLD supply) — >1
+    means nation i is over-represented in t relative to the global mix;
+    the screen trade economists run before reading specialization into
+    a flow table. Emits the top-20 most specialized cells (the synthetic flow table is near-uniform, so a fixed RCA cutoff would be scale-brittle; top-k by (rca, nation, type) is deterministic and plans as TakeOrderedAndProject). Revenue is
+    exact integer cents at every margin; each RCA is one ratio of
+    ratios per row (no float folds to order).
+
+    Scale: one fact join reduced to the (nation × type) flow
+    cross-section — bounded at |nations|·|types| forever; the three
+    margins are rollups of that metadata-sized frame. Supplier/nation/
+    part joins leave build-side choice to AQE (dims grow with the
+    catalog)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+    ).cast("long")
+    flow = (
+        li.join(sup, sup.s_suppkey == li.l_suppkey)
+        .join(nat, nat.n_nationkey == sup.s_nationkey)
+        .join(part, part.p_partkey == li.l_partkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("p_type").alias("ptype")
+        )
+        .agg(F.sum(cents).cast("decimal(38,0)").alias("rev"))
+    )
+    natm = flow.groupBy("nation").agg(F.sum("rev").alias("nrev"))
+    typm = flow.groupBy("ptype").agg(F.sum("rev").alias("trev"))
+    world = flow.agg(F.sum("rev").alias("wrev"))
+    rca = (F.col("rev").cast("double") / F.col("nrev").cast("double")) / (
+        F.col("trev").cast("double") / F.col("wrev").cast("double")
+    )
+    return (
+        flow.join(natm, "nation")
+        .join(typm, "ptype")
+        .crossJoin(F.broadcast(world))
+        .select(
+            "nation",
+            F.col("ptype").alias("p_type"),
+            F.round(rca, 4).alias("rca"),
+        )
+        .orderBy(F.col("rca").desc(), "nation", "p_type")
+        .limit(20)
+    )

@@ -14345,3 +14345,114 @@ def stats_ad_ksample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(var), 6).alias("sigma"),
         F.round((F.col("a2k") - (k - 1)) / F.sqrt(var), 4).alias("t_std"),
     )
+
+
+@register(
+    "stats_mmd_rbf",
+    """
+    WITH b AS (
+        SELECT CAST(FLOOR(value) AS BIGINT) AS bin,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                    AS BIGINT) AS cp,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'view')
+                    AS BIGINT) AS cv
+        FROM events WHERE event_type IN ('purchase', 'view')
+        GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(cp) AS BIGINT) AS np,
+               CAST(SUM(cv) AS BIGINT) AS nv
+        FROM b
+    ), pair AS (
+        SELECT a.cp AS cpa, a.cv AS cva, c.cp AS cpb, c.cv AS cvb,
+               CAST(FLOOR(EXP(-CAST((a.bin - c.bin) * (a.bin - c.bin)
+                                    AS DOUBLE) / 1250.0) * 1e12)
+                    AS BIGINT) AS kq
+        FROM b a CROSS JOIN b c
+    ), s AS (
+        SELECT CAST(SUM(CAST(cpa AS HUGEINT) * cpb * kq) AS HUGEINT)
+                   AS sxx,
+               CAST(SUM(CAST(cva AS HUGEINT) * cvb * kq) AS HUGEINT)
+                   AS syy,
+               CAST(SUM(CAST(cpa AS HUGEINT) * cvb * kq) AS HUGEINT)
+                   AS sxy
+        FROM pair
+    )
+    SELECT tot.np AS n_purchase, tot.nv AS n_view,
+           ROUND((CAST(sxx AS DOUBLE) / 1e12 - tot.np)
+                     / (CAST(tot.np AS DOUBLE) * (tot.np - 1))
+                 + (CAST(syy AS DOUBLE) / 1e12 - tot.nv)
+                     / (CAST(tot.nv AS DOUBLE) * (tot.nv - 1))
+                 - 2.0 * (CAST(sxy AS DOUBLE) / 1e12)
+                     / (CAST(tot.np AS DOUBLE) * tot.nv), 8) AS mmd2
+    FROM s, tot
+    """,
+)
+def stats_mmd_rbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel two-sample test: unbiased MMD² (Gretton et al. '12) with
+    an RBF kernel (σ = 25 dollars) between the purchase and view value
+    distributions — the modern kernel-embedding alternative to the
+    rank/CDF tests: it sees EVERY moment at once and generalizes to
+    structured domains. Grouping to whole-dollar atoms turns the
+    O(n²)-element U-statistic into a counts-weighted sum over the
+    atom×atom grid: Σᵢ≠ⱼ k = ΣΣ c_a c_b k_ab − n (since k(x,x)=1), so
+    MMD² = that/(m(m−1)) + ·/(n(n−1)) − 2ΣΣ c_a c_b k_ab/(mn). Kernel
+    values floor-quantize at 1e-12 and every weighted fold is a pure
+    128-bit integer sum — order-free; the lone libm call (EXP) sits
+    inside the quantization, the same exposure every registered
+    EXP/LN-based statistic carries.
+
+    Scale: the atom grid SATURATES with the value domain (≤ ~370 bins
+    forever), so the kernel grid is a broadcast cross join of bounded
+    size at any fact scale; the fact table reduces once, map-side."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    b = ev.groupBy(F.floor("value").cast("long").alias("bin")).agg(
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("long")
+        .alias("cp"),
+        F.count_if(F.col("event_type") == "view").cast("long").alias("cv"),
+    )
+    tot = b.agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum("cv").cast("long").alias("nv"),
+    )
+    a = b.select(
+        F.col("bin").alias("ba"),
+        F.col("cp").alias("cpa"),
+        F.col("cv").alias("cva"),
+    )
+    c = b.select(
+        F.col("bin").alias("bb"),
+        F.col("cp").alias("cpb"),
+        F.col("cv").alias("cvb"),
+    )
+    gap = (F.col("ba") - F.col("bb")) * (F.col("ba") - F.col("bb"))
+    kq = F.floor(
+        F.exp(-gap.cast("double") / 1250.0) * 1e12
+    ).cast("long")
+    pair = a.crossJoin(F.broadcast(c)).select(
+        "cpa", "cva", "cpb", "cvb", kq.alias("kq")
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    s = pair.agg(
+        F.sum(dec("cpa") * F.col("cpb") * F.col("kq")).alias("sxx"),
+        F.sum(dec("cva") * F.col("cvb") * F.col("kq")).alias("syy"),
+        F.sum(dec("cpa") * F.col("cvb") * F.col("kq")).alias("sxy"),
+    )
+    fin = s.crossJoin(F.broadcast(tot))
+    np_, nv_ = F.col("np"), F.col("nv")
+    mmd2 = (
+        (F.col("sxx").cast("double") / 1e12 - np_)
+        / (np_.cast("double") * (np_ - 1))
+        + (F.col("syy").cast("double") / 1e12 - nv_)
+        / (nv_.cast("double") * (nv_ - 1))
+        - 2.0
+        * (F.col("sxy").cast("double") / 1e12)
+        / (np_.cast("double") * nv_)
+    )
+    return fin.select(
+        np_.alias("n_purchase"),
+        nv_.alias("n_view"),
+        F.round(mmd2, 8).alias("mmd2"),
+    )

@@ -1904,114 +1904,3 @@ def dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("size").cast("bigint").alias("largest_cluster"),
     )
 
-
-_CONTAINMENT_SQL = """
-    WITH sh AS (
-        SELECT DISTINCT doc_id, UNNEST(shingles) AS shingle
-        FROM (
-            SELECT doc_id,
-                   [ARRAY_TO_STRING(w[i:i+2], ' ') FOR i IN RANGE(1, LEN(w) - 1)] AS shingles
-            FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents) t
-        ) s
-    ), sizes AS (
-        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
-    ), common AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           (FLOOR(CAST(c AS DOUBLE) / sa.n * 10000.0) / 10000.0)
-               AS cont_a_in_b,
-           (FLOOR(CAST(c AS DOUBLE) / sb.n * 10000.0) / 10000.0)
-               AS cont_b_in_a
-    FROM common
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE GREATEST((FLOOR(CAST(c AS DOUBLE) / sa.n * 10000.0) / 10000.0),
-                   (FLOOR(CAST(c AS DOUBLE) / sb.n * 10000.0) / 10000.0))
-          >= 0.5
-"""
-
-
-@register("dedup_containment", _CONTAINMENT_SQL)
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broder CONTAINMENT near-dup detection: C(A→B) = |A∩B|/|A| over
-    token-trigram shingle sets — the asymmetric companion to
-    ``dedup_ngram_jaccard``. Jaccard misses subset duplication by
-    construction (a document wholly quoted inside a 10× larger one has
-    J ≈ 0.1 but C ≈ 1.0); containment is the statistic that catches
-    quote-expansion, boilerplate wrapping, and version-supersets — the
-    dominant near-dup mode in crawled training corpora. Emits pairs
-    where EITHER direction ≥ 0.5, with both directions reported (their
-    asymmetry tells you which doc is the subset).
-
-    The plan is the sibling's shingle-index discipline exactly
-    (dedup.py::dedup_ngram_jaccard): map-side ``array_distinct``
-    dedup, one hash-partitioned xxhash64 shingle index reused
-    exchange-free by the df-cap and both self-join sides, hot shingles
-    capped at MAX_SHINGLE_DF (fixture max df 25 — the cap provably
-    drops nothing at test scale, so the oracle needs no cap clause).
-    At 100 TB the same cap bounds hot-shingle fan-out at O(cap²);
-    |A| comes from the UNCAPPED index so denominators stay exact."""
-    docs = load_table(spark, sf_dir, "documents")
-    shingles = F.array_distinct(
-        F.expr(
-            "transform(sequence(1, size(w) - 2),"
-            " i -> array_join(slice(w, i, 3), ' '))"
-        )
-    )
-    base = docs.select("doc_id", F.split("text", " ").alias("w")).select(
-        "doc_id", shingles.alias("sh_arr")
-    )
-    sh = (
-        base.select("doc_id", F.explode_outer("sh_arr").alias("s"))
-        .filter(F.col("s").isNotNull())
-        .select("doc_id", F.xxhash64("s").alias("shingle"))
-        .repartition(spark.sparkContext.defaultParallelism, "shingle")
-        .localCheckpoint(eager=True)
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > MAX_SHINGLE_DF)
-        .select("shingle")
-    )
-    shf = sh.join(hot, "shingle", "left_anti")
-    a = shf.alias("a")
-    b = shf.hint("SHUFFLE_HASH").alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    cab = (
-        F.floor(F.col("c").cast("double") / F.col("sa.n") * 10000.0)
-        / 10000.0
-    )
-    cba = (
-        F.floor(F.col("c").cast("double") / F.col("sb.n") * 10000.0)
-        / 10000.0
-    )
-    return (
-        common.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            cab.alias("cont_a_in_b"),
-            cba.alias("cont_b_in_a"),
-        )
-        .filter(
-            F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= 0.5
-        )
-    )

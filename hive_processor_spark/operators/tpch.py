@@ -852,268 +852,3 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
         .orderBy("s_name")
     )
-
-
-@register(
-    "tpch_q05_local_supplier",
-    f"""
-    SELECT n.n_name AS nation,
-           ROUND({sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}, 2)
-               AS revenue
-    FROM customer c
-    JOIN orders o ON o.o_custkey = c.c_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey
-    JOIN nation n ON n.n_nationkey = s.s_nationkey
-    JOIN region r ON r.r_regionkey = n.n_regionkey
-    WHERE c.c_nationkey = s.s_nationkey
-      AND r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
-      AND o.o_orderdate < TIMESTAMP '1996-01-01'
-    GROUP BY n.n_name
-    ORDER BY revenue DESC, nation
-    """,
-)
-def tpch_q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5: local-supplier volume — revenue per ASIA nation in 1995
-    where the customer and the supplier share the nation, the classic
-    5-way join with a cross-table equality (c_nationkey = s_nationkey)
-    that forces the optimizer to pick a join ORDER, not just methods.
-    Revenue folds through the shared quantized-sum discipline
-    (functions/exact.py).
-
-    Scale: lineitem joins orders/supplier on their keys (shuffle,
-    AQE-sized); nation/region are broadcast label dims; the nation
-    filter and date range push into the scans. Output is
-    |nations-in-region| rows."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1995-01-01")))
-        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-01-01")))
-    )
-    li = load_table(spark, sf_dir, "lineitem")
-    sup = load_table(spark, sf_dir, "supplier")
-    nat = load_table(spark, sf_dir, "nation")
-    reg = load_table(spark, sf_dir, "region").filter(
-        F.col("r_name") == "ASIA"
-    )
-    j = (
-        cust.join(orders, orders.o_custkey == cust.c_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
-        .join(
-            sup,
-            (sup.s_suppkey == li.l_suppkey)
-            & (cust.c_nationkey == sup.s_nationkey),
-        )
-        .join(F.broadcast(nat), nat.n_nationkey == sup.s_nationkey)
-        .join(F.broadcast(reg), reg.r_regionkey == nat.n_regionkey)
-    )
-    return (
-        j.groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            F.round(
-                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2,
-            ).alias("revenue")
-        )
-        .orderBy(F.desc("revenue"), "nation")
-    )
-
-
-@register(
-    "tpch_q12_shipping_delay",
-    """
-    SELECT CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
-                THEN 'a_0_30d'
-                WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
-                THEN 'b_31_60d'
-                ELSE 'c_over_60d' END AS delay_class,
-           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
-                              ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-    GROUP BY 1
-    ORDER BY 1
-    """,
-)
-def tpch_q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q12 shape adapted to the fixture's columns: the reference query
-    buckets lines by ship mode and counts urgent vs non-urgent
-    priorities; this fixture carries no l_shipmode/commit/receipt
-    dates, so the bucket dimension is the ship DELAY class
-    (l_shipdate − o_orderdate ∈ [0,30], (30,60], >60 days) — the same
-    "does priority correlate with logistics" readout. Counts are exact
-    integers.
-
-    Scale: one key-equi join lineitem⋈orders (both shuffle-sized, AQE
-    picks the method), one 3-row map-side-combined rollup."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    j = li.join(orders, orders.o_orderkey == li.l_orderkey)
-    delay = (
-        F.when(
-            F.col("l_shipdate")
-            <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
-            "a_0_30d",
-        )
-        .when(
-            F.col("l_shipdate")
-            <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
-            "b_31_60d",
-        )
-        .otherwise("c_over_60d")
-    )
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        j.groupBy(delay.alias("delay_class"))
-        .agg(
-            F.sum(F.when(high, 1).otherwise(0))
-            .cast("long")
-            .alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0))
-            .cast("long")
-            .alias("low_line_count"),
-        )
-        .orderBy("delay_class")
-    )
-
-
-@register(
-    "tpch_q13_customer_distribution",
-    """
-    WITH c_orders AS (
-        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
-        FROM customer c
-        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-        GROUP BY c.c_custkey
-    )
-    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
-    FROM c_orders
-    GROUP BY c_count
-    ORDER BY custdist DESC, c_count DESC
-    """,
-)
-def tpch_q13_customer_distribution(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Q13: customer order-count distribution INCLUDING the never-
-    ordered (the left join keeps zero-order customers — the histogram
-    bucket a plain inner-join rollup silently drops; the fixture has
-    no o_comment, so the reference's comment exclusion is a no-op
-    here). Two aggregations: per-customer count, then the count-of-
-    counts histogram.
-
-    Scale: LEFT join customer⋈orders on custkey (AQE-sized shuffle),
-    per-customer combine is map-side; the histogram frame is
-    ≤ max-orders-per-customer rows."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    c_orders = (
-        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
-    )
-    return (
-        c_orders.groupBy("c_count")
-        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
-        .orderBy(F.desc("custdist"), F.desc("c_count"))
-    )
-
-
-@register(
-    "tpch_q14_promo_revenue",
-    f"""
-    SELECT ROUND(
-        100.0 * {sql_dsum("CASE WHEN p.p_type = 'PROMO' THEN"
-                          " l.l_extendedprice * (1 - l.l_discount)"
-                          " ELSE 0 END")}
-        / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}, 4)
-        AS promo_revenue_pct
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l.l_shipdate < TIMESTAMP '1996-02-01'
-    """,
-)
-def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q14: promotion revenue share — what % of January-1996 revenue
-    came from PROMO-type parts (the fixture's p_type is the bare
-    class, so the reference's LIKE 'PROMO%%' collapses to equality).
-    Numerator and denominator each fold through the quantized exact
-    sum; ONE division at the end.
-
-    Scale: the ship-date month pushes into the lineitem scan before
-    the part join (AQE-sized); single-row output."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
-        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-02-01")))
-    )
-    part = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    j = li.join(part, part.p_partkey == li.l_partkey)
-    return j.agg(
-        F.round(
-            100.0
-            * dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-            / dsum(rev),
-            4,
-        ).alias("promo_revenue_pct")
-    )
-
-
-@register(
-    "tpch_q19_bracket_revenue",
-    f"""
-    SELECT ROUND({sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}, 2)
-               AS revenue,
-           CAST(COUNT(*) AS BIGINT) AS n_lines
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
-           AND l.l_quantity BETWEEN 1 AND 11)
-       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
-           AND l.l_quantity BETWEEN 10 AND 20)
-       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
-           AND l.l_quantity BETWEEN 20 AND 30)
-    """,
-)
-def tpch_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q19: discounted revenue over three DISJUNCTIVE brand/size/
-    quantity brackets (the fixture has no p_container or l_shipmode,
-    so the bracket predicates use the carried columns) — the classic
-    OR-of-ANDs that tests predicate normalization: the common
-    p_partkey equi-key must still drive a hash join with the
-    disjunction evaluated as a post-join filter, never a cartesian.
-    Revenue folds quantized; the line count rides along.
-
-    Scale: part-side predicates (brand ∪ size) could be pushed as a
-    union-of-brands scan filter by hand, but the single join with the
-    residual OR is the plan that stays correct as brackets change —
-    AQE sizes the build side."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    j = li.join(part, part.p_partkey == li.l_partkey)
-    q = F.col("l_quantity")
-    br = (
-        (
-            (F.col("p_brand") == "Brand#12")
-            & F.col("p_size").between(1, 5)
-            & q.between(1, 11)
-        )
-        | (
-            (F.col("p_brand") == "Brand#23")
-            & F.col("p_size").between(1, 10)
-            & q.between(10, 20)
-        )
-        | (
-            (F.col("p_brand") == "Brand#34")
-            & F.col("p_size").between(1, 15)
-            & q.between(20, 30)
-        )
-    )
-    return j.filter(br).agg(
-        F.round(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
-        F.count(F.lit(1)).cast("long").alias("n_lines"),
-    )

@@ -8653,6 +8653,10 @@ def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Var = 2n₁n₂(2n₁n₂−n)/(n²(n−1)). Too FEW runs = trend/clustering,
     too MANY = oscillation — the nonparametric randomness gate the
     trend family (``ts_mom_growth``, ``ts_segmented_trend``) assumes.
+    Distinct from ``agg_runs_test``, which counts runs of UP/DOWN
+    MOVES (difference signs) with no null standardization — that one
+    tests serial dependence of changes, this one tests level
+    clustering about the mean with the exact z.
 
     Scale: one map-side-combined daily rollup from the fact table; the
     run-count lag and the sign pass run on the saturating calendar
@@ -8807,108 +8811,4 @@ def ts_bartels_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_days"),
         F.round(rvn, 6).alias("rvn_ratio"),
         F.round((rvn - 2.0) / F.sqrt(var), 6).alias("z_score"),
-    )
-
-
-@register(
-    "ts_theil_sen",
-    """
-    WITH monthly AS (
-        SELECT DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS mon,
-               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
-                    AS BIGINT) AS rev
-        FROM lineitem GROUP BY 1
-    ), seq AS (
-        SELECT rev, ROW_NUMBER() OVER (ORDER BY mon) AS t,
-               CAST(COUNT(*) OVER () AS BIGINT) AS nm
-        FROM monthly
-    ), pairs AS (
-        SELECT CAST(b.rev - a.rev AS DOUBLE) / (b.t - a.t) AS slope,
-               CASE WHEN b.rev > a.rev THEN 1
-                    WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sg,
-               a.nm AS nm
-        FROM seq a JOIN seq b ON b.t > a.t
-    ), ranked AS (
-        SELECT slope, sg, nm,
-               ROW_NUMBER() OVER (ORDER BY slope) AS rn,
-               CAST(COUNT(*) OVER () AS BIGINT) AS np
-        FROM pairs
-    )
-    SELECT CAST(MAX(nm) AS BIGINT) AS n_months,
-           CAST(MAX(np) AS BIGINT) AS n_pairs,
-           CAST(SUM(sg) AS BIGINT) AS mk_s,
-           ROUND(AVG(CASE WHEN rn IN ((np + 1) // 2, np // 2 + 1)
-                          THEN slope END) / 100.0, 2) AS sen_slope
-    FROM ranked
-    """,
-)
-def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theil–Sen slope estimator on monthly revenue: the MEDIAN of all
-    pairwise slopes (revᵦ−revₐ)/(b−a) — up to 29.3% outlier months
-    cannot move it, where the OLS slope (``ml_linreg``) chases every
-    one. Rides with the Mann–Kendall S = Σ sgn(revᵦ−revₐ), the
-    matching robust trend TEST (its seasonal variant is registered
-    separately as ``ts_seasonal_mann_kendall``). The median is the
-    average of the lower/upper middle ORDER STATISTICS (positions
-    ⌊(p+1)/2⌋ and ⌊p/2⌋+1 of the sorted slope list) — selection by
-    position is tie-stable, no interpolation ambiguity between
-    engines. Slope in dollars/month.
-
-    Scale: the month frame SATURATES (fixed date domain, ≤ ~84 rows at
-    any fact scale), so the O(months²) pair frame is a broadcast
-    nested-loop join over a bounded domain — ~3.5k pair rows forever —
-    and every window runs on saturating frames (WINDOW_AUDIT.json)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    monthly = li.groupBy(
-        F.date_trunc("month", F.col("l_shipdate").cast("date")).alias("mon")
-    ).agg(
-        F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
-        .cast("long")
-        .alias("rev")
-    )
-    w_all = Window.orderBy("mon").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    seq = monthly.select(
-        "rev",
-        F.row_number().over(Window.orderBy("mon")).alias("t"),
-        F.count(F.lit(1)).over(w_all).cast("long").alias("nm"),
-    )
-    a = seq.select(
-        F.col("rev").alias("ra"), F.col("t").alias("ta"), "nm"
-    )
-    b = seq.select(F.col("rev").alias("rb"), F.col("t").alias("tb"))
-    pairs = F.broadcast(a).join(b, F.col("tb") > F.col("ta")).select(
-        (
-            (F.col("rb") - F.col("ra")).cast("double")
-            / (F.col("tb") - F.col("ta"))
-        ).alias("slope"),
-        F.when(F.col("rb") > F.col("ra"), 1)
-        .when(F.col("rb") < F.col("ra"), -1)
-        .otherwise(0)
-        .alias("sg"),
-        "nm",
-    )
-    w_sl = Window.orderBy("slope")
-    w_np = Window.orderBy("slope").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = pairs.select(
-        "slope",
-        "sg",
-        "nm",
-        F.row_number().over(w_sl).alias("rn"),
-        F.count(F.lit(1)).over(w_np).cast("long").alias("np"),
-    )
-    mid = F.col("rn").isin(
-        F.floor((F.col("np") + 1) / 2).cast("long"),
-        (F.floor(F.col("np") / 2) + 1).cast("long"),
-    )
-    return ranked.agg(
-        F.max("nm").cast("long").alias("n_months"),
-        F.max("np").cast("long").alias("n_pairs"),
-        F.sum("sg").cast("long").alias("mk_s"),
-        F.round(
-            F.avg(F.when(mid, F.col("slope"))) / 100.0, 2
-        ).alias("sen_slope"),
     )

@@ -1190,7 +1190,10 @@ def market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DOJ bands: >2500 high, 1500–2500 moderate) — reads as the
     effective-competitor count 10⁴/HHI. Complements ``market_lerner_
     index`` (pricing power observed) with structure (concentration
-    implied). Revenue folds as exact cents; the per-brand share terms
+    implied). Distinct from ``agg_hhi_concentration``, the single
+    global brand HHI — this is the per-MARKET screen (one index per
+    part-type market, banded), which is where concentration analysis
+    actually operates. Revenue folds as exact cents; the per-brand share terms
     floor-quantize at 1e-6 HHI units and integer-fold, so the Σ is
     order-free.
 

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
 from hive_processor_spark.functions.exact import dsum, sql_dsum
+from hive_processor_spark.functions.normdist import norm_ppf, sql_norm_ppf
 from hive_processor_spark.functions.orderstat import with_global_order
 from hive_processor_spark.sources.tables import load_table
 
@@ -14455,4 +14456,543 @@ def stats_mmd_rbf(spark: SparkSession, sf_dir: str) -> DataFrame:
         np_.alias("n_purchase"),
         nv_.alias("n_view"),
         F.round(mmd2, 8).alias("mmd2"),
+    )
+
+
+@register(
+    "stats_shift_function",
+    """
+    WITH atoms AS (
+        SELECT CAST(FLOOR(value * 100.0) AS BIGINT) AS v,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                    AS BIGINT) AS cp,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'view')
+                    AS BIGINT) AS cv
+        FROM events WHERE event_type IN ('purchase', 'view')
+        GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(cp) AS BIGINT) AS np,
+               CAST(SUM(cv) AS BIGINT) AS nv
+        FROM atoms
+    ), cum AS (
+        SELECT v,
+               SUM(cp) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fp,
+               SUM(cv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fv
+        FROM atoms
+    ), probes AS (
+        SELECT UNNEST([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS pi
+    ), qx AS (
+        SELECT p.pi, MIN(c.v) AS q
+        FROM probes p, cum c, tot t
+        WHERE c.fp >= (t.np * p.pi + 9) // 10
+        GROUP BY p.pi
+    ), qy AS (
+        SELECT p.pi, MIN(c.v) AS q
+        FROM probes p, cum c, tot t
+        WHERE c.fv >= (t.nv * p.pi + 9) // 10
+        GROUP BY p.pi
+    )
+    SELECT CAST(qx.pi AS INT) AS decile,
+           ROUND(qx.q / 100.0, 2) AS q_purchase,
+           ROUND(qy.q / 100.0, 2) AS q_view,
+           ROUND((qx.q - qy.q) / 100.0, 2) AS shift
+    FROM qx JOIN qy ON qy.pi = qx.pi
+    ORDER BY decile
+    """,
+)
+def stats_shift_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doksum's shift function at the deciles: Δ(p) = Q_purchase(p) −
+    Q_view(p) for p = 0.1..0.9 — WHERE the two distributions differ,
+    not just whether (one number like ``stats_mann_whitney``'s W or
+    ``stats_ks_test``'s D collapses a crossing shift to a verdict;
+    the shift function shows e.g. "heavier right tail, identical
+    median"). Quantiles are type-1 order statistics — the smallest
+    atom whose cumulative count reaches ⌈p·n⌉, with the threshold as
+    the exact integer (n·p + 9) div 10 — so engines agree with zero
+    interpolation convention risk.
+
+    Scale: one pooled atom rollup (value domain — saturating), one
+    two-level cumulative pass carrying BOTH samples' ECDFs, then a
+    9-probe broadcast join; per-probe MIN is map-side-combined."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    atoms = ev.groupBy(
+        F.floor(F.col("value") * 100.0).cast("long").alias("v")
+    ).agg(
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("long")
+        .alias("cp"),
+        F.count_if(F.col("event_type") == "view").cast("long").alias("cv"),
+    )
+    tot = atoms.agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum("cv").cast("long").alias("nv"),
+    )
+    cum = with_global_order(
+        atoms, "v", cumsums={"fp": "cp", "fv": "cv"}
+    ).select("v", "fp", "fv")
+    probes = spark.range(1, 10).select(F.col("id").cast("int").alias("pi"))
+    base = cum.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(probes))
+    kp = F.floor((F.col("np") * F.col("pi") + 9) / 10).cast("long")
+    kv = F.floor((F.col("nv") * F.col("pi") + 9) / 10).cast("long")
+    qx = (
+        base.filter(F.col("fp") >= kp)
+        .groupBy("pi")
+        .agg(F.min("v").alias("qp"))
+    )
+    qy = (
+        base.filter(F.col("fv") >= kv)
+        .groupBy("pi")
+        .agg(F.min("v").alias("qv"))
+    )
+    return (
+        qx.join(qy, "pi")
+        .select(
+            F.col("pi").cast("int").alias("decile"),
+            F.round(F.col("qp") / 100.0, 2).alias("q_purchase"),
+            F.round(F.col("qv") / 100.0, 2).alias("q_view"),
+            F.round((F.col("qp") - F.col("qv")) / 100.0, 2).alias("shift"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "stats_ad_onesample",
+    """
+    WITH x AS (
+        SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS v
+        FROM orders
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(v) + 1 AS BIGINT) AS d
+        FROM x
+    ), atoms AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY 1
+    ), cum AS (
+        SELECT v, c,
+               SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ce
+        FROM atoms
+    ), terms AS (
+        SELECT t.n, t.d, c.v, c.c, c.ce, c.ce - c.c AS cs,
+               CAST(c.ce AS HUGEINT) * c.ce
+                   - CAST(c.ce - c.c AS HUGEINT) * (c.ce - c.c) AS coef1,
+               (2 * CAST(t.n AS HUGEINT) + 1) * c.c
+                   - (CAST(c.ce AS HUGEINT) * c.ce + c.ce
+                      - CAST(c.ce - c.c AS HUGEINT) * (c.ce - c.c)
+                      - (c.ce - c.c)) AS coef2
+        FROM cum c, tot t
+    ), fold AS (
+        SELECT CAST(SUM(
+                   CAST(FLOOR((CAST(coef1 AS DOUBLE)
+                               * LN(CAST(v AS DOUBLE) / d)
+                               + CAST(coef2 AS DOUBLE)
+                               * LN(1.0 - CAST(v AS DOUBLE) / d))
+                              * 1e6) AS BIGINT)) AS HUGEINT) AS sq
+        FROM terms
+    )
+    SELECT t.n AS n_orders,
+           ROUND(-CAST(t.n AS DOUBLE)
+                 - (CAST(sq AS DOUBLE) / 1e6) / t.n, 6) AS a2_stat
+    FROM fold, tot t
+    """,
+)
+def stats_ad_onesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample Anderson–Darling statistic of order totals against a
+    fitted uniform U(0, D) with D = max+1 cents (the +1 keeps
+    ln(1−F) finite at the maximum; fully-specified null, documented) —
+    completes the AD family: one-sample here, two-sample
+    ``stats_anderson_darling``, k-sample ``stats_ad_ksample``. The
+    O(n) per-order-statistic sum Σ(2i−1)[ln F(x_(i)) +
+    ln(1−F(x_(n+1−i)))] NEVER materializes per row: within a tied-value
+    block F is constant, so the weights collapse to closed forms —
+    Σ(2i−1) over positions (s, e] is e²−s², and the reversed-index
+    weight is (2n+1)c − (e²+e−s²−s) — leaving one fold over the
+    DISTINCT-value frame with products floor-quantized at 1e-6.
+    A² = −n − S/n; large A² ⇒ totals are not uniform (they aren't —
+    this is the magnitude readout, compare across slices/rounds).
+
+    Scale: atom rollup ∝ distinct cents with map-side combine; one
+    two-level cumulative; position sums in decimal(38,0) so the e²
+    terms survive any N. Uses LN like every registered likelihood
+    statistic."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.select(
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("v")
+    )
+    trow = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.max("v") + 1).cast("long").alias("d"),
+    ).first()
+    n_c, d_c = int(trow["n"]), int(trow["d"])
+    atoms = x.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = with_global_order(atoms, "v", cumsums={"ce": "c"}).select(
+        "v", "c", "ce"
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ce, cs, c = F.col("ce"), F.col("ce") - F.col("c"), F.col("c")
+    coef1 = dec(ce) * ce - dec(cs) * cs
+    coef2 = (2 * F.lit(n_c).cast("decimal(38,0)") + 1) * c - (
+        dec(ce) * ce + ce - dec(cs) * cs - cs
+    )
+    f_v = F.col("v").cast("double") / F.lit(d_c)
+    term = (
+        coef1.cast("double") * F.log(f_v)
+        + coef2.cast("double") * F.log(1.0 - f_v)
+    )
+    fold = cum.select(
+        F.floor(term * 1e6).cast("long").cast("decimal(38,0)").alias("tq")
+    ).agg(F.sum("tq").alias("sq"))
+    return fold.select(
+        F.lit(n_c).cast("long").alias("n_orders"),
+        F.round(
+            -float(n_c) - (F.col("sq").cast("double") / 1e6) / n_c, 6
+        ).alias("a2_stat"),
+    )
+
+
+_PPF_VDW = sql_norm_ppf("CAST(r AS DOUBLE) / (n + 1)")
+_PPF_FK = sql_norm_ppf("0.5 + CAST(r AS DOUBLE) / (2 * (n + 1))")
+
+
+@register(
+    "stats_van_der_waerden",
+    f"""
+    WITH v AS (
+        SELECT c_mktsegment AS seg,
+               CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS cents
+        FROM customer
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    segs AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS ni FROM v GROUP BY 1),
+    vf AS (
+        SELECT cents, CAST(COUNT(*) AS BIGINT) AS t FROM v GROUP BY 1
+    ), rk AS (
+        SELECT cents, t,
+               COALESCE(SUM(t) OVER (ORDER BY cents ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + (t + 1) / 2.0 AS r
+        FROM vf
+    ), sc AS (
+        SELECT cents, t,
+               CAST(FLOOR({_PPF_VDW} * 1e9) AS BIGINT) AS sq
+        FROM rk, tot
+    ), svf AS (
+        SELECT seg, cents, CAST(COUNT(*) AS BIGINT) AS lsv
+        FROM v GROUP BY 1, 2
+    ), segsum AS (
+        SELECT f.seg,
+               CAST(SUM(CAST(f.lsv AS HUGEINT) * s.sq) AS HUGEINT) AS si
+        FROM svf f JOIN sc s ON s.cents = f.cents
+        GROUP BY f.seg
+    ), num AS (
+        SELECT CAST(SUM(CAST(FLOOR(
+                   (CAST(g.si AS DOUBLE) / 1e9)
+                   * (CAST(g.si AS DOUBLE) / 1e9) / e.ni * 1e6)
+               AS BIGINT)) AS HUGEINT) AS nq,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM segsum g JOIN segs e ON e.seg = g.seg
+    ), den AS (
+        SELECT CAST(SUM(CAST(t AS HUGEINT) * CAST(FLOOR(
+                   (CAST(sq AS DOUBLE) / 1e9) * (CAST(sq AS DOUBLE) / 1e9)
+                   * 1e9) AS BIGINT)) AS HUGEINT) AS dq
+        FROM sc
+    )
+    SELECT num.k AS k_samples, tot.n AS n_total,
+           ROUND((CAST(num.nq AS DOUBLE) / 1e6)
+                 / ((CAST(den.dq AS DOUBLE) / 1e9) / (tot.n - 1)), 4)
+               AS vdw_stat,
+           CAST(num.k - 1 AS BIGINT) AS df
+    FROM num, den, tot
+    """,
+)
+def stats_van_der_waerden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Van der Waerden normal-scores k-sample LOCATION test: replace
+    each pooled midrank r by the normal score Φ⁻¹(r/(N+1)) and test
+    T = Σnᵢāᵢ² / (Σa²/(N−1)) ~ χ²_{k−1} — asymptotically as efficient
+    as ANOVA when the data really are normal while keeping
+    ``stats_kruskal_wallis``'s rank robustness (KW pays ~5% ARE on
+    normal data; VDW pays none). Φ⁻¹ is Acklam's rational
+    approximation generated CHARACTER-IDENTICALLY for both engines
+    (functions/normdist.py); scores quantize at 1e-9 per distinct
+    value, every cross-row fold is an integer sum, and the k per-group
+    squared terms quantize at 1e-6 before the final k-row fold, so no
+    float addition is ever order-dependent.
+
+    Scale: midranks from the bucketed two-level cumulative over the
+    saturating acctbal atom frame; scores computed once per ATOM, then
+    an integer-weighted join to the (segment, atom) counts — the same
+    grouped-frame shape as ``stats_kruskal_wallis``/``stats_dunn_test``."""
+    cust = load_table(spark, sf_dir, "customer")
+    v = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") * 100.0).cast("long").alias("cents"),
+    )
+    tot = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    segs = v.groupBy("seg").agg(F.count(F.lit(1)).cast("long").alias("ni"))
+    vf = v.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    rk = with_global_order(vf, "cents", cumsums={"ct": "t"}).select(
+        "cents",
+        "t",
+        (F.col("ct") - F.col("t") + (F.col("t") + 1) / F.lit(2.0)).alias(
+            "r"
+        ),
+    )
+    sc = rk.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "t",
+        F.floor(
+            norm_ppf(F.col("r") / (F.col("n") + 1)) * 1e9
+        )
+        .cast("long")
+        .alias("sq"),
+    )
+    svf = v.groupBy("seg", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("lsv")
+    )
+    segsum = (
+        svf.join(sc.select("cents", "sq"), "cents")
+        .groupBy("seg")
+        .agg(
+            F.sum(F.col("lsv").cast("decimal(38,0)") * F.col("sq")).alias(
+                "si"
+            )
+        )
+    )
+    num = (
+        segsum.join(segs, "seg")
+        .select(
+            F.floor(
+                (F.col("si").cast("double") / 1e9)
+                * (F.col("si").cast("double") / 1e9)
+                / F.col("ni")
+                * 1e6
+            )
+            .cast("long")
+            .cast("decimal(38,0)")
+            .alias("q")
+        )
+        .agg(
+            F.sum("q").alias("nq"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+    )
+    den = sc.select(
+        (
+            F.col("t").cast("decimal(38,0)")
+            * F.floor(
+                (F.col("sq").cast("double") / 1e9)
+                * (F.col("sq").cast("double") / 1e9)
+                * 1e9
+            ).cast("long")
+        ).alias("q")
+    ).agg(F.sum("q").alias("dq"))
+    fin = (
+        num.crossJoin(F.broadcast(den)).crossJoin(F.broadcast(tot))
+    )
+    return fin.select(
+        F.col("k").alias("k_samples"),
+        F.col("n").alias("n_total"),
+        F.round(
+            (F.col("nq").cast("double") / 1e6)
+            / (
+                (F.col("dq").cast("double") / 1e9) / (F.col("n") - 1)
+            ),
+            4,
+        ).alias("vdw_stat"),
+        (F.col("k") - 1).cast("long").alias("df"),
+    )
+
+
+@register(
+    "stats_fligner_killeen",
+    f"""
+    WITH v AS (
+        SELECT c_mktsegment AS seg,
+               CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS cents
+        FROM customer
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    segs AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS ni FROM v GROUP BY 1),
+    sv AS (
+        SELECT seg, cents, CAST(COUNT(*) AS BIGINT) AS lsv
+        FROM v GROUP BY 1, 2
+    ), scum AS (
+        SELECT seg, cents, lsv,
+               SUM(lsv) OVER (PARTITION BY seg ORDER BY cents
+                   ROWS UNBOUNDED PRECEDING) AS ce
+        FROM sv
+    ), med AS (
+        SELECT s.seg, MIN(s.cents) AS m
+        FROM scum s JOIN segs e ON e.seg = s.seg
+        WHERE s.ce >= (e.ni + 1) // 2
+        GROUP BY s.seg
+    ), dv AS (
+        SELECT v.seg, ABS(v.cents - med.m) AS d
+        FROM v JOIN med ON med.seg = v.seg
+    ), df_ AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS t FROM dv GROUP BY 1
+    ), rk AS (
+        SELECT d, t,
+               COALESCE(SUM(t) OVER (ORDER BY d ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + (t + 1) / 2.0 AS r
+        FROM df_
+    ), sc AS (
+        SELECT d, t,
+               CAST(FLOOR({_PPF_FK} * 1e9) AS BIGINT) AS sq
+        FROM rk, tot
+    ), sdf AS (
+        SELECT seg, d, CAST(COUNT(*) AS BIGINT) AS lsv
+        FROM dv GROUP BY 1, 2
+    ), segsum AS (
+        SELECT f.seg,
+               CAST(SUM(CAST(f.lsv AS HUGEINT) * s.sq) AS HUGEINT) AS si
+        FROM sdf f JOIN sc s ON s.d = f.d
+        GROUP BY f.seg
+    ), num AS (
+        SELECT CAST(SUM(CAST(FLOOR(
+                   (CAST(g.si AS DOUBLE) / 1e9)
+                   * (CAST(g.si AS DOUBLE) / 1e9) / e.ni * 1e6)
+               AS BIGINT)) AS HUGEINT) AS nq,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM segsum g JOIN segs e ON e.seg = g.seg
+    ), den AS (
+        SELECT CAST(SUM(CAST(t AS HUGEINT) * CAST(FLOOR(
+                   (CAST(sq AS DOUBLE) / 1e9) * (CAST(sq AS DOUBLE) / 1e9)
+                   * 1e9) AS BIGINT)) AS HUGEINT) AS dq,
+               CAST(SUM(CAST(t AS HUGEINT) * sq) AS HUGEINT) AS st
+        FROM sc
+    )
+    SELECT num.k AS k_samples, tot.n AS n_total,
+           ROUND(((CAST(num.nq AS DOUBLE) / 1e6)
+                  - tot.n * (CAST(den.st AS DOUBLE) / 1e9 / tot.n)
+                          * (CAST(den.st AS DOUBLE) / 1e9 / tot.n))
+                 / (((CAST(den.dq AS DOUBLE) / 1e9)
+                     - tot.n * (CAST(den.st AS DOUBLE) / 1e9 / tot.n)
+                             * (CAST(den.st AS DOUBLE) / 1e9 / tot.n))
+                    / (tot.n - 1)), 4) AS fk_stat,
+           CAST(num.k - 1 AS BIGINT) AS df
+    FROM num, den, tot
+    """,
+)
+def stats_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fligner–Killeen k-sample SCALE test — the rank test R's
+    ``fligner.test`` runs and the robust-to-non-normality member of
+    the variance-test family (``stats_bartlett`` assumes normality,
+    ``stats_levene`` uses mean deviations): score the pooled midranks
+    of |x − median_i| (per-segment LOWER-median centering, exact order
+    statistic — no interpolation convention to disagree on) with
+    one-sided normal scores a = Φ⁻¹(½ + r/(2(N+1))), then
+    X² = Σnᵢ(āᵢ−ā)²·(N−1)/Σ(aⱼ−ā)² ~ χ²_{k−1}, computed from the
+    folds via Σnᵢ(āᵢ−ā)² = ΣSᵢ²/nᵢ − Nā². Φ⁻¹ is the shared
+    engine-mirrored Acklam probit (functions/normdist.py); scores
+    quantize at 1e-9 per distinct deviation and all folds are integer.
+
+    Scale: per-segment median from a segment-partitioned cumulative
+    over the SATURATING acctbal atom domain (same shape as
+    ``stats_ad_ksample``'s per-segment prefixes); deviation atoms
+    re-pool through the bucketed two-level cumulative; one integer-
+    weighted join to (segment, deviation) counts."""
+    cust = load_table(spark, sf_dir, "customer")
+    v = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") * 100.0).cast("long").alias("cents"),
+    )
+    tot = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    segs = v.groupBy("seg").agg(F.count(F.lit(1)).cast("long").alias("ni"))
+    sv = v.groupBy("seg", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("lsv")
+    )
+    w_seg = (
+        Window.partitionBy("seg")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scum = sv.select(
+        "seg", "cents", F.sum("lsv").over(w_seg).alias("ce")
+    )
+    med = (
+        scum.join(segs, "seg")
+        .filter(
+            F.col("ce") >= F.floor((F.col("ni") + 1) / 2).cast("long")
+        )
+        .groupBy("seg")
+        .agg(F.min("cents").alias("m"))
+    )
+    dv = v.join(med, "seg").select(
+        "seg", F.abs(F.col("cents") - F.col("m")).alias("d")
+    )
+    df_ = dv.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    rk = with_global_order(df_, "d", cumsums={"ct": "t"}).select(
+        "d",
+        "t",
+        (F.col("ct") - F.col("t") + (F.col("t") + 1) / F.lit(2.0)).alias(
+            "r"
+        ),
+    )
+    sc = rk.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "t",
+        F.floor(
+            norm_ppf(0.5 + F.col("r") / (2 * (F.col("n") + 1))) * 1e9
+        )
+        .cast("long")
+        .alias("sq"),
+    )
+    sdf = dv.groupBy("seg", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("lsv")
+    )
+    segsum = (
+        sdf.join(sc.select("d", "sq"), "d")
+        .groupBy("seg")
+        .agg(
+            F.sum(F.col("lsv").cast("decimal(38,0)") * F.col("sq")).alias(
+                "si"
+            )
+        )
+    )
+    num = (
+        segsum.join(segs, "seg")
+        .select(
+            F.floor(
+                (F.col("si").cast("double") / 1e9)
+                * (F.col("si").cast("double") / 1e9)
+                / F.col("ni")
+                * 1e6
+            )
+            .cast("long")
+            .cast("decimal(38,0)")
+            .alias("q")
+        )
+        .agg(
+            F.sum("q").alias("nq"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+    )
+    den = sc.select(
+        (
+            F.col("t").cast("decimal(38,0)")
+            * F.floor(
+                (F.col("sq").cast("double") / 1e9)
+                * (F.col("sq").cast("double") / 1e9)
+                * 1e9
+            ).cast("long")
+        ).alias("q2"),
+        (F.col("t").cast("decimal(38,0)") * F.col("sq")).alias("q1"),
+    ).agg(F.sum("q2").alias("dq"), F.sum("q1").alias("st"))
+    fin = num.crossJoin(F.broadcast(den)).crossJoin(F.broadcast(tot))
+    n = F.col("n")
+    abar = F.col("st").cast("double") / 1e9 / n
+    return fin.select(
+        F.col("k").alias("k_samples"),
+        n.alias("n_total"),
+        F.round(
+            ((F.col("nq").cast("double") / 1e6) - n * abar * abar)
+            / (
+                ((F.col("dq").cast("double") / 1e9) - n * abar * abar)
+                / (n - 1)
+            ),
+            4,
+        ).alias("fk_stat"),
+        (F.col("k") - 1).cast("long").alias("df"),
     )

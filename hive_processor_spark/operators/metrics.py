@@ -14996,3 +14996,107 @@ def stats_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fk_stat"),
         (F.col("k") - 1).cast("long").alias("df"),
     )
+
+
+@register(
+    "stats_cvm_onesample",
+    """
+    WITH x AS (
+        SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS v
+        FROM orders
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(v) + 1 AS BIGINT) AS d
+        FROM x
+    ), atoms AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY 1
+    ), cum AS (
+        SELECT v, c,
+               SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS e
+        FROM atoms
+    ), terms AS (
+        SELECT t.n, c.c, c.e, c.e - c.c AS s,
+               CAST(c.v AS DOUBLE) / t.d AS f
+        FROM cum c, tot t
+    ), fold AS (
+        SELECT CAST(SUM(CAST(FLOOR((
+                   c * f * f
+                   - (CAST(e AS HUGEINT) * e - CAST(s AS HUGEINT) * s)
+                     * f / n
+                   + CAST((4 * CAST(e AS HUGEINT) * e * e - e)
+                          - (4 * CAST(s AS HUGEINT) * s * s - s)
+                          AS DOUBLE)
+                     / (3.0 * (4.0 * CAST(n AS HUGEINT) * n))
+                   ) * 1e9) AS BIGINT)) AS HUGEINT) AS wq,
+               CAST(SUM(CAST(FLOOR(c * f * 1e9) AS BIGINT)) AS HUGEINT)
+                   AS fq
+        FROM terms
+    )
+    SELECT t.n AS n_orders,
+           ROUND(1.0 / (12.0 * t.n) + CAST(wq AS DOUBLE) / 1e9, 6)
+               AS w2_stat,
+           ROUND(1.0 / (12.0 * t.n) + CAST(wq AS DOUBLE) / 1e9
+                 - t.n * (CAST(fq AS DOUBLE) / 1e9 / t.n - 0.5)
+                       * (CAST(fq AS DOUBLE) / 1e9 / t.n - 0.5), 6)
+               AS u2_stat
+    FROM fold, tot t
+    """,
+)
+def stats_cvm_onesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample Cramér–von Mises W² plus Watson's U² against the same
+    fitted U(0, max+1) as ``stats_ad_onesample`` — completing the
+    classic EDF goodness-of-fit trio on identical footing (KS-style
+    max gap, CvM mean-square gap, AD tail-weighted gap), with Watson's
+    rotation-invariant U² = W² − n(F̄−½)² as the circular reading.
+    The per-order-statistic sum Σ(F(x₍ᵢ₎) − (2i−1)/(2n))² collapses
+    onto the distinct-value frame through tie-block closed forms:
+    Σ(2i−1) = e²−s² and Σ(2i−1)² = ((4e³−e)−(4s³−s))/3 for positions
+    (s, e] — one quantized fold, no per-row pass. The position cubes
+    ride in 128-bit integers: exact for n ≲ 2·10¹² rows (past that the
+    cube exceeds 38 digits — noted, not hidden).
+
+    Scale: atom rollup with map-side combine, one bucketed two-level
+    cumulative, one fold."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.select(
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("v")
+    )
+    tot = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.max("v") + 1).cast("long").alias("d"),
+    )
+    atoms = x.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = with_global_order(atoms, "v", cumsums={"e": "c"}).select(
+        "v", "c", "e"
+    )
+    terms = cum.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "c",
+        "e",
+        (F.col("e") - F.col("c")).alias("s"),
+        (F.col("v").cast("double") / F.col("d")).alias("f"),
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    e_d, s_d, n_d = dec("e"), dec("s"), dec("n")
+    f, c, n = F.col("f"), F.col("c"), F.col("n")
+    block = (
+        c * f * f
+        - (e_d * F.col("e") - s_d * F.col("s")).cast("double") * f / n
+        + (
+            (4 * e_d * F.col("e") * F.col("e") - F.col("e"))
+            - (4 * s_d * F.col("s") * F.col("s") - F.col("s"))
+        ).cast("double")
+        / (3.0 * (4 * n_d * F.col("n")).cast("double"))
+    )
+    fold = terms.select(
+        F.floor(block * 1e9).cast("long").cast("decimal(38,0)").alias("wq"),
+        F.floor(c * f * 1e9).cast("long").cast("decimal(38,0)").alias("fq"),
+        "n",
+    ).groupBy("n").agg(F.sum("wq").alias("wq"), F.sum("fq").alias("fq"))
+    w2 = 1.0 / (12.0 * F.col("n")) + F.col("wq").cast("double") / 1e9
+    fbar_m = F.col("fq").cast("double") / 1e9 / F.col("n") - 0.5
+    return fold.select(
+        F.col("n").alias("n_orders"),
+        F.round(w2, 6).alias("w2_stat"),
+        F.round(w2 - F.col("n") * fbar_m * fbar_m, 6).alias("u2_stat"),
+    )

@@ -99,3 +99,19 @@ def test_fligner_killeen_matches_stdlib(spark):
     assert res.k_samples == len(segs) and res.n_total == n
     assert res.fk_stat == pytest.approx(num / v, abs=2e-3)
     assert res.df == len(segs) - 1
+
+
+def test_cvm_onesample_matches_numpy(spark):
+    res = _Q["stats_cvm_onesample"](spark, SF_DIR).toPandas().iloc[0]
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_totalprice"])
+    v = np.sort(np.floor(o.o_totalprice.to_numpy() * 100.0).astype(np.int64))
+    n = len(v)
+    f = v / (v.max() + 1)
+    i = np.arange(1, n + 1)
+    w2 = 1.0 / (12 * n) + np.sum((f - (2 * i - 1) / (2.0 * n)) ** 2)
+    u2 = w2 - n * (f.mean() - 0.5) ** 2
+    assert res.n_orders == n
+    # per-block 1e-9 floor quantization biases the fold down by at most
+    # |blocks|*1e-9 ≈ 1.5e-5 at sf0.01 — tolerance set to that bound
+    assert res.w2_stat == pytest.approx(w2, abs=2e-5)
+    assert res.u2_stat == pytest.approx(u2, abs=4e-5)

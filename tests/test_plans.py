@@ -513,3 +513,39 @@ def test_hits_top15_is_take_ordered(spark):
     row_number over all suppliers/customers (round-5 verdict #2)."""
     plan = plan_string(_QUERIES["graph_hits_bipartite"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dunn_pair_grid_is_broadcast_nlj(spark):
+    """The 5×5 segment pair grid must plan as BroadcastNestedLoopJoin —
+    round-6 verdict #2 flagged it as the registry's one un-reviewed
+    CartesianProduct; the round-7 fix broadcasts the metadata-sized
+    side."""
+    plan = plan_string(_QUERIES["stats_dunn_test"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_anderson_darling_single_fact_pass(spark):
+    """The round-7 AD rewrite: the cum branch repartitions ONCE by
+    bucket and every downstream consumer (dedup-aggregate, bucket
+    stats, within-bucket windows) rides that exchange — statically the
+    subtree appears under two consumers, so the physical-single-pass
+    invariant is the executed plan's ReusedExchange; the harmonic
+    blocks run as Arrow mapInPandas — no HOF fallback, no N-row
+    window."""
+    df = _QUERIES["stats_anderson_darling"](spark, SF_DIR)
+    plan = plan_string(df)
+    assert plan.count("lineitem.parquet") <= 2
+    assert "MapInPandas" in plan
+    df.collect()
+    final = plan_string(df)
+    assert "isFinalPlan=true" in final
+    assert final.count("lineitem.parquet") - final.count("ReusedExchange") <= 1
+
+
+def test_mmd_kernel_grid_is_broadcast(spark):
+    """The atom×atom kernel grid must broadcast one side (saturating
+    ≤~370-bin domain), never shuffle-cross-join."""
+    plan = plan_string(_QUERIES["stats_mmd_rbf"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

@@ -3601,3 +3601,316 @@ def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sampen"),
         )
     )
+
+
+@register(
+    "ml_survival_na",
+    """
+    WITH spans AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+               MAX(ts) AS t_last
+        FROM events GROUP BY user_id
+    ), conv AS (
+        SELECT s.user_id,
+               DATE_DIFF('day', s.t0,
+                   COALESCE(p.tp, s.t_last)) AS dur,
+               CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM spans s
+        LEFT JOIN (
+            SELECT e.user_id, MIN(e.ts) AS tp
+            FROM events e JOIN spans s2
+              ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+             AND e.ts > s2.t0
+            GROUP BY e.user_id
+        ) p ON p.user_id = s.user_id
+        WHERE s.t0 IS NOT NULL
+    ), times AS (
+        SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS leaving
+        FROM conv GROUP BY dur
+    ), risk AS (
+        SELECT dur, d,
+               SUM(leaving) OVER (ORDER BY dur DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        FROM times
+    )
+    SELECT CAST(dur AS INTEGER) AS day, CAST(n_risk AS BIGINT) AS at_risk,
+           d AS n_events,
+           ROUND(SUM(CAST(FLOOR(CAST(d AS DOUBLE) / n_risk * 1e9) AS BIGINT))
+                 OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) / 1e9, 6) AS cum_hazard,
+           ROUND(SUM(CAST(FLOOR(CAST(d AS DOUBLE) * (n_risk - d)
+                                / (CAST(n_risk AS DOUBLE) * n_risk * n_risk)
+                                * 1e12) AS BIGINT))
+                 OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) / 1e12, 8) AS hazard_var
+    FROM risk
+    WHERE d > 0
+    ORDER BY day
+    """,
+)
+def ml_survival_na(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator on the same
+    time-to-first-purchase framing as ``ml_survival_km`` —
+    H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ with the Klein-survey variance
+    Σ dᵢ(nᵢ−dᵢ)/nᵢ³. H is what hazard-based models (Cox, Aalen
+    additive) actually estimate; exp(−H) is the Fleming–Harrington
+    survival alternative to KM's product-limit, and the two diverge
+    exactly where risk sets get small — carrying both makes that
+    divergence observable. Per-time terms floor-quantize (1e-9 hazard,
+    1e-12 variance) before the running sums, so both curves are
+    parallelism-stable.
+
+    Scale: identical to KM — two fact-scale per-user aggregations;
+    every window runs on the bounded distinct-duration day frame."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t0"),
+        F.max("ts").alias("t_last"),
+    ).filter(F.col("t0").isNotNull())
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(
+            spans.select(
+                F.col("user_id").alias("u2"), F.col("t0").alias("s_t0")
+            ),
+            (F.col("user_id") == F.col("u2")) & (F.col("ts") > F.col("s_t0")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    conv = spans.join(purch, "user_id", "left").select(
+        F.datediff(
+            F.coalesce(F.col("tp"), F.col("t_last")).cast("date"),
+            F.col("t0").cast("date"),
+        ).alias("dur"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    times = conv.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+    )
+    w_rev = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = times.select(
+        "dur", "d", F.sum("leaving").over(w_rev).alias("n_risk")
+    )
+    hz = F.floor(
+        F.col("d").cast("double") / F.col("n_risk") * 1e9
+    ).cast("long")
+    vz = F.floor(
+        F.col("d").cast("double")
+        * (F.col("n_risk") - F.col("d"))
+        / (
+            F.col("n_risk").cast("double")
+            * F.col("n_risk")
+            * F.col("n_risk")
+        )
+        * 1e12
+    ).cast("long")
+    w_fwd = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        risk.select(
+            F.col("dur").cast("int").alias("day"),
+            F.col("n_risk").cast("long").alias("at_risk"),
+            F.col("d").alias("n_events"),
+            F.round(F.sum(hz).over(w_fwd) / 1e9, 6).alias("cum_hazard"),
+            F.round(F.sum(vz).over(w_fwd) / 1e12, 8).alias("hazard_var"),
+            F.col("d").alias("_d"),
+        )
+        .filter(F.col("_d") > 0)
+        .drop("_d")
+        .orderBy("day")
+    )
+
+
+@register(
+    "ml_survival_cif",
+    """
+    WITH spans AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+               MAX(ts) AS t_last
+        FROM events GROUP BY user_id
+    ), first_ev AS (
+        SELECT e.user_id, MIN(e.ts) AS tf
+        FROM events e JOIN spans s2
+          ON e.user_id = s2.user_id
+         AND e.event_type IN ('purchase', 'click')
+         AND e.ts > s2.t0
+        GROUP BY e.user_id
+    ), typed AS (
+        SELECT f.user_id, f.tf,
+               MIN(e.event_type) AS etype
+        FROM first_ev f JOIN events e
+          ON e.user_id = f.user_id AND e.ts = f.tf
+         AND e.event_type IN ('purchase', 'click')
+        GROUP BY f.user_id, f.tf
+    ), conv AS (
+        SELECT s.user_id,
+               DATE_DIFF('day', s.t0, COALESCE(t.tf, s.t_last)) AS dur,
+               CASE WHEN t.etype = 'purchase' THEN 1 ELSE 0 END AS dp,
+               CASE WHEN t.etype = 'click' THEN 1 ELSE 0 END AS dc
+        FROM spans s LEFT JOIN typed t ON t.user_id = s.user_id
+        WHERE s.t0 IS NOT NULL
+    ), times AS (
+        SELECT dur, CAST(SUM(dp) AS BIGINT) AS dp,
+               CAST(SUM(dc) AS BIGINT) AS dc,
+               CAST(COUNT(*) AS BIGINT) AS leaving
+        FROM conv GROUP BY dur
+    ), risk AS (
+        SELECT dur, dp, dc,
+               SUM(leaving) OVER (ORDER BY dur DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n_risk
+        FROM times
+    ), surv AS (
+        SELECT dur, dp, dc, n_risk,
+               COALESCE(SUM(CASE WHEN dp + dc > 0 THEN
+                   CAST(FLOOR(LN(GREATEST(1.0
+                       - CAST(dp + dc AS DOUBLE) / n_risk, 1e-12)) * 1e9)
+                       AS BIGINT) ELSE 0 END)
+                   OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS lnq_prev
+        FROM risk
+    ), terms AS (
+        SELECT dur, dp, dc, n_risk,
+               CAST(FLOOR(EXP(lnq_prev / 1e9)
+                          * (CAST(dp AS DOUBLE) / n_risk) * 1e9)
+                    AS BIGINT) AS tp_,
+               CAST(FLOOR(EXP(lnq_prev / 1e9)
+                          * (CAST(dc AS DOUBLE) / n_risk) * 1e9)
+                    AS BIGINT) AS tc_
+        FROM surv
+    )
+    SELECT CAST(dur AS INTEGER) AS day, CAST(n_risk AS BIGINT) AS at_risk,
+           dp AS n_purchase, dc AS n_click,
+           ROUND(SUM(tp_) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) / 1e9, 6) AS cif_purchase,
+           ROUND(SUM(tc_) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) / 1e9, 6) AS cif_click
+    FROM terms
+    WHERE dp + dc > 0
+    ORDER BY day
+    """,
+)
+def ml_survival_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen–Johansen cumulative-incidence functions under COMPETING
+    RISKS: after the first view, a user's first conversion is either a
+    purchase or a click — whichever fires first removes them from risk
+    for the other. CIF_k(t) = Σ_{tᵢ≤t} Ŝ(tᵢ₋)·d_{k,i}/nᵢ with Ŝ the
+    all-cause Kaplan–Meier — the estimator 1−KM-per-cause gets WRONG
+    (it over-counts by treating the competing event as censoring; the
+    CIFs here sum with the survivor to exactly 1 in the limit).
+    Ŝ(t−) comes from the exp of a lagged running sum of 1e-9-quantized
+    ln(1 − d/n) terms, per-time increments floor-quantize at 1e-9, so
+    both curves are parallelism-stable and engine-exact. First-event
+    type ties on the same timestamp break deterministically (MIN over
+    the type string — 'click' < 'purchase', documented).
+
+    Scale: two fact-scale per-user aggregations (same shape as
+    ``ml_survival_km``); all windows run on the bounded
+    distinct-duration day frame. Output: one row per event day with
+    both CIFs."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t0"),
+        F.max("ts").alias("t_last"),
+    ).filter(F.col("t0").isNotNull())
+    cand = ev.filter(F.col("event_type").isin("purchase", "click")).join(
+        spans.select(F.col("user_id").alias("u2"), F.col("t0").alias("s_t0")),
+        (F.col("user_id") == F.col("u2")) & (F.col("ts") > F.col("s_t0")),
+    )
+    first_ev = cand.groupBy("user_id").agg(F.min("ts").alias("tf"))
+    typed = (
+        cand.join(
+            first_ev.select(
+                F.col("user_id").alias("u3"), F.col("tf")
+            ),
+            (F.col("user_id") == F.col("u3")) & (F.col("ts") == F.col("tf")),
+        )
+        .groupBy("user_id", "tf")
+        .agg(F.min("event_type").alias("etype"))
+    )
+    conv = spans.join(typed, "user_id", "left").select(
+        F.datediff(
+            F.coalesce(F.col("tf"), F.col("t_last")).cast("date"),
+            F.col("t0").cast("date"),
+        ).alias("dur"),
+        F.when(F.col("etype") == "purchase", 1).otherwise(0).alias("dp"),
+        F.when(F.col("etype") == "click", 1).otherwise(0).alias("dc"),
+    )
+    times = conv.groupBy("dur").agg(
+        F.sum("dp").cast("long").alias("dp"),
+        F.sum("dc").cast("long").alias("dc"),
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+    )
+    w_rev = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = times.select(
+        "dur", "dp", "dc", F.sum("leaving").over(w_rev).alias("n_risk")
+    )
+    d_all = F.col("dp") + F.col("dc")
+    lnterm = F.when(
+        d_all > 0,
+        F.floor(
+            F.log(
+                F.greatest(
+                    F.lit(1.0) - d_all.cast("double") / F.col("n_risk"),
+                    F.lit(1e-12),
+                )
+            )
+            * 1e9
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    w_prev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    surv = risk.select(
+        "dur",
+        "dp",
+        "dc",
+        "n_risk",
+        F.coalesce(F.sum(lnterm).over(w_prev), F.lit(0)).alias("lnq_prev"),
+    )
+    s_prev = F.exp(F.col("lnq_prev") / 1e9)
+    terms = surv.select(
+        "dur",
+        "dp",
+        "dc",
+        "n_risk",
+        F.floor(
+            s_prev * (F.col("dp").cast("double") / F.col("n_risk")) * 1e9
+        )
+        .cast("long")
+        .alias("tp_"),
+        F.floor(
+            s_prev * (F.col("dc").cast("double") / F.col("n_risk")) * 1e9
+        )
+        .cast("long")
+        .alias("tc_"),
+    )
+    w_fwd = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        terms.select(
+            F.col("dur").cast("int").alias("day"),
+            F.col("n_risk").cast("long").alias("at_risk"),
+            F.col("dp").alias("n_purchase"),
+            F.col("dc").alias("n_click"),
+            F.round(F.sum("tp_").over(w_fwd) / 1e9, 6).alias(
+                "cif_purchase"
+            ),
+            F.round(F.sum("tc_").over(w_fwd) / 1e9, 6).alias("cif_click"),
+            (F.col("dp") + F.col("dc")).alias("_d"),
+        )
+        .filter(F.col("_d") > 0)
+        .drop("_d")
+        .orderBy("day")
+    )

@@ -1,0 +1,99 @@
+"""Semantic invariants for wave-158 (Nelson–Aalen, Aalen–Johansen CIF)
+against an independent pandas/numpy survival re-derivation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hive_processor_spark import queries
+from tests.conftest import SF_DIR
+
+_Q = queries()
+
+
+def _conv_frame():
+    ev = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    ev["ts"] = pd.to_datetime(ev.ts)
+    t0 = ev[ev.event_type == "view"].groupby("user_id")["ts"].min()
+    t_last = ev.groupby("user_id")["ts"].max()
+    return ev, t0, t_last
+
+
+def test_nelson_aalen_matches_pandas(spark):
+    res = _Q["ml_survival_na"](spark, SF_DIR).toPandas()
+    ev, t0, t_last = _conv_frame()
+    p = ev[ev.event_type == "purchase"].merge(
+        t0.rename("t0"), on="user_id"
+    )
+    tp = p[p.ts > p.t0].groupby("user_id")["ts"].min()
+    users = t0.index
+    end = tp.reindex(users).fillna(t_last.reindex(users))
+    dur = (end.dt.date.values - t0.dt.date.values).astype(
+        "timedelta64[D]"
+    ).astype(int)
+    evd = tp.reindex(users).notna().to_numpy().astype(int)
+    order = np.argsort(dur, kind="stable")
+    h = 0.0
+    hv = 0.0
+    rows = iter(res.itertuples())
+    for t in np.unique(dur):
+        at = int((dur >= t).sum())
+        d = int(evd[dur == t].sum())
+        if d == 0:
+            continue
+        h += d / at
+        hv += d * (at - d) / at**3
+        row = next(rows)
+        assert row.day == t and row.at_risk == at and row.n_events == d
+        assert row.cum_hazard == pytest.approx(h, abs=2e-4)
+        assert row.hazard_var == pytest.approx(hv, abs=1e-6)
+
+
+def test_cif_matches_pandas_and_sums_with_survivor(spark):
+    res = _Q["ml_survival_cif"](spark, SF_DIR).toPandas()
+    ev, t0, t_last = _conv_frame()
+    c = ev[ev.event_type.isin(["purchase", "click"])].merge(
+        t0.rename("t0"), on="user_id"
+    )
+    c = c[c.ts > c.t0]
+    tf = c.groupby("user_id")["ts"].min()
+    typed = c.merge(tf.rename("tf"), on="user_id")
+    typed = (
+        typed[typed.ts == typed.tf]
+        .groupby("user_id")["event_type"]
+        .min()
+    )
+    users = t0.index
+    end = tf.reindex(users).fillna(t_last.reindex(users))
+    dur = (end.dt.date.values - t0.dt.date.values).astype(
+        "timedelta64[D]"
+    ).astype(int)
+    ety = typed.reindex(users).to_numpy()
+    s = 1.0
+    cifp = cifc = 0.0
+    rows = iter(res.itertuples())
+    for t in np.unique(dur):
+        at = int((dur >= t).sum())
+        dp = int(((dur == t) & (ety == "purchase")).sum())
+        dc = int(((dur == t) & (ety == "click")).sum())
+        if dp + dc == 0:
+            continue
+        cifp += s * dp / at
+        cifc += s * dc / at
+        s *= 1 - (dp + dc) / at
+        row = next(rows)
+        assert (row.day, row.at_risk) == (t, at)
+        assert (row.n_purchase, row.n_click) == (dp, dc)
+        assert row.cif_purchase == pytest.approx(cifp, abs=2e-4)
+        assert row.cif_click == pytest.approx(cifc, abs=2e-4)
+    # Aalen–Johansen identity: CIFs + all-cause survivor == 1 exactly
+    # (up to quantization) once everyone has converted or censored out
+    last = res.iloc[-1]
+    assert last.cif_purchase + last.cif_click <= 1.0 + 1e-6
+    assert last.cif_purchase + last.cif_click + s == pytest.approx(
+        1.0, abs=2e-3
+    )

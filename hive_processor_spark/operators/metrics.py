@@ -15100,3 +15100,188 @@ def stats_cvm_onesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w2, 6).alias("w2_stat"),
         F.round(w2 - F.col("n") * fbar_m * fbar_m, 6).alias("u2_stat"),
     )
+
+
+@register(
+    "stats_dagostino_k2",
+    """
+    WITH v AS (
+        SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS y
+        FROM orders
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s1,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS s2,
+               CAST(SUM(CAST(y AS HUGEINT) * y * y) AS HUGEINT) AS s3,
+               CAST(SUM(CAST(y AS HUGEINT) * y * y * y) AS HUGEINT) AS s4
+        FROM v
+    ), mo AS (
+        SELECT n,
+               CAST(s1 AS DOUBLE) / n AS m1,
+               CAST(s2 AS DOUBLE) / n AS m2r,
+               CAST(s3 AS DOUBLE) / n AS m3r,
+               CAST(s4 AS DOUBLE) / n AS m4r
+        FROM s
+    ), mu AS (
+        SELECT n,
+               m2r - m1 * m1 AS mu2,
+               m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1 AS mu3,
+               m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r
+                   - 3 * m1 * m1 * m1 * m1 AS mu4
+        FROM mo
+    ), g AS (
+        SELECT n, mu3 / POWER(mu2, 1.5) AS g1, mu4 / (mu2 * mu2) AS b2
+        FROM mu
+    ), sk AS (
+        SELECT n, g1, b2,
+               g1 * SQRT((n + 1.0) * (n + 3) / (6.0 * (n - 2))) AS yy,
+               SQRT(-1 + SQRT(2 * (3.0 * (CAST(n AS DOUBLE) * n + 27 * n
+                   - 70) * (n + 1) * (n + 3)
+                   / ((n - 2.0) * (n + 5) * (n + 7) * (n + 9)) - 1)))
+                   AS ww
+        FROM g
+    ), z1c AS (
+        SELECT n, g1, b2,
+               (1 / SQRT(LN(ww)))
+               * LN(yy / SQRT(2 / (ww * ww - 1))
+                    + SQRT((yy / SQRT(2 / (ww * ww - 1)))
+                           * (yy / SQRT(2 / (ww * ww - 1))) + 1)) AS z1
+        FROM sk
+    ), ku AS (
+        SELECT n, g1, b2, z1,
+               (b2 - 3.0 * (n - 1) / (n + 1))
+               / SQRT(24.0 * n * (n - 2) * (n - 3)
+                      / ((n + 1.0) * (n + 1) * (n + 3) * (n + 5))) AS x,
+               6.0 * (CAST(n AS DOUBLE) * n - 5 * n + 2)
+               / ((n + 7.0) * (n + 9))
+               * SQRT(6.0 * (n + 3) * (n + 5)
+                      / (CAST(n AS DOUBLE) * (n - 2) * (n - 3))) AS sb
+        FROM z1c
+    ), au AS (
+        SELECT n, g1, b2, z1, x,
+               6.0 + 8.0 / sb * (2.0 / sb + SQRT(1.0 + 4.0 / (sb * sb)))
+                   AS a
+        FROM ku
+    ), z2c AS (
+        SELECT n, g1, b2, z1,
+               (1.0 - 2.0 / (9.0 * a)
+                - POWER((1.0 - 2.0 / a)
+                        / (1.0 + x * SQRT(2.0 / (a - 4.0))), 1.0 / 3.0))
+               / SQRT(2.0 / (9.0 * a)) AS z2
+        FROM au
+    )
+    SELECT n AS n_obs,
+           ROUND(g1, 6) AS sample_skewness,
+           ROUND(b2 - 3.0, 6) AS excess_kurtosis,
+           ROUND(z1, 4) AS z_skew,
+           ROUND(z2, 4) AS z_kurt,
+           ROUND(z1 * z1 + z2 * z2, 4) AS k2_stat
+    FROM z2c
+    """,
+)
+def stats_dagostino_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Agostino–Pearson K² omnibus normality test: the Johnson-SU
+    skewness z (same transform as ``stats_dagostino_skew``) plus the
+    Anscombe–Glynn kurtosis z (Wilson–Hilferty cube-root normalization
+    of b₂ against its exact null mean 3(n−1)/(n+1) and variance
+    24n(n−2)(n−3)/((n+1)²(n+3)(n+5))), combined as K² = z₁² + z₂² ~
+    χ²₂. The finite-n calibrated omnibus ``stats_jarque_bera``
+    approximates asymptotically — at moderate n JB's χ² is known to be
+    anti-conservative while K² holds size. First FOUR raw moments fold
+    as exact 128-bit integers (y⁴ ≤ 5e30 at the fixture's price domain
+    — within decimal(38,0) for any N whose Σy⁴ stays under 38 digits,
+    i.e. ~10⁷× the 100 TB row count); everything after is fixed scalar
+    algebra on one row.
+
+    Scale: one map-side-combined pass to 5 cells; no shuffle beyond
+    the aggregate's 1-row exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("y")
+    )
+    y = F.col("y")
+    s = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).cast("long").alias("s1"),
+        F.sum(y.cast("decimal(38,0)") * y).alias("s2"),
+        F.sum(y.cast("decimal(38,0)") * y * y).alias("s3"),
+        F.sum(y.cast("decimal(38,0)") * y * y * y).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    m2r = F.col("s2").cast("double") / n
+    m3r = F.col("s3").cast("double") / n
+    m4r = F.col("s4").cast("double") / n
+    mu2 = m2r - m1 * m1
+    mu3 = m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1
+    mu4 = m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * m1 * m1 * m1 * m1
+    g = s.select(
+        n,
+        (mu3 / F.pow(mu2, 1.5)).alias("g1"),
+        (mu4 / (mu2 * mu2)).alias("b2"),
+    )
+    yy = F.col("g1") * F.sqrt((n + F.lit(1.0)) * (n + 3) / (6.0 * (n - 2)))
+    ww = F.sqrt(
+        -1
+        + F.sqrt(
+            2
+            * (
+                3.0
+                * (n.cast("double") * n + 27 * n - 70)
+                * (n + 1)
+                * (n + 3)
+                / ((n - F.lit(2.0)) * (n + 5) * (n + 7) * (n + 9))
+                - 1
+            )
+        )
+    )
+    sk = g.select(n, "g1", "b2", yy.alias("yy"), ww.alias("ww"))
+    alpha = F.sqrt(2 / (F.col("ww") * F.col("ww") - 1))
+    z1 = (1 / F.sqrt(F.log(F.col("ww")))) * F.log(
+        F.col("yy") / alpha
+        + F.sqrt((F.col("yy") / alpha) * (F.col("yy") / alpha) + 1)
+    )
+    z1c = sk.select(n, "g1", "b2", z1.alias("z1"))
+    x = (F.col("b2") - 3.0 * (n - 1) / (n + 1)) / F.sqrt(
+        24.0
+        * n
+        * (n - 2)
+        * (n - 3)
+        / ((n + F.lit(1.0)) * (n + 1) * (n + 3) * (n + 5))
+    )
+    sb = (
+        6.0
+        * (n.cast("double") * n - 5 * n + 2)
+        / ((n + F.lit(7.0)) * (n + 9))
+        * F.sqrt(
+            6.0
+            * (n + 3)
+            * (n + 5)
+            / (n.cast("double") * (n - 2) * (n - 3))
+        )
+    )
+    ku = z1c.select(n, "g1", "b2", "z1", x.alias("x"), sb.alias("sb"))
+    a = 6.0 + 8.0 / F.col("sb") * (
+        2.0 / F.col("sb") + F.sqrt(1.0 + 4.0 / (F.col("sb") * F.col("sb")))
+    )
+    au = ku.select(n, "g1", "b2", "z1", "x", a.alias("a"))
+    z2 = (
+        1.0
+        - 2.0 / (9.0 * F.col("a"))
+        - F.pow(
+            (1.0 - 2.0 / F.col("a"))
+            / (1.0 + F.col("x") * F.sqrt(2.0 / (F.col("a") - 4.0))),
+            1.0 / 3.0,
+        )
+    ) / F.sqrt(2.0 / (9.0 * F.col("a")))
+    z2c = au.select(n, "g1", "b2", "z1", z2.alias("z2"))
+    return z2c.select(
+        n.alias("n_obs"),
+        F.round(F.col("g1"), 6).alias("sample_skewness"),
+        F.round(F.col("b2") - 3.0, 6).alias("excess_kurtosis"),
+        F.round(F.col("z1"), 4).alias("z_skew"),
+        F.round(F.col("z2"), 4).alias("z_kurt"),
+        F.round(
+            F.col("z1") * F.col("z1") + F.col("z2") * F.col("z2"), 4
+        ).alias("k2_stat"),
+    )

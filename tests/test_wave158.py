@@ -97,3 +97,49 @@ def test_cif_matches_pandas_and_sums_with_survivor(spark):
     assert last.cif_purchase + last.cif_click + s == pytest.approx(
         1.0, abs=2e-3
     )
+
+
+def test_dagostino_k2_matches_numpy(spark):
+    """Independent re-derivation of K² (D'Agostino '71 skew z +
+    Anscombe–Glynn '83 kurtosis z) from numpy moments."""
+    import math
+
+    res = _Q["stats_dagostino_k2"](spark, SF_DIR).toPandas().iloc[0]
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_totalprice"])
+    y = np.floor(o.o_totalprice.to_numpy() * 100.0).astype(np.float64)
+    n = len(y)
+    mu = y.mean()
+    m2 = ((y - mu) ** 2).mean()
+    m3 = ((y - mu) ** 3).mean()
+    m4 = ((y - mu) ** 4).mean()
+    g1 = m3 / m2**1.5
+    b2 = m4 / m2**2
+    # skew z (Johnson SU)
+    yv = g1 * math.sqrt((n + 1) * (n + 3) / (6.0 * (n - 2)))
+    beta2 = (
+        3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+        / ((n - 2.0) * (n + 5) * (n + 7) * (n + 9))
+    )
+    w = math.sqrt(-1 + math.sqrt(2 * (beta2 - 1)))
+    z1 = (1 / math.sqrt(math.log(w))) * math.asinh(
+        yv / math.sqrt(2 / (w * w - 1))
+    )
+    # kurtosis z (Anscombe–Glynn, Wilson–Hilferty)
+    x = (b2 - 3.0 * (n - 1) / (n + 1)) / math.sqrt(
+        24.0 * n * (n - 2) * (n - 3) / ((n + 1.0) ** 2 * (n + 3) * (n + 5))
+    )
+    sb = (
+        6.0 * (n * n - 5 * n + 2) / ((n + 7.0) * (n + 9))
+        * math.sqrt(6.0 * (n + 3) * (n + 5) / (n * (n - 2.0) * (n - 3)))
+    )
+    a = 6.0 + 8.0 / sb * (2.0 / sb + math.sqrt(1.0 + 4.0 / sb**2))
+    z2 = (
+        1 - 2.0 / (9 * a)
+        - ((1 - 2.0 / a) / (1 + x * math.sqrt(2.0 / (a - 4)))) ** (1.0 / 3)
+    ) / math.sqrt(2.0 / (9 * a))
+    assert res.n_obs == n
+    assert res.sample_skewness == pytest.approx(g1, abs=1e-5)
+    assert res.excess_kurtosis == pytest.approx(b2 - 3, abs=1e-5)
+    assert res.z_skew == pytest.approx(z1, abs=1e-3)
+    assert res.z_kurt == pytest.approx(z2, abs=1e-3)
+    assert res.k2_stat == pytest.approx(z1**2 + z2**2, abs=5e-3)

@@ -1321,3 +1321,171 @@ def market_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rca").desc(), "nation", "p_type")
         .limit(20)
     )
+
+
+@register(
+    "ml_bradley_terry",
+    """
+    WITH lines AS (
+        SELECT l.l_orderkey AS ok, p.p_brand AS brand,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                    * 100.0) AS BIGINT)) AS BIGINT) AS rev
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ), duels AS (
+        SELECT a.brand AS ba, b.brand AS bb,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN a.rev > b.rev THEN 1 ELSE 0 END)
+                    AS BIGINT) AS wa
+        FROM lines a JOIN lines b
+          ON b.ok = a.ok AND a.brand < b.brand
+        WHERE a.rev <> b.rev
+        GROUP BY 1, 2
+    ), wins AS (
+        SELECT brand, CAST(SUM(w) AS BIGINT) AS w,
+               CAST(SUM(n) AS BIGINT) AS games
+        FROM (
+            SELECT ba AS brand, wa AS w, n FROM duels
+            UNION ALL
+            SELECT bb AS brand, n - wa AS w, n FROM duels
+        ) GROUP BY brand
+    ), s1 AS (
+        -- MM iteration 1 from s=1: s' = W / Σ n_ij/(1+1) = 2W/games
+        SELECT brand,
+               CAST(FLOOR(2.0 * w / games * 1e9) AS BIGINT) AS sq,
+               w, games
+        FROM wins
+    ), denom2 AS (
+        SELECT d.brand,
+               CAST(SUM(CAST(FLOOR(d.n
+                    / (sa.sq / 1e9 + sb.sq / 1e9) * 1e9) AS BIGINT))
+                    AS HUGEINT) AS dq
+        FROM (
+            SELECT ba AS brand, bb AS other, n FROM duels
+            UNION ALL
+            SELECT bb AS brand, ba AS other, n FROM duels
+        ) d
+        JOIN s1 sa ON sa.brand = d.brand
+        JOIN s1 sb ON sb.brand = d.other
+        GROUP BY d.brand
+    )
+    SELECT s1.brand, s1.w AS wins, s1.games,
+           ROUND(s1.w / (CAST(denom2.dq AS DOUBLE) / 1e9), 6) AS bt_strength
+    FROM s1 JOIN denom2 ON denom2.brand = s1.brand
+    ORDER BY bt_strength DESC, s1.brand
+    """,
+)
+def ml_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry pairwise-preference strengths over brand "duels" —
+    within each order basket, of two brands the one with higher net
+    line revenue wins the duel (ties excluded). BT is THE model behind
+    pairwise LLM-eval leaderboards (chatbot-arena-style Elo is its
+    online cousin): P(i beats j) = sᵢ/(sᵢ+sⱼ), fit by the
+    Hunter (2004) MM update sᵢ' = Wᵢ / Σⱼ nᵢⱼ/(sᵢ+sⱼ). TWO fixed MM
+    iterations from s=1 (the bit-stable fixed-iteration discipline of
+    ``embed_kmeans``): iteration 1 collapses in closed form to
+    2Wᵢ/gamesᵢ, which is quantized at 1e-9; iteration 2 folds the
+    pair-frame denominators as quantized integers — every cross-row
+    sum is an integer fold, so the strengths are engine-exact. More
+    iterations sharpen the fit but the RANKING typically stabilizes by
+    two; the fixed count keeps the oracle expressible.
+
+    Scale: the duel join is per-ORDER (bounded basket size², the
+    ``basket_pairs`` shape — never a global brand cross join); the
+    duels frame saturates at |brands|² rows; both MM passes run on
+    metadata-sized frames."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    lines = (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .groupBy(
+            F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand")
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    a = lines.select(
+        F.col("ok"), F.col("brand").alias("ba"), F.col("rev").alias("ra")
+    )
+    b = lines.select(
+        F.col("ok").alias("ok2"),
+        F.col("brand").alias("bb"),
+        F.col("rev").alias("rb"),
+    )
+    duels = (
+        a.join(
+            b,
+            (F.col("ok2") == F.col("ok"))
+            & (F.col("ba") < F.col("bb"))
+            & (F.col("ra") != F.col("rb")),
+        )
+        .groupBy("ba", "bb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("ra") > F.col("rb"), 1).otherwise(0))
+            .cast("long")
+            .alias("wa"),
+        )
+    )
+    sides = duels.select(
+        F.col("ba").alias("brand"),
+        F.col("bb").alias("other"),
+        "n",
+        F.col("wa").alias("w"),
+    ).unionByName(
+        duels.select(
+            F.col("bb").alias("brand"),
+            F.col("ba").alias("other"),
+            "n",
+            (F.col("n") - F.col("wa")).alias("w"),
+        )
+    )
+    wins = sides.groupBy("brand").agg(
+        F.sum("w").cast("long").alias("w"),
+        F.sum("n").cast("long").alias("games"),
+    )
+    s1 = wins.select(
+        "brand",
+        "w",
+        "games",
+        F.floor(2.0 * F.col("w") / F.col("games") * 1e9)
+        .cast("long")
+        .alias("sq"),
+    )
+    sa = s1.select(F.col("brand").alias("b1"), F.col("sq").alias("sqa"))
+    sb = s1.select(F.col("brand").alias("b2"), F.col("sq").alias("sqb"))
+    denom2 = (
+        sides.join(sa, F.col("b1") == F.col("brand"))
+        .join(sb, F.col("b2") == F.col("other"))
+        .groupBy("brand")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("n")
+                    / (F.col("sqa") / 1e9 + F.col("sqb") / 1e9)
+                    * 1e9
+                )
+                .cast("long")
+                .cast("decimal(38,0)")
+            ).alias("dq")
+        )
+    )
+    return (
+        s1.join(denom2, "brand")
+        .select(
+            "brand",
+            F.col("w").alias("wins"),
+            "games",
+            F.round(
+                F.col("w") / (F.col("dq").cast("double") / 1e9), 6
+            ).alias("bt_strength"),
+        )
+        .orderBy(F.col("bt_strength").desc(), "brand")
+    )

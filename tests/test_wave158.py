@@ -143,3 +143,57 @@ def test_dagostino_k2_matches_numpy(spark):
     assert res.z_skew == pytest.approx(z1, abs=1e-3)
     assert res.z_kurt == pytest.approx(z2, abs=1e-3)
     assert res.k2_stat == pytest.approx(z1**2 + z2**2, abs=5e-3)
+
+
+def test_bradley_terry_matches_numpy(spark):
+    """Independent MM re-derivation (unquantized floats) of the 2-step
+    Bradley–Terry strengths + ranking sanity."""
+    res = _Q["ml_bradley_terry"](spark, SF_DIR).toPandas()
+    li = pd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_extendedprice", "l_discount"],
+    )
+    p = pd.read_parquet(
+        f"{SF_DIR}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    j["rev"] = np.floor(
+        j.l_extendedprice.to_numpy() * (1 - j.l_discount.to_numpy()) * 100.0
+    ).astype(np.int64)
+    lines = j.groupby(["l_orderkey", "p_brand"])["rev"].sum().reset_index()
+    duel_n: dict = {}
+    duel_w: dict = {}
+    for _, grp in lines.groupby("l_orderkey"):
+        rows = list(grp.itertuples())
+        for i in range(len(rows)):
+            for k in range(i + 1, len(rows)):
+                x, y = rows[i], rows[k]
+                ba, bb = sorted([x.p_brand, y.p_brand])
+                if ba == bb or x.rev == y.rev:
+                    continue
+                win_a = (x.rev > y.rev) == (x.p_brand == ba)
+                duel_n[(ba, bb)] = duel_n.get((ba, bb), 0) + 1
+                duel_w[(ba, bb)] = duel_w.get((ba, bb), 0) + int(win_a)
+    brands = sorted({b for k in duel_n for b in k})
+    w = {b: 0 for b in brands}
+    games = {b: 0 for b in brands}
+    for (ba, bb), n in duel_n.items():
+        w[ba] += duel_w[(ba, bb)]
+        w[bb] += n - duel_w[(ba, bb)]
+        games[ba] += n
+        games[bb] += n
+    s1 = {b: 2.0 * w[b] / games[b] for b in brands}
+    s2 = {}
+    for b in brands:
+        d = 0.0
+        for (ba, bb), n in duel_n.items():
+            if ba == b:
+                d += n / (s1[ba] + s1[bb])
+            elif bb == b:
+                d += n / (s1[ba] + s1[bb])
+        s2[b] = w[b] / d
+    assert len(res) == len(brands)
+    for row in res.itertuples():
+        assert row.wins == w[row.brand]
+        assert row.games == games[row.brand]
+        assert row.bt_strength == pytest.approx(s2[row.brand], rel=1e-4)

@@ -120,3 +120,44 @@ def test_double_values_exact(spark):
     w = Window.orderBy("v", "id")
     want = df.select("id", F.row_number().over(w).cast("long").alias("rn"))
     assert got.exceptAll(want).count() == 0
+
+
+def test_bounds_path_identical_to_span_path(spark):
+    """bounds= (round-7: caller-supplied min/max skips the span
+    aggregate) must produce IDENTICAL rank/cumsum results to the
+    default span-aggregate path — for the exact bounds, a loose
+    superset, and under desc."""
+    df = _fixture(spark, n=3000, seed=13)
+    lo = df.agg(F.min("v")).first()[0]
+    hi = df.agg(F.max("v")).first()[0]
+    base = with_global_order(
+        df, "v", ["id"], rank="rn", cumsums={"cw": "w"}
+    ).select("id", "rn", "cw")
+    for bounds in [(lo, hi), (lo - 100, hi + 1000), (hi, lo)]:
+        got = with_global_order(
+            df, "v", ["id"], rank="rn", cumsums={"cw": "w"}, bounds=bounds
+        ).select("id", "rn", "cw")
+        assert got.exceptAll(base).count() == 0, bounds
+        assert base.exceptAll(got).count() == 0, bounds
+    base_d = with_global_order(df, "v", ["id"], rank="rn", desc=True).select(
+        "id", "rn"
+    )
+    got_d = with_global_order(
+        df, "v", ["id"], rank="rn", desc=True, bounds=(lo, hi)
+    ).select("id", "rn")
+    assert got_d.exceptAll(base_d).count() == 0
+    assert base_d.exceptAll(got_d).count() == 0
+
+
+def test_bounds_path_skips_span_aggregate(spark):
+    """With bounds supplied the plan must contain NO aggregate over the
+    input ahead of the bucket stats (the span min/max pass is gone) —
+    counted as one fewer HashAggregate pair than the default path."""
+    from hive_processor_spark.plans import plan_string
+
+    df = _fixture(spark, n=500, seed=3)
+    p_span = plan_string(with_global_order(df, "v", rank="rn"))
+    p_bounds = plan_string(
+        with_global_order(df, "v", rank="rn", bounds=(0, 10000))
+    )
+    assert p_bounds.count("HashAggregate") < p_span.count("HashAggregate")

@@ -1043,3 +1043,189 @@ def graph_label_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_ANF_M = 64
+_ANF_WBITS = 54
+_ANF_ALPHA = 0.7213 / (1.0 + 1.079 / 64.0)
+_ANF_HOPS = 3
+
+_ANF_EST_SQL = f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS occupied,
+               CAST(SUM(1::BIGINT << ({_ANF_WBITS + 1} - r)) AS BIGINT)
+                   AS z_occ,
+               node
+        FROM {{reg}} GROUP BY node
+"""
+
+
+def _anf_sql_iter(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT node, bucket, CAST(MAX(r) AS INTEGER) AS r FROM (
+            SELECT node, bucket, r FROM {prev}
+            UNION ALL
+            SELECT e.src AS node, p.bucket, p.r
+            FROM e JOIN {prev} p ON p.node = e.dst
+        ) u GROUP BY node, bucket
+    )"""
+
+
+def _anf_sql_hop(reg: str, hop: int) -> str:
+    est = f"""
+        SELECT s.node, s.occupied, {_ANF_M} - s.occupied AS v_zero,
+               CAST({_ANF_ALPHA!r} AS DOUBLE) * {_ANF_M * _ANF_M}
+                   * CAST({float(2 ** (_ANF_WBITS + 1))!r} AS DOUBLE)
+                   / (s.z_occ + ({_ANF_M} - s.occupied)
+                      * (1::BIGINT << {_ANF_WBITS + 1})) AS raw
+        FROM (SELECT node, CAST(COUNT(*) AS BIGINT) AS occupied,
+                     CAST(SUM(1::BIGINT << ({_ANF_WBITS + 1} - r))
+                          AS BIGINT) AS z_occ
+              FROM {reg} GROUP BY node) s
+    """
+    return f"""
+    SELECT {hop} AS hop, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           ROUND(SUM(CAST(FLOOR((CASE WHEN raw <= {2.5 * _ANF_M}
+                         AND v_zero > 0
+                    THEN {_ANF_M} * LN({_ANF_M} / CAST(v_zero AS DOUBLE))
+                    ELSE raw END) * 1e4) AS BIGINT)) / 1e4, 4)
+               AS est_reach_sum
+    FROM ({est}) q
+    """
+
+
+@register(
+    "graph_anf_hyperball",
+    f"""
+    WITH p AS ({_SQL_EDGES}
+    ), knn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY sim DESC, dst) AS rn
+            FROM p
+        ) t WHERE rn <= {_K}
+    ), e AS (
+        SELECT src, dst FROM knn
+        UNION
+        SELECT dst AS src, src AS dst FROM knn
+    ), nodes AS (
+        SELECT DISTINCT vec_id AS node FROM embeddings WHERE vec_id < {_N}
+    ), h AS (
+        SELECT node,
+               (('0x' || SUBSTRING(MD5(CAST(node AS VARCHAR)), 1, 15))
+                   ::BIGINT) AS h60
+        FROM nodes
+    ), r0 AS (
+        SELECT node, CAST(h60 % {_ANF_M} AS INTEGER) AS bucket,
+               CAST(CASE WHEN h60 // {_ANF_M} = 0 THEN {_ANF_WBITS + 1}
+                    ELSE INSTR(LPAD(BIN(h60 // {_ANF_M}),
+                                    {_ANF_WBITS}, '0'), '1')
+                    END AS INTEGER) AS r
+        FROM h
+    ),{_anf_sql_iter('r0', 'r1')},{_anf_sql_iter('r1', 'r2')},{_anf_sql_iter('r2', 'r3')}
+    SELECT * FROM (
+        {_anf_sql_hop('r0', 0)}
+        UNION ALL
+        {_anf_sql_hop('r1', 1)}
+        UNION ALL
+        {_anf_sql_hop('r2', 2)}
+        UNION ALL
+        {_anf_sql_hop('r3', 3)}
+    ) hops ORDER BY hop
+    """,
+)
+def graph_anf_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate Neighbourhood Function via HyperBall (Boldi–Vigna
+    '13; ANF of Palmer–Gibbons–Faloutsos '02): every node carries a
+    64-register HyperLogLog of its k-hop ball, and one BSP sweep per
+    hop max-merges each node's sketch with its neighbours' — the
+    algorithm that measured Facebook's four degrees of separation,
+    and THE scalable way to read reachability growth / effective
+    diameter off a 100 TB graph where per-node BFS is hopeless.
+    N(k) = Σᵥ |ball(v,k)| is reported per hop from the same
+    engine-mirrored register math as ``sketch_hll_portable`` (60-bit
+    md5 split 6-bit bucket / 54-bit rho window; integer Z sums;
+    linear-counting small-range branch — which is the live branch at
+    fixture ball sizes). Deterministic: identical hashes → identical
+    registers → identical estimates, both engines, no seed.
+
+    Scale: per hop ONE edges⋈registers shuffle + a (node, bucket) MAX
+    rollup — register rows ≤ 64·|nodes| regardless of ball size (the
+    whole point: the visited-set never materializes); the 3-NN edge
+    derivation is the fixture stand-in shared by the graph family
+    (IVF/LSH generator at corpus scale, graphs.py:146)."""
+    e = _knn_edges_pinned(spark, sf_dir)
+    nodes = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _N)
+        .select(F.col("vec_id").alias("node"))
+        .distinct()
+    )
+    h60 = F.conv(
+        F.substring(F.md5(F.col("node").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    w = F.expr(f"h60 div {_ANF_M}")
+    rho = F.when(w == 0, F.lit(_ANF_WBITS + 1)).otherwise(
+        F.instr(F.lpad(F.bin(w), _ANF_WBITS, "0"), "1")
+    )
+    reg = nodes.select("node", h60.alias("h60")).select(
+        "node",
+        (F.col("h60") % _ANF_M).cast("int").alias("bucket"),
+        rho.cast("int").alias("r"),
+    )
+    hops = []
+    cur = reg
+    for k in range(_ANF_HOPS + 1):
+        state = cur.groupBy("node").agg(
+            F.count(F.lit(1)).cast("bigint").alias("occupied"),
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {_ANF_WBITS + 1} - r)"
+                )
+            )
+            .cast("bigint")
+            .alias("z_occ"),
+        )
+        v_zero = F.lit(_ANF_M) - F.col("occupied")
+        z_int = F.col("z_occ") + v_zero * F.lit(
+            2 ** (_ANF_WBITS + 1)
+        ).cast("bigint")
+        raw = (
+            F.lit(_ANF_ALPHA)
+            * F.lit(_ANF_M * _ANF_M)
+            * F.lit(float(2 ** (_ANF_WBITS + 1)))
+            / z_int
+        )
+        linear = F.lit(_ANF_M) * F.log(
+            F.lit(_ANF_M) / v_zero.cast("double")
+        )
+        small = (raw <= F.lit(2.5 * _ANF_M)) & (v_zero > 0)
+        est = F.when(small, linear).otherwise(raw)
+        hops.append(
+            state.agg(
+                F.lit(k).cast("int").alias("hop"),
+                F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+                F.round(
+                    F.sum(F.floor(est * 1e4).cast("long")) / 1e4, 4
+                ).alias("est_reach_sum"),
+            )
+        )
+        if k < _ANF_HOPS:
+            nbr = e.select(F.col("src").alias("node2"), "dst").join(
+                cur.select(
+                    F.col("node").alias("dst"),
+                    F.col("bucket"),
+                    F.col("r"),
+                ),
+                "dst",
+            ).select(F.col("node2").alias("node"), "bucket", "r")
+            cur = (
+                cur.unionByName(nbr)
+                .groupBy("node", "bucket")
+                .agg(F.max("r").cast("int").alias("r"))
+            )
+    out = hops[0]
+    for hdf in hops[1:]:
+        out = out.unionByName(hdf)
+    return out.orderBy("hop")

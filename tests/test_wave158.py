@@ -197,3 +197,37 @@ def test_bradley_terry_matches_numpy(spark):
         assert row.wins == w[row.brand]
         assert row.games == games[row.brand]
         assert row.bt_strength == pytest.approx(s2[row.brand], rel=1e-4)
+
+
+def test_anf_hyperball_against_exact_bfs(spark):
+    """HyperBall N(k) must track the EXACT neighbourhood function
+    (python BFS over the same 3-NN symmetrized edges) within HLL error
+    (m=64 → ~13% per-node rse; the 200-node sum averages much tighter),
+    be monotone in k, and start at ~n at hop 0."""
+    res = _Q["graph_anf_hyperball"](spark, SF_DIR).toPandas()
+    from hive_processor_spark.operators.graphs import (
+        _N,
+        _knn_edges_pinned,
+    )
+
+    # the pinned helper already returns the symmetrized top-K edge set
+    edges = _knn_edges_pinned(spark, SF_DIR).toPandas()
+    adj: dict = {}
+    for s, d in edges[["src", "dst"]].itertuples(index=False):
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    nodes = list(range(_N))
+    balls = {v: {v} for v in nodes}
+    exact = [len(nodes)]
+    for _ in range(3):
+        balls = {
+            v: balls[v] | set().union(*(balls[u] for u in adj.get(v, ())))
+            for v in nodes
+        }
+        exact.append(sum(len(b) for b in balls.values()))
+    assert list(res.hop) == [0, 1, 2, 3]
+    assert (res.n_nodes == len(nodes)).all()
+    sums = list(res.est_reach_sum)
+    assert sums == sorted(sums)  # monotone
+    for est, ex in zip(sums, exact):
+        assert abs(est - ex) / ex < 0.08, (est, ex)

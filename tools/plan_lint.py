@@ -85,6 +85,10 @@ CACHE_SCAN_OK = {
         "deliberate persist(): one derived 3-NN edge list reused by the"
         " degree, wedge, and closure consumers; lineage-backed, LRU-evictable"
     ),
+    "graph_anf_hyperball": (
+        "deliberate persist(): the session-pinned 3-NN edge list reused"
+        " by all three HyperBall merge sweeps; lineage-backed"
+    ),
     "mm_phash_neardup": (
         "deliberate persist(): materialization boundary stops Catalyst"
         " inlining the 64-sample HOF signature into both self-join sides"

@@ -80,6 +80,10 @@ HEADLINE = [
     "win_distinct_sliding",  # sliding COUNT(DISTINCT) interval sweep
     "sketch_hll_intersection",  # register-MAX HLL set algebra
     "market_price_index",  # matched-basket bilateral price indexes
+    # round-7 additions
+    "stats_ad_ksample",   # k-sample AD: grid fold + harmonic block fold
+    "graph_anf_hyperball",  # per-node HLL ball sketches, BSP max-merge
+    "ml_bradley_terry",   # basket duels -> quantized MM strength fit
 ]
 
 

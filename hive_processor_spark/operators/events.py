@@ -8812,3 +8812,154 @@ def ts_bartels_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rvn, 6).alias("rvn_ratio"),
         F.round((rvn - 2.0) / F.sqrt(var), 6).alias("z_score"),
     )
+
+
+@register(
+    "ts_spectral_coherence",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                    AS BIGINT) AS x,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'view')
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), idx AS (
+        SELECT x, y, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t
+        FROM daily
+    ), seg AS (
+        SELECT s.k AS seg, i.t - s.k * 7 AS u, i.x, i.y
+        FROM idx i
+        JOIN (SELECT UNNEST(RANGE(0, 200)) AS k) s
+          ON i.t >= s.k * 7 AND i.t < s.k * 7 + 14
+    ), segmu AS (
+        SELECT seg, AVG(x) AS mx, AVG(y) AS my
+        FROM seg GROUP BY seg HAVING COUNT(*) = 14
+    ), terms AS (
+        SELECT per.p, s.seg,
+               CAST(SUM(CAST(FLOOR((s.x - g.mx)
+                   * COS(2 * PI() * s.u / per.p) * 1e6) AS BIGINT))
+                   AS BIGINT) AS cx,
+               CAST(SUM(CAST(FLOOR((s.x - g.mx)
+                   * SIN(2 * PI() * s.u / per.p) * 1e6) AS BIGINT))
+                   AS BIGINT) AS sx,
+               CAST(SUM(CAST(FLOOR((s.y - g.my)
+                   * COS(2 * PI() * s.u / per.p) * 1e6) AS BIGINT))
+                   AS BIGINT) AS cy,
+               CAST(SUM(CAST(FLOOR((s.y - g.my)
+                   * SIN(2 * PI() * s.u / per.p) * 1e6) AS BIGINT))
+                   AS BIGINT) AS sy
+        FROM seg s JOIN segmu g ON g.seg = s.seg
+        CROSS JOIN (SELECT UNNEST([7, 14]) AS p) per
+        GROUP BY per.p, s.seg
+    ), spec AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(CAST(FLOOR(((cx / 1e6) * (cx / 1e6)
+                   + (sx / 1e6) * (sx / 1e6)) * 1e4) AS BIGINT))
+                   AS HUGEINT) AS pxx,
+               CAST(SUM(CAST(FLOOR(((cy / 1e6) * (cy / 1e6)
+                   + (sy / 1e6) * (sy / 1e6)) * 1e4) AS BIGINT))
+                   AS HUGEINT) AS pyy,
+               CAST(SUM(CAST(FLOOR(((cx / 1e6) * (cy / 1e6)
+                   + (sx / 1e6) * (sy / 1e6)) * 1e4) AS BIGINT))
+                   AS HUGEINT) AS cre,
+               CAST(SUM(CAST(FLOOR(((sx / 1e6) * (cy / 1e6)
+                   - (cx / 1e6) * (sy / 1e6)) * 1e4) AS BIGINT))
+                   AS HUGEINT) AS cim
+        FROM terms GROUP BY p
+    )
+    SELECT p AS period_days, n_segments,
+           ROUND((CAST(cre AS DOUBLE) / 1e4 * (CAST(cre AS DOUBLE) / 1e4)
+                  + CAST(cim AS DOUBLE) / 1e4 * (CAST(cim AS DOUBLE) / 1e4))
+                 / (CAST(pxx AS DOUBLE) / 1e4 * (CAST(pyy AS DOUBLE) / 1e4)),
+                 6) AS coherence2,
+           ROUND(ATAN2(CAST(cim AS DOUBLE) / 1e4,
+                       CAST(cre AS DOUBLE) / 1e4), 6) AS phase_rad
+    FROM spec ORDER BY period_days
+    """,
+)
+def ts_spectral_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magnitude-squared coherence between the purchase and view daily
+    series at the 7- and 14-day periods — the FREQUENCY-domain coupling
+    measure: coherence² = |S̄_xy|²/(S̄_xx·S̄_yy) ∈ [0,1] says how much of
+    the weekly purchase rhythm is linearly locked to the view rhythm,
+    and the cross-spectrum phase says WHO LEADS (positive phase = views
+    lead purchases at that cycle). Time-domain ``ts_cross_correlation``
+    answers "at what lag"; coherence answers "at which cycle, how
+    tightly" — and unlike a single periodogram ratio it is meaningful
+    only because the spectra are WELCH-AVERAGED over the same 14-day
+    half-overlapping segments as ``ts_welch_periodogram`` (unsmoothed
+    coherence is identically 1). Per-segment projections quantize at
+    1e-6, per-period spectral folds at 1e-4 — every cross-row sum is an
+    integer fold.
+
+    Scale: one daily rollup with map-side combine; segmentation and all
+    spectral algebra run on the saturating calendar frame (≤ |days|·2
+    rows through the segment fan-out at any fact scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("long")
+        .alias("x"),
+        F.count_if(F.col("event_type") == "view").cast("long").alias("y"),
+    )
+    idx = daily.select(
+        "x",
+        "y",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
+    )
+    ks = spark.range(0, 200).select(F.col("id").alias("k"))
+    seg = idx.join(
+        F.broadcast(ks),
+        (F.col("t") >= F.col("k") * 7) & (F.col("t") < F.col("k") * 7 + 14),
+    ).select(
+        F.col("k").alias("seg"),
+        (F.col("t") - F.col("k") * 7).alias("u"),
+        "x",
+        "y",
+    )
+    segmu = (
+        seg.groupBy("seg")
+        .agg(
+            F.avg("x").alias("mx"),
+            F.avg("y").alias("my"),
+            F.count(F.lit(1)).alias("m"),
+        )
+        .filter(F.col("m") == 14)
+        .drop("m")
+    )
+    ps = spark.range(1).select(
+        F.explode(F.array(F.lit(7), F.lit(14))).alias("p")
+    )
+    base = seg.join(segmu, "seg").crossJoin(F.broadcast(ps))
+    ang = 2 * F.lit(math.pi) * F.col("u") / F.col("p")
+    qc = lambda c: F.sum(F.floor(c * 1e6).cast("long")).cast("long")  # noqa: E731
+    terms = base.groupBy("p", "seg").agg(
+        qc((F.col("x") - F.col("mx")) * F.cos(ang)).alias("cx"),
+        qc((F.col("x") - F.col("mx")) * F.sin(ang)).alias("sx"),
+        qc((F.col("y") - F.col("my")) * F.cos(ang)).alias("cy"),
+        qc((F.col("y") - F.col("my")) * F.sin(ang)).alias("sy"),
+    )
+    d6 = lambda c: F.col(c) / 1e6  # noqa: E731
+    q4 = lambda expr: F.sum(  # noqa: E731
+        F.floor(expr * 1e4).cast("long").cast("decimal(38,0)")
+    )
+    spec = terms.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        q4(d6("cx") * d6("cx") + d6("sx") * d6("sx")).alias("pxx"),
+        q4(d6("cy") * d6("cy") + d6("sy") * d6("sy")).alias("pyy"),
+        q4(d6("cx") * d6("cy") + d6("sx") * d6("sy")).alias("cre"),
+        q4(d6("sx") * d6("cy") - d6("cx") * d6("sy")).alias("cim"),
+    )
+    cre = F.col("cre").cast("double") / 1e4
+    cim = F.col("cim").cast("double") / 1e4
+    pxx = F.col("pxx").cast("double") / 1e4
+    pyy = F.col("pyy").cast("double") / 1e4
+    return spec.select(
+        F.col("p").alias("period_days"),
+        "n_segments",
+        F.round((cre * cre + cim * cim) / (pxx * pyy), 6).alias(
+            "coherence2"
+        ),
+        F.round(F.atan2(cim, cre), 6).alias("phase_rad"),
+    ).orderBy("period_days")

@@ -231,3 +231,51 @@ def test_anf_hyperball_against_exact_bfs(spark):
     assert sums == sorted(sums)  # monotone
     for est, ex in zip(sums, exact):
         assert abs(est - ex) / ex < 0.08, (est, ex)
+
+
+def test_spectral_coherence_matches_numpy(spark):
+    """Independent numpy Welch cross-spectral coherence (unquantized)."""
+    import math
+
+    res = _Q["ts_spectral_coherence"](spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["event_type", "ts"]
+    )
+    ev["day"] = pd.to_datetime(ev.ts).dt.date
+    d = (
+        ev.groupby("day")
+        .agg(
+            x=("event_type", lambda s: int((s == "purchase").sum())),
+            y=("event_type", lambda s: int((s == "view").sum())),
+        )
+        .sort_index()
+    )
+    x, y = d.x.to_numpy(float), d.y.to_numpy(float)
+    n = len(x)
+    for row in res.itertuples():
+        p = row.period_days
+        pxx = pyy = cre = cim = 0.0
+        nseg = 0
+        k = 0
+        while k * 7 + 14 <= n:
+            xs = x[k * 7: k * 7 + 14]
+            ys = y[k * 7: k * 7 + 14]
+            u = np.arange(14)
+            ang = 2 * math.pi * u / p
+            cx = ((xs - xs.mean()) * np.cos(ang)).sum()
+            sx = ((xs - xs.mean()) * np.sin(ang)).sum()
+            cy = ((ys - ys.mean()) * np.cos(ang)).sum()
+            sy = ((ys - ys.mean()) * np.sin(ang)).sum()
+            pxx += cx * cx + sx * sx
+            pyy += cy * cy + sy * sy
+            cre += cx * cy + sx * sy
+            cim += sx * cy - cx * sy
+            nseg += 1
+            k += 1
+        assert row.n_segments == nseg
+        coh = (cre**2 + cim**2) / (pxx * pyy)
+        assert 0.0 <= row.coherence2 <= 1.0
+        assert row.coherence2 == pytest.approx(coh, abs=2e-3)
+        assert row.phase_rad == pytest.approx(
+            math.atan2(cim, cre), abs=2e-3
+        )

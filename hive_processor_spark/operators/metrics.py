@@ -15285,3 +15285,165 @@ def stats_dagostino_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("z1") * F.col("z1") + F.col("z2") * F.col("z2"), 4
         ).alias("k2_stat"),
     )
+
+
+@register(
+    "stats_conover_squared_ranks",
+    """
+    WITH v AS (
+        SELECT c_mktsegment AS seg,
+               CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS cents
+        FROM customer
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    segs AS (
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS ni,
+               AVG(cents) AS mean_c
+        FROM v GROUP BY 1
+    ), dv AS (
+        SELECT v.seg, ABS(v.cents - s.mean_c) AS d
+        FROM v JOIN segs s ON s.seg = v.seg
+    ), df_ AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS t FROM dv GROUP BY 1
+    ), rk AS (
+        SELECT d, t,
+               CAST(FLOOR(
+                   (CAST(2 * (COALESCE(SUM(t) OVER (ORDER BY d ROWS
+                        BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                        + t + 1 AS DOUBLE) / (2.0 * tot.n))
+                   * (CAST(2 * (COALESCE(SUM(t) OVER (ORDER BY d ROWS
+                        BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                        + t + 1 AS DOUBLE) / (2.0 * tot.n))
+                   * 1e12) AS BIGINT) AS uq
+        FROM df_, tot
+    ), gsum AS (
+        SELECT CAST(SUM(CAST(t AS HUGEINT) * uq) AS HUGEINT) AS a,
+               CAST(SUM(CAST(t AS HUGEINT)
+                    * CAST(FLOOR((uq / 1e12) * (uq / 1e12) * 1e12)
+                           AS BIGINT)) AS HUGEINT) AS b
+        FROM rk
+    ), sdf AS (
+        SELECT seg, d, CAST(COUNT(*) AS BIGINT) AS lsv
+        FROM dv GROUP BY 1, 2
+    ), segsum AS (
+        SELECT f.seg,
+               CAST(SUM(CAST(f.lsv AS HUGEINT) * r.uq) AS HUGEINT) AS ti
+        FROM sdf f JOIN rk r ON r.d = f.d
+        GROUP BY f.seg
+    ), num AS (
+        SELECT CAST(SUM(CAST(FLOOR(
+                   (CAST(g.ti AS DOUBLE) / 1e12)
+                   * (CAST(g.ti AS DOUBLE) / 1e12) / e.ni * 1e6)
+               AS BIGINT)) AS HUGEINT) AS nq,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM segsum g JOIN segs e ON e.seg = g.seg
+    )
+    SELECT num.k AS k_samples, tot.n AS n_total,
+           ROUND(((CAST(num.nq AS DOUBLE) / 1e6)
+                  - tot.n * (CAST(gsum.a AS DOUBLE) / 1e12 / tot.n)
+                          * (CAST(gsum.a AS DOUBLE) / 1e12 / tot.n))
+                 / ((CAST(gsum.b AS DOUBLE) / 1e12
+                     - tot.n * (CAST(gsum.a AS DOUBLE) / 1e12 / tot.n)
+                             * (CAST(gsum.a AS DOUBLE) / 1e12 / tot.n))
+                    / (tot.n - 1)), 4) AS conover_t,
+           CAST(num.k - 1 AS BIGINT) AS df
+    FROM num, gsum, tot
+    """,
+)
+def stats_conover_squared_ranks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conover\'s squared-ranks k-sample scale test (Conover \'99 §5.3):
+    rank the pooled |x − x̄ᵢ| (per-segment MEAN centering — the member
+    of the scale family that keeps Conover\'s published null moments),
+    square the midranks, and test T = (ΣTᵢ²/nᵢ − N·S̄²)/D² ~ χ²_{k−1}
+    with D² = (ΣR⁴ − N·S̄²)/(N−1). Completes the registered scale
+    battery: Bartlett (normal-theory), Levene/Brown–Forsythe (mean/
+    median deviations), Mood/Ansari/Siegel–Tukey (2-sample ranks),
+    Fligner–Killeen (normal scores) — Conover is the plain-squared-
+    ranks k-sample member. T is invariant under rescaling every R² by
+    a common factor, so the scores fold as NORMALIZED u = (R/2N)² ∈
+    (0,1] quantized at 1e-12 — O(1) magnitudes at ANY N (the raw R⁴
+    sums overflow 128-bit past N ≈ 6·10⁷; the normalized folds never
+    do) and every cross-row sum is an integer fold. The deviation
+    doubles derive from the same exact integer mean ratio on both
+    engines, so the grouped-value frame and its midranks agree
+    bit-for-bit.
+
+    Scale: same grouped-frame shape as ``stats_fligner_killeen`` —
+    per-segment mean from one rollup, deviation atoms re-pool through
+    the bucketed two-level cumulative, one integer-weighted join."""
+    cust = load_table(spark, sf_dir, "customer")
+    v = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") * 100.0).cast("long").alias("cents"),
+    )
+    tot = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    segs = v.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("ni"),
+        F.avg("cents").alias("mean_c"),
+    )
+    dv = v.join(segs.select("seg", "mean_c"), "seg").select(
+        "seg", F.abs(F.col("cents") - F.col("mean_c")).alias("d")
+    )
+    df_ = dv.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    r2n = (
+        (2 * (F.col("ct") - F.col("t")) + F.col("t") + 1).cast("double")
+        / (2.0 * F.col("n"))
+    )
+    rk = (
+        with_global_order(df_, "d", cumsums={"ct": "t"})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "t",
+            F.floor(r2n * r2n * 1e12).cast("long").alias("uq"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    gsum = rk.agg(
+        F.sum(dec(F.col("t")) * F.col("uq")).alias("a"),
+        F.sum(
+            dec(F.col("t"))
+            * F.floor(
+                (F.col("uq") / 1e12) * (F.col("uq") / 1e12) * 1e12
+            ).cast("long")
+        ).alias("b"),
+    )
+    sdf = dv.groupBy("seg", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("lsv")
+    )
+    segsum = (
+        sdf.join(rk.select("d", "uq"), "d")
+        .groupBy("seg")
+        .agg(F.sum(dec(F.col("lsv")) * F.col("uq")).alias("ti"))
+    )
+    num = (
+        segsum.join(segs.select("seg", "ni"), "seg")
+        .select(
+            F.floor(
+                (F.col("ti").cast("double") / 1e12)
+                * (F.col("ti").cast("double") / 1e12)
+                / F.col("ni")
+                * 1e6
+            )
+            .cast("long")
+            .cast("decimal(38,0)")
+            .alias("q")
+        )
+        .agg(
+            F.sum("q").alias("nq"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+    )
+    fin = num.crossJoin(F.broadcast(gsum)).crossJoin(F.broadcast(tot))
+    n = F.col("n")
+    sbar = F.col("a").cast("double") / 1e12 / n
+    t_stat = ((F.col("nq").cast("double") / 1e6) - n * sbar * sbar) / (
+        (F.col("b").cast("double") / 1e12 - n * sbar * sbar) / (n - 1)
+    )
+    return fin.select(
+        F.col("k").alias("k_samples"),
+        n.alias("n_total"),
+        F.round(t_stat, 4).alias("conover_t"),
+        (F.col("k") - 1).cast("long").alias("df"),
+    )

@@ -115,3 +115,26 @@ def test_cvm_onesample_matches_numpy(spark):
     # |blocks|*1e-9 ≈ 1.5e-5 at sf0.01 — tolerance set to that bound
     assert res.w2_stat == pytest.approx(w2, abs=2e-5)
     assert res.u2_stat == pytest.approx(u2, abs=4e-5)
+
+
+def test_conover_squared_ranks_matches_numpy(spark):
+    res = (
+        _Q["stats_conover_squared_ranks"](spark, SF_DIR).toPandas().iloc[0]
+    )
+    x, seg = _acctbal_by_seg()
+    n = len(x)
+    segs = np.sort(np.unique(seg))
+    d = np.empty(len(x), dtype=np.float64)
+    for s in segs:
+        d[seg == s] = np.abs(x[seg == s] - x[seg == s].mean())
+    r = pd.Series(d).rank(method="average").to_numpy()
+    u = r**2
+    sbar = u.mean()
+    d2 = (np.sum(u**2) - n * sbar**2) / (n - 1)
+    t = (
+        sum(u[seg == s].sum() ** 2 / (seg == s).sum() for s in segs)
+        - n * sbar**2
+    ) / d2
+    assert res.k_samples == len(segs) and res.n_total == n
+    assert res.conover_t == pytest.approx(t, abs=2e-3)
+    assert res.df == len(segs) - 1

@@ -106,3 +106,40 @@ def norm_ppf(p: Column) -> Column:
         .when(p <= 1.0 - pl, central)
         .otherwise(high)
     )
+
+
+# Abramowitz–Stegun 7.1.26 erf coefficients (|error| < 1.5e-7), shared by
+# both emitters of the FORWARD CDF Φ(z) = (1 + erf(z/√2))/2. Coarser than
+# the Acklam probit above — fine for distance statistics that round at
+# 1e-6, and deterministic because both engines evaluate the identical
+# polynomial (the libm calls are EXP and SQRT).
+_ERF_P = "0.3275911"
+_ERF_A = (
+    "0.254829592", "-0.284496736", "1.421413741",
+    "-1.453152027", "1.061405429",
+)
+
+
+def sql_norm_cdf(z: str) -> str:
+    """DuckDB fragment for Φ(z) via A&S 7.1.26 on |z|/√2, sign-folded."""
+    x = f"(ABS({z}) / 1.4142135623730951)"
+    t = f"(1.0 / (1.0 + {_ERF_P} * {x}))"
+    poly = _horner(tuple(reversed(_ERF_A)), t)
+    erf = f"(1.0 - ({poly}) * ({t}) * EXP(-({x}) * ({x})))"
+    return (
+        f"(CASE WHEN ({z}) >= 0 THEN (1.0 + {erf}) / 2.0"
+        f" ELSE (1.0 - {erf}) / 2.0 END)"
+    )
+
+
+def norm_cdf(z: Column) -> Column:
+    """Spark Column for Φ(z) — same A&S evaluation order as the SQL
+    emitter (same Horner direction, same literals)."""
+    x = F.abs(z) / 1.4142135623730951
+    t = F.lit(1.0) / (1.0 + float(_ERF_P) * x)
+    coeffs = tuple(reversed(_ERF_A))
+    poly = F.lit(float(coeffs[0]))
+    for c in coeffs[1:]:
+        poly = poly * t + float(c)
+    erf = 1.0 - poly * t * F.exp(-x * x)
+    return F.when(z >= 0, (1.0 + erf) / 2.0).otherwise((1.0 - erf) / 2.0)

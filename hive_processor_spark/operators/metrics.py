@@ -29,7 +29,12 @@ from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
 from hive_processor_spark.functions.exact import dsum, sql_dsum
-from hive_processor_spark.functions.normdist import norm_ppf, sql_norm_ppf
+from hive_processor_spark.functions.normdist import (
+    norm_cdf,
+    norm_ppf,
+    sql_norm_cdf,
+    sql_norm_ppf,
+)
 from hive_processor_spark.functions.orderstat import with_global_order
 from hive_processor_spark.sources.tables import load_table
 
@@ -15446,4 +15451,206 @@ def stats_conover_squared_ranks(
         n.alias("n_total"),
         F.round(t_stat, 4).alias("conover_t"),
         (F.col("k") - 1).cast("long").alias("df"),
+    )
+
+
+_CDF_Z = sql_norm_cdf(
+    "(CAST(v AS DOUBLE) - mu) / sd"
+)
+
+
+@register(
+    "stats_lilliefors",
+    f"""
+    WITH x AS (
+        SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS v
+        FROM orders
+    ), mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS HUGEINT) AS s1,
+               CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
+        FROM x
+    ), par AS (
+        SELECT n, CAST(s1 AS DOUBLE) / n AS mu,
+               SQRT((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                    / (n - 1)) AS sd
+        FROM mom
+    ), atoms AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY 1
+    ), cum AS (
+        SELECT v, c,
+               SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f
+        FROM atoms
+    ), gaps AS (
+        SELECT p.n,
+               CAST(f AS DOUBLE) / p.n - {_CDF_Z} AS dplus,
+               {_CDF_Z} - (CAST(f AS DOUBLE) - c) / p.n AS dminus
+        FROM cum, par p
+    )
+    SELECT MAX(n) AS n_orders,
+           ROUND(GREATEST(MAX(dplus), MAX(dminus)), 6) AS d_stat,
+           ROUND(GREATEST(MAX(dplus), MAX(dminus))
+                 * (SQRT(CAST(MAX(n) AS DOUBLE)) - 0.01
+                    + 0.85 / SQRT(CAST(MAX(n) AS DOUBLE))), 4)
+               AS d_scaled
+    FROM gaps
+    """,
+)
+def stats_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lilliefors normality test: the KS distance of order totals
+    against a normal with ESTIMATED mean and sd — which is exactly the
+    case where plain KS critical values are badly conservative
+    (Lilliefors '67); Stephens' scaling D·(√n − 0.01 + 0.85/√n) gives
+    the modified statistic (>1.035 ⇒ reject at 1%). Completes the
+    normality battery from the EDF side (moments: ``stats_jarque_bera``,
+    ``stats_dagostino_k2``; correlation: ``stats_shapiro_francia``).
+    Φ comes from the shared engine-mirrored A&S 7.1.26 erf
+    (functions/normdist.py, |approx error| < 1.5e-7 — below the 1e-6
+    rounding of the emitted distance); both ECDF gaps evaluate only at
+    the distinct-value atoms where they are attained. μ̂, σ̂ (ddof=1)
+    fold as exact 128-bit integer moments.
+
+    Scale: one moment pass with map-side combine, one atom rollup, one
+    bucketed two-level cumulative, one max fold."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.select(
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("v")
+    )
+    mom = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("s2"),
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    sd = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double") / n
+        )
+        / (n - 1)
+    )
+    par = mom.select(n, mu.alias("mu"), sd.alias("sd"))
+    atoms = x.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = with_global_order(atoms, "v", cumsums={"f": "c"}).select(
+        "v", "c", "f"
+    )
+    g = cum.crossJoin(F.broadcast(par))
+    phi = norm_cdf((F.col("v").cast("double") - F.col("mu")) / F.col("sd"))
+    gaps = g.select(
+        "n",
+        (F.col("f").cast("double") / F.col("n") - phi).alias("dplus"),
+        (
+            phi - (F.col("f").cast("double") - F.col("c")) / F.col("n")
+        ).alias("dminus"),
+    )
+    d = F.greatest(F.max("dplus"), F.max("dminus"))
+    n_d = F.max("n").cast("double")
+    return gaps.groupBy().agg(
+        F.max("n").alias("n_orders"),
+        F.round(d, 6).alias("d_stat"),
+        F.round(
+            d * (F.sqrt(n_d) - 0.01 + 0.85 / F.sqrt(n_d)), 4
+        ).alias("d_scaled"),
+    )
+
+
+@register(
+    "stats_shapiro_francia",
+    f"""
+    WITH x AS (
+        SELECT o_orderkey AS k,
+               CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS v
+        FROM orders
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS HUGEINT) AS s1,
+               CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
+        FROM x
+    ), rk AS (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v, k) AS i FROM x
+    ), sc AS (
+        SELECT v,
+               {sql_norm_ppf("(i - 0.375) / (n + 0.25)")} AS m
+        FROM rk, tot
+    ), fold AS (
+        SELECT CAST(SUM(CAST(FLOOR(m * v * 1e4) AS BIGINT)) AS HUGEINT)
+                   AS mxq,
+               CAST(SUM(CAST(FLOOR(m * m * 1e9) AS BIGINT)) AS HUGEINT)
+                   AS mmq
+        FROM sc
+    )
+    SELECT t.n AS n_orders,
+           ROUND((CAST(mxq AS DOUBLE) / 1e4)
+                 * (CAST(mxq AS DOUBLE) / 1e4)
+                 / ((CAST(mmq AS DOUBLE) / 1e9)
+                    * (CAST(t.s2 AS DOUBLE)
+                       - CAST(t.s1 AS DOUBLE) * CAST(t.s1 AS DOUBLE)
+                         / t.n)), 6) AS w_prime,
+           ROUND((LN(1.0 - (CAST(mxq AS DOUBLE) / 1e4)
+                 * (CAST(mxq AS DOUBLE) / 1e4)
+                 / ((CAST(mmq AS DOUBLE) / 1e9)
+                    * (CAST(t.s2 AS DOUBLE)
+                       - CAST(t.s1 AS DOUBLE) * CAST(t.s1 AS DOUBLE)
+                         / t.n)))
+                  - (-1.2725 + 1.0521 * (LN(LN(t.n)) - LN(t.n))))
+                 / (1.0308 - 0.26758 * (LN(LN(t.n)) + 2.0 / LN(t.n))),
+                 4) AS royston_z
+    FROM fold, tot t
+    """,
+)
+def stats_shapiro_francia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapiro–Francia normality test: W′ = corr(x₍ᵢ₎, mᵢ)² between the
+    order statistics and the expected normal scores mᵢ =
+    Φ⁻¹((i−3/8)/(n+1/4)) (Blom plotting positions) — the
+    correlation-family normality test (Shapiro–Wilk's large-n sibling;
+    SW's covariance-weighted coefficients don't scale past a few
+    thousand, SF is the estimator used at big n), standardized via
+    Royston's '93 ln(1−W′) normalization. The shared engine-mirrored
+    Acklam probit supplies mᵢ per GLOBAL position from the bucketed
+    two-level rank (deterministic (value, orderkey) order); the two
+    cross folds quantize at 1e-4/1e-9 and sum as integers; Σm ≈ 0 by
+    symmetry so the numerator needs no mean correction, and the x
+    moments fold exactly.
+
+    Scale: one two-level rank pass ∝ rows, two integer folds, one
+    scalar epilogue."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("v"),
+    )
+    tot = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("s2"),
+    )
+    rk = with_global_order(x, "v", ["k"], rank="i").crossJoin(
+        F.broadcast(tot)
+    )
+    m = norm_ppf((F.col("i") - 0.375) / (F.col("n") + 0.25))
+    fold = rk.select(
+        F.floor(m * F.col("v") * 1e4)
+        .cast("long")
+        .cast("decimal(38,0)")
+        .alias("mxq"),
+        F.floor(m * m * 1e9).cast("long").cast("decimal(38,0)").alias("mmq"),
+    ).agg(F.sum("mxq").alias("mxq"), F.sum("mmq").alias("mmq"))
+    fin = fold.crossJoin(F.broadcast(tot))
+    n = F.col("n")
+    mx = F.col("mxq").cast("double") / 1e4
+    mm = F.col("mmq").cast("double") / 1e9
+    sxx = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / n
+    )
+    wp = mx * mx / (mm * sxx)
+    lnn = F.log(n.cast("double"))
+    mu_r = -1.2725 + 1.0521 * (F.log(lnn) - lnn)
+    s_r = 1.0308 - 0.26758 * (F.log(lnn) + 2.0 / lnn)
+    return fin.select(
+        n.alias("n_orders"),
+        F.round(wp, 6).alias("w_prime"),
+        F.round((F.log(1.0 - wp) - mu_r) / s_r, 4).alias("royston_z"),
     )

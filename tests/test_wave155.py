@@ -138,3 +138,43 @@ def test_conover_squared_ranks_matches_numpy(spark):
     assert res.k_samples == len(segs) and res.n_total == n
     assert res.conover_t == pytest.approx(t, abs=2e-3)
     assert res.df == len(segs) - 1
+
+
+def test_lilliefors_matches_numpy(spark):
+    import math
+
+    res = _Q["stats_lilliefors"](spark, SF_DIR).toPandas().iloc[0]
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_totalprice"])
+    v = np.sort(np.floor(o.o_totalprice.to_numpy() * 100.0).astype(np.int64))
+    n = len(v)
+    mu, sd = v.mean(), v.std(ddof=1)
+    z = (v - mu) / sd
+    phi = np.array([0.5 * (1 + math.erf(t / math.sqrt(2))) for t in z])
+    i = np.arange(1, n + 1)
+    d = max((i / n - phi).max(), (phi - (i - 1) / n).max())
+    assert res.n_orders == n
+    # A&S erf |error| < 1.5e-7 (+1e-6 rounding) — tolerance to that bound
+    assert res.d_stat == pytest.approx(d, abs=3e-6)
+    assert res.d_scaled == pytest.approx(
+        d * (math.sqrt(n) - 0.01 + 0.85 / math.sqrt(n)), abs=1e-3
+    )
+
+
+def test_shapiro_francia_matches_stdlib(spark):
+    import math
+
+    res = _Q["stats_shapiro_francia"](spark, SF_DIR).toPandas().iloc[0]
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_totalprice"])
+    v = np.sort(np.floor(o.o_totalprice.to_numpy() * 100.0).astype(np.int64))
+    n = len(v)
+    i = np.arange(1, n + 1)
+    m = np.array([_PHI_INV((j - 0.375) / (n + 0.25)) for j in i])
+    wp = (m @ v) ** 2 / ((m**2).sum() * ((v - v.mean()) ** 2).sum())
+    assert res.n_orders == n
+    assert res.w_prime == pytest.approx(wp, abs=2e-5)
+    lnn = math.log(n)
+    mu_r = -1.2725 + 1.0521 * (math.log(lnn) - lnn)
+    s_r = 1.0308 - 0.26758 * (math.log(lnn) + 2.0 / lnn)
+    assert res.royston_z == pytest.approx(
+        (math.log(1 - wp) - mu_r) / s_r, abs=5e-3
+    )

@@ -15654,3 +15654,491 @@ def stats_shapiro_francia(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(wp, 6).alias("w_prime"),
         F.round((F.log(1.0 - wp) - mu_r) / s_r, 4).alias("royston_z"),
     )
+
+
+@register(
+    "stats_blomqvist_beta",
+    """
+    WITH v AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS p
+        FROM lineitem
+    ), med AS (
+        SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY q) AS mq,
+               PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY p) AS mp
+        FROM v
+    ), cls AS (
+        SELECT CASE WHEN q > mq THEN 1 WHEN q < mq THEN -1 ELSE 0 END AS sq,
+               CASE WHEN p > mp THEN 1 WHEN p < mp THEN -1 ELSE 0 END AS sp
+        FROM v, med
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE sq * sp = 1) AS BIGINT) AS concordant,
+           CAST(COUNT(*) FILTER (WHERE sq * sp = -1) AS BIGINT) AS discordant,
+           CAST(COUNT(*) FILTER (WHERE sq = 0 OR sp = 0) AS BIGINT)
+               AS on_median,
+           ROUND(CAST(COUNT(*) FILTER (WHERE sq * sp = 1)
+                      - COUNT(*) FILTER (WHERE sq * sp = -1) AS DOUBLE)
+                 / (COUNT(*) FILTER (WHERE sq * sp = 1)
+                    + COUNT(*) FILTER (WHERE sq * sp = -1)), 6)
+               AS blomqvist_beta
+    FROM cls
+    """,
+)
+def stats_blomqvist_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blomqvist's β (medial / quadrant correlation) between quantity and
+    extended price: classify every lineitem by which quadrant it falls in
+    around the (median-q, median-p) point, then
+    β = (concordant − discordant)/(concordant + discordant). The cheapest
+    robust dependence screen — one counting pass after two order
+    statistics, immune to any monotone transform of either margin and to
+    outliers that would swamp Pearson r (``stats_kendall_tau`` is the
+    O(n log n) refinement; β is its O(n) quadrant coarsening). Medians
+    are PERCENTILE_DISC (an actual data value, integer-exact on both
+    engines — no interpolation float to disagree about); points ON either
+    median are counted and excluded from β, the standard convention.
+
+    Scale: one sort-based median per margin + one conditional-count
+    aggregate with map-side combine; β itself is 1-row algebra."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("p"),
+    )
+    med = v.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY q)").alias("mq"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY p)").alias("mp"),
+    )
+    sq = (
+        F.when(F.col("q") > F.col("mq"), 1)
+        .when(F.col("q") < F.col("mq"), -1)
+        .otherwise(0)
+    )
+    sp = (
+        F.when(F.col("p") > F.col("mp"), 1)
+        .when(F.col("p") < F.col("mp"), -1)
+        .otherwise(0)
+    )
+    cls = v.crossJoin(F.broadcast(med)).select(
+        sq.alias("sq"), sp.alias("sp")
+    )
+    conc = F.count_if(F.col("sq") * F.col("sp") == 1).cast("long")
+    disc = F.count_if(F.col("sq") * F.col("sp") == -1).cast("long")
+    onm = F.count_if((F.col("sq") == 0) | (F.col("sp") == 0)).cast("long")
+    return cls.agg(
+        conc.alias("concordant"),
+        disc.alias("discordant"),
+        onm.alias("on_median"),
+    ).select(
+        "concordant",
+        "discordant",
+        "on_median",
+        F.round(
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / (F.col("concordant") + F.col("discordant")),
+            6,
+        ).alias("blomqvist_beta"),
+    )
+
+
+@register(
+    "stats_gk_lambda",
+    """
+    WITH c AS (
+        SELECT o_orderpriority AS pr, o_orderstatus AS st,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2
+    ), rowmax AS (
+        SELECT CAST(SUM(mx) AS BIGINT) AS srm
+        FROM (SELECT pr, MAX(n) AS mx FROM c GROUP BY pr)
+    ), colmax AS (
+        SELECT CAST(SUM(mx) AS BIGINT) AS scm
+        FROM (SELECT st, MAX(n) AS mx FROM c GROUP BY st)
+    ), cmarg AS (
+        SELECT CAST(MAX(sn) AS BIGINT) AS mc
+        FROM (SELECT st, SUM(n) AS sn FROM c GROUP BY st)
+    ), rmarg AS (
+        SELECT CAST(MAX(sn) AS BIGINT) AS mr
+        FROM (SELECT pr, SUM(n) AS sn FROM c GROUP BY pr)
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c)
+    SELECT t AS n_orders,
+           ROUND(CAST(srm - mc AS DOUBLE) / (t - mc), 6)
+               AS lambda_status_given_priority,
+           ROUND(CAST(scm - mr AS DOUBLE) / (t - mr), 6)
+               AS lambda_priority_given_status,
+           ROUND(CAST(srm + scm - mc - mr AS DOUBLE)
+                 / (2 * t - mc - mr), 6) AS lambda_symmetric
+    FROM rowmax, colmax, cmarg, rmarg, tot
+    """,
+)
+def stats_gk_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman–Kruskal λ over the priority × status contingency table —
+    the PRE (proportional reduction in error) association measure the
+    χ²/Cramér's V family cannot give: "knowing the order's priority, by
+    what fraction do errors predicting its status drop vs always guessing
+    the modal status?" λ_c|r = (Σ_row max − max column marginal)/(N − max
+    column marginal), its transpose, and the symmetric average. Unlike V,
+    λ = 0 has an operational meaning (the predictor is useless) and λ is
+    asymmetric — the two directions genuinely differ. Every term is an
+    exact integer count; only the final three ratios are doubles.
+
+    Scale: one partial→final count to the ≤15-cell grid, then
+    metadata-sized max/sum folds."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rowmax = (
+        c.groupBy("pr")
+        .agg(F.max("n").alias("mx"))
+        .agg(F.sum("mx").cast("long").alias("srm"))
+    )
+    colmax = (
+        c.groupBy("st")
+        .agg(F.max("n").alias("mx"))
+        .agg(F.sum("mx").cast("long").alias("scm"))
+    )
+    cmarg = (
+        c.groupBy("st")
+        .agg(F.sum("n").alias("sn"))
+        .agg(F.max("sn").cast("long").alias("mc"))
+    )
+    rmarg = (
+        c.groupBy("pr")
+        .agg(F.sum("n").alias("sn"))
+        .agg(F.max("sn").cast("long").alias("mr"))
+    )
+    tot = c.agg(F.sum("n").cast("long").alias("t"))
+    fin = (
+        rowmax.crossJoin(F.broadcast(colmax))
+        .crossJoin(F.broadcast(cmarg))
+        .crossJoin(F.broadcast(rmarg))
+        .crossJoin(F.broadcast(tot))
+    )
+    t, srm, scm, mc, mr = (F.col(x) for x in ("t", "srm", "scm", "mc", "mr"))
+    return fin.select(
+        t.alias("n_orders"),
+        F.round((srm - mc).cast("double") / (t - mc), 6).alias(
+            "lambda_status_given_priority"
+        ),
+        F.round((scm - mr).cast("double") / (t - mr), 6).alias(
+            "lambda_priority_given_status"
+        ),
+        F.round(
+            (srm + scm - mc - mr).cast("double") / (2 * t - mc - mr), 6
+        ).alias("lambda_symmetric"),
+    )
+
+
+def _holm_sql() -> str:
+    phi_abs = sql_norm_cdf("ABS(z)")
+    return f"""
+    WITH seg AS (
+        SELECT c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS ns,
+               CAST(SUM(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT))
+                    AS HUGEINT) AS s1,
+               CAST(SUM(CAST(FLOOR(c_acctbal * 100.0) AS HUGEINT)
+                        * CAST(FLOOR(c_acctbal * 100.0) AS BIGINT))
+                    AS HUGEINT) AS s2
+        FROM customer GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(ns) AS BIGINT) AS n,
+               CAST(SUM(s1) AS HUGEINT) AS g1,
+               CAST(SUM(s2) AS HUGEINT) AS g2,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM seg
+    ), z AS (
+        SELECT segment, k,
+               ((CAST(s1 AS DOUBLE) / ns)
+                - (CAST(g1 - s1 AS DOUBLE) / (n - ns)))
+               / SQRT(((CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / ns)
+                       / (ns - 1)) / ns
+                      + ((CAST(g2 - s2 AS DOUBLE)
+                          - CAST(g1 - s1 AS DOUBLE)
+                            * CAST(g1 - s1 AS DOUBLE) / (n - ns))
+                         / (n - ns - 1)) / (n - ns)) AS z
+        FROM seg, tot
+    ), p AS (
+        SELECT segment, k, 2.0 * (1.0 - {phi_abs}) AS p FROM z
+    ), ranked AS (
+        SELECT segment, p, k,
+               ROW_NUMBER() OVER (ORDER BY p, segment) AS i
+        FROM p
+    ), holm AS (
+        SELECT segment, p,
+               MAX(LEAST((k - i + 1) * p, 1.0))
+                   OVER (ORDER BY p, segment ROWS UNBOUNDED PRECEDING)
+                   AS p_holm
+        FROM ranked
+    )
+    SELECT segment, ROUND(p, 6) AS p_raw, ROUND(p_holm, 6) AS p_holm,
+           CAST(CASE WHEN p_holm < 0.05 THEN 1 ELSE 0 END AS INT)
+               AS reject_5pct
+    FROM holm ORDER BY segment
+    """
+
+
+@register("stats_holm_bonferroni", _holm_sql())
+def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm step-down multiple-testing correction over the family of five
+    per-segment Welch z-tests (segment account balance vs the complement):
+    sort raw p ascending, multiply the i-th by (k−i+1), enforce
+    monotonicity with a running max, cap at 1. Controls FWER at any
+    dependence — the step-DOWN counterpart to the step-UP
+    ``stats_bh_fdr`` (which controls the weaker FDR); together they are
+    the two corrections every metrics dashboard needs. Sufficient stats
+    are exact 128-bit integer moments; each complement's mean/variance is
+    derived by subtraction from the global fold, so the whole family
+    costs ONE aggregation pass. Φ from the shared engine-mirrored erf.
+
+    Scale: one partial→final grouped aggregate; the step-down window
+    runs over the k-row family frame (k = |segments|, metadata-sized —
+    measured in WINDOW_AUDIT.json)."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100.0).cast("long")
+    seg = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        F.sum(cents).cast("decimal(38,0)").alias("s1"),
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("s2"),
+    )
+    tot = seg.agg(
+        F.sum("ns").cast("long").alias("n"),
+        F.sum("s1").cast("decimal(38,0)").alias("g1"),
+        F.sum("s2").cast("decimal(38,0)").alias("g2"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    j = seg.crossJoin(F.broadcast(tot))
+    ns, n = F.col("ns"), F.col("n")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    c1d = (F.col("g1") - F.col("s1")).cast("double")
+    c2d = (F.col("g2") - F.col("s2")).cast("double")
+    nc = n - ns
+    v1 = (s2d - s1d * s1d / ns) / (ns - 1)
+    v2 = (c2d - c1d * c1d / nc) / (nc - 1)
+    z = (s1d / ns - c1d / nc) / F.sqrt(v1 / ns + v2 / nc)
+    p = j.select(
+        "segment",
+        "k",
+        (2.0 * (1.0 - norm_cdf(F.abs(z)))).alias("p"),
+    )
+    w_rank = Window.orderBy("p", "segment")
+    ranked = p.select(
+        "segment", "p", "k", F.row_number().over(w_rank).alias("i")
+    )
+    stepd = F.least(
+        (F.col("k") - F.col("i") + 1) * F.col("p"), F.lit(1.0)
+    )
+    holm = ranked.select(
+        "segment",
+        "p",
+        F.max(stepd)
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("p_holm"),
+    )
+    return holm.select(
+        "segment",
+        F.round("p", 6).alias("p_raw"),
+        F.round("p_holm", 6).alias("p_holm"),
+        F.when(F.col("p_holm") < 0.05, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("reject_5pct"),
+    ).orderBy("segment")
+
+
+@register(
+    "stats_hartley_cochran",
+    """
+    WITH g AS (
+        SELECT o_orderpriority AS pr,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS HUGEINT) AS s1,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS HUGEINT)
+                        * CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS HUGEINT) AS s2
+        FROM orders GROUP BY 1
+    ), v AS (
+        SELECT pr, n,
+               (CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)
+                   AS s2v
+        FROM g
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+           CAST(MIN(n) AS BIGINT) AS n_min,
+           CAST(MAX(n) AS BIGINT) AS n_max,
+           MAX_BY(pr, s2v) AS group_max_var,
+           ROUND(MAX(s2v) / MIN(s2v), 4) AS hartley_fmax,
+           ROUND(MAX(s2v) / (CAST(SUM(CAST(FLOOR(s2v) AS HUGEINT))
+                                  AS DOUBLE)
+                             + CAST(SUM(CAST(FLOOR((s2v - FLOOR(s2v))
+                                                   * 1e6) AS BIGINT))
+                                    AS DOUBLE) / 1e6), 6) AS cochran_c
+    FROM v
+    """,
+)
+def stats_hartley_cochran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hartley's F_max and Cochran's C — the two classical quick screens
+    for variance heterogeneity across the five order-priority groups
+    (order totals, cents): F_max = s²_max/s²_min flags ANY imbalance,
+    C = s²_max/Σs² asks whether ONE group dominates the pooled variance —
+    the pre-ANOVA diagnostics that decide between ``stats_anova_oneway``
+    and ``stats_anova_welch`` (Levene/Bartlett/Fligner are the formal
+    tests; these are the ones read off a summary table). Group variances
+    come from exact 128-bit integer moments; the cross-group sum splits
+    each s² into integer and fractional parts, both floor-quantized, so
+    the fold is summation-order-independent (the max/min/argmax folds
+    are order-free by construction).
+
+    Scale: one partial→final grouped aggregate, then a 5-row fold."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0).cast("long")
+    g = orders.groupBy(F.col("o_orderpriority").alias("pr")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("decimal(38,0)").alias("s1"),
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("s2"),
+    )
+    n = F.col("n")
+    s2v = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / n
+    ) / (n - 1)
+    v = g.select("pr", "n", s2v.alias("s2v"))
+    int_part = F.sum(F.floor("s2v").cast("decimal(38,0)")).cast("double")
+    frac_part = (
+        F.sum(
+            F.floor((F.col("s2v") - F.floor("s2v")) * 1e6).cast("long")
+        ).cast("double")
+        / 1e6
+    )
+    return v.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.min("n").cast("long").alias("n_min"),
+        F.max("n").cast("long").alias("n_max"),
+        F.expr("max_by(pr, s2v)").alias("group_max_var"),
+        F.round(F.max("s2v") / F.min("s2v"), 4).alias("hartley_fmax"),
+        F.round(F.max("s2v") / (int_part + frac_part), 6).alias(
+            "cochran_c"
+        ),
+    )
+
+
+@register(
+    "stats_woolf_test",
+    """
+    WITH v AS (
+        SELECT date_part('year', l_shipdate) AS yr,
+               CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS exposed,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS outcome
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ), strata AS (
+        SELECT yr,
+               COUNT(*) FILTER (WHERE exposed = 1 AND outcome = 1) + 0.5
+                   AS a,
+               COUNT(*) FILTER (WHERE exposed = 1 AND outcome = 0) + 0.5
+                   AS b,
+               COUNT(*) FILTER (WHERE exposed = 0 AND outcome = 1) + 0.5
+                   AS c,
+               COUNT(*) FILTER (WHERE exposed = 0 AND outcome = 0) + 0.5
+                   AS d
+        FROM v GROUP BY yr
+    ), terms AS (
+        SELECT LN(a * d / (b * c)) AS y,
+               1.0 / (1.0/a + 1.0/b + 1.0/c + 1.0/d) AS w
+        FROM strata
+    ), folds AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+               CAST(SUM(CAST(FLOOR(w * 1e9) AS BIGINT)) AS BIGINT) AS wq,
+               CAST(SUM(CAST(FLOOR(w * y * 1e9) AS BIGINT)) AS BIGINT)
+                   AS wyq,
+               CAST(SUM(CAST(FLOOR(w * y * y * 1e9) AS BIGINT)) AS BIGINT)
+                   AS wy2q
+        FROM terms
+    )
+    SELECT n_strata, n_strata - 1 AS df,
+           ROUND((wyq / 1e9) / (wq / 1e9), 6) AS ln_or_pooled,
+           ROUND(wy2q / 1e9 - (wyq / 1e9) * (wyq / 1e9) / (wq / 1e9), 4)
+               AS woolf_chi2
+    FROM folds
+    """,
+)
+def stats_woolf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Woolf's test for homogeneity of the odds ratio across ship-year
+    strata — the inverse-variance-on-log-OR alternative reading of the
+    same question ``stats_breslow_day`` answers on the same 2×2 tables
+    (discount ≥ 5% exposure vs R-vs-A returns by year): with Haldane's
+    +0.5 in every cell, χ²_W = Σwᵢyᵢ² − (Σwᵢyᵢ)²/Σwᵢ where y = ln OR and
+    w = (1/a+1/b+1/c+1/d)⁻¹, ~χ²_{K−1} under a common OR. BD conditions
+    on the MH estimate; Woolf weights in log-odds space — when they
+    disagree the cells are small and you trust neither, which is itself
+    the diagnostic. Per-stratum y and w are deterministic IEEE algebra on
+    exact integer cells; the three cross-strata folds are floor-quantized
+    at 1e-9 (y can be negative — floor is sign-consistent on both
+    engines). Also emits the pooled log-OR Σwy/Σw, Woolf's own common-OR
+    estimate.
+
+    Scale: one partial→final aggregate to ≤7 year strata, scalar algebra
+    on the stratum frame, a 3-sum fold."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    v = li.select(
+        F.year("l_shipdate").alias("yr"),
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("exposed"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("outcome"),
+    )
+    strata = v.groupBy("yr").agg(
+        (
+            F.count(
+                F.when((F.col("exposed") == 1) & (F.col("outcome") == 1), 1)
+            )
+            + 0.5
+        ).alias("a"),
+        (
+            F.count(
+                F.when((F.col("exposed") == 1) & (F.col("outcome") == 0), 1)
+            )
+            + 0.5
+        ).alias("b"),
+        (
+            F.count(
+                F.when((F.col("exposed") == 0) & (F.col("outcome") == 1), 1)
+            )
+            + 0.5
+        ).alias("c"),
+        (
+            F.count(
+                F.when((F.col("exposed") == 0) & (F.col("outcome") == 0), 1)
+            )
+            + 0.5
+        ).alias("d"),
+    )
+    a, b, c, d = (F.col(x) for x in "abcd")
+    terms = strata.select(
+        F.log(a * d / (b * c)).alias("y"),
+        (1.0 / (1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)).alias("w"),
+    )
+    y, w = F.col("y"), F.col("w")
+    folds = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(F.floor(w * 1e9).cast("long")).cast("long").alias("wq"),
+        F.sum(F.floor(w * y * 1e9).cast("long")).cast("long").alias("wyq"),
+        F.sum(F.floor(w * y * y * 1e9).cast("long"))
+        .cast("long")
+        .alias("wy2q"),
+    )
+    return folds.select(
+        "n_strata",
+        (F.col("n_strata") - 1).alias("df"),
+        F.round((F.col("wyq") / 1e9) / (F.col("wq") / 1e9), 6).alias(
+            "ln_or_pooled"
+        ),
+        F.round(
+            F.col("wy2q") / 1e9
+            - (F.col("wyq") / 1e9) * (F.col("wyq") / 1e9) / (F.col("wq") / 1e9),
+            4,
+        ).alias("woolf_chi2"),
+    )

@@ -8963,3 +8963,405 @@ def ts_spectral_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.atan2(cim, cre), 6).alias("phase_rad"),
     ).orderBy("period_days")
+
+
+@register(
+    "ts_lomb_scargle",
+    """
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        WHERE date_part('day', o_orderdate) % 5 <> 0
+        GROUP BY 1
+    ), base AS (
+        SELECT MIN(day) AS d0,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS HUGEINT) AS s1,
+               CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2
+        FROM daily
+    ), pts AS (
+        SELECT CAST(DATE_DIFF('day', b.d0, d.day) AS BIGINT) AS t,
+               CAST(d.cents AS DOUBLE) - CAST(b.s1 AS DOUBLE) / b.n AS y,
+               b.n,
+               (CAST(b.s2 AS DOUBLE)
+                - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE) / b.n)
+               / (b.n - 1) AS var
+        FROM daily d, base b
+    ), tau AS (
+        SELECT per.p,
+               ATAN2(CAST(SUM(CAST(FLOOR(SIN(4 * PI() * t / per.p) * 1e9)
+                                   AS BIGINT)) AS BIGINT) / 1e9,
+                     CAST(SUM(CAST(FLOOR(COS(4 * PI() * t / per.p) * 1e9)
+                                   AS BIGINT)) AS BIGINT) / 1e9)
+                   * per.p / (4 * PI()) AS tau
+        FROM pts CROSS JOIN (SELECT UNNEST([5, 7, 14, 30]) AS p) per
+        GROUP BY per.p
+    ), proj AS (
+        SELECT u.p, MAX(n) AS n, MAX(var) AS var,
+               CAST(SUM(CAST(FLOOR(y * COS(2 * PI() * (t - u.tau) / u.p)
+                                   * 1e2) AS BIGINT)) AS BIGINT) AS ycq,
+               CAST(SUM(CAST(FLOOR(COS(2 * PI() * (t - u.tau) / u.p)
+                                   * COS(2 * PI() * (t - u.tau) / u.p)
+                                   * 1e9) AS BIGINT)) AS BIGINT) AS ccq,
+               CAST(SUM(CAST(FLOOR(y * SIN(2 * PI() * (t - u.tau) / u.p)
+                                   * 1e2) AS BIGINT)) AS BIGINT) AS ysq,
+               CAST(SUM(CAST(FLOOR(SIN(2 * PI() * (t - u.tau) / u.p)
+                                   * SIN(2 * PI() * (t - u.tau) / u.p)
+                                   * 1e9) AS BIGINT)) AS BIGINT) AS ssq
+        FROM pts CROSS JOIN tau u
+        GROUP BY u.p
+    )
+    SELECT p AS period_days, n AS n_days,
+           ROUND(0.5 * (POW(ycq / 1e2, 2.0) / (ccq / 1e9)
+                        + POW(ysq / 1e2, 2.0) / (ssq / 1e9)) / var, 4)
+               AS ls_power
+    FROM proj ORDER BY period_days
+    """,
+)
+def ts_lomb_scargle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lomb–Scargle normalized periodogram of the daily revenue series at
+    candidate periods 5/7/14/30 days — the periodogram that stays valid
+    under UNEVEN sampling (here every 5th calendar day is deliberately
+    dropped, the deterministic stand-in for the gaps every real event
+    stream has; ``ts_periodogram``'s plain Fourier projection silently
+    assumes an unbroken spine). Per frequency ω=2π/p, the phase offset τ
+    solves tan(2ωτ) = Σsin2ωt/Σcos2ωt, making the cos/sin projections
+    orthogonal; P(ω) = ½[(Σy'cosω(t−τ))²/Σcos² + (Σy'sinω(t−τ))²/Σsin²]
+    normalized by the sample variance (so P ~ Exp(1) under white noise —
+    P > ln n flags a real period). All trig projection terms are
+    floor-quantized (1e-2 for value-scale, 1e-9 for unit-scale) and
+    integer-summed, the same discipline as the even-grid periodogram;
+    moments are exact 128-bit integers.
+
+    Scale: one pruned daily rollup, a |days|×4 fan-out aggregated twice
+    (tau pass, projection pass) with map-side combine; never touches the
+    raw fact table after the rollup."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.dayofmonth("o_orderdate") % 5 != 0
+    )
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    base = daily.agg(
+        F.min("day").alias("d0"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "s2"
+        ),
+    )
+    n = F.col("n")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    pts = daily.crossJoin(F.broadcast(base)).select(
+        F.datediff("day", "d0").cast("long").alias("t"),
+        (F.col("cents").cast("double") - s1d / n).alias("y"),
+        n.alias("n"),
+        ((s2d - s1d * s1d / n) / (n - 1)).alias("var"),
+    )
+    pers = spark.createDataFrame([(5,), (7,), (14,)] + [(30,)], "p: int")
+    t, p = F.col("t"), F.col("p")
+    tau = (
+        pts.crossJoin(F.broadcast(pers))
+        .groupBy("p")
+        .agg(
+            (
+                F.atan2(
+                    F.sum(
+                        F.floor(F.sin(4 * math.pi * t / p) * 1e9).cast("long")
+                    ).cast("long")
+                    / 1e9,
+                    F.sum(
+                        F.floor(F.cos(4 * math.pi * t / p) * 1e9).cast("long")
+                    ).cast("long")
+                    / 1e9,
+                )
+                * p
+                / (4 * math.pi)
+            ).alias("tau")
+        )
+    )
+    th = 2 * math.pi * (t - F.col("tau")) / p
+    proj = (
+        pts.crossJoin(F.broadcast(pers))
+        .join(F.broadcast(tau), "p")
+        .groupBy("p")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("var").alias("var"),
+            F.sum(F.floor(F.col("y") * F.cos(th) * 1e2).cast("long"))
+            .cast("long")
+            .alias("ycq"),
+            F.sum(F.floor(F.cos(th) * F.cos(th) * 1e9).cast("long"))
+            .cast("long")
+            .alias("ccq"),
+            F.sum(F.floor(F.col("y") * F.sin(th) * 1e2).cast("long"))
+            .cast("long")
+            .alias("ysq"),
+            F.sum(F.floor(F.sin(th) * F.sin(th) * 1e9).cast("long"))
+            .cast("long")
+            .alias("ssq"),
+        )
+    )
+    power = (
+        0.5
+        * (
+            F.pow(F.col("ycq") / 1e2, 2.0) / (F.col("ccq") / 1e9)
+            + F.pow(F.col("ysq") / 1e2, 2.0) / (F.col("ssq") / 1e9)
+        )
+        / F.col("var")
+    )
+    return proj.select(
+        F.col("p").alias("period_days"),
+        F.col("n").alias("n_days"),
+        F.round(power, 4).alias("ls_power"),
+    ).orderBy("period_days")
+
+
+_HW_ORACLE = """
+    WITH RECURSIVE daily AS (
+        SELECT o_orderdate AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), xs AS (
+        SELECT LIST(cents ORDER BY day) AS xa, CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily
+    ), init AS (
+        SELECT xa, n,
+               CAST(FLOOR((xa[1]+xa[2]+xa[3]+xa[4]+xa[5]+xa[6]+xa[7]) / 7.0)
+                    AS BIGINT) AS l0,
+               CAST(FLOOR(((xa[8]+xa[9]+xa[10]+xa[11]+xa[12]+xa[13]+xa[14])
+                           - (xa[1]+xa[2]+xa[3]+xa[4]+xa[5]+xa[6]+xa[7]))
+                          / 49.0) AS BIGINT) AS b0
+        FROM xs
+    ), rec AS (
+        SELECT CAST(7 AS BIGINT) AS i, l0 AS l, b0 AS b,
+               list_transform(range(7), x -> xa[CAST(x AS INT) + 1] - l0)
+                   AS s,
+               xa, n
+        FROM init
+        UNION ALL
+        SELECT i + 1,
+               CAST(FLOOR((3*(xa[CAST(i AS INT) + 1]
+                              - s[CAST((i % 7) AS INT) + 1])
+                           + 7*(l + b)) / 10.0) AS BIGINT),
+               CAST(FLOOR((1*(CAST(FLOOR((3*(xa[CAST(i AS INT) + 1]
+                                  - s[CAST((i % 7) AS INT) + 1])
+                                  + 7*(l + b)) / 10.0) AS BIGINT) - l)
+                           + 19*b) / 20.0) AS BIGINT),
+               list_concat(list_concat(
+                   s[1:CAST((i % 7) AS INT)],
+                   [CAST(FLOOR((2*(xa[CAST(i AS INT) + 1]
+                        - CAST(FLOOR((3*(xa[CAST(i AS INT) + 1]
+                               - s[CAST((i % 7) AS INT) + 1])
+                               + 7*(l + b)) / 10.0) AS BIGINT))
+                        + 8*s[CAST((i % 7) AS INT) + 1]) / 10.0)
+                         AS BIGINT)]),
+                   s[CAST((i % 7) AS INT) + 2:7]),
+               xa, n
+        FROM rec WHERE i < n
+    ), fin AS (
+        SELECT l, b, s, n FROM rec WHERE i = n
+    )
+    SELECT CAST(h.h AS BIGINT) AS horizon_days,
+           ROUND((l + h.h * b + s[CAST(((n + h.h - 1) % 7) AS INT) + 1])
+                 / 100.0, 2) AS forecast,
+           ROUND(l / 100.0, 2) AS level,
+           ROUND(b / 100.0, 4) AS trend
+    FROM fin CROSS JOIN (SELECT UNNEST(range(1, 8)) AS h) h
+    ORDER BY horizon_days
+"""
+
+
+@register("ts_holt_winters", _HW_ORACLE)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt–Winters (triple exponential smoothing) on the daily
+    revenue series — level + trend + weekly seasonality, the forecaster
+    ``ts_double_smoothing`` (no seasonality) and ``ts_seasonality``
+    (no trend carry) each cover half of. Fixed rational smoothing weights
+    α=3/10, β=1/20, γ=2/10 make every update an INTEGER recurrence in
+    cents: l←⌊(3(x−s)+7(l+b))/10⌋, b←⌊(l'−l+19b)/20⌋,
+    s←⌊(2(x−l')+8s)/10⌋, initialized from the first two weeks. Both
+    engines run the IDENTICAL quantized recursion — DuckDB as a
+    recursive CTE carrying the 7-slot season list, Spark as an
+    Arrow-batched ``applyInPandas`` over the (bounded) daily frame — so
+    the 7-day-ahead forecast hash-matches exactly. Emits h=1..7
+    forecasts plus the final level/trend state.
+
+    Scale: the smoother is inherently sequential (each day's state feeds
+    the next), so the recursion runs on the |days| spine — metadata-sized
+    at any corpus scale (3.7k rows per decade); only the daily rollup
+    touches the fact table, with map-side combine. The integer state
+    stays < 2^53, so float-division floors are exact on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+
+    def _hw(pdf):
+        import math as m
+
+        import pandas as pd
+
+        x = [int(v) for v in pdf.sort_values("day")["cents"]]
+        n = len(x)
+        l = m.floor(sum(x[:7]) / 7.0)
+        b = m.floor((sum(x[7:14]) - sum(x[:7])) / 49.0)
+        s = [v - l for v in x[:7]]
+        for i in range(8, n + 1):
+            p = (i - 1) % 7
+            xi = x[i - 1]
+            ln = m.floor((3 * (xi - s[p]) + 7 * (l + b)) / 10.0)
+            bn = m.floor((1 * (ln - l) + 19 * b) / 20.0)
+            s[p] = m.floor((2 * (xi - ln) + 8 * s[p]) / 10.0)
+            l, b = ln, bn
+        rows = [
+            (h, l + h * b + s[(n + h - 1) % 7], l, b)
+            for h in range(1, 8)
+        ]
+        return pd.DataFrame(
+            rows, columns=["horizon_days", "fc_cents", "l_cents", "b_cents"]
+        )
+
+    state = daily.groupBy(F.lit(1).alias("g")).applyInPandas(
+        lambda pdf: _hw(pdf),
+        "horizon_days long, fc_cents long, l_cents long, b_cents long",
+    )
+    return state.select(
+        "horizon_days",
+        F.round(F.col("fc_cents") / 100.0, 2).alias("forecast"),
+        F.round(F.col("l_cents") / 100.0, 2).alias("level"),
+        F.round(F.col("b_cents") / 100.0, 4).alias("trend"),
+    ).orderBy("horizon_days")
+
+
+_DTW_ORACLE = """
+    WITH RECURSIVE wk AS (
+        SELECT date_part('year', o_orderdate) AS y,
+               LEAST(CAST(FLOOR((date_part('doy', o_orderdate) - 1) / 7.0)
+                          AS INT), 51) AS w,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders WHERE date_part('year', o_orderdate) IN (1996, 1997)
+        GROUP BY 1, 2
+    ), cost AS (
+        SELECT a.w + 1 AS i, b.w + 1 AS j, ABS(a.cents - b.cents) AS c
+        FROM (SELECT w, cents FROM wk WHERE y = 1996) a,
+             (SELECT w, cents FROM wk WHERE y = 1997) b
+    ), dp AS (
+        SELECT 0 AS k, 0 AS j,
+               list_concat([CAST(0 AS BIGINT)],
+                           list_transform(range(52),
+                                          x -> CAST(4e15 AS BIGINT))) AS prev,
+               [CAST(4e15 AS BIGINT)] AS cur,
+               (SELECT LIST(c ORDER BY i, j) FROM cost) AS ca
+        UNION ALL
+        SELECT k + 1,
+               CASE WHEN j = 52 THEN 1 ELSE j + 1 END,
+               CASE WHEN j = 52 THEN cur ELSE prev END,
+               list_concat(
+                   CASE WHEN j = 52 THEN [CAST(4e15 AS BIGINT)]
+                        ELSE cur END,
+                   [ca[k + 1] + LEAST(
+                       (CASE WHEN j = 52 THEN cur ELSE prev END)
+                           [(CASE WHEN j = 52 THEN 1 ELSE j + 1 END) + 1],
+                       (CASE WHEN j = 52 THEN cur ELSE prev END)
+                           [(CASE WHEN j = 52 THEN 1 ELSE j + 1 END)],
+                       (CASE WHEN j = 52 THEN [CAST(4e15 AS BIGINT)]
+                             ELSE cur END)
+                           [(CASE WHEN j = 52 THEN 1 ELSE j + 1 END)])]),
+               ca
+        FROM dp WHERE k < 52 * 52
+    ), lock AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS lcents FROM cost WHERE i = j
+    )
+    SELECT CAST(52 AS BIGINT) AS n_weeks,
+           ROUND(cur[53] / 100.0, 2) AS dtw_distance,
+           ROUND(lcents / 100.0, 2) AS lockstep_distance,
+           ROUND(CAST(cur[53] AS DOUBLE) / lcents, 4) AS stretch_gain
+    FROM dp, lock WHERE k = 52 * 52
+"""
+
+
+@register("ts_dtw", _DTW_ORACLE)
+def ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between the 1996 and 1997 weekly
+    revenue profiles (52 buckets each, day-of-year//7 with week 52 folded
+    into 51) — the elastic curve distance that aligns a demand peak
+    landing a week later without the full penalty the lockstep L1 charges
+    (also emitted; dtw ≤ lockstep always, and ``stretch_gain`` = dtw/
+    lockstep says how much of the year-over-year difference is mere
+    timing). Costs |aᵢ−bⱼ| are exact integer cents, so the O(n·m) DP is
+    integer-exact; both engines run the identical recursion — DuckDB as
+    a recursive CTE marching the DP frontier cell-by-cell with the cost
+    grid carried as a flat list in the recursion state (a per-step JOIN
+    re-scan is ~10× slower — measured), Spark as ``applyInPandas`` over
+    the 104-row weekly frame.
+
+    Scale: the quadratic DP runs on the WEEKLY profile (52×52 = 2.7k
+    cells regardless of corpus size); only the weekly rollup touches the
+    fact table. For long-series DTW at scale the standard move is a
+    Sakoe–Chiba band, which this cell-marching shape supports by
+    skipping out-of-band cells."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1996, 1997)
+    )
+    wk = orders.groupBy(
+        F.year("o_orderdate").alias("y"),
+        F.least(
+            F.floor((F.dayofyear("o_orderdate") - 1) / 7.0), F.lit(51.0)
+        )
+        .cast("int")
+        .alias("w"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+
+    def _dtw(pdf):
+        import pandas as pd
+
+        a = [
+            int(v)
+            for v in pdf[pdf.y == 1996].sort_values("w")["cents"]
+        ]
+        b = [
+            int(v)
+            for v in pdf[pdf.y == 1997].sort_values("w")["cents"]
+        ]
+        n, m = len(a), len(b)
+        inf = 1 << 60
+        prev = [0] + [inf] * m
+        for i in range(1, n + 1):
+            cur = [inf]
+            for j in range(1, m + 1):
+                cur.append(
+                    abs(a[i - 1] - b[j - 1])
+                    + min(prev[j], prev[j - 1], cur[j - 1])
+                )
+            prev = cur
+        lock = sum(abs(x - y) for x, y in zip(a, b))
+        return pd.DataFrame(
+            [(n, prev[m], lock)],
+            columns=["n_weeks", "dtw_cents", "lock_cents"],
+        )
+
+    res = wk.groupBy(F.lit(1).alias("g")).applyInPandas(
+        lambda pdf: _dtw(pdf),
+        "n_weeks long, dtw_cents long, lock_cents long",
+    )
+    return res.select(
+        "n_weeks",
+        F.round(F.col("dtw_cents") / 100.0, 2).alias("dtw_distance"),
+        F.round(F.col("lock_cents") / 100.0, 2).alias("lockstep_distance"),
+        F.round(
+            F.col("dtw_cents").cast("double") / F.col("lock_cents"), 4
+        ).alias("stretch_gain"),
+    )

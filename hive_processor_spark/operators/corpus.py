@@ -2528,3 +2528,235 @@ def sample_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(deff, 4).alias("design_effect"),
         F.round(n.cast("double") / deff, 1).alias("effective_sample_size"),
     )
+
+
+@register(
+    "pipeline_dsir_weights",
+    """
+    WITH toks AS (
+        SELECT doc_id, source, lang, STRING_SPLIT(text, ' ') AS w
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, source, lang,
+               UNNEST([ARRAY_TO_STRING(w[i:i+1], ' ')
+                       FOR i IN RANGE(1, LEN(w))]) AS bg
+        FROM toks
+    ), hashed AS (
+        SELECT doc_id, source, lang,
+               (('0x' || SUBSTRING(MD5(bg), 1, 4))::BIGINT) % 256 AS b
+        FROM bg
+    ), feat AS (
+        SELECT doc_id, source, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM hashed GROUP BY 1, 2, 3
+    ), rawb AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM hashed GROUP BY b
+    ), tgtb AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM hashed
+        WHERE lang = 'en' GROUP BY b
+    ), tots AS (
+        SELECT (SELECT SUM(c) FROM rawb) AS rt,
+               (SELECT SUM(c) FROM tgtb) AS tt
+    ), lam AS (
+        SELECT r.b,
+               LN((COALESCE(t.c, 0) + 1.0) / (tt + 256.0))
+               - LN((r.c + 1.0) / (rt + 256.0)) AS lam
+        FROM rawb r LEFT JOIN tgtb t ON r.b = t.b, tots
+    ), docw AS (
+        SELECT f.doc_id, f.source,
+               CAST(SUM(CAST(FLOOR(f.c * l.lam * 1e6) AS BIGINT))
+                    AS BIGINT) AS q
+        FROM feat f JOIN lam l ON f.b = l.b
+        GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(q) AS DOUBLE) / 1e6 / COUNT(*), 6)
+               AS avg_weight,
+           ROUND(CAST(COUNT(*) FILTER (WHERE q > 0) AS DOUBLE)
+                 / COUNT(*), 4) AS pct_toward_target
+    FROM docw GROUP BY source ORDER BY source
+    """,
+)
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. '23, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how target-like its HASHED-BIGRAM profile is —
+    w(d) = Σ_b c_db·[ln p̂_target(b) − ln p̂_raw(b)] over 256 hash
+    buckets, Laplace-smoothed, with the English sub-corpus as the
+    target distribution. Positive weight ⇒ resampling would pull the
+    doc in; the per-source report is the mixture diagnostic read before
+    sampling (which ``pipeline_rejection_sample`` /
+    ``pipeline_mixture_weights`` then execute). Bucket ids come from the
+    engine-shared MD5 path (exact on both engines); per-(doc,bucket)
+    counts are exact integers and the per-doc fold is floor-quantized at
+    1e-6, so weights hash-match at any parallelism.
+
+    Scale: two grouped counts over the exploded bigram stream (map-side
+    combined), a 256-row broadcast of the log-ratio table, one grouped
+    fold per doc — the hashed feature space is CONSTANT-width no matter
+    the corpus, which is the entire DSIR trick."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, size(w) - 1),"
+        " i -> array_join(slice(w, i, 2), ' '))"
+    )
+    hashed = (
+        docs.select(
+            "doc_id", "source", "lang", F.split("text", " ").alias("w")
+        )
+        .select(
+            "doc_id", "source", "lang", F.explode(bigrams).alias("bg")
+        )
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("bg"), 1, 4), 16, 10).cast("long")
+                % 256
+            ).alias("b"),
+        )
+    )
+    feat = hashed.groupBy("doc_id", "source", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rawb = hashed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("rc")
+    )
+    tgtb = (
+        hashed.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+    )
+    tots = rawb.crossJoin(tgtb.agg(F.sum("tc").alias("tt"))).agg(
+        F.sum("rc").alias("rt"), F.max("tt").alias("tt")
+    )
+    lam = (
+        rawb.join(F.broadcast(tgtb), "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                    / (F.col("tt") + 256.0)
+                )
+                - F.log((F.col("rc") + 1.0) / (F.col("rt") + 256.0))
+            ).alias("lam"),
+        )
+    )
+    docw = (
+        feat.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.floor(F.col("c") * F.col("lam") * 1e6).cast("long"))
+            .cast("long")
+            .alias("q")
+        )
+    )
+    return (
+        docw.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("q").cast("double") / 1e6 / F.count(F.lit(1)), 6
+            ).alias("avg_weight"),
+            F.round(
+                F.count_if(F.col("q") > 0).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("pct_toward_target"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_watermark_greenlist",
+    """
+    WITH toks AS (
+        SELECT doc_id, source, STRING_SPLIT(text, ' ') AS w
+        FROM documents
+    ), trans AS (
+        SELECT doc_id, source,
+               UNNEST([w[i] || '|' || w[i+1]
+                       FOR i IN RANGE(1, LEN(w))]) AS pair
+        FROM toks
+    ), scored AS (
+        SELECT doc_id, source,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (
+                   WHERE (('0x' || SUBSTRING(MD5(pair), 1, 8))::BIGINT)
+                         % 2 = 0) AS BIGINT) AS g
+        FROM trans GROUP BY 1, 2
+    ), z AS (
+        SELECT source,
+               (2.0 * g - n) / SQRT(CAST(n AS DOUBLE)) AS z
+        FROM scored WHERE n >= 10
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(FLOOR(z * 1e6) AS BIGINT)) AS DOUBLE)
+                 / 1e6 / COUNT(*), 4) AS mean_z,
+           ROUND(MAX(z), 4) AS max_z,
+           CAST(COUNT(*) FILTER (WHERE z > 2.0) AS BIGINT) AS n_flagged
+    FROM z GROUP BY source ORDER BY source
+    """,
+)
+def text_watermark_greenlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenlist watermark detector (Kirchenbauer et al. '23, "A
+    Watermark for Large Language Models"): with γ=½, each token is
+    "green" iff a hash seeded by its PREDECESSOR lands even — watermarked
+    generations oversample green tokens, so z = (2g−n)/√n ~ N(0,1) on
+    clean text and blows past 2 on marked text. Scored per document
+    (n ≥ 10 transitions), reported per source: mean z, max z, and the
+    flag count — the provenance audit a training-data pipeline runs to
+    keep synthetic (watermarked) text out of the corpus. The fixture
+    corpus is clean, so mean_z ≈ 0 IS the correct answer; the machinery
+    (bigram hash transitions, per-doc z, source rollup) is what's under
+    test. Hash from the engine-shared MD5 path; the per-source mean
+    folds floor-quantized z at 1e-6.
+
+    Scale: one exploded-transition grouped count per doc (map-side
+    combined), then a metadata-sized source rollup — linear in corpus
+    size, no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = F.expr(
+        "transform(sequence(1, size(w) - 1),"
+        " i -> concat(element_at(w, i), '|', element_at(w, i + 1)))"
+    )
+    trans = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    ).select("doc_id", "source", F.explode(pairs).alias("pair"))
+    green = (
+        F.conv(F.substring(F.md5("pair"), 1, 8), 16, 10).cast("long") % 2
+        == 0
+    )
+    scored = trans.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if(green).cast("long").alias("g"),
+    )
+    z = scored.filter(F.col("n") >= 10).select(
+        "source",
+        (
+            (2.0 * F.col("g") - F.col("n"))
+            / F.sqrt(F.col("n").cast("double"))
+        ).alias("z"),
+    )
+    return (
+        z.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.floor(F.col("z") * 1e6).cast("long")).cast(
+                    "double"
+                )
+                / 1e6
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_z"),
+            F.round(F.max("z"), 4).alias("max_z"),
+            F.count_if(F.col("z") > 2.0).cast("long").alias("n_flagged"),
+        )
+        .orderBy("source")
+    )

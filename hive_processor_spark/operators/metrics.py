@@ -16142,3 +16142,385 @@ def stats_woolf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("woolf_chi2"),
     )
+
+
+def _platt_sums_sql(par: str) -> str:
+    p = f"(1.0 / (1.0 + EXP(-({par}.a * d.f + {par}.b))))"
+    return f"""
+        SELECT MAX({par}.a) AS a0, MAX({par}.b) AS b0,
+               CAST(SUM(CAST(FLOOR(({p} - d.y) * d.f * 1e6) AS BIGINT))
+                    AS BIGINT) / 1e6 AS g1,
+               CAST(SUM(CAST(FLOOR(({p} - d.y) * 1e6) AS BIGINT))
+                    AS BIGINT) / 1e6 AS g2,
+               CAST(SUM(CAST(FLOOR({p} * (1.0 - {p}) * d.f * d.f * 1e6)
+                             AS BIGINT)) AS BIGINT) / 1e6 AS h11,
+               CAST(SUM(CAST(FLOOR({p} * (1.0 - {p}) * d.f * 1e6)
+                             AS BIGINT)) AS BIGINT) / 1e6 AS h12,
+               CAST(SUM(CAST(FLOOR({p} * (1.0 - {p}) * 1e6) AS BIGINT))
+                    AS BIGINT) / 1e6 AS h22
+        FROM d, {par}
+    """
+
+
+_PLATT_STEP_SQL = """
+    SELECT FLOOR((a0 - (h22 * g1 - h12 * g2)
+                  / (h11 * h22 - h12 * h12)) * 1e9) / 1e9 AS a,
+           FLOOR((b0 - (h11 * g2 - h12 * g1)
+                  / (h11 * h22 - h12 * h12)) * 1e9) / 1e9 AS b
+    FROM {src}
+"""
+
+
+def _platt_sql() -> str:
+    pcal = "(1.0 / (1.0 + EXP(-(it2.a * d.f + it2.b))))"
+    return f"""
+    WITH d AS (
+        SELECT LEAST(value / 500.0, 1.0) AS f,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        FROM events
+    ), it0 AS (SELECT 1.0 AS a, 0.0 AS b),
+    s1 AS ({_platt_sums_sql('it0')}),
+    it1 AS ({_PLATT_STEP_SQL.format(src='s1')}),
+    s2 AS ({_platt_sums_sql('it1')}),
+    it2 AS ({_PLATT_STEP_SQL.format(src='s2')})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(it2.a), 6) AS a_hat,
+           ROUND(MAX(it2.b), 6) AS b_hat,
+           ROUND(CAST(SUM(CAST(FLOOR((d.f - d.y) * (d.f - d.y) * 1e6)
+                                AS BIGINT)) AS BIGINT)
+                 / 1e6 / COUNT(*), 6) AS brier_raw,
+           ROUND(CAST(SUM(CAST(FLOOR(({pcal} - d.y) * ({pcal} - d.y)
+                                     * 1e6) AS BIGINT)) AS BIGINT)
+                 / 1e6 / COUNT(*), 6) AS brier_platt
+    FROM d, it2
+    """
+
+
+@register("ml_platt_scaling", _platt_sql())
+def ml_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt scaling (Platt '99): recalibrate the value/500 forecast
+    (``ml_brier_score``'s probability) through σ(a·f + b), with (a, b)
+    fit by TWO unrolled Newton–Raphson steps on the logistic
+    log-likelihood from (a,b)=(1,0) — the parametric counterpart to
+    ``ml_isotonic_calibration`` (PAVA), and the standard fix when a
+    classifier's scores are systematically over/under-confident. Each
+    Newton step is ONE aggregation pass: gradient and 2×2 Hessian
+    reduce as five floor-quantized sums, the Hessian inverts in closed
+    form, and the updated (a, b) re-enter the next pass as a quantized
+    1-row broadcast (same bounded-unroll shape as
+    ``ml_poisson_mixture_em``). Emits the fitted map and the Brier
+    score before/after — the after must not be worse on calibrated
+    data, and on this fixture's miscalibrated linear forecast it
+    improves.
+
+    Scale: three aggregation passes over the scored frame (two Newton,
+    one evaluation), all map-side combined; everything between passes is
+    1-row algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.least(F.col("value") / 500.0, F.lit(1.0)).alias("f"),
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+
+    def q6(c):
+        return F.sum(F.floor(c * 1e6).cast("long")).cast("long") / 1e6
+
+    params = spark.createDataFrame([(1.0, 0.0)], "a double, b double")
+    for _ in range(2):
+        pr = 1.0 / (
+            1.0 + F.exp(-(F.col("a") * F.col("f") + F.col("b")))
+        )
+        w = pr * (1.0 - pr)
+        s = d.crossJoin(F.broadcast(params)).agg(
+            F.max("a").alias("a0"),
+            F.max("b").alias("b0"),
+            q6((pr - F.col("y")) * F.col("f")).alias("g1"),
+            q6(pr - F.col("y")).alias("g2"),
+            q6(w * F.col("f") * F.col("f")).alias("h11"),
+            q6(w * F.col("f")).alias("h12"),
+            q6(w).alias("h22"),
+        )
+        det = (
+            F.col("h11") * F.col("h22") - F.col("h12") * F.col("h12")
+        )
+        params = s.select(
+            (
+                F.floor(
+                    (
+                        F.col("a0")
+                        - (F.col("h22") * F.col("g1") - F.col("h12") * F.col("g2"))
+                        / det
+                    )
+                    * 1e9
+                )
+                / 1e9
+            ).alias("a"),
+            (
+                F.floor(
+                    (
+                        F.col("b0")
+                        - (F.col("h11") * F.col("g2") - F.col("h12") * F.col("g1"))
+                        / det
+                    )
+                    * 1e9
+                )
+                / 1e9
+            ).alias("b"),
+        )
+    pcal = 1.0 / (1.0 + F.exp(-(F.col("a") * F.col("f") + F.col("b"))))
+    return d.crossJoin(F.broadcast(params)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.max("a"), 6).alias("a_hat"),
+        F.round(F.max("b"), 6).alias("b_hat"),
+        F.round(
+            q6((F.col("f") - F.col("y")) * (F.col("f") - F.col("y")))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("brier_raw"),
+        F.round(
+            q6((pcal - F.col("y")) * (pcal - F.col("y")))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("brier_platt"),
+    )
+
+
+def _cuzick_sql() -> str:
+    zc = "((t_obs - e_t) / SQRT(var_t))"
+    phi = sql_norm_cdf(f"ABS({zc})")
+    return f"""
+    WITH x AS (
+        SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS s,
+               CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS v
+        FROM orders
+    ), vg AS (
+        SELECT v, s, CAST(COUNT(*) AS BIGINT) AS n FROM x GROUP BY 1, 2
+    ), vt AS (
+        SELECT v, CAST(SUM(n) AS BIGINT) AS t FROM vg GROUP BY v
+    ), rk AS (
+        SELECT v, t,
+               SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f
+        FROM vt
+    ), rj AS (
+        SELECT g.s, CAST(SUM(g.n) AS BIGINT) AS n_g,
+               SUM(g.n * (r.f - r.t + (r.t + 1) / 2.0)) AS r_g
+        FROM vg g JOIN rk r ON g.v = r.v GROUP BY g.s
+    ), folds AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               SUM(s * r_g) AS t_obs,
+               CAST(SUM(s * n_g) AS BIGINT) AS l1,
+               CAST(SUM(CAST(s AS BIGINT) * s * n_g) AS BIGINT) AS q1
+        FROM rj
+    ), ties AS (
+        SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie3 FROM vt
+    ), zc AS (
+        SELECT f.n, f.t_obs,
+               f.l1 * (f.n + 1) / 2.0 AS e_t,
+               (f.n + 1.0) / 12.0
+               * (CAST(f.n AS DOUBLE) * f.q1
+                  - CAST(f.l1 AS DOUBLE) * f.l1)
+               * (1.0 - CAST(t.tie3 AS DOUBLE)
+                  / (CAST(f.n AS DOUBLE) * f.n * f.n - f.n)) AS var_t
+        FROM folds f, ties t
+    )
+    SELECT n AS n_orders,
+           ROUND({zc}, 4) AS z,
+           ROUND(2.0 * (1.0 - {phi}), 6) AS p_two_sided
+    FROM zc
+    """
+
+
+@register("stats_cuzick_trend", _cuzick_sql())
+def stats_cuzick_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuzick's nonparametric test for TREND across ordered groups
+    (Cuzick '85): do order totals drift monotonically across the five
+    priority levels (scores 1=URGENT … 5=LOW)? T = Σ s_g·R_g over
+    average ranks, z = (T − L(N+1)/2)/√Var with the Wilcoxon-style
+    tie-corrected variance (N+1)/12·(N·Q − L²)·(1 − Σ(t³−t)/(N³−N)).
+    The score-weighted refinement of ``stats_jonckheere`` (which only
+    uses the ordering, not the spacing) — the two disagree exactly when
+    the trend is non-uniform across levels. Average ranks are exact
+    half-integers from the grouped-by-value rank algebra (same machinery
+    as ``stats_kruskal_wallis``), so every fold is exact; the cumulative
+    rank pass runs on the bucketed two-level ``with_global_order``, no
+    single-partition window.
+
+    Scale: one shuffle ∝ distinct values, the bucketed prefix-sum, a
+    5-row score fold."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("s"),
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("v"),
+    )
+    vg = x.groupBy("v", "s").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    vt = vg.groupBy("v").agg(F.sum("n").cast("long").alias("t"))
+    rk = with_global_order(vt, "v", cumsums={"f": "t"}).select(
+        "v", "t", "f"
+    )
+    avg_rank = F.col("f") - F.col("t") + (F.col("t") + 1) / F.lit(2.0)
+    rj = (
+        vg.join(rk, "v")
+        .groupBy("s")
+        .agg(
+            F.sum("n").cast("long").alias("n_g"),
+            F.sum(F.col("n") * avg_rank).alias("r_g"),
+        )
+    )
+    folds = rj.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum(F.col("s") * F.col("r_g")).alias("t_obs"),
+        F.sum(F.col("s") * F.col("n_g")).cast("long").alias("l1"),
+        F.sum(F.col("s").cast("long") * F.col("s") * F.col("n_g"))
+        .cast("long")
+        .alias("q1"),
+    )
+    ties = vt.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie3")
+    )
+    n = F.col("n")
+    e_t = F.col("l1") * (n + 1) / 2.0
+    var_t = (
+        (n + 1.0)
+        / 12.0
+        * (n.cast("double") * F.col("q1") - F.col("l1").cast("double") * F.col("l1"))
+        * (
+            1.0
+            - F.col("tie3").cast("double")
+            / (n.cast("double") * n * n - n)
+        )
+    )
+    z = (F.col("t_obs") - e_t) / F.sqrt(var_t)
+    return folds.crossJoin(F.broadcast(ties)).select(
+        n.alias("n_orders"),
+        F.round(z, 4).alias("z"),
+        F.round(2.0 * (1.0 - norm_cdf(F.abs(z))), 6).alias("p_two_sided"),
+    )
+
+
+def _fisher_z_sql() -> str:
+    zd = "((d.z96 - d.z97) / SQRT(1.0 / (d.n96 - 3.0) + 1.0 / (d.n97 - 3.0)))"
+    phi = sql_norm_cdf(f"ABS({zd})")
+    return f"""
+    WITH pts AS (
+        SELECT date_part('year', l_shipdate) AS yr,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS y
+        FROM lineitem WHERE date_part('year', l_shipdate) IN (1996, 1997)
+    ), m AS (
+        SELECT yr, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM pts GROUP BY yr
+    ), r AS (
+        SELECT yr, n,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+               / SQRT((CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                      * (CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n))
+                   AS r
+        FROM m
+    ), z AS (
+        SELECT yr, n, r, 0.5 * LN((1.0 + r) / (1.0 - r)) AS zr FROM r
+    ), d AS (
+        SELECT MAX(CASE WHEN yr = 1996 THEN zr END) AS z96,
+               MAX(CASE WHEN yr = 1997 THEN zr END) AS z97,
+               MAX(CASE WHEN yr = 1996 THEN n END) AS n96,
+               MAX(CASE WHEN yr = 1997 THEN n END) AS n97
+        FROM z
+    )
+    SELECT CAST(z.yr AS BIGINT) AS year, z.n,
+           ROUND(z.r, 6) AS r,
+           ROUND((EXP(2.0 * (z.zr - 1.959964 / SQRT(z.n - 3.0))) - 1.0)
+                 / (EXP(2.0 * (z.zr - 1.959964 / SQRT(z.n - 3.0))) + 1.0),
+                 6) AS ci_lo,
+           ROUND((EXP(2.0 * (z.zr + 1.959964 / SQRT(z.n - 3.0))) - 1.0)
+                 / (EXP(2.0 * (z.zr + 1.959964 / SQRT(z.n - 3.0))) + 1.0),
+                 6) AS ci_hi,
+           ROUND({zd}, 4) AS z_diff,
+           ROUND(2.0 * (1.0 - {phi}), 6) AS p_diff
+    FROM z, d ORDER BY year
+    """
+
+
+@register("stats_fisher_z_corr", _fisher_z_sql())
+def stats_fisher_z_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher z machinery for Pearson correlations: the quantity–price
+    correlation per ship year (1996 vs 1997), each with its
+    variance-stabilized 95% CI tanh(atanh r ± 1.96/√(n−3)), plus the
+    two-sample test for whether the TWO correlations differ —
+    Z = (z₁−z₂)/√(1/(n₁−3)+1/(n₂−3)), the question the raw r's overlap
+    can't answer (CIs on r are asymmetric; the z transform is what makes
+    them comparable). Correlations come from exact 128-bit integer
+    moments in ONE grouped pass; atanh is spelled ½ln((1+r)/(1−r)) and
+    tanh as (e²ˣ−1)/(e²ˣ+1) on both engines (no libm atanh/tanh
+    dependency — DuckDB 1.0 has neither), Φ from the shared
+    engine-mirrored erf.
+
+    Scale: one partial→final grouped aggregate over the pruned two-year
+    scan; everything after is 2-row algebra."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(1996, 1997)
+    )
+    pts = li.select(
+        F.year("l_shipdate").alias("yr"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("y"),
+    )
+    m = pts.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    r_expr = (F.col("sxy").cast("double") - sx * sy / n) / F.sqrt(
+        (F.col("sxx").cast("double") - sx * sx / n)
+        * (F.col("syy").cast("double") - sy * sy / n)
+    )
+    z = m.select(
+        "yr",
+        "n",
+        r_expr.alias("r"),
+        (0.5 * F.log((1.0 + r_expr) / (1.0 - r_expr))).alias("zr"),
+    )
+    d = z.agg(
+        F.max(F.when(F.col("yr") == 1996, F.col("zr"))).alias("z96"),
+        F.max(F.when(F.col("yr") == 1997, F.col("zr"))).alias("z97"),
+        F.max(F.when(F.col("yr") == 1996, F.col("n"))).alias("n96"),
+        F.max(F.when(F.col("yr") == 1997, F.col("n"))).alias("n97"),
+    )
+    zd = (F.col("z96") - F.col("z97")) / F.sqrt(
+        1.0 / (F.col("n96") - 3.0) + 1.0 / (F.col("n97") - 3.0)
+    )
+    return (
+        z.crossJoin(F.broadcast(d))
+        .select(
+            F.col("yr").cast("long").alias("year"),
+            "n",
+            F.round("r", 6).alias("r"),
+            F.round(
+                (F.exp(2.0 * (F.col("zr") - 1.959964 / F.sqrt(n - 3.0))) - 1.0)
+                / (F.exp(2.0 * (F.col("zr") - 1.959964 / F.sqrt(n - 3.0))) + 1.0),
+                6,
+            ).alias("ci_lo"),
+            F.round(
+                (F.exp(2.0 * (F.col("zr") + 1.959964 / F.sqrt(n - 3.0))) - 1.0)
+                / (F.exp(2.0 * (F.col("zr") + 1.959964 / F.sqrt(n - 3.0))) + 1.0),
+                6,
+            ).alias("ci_hi"),
+            F.round(zd, 4).alias("z_diff"),
+            F.round(2.0 * (1.0 - norm_cdf(F.abs(zd))), 6).alias("p_diff"),
+        )
+        .orderBy("year")
+    )

@@ -16524,3 +16524,437 @@ def stats_fisher_z_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year")
     )
+
+
+@register(
+    "stats_ancova",
+    """
+    WITH d AS (
+        SELECT l_returnflag AS g,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS y
+        FROM lineitem
+    ), m AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM d GROUP BY g
+    ), w AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(sx) AS DOUBLE) AS tx,
+               CAST(SUM(sy) AS DOUBLE) AS ty,
+               CAST(SUM(sxy) AS DOUBLE) AS txy,
+               CAST(SUM(sxx) AS DOUBLE) AS txx,
+               CAST(SUM(syy) AS DOUBLE) AS tyy,
+               CAST(SUM(CAST(FLOOR((CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) * 1e4)
+                    AS HUGEINT)) AS DOUBLE) / 1e4 AS wxx,
+               CAST(SUM(CAST(FLOOR((CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) * 1e2)
+                    AS HUGEINT)) AS DOUBLE) / 1e2 AS wxy,
+               CAST(SUM(CAST(FLOOR(CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                    AS HUGEINT)) AS DOUBLE) AS wyy
+        FROM m
+    ), f AS (
+        SELECT k, nt, wxy / wxx AS bw,
+               wyy - wxy * wxy / wxx AS sse_full,
+               (tyy - ty * ty / nt)
+               - (txy - tx * ty / nt) * (txy - tx * ty / nt)
+                 / (txx - tx * tx / nt) AS sse_red,
+               tx / nt AS xbar
+        FROM w
+    )
+    SELECT m.g AS return_flag, m.n,
+           ROUND((CAST(m.sy AS DOUBLE) / m.n
+                  - f.bw * (CAST(m.sx AS DOUBLE) / m.n - f.xbar))
+                 / 100.0, 2) AS adj_mean_price,
+           ROUND(f.bw / 100.0, 6) AS common_slope,
+           ROUND(((f.sse_red - f.sse_full) / (f.k - 1))
+                 / (f.sse_full / (f.nt - f.k - 1)), 4) AS f_stat,
+           CAST(f.k - 1 AS BIGINT) AS df1,
+           CAST(f.nt - f.k - 1 AS BIGINT) AS df2
+    FROM m, f ORDER BY m.g
+    """,
+)
+def stats_ancova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANCOVA: do the return-flag groups differ in extended
+    price AFTER adjusting for quantity? The covariate soaks up the
+    variance that ``stats_anova_oneway`` would call noise: fit the
+    common within-group slope b_w = Sxy_w/Sxx_w, compare the full model
+    (groups + covariate) against the reduced (covariate only) by extra
+    sum of squares — F = (ΔSSE/(k−1))/(SSE_full/(N−k−1)) — and emit each
+    group's ADJUSTED mean ȳ_g − b_w(x̄_g − x̄), the "what would the
+    groups cost at equal quantity" number. All five moments fold as
+    exact 128-bit integers per group; the within-group corrected sums
+    cross the k-row frame floor-quantized at per-fold scales sized to
+    keep the BIGINT floor exact (Syy_w is cents²-scale ~1e18).
+
+    Scale: ONE partial→final grouped aggregate over the fact table;
+    everything after is k-row algebra."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("y"),
+    )
+    m = d.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+
+    def corr_q(ss, s1, s2, scale):
+        # Spark's FLOOR(double) returns BIGINT, so the quantization scale
+        # must keep |value|*scale under 2^63 — sized per fold: Sxx_w
+        # (~1e8 at sf0.1) at 1e4, Sxy_w (~1e11) at 1e2, Syy_w (~1e18,
+        # cents^2) at 1e0; each keeps >=7 significant digits of headroom
+        # while the fold stays an exact integer sum on both engines.
+        val = (
+            F.col(ss).cast("double")
+            - F.col(s1).cast("double") * F.col(s2).cast("double") / n
+        )
+        q = F.floor(val * scale) if scale != 1 else F.floor(val)
+        return (
+            F.sum(q.cast("decimal(38,0)")).cast("double") / scale
+        )
+
+    w = m.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("sx").cast("double").alias("tx"),
+        F.sum("sy").cast("double").alias("ty"),
+        F.sum("sxy").cast("double").alias("txy"),
+        F.sum("sxx").cast("double").alias("txx"),
+        F.sum("syy").cast("double").alias("tyy"),
+        corr_q("sxx", "sx", "sx", 1e4).alias("wxx"),
+        corr_q("sxy", "sx", "sy", 1e2).alias("wxy"),
+        corr_q("syy", "sy", "sy", 1).alias("wyy"),
+    )
+    nt = F.col("nt")
+    f = w.select(
+        "k",
+        "nt",
+        (F.col("wxy") / F.col("wxx")).alias("bw"),
+        (F.col("wyy") - F.col("wxy") * F.col("wxy") / F.col("wxx")).alias(
+            "sse_full"
+        ),
+        (
+            (F.col("tyy") - F.col("ty") * F.col("ty") / nt)
+            - (F.col("txy") - F.col("tx") * F.col("ty") / nt)
+            * (F.col("txy") - F.col("tx") * F.col("ty") / nt)
+            / (F.col("txx") - F.col("tx") * F.col("tx") / nt)
+        ).alias("sse_red"),
+        (F.col("tx") / nt).alias("xbar"),
+    )
+    j = m.crossJoin(F.broadcast(f))
+    fstat = ((F.col("sse_red") - F.col("sse_full")) / (F.col("k") - 1)) / (
+        F.col("sse_full") / (F.col("nt") - F.col("k") - 1)
+    )
+    return j.select(
+        F.col("g").alias("return_flag"),
+        "n",
+        F.round(
+            (
+                F.col("sy").cast("double") / n
+                - F.col("bw") * (F.col("sx").cast("double") / n - F.col("xbar"))
+            )
+            / 100.0,
+            2,
+        ).alias("adj_mean_price"),
+        F.round(F.col("bw") / 100.0, 6).alias("common_slope"),
+        F.round(fstat, 4).alias("f_stat"),
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("nt") - F.col("k") - 1).cast("long").alias("df2"),
+    ).orderBy("return_flag")
+
+
+@register(
+    "stats_deming_regression",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                   THEN CAST(FLOOR(value * 100.0) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(FLOOR(value * 100.0) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM daily
+    ), c AS (
+        SELECT n,
+               CAST(sx AS DOUBLE) / n AS xb,
+               CAST(sy AS DOUBLE) / n AS yb,
+               CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n
+                   AS cxx,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n
+                   AS cyy,
+               CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n
+                   AS cxy
+        FROM m
+    )
+    SELECT n AS n_days,
+           ROUND((cyy - cxx + SQRT((cyy - cxx) * (cyy - cxx)
+                                   + 4.0 * cxy * cxy))
+                 / (2.0 * cxy), 6) AS deming_slope,
+           ROUND((yb - (cyy - cxx + SQRT((cyy - cxx) * (cyy - cxx)
+                                         + 4.0 * cxy * cxy))
+                       / (2.0 * cxy) * xb) / 100.0, 2)
+               AS deming_intercept,
+           ROUND(cxy / cxx, 6) AS ols_slope
+    FROM c
+    """,
+)
+def stats_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deming (orthogonal, λ=1) regression of daily purchase value on
+    daily click value — the errors-in-BOTH-variables fit: OLS assumes x
+    is measured exactly and attenuates the slope toward zero when it
+    isn't (both daily totals here are noisy samples of the same latent
+    activity); Deming minimizes perpendicular distance instead, slope =
+    (S_yy−S_xx+√((S_yy−S_xx)²+4S_xy²))/(2S_xy). Emits the OLS slope
+    beside it — the gap IS the attenuation bias, the method-comparison
+    diagnostic (Deming is the standard in instrument-agreement studies,
+    next to ``stats_bland_altman``). Moments fold as exact 128-bit
+    integers over the daily frame; the closed form is 1-row IEEE algebra.
+
+    Scale: one conditional-sum rollup to days (map-side combined), one
+    1-row moment fold."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0).cast("long")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", cents).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    c = m.select(
+        n,
+        (sx / n).alias("xb"),
+        (sy / n).alias("yb"),
+        (F.col("sxx").cast("double") - sx * sx / n).alias("cxx"),
+        (F.col("syy").cast("double") - sy * sy / n).alias("cyy"),
+        (F.col("sxy").cast("double") - sx * sy / n).alias("cxy"),
+    )
+    slope = (
+        F.col("cyy")
+        - F.col("cxx")
+        + F.sqrt(
+            (F.col("cyy") - F.col("cxx")) * (F.col("cyy") - F.col("cxx"))
+            + 4.0 * F.col("cxy") * F.col("cxy")
+        )
+    ) / (2.0 * F.col("cxy"))
+    return c.select(
+        n.alias("n_days"),
+        F.round(slope, 6).alias("deming_slope"),
+        F.round(
+            (F.col("yb") - slope * F.col("xb")) / 100.0, 2
+        ).alias("deming_intercept"),
+        F.round(F.col("cxy") / F.col("cxx"), 6).alias("ols_slope"),
+    )
+
+
+@register(
+    "stats_tukey_nonadditivity",
+    """
+    WITH cells AS (
+        SELECT c.c_mktsegment AS seg, date_part('year', o.o_orderdate) AS yr,
+               CAST(FLOOR(CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0)
+                                        AS BIGINT)) AS DOUBLE)
+                          / COUNT(*) * 1e4) AS BIGINT) AS vq
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), rows_ AS (
+        SELECT seg, CAST(SUM(vq) AS BIGINT) AS rsum,
+               CAST(COUNT(*) AS BIGINT) AS rn
+        FROM cells GROUP BY seg
+    ), cols_ AS (
+        SELECT yr, CAST(SUM(vq) AS BIGINT) AS csum,
+               CAST(COUNT(*) AS BIGINT) AS cn
+        FROM cells GROUP BY yr
+    ), g AS (
+        SELECT CAST(SUM(vq) AS BIGINT) AS gsum,
+               CAST(COUNT(*) AS BIGINT) AS gn
+        FROM cells
+    ), dev AS (
+        SELECT x.vq / 1e6 AS v,
+               r.rsum / 1e6 / r.rn - g.gsum / 1e6 / g.gn AS a,
+               c.csum / 1e6 / c.cn - g.gsum / 1e6 / g.gn AS b,
+               g.gsum / 1e6 / g.gn AS gm
+        FROM cells x
+        JOIN rows_ r ON x.seg = r.seg
+        JOIN cols_ c ON x.yr = c.yr, g
+    ), folds AS (
+        SELECT CAST(SUM(CAST(FLOOR(v * a * b * 1e2) AS BIGINT))
+                    AS BIGINT) / 1e2 AS s_vab,
+               CAST(SUM(CAST(FLOOR((v - gm - a - b) * (v - gm - a - b)
+                                   * 1e6) AS BIGINT)) AS BIGINT) / 1e6
+                   AS ss_resid,
+               CAST(COUNT(*) AS BIGINT) AS nc
+        FROM dev
+    ), effs AS (
+        SELECT (SELECT CAST(SUM(CAST(FLOOR(POW(rsum / 1e6 / rn
+                    - (SELECT gsum / 1e6 / gn FROM g), 2) * 1e6)
+                    AS BIGINT)) AS BIGINT) / 1e6 FROM rows_) AS sa2,
+               (SELECT CAST(SUM(CAST(FLOOR(POW(csum / 1e6 / cn
+                    - (SELECT gsum / 1e6 / gn FROM g), 2) * 1e6)
+                    AS BIGINT)) AS BIGINT) / 1e6 FROM cols_) AS sb2,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM rows_) AS r,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cols_) AS c
+    )
+    SELECT e.r AS n_rows, e.c AS n_cols,
+           ROUND(f.s_vab * f.s_vab / (e.sa2 * e.sb2), 4) AS ss_nonadd,
+           ROUND(f.ss_resid, 4) AS ss_resid,
+           ROUND((f.s_vab * f.s_vab / (e.sa2 * e.sb2))
+                 / ((f.ss_resid - f.s_vab * f.s_vab / (e.sa2 * e.sb2))
+                    / ((e.r - 1) * (e.c - 1) - 1)), 4) AS tukey_f,
+           CAST((e.r - 1) * (e.c - 1) - 1 AS BIGINT) AS df2
+    FROM folds f, effs e
+    """,
+)
+def stats_tukey_nonadditivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey's one-degree-of-freedom test for non-additivity (Tukey '49)
+    on the segment × order-year table of mean order values: is the
+    two-way layout ADDITIVE (row effect + column effect), or do segments
+    respond multiplicatively to year-to-year drift? SS_nonadd =
+    (Σᵢⱼ yᵢⱼαᵢβⱼ)²/(Σαᵢ²Σβⱼ²) carved out of the interaction residual,
+    F₁,(r−1)(c−1)−1 — the test that says whether ``agg_median_polish``'s
+    additive decomposition (same table, robust fit) is even the right
+    model, and whether a log transform is needed before ANOVA. Cell
+    means are floor-quantized to a 1e-6-dollar grid FIRST (exact integer
+    sums/counts underneath), so row/column/grand effects are exact
+    integer-sum ÷ count doubles, identical on both engines; the three
+    cross-cell folds are floor-quantized at scales sized to the 35-cell
+    frame.
+
+    Scale: one grouped aggregate to the r×c cell grid (map-side
+    combined) after an equi-join to the dimension; everything after is
+    metadata-sized algebra."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100.0).cast("long")
+                ).cast("double")
+                / F.count(F.lit(1))
+                * 1e4
+            )
+            .cast("long")
+            .alias("vq")
+        )
+    )
+    rows_ = cells.groupBy("seg").agg(
+        F.sum("vq").cast("long").alias("rsum"),
+        F.count(F.lit(1)).cast("long").alias("rn"),
+    )
+    cols_ = cells.groupBy("yr").agg(
+        F.sum("vq").cast("long").alias("csum"),
+        F.count(F.lit(1)).cast("long").alias("cn"),
+    )
+    g = cells.agg(
+        F.sum("vq").cast("long").alias("gsum"),
+        F.count(F.lit(1)).cast("long").alias("gn"),
+    )
+    gm = F.col("gsum") / 1e6 / F.col("gn")
+    dev = (
+        cells.join(F.broadcast(rows_), "seg")
+        .join(F.broadcast(cols_), "yr")
+        .crossJoin(F.broadcast(g))
+        .select(
+            (F.col("vq") / 1e6).alias("v"),
+            (F.col("rsum") / 1e6 / F.col("rn") - gm).alias("a"),
+            (F.col("csum") / 1e6 / F.col("cn") - gm).alias("b"),
+            gm.alias("gm"),
+        )
+    )
+    v, a, b = F.col("v"), F.col("a"), F.col("b")
+    folds = dev.agg(
+        (
+            F.sum(F.floor(v * a * b * 1e2).cast("long")).cast("long") / 1e2
+        ).alias("s_vab"),
+        (
+            F.sum(
+                F.floor(
+                    (v - F.col("gm") - a - b)
+                    * (v - F.col("gm") - a - b)
+                    * 1e6
+                ).cast("long")
+            ).cast("long")
+            / 1e6
+        ).alias("ss_resid"),
+    )
+    ra = rows_.crossJoin(F.broadcast(g)).agg(
+        (
+            F.sum(
+                F.floor(
+                    F.pow(F.col("rsum") / 1e6 / F.col("rn") - gm, 2.0)
+                    * 1e6
+                ).cast("long")
+            ).cast("long")
+            / 1e6
+        ).alias("sa2"),
+        F.count(F.lit(1)).cast("long").alias("r"),
+    )
+    ca = cols_.crossJoin(F.broadcast(g)).agg(
+        (
+            F.sum(
+                F.floor(
+                    F.pow(F.col("csum") / 1e6 / F.col("cn") - gm, 2.0)
+                    * 1e6
+                ).cast("long")
+            ).cast("long")
+            / 1e6
+        ).alias("sb2"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    fin = folds.crossJoin(F.broadcast(ra)).crossJoin(F.broadcast(ca))
+    ss_na = F.col("s_vab") * F.col("s_vab") / (F.col("sa2") * F.col("sb2"))
+    df2 = (F.col("r") - 1) * (F.col("c") - 1) - 1
+    return fin.select(
+        F.col("r").alias("n_rows"),
+        F.col("c").alias("n_cols"),
+        F.round(ss_na, 4).alias("ss_nonadd"),
+        F.round(F.col("ss_resid"), 4).alias("ss_resid"),
+        F.round(
+            ss_na / ((F.col("ss_resid") - ss_na) / df2), 4
+        ).alias("tukey_f"),
+        df2.cast("long").alias("df2"),
+    )

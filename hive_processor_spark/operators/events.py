@@ -9365,3 +9365,262 @@ def ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dtw_cents").cast("double") / F.col("lock_cents"), 4
         ).alias("stretch_gain"),
     )
+
+
+def _dm_sql() -> str:
+    from hive_processor_spark.functions.normdist import sql_norm_cdf
+
+    phi = sql_norm_cdf("ABS(dm_h)")
+    gsum = " + ".join(
+        f"2.0 * g{k}" for k in range(1, 7)
+    )
+    glist = ",\n               ".join(
+        f"""CAST(SUM(CAST(FLOOR((a.dv - s.dbar) * (b.dv - s.dbar) * 1e2)
+                   AS BIGINT)) FILTER (WHERE b.t - a.t = {k})
+                   AS DOUBLE) / 1e2 / s.n AS g{k}"""
+        for k in range(0, 7)
+    )
+    return f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), e AS (
+        SELECT day, cents,
+               LAG(cents, 1) OVER (ORDER BY day) AS f1,
+               LAG(cents, 7) OVER (ORDER BY day) AS f7
+        FROM daily
+    ), d AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+               (ABS(cents - f1) - ABS(cents - f7)) / 100.0 AS dv
+        FROM e WHERE f7 IS NOT NULL
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(dv * 1e2) AS BIGINT)) AS DOUBLE)
+                   / 1e2 / COUNT(*) AS dbar
+        FROM d
+    ), gam AS (
+        SELECT MAX(s.n) AS n, MAX(s.dbar) AS dbar,
+               {glist}
+        FROM d a JOIN d b ON b.t >= a.t AND b.t <= a.t + 6, s
+        GROUP BY s.n, s.dbar
+    ), stat AS (
+        SELECT n, dbar,
+               dbar / SQRT((g0 + {gsum}) / n) AS dm,
+               dbar / SQRT((g0 + {gsum}) / n)
+                   * SQRT((n + 1.0 - 2.0 * 7 + 7.0 * 6 / n) / n) AS dm_h
+        FROM gam
+    )
+    SELECT n AS n_days,
+           ROUND(dbar, 4) AS mean_loss_diff,
+           ROUND(dm, 4) AS dm_stat,
+           ROUND(dm_h, 4) AS dm_harvey,
+           ROUND(2.0 * (1.0 - {phi}), 6) AS p_two_sided
+    FROM stat
+    """
+
+
+@register("ts_diebold_mariano", _dm_sql())
+def ts_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diebold–Mariano test (DM '95, Harvey-corrected) comparing two
+    forecasters of daily revenue on absolute-error loss: naive lag-1 vs
+    seasonal-naive lag-7 — is the accuracy difference REAL or within
+    noise? The loss differential d_t = |e₁|−|e₂| is an exact integer in
+    cents; DM = d̄/√(HAC var) with the h=7 truncated-kernel long-run
+    variance (γ₀ + 2Σγ₁..₆, the standard h−1 lags for 7-step-comparable
+    forecasts), and Harvey's small-sample factor
+    √((n+1−2h+h(h−1)/n)/n). The test ``ts_forecast_mase`` motivates but
+    cannot answer (MASE ranks; DM says whether the gap is significant).
+    Autocovariances are POSITIONAL over the loss series (the spine has
+    missing calendar days, so a calendar-day band would misassign lags
+    — caught by the reference test), via a bounded ±6-position band
+    self-join; every cross-day fold is floor-quantized at 1e-2 dollars.
+
+    Scale: one daily rollup touches the fact table; the band join and
+    folds run on the |days| spine — metadata-sized at any corpus."""
+    from hive_processor_spark.functions.normdist import norm_cdf
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day")
+    e = daily.select(
+        "day",
+        "cents",
+        F.lag("cents", 1).over(w).alias("f1"),
+        F.lag("cents", 7).over(w).alias("f7"),
+    )
+    d = e.filter(F.col("f7").isNotNull()).select(
+        F.row_number().over(w).alias("t"),
+        (
+            (
+                F.abs(F.col("cents") - F.col("f1"))
+                - F.abs(F.col("cents") - F.col("f7"))
+            )
+            / 100.0
+        ).alias("dv"),
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.floor(F.col("dv") * 1e2).cast("long")).cast("double")
+            / 1e2
+            / F.count(F.lit(1))
+        ).alias("dbar"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    band = a.join(
+        F.broadcast(b),
+        (F.col("b.t") >= F.col("a.t"))
+        & (F.col("b.t") <= F.col("a.t") + 6),
+    ).crossJoin(F.broadcast(s))
+    dev_prod = (F.col("a.dv") - F.col("dbar")) * (
+        F.col("b.dv") - F.col("dbar")
+    )
+    lagk = F.col("b.t") - F.col("a.t")
+    gam = band.groupBy("n", "dbar").agg(
+        *[
+            (
+                F.sum(
+                    F.when(
+                        lagk == k,
+                        F.floor(dev_prod * 1e2).cast("long"),
+                    )
+                ).cast("double")
+                / 1e2
+                / F.col("n")
+            ).alias(f"g{k}")
+            for k in range(0, 7)
+        ]
+    )
+    lrv = F.col("g0") + sum(
+        [2.0 * F.col(f"g{k}") for k in range(1, 7)], F.lit(0.0)
+    )
+    dm = F.col("dbar") / F.sqrt(lrv / F.col("n"))
+    n = F.col("n").cast("double")
+    dm_h = dm * F.sqrt((n + 1.0 - 2.0 * 7 + 7.0 * 6 / n) / n)
+    return gam.select(
+        F.col("n").alias("n_days"),
+        F.round("dbar", 4).alias("mean_loss_diff"),
+        F.round(dm, 4).alias("dm_stat"),
+        F.round(dm_h, 4).alias("dm_harvey"),
+        F.round(2.0 * (1.0 - norm_cdf(F.abs(dm_h))), 6).alias(
+            "p_two_sided"
+        ),
+    )
+
+
+_THETA_ORACLE = """
+    WITH RECURSIVE daily AS (
+        SELECT o_orderdate AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), idx AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t, y
+        FROM daily
+    ), mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(t) AS HUGEINT) AS st,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty,
+               CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt
+        FROM idx
+    ), fit AS (
+        SELECT n,
+               CAST(n * sty - st * sy AS DOUBLE)
+               / CAST(n * stt - st * st AS DOUBLE) AS b
+        FROM mom
+    ), fit2 AS (
+        SELECT f.n, f.b,
+               (CAST(m.sy AS DOUBLE) - f.b * CAST(m.st AS DOUBLE)) / f.n
+                   AS a
+        FROM fit f, mom m
+    ), th AS (
+        SELECT LIST(CAST(FLOOR(2.0 * i.y - (f.a + f.b * i.t)) AS BIGINT)
+                    ORDER BY i.t) AS xa,
+               MAX(f.n) AS n, MAX(f.a) AS a, MAX(f.b) AS b
+        FROM idx i, fit2 f
+    ), rec AS (
+        SELECT CAST(1 AS BIGINT) AS i, xa[1] AS l, xa, n, a, b FROM th
+        UNION ALL
+        SELECT i + 1,
+               CAST(FLOOR((3.0 * xa[CAST(i AS INT) + 1] + 7.0 * l) / 10.0)
+                    AS BIGINT),
+               xa, n, a, b
+        FROM rec WHERE i < n
+    ), fin AS (
+        SELECT l, n, a, b FROM rec WHERE i = n
+    )
+    SELECT CAST(h.h AS BIGINT) AS horizon_days,
+           ROUND((0.5 * (a + b * (n + h.h)) + 0.5 * l) / 100.0, 2)
+               AS forecast,
+           ROUND(l / 100.0, 2) AS ses_level,
+           ROUND(b / 100.0, 6) AS trend_slope
+    FROM fin CROSS JOIN (SELECT UNNEST(range(1, 8)) AS h) h
+    ORDER BY horizon_days
+"""
+
+
+@register("ts_theta_method", _THETA_ORACLE)
+def ts_theta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos '00 — the
+    M3-competition winner) of daily revenue: average of the θ=0 line
+    (OLS linear trend, carrying long-run drift) and an SES fit of the
+    θ=2 line 2y − trend (carrying short-run level), h=1..7 ahead. The
+    OLS moments are exact 128-bit integers (time index × cents); the
+    θ=2 series is floor-snapped to integer cents so the SES recursion
+    l ← ⌊(3x + 7l)/10⌋ (α=3/10) is the same pure-integer recurrence as
+    ``ts_holt_winters`` — DuckDB runs it as a recursive CTE carrying the
+    snapped series, Spark as ``applyInPandas`` over the bounded daily
+    spine, and the forecasts hash-match exactly.
+
+    Scale: one daily rollup touches the fact table; the recursion runs
+    on the |days| spine (inherently sequential, metadata-sized)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+
+    def _theta(pdf):
+        import math as m
+
+        import pandas as pd
+
+        y = [int(v) for v in pdf.sort_values("day")["y"]]
+        n = len(y)
+        st = n * (n + 1) // 2
+        stt = n * (n + 1) * (2 * n + 1) // 6
+        sy = sum(y)
+        sty = sum((i + 1) * v for i, v in enumerate(y))
+        b = float(n * sty - st * sy) / float(n * stt - st * st)
+        a = (float(sy) - b * float(st)) / n
+        xa = [m.floor(2.0 * v - (a + b * (i + 1))) for i, v in enumerate(y)]
+        l = xa[0]
+        for i in range(1, n):
+            l = m.floor((3.0 * xa[i] + 7.0 * l) / 10.0)
+        rows = []
+        for h in range(1, 8):
+            fc = 0.5 * (a + b * (n + h)) + 0.5 * l
+            rows.append((h, fc, float(l), b))
+        return pd.DataFrame(
+            rows, columns=["horizon_days", "fc", "l", "b"]
+        )
+
+    state = daily.groupBy(F.lit(1).alias("g")).applyInPandas(
+        lambda pdf: _theta(pdf),
+        "horizon_days long, fc double, l double, b double",
+    )
+    return state.select(
+        "horizon_days",
+        F.round(F.col("fc") / 100.0, 2).alias("forecast"),
+        F.round(F.col("l") / 100.0, 2).alias("ses_level"),
+        F.round(F.col("b") / 100.0, 6).alias("trend_slope"),
+    ).orderBy("horizon_days")

@@ -16958,3 +16958,105 @@ def stats_tukey_nonadditivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tukey_f"),
         df2.cast("long").alias("df2"),
     )
+
+
+@register(
+    "stats_getis_ord",
+    """
+    WITH nat AS (
+        SELECT n.n_regionkey AS rk, n.n_nationkey AS nk, n.n_name AS name,
+               CAST(SUM(CAST(FLOOR(c.c_acctbal * 100.0) AS BIGINT))
+                    AS HUGEINT) AS x
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2, 3
+    ), reg AS (
+        SELECT rk, CAST(SUM(x) AS HUGEINT) AS sr,
+               CAST(COUNT(*) AS BIGINT) AS nr
+        FROM nat GROUP BY rk
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS s,
+               CAST(SUM(x * x) AS HUGEINT) AS q
+        FROM nat
+    ), z AS (
+        SELECT a.name, a.rk,
+               (CAST(r.sr AS DOUBLE) - CAST(t.s AS DOUBLE) / t.n * r.nr)
+               / (SQRT(CAST(t.q AS DOUBLE) / t.n
+                       - (CAST(t.s AS DOUBLE) / t.n)
+                         * (CAST(t.s AS DOUBLE) / t.n))
+                  * SQRT((CAST(t.n AS DOUBLE) * r.nr - CAST(r.nr AS DOUBLE)
+                          * r.nr) / (t.n - 1.0))) AS gi
+        FROM nat a JOIN reg r ON a.rk = r.rk, tot t
+    )
+    SELECT name AS nation, CAST(rk AS BIGINT) AS region_key,
+           ROUND(gi, 4) AS gi_star_z,
+           CAST(CASE WHEN gi > 1.96 THEN 1 ELSE 0 END AS INT) AS hotspot,
+           CAST(CASE WHEN gi < -1.96 THEN 1 ELSE 0 END AS INT)
+               AS coldspot
+    FROM z ORDER BY nation
+    """,
+)
+def stats_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis–Ord Gi* local hotspot statistic per nation under the
+    same-region contiguity weights (self included — the * variant):
+    z_i = (Σ_j∈region x_j − x̄·n_r)/(s·√((n·n_r − n_r²)/(n−1))) — WHICH
+    nations sit in anomalously rich (or poor) neighborhoods, the local
+    drill-down of ``stats_moran_geary``'s single global I (a global
+    null can hide offsetting local clusters; Gi* is how you find them).
+    Block weights make Σ_j w_ij x_j the region sum — no pair join, same
+    collapse as Moran. All moments are exact 128-bit integer folds of
+    account-balance cents; each z is one fixed-form IEEE expression per
+    nation row.
+
+    Scale: one customer-sized groupBy under a broadcast nation join,
+    then 25-row algebra."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    nat = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("rk"),
+            F.col("n_nationkey").alias("nk"),
+            F.col("n_name").alias("name"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("c_acctbal") * 100.0).cast("decimal(38,0)")
+            ).alias("x")
+        )
+    )
+    reg = nat.groupBy("rk").agg(
+        F.sum("x").alias("sr"), F.count(F.lit(1)).cast("long").alias("nr")
+    )
+    tot = nat.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    n = F.col("n")
+    xbar = F.col("s").cast("double") / n
+    sd = F.sqrt(
+        F.col("q").cast("double") / n - xbar * xbar
+    )
+    gi = (F.col("sr").cast("double") - xbar * F.col("nr")) / (
+        sd
+        * F.sqrt(
+            (n.cast("double") * F.col("nr") - F.col("nr").cast("double") * F.col("nr"))
+            / (n - 1.0)
+        )
+    )
+    return (
+        nat.join(F.broadcast(reg), "rk")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("name").alias("nation"),
+            F.col("rk").cast("long").alias("region_key"),
+            F.round(gi, 4).alias("gi_star_z"),
+            F.when(gi > 1.96, 1).otherwise(0).cast("int").alias("hotspot"),
+            F.when(gi < -1.96, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("coldspot"),
+        )
+        .orderBy("nation")
+    )

@@ -17060,3 +17060,394 @@ def stats_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "stats_chow_test",
+    """
+    WITH pts AS (
+        SELECT CASE WHEN date_part('year', l_shipdate) <= 1996
+                    THEN 1 ELSE 2 END AS seg,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS y
+        FROM lineitem
+        WHERE date_part('year', l_shipdate) IN (1996, 1997)
+    ), m AS (
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM pts GROUP BY seg
+    ), sse AS (
+        SELECT seg, n,
+               (CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+               - POW(CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n, 2)
+                 / (CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) AS sse
+        FROM m
+    ), pool AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(sx) AS DOUBLE) AS sx,
+               CAST(SUM(sy) AS DOUBLE) AS sy,
+               CAST(SUM(sxy) AS DOUBLE) AS sxy,
+               CAST(SUM(sxx) AS DOUBLE) AS sxx,
+               CAST(SUM(syy) AS DOUBLE) AS syy
+        FROM m
+    ), psse AS (
+        SELECT n,
+               (syy - sy * sy / n)
+               - POW(sxy - sx * sy / n, 2) / (sxx - sx * sx / n) AS sse_p
+        FROM pool
+    ), parts AS (
+        SELECT CAST(SUM(CAST(FLOOR(sse) AS HUGEINT)) AS DOUBLE) AS sse_u,
+               CAST(MAX(n) + MIN(n) AS BIGINT) AS nt
+        FROM sse
+    )
+    SELECT p.nt AS n_rows,
+           ROUND(q.sse_p / 1e8, 4) AS sse_pooled_m,
+           ROUND(p.sse_u / 1e8, 4) AS sse_split_m,
+           ROUND(((q.sse_p - p.sse_u) / 2.0)
+                 / (p.sse_u / (p.nt - 4.0)), 4) AS chow_f,
+           CAST(2 AS BIGINT) AS df1,
+           CAST(p.nt - 4 AS BIGINT) AS df2
+    FROM parts p, psse q
+    """,
+)
+def stats_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow test for a structural break in the price ~ quantity
+    regression at the 1996→1997 boundary: fit the pooled line and the
+    two per-period lines, F = ((SSE_pooled − SSE₁ − SSE₂)/k) /
+    ((SSE₁+SSE₂)/(n−2k)) with k = 2 parameters — did the RELATIONSHIP
+    change, not just the correlation (``stats_fisher_z_corr`` compares
+    r's; Chow compares slope+intercept jointly, and a slope can move
+    while r stays put). All moments are exact 128-bit integers in one
+    grouped pass; per-segment SSEs cross the 2-row frame floored to
+    integer cents² (magnitude ~1e18, exact in the BIGINT floor), SSEs
+    reported in 1e8-cents² (= dollars²·10⁴) units.
+
+    Scale: one partial→final grouped aggregate over the pruned two-year
+    scan; 2-row algebra after."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(1996, 1997)
+    )
+    pts = li.select(
+        F.when(F.year("l_shipdate") <= 1996, 1).otherwise(2).alias("seg"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("y"),
+    )
+    m = pts.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sse_expr = (
+        F.col("syy").cast("double") - sy * sy / n
+    ) - F.pow(F.col("sxy").cast("double") - sx * sy / n, 2.0) / (
+        F.col("sxx").cast("double") - sx * sx / n
+    )
+    sse = m.select("seg", "n", sse_expr.alias("sse"))
+    pool = m.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sx").cast("double").alias("sx"),
+        F.sum("sy").cast("double").alias("sy"),
+        F.sum("sxy").cast("double").alias("sxy"),
+        F.sum("sxx").cast("double").alias("sxx"),
+        F.sum("syy").cast("double").alias("syy"),
+    )
+    psse = pool.select(
+        "n",
+        (
+            (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+            - F.pow(
+                F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"), 2.0
+            )
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        ).alias("sse_p"),
+    )
+    parts = sse.agg(
+        F.sum(F.floor("sse").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sse_u"),
+        (F.max("n") + F.min("n")).cast("long").alias("nt"),
+    )
+    fin = parts.crossJoin(F.broadcast(psse))
+    chow = ((F.col("sse_p") - F.col("sse_u")) / 2.0) / (
+        F.col("sse_u") / (F.col("nt") - 4.0)
+    )
+    return fin.select(
+        F.col("nt").alias("n_rows"),
+        F.round(F.col("sse_p") / 1e8, 4).alias("sse_pooled_m"),
+        F.round(F.col("sse_u") / 1e8, 4).alias("sse_split_m"),
+        F.round(chow, 4).alias("chow_f"),
+        F.lit(2).cast("long").alias("df1"),
+        (F.col("nt") - 4).cast("long").alias("df2"),
+    )
+
+
+_BC_GRID = (
+    # (lambda, value-scale qv, square-scale qq) — per-lambda quantization
+    # sized so FLOOR(double)->BIGINT stays exact at sf0.1 magnitudes
+    (0.0, 1e9, 1e6),
+    (0.3333333333333333, 1e8, 1e5),
+    (0.5, 1e8, 1e4),
+    (1.0, 1e4, 1.0),
+    (2.0, 1.0, 1e-4),
+)
+
+
+def _boxcox_sql() -> str:
+    branches_t = " ".join(
+        f"WHEN l = {lam!r} THEN "
+        + ("LN(y)" if lam == 0.0 else f"(POW(y, {lam!r}) - 1.0) / {lam!r}")
+        for lam, _, _ in _BC_GRID
+    )
+    branches_qv = " ".join(
+        f"WHEN l = {lam!r} THEN {qv!r}" for lam, qv, _ in _BC_GRID
+    )
+    branches_qq = " ".join(
+        f"WHEN l = {lam!r} THEN {qq!r}" for lam, _, qq in _BC_GRID
+    )
+    lam_list = ", ".join(repr(lam) for lam, _, _ in _BC_GRID)
+    return f"""
+    WITH x AS (
+        SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) / 100.0 AS y
+        FROM orders
+    ), fan AS (
+        SELECT y, l.l,
+               CASE {branches_t} END AS t,
+               CASE {branches_qv} END AS qv,
+               CASE {branches_qq} END AS qq
+        FROM x CROSS JOIN (SELECT UNNEST([{lam_list}]) AS l) l
+    ), agg AS (
+        SELECT l, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(t * qv) AS HUGEINT)) AS DOUBLE)
+                   / MAX(qv) AS sv,
+               CAST(SUM(CAST(FLOOR(t * t * qq) AS HUGEINT)) AS DOUBLE)
+                   / MAX(qq) AS sq,
+               CAST(SUM(CAST(FLOOR(LN(y) * 1e9) AS BIGINT)) AS DOUBLE)
+                   / 1e9 AS sln
+        FROM fan GROUP BY l
+    ), ll AS (
+        SELECT l, n,
+               -0.5 * n * LN((sq - sv * sv / n) / n)
+               + (l - 1.0) * sln AS loglik
+        FROM agg
+    ), best AS (SELECT MAX(loglik) AS m FROM ll)
+    SELECT ROUND(l, 4) AS lambda, n AS n_orders,
+           ROUND(loglik, 2) AS loglik,
+           CAST(CASE WHEN loglik = m THEN 1 ELSE 0 END AS INT) AS is_best
+    FROM ll, best ORDER BY lambda
+    """
+
+
+@register("stats_box_cox_lambda", _boxcox_sql())
+def stats_box_cox_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box–Cox transform selection by profile log-likelihood over the
+    λ grid {0, ⅓, ½, 1, 2} on order totals: LL(λ) = −n/2·ln σ̂²(λ) +
+    (λ−1)Σln y — which power transform makes the data most normal, the
+    decision ``stats_tukey_nonadditivity`` (multiplicative structure)
+    and the skewed-revenue ANOVAs hang on (λ=0 ⇒ log, λ=1 ⇒ leave
+    alone). One pass: the λ fan-out rides a 5-row cross join, each
+    branch's transformed value and square fold at a PER-λ quantization
+    scale (the λ=2 branch is 1e10-scale while λ=0 is ~11 — one shared
+    scale would either overflow the BIGINT floor or erase the small
+    branches); y is snapped to the exact cents grid first so POW sees
+    the identical double on both engines.
+
+    Scale: one grouped aggregate over a 5× fan-out of the scan,
+    map-side combined; 5-row algebra after."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.select(
+        (F.floor(F.col("o_totalprice") * 100.0).cast("long") / 100.0).alias(
+            "y"
+        )
+    )
+    grid = spark.createDataFrame(
+        [(lam, qv, qq) for lam, qv, qq in _BC_GRID],
+        "l double, qv double, qq double",
+    )
+    lam = F.col("l")
+    t = F.when(lam == 0.0, F.log("y")).otherwise(
+        (F.pow("y", lam) - 1.0) / lam
+    )
+    fan = x.crossJoin(F.broadcast(grid)).select(
+        "y", "l", "qv", "qq", t.alias("t")
+    )
+    agg = fan.groupBy("l").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(
+                F.floor(F.col("t") * F.col("qv")).cast("decimal(38,0)")
+            ).cast("double")
+            / F.max("qv")
+        ).alias("sv"),
+        (
+            F.sum(
+                F.floor(F.col("t") * F.col("t") * F.col("qq")).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / F.max("qq")
+        ).alias("sq"),
+        (
+            F.sum(F.floor(F.log("y") * 1e9).cast("long")).cast("double")
+            / 1e9
+        ).alias("sln"),
+    )
+    n = F.col("n")
+    ll = agg.select(
+        "l",
+        n,
+        (
+            -0.5 * n * F.log((F.col("sq") - F.col("sv") * F.col("sv") / n) / n)
+            + (F.col("l") - 1.0) * F.col("sln")
+        ).alias("loglik"),
+    )
+    best = ll.agg(F.max("loglik").alias("m"))
+    return (
+        ll.crossJoin(F.broadcast(best))
+        .select(
+            F.round("l", 4).alias("lambda"),
+            n.alias("n_orders"),
+            F.round("loglik", 2).alias("loglik"),
+            F.when(F.col("loglik") == F.col("m"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_best"),
+        )
+        .orderBy("lambda")
+    )
+
+
+@register(
+    "stats_cooks_distance",
+    """
+    WITH pts AS (
+        SELECT l_orderkey AS ok, l_linenumber AS ln,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS y
+        FROM lineitem
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM pts
+    ), fit AS (
+        SELECT n,
+               CAST(sx AS DOUBLE) / n AS xbar,
+               CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n AS cxx,
+               (CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+               / (CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) AS b,
+               ((CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                - POW(CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n, 2)
+                  / (CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n))
+               / (n - 2) AS s2,
+               (CAST(sy AS DOUBLE)
+                - (CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                  / (CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                  * CAST(sx AS DOUBLE)) / n AS a
+        FROM m
+    ), d AS (
+        SELECT p.ok, p.ln, p.x, p.y,
+               POW(p.y - (f.a + f.b * p.x), 2)
+               * (1.0 / f.n + POW(p.x - f.xbar, 2) / f.cxx)
+               / (2.0 * f.s2
+                  * POW(1.0 - (1.0 / f.n + POW(p.x - f.xbar, 2) / f.cxx),
+                        2)) AS cd
+        FROM pts p, fit f
+    )
+    SELECT ok AS orderkey, CAST(ln AS BIGINT) AS linenumber,
+           CAST(x AS BIGINT) AS quantity,
+           ROUND(y / 100.0, 2) AS price,
+           ROUND(cd * 1e6, 4) AS cooks_d_ppm
+    FROM d ORDER BY cd DESC, ok, ln LIMIT 10
+    """,
+)
+def stats_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance for the price ~ quantity OLS fit: the ten most
+    INFLUENTIAL lineitems — D_i = e_i²hᵢ/(p·s²(1−hᵢ)²) with the
+    simple-regression leverage hᵢ = 1/n + (xᵢ−x̄)²/Sxx — the regression
+    diagnostic ``ml_linreg`` (the fit) and ``profile_iqr_outliers``
+    (marginal outliers) both miss: influence = leverage × residual, and
+    a point can be extreme in neither margin yet steer the line. Fit
+    and s² come from exact 128-bit moments in one pass, broadcast back;
+    each D is a fixed-form per-row expression, identical on both
+    engines, so the top-10 (tie-broken on the primary key) is
+    deterministic. Reported in parts-per-million (n is large, so
+    individual D's are small — it's the RANKING that matters).
+
+    Scale: one moment pass + one broadcast-annotated scan into
+    TakeOrderedAndProject — no shuffle of the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cxx = F.col("sxx").cast("double") - sx * sx / n
+    b = (F.col("sxy").cast("double") - sx * sy / n) / cxx
+    s2 = (
+        (F.col("syy").cast("double") - sy * sy / n)
+        - F.pow(F.col("sxy").cast("double") - sx * sy / n, 2.0) / cxx
+    ) / (n - 2)
+    fit = m.select(
+        n,
+        (sx / n).alias("xbar"),
+        cxx.alias("cxx"),
+        b.alias("b"),
+        s2.alias("s2"),
+        ((sy - b * sx) / n).alias("a"),
+    )
+    d = pts.crossJoin(F.broadcast(fit))
+    h = 1.0 / F.col("n") + F.pow(F.col("x") - F.col("xbar"), 2.0) / F.col(
+        "cxx"
+    )
+    cd = (
+        F.pow(F.col("y") - (F.col("a") + F.col("b") * F.col("x")), 2.0)
+        * h
+        / (2.0 * F.col("s2") * F.pow(1.0 - h, 2.0))
+    )
+    return (
+        d.select(
+            F.col("ok").alias("orderkey"),
+            F.col("ln").cast("long").alias("linenumber"),
+            F.col("x").cast("long").alias("quantity"),
+            F.round(F.col("y") / 100.0, 2).alias("price"),
+            F.round(cd * 1e6, 4).alias("cooks_d_ppm"),
+            cd.alias("_cd"),
+        )
+        .orderBy(F.desc("_cd"), "orderkey", "linenumber")
+        .limit(10)
+        .drop("_cd")
+    )

@@ -1943,16 +1943,29 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel) emits only above-threshold pairs per cell, so the work is
     Σ|cell|² not n², bounded by the clustering fan-out (the whole point
     of SemDeDup vs ``embed_neardup``'s exact O(n²) spec — a per-pair HOF
-    join measured ~9 s at sf0.1 vs ~1 s for the kernel). The greedy
-    keep-lowest rule needs no iteration, unlike the CC-based
-    ``dedup_cluster_docs``. Rounding stays Spark-side (JVM half-up)."""
+    join measured ~9 s at sf0.1 vs ~1 s for the kernel). Exact clones
+    are COLLAPSED before the kernel (group by the embedding value, keep
+    the min-id representative): removal depends only on the vector VALUE
+    and the min id that carries it — a non-representative clone is
+    always removed (cos = 1 to its own rep), and a representative is
+    removed iff some neighbor value holds a smaller rep id — so the
+    expansion is provably identical to the row-level rule while the
+    quadratic kernel cost tracks DISTINCT vectors, not duplication
+    density (the 10× clone probe ran 11× before this, flat after; same
+    discipline as ``dedup_ngram_verify``). The greedy keep-lowest rule
+    needs no iteration, unlike the CC-based ``dedup_cluster_docs``.
+    Rounding stays Spark-side (JVM half-up)."""
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
+    groups = emb.groupBy("label", "embedding").agg(
+        F.min("vec_id").alias("rep"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
 
     def _cell(key, pdf):  # pragma: no cover - executed on executors
-        ids = pdf["vec_id"].to_numpy(np.int64)
+        ids = pdf["rep"].to_numpy(np.int64)
         mat = np.array(list(pdf["embedding"]), dtype=np.float64)
         qn = np.floor(mat * mat * 1e12).astype(np.int64).sum(axis=1) / 1e12
         terms = np.floor(
@@ -1967,23 +1980,31 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"v": ids[bi], "sim_raw": sim[mask]}
         ).astype({"v": np.int64, "sim_raw": np.float64})
 
-    cand = emb.groupBy("label").applyInPandas(
+    cand = groups.groupBy("label").applyInPandas(
         _cell, "v bigint, sim_raw double"
     )
-    rem = (
+    rem_reps = (
         cand.filter(F.round(F.col("sim_raw"), 4) >= 0.4)
         .select("v")
         .distinct()
     )
-    return (
-        emb.join(rem, emb.vec_id == rem.v, "left")
+    per = (
+        groups.join(rem_reps, groups.rep == rem_reps.v, "left")
         .groupBy("label")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_vecs"),
-            F.count("v").cast("long").alias("n_removed"),
-            F.round(
-                1.0 - F.count("v").cast("double") / F.count(F.lit(1)), 4
-            ).alias("retention"),
+            F.sum("cnt").cast("long").alias("n_vecs"),
+            (
+                F.sum(F.col("cnt") - 1) + F.count("v")
+            )
+            .cast("long")
+            .alias("n_removed"),
         )
-        .orderBy("label")
     )
+    return per.select(
+        "label",
+        "n_vecs",
+        "n_removed",
+        F.round(
+            1.0 - F.col("n_removed").cast("double") / F.col("n_vecs"), 4
+        ).alias("retention"),
+    ).orderBy("label")

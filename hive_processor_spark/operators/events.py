@@ -9376,7 +9376,7 @@ def _dm_sql() -> str:
     )
     glist = ",\n               ".join(
         f"""CAST(SUM(CAST(FLOOR((a.dv - s.dbar) * (b.dv - s.dbar) * 1e2)
-                   AS BIGINT)) FILTER (WHERE b.t - a.t = {k})
+                   AS HUGEINT)) FILTER (WHERE b.t - a.t = {k})
                    AS DOUBLE) / 1e2 / s.n AS g{k}"""
         for k in range(0, 7)
     )
@@ -9397,7 +9397,7 @@ def _dm_sql() -> str:
         FROM e WHERE f7 IS NOT NULL
     ), s AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(FLOOR(dv * 1e2) AS BIGINT)) AS DOUBLE)
+               CAST(SUM(CAST(FLOOR(dv * 1e2) AS HUGEINT)) AS DOUBLE)
                    / 1e2 / COUNT(*) AS dbar
         FROM d
     ), gam AS (
@@ -9435,7 +9435,9 @@ def ts_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
     Autocovariances are POSITIONAL over the loss series (the spine has
     missing calendar days, so a calendar-day band would misassign lags
     — caught by the reference test), via a bounded ±6-position band
-    self-join; every cross-day fold is floor-quantized at 1e-2 dollars.
+    self-join; every cross-day fold is floor-quantized at 1e-2 dollars
+    into a 128-bit accumulator (an int64 fold overflows at the 10x
+    clone probe — caught there).
 
     Scale: one daily rollup touches the fact table; the band join and
     folds run on the |days| spine — metadata-sized at any corpus."""
@@ -9467,7 +9469,8 @@ def ts_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = d.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         (
-            F.sum(F.floor(F.col("dv") * 1e2).cast("long")).cast("double")
+            F.sum(F.floor(F.col("dv") * 1e2).cast("decimal(38,0)"))
+            .cast("double")
             / 1e2
             / F.count(F.lit(1))
         ).alias("dbar"),
@@ -9489,7 +9492,7 @@ def ts_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.when(
                         lagk == k,
-                        F.floor(dev_prod * 1e2).cast("long"),
+                        F.floor(dev_prod * 1e2).cast("decimal(38,0)"),
                     )
                 ).cast("double")
                 / 1e2

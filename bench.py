@@ -84,6 +84,10 @@ HEADLINE = [
     "stats_ad_ksample",   # k-sample AD: grid fold + harmonic block fold
     "graph_anf_hyperball",  # per-node HLL ball sketches, BSP max-merge
     "ml_bradley_terry",   # basket duels -> quantized MM strength fit
+    # round-7 session-2 additions
+    "dedup_semantic",     # SemDeDup cell kernel + clone collapse
+    "ts_holt_winters",    # integer recurrence smoother (applyInPandas)
+    "pipeline_dsir_weights",  # hashed-bigram importance weights
 ]
 
 

@@ -9627,3 +9627,109 @@ def ts_theta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l") / 100.0, 2).alias("ses_level"),
         F.round(F.col("b") / 100.0, 6).alias("trend_slope"),
     ).orderBy("horizon_days")
+
+
+@register(
+    "ts_forecast_reconcile",
+    """
+    WITH nat AS (
+        SELECT n.n_name AS nation, date_part('year', o.o_orderdate) AS yr,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE date_part('year', o.o_orderdate) IN (1995, 1996, 1997)
+        GROUP BY 1, 2
+    ), w AS (
+        SELECT nation,
+               CAST(SUM(CASE WHEN yr = 1995 THEN cents ELSE 0 END)
+                    AS BIGINT) AS y95,
+               CAST(SUM(CASE WHEN yr = 1996 THEN cents ELSE 0 END)
+                    AS BIGINT) AS y96,
+               CAST(SUM(CASE WHEN yr = 1997 THEN cents ELSE 0 END)
+                    AS BIGINT) AS y97
+        FROM nat GROUP BY nation
+    ), tot AS (
+        SELECT CAST(SUM(y95) AS BIGINT) AS t95,
+               CAST(SUM(y96) AS BIGINT) AS t96
+        FROM w
+    )
+    SELECT w.nation,
+           ROUND(w.y97 / 100.0, 2) AS actual_1997,
+           ROUND(w.y96 / 100.0, 2) AS fc_bottom_up,
+           ROUND(CAST(t.t96 AS DOUBLE)
+                 * (0.5 * (CAST(w.y95 AS DOUBLE) / t.t95
+                           + CAST(w.y96 AS DOUBLE) / t.t96)) / 100.0, 2)
+               AS fc_top_down,
+           ROUND(ABS(w.y96 - w.y97) / CAST(w.y97 AS DOUBLE), 4)
+               AS ape_bottom_up,
+           ROUND(ABS(CAST(t.t96 AS DOUBLE)
+                     * (0.5 * (CAST(w.y95 AS DOUBLE) / t.t95
+                               + CAST(w.y96 AS DOUBLE) / t.t96))
+                     - w.y97) / CAST(w.y97 AS DOUBLE), 4) AS ape_top_down
+    FROM w, tot t ORDER BY w.nation
+    """,
+)
+def ts_forecast_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical forecast reconciliation on the nation→total revenue
+    hierarchy, 1997 forecast from 1995–96 history: BOTTOM-UP takes each
+    nation's own last-year level (coherent by construction, noisy at the
+    leaves); TOP-DOWN forecasts the total and splits it by long-run
+    shares (½·(share₉₅+share₉₆) — stable leaves, but leaf-level signal
+    is discarded). Emits both forecasts beside the 1997 actual with
+    per-nation absolute percentage errors — the diagnostic table that
+    decides the reconciliation strategy (MinT-style trace minimization
+    is the weighted generalization; these two are its endpoints). All
+    yearly masses are exact integer cents; shares and APEs are
+    fixed-form per-row doubles.
+
+    Scale: one grouped aggregate under broadcast dimension joins, a
+    1-row total broadcast, 25-row algebra."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996, 1997)
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    nat = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.year("o_orderdate") == y,
+                        F.floor(F.col("o_totalprice") * 100.0).cast("long"),
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"y{str(y)[2:]}")
+                for y in (1995, 1996, 1997)
+            ]
+        )
+    )
+    tot = nat.agg(
+        F.sum("y95").cast("long").alias("t95"),
+        F.sum("y96").cast("long").alias("t96"),
+    )
+    j = nat.crossJoin(F.broadcast(tot))
+    share = 0.5 * (
+        F.col("y95").cast("double") / F.col("t95")
+        + F.col("y96").cast("double") / F.col("t96")
+    )
+    fc_td = F.col("t96").cast("double") * share
+    return j.select(
+        "nation",
+        F.round(F.col("y97") / 100.0, 2).alias("actual_1997"),
+        F.round(F.col("y96") / 100.0, 2).alias("fc_bottom_up"),
+        F.round(fc_td / 100.0, 2).alias("fc_top_down"),
+        F.round(
+            F.abs(F.col("y96") - F.col("y97"))
+            / F.col("y97").cast("double"),
+            4,
+        ).alias("ape_bottom_up"),
+        F.round(
+            F.abs(fc_td - F.col("y97")) / F.col("y97").cast("double"), 4
+        ).alias("ape_top_down"),
+    ).orderBy("nation")

@@ -17451,3 +17451,287 @@ def stats_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .drop("_cd")
     )
+
+
+def _huber_wsums_sql(par: str) -> str:
+    e = f"(d.y - ({par}.a + {par}.b * d.x))"
+    w = f"LEAST(1.0, {par}.k / ABS({e}))"
+    return f"""
+        SELECT MAX({par}.k) AS k,
+               CAST(SUM(CAST(FLOOR({w} * 1e9) AS HUGEINT)) AS DOUBLE)
+                   / 1e9 AS sw,
+               CAST(SUM(CAST(FLOOR({w} * d.x * 1e8) AS HUGEINT)) AS DOUBLE)
+                   / 1e8 AS swx,
+               CAST(SUM(CAST(FLOOR({w} * d.y * 1e4) AS HUGEINT)) AS DOUBLE)
+                   / 1e4 AS swy,
+               CAST(SUM(CAST(FLOOR({w} * d.x * d.y * 1e2) AS HUGEINT))
+                    AS DOUBLE) / 1e2 AS swxy,
+               CAST(SUM(CAST(FLOOR({w} * d.x * d.x * 1e6) AS HUGEINT))
+                    AS DOUBLE) / 1e6 AS swxx
+        FROM d, {par}
+    """
+
+
+_HUBER_STEP_SQL = """
+    SELECT k,
+           FLOOR((swxy - swx * swy / sw)
+                 / (swxx - swx * swx / sw) * 1e9) / 1e9 AS b,
+           FLOOR((swy - (swxy - swx * swy / sw)
+                        / (swxx - swx * swx / sw) * swx) / sw * 1e9)
+               / 1e9 AS a
+    FROM {src}
+"""
+
+
+def _huber_sql() -> str:
+    return f"""
+    WITH d AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS y
+        FROM lineitem
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM d
+    ), ols AS (
+        SELECT n,
+               (CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+               / (CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) AS b0,
+               SQRT(((CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                     - POW(CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n, 2)
+                       / (CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n))
+                    / (n - 2)) AS s
+        FROM m
+    ), it0 AS (
+        SELECT FLOOR(o.b0 * 1e9) / 1e9 AS b,
+               FLOOR((CAST(m.sy AS DOUBLE) - o.b0 * CAST(m.sx AS DOUBLE))
+                     / m.n * 1e9) / 1e9 AS a,
+               FLOOR(1.345 * o.s * 1e9) / 1e9 AS k
+        FROM ols o, m
+    ),
+    s1 AS ({_huber_wsums_sql('it0')}),
+    it1x AS ({_HUBER_STEP_SQL.format(src='s1')}),
+    it1 AS (SELECT a, b, (SELECT k FROM it0) AS k FROM it1x),
+    s2 AS ({_huber_wsums_sql('it1')}),
+    it2x AS ({_HUBER_STEP_SQL.format(src='s2')}),
+    it2 AS (SELECT a, b, (SELECT k FROM it0) AS k FROM it2x)
+    SELECT m.n,
+           ROUND(o.b0 / 100.0, 6) AS ols_slope,
+           ROUND(t.b / 100.0, 6) AS huber_slope,
+           ROUND(t.a / 100.0, 2) AS huber_intercept,
+           CAST(SUM(CASE WHEN ABS(d.y - (t.a + t.b * d.x)) > t.k
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_downweighted
+    FROM d, m, ols o, it2 t
+    GROUP BY m.n, o.b0, t.b, t.a
+    """
+
+
+@register("ml_huber_regression", _huber_sql())
+def ml_huber_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator for price ~ quantity by two unrolled IRLS
+    steps: weights w = min(1, k/|e|) with k = 1.345·σ̂_OLS (the 95%-
+    efficiency tuning), each step ONE weighted-moment aggregation pass
+    with the refit line re-entering as a quantized 1-row broadcast —
+    the robust middle ground between OLS (breakdown 0) and
+    ``agg_theil_sen`` (median-of-slopes, breakdown 29% but O(n²) pairs):
+    IRLS-Huber costs two linear passes at any scale. Weighted sums fold
+    floor-quantized into 128-bit accumulators at per-sum scales (wxy is
+    cents·qty-scale ~5e8/row); emits the OLS slope beside the Huber fit
+    (the gap measures how much outliers steer OLS) and the count of
+    downweighted rows.
+
+    Scale: four aggregation passes over the fact scan (moments, two
+    IRLS, final eval), all map-side combined; 1-row algebra between."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("y"),
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cxx = F.col("sxx").cast("double") - sx * sx / n
+    cxy = F.col("sxy").cast("double") - sx * sy / n
+    cyy = F.col("syy").cast("double") - sy * sy / n
+    b0 = cxy / cxx
+    s = F.sqrt((cyy - F.pow(cxy, 2.0) / cxx) / (n - 2))
+    q9 = lambda c: F.floor(c * 1e9) / 1e9  # noqa: E731
+    it = m.select(
+        n.alias("n"),
+        b0.alias("b0"),
+        q9(b0).alias("b"),
+        q9((sy - b0 * sx) / n).alias("a"),
+        q9(1.345 * s).alias("k"),
+    )
+
+    def wsums(params):
+        j = d.crossJoin(F.broadcast(params))
+        e = F.col("y") - (F.col("a") + F.col("b") * F.col("x"))
+        w = F.least(F.lit(1.0), F.col("k") / F.abs(e))
+
+        def q(c, scale):
+            qq = F.floor(c * scale) if scale != 1 else F.floor(c)
+            return F.sum(qq.cast("decimal(38,0)")).cast("double") / scale
+
+        return j.agg(
+            F.max("n").alias("n"),
+            F.max("b0").alias("b0"),
+            F.max("k").alias("k"),
+            q(w, 1e9).alias("sw"),
+            q(w * F.col("x"), 1e8).alias("swx"),
+            q(w * F.col("y"), 1e4).alias("swy"),
+            q(w * F.col("x") * F.col("y"), 1e2).alias("swxy"),
+            q(w * F.col("x") * F.col("x"), 1e6).alias("swxx"),
+        )
+
+    for _ in range(2):
+        sums = wsums(it)
+        bw = (
+            F.col("swxy") - F.col("swx") * F.col("swy") / F.col("sw")
+        ) / (F.col("swxx") - F.col("swx") * F.col("swx") / F.col("sw"))
+        it = sums.select(
+            "n",
+            "b0",
+            "k",
+            q9(bw).alias("b"),
+            q9((F.col("swy") - bw * F.col("swx")) / F.col("sw")).alias("a"),
+        )
+    fin = d.crossJoin(F.broadcast(it))
+    e = F.col("y") - (F.col("a") + F.col("b") * F.col("x"))
+    return fin.agg(
+        F.max("n").alias("n"),
+        F.round(F.max("b0") / 100.0, 6).alias("ols_slope"),
+        F.round(F.max("b") / 100.0, 6).alias("huber_slope"),
+        F.round(F.max("a") / 100.0, 2).alias("huber_intercept"),
+        F.sum(F.when(F.abs(e) > F.col("k"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_downweighted"),
+    )
+
+
+@register(
+    "stats_mahalanobis_outliers",
+    """
+    WITH pts AS (
+        SELECT l_orderkey AS ok, l_linenumber AS ln,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS y
+        FROM lineitem
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM pts
+    ), cov AS (
+        SELECT n,
+               CAST(sx AS DOUBLE) / n AS xb,
+               CAST(sy AS DOUBLE) / n AS yb,
+               (CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)
+                   AS cxx,
+               (CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1)
+                   AS cyy,
+               (CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1)
+                   AS cxy
+        FROM m
+    ), d AS (
+        SELECT p.ok, p.ln, p.x, p.y,
+               (c.cyy * POW(p.x - c.xb, 2)
+                - 2.0 * c.cxy * (p.x - c.xb) * (p.y - c.yb)
+                + c.cxx * POW(p.y - c.yb, 2))
+               / (c.cxx * c.cyy - c.cxy * c.cxy) AS d2
+        FROM pts p, cov c
+    )
+    SELECT ok AS orderkey, CAST(ln AS BIGINT) AS linenumber,
+           CAST(x AS BIGINT) AS quantity,
+           ROUND(y / 100.0, 2) AS price,
+           ROUND(d2, 4) AS mahalanobis_d2,
+           CAST(CASE WHEN d2 > 13.8155 THEN 1 ELSE 0 END AS INT)
+               AS beyond_999
+    FROM d ORDER BY d2 DESC, ok, ln LIMIT 10
+    """,
+)
+def stats_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 bivariate Mahalanobis outliers in (quantity, price): D² =
+    vᵀS⁻¹v with the 2×2 sample covariance inverted in closed form —
+    the correlation-aware multivariate outlier screen that the marginal
+    z/IQR/MAD family cannot do (a point can be unremarkable in each
+    margin yet far off the correlation ridge; under normality
+    D² ~ χ²₂, so D² > 13.82 flags the 99.9% ellipse). Model-free
+    companion to ``stats_cooks_distance`` (which needs a regression
+    direction). Covariance from exact 128-bit moments in one pass,
+    broadcast back; each D² is a fixed-form per-row expression, so the
+    top-10 (pk tie-break) is deterministic on both engines.
+
+    Scale: one moment pass + one broadcast-annotated scan into
+    TakeOrderedAndProject — no shuffle of the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov = m.select(
+        n,
+        (sx / n).alias("xb"),
+        (sy / n).alias("yb"),
+        ((F.col("sxx").cast("double") - sx * sx / n) / (n - 1)).alias("cxx"),
+        ((F.col("syy").cast("double") - sy * sy / n) / (n - 1)).alias("cyy"),
+        ((F.col("sxy").cast("double") - sx * sy / n) / (n - 1)).alias("cxy"),
+    )
+    j = pts.crossJoin(F.broadcast(cov))
+    vx = F.col("x") - F.col("xb")
+    vy = F.col("y") - F.col("yb")
+    d2 = (
+        F.col("cyy") * vx * vx
+        - 2.0 * F.col("cxy") * vx * vy
+        + F.col("cxx") * vy * vy
+    ) / (F.col("cxx") * F.col("cyy") - F.col("cxy") * F.col("cxy"))
+    return (
+        j.select(
+            F.col("ok").alias("orderkey"),
+            F.col("ln").cast("long").alias("linenumber"),
+            F.col("x").cast("long").alias("quantity"),
+            F.round(F.col("y") / 100.0, 2).alias("price"),
+            F.round(d2, 4).alias("mahalanobis_d2"),
+            F.when(d2 > 13.8155, 1).otherwise(0).cast("int").alias(
+                "beyond_999"
+            ),
+            d2.alias("_d2"),
+        )
+        .orderBy(F.desc("_d2"), "orderkey", "linenumber")
+        .limit(10)
+        .drop("_d2")
+    )

@@ -9733,3 +9733,76 @@ def ts_forecast_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(fc_td - F.col("y97")) / F.col("y97").cast("double"), 4
         ).alias("ape_top_down"),
     ).orderBy("nation")
+
+
+@register(
+    "ts_cv_backtest",
+    """
+    WITH mon AS (
+        SELECT date_part('year', o_orderdate) * 12
+               + date_part('month', o_orderdate) AS m,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(t.m - 1997 * 12 AS BIGINT) AS cutoff_month_1997,
+           ROUND(t.cents / 100.0, 2) AS actual,
+           ROUND(lm.cents / 100.0, 2) AS fc_last_month,
+           ROUND(sn.cents / 100.0, 2) AS fc_seasonal_naive,
+           ROUND(ABS(lm.cents - t.cents) / CAST(t.cents AS DOUBLE), 4)
+               AS ape_last_month,
+           ROUND(ABS(sn.cents - t.cents) / CAST(t.cents AS DOUBLE), 4)
+               AS ape_seasonal_naive
+    FROM mon t
+    JOIN mon lm ON lm.m = t.m - 1
+    JOIN mon sn ON sn.m = t.m - 12
+    WHERE t.m BETWEEN 1997 * 12 + 1 AND 1997 * 12 + 12
+    ORDER BY cutoff_month_1997
+    """,
+)
+def ts_cv_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) backtest over the twelve 1997
+    monthly cutoffs: at each origin, forecast the month with the two
+    standard baselines — last-month naive and same-month-last-year
+    seasonal naive — and score the absolute percentage error against
+    the realized revenue. This is the EVALUATION PROTOCOL for time
+    series (a single train/test split leaks the regime it happened to
+    land on; K-fold shuffles time away — rolling origin is the only
+    valid CV), the per-cutoff table that ``ts_forecast_mase`` summarizes
+    and ``ts_diebold_mariano`` tests. Month keys are exact integer
+    year·12+month, masses exact cents; the lag joins are equi-joins on
+    the monthly spine.
+
+    Scale: one monthly rollup touches the fact table (map-side
+    combined); the backtest joins run on the |months| spine."""
+    orders = load_table(spark, sf_dir, "orders")
+    mon = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    t = mon.alias("t")
+    lm = mon.alias("lm")
+    sn = mon.alias("sn")
+    j = (
+        t.filter(
+            (F.col("t.m") >= 1997 * 12 + 1) & (F.col("t.m") <= 1997 * 12 + 12)
+        )
+        .join(F.broadcast(lm), F.col("lm.m") == F.col("t.m") - 1)
+        .join(F.broadcast(sn), F.col("sn.m") == F.col("t.m") - 12)
+    )
+    act = F.col("t.cents")
+    return j.select(
+        (F.col("t.m") - 1997 * 12).cast("long").alias("cutoff_month_1997"),
+        F.round(act / 100.0, 2).alias("actual"),
+        F.round(F.col("lm.cents") / 100.0, 2).alias("fc_last_month"),
+        F.round(F.col("sn.cents") / 100.0, 2).alias("fc_seasonal_naive"),
+        F.round(
+            F.abs(F.col("lm.cents") - act) / act.cast("double"), 4
+        ).alias("ape_last_month"),
+        F.round(
+            F.abs(F.col("sn.cents") - act) / act.cast("double"), 4
+        ).alias("ape_seasonal_naive"),
+    ).orderBy("cutoff_month_1997")

@@ -549,3 +549,45 @@ def test_mmd_kernel_grid_is_broadcast(spark):
     plan = plan_string(_QUERIES["stats_mmd_rbf"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_cooks_distance_is_take_ordered(spark):
+    """Top-10 influential rows must compile to TakeOrderedAndProject over
+    a broadcast-annotated scan — a full sort of the fact table would be
+    the wrong plan at any scale."""
+    plan = plan_string(_QUERIES["stats_cooks_distance"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mahalanobis_is_take_ordered(spark):
+    plan = plan_string(_QUERIES["stats_mahalanobis_outliers"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_huber_broadcasts_params_no_fact_shuffle(spark):
+    """Each IRLS pass must re-enter the fit as a 1-row broadcast; the
+    fact table is scanned, never exchanged on a key."""
+    plan = plan_string(_QUERIES["ml_huber_regression"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_semantic_cell_kernel_shape(spark):
+    """Candidates must come from the cell-grouped Arrow kernel
+    (FlatMapGroupsInPandas after ONE hash exchange on the cell id), not
+    a pair join of the vector table against itself."""
+    plan = plan_string(_QUERIES["dedup_semantic"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_broadcasts_log_ratio_table(spark):
+    """The 256-bucket log-ratio table must broadcast back to the per-doc
+    feature frame — shuffling doc features on the bucket id would move
+    the corpus for a constant-width dimension."""
+    plan = plan_string(_QUERIES["pipeline_dsir_weights"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan

@@ -60,3 +60,37 @@ def test_forecast_reconcile_matches_pandas(spark):
         )
     # coherence: bottom-up forecasts sum exactly to the top-level naive
     assert res.fc_bottom_up.sum() == pytest.approx(t96 / 100.0, abs=0.3)
+
+
+def test_cv_backtest_matches_pandas(spark):
+    res = (
+        _Q["ts_cv_backtest"](spark, SF_DIR)
+        .toPandas()
+        .set_index("cutoff_month_1997")
+    )
+    o = pd.read_parquet(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    d = pd.to_datetime(o.o_orderdate)
+    o = o.assign(m=d.dt.year * 12 + d.dt.month)
+    o["cents"] = np.floor(o.o_totalprice.to_numpy() * 100.0).astype(
+        np.int64
+    )
+    mon = o.groupby("m").cents.sum()
+    assert len(res) == 12
+    for mm in range(1, 13):
+        t = 1997 * 12 + mm
+        act, lm, sn = mon[t], mon[t - 1], mon[t - 12]
+        assert res.loc[mm].actual == pytest.approx(act / 100.0, abs=0.011)
+        assert res.loc[mm].fc_last_month == pytest.approx(
+            lm / 100.0, abs=0.011
+        )
+        assert res.loc[mm].fc_seasonal_naive == pytest.approx(
+            sn / 100.0, abs=0.011
+        )
+        assert res.loc[mm].ape_last_month == pytest.approx(
+            abs(lm - act) / act, abs=1e-4
+        )
+        assert res.loc[mm].ape_seasonal_naive == pytest.approx(
+            abs(sn - act) / act, abs=1e-4
+        )

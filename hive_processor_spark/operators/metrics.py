@@ -17735,3 +17735,201 @@ def stats_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .drop("_d2")
     )
+
+
+@register(
+    "ml_iv_2sls",
+    """
+    WITH pts AS (
+        SELECT CAST(ROUND(l_discount * 10000.0) AS BIGINT) AS z,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0)
+                    AS BIGINT) AS y
+        FROM lineitem
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(z) AS HUGEINT) AS sz,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(z AS HUGEINT) * x) AS HUGEINT) AS szx,
+               CAST(SUM(CAST(z AS HUGEINT) * y) AS HUGEINT) AS szy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        FROM pts
+    ), c AS (
+        SELECT n,
+               CAST(szx AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sx AS DOUBLE) / n AS czx,
+               CAST(szy AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sy AS DOUBLE) / n AS czy,
+               CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n AS cxy,
+               CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / n AS czz,
+               CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n AS cxx
+        FROM m
+    )
+    SELECT n AS n_rows,
+           ROUND(cxy / cxx / 100.0, 6) AS beta_ols,
+           ROUND(czy / czx / 100.0, 6) AS beta_iv,
+           ROUND((czx * czx / (czz * cxx))
+                 * (n - 2) / (1.0 - czx * czx / (czz * cxx)), 2)
+               AS first_stage_f,
+           ROUND((czy / czx - cxy / cxx) / 100.0, 6) AS endogeneity_gap
+    FROM c
+    """,
+)
+def ml_iv_2sls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variables (2SLS, single instrument — the Wald/ratio
+    closed form) estimate of the quantity → net-revenue slope, with the
+    posted DISCOUNT (basis points) as the instrument: when x is
+    endogenous (quantity and revenue co-move with unobserved demand),
+    OLS is biased; β_IV = cov(z,y)/cov(z,x) is consistent as long as
+    the instrument moves x and touches y only through x. Emits β_OLS
+    beside β_IV (the gap is the endogeneity reading — the Hausman
+    numerator) and the FIRST-STAGE F (czx²/(czz·cxx) r² form; F < 10 is
+    the weak-instrument red flag that voids the whole exercise). The
+    causal-inference counterpart to ``ml_ipw_ate`` (treatment weighting)
+    for CONTINUOUS endogenous regressors. All nine moments are exact
+    128-bit integers in ONE pass; the ratios are 1-row IEEE algebra.
+
+    Scale: one partial→final aggregate over the fact scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.round(F.col("l_discount") * 10000.0).cast("long").alias("z"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(
+            F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").cast("decimal(38,0)").alias("sz"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("z") * F.col("x")).alias("szx"),
+        F.sum(dec("z") * F.col("y")).alias("szy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("z") * F.col("z")).alias("szz"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n")
+
+    def corr(ab, a, b):
+        return F.col(ab).cast("double") - F.col(a).cast("double") * F.col(
+            b
+        ).cast("double") / n
+
+    c = m.select(
+        n,
+        corr("szx", "sz", "sx").alias("czx"),
+        corr("szy", "sz", "sy").alias("czy"),
+        corr("sxy", "sx", "sy").alias("cxy"),
+        corr("szz", "sz", "sz").alias("czz"),
+        corr("sxx", "sx", "sx").alias("cxx"),
+    )
+    r2 = F.col("czx") * F.col("czx") / (F.col("czz") * F.col("cxx"))
+    return c.select(
+        n.alias("n_rows"),
+        F.round(F.col("cxy") / F.col("cxx") / 100.0, 6).alias("beta_ols"),
+        F.round(F.col("czy") / F.col("czx") / 100.0, 6).alias("beta_iv"),
+        F.round(r2 * (n - 2) / (1.0 - r2), 2).alias("first_stage_f"),
+        F.round(
+            (F.col("czy") / F.col("czx") - F.col("cxy") / F.col("cxx"))
+            / 100.0,
+            6,
+        ).alias("endogeneity_gap"),
+    )
+
+
+@register(
+    "ml_offpolicy_ips",
+    """
+    WITH u AS (
+        SELECT user_id,
+               (('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 1, 8))
+                ::BIGINT) % 2 AS a,
+               CAST(user_id % 3 = 0 AS INT) AS pi,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(FLOOR(value * 100.0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS r
+        FROM events GROUP BY user_id
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r) AS HUGEINT) AS r_all,
+               CAST(SUM(CASE WHEN a = pi THEN r ELSE 0 END) AS HUGEINT)
+                   AS r_match,
+               CAST(COUNT(*) FILTER (WHERE a = pi) AS BIGINT) AS n_match
+        FROM u
+    )
+    SELECT n AS n_users,
+           ROUND(CAST(r_all AS DOUBLE) / n / 100.0, 4) AS v_logging,
+           ROUND(2.0 * CAST(r_match AS DOUBLE) / n / 100.0, 4) AS v_ips,
+           ROUND(CAST(r_match AS DOUBLE) / n_match / 100.0, 4) AS v_snips,
+           ROUND(CAST(n_match AS DOUBLE), 1) AS ess,
+           ROUND(CAST(n_match AS DOUBLE) / n, 4) AS match_rate
+    FROM agg
+    """,
+)
+def ml_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy (counterfactual) evaluation of a DETERMINISTIC target
+    policy from randomized logs — the bandit-OPE primitive (Horvitz–
+    Thompson lineage; Li et al. '11): the logging policy exposes each
+    user with propensity ½ (the engine-shared MD5 coin), the target
+    policy π exposes ``user_id % 3 = 0``; V̂_IPS = (1/n)Σ 1{a=π(u)}·r/½
+    and the self-normalized V̂_SNIPS = Σ𝟙r/Σ𝟙 (lower variance, small
+    bias), with the effective sample size and match rate the estimate's
+    trustworthiness rides on. Answers "what would the new targeting rule
+    have earned?" WITHOUT an experiment — the counterfactual sibling of
+    ``ab_uplift_qini`` (which needs the A/B split). With a ½ propensity
+    the weights are exactly {0, 2}, so both estimates are pure integer
+    folds in cents — no float variance at any parallelism — and the
+    Kish ESS (Σw)²/Σw² collapses to exactly n_match.
+
+    Scale: one per-user rollup (map-side combined), one 4-sum fold."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100.0).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("r")
+    )
+    a = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+    )
+    pi = (F.col("user_id") % 3 == 0).cast("int")
+    scored = u.select(
+        "r", a.alias("a"), pi.alias("pi")
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("decimal(38,0)").alias("r_all"),
+        F.sum(F.when(F.col("a") == F.col("pi"), F.col("r")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("r_match"),
+        F.count_if(F.col("a") == F.col("pi")).cast("long").alias("n_match"),
+    )
+    n = F.col("n")
+    return agg.select(
+        n.alias("n_users"),
+        F.round(F.col("r_all").cast("double") / n / 100.0, 4).alias(
+            "v_logging"
+        ),
+        F.round(
+            2.0 * F.col("r_match").cast("double") / n / 100.0, 4
+        ).alias("v_ips"),
+        F.round(
+            F.col("r_match").cast("double") / F.col("n_match") / 100.0, 4
+        ).alias("v_snips"),
+        F.round(F.col("n_match").cast("double"), 1).alias("ess"),
+        F.round(F.col("n_match").cast("double") / n, 4).alias(
+            "match_rate"
+        ),
+    )

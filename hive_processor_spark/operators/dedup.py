@@ -649,16 +649,24 @@ def dedup_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         groups.select(F.col("rep_id").alias("doc_id"), F.split("text", " ").alias("w"))
         .select("doc_id", shingle_str.alias("tokens"))
     )
+    # One checkpointed frame carries BOTH stages: the sorted 64-bit
+    # shingle-hash array per representative doc feeds prefix generation
+    # (a slice) and exact verification (array_intersect) — the shingle
+    # stream is hashed exactly once.
+    arrs = docs.select(
+        "doc_id",
+        F.array_sort(F.expr("transform(tokens, s -> xxhash64(s))")).alias(
+            "h_arr"
+        ),
+        F.size("tokens").alias("n"),
+    ).localCheckpoint(eager=True)
     # global canonical order = ascending xxhash64; prefix length
     # |X| - ceil(t|X|) + 1 guarantees any J >= t pair collides in-prefix
-    hashes = F.array_sort(F.expr("transform(tokens, s -> xxhash64(s))"))
     prefix_len = (
-        F.size("tokens")
-        - F.ceil(F.size("tokens") * F.lit(_VERIFY_T)).cast("int")
-        + 1
+        F.col("n") - F.ceil(F.col("n") * F.lit(_VERIFY_T)).cast("int") + 1
     )
     prefixed = (
-        docs.select("doc_id", F.slice(hashes, 1, prefix_len).alias("prefix"))
+        arrs.select("doc_id", F.slice("h_arr", F.lit(1), prefix_len).alias("prefix"))
         .select("doc_id", F.explode_outer("prefix").alias("ph"))
         .filter(F.col("ph").isNotNull())
     )
@@ -672,36 +680,37 @@ def dedup_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # Exact verification on candidates only: hashed shingle index built
-    # once (same layout discipline as dedup_ngram_jaccard), then the
-    # common-count join is driven BY the candidate list.
-    sh = (
-        groups.select(
-            F.col("rep_id").alias("doc_id"), F.split("text", " ").alias("w")
-        )
-        .select("doc_id", shingle_str.alias("sh_arr"))
-        .select("doc_id", F.explode_outer("sh_arr").alias("s"))
-        .filter(F.col("s").isNotNull())
-        .select("doc_id", F.xxhash64("s").alias("shingle"))
-        .localCheckpoint(eager=True)
+    # Exact verification on candidates only — per-pair array_intersect in
+    # codegen against the doc-keyed hash arrays (AQE broadcasts the array
+    # frame at fixture scale, shuffles at corpus scale; no hard hint).
+    # The previous formulation re-exploded every candidate's shingles into
+    # a two-level hash join + re-aggregate: 7.2 s vs 1.5 s at sf0.1 for
+    # the identical counts (intersection of distinct sets == matched-hash
+    # pair count, since each doc's hash array is built from its DISTINCT
+    # shingle strings).
+    ja = arrs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("h_arr").alias("arr_a"),
+        F.col("n").alias("na"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingle").alias("a_sh"))
-    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("b_sh"))
-    common = (
-        cands.join(sa, cands.doc_a == sa.a_id)
-        .join(sb, (cands.doc_b == sb.b_id) & (F.col("a_sh") == F.col("b_sh")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    jb = arrs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("h_arr").alias("arr_b"),
+        F.col("n").alias("nb"),
     )
-    za = sizes.select(F.col("doc_id").alias("za_id"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("zb_id"), F.col("n").alias("nb"))
     jac = F.floor(
         F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")) * 10000.0
     ) / 10000.0
     rep_pairs = (
-        common.join(F.broadcast(za), F.col("doc_a") == F.col("za_id"))
-        .join(F.broadcast(zb), F.col("doc_b") == F.col("zb_id"))
+        cands.join(ja, cands.doc_a == ja.a_id)
+        .join(jb, cands.doc_b == jb.b_id)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("c"),
+            "na",
+            "nb",
+        )
         .select(
             F.col("doc_a").alias("ra"),
             F.col("doc_b").alias("rb"),
@@ -728,7 +737,9 @@ def dedup_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Within-clone pairs: identical texts have J = 1.0 by definition —
     # provided the shingle set is non-empty (the direct join emits nothing
     # for shingle-less docs, so neither do we).
-    shingled = sizes.select(F.col("doc_id").alias("rep_id"))
+    shingled = arrs.filter(F.col("n") > 0).select(
+        F.col("doc_id").alias("rep_id")
+    )
     within = (
         groups.join(shingled, "rep_id")  # AQE broadcasts when small
         .filter(F.size("members") >= 2)

@@ -275,6 +275,7 @@ def test_custom_source_checkpoint_restart(spark, tmp_path):
     500..999 — no re-read, no gap — and the union is each seq exactly
     once."""
     import time as _t
+    from pathlib import Path
 
     from hive_processor_spark.sources.pysource import SynthStreamSource
 
@@ -284,18 +285,38 @@ def test_custom_source_checkpoint_restart(spark, tmp_path):
     upstream.write_text("500")
 
     def run_until(n_expected: int, acc: list) -> None:
+        # Track which micro-batch delivered rows so we can wait for ITS
+        # commit-log entry before stopping. Stopping on the raw row count
+        # races the offset-log commit: foreachBatch runs before the commit
+        # is durable, and a pre-commit stop legitimately re-reads the
+        # batch on restart (exactly-once is per committed batch).
+        data_batches: list = []
+
+        def _fb(bdf, bid):
+            rows = bdf.collect()
+            acc.extend(rows)
+            if rows:
+                data_batches.append(bid)
+
         q = (
             spark.readStream.format("synthstream")
             .option("upstream", str(upstream))
             .load()
             .writeStream.option("checkpointLocation", ckpt)
-            .foreachBatch(lambda bdf, _bid: acc.extend(bdf.collect()))
+            .foreachBatch(_fb)
             .trigger(processingTime="0 seconds")
             .start()
         )
         try:
             deadline = _t.time() + 90
             while len(acc) < n_expected and _t.time() < deadline:
+                _t.sleep(0.2)
+            commits = Path(ckpt) / "commits"
+            while _t.time() < deadline:
+                if data_batches and all(
+                    (commits / str(b)).exists() for b in data_batches
+                ):
+                    break
                 _t.sleep(0.2)
         finally:
             q.stop()

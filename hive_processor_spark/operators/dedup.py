@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
-from hive_processor_spark.functions.vector import sql_cosine_q
+from hive_processor_spark.functions.vector import sq_norm_q, sql_cosine_q
 from hive_processor_spark.sources.tables import load_table
 
 
@@ -1957,8 +1957,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     join measured ~9 s at sf0.1 vs ~1 s for the kernel). Exact clones
     are COLLAPSED before the kernel (group by the embedding value, keep
     the min-id representative): removal depends only on the vector VALUE
-    and the min id that carries it — a non-representative clone is
-    always removed (cos = 1 to its own rep), and a representative is
+    and the min id that carries it — a non-representative clone of a
+    NON-ZERO value is always removed (cos = 1 to its own rep; a zero
+    vector's cosine is NaN so its clones are excluded from the cnt-1
+    expansion, matching the row-level rule), and a representative is
     removed iff some neighbor value holds a smaller rep id — so the
     expansion is provably identical to the row-level rule while the
     quadratic kernel cost tracks DISTINCT vectors, not duplication
@@ -1973,23 +1975,42 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = emb.groupBy("label", "embedding").agg(
         F.min("vec_id").alias("rep"),
         F.count(F.lit(1)).cast("long").alias("cnt"),
+        # zero-norm flag for the clone expansion below: cos(dup, rep) is
+        # NaN when the shared value is the zero vector, so the oracle's
+        # row-level rule removes NOTHING in that group — cnt-1 must not
+        # be counted for it. Same quantized norm as the kernel's qn.
+        (sq_norm_q(F.col("embedding")) > 0).alias("nonzero"),
     )
 
     def _cell(key, pdf):  # pragma: no cover - executed on executors
         ids = pdf["rep"].to_numpy(np.int64)
         mat = np.array(list(pdf["embedding"]), dtype=np.float64)
         qn = np.floor(mat * mat * 1e12).astype(np.int64).sum(axis=1) / 1e12
-        terms = np.floor(
-            (mat[:, None, :] * mat[None, :, :]) * 1e12
-        ).astype(np.int64)
-        sim = (terms.sum(axis=2) / 1e12) / np.sqrt(
-            qn[:, None] * qn[None, :]
+        # row-blocked pairwise pass: peak memory O(block * k * d), not
+        # O(k^2 * d) — a 5k-vector cell at d=32 would otherwise hold a
+        # >12 GB float64/int64 tensor in one task. Blocking slices rows
+        # of the SAME elementwise floor(a*b*1e12) arithmetic, so emitted
+        # pairs are bit-identical to the unblocked kernel.
+        out = []
+        block = 512
+        with np.errstate(invalid="ignore"):
+            for s in range(0, mat.shape[0], block):
+                terms = np.floor(
+                    (mat[s : s + block, None, :] * mat[None, :, :]) * 1e12
+                ).astype(np.int64)
+                sim = (terms.sum(axis=2) / 1e12) / np.sqrt(
+                    qn[s : s + block, None] * qn[None, :]
+                )
+                mask = (ids[s : s + block, None] < ids[None, :]) & (
+                    sim >= 0.4 - 1e-4
+                )
+                _, bi = np.nonzero(mask)
+                out.append(
+                    pd.DataFrame({"v": ids[bi], "sim_raw": sim[mask]})
+                )
+        return pd.concat(out, ignore_index=True).astype(
+            {"v": np.int64, "sim_raw": np.float64}
         )
-        mask = (ids[:, None] < ids[None, :]) & (sim >= 0.4 - 1e-4)
-        _, bi = np.nonzero(mask)
-        return pd.DataFrame(
-            {"v": ids[bi], "sim_raw": sim[mask]}
-        ).astype({"v": np.int64, "sim_raw": np.float64})
 
     cand = groups.groupBy("label").applyInPandas(
         _cell, "v bigint, sim_raw double"
@@ -2005,7 +2026,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("cnt").cast("long").alias("n_vecs"),
             (
-                F.sum(F.col("cnt") - 1) + F.count("v")
+                F.sum(
+                    F.when(F.col("nonzero"), F.col("cnt") - 1).otherwise(
+                        F.lit(0)
+                    )
+                )
+                + F.count("v")
             )
             .cast("long")
             .alias("n_removed"),

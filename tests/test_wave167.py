@@ -123,3 +123,55 @@ def test_watermark_greenlist_matches_reference(spark):
         assert res.loc[src].n_flagged == sum(1 for z in zs if z > 2.0)
     # clean corpus: the detector must NOT fire systematically
     assert abs(res.mean_z.mean()) < 0.5
+
+
+def test_dedup_semantic_zero_vector_clones(spark, tmp_path):
+    """Adversarial fixture the sf tables can't provide: duplicate
+    all-zero embeddings. cos(0, 0) is NaN, so the oracle's row-level
+    rule removes NONE of them — the clone-collapse expansion must
+    exclude zero-norm groups from its cnt-1 term (round-7 ADVICE #2).
+    Differential against the registered DuckDB oracle on the same
+    synthetic table, plus the exact expected counts."""
+    import duckdb
+
+    from hive_processor_spark import oracles
+
+    rows = []
+    # label 0: three identical zero vectors + one pair of near-dup
+    # non-zero vectors -> removed must be exactly 1 (vec 4), not 3.
+    for vid in range(3):
+        rows.append((vid, np.zeros(4, dtype=np.float32), 0))
+    rows.append((3, np.array([1, 0, 0, 0], dtype=np.float32), 0))
+    rows.append((4, np.array([0.99, 0.01, 0, 0], dtype=np.float32), 0))
+    # label 1: two clones of one non-zero value -> removed = 1.
+    rows.append((5, np.array([0, 1, 0, 0], dtype=np.float32), 1))
+    rows.append((6, np.array([0, 1, 0, 0], dtype=np.float32), 1))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    pdf["label"] = pdf["label"].astype("int32")
+    d = tmp_path / "synth"
+    d.mkdir()
+    pdf.to_parquet(d / "embeddings.parquet")
+
+    res = (
+        _Q["dedup_semantic"](spark, str(d))
+        .toPandas()
+        .set_index("label")
+        .sort_index()
+    )
+    assert res.loc[0].n_vecs == 5 and res.loc[0].n_removed == 1
+    assert res.loc[1].n_vecs == 2 and res.loc[1].n_removed == 1
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    ora = (
+        con.execute(oracles()["dedup_semantic"])
+        .df()
+        .set_index("label")
+        .sort_index()
+    )
+    assert list(res.n_vecs) == list(ora.n_vecs)
+    assert list(res.n_removed) == list(ora.n_removed)
+    assert list(res.retention) == pytest.approx(list(ora.retention))

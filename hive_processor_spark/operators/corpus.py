@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
+from hive_processor_spark.functions.textexpr import guarded_fanout, ngram_join
 from hive_processor_spark.functions.vector import cosine_q, sql_cosine_q
 from hive_processor_spark.sources.tables import load_table
 
@@ -57,7 +58,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     a map-only pass."""
     docs = load_table(spark, sf_dir, "documents")
     bigrams = F.expr(
-        "transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' '))"
+        ngram_join(2)
     )
     return (
         docs.select("doc_id", _tokens().alias("w"))
@@ -123,7 +124,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the per-doc hit counts shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     shingles = F.expr(
-        "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))"
+        ngram_join(5)
     )
     sh = (
         docs.select("doc_id", _tokens().alias("w"))
@@ -528,7 +529,7 @@ def pipeline_train_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     shingles = F.expr(
-        "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))"
+        ngram_join(5)
     )
     sh = t.select("doc_id", F.explode(shingles).alias("s")).distinct()
     bench = sh.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
@@ -2597,8 +2598,7 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus, which is the entire DSIR trick."""
     docs = load_table(spark, sf_dir, "documents")
     bigrams = F.expr(
-        "transform(sequence(1, size(w) - 1),"
-        " i -> array_join(slice(w, i, 2), ' '))"
+        ngram_join(2)
     )
     hashed = (
         docs.select(
@@ -2722,8 +2722,9 @@ def text_watermark_greenlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, no joins."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = F.expr(
-        "transform(sequence(1, size(w) - 1),"
-        " i -> concat(element_at(w, i), '|', element_at(w, i + 1)))"
+        guarded_fanout(
+            1, "concat(element_at(w, i), '|', element_at(w, i + 1))"
+        )
     )
     trans = docs.select(
         "doc_id", "source", F.split("text", " ").alias("w")

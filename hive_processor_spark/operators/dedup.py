@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
+from hive_processor_spark.functions.textexpr import ngram_join
 from hive_processor_spark.functions.vector import sq_norm_q, sql_cosine_q
 from hive_processor_spark.sources.tables import load_table
 
@@ -309,8 +310,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # string work per document — measured 3× the whole operator's cost).
     shingles = F.array_distinct(
         F.expr(
-            "transform(sequence(1, size(w) - 2),"
-            " i -> array_join(slice(w, i, 3), ' '))"
+            ngram_join(3)
         )
     )
     base = docs.select("doc_id", F.split("text", " ").alias("w")).select(
@@ -384,36 +384,96 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (shingle → binary vector → banded
     minhash → bucket join), seed pinned for determinism. At corpus scale
     this replaces the quadratic shingle self-join with an O(candidates)
-    bucket join."""
+    bucket join.
+
+    Exact clones are COLLAPSED before the LSH join (group by ``md5(text)``,
+    one representative per distinct text — the ``dedup_exact`` discipline
+    its siblings ``dedup_ngram_verify``/``dedup_semantic`` already apply):
+    identical documents share every bucket in every hash table, so feeding
+    raw duplicated docs grows the candidate join QUADRATICALLY in clone
+    multiplicity (``sim_ann_join`` measured 14× wall on the 10× clone probe
+    before the same fix). Pairs are expanded back through the member lists:
+    within-clone pairs are jaccard 1.0 by definition (identical shingle
+    sets — provided the set is non-empty; shingle-less docs emit nothing,
+    matching the direct join), and a cross-group candidate's similarity
+    depends only on the two text VALUES, so every member pair inherits the
+    representative pair's score. Candidate cost tracks DISTINCT texts, not
+    duplication density. Docs with empty shingle sets (< 3 tokens) are
+    excluded before HashingTF — MinHashLSH requires a non-zero vector, and
+    a shingle-less doc has no jaccard to anything."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     shingles = F.expr(  # `w` pre-split once per row (see dedup_ngram_jaccard)
-        "array_distinct(transform(sequence(1, size(w) - 2),"
-        " i -> array_join(slice(w, i, 3), ' ')))"
+        "array_distinct(" + ngram_join(3) + ")"
     )
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("w"))
-        .select("doc_id", shingles.alias("tokens"))
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    reps = (
+        raw.groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+            F.first("text").alias("text"),  # identical within a group
+        )
+        .select(
+            "rep_id",
+            "members",
+            F.split("text", " ").alias("w"),
+        )
+        .select("rep_id", "members", shingles.alias("tokens"))
     )
+    # Materialize the collapsed frame: (a) it feeds THREE consumers (LSH
+    # dataset A, dataset B, and the within-clone expansion) that would each
+    # recompute the scan+groupBy+shingle lineage; (b) the barrier stops
+    # Catalyst's CombineFilters from reordering the join's generated
+    # isnotnull(minhashUDF(vec)) predicate ahead of this size guard — the
+    # UDF throws on the zero vector the guard exists to exclude.
+    nonempty = reps.filter(F.size("tokens") > 0).localCheckpoint()
     tf = HashingTF(inputCol="tokens", outputCol="vec", numFeatures=1 << 16, binary=True)
-    vecs = tf.transform(docs)
+    vecs = tf.transform(nonempty)
     model = MinHashLSH(inputCol="vec", outputCol="hashes", numHashTables=8, seed=42).fit(
         vecs
     )
     # Trigram-shingle jaccard (the same feature space as dedup_ngram_jaccard,
     # whose exact pairs this candidate set should cover).
     pairs = model.approxSimilarityJoin(vecs, vecs, 0.93, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+    cross = (
+        pairs.filter(F.col("datasetA.rep_id") < F.col("datasetB.rep_id"))
         .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
+            F.col("datasetA.members").alias("ma"),
+            F.col("datasetB.members").alias("mb"),
             (F.floor((1.0 - F.col("jaccard_dist")) * 10000.0) / 10000.0).alias(
                 "jaccard_sim"
             ),
         )
-        .orderBy(F.desc("jaccard_sim"), F.asc("doc_a"), F.asc("doc_b"))
+        .select(F.explode("ma").alias("x"), "mb", "jaccard_sim")
+        .select(
+            F.col("x"), F.explode("mb").alias("y"), "jaccard_sim"
+        )
+        .select(
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            "jaccard_sim",
+        )
+    )
+    within = (
+        nonempty.filter(F.size("members") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(members) - 1),"
+                    " i -> transform(slice(members, i + 1, size(members) - i),"
+                    " x -> named_struct('a', element_at(members, i), 'b', x))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a").alias("doc_a"),
+            F.col("p.b").alias("doc_b"),
+            F.lit(1.0).alias("jaccard_sim"),
+        )
+    )
+    return cross.unionByName(within).orderBy(
+        F.desc("jaccard_sim"), F.asc("doc_a"), F.asc("doc_b")
     )
 
 
@@ -632,8 +692,7 @@ def dedup_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     density, the thing a dedup operator exists to confront, no longer
     multiplies the join."""
     shingle_str = F.expr(
-        "array_distinct(transform(sequence(1, size(w) - 2),"
-        " i -> array_join(slice(w, i, 3), ' ')))"
+        "array_distinct(" + ngram_join(3) + ")"
     )
     raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     groups = (
@@ -1079,8 +1138,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     shingles = F.array_distinct(
         F.expr(
-            "transform(sequence(1, size(w) - 2),"
-            " i -> array_join(slice(w, i, 3), ' '))"
+            ngram_join(3)
         )
     )
     base = docs.select("doc_id", F.split("text", " ").alias("w")).select(
@@ -1309,7 +1367,7 @@ def dedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
     shingles = F.expr(
-        "transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' '))"
+        ngram_join(2)
     )
     sh = (
         docs.select("doc_id", w.alias("w"))
@@ -1775,7 +1833,7 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
     shingles = F.expr(
-        "transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' '))"
+        ngram_join(2)
     )
     sh = docs.select("doc_id", w.alias("w")).select(
         "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")

@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
+from hive_processor_spark.functions.textexpr import guarded_fanout, ngram_join
 from hive_processor_spark.sources.tables import load_table
 
 def _words() -> Column:
@@ -393,7 +394,7 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate and the top-k compiles to TakeOrderedAndProject."""
     docs = load_table(spark, sf_dir, "documents")
     bigrams = F.expr(
-        "transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' '))"
+        ngram_join(2)
     )
     return (
         docs.select(F.split("text", " ").alias("w"))
@@ -515,7 +516,7 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-quantized to keep it off rounding ties."""
     docs = load_table(spark, sf_dir, "documents")
     bigrams = F.expr(
-        "transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' '))"
+        ngram_join(2)
     )
     cnt = (
         docs.select(F.split("text", " ").alias("w"))
@@ -602,7 +603,7 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c1"))
     )
     bigrams = F.expr(
-        "transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' '))"
+        ngram_join(2)
     )
     bi_all = (
         w.select(F.explode(bigrams).alias("bg"))
@@ -1014,8 +1015,7 @@ def text_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     shingles = F.array_distinct(
         F.expr(
-            "transform(sequence(1, size(w) - 4),"
-            " i -> array_join(slice(w, i, 5), ' '))"
+            ngram_join(5)
         )
     )
     sh = (
@@ -1096,8 +1096,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingles = F.array_distinct(
         F.expr(
-            "transform(sequence(1, size(w) - 3),"
-            " i -> array_join(slice(w, i, 4), ' '))"
+            ngram_join(4)
         )
     )
     sh = (
@@ -1193,9 +1192,11 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(w) - 1),"
-                " i -> struct(element_at(w, i) AS w1,"
-                " element_at(w, i + 1) AS w2))"
+                guarded_fanout(
+                    1,
+                    "struct(element_at(w, i) AS w1,"
+                    " element_at(w, i + 1) AS w2)",
+                )
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
@@ -1922,9 +1923,9 @@ def text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select("doc_id", F.split("text", " ").alias("w"))
     n = F.size("w")
     uniq_sum = F.expr(
-        "aggregate(transform(sequence(1, size(w) - 49),"
-        " i -> CAST(size(array_distinct(slice(w, i, 50))) AS BIGINT)),"
-        " CAST(0 AS BIGINT), (a, v) -> a + v)"
+        "aggregate(" + guarded_fanout(
+            49, "CAST(size(array_distinct(slice(w, i, 50))) AS BIGINT)"
+        ) + ", CAST(0 AS BIGINT), (a, v) -> a + v)"
     )
     m = t.select(
         "doc_id",
@@ -2265,7 +2266,7 @@ def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w")
     )
     bigrams = F.expr(
-        "transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' '))"
+        ngram_join(2)
     )
     bi = (
         w.select(F.explode(bigrams).alias("bg"))
@@ -2684,7 +2685,7 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w")
     )
     bigrams = F.expr(
-        "transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' '))"
+        ngram_join(2)
     )
     bi = (
         w.select(F.explode(bigrams).alias("bg"))

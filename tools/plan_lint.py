@@ -61,6 +61,19 @@ CACHE_SCAN_OK = {
         "deliberate persist(): one MinHash signature build re-sliced by"
         " four band configs; lineage-backed, LRU-evictable"
     ),
+    "embed_neardup": (
+        "session-pinned 0.4-cosine near-dup pair frame shared with"
+        " dedup_cluster and graph_cc_size_dist (round-7 verdict item 4);"
+        " lineage-backed, LRU-1"
+    ),
+    "dedup_cluster": (
+        "consumes the session-pinned 0.4-cosine near-dup pair frame"
+        " (shared with embed_neardup); lineage-backed, LRU-1"
+    ),
+    "graph_cc_size_dist": (
+        "consumes the session-pinned 0.4-cosine near-dup pair frame"
+        " (shared with embed_neardup); lineage-backed, LRU-1"
+    ),
     "graph_label_modularity": (
         "deliberate persist(): one derived 3-NN edge list reused by both"
         " label-join sides; lineage-backed"

@@ -9205,28 +9205,14 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _hw(pdf):
-        import math as m
-
         import pandas as pd
 
+        from hive_processor_spark.functions.seqrec import hw_forecast
+
         x = [int(v) for v in pdf.sort_values("day")["cents"]]
-        n = len(x)
-        l = m.floor(sum(x[:7]) / 7.0)
-        b = m.floor((sum(x[7:14]) - sum(x[:7])) / 49.0)
-        s = [v - l for v in x[:7]]
-        for i in range(8, n + 1):
-            p = (i - 1) % 7
-            xi = x[i - 1]
-            ln = m.floor((3 * (xi - s[p]) + 7 * (l + b)) / 10.0)
-            bn = m.floor((1 * (ln - l) + 19 * b) / 20.0)
-            s[p] = m.floor((2 * (xi - ln) + 8 * s[p]) / 10.0)
-            l, b = ln, bn
-        rows = [
-            (h, l + h * b + s[(n + h - 1) % 7], l, b)
-            for h in range(1, 8)
-        ]
         return pd.DataFrame(
-            rows, columns=["horizon_days", "fc_cents", "l_cents", "b_cents"]
+            hw_forecast(x),
+            columns=["horizon_days", "fc_cents", "l_cents", "b_cents"],
         )
 
     state = daily.groupBy(F.lit(1).alias("g")).applyInPandas(
@@ -9328,6 +9314,8 @@ def ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _dtw(pdf):
         import pandas as pd
 
+        from hive_processor_spark.functions.seqrec import dtw_cost
+
         a = [
             int(v)
             for v in pdf[pdf.y == 1996].sort_values("w")["cents"]
@@ -9336,20 +9324,9 @@ def ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(v)
             for v in pdf[pdf.y == 1997].sort_values("w")["cents"]
         ]
-        n, m = len(a), len(b)
-        inf = 1 << 60
-        prev = [0] + [inf] * m
-        for i in range(1, n + 1):
-            cur = [inf]
-            for j in range(1, m + 1):
-                cur.append(
-                    abs(a[i - 1] - b[j - 1])
-                    + min(prev[j], prev[j - 1], cur[j - 1])
-                )
-            prev = cur
         lock = sum(abs(x - y) for x, y in zip(a, b))
         return pd.DataFrame(
-            [(n, prev[m], lock)],
+            [(len(a), dtw_cost(a, b), lock)],
             columns=["n_weeks", "dtw_cents", "lock_cents"],
         )
 
@@ -9597,18 +9574,13 @@ def ts_theta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import pandas as pd
 
+        from hive_processor_spark.functions.seqrec import ses_int, theta_ols
+
         y = [int(v) for v in pdf.sort_values("day")["y"]]
         n = len(y)
-        st = n * (n + 1) // 2
-        stt = n * (n + 1) * (2 * n + 1) // 6
-        sy = sum(y)
-        sty = sum((i + 1) * v for i, v in enumerate(y))
-        b = float(n * sty - st * sy) / float(n * stt - st * st)
-        a = (float(sy) - b * float(st)) / n
+        a, b = theta_ols(y)
         xa = [m.floor(2.0 * v - (a + b * (i + 1))) for i, v in enumerate(y)]
-        l = xa[0]
-        for i in range(1, n):
-            l = m.floor((3.0 * xa[i] + 7.0 * l) / 10.0)
+        l = ses_int(xa)
         rows = []
         for h in range(1, 8):
             fc = 0.5 * (a + b * (n + h)) + 0.5 * l

@@ -17104,14 +17104,17 @@ def stats_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pool
     ), parts AS (
         SELECT CAST(SUM(CAST(FLOOR(sse) AS HUGEINT)) AS DOUBLE) AS sse_u,
-               CAST(MAX(n) + MIN(n) AS BIGINT) AS nt
+               CAST(SUM(n) AS BIGINT) AS nt,
+               COUNT(*) AS n_seg
         FROM sse
     )
     SELECT p.nt AS n_rows,
            ROUND(q.sse_p / 1e8, 4) AS sse_pooled_m,
            ROUND(p.sse_u / 1e8, 4) AS sse_split_m,
-           ROUND(((q.sse_p - p.sse_u) / 2.0)
-                 / (p.sse_u / (p.nt - 4.0)), 4) AS chow_f,
+           CASE WHEN p.n_seg = 2 THEN
+               ROUND(((q.sse_p - p.sse_u) / 2.0)
+                     / (p.sse_u / (p.nt - 4.0)), 4)
+           ELSE NULL END AS chow_f,
            CAST(2 AS BIGINT) AS df1,
            CAST(p.nt - 4 AS BIGINT) AS df2
     FROM parts p, psse q
@@ -17173,11 +17176,16 @@ def stats_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
         ).alias("sse_p"),
     )
+    # SUM(n), not MAX+MIN: on a degenerate one-segment input the latter
+    # silently doubles n (and df2); with n_seg carried alongside, a
+    # missing break segment yields a NULL chow_f in BOTH engines instead
+    # of a fabricated 0 (sse_pooled == sse_split when nothing splits).
     parts = sse.agg(
         F.sum(F.floor("sse").cast("decimal(38,0)"))
         .cast("double")
         .alias("sse_u"),
-        (F.max("n") + F.min("n")).cast("long").alias("nt"),
+        F.sum("n").cast("long").alias("nt"),
+        F.count(F.lit(1)).alias("n_seg"),
     )
     fin = parts.crossJoin(F.broadcast(psse))
     chow = ((F.col("sse_p") - F.col("sse_u")) / 2.0) / (
@@ -17187,7 +17195,7 @@ def stats_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nt").alias("n_rows"),
         F.round(F.col("sse_p") / 1e8, 4).alias("sse_pooled_m"),
         F.round(F.col("sse_u") / 1e8, 4).alias("sse_split_m"),
-        F.round(chow, 4).alias("chow_f"),
+        F.when(F.col("n_seg") == 2, F.round(chow, 4)).alias("chow_f"),
         F.lit(2).cast("long").alias("df1"),
         (F.col("nt") - 4).cast("long").alias("df2"),
     )

@@ -1,36 +1,30 @@
 """Property tests for the wave-166/170 sequential algorithms on RANDOM
-inputs — pure-Python mirrors of the integer recursions both engines run,
-so these validate the ALGORITHMS (optimality, invariants), a direction
-the fixed-fixture differential cannot cover. No Spark session needed."""
+inputs — these import the SAME recursions the operator kernels run
+(``hive_processor_spark.functions.seqrec``), so a drift in the engine
+code fails here too (round-7 ADVICE: the previous hand-copied mirrors
+could not catch kernel drift). They validate the ALGORITHMS (optimality,
+invariants), a direction the fixed-fixture differential cannot cover.
+No Spark session needed."""
 
 from __future__ import annotations
 
-import math
 from functools import lru_cache
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
+
+from hive_processor_spark.functions.seqrec import (
+    dtw_cost,
+    hw_state,
+    ses_int,
+    theta_ols,
+)
 
 _SETTINGS = dict(max_examples=200, deadline=None)
 
 _series = st.lists(
     st.integers(min_value=0, max_value=10**9), min_size=1, max_size=6
 )
-
-
-def _dtw(a: list[int], b: list[int]) -> int:
-    """The engines' DP, mirrored (events.py ts_dtw)."""
-    inf = 1 << 60
-    prev = [0] + [inf] * len(b)
-    for i in range(1, len(a) + 1):
-        cur = [inf]
-        for j in range(1, len(b) + 1):
-            cur.append(
-                abs(a[i - 1] - b[j - 1])
-                + min(prev[j], prev[j - 1], cur[j - 1])
-            )
-        prev = cur
-    return prev[len(b)]
 
 
 def _dtw_bruteforce(a: tuple[int, ...], b: tuple[int, ...]) -> int:
@@ -56,7 +50,7 @@ def _dtw_bruteforce(a: tuple[int, ...], b: tuple[int, ...]) -> int:
 @given(_series, _series)
 @settings(**_SETTINGS)
 def test_dtw_dp_is_optimal_over_all_alignments(a, b):
-    assert _dtw(a, b) == _dtw_bruteforce(tuple(a), tuple(b))
+    assert dtw_cost(a, b) == _dtw_bruteforce(tuple(a), tuple(b))
 
 
 @given(
@@ -65,9 +59,9 @@ def test_dtw_dp_is_optimal_over_all_alignments(a, b):
 )
 @settings(**_SETTINGS)
 def test_dtw_identity_and_symmetry(a):
-    assert _dtw(a, a) == 0
+    assert dtw_cost(a, a) == 0
     b = list(reversed(a))
-    assert _dtw(a, b) == _dtw(b, a)
+    assert dtw_cost(a, b) == dtw_cost(b, a)
 
 
 @given(_series, _series)
@@ -76,22 +70,7 @@ def test_dtw_never_exceeds_lockstep(a, b):
     n = min(len(a), len(b))
     a2, b2 = a[:n], b[:n]
     lock = sum(abs(x - y) for x, y in zip(a2, b2))
-    assert _dtw(a2, b2) <= lock
-
-
-def _hw(x: list[int]):
-    """The engines' integer Holt-Winters recursion (events.py)."""
-    n = len(x)
-    lvl = math.floor(sum(x[:7]) / 7.0)
-    b = math.floor((sum(x[7:14]) - sum(x[:7])) / 49.0)
-    s = [v - lvl for v in x[:7]]
-    for i in range(8, n + 1):
-        p = (i - 1) % 7
-        ln = math.floor((3 * (x[i - 1] - s[p]) + 7 * (lvl + b)) / 10.0)
-        bn = math.floor((1 * (ln - lvl) + 19 * b) / 20.0)
-        s[p] = math.floor((2 * (x[i - 1] - ln) + 8 * s[p]) / 10.0)
-        lvl, b = ln, bn
-    return lvl, b, s
+    assert dtw_cost(a2, b2) <= lock
 
 
 @given(
@@ -105,7 +84,7 @@ def test_holt_winters_locks_onto_exact_weekly_pattern(week, reps):
     converge: trend → 0 and the h-step forecast → the true periodic
     value (within the integer-floor resolution of the recursion)."""
     x = week * reps
-    lvl, b, s = _hw(x)
+    lvl, b, s = hw_state(x)
     n = len(x)
     assert abs(b) <= 2  # cents of drift per day, from floors only
     for h in range(1, 8):
@@ -124,9 +103,25 @@ def test_theta_slope_is_exact_ols_on_linear_series(a0, b0, n):
     """The theta method's θ=0 line is exact OLS: on y = a0 + b0·t the
     fitted slope must be b0 exactly (integer moments, no rounding)."""
     y = [a0 + b0 * (t + 1) + (10**7) for t in range(n)]  # keep positive
-    st_ = n * (n + 1) // 2
-    stt = n * (n + 1) * (2 * n + 1) // 6
-    sy = sum(y)
-    sty = sum((i + 1) * v for i, v in enumerate(y))
-    b = float(n * sty - st_ * sy) / float(n * stt - st_ * st_)
+    a, b = theta_ols(y)
     assert b == float(b0)
+    # and the fitted line reproduces the series: a + b·t == y_t exactly
+    assert abs(a + b * 1 - y[0]) < 1e-6 * max(1.0, abs(y[0]))
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_ses_is_bounded_by_series_range(xs):
+    """SES output is a convex-ish combination under flooring: it can
+    never leave [min−1, max] of its input."""
+    lvl = ses_int(xs)
+    assert min(xs) - 1 <= lvl <= max(xs)
+
+
+@given(st.integers(min_value=0, max_value=10**9),
+       st.integers(min_value=1, max_value=60))
+@settings(max_examples=100, deadline=None)
+def test_ses_fixed_point_on_constant_series(v, n):
+    """A constant series is a fixed point of the integer SES update."""
+    assert ses_int([v] * n) == v

@@ -27,12 +27,33 @@ from hive_processor_spark.sources.roundtrip import _scratch
 from hive_processor_spark.sources.tables import load_table
 
 
-def _replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> tuple[str, DataFrame]:
+#: (applicationId, sf_dir, n_chunks) → replay layout path. The split
+#: layout is a pure function of the fixture, and TEN smoke queries each
+#: replay the identical files — without the memo every query pays the
+#: 5-job split (measured 1.7 s warm per call, ~17 s per full sweep).
+#: Checkpoint/sink state stays per-query (unique names); only the
+#: read-only source directory is shared.
+_REPLAY_CACHE: dict[tuple[str, str, int], str] = {}
+
+
+def _replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -> tuple[str, DataFrame]:
     """Split events into n time-ordered parquet files with increasing mtimes
-    so the file stream replays them in event-time order."""
+    so the file stream replays them in event-time order.
+
+    Three chunks by default: the smokes prove MULTI-batch semantics
+    (state merge, watermark advance, incremental emit), and three
+    micro-batches exercise those transitions identically to four at 25%
+    less trigger wall-clock (round-7 verdict item 5 — the stream family's
+    sweep cost is trigger latency, not compute). ``stream_stream_left_join``
+    pins 4 explicitly: its outer-eviction test reasons about the final
+    time-quarter's watermark cutoff, which encodes the split count."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+    key = (spark.sparkContext.applicationId, sf_dir, n_chunks)
+    hit = _REPLAY_CACHE.get(key)
+    if hit is not None:
+        return hit, ev
     path = _scratch("stream")
     # Time-range buckets, not ntile over a global Window.orderBy: an
     # unpartitioned window funnels the whole table through one task —
@@ -60,6 +81,7 @@ def _replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> tuple[st
         for root, _dirs, files in os.walk(part):
             for f in files:
                 os.utime(os.path.join(root, f), (now, now))
+    _REPLAY_CACHE[key] = path
     return path, ev
 
 
@@ -645,7 +667,9 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join state (the production-critical property).
 
     Output: (c_id, user_id, p_id nullable, matched flag)."""
-    path, ev = _replay_dir(spark, sf_dir)
+    # 4 chunks pinned: the outer-semantics test derives the expected
+    # unemitted tail from the 4-way time split (see _replay_dir docstring).
+    path, ev = _replay_dir(spark, sf_dir, n_chunks=4)
     schema = ev.schema
     name = f"ssl_{uuid.uuid4().hex[:8]}"
 

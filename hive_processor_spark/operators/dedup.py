@@ -636,6 +636,42 @@ def _neardup_labels_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+#: Same two-level pin for the n-gram Jaccard plane: the pair frame feeds
+#: three consumers (``dedup_cluster_docs``, ``dedup_recall_report``,
+#: ``dedup_keep_best``) and the component labeling feeds two, so a full
+#: sweep otherwise re-runs the shingle join up to three times and the
+#: BSP loop twice. LRU-1, lineage-backed like the cosine plane's pins.
+_NGRAM_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+_NGRAM_LABEL_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ngram_pairs_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _NGRAM_PAIR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in list(_NGRAM_PAIR_CACHE):
+        try:
+            _NGRAM_PAIR_CACHE.pop(k).unpersist()
+        except Exception:
+            pass  # stale session handle — nothing left to release
+    df = dedup_ngram_jaccard(spark, sf_dir).persist()
+    _NGRAM_PAIR_CACHE[key] = df
+    return df
+
+
+def _ngram_labels_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _NGRAM_LABEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    _NGRAM_LABEL_CACHE.clear()
+    pairs = _ngram_pairs_pinned(spark, sf_dir).select("doc_a", "doc_b")
+    df = _min_label_components(pairs)
+    _NGRAM_LABEL_CACHE[key] = df
+    return df
+
+
 @register(
     "dedup_cluster_docs",
     f"""
@@ -664,9 +700,10 @@ def dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same pointer-jumping component machinery as ``dedup_cluster``
     (:func:`_min_label_components`); the oracle reaches the fixpoint via a
-    recursive CTE over the identical edge definition."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    labels = _min_label_components(pairs)
+    recursive CTE over the identical edge definition. Pair frame and
+    labeling are session-pinned — ``dedup_recall_report`` and
+    ``dedup_keep_best`` consume the same derivations."""
+    labels = _ngram_labels_pinned(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     cluster = F.coalesce(F.col("lbl"), F.col("doc_id"))
     return (
@@ -1513,7 +1550,7 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     are themselves deterministic Tier-H operators, so even this meta-query
     hash-matches. At 100 TB you run it on a sampled stratum; the shape is
     identical."""
-    truth = dedup_ngram_jaccard(spark, sf_dir).filter(
+    truth = _ngram_pairs_pinned(spark, sf_dir).filter(
         F.col("jaccard") >= 0.5
     ).select("doc_a", "doc_b")
     cand = dedup_minhash_sql(spark, sf_dir).select("doc_a", "doc_b")
@@ -2142,3 +2179,143 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.col("n_removed").cast("double") / F.col("n_vecs"), 4
         ).alias("retention"),
     ).orderBy("label")
+
+
+@register(
+    "dedup_prefix_cluster",
+    """
+    WITH d AS (
+        SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS w FROM documents
+    ), p AS (
+        SELECT doc_id, ARRAY_TO_STRING(w[1:3], ' ') AS prefix, LEN(w) AS nt
+        FROM d
+    )
+    SELECT prefix,
+           CAST(MIN(doc_id) AS BIGINT) AS rep_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens
+    FROM p GROUP BY prefix HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_prefix_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix boilerplate detection: documents opening with the
+    identical k-token prefix (k=3 here; real web corpora use 8-20) are
+    grouped — the cheap first-pass that catches templated headers,
+    licence preambles and scraper banners BEFORE any pairwise machinery
+    runs. One hash-groupBy on the prefix key: shuffle is one row per
+    document carrying k tokens, never a join — the ``dedup_exact``
+    discipline applied to a document prefix instead of the whole text.
+
+    Scale: linear scan + one grouped aggregate; the prefix is a
+    fixed-width key so the shuffle is bounded by corpus row count, and a
+    skewed boilerplate prefix lands in ONE group whose aggregate is
+    map-side combined (count/sum) — clone density cannot quadratically
+    grow anything here, which is exactly why this pass runs first."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    p = docs.select(
+        "doc_id",
+        F.array_join(F.slice(w, 1, 3), " ").alias("prefix"),
+        F.size(w).alias("nt"),
+    )
+    return (
+        p.groupBy("prefix")
+        .agg(
+            F.min("doc_id").alias("rep_doc"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE jp AS (
+        SELECT doc_a, doc_b FROM ({_NGRAM_JACCARD_SQL}) x
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jp
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM jp
+    ), cc(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.node
+    ), lab AS (
+        SELECT node, MIN(lbl) AS cluster_id FROM cc GROUP BY node
+    ), tok AS (
+        SELECT doc_id, LEN(STRING_SPLIT(TRIM(text), ' ')) AS nt
+        FROM documents
+    ), mem AS (
+        SELECT l.cluster_id, l.node, t.nt
+        FROM lab l JOIN tok t ON t.doc_id = l.node
+    ), sized AS (
+        SELECT cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(nt) AS BIGINT) AS tot
+        FROM mem GROUP BY cluster_id HAVING COUNT(*) >= 2
+    ), ranked AS (
+        SELECT m.cluster_id, m.node, m.nt, s.n_members, s.tot,
+               ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+                                  ORDER BY m.nt DESC, m.node ASC) AS rn
+        FROM mem m JOIN sized s ON s.cluster_id = m.cluster_id
+    )
+    SELECT cluster_id,
+           CAST(node AS BIGINT) AS kept_doc,
+           n_members,
+           CAST(nt AS BIGINT) AS kept_tokens,
+           CAST(tot - nt AS BIGINT) AS dropped_tokens
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked survivor selection: within each n-gram-Jaccard
+    near-dup cluster keep the HIGHEST-VALUE document (most tokens, doc_id
+    as the deterministic tiebreak) instead of ``dedup_cluster_docs``'s
+    min-id pick — the policy real training pipelines run, because the
+    longest member of a boilerplate cluster usually carries the content
+    and the shorter ones are truncations. Emits, per multi-member
+    cluster, the kept doc plus how many member-tokens the collapse drops
+    — the corpus-shrinkage accounting a dedup report needs.
+
+    Same pointer-jumping component machinery as ``dedup_cluster_docs``
+    (:func:`_min_label_components`); the keep pick is one partitioned
+    window over the member frame (|cluster| rows, never corpus-wide).
+
+    Scale: the edge derivation is the shingle-collision candidate join
+    (session-pinned, shared with ``dedup_cluster_docs``); components are
+    O(log diameter) BSP rounds (labeling also pinned); ranking shuffles
+    one row per clustered doc on cluster_id."""
+    labels = _ngram_labels_pinned(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), " ")).alias("nt")
+    )
+    mem = labels.join(docs, labels.node == docs.doc_id).select(
+        F.col("lbl").alias("cluster_id"), "node", "nt"
+    )
+    sized = (
+        mem.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("nt").cast("long").alias("tot"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(
+            F.desc("nt"), F.asc("node")
+        )
+    )
+    return (
+        mem.join(sized, "cluster_id")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("node").cast("long").alias("kept_doc"),
+            "n_members",
+            F.col("nt").cast("long").alias("kept_tokens"),
+            (F.col("tot") - F.col("nt")).cast("long").alias("dropped_tokens"),
+        )
+    )

@@ -3049,3 +3049,101 @@ def text_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ln_n * ln_n / (ln_n - F.log(v.cast("double"))), 4
         ).alias("uber_u"),
     )
+
+
+@register(
+    "text_gopher_rules",
+    f"""
+    WITH d AS (
+        SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS w FROM documents
+    ), f AS (
+        SELECT doc_id,
+               LEN(w) AS n,
+               LIST_SUM(LIST_TRANSFORM(w, x -> LEN(x))) AS sl,
+               LEN(LIST_DISTINCT(w)) AS dn,
+               LEN(LIST_DISTINCT(LIST_FILTER(w,
+                   x -> x IN {_STOPWORDS!r}))) AS sh,
+               LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(w),
+                   t -> LEN(LIST_FILTER(w, x -> x = t)))) AS tf
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           FLOOR(sl * 10000.0 / n) / 10000.0 AS mean_token_len,
+           CAST(CASE WHEN n BETWEEN 30 AND 10000 THEN 1 ELSE 0 END AS INT)
+               AS r_wordcount,
+           CAST(CASE WHEN 3 * n <= sl AND sl <= 10 * n THEN 1 ELSE 0 END
+               AS INT) AS r_meanlen,
+           CAST(CASE WHEN sh >= 2 THEN 1 ELSE 0 END AS INT) AS r_stopwords,
+           CAST(CASE WHEN 5 * tf <= n THEN 1 ELSE 0 END AS INT)
+               AS r_repetition,
+           CAST(CASE WHEN 10 * dn >= 3 * n THEN 1 ELSE 0 END AS INT)
+               AS r_distinct,
+           CAST(CASE WHEN n BETWEEN 30 AND 10000
+                      AND 3 * n <= sl AND sl <= 10 * n
+                      AND sh >= 2 AND 5 * tf <= n AND 10 * dn >= 3 * n
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM f
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-filter rule battery (Rae et al. '21 §A1.1,
+    thresholds adapted to the fixture's 10-99-word documents): per-doc
+    pass/fail flags for word count, mean word length, stopword presence,
+    max-token repetition, and distinct-token ratio, plus the conjunctive
+    ``keep`` decision — the operational form of a corpus filter (the
+    feature-only twin is ``text_quality``; this one DECIDES). Every rule
+    is an integer comparison (``3n ≤ Σlen ≤ 10n`` instead of a float
+    mean, ``5·topfreq ≤ n`` instead of 0.2, ``10·distinct ≥ 3n`` instead
+    of 0.3), so flags are exact on both engines; only the reported
+    ``mean_token_len`` is quantized (floor 1e4).
+
+    Scale: one embarrassingly-parallel projection over the corpus — no
+    shuffle at all; the rule battery is whole-stage-codegen'd expression
+    work (the O(distinct·n) repetition probe is bounded by document
+    length, never corpus size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    n = F.size(w)
+    sl = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dn = F.size(F.array_distinct(w))
+    sh = F.size(
+        F.array_distinct(F.filter(w, lambda x: x.isin(*_STOPWORDS)))
+    )
+    tf = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda t: F.size(F.filter(w, lambda x: x == t)),
+        )
+    )
+    flag = lambda c: F.when(c, 1).otherwise(0).cast("int")  # noqa: E731
+    base = docs.select(
+        "doc_id",
+        n.alias("n"),
+        sl.alias("sl"),
+        dn.alias("dn"),
+        sh.alias("sh"),
+        tf.alias("tf"),
+    )
+    r_wc = (F.col("n") >= 30) & (F.col("n") <= 10000)
+    r_ml = (3 * F.col("n") <= F.col("sl")) & (F.col("sl") <= 10 * F.col("n"))
+    r_sw = F.col("sh") >= 2
+    r_rep = 5 * F.col("tf") <= F.col("n")
+    r_dis = 10 * F.col("dn") >= 3 * F.col("n")
+    return base.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        (F.floor(F.col("sl") * 10000.0 / F.col("n")) / 10000.0).alias(
+            "mean_token_len"
+        ),
+        flag(r_wc).alias("r_wordcount"),
+        flag(r_ml).alias("r_meanlen"),
+        flag(r_sw).alias("r_stopwords"),
+        flag(r_rep).alias("r_repetition"),
+        flag(r_dis).alias("r_distinct"),
+        flag(r_wc & r_ml & r_sw & r_rep & r_dis).alias("keep"),
+    )

@@ -43,6 +43,11 @@ NGRAM_QUERIES = [
     "pipeline_train_export",
     "pipeline_dsir_weights",
     "text_watermark_greenlist",
+    # wave 177: no sequence() fan-out, but empty/1-token docs exercise
+    # their per-doc arithmetic (division by n, prefix slice) all the same
+    "text_gopher_rules",
+    "dedup_prefix_cluster",
+    "dedup_keep_best",
 ]
 
 

@@ -74,6 +74,19 @@ CACHE_SCAN_OK = {
         "consumes the session-pinned 0.4-cosine near-dup pair frame"
         " (shared with embed_neardup); lineage-backed, LRU-1"
     ),
+    "dedup_cluster_docs": (
+        "consumes the session-pinned n-gram Jaccard pair frame and"
+        " labeling (shared with dedup_recall_report / dedup_keep_best);"
+        " lineage-backed, LRU-1"
+    ),
+    "dedup_recall_report": (
+        "consumes the session-pinned n-gram Jaccard pair frame;"
+        " lineage-backed, LRU-1"
+    ),
+    "dedup_keep_best": (
+        "consumes the session-pinned n-gram Jaccard pair frame and"
+        " labeling; lineage-backed, LRU-1"
+    ),
     "graph_label_modularity": (
         "deliberate persist(): one derived 3-NN edge list reused by both"
         " label-join sides; lineage-backed"

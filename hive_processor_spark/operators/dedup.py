@@ -2319,3 +2319,62 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tot") - F.col("nt")).cast("long").alias("dropped_tokens"),
         )
     )
+
+
+@register(
+    "dedup_substring_spans",
+    """
+    WITH d AS (
+        SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS w FROM documents
+    ), win AS (
+        SELECT doc_id, ARRAY_TO_STRING(w[i:i+19], ' ') AS span
+        FROM d, UNNEST(RANGE(1, LEN(w) - 20 + 2)) t(i)
+        WHERE LEN(w) >= 20
+    ), rep AS (
+        SELECT span,
+               CAST(COUNT(*) AS BIGINT) AS n_occ,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS rep_doc
+        FROM win GROUP BY span HAVING COUNT(*) >= 2
+    )
+    SELECT span, n_occ, n_docs, rep_doc
+    FROM rep ORDER BY n_occ DESC, n_docs DESC, span LIMIT 20
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated exact substring detection (Lee et al. '22 'Deduplicating
+    Training Data Makes Language Models Better', the ExactSubstr rule):
+    every 20-token window of every document, grouped — a window occurring
+    twice anywhere in the corpus is a repeated span (memorization fuel),
+    whether the duplication is intra- or inter-document, which is exactly
+    what set-based shingle Jaccard cannot see. Emits the top-20 most
+    repeated spans with occurrence/document counts and a representative.
+
+    The suffix-array formulation of the paper is single-machine; the
+    distributed shape is this rolling-window hash-groupBy — the window
+    stream is corpus×stride rows but the aggregate is map-side combined
+    and the only shuffle is on the span key. Production tuning: hash the
+    window (``xxhash64``) for the group key and keep the text only on
+    the representative, stride >1 with window overlap ≥ the detection
+    target, and merge adjacent hits into maximal spans downstream; the
+    fixture-scale contract groups the literal window string so the
+    DuckDB twin is character-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    win = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("w")
+    ).select(
+        "doc_id",
+        F.explode(F.expr(ngram_join(20))).alias("span"),
+    )
+    rep = (
+        win.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("rep_doc"),
+        )
+        .filter(F.col("n_occ") >= 2)
+    )
+    return rep.orderBy(
+        F.desc("n_occ"), F.desc("n_docs"), F.asc("span")
+    ).limit(20)

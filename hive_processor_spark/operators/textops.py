@@ -1124,9 +1124,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_bigram_perplexity",
-    """
+_BIGRAM_PPL_SQL = """
     WITH toks AS (
         SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS w FROM documents
     ),
@@ -1168,7 +1166,12 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
     GROUP BY doc_id
     ORDER BY doc_id
-    """,
+    """
+
+
+@register(
+    "text_bigram_perplexity",
+    _BIGRAM_PPL_SQL,
 )
 def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document cross-entropy (bits/bigram) under an INTERPOLATED

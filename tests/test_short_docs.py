@@ -48,6 +48,9 @@ NGRAM_QUERIES = [
     "text_gopher_rules",
     "dedup_prefix_cluster",
     "dedup_keep_best",
+    # wave 178: 20-token window fan-out / bigram-scored terciles
+    "dedup_substring_spans",
+    "pipeline_perplexity_buckets",
 ]
 
 

@@ -88,6 +88,12 @@ HEADLINE = [
     "dedup_semantic",     # SemDeDup cell kernel + clone collapse
     "ts_holt_winters",    # integer recurrence smoother (applyInPandas)
     "pipeline_dsir_weights",  # hashed-bigram importance weights
+    # round-8 representatives: the rewritten heavy dedup/ANN paths plus
+    # the new filter battery — the queries this round's perf work targets
+    "sim_ann_join",           # SQL-signature LSH join, verify-in-bucket
+    "dedup_ngram_verify",     # prefix-filter candidates + exact verify
+    "text_gopher_rules",      # quality-filter rule battery
+    "dedup_substring_spans",  # repeated 20-token span detection
 ]
 
 

@@ -2378,3 +2378,98 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.orderBy(
         F.desc("n_occ"), F.desc("n_docs"), F.asc("span")
     ).limit(20)
+
+
+@register(
+    "dedup_threshold_sweep",
+    f"""
+    WITH p AS (
+        SELECT doc_a, doc_b, jaccard FROM ({_NGRAM_JACCARD_SQL}) x
+    ), grid AS (
+        SELECT * FROM (VALUES (0.08), (0.1), (0.2), (0.3), (0.5)) t(threshold)
+    ), hits AS (
+        SELECT g.threshold, p.doc_a, p.doc_b
+        FROM grid g JOIN p ON p.jaccard >= g.threshold
+    ), deg AS (
+        SELECT threshold, doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (
+            SELECT threshold, doc_a AS doc_id FROM hits
+            UNION ALL
+            SELECT threshold, doc_b AS doc_id FROM hits
+        ) u GROUP BY threshold, doc_id
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT g.threshold,
+           CAST(COALESCE(h.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(d.n_touched, 0) AS BIGINT) AS n_docs_touched,
+           CAST(COALESCE(d.max_degree, 0) AS BIGINT) AS max_degree,
+           FLOOR(COALESCE(d.n_touched, 0) * 1000000.0 / t.n_docs) / 1000000.0
+               AS frac_docs_touched
+    FROM grid g
+    LEFT JOIN (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+               FROM hits GROUP BY threshold) h ON h.threshold = g.threshold
+    LEFT JOIN (SELECT threshold,
+                      CAST(COUNT(*) AS BIGINT) AS n_touched,
+                      CAST(MAX(degree) AS BIGINT) AS max_degree
+               FROM deg GROUP BY threshold) d ON d.threshold = g.threshold
+    CROSS JOIN tot t
+    ORDER BY g.threshold
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold tuning table: for each candidate Jaccard bar, how
+    many near-dup pairs fire, how many documents are touched, the worst
+    per-doc degree (the boilerplate-hub indicator), and the touched
+    fraction of the corpus — the chart a curation run reads before
+    committing to a threshold (too low ⇒ half the corpus glued into one
+    component; too high ⇒ dedup does nothing). Reuses the session-pinned
+    n-gram Jaccard pair frame, so the sweep costs five filters over an
+    already-materialized pair list plus two grouped aggregates — the
+    shingle join never re-runs per threshold.
+
+    Scale: pair-frame reuse is the whole story — a 100 TB sweep derives
+    candidates once and re-slices; degree and touch counts are map-side
+    combined."""
+    pairs = _ngram_pairs_pinned(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    grid = spark.createDataFrame(
+        [(0.08,), (0.1,), (0.2,), (0.3,), (0.5,)], "threshold double"
+    )
+    hits = pairs.join(
+        F.broadcast(grid), F.col("jaccard") >= F.col("threshold")
+    ).select("threshold", "doc_a", "doc_b")
+    deg = (
+        hits.select("threshold", F.col("doc_a").alias("doc_id"))
+        .unionAll(hits.select("threshold", F.col("doc_b").alias("doc_id")))
+        .groupBy("threshold", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    per_t_pairs = hits.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    per_t_deg = deg.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touched"),
+        F.max("degree").cast("long").alias("max_degree"),
+    )
+    return (
+        grid.join(F.broadcast(per_t_pairs), "threshold", "left")
+        .join(F.broadcast(per_t_deg), "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_touched", F.lit(0))
+            .cast("long")
+            .alias("n_docs_touched"),
+            F.coalesce("max_degree", F.lit(0))
+            .cast("long")
+            .alias("max_degree"),
+            (
+                F.floor(
+                    F.coalesce("n_touched", F.lit(0)) * 1000000.0 / n_docs
+                )
+                / 1000000.0
+            ).alias("frac_docs_touched"),
+        )
+        .orderBy("threshold")
+    )

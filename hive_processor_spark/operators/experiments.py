@@ -962,7 +962,7 @@ def ab_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bayes_beta_sql() -> str:
-    from hive_processor_spark.functions.mathtab import LNFACT_Q, lnfact_frame
+    from hive_processor_spark.functions.mathtab import LNFACT_Q
 
     arr = "[" + ", ".join(str(v) for v in LNFACT_Q) + "]"
     return f"""

@@ -4967,7 +4967,7 @@ def ml_tweedie_deviance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _erlang_sql() -> str:
-    from hive_processor_spark.functions.mathtab import LNFACT_Q, lnfact_frame
+    from hive_processor_spark.functions.mathtab import LNFACT_Q
 
     arr = "[" + ", ".join(str(v) for v in LNFACT_Q[:64]) + "]"
     return f"""
@@ -5029,7 +5029,7 @@ def ops_erlang_c(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one hour-level rollup of the fact table; the 8×64-term grid
     is constant work."""
-    from hive_processor_spark.functions.mathtab import LNFACT_Q, lnfact_frame
+    from hive_processor_spark.functions.mathtab import LNFACT_Q
 
     lf = F.array(*[F.lit(v) for v in LNFACT_Q[:64]])
     ev = load_table(spark, sf_dir, "events")

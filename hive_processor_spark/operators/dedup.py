@@ -379,76 +379,254 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash")  # Tier R: seeded ML minhash, not SQL-expressible
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates (shingle → binary vector → banded
-    minhash → bucket join), seed pinned for determinism. At corpus scale
-    this replaces the quadratic shingle self-join with an O(candidates)
-    bucket join.
+#: MinHash permutation constants: h_i(x) = (a_i·x + b_i) mod p over the
+#: 31-bit Mersenne prime — integer math only, mirrored verbatim in the
+#: oracle, so the signatures (not just the candidate sets) hash-match.
+_MH_P = 2147483647
+_MH_PERMS = (
+    (2971, 577),
+    (4021, 131),
+    (5701, 919),
+    (7919, 293),
+    (9973, 653),
+    (12007, 47),
+    (15131, 811),
+    (17389, 389),
+)
+_MH_BANDS = 4  # 2 rows per band over the 8 perms
 
-    Exact clones are COLLAPSED before the LSH join (group by ``md5(text)``,
-    one representative per distinct text — the ``dedup_exact`` discipline
-    its siblings ``dedup_ngram_verify``/``dedup_semantic`` already apply):
-    identical documents share every bucket in every hash table, so feeding
-    raw duplicated docs grows the candidate join QUADRATICALLY in clone
-    multiplicity (``sim_ann_join`` measured 14× wall on the 10× clone probe
-    before the same fix). Pairs are expanded back through the member lists:
-    within-clone pairs are jaccard 1.0 by definition (identical shingle
-    sets — provided the set is non-empty; shingle-less docs emit nothing,
-    matching the direct join), and a cross-group candidate's similarity
-    depends only on the two text VALUES, so every member pair inherits the
-    representative pair's score. Candidate cost tracks DISTINCT texts, not
-    duplication density. Docs with empty shingle sets (< 3 tokens) are
-    excluded before HashingTF — MinHashLSH requires a non-zero vector, and
-    a shingle-less doc has no jaccard to anything."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+#: dedup_ngram_verify's jaccard threshold (shared by plan + prefix rule).
+_VERIFY_T = 0.08
 
-    shingles = F.expr(  # `w` pre-split once per row (see dedup_ngram_jaccard)
-        "array_distinct(" + ngram_join(3) + ")"
+
+def _minhash_verified_sql() -> str:
+    """Oracle for ``dedup_minhash``: the IDENTICAL integer pipeline —
+    clone collapse, trigram shingles, md5-derived 31-bit shingle hashes,
+    8 universal-hash mins banded 4x2, emit-once first-band filter, exact
+    jaccard verification of candidates, member expansion — in DuckDB SQL.
+    Every intermediate (signatures included) is engine-mirrorable integer
+    math, which is what lets a *probabilistic* candidate generator carry a
+    full value-level oracle: both engines derive the same buckets, so they
+    see the same candidates, and verification is exact on both sides."""
+    mins = ",\n               ".join(
+        f"MIN(({a} * h31 + {b}) % {_MH_P}) AS m{i}"
+        for i, (a, b) in enumerate(_MH_PERMS)
     )
+    band_v1 = " ".join(f"WHEN {j} THEN m{2 * j}" for j in range(_MH_BANDS))
+    band_v2 = " ".join(f"WHEN {j} THEN m{2 * j + 1}" for j in range(_MH_BANDS))
+    first_band = " ".join(
+        f"WHEN a.m{2 * j} = b.m{2 * j} AND a.m{2 * j + 1} = b.m{2 * j + 1} THEN {j}"
+        for j in range(_MH_BANDS)
+    )
+    return f"""
+    WITH grp AS (
+        SELECT MIN(doc_id) AS rep_id,
+               LIST(doc_id ORDER BY doc_id) AS members,
+               MIN(text) AS text
+        FROM documents GROUP BY MD5(text)
+    ), sh AS (
+        SELECT DISTINCT rep_id, shingle FROM (
+            SELECT rep_id,
+                   UNNEST([ARRAY_TO_STRING(w[i:i+2], ' ')
+                           FOR i IN RANGE(1, LEN(w) - 1)]) AS shingle
+            FROM (SELECT rep_id, STRING_SPLIT(text, ' ') AS w FROM grp) t
+        ) s
+    ), hs AS (
+        SELECT DISTINCT rep_id,
+               (('0x' || SUBSTRING(MD5(shingle), 1, 15))::BIGINT) % {_MH_P}
+                   AS h31
+        FROM sh
+    ), sizes AS (
+        SELECT rep_id, COUNT(*) AS n FROM hs GROUP BY rep_id
+    ), sig AS (
+        SELECT rep_id, {mins} FROM hs GROUP BY rep_id
+    ), bands AS (
+        SELECT rep_id, m0, m1, m2, m3, m4, m5, m6, m7,
+               CAST(UNNEST(RANGE(0, {_MH_BANDS})) AS INT) AS band
+        FROM sig
+    ), banded AS (
+        SELECT *, CASE band {band_v1} END AS v1,
+                  CASE band {band_v2} END AS v2
+        FROM bands
+    ), cand AS (
+        SELECT a.rep_id AS ra, b.rep_id AS rb
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+             AND a.rep_id < b.rep_id
+        WHERE a.band = (CASE {first_band} END)
+    ), common AS (
+        SELECT c.ra, c.rb, COUNT(*) AS c
+        FROM cand c
+        JOIN hs x ON x.rep_id = c.ra
+        JOIN hs y ON y.rep_id = c.rb AND y.h31 = x.h31
+        GROUP BY c.ra, c.rb
+    ), ver AS (
+        SELECT cm.ra, cm.rb,
+               FLOOR(CAST(cm.c AS DOUBLE) / (sa.n + sb.n - cm.c) * 10000.0)
+                   / 10000.0 AS jac
+        FROM common cm
+        JOIN sizes sa ON sa.rep_id = cm.ra
+        JOIN sizes sb ON sb.rep_id = cm.rb
+    ), crossp AS (
+        SELECT LEAST(ma.x, mb.y) AS doc_a, GREATEST(ma.x, mb.y) AS doc_b,
+               CAST(v.jac AS DOUBLE) AS jaccard_sim
+        FROM ver v
+        JOIN (SELECT rep_id, UNNEST(members) AS x FROM grp) ma
+          ON ma.rep_id = v.ra
+        JOIN (SELECT rep_id, UNNEST(members) AS y FROM grp) mb
+          ON mb.rep_id = v.rb
+        WHERE v.jac >= {_VERIFY_T}
+    ), within AS (
+        SELECT a.x AS doc_a, b.y AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard_sim
+        FROM (SELECT rep_id, UNNEST(members) AS x FROM grp) a
+        JOIN (SELECT rep_id, UNNEST(members) AS y FROM grp) b
+          ON a.rep_id = b.rep_id AND a.x < b.y
+        JOIN sizes s ON s.rep_id = a.rep_id
+    )
+    SELECT doc_a, doc_b, jaccard_sim FROM crossp
+    UNION ALL
+    SELECT doc_a, doc_b, jaccard_sim FROM within
+    ORDER BY jaccard_sim DESC, doc_a, doc_b
+    """
+
+
+@register("dedup_minhash", _minhash_verified_sql())
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with exact verification — the flagship
+    probabilistic-candidates/exact-verify shape: clone collapse (md5
+    hash-groupBy, one representative per distinct text), trigram-shingle
+    31-bit integer hashes, 8 universal-hash minhash signatures banded 4x2,
+    banded bucket self-join with the emit-once first-band filter, EXACT
+    trigram-jaccard verification of the surviving candidates only, then
+    expansion of representative pairs back through the clone member lists
+    (within-clone pairs are J=1.0 by identity, guarded on a non-empty
+    shingle set).
+
+    Round-9 rewrite (VERDICT r8 item 2): the previous MLlib
+    ``MinHashLSH.approxSimilarityJoin`` formulation cost 5.5 s at sf0.1 —
+    model ``fit``, vector assembly, and the UDF-based join dominated — and
+    its seeded hash family was not engine-mirrorable, demoting the operator
+    to Tier-R. Re-expressed on the SAME integer signature machinery as
+    ``dedup_minhash_sql`` (identical ``_MH_PERMS`` seeds and banding), the
+    entire pipeline stays in Tungsten codegen AND becomes exactly
+    mirrorable in DuckDB, so the operator is now Tier-H — candidates,
+    signatures, verified jaccards, and expansion all value-checked. The
+    MLlib formulation survives as a pytest cross-check
+    (tests/test_minhash_mllib_crosscheck.py) asserting the integer path's
+    candidate recall covers the ML path's survivors at fixture scale.
+
+    Scale posture: signatures are per-row EXPRESSIONS over the shingle
+    array (``array_min(transform(...))``) — zero shuffle until the banded
+    self-join, which touches only colliding buckets and is repartitioned
+    to core count; verification is per-pair ``array_intersect`` against
+    the checkpointed rep-array frame (AQE broadcasts it at fixture scale,
+    shuffles past the cap); candidate cost tracks DISTINCT texts, not
+    duplication density (the 10x clone probe rides the same collapse as
+    ``dedup_ngram_verify``)."""
     raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    reps = (
+    shingles = F.expr("array_distinct(" + ngram_join(3) + ")")
+    # Per-rep distinct 31-bit shingle hashes as ONE expression chain — the
+    # md5-derived h31 mirrors the oracle digit-for-digit; array_distinct
+    # runs AGAIN after hashing because h31 collisions merge shingles (both
+    # engines dedup post-hash, so jaccard denominators agree exactly).
+    h_arr = F.expr(
+        "array_sort(array_distinct(transform(tokens, t -> "
+        f"CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % {_MH_P})))"
+    )
+    groups = (
         raw.groupBy(F.md5("text").alias("h"))
         .agg(
             F.min("doc_id").alias("rep_id"),
             F.sort_array(F.collect_list("doc_id")).alias("members"),
-            F.first("text").alias("text"),  # identical within a group
+            F.min_by("text", "doc_id").alias("text"),
         )
-        .select(
-            "rep_id",
-            "members",
-            F.split("text", " ").alias("w"),
-        )
+        # Spread BEFORE the md5-per-shingle expression stage: the groupBy
+        # lands on the session's (answer-sized) shuffle-partition count —
+        # 8 in the bench harness — while the per-shingle md5+conv chain is
+        # compute-bound and must run at core parallelism (the
+        # dedup_ngram_verify rebalance lesson; rows here are rep texts, so
+        # the extra exchange moves ~|distinct texts| rows, not shingles).
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("rep_id", "members", F.split("text", " ").alias("w"))
         .select("rep_id", "members", shingles.alias("tokens"))
+        .select("rep_id", "members", h_arr.alias("h_arr"))
+        .select("rep_id", "members", "h_arr", F.size("h_arr").alias("n"))
+        # ONE materialized frame feeds signature build, exact verification
+        # (array_intersect), and both expansion branches — the documents
+        # scan+groupBy+shingle lineage runs exactly once (the
+        # dedup_ngram_verify lesson), and the exact sizes let AQE broadcast
+        # the verify joins at fixture scale without a hard hint.
+        .localCheckpoint(eager=True)
     )
-    # Materialize the collapsed frame: (a) it feeds THREE consumers (LSH
-    # dataset A, dataset B, and the within-clone expansion) that would each
-    # recompute the scan+groupBy+shingle lineage; (b) the barrier stops
-    # Catalyst's CombineFilters from reordering the join's generated
-    # isnotnull(minhashUDF(vec)) predicate ahead of this size guard — the
-    # UDF throws on the zero vector the guard exists to exclude.
-    nonempty = reps.filter(F.size("tokens") > 0).localCheckpoint()
-    tf = HashingTF(inputCol="tokens", outputCol="vec", numFeatures=1 << 16, binary=True)
-    vecs = tf.transform(nonempty)
-    model = MinHashLSH(inputCol="vec", outputCol="hashes", numHashTables=8, seed=42).fit(
-        vecs
+    # Signatures as pure expressions — no explode, no vocab join, no
+    # shuffle: m_i = min over the (bounded, distinct) shingle-hash array.
+    sigs = [
+        F.expr(f"array_min(transform(h_arr, h -> ({a} * h + {b}) % {_MH_P}))").alias(
+            f"m{i}"
+        )
+        for i, (a, b) in enumerate(_MH_PERMS)
+    ]
+    sig = groups.filter(F.col("n") > 0).select(F.col("rep_id"), *sigs)
+    bands = sig.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(_MH_BANDS - 1))).alias("band")
     )
-    # Trigram-shingle jaccard (the same feature space as dedup_ngram_jaccard,
-    # whose exact pairs this candidate set should cover).
-    pairs = model.approxSimilarityJoin(vecs, vecs, 0.93, distCol="jaccard_dist")
+    v1, v2 = F.lit(None), F.lit(None)
+    for j in range(_MH_BANDS):
+        cond = F.col("band") == j
+        v1 = F.when(cond, F.col(f"m{2 * j}")) if j == 0 else v1.when(
+            cond, F.col(f"m{2 * j}")
+        )
+        v2 = F.when(cond, F.col(f"m{2 * j + 1}")) if j == 0 else v2.when(
+            cond, F.col(f"m{2 * j + 1}")
+        )
+    banded = (
+        bands.select("*", v1.alias("v1"), v2.alias("v2"))
+        .repartition(spark.sparkContext.defaultParallelism, "band", "v1", "v2")
+        .localCheckpoint(eager=True)
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    first_band = F.lit(None)
+    for j in range(_MH_BANDS):
+        match_j = (F.col(f"a.m{2 * j}") == F.col(f"b.m{2 * j}")) & (
+            F.col(f"a.m{2 * j + 1}") == F.col(f"b.m{2 * j + 1}")
+        )
+        first_band = (
+            F.when(match_j, F.lit(j)) if j == 0 else first_band.when(match_j, F.lit(j))
+        )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v1") == F.col("b.v1"))
+            & (F.col("a.v2") == F.col("b.v2"))
+            & (F.col("a.rep_id") < F.col("b.rep_id")),
+        )
+        .filter(F.col("a.band") == first_band)  # emit-once, no DISTINCT
+        .select(F.col("a.rep_id").alias("ra"), F.col("b.rep_id").alias("rb"))
+    )
+    ga = groups.select(
+        F.col("rep_id").alias("ra"), F.col("h_arr").alias("haa"), F.col("n").alias("na")
+    )
+    gb = groups.select(
+        F.col("rep_id").alias("rb"), F.col("h_arr").alias("hab"), F.col("n").alias("nb")
+    )
+    c = F.size(F.array_intersect("haa", "hab"))
+    jac = F.floor(
+        c.cast("double") / (F.col("na") + F.col("nb") - c) * 10000.0
+    ) / 10000.0
+    ver = (
+        cand.join(ga, "ra")
+        .join(gb, "rb")
+        .select("ra", "rb", jac.alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= _VERIFY_T)
+    )
+    ma = groups.select(F.col("rep_id").alias("ra"), F.col("members").alias("mem_a"))
+    mb = groups.select(F.col("rep_id").alias("rb"), F.col("members").alias("mem_b"))
     cross = (
-        pairs.filter(F.col("datasetA.rep_id") < F.col("datasetB.rep_id"))
-        .select(
-            F.col("datasetA.members").alias("ma"),
-            F.col("datasetB.members").alias("mb"),
-            (F.floor((1.0 - F.col("jaccard_dist")) * 10000.0) / 10000.0).alias(
-                "jaccard_sim"
-            ),
-        )
-        .select(F.explode("ma").alias("x"), "mb", "jaccard_sim")
-        .select(
-            F.col("x"), F.explode("mb").alias("y"), "jaccard_sim"
-        )
+        ver.join(ma, "ra")
+        .join(mb, "rb")
+        .select(F.explode("mem_a").alias("x"), "mem_b", "jaccard_sim")
+        .select("x", F.explode("mem_b").alias("y"), "jaccard_sim")
         .select(
             F.least("x", "y").alias("doc_a"),
             F.greatest("x", "y").alias("doc_b"),
@@ -456,7 +634,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     within = (
-        nonempty.filter(F.size("members") >= 2)
+        groups.filter((F.size("members") >= 2) & (F.col("n") > 0))
         .select(
             F.explode(
                 F.expr(
@@ -1360,24 +1538,6 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: MinHash permutation constants: h_i(x) = (a_i·x + b_i) mod p over the
-#: 31-bit Mersenne prime — integer math only, mirrored verbatim in the
-#: oracle, so the signatures (not just the candidate sets) hash-match.
-_MH_P = 2147483647
-_MH_PERMS = (
-    (2971, 577),
-    (4021, 131),
-    (5701, 919),
-    (7919, 293),
-    (9973, 653),
-    (12007, 47),
-    (15131, 811),
-    (17389, 389),
-)
-_MH_BANDS = 4  # 2 rows per band over the 8 perms
-
-#: dedup_ngram_verify's jaccard threshold (shared by plan + prefix rule).
-_VERIFY_T = 0.08
 
 
 def _minhash_sql() -> str:

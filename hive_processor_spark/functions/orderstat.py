@@ -47,11 +47,15 @@ def with_global_order(
     tiebreaks: list | None = None,
     *,
     rank: str | None = None,
+    rank_ceil: str | None = None,
+    tie_count: str | None = None,
     cumsums: dict[str, object] | None = None,
     lead_value: str | None = None,
+    lead_cols: dict[str, str] | None = None,
     desc: bool = False,
     n_buckets: int = 4096,
     bounds: tuple | None = None,
+    spread: bool = False,
 ) -> DataFrame:
     """Attach global-order columns over ``ORDER BY value [DESC], *tiebreaks``.
 
@@ -66,6 +70,25 @@ def with_global_order(
     ``tiebreaks`` complete the total order for rank determinism
     (ascending; they do not affect cumsums beyond making ties
     deterministic).
+
+    ``rank_ceil`` names a tie-MAX rank column: #{rows with value ≤ (≥ for
+    desc) this row's value} — SQL's ``RANK … ties high`` / the CUME_DIST
+    numerator — computed without any per-value groupBy/join: all peers of
+    a value share one bucket (the bucket id is a function of the value),
+    so bucket-prefix count + a peer-inclusive RANGE-frame count inside the
+    bucket is exact. ``tie_count`` names the peer count (#rows sharing the
+    value). Together they give tie-robust rank statistics (e.g.
+    Chatterjee's ξ) in ONE pass over the frame.
+
+    ``lead_cols`` maps output names to EXISTING column names whose value
+    at the globally-NEXT row (in the same total order) is attached — NULL
+    on the global last row. Distributed lead: within-bucket ``lead`` plus
+    a bucket-frame lead of each bucket's first-in-order value (empty
+    buckets never appear in the bucket frame, so the fallback naturally
+    skips them). Requires the total order to be unique (supply
+    ``tiebreaks``), otherwise "next row" is not well-defined. This is what
+    replaces the materialize-then-self-join-on-rank+1 adjacency idiom:
+    one window pass instead of a checkpoint plus an n-row equi-join.
     """
     tiebreaks = tiebreaks or []
     d = df.withColumn("_osv", F.col(value) if isinstance(value, str) else value)
@@ -116,6 +139,23 @@ def with_global_order(
         baggs.append(
             (F.max("_osv") if desc else F.min("_osv")).alias("_osf")
         )
+    lead_cols = lead_cols or {}
+    if lead_cols:
+        # each bucket's first-in-order value of the led column: argmin of
+        # the (signed value, *tiebreaks) key — the same total order the
+        # windows use, so the fallback is exactly the next row's value
+        # exact signed value, NOT the double-cast sv: the argmin must use
+        # the same exact ordering as the windows (negation is lossless for
+        # both int and double; the double cast is not, for large int64)
+        okey = F.struct(
+            (F.lit(sign) * F.col("_osv")).alias("_k0"),
+            *[
+                (F.col(t) if isinstance(t, str) else t).alias(f"_k{i + 1}")
+                for i, t in enumerate(tiebreaks)
+            ],
+        )
+        for name, col in lead_cols.items():
+            baggs.append(F.min_by(F.col(col), okey).alias(f"_osl_{name}"))
     bagg = d.groupBy("_osb").agg(*baggs)
     # the ONLY global windows: over the <= n_buckets bucket frame
     wpre = Window.orderBy("_osb").rowsBetween(Window.unboundedPreceding, -1)
@@ -133,15 +173,52 @@ def with_global_order(
         pre_cols.append(
             F.lead("_osf").over(Window.orderBy("_osb")).alias("_osn")
         )
+    for name in lead_cols:
+        pre_cols.append(
+            F.lead(f"_osl_{name}")
+            .over(Window.orderBy("_osb"))
+            .alias(f"_osn_{name}")
+        )
     pre = bagg.select(*pre_cols)
     order = [F.col("_osv").desc() if desc else F.col("_osv").asc()] + [
         F.col(t) if isinstance(t, str) else t for t in tiebreaks
     ]
     win = Window.partitionBy("_osb").orderBy(*order)
     out = d.join(F.broadcast(pre), "_osb")
+    if spread:
+        # The per-bucket window shuffles into the session's
+        # shuffle-partition count — answer-sized (8) in the bench harness,
+        # which starves the compute-bound bucket sort on a 32-core box.
+        # An explicit hash repartition on the SAME key satisfies the
+        # window's required distribution (no second exchange) at core
+        # parallelism. Opt-in: answer-sized frames don't want the wider
+        # fan-out.
+        out = out.repartition(
+            out.sparkSession.sparkContext.defaultParallelism, "_osb"
+        )
     if rank:
         out = out.withColumn(
             rank, (F.col("_osp") + F.row_number().over(win)).cast("long")
+        )
+    if tie_count:
+        out = out.withColumn(
+            tie_count,
+            F.count(F.lit(1))
+            .over(Window.partitionBy("_osb", "_osv"))
+            .cast("long"),
+        )
+    if rank_ceil:
+        # RANGE frames are peer-inclusive: every row whose order value ties
+        # the current row is inside [unboundedPreceding, currentRow]
+        ordv = F.lit(sign) * F.col("_osv")
+        win_r = (
+            Window.partitionBy("_osb")
+            .orderBy(ordv)
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn(
+            rank_ceil,
+            (F.col("_osp") + F.count(F.lit(1)).over(win_r)).cast("long"),
         )
     for name, col in cumsums.items():
         out = out.withColumn(
@@ -156,11 +233,17 @@ def with_global_order(
             lead_value,
             F.coalesce(F.lead("_osv").over(win), F.col("_osn")),
         )
+    for name, col in lead_cols.items():
+        out = out.withColumn(
+            name,
+            F.coalesce(F.lead(col).over(win), F.col(f"_osn_{name}")),
+        )
     drop = ["_osv", "_osb", "_osmn", "_osw", "_osp"] + [
         f"_osp_{n}" for n in cumsums
     ]
     if lead_value:
         drop.append("_osn")
+    drop.extend(f"_osn_{n}" for n in lead_cols)
     return out.drop(*drop)
 
 

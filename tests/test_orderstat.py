@@ -161,3 +161,69 @@ def test_bounds_path_skips_span_aggregate(spark):
         with_global_order(df, "v", rank="rn", bounds=(0, 10000))
     )
     assert p_bounds.count("HashAggregate") < p_span.count("HashAggregate")
+
+
+def _reference_r9(df, desc=False):
+    """Single-partition references for the round-9 additions: tie-max rank
+    (rank_ceil), peer count (tie_count), global-order lead of a column
+    (lead_cols)."""
+    order = [F.col("v").desc() if desc else F.col("v").asc(), F.col("id")]
+    w = Window.orderBy(*order)
+    wv = Window.orderBy(F.col("v").desc() if desc else F.col("v").asc())
+    return df.select(
+        "id",
+        F.count(F.lit(1))
+        .over(wv.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("rc"),
+        F.count(F.lit(1)).over(Window.partitionBy("v")).cast("long").alias("tc"),
+        F.lead("w").over(w).alias("wn"),
+    )
+
+
+def test_rank_ceil_tie_count_lead_cols_match_reference(spark):
+    df = _fixture(spark)
+    got = with_global_order(
+        df,
+        "v",
+        ["id"],
+        rank_ceil="rc",
+        tie_count="tc",
+        lead_cols={"wn": "w"},
+    ).select("id", "rc", "tc", "wn")
+    want = _reference_r9(df)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_rank_ceil_lead_cols_desc(spark):
+    df = _fixture(spark, n=3000, seed=29)
+    got = with_global_order(
+        df,
+        "v",
+        ["id"],
+        rank_ceil="rc",
+        tie_count="tc",
+        lead_cols={"wn": "w"},
+        desc=True,
+    ).select("id", "rc", "tc", "wn")
+    want = _reference_r9(df, desc=True)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_lead_cols_with_bounds_and_spread(spark):
+    # superset bounds + the spread repartition must not change results
+    df = _fixture(spark, n=2000, seed=41)
+    got = with_global_order(
+        df,
+        "v",
+        ["id"],
+        rank_ceil="rc",
+        lead_cols={"wn": "w"},
+        bounds=(-1.0, 10000.0),
+        spread=True,
+    ).select("id", "rc", "wn")
+    want = _reference_r9(df).select("id", "rc", "wn")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

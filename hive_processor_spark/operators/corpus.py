@@ -531,10 +531,25 @@ def pipeline_train_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = F.expr(
         ngram_join(5)
     )
-    sh = t.select("doc_id", F.explode(shingles).alias("s")).distinct()
-    bench = sh.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
+    # No (doc_id, s) distinct on the corpus side: membership in `dirty`
+    # only needs ANY matching shingle, so the corpus-wide dedup shuffle
+    # the round-8 shape paid (1M-row exchange at sf0.1) is pure overhead —
+    # the broadcast join stays map-side and only matches reach the
+    # doc_id-level distinct. The explode is spread to core count first:
+    # the documents scan is a single small file, and a 1-task 5-gram
+    # fan-out serializes the whole contamination stage.
+    raw_sh = (
+        t.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(shingles).alias("s"))
+    )
+    bench = (
+        raw_sh.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
+    )
     dirty = (
-        sh.join(F.broadcast(bench), "s").select("doc_id").distinct()
+        raw_sh.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "s")
+        .select("doc_id")
+        .distinct()
     )
     clean = (
         q.join(dirty, "doc_id", "left_anti")
@@ -548,24 +563,38 @@ def pipeline_train_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     keepers = fp.groupBy("vocab_fp").agg(F.min("doc_id").alias("keep_id"))
-    kept = fp.join(
-        keepers,
-        (fp.vocab_fp == keepers.vocab_fp) & (fp.doc_id == keepers.keep_id),
-    ).select("doc_id", "n_tokens")
+    key = F.md5(F.concat(F.lit("exp:"), F.col("doc_id").cast("string")))
+    keyn = F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
+    # Round-9 (VERDICT r8 item 4): materialize the survivor set ONCE. It
+    # has three consumers — the broadcast total, the rank machinery's
+    # bucket aggregate, and the main plan — and its lineage carries the
+    # whole gate→contamination→fingerprint pipeline (including the
+    # per-doc md5-of-sorted-vocab), which Catalyst would re-derive per
+    # consumer. The frame is survivor-sized (≤ |docs| rows, 4 scalars),
+    # so the checkpoint is answer-shaped, not corpus-shaped.
+    kept = (
+        fp.join(
+            keepers,
+            (fp.vocab_fp == keepers.vocab_fp) & (fp.doc_id == keepers.keep_id),
+        )
+        .select("doc_id", "n_tokens", key.alias("k"), keyn.alias("kn"))
+        .localCheckpoint(eager=True)
+    )
     # round-6 window-audit fix: distributed hash rank (see
     # sample_global_shuffle for the hex-prefix bucket-monotonicity
     # argument) + a broadcast total instead of a whole-frame window
     from hive_processor_spark.functions.orderstat import with_global_order
 
-    key = F.md5(F.concat(F.lit("exp:"), F.col("doc_id").cast("string")))
-    keyn = F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
     tot = kept.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
     return (
         with_global_order(
-            kept.select("doc_id", "n_tokens", key.alias("k"), keyn.alias("kn")),
+            kept,
             "kn",
             ["k", "doc_id"],
             rank="rn",
+            # kn is the first 15 hex digits of an md5 — uniform on
+            # [0, 16^15); fixed bounds skip the span pre-pass
+            bounds=(0.0, float(16**15)),
         )
         .crossJoin(F.broadcast(tot))
         .select(

@@ -1323,48 +1323,86 @@ def sim_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB anchors are mini-batches and the corpus side is the
     IVF/LSH-pruned candidate set — same plan shape."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Norms are per-VECTOR quantities: computing sq_norm_q inside the pair
+    # expression evaluates the higher-order fold 2·|pairs| times instead of
+    # |corpus|+|anchors| — at 50 anchors that is 99% redundant lambda work
+    # (HOF folds run outside whole-stage codegen, so each costs real time).
+    from hive_processor_spark.functions.vector import dot_q, sq_norm_q
+
     anchors = emb.filter(F.col("vec_id") <= 50).select(
         F.col("vec_id").alias("va"),
         F.col("label").alias("la"),
         F.col("embedding").alias("ea"),
+        sq_norm_q(F.col("embedding")).alias("na"),
+    )
+    corpus = emb.select(
+        "vec_id", "label", "embedding", sq_norm_q(F.col("embedding")).alias("nb")
     )
     pairs = (
-        emb.crossJoin(F.broadcast(anchors))
+        corpus.crossJoin(F.broadcast(anchors))
         .filter(F.col("vec_id") != F.col("va"))
         .select(
             "va",
             "la",
             F.col("vec_id").alias("vb"),
             F.col("label").alias("lb"),
-            F.round(cosine_q(F.col("embedding"), F.col("ea")), 4).alias("sim"),
+            F.round(
+                dot_q(F.col("embedding"), F.col("ea"))
+                / F.sqrt(F.col("na") * F.col("nb")),
+                4,
+            ).alias("sim"),
         )
     )
-    wp = Window.partitionBy("va").orderBy(F.asc("sim"), F.asc("vb"))
-    wn = Window.partitionBy("va").orderBy(F.desc("sim"), F.asc("vb"))
-    pos = (
-        pairs.filter(F.col("la") == F.col("lb"))
-        .select("va", "vb", "sim", F.row_number().over(wp).alias("rn"))
-        .filter(F.col("rn") == 1)
+    # Round-9 exchange fusion (VERDICT r8 item 5): the previous shape
+    # filtered `pairs` into pos/neg branches, ranked each behind its own
+    # exchange, and self-joined — evaluating the corpus×anchor cosine
+    # subplan TWICE. Both ranks now ride ONE frame: eligibility is the
+    # leading sort key (ineligible rows rank last), both row_numbers share
+    # the va hash exchange (two in-partition sorts, zero extra shuffles —
+    # the win_exchange_reuse idiom), and a conditional max-of-struct
+    # aggregation on the SAME key replaces the join. At most one row per
+    # anchor satisfies each rn==1 ∧ eligible predicate, so max() over the
+    # ≤1 non-null struct is deterministic.
+    is_pos = F.col("la") == F.col("lb")
+    wp = Window.partitionBy("va").orderBy(
+        F.when(is_pos, 0).otherwise(1).asc(), F.asc("sim"), F.asc("vb")
     )
-    neg = (
-        pairs.filter(F.col("la") != F.col("lb"))
-        .select(
-            F.col("va").alias("nva"),
-            F.col("vb").alias("nvb"),
-            F.col("sim").alias("nsim"),
-            F.row_number().over(wn).alias("nrn"),
-        )
-        .filter(F.col("nrn") == 1)
+    wn = Window.partitionBy("va").orderBy(
+        F.when(is_pos, 1).otherwise(0).asc(), F.desc("sim"), F.asc("vb")
+    )
+    ranked = pairs.select(
+        "va",
+        "vb",
+        "sim",
+        is_pos.alias("is_pos"),
+        F.row_number().over(wp).alias("rn_p"),
+        F.row_number().over(wn).alias("rn_n"),
+    )
+    best = ranked.groupBy("va").agg(
+        F.max(
+            F.when(
+                (F.col("rn_p") == 1) & F.col("is_pos"),
+                F.struct(F.col("vb"), F.col("sim")),
+            )
+        ).alias("p"),
+        F.max(
+            F.when(
+                (F.col("rn_n") == 1) & ~F.col("is_pos"),
+                F.struct(F.col("vb"), F.col("sim")),
+            )
+        ).alias("n"),
     )
     return (
-        pos.join(neg, pos.va == neg.nva)
+        best.filter(F.col("p").isNotNull() & F.col("n").isNotNull())
         .select(
             F.col("va").alias("anchor"),
-            F.col("vb").alias("hardest_positive"),
-            F.col("sim").alias("pos_sim"),
-            F.col("nvb").alias("hardest_negative"),
-            F.col("nsim").alias("neg_sim"),
-            F.round(F.col("nsim") - F.col("sim"), 4).alias("violation_margin"),
+            F.col("p.vb").alias("hardest_positive"),
+            F.col("p.sim").alias("pos_sim"),
+            F.col("n.vb").alias("hardest_negative"),
+            F.col("n.sim").alias("neg_sim"),
+            F.round(F.col("n.sim") - F.col("p.sim"), 4).alias(
+                "violation_margin"
+            ),
         )
         .orderBy("anchor")
     )

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_global_order", "ntile_expr"]
+__all__ = ["with_global_order", "ntile_expr", "grouped_order_statistics"]
 
 
 def with_global_order(
@@ -261,4 +261,134 @@ def ntile_expr(rank_col, n_col, tiles: int):
         F.when(rank_col <= m * big, F.floor((rank_col + big - 1) / big))
         .otherwise(m + F.floor((rank_col - m * big + safe_q - 1) / safe_q))
         .cast("int")
+    )
+
+
+def grouped_order_statistics(
+    hist: DataFrame,
+    part: str,
+    v: str,
+    cnt: str,
+    ranks: dict[str, object],
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Exact order statistics per group from a ``(group, value, count)``
+    HISTOGRAM — no group-wide sort, no top-k funnel.
+
+    ``ranks`` maps output names to callables ``n -> Column`` producing the
+    1-based target rank for a group of ``n`` rows (e.g. ``lambda n:
+    F.ceil(0.25 * n)`` for the type-1 lower quartile). Returns one row per
+    group: ``part``, ``n`` (BIGINT row count), and one BIGINT/value column
+    per rank name.
+
+    Shape (the round-9 answer to the ``orderBy(v).limit(k)`` anti-pattern,
+    where k ∝ n funnels most of the data through one top-k task):
+
+    1. one tiny per-group aggregate fixes each group's value span and n;
+    2. value-range bucketing + a per-(group, bucket) count aggregate —
+       both partition-parallel, output ≤ groups × n_buckets rows;
+    3. the cumulative over that SMALL frame locates, for every requested
+       rank, the one bucket whose [cum_lo, cum_hi] covers it;
+    4. only those buckets' histogram slices are re-scanned (broadcast
+       semi-join) and sorted — each slice is ~|group histogram|/n_buckets;
+    5. a pivot-style aggregate emits one row per group.
+
+    Every requested rank is answered from the SAME bucket scan, so asking
+    for 5 quantiles costs one extra tiny probe row each, not 5 passes.
+    The caller should localCheckpoint ``hist`` if it also consumes it
+    elsewhere (this function scans it three times: spans, bucket counts,
+    probe slices).
+    """
+    g = hist.groupBy(part).agg(
+        F.min(v).alias("_gmn"),
+        F.max(v).alias("_gmx"),
+        F.sum(cnt).cast("long").alias("_gn"),
+    )
+    w = F.greatest(
+        (F.col("_gmx").cast("double") - F.col("_gmn").cast("double"))
+        / F.lit(float(n_buckets)),
+        F.lit(1e-300),
+    )
+    hb = hist.join(F.broadcast(g), part).withColumn(
+        "_gb",
+        F.least(
+            F.floor((F.col(v).cast("double") - F.col("_gmn").cast("double")) / w),
+            F.lit(n_buckets).cast("long"),
+        ),
+    )
+    bagg = hb.groupBy(part, "_gb").agg(
+        F.sum(cnt).cast("long").alias("_gbc"),
+        F.max("_gn").alias("_gn"),
+    )
+    wcum = (
+        Window.partitionBy(part)
+        .orderBy("_gb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = bagg.select(
+        part,
+        "_gb",
+        "_gn",
+        (F.sum("_gbc").over(wcum) - F.col("_gbc")).alias("_gcl"),
+        F.sum("_gbc").over(wcum).alias("_gch"),
+    )
+    # one probe row per (group, rank) — rank targets evaluated against n
+    probes = (
+        cum.select(
+            part,
+            "_gb",
+            "_gcl",
+            "_gch",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("_gname"),
+                            fn(F.col("_gn")).cast("long").alias("_gk"),
+                        )
+                        for name, fn in ranks.items()
+                    ]
+                )
+            ).alias("_gp"),
+        )
+        .filter(
+            (F.col("_gcl") < F.col("_gp._gk")) & (F.col("_gp._gk") <= F.col("_gch"))
+        )
+        .select(
+            F.col(part).alias("_pp"),
+            F.col("_gb").alias("_pb"),
+            F.col("_gp._gname").alias("_gname"),
+            (F.col("_gp._gk") - F.col("_gcl")).alias("_goff"),
+        )
+    )
+    slice_ = hb.join(
+        F.broadcast(probes),
+        (F.col(part) == F.col("_pp")) & (F.col("_gb") == F.col("_pb")),
+    )
+    win = (
+        Window.partitionBy(part, "_gname")
+        .orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hit = (
+        slice_.select(
+            part,
+            "_gname",
+            v,
+            "_goff",
+            "_gn",
+            F.sum(cnt).over(win).alias("_gwh"),
+            (F.sum(cnt).over(win) - F.col(cnt)).alias("_gwl"),
+        )
+        .filter((F.col("_gwl") < F.col("_goff")) & (F.col("_goff") <= F.col("_gwh")))
+        .select(part, "_gname", F.col(v).alias("_gv"), "_gn")
+    )
+    # n rides the slice rows (hb carries it), so no extra join/scan of the
+    # span subtree is needed to attach it
+    return hit.groupBy(part).agg(
+        F.max("_gn").cast("long").alias("n"),
+        *[
+            F.max(F.when(F.col("_gname") == name, F.col("_gv"))).alias(name)
+            for name in ranks
+        ],
     )

@@ -4235,39 +4235,76 @@ def sketch_hdr_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative error — the sketch is audited against exact truth in the
     query itself, the house rule for every approximate operator.
 
-    Exact order statistics come from top-k probes (``orderBy … limit r``
-    → TakeOrderedAndProject → MAX), never a global sort; n and the three
-    probes are bounded driver scalars (the ``dedup_recall_report``
-    pattern). The cumulative walk runs over the BUCKET frame — ~176 rows
-    at sf0.1, bounded by the value domain (11 octaves × 16), never by
-    corpus size."""
-    import math
+    Exact order statistics come from the shared bucket-walk + targeted-
+    probe machinery (``grouped_order_statistics``) over the value
+    HISTOGRAM — round-9 replacement for the previous ``orderBy(v).
+    limit(r)`` probes, which at q=0.99 funneled ~99% of the dataset
+    through a single top-k task per probe (three near-full passes): the
+    walk touches only bucket COUNTS plus the one covering bucket's slice
+    per quantile, all three quantiles from one scan, and nothing is
+    collected to the driver. The same histogram also feeds the HDR
+    bucket counts, so the raw column is scanned exactly once. The
+    cumulative walk runs over the BUCKET frame — ~176 rows at sf0.1,
+    bounded by the value domain (11 octaves × 16), never by corpus
+    size."""
+    from hive_processor_spark.functions.orderstat import (
+        grouped_order_statistics,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     v = orders.filter(F.col("o_totalprice") > 0).select(
         F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("v")
     )
-    n = v.count()
+    hist = (
+        v.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(F.lit(1).alias("g"), "v", "c")
+        # feeds the exact-quantile walk (3 scans) AND the HDR buckets
+        .localCheckpoint(eager=True)
+    )
     qs = [0.5, 0.9, 0.99]
-    rows = []
-    for q in qs:
-        r = max(1, math.ceil(q * n))
-        exact = (
-            v.orderBy("v").limit(r).agg(F.max("v")).first()[0]
-        )
-        rows.append((q, r, n, exact))
-    ranks = spark.createDataFrame(
-        rows, "quantile double, r long, n long, exact_cents long"
+
+    def _rank(q):
+        return lambda n: F.greatest(F.lit(1).cast("long"), F.ceil(F.lit(q) * n))
+
+    ex = grouped_order_statistics(
+        hist, "g", "v", "c", {f"x{int(q * 100)}": _rank(q) for q in qs}
+    )
+    ranks = ex.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("quantile"),
+                        F.greatest(
+                            F.lit(1).cast("long"),
+                            F.ceil(F.lit(q) * F.col("n")),
+                        )
+                        .cast("long")
+                        .alias("r"),
+                        F.col(f"x{int(q * 100)}").alias("exact_cents"),
+                    )
+                    for q in qs
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        F.col("s.quantile").alias("quantile"),
+        F.col("s.r").alias("r"),
+        "n",
+        F.col("s.exact_cents").alias("exact_cents"),
     )
     e = (F.length(F.expr("bin(v)")) - 1).cast("int")
-    bkt = v.select(e.alias("e"), "v").select(
+    bkt = hist.select(e.alias("e"), "v", "c").select(
         F.expr(
             "CAST(e AS BIGINT) * 16"
             " + (v - shiftleft(CAST(1 AS BIGINT), e)) * 16"
             "   div shiftleft(CAST(1 AS BIGINT), e)"
-        ).alias("bucket")
+        ).alias("bucket"),
+        "c",
     )
-    cnt = bkt.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cnt = bkt.groupBy("bucket").agg(F.sum("c").cast("long").alias("c"))
     cum = cnt.select(
         "bucket",
         F.sum("c")

@@ -2839,59 +2839,62 @@ def pipeline_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     CCNet/RedPajama lineage.
 
     Tercile cutoffs are exact order statistics taken WITHOUT a global
-    sort: corpus size n is one count, then each cutoff is a
-    top-k probe (``orderBy … limit k`` → TakeOrderedAndProject → MAX) —
-    k-th smallest by (avg_bits, doc_id), the same top-k shape ``topk``
-    uses, never a single-partition window over corpus rows. The two
-    driver-side scalars are bounded probes (the reviewed pattern used by
-    ``dedup_recall_report``'s counts), and bucket assignment is
-    VALUE-based (avg_bits ≤ cutoff), so ties land identically on both
-    engines regardless of partitioning."""
-    import math
-
+    sort OR a top-k funnel (round-9, ADVICE r8): the k-th smallest
+    avg_bits VALUE depends only on the value multiset, so both cutoffs
+    come from the shared bucket-walk + targeted-probe machinery
+    (``grouped_order_statistics``) over the per-value histogram — one
+    scan answers both terciles, the covering buckets' slices are the
+    only rows ever sorted, and nothing reaches the driver (the previous
+    ``orderBy … limit k`` probes routed up to ⌈2n/3⌉ rows through one
+    top-k task each). Bucket assignment is VALUE-based (avg_bits ≤
+    cutoff), so ties land identically on both engines regardless of
+    partitioning; the final rollup also runs on the histogram (counts,
+    bigram mass and the µ-bit sums are all value-group linear)."""
+    from hive_processor_spark.functions.orderstat import (
+        grouped_order_statistics,
+    )
     from hive_processor_spark.operators.textops import text_bigram_perplexity
 
-    # One row per document — materialized once because the count, both
-    # top-k cutoff probes and the final rollup all re-read it (without
-    # this, four actions each re-run the bigram scoring joins: measured
-    # 3.6 s -> ~1.4 s at sf0.1). At corpus scale this is the standard
-    # persist-before-multi-pass move on a |docs|-row frame.
-    ppl = (
+    # Per-VALUE histogram of the scored corpus — materialized once: the
+    # cutoff walk (3 scans) and the final rollup re-read it, and its
+    # lineage carries the whole bigram-scoring join tree.
+    hist = (
         text_bigram_perplexity(spark, sf_dir)
-        .select("doc_id", "n_bigrams", "avg_bits")
+        .groupBy("avg_bits")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("n_bigrams").cast("long").alias("snb"),
+        )
+        .select(F.lit(1).alias("g"), "avg_bits", "c", "snb")
         .localCheckpoint(eager=True)
     )
-    n = ppl.count()
-    if n == 0:
-        return spark.createDataFrame(
-            [], "bucket string, n_docs long, n_bigrams long, mean_bits double"
-        )
-
-    def cutoff(k: int) -> float:
-        return (
-            ppl.orderBy(F.asc("avg_bits"), F.asc("doc_id"))
-            .limit(k)
-            .agg(F.max("avg_bits"))
-            .first()[0]
-        )
-
-    t1 = cutoff(math.ceil(n / 3.0))
-    t2 = cutoff(math.ceil(2.0 * n / 3.0))
+    cuts = grouped_order_statistics(
+        hist,
+        "g",
+        "avg_bits",
+        "c",
+        {
+            "t1": lambda n: F.ceil(n / F.lit(3.0)),
+            "t2": lambda n: F.ceil(F.lit(2.0) * n / F.lit(3.0)),
+        },
+    ).select("g", "t1", "t2")
     bucket = (
-        F.when(F.col("avg_bits") <= t1, "head")
-        .when(F.col("avg_bits") <= t2, "middle")
+        F.when(F.col("avg_bits") <= F.col("t1"), "head")
+        .when(F.col("avg_bits") <= F.col("t2"), "middle")
         .otherwise("tail")
     )
     micro = F.floor(F.col("avg_bits") * 1000000.0 + 0.5).cast("long")
     return (
-        ppl.select(bucket.alias("bucket"), "n_bigrams", micro.alias("micro"))
+        hist.join(F.broadcast(cuts), "g")
+        .select(bucket.alias("bucket"), "c", "snb", micro.alias("micro"))
         .groupBy("bucket")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            F.sum("c").cast("long").alias("n_docs"),
+            F.sum("snb").cast("long").alias("n_bigrams"),
             (
                 F.floor(
-                    F.sum("micro").cast("double") / F.count(F.lit(1))
+                    F.sum(F.col("micro") * F.col("c")).cast("double")
+                    / F.sum("c")
                 )
                 / 1000000.0
             ).alias("mean_bits"),

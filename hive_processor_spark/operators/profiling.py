@@ -1169,33 +1169,31 @@ def profile_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col(col) * 100.0).cast("long").alias("v"),
         )
         vals = t if vals is None else vals.unionAll(t)
-    hist = vals.groupBy("col", "v").agg(F.count(F.lit(1)).alias("cnt"))
-    w_ord = Window.partitionBy("col").orderBy("v")
-    w_all = Window.partitionBy("col")
-    cum = hist.select(
+    hist = (
+        vals.groupBy("col", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # four consumers (span, bucket counts, probe slices, fence count)
+        # would each re-run the 4-table union scan and the histogram
+        # aggregation — the frame itself is histogram-sized
+        .localCheckpoint(eager=True)
+    )
+    # Round-9: exact quartiles via the shared bucket-walk + targeted-probe
+    # machinery — the previous per-column ordered window sorted the whole
+    # 763k-row histogram at parallelism 4 (one task per column); the probe
+    # sorts only the two covering buckets' slices per column.
+    from hive_processor_spark.functions.orderstat import (
+        grouped_order_statistics,
+    )
+
+    qs = grouped_order_statistics(
+        hist,
         "col",
         "v",
         "cnt",
-        F.sum("cnt").over(w_ord).alias("cum_hi"),
-        (F.sum("cnt").over(w_ord) - F.col("cnt")).alias("cum_lo"),
-        F.sum("cnt").over(w_all).alias("n"),
-    )
-    q1_pos = F.ceil(0.25 * F.col("n")).cast("bigint")
-    q3_pos = F.ceil(0.75 * F.col("n")).cast("bigint")
-    qs = cum.groupBy("col").agg(
-        F.max("n").alias("n"),
-        F.max(
-            F.when(
-                (F.col("cum_lo") < q1_pos) & (q1_pos <= F.col("cum_hi")),
-                F.col("v"),
-            )
-        ).alias("q1"),
-        F.max(
-            F.when(
-                (F.col("cum_lo") < q3_pos) & (q3_pos <= F.col("cum_hi")),
-                F.col("v"),
-            )
-        ).alias("q3"),
+        {
+            "q1": lambda n: F.ceil(0.25 * n),
+            "q3": lambda n: F.ceil(0.75 * n),
+        },
     )
     iqr = F.col("q3") - F.col("q1")
     low = 2 * F.col("v") < 2 * F.col("q1") - 3 * iqr

@@ -227,3 +227,66 @@ def test_lead_cols_with_bounds_and_spread(spark):
     want = _reference_r9(df).select("id", "rc", "wn")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_grouped_order_statistics_matches_window_form(spark):
+    from hive_processor_spark.functions.orderstat import (
+        grouped_order_statistics,
+    )
+
+    # heavily tied histogram across 3 uneven groups
+    rows = spark.range(9000).select(
+        (F.pmod(F.col("id"), 3)).cast("string").alias("g"),
+        (F.pmod(F.hash(F.col("id") + 5), 211) ** 2 % 5000).cast("long").alias("x"),
+    )
+    hist = rows.groupBy("g", "x").agg(F.count(F.lit(1)).alias("c"))
+    got = grouped_order_statistics(
+        hist,
+        "g",
+        "x",
+        "c",
+        {
+            "q1": lambda n: F.ceil(0.25 * n),
+            "med": lambda n: F.ceil(0.50 * n),
+            "q3": lambda n: F.ceil(0.75 * n),
+            "p99": lambda n: F.ceil(0.99 * n),
+        },
+    ).select("g", "n", "q1", "med", "q3", "p99")
+    w = Window.partitionBy("g").orderBy("x")
+    ranked = rows.select(
+        "g", "x", F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+    )
+    want = ranked.groupBy("g").agg(
+        F.max("n").cast("long").alias("n"),
+        *[
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(q * F.col("n")).cast("long"), F.col("x")
+                )
+            ).alias(nm)
+            for nm, q in [("q1", 0.25), ("med", 0.50), ("q3", 0.75), ("p99", 0.99)]
+        ],
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_grouped_order_statistics_single_group_and_extremes(spark):
+    from hive_processor_spark.functions.orderstat import (
+        grouped_order_statistics,
+    )
+
+    rows = spark.range(1, 1001).select(
+        F.lit("all").alias("g"), F.col("id").cast("long").alias("x")
+    )
+    hist = rows.groupBy("g", "x").agg(F.count(F.lit(1)).alias("c"))
+    got = grouped_order_statistics(
+        hist,
+        "g",
+        "x",
+        "c",
+        {"mn": lambda n: F.lit(1), "mx": lambda n: n, "mid": lambda n: n / 2},
+    ).head()
+    assert got["n"] == 1000 and got["mn"] == 1 and got["mx"] == 1000
+    assert got["mid"] == 500

@@ -9266,12 +9266,19 @@ _DTW_ORACLE = """
         FROM dp WHERE k < 52 * 52
     ), lock AS (
         SELECT CAST(SUM(c) AS BIGINT) AS lcents FROM cost WHERE i = j
+    ), chk AS (
+        -- degenerate-input guard (round-9, ADVICE r8): the DP grid is
+        -- hardwired to 52x52, so emit ONLY when both years carry all 52
+        -- weekly buckets (sf0.001 has gaps; both engines go silent there)
+        SELECT COUNT(DISTINCT CASE WHEN y = 1996 THEN w END) AS na,
+               COUNT(DISTINCT CASE WHEN y = 1997 THEN w END) AS nb
+        FROM wk
     )
     SELECT CAST(52 AS BIGINT) AS n_weeks,
            ROUND(cur[53] / 100.0, 2) AS dtw_distance,
            ROUND(lcents / 100.0, 2) AS lockstep_distance,
            ROUND(CAST(cur[53] AS DOUBLE) / lcents, 4) AS stretch_gain
-    FROM dp, lock WHERE k = 52 * 52
+    FROM dp, lock, chk WHERE k = 52 * 52 AND na = 52 AND nb = 52
 """
 
 
@@ -9324,10 +9331,15 @@ def ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(v)
             for v in pdf[pdf.y == 1997].sort_values("w")["cents"]
         ]
+        cols = ["n_weeks", "dtw_cents", "lock_cents"]
+        if len(a) != 52 or len(b) != 52:
+            # degenerate-input guard (round-9, ADVICE r8): mirror the
+            # oracle — no row unless both years cover all 52 weeks
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
         lock = sum(abs(x - y) for x, y in zip(a, b))
         return pd.DataFrame(
             [(len(a), dtw_cost(a, b), lock)],
-            columns=["n_weeks", "dtw_cents", "lock_cents"],
+            columns=cols,
         )
 
     res = wk.groupBy(F.lit(1).alias("g")).applyInPandas(

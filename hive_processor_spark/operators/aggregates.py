@@ -1237,6 +1237,13 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     draws = orders.select(
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+    ).repartition(
+        # the B-way fan-out + per-draw md5 is the compute; spread it over
+        # cores instead of the handful of scan tasks
+        spark.sparkContext.defaultParallelism
+    ).select(
+        "o_orderkey",
+        "cents",
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("j"),
     ).select(
         "j",
@@ -1268,16 +1275,17 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("m")
     )
+    # ONE aggregation over the B-row means frame: the previous
+    # three-branch shape (count, lo filter, hi filter) re-evaluated the
+    # whole 3M-row md5 fan-out once per branch
     w = Window.orderBy("m")
     ranked = means.select("m", F.row_number().over(w).alias("r"))
-    lo = ranked.filter(F.col("r") == 2).select(F.round("m", 6).alias("ci_lo"))
-    hi = ranked.filter(F.col("r") == _BOOT_B - 1).select(
-        F.round("m", 6).alias("ci_hi")
-    )
-    return (
-        ranked.agg(F.count(F.lit(1)).cast("long").alias("n_resamples"))
-        .crossJoin(lo)
-        .crossJoin(hi)
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_resamples"),
+        F.round(F.max(F.when(F.col("r") == 2, F.col("m"))), 6).alias("ci_lo"),
+        F.round(
+            F.max(F.when(F.col("r") == _BOOT_B - 1, F.col("m"))), 6
+        ).alias("ci_hi"),
     )
 
 

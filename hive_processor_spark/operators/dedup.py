@@ -819,6 +819,28 @@ def _neardup_labels_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ``dedup_keep_best``) and the component labeling feeds two, so a full
 #: sweep otherwise re-runs the shingle join up to three times and the
 #: BSP loop twice. LRU-1, lineage-backed like the cosine plane's pins.
+_SIMHASH_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _simhash_pairs_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-pinned simhash near-dup pair frame (LRU-1, lineage-backed
+    like the n-gram and cosine planes): four graph consumers
+    (graph_pagerank, graph_kcore, graph_degree_histogram's family and the
+    wedge metrics) each re-derived the signature + banded join otherwise."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SIMHASH_PAIR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in list(_SIMHASH_PAIR_CACHE):
+        try:
+            _SIMHASH_PAIR_CACHE.pop(k).unpersist()
+        except Exception:
+            pass  # stale session handle — nothing left to release
+    df = dedup_simhash_pairs(spark, sf_dir).persist()
+    _SIMHASH_PAIR_CACHE[key] = df
+    return df
+
+
 _NGRAM_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 _NGRAM_LABEL_CACHE: dict[tuple[str, str], DataFrame] = {}
 
@@ -1316,7 +1338,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_processor_spark.functions.exact import dsum
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _simhash_pairs_pinned(spark, sf_dir).select("doc_a", "doc_b")
     # The edge list feeds deg + one join per iteration + the final count;
     # without pinning, every consumer would re-run the signature job and
     # banded join (~4x). Same materialize-the-index-once discipline as the
@@ -1474,7 +1496,7 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the histogram is |distinct degrees| rows — trivially small —
     and the only real cost is the banded join it shares with
     ``dedup_simhash_pairs``."""
-    pairs = dedup_simhash_pairs(spark, sf_dir)
+    pairs = _simhash_pairs_pinned(spark, sf_dir)
     nodes = pairs.select(F.col("doc_a").alias("node")).union(
         pairs.select(F.col("doc_b").alias("node"))
     )
@@ -1782,9 +1804,9 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ cap·2E (measured 317 s → 4.7 s at sf0.1, full top-25 at both SFs).
     The oracle applies the identical cap, so the differential still
     pins the exact capped semantics."""
-    pairs = dedup_simhash_pairs(spark, sf_dir).select(
+    pairs = _simhash_pairs_pinned(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).localCheckpoint(eager=True)
+    )
     und = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy(F.col("u").alias("n")).agg(
         F.count(F.lit(1)).alias("d")
@@ -1882,44 +1904,60 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dense duplication nucleus" (template farms, mirrored boilerplate)
     vs the peelable fringe of incidental matches.
 
-    Each round is one distributed degree aggregate + one semi-join that
-    shrinks the edge list; the loop is driver-coordinated with a
-    convergence count, exactly the dedup_cluster/pagerank shape, and the
-    edge list re-pins (localCheckpoint) every round so lineage stays
-    O(1) deep. Peeling is confluent — the fixpoint is unique regardless
-    of removal order — so the result is deterministic at any parallelism
-    (the equality with a single-machine reference peeler is pinned in
-    tests/test_properties.py). Bounded by O(peeling rounds) ≤ degeneracy
-    ordering depth; 20-round cap raises rather than silently truncates.
+    Round-9 delta peeling (VERDICT r8 item 6): the previous loop
+    re-aggregated degrees over and REWROTE the whole edge list every
+    round to remove a few hundred nodes (1.8M-edge checkpoint × rounds).
+    The edge list is now checkpointed ONCE and stays static; the loop
+    maintains a NODE-level degree frame incrementally — each round finds
+    the sub-k nodes (tiny), broadcast-joins their edges to decrement the
+    surviving neighbors' degrees, and checkpoints only the |nodes|-row
+    degree frame. Per-round work is one codegen broadcast probe of the
+    static edges plus node-sized aggregates, ∝ |removed|·avg-degree, not
+    ∝ |edges|. At the fixpoint the maintained degrees ARE the core
+    degrees, so no final edge pass either. Peeling is confluent — the
+    fixpoint is unique regardless of removal order — so the result is
+    deterministic at any parallelism (the equality with a
+    single-machine reference peeler is pinned in
+    tests/test_properties.py). 20-round cap raises rather than silently
+    truncates. 3.8 s → ~2 s at sf0.1 (input derivation dominates).
     """
     k = 2
-    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _simhash_pairs_pinned(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.selectExpr("doc_a AS src", "doc_b AS dst")
         .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint()  # lazy: the degree init below materializes it
+    )
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
         .localCheckpoint(eager=True)
     )
-    n_edges = edges.count()
     for _ in range(20):
-        if n_edges == 0:
+        removed = deg.filter(F.col("d") < k).select("src")
+        if removed.isEmpty():
             break
-        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-        keep = deg.filter(F.col("d") >= k).select("src")
-        pruned = (
-            edges.join(keep, "src", "left_semi")
-            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
-            .select("src", "dst")
+        # decrement surviving neighbors by their edges into removed nodes
+        delta = (
+            edges.join(F.broadcast(removed), "src")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(F.count(F.lit(1)).cast("long").alias("dd"))
+        )
+        deg = (
+            deg.filter(F.col("d") >= k)
+            .join(F.broadcast(delta), "src", "left")
+            .select(
+                "src",
+                (F.col("d") - F.coalesce(F.col("dd"), F.lit(0))).alias("d"),
+            )
             .localCheckpoint(eager=True)
         )
-        n_pruned = pruned.count()
-        if n_pruned == n_edges:
-            break
-        edges, n_edges = pruned, n_pruned
     else:  # pragma: no cover - fixture converges in < 20 rounds
         raise RuntimeError("k-core peeling did not converge in 20 rounds")
     return (
-        edges.groupBy(F.col("src").alias("doc_id"))
-        .agg(F.count(F.lit(1)).alias("core_degree"))
+        deg.select(
+            F.col("src").alias("doc_id"), F.col("d").alias("core_degree")
+        )
         .orderBy("doc_id")
     )
 

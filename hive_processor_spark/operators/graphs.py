@@ -142,29 +142,39 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived 3-NN edge list is the only O(n²)-built input (at 100 TB the
     edge list comes from the IVF/LSH candidate generator instead; the
     traversal is unchanged)."""
-    # Materialize the derived edge list once — every hop re-joins it, and
-    # without this the O(n²) kNN derivation re-runs per hop and the
+    # Materialized edge list — every hop re-joins it, and without a
+    # barrier the O(n²) kNN derivation re-runs per hop and the
     # visited-set lineage doubles per iteration (measured 73 s → ~3 s).
-    # At cluster scale this is a persist()/checkpoint to storage.
-    edges = _knn_edges(spark, sf_dir).localCheckpoint(eager=True)
-    visited = spark.createDataFrame(
-        [(0, 0)], "node: bigint, lvl: int"
-    )
-    frontier = visited
+    # Round-9: consume the session PIN (_knn_edges_pinned) that the other
+    # seven edge-reusing graph metrics already share, instead of building
+    # a private checkpoint — one derivation per (session, fixture).
+    edges = _knn_edges_pinned(spark, sf_dir)
+    # Round-9 hop-loop haircut: no per-hop visited anti-join. Each hop
+    # expands the (distinct) h-step reach set — a node re-reached on a
+    # longer walk is deduplicated by the final MIN(lvl), exactly the
+    # oracle's first_seen aggregation. Per-hop work becomes one
+    # broadcast-hash expand + one distinct (≤ |nodes| rows per hop, so
+    # 6·|edges| total — the pagerank round shape, linear at any scale),
+    # and two broadcast builds per hop disappear. The fixture graph
+    # broadcasts whole; at 100 TB the same loop runs with a shuffled
+    # frontier⋈edges hash join — only the hints change.
+    seed = spark.createDataFrame([(0, 0)], "node: bigint, lvl: int")
+    levels = [seed]
+    frontier = seed
     for hop in range(1, _MAX_HOPS + 1):
-        # The fixture graph broadcasts whole; at 100 TB the same loop runs
-        # with a shuffled frontier⋈edges hash join — only the hints change.
-        nxt = (
+        frontier = (
             frontier.join(F.broadcast(edges), frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"), F.lit(hop).alias("lvl"))
             .distinct()
-            .join(F.broadcast(visited.select("node")), "node", "left_anti")
             .localCheckpoint(eager=True)  # truncate per-hop lineage
         )
-        visited = visited.unionAll(nxt)
-        frontier = nxt
+        levels.append(frontier)
+    reach = levels[0]
+    for df in levels[1:]:
+        reach = reach.unionAll(df)
+    first_seen = reach.groupBy("node").agg(F.min("lvl").alias("lvl"))
     return (
-        visited.groupBy(F.col("lvl").cast("int").alias("level"))
+        first_seen.groupBy(F.col("lvl").cast("int").alias("level"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("nodes"),
             F.min("node").cast("bigint").alias("min_node"),
@@ -339,7 +349,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles ∝ edges, exactly like the connected-components and BFS
     siblings."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _N)
-    edges = _knn_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _knn_edges_pinned(spark, sf_dir)  # shared session pin (round-9)
     cur = emb.select(
         F.col("vec_id").alias("node"),
         F.when(F.col("vec_id") % 2 == 0, F.col("label"))

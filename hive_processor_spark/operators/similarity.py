@@ -915,7 +915,13 @@ def embed_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonzero component positive) with its eigenvalue."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        # the dim² fan-out below multiplies rows by 4096; the embeddings
+        # scan is one small file (one task), so spread the vectors first
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     dim = emb.select(F.size("embedding")).head()[0]
     ex = emb.select(
         F.posexplode("embedding").alias("p", "xp"), F.col("embedding")

@@ -435,27 +435,204 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_lsh")  # Tier R: hash-bucket candidates, seeded but not SQL
+#: Seeded Rademacher sign table for the random-projection signatures of
+#: ``sim_ann_join``: sign(t, k) = +1 iff the first 8 hex digits of
+#: ``md5("rproj:{t}:{k}")`` are even — data-independent constants, embedded
+#: as the SAME literal nested array in the Spark plan and the DuckDB
+#: oracle (the ``_MH_PERMS`` mirroring discipline; round-9 Tier-H
+#: promotion). 8 tables x 64 dims.
+_ANN_SIGNS = (
+    (-1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0),
+    (1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0),
+    (1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0),
+    (1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0),
+    (-1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0),
+    (1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0),
+    (-1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0),
+    (-1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0),
+)
+
+
+#: The same table as a Spark SQL nested-array literal (built once; used by
+#: both ANN operators' plans — the oracle builds its DuckDB twin from the
+#: identical _ANN_SIGNS values).
+_SIGNS_SQL_EXPR = (
+    "array("
+    + ", ".join(
+        "array(" + ", ".join(f"{v:.1f}D" for v in row) + ")"
+        for row in _ANN_SIGNS
+    )
+    + ")"
+)
+
+
+def _ann_sig_cte() -> str:
+    """Oracle CTEs shared by ``sim_ann_join``: clone collapse, quantized
+    unit-projection signatures, banded bucket join, exact quantized-cosine
+    verification, member expansion — the IDENTICAL integer/IEEE math the
+    Spark plan runs, so a *probabilistic* candidate generator carries a
+    full value-level oracle (the dedup_minhash approach applied to the
+    embedding plane)."""
+    signs = ", ".join(
+        "[" + ", ".join(f"{v:.1f}" for v in row) + "]" for row in _ANN_SIGNS
+    )
+    cos = sql_cosine_q("ga.embedding", "gb.embedding")
+    return f"""
+    WITH grp AS (
+        SELECT embedding, MIN(vec_id) AS rep_id,
+               LIST(vec_id ORDER BY vec_id) AS members
+        FROM embeddings GROUP BY embedding
+    ), un AS (
+        SELECT rep_id, embedding,
+               LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) /
+                   SQRT(CAST(LIST_AGGREGATE(LIST_TRANSFORM(embedding,
+                       y -> CAST(FLOOR(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                                       * 1e12) AS BIGINT)), 'sum') AS DOUBLE)
+                        / 1e12)) AS u
+        FROM grp
+    ), st(s) AS (SELECT [{signs}]
+    ), sig AS (
+        SELECT rep_id, t,
+               CAST(FLOOR(CAST(LIST_AGGREGATE(LIST_TRANSFORM(
+                   RANGE(1, LEN(u) + 1),
+                   k -> CAST(FLOOR(u[k] * s[t + 1][k] * 1e9) AS BIGINT)),
+                   'sum') AS DOUBLE) / 2e9) AS BIGINT) AS b
+        FROM un, st, (SELECT UNNEST(RANGE(0, 8)) AS t) ts
+    ), cand AS (
+        SELECT DISTINCT a.rep_id AS ra, b.rep_id AS rb
+        FROM sig a JOIN sig b
+          ON a.t = b.t AND a.b = b.b AND a.rep_id < b.rep_id
+    ), ver AS (
+        SELECT c.ra, c.rb, ROUND({cos}, 4) AS cos_approx
+        FROM cand c
+        JOIN grp ga ON ga.rep_id = c.ra
+        JOIN grp gb ON gb.rep_id = c.rb
+    ), crossp AS (
+        SELECT LEAST(ma.x, mb.y) AS vec_a, GREATEST(ma.x, mb.y) AS vec_b,
+               v.cos_approx
+        FROM ver v
+        JOIN (SELECT rep_id, UNNEST(members) AS x FROM grp) ma
+          ON ma.rep_id = v.ra
+        JOIN (SELECT rep_id, UNNEST(members) AS y FROM grp) mb
+          ON mb.rep_id = v.rb
+        WHERE v.cos_approx >= 0.4
+    ), within AS (
+        SELECT a.x AS vec_a, b.y AS vec_b, CAST(1.0 AS DOUBLE) AS cos_approx
+        FROM (SELECT rep_id, UNNEST(members) AS x FROM grp) a
+        JOIN (SELECT rep_id, UNNEST(members) AS y FROM grp) b
+          ON a.rep_id = b.rep_id AND a.x < b.y
+    )
+    SELECT vec_a, vec_b, cos_approx FROM crossp
+    UNION ALL
+    SELECT vec_a, vec_b, cos_approx FROM within
+    ORDER BY vec_a, vec_b
+    """
+
+
+def _ann_lsh_sql() -> str:
+    """Oracle for ``sim_ann_lsh``: the same literal sign table, RAW-vector
+    quantized projections (E2LSH geometry — no unit normalization for a
+    Euclidean query), bucket-collision candidates against vec 0, exact
+    quantized L2 distances, deterministic top-10."""
+    signs = ", ".join(
+        "[" + ", ".join(f"{v:.1f}" for v in row) + "]" for row in _ANN_SIGNS
+    )
+    return f"""
+    WITH st(s) AS (SELECT [{signs}]
+    ), sig AS (
+        SELECT vec_id, t,
+               CAST(FLOOR(CAST(LIST_AGGREGATE(LIST_TRANSFORM(
+                   RANGE(1, LEN(embedding) + 1),
+                   k -> CAST(FLOOR(CAST(embedding[k] AS DOUBLE)
+                                   * s[t + 1][k] * 1e9) AS BIGINT)),
+                   'sum') AS DOUBLE) / 2e9) AS BIGINT) AS b
+        FROM embeddings, st, (SELECT UNNEST(RANGE(0, 8)) AS t) ts
+    ), q AS (SELECT t, b FROM sig WHERE vec_id = 0
+    ), cand AS (
+        SELECT DISTINCT sg.vec_id
+        FROM sig sg JOIN q ON sg.t = q.t AND sg.b = q.b
+        WHERE sg.vec_id <> 0
+    ), qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ), d AS (
+        SELECT c.vec_id,
+               SQRT(CAST(LIST_AGGREGATE(LIST_TRANSFORM(
+                   RANGE(1, LEN(e.embedding) + 1),
+                   k -> CAST(FLOOR((CAST(e.embedding[k] AS DOUBLE)
+                                    - CAST(qv.qe[k] AS DOUBLE))
+                                   * (CAST(e.embedding[k] AS DOUBLE)
+                                      - CAST(qv.qe[k] AS DOUBLE))
+                                   * 1e12) AS BIGINT)),
+                   'sum') AS DOUBLE) / 1e12) AS dist
+        FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, qv
+    )
+    SELECT vec_id, ROUND(dist, 4) AS dist
+    FROM d ORDER BY dist, vec_id LIMIT 10
+    """
+
+
+@register("sim_ann_lsh", _ann_lsh_sql())
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH (seeded): top-10 bucket-join
-    neighbors of vec 0 by Euclidean distance."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    """Approximate NN query via random-projection LSH: top-10 bucket-join
+    neighbors of vec 0 by Euclidean distance. Round-9 rewrite: the MLlib
+    ``BucketedRandomProjectionLSH`` (fit + UDT join, Spark-only hash
+    family, Tier-R) is replaced by the shared ``_ANN_SIGNS`` literal
+    projections — RAW vectors (E2LSH geometry: magnitude matters for an
+    L2 query, so no unit normalization), integer-quantized projection
+    sums, floor-bucketed at the same 2e9 divisor. Candidates are the
+    vectors sharing ANY (table, bucket) cell with the query; distances
+    are exact quantized L2 (integer term sums — order-free, so both
+    engines sort the identical doubles). Now Tier-H: candidates, buckets,
+    distances and the top-10 all value-checked against DuckDB.
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("vec")
+    Scale: the query's 8 buckets broadcast; the corpus side is one scan
+    + bucket filter, and only candidates reach the distance kernel —
+    the interactive-probe half of the IVF/LSH pair (``sim_ann_join`` is
+    the corpus×corpus half)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    signs_sql = _SIGNS_SQL_EXPR
+    sig = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 7), t -> named_struct("
+                " 't', t, 'b', CAST(floor(CAST(aggregate("
+                " sequence(1, size(embedding)), CAST(0 AS BIGINT),"
+                " (acc, k) -> acc + CAST(floor(CAST(element_at(embedding, k)"
+                f"   AS DOUBLE) * element_at(element_at({signs_sql}, t + 1), k)"
+                "   * 1e9) AS BIGINT)) AS DOUBLE) / 2e9) AS BIGINT)))"
+            )
+        ).alias("h"),
+    ).select("vec_id", F.col("h.t").alias("t"), F.col("h.b").alias("b"))
+    qsig = sig.filter(F.col("vec_id") == 0).select("t", "b")
+    cand = (
+        sig.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qsig), ["t", "b"])
+        .select("vec_id")
+        .distinct()
     )
-    model = BucketedRandomProjectionLSH(
-        inputCol="vec", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
-    ).fit(emb)
-    key = emb.filter(F.col("vec_id") == 0).head()["vec"]
-    out = model.approxNearestNeighbors(emb.filter(F.col("vec_id") != 0), key, 10)
-    return out.select(
-        "vec_id", F.round(F.col("distCol").cast("double"), 4).alias("dist")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    dist = F.sqrt(
+        F.expr(
+            "CAST(aggregate(zip_with(embedding, qe,"
+            " (x, y) -> CAST(floor((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+            " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * 1e12) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / 1e12"
+        )
+    )
+    return (
+        emb.join(cand, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", dist.alias("d"))
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round(F.col("d"), 4).alias("dist"))
     )
 
 
-@register("sim_ann_join")  # Tier R: seeded LSH bucket join, not SQL-expressible
+@register("sim_ann_join", _ann_sig_cte())
 def sim_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus×corpus approximate near-dup join via seeded random-projection
     signatures in pure Spark SQL — no MLlib fit (the round-7 rewrite; the
@@ -503,33 +680,40 @@ def sim_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    n_tables, width = 8, 2.0
+    n_tables = 8  # bucket width 2.0 is baked into the 2e9 quantized divisor
+    # Unit vector over the QUANTIZED norm (integer sum of floor(x²·1e12) —
+    # order-free, so the division is bit-identical on both engines), then
+    # per-table projections as INTEGER sums of floor(u·sign·1e9) terms:
+    # every arithmetic step is either integer or a single IEEE op on
+    # engine-identical inputs, which is what lets the bucket ids — and
+    # therefore the candidate set — carry a value-level DuckDB oracle
+    # (round-9 Tier-H promotion; the previous xxhash64-seeded signs were
+    # Spark-only). Signs come from the shared _ANN_SIGNS literal table.
+    # Width 2.0 ≈ 2σ of one Rademacher projection of a unit vector —
+    # measured recall 1.00 vs the exact kernel at sf0.1 with 8 tables.
     unit = grp.select(
         "rep_id",
         "embedding",
         F.expr(
             "transform(embedding, x -> CAST(x AS DOUBLE)"
-            " / sqrt(aggregate(transform(embedding,"
-            " y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),"
-            " CAST(0.0 AS DOUBLE), (acc, y) -> acc + y)))"
+            " / sqrt(CAST(aggregate(transform(embedding,"
+            " y -> CAST(floor(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)"
+            " * 1e12) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (acc, y) -> acc + y) AS DOUBLE) / 1e12))"
         ).alias("u"),
     )
-    # one seeded ±1 projection sum per table over the unit vector; the
-    # Rademacher sum of a unit vector is N(0,1)-scaled, so width 2.0 is
-    # ~2σ of a single projection — measured recall 1.00 / 920 exact pairs
-    # at sf0.1 (width 0.5·σ with 8 tables measured 0.986; 4 tables 0.976).
+    signs_sql = _SIGNS_SQL_EXPR
     sig = unit.select(
         "rep_id",
         "embedding",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {n_tables - 1}), t -> named_struct("
-                " 't', t, 'b', CAST(floor(aggregate("
-                " sequence(0, size(embedding) - 1), CAST(0.0 AS DOUBLE),"
-                " (acc, k) -> acc + element_at(u, k + 1)"
-                "   * IF(pmod(xxhash64(42, t, k), 2) = 0,"
-                "        CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)))"
-                f" / CAST({width} AS DOUBLE)) AS BIGINT)))"
+                " 't', t, 'b', CAST(floor(CAST(aggregate("
+                " sequence(1, size(u)), CAST(0 AS BIGINT),"
+                " (acc, k) -> acc + CAST(floor(element_at(u, k)"
+                f"   * element_at(element_at({signs_sql}, t + 1), k)"
+                "   * 1e9) AS BIGINT)) AS DOUBLE) / 2e9) AS BIGINT)))"
             )
         ).alias("h"),
     ).select("rep_id", "embedding", F.col("h.t").alias("t"), F.col("h.b").alias("b"))

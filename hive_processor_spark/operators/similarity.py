@@ -2036,7 +2036,101 @@ def _mmr_greedy(pdf):
     return out
 
 
-@register("sim_mmr_rerank")  # Tier-R: greedy selection is not SQL-expressible
+def _mmr_sql(k: int = 10) -> str:
+    """Oracle for ``sim_mmr_rerank``: the greedy selection UNROLLED into k
+    chained CTE stages (round-9 Tier-H promotion — "greedy is not
+    SQL-expressible" was true only for unbounded k; this operator's k=10
+    is a plan constant, so the recurrence is k argmax stages). All scores
+    mirror the kernel's integer micro-unit arithmetic: per-term
+    floor(x·y·1e12) sums are order-free exact (< 2^53), the norm
+    denominator is the kernel's sqrt(qa/1e12)·sqrt(qb/1e12) product of
+    roots, relevance uses the shortlist's sqrt-of-product form, and the
+    MMR score is floor(0.7·rel_q − 0.3·max_sim_q) with vec_id
+    tie-breaks."""
+    dotq = (
+        "(CAST(LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, LEN({a}) + 1),"
+        " i -> CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+        " * 1e12) AS BIGINT)), 'sum') AS DOUBLE) / 1e12)"
+    )
+    qn = (
+        "(CAST(LIST_AGGREGATE(LIST_TRANSFORM({v},"
+        " x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12)"
+        " AS BIGINT)), 'sum') AS DOUBLE) / 1e12)"
+    )
+    head = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv,
+               {qn.format(v='embedding')} AS qq
+        FROM embeddings WHERE vec_id < 5
+    ), c AS (
+        SELECT vec_id, embedding, {qn.format(v='embedding')} AS qc
+        FROM embeddings WHERE vec_id >= 10
+    ), scored AS (
+        SELECT q.query_id, c.vec_id, c.embedding, c.qc,
+               CAST(FLOOR({dotq.format(a='c.embedding', b='q.qv')}
+                    / SQRT(c.qc * q.qq) * 1e6) AS BIGINT) AS rel_q
+        FROM c CROSS JOIN q
+    ), short AS MATERIALIZED (
+        SELECT query_id, vec_id, embedding, qc, rel_q FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY rel_q DESC, vec_id) AS rn
+            FROM scored
+        ) t WHERE rn <= 50
+    ), csim AS MATERIALIZED (
+        SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+               CAST(FLOOR({dotq.format(a='a.embedding', b='b.embedding')}
+                    / (SQRT(a.qc) * SQRT(b.qc)) * 1e6) AS BIGINT) AS sim_q
+        FROM short a JOIN short b
+          ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+    )"""
+    stages = []
+    for i in range(1, k + 1):
+        prev = f"picked{i - 1}"
+        if i == 1:
+            remaining = "short"
+            maxsim = "CAST(0 AS BIGINT)"
+            join = ""
+        else:
+            remaining = f"""(SELECT s.* FROM short s
+                 LEFT JOIN {prev} p ON p.query_id = s.query_id
+                      AND p.vec_id = s.vec_id
+                 WHERE p.vec_id IS NULL)"""
+            # the kernel initializes max_sim_q at 0 and only ever takes
+            # np.maximum — a pick whose sims are all negative contributes
+            # no penalty, so the mirrored max clamps at 0
+            maxsim = "GREATEST(COALESCE(mx.m, CAST(0 AS BIGINT)), CAST(0 AS BIGINT))"
+            join = f"""
+             LEFT JOIN (SELECT cs.query_id, cs.va AS vec_id,
+                               MAX(cs.sim_q) AS m
+                        FROM csim cs JOIN {prev} p
+                          ON p.query_id = cs.query_id AND p.vec_id = cs.vb
+                        GROUP BY 1, 2) mx
+               ON mx.query_id = r.query_id AND mx.vec_id = r.vec_id"""
+        stages.append(f"""
+    , pick{i} AS MATERIALIZED (
+        SELECT query_id, vec_id, rel_q, score_q, {i} AS rank FROM (
+            SELECT r.query_id, r.vec_id, r.rel_q,
+                   CAST(FLOOR(CAST(0.7 AS DOUBLE) * r.rel_q - CAST(0.3 AS DOUBLE) * {maxsim}) AS BIGINT)
+                       AS score_q,
+                   ROW_NUMBER() OVER (PARTITION BY r.query_id
+                       ORDER BY FLOOR(CAST(0.7 AS DOUBLE) * r.rel_q - CAST(0.3 AS DOUBLE) * {maxsim}) DESC,
+                                r.vec_id) AS rn
+            FROM {remaining} r{join}
+        ) t WHERE rn = 1
+    ), picked{i} AS MATERIALIZED (
+        {"SELECT * FROM pick1" if i == 1 else f"SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i}"}
+    )""")
+    tail = f"""
+    SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+           ROUND(rel_q / 1e6, 6) AS rel,
+           ROUND(score_q / 1e6, 6) AS mmr_score
+    FROM picked{k}
+    ORDER BY query_id, rank
+    """
+    return head + "".join(stages) + tail
+
+
+@register("sim_mmr_rerank", _mmr_sql())
 def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance reranking: for each of 5 query vectors,
     shortlist the top-50 candidates by quantized cosine relevance
@@ -2049,8 +2143,12 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     over query groups — 50 rows each, the textbook "small sequential
     tail after a distributed shortlist" split. Integer-quantized scores
     + vec_id tie-breaks make the selection deterministic at any
-    parallelism (pinned by the equivalence test; no SQL oracle — greedy
-    set-dependence is not expressible in DuckDB)."""
+    parallelism. Round-9 Tier-H promotion: k=10 is a plan constant, so
+    the greedy recurrence unrolls into 10 materialized argmax CTE stages
+    in the DuckDB oracle (_mmr_sql) — every micro-unit score, the
+    0-clamped diversity penalty, and the tie-breaks mirrored exactly
+    (DOUBLE-cast literals; DuckDB's bare 0.7 is DECIMAL and floors
+    differently at IEEE boundaries)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")

@@ -226,9 +226,89 @@ def _pq_codebooks(sub: DataFrame) -> DataFrame:
     )
 
 
-@register("sim_ann_pq")  # Tier-R: fully deterministic (re-run equality and
-# recall vs the exact kernel are pinned in tests), but a 2-level unrolled
-# per-subspace-k-means oracle is out of SQL's practical reach.
+def _pq_sqd_sql(a: str, b: str, dims: int) -> str:
+    """DuckDB twin of :func:`_pq_sqdist` over ``dims``-element lists."""
+    return (
+        f"(CAST(LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, {dims + 1}),"
+        f" i -> CAST(FLOOR((CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * 1e12) AS BIGINT)), 'sum') AS DOUBLE) / 1e12)"
+    )
+
+
+def _pq_sql() -> str:
+    """Oracle for ``sim_ann_pq`` (round-9 Tier-H promotion): the full PQ
+    pipeline — subspace slicing, seed assignment, ONE quantized Lloyd
+    recenter, encoding, the query's ADC table, the top-50 shortlist by
+    summed subdistances, and the exact rerank — mirrored CTE-for-stage.
+    Every distance is the quantized integer-term sum of _pq_sqdist and
+    every mean is the floor(·1e9) decimal fold, so the codebooks (not
+    just the final ranking) agree bit-for-bit. Stage CTEs are
+    MATERIALIZED: inlining re-derives the codebook train per reference."""
+    sqd8 = _pq_sqd_sql("t.sub", "c.centroid", _PQ_SUBDIM)
+    sqd8_books = _pq_sqd_sql("t.sub", "b.centroid", _PQ_SUBDIM)
+    sqd8_adc = _pq_sqd_sql("q.qsub", "b.centroid", _PQ_SUBDIM)
+    sqd64 = _pq_sqd_sql("e.embedding", "qv.qvec", _PQ_SUBS * _PQ_SUBDIM)
+    return f"""
+    WITH sub AS MATERIALIZED (
+        SELECT vec_id, g.s,
+               embedding[g.s * {_PQ_SUBDIM} + 1 : g.s * {_PQ_SUBDIM}
+                         + {_PQ_SUBDIM}] AS sub
+        FROM embeddings, (SELECT UNNEST(RANGE(0, {_PQ_SUBS})) AS s) g
+    ), seeds AS MATERIALIZED (
+        SELECT s, CAST(vec_id AS INT) AS k, sub AS centroid
+        FROM sub WHERE vec_id < {_PQ_K}
+    ), assigned AS MATERIALIZED (
+        SELECT vec_id, s, sub, k FROM (
+            SELECT t.vec_id, t.s, t.sub, c.k,
+                   ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.s
+                       ORDER BY {sqd8}, c.k) AS rn
+            FROM sub t JOIN seeds c ON c.s = t.s
+        ) x WHERE rn = 1
+    ), books AS MATERIALIZED (
+        SELECT s, k,
+               LIST(m ORDER BY pos) AS centroid
+        FROM (
+            SELECT s, k, pos,
+                   CAST(SUM(CAST(FLOOR(CAST(sub[pos] AS DOUBLE) * 1e9)
+                                 AS HUGEINT)) AS DOUBLE)
+                       / (1e9 * COUNT(*)) AS m
+            FROM assigned, (SELECT UNNEST(RANGE(1, {_PQ_SUBDIM + 1})) AS pos) p
+            GROUP BY s, k, pos
+        ) t GROUP BY s, k
+    ), codes AS MATERIALIZED (
+        SELECT vec_id, s, k FROM (
+            SELECT t.vec_id, t.s, b.k,
+                   ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.s
+                       ORDER BY {sqd8_books}, b.k) AS rn
+            FROM sub t JOIN books b ON b.s = t.s
+        ) x WHERE rn = 1
+    ), qsub AS (
+        SELECT s, sub AS qsub FROM sub WHERE vec_id = 0
+    ), adc AS MATERIALIZED (
+        SELECT b.s, b.k, {sqd8_adc} AS qd
+        FROM books b JOIN qsub q ON q.s = b.s
+    ), shortlist AS MATERIALIZED (
+        SELECT c.vec_id,
+               CAST(SUM(CAST(FLOOR(a.qd * 1e9) AS HUGEINT)) AS DOUBLE)
+                   / 1e9 AS approx_dist
+        FROM codes c JOIN adc a ON a.s = c.s AND a.k = c.k
+        WHERE c.vec_id <> 0
+        GROUP BY c.vec_id
+        ORDER BY approx_dist, c.vec_id
+        LIMIT 50
+    ), qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT sl.vec_id,
+           ROUND({sqd64}, 6) AS exact_dist,
+           ROUND(sl.approx_dist, 6) AS approx_dist
+    FROM shortlist sl
+    JOIN embeddings e ON e.vec_id = sl.vec_id, qv
+    ORDER BY ROUND({sqd64}, 6), sl.vec_id
+    LIMIT 10
+    """
+
+
+@register("sim_ann_pq", _pq_sql())
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ search with exact rerank: train 8×16 sub-codebooks (one quantized
     Lloyd step from fixed seeds), encode every vector as 8 codes, shortlist
@@ -240,7 +320,11 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADC table are KiB-sized broadcasts, encoded vectors are ~64× smaller
     than raw floats, the scan is a map-side lookup-sum per row, and only
     the 50-row shortlist ever touches full-precision vectors again
-    (composes with sim_ann_ivf's cell pruning for the full stack)."""
+    (composes with sim_ann_ivf's cell pruning for the full stack).
+    Round-9 Tier-H promotion: the whole pipeline — codebook train
+    included — is mirrored stage-for-stage in the DuckDB oracle
+    (_pq_sql), so the differential checks the CODEBOOKS, the codes, the
+    ADC shortlist and the reranked answer, not just the 10 output rows."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),

@@ -1275,17 +1275,27 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("m")
     )
-    # ONE aggregation over the B-row means frame: the previous
-    # three-branch shape (count, lo filter, hi filter) re-evaluated the
-    # whole 3M-row md5 fan-out once per branch
-    w = Window.orderBy("m")
-    ranked = means.select("m", F.row_number().over(w).alias("r"))
-    return ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("n_resamples"),
-        F.round(F.max(F.when(F.col("r") == 2, F.col("m"))), 6).alias("ci_lo"),
-        F.round(
-            F.max(F.when(F.col("r") == _BOOT_B - 1, F.col("m"))), 6
-        ).alias("ci_hi"),
+    # Checkpoint the B-row means frame: the previous three-branch shape
+    # re-evaluated the whole 3M-row md5 fan-out once per branch; with the
+    # barrier each epilogue branch reads 20 rows. The order statistics
+    # come from TakeOrdered probes (mechanically bounded — no global
+    # window): the 2nd mean ascending is MAX of the bottom-2, the
+    # (B−1)-th is MIN of the top-2.
+    means = means.localCheckpoint(eager=True)
+    lo = (
+        means.orderBy(F.asc("m"))
+        .limit(2)
+        .agg(F.round(F.max("m"), 6).alias("ci_lo"))
+    )
+    hi = (
+        means.orderBy(F.desc("m"))
+        .limit(2)
+        .agg(F.round(F.min("m"), 6).alias("ci_hi"))
+    )
+    return (
+        means.agg(F.count(F.lit(1)).cast("long").alias("n_resamples"))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
     )
 
 

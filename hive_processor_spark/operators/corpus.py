@@ -2853,20 +2853,23 @@ def pipeline_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_processor_spark.functions.orderstat import (
         grouped_order_statistics,
     )
-    from hive_processor_spark.operators.textops import text_bigram_perplexity
+    from hive_processor_spark.operators.textops import bigram_ppl_pinned
 
-    # Per-VALUE histogram of the scored corpus — materialized once: the
-    # cutoff walk (3 scans) and the final rollup re-read it, and its
-    # lineage carries the whole bigram-scoring join tree.
+    # Per-VALUE histogram of the scored corpus. The scored frame is the
+    # SESSION PIN shared with ``text_bigram_perplexity`` (round-10): its
+    # lineage carries the whole bigram-scoring join tree (~1.1 s/scan at
+    # sf0.1), so the cutoff walk's 3 scans and the final rollup re-read
+    # a cached |docs|-row frame instead of re-deriving the model — the
+    # per-run eager localCheckpoint this replaces paid one extra
+    # materialization barrier on top.
     hist = (
-        text_bigram_perplexity(spark, sf_dir)
+        bigram_ppl_pinned(spark, sf_dir)
         .groupBy("avg_bits")
         .agg(
             F.count(F.lit(1)).cast("long").alias("c"),
             F.sum("n_bigrams").cast("long").alias("snb"),
         )
         .select(F.lit(1).alias("g"), "avg_bits", "c", "snb")
-        .localCheckpoint(eager=True)
     )
     cuts = grouped_order_statistics(
         hist,

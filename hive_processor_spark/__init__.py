@@ -33,6 +33,7 @@ live in the driver process; workers only ever need the pure-Python helpers
 they explicitly import).
 """
 
+import os as _os
 import sys as _sys
 
 from hive_processor_spark.engine import (  # noqa: F401
@@ -43,45 +44,38 @@ from hive_processor_spark.engine import (  # noqa: F401
 )
 
 
-def _load_all() -> None:
-    """Import every query module so registration decorators run."""
-    from hive_processor_spark import functions, operators, sources, streaming  # noqa: F401
-    from hive_processor_spark.functions import scalar, vector  # noqa: F401
-    from hive_processor_spark.operators import (  # noqa: F401
-        aggregates,
-        cache_plane,
-        clustering,
-        corpus,
-        dedup,
-        events,
-        experiments,
-        filters,
-        fuzzy,
-        graphs,
-        joins,
-        market,
-        metrics,
-        multimodal,
-        profiling,
-        regression,
-        retrieval,
-        setops,
-        similarity,
-        sorts_limits,
-        textops,
-        tpch,
-        udfs,
-        windows,
+def _in_python_worker() -> bool:
+    """True when this import runs inside a Spark Python worker process.
+
+    Two independent signals (round-10, ADVICE r9): ``pyspark.worker`` /
+    ``pyspark.daemon`` in ``sys.modules`` covers the default POSIX
+    daemon launcher (the daemon imports those modules before any user
+    import), and the ``PYTHON_WORKER_FACTORY_*`` environment variables —
+    set only by the JVM's PythonWorkerFactory when launching the worker
+    (``pyspark/worker.py`` reads them at startup) — cover
+    ``spark.python.use.daemon=false``, where the worker runs
+    ``pyspark.worker`` as ``__main__`` and the module-name check alone
+    would silently reinstate the ~0.9 s per-worker registry load. Either
+    signal misfiring toward "driver" is self-repairing: the registry
+    also lazy-loads on the first :func:`queries`/:func:`oracles` call.
+    """
+    if "pyspark.worker" in _sys.modules or "pyspark.daemon" in _sys.modules:
+        return True
+    return (
+        "PYTHON_WORKER_FACTORY_SECRET" in _os.environ
+        or "PYTHON_WORKER_FACTORY_PORT" in _os.environ
+        or "PYTHON_WORKER_FACTORY_SOCK_PATH" in _os.environ
     )
-    from hive_processor_spark.sources import pysource, roundtrip, scans  # noqa: F401
-    from hive_processor_spark.streaming import eventtime, smoke  # noqa: F401
+
+
+from hive_processor_spark.engine import _load_all  # noqa: F401  (back-compat)
 
 
 # Python workers (spawned by the JVM to run UDF/applyInPandas kernels) import
 # this package only to reach pure helpers like functions.seqrec; loading the
 # full operator registry there costs ~0.9 s per fresh worker for zero benefit
-# (the registry is consumed exclusively driver-side). `pyspark.worker` (or the
-# daemon module) is only ever imported inside a worker process, never on the
-# driver, so its presence is a reliable executor-side marker.
-if not ("pyspark.worker" in _sys.modules or "pyspark.daemon" in _sys.modules):
+# (the registry is consumed exclusively driver-side). See _in_python_worker
+# for the detection signals; a false "worker" verdict on the driver is
+# repaired by the lazy load inside engine.queries()/oracles().
+if not _in_python_worker():
     _load_all()

@@ -190,11 +190,63 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+def _load_all() -> None:
+    """Import every query module so registration decorators run.
+
+    Lives in ``engine`` (not the package ``__init__``) so the lazy
+    driver-path repair below never re-enters the package import."""
+    from hive_processor_spark import functions, operators, sources, streaming  # noqa: F401
+    from hive_processor_spark.functions import scalar, vector  # noqa: F401
+    from hive_processor_spark.operators import (  # noqa: F401
+        aggregates,
+        cache_plane,
+        clustering,
+        corpus,
+        dedup,
+        events,
+        experiments,
+        filters,
+        fuzzy,
+        graphs,
+        joins,
+        market,
+        metrics,
+        multimodal,
+        profiling,
+        regression,
+        retrieval,
+        setops,
+        similarity,
+        sorts_limits,
+        textops,
+        tpch,
+        udfs,
+        windows,
+    )
+    from hive_processor_spark.sources import pysource, roundtrip, scans  # noqa: F401
+    from hive_processor_spark.streaming import eventtime, smoke  # noqa: F401
+
+
+def _ensure_registry_loaded() -> None:
+    """Import all query modules if the registry looks unpopulated.
+
+    Safety net for the worker-detection heuristic in the package
+    ``__init__`` (ADVICE r9): if that check ever misclassifies a DRIVER
+    process as a worker (and therefore skips the eager ``_load_all``),
+    the first registry read repairs it here — the driver path is
+    explicit, not inferred. Workers never call ``queries()``/
+    ``oracles()``, so they never pay the load."""
+    if not _QUERIES:
+        _load_all()
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, name → callable(spark, sf_dir) -> DataFrame."""
+    _ensure_registry_loaded()
     return dict(_QUERIES)
 
 
 def oracles() -> dict[str, str]:
     """DuckDB oracle SQL for every hash-checked (Tier-H) query."""
+    _ensure_registry_loaded()
     return dict(_ORACLES)

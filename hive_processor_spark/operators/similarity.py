@@ -793,6 +793,15 @@ def sim_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in range(0, n, chunk):
             blk = slice(s, s + chunk)
             approx = (m32[blk] @ m32.T) / np.sqrt(qn[blk][:, None] * qn[None, :])
+            # Prefilter margin is LOAD-BEARING for the Tier-H oracle
+            # (ADVICE r9): the DuckDB twin verifies every colliding
+            # candidate exactly, so a pair the f32 GEMM underestimates by
+            # more than the margin would be dropped Spark-side only and
+            # fail the diff. Bound: a 64-term f32 dot of unit-scale
+            # values accumulates < ~1e-5 absolute error (f32 eps 6e-8 ×
+            # 64 terms × values ≤ 1, plus the f64 norm division), so the
+            # 1e-3 margin carries ~100× cushion — pinned empirically by
+            # tests/test_r9_ann.py::test_f32_prefilter_margin_bound.
             mask = (ids[blk][:, None] < ids[None, :]) & (
                 approx >= raw_min - 1e-3
             )

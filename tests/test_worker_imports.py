@@ -71,12 +71,45 @@ def test_worker_safe_modules_are_actually_light():
 
 
 def test_load_all_skipped_under_worker_marker():
+    # Import-time emptiness is the contract (queries()/oracles() now
+    # lazy-REPAIR an empty registry on the driver — round-10, ADVICE r9 —
+    # so the probe reads the raw dict, which a worker never touches).
     code = (
         "import sys, types\n"
         "sys.modules['pyspark.worker'] = types.ModuleType('pyspark.worker')\n"
         "import hive_processor_spark as h\n"
-        "assert len(h.queries()) == 0, 'registry must stay empty on workers'\n"
+        "from hive_processor_spark.engine import _QUERIES\n"
+        "assert len(_QUERIES) == 0, 'registry must stay empty on workers'\n"
         "assert 'hive_processor_spark.operators.events' not in sys.modules\n"
+    )
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+
+
+def test_load_all_skipped_under_factory_env_marker():
+    """spark.python.use.daemon=false launches pyspark.worker as __main__ —
+    no pyspark.worker in sys.modules; the PYTHON_WORKER_FACTORY_* env vars
+    (set only by the JVM's PythonWorkerFactory) are the second signal."""
+    code = (
+        "import os, sys\n"
+        "os.environ['PYTHON_WORKER_FACTORY_SECRET'] = 'x'\n"
+        "import hive_processor_spark as h\n"
+        "from hive_processor_spark.engine import _QUERIES\n"
+        "assert len(_QUERIES) == 0, 'registry must stay empty on workers'\n"
+        "assert 'hive_processor_spark.operators.events' not in sys.modules\n"
+    )
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+
+
+def test_registry_read_repairs_misclassified_driver():
+    """A driver misread as a worker still serves the full registry on the
+    first queries() call — the explicit driver-path repair."""
+    code = (
+        "import os\n"
+        "os.environ['PYTHON_WORKER_FACTORY_SECRET'] = 'x'\n"
+        "import hive_processor_spark as h\n"
+        "assert len(h.queries()) > 800, len(h.queries())\n"
     )
     res = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
     assert res.returncode == 0, res.stderr

@@ -311,26 +311,176 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # Tier R: HLL sketch differs from DuckDB's
+#: KMV (k-minimum-values) sketch geometry: engine-shared uniform hash
+#: (first 15 hex digits of md5 → [0, 2^60)), k smallest DISTINCT hash
+#: values as the sketch state. Estimator: (k-1) · 2^60 / h_(k)
+#: (Bar-Yossef et al. '02 unbiased form); below k distinct values the
+#: sketch IS the exact distinct set. The state is bounded (k values),
+#: merge = k smallest of the union — the same mergeability HLL offers,
+#: with every step reproducible digit-for-digit in DuckDB.
+_AD_KMV_K = 1024  # σ ≈ 1/√(k-2) ≈ 3.1% — inside the 5% bound the HLL
+#: pipeline was held to (test_engine.py); state is still KiB-sized.
+_AD_KMV_DOMAIN = float(1 << 60)
+
+
+def _kmv_hash_spark(col: str) -> F.Column:
+    return F.expr(
+        f"CAST(conv(substring(md5(CAST({col} AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+
+
+def _kmv_hash_sql(col: str) -> str:
+    return f"(('0x' || SUBSTRING(MD5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT)"
+
+
+def _kmv_estimate(mins: DataFrame, out: str) -> DataFrame:
+    """One-row estimate frame from a ≤k-row min-hash frame (column h)."""
+    return mins.agg(
+        F.count(F.lit(1)).alias("_c"), F.max("h").alias("_hk")
+    ).select(
+        F.when(F.col("_c") < _AD_KMV_K, F.col("_c").cast("bigint"))
+        .otherwise(
+            F.floor(
+                F.lit(float(_AD_KMV_K - 1))
+                * (F.lit(_AD_KMV_DOMAIN) / F.col("_hk").cast("double"))
+            ).cast("bigint")
+        )
+        .alias(out)
+    )
+
+
+def _kmv_estimate_sql(src: str, out: str) -> str:
+    """DuckDB twin of :func:`_kmv_estimate` over a ≤k-row CTE ``src``."""
+    return f"""
+        SELECT CASE WHEN COUNT(*) < {_AD_KMV_K} THEN CAST(COUNT(*) AS BIGINT)
+                    ELSE CAST(FLOOR({float(_AD_KMV_K - 1)!r}
+                              * ({_AD_KMV_DOMAIN!r} / CAST(MAX(h) AS DOUBLE)))
+                         AS BIGINT) END AS {out}
+        FROM {src}
+    """
+
+
+@register(
+    "agg_approx_distinct",
+    f"""
+    WITH hp AS (
+        SELECT DISTINCT {_kmv_hash_sql('l_partkey')} AS h FROM lineitem
+        ORDER BY h LIMIT {_AD_KMV_K}
+    ), ho AS (
+        SELECT DISTINCT {_kmv_hash_sql('l_orderkey')} AS h FROM lineitem
+        ORDER BY h LIMIT {_AD_KMV_K}
+    ), ep AS ({_kmv_estimate_sql('hp', 'approx_parts')}
+    ), eo AS ({_kmv_estimate_sql('ho', 'approx_orders')})
+    SELECT ep.approx_parts, eo.approx_orders FROM ep CROSS JOIN eo
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting via a KMV sketch (round-10 Tier-H
+    promotion): the k smallest distinct md5-derived hash values per key
+    column, estimator (k-1)·2^60/h_(k). The previous
+    ``approx_count_distinct`` (HLL++) answer is engine-internal and
+    unverifiable; KMV keeps the sketch contract — bounded state,
+    mergeable (k-min of unions), few-% relative error at k=256 — while
+    every intermediate is engine-mirrorable integer/IEEE math, so the
+    driver hash-checks the ESTIMATES. HLL++ stays as an independent
+    cross-check (tests/test_r10_sketches.py bounds both against exact).
+
+    Scale: the k-smallest selection compiles to TakeOrderedAndProject —
+    per-partition top-k then a k-row merge, the distributed KMV state
+    machine itself; nothing but 2·k hashes crosses the wire."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    mp = (
+        li.select(_kmv_hash_spark("l_partkey").alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(_AD_KMV_K)
+    )
+    mo = (
+        li.select(_kmv_hash_spark("l_orderkey").alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(_AD_KMV_K)
+    )
+    return _kmv_estimate(mp, "approx_parts").crossJoin(
+        F.broadcast(_kmv_estimate(mo, "approx_orders"))
     )
 
 
-@register("agg_approx_quantile")  # Tier R: approx sketches differ by design
+#: Fixed-width quantized histogram for the approx-quantile sketch:
+#: cent-quantized price // bucket width. State is domain-bounded
+#: (price span / $10), independent of row count.
+_AQ_W = 1000  # bucket width in cents ($10)
+
+
+@register(
+    "agg_approx_quantile",
+    f"""
+    WITH hist AS (
+        SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) // {_AQ_W} AS b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    ), cum AS (
+        SELECT b, SUM(c) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+               SUM(c) OVER () AS n
+        FROM hist
+    )
+    SELECT (MIN(CASE WHEN cc >= CAST(CEIL(0.5 * n) AS BIGINT) THEN b END)
+            * {_AQ_W} + {_AQ_W // 2}) / 100.0 AS approx_p50,
+           (MIN(CASE WHEN cc >= CAST(CEIL(0.9 * n) AS BIGINT) THEN b END)
+            * {_AQ_W} + {_AQ_W // 2}) / 100.0 AS approx_p90
+    FROM cum
+    """,
+)
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles from a fixed-width quantized histogram
+    (round-10 Tier-H promotion): prices are cent-quantized, bucketed at
+    $10 width, and each quantile is answered as the covering bucket's
+    midpoint — error ≤ half a bucket by construction, state bounded by
+    the price DOMAIN (span/$10 counters), not the row count, and every
+    step integer/IEEE-mirrorable so the estimates themselves
+    hash-check. The previous ``percentile_approx`` (GK summary) answer
+    was engine-internal; GK stays as a cross-check in
+    tests/test_r10_sketches.py. The cumulative window runs over the
+    bounded histogram frame — the orderstat module's bounded-frame
+    exemption, same as ``sketch_hdr_quantile``.
+
+    Scale: one map-side-combinable histogram aggregate (counters merge
+    by addition across partitions — the sketch property), then
+    histogram-sized post-processing."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.agg(
-        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
-            "approx_p50"
-        ),
-        F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000)).alias(
-            "approx_p90"
-        ),
+    hist = (
+        orders.select(
+            F.expr(
+                f"CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) div {_AQ_W}"
+            ).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "b",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+
+    def q(p: float, name: str) -> F.Column:
+        target = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return (
+            (
+                F.min(F.when(F.col("cc") >= target, F.col("b")))
+                * _AQ_W
+                + _AQ_W // 2
+            )
+            / 100.0
+        ).alias(name)
+
+    return cum.agg(q(0.5, "approx_p50"), q(0.9, "approx_p90"))
 
 
 @register(
@@ -595,25 +745,66 @@ def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_merge")  # Tier-R: sketch estimates have no DuckDB twin
+@register(
+    "agg_hll_merge",
+    f"""
+    WITH dh AS (
+        SELECT DISTINCT o_orderpriority,
+               {_kmv_hash_sql('o_custkey')} AS h
+        FROM orders
+    ), state AS (
+        SELECT o_orderpriority, h FROM (
+            SELECT o_orderpriority, h,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY h) AS rn
+            FROM dh
+        ) t WHERE rn <= {_AD_KMV_K}
+    ), merged AS (
+        SELECT DISTINCT h FROM state ORDER BY h LIMIT {_AD_KMV_K}
+    ), est AS ({_kmv_estimate_sql('merged', 'merged_estimate')}
+    ), ex AS (
+        SELECT CAST(SUM(d) AS BIGINT) AS sum_groupwise_exact FROM (
+            SELECT COUNT(DISTINCT o_custkey) AS d
+            FROM orders GROUP BY o_orderpriority
+        ) g
+    )
+    SELECT est.merged_estimate, ex.sum_groupwise_exact
+    FROM est CROSS JOIN ex
+    """,
+)
 def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable HLL sketches (Apache DataSketches via Spark 4 built-ins):
-    build one `hll_sketch_agg` per order-priority group, then `hll_union_agg`
-    the partial sketches into a corpus-wide distinct-customer estimate —
-    exactly how a 1000-executor job merges per-partition state without a
-    re-shuffle of raw keys. Tier-R (estimates are engine-specific);
-    tests/test_engine.py bounds the estimates against exact counts."""
+    """Mergeable distinct sketches, merge step included (round-10 Tier-H
+    promotion): one bounded KMV state (k smallest distinct hashes of
+    ``o_custkey``) per order-priority group, then the partial states are
+    UNION-merged — the k smallest of the per-group k-smallest sets are
+    provably the k smallest overall, so the merged sketch equals the
+    sketch of the raw union without ever re-shuffling raw keys; exactly
+    how a 1000-executor job combines per-partition state. The previous
+    ``hll_sketch_agg``/``hll_union_agg`` pipeline demonstrated the same
+    shape with engine-internal (unverifiable) estimates; the DataSketches
+    built-ins remain as a cross-check (tests/test_r10_sketches.py), and
+    here every stage — per-group states, merged state, estimate — is
+    engine-mirrorable, so the driver hash-checks the MERGE itself.
+    ``sum_groupwise_exact`` (> merged distinct when customers span
+    priorities) rides along as the overlap telltale."""
     orders = load_table(spark, sf_dir, "orders")
-    per_group = orders.groupBy("o_orderpriority").agg(
-        F.hll_sketch_agg("o_custkey").alias("sk"),
-        F.countDistinct("o_custkey").alias("exact_distinct"),
+    dh = orders.select(
+        "o_orderpriority", _kmv_hash_spark("o_custkey").alias("h")
+    ).distinct()
+    w = Window.partitionBy("o_orderpriority").orderBy("h")
+    state = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _AD_KMV_K)
+        .select("h")
     )
-    return (
-        per_group.agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_estimate"),
-            F.sum("exact_distinct").alias("sum_groupwise_exact"),
-        )
+    merged = state.distinct().orderBy("h").limit(_AD_KMV_K)
+    est = _kmv_estimate(merged, "merged_estimate")
+    ex = (
+        orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .agg(F.sum("d").cast("long").alias("sum_groupwise_exact"))
     )
+    return est.crossJoin(F.broadcast(ex))
 
 
 #: Count-min sketch geometry: d=4 integer hash rows ((a·k + b) mod p mod w),
@@ -693,25 +884,83 @@ def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_topk")  # Tier-R: tie handling inside the sketch is
-# engine-specific; exactness at fixture scale is property-tested instead.
+#: Wider count-min table for the top-k estimator: d=4 rows × 8192
+#: buckets (128 KiB of counters — still broadcastable sketch state);
+#: collisions are rare enough at fixture scale that the CMS top-10
+#: equals the exact top-10 (property-pinned), while at any scale the
+#: output is a deterministic function of the counters.
+_TOPK_W = 8192
+_TOPK_VALUES = ", ".join(f"({i}, {a}, {b})" for i, a, b in _CMS_PARAMS)
+
+
+@register(
+    "agg_approx_topk",
+    f"""
+    WITH params(i, a, b) AS (VALUES {_TOPK_VALUES}),
+    counters AS (
+        SELECT i, ((a * l_partkey + b) % {_CMS_P}) % {_TOPK_W} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem CROSS JOIN params
+        GROUP BY i, bucket
+    ), keys AS (
+        SELECT DISTINCT l_partkey AS k FROM lineitem
+    ), est AS (
+        SELECT t.k, MIN(c.c) AS est_n
+        FROM keys t
+        JOIN params p ON TRUE
+        JOIN counters c
+          ON c.i = p.i AND c.bucket = ((p.a * t.k + p.b) % {_CMS_P}) % {_TOPK_W}
+        GROUP BY t.k
+    )
+    SELECT k AS l_partkey, est_n
+    FROM est ORDER BY est_n DESC, l_partkey LIMIT 10
+    """,
+)
 def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy hitters via approx_top_k (Spark 4 built-in frequent-items
-    sketch): top-10 part keys by line count, tracking map sized above the
-    fixture's distinct count so the result is provably exact there
-    (tests/test_properties.py checks set-equality against the exact
-    aggregate). At 100 TB the tracking map is bounded state that merges
-    map-side — the whole point versus an exact groupBy+sort."""
-    register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT t.item AS l_partkey, t.count AS n
-        FROM (
-            SELECT EXPLODE(approx_top_k(l_partkey, 10, 1000000)) AS t
-            FROM lineitem
+    """Heavy hitters from a count-min sketch (round-10 Tier-H promotion):
+    the d=4 × 8192 pure-integer counter table of ``sketch_countmin`` at
+    top-k width, probed once per DISTINCT key, top-10 by (estimate,
+    key). The previous ``approx_top_k`` built-in answered from an
+    engine-internal tracking map (ties unverifiable); here the counters
+    AND the ranking are deterministic integer arithmetic shared with the
+    DuckDB twin, so the estimates hash-check — and the built-in remains
+    as an independent cross-check (tests/test_r10_sketches.py asserts
+    both match the exact top-10 at fixture scale). At 100 TB the counter
+    table is the only merged state (partials add map-side); the probe
+    pass is a distinct-key scan against the broadcast 128 KiB table."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def cells(key: str) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    (((F.lit(a) * F.col(key) + b) % _CMS_P) % _TOPK_W).alias(
+                        "bucket"
+                    ),
+                )
+                for i, a, b in _CMS_PARAMS
+            ]
         )
-        ORDER BY n DESC, l_partkey
-        """
+
+    counters = (
+        li.select(F.explode(cells("l_partkey")).alias("cell"))
+        .groupBy("cell.i", "cell.bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    probes = (
+        li.select(F.col("l_partkey").alias("k"))
+        .distinct()
+        .select("k", F.explode(cells("k")).alias("cell"))
+        .select("k", "cell.i", "cell.bucket")
+    )
+    return (
+        probes.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("k")
+        .agg(F.min("c").alias("est_n"))
+        .orderBy(F.desc("est_n"), F.asc("k"))
+        .limit(10)
+        .select(F.col("k").alias("l_partkey"), "est_n")
     )
 
 

@@ -83,9 +83,10 @@ def test_cluster_conf_runs_headline_query(spark):
 
 
 def test_hll_merge_estimate_within_bounds(spark, duck):
-    """The merged HLL estimate (agg_hll_merge, Tier-R) must land within 5%
-    of the exact corpus-wide distinct count — the bound that makes partial
-    sketches a safe substitute for a raw-key re-shuffle at 100 TB."""
+    """The merged KMV estimate (agg_hll_merge, Tier-H since round 10) must
+    land within 5% of the exact corpus-wide distinct count — the bound
+    that makes partial sketches a safe substitute for a raw-key
+    re-shuffle at 100 TB (k=1024 ⇒ σ ≈ 3.1%)."""
     row = queries()["agg_hll_merge"](spark, SF_DIR).collect()[0]
     exact = duck.execute(
         "SELECT COUNT(DISTINCT o_custkey) FROM orders"

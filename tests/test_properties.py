@@ -4,6 +4,8 @@ direction the oracle diff can't (the oracle could be wrong the same way)."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from hive_processor_spark import queries
@@ -422,12 +424,12 @@ def test_countmin_never_underestimates(spark):
 
 
 def test_approx_topk_exact_at_fixture_scale(spark, duck):
-    """With maxItemsTracked far above the fixture's distinct-key count the
-    approx_top_k sketch degenerates to exact counting; its (item, count)
-    set must equal the exact top-10 (comparing as a set-of-counts to stay
-    agnostic to tie order inside the sketch)."""
+    """The round-10 CMS rewrite answers top-10 from d=4 × 8192 integer
+    counters; at fixture scale collisions are rare enough that its keys
+    equal the exact top-10 and CMS's one-sided bound holds per key
+    (est ≥ true, overshoot ≤ e·n/w with factor-2 slack)."""
     got = {
-        (r.l_partkey, r.n)
+        (r.l_partkey, r.est_n)
         for r in queries()["agg_approx_topk"](spark, SF_DIR).collect()
     }
     exact = duck.execute(
@@ -436,12 +438,17 @@ def test_approx_topk_exact_at_fixture_scale(spark, duck):
         GROUP BY l_partkey ORDER BY n DESC LIMIT 10
         """
     ).fetchall()
-    # counts multiset must match even if tied items at the boundary differ
-    assert sorted(n for _, n in got) == sorted(n for _, n in exact)
+    true_n = dict(
+        duck.execute(
+            "SELECT l_partkey, COUNT(*) FROM lineitem GROUP BY l_partkey"
+        ).fetchall()
+    )
     boundary = min(n for _, n in exact)
-    assert {i for i, n in got if n > boundary} == {
-        i for i, n in exact if n > boundary
-    }
+    assert {i for i, n in got} >= {i for i, n in exact if n > boundary}
+    n_rows = duck.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+    for i, est in got:
+        assert est >= true_n[i]
+        assert est - true_n[i] <= 2 * math.e * n_rows / 8192
 
 
 def test_pq_rerank_recall_and_determinism(spark):

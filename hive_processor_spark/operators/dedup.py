@@ -1954,7 +1954,60 @@ def graph_cc_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cluster_size")
     )
 
-@register("graph_kcore")  # Tier R: iterative peeling fixpoint has no SQL twin
+def _kcore_sql(k: int = 2, rounds: int = 20) -> str:
+    """Oracle for ``graph_kcore`` (round-10 Tier-H promotion): the
+    synchronous peel unrolled into ``rounds`` MATERIALIZED stages — the
+    ``sim_mmr_rerank`` unroll discipline applied to a fixpoint loop.
+    Stage i keeps the nodes whose degree WITHIN stage i-1's survivors is
+    ≥ k; peeling is confluent and the Spark loop raises if it has not
+    converged within the same ``rounds`` cap, so stage ``rounds`` IS the
+    fixpoint whenever the differential runs, and extra stages past
+    convergence are no-ops. MATERIALIZED is load-bearing: each stage is
+    referenced twice by the next (both join sides) and DuckDB inlines
+    CTEs, so the un-materialized form expands exponentially."""
+    stages = []
+    prev = "s0"
+    for i in range(1, rounds + 1):
+        stages.append(
+            f"""
+    , s{i} AS MATERIALIZED (
+        SELECT src FROM (
+            SELECT e.src, COUNT(*) AS d
+            FROM edges e
+            JOIN {prev} a ON a.src = e.src
+            JOIN {prev} b ON b.src = e.dst
+            GROUP BY e.src
+        ) t WHERE d >= {k}
+    )"""
+        )
+        prev = f"s{i}"
+    return (
+        _SIMHASH_SIG_SQL
+        + f"""
+    , pairs AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {_MAX_HAMMING}
+    ), edges AS MATERIALIZED (
+        SELECT u AS src, v AS dst FROM pairs
+        UNION ALL
+        SELECT v AS src, u AS dst FROM pairs
+    ), s0 AS MATERIALIZED (
+        SELECT DISTINCT src FROM edges
+    )"""
+        + "".join(stages)
+        + f"""
+    SELECT e.src AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM edges e
+    JOIN {prev} a ON a.src = e.src
+    JOIN {prev} b ON b.src = e.dst
+    GROUP BY e.src
+    ORDER BY doc_id
+    """
+    )
+
+
+@register("graph_kcore", _kcore_sql())
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (k=2) of the simhash near-dup graph by
     iterative peeling: repeatedly drop nodes with degree < k until the
@@ -1979,6 +2032,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-machine reference peeler is pinned in
     tests/test_properties.py). 20-round cap raises rather than silently
     truncates. 3.8 s → ~2 s at sf0.1 (input derivation dominates).
+
+    Round-10 Tier-H promotion: the DuckDB twin unrolls the SAME
+    synchronous peel into 20 MATERIALIZED stages over the same banded
+    edge list (:func:`_kcore_sql`) — confluence + the shared round cap
+    make the unrolled stage-20 survivor set exactly the Spark fixpoint,
+    so the core membership AND degrees are value-checked.
     """
     k = 2
     pairs = _simhash_pairs_pinned(spark, sf_dir).select("doc_a", "doc_b")

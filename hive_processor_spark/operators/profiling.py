@@ -1170,7 +1170,16 @@ def profile_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         vals = t if vals is None else vals.unionAll(t)
     hist = (
-        vals.groupBy("col", "v")
+        # Spread BEFORE the aggregate (round-10): each fixture table is a
+        # single file, so the map-side partial agg — a ~600k-entry hash
+        # map for lineitem's near-unique cents — otherwise runs in ONE
+        # task per table (measured 1.8 → 0.9 s for the histogram build).
+        # The explicit hash partitioning on the group keys satisfies the
+        # aggregate's required distribution, so no second exchange.
+        vals.repartition(
+            spark.sparkContext.defaultParallelism, "col", "v"
+        )
+        .groupBy("col", "v")
         .agg(F.count(F.lit(1)).alias("cnt"))
         # four consumers (span, bucket counts, probe slices, fence count)
         # would each re-run the 4-table union scan and the histogram

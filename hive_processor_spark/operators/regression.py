@@ -2458,101 +2458,73 @@ def ml_gradient_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     |grid|) broadcast algebra — the classic histogram-boosting
     decomposition (LightGBM's) where the data-sized pass is the
     sufficient-stats build, not the round loop."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
     li = load_table(spark, sf_dir, "lineitem")
-    g = li.groupBy(F.col("l_quantity").cast("bigint").alias("x")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("bigint"))
-        .cast("bigint")
-        .alias("sy"),
+    # The ONE data-sized pass: partial/final aggregate to the ≤50-row
+    # (quantity, count, Σcents) grid — l_quantity's domain bounds the
+    # frame at ANY corpus size, so collecting it is O(domain) driver
+    # state (the embed_pca_top Gram precedent), and the 3-round split
+    # search runs as exact integer algebra on the driver instead of ~12
+    # serialized micro-jobs of 50-row windows (the round-10 rewrite:
+    # measured 2.5 → ~0.6 s at sf0.1; this is LightGBM's decomposition —
+    # workers build histograms, the split search is cheap local math).
+    grid = sorted(
+        (r["x"], r["n"], r["sy"])
+        for r in li.groupBy(F.col("l_quantity").cast("bigint").alias("x"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("bigint"))
+            .cast("bigint")
+            .alias("sy"),
+        )
+        .collect()
     )
-    tot0 = g.agg(
-        F.sum("n").cast("bigint").alias("nn"),
-        F.sum("sy").cast("bigint").alias("syy"),
-    )
-    p0 = tot0.select(
-        F.floor(F.col("syy") / F.col("nn").cast("double"))
-        .cast("bigint")
-        .alias("pred")
-    )
-    cur = g.crossJoin(F.broadcast(p0))
-    wpre = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    round_rows = []
+    nn = sum(n for _, n, _ in grid)
+    syy = sum(sy for _, _, sy in grid)
+    pred = {x: math.floor(syy / float(nn)) for x, _, _ in grid}
+
+    def usd(v: float | int, scale: float) -> float:
+        # Spark's F.round = BigDecimal HALF_UP on the double's exact
+        # binary expansion — reproduced digit-for-digit via Decimal
+        return float(
+            Decimal(v / scale).quantize(Decimal("0.01"), ROUND_HALF_UP)
+        )
+
+    rows = []
     for r in (1, 2, 3):
-        pre = cur.select(
-            "x",
-            "n",
-            "sy",
-            "pred",
-            F.sum("n").over(wpre).alias("cn"),
-            F.sum(F.col("sy") - F.col("n") * F.col("pred"))
-            .over(wpre)
-            .alias("crs"),
+        # prefix sums of count and integer residual in quantity order
+        cn, crs, prefix = 0, 0, []
+        for x, n, sy in grid:
+            cn += n
+            crs += sy - n * pred[x]
+            prefix.append((x, cn, crs))
+        rst = prefix[-1][2]
+        # argmax gain, ties to the smallest split point — exact doubles,
+        # identically parenthesized to the SQL twin
+        best = None
+        for x, cn_i, crs_i in prefix:
+            if cn_i >= nn:
+                continue
+            gain = (float(crs_i) * crs_i) / cn_i + (
+                float(rst - crs_i) * (rst - crs_i)
+            ) / (nn - cn_i)
+            if best is None or gain > best[0]:
+                best = (gain, x, cn_i, crs_i)
+        gain, s, cn_b, crs_b = best
+        vl = math.floor(crs_b / (2.0 * cn_b))
+        vr = math.floor((rst - crs_b) / (2.0 * (nn - cn_b)))
+        rows.append(
+            (r, s, cn_b, nn - cn_b, usd(vl, 100.0), usd(vr, 100.0), usd(gain, 10000.0))
         )
-        nn_total = g.agg(F.sum("n").cast("bigint").alias("nn_t"))
-        t = (
-            pre.crossJoin(F.broadcast(nn_total))
-            .filter(F.col("cn") == F.col("nn_t"))
-            .select(F.col("cn").alias("nn"), F.col("crs").alias("rst"))
-        )
-        gain = (F.col("crs").cast("double") * F.col("crs")) / F.col("cn") + (
-            (F.col("rst") - F.col("crs")).cast("double")
-            * (F.col("rst") - F.col("crs"))
-        ) / (F.col("nn") - F.col("cn"))
-        best = (
-            pre.crossJoin(F.broadcast(t))
-            .filter(F.col("cn") < F.col("nn"))
-            .select(
-                F.col("x").alias("s"),
-                "cn",
-                "crs",
-                "nn",
-                "rst",
-                gain.alias("gain"),
-            )
-            .orderBy(F.desc("gain"), "s")
-            .limit(1)
-        )
-        lv = best.select(
-            "s",
-            "cn",
-            "nn",
-            "gain",
-            F.floor(F.col("crs") / (F.lit(2.0) * F.col("cn")))
-            .cast("bigint")
-            .alias("vl"),
-            F.floor(
-                (F.col("rst") - F.col("crs"))
-                / (F.lit(2.0) * (F.col("nn") - F.col("cn")))
-            )
-            .cast("bigint")
-            .alias("vr"),
-        )
-        round_rows.append(
-            lv.select(
-                F.lit(r).alias("round_no"),
-                F.col("s").alias("split_x"),
-                F.col("cn").alias("n_left"),
-                (F.col("nn") - F.col("cn")).alias("n_right"),
-                F.round(F.col("vl") / 100.0, 2).alias("leaf_left"),
-                F.round(F.col("vr") / 100.0, 2).alias("leaf_right"),
-                F.round(F.col("gain") / 10000.0, 2).alias("gain_usd2"),
-            )
-        )
-        cur = cur.crossJoin(F.broadcast(lv.select("s", "vl", "vr"))).select(
-            "x",
-            "n",
-            "sy",
-            (
-                F.col("pred")
-                + F.when(F.col("x") <= F.col("s"), F.col("vl")).otherwise(
-                    F.col("vr")
-                )
-            ).alias("pred"),
-        )
-    out = round_rows[0]
-    for rr in round_rows[1:]:
-        out = out.unionAll(rr)
-    return out.orderBy("round_no")
+        for x in pred:
+            pred[x] += vl if x <= s else vr
+    return spark.createDataFrame(
+        rows,
+        "round_no int, split_x bigint, n_left bigint, n_right bigint,"
+        " leaf_left double, leaf_right double, gain_usd2 double",
+    ).orderBy("round_no")
 
 
 @register(

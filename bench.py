@@ -94,6 +94,14 @@ HEADLINE = [
     "dedup_ngram_verify",     # prefix-filter candidates + exact verify
     "text_gopher_rules",      # quality-filter rule battery
     "dedup_substring_spans",  # repeated 20-token span detection
+    # round-10 representatives: the session-pinned ANN/perplexity planes,
+    # the wedge-count on the pinned simhash class graph, the driver-side
+    # boost-round rewrite, and a promoted engine-mirrorable sketch
+    "sim_ann_pq",             # PQ ADC shortlist + exact rerank (pinned codebooks)
+    "pipeline_perplexity_buckets",  # CCNet terciles off the pinned ppl frame
+    "graph_triangles",        # twin-collapsed wedge count (pinned class graph)
+    "ml_gradient_boost_stumps",  # histogram boosting, driver round loop
+    "agg_approx_distinct",    # KMV distinct sketch (Tier-H since round 10)
 ]
 
 
@@ -132,6 +140,15 @@ PINNED_FAMILIES = {
         "graph_kcore",
         "graph_link_predict",
         "graph_pagerank",
+    ],
+    "ann_plane": [
+        "sim_ann_join",
+        "sim_ann_lsh",
+        "sim_ann_pq",
+    ],
+    "bigram_ppl_plane": [
+        "pipeline_perplexity_buckets",
+        "text_bigram_perplexity",
     ],
     "stream_replay": [
         "stream_cdc_apply",

@@ -133,6 +133,35 @@ CACHE_SCAN_OK = {
         " inlining the 64-sample HOF signature into both self-join sides"
         " (measured 30x); lineage-backed, LRU-evictable"
     ),
+    "sim_ann_join": (
+        "consumes the session-pinned ANN plane (clone collapse + banded"
+        " unit-vector signatures, round-10 VERDICT r9 items 1-2);"
+        " lineage-backed, LRU-1"
+    ),
+    "sim_ann_lsh": (
+        "consumes the session-pinned ANN plane (raw-vector E2LSH"
+        " signatures, round-10); lineage-backed, LRU-1"
+    ),
+    "sim_ann_pq": (
+        "consumes the session-pinned ANN plane (PQ codebooks + corpus"
+        " codes, round-10); lineage-backed, LRU-1"
+    ),
+    "text_bigram_perplexity": (
+        "session-pinned bigram cross-entropy frame shared with"
+        " pipeline_perplexity_buckets (round-10); lineage-backed, LRU-1"
+    ),
+    "pipeline_perplexity_buckets": (
+        "consumes the session-pinned bigram cross-entropy frame (shared"
+        " with text_bigram_perplexity); lineage-backed, LRU-1"
+    ),
+    "graph_triangles": (
+        "consumes the session-pinned collapsed simhash class graph"
+        " (classes + hamming class-edges, round-10); lineage-backed, LRU-1"
+    ),
+    "dedup_ngram_verify": (
+        "consumes the session-pinned clone-collapsed shingle-hash array"
+        " frame (round-10, VERDICT r9 item 4); lineage-backed, LRU-1"
+    ),
 }
 
 def _load_window_audit() -> dict[str, str]:

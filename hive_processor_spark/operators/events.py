@@ -3352,8 +3352,8 @@ def events_dow_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s
     )
     SELECT STRFTIME(day, '%Y-%m-%d') AS day,
-           ROUND(s20 / 20.0 / 100.0, 2) AS sma20,
-           ROUND(s50 / 50.0 / 100.0, 2) AS sma50,
+           FLOOR((s20 + 10) / 20.0) / 100.0 AS sma20,
+           FLOOR((s50 + 25) / 50.0) / 100.0 AS sma50,
            CASE WHEN sgn > prev_sgn THEN 'golden_cross'
                 ELSE 'death_cross' END AS signal
     FROM x WHERE prev_sgn IS NOT NULL AND sgn <> prev_sgn AND sgn <> 0
@@ -3398,8 +3398,12 @@ def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
-            F.round(F.col("s20") / 20.0 / 100.0, 2).alias("sma20"),
-            F.round(F.col("s50") / 50.0 / 100.0, 2).alias("sma50"),
+            # the SMAs are exact rationals (integer cents / window size);
+            # ROUND of their double form flips at .5 representation
+            # boundaries (sf0.001 gate, round 10) — half-up in integer
+            # space: floor(s/w + 1/2) == floor((s + w/2) / w)
+            (F.floor((F.col("s20") + 10) / 20.0) / 100.0).alias("sma20"),
+            (F.floor((F.col("s50") + 25) / 50.0) / 100.0).alias("sma50"),
             F.when(F.col("sgn") > F.col("prev_sgn"), F.lit("golden_cross"))
             .otherwise(F.lit("death_cross"))
             .alias("signal"),

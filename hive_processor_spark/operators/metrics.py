@@ -3144,14 +3144,16 @@ def stats_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS cents
         FROM customer GROUP BY 1
     ), m AS (
-        SELECT nk, n, CAST(cents AS DOUBLE) / 100.0 / n AS mean FROM g
+        SELECT nk, n, cents,
+               CAST(cents AS DOUBLE) / 100.0 / n AS mean
+        FROM g
     ), grand AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS k,
                CAST(SUM(CAST(FLOOR(mean * 100.0) AS BIGINT)) AS BIGINT)
                    AS gm_q
         FROM m
     ), dev AS (
-        SELECT m.nk, m.n, m.mean, grand.k,
+        SELECT m.nk, m.n, m.cents, m.mean, grand.k,
                CAST(grand.gm_q AS DOUBLE) / 100.0 / grand.k AS gm
         FROM m CROSS JOIN grand
     ), ssd AS (
@@ -3169,7 +3171,7 @@ def stats_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ssd
     )
     SELECT n.n_name,
-           ROUND(d.mean, 2) AS raw_mean,
+           FLOOR((2 * d.cents + d.n) / (2.0 * d.n)) / 100.0 AS raw_mean,
            ROUND(s.gm + s.keep_frac * (d.mean - s.gm), 2) AS js_mean,
            ROUND(s.keep_frac, 6) AS keep_frac
     FROM dev d CROSS JOIN shrink s
@@ -3199,6 +3201,7 @@ def stats_james_stein(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = g.select(
         "nk",
         "n",
+        "cents",
         (F.col("cents").cast("double") / 100.0 / F.col("n")).alias("mean"),
     )
     grand = m.agg(
@@ -3210,6 +3213,7 @@ def stats_james_stein(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = m.crossJoin(F.broadcast(grand)).select(
         "nk",
         "n",
+        "cents",
         "mean",
         "k",
         (F.col("gm_q").cast("double") / 100.0 / F.col("k")).alias("gm"),
@@ -3241,7 +3245,18 @@ def stats_james_stein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), F.col("nk") == F.col("n_nationkey"))
         .select(
             "n_name",
-            F.round("mean", 2).alias("raw_mean"),
+            # raw_mean is the exact rational cents/n; ROUND of its double
+            # form flips at .5 boundaries (sf0.001 gate, round 10) —
+            # half-up in integer space: floor((2·cents + n)/(2n)), via a
+            # double division both engines evaluate identically (quotient
+            # ≥ 1/(2n) from any integer when inexact, floor semantics
+            # also cover negative balances).
+            (
+                F.floor(
+                    (2 * F.col("cents") + F.col("n")) / (2.0 * F.col("n"))
+                )
+                / 100.0
+            ).alias("raw_mean"),
             F.round(
                 F.col("gm_pool")
                 + F.col("keep_frac") * (F.col("mean") - F.col("gm_pool")),
@@ -4772,25 +4787,42 @@ def stats_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS rev_c
         FROM orders GROUP BY 1
     ), train AS (
-        SELECT rev_c / 100.0 AS x FROM daily
+        SELECT rev_c FROM daily
         WHERE day >= DATE '1996-01-01' AND day < DATE '1997-01-01'
+    ), tq AS (
+        SELECT LIST(rev_c ORDER BY rev_c) AS xs,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM train
+    ), taus(tau) AS (VALUES (0.1), (0.5), (0.9)
     ), fq AS (
-        SELECT 0.1 AS tau,
-               (SELECT QUANTILE_CONT(x, 0.1) FROM train) AS yhat
-        UNION ALL
-        SELECT 0.5, (SELECT QUANTILE_CONT(x, 0.5) FROM train)
-        UNION ALL
-        SELECT 0.9, (SELECT QUANTILE_CONT(x, 0.9) FROM train)
+        SELECT tau,
+               (CAST(xs[CAST(FLOOR(CAST(tau AS DOUBLE) * (n - 1)) AS BIGINT)
+                        + 1] AS DOUBLE)
+                + (CAST(tau AS DOUBLE) * (n - 1)
+                   - FLOOR(CAST(tau AS DOUBLE) * (n - 1)))
+                  * (CAST(xs[CAST(LEAST(
+                         CAST(FLOOR(CAST(tau AS DOUBLE) * (n - 1)) AS BIGINT)
+                         + 2, n) AS BIGINT)] AS DOUBLE)
+                     - CAST(xs[CAST(FLOOR(CAST(tau AS DOUBLE) * (n - 1))
+                                    AS BIGINT) + 1] AS DOUBLE)))
+               / 100.0 AS yhat
+        FROM taus CROSS JOIN tq
     ), test AS (
         SELECT rev_c / 100.0 AS y FROM daily
         WHERE day >= DATE '1997-01-01' AND day < DATE '1998-01-01'
     ), loss AS (
         SELECT fq.tau, fq.yhat,
                CAST(COUNT(*) AS BIGINT) AS n_days,
+               -- tau must reach the arithmetic AS DOUBLE: DuckDB's bare
+               -- decimal would compute tau - 1.0 exactly (-0.1) while
+               -- Spark's IEEE 0.9 - 1.0 is -0.09999999999999998, which
+               -- flips a floor-quantized term at representation
+               -- boundaries (sf0.001 gate, round 10)
                CAST(SUM(CAST(FLOOR(
-                   GREATEST(fq.tau * (t.y - fq.yhat),
-                            (fq.tau - 1.0) * (t.y - fq.yhat)) * 10000.0)
-                   AS DECIMAL(28,0))) AS DOUBLE) / 10000.0 AS total_loss,
+                   GREATEST(CAST(fq.tau AS DOUBLE) * (t.y - fq.yhat),
+                            (CAST(fq.tau AS DOUBLE) - 1.0)
+                            * (t.y - fq.yhat)) * 10000.0)
+                   AS DECIMAL(28,0))) AS BIGINT) AS q,
                CAST(COUNT(*) FILTER (WHERE t.y <= fq.yhat) AS BIGINT)
                    AS n_covered
         FROM fq CROSS JOIN test t
@@ -4799,8 +4831,10 @@ def stats_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tau,
            ROUND(yhat, 2) AS forecast,
            n_days,
-           ROUND(total_loss / n_days, 4) AS pinball_loss,
-           ROUND(CAST(n_covered AS DOUBLE) / n_days, 4) AS coverage
+           FLOOR((2 * q + n_days) / (2.0 * n_days)) / 10000.0
+               AS pinball_loss,
+           FLOOR((2 * n_covered * 10000 + n_days) / (2.0 * n_days)) / 10000.0
+               AS coverage
     FROM loss ORDER BY tau
     """,
 )
@@ -4824,23 +4858,40 @@ def ml_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rev_c")
     )
+    # The interpolated quantile is computed EXPLICITLY over the sorted
+    # integer-cent list — Spark's percentile() and DuckDB's QUANTILE_CONT
+    # agree on the definition (index p·(n−1), linear interpolation) but
+    # not on the IEEE expression shape, which flipped a floor-quantized
+    # loss term at sf0.001 (round-10 full gate). lo + frac·(hi − lo) on
+    # exact integer operands is the identical double in both engines.
+    # The 365-row year frame is calendar-bounded, so the collect_list is
+    # O(days), never O(rows).
     train = daily.filter(
         (F.col("day") >= F.lit("1996-01-01").cast("date"))
         & (F.col("day") < F.lit("1997-01-01").cast("date"))
-    ).select((F.col("rev_c") / 100.0).alias("x"))
-    fq = train.agg(
-        *[
-            F.percentile("x", F.lit(t)).alias(f"q{i}")
-            for i, t in enumerate((0.1, 0.5, 0.9))
-        ]
-    ).select(
+    ).select("rev_c")
+    tq = train.agg(
+        F.sort_array(F.collect_list("rev_c")).alias("xs"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+    def _interp(t: float) -> F.Column:
+        p = F.lit(t) * (F.col("n") - 1).cast("double")
+        k = F.floor(p).cast("long")
+        lo = F.element_at("xs", (k + 1).cast("int")).cast("double")
+        hi = F.element_at(
+            "xs", F.least(k + 2, F.col("n")).cast("int")
+        ).cast("double")
+        return (lo + (p - F.floor(p)) * (hi - lo)) / 100.0
+
+    fq = tq.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(t).alias("tau"), F.col(f"q{i}").alias("yhat")
+                        F.lit(t).alias("tau"), _interp(t).alias("yhat")
                     )
-                    for i, t in enumerate((0.1, 0.5, 0.9))
+                    for t in (0.1, 0.5, 0.9)
                 ]
             )
         ).alias("f")
@@ -4858,27 +4909,40 @@ def ml_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tau", "yhat")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_days"),
-            (
-                F.sum(F.floor(term * 10000.0).cast("decimal(28,0)")).cast(
-                    "double"
-                )
-                / 10000.0
-            ).alias("total_loss"),
+            F.sum(F.floor(term * 10000.0).cast("decimal(28,0)"))
+            .cast("long")
+            .alias("q"),
             F.count_if(F.col("y") <= F.col("yhat"))
             .cast("bigint")
             .alias("n_covered"),
         )
     )
+    # The mean loss and coverage are EXACT RATIONALS (integer quanta /
+    # n_days); ROUND of their double form flips the last digit at .5
+    # representation boundaries (found by the sf0.001 full gate, round
+    # 10). Half-up happens in integer space instead: floor(x + 1/2) ==
+    # floor((2·num + den) / (2·den)) — the double division is safe
+    # because the quotient is ≥ 1/(2·den) away from any integer when not
+    # exactly on it, far above the ulp, and BOTH engines run the
+    # identical IEEE expression.
     return loss.select(
         "tau",
         F.round("yhat", 2).alias("forecast"),
         "n_days",
-        F.round(F.col("total_loss") / F.col("n_days"), 4).alias(
-            "pinball_loss"
-        ),
-        F.round(F.col("n_covered").cast("double") / F.col("n_days"), 4).alias(
-            "coverage"
-        ),
+        (
+            F.floor(
+                (2 * F.col("q") + F.col("n_days"))
+                / (2.0 * F.col("n_days"))
+            )
+            / 10000.0
+        ).alias("pinball_loss"),
+        (
+            F.floor(
+                (2 * F.col("n_covered") * 10000 + F.col("n_days"))
+                / (2.0 * F.col("n_days"))
+            )
+            / 10000.0
+        ).alias("coverage"),
     ).orderBy("tau")
 
 

@@ -61,6 +61,84 @@ TABLES = (
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
+#: Round-rotating "driver-sample head" (VERDICT r10 #1). The verification
+#: driver samples ``list(queries())[:50]`` in registry order, and that head
+#: had been the same ``agg_*``/``fn_*`` 50 since round 4 (74 of 838 ids ever
+#: driver-checked). Registration order is semantically inert — every query
+#: is identical under any ordering, and the full ``tools.check`` gate covers
+#: all 838 regardless — so ``queries()`` simply yields these ids first,
+#: followed by every other id in registration order. Rotate this list each
+#: round through never-driver-checked Tier-H families (see SAMPLE_HINT.md
+#: for the ledger); every id here MUST be Tier-H (value-level oracle).
+_SAMPLE_HEAD: tuple[str, ...] = (
+    # events family (12)
+    "events_funnel",
+    "events_sessionize",
+    "events_retention",
+    "events_rfm",
+    "events_cohort",
+    "events_attribution",
+    "events_anomaly",
+    "events_path_analysis",
+    "events_transitions",
+    "events_conversion_windows",
+    "events_inter_arrival",
+    "events_streaks",
+    # dedup family (8)
+    "dedup_minhash_sql",
+    "dedup_simhash_pairs",
+    "dedup_ngram_verify",
+    "dedup_paragraph",
+    "dedup_substring_spans",
+    "dedup_cluster_docs",
+    "dedup_keep_best",
+    "dedup_containment",
+    # similarity / ANN family (8)
+    "sim_ann_ivf",
+    "sim_ann_join",
+    "sim_ann_pq",
+    "sim_knn_batch",
+    "sim_precision_at_k",
+    "sim_mrr",
+    "sim_rrf_fusion",
+    "sim_range_query",
+    # join family (10)
+    "join_asof_nearest",
+    "join_asof_tolerance",
+    "join_salted",
+    "join_star_schema",
+    "join_temporal_dim",
+    "join_range_binned",
+    "join_bloom_prefilter",
+    "join_null_safe",
+    "join_not_in_null_aware",
+    "join_skyline",
+    # tpch family (6)
+    "tpch_q02_min_cost_supplier",
+    "tpch_q03_shipping_priority",
+    "tpch_q09_product_profit",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_supplier",
+    # graph family (6)
+    "graph_pagerank",
+    "graph_triangles",
+    "graph_cc_size_dist",
+    "graph_degree",
+    "graph_kcore",
+    "graph_clustering_coeff",
+)
+
+
+def _sample_ordered(mapping: dict) -> dict:
+    """Reorder a registry dict so ``_SAMPLE_HEAD`` ids come first.
+
+    Pure reordering — same keys, same values; ids missing from ``mapping``
+    (e.g. a Tier-R id when reordering ``_ORACLES``) are skipped."""
+    head = {k: mapping[k] for k in _SAMPLE_HEAD if k in mapping}
+    head.update((k, v) for k, v in mapping.items() if k not in head)
+    return head
+
 #: Session confs every query needs, settable at runtime even on a
 #: driver-provided session. Mirrors the "engine defaults" of SURVEY.md §4.2.
 _RUNTIME_CONFS = {
@@ -226,27 +304,42 @@ def _load_all() -> None:
     from hive_processor_spark.sources import pysource, roundtrip, scans  # noqa: F401
     from hive_processor_spark.streaming import eventtime, smoke  # noqa: F401
 
+    global _REGISTRY_COMPLETE
+    _REGISTRY_COMPLETE = True
+
+
+#: True only after _load_all has imported EVERY query module (ADVICE r10):
+#: gating the lazy repair on ``not _QUERIES`` alone would silently accept a
+#: partial registry if a misclassified driver imported one operator module
+#: directly before the first ``queries()``/``oracles()`` call.
+_REGISTRY_COMPLETE = False
+
 
 def _ensure_registry_loaded() -> None:
-    """Import all query modules if the registry looks unpopulated.
+    """Import all query modules unless a COMPLETE load already ran.
 
     Safety net for the worker-detection heuristic in the package
     ``__init__`` (ADVICE r9): if that check ever misclassifies a DRIVER
     process as a worker (and therefore skips the eager ``_load_all``),
     the first registry read repairs it here — the driver path is
     explicit, not inferred. Workers never call ``queries()``/
-    ``oracles()``, so they never pay the load."""
-    if not _QUERIES:
+    ``oracles()``, so they never pay the load. Completion is tracked by
+    an explicit flag, not registry non-emptiness, so a partial registry
+    (some operator module imported directly first) is repaired too."""
+    if not _REGISTRY_COMPLETE:
         _load_all()
 
 
 def queries() -> dict[str, QueryFn]:
-    """All registered queries, name → callable(spark, sf_dir) -> DataFrame."""
+    """All registered queries, name → callable(spark, sf_dir) -> DataFrame.
+
+    Ordered with the round's ``_SAMPLE_HEAD`` first (the driver's
+    CORRECTNESS sample is the first 50 ids), then registration order."""
     _ensure_registry_loaded()
-    return dict(_QUERIES)
+    return _sample_ordered(_QUERIES)
 
 
 def oracles() -> dict[str, str]:
     """DuckDB oracle SQL for every hash-checked (Tier-H) query."""
     _ensure_registry_loaded()
-    return dict(_ORACLES)
+    return _sample_ordered(_ORACLES)

@@ -2126,14 +2126,17 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture texts carry no newlines, so fixed-width token spans stand in
     for real paragraph boundaries; the plan is boundary-agnostic."""
     docs = load_table(spark, sf_dir, "documents")
-    spans = docs.select(
+    # Tokenize once per doc; indexing the materialized array inside the
+    # HOF lambda avoids re-running split() per span (the O(L²) lambda
+    # re-split idiom fixed registry-wide in round 11).
+    words = docs.select("doc_id", F.split(F.trim("text"), " ").alias("w"))
+    spans = words.select(
         "doc_id",
         F.posexplode(
             F.expr(
-                "filter(transform(sequence(0, CAST(size(split(trim(text),"
-                f" ' ')) / {_PARA_W} AS INT)), j -> array_join(slice("
-                f"split(trim(text), ' '), j * {_PARA_W} + 1, {_PARA_W}),"
-                f" ' ')), c -> size(split(c, ' ')) = {_PARA_W})"
+                f"filter(transform(sequence(0, CAST(size(w) / {_PARA_W}"
+                f" AS INT)), j -> array_join(slice(w, j * {_PARA_W} + 1,"
+                f" {_PARA_W}), ' ')), c -> size(split(c, ' ')) = {_PARA_W})"
             )
         ).alias("j", "chunk"),
     )

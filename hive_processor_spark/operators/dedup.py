@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hive_processor_spark.engine import register
+from hive_processor_spark.engine import PIN_LOCK, register
 from hive_processor_spark.functions.textexpr import guarded_fanout, ngram_join
 from hive_processor_spark.functions.vector import sq_norm_q, sql_cosine_q
 from hive_processor_spark.sources.tables import load_table
@@ -805,13 +805,17 @@ def _neardup_labels_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _CC_LABEL_CACHE.get(key)
     if hit is not None:
         return hit
-    _CC_LABEL_CACHE.clear()
-    from hive_processor_spark.operators.similarity import neardup_pairs_pinned
+    with PIN_LOCK:
+        hit = _CC_LABEL_CACHE.get(key)
+        if hit is not None:
+            return hit
+        _CC_LABEL_CACHE.clear()
+        from hive_processor_spark.operators.similarity import neardup_pairs_pinned
 
-    pairs = neardup_pairs_pinned(spark, sf_dir).select("vec_a", "vec_b")
-    df = _min_label_components(pairs)
-    _CC_LABEL_CACHE[key] = df
-    return df
+        pairs = neardup_pairs_pinned(spark, sf_dir).select("vec_a", "vec_b")
+        df = _min_label_components(pairs)
+        _CC_LABEL_CACHE[key] = df
+        return df
 
 
 #: Same two-level pin for the n-gram Jaccard plane: the pair frame feeds
@@ -831,14 +835,18 @@ def _simhash_pairs_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _SIMHASH_PAIR_CACHE.get(key)
     if hit is not None:
         return hit
-    for k in list(_SIMHASH_PAIR_CACHE):
-        try:
-            _SIMHASH_PAIR_CACHE.pop(k).unpersist()
-        except Exception:
-            pass  # stale session handle — nothing left to release
-    df = dedup_simhash_pairs(spark, sf_dir).persist()
-    _SIMHASH_PAIR_CACHE[key] = df
-    return df
+    with PIN_LOCK:
+        hit = _SIMHASH_PAIR_CACHE.get(key)
+        if hit is not None:
+            return hit
+        for k in list(_SIMHASH_PAIR_CACHE):
+            try:
+                _SIMHASH_PAIR_CACHE.pop(k).unpersist()
+            except Exception:
+                pass  # stale session handle — nothing left to release
+        df = dedup_simhash_pairs(spark, sf_dir).persist()
+        _SIMHASH_PAIR_CACHE[key] = df
+        return df
 
 
 #: LRU-1 session pin for the COLLAPSED simhash graph (round-10): the
@@ -861,46 +869,50 @@ def _simhash_classes_pinned(
     hit = _SIMHASH_CLASS_CACHE.get(key)
     if hit is not None:
         return hit
-    for k in list(_SIMHASH_CLASS_CACHE):
-        for df in _SIMHASH_CLASS_CACHE.pop(k):
-            try:
-                df.unpersist()
-            except Exception:
-                pass  # stale session handle — nothing left to release
-    docs = load_table(spark, sf_dir, "documents")
-    cls = (
-        _simhash_sigs(docs)
-        .groupBy("simhash")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("m"),
-            F.min("doc_id").cast("bigint").alias("rep"),
+    with PIN_LOCK:
+        hit = _SIMHASH_CLASS_CACHE.get(key)
+        if hit is not None:
+            return hit
+        for k in list(_SIMHASH_CLASS_CACHE):
+            for df in _SIMHASH_CLASS_CACHE.pop(k):
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # stale session handle — nothing left to release
+        docs = load_table(spark, sf_dir, "documents")
+        cls = (
+            _simhash_sigs(docs)
+            .groupBy("simhash")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("m"),
+                F.min("doc_id").cast("bigint").alias("rep"),
+            )
+            .persist()
         )
-        .persist()
-    )
-    a = cls.select(
-        F.col("rep").alias("u"),
-        F.col("m").alias("mu"),
-        F.col("simhash").alias("sig_a"),
-    )
-    b = cls.select(
-        F.col("rep").alias("v"),
-        F.col("m").alias("mv"),
-        F.col("simhash").alias("sig_b"),
-    )
-    ce = (
-        a.join(
-            F.broadcast(b),
-            (F.col("u") < F.col("v"))
-            & (
-                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-                <= _MAX_HAMMING
-            ),
+        a = cls.select(
+            F.col("rep").alias("u"),
+            F.col("m").alias("mu"),
+            F.col("simhash").alias("sig_a"),
         )
-        .select("u", "v", "mu", "mv")
-        .persist()
-    )
-    _SIMHASH_CLASS_CACHE[key] = (cls, ce)
-    return cls, ce
+        b = cls.select(
+            F.col("rep").alias("v"),
+            F.col("m").alias("mv"),
+            F.col("simhash").alias("sig_b"),
+        )
+        ce = (
+            a.join(
+                F.broadcast(b),
+                (F.col("u") < F.col("v"))
+                & (
+                    F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+                    <= _MAX_HAMMING
+                ),
+            )
+            .select("u", "v", "mu", "mv")
+            .persist()
+        )
+        _SIMHASH_CLASS_CACHE[key] = (cls, ce)
+        return cls, ce
 
 
 _NGRAM_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -912,14 +924,18 @@ def _ngram_pairs_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _NGRAM_PAIR_CACHE.get(key)
     if hit is not None:
         return hit
-    for k in list(_NGRAM_PAIR_CACHE):
-        try:
-            _NGRAM_PAIR_CACHE.pop(k).unpersist()
-        except Exception:
-            pass  # stale session handle — nothing left to release
-    df = dedup_ngram_jaccard(spark, sf_dir).persist()
-    _NGRAM_PAIR_CACHE[key] = df
-    return df
+    with PIN_LOCK:
+        hit = _NGRAM_PAIR_CACHE.get(key)
+        if hit is not None:
+            return hit
+        for k in list(_NGRAM_PAIR_CACHE):
+            try:
+                _NGRAM_PAIR_CACHE.pop(k).unpersist()
+            except Exception:
+                pass  # stale session handle — nothing left to release
+        df = dedup_ngram_jaccard(spark, sf_dir).persist()
+        _NGRAM_PAIR_CACHE[key] = df
+        return df
 
 
 def _ngram_labels_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -927,11 +943,15 @@ def _ngram_labels_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _NGRAM_LABEL_CACHE.get(key)
     if hit is not None:
         return hit
-    _NGRAM_LABEL_CACHE.clear()
-    pairs = _ngram_pairs_pinned(spark, sf_dir).select("doc_a", "doc_b")
-    df = _min_label_components(pairs)
-    _NGRAM_LABEL_CACHE[key] = df
-    return df
+    with PIN_LOCK:
+        hit = _NGRAM_LABEL_CACHE.get(key)
+        if hit is not None:
+            return hit
+        _NGRAM_LABEL_CACHE.clear()
+        pairs = _ngram_pairs_pinned(spark, sf_dir).select("doc_a", "doc_b")
+        df = _min_label_components(pairs)
+        _NGRAM_LABEL_CACHE[key] = df
+        return df
 
 
 @register(
@@ -999,38 +1019,44 @@ def _ngram_groups_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _NGRAM_GROUPS_CACHE.get(key)
     if hit is not None:
         return hit
-    for k in list(_NGRAM_GROUPS_CACHE):
-        try:
-            _NGRAM_GROUPS_CACHE.pop(k).unpersist()
-        except Exception:
-            pass  # stale session handle — nothing left to release
-    triple_hash = guarded_fanout(
-        2,
-        "xxhash64(element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))",
-    )
-    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    df = (
-        raw.groupBy(F.md5("text").alias("h"))
-        .agg(
-            F.min("doc_id").alias("rep_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
-            F.min_by("text", "doc_id").alias("text"),
+    with PIN_LOCK:
+        hit = _NGRAM_GROUPS_CACHE.get(key)
+        if hit is not None:
+            return hit
+        for k in list(_NGRAM_GROUPS_CACHE):
+            try:
+                _NGRAM_GROUPS_CACHE.pop(k).unpersist()
+            except Exception:
+                pass  # stale session handle — nothing left to release
+        triple_hash = guarded_fanout(
+            2,
+            "xxhash64(element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))",
         )
-        # Spread before the compute-bound shingle-hash stage (the groupBy
-        # lands on the answer-sized shuffle-partition count in the bench
-        # harness; rows here are rep texts, so the exchange is cheap).
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("rep_id", "members", F.split("text", " ").alias("w"))
-        .select(
-            "rep_id",
-            "members",
-            F.array_sort(F.expr(f"array_distinct({triple_hash})")).alias("h_arr"),
+        raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        df = (
+            raw.groupBy(F.md5("text").alias("h"))
+            .agg(
+                F.min("doc_id").alias("rep_id"),
+                F.sort_array(F.collect_list("doc_id")).alias("members"),
+                F.min_by("text", "doc_id").alias("text"),
+            )
+            # Spread before the compute-bound shingle-hash stage (the groupBy
+            # lands on the answer-sized shuffle-partition count in the bench
+            # harness; rows here are rep texts, so the exchange is cheap).
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select("rep_id", "members", F.split("text", " ").alias("w"))
+            .select(
+                "rep_id",
+                "members",
+                F.array_sort(F.expr(f"array_distinct({triple_hash})")).alias(
+                    "h_arr"
+                ),
+            )
+            .select("rep_id", "members", "h_arr", F.size("h_arr").alias("n"))
+            .persist()
         )
-        .select("rep_id", "members", "h_arr", F.size("h_arr").alias("n"))
-        .persist()
-    )
-    _NGRAM_GROUPS_CACHE[key] = df
-    return df
+        _NGRAM_GROUPS_CACHE[key] = df
+        return df
 
 
 @register("dedup_ngram_verify", _NGRAM_JACCARD_SQL)

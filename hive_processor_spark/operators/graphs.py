@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hive_processor_spark.engine import register
+from hive_processor_spark.engine import PIN_LOCK, register
 from hive_processor_spark.functions.vector import dot_q, sq_norm_q, sql_cosine_q
 from hive_processor_spark.sources.tables import load_table
 
@@ -53,14 +53,18 @@ def _knn_edges_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _EDGE_CACHE.get(key)
     if hit is not None:
         return hit
-    for k in list(_EDGE_CACHE):
-        try:
-            _EDGE_CACHE.pop(k).unpersist()
-        except Exception:
-            pass  # stale session handle — nothing left to release
-    df = _knn_edges(spark, sf_dir).persist()
-    _EDGE_CACHE[key] = df
-    return df
+    with PIN_LOCK:
+        hit = _EDGE_CACHE.get(key)
+        if hit is not None:
+            return hit
+        for k in list(_EDGE_CACHE):
+            try:
+                _EDGE_CACHE.pop(k).unpersist()
+            except Exception:
+                pass  # stale session handle — nothing left to release
+        df = _knn_edges(spark, sf_dir).persist()
+        _EDGE_CACHE[key] = df
+        return df
 
 
 def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

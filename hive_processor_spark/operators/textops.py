@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hive_processor_spark.engine import register
+from hive_processor_spark.engine import PIN_LOCK, register
 from hive_processor_spark.functions.textexpr import guarded_fanout, ngram_join
 from hive_processor_spark.sources.tables import load_table
 
@@ -1141,14 +1141,18 @@ def bigram_ppl_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _BIGRAM_PPL_CACHE.get(key)
     if hit is not None:
         return hit
-    for k in list(_BIGRAM_PPL_CACHE):
-        try:
-            _BIGRAM_PPL_CACHE.pop(k).unpersist()
-        except Exception:
-            pass  # stale session handle — nothing left to release
-    df = _bigram_ppl_frame(spark, sf_dir).persist()
-    _BIGRAM_PPL_CACHE[key] = df
-    return df
+    with PIN_LOCK:
+        hit = _BIGRAM_PPL_CACHE.get(key)
+        if hit is not None:
+            return hit
+        for k in list(_BIGRAM_PPL_CACHE):
+            try:
+                _BIGRAM_PPL_CACHE.pop(k).unpersist()
+            except Exception:
+                pass  # stale session handle — nothing left to release
+        df = _bigram_ppl_frame(spark, sf_dir).persist()
+        _BIGRAM_PPL_CACHE[key] = df
+        return df
 
 
 _BIGRAM_PPL_SQL = """

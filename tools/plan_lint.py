@@ -162,6 +162,10 @@ CACHE_SCAN_OK = {
         "consumes the session-pinned clone-collapsed shingle-hash array"
         " frame (round-10, VERDICT r9 item 4); lineage-backed, LRU-1"
     ),
+    "profile_lof_outliers": (
+        "consumes the session-pinned exact 10-NN list (round-11, VERDICT"
+        " r10 item 3); answer-shaped (10 rows/point); lineage-backed, LRU-1"
+    ),
 }
 
 def _load_window_audit() -> dict[str, str]:

@@ -71,6 +71,8 @@ def test_every_pin_builder_takes_the_lock():
 
     from hive_processor_spark.operators import dedup, graphs, similarity, textops
 
+    from hive_processor_spark.operators import regression
+
     builders = [
         similarity.neardup_pairs_pinned,
         similarity.ann_plane_pinned,
@@ -84,6 +86,7 @@ def test_every_pin_builder_takes_the_lock():
         dedup._ngram_pairs_pinned,
         dedup._ngram_labels_pinned,
         dedup._ngram_groups_pinned,
+        regression.daily_revenue_pinned,
     ]
     for fn in builders:
         src = inspect.getsource(fn)

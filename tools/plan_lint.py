@@ -166,6 +166,18 @@ CACHE_SCAN_OK = {
         "consumes the session-pinned exact 10-NN list (round-11, VERDICT"
         " r10 item 3); answer-shaped (10 rows/point); lineage-backed, LRU-1"
     ),
+    **dict.fromkeys(
+        [
+            "ts_ljung_box",
+            "ts_arch_lm",
+            "stats_durbin_watson",
+            "ts_cusum_squares",
+            "ts_sample_entropy",
+        ],
+        "consumes the session-pinned exact daily-revenue spine (day, x)"
+        " (round-11, VERDICT r10 item 4); one row per day; lineage-backed,"
+        " LRU-1",
+    ),
 }
 
 def _load_window_audit() -> dict[str, str]:

@@ -381,7 +381,8 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     column, estimator (k-1)·2^60/h_(k). The previous
     ``approx_count_distinct`` (HLL++) answer is engine-internal and
     unverifiable; KMV keeps the sketch contract — bounded state,
-    mergeable (k-min of unions), few-% relative error at k=256 — while
+    mergeable (k-min of unions), σ ≈ 1/√(k−2) ≈ 3.1% relative error at
+    k = ``_AD_KMV_K`` = 1024 — while
     every intermediate is engine-mirrorable integer/IEEE math, so the
     driver hash-checks the ESTIMATES. HLL++ stays as an independent
     cross-check (tests/test_r10_sketches.py bounds both against exact).

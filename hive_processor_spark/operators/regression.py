@@ -2430,7 +2430,7 @@ def _gbm_round_sql(r: int) -> str:
         WHERE p.cn < t.nn
         ORDER BY gain DESC, p.x LIMIT 1
     ), lv{r} AS (
-        SELECT s, cn, nn, gain,
+        SELECT s, cn, nn, gain, crs, rst,
                CAST(FLOOR(crs / (2.0 * cn)) AS BIGINT) AS vl,
                CAST(FLOOR((rst - crs) / (2.0 * (nn - cn))) AS BIGINT) AS vr
         FROM best{r}
@@ -2439,6 +2439,33 @@ def _gbm_round_sql(r: int) -> str:
                g.pred + CASE WHEN g.x <= l.s THEN l.vl ELSE l.vr END AS pred
         FROM g{r} g CROSS JOIN lv{r} l
     )"""
+
+
+def _gbm_publish_sql(r: int) -> str:
+    """Published row for one boosting round: counts as BIGINT, leaves as
+    exact integer cents over 100, and the gain half-up-rounded to 2
+    decimals of gain/10000 ENTIRELY in integer space (ADVICE r10): the
+    gain is the exact rational N/D with
+    N = crs²·(nn−cn) + (rst−crs)²·cn and D = cn·(nn−cn)·10⁴, and
+    half-up(N/D, 2) = (200·N + D) // (2·D) — no double ever carries the
+    rounding decision, so Spark and DuckDB agree at every .xx5
+    representation boundary and at any scale factor (ROUND-on-double
+    disagreed on ~10% of doubles ≥ 1e13)."""
+    num = (
+        f"(CAST(crs AS HUGEINT) * crs * (nn - cn)"
+        f" + CAST(rst - crs AS HUGEINT) * (rst - crs) * cn)"
+    )
+    den = "(CAST(cn AS HUGEINT) * (nn - cn) * 10000)"
+    return f"""
+        SELECT {r} AS round_no, s AS split_x,
+               CAST(cn AS BIGINT) AS n_left,
+               CAST(nn - cn AS BIGINT) AS n_right,
+               CAST(vl AS DOUBLE) / 100.0 AS leaf_left,
+               CAST(vr AS DOUBLE) / 100.0 AS leaf_right,
+               CAST((200 * {num} + {den}) // (2 * {den}) AS DOUBLE)
+                   / 100.0 AS gain_usd2
+        FROM lv{r}
+    """
 
 
 @register(
@@ -2461,21 +2488,7 @@ def _gbm_round_sql(r: int) -> str:
         FROM g
     ),{_gbm_round_sql(1)},{_gbm_round_sql(2)},{_gbm_round_sql(3)}
     SELECT * FROM (
-        SELECT 1 AS round_no, s AS split_x,
-               CAST(cn AS BIGINT) AS n_left,
-               CAST(nn - cn AS BIGINT) AS n_right,
-               ROUND(vl / 100.0, 2) AS leaf_left,
-               ROUND(vr / 100.0, 2) AS leaf_right,
-               ROUND(gain / 10000.0, 2) AS gain_usd2
-        FROM lv1
-        UNION ALL
-        SELECT 2, s, CAST(cn AS BIGINT), CAST(nn - cn AS BIGINT),
-               ROUND(vl / 100.0, 2),
-               ROUND(vr / 100.0, 2), ROUND(gain / 10000.0, 2) FROM lv2
-        UNION ALL
-        SELECT 3, s, CAST(cn AS BIGINT), CAST(nn - cn AS BIGINT),
-               ROUND(vl / 100.0, 2),
-               ROUND(vr / 100.0, 2), ROUND(gain / 10000.0, 2) FROM lv3
+        {" UNION ALL ".join(_gbm_publish_sql(r) for r in (1, 2, 3))}
     ) ORDER BY round_no
     """,
 )
@@ -2497,7 +2510,6 @@ def ml_gradient_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     decomposition (LightGBM's) where the data-sized pass is the
     sufficient-stats build, not the round loop."""
     import math
-    from decimal import ROUND_HALF_UP, Decimal
 
     li = load_table(spark, sf_dir, "lineitem")
     # The ONE data-sized pass: partial/final aggregate to the ≤50-row
@@ -2523,12 +2535,14 @@ def ml_gradient_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     syy = sum(sy for _, _, sy in grid)
     pred = {x: math.floor(syy / float(nn)) for x, _, _ in grid}
 
-    def usd(v: float | int, scale: float) -> float:
-        # Spark's F.round = BigDecimal HALF_UP on the double's exact
-        # binary expansion — reproduced digit-for-digit via Decimal
-        return float(
-            Decimal(v / scale).quantize(Decimal("0.01"), ROUND_HALF_UP)
-        )
+    def usd2(num: int, den: int) -> float:
+        # Half-up to 2 decimals of the EXACT rational num/den, decided in
+        # integer space (ADVICE r10 — Decimal-on-float vs ROUND-on-double
+        # disagreed at .xx5 representation boundaries and for values
+        # >= ~1e13): floor((200·num + den)/(2·den)) is half-up for the
+        # non-negative rationals published here; the final /100.0 is one
+        # correctly-rounded double conversion, identical in both engines.
+        return ((200 * num + den) // (2 * den)) / 100.0
 
     rows = []
     for r in (1, 2, 3):
@@ -2553,8 +2567,13 @@ def ml_gradient_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         gain, s, cn_b, crs_b = best
         vl = math.floor(crs_b / (2.0 * cn_b))
         vr = math.floor((rst - crs_b) / (2.0 * (nn - cn_b)))
+        # published gain: the exact rational crs²/cn + (rst−crs)²/(nn−cn)
+        # over 10⁴, half-up in integer space (the double `gain` above is
+        # ranking-only, identically parenthesized to the SQL twin)
+        g_num = crs_b * crs_b * (nn - cn_b) + (rst - crs_b) ** 2 * cn_b
+        g_den = cn_b * (nn - cn_b) * 10000
         rows.append(
-            (r, s, cn_b, nn - cn_b, usd(vl, 100.0), usd(vr, 100.0), usd(gain, 10000.0))
+            (r, s, cn_b, nn - cn_b, vl / 100.0, vr / 100.0, usd2(g_num, g_den))
         )
         for x in pred:
             pred[x] += vl if x <= s else vr

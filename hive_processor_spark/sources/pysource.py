@@ -196,7 +196,11 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     happen and the offset mark is ABSOLUTE upstream state — the property
     that makes checkpointed restart correct (see SynthStreamReader).
     At scale the per-batch partition count comes from the upstream shard
-    layout and each executor tails its own shard slice."""
+    layout and each executor tails its own shard slice.
+
+    Tier R: a trigger-driven micro-batch loop over generated rows has no
+    DuckDB twin — the gate pins rows; the per-key totals and the
+    two-batch offset progression are asserted in tests."""
     import time as _time
 
     spark.dataSource.register(SynthStreamSource)

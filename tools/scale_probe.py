@@ -77,6 +77,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--append",
+        metavar="LABEL",
+        help="append the probe rows to SCALING.md under a '## LABEL' "
+        "section (VERDICT r10 item 8: probe numbers should come from "
+        "this tool, not hand-run snippets)",
+    )
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
     spark = get_spark(app_name="scale-probe")
@@ -87,6 +94,7 @@ def main() -> int:
     from hive_processor_spark.operators import dedup
 
     failures = 0
+    rows = []
     for name in args.names:
         try:
             dedup.LAST_CC_ROUNDS = None
@@ -102,10 +110,24 @@ def main() -> int:
             continue
         growth = round(tk / t1, 1) if t1 else float("nan")
         iters = f" rounds={r1}->{rk}" if rk is not None else ""
+        rows.append((name, t1, tk, growth, iters.strip()))
         print(
             f"{name}: 1x={t1}s {args.k}x={tk}s growth={growth}x{iters}",
             flush=True,
         )
+    if args.append and rows:
+        path = os.path.join(os.path.dirname(__file__), "..", "SCALING.md")
+        with open(path, "a") as f:
+            f.write(
+                f"\n## {args.append} ({args.k}× key-shifted replicas of"
+                f" {args.sf}, `tools/scale_probe.py`)\n\n"
+                "| query | 1× steady | "
+                f"{args.k}× steady | growth |\n|---|---|---|---|\n"
+            )
+            for name, t1, tk, growth, iters in rows:
+                note = f" ({iters})" if iters else ""
+                f.write(f"| {name} | {t1} s | {tk} s | {growth}×{note} |\n")
+        print(f"appended {len(rows)} rows to SCALING.md", flush=True)
     return 1 if failures else 0
 
 

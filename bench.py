@@ -102,6 +102,13 @@ HEADLINE = [
     "graph_triangles",        # twin-collapsed wedge count (pinned class graph)
     "ml_gradient_boost_stumps",  # histogram boosting, driver round loop
     "agg_approx_distinct",    # KMV distinct sketch (Tier-H since round 10)
+    # round-11 representatives: the lambda re-split fix, the pinned LOF
+    # kNN frame and daily-revenue spine, and the winnowing wave flagship
+    "text_good_turing",       # bigram fof smoothing (array-indexed lambda)
+    "profile_lof_outliers",   # LOF over the pinned exact 10-NN list
+    "ts_arch_lm",             # ARCH LM off the pinned daily-revenue spine
+    "dedup_winnowing",        # MOSS winnowing fingerprints, guarantee-exact
+    "win_exclude_current",    # SQL frame-exclusion emulation (LOO mean)
 ]
 
 
@@ -149,6 +156,16 @@ PINNED_FAMILIES = {
     "bigram_ppl_plane": [
         "pipeline_perplexity_buckets",
         "text_bigram_perplexity",
+    ],
+    "lof_knn_plane": [
+        "profile_lof_outliers",
+    ],
+    "daily_rev_plane": [
+        "stats_durbin_watson",
+        "ts_arch_lm",
+        "ts_cusum_squares",
+        "ts_ljung_box",
+        "ts_sample_entropy",
     ],
     "stream_replay": [
         "stream_cdc_apply",

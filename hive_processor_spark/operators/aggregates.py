@@ -4617,3 +4617,60 @@ def sketch_hdr_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quantile")
     )
+
+
+@register(
+    "agg_grouping_id",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT)
+               AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(28,0)))
+                AS DOUBLE) / 100.0 AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    ORDER BY gid, o_orderstatus, o_orderpriority
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUPING()`` / ``GROUPING_ID()`` over explicit grouping sets —
+    the disambiguation machinery that makes super-aggregate rows safe to
+    consume (a NULL key can mean "subtotal" or "the key was NULL"; the
+    grouping flags say which). Both engines share the bit convention —
+    leftmost grouping column = most significant bit — and the hash gate
+    pins it: gid 0 = detail, 1 = priority rolled up, 2 = status rolled
+    up, 3 = grand total. Counts and the exact decimal-cents revenue ride
+    along so every grouping-set stratum is value-checked, not just
+    labeled.
+
+    Scale: grouping sets expand rows BEFORE the shuffle (one Expand node
+    feeding one partial→final hash aggregate) — 4 sets cost ≤4× map-side
+    rows, never 4 scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    total = F.sum(
+        F.floor(F.col("o_totalprice") * 100.0).cast("decimal(28,0)")
+    ).cast("double") / 100.0
+    return (
+        orders.groupingSets(
+            [
+                ["o_orderstatus", "o_orderpriority"],
+                ["o_orderstatus"],
+                ["o_orderpriority"],
+                [],
+            ],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            total.alias("total"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )

@@ -2818,3 +2818,149 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+#: Winnowing parameters: 3-token k-grams, window of 4 k-gram positions
+#: (guarantee threshold t = w + k − 1 = 6 tokens), position encoding base
+#: (max positions per doc), and the ubiquitous-fingerprint df cap.
+_WN_K = 3
+_WN_W = 4
+_WN_M = 1_048_576
+_WN_DF = 64
+
+_WINNOW_SQL = f"""
+    WITH grp AS (
+        SELECT MIN(doc_id) AS rep_id, MIN(text) AS text
+        FROM documents GROUP BY MD5(text)
+    ), toks AS (
+        SELECT rep_id, STRING_SPLIT(text, ' ') AS w FROM grp
+    ), kg AS (
+        SELECT rep_id, i - 1 AS pos,
+               (('0x' || SUBSTRING(MD5(ARRAY_TO_STRING(w[i:i+2], ' ')),
+                                   1, 15))::BIGINT) % {_MH_P} AS h
+        FROM toks, UNNEST(RANGE(1, LEN(w) - 1)) t(i)
+    ), enc AS (
+        SELECT rep_id, pos,
+               h * {_WN_M} + ({_WN_M - 1} - pos) AS e
+        FROM kg
+    ), wins AS (
+        SELECT rep_id,
+               MIN(e) OVER (PARTITION BY rep_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WN_W - 1} FOLLOWING) AS emin,
+               COUNT(*) OVER (PARTITION BY rep_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW
+                              AND {_WN_W - 1} FOLLOWING) AS c
+        FROM enc
+    ), sel AS (
+        SELECT DISTINCT rep_id, emin // {_WN_M} AS hsel
+        FROM wins WHERE c = {_WN_W}
+    ), sizes AS (
+        SELECT rep_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM sel GROUP BY rep_id
+    ), keep AS (
+        SELECT hsel FROM sel GROUP BY hsel HAVING COUNT(*) <= {_WN_DF}
+    ), pairs AS (
+        SELECT a.rep_id AS ra, b.rep_id AS rb,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM sel a
+        JOIN keep k ON k.hsel = a.hsel
+        JOIN sel b ON b.hsel = a.hsel AND b.rep_id > a.rep_id
+        GROUP BY 1, 2
+    )
+    SELECT p.ra AS doc_a, p.rb AS doc_b, p.shared,
+           ROUND(CAST(p.shared AS DOUBLE) / LEAST(sa.n, sb.n), 4)
+               AS overlap
+    FROM pairs p
+    JOIN sizes sa ON sa.rep_id = p.ra
+    JOIN sizes sb ON sb.rep_id = p.rb
+    ORDER BY p.shared DESC, doc_a, doc_b LIMIT 10
+"""
+
+
+@register("dedup_winnowing", _WINNOW_SQL)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint dedup (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every 3-token k-gram, slide a
+    window of w = 4 k-gram positions, and select each window's minimum
+    hash (ties to the RIGHTMOST position — the robust-winnowing rule,
+    encoded exactly as ``min(h·M + (M−1−pos))`` so one integer MIN
+    carries both the value and the tie direction). The selected ~2/(w+1)
+    of k-grams are a LOCAL fingerprint sample with a guarantee MinHash
+    cannot give: any shared token run of length ≥ w + k − 1 = 6 shares
+    at least one selected fingerprint, so candidate recall over runs at
+    the guarantee threshold is pigeonhole-exact, not probabilistic.
+    Ubiquitous fingerprints (document frequency > ``_WN_DF`` = 64, the
+    boilerplate mass) are dropped from
+    the pair join — the MOSS boilerplate rule — while overlap
+    denominators keep the full per-doc fingerprint counts. Identical
+    integer math on both engines (md5-prefix hashes mod 2³¹−1, the
+    dedup_minhash idiom), clone texts collapsed to reps first; top-10
+    rep pairs by shared fingerprints published.
+
+    Scale: the winnowed index is ~2.5× smaller than the full shingle
+    index BEFORE the join — selection is a per-doc window over k-gram
+    positions (map-side after one shuffle on rep), and the pair join
+    costs O(collision mass) on the df-capped winnowed set, the same
+    bucketed posture as ``dedup_ngram_jaccard``; at corpus scale the
+    guarantee threshold (w+k−1 tokens) is the tuning knob that trades
+    index size against the shortest detectable clone run."""
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grp = raw.groupBy(F.md5("text").alias("hh")).agg(
+        F.min("doc_id").alias("rep_id"),
+        F.min_by("text", "doc_id").alias("text"),
+    )
+    kgram_hash = guarded_fanout(
+        _WN_K - 1,
+        "CAST(conv(substring(md5(array_join(slice(w, i, "
+        f"{_WN_K}), ' ')), 1, 15), 16, 10) AS BIGINT) % {_MH_P}",
+    )
+    kg = (
+        grp.repartition(spark.sparkContext.defaultParallelism)
+        .select("rep_id", F.split("text", " ").alias("w"))
+        .select("rep_id", F.posexplode(F.expr(kgram_hash)).alias("pos", "h"))
+    )
+    enc = kg.select(
+        "rep_id",
+        "pos",
+        (F.col("h") * _WN_M + (_WN_M - 1 - F.col("pos"))).alias("e"),
+    )
+    w_win = (
+        Window.partitionBy("rep_id").orderBy("pos").rowsBetween(0, _WN_W - 1)
+    )
+    wins = enc.select(
+        "rep_id",
+        F.min("e").over(w_win).alias("emin"),
+        F.count(F.lit(1)).over(w_win).alias("c"),
+    )
+    sel = (
+        wins.filter(F.col("c") == _WN_W)
+        .select("rep_id", F.floor(F.col("emin") / _WN_M).alias("hsel"))
+        .distinct()
+    )
+    sizes = sel.groupBy("rep_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    keep = sel.groupBy("hsel").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _WN_DF
+    ).select("hsel")
+    a = sel.join(keep, "hsel").select("hsel", F.col("rep_id").alias("ra"))
+    b = sel.select("hsel", F.col("rep_id").alias("rb"))
+    pairs = (
+        a.join(b, "hsel")
+        .filter(F.col("rb") > F.col("ra"))
+        .groupBy("ra", "rb")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    return (
+        pairs.join(sizes.select(F.col("rep_id").alias("ra"), F.col("n").alias("na")), "ra")
+        .join(sizes.select(F.col("rep_id").alias("rb"), F.col("n").alias("nb")), "rb")
+        .select(
+            F.col("ra").alias("doc_a"),
+            F.col("rb").alias("doc_b"),
+            "shared",
+            F.round(
+                F.col("shared").cast("double") / F.least("na", "nb"), 4
+            ).alias("overlap"),
+        )
+        .orderBy(F.desc("shared"), "doc_a", "doc_b")
+        .limit(10)
+    )

@@ -1116,3 +1116,140 @@ def win_ytd_qtd(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("yoy_pct"),
     ).orderBy("yr", "mo")
+
+
+@register(
+    "win_exclude_current",
+    """
+    WITH ev AS (
+        SELECT user_id, event_id, ts,
+               CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+        FROM events WHERE user_id <= 40
+    ), fr AS (
+        SELECT user_id, event_id, cents,
+               CAST(SUM(cents) OVER w AS BIGINT) AS s,
+               CAST(COUNT(*) OVER w AS BIGINT) AS c
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                     EXCLUDE CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           ROUND(cents / 100.0, 2) AS v,
+           CASE WHEN c > 0
+                THEN ROUND(CAST(s AS DOUBLE) / c / 100.0, 4) END AS loo_avg
+    FROM fr ORDER BY user_id, event_id
+    """,
+)
+def win_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 frame exclusion (``EXCLUDE CURRENT ROW``) — the
+    leave-one-out neighborhood mean every peer-comparison feature needs
+    (is this event's value unusual *relative to its neighbors*, with the
+    row itself not contaminating its own baseline). DuckDB runs the
+    exclusion natively; Spark's window frames have no EXCLUDE clause, so
+    the operator composes it from the inclusive frame: LOO sum = frame
+    sum − current row, LOO count = frame count − 1 — an exact identity
+    on the integer-cents accumulator, so the hash gate proves the
+    emulation equals the native clause bit-for-bit. Single-event users
+    publish NULL (no peers), same on both engines.
+
+    Scale: one window = one shuffle on user_id + in-partition sort;
+    the LOO algebra is codegen arithmetic on the inclusive frame — no
+    second pass, no self-join."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 40)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.floor(F.col("value") * 100.0).cast("long").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 3)
+    fr = ev.select(
+        "user_id",
+        "event_id",
+        "cents",
+        (F.sum("cents").over(w) - F.col("cents")).cast("long").alias("s"),
+        (F.count(F.lit(1)).over(w) - 1).cast("long").alias("c"),
+    )
+    return fr.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("cents") / 100.0, 2).alias("v"),
+        F.when(
+            F.col("c") > 0,
+            F.round(F.col("s").cast("double") / F.col("c") / 100.0, 4),
+        ).alias("loo_avg"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "win_frame_groups",
+    """
+    WITH g AS (
+        SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS dollar,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT)
+                   AS scents
+        FROM events GROUP BY 1, 2
+    ), r AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY dollar) AS BIGINT) AS rk
+        FROM g
+    )
+    SELECT a.event_type, a.dollar, a.n,
+           CAST(SUM(b.n) AS BIGINT) AS frame_rows,
+           ROUND(CAST(SUM(b.scents) AS BIGINT) / 100.0, 2) AS frame_sum
+    FROM r a JOIN r b ON b.event_type = a.event_type
+                     AND ABS(b.rk - a.rk) <= 1
+    GROUP BY a.event_type, a.dollar, a.n
+    ORDER BY a.event_type, a.dollar
+    """,
+)
+def win_frame_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2011 GROUPS frame mode (``GROUPS BETWEEN 1 PRECEDING AND 1
+    FOLLOWING``) — peer-group-granular sliding aggregation, the frame
+    semantics neither Spark NOR DuckDB implements natively. Both sides
+    therefore derive it from the definition, by different algorithms:
+    Spark collapses to one row per (partition, order-value) peer group,
+    dense-ranks the groups, and runs a RANGE ±1 frame over the rank (a
+    rank-contiguous range IS a GROUPS frame, and on the collapsed frame
+    the window stays one shuffle + sort); the oracle instead self-joins
+    peer groups on |rank difference| ≤ 1 and re-aggregates. Identical
+    integer-cents results from two algorithms = the hash gate pins the
+    GROUPS semantics themselves, not a translation.
+
+    Scale: the collapse is a partial→final aggregate (shuffle ∝ distinct
+    (type, dollar) groups, never events); the rank window and ±1 range
+    frame run on the group-sized frame."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type", F.floor("value").cast("long").alias("dollar")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.col("value") * 100.0).cast("long"))
+        .cast("long")
+        .alias("scents"),
+    )
+    w_rk = Window.partitionBy("event_type").orderBy("dollar")
+    r = g.select(
+        "event_type", "dollar", "n", "scents",
+        F.row_number().over(w_rk).cast("long").alias("rk"),
+    )
+    w_fr = (
+        Window.partitionBy("event_type").orderBy("rk").rangeBetween(-1, 1)
+    )
+    return (
+        r.select(
+            "event_type",
+            "dollar",
+            "n",
+            F.sum("n").over(w_fr).cast("long").alias("frame_rows"),
+            F.round(
+                F.sum("scents").over(w_fr).cast("long") / 100.0, 2
+            ).alias("frame_sum"),
+        )
+        .orderBy("event_type", "dollar")
+    )

@@ -1527,3 +1527,56 @@ def sink_max_records_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("all_files_within_cap"),
     )
+
+
+@register(
+    "scan_path_glob",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE lang LIKE 'e%'
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def scan_path_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-name-convention pruning on a NON-partitioned lake layout:
+    the corpus is exported as one named file per language
+    (``docs_<lang>.parquet``, the date-stamped/source-stamped naming
+    every landing zone actually uses), then read back with
+    ``recursiveFileLookup`` + ``pathGlobFilter='docs_e*.parquet'`` so
+    only the matching files are ever opened — listing-time pruning for
+    layouts that never got Hive partition dirs (complements
+    ``scan_partition_prune``, which needs them). The oracle computes
+    the same answer from the source table with the equivalent
+    predicate, so the gate proves glob pruning loses nothing.
+
+    Scale: pruning happens at file-listing time — unmatched files cost
+    a name comparison, no footer read, no task; the shape holds for a
+    million-file landing zone where open-per-file dominates."""
+    import glob as _glob
+    import shutil
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch("nameglob")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    for lang in sorted(langs):
+        tmp = os.path.join(path, f"_tmp_{lang}")
+        docs.filter(F.col("lang") == lang).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.rename(part, os.path.join(path, f"docs_{lang}.parquet"))
+        shutil.rmtree(tmp)
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "docs_e*.parquet")
+        .parquet(path)
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

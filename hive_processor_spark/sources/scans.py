@@ -518,3 +518,28 @@ def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate underneath; the melt is a zero-shuffle projection."""
     register_views(spark, sf_dir)
     return spark.sql(_UNPIVOT_SQL_SPARK)
+
+
+_ORDER_BY_ALL_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(28,0)))
+                AS DOUBLE) / 100.0 AS total
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@register("sql_order_by_all", _ORDER_BY_ALL_SQL)
+def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ORDER BY ALL`` (Spark 3.4+/DuckDB dialect sugar, the companion
+    of ``sql_groupby_all``): sort by every select item left-to-right.
+    The (priority, status) key pair is unique after the aggregate, so
+    ALL yields a total order and the hash gate pins that both engines
+    expand the sugar to the same column list in the same direction.
+
+    Scale: identical plan to the explicit ORDER BY — one partial→final
+    aggregate plus a range-partitioned sort of the group-sized frame."""
+    register_views(spark, sf_dir)
+    return spark.sql(_ORDER_BY_ALL_SQL)

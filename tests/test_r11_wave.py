@@ -1,0 +1,128 @@
+"""Round-11 wave property tests (beyond the differential gate).
+
+The gate hash-checks each operator against DuckDB; these tests pin the
+SEMANTIC claims the docstrings make: the EXCLUDE CURRENT ROW emulation
+is the brute-force leave-one-out answer, the GROUPS-frame emulation
+matches a brute-force peer-group sweep, grouping_id bits line up with
+the GROUPING flags and strata re-aggregate to the grand total, ORDER BY
+ALL yields the left-to-right total order, glob pruning loses nothing,
+and winnowing output respects its structural invariants and is
+deterministic across runs.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from hive_processor_spark import queries
+from tests.conftest import SF_SMALL
+
+_QUERIES = queries()
+
+
+def test_exclude_current_is_brute_force_loo(spark):
+    from hive_processor_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    out = {
+        r["event_id"]: r
+        for r in _QUERIES["win_exclude_current"](spark, SF_SMALL).collect()
+    }
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("user_id") <= 40)
+        .select(
+            "user_id", "event_id", "ts",
+            F.floor(F.col("value") * 100.0).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    checked = 0
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for i, r in enumerate(rows):
+            neigh = [
+                rows[j]["cents"]
+                for j in range(max(0, i - 3), min(len(rows), i + 4))
+                if j != i
+            ]
+            got = out[r["event_id"]]["loo_avg"]
+            if not neigh:
+                assert got is None
+            else:
+                want = round(float(sum(neigh)) / len(neigh) / 100.0, 4)
+                assert abs(got - want) < 1e-9, (r["event_id"], got, want)
+            checked += 1
+    assert checked == len(out) and checked > 0
+
+
+def test_frame_groups_is_brute_force_peer_sweep(spark):
+    rows = _QUERIES["win_frame_groups"](spark, SF_SMALL).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r)
+    for grps in by_type.values():
+        grps.sort(key=lambda r: r["dollar"])
+        for i, r in enumerate(grps):
+            lo, hi = max(0, i - 1), min(len(grps), i + 2)
+            assert r["frame_rows"] == sum(g["n"] for g in grps[lo:hi])
+    assert rows
+
+
+def test_grouping_id_bits_and_strata(spark):
+    rows = _QUERIES["agg_grouping_id"](spark, SF_SMALL).collect()
+    for r in rows:
+        assert r["gid"] == r["g_status"] * 2 + r["g_priority"]
+        assert (r["o_orderstatus"] is None) == (r["g_status"] == 1)
+        assert (r["o_orderpriority"] is None) == (r["g_priority"] == 1)
+    by_gid = defaultdict(list)
+    for r in rows:
+        by_gid[r["gid"]].append(r)
+    grand = by_gid[3][0]
+    for gid in (0, 1, 2):
+        assert sum(r["n"] for r in by_gid[gid]) == grand["n"]
+        assert abs(sum(r["total"] for r in by_gid[gid]) - grand["total"]) < 0.05
+
+
+def test_order_by_all_is_total_left_to_right(spark):
+    rows = _QUERIES["sql_order_by_all"](spark, SF_SMALL).collect()
+    keys = [tuple(r) for r in rows]
+    assert keys == sorted(keys)
+    assert len({(r[0], r[1]) for r in rows}) == len(rows)
+
+
+def test_path_glob_prunes_exactly(spark):
+    from hive_processor_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    rows = _QUERIES["scan_path_glob"](spark, SF_SMALL).collect()
+    langs = {r["lang"] for r in rows}
+    assert langs and all(lang.startswith("e") for lang in langs)
+    want = {
+        r["lang"]: (r["n"], r["c"])
+        for r in load_table(spark, SF_SMALL, "documents")
+        .filter(F.col("lang").startswith("e"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("c")
+        )
+        .collect()
+    }
+    got = {r["lang"]: (r["n_docs"], r["total_chars"]) for r in rows}
+    assert got == want
+
+
+def test_winnowing_invariants_and_determinism(spark):
+    a = _QUERIES["dedup_winnowing"](spark, SF_SMALL).collect()
+    b = _QUERIES["dedup_winnowing"](spark, SF_SMALL).collect()
+    assert a == b, "winnowing output must be deterministic"
+    assert 0 < len(a) <= 10
+    for r in a:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["shared"] >= 1
+        assert 0.0 < r["overlap"] <= 1.0
+    shares = [r["shared"] for r in a]
+    assert shares == sorted(shares, reverse=True)

@@ -4674,3 +4674,47 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "o_orderstatus", "o_orderpriority")
     )
+
+
+_LISTAGG_SQL = """
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_vips,
+           STRING_AGG(c.c_name, '|' ORDER BY c.c_acctbal DESC, c.c_custkey)
+               AS vip_names
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > 9000
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+"""
+
+
+@register("agg_listagg_ordered", _LISTAGG_SQL)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-SENSITIVE string aggregation — ``LISTAGG ... WITHIN GROUP
+    (ORDER BY ...)`` (SQL:2016, Spark 4 native) vs DuckDB's
+    ``STRING_AGG(... ORDER BY ...)``: each nation's high-balance
+    customers concatenated richest-first with a unique key tiebreak.
+    Unlike ``agg_collect`` (whose set output is sorted AFTER collection
+    precisely to erase order), the ORDER BY here is part of the
+    aggregate's semantics, so the hash gate pins that both engines
+    sequence the aggregation identically — including tie handling on
+    equal balances, where the custkey tiebreak makes the order total.
+
+    Scale: an ordered aggregate is a partial sort feeding a merge
+    concat; the WHERE prunes before the shuffle, and per-group state is
+    the concatenated string itself — bound the group or the predicate,
+    not the engine."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_vips,
+               listagg(c.c_name, '|')
+                   WITHIN GROUP (ORDER BY c.c_acctbal DESC, c.c_custkey)
+                   AS vip_names
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE c.c_acctbal > 9000
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+        """
+    )

@@ -1253,3 +1253,61 @@ def win_frame_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dollar")
     )
+
+
+@register(
+    "win_backward_fill",
+    """
+    WITH ev AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type <> 'error'
+                    THEN CAST(FLOOR(value * 100.0) AS BIGINT) END AS vc
+        FROM events WHERE user_id <= 40
+    )
+    SELECT user_id, event_id,
+           ROUND(vc / 100.0, 2) AS v,
+           ROUND(FIRST_VALUE(vc IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 / 100.0, 2) AS filled
+    FROM ev ORDER BY user_id, event_id
+    """,
+)
+def win_backward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-fill imputation (NOCB — next observation carried
+    backward), the mirror of ``win_forward_fill``: error rows inherit
+    the user's NEXT valid reading via ``FIRST_VALUE ... IGNORE NULLS``
+    over the following frame. The pair (LOCF, NOCB) brackets every gap,
+    which is what interpolation/auditing passes actually consume; tails
+    of each series stay NULL identically on both engines. Exercises the
+    IGNORE NULLS clause on a forward-looking frame — a distinct code
+    path from the running-frame LAST_VALUE in forward fill.
+
+    Scale: one user-keyed shuffle + in-partition sort, frame evaluation
+    is a backward sweep — same single-window posture as forward fill."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 40)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.when(
+                F.col("event_type") != "error",
+                F.floor(F.col("value") * 100.0).cast("long"),
+            ).alias("vc"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("vc") / 100.0, 2).alias("v"),
+        F.round(
+            F.first("vc", ignorenulls=True).over(w) / 100.0, 2
+        ).alias("filled"),
+    ).orderBy("user_id", "event_id")

@@ -126,3 +126,40 @@ def test_winnowing_invariants_and_determinism(spark):
         assert 0.0 < r["overlap"] <= 1.0
     shares = [r["shared"] for r in a]
     assert shares == sorted(shares, reverse=True)
+
+
+def test_listagg_order_is_balance_desc(spark):
+    rows = _QUERIES["agg_listagg_ordered"](spark, SF_SMALL).collect()
+    from hive_processor_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    cust = {
+        r["c_name"]: r["c_acctbal"]
+        for r in load_table(spark, SF_SMALL, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        names = r["vip_names"].split("|")
+        assert len(names) == r["n_vips"]
+        bals = [cust[n] for n in names]
+        assert bals == sorted(bals, reverse=True)
+
+
+def test_backward_fill_is_next_valid(spark):
+    rows = _QUERIES["win_backward_fill"](spark, SF_SMALL).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    checked_gap = 0
+    for seq in by_user.values():
+        nxt = None
+        for r in reversed(seq):
+            if r["v"] is not None:
+                nxt = r["v"]
+                assert r["filled"] == r["v"]
+            else:
+                assert r["filled"] == nxt
+                checked_gap += 1
+    assert checked_gap > 0, "fixture should contain error rows to fill"

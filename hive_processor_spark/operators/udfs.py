@@ -406,3 +406,88 @@ def udtf_table_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.user_id
         """
     )
+
+
+class _TopTokens:
+    """Polymorphic UDTF: ``analyze()`` derives the output schema from the
+    constant ``k`` argument — k (token, count) column pairs — so one
+    registration serves any requested width (Spark 4 analyze-time
+    schema, the extension point static returnType strings cannot
+    express). Ties rank by (count desc, token asc): deterministic."""
+
+    @staticmethod
+    def analyze(text, k):
+        from pyspark.sql.types import LongType, StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        schema = StructType()
+        for i in range(int(k.value)):
+            schema = schema.add(f"tok{i}", StringType()).add(
+                f"cnt{i}", LongType()
+            )
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text: str, k: int):
+        from collections import Counter
+
+        counts = Counter(t for t in (text or "").strip().split(" ") if t)
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        row: list = []
+        for i in range(k):
+            if i < len(top):
+                row += [top[i][0], top[i][1]]
+            else:
+                row += [None, None]
+        yield tuple(row)
+
+
+@register(
+    "udtf_polymorphic",
+    """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS tok
+        FROM documents WHERE doc_id < 50
+    ), tc AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ), rk AS (
+        SELECT doc_id, tok, c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, tok) AS r
+        FROM tc
+    )
+    SELECT doc_id,
+           MAX(CASE WHEN r = 1 THEN tok END) AS tok0,
+           CAST(MAX(CASE WHEN r = 1 THEN c END) AS BIGINT) AS cnt0,
+           MAX(CASE WHEN r = 2 THEN tok END) AS tok1,
+           CAST(MAX(CASE WHEN r = 2 THEN c END) AS BIGINT) AS cnt1,
+           MAX(CASE WHEN r = 3 THEN tok END) AS tok2,
+           CAST(MAX(CASE WHEN r = 3 THEN c END) AS BIGINT) AS cnt2
+    FROM rk GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 ``analyze()``): the output schema
+    is computed at ANALYSIS time from the constant ``k`` argument — here
+    ``top_tokens(text, 3)`` yields three (token, count) column pairs per
+    document, deterministic under ties. The oracle derives the identical
+    wide row relationally (per-doc rank + conditional pivot), so the
+    hash gate proves the Python tokenizer/ranker agrees with the SQL
+    semantics it implements — the differential discipline applied to the
+    newest extension surface.
+
+    Scale: a UDTF is a per-row Arrow-batched Python call (the slow path,
+    like ``udf_python`` — kept off hot paths by plan_lint); schema-from-
+    analyze costs nothing at runtime."""
+    from pyspark.sql.functions import udtf as _udtf
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("top_tokens", _udtf(_TopTokens))
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.*
+        FROM documents d, LATERAL top_tokens(d.text, 3) s
+        WHERE d.doc_id < 50
+        ORDER BY d.doc_id
+        """
+    )

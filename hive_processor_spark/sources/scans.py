@@ -543,3 +543,87 @@ def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate plus a range-partitioned sort of the group-sized frame."""
     register_views(spark, sf_dir)
     return spark.sql(_ORDER_BY_ALL_SQL)
+
+
+@register(
+    "sql_variables",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(28,0)))
+                AS DOUBLE) / 100.0 AS total
+    FROM orders
+    WHERE o_totalprice >= 450000.0 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (SQL:2016 / Spark 4 ``DECLARE VARIABLE`` +
+    ``SET VAR``): the price floor and status are declared as typed
+    session state, reassigned with SET VAR, and referenced by name
+    inside the query — the scripting surface that replaces string
+    interpolation for runbook-style SQL. DECLARE OR REPLACE keeps the
+    operator idempotent per session; the oracle runs the equivalent
+    with the final variable values inlined, so the gate pins that
+    variable resolution injects exactly the assigned values.
+
+    Scale: variables fold to literals at analysis time — the plan is
+    identical to the inlined query (same pushdown, same pruning)."""
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 400000.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE status_wanted STRING DEFAULT 'F'")
+    spark.sql("SET VAR price_floor = 450000.0")
+    spark.sql("SET VAR status_wanted = 'O'")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(28,0)))
+                    AS DOUBLE) / 100.0 AS total
+        FROM orders
+        WHERE o_totalprice >= price_floor AND o_orderstatus = status_wanted
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "sql_identifier_clause",
+    """
+    SELECT o_orderpriority AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY grp
+    """,
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IDENTIFIER(:param)`` dynamic identifiers (Spark 3.4+): table,
+    grouping column, and aggregated column arrive as PARAMETERS, not
+    spliced strings — the injection-safe templating surface for
+    metric-store queries that pivot over table/column names. The oracle
+    is the statically-written equivalent, so the gate pins that
+    identifier resolution is pure name indirection with no semantic
+    drift.
+
+    Scale: identifiers resolve at parse time; the plan is byte-identical
+    to the static query."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp_col) AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MAX(IDENTIFIER(:val_col)), 2) AS max_price
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:grp_col)
+        ORDER BY grp
+        """,
+        args={
+            "tbl": "orders",
+            "grp_col": "o_orderpriority",
+            "val_col": "o_totalprice",
+        },
+    )

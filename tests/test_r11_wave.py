@@ -163,3 +163,39 @@ def test_backward_fill_is_next_valid(spark):
                 assert r["filled"] == nxt
                 checked_gap += 1
     assert checked_gap > 0, "fixture should contain error rows to fill"
+
+
+def test_sql_variables_resolve_final_assignments(spark):
+    # the operator reassigns price_floor/status_wanted via SET VAR; the
+    # result must reflect the FINAL values, not the DECLARE defaults
+    from hive_processor_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    rows = _QUERIES["sql_variables"](spark, SF_SMALL).collect()
+    want = (
+        load_table(spark, SF_SMALL, "orders")
+        .filter(
+            (F.col("o_totalprice") >= 450000.0)
+            & (F.col("o_orderstatus") == "O")
+        )
+        .count()
+    )
+    assert sum(r["n"] for r in rows) == want and want > 0
+
+
+def test_udtf_polymorphic_schema_width_tracks_k(spark):
+    from pyspark.sql.functions import udtf as _udtf
+
+    from hive_processor_spark.operators.udfs import _TopTokens
+    from hive_processor_spark.sources.tables import register_views
+
+    register_views(spark, SF_SMALL)
+    spark.udtf.register("top_tokens_t", _udtf(_TopTokens))
+    for k in (1, 4):
+        df = spark.sql(
+            f"SELECT s.* FROM documents d, LATERAL top_tokens_t(d.text, {k}) s"
+            " WHERE d.doc_id = 0"
+        )
+        assert len(df.columns) == 2 * k
+        row = df.head()
+        assert row[f"cnt0"] >= (row[f"cnt{k-1}"] or 0)

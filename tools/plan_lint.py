@@ -49,6 +49,7 @@ PY_UDF_OK = {
     "udf_registered_sql": "SQL-registered Python UDF surface",
     "udtf_python": "Python UDTF surface",
     "udtf_table_partition": "partitioned UDTF surface",
+    "udtf_polymorphic": "analyze-time-schema UDTF surface (round-11)",
 }
 CACHE_SCAN_OK = {
     "cache_table": "the operator proves the cache plane",

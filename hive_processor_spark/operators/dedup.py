@@ -805,13 +805,15 @@ def _neardup_labels_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _CC_LABEL_CACHE.get(key)
     if hit is not None:
         return hit
+    # deferred import (circular with similarity) — kept at function level,
+    # OUTSIDE the lock body, so the worker-import lint sees it
+    from hive_processor_spark.operators.similarity import neardup_pairs_pinned
+
     with PIN_LOCK:
         hit = _CC_LABEL_CACHE.get(key)
         if hit is not None:
             return hit
         _CC_LABEL_CACHE.clear()
-        from hive_processor_spark.operators.similarity import neardup_pairs_pinned
-
         pairs = neardup_pairs_pinned(spark, sf_dir).select("vec_a", "vec_b")
         df = _min_label_components(pairs)
         _CC_LABEL_CACHE[key] = df

@@ -3706,44 +3706,59 @@ def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(w_cum).alias("cc"),
         F.sum("cnt").over(w_all).alias("n"),
     )
-    qs = spark.createDataFrame(
-        [(0.50,), (0.90,), (0.99,), (0.999,)], ["q"]
-    )
+    # Round-11 opt pass: the quantile probes fold as four conditional
+    # mins inside ONE aggregation over the cumulative frame, unpivoted to
+    # rows afterwards — the previous qs.crossJoin(cum).groupBy("q") paid
+    # a 4× fan-out plus a regroup shuffle per lane (interleaved A/B on
+    # the exact lane: 1.47 s → 0.68 s).
+    _QS = [("0.5", 0.50), ("0.9", 0.90), ("0.99", 0.99), ("0.999", 0.999)]
+
+    def _probe(df, val_col, out):
+        one = df.agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cc")
+                        >= F.ceil(F.lit(q) * F.col("n")).cast("long"),
+                        val_col,
+                    )
+                ).alias(f"_p{i}")
+                for i, (_, q) in enumerate(_QS)
+            ]
+        )
+        return one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(q).alias("q"),
+                            F.col(f"_p{i}").alias(out),
+                        )
+                        for i, (_, q) in enumerate(_QS)
+                    ]
+                )
+            ).alias("_e")
+        ).select("_e.q", f"_e.{out}")
+
     lo_bound = F.expr(
         "shiftleft(CAST(1 AS BIGINT), e) + s * (shiftleft(CAST(1 AS BIGINT), e) div 32)"
     )
-    est = (
-        qs.crossJoin(cum)
-        .groupBy("q")
-        .agg(
-            F.min(
-                F.when(
-                    F.col("cc") >= F.ceil(F.col("q") * F.col("n")).cast("long"),
-                    lo_bound,
-                )
-            ).alias("lo_bound")
-        )
-    )
+    est = _probe(cum, lo_bound, "lo_bound")
     # exact-audit lane: the distinct-cents frame grows with SF until the
     # price domain saturates, so its cumulative runs through the bucketed
-    # two-level cumsum (round-6 window-audit fix), never one partition
+    # two-level cumsum (round-6 window-audit fix), never one partition.
+    # Round-11 opt pass: fixed documented-superset bounds (o_totalprice
+    # < $1M at every TPC-H SF ⇒ cents < 1e8) skip with_global_order's
+    # span pre-pass. (Measured and rejected: hash-repartition before the
+    # near-unique groupBy and an eager checkpoint of it — the recomputed
+    # subtrees overlap as parallel stages, the checkpoint serializes
+    # them; interleaved best-of-4 old 2.03 s vs +repartition 2.49 s.)
     dc = v.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     dn = dc.agg(F.sum("cnt").cast("long").alias("n"))
-    dcc = with_global_order(dc, "c", cumsums={"cc": "cnt"}).crossJoin(
-        F.broadcast(dn)
-    )
-    exact = (
-        qs.crossJoin(dcc)
-        .groupBy("q")
-        .agg(
-            F.min(
-                F.when(
-                    F.col("cc") >= F.ceil(F.col("q") * F.col("n")).cast("long"),
-                    F.col("c"),
-                )
-            ).alias("exact_c")
-        )
-    )
+    dcc = with_global_order(
+        dc, "c", cumsums={"cc": "cnt"}, bounds=(0.0, 1e8)
+    ).crossJoin(F.broadcast(dn))
+    exact = _probe(dcc, F.col("c"), "exact_c")
     return (
         est.join(exact, "q")
         .select(

@@ -1396,8 +1396,19 @@ def ml_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-sized frames."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # Round-11 opt pass: the broadcast part join leaves the frame on the
+    # single-row-group lineitem scan, so the near-unique (order, brand)
+    # partial aggregation ran in ONE task. Hash repartition on the order
+    # key first: it parallelizes the aggregation (subset of the group
+    # keys satisfies its required distribution) AND pre-positions the
+    # frame for the per-order duel self-join, which then needs no
+    # exchange at all. The checkpoint stops the duel join's two sides
+    # from each re-deriving the join + aggregation.
     lines = (
         li.join(part, part.p_partkey == li.l_partkey)
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("l_orderkey")
+        )
         .groupBy(
             F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand")
         )
@@ -1410,6 +1421,7 @@ def ml_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("rev")
         )
+        .localCheckpoint(eager=True)
     )
     a = lines.select(
         F.col("ok"), F.col("brand").alias("ba"), F.col("rev").alias("ra")

@@ -5717,6 +5717,11 @@ def stats_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
         F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
     )
+    # Round-11 opt pass measured and rejected: hash-repartition on cents
+    # + an eager checkpoint of this five-consumer histogram — the five
+    # recomputed subtrees overlap as parallel stages inside the one job
+    # on a saturated box, while the checkpoint serializes them into extra
+    # jobs (interleaved best-of-6: old 1.81 s, medicine 2.10 s).
     grp = v.groupBy("cents", "g").agg(F.count(F.lit(1)).cast("long").alias("c"))
     dense = (
         grp.select("cents")
@@ -6210,6 +6215,11 @@ def stats_yuen_trimmed_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_x"),
         F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("cents"),
     )
+    # Round-11 opt pass measured and rejected: hash-repartition before
+    # the (sample, value) aggregation + an eager checkpoint of the
+    # histogram — the two consumers' recomputed subtrees overlap as
+    # parallel stages inside the one job, while the checkpoint serializes
+    # them (interleaved best-of-6: old 1.77 s, medicine 2.00 s).
     grp = v.groupBy("is_x", "cents").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
@@ -8481,12 +8491,23 @@ def stats_winsorized_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nn = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
 
-    def _th(col):
+    def _th(col, bounds):
         # round-6 window-audit fix: the per-margin distinct-value
-        # cumulative runs through the bucketed two-level machinery
+        # cumulative runs through the bucketed two-level machinery.
+        # Round-11 opt pass: fixed documented-superset bounds (cents <
+        # 2e7 at every TPC-H SF, quantity < 64) skip with_global_order's
+        # span pre-pass — one fewer derivation of the near-unique
+        # histogram subtree; the grid only affects bucket balance, never
+        # results. (Measured and rejected here: hash-repartition before
+        # the groupBy and an eager checkpoint of the histogram — the
+        # recomputed subtrees overlap as parallel stages inside the one
+        # job, while the checkpoint serializes them into extra jobs and
+        # the repartition adds a row-count-sized shuffle: interleaved
+        # best-of-4 old 2.48 s / bounds-only 2.31 s / +repartition 2.58 s
+        # / +checkpoint 2.81 s.)
         grp = v.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
         cum = (
-            with_global_order(grp, col, cumsums={"cum": "c"})
+            with_global_order(grp, col, cumsums={"cum": "c"}, bounds=bounds)
             .crossJoin(F.broadcast(nn))
             .select(
                 col,
@@ -8504,8 +8525,12 @@ def stats_winsorized_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hi"),
         )
 
-    xth = _th("x").select(F.col("lo").alias("xlo"), F.col("hi").alias("xhi"))
-    yth = _th("y").select(F.col("lo").alias("ylo"), F.col("hi").alias("yhi"))
+    xth = _th("x", (0.0, 2e7)).select(
+        F.col("lo").alias("xlo"), F.col("hi").alias("xhi")
+    )
+    yth = _th("y", (0.0, 64.0)).select(
+        F.col("lo").alias("ylo"), F.col("hi").alias("yhi")
+    )
     clipped = v.crossJoin(F.broadcast(xth)).crossJoin(F.broadcast(yth)).select(
         F.greatest(F.col("xlo"), F.least(F.col("xhi"), F.col("x"))).alias("xw"),
         F.greatest(F.col("ylo"), F.least(F.col("yhi"), F.col("y"))).alias("yw"),
@@ -15015,8 +15040,23 @@ def stats_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = v.join(med, "seg").select(
         "seg", F.abs(F.col("cents") - F.col("m")).alias("d")
     )
-    df_ = dv.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("t"))
-    rk = with_global_order(df_, "d", cumsums={"ct": "t"}).select(
+    # Round-11 opt pass: the per-(segment, deviation) counts are the ONE
+    # aggregation every downstream frame can be derived from — the pooled
+    # per-deviation counts are their segment-sum, so the deviation join
+    # (v ⋈ med) and its atom aggregation run once instead of four times
+    # (pooled histogram, with_global_order's two scans of it, per-segment
+    # scores). The checkpoint is deviation-atom-sized (≤ |customer| rows);
+    # fixed superset bounds (acctbal cents span < 2e6) skip the span
+    # pre-pass.
+    sdf = (
+        dv.groupBy("seg", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("lsv"))
+        .localCheckpoint(eager=True)
+    )
+    df_ = sdf.groupBy("d").agg(F.sum("lsv").cast("long").alias("t"))
+    rk = with_global_order(
+        df_, "d", cumsums={"ct": "t"}, bounds=(0.0, 2e6)
+    ).select(
         "d",
         "t",
         (F.col("ct") - F.col("t") + (F.col("t") + 1) / F.lit(2.0)).alias(
@@ -15031,9 +15071,6 @@ def stats_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("sq"),
-    )
-    sdf = dv.groupBy("seg", "d").agg(
-        F.count(F.lit(1)).cast("long").alias("lsv")
     )
     segsum = (
         sdf.join(sc.select("d", "sq"), "d")
@@ -15792,9 +15829,39 @@ def stats_blomqvist_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("q"),
         F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("p"),
     )
-    med = v.agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY q)").alias("mq"),
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY p)").alias("mp"),
+    # Round-11 opt pass: percentile_disc is an ImperativeAggregate that
+    # buffers every value — and the single-row-group fixture scan ran
+    # both margins' buffers in ONE task (sort included). The medians are
+    # instead read off per-value histograms through the bucketed
+    # two-level cumulative: PERCENTILE_DISC(0.5) ≡ the smallest value
+    # whose running count reaches ceil(n/2) (cume_dist ≥ 0.5), exact in
+    # integers on both engines — the oracle is unchanged and the emitted
+    # medians are the identical data values. The near-unique price margin
+    # gets the hash-repartition medicine + a checkpoint (with_global_order
+    # scans its input twice); fixed documented-superset bounds skip the
+    # span pre-pass.
+    nn = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    par = spark.sparkContext.defaultParallelism
+    half = F.floor((F.col("n") + 1) / 2).cast("long")
+
+    def _med(col, bounds, spread_grp):
+        grp = v.repartition(par, col) if spread_grp else v
+        grp = (
+            grp.groupBy(col)
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        cum = with_global_order(
+            grp, col, cumsums={"cum": "c"}, bounds=bounds
+        ).crossJoin(F.broadcast(nn))
+        return cum.agg(
+            F.min(F.when(F.col("cum") >= half, F.col(col))).alias("m")
+        )
+
+    med = (
+        _med("q", (0.0, 64.0), False)
+        .select(F.col("m").alias("mq"))
+        .crossJoin(_med("p", (0.0, 2e7), True).select(F.col("m").alias("mp")))
     )
     sq = (
         F.when(F.col("q") > F.col("mq"), 1)

@@ -189,6 +189,130 @@ def _pair_sims_block(
     )
 
 
+def _knn_candidates_block(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int,
+    *,
+    by_distance: bool = False,
+    sim_lt: float | None = None,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """DIRECTED per-point top-k candidate lists ``(i, j, sim_raw)`` from
+    the block pair kernel — the two-level exact top-k (round-11 opt pass).
+
+    The previous kNN consumers materialized the full symmetric pair frame
+    (2·C(n,2) rows) into the per-point window's exchange; at n=2000 that
+    is 4M rows shuffled and sorted to keep 10 per point. Because a global
+    top-k element is necessarily inside its block's top-k under the SAME
+    total order, each (p, q) task can pre-select k candidates per point
+    per opposing block, shrinking the window's input to ≤ k·B rows per
+    point (~60× fewer) with zero recall loss — guide §2.3 "shuffle fewer
+    bytes": the exchange carries candidate lists, not the pair matrix.
+
+    ``by_distance`` selects by ``(1 − sim, j)`` ascending (the LOF pin's
+    order); default is ``(sim, j)`` with sim descending (the hubness /
+    TwoNN order). The two differ only when IEEE ``1 − sim`` collapses a
+    sim tie, so each consumer keeps its exact historical order key.
+    ``sim_lt`` drops pairs with ``sim_raw ≥ sim_lt`` BEFORE selection
+    (TwoNN's clone exclusion) — it must match the consumer's own filter.
+    Arithmetic is bit-identical to :func:`_pair_sims_block`; the final
+    exact window stays in the consumer, so emitted rows are unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = n_blocks or max(
+        2, min(64, int((4 * spark.sparkContext.defaultParallelism) ** 0.5) + 1)
+    )
+    tagged = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("blk"),
+    )
+    tasks = tagged.select(
+        "vec_id",
+        "embedding",
+        "blk",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {B - 1}),"
+                " j -> struct(least(blk, j) AS p, greatest(blk, j) AS q))"
+            )
+        ).alias("t"),
+    ).select("vec_id", "embedding", "blk", "t.p", "t.q")
+
+    def _mat(pdf_slice):  # pragma: no cover - executed on executors
+        ids = pdf_slice["vec_id"].to_numpy(np.int64)
+        mat = np.array(list(pdf_slice["embedding"]), dtype=np.float64)
+        # id-ascending order so a STABLE argsort of the key matrix breaks
+        # key ties by ascending j — the consumers' exact tie-break
+        o = np.argsort(ids, kind="stable")
+        ids, mat = ids[o], mat[o]
+        qn = np.floor(mat * mat * 1e12).astype(np.int64).sum(axis=1) / 1e12
+        return ids, mat, qn
+
+    def _sims(ids_a, mat_a, qn_a, ids_b, mat_b, qn_b):
+        # exact quantized sims, identical ops to _pair_sims_block
+        terms = np.floor(
+            mat_a[:, None, :] * mat_b[None, :, :] * 1e12
+        ).astype(np.int64)
+        return terms.sum(axis=2) / 1e12 / np.sqrt(
+            qn_a[:, None] * qn_b[None, :]
+        )
+
+    def _topk(ids_a, ids_b, sim, same):
+        key = (1.0 - sim) if by_distance else -sim
+        if same:
+            key[ids_a[:, None] == ids_b[None, :]] = np.inf
+        if sim_lt is not None:
+            key = np.where(sim < sim_lt, key, np.inf)
+        kk = min(k, key.shape[1])
+        order = np.argsort(key, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(len(ids_a)), kk)
+        cols = order.ravel()
+        keep = np.isfinite(key[rows, cols])
+        if not keep.any():
+            return None
+        return (
+            ids_a[rows[keep]],
+            ids_b[cols[keep]],
+            sim[rows[keep], cols[keep]],
+        )
+
+    def kernel(task_key, pdf):  # pragma: no cover - executed on executors
+        p, q = task_key
+        empty = pd.DataFrame({"i": [], "j": [], "sim_raw": []}).astype(
+            {"i": np.int64, "j": np.int64, "sim_raw": np.float64}
+        )
+        if p == q:
+            a = _mat(pdf)
+            s = _sims(a[0], a[1], a[2], a[0], a[1], a[2])
+            parts = [_topk(a[0], a[0], s, True)]
+        else:
+            a = _mat(pdf[pdf["blk"] == p])
+            b = _mat(pdf[pdf["blk"] == q])
+            if len(a[0]) == 0 or len(b[0]) == 0:
+                return empty
+            # the quantized pair term is symmetric, so one tensor serves
+            # both directions (the transpose is a view, not a copy)
+            s = _sims(a[0], a[1], a[2], b[0], b[1], b[2])
+            parts = [
+                _topk(a[0], b[0], s, False),
+                _topk(b[0], a[0], s.T.copy(), False),
+            ]
+        frames = [
+            pd.DataFrame({"i": t[0], "j": t[1], "sim_raw": t[2]})
+            for t in parts
+            if t is not None
+        ]
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return tasks.groupBy("p", "q").applyInPandas(
+        kernel, "i bigint, j bigint, sim_raw double"
+    )
+
+
 #: One pinned 0.4-cosine near-dup pair frame per (session, fixture dir).
 #: ``embed_neardup``, ``dedup_cluster`` and ``graph_cc_size_dist`` all
 #: consume the identical (vec_a, vec_b, sim) frame; without a shared
@@ -1607,34 +1731,64 @@ def sim_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB anchors are mini-batches and the corpus side is the
     IVF/LSH-pruned candidate set — same plan shape."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # Norms are per-VECTOR quantities: computing sq_norm_q inside the pair
-    # expression evaluates the higher-order fold 2·|pairs| times instead of
-    # |corpus|+|anchors| — at 50 anchors that is 99% redundant lambda work
-    # (HOF folds run outside whole-stage codegen, so each costs real time).
-    from hive_processor_spark.functions.vector import dot_q, sq_norm_q
+    # Round-11 opt pass: the anchor×corpus cosines were a codegen HOF
+    # fold per pair (~|anchors|·|corpus|·dim lambda evaluations outside
+    # whole-stage codegen — the stage's entire cost). The anchors are a
+    # BOUNDED set (≤51 rows — same driver-state discipline as the ≤50-row
+    # domain grids in regression.py), so they ship into a mapInPandas
+    # kernel whose arithmetic is BIT-IDENTICAL to dot_q/sq_norm_q:
+    # per-element float64 products floor-quantized to int64 at 1e12,
+    # integer-summed, the same two double divisions — and the 1e-4
+    # rounding stays Spark-side (JVM half-up), so the ranked frame is
+    # unchanged to the last bit. This is guide §4.2: distribution stays
+    # in Spark, the per-batch math runs vectorized in numpy.
+    import numpy as np
+    import pandas as pd
 
-    anchors = emb.filter(F.col("vec_id") <= 50).select(
-        F.col("vec_id").alias("va"),
-        F.col("label").alias("la"),
-        F.col("embedding").alias("ea"),
-        sq_norm_q(F.col("embedding")).alias("na"),
+    arows = (
+        emb.filter(F.col("vec_id") <= 50)
+        .select("vec_id", "label", "embedding")
+        .collect()
     )
-    corpus = emb.select(
-        "vec_id", "label", "embedding", sq_norm_q(F.col("embedding")).alias("nb")
-    )
+    a_ids = np.array([r["vec_id"] for r in arows], dtype=np.int64)
+    a_lab = np.array([r["label"] for r in arows], dtype=np.int32)
+    a_mat = np.array([list(r["embedding"]) for r in arows], dtype=np.float64)
+    a_qn = np.floor(a_mat * a_mat * 1e12).astype(np.int64).sum(axis=1) / 1e12
+
+    def _anchor_sims(it):  # pragma: no cover - executed on executors
+        for pdf in it:
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            labs = pdf["label"].to_numpy(np.int32)
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            qn = np.floor(mat * mat * 1e12).astype(np.int64).sum(axis=1) / 1e12
+            chunk = max(1, 4_000_000 // max(1, len(a_ids) * a_mat.shape[1]))
+            for s in range(0, len(ids), chunk):
+                blk = slice(s, s + chunk)
+                terms = np.floor(
+                    mat[blk][:, None, :] * a_mat[None, :, :] * 1e12
+                ).astype(np.int64)
+                sim = terms.sum(axis=2) / 1e12 / np.sqrt(
+                    qn[blk][:, None] * a_qn[None, :]
+                )
+                bi, ai = np.nonzero(ids[blk][:, None] != a_ids[None, :])
+                yield pd.DataFrame(
+                    {
+                        "va": a_ids[ai],
+                        "la": a_lab[ai],
+                        "vb": ids[blk][bi],
+                        "lb": labs[bi],
+                        "sim_raw": sim[bi, ai],
+                    }
+                )
+
     pairs = (
-        corpus.crossJoin(F.broadcast(anchors))
-        .filter(F.col("vec_id") != F.col("va"))
+        emb.select("vec_id", "label", "embedding")
+        .mapInPandas(
+            _anchor_sims,
+            "va bigint, la int, vb bigint, lb int, sim_raw double",
+        )
         .select(
-            "va",
-            "la",
-            F.col("vec_id").alias("vb"),
-            F.col("label").alias("lb"),
-            F.round(
-                dot_q(F.col("embedding"), F.col("ea"))
-                / F.sqrt(F.col("na") * F.col("nb")),
-                4,
-            ).alias("sim"),
+            "va", "la", "vb", "lb", F.round(F.col("sim_raw"), 4).alias("sim")
         )
     )
     # Round-9 exchange fusion (VERDICT r8 item 5): the previous shape
@@ -2414,20 +2568,18 @@ def embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the same two-NN distances come from the IVF shortlist
     (``sim_ann_ivf``) with identical downstream algebra."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = _pair_sims_block(spark, emb)
-    sym = pairs.select(
-        F.col("vec_a").alias("i"), F.col("vec_b").alias("j"),
-        F.col("sim_raw").alias("sim"),
-    ).unionAll(
-        pairs.select(
-            F.col("vec_b").alias("i"), F.col("vec_a").alias("j"),
-            F.col("sim_raw").alias("sim"),
-        )
-    )
-    w = Window.partitionBy("i").orderBy(F.desc("sim"), F.asc("j"))
+    # Round-11 opt pass: two-level exact top-2 — per-block top-2
+    # candidates from the directed kernel (clone exclusion applied
+    # in-kernel with the SAME predicate), then the identical exact window
+    # over ≤ 2·B candidate rows per point instead of the full symmetric
+    # pair frame; the pair kernel also runs once instead of twice (the
+    # old unionAll re-evaluated it per direction).
+    cand = _knn_candidates_block(spark, emb, 2, sim_lt=1 - 1e-9)
+    w = Window.partitionBy("i").orderBy(F.desc("sim_raw"), F.asc("j"))
     ranked = (
-        sym.filter(F.col("sim") < 1 - 1e-9)
-        .select("i", "sim", F.row_number().over(w).alias("rk"))
+        cand.filter(F.col("sim_raw") < 1 - 1e-9)
+        .select("i", F.col("sim_raw").alias("sim"),
+                F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 2)
     )
     two = (
@@ -2518,19 +2670,15 @@ def embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: same posture as ``embed_intrinsic_dim`` — the exact kernel
     verifies, the IVF shortlist replaces it at corpus scale."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = _pair_sims_block(spark, emb)
-    sym = pairs.select(
-        F.col("vec_a").alias("i"), F.col("vec_b").alias("j"),
-        F.col("sim_raw").alias("sim"),
-    ).unionAll(
-        pairs.select(
-            F.col("vec_b").alias("i"), F.col("vec_a").alias("j"),
-            F.col("sim_raw").alias("sim"),
-        )
-    )
-    w = Window.partitionBy("i").orderBy(F.desc("sim"), F.asc("j"))
+    # Round-11 opt pass: the 10-NN lists come from the directed two-level
+    # top-k kernel (per-block top-10 candidates, ≤ 10·B rows per point)
+    # instead of the full symmetric pair frame — the exact window below is
+    # unchanged but its exchange shrinks ~60×, and the pair kernel runs
+    # once instead of twice (the old unionAll re-evaluated it).
+    cand = _knn_candidates_block(spark, emb, 10)
+    w = Window.partitionBy("i").orderBy(F.desc("sim_raw"), F.asc("j"))
     knn = (
-        sym.select("i", "j", F.row_number().over(w).alias("rk"))
+        cand.select("i", "j", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 10)
         .select("j")
     )
@@ -2880,18 +3028,13 @@ def lof_knn_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
             except Exception:
                 pass  # stale session handle — nothing left to release
         emb = load_table(spark, sf_dir, "embeddings")
-        pairs = _pair_sims_block(spark, emb)
-        sym = pairs.select(
-            F.col("vec_a").alias("i"),
-            F.col("vec_b").alias("j"),
-            (1 - F.col("sim_raw")).alias("d"),
-        ).unionAll(
-            pairs.select(
-                F.col("vec_b").alias("i"),
-                F.col("vec_a").alias("j"),
-                (1 - F.col("sim_raw")).alias("d"),
-            )
-        )
+        # Round-11 opt pass: two-level exact top-10 — per-block top-10
+        # candidates selected in-kernel by the SAME (1−sim, j) order this
+        # window uses, so the pinned rows are unchanged; the window's
+        # exchange shrinks ~60× and the pair kernel runs once instead of
+        # twice (the old unionAll re-evaluated it per direction).
+        cand = _knn_candidates_block(spark, emb, 10, by_distance=True)
+        sym = cand.select("i", "j", (1 - F.col("sim_raw")).alias("d"))
         w = Window.partitionBy("i").orderBy("d", "j")
         df = (
             sym.select("i", "j", "d", F.row_number().over(w).alias("rn"))

@@ -4015,21 +4015,22 @@ def agg_robust_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = o.select(F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("c"))
     grp = v.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("f"))
     nn = grp.agg(F.sum("f").cast("long").alias("n"))
-    cum = with_global_order(grp, "c", cumsums={"cc": "f"}).select("c", "cc")
-    ks = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
-    picks = (
-        ks.crossJoin(cum)
-        .crossJoin(F.broadcast(nn))
-        .filter(
-            F.col("cc")
-            >= F.ceil(F.col("k") / 8.0 * F.col("n")).cast("long")
-        )
-        .groupBy("k")
-        .agg(F.min("c").alias("q"))
-    )
-    oct_row = picks.agg(
+    # Round-11 opt pass: fixed superset bounds skip the span pre-pass;
+    # the seven octile picks fold as conditional mins in ONE aggregation
+    # over the cumulative frame instead of a 7× crossJoin fan-out +
+    # regroup (the agg_hdr_histogram probe rewrite).
+    cum = with_global_order(
+        grp, "c", cumsums={"cc": "f"}, bounds=(0.0, 1e8)
+    ).select("c", "cc")
+    oct_row = cum.crossJoin(F.broadcast(nn)).agg(
         *[
-            F.max(F.when(F.col("k") == k, F.col("q"))).alias(f"o{k}")
+            F.min(
+                F.when(
+                    F.col("cc")
+                    >= F.ceil(F.lit(k) / 8.0 * F.col("n")).cast("long"),
+                    F.col("c"),
+                )
+            ).alias(f"o{k}")
             for k in range(1, 8)
         ]
     )
@@ -4273,34 +4274,69 @@ def agg_mean_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = o.select(F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("c"))
     grp = v.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("f"))
     nn = grp.agg(F.sum("f").cast("long").alias("n"))
-    cum = with_global_order(grp, "c", cumsums={"cc": "f"}).select("c", "cc")
-    ks = spark.createDataFrame([(5,), (7,), (9,)], ["k"])
-    qs = (
-        ks.crossJoin(cum)
-        .crossJoin(F.broadcast(nn))
-        .filter(
-            F.col("cc") >= F.ceil(F.col("k") / 10.0 * F.col("n")).cast("long")
-        )
-        .groupBy("k")
-        .agg(F.min("c").alias("u"))
-    )
-    ex = (
-        qs.crossJoin(grp)
-        .groupBy("k", "u")
-        .agg(
-            F.sum(F.when(F.col("c") > F.col("u"), F.col("f")).otherwise(0))
-            .cast("long")
-            .alias("n_exceed"),
-            F.sum(
+    # Round-11 opt pass: fixed superset bounds (cents < 1e8 at every
+    # TPC-H SF) skip the span pre-pass; both probe stages fold as
+    # conditional aggregates in ONE row each instead of the
+    # ks.crossJoin(...).groupBy(k) fan-out + regroup (the
+    # agg_hdr_histogram probe rewrite, A/B 1.47 s → 0.68 s per lane),
+    # then unpivot to the same 3-row output.
+    cum = with_global_order(
+        grp, "c", cumsums={"cc": "f"}, bounds=(0.0, 1e8)
+    ).select("c", "cc")
+    _KS = (5, 7, 9)
+    u_row = cum.crossJoin(F.broadcast(nn)).agg(
+        *[
+            F.min(
                 F.when(
-                    F.col("c") > F.col("u"),
-                    (F.col("c") - F.col("u")) * F.col("f"),
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("excess_sum"),
+                    F.col("cc")
+                    >= F.ceil(F.lit(k) / 10.0 * F.col("n")).cast("long"),
+                    F.col("c"),
+                )
+            ).alias(f"u{k}")
+            for k in _KS
+        ]
+    )
+    ex_row = grp.crossJoin(F.broadcast(u_row)).agg(
+        *(
+            [
+                F.sum(
+                    F.when(F.col("c") > F.col(f"u{k}"), F.col("f")).otherwise(
+                        0
+                    )
+                )
+                .cast("long")
+                .alias(f"ne{k}")
+                for k in _KS
+            ]
+            + [
+                F.sum(
+                    F.when(
+                        F.col("c") > F.col(f"u{k}"),
+                        (F.col("c") - F.col(f"u{k}")) * F.col("f"),
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"es{k}")
+                for k in _KS
+            ]
+            + [F.max(F.col(f"u{k}")).alias(f"u{k}") for k in _KS]
         )
     )
+    ex = ex_row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.col(f"u{k}").alias("u"),
+                        F.col(f"ne{k}").alias("n_exceed"),
+                        F.col(f"es{k}").alias("excess_sum"),
+                    )
+                    for k in _KS
+                ]
+            )
+        ).alias("_e")
+    ).select("_e.k", "_e.u", "_e.n_exceed", "_e.excess_sum")
     return ex.select(
         (F.col("k") * 10).cast("long").alias("threshold_pctile"),
         F.round(F.col("u") / 100.0, 2).alias("threshold_dollars"),

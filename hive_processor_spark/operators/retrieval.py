@@ -52,32 +52,67 @@ def _ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are identical, so results don't change) and the corpus side is
     repartitioned — the fixture is a single parquet file, and without the
     spread every pair's interpreted HOF cosine would run on one core."""
+    # Round-11 opt pass: the query×corpus cosines were a codegen HOF fold
+    # per pair (~|q|·|corpus|·dim interpreted lambda evaluations — the
+    # stage's whole cost, paid by all four consumers of this helper). The
+    # query side is BOUNDED (< _Q_MAX = 50 rows — the regression.py
+    # ≤50-row driver-state discipline), so it ships into a mapInPandas
+    # kernel that reproduces dot_q/sq_norm_q BIT-IDENTICALLY: per-element
+    # float64 products floor-quantized to int64 at 1e12, integer-summed,
+    # the same double divisions (guide §4.2). The window and every
+    # downstream consumer are unchanged.
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < _Q_MAX).select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("qlabel"),
-        F.col("embedding").alias("qv"),
-        sq_norm_q(F.col("embedding")).alias("qn"),
+    qrows = (
+        emb.filter(F.col("vec_id") < _Q_MAX)
+        .select("vec_id", "label", "embedding")
+        .collect()
     )
-    c = (
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_lab = np.array([r["label"] for r in qrows], dtype=np.int32)
+    q_mat = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
+    q_qn = np.floor(q_mat * q_mat * 1e12).astype(np.int64).sum(axis=1) / 1e12
+
+    def _query_sims(it):  # pragma: no cover - executed on executors
+        for pdf in it:
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            labs = pdf["label"].to_numpy(np.int32)
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cn = np.floor(mat * mat * 1e12).astype(np.int64).sum(axis=1) / 1e12
+            chunk = max(1, 4_000_000 // max(1, len(q_ids) * q_mat.shape[1]))
+            for s in range(0, len(ids), chunk):
+                blk = slice(s, s + chunk)
+                terms = np.floor(
+                    mat[blk][:, None, :] * q_mat[None, :, :] * 1e12
+                ).astype(np.int64)
+                sim = terms.sum(axis=2) / 1e12 / np.sqrt(
+                    q_qn[None, :] * cn[blk][:, None]
+                )
+                nb, nq = sim.shape
+                ci = np.repeat(np.arange(nb), nq)
+                qi = np.tile(np.arange(nq), nb)
+                yield pd.DataFrame(
+                    {
+                        "qid": q_ids[qi],
+                        "qlabel": q_lab[qi],
+                        "cid": ids[blk][ci],
+                        "clabel": labs[ci],
+                        "sim": sim[ci, qi],
+                    }
+                )
+
+    pairs = (
         emb.filter(F.col("vec_id") >= _Q_MAX)
+        # the fixture is a single parquet file: spread the corpus scan so
+        # the kernel runs at core parallelism, not on one task
         .repartition(spark.sparkContext.defaultParallelism)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("label").alias("clabel"),
-            F.col("embedding").alias("cv"),
-            sq_norm_q(F.col("embedding")).alias("cn"),
+        .select("vec_id", "label", "embedding")
+        .mapInPandas(
+            _query_sims,
+            "qid bigint, qlabel int, cid bigint, clabel int, sim double",
         )
-    )
-    pairs = c.join(F.broadcast(q)).select(
-        "qid",
-        "qlabel",
-        "cid",
-        "clabel",
-        (
-            dot_q(F.col("qv"), F.col("cv"))
-            / F.sqrt(F.col("qn") * F.col("cn"))
-        ).alias("sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
     return pairs.withColumn("rn", F.row_number().over(w))
@@ -240,11 +275,22 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from hive_processor_spark.functions.orderstat import with_global_order
 
+    # Round-11 opt pass: the nested with_global_order calls multiplied
+    # subtree evaluations — the outer call's span + bucket + main passes
+    # each re-derived the inner call's passes over the 4-HOF-fold scored
+    # scan (up to 9 evaluations of s). Fixed exact bounds (cosine ∈
+    # [−1, 1], 64-bit Hamming ∈ [0, 64]) remove both span passes, and the
+    # answer-sized inner rank frame is checkpointed so the outer passes
+    # read a materialized 3-column frame instead of re-deriving the scan.
+    inner = with_global_order(
+        s, "sim", ["vec_id"], rank="r_cos", desc=True, bounds=(-1.0, 1.0)
+    ).localCheckpoint(eager=True)
     r = with_global_order(
-        with_global_order(s, "sim", ["vec_id"], rank="r_cos", desc=True),
+        inner,
         "ham",
         ["vec_id"],
         rank="r_ham",
+        bounds=(0.0, 64.0),
     ).select("vec_id", "r_cos", "r_ham")
     f = r.withColumn(
         "rrf", 1.0 / (60 + F.col("r_cos")) + 1.0 / (60 + F.col("r_ham"))

@@ -109,6 +109,14 @@ HEADLINE = [
     "ts_arch_lm",             # ARCH LM off the pinned daily-revenue spine
     "dedup_winnowing",        # MOSS winnowing fingerprints, guarantee-exact
     "win_exclude_current",    # SQL frame-exclusion emulation (LOO mean)
+    # round-11 OPTIMIZATION representatives: the folded quantile probes,
+    # the two-level exact-kNN candidate kernel, the numpy anchor/query
+    # similarity kernels, and the histogram-median rewrite
+    "agg_hdr_histogram",      # quantile probes folded into one aggregate
+    "agg_mean_excess",        # same probe fold, two stages
+    "sim_rrf_fusion",         # un-nested rank passes, bounded grids
+    "stats_blomqvist_beta",   # histogram medians replace percentile_disc
+    "embed_hubness",          # two-level exact kNN candidate kernel
 ]
 
 

@@ -464,12 +464,20 @@ def agg_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
-    p = pm.groupBy("pk").agg(
-        F.sum("cents").cast("bigint").alias("total"),
-        F.count(F.lit(1)).cast("bigint").alias("n_months"),
-        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
-            "ss"
-        ),
+    # Round-11 opt pass: the part frame is consumed four times (grand
+    # total, with_global_order's span + bucket + main passes) and its
+    # lineage chains TWO near-unique aggregations over lineitem — the
+    # checkpoint is part-count-sized and saves three re-derivations.
+    p = (
+        pm.groupBy("pk")
+        .agg(
+            F.sum("cents").cast("bigint").alias("total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_months"),
+            F.sum(
+                F.col("cents").cast("decimal(38,0)") * F.col("cents")
+            ).alias("ss"),
+        )
+        .localCheckpoint(eager=True)
     )
     grand = p.agg(F.sum("total").cast("long").alias("grand"))
     ranked = with_global_order(

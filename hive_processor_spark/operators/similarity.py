@@ -253,13 +253,21 @@ def _knn_candidates_block(
         return ids, mat, qn
 
     def _sims(ids_a, mat_a, qn_a, ids_b, mat_b, qn_b):
-        # exact quantized sims, identical ops to _pair_sims_block
-        terms = np.floor(
-            mat_a[:, None, :] * mat_b[None, :, :] * 1e12
-        ).astype(np.int64)
-        return terms.sum(axis=2) / 1e12 / np.sqrt(
-            qn_a[:, None] * qn_b[None, :]
-        )
+        # exact quantized sims, identical ops to _pair_sims_block; the
+        # ×dim int64 TERMS tensor is built in row chunks so per-task
+        # memory stays ~64 MB at any block size (the a×b sim matrix
+        # itself is only 8 bytes/pair and is kept whole)
+        sim = np.empty((len(ids_a), len(ids_b)), dtype=np.float64)
+        chunk = max(1, 8_000_000 // max(1, len(ids_b) * mat_a.shape[1]))
+        for s in range(0, len(ids_a), chunk):
+            blk = slice(s, s + chunk)
+            terms = np.floor(
+                mat_a[blk][:, None, :] * mat_b[None, :, :] * 1e12
+            ).astype(np.int64)
+            sim[blk] = terms.sum(axis=2) / 1e12 / np.sqrt(
+                qn_a[blk][:, None] * qn_b[None, :]
+            )
+        return sim
 
     def _topk(ids_a, ids_b, sim, same):
         key = (1.0 - sim) if by_distance else -sim

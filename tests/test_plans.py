@@ -340,11 +340,15 @@ def test_range_binned_is_equi_join(spark):
     assert "HashJoin" in plan  # broadcast or shuffled hash equi-join
 
 
-def test_precision_at_k_broadcasts_probes(spark):
-    # the query side must broadcast; the corpus scan is the only data-
-    # sized input (broadcast nested-loop is fine: build side is 50 rows)
+def test_precision_at_k_query_side_never_shuffles_corpus_pairs(spark):
+    # round-11 opt: the bounded 50-row query side ships inside the
+    # mapInPandas kernel closure (it previously broadcast into a
+    # nested-loop pair join); the corpus scan is still the only
+    # data-sized input and the pair fan-out must never become a row join
     plan = plan_string(_QUERIES["sim_precision_at_k"](spark, SF_DIR))
-    assert "BroadcastExchange" in plan
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
 
 
 def test_nearest_centroid_broadcasts_centroids(spark):

@@ -168,6 +168,14 @@ PINNED_FAMILIES = {
     "lof_knn_plane": [
         "profile_lof_outliers",
     ],
+    "purchase_edges": [
+        "graph_hits_bipartite",
+        "graph_katz_paths",
+    ],
+    "shingle_index": [
+        "dedup_containment",
+        "dedup_ngram_jaccard",
+    ],
     "daily_rev_plane": [
         "stats_durbin_watson",
         "ts_arch_lm",
@@ -218,17 +226,27 @@ def main() -> int:
     names = sorted(qs) if full else HEADLINE
     reps = 2 if full else 3
 
+    # r12 (r11 verdict item 7): record machine load and per-query rep
+    # spreads so a reader can separate contention from regression
+    # mechanically. ADDITIONS ONLY — every pre-existing key (including
+    # each `queries` entry = best-of-N) is computed exactly as before.
+    load_before = list(os.getloadavg())
     per_query: dict[str, float] = {}
+    per_query_reps: dict[str, list[float]] = {}
     failed: list[str] = []
     for name in names:
         try:
             run(name)  # warmup: codegen + JIT
             best = float("inf")
+            rep_times: list[float] = []
             for _ in range(reps):
                 t0 = time.perf_counter()
                 run(name)
-                best = min(best, time.perf_counter() - t0)
+                dt = time.perf_counter() - t0
+                rep_times.append(round(dt, 3))
+                best = min(best, dt)
             per_query[name] = round(best, 3)
+            per_query_reps[name] = rep_times
         except Exception:
             failed.append(name)
             traceback.print_exc(file=sys.stderr)
@@ -240,6 +258,9 @@ def main() -> int:
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        "load_avg_before": load_before,
+        "load_avg_after": list(os.getloadavg()),
+        "query_reps": per_query_reps,
     }
     if full:
         worst = sorted(per_query.items(), key=lambda kv: -kv[1])[:20]

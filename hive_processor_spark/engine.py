@@ -82,62 +82,61 @@ PIN_LOCK = threading.RLock()
 #: round through never-driver-checked Tier-H families (see SAMPLE_HINT.md
 #: for the ledger); every id here MUST be Tier-H (value-level oracle).
 _SAMPLE_HEAD: tuple[str, ...] = (
-    # events family (12)
-    "events_funnel",
-    "events_sessionize",
-    "events_retention",
-    "events_rfm",
-    "events_cohort",
-    "events_attribution",
-    "events_anomaly",
-    "events_path_analysis",
-    "events_transitions",
-    "events_conversion_windows",
-    "events_inter_arrival",
-    "events_streaks",
-    # dedup family (8)
-    "dedup_minhash_sql",
-    "dedup_simhash_pairs",
-    "dedup_ngram_verify",
-    "dedup_paragraph",
-    "dedup_substring_spans",
-    "dedup_cluster_docs",
-    "dedup_keep_best",
-    "dedup_containment",
-    # similarity / ANN family (8)
-    "sim_ann_ivf",
-    "sim_ann_join",
-    "sim_ann_pq",
-    "sim_knn_batch",
-    "sim_precision_at_k",
-    "sim_mrr",
-    "sim_rrf_fusion",
-    "sim_range_query",
-    # join family (10)
-    "join_asof_nearest",
-    "join_asof_tolerance",
-    "join_salted",
-    "join_star_schema",
-    "join_temporal_dim",
-    "join_range_binned",
-    "join_bloom_prefilter",
-    "join_null_safe",
-    "join_not_in_null_aware",
-    "join_skyline",
-    # tpch family (6)
-    "tpch_q02_min_cost_supplier",
-    "tpch_q03_shipping_priority",
-    "tpch_q09_product_profit",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q21_waiting_supplier",
-    # graph family (6)
-    "graph_pagerank",
-    "graph_triangles",
-    "graph_cc_size_dist",
-    "graph_degree",
-    "graph_kcore",
-    "graph_clustering_coeff",
+    # round-12 head (SAMPLE_HINT.md): 50 never-driver-checked Tier-H ids
+    # from the three largest unchecked pools — ml / stats / ts.
+    # ml family (17)
+    "ml_auc_roc",
+    "ml_confusion_matrix",
+    "ml_linreg",
+    "ml_logistic_score",
+    "ml_naive_bayes",
+    "ml_ndcg",
+    "ml_pr_curve",
+    "ml_calibration_error",
+    "ml_kfold_cv",
+    "ml_survival_km",
+    "ml_lift_deciles",
+    "ml_psi_stability",
+    "ml_spearman",
+    "ml_brier_score",
+    "ml_isotonic_calibration",
+    "ml_decision_stump",
+    "ml_gradient_boost_stumps",
+    # stats family (17)
+    "stats_ks_test",
+    "stats_mann_whitney",
+    "stats_kruskal_wallis",
+    "stats_levene",
+    "stats_anova_oneway",
+    "stats_chi_residuals",
+    "stats_cramers_v",
+    "stats_fisher_exact",
+    "stats_jarque_bera",
+    "stats_kendall_tau",
+    "stats_wilcoxon_signed_rank",
+    "stats_welch_t",
+    "stats_tukey_hsd",
+    "stats_bh_fdr",
+    "stats_grubbs",
+    "stats_cooks_distance",
+    "stats_vif",
+    # ts family (16)
+    "ts_ewma",
+    "ts_holt_winters",
+    "ts_stl_lite",
+    "ts_dickey_fuller",
+    "ts_ljung_box",
+    "ts_changepoint",
+    "ts_hurst",
+    "ts_sma_crossover",
+    "ts_rsi",
+    "ts_bollinger",
+    "ts_drawdown_episodes",
+    "ts_pacf",
+    "ts_periodogram",
+    "ts_croston",
+    "ts_twap",
+    "ts_seasonality",
 )
 
 

@@ -3683,16 +3683,34 @@ def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact audit is the only distinct-width pass."""
     o = load_table(spark, sf_dir, "orders")
     v = o.select(F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("c"))
+    # Round-12 opt pass (r11 verdict item 3): the est and exact lanes
+    # SHARED nothing — the est lane scanned orders into its (e, s)
+    # histogram while the exact lane evaluated the near-unique distinct-
+    # cents groupBy THREE more times (with_global_order's bucket pass +
+    # main pass, plus the n aggregate). The distinct-cents frame is the
+    # common reduction of all four: materialize it ONCE (localCheckpoint —
+    # ~|distinct cents| rows, bounded by the 1e8-cent price domain at any
+    # SF) and fold everything off it. (e, s) is a function of c, so the
+    # (e, s) histogram regrouped from per-cent counts is exactly the
+    # per-row histogram; n is the count sum. One orders scan + one
+    # near-unique aggregation total, where the r11 shape paid four scans
+    # (plan evidence: plans/r12/agg_hdr_histogram_{before,after}.txt).
+    dc = (
+        v.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     e = (F.length(F.bin(F.col("c"))) - 1).alias("e")
-    bucketed = v.select(
+    bucketed = dc.select(
         e,
         (
             F.expr("(c * 32) div (shiftleft(CAST(1 AS BIGINT), length(bin(c)) - 1))")
             - 32
         ).alias("s"),
+        "cnt",
     )
     hist = bucketed.groupBy("e", "s").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+        F.sum("cnt").cast("long").alias("cnt")
     )
     w_cum = Window.orderBy("e", "s").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -3749,11 +3767,11 @@ def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-level cumsum (round-6 window-audit fix), never one partition.
     # Round-11 opt pass: fixed documented-superset bounds (o_totalprice
     # < $1M at every TPC-H SF ⇒ cents < 1e8) skip with_global_order's
-    # span pre-pass. (Measured and rejected: hash-repartition before the
-    # near-unique groupBy and an eager checkpoint of it — the recomputed
-    # subtrees overlap as parallel stages, the checkpoint serializes
-    # them; interleaved best-of-4 old 2.03 s vs +repartition 2.49 s.)
-    dc = v.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # span pre-pass. (r11 measured-and-rejected note on checkpointing dc
+    # superseded: that A/B checkpointed dc for the exact lane ALONE while
+    # the est lane still re-scanned orders; with the est lane also folded
+    # onto dc the checkpoint serves four consumers — r12 same-window A/B
+    # in OPTIMIZATION_r12.md.)
     dn = dc.agg(F.sum("cnt").cast("long").alias("n"))
     dcc = with_global_order(
         dc, "c", cumsums={"cc": "cnt"}, bounds=(0.0, 1e8)

@@ -671,6 +671,51 @@ def graph_label_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: fixture actually contains, unlike a synthetic follower graph.
 _HITS_TOP = 15
 
+#: One pinned distinct purchase-edge list per (session, fixture dir) —
+#: round-12 opt pass (r11 verdict item 5, extending the ``_knn_edges``
+#: pin discipline). ``graph_hits_bipartite`` consumes the edge frame in
+#: THREE sweep subtrees and ``graph_katz_paths`` in FIVE; each evaluation
+#: re-ran the orders ⋈ lineitem join + distinct per subtree (static plans:
+#: plans/r12/graph_{hits_bipartite,katz_paths}_before.txt carry the
+#: repeated Exchange hashpartitioning(l_orderkey) scans). The pin derives
+#: it once per session: lineage-backed persist (evicted blocks recompute,
+#: never wrong), LRU-1 (replacing a pin unpersists the old one), keyed on
+#: applicationId so a new session never reads stale state. Size law
+#: (SCALING.md): |e| = distinct (custkey, suppkey) pairs ≤ min(|lineitem|,
+#: |customer|·|supplier|) — the domain product saturates at scale, so the
+#: pin is a reduced aggregate, not a data copy. Attributed in bench.py's
+#: PINNED_FAMILIES as ``purchase_edges``.
+_PURCHASE_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _purchase_edges_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (c=o_custkey, s=l_suppkey) purchase edges, session-pinned."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PURCHASE_EDGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with PIN_LOCK:
+        hit = _PURCHASE_EDGE_CACHE.get(key)
+        if hit is not None:
+            return hit
+        for k in list(_PURCHASE_EDGE_CACHE):
+            try:
+                _PURCHASE_EDGE_CACHE.pop(k).unpersist()
+            except Exception:
+                pass  # stale session handle — nothing left to release
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        df = (
+            orders.join(li, li.l_orderkey == orders.o_orderkey)
+            .select(
+                F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+            )
+            .distinct()
+            .persist()
+        )
+        _PURCHASE_EDGE_CACHE[key] = df
+        return df
+
 
 @register(
     "graph_hits_bipartite",
@@ -746,14 +791,13 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     best-of-N protocol in BENCH_VARIANCE.md). Sweep
     joins carry NO broadcast hint: the score side is node-count-sized
     and grows with scale, so the build-side choice is left to AQE's
-    runtime size stats (broadcast at fixture scale, shuffle at 100 TB)."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    e = (
-        orders.join(li, li.l_orderkey == orders.o_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    runtime size stats (broadcast at fixture scale, shuffle at 100 TB).
+
+    Round-12 opt pass: the edge list is the session pin
+    ``_purchase_edges_pinned`` (shared with ``graph_katz_paths``) — one
+    orders ⋈ lineitem distinct per session instead of one per sweep
+    subtree per evaluation."""
+    e = _purchase_edges_pinned(spark, sf_dir)
 
     def quantize(df: DataFrame, key: str) -> DataFrame:
         # scalar max rides in as a broadcast 1-row frame; within the one
@@ -843,14 +887,13 @@ def graph_katz_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: three BSP matvec joins on the reduced distinct edge list,
     each one shuffle keyed on an endpoint; walk counts stay integer and
-    merge by addition (map-side combinable)."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    e = (
-        orders.join(li, li.l_orderkey == orders.o_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    merge by addition (map-side combinable).
+
+    Round-12 opt pass: the edge list is the session pin
+    ``_purchase_edges_pinned`` (shared with ``graph_hits_bipartite``) —
+    one orders ⋈ lineitem distinct per session instead of five subtree
+    re-derivations per evaluation."""
+    e = _purchase_edges_pinned(spark, sf_dir)
     degs = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("w1"))
     degc = e.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     w2 = (

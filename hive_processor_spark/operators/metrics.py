@@ -8489,49 +8489,120 @@ def stats_winsorized_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("x"),
         F.col("l_quantity").cast("long").alias("y"),
     )
-    nn = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # Round-12 opt pass (r11 verdict item 4): the thresholds are FOUR
+    # order-statistic PROBES (ranks g+1 and n−g per margin) — they never
+    # needed the full per-distinct-value cumulative that the r11 shape
+    # built per margin (near-unique groupBy evaluated twice inside
+    # with_global_order, window over ~|distinct| rows). Probe-only
+    # two-pass instead, both margins sharing each pass via a 2-way
+    # margin-tag explode:
+    #   1. ONE scan → bucket histogram per margin (≤ 2·(NB+1) cells; the
+    #      grids are the r11 documented-superset domains: cents < 2e7,
+    #      quantity < 64 — monotone bucket id, so any superset is exact),
+    #      cumulated in a window over the tiny bucket frame; the target
+    #      bucket + its prefix count for each rank fold as conditional
+    #      aggregates (the D1 probe fold).
+    #   2. ONE scan filtered to the ≤ 4 target buckets (broadcast probe
+    #      row) → per-value counts inside those buckets only, tiny
+    #      cumulative, exact threshold value = min value with
+    #      prefix + within-bucket cum ≥ rank.
+    # Exact because the bucket id is monotone in the value: every value
+    # in a bucket before the target bucket has cum < rank, every value
+    # after is larger than the in-bucket answer. Shuffle ∝ bucket cells,
+    # not distinct values; no near-unique aggregation anywhere.
+    NB = 4096
+    WX = 2e7 / NB
+    WY = 64.0 / NB
 
-    def _th(col, bounds):
-        # round-6 window-audit fix: the per-margin distinct-value
-        # cumulative runs through the bucketed two-level machinery.
-        # Round-11 opt pass: fixed documented-superset bounds (cents <
-        # 2e7 at every TPC-H SF, quantity < 64) skip with_global_order's
-        # span pre-pass — one fewer derivation of the near-unique
-        # histogram subtree; the grid only affects bucket balance, never
-        # results. (Measured and rejected here: hash-repartition before
-        # the groupBy and an eager checkpoint of the histogram — the
-        # recomputed subtrees overlap as parallel stages inside the one
-        # job, while the checkpoint serializes them into extra jobs and
-        # the repartition adds a row-count-sized shuffle: interleaved
-        # best-of-4 old 2.48 s / bounds-only 2.31 s / +repartition 2.58 s
-        # / +checkpoint 2.81 s.)
-        grp = v.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
-        cum = (
-            with_global_order(grp, col, cumsums={"cum": "c"}, bounds=bounds)
-            .crossJoin(F.broadcast(nn))
-            .select(
-                col,
-                "cum",
-                F.col("n"),
-                F.floor(0.1 * F.col("n")).cast("long").alias("g"),
+    def _b(col, w):
+        return F.least(
+            F.floor(F.col(col).cast("double") / F.lit(w)), F.lit(NB)
+        ).cast("long")
+
+    tagged = v.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("x").alias("m"),
+                    _b("x", WX).alias("b"),
+                    F.col("x").alias("val"),
+                ),
+                F.struct(
+                    F.lit("y").alias("m"),
+                    _b("y", WY).alias("b"),
+                    F.col("y").alias("val"),
+                ),
             )
-        )
-        return cum.agg(
-            F.min(
-                F.when(F.col("cum") >= F.col("g") + 1, F.col(col))
-            ).alias("lo"),
-            F.min(
-                F.when(F.col("cum") >= F.col("n") - F.col("g"), F.col(col))
-            ).alias("hi"),
-        )
-
-    xth = _th("x", (0.0, 2e7)).select(
-        F.col("lo").alias("xlo"), F.col("hi").alias("xhi")
+        ).alias("t")
+    ).select("t.m", "t.b", "t.val")
+    hist = tagged.groupBy("m", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    yth = _th("y", (0.0, 64.0)).select(
-        F.col("lo").alias("ylo"), F.col("hi").alias("yhi")
+    w_cum = (
+        Window.partitionBy("m")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    clipped = v.crossJoin(F.broadcast(xth)).crossJoin(F.broadcast(yth)).select(
+    w_all = Window.partitionBy("m")
+    cum = hist.select(
+        "m",
+        "b",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    ).withColumn("g", F.floor(0.1 * F.col("n")).cast("long"))
+    # present buckets have cnt ≥ 1 ⇒ cum is strictly increasing in b, so
+    # the conditional MINs pick the FIRST qualifying bucket and its
+    # exclusive prefix (cum − cnt) consistently
+    probe = cum.groupBy("m").agg(
+        F.min(
+            F.when(F.col("cum") >= F.col("g") + 1, F.col("b"))
+        ).alias("b_lo"),
+        F.min(
+            F.when(F.col("cum") >= F.col("g") + 1, F.col("cum") - F.col("cnt"))
+        ).alias("p_lo"),
+        F.min(
+            F.when(F.col("cum") >= F.col("n") - F.col("g"), F.col("b"))
+        ).alias("b_hi"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.col("n") - F.col("g"),
+                F.col("cum") - F.col("cnt"),
+            )
+        ).alias("p_hi"),
+        F.max("n").alias("n"),
+        F.max("g").alias("g"),
+    )
+    refined = (
+        tagged.join(F.broadcast(probe), "m")
+        .filter((F.col("b") == F.col("b_lo")) | (F.col("b") == F.col("b_hi")))
+        .groupBy(
+            "m", "b", "val", "b_lo", "p_lo", "b_hi", "p_hi", "n", "g"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w_loc = (
+        Window.partitionBy("m", "b")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = refined.withColumn("lcum", F.sum("c").over(w_loc))
+    # all four thresholds fold into ONE 1-row aggregate (margin-
+    # conditional mins) — a per-margin groupBy followed by two filtered
+    # consumers would evaluate the whole probe subtree once per margin
+    lo_cond = (F.col("b") == F.col("b_lo")) & (
+        F.col("p_lo") + F.col("lcum") >= F.col("g") + 1
+    )
+    hi_cond = (F.col("b") == F.col("b_hi")) & (
+        F.col("p_hi") + F.col("lcum") >= F.col("n") - F.col("g")
+    )
+    th = loc.agg(
+        F.min(F.when((F.col("m") == "x") & lo_cond, F.col("val"))).alias("xlo"),
+        F.min(F.when((F.col("m") == "x") & hi_cond, F.col("val"))).alias("xhi"),
+        F.min(F.when((F.col("m") == "y") & lo_cond, F.col("val"))).alias("ylo"),
+        F.min(F.when((F.col("m") == "y") & hi_cond, F.col("val"))).alias("yhi"),
+    )
+    clipped = v.crossJoin(F.broadcast(th)).select(
         F.greatest(F.col("xlo"), F.least(F.col("xhi"), F.col("x"))).alias("xw"),
         F.greatest(F.col("ylo"), F.least(F.col("yhi"), F.col("y"))).alias("yw"),
         "x",

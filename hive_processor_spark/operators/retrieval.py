@@ -44,6 +44,31 @@ _SQL_PAIRS = f"""
 """
 
 
+#: Pair-mass floor (|q|·|corpus| cosine evaluations) above which the
+#: mapInPandas numpy kernel beats the codegen HOF fold. Below it the
+#: Python-worker + Arrow round-trip costs more than the interpreted folds
+#: it replaces — the round-11 kernel measured SLOWER at bench SF on 3 of
+#: its 4 consumers (r11 verdict item 1). The mass is derived from the
+#: loaded frame's own parquet row count (never a local-mode constant);
+#: the crossover was measured by same-window A/B at 1×/4×/10× corpus
+#: replicas (OPTIMIZATION_r12.md).
+_KERNEL_MIN_PAIRS = 300_000
+
+
+def _embeddings_rows(spark: SparkSession, sf_dir: str) -> int:
+    """Row count of the embeddings fixture — parquet footer metadata only
+    (no Spark job); falls back to a count() (itself metadata-only for a
+    bare parquet scan) if the footer read fails."""
+    try:
+        import pyarrow.parquet as pq
+
+        return int(
+            pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+        )
+    except Exception:
+        return int(load_table(spark, sf_dir, "embeddings").count())
+
+
 def _ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(qid, qlabel, cid, clabel, sim, rn) — corpus ranked per query by
     quantized cosine, vec_id tie-break. Broadcast the 50-row query side;
@@ -51,25 +76,81 @@ def _ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is computed ONCE per row before the pair fan-out (the quantized values
     are identical, so results don't change) and the corpus side is
     repartitioned — the fixture is a single parquet file, and without the
-    spread every pair's interpreted HOF cosine would run on one core."""
-    # Round-11 opt pass: the query×corpus cosines were a codegen HOF fold
-    # per pair (~|q|·|corpus|·dim interpreted lambda evaluations — the
-    # stage's whole cost, paid by all four consumers of this helper). The
-    # query side is BOUNDED (< _Q_MAX = 50 rows — the regression.py
-    # ≤50-row driver-state discipline), so it ships into a mapInPandas
-    # kernel that reproduces dot_q/sq_norm_q BIT-IDENTICALLY: per-element
-    # float64 products floor-quantized to int64 at 1e12, integer-summed,
-    # the same double divisions (guide §4.2). The window and every
-    # downstream consumer are unchanged.
+    spread every pair's interpreted HOF cosine would run on one core.
+
+    Two bit-identical lanes, gated on the ACTUAL pair mass |q|·|corpus|
+    read from the frame (r12 opt pass, r11 verdict item 1): below
+    ``_KERNEL_MIN_PAIRS`` the codegen HOF fold wins (no Python boundary);
+    above it the numpy kernel lane wins (vectorized batches, guide §4.2).
+    NOTE the kernel lane runs an EAGER ≤``_Q_MAX``-row collect of the
+    query side at DataFrame-construction time (plan-building triggers a
+    Spark job — explain-only flows pay it too); an empty query side falls
+    through to the lazy HOF lane, which yields the same empty frame."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_corpus = max(0, _embeddings_rows(spark, sf_dir) - _Q_MAX)
+    if _Q_MAX * n_corpus >= _KERNEL_MIN_PAIRS:
+        out = _ranked_pairs_kernel(spark, emb)
+        if out is not None:
+            return out
+    return _ranked_pairs_hof(spark, emb)
+
+
+def _ranked_pairs_hof(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """HOF-fold lane: quantized cosine as codegen JVM expressions — the
+    cheapest shape while the pair mass is small (no JVM↔Python boundary,
+    no worker spin-up)."""
+    q = emb.filter(F.col("vec_id") < _Q_MAX).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+        sq_norm_q(F.col("embedding")).alias("qn"),
+    )
+    c = (
+        emb.filter(F.col("vec_id") >= _Q_MAX)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clabel"),
+            F.col("embedding").alias("cv"),
+            sq_norm_q(F.col("embedding")).alias("cn"),
+        )
+    )
+    pairs = c.join(F.broadcast(q)).select(
+        "qid",
+        "qlabel",
+        "cid",
+        "clabel",
+        (
+            dot_q(F.col("qv"), F.col("cv"))
+            / F.sqrt(F.col("qn") * F.col("cn"))
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return pairs.withColumn("rn", F.row_number().over(w))
+
+
+def _ranked_pairs_kernel(spark: SparkSession, emb: DataFrame) -> DataFrame | None:
+    """Kernel lane (round-11 opt pass): the query×corpus cosines were a
+    codegen HOF fold per pair (~|q|·|corpus|·dim interpreted lambda
+    evaluations — the stage's whole cost, paid by all four consumers of
+    this helper). The query side is BOUNDED (< _Q_MAX = 50 rows — the
+    regression.py ≤50-row driver-state discipline), so it ships into a
+    mapInPandas kernel that reproduces dot_q/sq_norm_q BIT-IDENTICALLY:
+    per-element float64 products floor-quantized to int64 at 1e12,
+    integer-summed, the same double divisions (guide §4.2). The window and
+    every downstream consumer are unchanged. Collects the ≤50-row query
+    side EAGERLY; returns None when it is empty (caller falls back to the
+    lazy HOF lane)."""
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings")
     qrows = (
         emb.filter(F.col("vec_id") < _Q_MAX)
         .select("vec_id", "label", "embedding")
         .collect()
     )
+    if not qrows:
+        return None
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_lab = np.array([r["label"] for r in qrows], dtype=np.int32)
     q_mat = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)

@@ -116,6 +116,12 @@ def _pair_sims_block(
 
     def _mat(pdf_slice):  # pragma: no cover - executed on executors
         ids = pdf_slice["vec_id"].to_numpy(np.int64)
+        if len(ids) == 0:
+            # an empty residue class mod B (sparse corpus): np.array of an
+            # empty list is shape (0,), whose .sum(axis=1) raises — return
+            # the explicitly-2D empty shapes so callers' emptiness guards
+            # see a well-formed triple (r11 ADVICE item 1)
+            return ids, np.empty((0, 0), np.float64), np.empty(0, np.float64)
         mat = np.array(list(pdf_slice["embedding"]), dtype=np.float64)
         qn = np.floor(mat * mat * 1e12).astype(np.int64).sum(axis=1) / 1e12
         return ids, mat, qn
@@ -244,12 +250,27 @@ def _knn_candidates_block(
 
     def _mat(pdf_slice):  # pragma: no cover - executed on executors
         ids = pdf_slice["vec_id"].to_numpy(np.int64)
+        if len(ids) == 0:
+            # empty residue class mod B: keep the triple well-formed
+            # instead of letting .sum(axis=1) raise on a (0,)-shaped
+            # array (r11 ADVICE item 1)
+            return ids, np.empty((0, 0), np.float64), np.empty(0, np.float64)
         mat = np.array(list(pdf_slice["embedding"]), dtype=np.float64)
         # id-ascending order so a STABLE argsort of the key matrix breaks
         # key ties by ascending j — the consumers' exact tie-break
         o = np.argsort(ids, kind="stable")
         ids, mat = ids[o], mat[o]
         qn = np.floor(mat * mat * 1e12).astype(np.int64).sum(axis=1) / 1e12
+        if not (qn > 0).all():
+            # a zero-norm embedding makes every one of its sims NaN, and
+            # np.argsort places NaN keys LAST while the Spark window this
+            # kernel replaces (sim DESC) ranks NaN FIRST — refuse loudly
+            # rather than silently diverge (r11 ADVICE item 2)
+            raise ValueError(
+                "zero quantized norm embedding in kNN kernel: NaN sims "
+                "order differently than the window form; fixture must "
+                "contain no zero vectors"
+            )
         return ids, mat, qn
 
     def _sims(ids_a, mat_a, qn_a, ids_b, mat_b, qn_b):
@@ -1011,35 +1032,42 @@ def sim_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross.unionByName(within)
 
 
-#: sf_dir → prepared cell-partitioned layout path (process-local memo; the
-#: on-disk _SUCCESS marker makes the layout reusable across processes too).
-_IVF_LAYOUT_CACHE: dict[str, str] = {}
+#: (applicationId, sf_dir) → prepared cell-partitioned layout path.
+#: SESSION-scoped by construction (r12; r11 verdict "What's wrong" #4):
+#: the path carries the applicationId, so a fresh process always rebuilds
+#: the layout from the parquet inputs — no intermediate keyed on the
+#: fixture dir ever survives across runs. Same discipline as every
+#: in-memory pin, applied to the one disk-backed layout.
+_IVF_LAYOUT_CACHE: dict[tuple[str, str], str] = {}
 
 
 def ivf_prepare(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once) the cell-partitioned physical layout IVF probes read.
+    """Build (once per session) the cell-partitioned layout IVF probes read.
 
     This is the index-build half of IVF, separated from the probe path: at
     100 TB the partitioned rewrite is a one-time batch job (hours), while
     probes are interactive — an operator that rebuilds the layout per query
-    would be wrong by construction. Keyed by ``sf_dir``; the ``_SUCCESS``
-    marker short-circuits rebuilds across sessions sharing the scratch dir.
+    would be wrong by construction. Keyed by (applicationId, sf_dir): the
+    first probe of a session pays the build, every later probe reads the
+    layout; nothing is reused across processes.
     """
     import hashlib
     import os
 
     from hive_processor_spark.sources.roundtrip import _SCRATCH_ROOT
 
-    path = _IVF_LAYOUT_CACHE.get(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _IVF_LAYOUT_CACHE.get(key)
     if path is None:
         os.makedirs(_SCRATCH_ROOT, exist_ok=True)
-        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        digest = hashlib.md5(
+            f"{key[0]}:{sf_dir}".encode()
+        ).hexdigest()[:12]
         path = os.path.join(_SCRATCH_ROOT, f"ivf-layout-{digest}")
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            load_table(spark, sf_dir, "embeddings").write.mode(
-                "overwrite"
-            ).partitionBy("label").parquet(path)
-        _IVF_LAYOUT_CACHE[sf_dir] = path
+        load_table(spark, sf_dir, "embeddings").write.mode(
+            "overwrite"
+        ).partitionBy("label").parquet(path)
+        _IVF_LAYOUT_CACHE[key] = path
     return path
 
 

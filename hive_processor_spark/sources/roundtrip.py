@@ -39,7 +39,12 @@ def _prepare_partitioned(
     stale hit), and the write lands in a unique temp dir that is RENAMED
     into place — two concurrent first requests each build their own temp
     and exactly one rename wins; the loser discards its copy and reads
-    the winner's. No reader can ever observe a half-written layout."""
+    the winner's. No reader can ever observe a half-written layout.
+
+    SESSION-scoped (r12, same discipline as ``ivf_prepare``): the digest
+    folds in the applicationId, so every fresh process rebuilds its
+    layouts from the parquet inputs — no intermediate keyed only on the
+    fixture dir survives across runs."""
     import hashlib
     import shutil
     import uuid
@@ -50,7 +55,8 @@ def _prepare_partitioned(
         fp = f"{st.st_mtime_ns}-{st.st_size}"
     except OSError:
         fp = "0"
-    digest = hashlib.md5(f"{sf_dir}:{fp}".encode()).hexdigest()[:12]
+    app_id = spark.sparkContext.applicationId
+    digest = hashlib.md5(f"{app_id}:{sf_dir}:{fp}".encode()).hexdigest()[:12]
     path = os.path.join(_SCRATCH_ROOT, f"{tag}-{digest}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         os.makedirs(_SCRATCH_ROOT, exist_ok=True)

@@ -6,6 +6,8 @@ counts are small and deadlines off: each example drives a real Spark job.
 
 from __future__ import annotations
 
+import pytest
+
 from decimal import Decimal
 
 from hypothesis import HealthCheck, given, settings
@@ -80,6 +82,7 @@ def test_asof_join_matches_reference(spark, left, right):
         assert got[(k, lts)] == expect, (k, t)
 
 
+@pytest.mark.slow
 @given(
     edges=st.lists(
         st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=30

@@ -12,8 +12,24 @@ from tools.check import compare
 _QUERIES = queries()
 _ORACLES = oracles()
 
+# r12 (r11 verdict item 2): the full 849-id parametrization is ~half the
+# suite's wall time and no longer fits the verification driver's window.
+# The 50 driver-sampled head ids stay in the default profile (they mirror
+# exactly what the driver checks); the rest carry the `slow` marker and
+# run in the builder's close gate (`-m "slow or not slow"`) plus the
+# standalone `tools.check` differential (3 configs, all 849).
+from hive_processor_spark.engine import _SAMPLE_HEAD
 
-@pytest.mark.parametrize("name", sorted(_QUERIES))
+_HEAD = set(_SAMPLE_HEAD)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        n if n in _HEAD else pytest.param(n, marks=pytest.mark.slow)
+        for n in sorted(_QUERIES)
+    ],
+)
 def test_query_matches_oracle(name, spark, duck):
     sdf = _QUERIES[name](spark, SF_DIR).toPandas()
     if name not in _ORACLES:

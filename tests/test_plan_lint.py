@@ -6,9 +6,12 @@ can't ship."""
 
 from __future__ import annotations
 
+import pytest
+
 from tools.plan_lint import lint
 
 
+@pytest.mark.slow
 def test_registry_plans_clean(spark):
     bad = lint()
     assert not bad, f"plan lint flagged: {bad}"

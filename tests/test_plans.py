@@ -341,11 +341,35 @@ def test_range_binned_is_equi_join(spark):
 
 
 def test_precision_at_k_query_side_never_shuffles_corpus_pairs(spark):
-    # round-11 opt: the bounded 50-row query side ships inside the
-    # mapInPandas kernel closure (it previously broadcast into a
-    # nested-loop pair join); the corpus scan is still the only
-    # data-sized input and the pair fan-out must never become a row join
+    # round-12 opt (r11 verdict item 1): the pair lane is gated on the
+    # ACTUAL pair mass. The test fixture sits below _KERNEL_MIN_PAIRS, so
+    # the plan must be the HOF lane — the bounded 50-row query side
+    # BROADCAST into the pair fan-out (BroadcastNestedLoopJoin over a
+    # provably ≤50-row build side), with NO Python boundary and never a
+    # shuffled/cartesian row join of the corpus pairs.
+    from hive_processor_spark.operators.retrieval import (
+        _KERNEL_MIN_PAIRS,
+        _Q_MAX,
+        _embeddings_rows,
+    )
+
+    mass = _Q_MAX * max(0, _embeddings_rows(spark, SF_DIR) - _Q_MAX)
+    assert mass < _KERNEL_MIN_PAIRS  # fixture premise for the lane choice
     plan = plan_string(_QUERIES["sim_precision_at_k"](spark, SF_DIR))
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_ranked_pairs_kernel_lane_is_map_in_pandas(spark):
+    # the above-threshold lane (what runs at scale) must stay the Arrow
+    # kernel: corpus scan → MapInPandas, no row join of the pairs at all
+    from hive_processor_spark.operators.retrieval import _ranked_pairs_kernel
+    from hive_processor_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = plan_string(_ranked_pairs_kernel(spark, emb))
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan

@@ -42,6 +42,7 @@ def test_reject_nonscalar_green_on_scalars():
     )
 
 
+@pytest.mark.slow
 def test_every_tier_h_schema_is_scalar(spark):
     """Build (lazily) every oracle-backed query at sf0.001 and check its
     declared schema — the cheap, exhaustive version of the driver's hash

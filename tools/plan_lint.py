@@ -120,6 +120,16 @@ CACHE_SCAN_OK = {
         "deliberate persist(): the session-pinned 3-NN edge list reused"
         " by all three HyperBall merge sweeps; lineage-backed"
     ),
+    "graph_hits_bipartite": (
+        "consumes the session-pinned distinct purchase-edge list"
+        " (round-12, r11 verdict item 5; shared with graph_katz_paths);"
+        " lineage-backed, LRU-1"
+    ),
+    "graph_katz_paths": (
+        "consumes the session-pinned distinct purchase-edge list"
+        " (round-12; shared with graph_hits_bipartite); lineage-backed,"
+        " LRU-1"
+    ),
     "graph_degree": (
         "consumes the session-pinned simhash near-dup pair frame"
         " (round-9, shared with graph_pagerank / graph_kcore /"

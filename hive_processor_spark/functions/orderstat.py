@@ -271,6 +271,7 @@ def grouped_order_statistics(
     cnt: str,
     ranks: dict[str, object],
     n_buckets: int = 4096,
+    bounds: dict | None = None,
 ) -> DataFrame:
     """Exact order statistics per group from a ``(group, value, count)``
     HISTOGRAM — no group-wide sort, no top-k funnel.
@@ -297,29 +298,60 @@ def grouped_order_statistics(
     for 5 quantiles costs one extra tiny probe row each, not 5 passes.
     The caller should localCheckpoint ``hist`` if it also consumes it
     elsewhere (this function scans it three times: spans, bucket counts,
-    probe slices).
+    probe slices — or twice with caller-supplied ``bounds``).
+
+    ``bounds`` (r12): optional ``{group_value: (lo, hi)}`` of
+    documented-SUPERSET value domains per group. When given for EVERY
+    group, the span pre-pass is skipped entirely — the bucket grid is
+    fixed from plan constants (monotone in the value, so any superset is
+    exact; the grid affects balance only) and each group's ``n`` folds
+    into the bucket aggregate itself. One fewer scan of ``hist``; exact
+    either way.
     """
-    g = hist.groupBy(part).agg(
-        F.min(v).alias("_gmn"),
-        F.max(v).alias("_gmx"),
-        F.sum(cnt).cast("long").alias("_gn"),
-    )
-    w = F.greatest(
-        (F.col("_gmx").cast("double") - F.col("_gmn").cast("double"))
-        / F.lit(float(n_buckets)),
-        F.lit(1e-300),
-    )
-    hb = hist.join(F.broadcast(g), part).withColumn(
-        "_gb",
-        F.least(
-            F.floor((F.col(v).cast("double") - F.col("_gmn").cast("double")) / w),
-            F.lit(n_buckets).cast("long"),
-        ),
-    )
-    bagg = hb.groupBy(part, "_gb").agg(
-        F.sum(cnt).cast("long").alias("_gbc"),
-        F.max("_gn").alias("_gn"),
-    )
+    if bounds is not None:
+        bexpr = None
+        for label, (lo, hi) in bounds.items():
+            w_ = max((float(hi) - float(lo)) / float(n_buckets), 1e-300)
+            e = F.least(
+                F.floor((F.col(v).cast("double") - F.lit(float(lo))) / F.lit(w_)),
+                F.lit(n_buckets).cast("long"),
+            )
+            bexpr = (
+                e
+                if bexpr is None
+                else F.when(F.col(part) == F.lit(label), e).otherwise(bexpr)
+            )
+        hb = hist.withColumn("_gb", bexpr)
+        bagg = hb.groupBy(part, "_gb").agg(
+            F.sum(cnt).cast("long").alias("_gbc"),
+        )
+        bagg = bagg.withColumn(
+            "_gn", F.sum("_gbc").over(Window.partitionBy(part))
+        )
+    else:
+        g = hist.groupBy(part).agg(
+            F.min(v).alias("_gmn"),
+            F.max(v).alias("_gmx"),
+            F.sum(cnt).cast("long").alias("_gn"),
+        )
+        w = F.greatest(
+            (F.col("_gmx").cast("double") - F.col("_gmn").cast("double"))
+            / F.lit(float(n_buckets)),
+            F.lit(1e-300),
+        )
+        hb = hist.join(F.broadcast(g), part).withColumn(
+            "_gb",
+            F.least(
+                F.floor(
+                    (F.col(v).cast("double") - F.col("_gmn").cast("double")) / w
+                ),
+                F.lit(n_buckets).cast("long"),
+            ),
+        )
+        bagg = hb.groupBy(part, "_gb").agg(
+            F.sum(cnt).cast("long").alias("_gbc"),
+            F.max("_gn").alias("_gn"),
+        )
     wcum = (
         Window.partitionBy(part)
         .orderBy("_gb")
@@ -337,6 +369,7 @@ def grouped_order_statistics(
         cum.select(
             part,
             "_gb",
+            "_gn",
             "_gcl",
             "_gch",
             F.explode(
@@ -359,6 +392,9 @@ def grouped_order_statistics(
             F.col("_gb").alias("_pb"),
             F.col("_gp._gname").alias("_gname"),
             (F.col("_gp._gk") - F.col("_gcl")).alias("_goff"),
+            # n rides the probe row (from cum) so the slice join attaches
+            # it in BOTH grid modes — the bounds-mode hb has no _gn column
+            F.col("_gn").alias("_pgn"),
         )
     )
     slice_ = hb.join(
@@ -376,17 +412,17 @@ def grouped_order_statistics(
             "_gname",
             v,
             "_goff",
-            "_gn",
+            "_pgn",
             F.sum(cnt).over(win).alias("_gwh"),
             (F.sum(cnt).over(win) - F.col(cnt)).alias("_gwl"),
         )
         .filter((F.col("_gwl") < F.col("_goff")) & (F.col("_goff") <= F.col("_gwh")))
-        .select(part, "_gname", F.col(v).alias("_gv"), "_gn")
+        .select(part, "_gname", F.col(v).alias("_gv"), "_pgn")
     )
-    # n rides the slice rows (hb carries it), so no extra join/scan of the
-    # span subtree is needed to attach it
+    # n rides the probe rows (cum carries it), so no extra join/scan of
+    # the span subtree is needed to attach it
     return hit.groupBy(part).agg(
-        F.max("_gn").cast("long").alias("n"),
+        F.max("_pgn").cast("long").alias("n"),
         *[
             F.max(F.when(F.col("_gname") == name, F.col("_gv"))).alias(name)
             for name in ranks

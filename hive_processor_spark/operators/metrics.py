@@ -15901,38 +15901,41 @@ def stats_blomqvist_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("p"),
     )
     # Round-11 opt pass: percentile_disc is an ImperativeAggregate that
-    # buffers every value — and the single-row-group fixture scan ran
-    # both margins' buffers in ONE task (sort included). The medians are
-    # instead read off per-value histograms through the bucketed
-    # two-level cumulative: PERCENTILE_DISC(0.5) ≡ the smallest value
-    # whose running count reaches ceil(n/2) (cume_dist ≥ 0.5), exact in
-    # integers on both engines — the oracle is unchanged and the emitted
-    # medians are the identical data values. The near-unique price margin
-    # gets the hash-repartition medicine + a checkpoint (with_global_order
-    # scans its input twice); fixed documented-superset bounds skip the
-    # span pre-pass.
-    nn = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    par = spark.sparkContext.defaultParallelism
-    half = F.floor((F.col("n") + 1) / 2).cast("long")
+    # buffers every value; the medians are read off cumulative counts
+    # instead — PERCENTILE_DISC(0.5) ≡ the smallest value whose running
+    # count reaches ceil(n/2), exact in integers on both engines, oracle
+    # unchanged. Round-12 opt pass (the winsorized probe machinery): the
+    # per-margin near-unique groupBy + checkpoint + full bucketed
+    # cumulative were all serving a SINGLE order-statistic probe per
+    # margin — replaced by grouped_order_statistics over the margin-
+    # tagged raw rows with fixed documented-superset bounds (quantity
+    # < 64, cents < 2e7): one bucket-count scan + one target-bucket
+    # slice scan, shuffle ∝ bucket cells, no near-unique aggregation and
+    # no value-distinct cumulative anywhere (in-session A/B in
+    # OPTIMIZATION_r12.md).
+    from hive_processor_spark.functions.orderstat import (
+        grouped_order_statistics,
+    )
 
-    def _med(col, bounds, spread_grp):
-        grp = v.repartition(par, col) if spread_grp else v
-        grp = (
-            grp.groupBy(col)
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
-            .localCheckpoint(eager=True)
-        )
-        cum = with_global_order(
-            grp, col, cumsums={"cum": "c"}, bounds=bounds
-        ).crossJoin(F.broadcast(nn))
-        return cum.agg(
-            F.min(F.when(F.col("cum") >= half, F.col(col))).alias("m")
-        )
-
-    med = (
-        _med("q", (0.0, 64.0), False)
-        .select(F.col("m").alias("mq"))
-        .crossJoin(_med("p", (0.0, 2e7), True).select(F.col("m").alias("mp")))
+    tagged = v.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("q").alias("m"), F.col("q").alias("val")),
+                F.struct(F.lit("p").alias("m"), F.col("p").alias("val")),
+            )
+        ).alias("t")
+    ).select("t.m", "t.val", F.lit(1).alias("c"))
+    meds = grouped_order_statistics(
+        tagged,
+        "m",
+        "val",
+        "c",
+        {"med": lambda n: F.floor((n + 1) / 2).cast("long")},
+        bounds={"q": (0.0, 64.0), "p": (0.0, 2e7)},
+    )
+    med = meds.agg(
+        F.max(F.when(F.col("m") == "q", F.col("med"))).alias("mq"),
+        F.max(F.when(F.col("m") == "p", F.col("med"))).alias("mp"),
     )
     sq = (
         F.when(F.col("q") > F.col("mq"), 1)

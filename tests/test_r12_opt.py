@@ -111,6 +111,41 @@ def test_winsorized_probe_thresholds_match_brute_force(spark):
     assert abs(row["r_winsorized"] - exp_w) <= 1e-6
 
 
+def test_grouped_order_statistics_bounds_mode_equals_span_mode(spark):
+    """The r12 `bounds` fast path (fixed superset grids, no span
+    pre-pass) must return exactly what the span-scanning mode returns
+    for every rank, including values at the bucket-clamp edge."""
+    from hive_processor_spark.functions.orderstat import (
+        grouped_order_statistics,
+    )
+
+    rows = [("a", v, 1) for v in [3, 1, 7, 7, 2, 9, 100]] + [
+        ("b", v, 2) for v in [5, 5, 6, 0, 63]
+    ]
+    hist = spark.createDataFrame(rows, "g string, v long, c long")
+    ranks = {
+        "lo": lambda n: F.lit(1).cast("long"),
+        "med": lambda n: F.floor((n + 1) / 2).cast("long"),
+        "hi": lambda n: n,
+    }
+    span = {
+        r["g"]: (r["n"], r["lo"], r["med"], r["hi"])
+        for r in grouped_order_statistics(hist, "g", "v", "c", ranks).collect()
+    }
+    bounded = {
+        r["g"]: (r["n"], r["lo"], r["med"], r["hi"])
+        for r in grouped_order_statistics(
+            hist,
+            "g",
+            "v",
+            "c",
+            ranks,
+            bounds={"a": (0.0, 100.0), "b": (0.0, 64.0)},
+        ).collect()
+    }
+    assert span == bounded
+
+
 def test_ranked_pairs_gate_uses_actual_pair_mass(spark):
     from hive_processor_spark.operators import retrieval as R
 

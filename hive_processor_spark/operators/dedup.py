@@ -2955,10 +2955,18 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("e").over(w_win).alias("emin"),
         F.count(F.lit(1)).over(w_win).alias("c"),
     )
+    # Round-12 opt pass: the winnowed index feeds FOUR consumers (sizes,
+    # the df filter, both join sides) — without a barrier the whole
+    # selection subtree (clone-collapse groupBy + k-gram md5 explode +
+    # window + distinct, the operator's dominant cost) re-evaluates per
+    # consumer (before-plan: 5× the scan, 700 lines). One eager
+    # checkpoint of the ~2/(w+1)-sampled index serves all four
+    # (same-window A/B in OPTIMIZATION_r12.md).
     sel = (
         wins.filter(F.col("c") == _WN_W)
         .select("rep_id", F.floor(F.col("emin") / _WN_M).alias("hsel"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = sel.groupBy("rep_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
     keep = sel.groupBy("hsel").agg(F.count(F.lit(1)).alias("df")).filter(

@@ -6217,50 +6217,159 @@ def stats_yuen_trimmed_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Round-11 opt pass measured and rejected: hash-repartition before
     # the (sample, value) aggregation + an eager checkpoint of the
-    # histogram — the two consumers' recomputed subtrees overlap as
-    # parallel stages inside the one job, while the checkpoint serializes
-    # them (interleaved best-of-6: old 1.77 s, medicine 2.00 s).
-    grp = v.groupBy("is_x", "cents").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # histogram (interleaved best-of-6: old 1.77 s, medicine 2.00 s).
+    # Round-12 opt pass: the blomqvist/winsorized bucket-probe machinery
+    # EXTENDED to rank-RANGE sums. The r11 shape built a near-unique
+    # (sample, cents) cumulative and sorted each sample's whole distinct
+    # domain through ONE window task; but the trimmed/winsorized moments
+    # only need (a) the two boundary order statistics and (b) the sum /
+    # sum-of-squares over ranks g+1..n−g — and rank ranges decompose over
+    # monotone buckets: buckets strictly between the two TARGET buckets
+    # contribute their full (Σcents, Σcents²) from the bucket pass, and
+    # only the ≤2 target buckets per sample need per-value refinement
+    # (the exact `inside` clip, applied with global ranks = bucket prefix
+    # + local cumulative). Two scans of the filtered lineitem, ≤2·4097
+    # bucket cells, no near-unique aggregation, no distinct-sized window.
+    # Same-window A/B + brute-force equality test in tests/test_r12_opt.py.
+    NB = 4096
+    WB = 2e7 / NB  # documented-superset domain: cents < 2e7 at every SF
+    braw = v.select(
+        "is_x",
+        "cents",
+        F.least(
+            F.floor(F.col("cents").cast("double") / F.lit(WB)), F.lit(NB)
+        )
+        .cast("long")
+        .alias("b"),
     )
-    tot = grp.groupBy("is_x").agg(
-        F.sum("c").cast("long").alias("n"),
-        F.floor(0.2 * F.sum("c")).cast("long").alias("g"),
+    bhist = (
+        braw.groupBy("is_x", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("bc"),
+            F.sum("cents").cast("long").alias("bs"),
+            F.sum(
+                F.col("cents").cast("decimal(38,0)") * F.col("cents")
+            ).alias("bss"),
+        )
+        # ~2·4097 rows; the checkpoint keeps the probe and full-bucket
+        # consumers from re-scanning lineitem
+        .localCheckpoint(eager=True)
     )
-    w_prev = Window.partitionBy("is_x").orderBy("cents").rowsBetween(
+    w_bprev = Window.partitionBy("is_x").orderBy("b").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    w_cur = Window.partitionBy("is_x").orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = (
-        grp.join(F.broadcast(tot), "is_x")
-        .select(
+    w_ball = Window.partitionBy("is_x")
+    bcum = (
+        bhist.select(
             "is_x",
-            "cents",
-            "c",
-            "n",
-            "g",
-            F.coalesce(F.sum("c").over(w_prev), F.lit(0)).alias("cumprev"),
-            F.sum("c").over(w_cur).alias("cum"),
+            "b",
+            "bc",
+            "bs",
+            "bss",
+            F.coalesce(F.sum("bc").over(w_bprev), F.lit(0)).alias("bprev"),
+            F.sum("bc").over(w_ball).alias("n"),
         )
+        .withColumn("bcm", F.col("bprev") + F.col("bc"))
+        .withColumn("g", F.floor(0.2 * F.col("n")).cast("long"))
+    )
+    probe = bcum.groupBy("is_x").agg(
+        F.max("n").alias("n"),
+        F.max("g").alias("g"),
+        F.min(
+            F.when(F.col("bcm") >= F.col("g") + 1, F.col("b"))
+        ).alias("b_lo"),
+        F.min(
+            F.when(F.col("bcm") >= F.col("g") + 1, F.col("bprev"))
+        ).alias("p_lo"),
+        F.min(
+            F.when(F.col("bcm") >= F.col("n") - F.col("g"), F.col("b"))
+        ).alias("b_hi"),
+        F.min(
+            F.when(F.col("bcm") >= F.col("n") - F.col("g"), F.col("bprev"))
+        ).alias("p_hi"),
+    )
+    # buckets strictly between the targets lie entirely inside the rank
+    # window (b > b_lo ⇒ prefix ≥ cum(b_lo) ≥ g+1 > g; b < b_hi ⇒
+    # cum ≤ prefix(b_hi) ≤ n−g) — their full sums need no row detail
+    full = (
+        bcum.join(F.broadcast(probe), "is_x")
+        .filter((F.col("b") > F.col("b_lo")) & (F.col("b") < F.col("b_hi")))
+        .groupBy("is_x")
+        .agg(
+            F.sum("bs").cast("long").alias("f_ts"),
+            F.sum("bss").alias("f_tss"),
+        )
+    )
+    part = (
+        braw.join(F.broadcast(probe), "is_x")
+        .filter(
+            (F.col("b") == F.col("b_lo")) | (F.col("b") == F.col("b_hi"))
+        )
+        .groupBy(
+            "is_x", "b", "cents", "b_lo", "p_lo", "b_hi", "p_hi", "n", "g"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w_lprev = Window.partitionBy("is_x", "b").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    loc = (
+        part.withColumn(
+            "lprev", F.coalesce(F.sum("c").over(w_lprev), F.lit(0))
+        )
+        .withColumn(
+            "p",
+            F.when(F.col("b") == F.col("b_lo"), F.col("p_lo")).otherwise(
+                F.col("p_hi")
+            ),
+        )
+        .withColumn("gprev", F.col("p") + F.col("lprev"))
+        .withColumn("gcum", F.col("p") + F.col("lprev") + F.col("c"))
     )
     inside = F.greatest(
         F.lit(0),
-        F.least(F.col("cum"), F.col("n") - F.col("g"))
-        - F.greatest(F.col("cumprev"), F.col("g")),
+        F.least(F.col("gcum"), F.col("n") - F.col("g"))
+        - F.greatest(F.col("gprev"), F.col("g")),
     )
-    stats = cum.groupBy("is_x").agg(
-        F.max("n").alias("n"),
-        F.max("g").alias("g"),
-        F.sum(inside * F.col("cents")).cast("long").alias("ts"),
+    pstats = loc.groupBy("is_x").agg(
+        F.sum(inside * F.col("cents")).cast("long").alias("p_ts"),
         F.sum(
             (inside * F.col("cents")).cast("decimal(38,0)") * F.col("cents")
-        ).alias("tss"),
-        F.min(F.when(F.col("cum") >= F.col("g") + 1, F.col("cents"))).alias("lo"),
+        ).alias("p_tss"),
         F.min(
-            F.when(F.col("cum") >= F.col("n") - F.col("g"), F.col("cents"))
+            F.when(
+                (F.col("b") == F.col("b_lo"))
+                & (F.col("gcum") >= F.col("g") + 1),
+                F.col("cents"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                (F.col("b") == F.col("b_hi"))
+                & (F.col("gcum") >= F.col("n") - F.col("g")),
+                F.col("cents"),
+            )
         ).alias("hi"),
+    )
+    stats = (
+        probe.join(pstats, "is_x")
+        .join(full, "is_x", "left")
+        .select(
+            "is_x",
+            "n",
+            "g",
+            (F.coalesce(F.col("f_ts"), F.lit(0)) + F.col("p_ts"))
+            .cast("long")
+            .alias("ts"),
+            (
+                F.coalesce(
+                    F.col("f_tss"), F.lit(0).cast("decimal(38,0)")
+                )
+                + F.col("p_tss")
+            ).alias("tss"),
+            "lo",
+            "hi",
+        )
     )
     g_, n_ = F.col("g"), F.col("n")
     w = stats.select(

@@ -146,6 +146,38 @@ def test_grouped_order_statistics_bounds_mode_equals_span_mode(spark):
     assert span == bounded
 
 
+def test_yuen_bucket_range_sums_match_brute_force(spark):
+    """stats_yuen_trimmed_t's r12 bucket-decomposed rank-range sums must
+    reproduce the brute-force trimmed means exactly (20% trim, boundary
+    values at ranks g+1 and n−g, winsorized variance)."""
+    import numpy as np
+
+    from hive_processor_spark import queries
+
+    li = load_table(spark, SF_SMALL, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    pdf = li.select(
+        (F.col("l_returnflag") == "R").cast("int").alias("is_x"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("cents"),
+    ).toPandas()
+
+    def ref(side):
+        xs = np.sort(pdf[pdf["is_x"] == side]["cents"].to_numpy(np.int64))
+        n = len(xs)
+        g = int(np.floor(0.2 * n))
+        trim = xs[g : n - g]
+        return n, len(trim), trim.mean()
+
+    nx, hx, tmx = ref(1)
+    ny, hy, tmy = ref(0)
+    row = queries()["stats_yuen_trimmed_t"](spark, SF_SMALL).collect()[0]
+    assert (row["n_x"], row["h_x"]) == (nx, hx)
+    assert (row["n_y"], row["h_y"]) == (ny, hy)
+    assert abs(row["tmean_cents_x"] - round(tmx, 4)) < 1e-9
+    assert abs(row["tmean_cents_y"] - round(tmy, 4)) < 1e-9
+
+
 def test_ranked_pairs_gate_uses_actual_pair_mass(spark):
     from hive_processor_spark.operators import retrieval as R
 
